@@ -1,0 +1,60 @@
+"""SparkSession bootstrap tuned for the tabsdata-spark engine.
+
+The reference (tabsdata) runs Polars in-process and trusts its optimizer
+(reference: client/td-sdk/tabsdata/tableframe/lazyframe/frame.py:545-563
+enables predicate/projection/slice pushdown etc.).  On Spark the analogous
+move is to enable AQE + all adaptive rewrites and let Catalyst do the rest.
+
+All knobs here are scale-oriented: AQE coalesces post-shuffle partitions at
+small SF and splits skewed joins at large SF, so one config serves both the
+local[32] test harness and a 1000-executor cluster.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("TDSPARK_SHUFFLE_PARTITIONS", "32"))
+
+
+def get_spark(
+    app_name: str = "tabsdata-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-appropriate defaults.
+
+    - AQE on: runtime partition coalescing, skew-join splitting, and
+      dynamic join-strategy switching (broadcast small post-filter sides).
+    - Arrow on: every pandas_udf / toPandas crossing is Arrow-batched.
+    - ANSI off: tabsdata/Polars semantics are non-ANSI (overflow wraps,
+      bad casts -> null); `cast(strict=True)` opts into ANSI per-call.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if master is None:
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.localShuffleReader.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.cbo.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("TDSPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,1007 @@
+"""Expression surface: a thin, Spark-first wrapper over pyspark Column.
+
+Parity target: the reference's `Expr` (client/td-sdk/tabsdata/tableframe/
+expr/expr.py, ~2758 LoC) plus its `str` (expr/string.py) and `dt`
+(functions/datetime.py) namespaces — see SURVEY.md §2.5-2.6 for the full
+method-by-method mapping.  Everything here compiles to built-in Catalyst
+expressions (JVM-side, whole-stage-codegen-able); there are NO Python UDFs
+in this module, so the entire scalar surface runs at native speed at any
+scale.
+"""
+
+from __future__ import annotations
+
+import re as _re
+from typing import Any, Iterable, Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+from pyspark.sql.window import Window
+
+from ..errors import UnsupportedOperationError
+
+__all__ = ["Expr", "to_column", "wrap"]
+
+
+def to_column(value: Any) -> Column:
+    """Expr | Column | python literal -> Column (literals wrapped)."""
+    if isinstance(value, Expr):
+        return value._col
+    if isinstance(value, Column):
+        return value
+    return F.lit(value)
+
+
+def wrap(col: Column) -> "Expr":
+    return Expr(col)
+
+
+def _cc(value: Any) -> Column:
+    """Like to_column but interprets bare strings as column names (used for
+    `by`/`on` style parameters, matching the reference's name-or-expr rule)."""
+    if isinstance(value, str):
+        return F.col(f"`{value}`") if "." in value else F.col(value)
+    return to_column(value)
+
+
+def _regex_quote(pattern: str) -> str:
+    """Literal pattern -> java-regex-safe (\\Q...\\E, Pattern.quote style)."""
+    return "\\Q" + pattern.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
+def _char_class(chars: str) -> str:
+    """Build a java regex character class matching any char in `chars`."""
+    return "[" + _re.sub(r"([\\\]\[\^\-])", r"\\\1", chars) + "]"
+
+
+class Expr:
+    """Lazy column expression (reference: tableframe/expr/expr.py:63-2758)."""
+
+    __slots__ = ("_col",)
+
+    def __init__(self, col: Column):
+        self._col = col
+
+    # ---- plumbing -------------------------------------------------------
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"Expr({self._col})"
+
+    def _new(self, col: Column) -> "Expr":
+        return Expr(col)
+
+    @property
+    def spark(self) -> Column:
+        """Escape hatch: the underlying pyspark Column."""
+        return self._col
+
+    # ---- arithmetic dunders (expr.py:63-176) ----------------------------
+    def __add__(self, other):
+        return self._new(self._col + to_column(other))
+
+    def __radd__(self, other):
+        return self._new(to_column(other) + self._col)
+
+    def __sub__(self, other):
+        return self._new(self._col - to_column(other))
+
+    def __rsub__(self, other):
+        return self._new(to_column(other) - self._col)
+
+    def __mul__(self, other):
+        return self._new(self._col * to_column(other))
+
+    def __rmul__(self, other):
+        return self._new(to_column(other) * self._col)
+
+    def __truediv__(self, other):
+        return self._new(self._col / to_column(other))
+
+    def __rtruediv__(self, other):
+        return self._new(to_column(other) / self._col)
+
+    def __floordiv__(self, other):
+        return self._new(F.floor(self._col / to_column(other)))
+
+    def __rfloordiv__(self, other):
+        return self._new(F.floor(to_column(other) / self._col))
+
+    def __mod__(self, other):
+        return self._new(self._col % to_column(other))
+
+    def __rmod__(self, other):
+        return self._new(to_column(other) % self._col)
+
+    def __pow__(self, other):
+        return self._new(F.pow(self._col, to_column(other)))
+
+    def __rpow__(self, other):
+        return self._new(F.pow(to_column(other), self._col))
+
+    def __neg__(self):
+        return self._new(-self._col)
+
+    def __abs__(self):
+        return self._new(F.abs(self._col))
+
+    def __invert__(self):
+        return self._new(~self._col)
+
+    def __and__(self, other):
+        return self._new(self._col & to_column(other))
+
+    def __rand__(self, other):
+        return self._new(to_column(other) & self._col)
+
+    def __or__(self, other):
+        return self._new(self._col | to_column(other))
+
+    def __ror__(self, other):
+        return self._new(to_column(other) | self._col)
+
+    def __xor__(self, other):
+        return self._new(self._col.__ne__(to_column(other)))  # bool xor
+
+    def __eq__(self, other):  # type: ignore[override]
+        return self._new(self._col == to_column(other))
+
+    def __ne__(self, other):  # type: ignore[override]
+        return self._new(self._col != to_column(other))
+
+    def __lt__(self, other):
+        return self._new(self._col < to_column(other))
+
+    def __le__(self, other):
+        return self._new(self._col <= to_column(other))
+
+    def __gt__(self, other):
+        return self._new(self._col > to_column(other))
+
+    def __ge__(self, other):
+        return self._new(self._col >= to_column(other))
+
+    def __hash__(self):
+        return id(self)
+
+    # ---- named arithmetic (expr.py:188-2707) ----------------------------
+    def add(self, other):
+        return self.__add__(other)
+
+    def sub(self, other):
+        return self.__sub__(other)
+
+    def mul(self, other):
+        return self.__mul__(other)
+
+    def truediv(self, other):
+        return self.__truediv__(other)
+
+    def floordiv(self, other):
+        return self.__floordiv__(other)
+
+    def mod(self, other):
+        return self.__mod__(other)
+
+    def pow(self, other):
+        return self.__pow__(other)
+
+    def neg(self):
+        return self.__neg__()
+
+    def abs(self):
+        return self._new(F.abs(self._col))
+
+    # comparisons
+    def eq(self, other):
+        return self.__eq__(other)
+
+    def eq_missing(self, other):
+        """Null-safe equality (reference expr.py:776) -> Spark `<=>`."""
+        return self._new(self._col.eqNullSafe(to_column(other)))
+
+    def ne(self, other):
+        return self.__ne__(other)
+
+    def ne_missing(self, other):
+        return self._new(~self._col.eqNullSafe(to_column(other)))
+
+    def lt(self, other):
+        return self.__lt__(other)
+
+    def le(self, other):
+        return self.__le__(other)
+
+    def gt(self, other):
+        return self.__gt__(other)
+
+    def ge(self, other):
+        return self.__ge__(other)
+
+    # boolean
+    def and_(self, *others):
+        col = self._col
+        for o in others:
+            col = col & to_column(o)
+        return self._new(col)
+
+    def or_(self, *others):
+        col = self._col
+        for o in others:
+            col = col | to_column(o)
+        return self._new(col)
+
+    def xor(self, other):
+        return self.__xor__(other)
+
+    def not_(self):
+        return self._new(~self._col)
+
+    # ---- predicates -----------------------------------------------------
+    def is_between(self, lower, upper, closed: str = "both"):
+        lo, hi = to_column(lower), to_column(upper)
+        if closed == "both":
+            c = (self._col >= lo) & (self._col <= hi)
+        elif closed == "left":
+            c = (self._col >= lo) & (self._col < hi)
+        elif closed == "right":
+            c = (self._col > lo) & (self._col <= hi)
+        else:
+            c = (self._col > lo) & (self._col < hi)
+        return self._new(c)
+
+    def is_in(self, values):
+        if isinstance(values, Expr):
+            raise UnsupportedOperationError("is_in over expression lists")
+        return self._new(self._col.isin(list(values)))
+
+    def is_null(self):
+        return self._new(self._col.isNull())
+
+    def is_not_null(self):
+        return self._new(self._col.isNotNull())
+
+    def is_nan(self):
+        return self._new(F.isnan(self._col))
+
+    def is_not_nan(self):
+        return self._new(~F.isnan(self._col))
+
+    def is_finite(self):
+        return self._new(
+            ~F.isnan(self._col)
+            & (self._col != F.lit(float("inf")))
+            & (self._col != F.lit(float("-inf")))
+        )
+
+    def is_infinite(self):
+        return self._new(
+            (self._col == F.lit(float("inf"))) | (self._col == F.lit(float("-inf")))
+        )
+
+    def is_unique(self):
+        """Per-row uniqueness flag (expr.py:1372): value occurs exactly once.
+        Window over the value itself — shuffles by value, scales like a
+        group-by on the column."""
+        w = Window.partitionBy(self._col)
+        return self._new(F.count(F.lit(1)).over(w) == 1)
+
+    # ---- math (expr.py §2.6) -------------------------------------------
+    def sqrt(self):
+        return self._new(F.sqrt(self._col))
+
+    def cbrt(self):
+        return self._new(F.cbrt(self._col))
+
+    def exp(self):
+        return self._new(F.exp(self._col))
+
+    def log(self, base: float | None = None):
+        if base is None:
+            return self._new(F.log(self._col))
+        return self._new(F.log(float(base), self._col))
+
+    def log1p(self):
+        return self._new(F.log1p(self._col))
+
+    def log10(self):
+        return self._new(F.log10(self._col))
+
+    def sin(self):
+        return self._new(F.sin(self._col))
+
+    def cos(self):
+        return self._new(F.cos(self._col))
+
+    def tan(self):
+        return self._new(F.tan(self._col))
+
+    def sinh(self):
+        return self._new(F.sinh(self._col))
+
+    def cosh(self):
+        return self._new(F.cosh(self._col))
+
+    def tanh(self):
+        return self._new(F.tanh(self._col))
+
+    def arcsin(self):
+        return self._new(F.asin(self._col))
+
+    def arccos(self):
+        return self._new(F.acos(self._col))
+
+    def arctan(self):
+        return self._new(F.atan(self._col))
+
+    def arcsinh(self):
+        return self._new(F.asinh(self._col))
+
+    def arccosh(self):
+        return self._new(F.acosh(self._col))
+
+    def arctanh(self):
+        return self._new(F.atanh(self._col))
+
+    def cot(self):
+        return self._new(F.cot(self._col))
+
+    def degrees(self):
+        return self._new(F.degrees(self._col))
+
+    def radians(self):
+        return self._new(F.radians(self._col))
+
+    def sign(self):
+        return self._new(F.signum(self._col))
+
+    def floor(self):
+        return self._new(F.floor(self._col))
+
+    def ceil(self):
+        return self._new(F.ceil(self._col))
+
+    def round(self, decimals: int = 0):
+        return self._new(F.round(self._col, decimals))
+
+    def round_sig_figs(self, digits: int):
+        """Round to significant figures (expr.py:1993) via log10 formula."""
+        c = self._col
+        mag = F.floor(F.log10(F.abs(c)))
+        factor = F.pow(F.lit(10.0), mag - F.lit(digits - 1))
+        rounded = F.round(c / factor, 0) * factor
+        return self._new(F.when(c == 0, F.lit(0.0)).otherwise(rounded))
+
+    def clip(self, lower_bound=None, upper_bound=None):
+        c = self._col
+        if lower_bound is not None:
+            c = F.greatest(c, to_column(lower_bound))
+        if upper_bound is not None:
+            c = F.least(c, to_column(upper_bound))
+        return self._new(c)
+
+    def shrink_dtype(self):
+        """Data-dependent downcast is not expressible lazily on Spark; the
+        reference delegates to Polars chunk stats (expr.py:2040).  No-op:
+        Parquet encoding already bit-packs narrow ranges, so the storage win
+        the reference gets is free here."""
+        return self
+
+    def reinterpret(self, signed: bool = True):
+        """Spark has no unsigned ints (SURVEY §1.3 narrowing table); cast to
+        long as the documented mapping."""
+        return self._new(self._col.cast("long"))
+
+    # ---- misc -----------------------------------------------------------
+    def alias(self, name: str):
+        return self._new(self._col.alias(name))
+
+    def cast(self, dtype, strict: bool = False):
+        from .dtypes import to_spark_type
+
+        target = to_spark_type(dtype)
+        if strict:
+            return self._new(self._col.cast(target))
+        return self._new(self._col.try_cast(target))
+
+    def fill_null(self, value):
+        return self._new(F.coalesce(self._col, to_column(value)))
+
+    def fill_nan(self, value):
+        return self._new(
+            F.when(F.isnan(self._col), to_column(value)).otherwise(self._col)
+        )
+
+    def filter(self, *predicates):
+        """Filter values within an aggregation context (expr.py:913)."""
+        cond = None
+        for p in predicates:
+            pc = to_column(p)
+            cond = pc if cond is None else (cond & pc)
+        return self._new(F.when(cond, self._col))
+
+    def hash(self, seed: int = 0):
+        return self._new(F.xxhash64(self._col, F.lit(seed)))
+
+    def slice(self, offset: int, length: int | None = None):
+        raise UnsupportedOperationError(
+            "Expr.slice is positional; use TableFrame.slice (Spark has no "
+            "stable physical row order)"
+        )
+
+    def rank(self, method: str = "average", descending: bool = False):
+        """Whole-column rank (expr.py:1843).  NOTE: a global rank is a global
+        sort — on a cluster this is a single-pass range-partitioned sort,
+        inherently all-to-all.  Fine as the reference semantics demand it."""
+        ordered = self._col.desc() if descending else self._col.asc()
+        w = Window.orderBy(ordered)
+        ties = Window.partitionBy(self._col)
+        if method == "min":
+            c = F.rank().over(w)
+        elif method == "max":
+            c = F.rank().over(w) + F.count(F.lit(1)).over(ties) - 1
+        elif method == "dense":
+            c = F.dense_rank().over(w)
+        elif method == "ordinal":
+            c = F.row_number().over(w)
+        elif method == "random":
+            c = F.row_number().over(Window.orderBy(ordered, F.rand()))
+        else:  # average
+            mn = F.rank().over(w)
+            c = (mn * 2 + F.count(F.lit(1)).over(ties) - 1) / 2.0
+        return self._new(c)
+
+    def diff(self, n: int = 1, order_by=None):
+        """Lag difference (expr.py:1884).  Polars uses physical row order;
+        Spark has none, so pass `order_by` (or sort the frame first — the
+        frame-level ops thread their sort keys here via TableFrame)."""
+        if order_by is None:
+            order = [F.monotonically_increasing_id()]
+        elif isinstance(order_by, (list, tuple)):
+            order = [_cc(o) for o in order_by]
+        else:
+            order = [_cc(order_by)]
+        w = Window.orderBy(*order)
+        return self._new(self._col - F.lag(self._col, n).over(w))
+
+    # ---- aggregations (expr.py:967-2570) --------------------------------
+    def max(self):
+        return self._new(F.max(self._col))
+
+    def min(self):
+        return self._new(F.min(self._col))
+
+    def sum(self):
+        return self._new(F.sum(self._col))
+
+    def mean(self):
+        return self._new(F.avg(self._col))
+
+    def median(self):
+        return self._new(F.median(self._col))
+
+    def n_unique(self):
+        """Distinct count incl. nulls (Polars counts null as a value)."""
+        return self._new(
+            F.count_distinct(self._col)
+            + F.max(F.when(self._col.isNull(), 1).otherwise(0))
+        )
+
+    def count(self):
+        return self._new(F.count(self._col))
+
+    def len(self):
+        return self._new(F.count(F.lit(1)))
+
+    def first(self):
+        return self._new(F.first(self._col, ignorenulls=False))
+
+    def last(self):
+        return self._new(F.last(self._col, ignorenulls=False))
+
+    # ---- namespaces -----------------------------------------------------
+    @property
+    def str(self) -> "ExprStringNameSpace":
+        return ExprStringNameSpace(self)
+
+    @property
+    def dt(self) -> "ExprDateTimeNameSpace":
+        return ExprDateTimeNameSpace(self)
+
+
+class ExprStringNameSpace:
+    """Parity with reference tableframe/expr/string.py (1175 LoC) — every
+    method compiles to a JVM string/regex expression."""
+
+    __slots__ = ("_e",)
+
+    def __init__(self, parent: Expr):
+        self._e = parent
+
+    @property
+    def _c(self) -> Column:
+        return self._e._col
+
+    def _new(self, col: Column) -> Expr:
+        return Expr(col)
+
+    # temporal parsing (string.py:41-167)
+    def to_date(self, format: str | None = None, strict: bool = True):
+        fmt = _strptime_to_spark(format)
+        return self._new(F.to_date(self._c, fmt) if fmt else F.to_date(self._c))
+
+    def to_datetime(self, format: str | None = None, strict: bool = True):
+        fmt = _strptime_to_spark(format)
+        return self._new(
+            F.to_timestamp(self._c, fmt) if fmt else F.to_timestamp(self._c)
+        )
+
+    def to_time(self, format: str | None = None, strict: bool = True):
+        """Polars Time -> seconds-of-day mapping (SURVEY §1.3: Spark has no
+        TimeType); parse then take seconds since midnight."""
+        fmt = _strptime_to_spark(format) or "HH:mm:ss"
+        ts = F.to_timestamp(self._c, fmt)
+        return self._new(
+            (F.hour(ts) * 3600 + F.minute(ts) * 60 + F.second(ts)).cast("long")
+        )
+
+    # lengths / case (string.py:168-292)
+    def len_bytes(self):
+        return self._new(F.octet_length(self._c))
+
+    def len_chars(self):
+        return self._new(F.char_length(self._c))
+
+    def to_uppercase(self):
+        return self._new(F.upper(self._c))
+
+    def to_lowercase(self):
+        return self._new(F.lower(self._c))
+
+    def to_titlecase(self):
+        return self._new(F.initcap(self._c))
+
+    # strip family (string.py:293-458)
+    def strip_chars(self, characters: str | None = None):
+        if characters is None:
+            return self._new(F.trim(self._c))
+        return self._new(F.btrim(self._c, F.lit(characters)))
+
+    def strip_chars_start(self, characters: str | None = None):
+        cls = r"\s" if characters is None else _char_class(characters)
+        return self._new(F.regexp_replace(self._c, f"^(?:{cls})+", ""))
+
+    def strip_chars_end(self, characters: str | None = None):
+        cls = r"\s" if characters is None else _char_class(characters)
+        return self._new(F.regexp_replace(self._c, f"(?:{cls})+$", ""))
+
+    def strip_prefix(self, prefix: str):
+        p = F.lit(prefix)
+        return self._new(
+            F.when(
+                self._c.startswith(p),
+                self._c.substr(F.length(p) + 1, F.length(self._c)),
+            ).otherwise(self._c)
+        )
+
+    def strip_suffix(self, suffix: str):
+        s = F.lit(suffix)
+        return self._new(
+            F.when(
+                self._c.endswith(s),
+                self._c.substr(F.lit(1), F.length(self._c) - F.length(s)),
+            ).otherwise(self._c)
+        )
+
+    # pad (string.py:459-547)
+    def pad_start(self, length: int, fill_char: str = " "):
+        return self._new(F.lpad(self._c, length, fill_char))
+
+    def pad_end(self, length: int, fill_char: str = " "):
+        return self._new(F.rpad(self._c, length, fill_char))
+
+    def zfill(self, length: int):
+        c = self._c
+        negative = c.startswith("-")
+        body = F.lpad(F.substring(c, 2, 2**30), length - 1, "0")
+        return self._new(
+            F.when(negative, F.concat(F.lit("-"), body)).otherwise(
+                F.lpad(c, length, "0")
+            )
+        )
+
+    # search (string.py:548-778)
+    def contains(self, pattern: str, literal: bool = False):
+        if literal:
+            return self._new(self._c.contains(pattern))
+        return self._new(self._c.rlike(pattern))
+
+    def find(self, pattern: str, literal: bool = False):
+        if literal:
+            pos = F.locate(pattern, self._c)
+        else:
+            pos = F.regexp_instr(self._c, F.lit(pattern))
+        return self._new(F.when(pos > 0, pos - 1))  # 0-based, null if absent
+
+    def ends_with(self, suffix: str):
+        return self._new(self._c.endswith(suffix))
+
+    def starts_with(self, prefix: str):
+        return self._new(self._c.startswith(prefix))
+
+    def extract(self, pattern: str, group_index: int = 1):
+        return self._new(
+            F.when(
+                self._c.rlike(pattern),
+                F.regexp_extract(self._c, pattern, group_index),
+            )
+        )
+
+    def count_matches(self, pattern: str, literal: bool = False):
+        pat = _regex_quote(pattern) if literal else pattern
+        return self._new(F.regexp_count(self._c, F.lit(pat)))
+
+    # replace (string.py:779-872)
+    def replace(self, pattern: str, value: str, literal: bool = False, n: int = 1):
+        """Replace first n occurrences (Polars default n=1).  First-only via
+        the lazy-prefix trick — stays a single JVM regexp_replace."""
+        pat = _regex_quote(pattern) if literal else pattern
+        val = value.replace("\\", "\\\\").replace("$", "\\$")
+        out = self._c
+        for _ in range(n):
+            out = F.regexp_replace(out, f"^((?s).*?)(?:{pat})", f"$1{val}")
+        return self._new(out)
+
+    def replace_all(self, pattern: str, value: str, literal: bool = False):
+        pat = _regex_quote(pattern) if literal else pattern
+        val = value.replace("\\", "\\\\").replace("$", "\\$")
+        return self._new(F.regexp_replace(self._c, pat, val))
+
+    def reverse(self):
+        return self._new(F.reverse(self._c))
+
+    # slicing (string.py:898-998)
+    def slice(self, offset: int, length: int | None = None):
+        if offset >= 0:
+            pos = offset + 1
+            if length is None:
+                return self._new(F.substring(self._c, pos, 2**30))
+            return self._new(F.substring(self._c, pos, length))
+        # negative offset: from end, clamped like Polars
+        start = F.greatest(F.length(self._c) + offset + 1, F.lit(1))
+        ln = F.lit(2**30) if length is None else F.lit(length)
+        return self._new(self._c.substr(start, ln))
+
+    def head(self, n: int):
+        return self._new(F.left(self._c, F.lit(n)))
+
+    def tail(self, n: int):
+        return self._new(F.right(self._c, F.lit(n)))
+
+    def to_integer(self, base: int = 10, strict: bool = True):
+        if base == 10:
+            return self._new(
+                self._c.cast("long") if strict else self._c.try_cast("long")
+            )
+        return self._new(F.conv(self._c, base, 10).cast("long"))
+
+    def contains_any(self, patterns: Sequence[str], ascii_case_insensitive: bool = False):
+        alt = "|".join(_regex_quote(p) for p in patterns)
+        flags = "(?i)" if ascii_case_insensitive else ""
+        return self._new(self._c.rlike(f"{flags}(?:{alt})"))
+
+    def replace_many(self, old: Sequence[str] | dict, new: Sequence[str] | None = None):
+        if isinstance(old, dict):
+            pairs = list(old.items())
+        else:
+            pairs = list(zip(old, new or []))
+        c = self._c
+        for o, nw in pairs:
+            c = F.replace(c, F.lit(o), F.lit(nw))
+        return self._new(c)
+
+    def grok(self, pattern: str):
+        """Grok pattern -> struct of captures (string.py:1122); compiler in
+        tabsdata_spark.tableframe.grok (port of the public grok idea, not of
+        the reference's Rust plugin)."""
+        from .grok import grok_to_struct
+
+        return self._new(grok_to_struct(self._c, pattern))
+
+
+# strptime (chrono / Polars) -> Spark SimpleDateTime-ish pattern letters
+_STRPTIME_MAP = {
+    "%Y": "yyyy",
+    "%y": "yy",
+    "%m": "MM",
+    "%d": "dd",
+    "%H": "HH",
+    "%I": "hh",
+    "%M": "mm",
+    "%S": "ss",
+    "%f": "SSSSSS",
+    "%.f": ".SSSSSS",
+    "%p": "a",
+    "%b": "MMM",
+    "%B": "MMMM",
+    "%a": "EEE",
+    "%A": "EEEE",
+    "%j": "DDD",
+    "%z": "xx",
+    "%:z": "xxx",
+    "%Z": "zz",
+    "%%": "%",
+}
+
+
+def _strptime_to_spark(fmt: str | None) -> str | None:
+    if fmt is None:
+        return None
+    out = fmt
+    for k, v in _STRPTIME_MAP.items():
+        out = out.replace(k, v)
+    return out
+
+
+class ExprDateTimeNameSpace:
+    """Parity with reference tableframe/functions/datetime.py (257 LoC)."""
+
+    __slots__ = ("_e",)
+
+    def __init__(self, parent: Expr):
+        self._e = parent
+
+    @property
+    def _c(self) -> Column:
+        return self._e._col
+
+    def _new(self, col: Column) -> Expr:
+        return Expr(col)
+
+    # truncation / construction
+    def truncate(self, every: str):
+        unit = _duration_to_trunc_unit(every)
+        return self._new(F.date_trunc(unit, self._c))
+
+    def replace(self, **kwargs):
+        parts = {
+            "year": F.year(self._c),
+            "month": F.month(self._c),
+            "day": F.dayofmonth(self._c),
+            "hour": F.hour(self._c),
+            "minute": F.minute(self._c),
+            "second": F.second(self._c),
+        }
+        for k, v in kwargs.items():
+            if k in parts:
+                parts[k] = F.lit(v)
+        return self._new(
+            F.make_timestamp(
+                parts["year"], parts["month"], parts["day"],
+                parts["hour"], parts["minute"], parts["second"],
+            )
+        )
+
+    def combine(self, time_sec):
+        """date + seconds-of-day (Time maps to seconds, SURVEY §1.3)."""
+        base = F.to_timestamp(F.to_date(self._c))
+        return self._new(F.timestamp_seconds(F.unix_timestamp(base) + to_column(time_sec)))
+
+    def to_string(self, format: str | None = None):
+        fmt = _strptime_to_spark(format) or "yyyy-MM-dd HH:mm:ss"
+        return self._new(F.date_format(self._c, fmt))
+
+    def strftime(self, format: str):
+        return self.to_string(format)
+
+    # calendar fields
+    def millennium(self):
+        return self._new(F.floor((F.year(self._c) + 999) / 1000).cast("int"))
+
+    def century(self):
+        return self._new(F.floor((F.year(self._c) + 99) / 100).cast("int"))
+
+    def year(self):
+        return self._new(F.year(self._c))
+
+    def is_leap_year(self):
+        y = F.year(self._c)
+        return self._new((y % 4 == 0) & ((y % 100 != 0) | (y % 400 == 0)))
+
+    def iso_year(self):
+        # ISO year = calendar year of the Thursday in the same ISO week
+        return self._new(F.year(F.date_add(self._c, 3 - F.weekday(self._c))))
+
+    def quarter(self):
+        return self._new(F.quarter(self._c))
+
+    def month(self):
+        return self._new(F.month(self._c))
+
+    def week(self):
+        return self._new(F.weekofyear(self._c))
+
+    def weekday(self):
+        """ISO weekday 1=Mon..7=Sun (Polars semantics)."""
+        return self._new(F.weekday(self._c) + 1)
+
+    def day(self):
+        return self._new(F.dayofmonth(self._c))
+
+    def ordinal_day(self):
+        return self._new(F.dayofyear(self._c))
+
+    def time(self):
+        """Seconds since midnight (Time mapping)."""
+        return self._new(
+            (F.hour(self._c) * 3600 + F.minute(self._c) * 60 + F.second(self._c)).cast("long")
+        )
+
+    def date(self):
+        return self._new(F.to_date(self._c))
+
+    def datetime(self):
+        return self._new(self._c.cast("timestamp"))
+
+    def hour(self):
+        return self._new(F.hour(self._c))
+
+    def minute(self):
+        return self._new(F.minute(self._c))
+
+    def second(self):
+        return self._new(F.second(self._c))
+
+    def millisecond(self):
+        return self._new((F.unix_micros(self._c) % 1_000_000 / 1000).cast("int"))
+
+    def microsecond(self):
+        return self._new((F.unix_micros(self._c) % 1_000_000).cast("int"))
+
+    def nanosecond(self):
+        return self._new(((F.unix_micros(self._c) % 1_000_000) * 1000).cast("long"))
+
+    def epoch(self, time_unit: str = "us"):
+        if time_unit == "s":
+            return self._new(F.unix_timestamp(self._c))
+        if time_unit == "ms":
+            return self._new(F.unix_millis(self._c))
+        if time_unit == "ns":
+            return self._new(F.unix_micros(self._c) * 1000)
+        return self._new(F.unix_micros(self._c))
+
+    def timestamp(self, time_unit: str = "us"):
+        return self.epoch(time_unit)
+
+    def with_time_unit(self, time_unit: str):
+        return self._e  # Spark timestamps are always micros
+
+    def cast_time_unit(self, time_unit: str):
+        return self._e
+
+    def convert_time_zone(self, time_zone: str):
+        return self._new(F.from_utc_timestamp(self._c, time_zone))
+
+    def replace_time_zone(self, time_zone: str | None):
+        if time_zone is None:
+            return self._e
+        return self._new(F.to_utc_timestamp(self._c, time_zone))
+
+    # durations: mapped to DayTimeIntervalType; totals via micros cast
+    def total_days(self):
+        return self._new((self._total_micros() / 86_400_000_000).cast("long"))
+
+    def total_hours(self):
+        return self._new((self._total_micros() / 3_600_000_000).cast("long"))
+
+    def total_minutes(self):
+        return self._new((self._total_micros() / 60_000_000).cast("long"))
+
+    def total_seconds(self):
+        return self._new((self._total_micros() / 1_000_000).cast("long"))
+
+    def total_milliseconds(self):
+        return self._new((self._total_micros() / 1000).cast("long"))
+
+    def total_microseconds(self):
+        return self._new(self._total_micros())
+
+    def total_nanoseconds(self):
+        return self._new(self._total_micros() * 1000)
+
+    def _total_micros(self) -> Column:
+        # DayTimeIntervalType -> long gives total seconds in Spark SQL;
+        # use second-precision interval cast then scale (verified in tests)
+        return self._c.cast("interval day to second").cast("long") * 1_000_000
+
+    def offset_by(self, by: str):
+        months, days, micros = _parse_offset(by)
+        c = self._c
+        if months:
+            c = F.add_months(c, months).cast("timestamp")
+        if days:
+            micros += days * 86_400_000_000
+        if micros:
+            c = F.timestamp_micros(F.unix_micros(c.cast("timestamp")) + micros)
+        return self._new(c)
+
+    def add_business_days(self, n: int):
+        """Skip-weekend day add (datetime.py:22).  Pure expression: whole
+        weeks then a when-chain for the remainder — no UDF."""
+        c = F.to_date(self._c)
+        if n == 0:
+            return self._new(c)
+        sign = 1 if n > 0 else -1
+        weeks, rem = divmod(abs(n), 5)
+        out = F.date_add(c, sign * weeks * 7)
+        dow = F.weekday(out)  # 0=Mon..6=Sun
+        for _ in range(rem):
+            out = F.date_add(out, sign)
+            dow = F.weekday(out)
+            # roll off weekend
+            out = F.when(dow == 5, F.date_add(out, sign * (2 if sign > 0 else 0))).otherwise(
+                F.when(dow == 6, F.date_add(out, sign * 1 if sign > 0 else -2)).otherwise(out)
+            )
+        # if landed on weekend due to start, roll forward/backward
+        dow = F.weekday(out)
+        out = F.when(dow == 5, F.date_add(out, 2 * sign if sign > 0 else -1)).otherwise(
+            F.when(dow == 6, F.date_add(out, 1 * sign if sign > 0 else -2)).otherwise(out)
+        )
+        return self._new(out)
+
+    def month_start(self):
+        return self._new(F.trunc(self._c, "month"))
+
+    def month_end(self):
+        return self._new(F.last_day(self._c))
+
+    def base_utc_offset(self):
+        return self._new(F.lit(0))  # session tz is UTC
+
+    def dst_offset(self):
+        return self._new(F.lit(0))
+
+
+_DURATION_RE = _re.compile(r"(-?\d+)(mo|ns|us|ms|[smhdwy])")
+
+
+def _parse_offset(by: str) -> tuple[int, int, int]:
+    """'1y2mo3d4h5m6s' -> (months, days, microseconds)."""
+    months = days = micros = 0
+    for num, unit in _DURATION_RE.findall(by):
+        v = int(num)
+        if unit == "y":
+            months += 12 * v
+        elif unit == "mo":
+            months += v
+        elif unit == "w":
+            days += 7 * v
+        elif unit == "d":
+            days += v
+        elif unit == "h":
+            micros += v * 3_600_000_000
+        elif unit == "m":
+            micros += v * 60_000_000
+        elif unit == "s":
+            micros += v * 1_000_000
+        elif unit == "ms":
+            micros += v * 1000
+        elif unit == "us":
+            micros += v
+        elif unit == "ns":
+            micros += v // 1000
+    return months, days, micros
+
+
+def _duration_to_trunc_unit(every: str) -> str:
+    m = _DURATION_RE.fullmatch(every.strip())
+    if not m:
+        raise ValueError(f"unsupported truncate interval: {every}")
+    unit = m.group(2)
+    return {
+        "y": "year",
+        "mo": "month",
+        "w": "week",
+        "d": "day",
+        "h": "hour",
+        "m": "minute",
+        "s": "second",
+    }[unit]
