@@ -1,0 +1,275 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design (the point of this module):
+- Exact dedup = hash-groupBy: one shuffle on the dedup key, map-side
+  partial dedup first.  At 100 TB this is the canonical pattern.
+- MinHash+LSH: shingle -> k minhashes -> b bands; candidate generation is a
+  *bucket join* (shuffle by band signature), never an all-pairs product.
+  Everything up to the bucket join is built-in array expressions (JVM).
+- Bucket-size cap guards against degenerate buckets (empty/boilerplate
+  docs), the classic LSH skew killer.
+- SimHash: token hashes computed JVM-side (xxhash64), bit-folding in one
+  Arrow-vectorized pandas_udf (numpy), then banded matching on 16-bit
+  chunks (Hamming-distance blocking).
+- n-gram Jaccard: exact verification on LSH candidates only (array
+  intersect/union, JVM) — the verify step of the standard pipeline.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import Column, DataFrame
+
+from .textual import tokens
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+def dedup_exact(df: DataFrame, key_cols: list[str] | None = None,
+                id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep one representative row per duplicate group (min id — a
+    deterministic, order-free choice).  One shuffle on the key hash."""
+    keys = key_cols or [text_col]
+    w_keys = [F.col(k) for k in keys]
+    kept = (
+        df.groupBy(*w_keys).agg(F.min(F.col(id_col)).alias(id_col))
+    )
+    return df.join(kept, on=keys + [id_col], how="left_semi")
+
+
+def duplicate_groups(df: DataFrame, key: Column, id_col: str = "doc_id") -> DataFrame:
+    """Groups with >1 member under `key` (e.g. fingerprint())."""
+    return (
+        df.select(key.alias("dedup_key"), F.col(id_col))
+        .groupBy("dedup_key")
+        .agg(F.count(F.lit(1)).alias("group_size"),
+             F.min(id_col).alias("representative"))
+        .filter(F.col("group_size") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles + minhash
+# ---------------------------------------------------------------------------
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingle set (distinct), built entirely with array
+    expressions: sequence -> transform(slice+join) -> distinct."""
+    toks = tokens(F.lower(text))
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    return F.array_distinct(F.when(cnt >= n, grams).otherwise(F.array(F.array_join(toks, " "))))
+
+
+def minhash_signature(shingle_arr: Column, num_hashes: int = 32) -> Column:
+    """k-minwise signature: for seed i, min over shingles of
+    xxhash64(shingle, i).  k array-min passes, all JVM."""
+    mins = [
+        F.array_min(F.transform(shingle_arr, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+        for i in range(num_hashes)
+    ]
+    return F.array(*mins)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_size: int = 3,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH.
+
+    rows*bands exploded rows -> shuffle on (band, signature) -> within-bucket
+    self-join.  `max_bucket` drops degenerate buckets (boilerplate text)
+    before the quadratic within-bucket step — essential at scale.
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b, deduped across bands.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(shingles(F.col(text_col), shingle_size), num_hashes)
+    with_sig = df.select(F.col(id_col).alias("__id"), sig.alias("__sig"))
+
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                F.array_join(
+                    F.transform(
+                        F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("bsig"),
+        )
+        for b in range(bands)
+    ])
+    exploded = (
+        with_sig.select("__id", "__sig", F.explode(band_structs).alias("bd"))
+        .select("__id", "__sig", F.col("bd.band").alias("band"), F.col("bd.bsig").alias("bsig"))
+    )
+    # cap bucket size
+    bucket_sizes = exploded.groupBy("band", "bsig").agg(F.count(F.lit(1)).alias("sz"))
+    exploded = (
+        exploded.join(bucket_sizes, on=["band", "bsig"], how="inner")
+        .filter((F.col("sz") > 1) & (F.col("sz") <= max_bucket))
+        .drop("sz")
+    )
+    a = exploded.select(
+        F.col("band"), F.col("bsig"),
+        F.col("__id").alias("id_a"), F.col("__sig").alias("sig_a"),
+    )
+    b = exploded.select(
+        F.col("band"), F.col("bsig"),
+        F.col("__id").alias("id_b"), F.col("__sig").alias("sig_b"),
+    )
+    pairs = (
+        a.join(b, on=["band", "bsig"], how="inner")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        )
+        / F.lit(float(len(range(num_hashes))))
+    )
+    return pairs.select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Drop near-duplicates: keep the min-id representative of each
+    candidate pair above `threshold` (greedy single-link light: every doc
+    that appears as the larger id of a dup pair is removed)."""
+    cands = minhash_lsh_candidates(df, id_col, text_col, **lsh_kwargs)
+    losers = (
+        cands.filter(F.col("est_jaccard") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact verify)
+# ---------------------------------------------------------------------------
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Exact Jaccard over word n-gram sets for given (id_a, id_b) pairs —
+    two hash-joins against the shingled docs, then array set ops (JVM)."""
+    sh = df.select(F.col(id_col).alias("__id"), shingles(F.col(text_col), n).alias("__sh"))
+    out = (
+        pairs.join(sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b")), "id_b")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return out.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per doc.  Token hashes via xxhash64 (JVM), bit folding
+    via one Arrow-batched pandas_udf (numpy bit tricks — vectorized)."""
+    tok_hashes = F.transform(tokens(F.lower(F.col(text_col))), lambda t: F.xxhash64(t))
+
+    @F.pandas_udf(T.LongType())
+    def fold(hashes: pd.Series) -> pd.Series:
+        out = np.zeros(len(hashes), dtype=np.int64)
+        for row_i, hs in enumerate(hashes):
+            if hs is None or len(hs) == 0:
+                continue
+            arr = np.asarray(hs, dtype=np.int64).view(np.uint64)
+            bits = ((arr[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
+            votes = bits.sum(axis=0) * 2 - len(arr)  # +1/-1 votes per bit
+            sig = np.uint64(0)
+            for b in np.nonzero(votes > 0)[0]:
+                sig |= np.uint64(1) << np.uint64(b)
+            out[row_i] = np.int64(sig.astype(np.uint64).view(np.int64))
+        return pd.Series(out)
+
+    return df.withColumn("simhash", fold(tok_hashes))
+
+
+def simhash_candidates(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+    """Near-dup candidates by 16-bit band blocking (4 bands; pairs within
+    Hamming distance <= 3 must share at least one band — pigeonhole).
+    Exact Hamming check via bit_count(xor) afterwards."""
+    sh = simhash(df, id_col, text_col).select(F.col(id_col).alias("__id"), "simhash")
+    bands = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.shiftrightunsigned(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk"))
+        for b in range(4)
+    ])
+    ex = sh.select("__id", "simhash", F.explode(bands).alias("bd")).select(
+        "__id", "simhash", F.col("bd.band").alias("band"), F.col("bd.chunk").alias("chunk")
+    )
+    a = ex.select("band", "chunk", F.col("__id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = ex.select("band", "chunk", F.col("__id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    pairs = (
+        a.join(b, ["band", "chunk"]).filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Near-dup pairs by cosine similarity.  With `block_col` the join is
+    blocked (shuffle by block, quadratic only within block); without it the
+    caller accepts an all-pairs product — fine for sampled audits, not for
+    100 TB (use LSH bucketing from similarity.py there)."""
+    from .similarity import cosine
+
+    left = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+                     *([F.col(block_col)] if block_col else []))
+    right = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+                      *([F.col(block_col)] if block_col else []))
+    on = [block_col] if block_col else []
+    pairs = (left.crossJoin(right) if not on else left.join(right, on=on))
+    pairs = pairs.filter(F.col("id_a") < F.col("id_b"))
+    sim = cosine(F.col("va"), F.col("vb"))
+    return (
+        pairs.withColumn("cosine", F.round(sim, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

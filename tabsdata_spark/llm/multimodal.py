@@ -1,0 +1,144 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed through Arrow-batched mapInPandas.
+
+The decode step is STUBBED (image/audio libs are not in this container):
+`set_decoder(...)` plugs a real decoder in; the default deterministic fake
+decoder lets the Spark-side plumbing — schema, partitioning, UDF signature,
+Arrow batch shape — be fully real and tested.  At 100 TB the pattern is:
+binary payloads stay columnar in Parquet, metadata columns drive partition
+pruning, and decode happens executor-side in Arrow batches sized by
+`spark.sql.execution.arrow.maxRecordsPerBatch`.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Iterator
+
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame
+
+#: media metadata schema attached alongside the binary payload
+MEDIA_META_SCHEMA = T.StructType([
+    T.StructField("media_type", T.StringType()),      # image|audio|video
+    T.StructField("format", T.StringType()),          # png|jpeg|wav|mp4|...
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("duration_ms", T.LongType()),
+    T.StructField("size_bytes", T.LongType()),
+])
+
+
+def _fake_decode_image(payload: bytes) -> dict:
+    """Deterministic fake decode: derives pseudo-dimensions and a 8-dim
+    'feature' from the payload digest.  Replace via set_decoder()."""
+    h = hashlib.sha256(payload).digest()
+    return {
+        "width": 64 + h[0] % 192,
+        "height": 64 + h[1] % 192,
+        "features": [round(b / 255.0, 6) for b in h[2:10]],
+    }
+
+
+_DECODER: Callable[[bytes], dict] = _fake_decode_image
+
+
+def set_decoder(fn: Callable[[bytes], dict]) -> None:
+    """Plug a real decoder (e.g. PIL-based).  Must return a dict with
+    width/height/features keys."""
+    global _DECODER
+    _DECODER = fn
+
+
+def attach_media_metadata(df: DataFrame, binary_col: str = "payload",
+                          media_type: str = "image", fmt: str = "bin") -> DataFrame:
+    """Cheap metadata without decoding: size, type tags.  JVM-only."""
+    return df.withColumn(
+        "media_meta",
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.lit(fmt).alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.length(F.col(binary_col)).cast("long").alias("size_bytes"),
+        ),
+    )
+
+
+DECODE_SCHEMA_SUFFIX = [
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("features", T.ArrayType(T.DoubleType())),
+]
+
+
+def decode_and_featurize(df: DataFrame, id_col: str = "doc_id",
+                         binary_col: str = "payload") -> DataFrame:
+    """mapInPandas decode: Arrow batches of binary payloads -> decoded
+    metadata + feature vector.  One Python crossing per batch, not per row;
+    partition count controls decode parallelism on the cluster."""
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType())] + DECODE_SCHEMA_SUFFIX
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for _id, payload in zip(pdf[id_col], pdf[binary_col]):
+                if payload is None:
+                    rows.append((_id, None, None, None))
+                    continue
+                d = _DECODER(bytes(payload))
+                rows.append((_id, d["width"], d["height"], d["features"]))
+            yield pd.DataFrame(rows, columns=[id_col, "width", "height", "features"])
+
+    return df.select(id_col, binary_col).mapInPandas(run, out_schema)
+
+
+def resize_images(df: DataFrame, id_col: str = "doc_id",
+                  binary_col: str = "payload", width: int = 224,
+                  height: int = 224) -> DataFrame:
+    """Resize stub: real implementation needs an image lib.  The plumbing
+    (signature, schema, batching) is real; the pixel work raises."""
+
+    def run(batches):
+        raise NotImplementedError(
+            "image resize requires an image library not present in this "
+            "container; call set_decoder()/replace this kernel when deploying"
+        )
+
+    out_schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("resized", T.BinaryType()),
+    ])
+    return df.select(id_col, binary_col).mapInPandas(run, out_schema)
+
+
+def sample_frames(df: DataFrame, id_col: str = "doc_id",
+                  binary_col: str = "payload", every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling stub: emits (id, frame_idx, frame_bytes) rows.
+    Deterministic fake: derives frame count from payload size."""
+    import pandas as pd
+
+    out_schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ])
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for _id, payload in zip(pdf[id_col], pdf[binary_col]):
+                if payload is None:
+                    continue
+                n_frames = max(1, len(payload) // 64)
+                for i in range(min(n_frames, 8)):
+                    rows.append((_id, i, bytes(payload[i * 8: i * 8 + 8])))
+            yield pd.DataFrame(rows, columns=[id_col, "frame_idx", "frame"])
+
+    return df.select(id_col, binary_col).mapInPandas(run, out_schema)

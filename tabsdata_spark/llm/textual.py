@@ -1,0 +1,147 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path computation is built-in JVM expressions (split/regexp/array
+functions) — no Python UDFs — so every operator here runs inside
+whole-stage codegen and scales linearly with input splits at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+# Deliberately simple, engine-portable token boundary: runs identically as a
+# java regex (Spark) and an RE2 regex (DuckDB oracle).
+_TOKEN_SPLIT = r"\s+"
+#: BPE-ish word/number/punct pieces for token estimation
+_BPE_PIECE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# Tiny public stopword/marker lists (common words, public knowledge).
+STOPWORDS_EN = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
+    "for", "on", "with", "as", "at", "by", "be",
+]
+
+#: language marker words for the n-gram/marker heuristic language ID
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is", "that"],
+    "es": ["el", "la", "los", "que", "de"],
+    "de": ["der", "die", "und", "das", "nicht"],
+    "fr": ["le", "les", "des", "est", "une"],
+    "zh": ["de", "shi", "le", "bu", "wo"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens, empty strings removed; null text -> empty array
+    (so size() is 0, not Spark's legacy -1)."""
+    safe = F.coalesce(text, F.lit(""))
+    return F.filter(F.split(F.trim(safe), _TOKEN_SPLIT), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_token_estimate(text: Column) -> Column:
+    """Rough BPE token count: word/number/punct pieces + intra-word splits
+    every 4 chars (long words fragment in BPE vocabularies)."""
+    pieces = F.regexp_count(text, F.lit(_BPE_PIECE))
+    long_word_extra = F.regexp_count(text, F.lit(r"[A-Za-z]{5,}"))
+    return (pieces + long_word_extra).cast("long")
+
+
+def char_count(text: Column) -> Column:
+    return F.char_length(text)
+
+
+def punct_ratio(text: Column) -> Column:
+    """Punctuation chars / total chars (fixed class, portable regex)."""
+    n = F.regexp_count(text, F.lit(r"[.,!?;:]"))
+    return F.when(F.char_length(text) > 0, n / F.char_length(text)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
+    """Stopword tokens / total tokens."""
+    sw = stopwords or STOPWORDS_EN
+    toks = tokens(F.lower(text))
+    hits = F.size(F.filter(toks, lambda t: t.isin(sw)))
+    total = F.size(toks)
+    return F.when(total > 0, hits / total).otherwise(F.lit(0.0))
+
+
+def mean_word_length(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.char_length(t))
+    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: favors texts with moderate length,
+    low punctuation density, and a healthy stopword ratio (the classic
+    cheap-filter trio for web-scale corpus cleaning)."""
+    length = F.char_length(text)
+    len_score = F.least(length / F.lit(500.0), F.lit(1.0))
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(text) * 5.0)
+    sw = stopword_ratio(text)
+    sw_score = F.when(sw > 0.1, F.lit(1.0)).otherwise(sw * 10.0)
+    return F.round((len_score + punct_pen + sw_score) / 3.0, 6)
+
+
+def language_id(text: Column, markers: dict[str, list[str]] | None = None) -> Column:
+    """Marker-word language ID: score each language by marker-token hits,
+    pick the argmax (ties -> lexicographically first language, deterministic).
+    Pure JVM expressions; for N languages this is N array-filter passes over
+    the token array — columnar and cheap."""
+    marks = markers or LANG_MARKERS
+    toks = tokens(F.lower(text))
+    scored = []
+    for lang in sorted(marks):
+        score = F.size(F.filter(toks, lambda t: t.isin(marks[lang])))
+        scored.append(F.struct(score.alias("score"), F.lit(lang).alias("lang")))
+    # argmax: sort structs (score asc, lang asc) and take the last-by-score;
+    # to make ties pick the *first* lang, invert: take max of (score, neglang)
+    arr = F.array(*scored)
+    best = F.aggregate(
+        arr,
+        F.struct(F.lit(-1).alias("score"), F.lit("und").alias("lang")),
+        lambda acc, x: F.when(x["score"] > acc["score"], x).otherwise(acc),
+    )
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(text: Column) -> Column:
+    """Key-collision fingerprint (the public OpenRefine method): lowercase,
+    strip punctuation, split, sort unique tokens, re-join.  Deterministic
+    and engine-portable -> usable as an exact-dedup key."""
+    cleaned = F.regexp_replace(F.lower(text), r"[^a-z0-9\s]", "")
+    toks = F.filter(F.split(F.trim(cleaned), _TOKEN_SPLIT), lambda t: t != "")
+    return F.array_join(F.array_sort(F.array_distinct(toks)), " ")
+
+
+def rolling_hash_fingerprint(text: Column, window: int = 8) -> Column:
+    """Winnowing-style document fingerprint: xxhash64 over each token
+    `window`-gram, keep the minimum hash (a 1-of-n winnow).  64-bit, stable
+    across partitions/executors."""
+    toks = tokens(F.lower(text))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - window, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, window), " "))
+    hashes = F.transform(grams, lambda g: F.xxhash64(g))
+    return F.array_min(hashes)
+
+
+def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass text profile: all metrics in a single projection."""
+    t = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_tokens": token_count(t),
+            "n_tokens_bpe": bpe_token_estimate(t),
+            "punct_ratio": F.round(punct_ratio(t), 6),
+            "stopword_ratio": F.round(stopword_ratio(t), 6),
+            "quality": quality_score(t),
+            "lang_pred": language_id(t),
+            "fingerprint": fingerprint(t),
+        }
+    )
