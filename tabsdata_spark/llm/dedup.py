@@ -66,12 +66,34 @@ def shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(F.when(cnt >= n, grams).otherwise(F.array(F.array_join(toks, " "))))
 
 
+_MINHASH_PRIME = 0x9E3779B97F4A7C15  # golden-ratio odd constant
+
+
+def _perm_constants(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic odd multipliers + offsets for affine 64-bit mixing."""
+    out = []
+    a = _MINHASH_PRIME
+    for i in range(num_hashes):
+        a = (a * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        b = (a * 2862933555777941757 + 3037000493 + i) % (1 << 64)
+        out.append(((a | 1) - (1 << 64 if (a | 1) >= (1 << 63) else 0),
+                    b - (1 << 64 if b >= (1 << 63) else 0)))
+    return out
+
+
 def minhash_signature(shingle_arr: Column, num_hashes: int = 32) -> Column:
-    """k-minwise signature: for seed i, min over shingles of
-    xxhash64(shingle, i).  k array-min passes, all JVM."""
+    """k-minwise signature via hash-once + k affine permutations:
+    each shingle hashed ONCE with xxhash64, then k cheap wrapping affine
+    maps (h*a_i + b_i) with array_min — k*n multiplies instead of k*n string
+    hashes (~10x cheaper, same minwise-family quality)."""
+    base = F.transform(shingle_arr, lambda s: F.xxhash64(s))
+
+    def affine(a: int, b: int):
+        return lambda h: h * F.lit(a) + F.lit(b)
+
     mins = [
-        F.array_min(F.transform(shingle_arr, lambda s, i=i: F.xxhash64(s, F.lit(i))))
-        for i in range(num_hashes)
+        F.array_min(F.transform(base, affine(a, b)))
+        for a, b in _perm_constants(num_hashes)
     ]
     return F.array(*mins)
 
@@ -93,8 +115,33 @@ def minhash_lsh_candidates(
     Returns (id_a, id_b, est_jaccard) with id_a < id_b, deduped across bands.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(shingles(F.col(text_col), shingle_size), num_hashes)
-    with_sig = df.select(F.col(id_col).alias("__id"), sig.alias("__sig"))
+    # Cheap shingle hashing: hash each token once (xxhash64), then derive
+    # each n-gram's hash from its n consecutive token hashes — no string
+    # concatenation, no O(n^2) array_distinct (min over a multiset equals
+    # min over its set, so distinct is unnecessary for minwise).
+    toks = tokens(F.lower(F.col(text_col)))
+    tok_hashed = df.select(
+        F.col(id_col).alias("__id"),
+        F.transform(toks, lambda t: F.xxhash64(t)).alias("__th"),
+    )
+    n = F.size(F.col("__th"))
+    idx = F.sequence(F.lit(1), F.greatest(n - (shingle_size - 1), F.lit(1)))
+    gram_cols = lambda i: [F.element_at(F.col("__th"), F.least(i + j, n))
+                           for j in range(shingle_size)]
+    hashed = tok_hashed.select(
+        "__id",
+        F.transform(idx, lambda i: F.xxhash64(*gram_cols(i))).alias("__h"),
+    )
+
+    def affine(a: int, b: int):
+        return lambda h: h * F.lit(a) + F.lit(b)
+
+    mins = [F.array_min(F.transform(F.col("__h"), affine(a, b)))
+            for a, b in _perm_constants(num_hashes)]
+    # persist: the signature table is read 4x downstream (bucket sizes, two
+    # join sides, jaccard estimate); at cluster scale this would be a
+    # checkpoint to parquet instead
+    with_sig = hashed.select("__id", F.array(*mins).alias("__sig")).persist()
 
     band_structs = F.array(*[
         F.struct(

@@ -24,16 +24,22 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql.window import Window
 
 
+def _dbl(a: Column) -> Column:
+    """Element-wise cast to double: keeps the fold arithmetic in float64 on
+    both Spark and any float32-stored input (bit-stable vs oracles)."""
+    return F.transform(a, lambda x: x.cast("double"))
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
+        F.zip_with(_dbl(a), _dbl(b), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
 
 
 def norm(a: Column) -> Column:
-    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    return F.sqrt(F.aggregate(_dbl(a), F.lit(0.0), lambda acc, x: acc + x * x))
 
 
 def cosine(a: Column, b: Column) -> Column:

@@ -1,0 +1,1144 @@
+"""Query registry: every SURVEY §2 operator exercised as a (Spark, oracle
+SQL) pair, consumed by __spark_entry__.py.
+
+Conventions keeping the hash-compare stable across engines:
+- Money aggregates go through DECIMAL internally (exact, associativity-free)
+  and are cast to DOUBLE at the end -> bit-identical on both engines.
+- Ratios/means are ROUND()ed to 4-6 decimals on both sides.
+- Every computed column is aliased identically in Spark and SQL.
+- double->int casts in oracle SQL use CAST(TRUNC(..)) (DuckDB CAST rounds,
+  Spark truncates).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+import tabsdata_spark as td
+from tabsdata_spark.tableframe import selectors as cs
+from tabsdata_spark.llm import dedup, similarity, textual
+
+Query = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, Query] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn: Query) -> Query:
+        _QUERIES[name] = fn
+        if sql is not None:
+            _ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> td.TableFrame:
+    return td.TableFrame.from_spark(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+
+
+def _dec(e: td.Expr) -> td.Expr:
+    return e.cast("decimal(18,2)")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> td.TableFrame:
+    """events.parquet carries TIMESTAMP(NANOS); with nanosAsLong the ts
+    column arrives as nanos-long -> convert to a micros timestamp."""
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return td.TableFrame.from_spark(df)
+
+
+# ===========================================================================
+# TPC-H-shaped relational queries
+# ===========================================================================
+@q(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    ep, disc, tax, qty = (td.col(c) for c in
+                          ("l_extendedprice", "l_discount", "l_tax", "l_quantity"))
+    out = (
+        li.filter(td.col("l_shipdate") <= td.lit("1998-09-02").cast("timestamp"))
+        .group_by("l_returnflag", "l_linestatus")
+        .agg(
+            sum_qty=_dec(qty).sum().cast("double"),
+            sum_base_price=_dec(ep).sum().cast("double"),
+            sum_disc_price=(_dec(ep) * (1 - _dec(disc))).sum().cast("double"),
+            sum_charge=(_dec(ep) * (1 - _dec(disc)) * (1 + _dec(tax))).sum().cast("double"),
+            avg_qty=(_dec(qty).sum().cast("double") / qty.len()).round(6),
+            avg_price=(_dec(ep).sum().cast("double") / qty.len()).round(6),
+            avg_disc=(_dec(disc).sum().cast("double") / qty.len()).round(6),
+            count_order=qty.len(),
+        )
+        .sort(["l_returnflag", "l_linestatus"])
+    )
+    return out.df
+
+
+@q(
+    "q3_shipping_priority",
+    """
+    SELECT l.l_orderkey AS l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           o.o_orderdate AS o_orderdate
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1997-03-15'
+      AND l.l_shipdate > TIMESTAMP '1997-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load(spark, sf_dir, "customer").filter(td.col("c_mktsegment") == "BUILDING")
+    od = load(spark, sf_dir, "orders").filter(
+        td.col("o_orderdate") < td.lit("1997-03-15").cast("timestamp"))
+    li = load(spark, sf_dir, "lineitem").filter(
+        td.col("l_shipdate") > td.lit("1997-03-15").cast("timestamp"))
+    out = (
+        cu.join(od, left_on="c_custkey", right_on="o_custkey")
+        .join(li, left_on="o_orderkey", right_on="l_orderkey")
+        .group_by("l_orderkey", "o_orderdate")
+        .agg(revenue=(_dec(td.col("l_extendedprice")) * (1 - _dec(td.col("l_discount"))))
+             .sum().cast("double"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .sort(["revenue", "l_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+    return out.df
+
+
+@q(
+    "q5_local_supplier",
+    """
+    SELECT n.n_name AS n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+         JOIN customer c ON c.c_nationkey = n.n_nationkey
+         JOIN orders o ON o.o_custkey = c.c_custkey
+         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rg = load(spark, sf_dir, "region").filter(td.col("r_name") == "ASIA")
+    na = load(spark, sf_dir, "nation")
+    cu = load(spark, sf_dir, "customer")
+    od = load(spark, sf_dir, "orders").filter(
+        (td.col("o_orderdate") >= td.lit("1996-01-01").cast("timestamp"))
+        & (td.col("o_orderdate") < td.lit("1997-01-01").cast("timestamp")))
+    li = load(spark, sf_dir, "lineitem")
+    su = load(spark, sf_dir, "supplier")
+    joined = (
+        rg.join(na, left_on="r_regionkey", right_on="n_regionkey")
+        .join(cu, left_on="n_nationkey", right_on="c_nationkey")
+        .join(od, left_on="c_custkey", right_on="o_custkey")
+        .join(li, left_on="o_orderkey", right_on="l_orderkey")
+        .join(su, left_on="l_suppkey", right_on="s_suppkey")
+        .filter(td.col("s_nationkey") == td.col("n_nationkey"))
+    )
+    out = (
+        joined.group_by("n_name")
+        .agg(revenue=(_dec(td.col("l_extendedprice")) * (1 - _dec(td.col("l_discount"))))
+             .sum().cast("double"))
+        .sort(["revenue", "n_name"], descending=[True, False])
+    )
+    return out.df
+
+
+@q(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    out = (
+        li.filter(
+            td.col("l_shipdate").is_between(
+                td.lit("1996-01-01").cast("timestamp"),
+                td.lit("1997-01-01").cast("timestamp"), closed="left"),
+            td.col("l_discount").is_between(0.03, 0.07),
+            td.col("l_quantity") < 24,
+        )
+        .group_by()
+        .agg(
+            revenue=(_dec(td.col("l_extendedprice")) * _dec(td.col("l_discount")))
+            .sum().cast("double"),
+            n_items=td.col("l_quantity").len(),
+        )
+    )
+    return out.df
+
+
+@q(
+    "q10_returned_items",
+    """
+    SELECT c.c_custkey AS c_custkey, c.c_name AS c_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           ROUND(c.c_acctbal, 2) AS c_acctbal, n.n_name AS n_name
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-10-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load(spark, sf_dir, "customer")
+    od = load(spark, sf_dir, "orders").filter(
+        (td.col("o_orderdate") >= td.lit("1996-10-01").cast("timestamp"))
+        & (td.col("o_orderdate") < td.lit("1997-01-01").cast("timestamp")))
+    li = load(spark, sf_dir, "lineitem").filter(td.col("l_returnflag") == "R")
+    na = load(spark, sf_dir, "nation")
+    out = (
+        cu.join(od, left_on="c_custkey", right_on="o_custkey")
+        .join(li, left_on="o_orderkey", right_on="l_orderkey")
+        .join(na, left_on="c_nationkey", right_on="n_nationkey")
+        .group_by("c_custkey", "c_name",
+                  td.col("c_acctbal").round(2).alias("c_acctbal"), "n_name")
+        .agg(revenue=(_dec(td.col("l_extendedprice")) * (1 - _dec(td.col("l_discount"))))
+             .sum().cast("double"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .sort(["revenue", "c_custkey"], descending=[True, False])
+        .limit(20)
+    )
+    return out.df
+
+
+@q(
+    "segment_revenue",
+    """
+    SELECT c.c_mktsegment AS c_mktsegment, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment ORDER BY revenue DESC
+    """,
+)
+def segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load(spark, sf_dir, "customer")
+    od = load(spark, sf_dir, "orders")
+    out = (
+        cu.join(od, left_on="c_custkey", right_on="o_custkey")
+        .group_by("c_mktsegment")
+        .agg(n_orders=td.col("o_orderkey").len(),
+             revenue=_dec(td.col("o_totalprice")).sum().cast("double"))
+        .sort("revenue", descending=True)
+    )
+    return out.df
+
+
+# ===========================================================================
+# join strategies
+# ===========================================================================
+@q(
+    "join_inner",
+    """
+    SELECT n.n_name AS n_name, r.r_name AS r_name
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    na = load(spark, sf_dir, "nation")
+    rg = load(spark, sf_dir, "region")
+    return (na.join(rg, left_on="n_regionkey", right_on="r_regionkey")
+            .select("n_name", "r_name").df)
+
+
+@q(
+    "join_left",
+    """
+    SELECT o.o_orderkey AS o_orderkey, o.o_totalprice AS o_totalprice,
+           c.c_name AS c_name
+    FROM orders o LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 9000) c
+      ON o.o_custkey = c.c_custkey
+    """,
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load(spark, sf_dir, "orders")
+    rich = load(spark, sf_dir, "customer").filter(td.col("c_acctbal") > 9000)
+    return (od.join(rich, left_on="o_custkey", right_on="c_custkey", how="left")
+            .select("o_orderkey", "o_totalprice", "c_name").df)
+
+
+@q(
+    "join_right",
+    """
+    SELECT o.o_orderkey AS o_orderkey, c.c_custkey AS c_custkey, c.c_name AS c_name
+    FROM (SELECT * FROM orders WHERE o_totalprice > 400000) o
+         RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    big = load(spark, sf_dir, "orders").filter(td.col("o_totalprice") > 400000)
+    cu = load(spark, sf_dir, "customer")
+    return (big.join(cu, left_on="o_custkey", right_on="c_custkey", how="right")
+            .select("o_orderkey", "c_custkey", "c_name").df)
+
+
+@q(
+    "join_full",
+    """
+    SELECT a.o_orderkey AS big_key, b.o_orderkey AS cheap_key
+    FROM (SELECT * FROM orders WHERE o_totalprice > 400000) a
+         FULL JOIN (SELECT * FROM orders WHERE o_totalprice < 1000) b
+      ON a.o_custkey = b.o_custkey
+    """,
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    big = (load(spark, sf_dir, "orders").filter(td.col("o_totalprice") > 400000)
+           .rename({"o_orderkey": "big_key"}))
+    cheap = (load(spark, sf_dir, "orders").filter(td.col("o_totalprice") < 1000)
+             .rename({"o_orderkey": "cheap_key"}))
+    return (big.join(cheap, left_on="o_custkey", right_on="o_custkey", how="full")
+            .select("big_key", "cheap_key").df)
+
+
+@q(
+    "join_semi",
+    """
+    SELECT c_custkey, c_name, c_acctbal FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load(spark, sf_dir, "customer")
+    big = load(spark, sf_dir, "orders").filter(td.col("o_totalprice") > 400000)
+    return (cu.join(big, left_on="c_custkey", right_on="o_custkey", how="semi")
+            .select("c_custkey", "c_name", "c_acctbal").df)
+
+
+@q(
+    "join_anti",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load(spark, sf_dir, "customer")
+    od = load(spark, sf_dir, "orders")
+    return (cu.join(od, left_on="c_custkey", right_on="o_custkey", how="anti")
+            .select("c_custkey", "c_name").df)
+
+
+@q(
+    "join_cross",
+    """
+    SELECT a.r_name AS r1, b.r_name AS r2 FROM region a CROSS JOIN region b
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = load(spark, sf_dir, "region").rename({"r_name": "r1"})
+    b = load(spark, sf_dir, "region").rename({"r_name": "r2"})
+    return a.join(b, how="cross").select("r1", "r2").df
+
+
+# ===========================================================================
+# aggregation / expression coverage
+# ===========================================================================
+@q(
+    "agg_stats",
+    """
+    SELECT l_returnflag,
+           CAST(TRUNC(MIN(l_quantity)) AS BIGINT) AS min_qty,
+           CAST(TRUNC(MAX(l_quantity)) AS BIGINT) AS max_qty,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity), 6) AS mean_qty,
+           COUNT(DISTINCT l_quantity) AS uniq_qty,
+           COUNT(l_quantity) AS cnt,
+           COUNT(*) AS n_rows,
+           CAST(MIN(l_shipdate) AS TIMESTAMP) AS first_ship,
+           CAST(MAX(l_shipdate) AS TIMESTAMP) AS last_ship
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    qty = td.col("l_quantity")
+    out = (
+        li.group_by("l_returnflag")
+        .agg(
+            min_qty=qty.min().cast("long"),
+            max_qty=qty.max().cast("long"),
+            mean_qty=(_dec(qty).sum().cast("double") / qty.count()).round(6),
+            uniq_qty=td.col("l_quantity").n_unique(),
+            cnt=qty.count(),
+            n_rows=qty.len(),
+            first_ship=td.col("l_shipdate").min(),
+            last_ship=td.col("l_shipdate").max(),
+        )
+        .sort("l_returnflag")
+    )
+    return out.df
+
+
+@q(
+    "expr_math",
+    """
+    SELECT p_partkey,
+           ROUND(sqrt(p_retailprice), 6) AS sqrt_price,
+           ROUND(ln(p_retailprice), 6) AS ln_price,
+           ROUND(log10(p_retailprice), 6) AS log10_price,
+           ABS(p_size - 25) AS abs_size,
+           CAST(SIGN(p_size - 25) AS DOUBLE) AS sign_size,
+           CAST(FLOOR(p_retailprice) AS BIGINT) AS floor_price,
+           CAST(CEIL(p_retailprice) AS BIGINT) AS ceil_price,
+           ROUND(p_retailprice, 1) AS round_price,
+           LEAST(GREATEST(p_size, 10), 40) AS clip_size,
+           ROUND(POW(p_size, 2), 6) AS size_sq,
+           ROUND(exp(p_size / 50.0), 6) AS exp_size,
+           ROUND(sin(p_size), 6) AS sin_size,
+           ROUND(degrees(atan(p_size / 10.0)), 6) AS deg_atan
+    FROM part
+    """,
+)
+def expr_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pt = load(spark, sf_dir, "part")
+    price, size = td.col("p_retailprice"), td.col("p_size")
+    out = pt.select(
+        "p_partkey",
+        sqrt_price=price.sqrt().round(6),
+        ln_price=price.log().round(6),
+        log10_price=price.log10().round(6),
+        abs_size=(size - 25).abs(),
+        sign_size=(size - 25).sign(),
+        floor_price=price.floor().cast("long"),
+        ceil_price=price.ceil().cast("long"),
+        round_price=price.round(1),
+        clip_size=size.clip(10, 40),
+        size_sq=size.pow(2).round(6),
+        exp_size=(size / 50.0).exp().round(6),
+        sin_size=size.sin().round(6),
+        deg_atan=(size / 10.0).arctan().degrees().round(6),
+    )
+    return out.df
+
+
+@q(
+    "expr_predicates",
+    """
+    SELECT o_orderkey,
+           o_totalprice BETWEEN 100000 AND 200000 AS in_band,
+           o_orderpriority IN ('1-URGENT', '2-HIGH') AS is_hot,
+           o_orderstatus = 'F' AS is_f,
+           NOT (o_orderstatus = 'F') AS not_f,
+           (o_totalprice > 300000) AND (o_orderstatus = 'O') AS big_open,
+           (o_totalprice < 1000) OR (o_totalprice > 500000) AS extreme
+    FROM orders
+    """,
+)
+def expr_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load(spark, sf_dir, "orders")
+    price, prio, status = td.col("o_totalprice"), td.col("o_orderpriority"), td.col("o_orderstatus")
+    out = od.select(
+        "o_orderkey",
+        in_band=price.is_between(100000, 200000),
+        is_hot=prio.is_in(["1-URGENT", "2-HIGH"]),
+        is_f=status.eq("F"),
+        not_f=status.eq("F").not_(),
+        big_open=(price > 300000).and_(status == "O"),
+        extreme=(price < 1000).or_(price > 500000),
+    )
+    return out.df
+
+
+@q(
+    "string_funcs",
+    """
+    SELECT p_partkey,
+           upper(p_name) AS up_name,
+           lower(p_brand) AS low_brand,
+           strlen(p_name) AS name_bytes,
+           length(p_name) AS name_chars,
+           left(p_name, 5) AS head5,
+           right(p_name, 3) AS tail3,
+           reverse(p_type) AS rev_type,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS padded_size,
+           replace(p_type, ' ', '_') AS type_snake,
+           contains(p_name, 'green') AS has_green,
+           starts_with(p_type, 'STANDARD') AS std,
+           ends_with(p_brand, '3') AS b3,
+           substr(p_name, 3, 8) AS mid,
+           trim(concat('  ', p_brand, ' ')) AS trimmed
+    FROM part
+    """,
+)
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pt = load(spark, sf_dir, "part")
+    name, brand, ptype = td.col("p_name"), td.col("p_brand"), td.col("p_type")
+    out = pt.select(
+        "p_partkey",
+        up_name=name.str.to_uppercase(),
+        low_brand=brand.str.to_lowercase(),
+        name_bytes=name.str.len_bytes().cast("long"),
+        name_chars=name.str.len_chars().cast("long"),
+        head5=name.str.head(5),
+        tail3=name.str.tail(3),
+        rev_type=ptype.str.reverse(),
+        padded_size=td.col("p_size").cast("string").str.pad_start(4, "0"),
+        type_snake=ptype.str.replace_all(" ", "_", literal=True),
+        has_green=name.str.contains("green", literal=True),
+        std=ptype.str.starts_with("STANDARD"),
+        b3=brand.str.ends_with("3"),
+        mid=name.str.slice(2, 8),
+        trimmed=td.Expr(F.concat(F.lit("  "), brand.spark, F.lit(" "))).str.strip_chars(),
+    )
+    return out.df
+
+
+@q(
+    "string_regex",
+    """
+    SELECT p_partkey,
+           CAST(regexp_extract(p_brand, 'Brand#([0-9]+)', 1) AS BIGINT) AS brand_num,
+           len(regexp_extract_all(p_name, '[aeiou]')) AS vowels,
+           regexp_replace(p_name, '\\s+', '-', 'g') AS dashed,
+           CASE WHEN regexp_matches(p_type, '^PROMO ([A-Z]+)') THEN regexp_extract(p_type, '^PROMO ([A-Z]+)', 1) END AS promo_kind
+    FROM part
+    """,
+)
+def string_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pt = load(spark, sf_dir, "part")
+    out = pt.select(
+        "p_partkey",
+        brand_num=td.col("p_brand").str.extract(r"Brand#([0-9]+)", 1).cast("long"),
+        vowels=td.col("p_name").str.count_matches("[aeiou]").cast("long"),
+        dashed=td.col("p_name").str.replace_all(r"\s+", "-"),
+        promo_kind=td.col("p_type").str.extract(r"^PROMO ([A-Z]+)", 1),
+    )
+    return out.df
+
+
+@q(
+    "datetime_funcs",
+    """
+    SELECT o_orderkey,
+           year(o_orderdate) AS yr,
+           quarter(o_orderdate) AS qtr,
+           month(o_orderdate) AS mth,
+           day(o_orderdate) AS dom,
+           dayofyear(o_orderdate) AS doy,
+           weekofyear(o_orderdate) AS wk,
+           isodow(o_orderdate) AS dow,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+           strftime(o_orderdate, '%Y-%m-%d') AS iso_day,
+           date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since
+    FROM orders
+    """,
+)
+def datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load(spark, sf_dir, "orders")
+    d = td.col("o_orderdate")
+    out = od.select(
+        "o_orderkey",
+        yr=d.dt.year().cast("long"),
+        qtr=d.dt.quarter().cast("long"),
+        mth=d.dt.month().cast("long"),
+        dom=d.dt.day().cast("long"),
+        doy=d.dt.ordinal_day().cast("long"),
+        wk=d.dt.week().cast("long"),
+        dow=d.dt.weekday().cast("long"),
+        month_start=d.dt.month_start().cast("date"),
+        month_end=d.dt.month_end(),
+        epoch_s=d.dt.epoch("s"),
+        iso_day=d.dt.to_string("%Y-%m-%d"),
+        days_since=td.Expr(F.datediff(d.spark.cast("date"), F.lit("1995-01-01").cast("date"))).cast("long"),
+    )
+    return out.df
+
+
+@q(
+    "cast_ops",
+    """
+    SELECT l_orderkey,
+           CAST(TRUNC(l_quantity) AS INT) AS qty_int,
+           CAST(l_linenumber AS VARCHAR) AS line_str,
+           CAST(l_extendedprice AS DECIMAL(12,2)) AS price_dec,
+           TRY_CAST(l_returnflag AS BIGINT) AS bad_cast,
+           CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_str
+    FROM lineitem
+    """,
+)
+def cast_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    out = li.select(
+        "l_orderkey",
+        qty_int=td.col("l_quantity").cast("int"),
+        line_str=td.col("l_linenumber").cast("string"),
+        price_dec=td.col("l_extendedprice").cast("decimal(12,2)", strict=True),
+        bad_cast=td.col("l_returnflag").cast("long"),
+        ship_str=td.col("l_shipdate").cast("date").cast("string"),
+    )
+    return out.df
+
+
+@q(
+    "null_handling",
+    """
+    WITH t AS (
+      SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg,
+             CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal
+      FROM customer)
+    SELECT c_custkey, COALESCE(seg, 'UNKNOWN') AS seg_filled,
+           ROUND(COALESCE(bal, 0.0), 2) AS bal_filled,
+           seg IS NULL AS seg_was_null,
+           bal IS NOT NULL AS bal_ok
+    FROM t
+    """,
+)
+def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load(spark, sf_dir, "customer")
+    seg = td.when(td.col("c_mktsegment") == "BUILDING").then(None).otherwise(td.col("c_mktsegment"))
+    bal = td.when(td.col("c_acctbal") < 0).then(None).otherwise(td.col("c_acctbal"))
+    out = (
+        cu.with_columns(seg=seg, bal=bal)
+        .select(
+            "c_custkey",
+            seg_filled=td.col("seg").fill_null("UNKNOWN"),
+            bal_filled=td.col("bal").fill_null(0.0).round(2),
+            seg_was_null=td.col("seg").is_null(),
+            bal_ok=td.col("bal").is_not_null(),
+        )
+    )
+    return out.df
+
+
+@q(
+    "drop_nulls_q",
+    """
+    WITH t AS (SELECT o_orderkey,
+                      CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_totalprice END AS price
+               FROM orders)
+    SELECT o_orderkey, price FROM t WHERE price IS NOT NULL
+    """,
+)
+def drop_nulls_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load(spark, sf_dir, "orders")
+    price = td.when(td.col("o_orderstatus") == "P").then(None).otherwise(td.col("o_totalprice"))
+    return (od.with_columns(price=price).select("o_orderkey", "price")
+            .drop_nulls("price").df)
+
+
+@q(
+    "when_then",
+    """
+    SELECT CASE WHEN o_totalprice > 300000 THEN 'big'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'small' END AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY bucket ORDER BY bucket
+    """,
+)
+def when_then(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load(spark, sf_dir, "orders")
+    bucket = (td.when(td.col("o_totalprice") > 300000).then("big")
+              .when(td.col("o_totalprice") > 100000).then("mid").otherwise("small"))
+    out = (
+        od.with_columns(bucket=bucket)
+        .group_by("bucket")
+        .agg(n=td.col("o_orderkey").len(),
+             total=_dec(td.col("o_totalprice")).sum().cast("double"))
+        .sort("bucket")
+    )
+    return out.df
+
+
+@q(
+    "concat_vertical",
+    """
+    SELECT l_returnflag, COUNT(*) AS n FROM (
+      SELECT l_returnflag FROM lineitem WHERE l_quantity < 5
+      UNION ALL
+      SELECT l_returnflag FROM lineitem WHERE l_quantity > 45
+    ) GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def concat_vertical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    lo = li.filter(td.col("l_quantity") < 5).select("l_returnflag")
+    hi = li.filter(td.col("l_quantity") > 45).select("l_returnflag")
+    out = (td.concat([lo, hi], how="vertical")
+           .group_by("l_returnflag").agg(n=td.col("l_returnflag").len())
+           .sort("l_returnflag"))
+    return out.df
+
+
+@q(
+    "concat_diagonal",
+    """
+    SELECT k, a, b FROM (
+      SELECT r_regionkey AS k, r_name AS a, NULL AS b FROM region
+      UNION ALL
+      SELECT n_nationkey AS k, NULL AS a, n_name AS b FROM nation
+    )
+    """,
+)
+def concat_diagonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rg = load(spark, sf_dir, "region").select(k="r_regionkey", a="r_name")
+    na = load(spark, sf_dir, "nation").select(k="n_nationkey", b="n_name")
+    return td.concat([rg, na], how="diagonal").select("k", "a", "b").df
+
+
+@q(
+    "unique_rows",
+    """
+    SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    """,
+)
+def unique_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").unique().df
+
+
+@q(
+    "sort_slice",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 5 OFFSET 10
+    """,
+)
+def sort_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load(spark, sf_dir, "orders")
+    return (od.select("o_orderkey", "o_totalprice")
+            .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+            .slice(10, 5).df)
+
+
+@q(
+    "head_tail",
+    """
+    SELECT o_orderkey, o_totalprice FROM (
+      SELECT o_orderkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 5)
+    UNION ALL
+    SELECT o_orderkey, o_totalprice FROM (
+      SELECT o_orderkey, o_totalprice FROM orders
+      ORDER BY o_totalprice ASC, o_orderkey DESC LIMIT 5)
+    """,
+)
+def head_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = (load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+          .sort(["o_totalprice", "o_orderkey"], descending=[True, False]))
+    return td.concat([od.head(5), od.tail(5)], how="vertical").df
+
+
+@q(
+    "rank_window",
+    """
+    SELECT o_orderkey, o_totalprice,
+           rank() OVER (ORDER BY o_totalprice DESC) AS price_rank,
+           dense_rank() OVER (ORDER BY o_orderpriority) AS prio_dense
+    FROM orders QUALIFY price_rank <= 50
+    """,
+)
+def rank_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load(spark, sf_dir, "orders")
+    out = (
+        od.with_columns(
+            price_rank=td.col("o_totalprice").rank(method="min", descending=True).cast("long"),
+            prio_dense=td.col("o_orderpriority").rank(method="dense").cast("long"),
+        )
+        .filter(td.col("price_rank") <= 50)
+        .select("o_orderkey", "o_totalprice", "price_rank", "prio_dense")
+    )
+    return out.df
+
+
+@q(
+    "diff_lag",
+    """
+    SELECT event_id,
+           ROUND(value - lag(value) OVER (ORDER BY CAST(ts AS TIMESTAMP), event_id), 6) AS dv
+    FROM events WHERE user_id < 5
+    """,
+)
+def diff_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir).filter(td.col("user_id") < 5)
+    out = ev.select(
+        "event_id",
+        dv=td.col("value").diff(order_by=["ts", "event_id"]).round(6),
+    )
+    return out.df
+
+
+@q(
+    "is_unique_flag",
+    """
+    SELECT c_custkey, COUNT(*) OVER (PARTITION BY c_acctbal) = 1 AS bal_unique
+    FROM customer
+    """,
+)
+def is_unique_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load(spark, sf_dir, "customer")
+    return cu.select("c_custkey", bal_unique=td.col("c_acctbal").is_unique()).df
+
+
+@q(
+    "dq_checks",
+    """
+    SELECT c_custkey,
+           c_acctbal > 0 AS c_acctbal_is_positive_dq,
+           c_acctbal >= -500 AND c_acctbal <= 5000 AS c_acctbal_is_between_dq,
+           c_mktsegment IN ('BUILDING','MACHINERY') AS c_mktsegment_is_in_dq,
+           c_name IS NOT NULL AS c_name_is_not_null_dq
+    FROM customer
+    """,
+)
+def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load(spark, sf_dir, "customer")
+    out = (
+        cu.dq.is_positive("c_acctbal")
+        .dq.is_between("c_acctbal", -500, 5000)
+        .dq.is_in("c_mktsegment", ["BUILDING", "MACHINERY"])
+        .dq.is_not_null("c_name")
+        .select("c_custkey", "c_acctbal_is_positive_dq", "c_acctbal_is_between_dq",
+                "c_mktsegment_is_in_dq", "c_name_is_not_null_dq")
+    )
+    return out.df
+
+
+@q(
+    "udf_charge",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge
+    FROM lineitem
+    """,
+)
+def udf_charge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+
+    class Charge(td.UDF):
+        output_columns = [("charge", "float64")]
+
+        def on_batch(self, ep, disc, tax):
+            return [ep * (1 - disc) * (1 + tax)]
+
+    out = (
+        li.udf(["l_extendedprice", "l_discount", "l_tax"], Charge())
+        .select("l_orderkey", "l_linenumber", "charge")
+    )
+    return out.df
+
+
+@q(
+    "grok_extract",
+    """
+    SELECT event_id,
+           CAST(regexp_extract(props, '"k": ([+-]?[0-9]+)', 1) AS BIGINT) AS k
+    FROM events
+    """,
+)
+def grok_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    return (ev.grok("props", '"k": %{INT:k:int}')
+            .select("event_id", "k").df)
+
+
+@q(
+    "json_extract",
+    """
+    SELECT event_id, CAST(props->>'k' AS BIGINT) AS k_val, event_type
+    FROM events WHERE CAST(props->>'k' AS BIGINT) > 50
+    """,
+)
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    k = td.Expr(F.get_json_object(F.col("props"), "$.k")).cast("long")
+    return (ev.with_columns(k_val=k).filter(td.col("k_val") > 50)
+            .select("event_id", "k_val", "event_type").df)
+
+
+@q(
+    "selectors_numeric",
+    """
+    SELECT CAST(SUM(CAST(p_size AS DECIMAL(18,2))) AS DOUBLE) AS p_size,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS p_retailprice,
+           CAST(SUM(CAST(p_partkey AS DECIMAL(18,2))) AS DOUBLE) AS p_partkey
+    FROM part
+    """,
+)
+def selectors_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pt = load(spark, sf_dir, "part")
+    num_cols = cs.numeric()._resolve(pt.schema)
+    out = pt.group_by().agg(
+        **{c: _dec(td.col(c)).sum().cast("double") for c in num_cols}
+    )
+    return out.select("p_size", "p_retailprice", "p_partkey").df
+
+
+@q(
+    "events_hourly",
+    """
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY hour, event_type
+    """,
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    out = (
+        ev.with_columns(hour=td.col("ts").dt.truncate("1h"))
+        .group_by("hour", "event_type")
+        .agg(n=td.col("event_id").len(),
+             total_value=_dec(td.col("value")).sum().cast("double"))
+    )
+    return out.df
+
+
+# ===========================================================================
+# LLM-pipeline queries (documents / embeddings)
+# ===========================================================================
+@q(
+    "text_tokens",
+    """
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+           length(text) AS n_chars_actual
+    FROM documents
+    """,
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        textual.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        textual.char_count(F.col("text")).cast("long").alias("n_chars_actual"),
+    )
+
+
+@q(
+    "text_quality",
+    """
+    SELECT doc_id,
+           ROUND(CASE WHEN length(text) > 0
+                 THEN len(regexp_extract_all(text, '[.,!?;:]')) / CAST(length(text) AS DOUBLE)
+                 ELSE 0.0 END, 6) AS punct_ratio,
+           ROUND(CASE WHEN len(regexp_split_to_array(trim(lower(text)), '\\s+')) > 0
+                 THEN len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                          x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be'], x)))
+                      / CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS DOUBLE)
+                 ELSE 0.0 END, 6) AS stopword_ratio
+    FROM documents
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.round(textual.punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(textual.stopword_ratio(t), 6).alias("stopword_ratio"),
+    )
+
+
+@q(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           array_to_string(list_sort(list_distinct(
+             list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g')), '\\s+'),
+                         x -> x <> ''))), ' ') AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", textual.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@q(
+    "dedup_exact_groups",
+    """
+    SELECT fp AS dedup_key, COUNT(*) AS group_size, MIN(doc_id) AS representative
+    FROM (SELECT doc_id,
+                 array_to_string(list_sort(list_distinct(
+                   list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g')), '\\s+'),
+                               x -> x <> ''))), ' ') AS fp
+          FROM documents)
+    GROUP BY fp HAVING COUNT(*) > 1
+    """,
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.duplicate_groups(docs, textual.fingerprint(F.col("text")))
+
+
+# rows-only checks (no SQL oracle: approximate / hash-seeded algorithms)
+@q("dedup_minhash_pairs")
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.minhash_lsh_candidates(docs, num_hashes=32, bands=8)
+
+
+@q("dedup_simhash_pairs")
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.simhash_candidates(docs, max_hamming=6)
+
+
+@q(
+    "ngram_jaccard",
+    """
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(ngrams) AS shingles
+      FROM (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= 3
+                    THEN list_transform(range(1, len(toks) - 1),
+                         i -> array_to_string(toks[i:i+2], ' '))
+                    ELSE [array_to_string(toks, ' ')] END AS ngrams
+        FROM (SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS toks
+              FROM documents))
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CASE WHEN len(list_distinct(a.shingles || b.shingles)) > 0
+                 THEN len(list_intersect(a.shingles, b.shingles))
+                      / CAST(len(list_distinct(a.shingles || b.shingles)) AS DOUBLE)
+                 ELSE 0.0 END, 6) AS jaccard
+    FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+    WHERE a.doc_id % 5 = 0
+    """,
+)
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = docs.select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    ).filter((F.col("id_a") % 5) == 0)
+    pairs = pairs.join(
+        docs.select(F.col("doc_id").alias("id_b")), on="id_b", how="left_semi"
+    )
+    return dedup.ngram_jaccard_pairs(docs, pairs, n=3)
+
+
+@q(
+    "embed_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5)
+    SELECT query_id, vec_id,
+           ROUND(list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]), 6) AS cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]) DESC, vec_id) AS INT) AS rank
+    FROM embeddings, q
+    QUALIFY rank <= 5
+    """,
+)
+def embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return similarity.brute_force_topk(emb, qs, k=5)
+
+
+@q("embed_topk_numpy")
+def embed_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return similarity.brute_force_topk(emb, qs, k=5, method="numpy")
+
+
+@q("embed_lsh_topk")
+def embed_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return similarity.lsh_topk(emb, qs, k=5, bits=6, num_tables=6)
+
+
+@q(
+    "embed_near_dup",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.5
+    """,
+)
+def embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return dedup.embedding_near_dup_pairs(emb, block_col="label", threshold=0.5)
+
+
+@q(
+    "lang_id",
+    """
+    WITH scored AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS toks
+      FROM documents),
+    s2 AS (
+      SELECT doc_id, lang,
+             len(list_filter(toks, x -> list_contains(['der','die','und','das','nicht'], x))) AS s_de,
+             len(list_filter(toks, x -> list_contains(['the','and','of','is','that'], x))) AS s_en,
+             len(list_filter(toks, x -> list_contains(['el','la','los','que','de'], x))) AS s_es,
+             len(list_filter(toks, x -> list_contains(['le','les','des','est','une'], x))) AS s_fr,
+             len(list_filter(toks, x -> list_contains(['de','shi','le','bu','wo'], x))) AS s_zh
+      FROM scored)
+    SELECT doc_id, lang,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) <= 0 THEN 'und'
+                WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+                WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+                WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+                WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+                ELSE 'zh' END AS lang_pred
+    FROM s2
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", "lang",
+                       textual.language_id(F.col("text")).alias("lang_pred"))
+
+
+def queries() -> dict[str, Query]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)

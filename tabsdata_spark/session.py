@@ -52,6 +52,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.cbo.enabled", "true")
+        # parquet TIMESTAMP(NANOS) (e.g. pandas-written) -> LongType nanos;
+        # readers re-derive timestamps via timestamp_micros(ns div 1000)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("TDSPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -79,8 +79,7 @@ def apply_udf(frame, on: Any, function: UDF):
     use_batch = function._has_batch()
     as_list = function.signature == "list"
 
-    @F.pandas_udf(ret_type)
-    def _udf(*series: pd.Series) -> pd.DataFrame:
+    def _run(*series):
         if use_batch:
             res = function.on_batch(list(series)) if as_list else function.on_batch(*series)
         else:
@@ -96,6 +95,16 @@ def apply_udf(frame, on: Any, function: UDF):
         if df.empty:
             df = pd.DataFrame({n: pd.Series(dtype="object") for n in out_names})
         return df
+
+    # pandas_udf type-hint inference rejects *varargs; generate a fixed-arity
+    # wrapper matching the number of input columns
+    n_in = len(in_cols)
+    argnames = [f"s{i}" for i in range(n_in)]
+    src = f"def _fixed({', '.join(a + ': pd.Series' for a in argnames)}) -> pd.DataFrame:\n"
+    src += f"    return _run({', '.join(argnames)})\n"
+    ns = {"_run": _run, "pd": pd}
+    exec(src, ns)
+    _udf = F.pandas_udf(ns["_fixed"], ret_type)
 
     packed = _udf(*in_cols)
     out = frame._df.withColumn("__td_udf", packed)
