@@ -11,14 +11,14 @@ from .tableframe import (
     UDF, Boolean, Categorical, Column, Date, Datetime, Decimal, Duration,
     Enum, Expr, Float32, Float64, Int8, Int16, Int32, Int64, Int128, Null,
     String, TableFrame, TableFrameGroupBy, Time, UDFList, UDFUnpacked, UInt8,
-    UInt16, UInt32, UInt64, Utf8, col, concat, lit, selectors, when,
+    UInt16, UInt32, UInt64, Utf8, col, concat, concat_str, lit, selectors, when,
 )
 
 __version__ = "0.1.0"
 
 __all__ = [
     "get_spark", "TableFrame", "TableFrameGroupBy", "Expr", "col", "lit",
-    "when", "concat", "Column", "UDF", "UDFList", "UDFUnpacked", "selectors",
+    "when", "concat", "concat_str", "Column", "UDF", "UDFList", "UDFUnpacked", "selectors",
     "Boolean", "Date", "Datetime", "Decimal", "Duration", "Float32",
     "Float64", "Int8", "Int16", "Int32", "Int64", "Int128", "Null", "String",
     "Time", "UInt8", "UInt16", "UInt32", "UInt64", "Utf8", "Categorical",

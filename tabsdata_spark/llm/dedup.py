@@ -126,11 +126,15 @@ def minhash_lsh_candidates(
     )
     n = F.size(F.col("__th"))
     idx = F.sequence(F.lit(1), F.greatest(n - (shingle_size - 1), F.lit(1)))
-    gram_cols = lambda i: [F.element_at(F.col("__th"), F.least(i + j, n))
-                           for j in range(shingle_size)]
+    gram_cols = lambda i: [
+        F.element_at(F.col("__th"), F.greatest(F.least(i + j, n), F.lit(1)))
+        for j in range(shingle_size)
+    ]
+    empty = F.array().cast("array<bigint>")
     hashed = tok_hashed.select(
         "__id",
-        F.transform(idx, lambda i: F.xxhash64(*gram_cols(i))).alias("__h"),
+        F.when(n >= 1, F.transform(idx, lambda i: F.xxhash64(*gram_cols(i))))
+        .otherwise(empty).alias("__h"),
     )
 
     def affine(a: int, b: int):

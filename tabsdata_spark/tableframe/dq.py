@@ -92,14 +92,20 @@ class DQEngine:
         cols = [columns] if isinstance(columns, str) else list(columns)
 
         if mode == "batch":
-            @pandas_udf(T.BooleanType())
-            def check(*series: pd.Series) -> pd.Series:
+            def run(*series):
                 return pd.Series(function(*series), dtype="boolean")
         else:
-            @pandas_udf(T.BooleanType())
-            def check(*series: pd.Series) -> pd.Series:
+            def run(*series):
                 return pd.Series(
                     [function(*vals) for vals in zip(*series)], dtype="boolean"
                 )
+
+        # pandas_udf rejects *varargs signatures: generate fixed arity
+        argnames = [f"s{i}" for i in range(len(cols))]
+        src = (f"def _fixed({', '.join(a + ': pd.Series' for a in argnames)})"
+               f" -> pd.Series:\n    return run({', '.join(argnames)})\n")
+        ns = {"run": run, "pd": pd}
+        exec(src, ns)
+        check = pandas_udf(ns["_fixed"], T.BooleanType())
 
         return self._add(name, check(*[self._c(c) for c in cols]))

@@ -914,13 +914,16 @@ class ExprDateTimeNameSpace:
 
     def offset_by(self, by: str):
         months, days, micros = _parse_offset(by)
-        c = self._c
+        c = self._c.cast("timestamp")
         if months:
-            c = F.add_months(c, months).cast("timestamp")
-        if days:
-            micros += days * 86_400_000_000
-        if micros:
-            c = F.timestamp_micros(F.unix_micros(c.cast("timestamp")) + micros)
+            # add_months returns a date — re-attach the time-of-day
+            tod = F.unix_micros(c) - F.unix_micros(F.date_trunc("day", c))
+            c = F.timestamp_micros(
+                F.unix_micros(F.add_months(c, months).cast("timestamp")) + tod
+            )
+        total = micros + days * 86_400_000_000
+        if total:
+            c = F.timestamp_micros(F.unix_micros(c) + total)
         return self._new(c)
 
     def add_business_days(self, n: int):

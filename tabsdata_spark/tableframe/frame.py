@@ -116,8 +116,11 @@ class TableFrame:
         return self._user_df().toPandas()
 
     def to_dict(self) -> dict[str, list]:
-        pdf = self.to_pandas()
-        return {c: list(pdf[c]) for c in pdf.columns}
+        # collect(), not toPandas(): pandas would coerce int-with-null to
+        # float and null to NaN, losing the Polars-parity null distinction
+        cols = self.columns
+        rows = self._user_df().collect()
+        return {c: [r[i] for r in rows] for i, c in enumerate(cols)}
 
     def _user_df(self) -> DataFrame:
         sys_cols = S.system_columns_present(self._df)
@@ -331,8 +334,13 @@ class TableFrame:
         return self._rebuild(self._df.select(*self._with_system(sel)), keep_sort=True)
 
     def drop_nulls(self, subset: str | Sequence[str] | None = None) -> "TableFrame":
+        # explicit isNotNull filters, NOT na.drop: Spark's na.drop also
+        # removes NaN, but Polars drop_nulls keeps NaN (SURVEY §7 null/NaN)
         cols = [subset] if isinstance(subset, str) else (list(subset) if subset else self.columns)
-        return self._rebuild(self._df.na.drop(subset=cols), keep_sort=True)
+        out = self._df
+        for c in cols:
+            out = out.filter(_q(c).isNotNull())
+        return self._rebuild(out, keep_sort=True)
 
     def drop_nans(self, subset: str | Sequence[str] | None = None) -> "TableFrame":
         cols = [subset] if isinstance(subset, str) else (list(subset) if subset else None)

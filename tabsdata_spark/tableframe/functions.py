@@ -47,6 +47,17 @@ def lit(value: Any, dtype: Any | None = None) -> Expr:
     return Expr(c)
 
 
+def concat_str(*exprs: Any, separator: str = "") -> Expr:
+    """String concatenation of expressions (Polars td.concat_str).  Note:
+    unlike Polars, `+` on string Exprs is numeric here — use this."""
+    from .expr import to_column
+
+    cols = [to_column(e) if not isinstance(e, str) else F.col(e) for e in exprs]
+    if separator:
+        return Expr(F.concat_ws(separator, *cols))
+    return Expr(F.concat(*cols))
+
+
 def when(condition: Any) -> "_WhenThen":
     from .expr import to_column
 

@@ -1,0 +1,127 @@
+"""LLM-pipeline operator tests over tiny deterministic corpora."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from tabsdata_spark.llm import dedup, multimodal, similarity, textual
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),          # exact dup
+        (2, "the quick brown fox leaps over the lazy dog"),          # near dup
+        (3, "completely different content about spark engines"),
+        (4, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_count_and_quality(docs):
+    out = {r["doc_id"]: r for r in textual.analyze(docs).collect()}
+    assert out[0]["n_tokens"] == 9
+    assert out[4]["n_tokens"] == 0
+    assert out[0]["stopword_ratio"] > 0.2
+    assert out[0]["lang_pred"] == "en"
+    assert out[4]["lang_pred"] == "und"
+    assert out[0]["fingerprint"] == out[1]["fingerprint"]
+    assert out[0]["fingerprint"] != out[2]["fingerprint"]
+
+
+def test_exact_dedup(docs):
+    kept = dedup.dedup_exact(docs)
+    assert kept.count() == 4  # one of 0/1 dropped
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert 0 in ids and 1 not in ids  # min-id representative
+
+
+def test_duplicate_groups(docs):
+    groups = dedup.duplicate_groups(docs, textual.fingerprint(F.col("text"))).collect()
+    assert len(groups) == 1
+    assert groups[0]["group_size"] == 2
+    assert groups[0]["representative"] == 0
+
+
+def test_minhash_candidates_and_dedup(docs):
+    cands = dedup.minhash_lsh_candidates(
+        docs, num_hashes=16, bands=8, shingle_size=2).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in cands}
+    assert (0, 1) in pairs  # exact dup always a candidate
+    est = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in cands}
+    assert est[(0, 1)] == 1.0
+    deduped = dedup.minhash_dedup(docs, threshold=0.9, num_hashes=16, bands=8,
+                                  shingle_size=2)
+    ids = {r["doc_id"] for r in deduped.collect()}
+    assert 1 not in ids and 0 in ids
+
+
+def test_ngram_jaccard(docs, spark):
+    pairs = spark.createDataFrame([(0, 1), (0, 3)], "id_a long, id_b long")
+    out = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in dedup.ngram_jaccard_pairs(docs, pairs, n=2).collect()}
+    assert out[(0, 1)] == 1.0
+    assert out[(0, 3)] == 0.0
+
+
+def test_simhash_near_dups(docs):
+    out = dedup.simhash_candidates(docs, max_hamming=16).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in out}
+    assert pairs.get((0, 1)) == 0  # identical text -> identical simhash
+
+
+def test_embedding_near_dup_and_topk(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.99, 0.1, 0.0], 0),
+        (2, [0.0, 1.0, 0.0], 0),
+        (3, [0.0, 0.0, 1.0], 1),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    nd = dedup.embedding_near_dup_pairs(emb, block_col="label", threshold=0.9)
+    got = [(r["id_a"], r["id_b"]) for r in nd.collect()]
+    assert got == [(0, 1)]
+
+    qs = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    tk = similarity.brute_force_topk(emb, qs, k=2)
+    got = [(r["vec_id"], r["rank"]) for r in tk.collect()]
+    assert got == [(0, 1), (1, 2)]
+    tk2 = similarity.brute_force_topk(emb, qs, k=2, method="numpy")
+    assert sorted(r["vec_id"] for r in tk2.collect()) == [0, 1]
+
+
+def test_lsh_and_ivf_topk_self_hit(spark):
+    import random
+
+    random.seed(7)
+    rows = [(i, [random.uniform(-1, 1) for _ in range(8)], 0) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    lsh = similarity.lsh_topk(emb, qs, k=3, bits=4, num_tables=4)
+    by_q = {}
+    for r in lsh.collect():
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    for qid, hits in by_q.items():
+        assert min(hits)[1] == qid  # self is rank-1 (cos=1)
+    ivf = similarity.ivf_topk(emb, qs, k=3, nlist=4, nprobe=2)
+    for r in ivf.collect():
+        if r["rank"] == 1:
+            assert r["vec_id"] == r["query_id"]
+
+
+def test_multimodal_plumbing(spark):
+    bins = spark.createDataFrame(
+        [(1, b"payload-bytes-1"), (2, None)], "doc_id long, payload binary")
+    meta = multimodal.attach_media_metadata(bins).collect()
+    sizes = {r["doc_id"]: r["media_meta"]["size_bytes"] for r in meta}
+    assert sizes[1] == 15 and sizes[2] is None
+
+    dec = {r["doc_id"]: r for r in multimodal.decode_and_featurize(bins).collect()}
+    assert dec[1]["width"] is not None and len(dec[1]["features"]) == 8
+    assert dec[2]["width"] is None
+
+    frames = multimodal.sample_frames(bins).collect()
+    assert all(r["doc_id"] == 1 for r in frames)
+    assert len(frames) >= 1

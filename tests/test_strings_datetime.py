@@ -1,0 +1,209 @@
+"""String + datetime namespace tests (reference: expr/string.py,
+functions/datetime.py surfaces)."""
+
+import datetime as dt
+
+import tabsdata_spark as td
+
+
+def sel(tf, **named):
+    return tf.select(**named).to_dict()
+
+
+def test_string_case_length(spark):
+    tf = td.TableFrame.from_dict(spark, {"s": ["Hello World", "héllo"]})
+    d = sel(
+        tf,
+        up=td.col("s").str.to_uppercase(),
+        lo=td.col("s").str.to_lowercase(),
+        ti=td.col("s").str.to_titlecase(),
+        lb=td.col("s").str.len_bytes(),
+        lc=td.col("s").str.len_chars(),
+    )
+    assert d["up"][0] == "HELLO WORLD"
+    assert d["lo"][1] == "héllo"
+    assert d["ti"][0] == "Hello World"
+    assert d["lb"][1] == 6 and d["lc"][1] == 5  # é is 2 bytes
+
+
+def test_strip_family(spark):
+    tf = td.TableFrame.from_dict(spark, {"s": ["  pad  ", "xxabcxx", "pre_body"]})
+    d = sel(
+        tf,
+        t=td.col("s").str.strip_chars(),
+        tc=td.col("s").str.strip_chars("x"),
+        ts=td.col("s").str.strip_chars_start("x"),
+        te=td.col("s").str.strip_chars_end("x"),
+        sp=td.col("s").str.strip_prefix("pre_"),
+        ss=td.col("s").str.strip_suffix("xx"),
+    )
+    assert d["t"][0] == "pad"
+    assert d["tc"][1] == "abc"
+    assert d["ts"][1] == "abcxx"
+    assert d["te"][1] == "xxabc"
+    assert d["sp"][2] == "body"
+    assert d["ss"][1] == "xxabc"
+
+
+def test_pad_zfill(spark):
+    tf = td.TableFrame.from_dict(spark, {"s": ["7", "-7"]})
+    d = sel(
+        tf,
+        ps=td.col("s").str.pad_start(3, "0"),
+        pe=td.col("s").str.pad_end(3, "_"),
+        z=td.col("s").str.zfill(4),
+    )
+    assert d["ps"][0] == "007"
+    assert d["pe"][0] == "7__"
+    assert d["z"] == ["0007", "-007"]
+
+
+def test_search_extract(spark):
+    tf = td.TableFrame.from_dict(spark, {"s": ["abc123def", "nope"]})
+    d = sel(
+        tf,
+        c=td.col("s").str.contains(r"\d+"),
+        cl=td.col("s").str.contains("123", literal=True),
+        f=td.col("s").str.find("123", literal=True),
+        sw=td.col("s").str.starts_with("abc"),
+        ew=td.col("s").str.ends_with("def"),
+        ex=td.col("s").str.extract(r"(\d+)", 1),
+        cm=td.col("s").str.count_matches(r"[a-z]"),
+        ca=td.col("s").str.contains_any(["123", "zzz"]),
+    )
+    assert d["c"] == [True, False]
+    assert d["f"] == [3, None]
+    assert d["ex"] == ["123", None]
+    assert d["cm"] == [6, 4]
+    assert d["ca"] == [True, False]
+
+
+def test_replace_family(spark):
+    tf = td.TableFrame.from_dict(spark, {"s": ["a.b.c"]})
+    d = sel(
+        tf,
+        r1=td.col("s").str.replace(".", "-", literal=True),
+        ra=td.col("s").str.replace_all(".", "-", literal=True),
+        rm=td.col("s").str.replace_many({"a": "X", "c": "Z"}),
+        rx=td.col("s").str.replace_all(r"[abc]", "#"),
+    )
+    assert d["r1"] == ["a-b.c"]
+    assert d["ra"] == ["a-b-c"]
+    assert d["rm"] == ["X.b.Z"]
+    assert d["rx"] == ["#.#.#"]
+
+
+def test_slice_head_tail_reverse(spark):
+    tf = td.TableFrame.from_dict(spark, {"s": ["abcdefg"]})
+    d = sel(
+        tf,
+        sl=td.col("s").str.slice(2, 3),
+        sneg=td.col("s").str.slice(-3),
+        h=td.col("s").str.head(2),
+        t=td.col("s").str.tail(2),
+        rv=td.col("s").str.reverse(),
+    )
+    assert d["sl"] == ["cde"]
+    assert d["sneg"] == ["efg"]
+    assert d["h"] == ["ab"] and d["t"] == ["fg"]
+    assert d["rv"] == ["gfedcba"]
+
+
+def test_to_integer_and_temporal_parse(spark):
+    tf = td.TableFrame.from_dict(
+        spark, {"i": ["42", "ff"], "d": ["2024-03-05", "2024-12-31"],
+                "ts": ["2024-03-05 10:30:00", "2024-01-01 00:00:00"]}
+    )
+    d = sel(
+        tf,
+        i10=td.col("i").str.to_integer(strict=False),
+        i16=td.col("i").str.to_integer(base=16),
+        dd=td.col("d").str.to_date("%Y-%m-%d"),
+        dts=td.col("ts").str.to_datetime("%Y-%m-%d %H:%M:%S"),
+        tt=td.col("ts").str.to_time("%Y-%m-%d %H:%M:%S"),
+    )
+    assert d["i10"] == [42, None]
+    assert d["i16"] == [66, 255]  # hex: 0x42=66, 0xff=255
+    assert d["dd"][0] == dt.date(2024, 3, 5)
+    assert d["dts"][0] == dt.datetime(2024, 3, 5, 10, 30)
+    assert d["tt"][0] == 10 * 3600 + 30 * 60
+
+
+def test_datetime_fields(spark):
+    ts = dt.datetime(2024, 3, 5, 10, 30, 45, 123456)
+    tf = td.TableFrame.from_dict(spark, {"t": [ts]})
+    d = sel(
+        tf,
+        y=td.col("t").dt.year(), q=td.col("t").dt.quarter(),
+        mo=td.col("t").dt.month(), dy=td.col("t").dt.day(),
+        doy=td.col("t").dt.ordinal_day(), wk=td.col("t").dt.week(),
+        wd=td.col("t").dt.weekday(), hr=td.col("t").dt.hour(),
+        mi=td.col("t").dt.minute(), se=td.col("t").dt.second(),
+        ms=td.col("t").dt.millisecond(), us=td.col("t").dt.microsecond(),
+        leap=td.col("t").dt.is_leap_year(),
+        iso=td.col("t").dt.iso_year(),
+        mil=td.col("t").dt.millennium(), cen=td.col("t").dt.century(),
+    )
+    assert d["y"] == [2024] and d["q"] == [1] and d["mo"] == [3]
+    assert d["dy"] == [5] and d["doy"] == [65]
+    assert d["wd"] == [2]  # tuesday
+    assert d["hr"] == [10] and d["mi"] == [30] and d["se"] == [45]
+    assert d["ms"] == [123] and d["us"] == [123456]
+    assert d["leap"] == [True]
+    assert d["iso"] == [2024]
+    assert d["mil"] == [3] and d["cen"] == [21]
+
+
+def test_datetime_truncate_bounds_epoch(spark):
+    ts = dt.datetime(2024, 3, 15, 10, 30, 45)
+    tf = td.TableFrame.from_dict(spark, {"t": [ts]})
+    d = sel(
+        tf,
+        tr=td.col("t").dt.truncate("1mo"),
+        ms=td.col("t").dt.month_start(),
+        me=td.col("t").dt.month_end(),
+        ep=td.col("t").dt.epoch("s"),
+        dte=td.col("t").dt.date(),
+        fmt=td.col("t").dt.to_string("%Y/%m/%d %H:%M"),
+    )
+    assert d["tr"][0] == dt.datetime(2024, 3, 1)
+    assert d["ms"][0] == dt.date(2024, 3, 1)
+    assert d["me"][0] == dt.date(2024, 3, 31)
+    assert d["ep"][0] == int(ts.replace(tzinfo=dt.timezone.utc).timestamp())
+    assert d["dte"][0] == dt.date(2024, 3, 15)
+    assert d["fmt"][0] == "2024/03/15 10:30"
+
+
+def test_offset_by_and_business_days(spark):
+    t0 = dt.datetime(2024, 1, 31, 12, 0, 0)
+    tf = td.TableFrame.from_dict(spark, {"t": [t0]})
+    d = sel(
+        tf,
+        mo=td.col("t").dt.offset_by("1mo"),
+        dhm=td.col("t").dt.offset_by("2d3h"),
+        neg=td.col("t").dt.offset_by("-1d"),
+    )
+    assert d["mo"][0] == dt.datetime(2024, 2, 29, 12, 0)
+    assert d["dhm"][0] == dt.datetime(2024, 2, 2, 15, 0)
+    assert d["neg"][0] == dt.datetime(2024, 1, 30, 12, 0)
+    # business days: Fri 2024-03-01 + 1bd -> Mon 2024-03-04
+    fri = dt.datetime(2024, 3, 1)
+    tf2 = td.TableFrame.from_dict(spark, {"t": [fri]})
+    d2 = sel(tf2, b=td.col("t").dt.add_business_days(1))
+    assert d2["b"][0] == dt.date(2024, 3, 4)
+
+
+def test_duration_totals(spark):
+    a = dt.datetime(2024, 1, 1)
+    b = dt.datetime(2024, 1, 3, 12, 0, 0)
+    tf = td.TableFrame.from_dict(spark, {"a": [a], "b": [b]})
+    dur = td.col("b") - td.col("a")
+    d = sel(
+        tf,
+        dd=dur.dt.total_days(), hh=dur.dt.total_hours(),
+        mm=dur.dt.total_minutes(), ss=dur.dt.total_seconds(),
+    )
+    assert d["dd"] == [2]
+    assert d["hh"] == [60]
+    assert d["mm"] == [3600]
+    assert d["ss"] == [216000]
