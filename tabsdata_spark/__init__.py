@@ -6,7 +6,18 @@ Public API mirrors the reference's `import tabsdata as td` surface:
 pub/sub decorators, and the connector classes.
 """
 
+from . import io, llm, store, streaming
+from .io import (
+    AzureDestination, AzureSource, CSVFormat, DestinationPlugin,
+    FileDestination, FileSource, GCSDestination, GCSSource, LocalFileDestination,
+    LocalFileSource, LogFormat, MariaDBDestination, MariaDBSource,
+    MySQLDestination, MySQLSource, NDJSONFormat, OracleDestination,
+    OracleSource, ParquetFormat, PostgresDestination, PostgresSource,
+    S3Destination, S3Source, SourcePlugin, TableInput, TableOutput,
+)
+from .pubsub import PubSubEngine, publisher, subscriber, transformer
 from .session import get_spark
+from .store import TableStore, TableURI
 from .tableframe import (
     UDF, Boolean, Categorical, Column, Date, Datetime, Decimal, Duration,
     Enum, Expr, Float32, Float64, Int8, Int16, Int32, Int64, Int128, Null,

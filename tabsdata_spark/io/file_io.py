@@ -1,0 +1,221 @@
+"""File sources and destinations (reference _io/inputs/file_inputs.py and
+_io/outputs/file_outputs.py).
+
+Spark-first: the reference shells out to a Rust `transporter` binary to
+download+convert files (file_inputs.py:1101-1277); Spark readers are already
+distributed, so a source here is just (paths, format, options) + the
+incremental `initial_last_modified` filter, and a destination is a
+DataFrame writer with the reference's path-placeholder semantics.
+
+Cloud variants (S3/Azure/GCS) are the same readers with filesystem configs
+(fs.s3a.* / abfss / gs) carried by credential objects — identical code
+path, so one implementation covers the whole matrix.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import glob as _glob
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from .formats import FileFormat, LogFormat, format_for
+
+
+# --------------------------------------------------------------------------
+# credentials (reference _credentials.py shapes; applied as hadoop confs)
+# --------------------------------------------------------------------------
+@dataclass
+class S3AccessKeyCredentials:
+    access_key_id: str
+    secret_access_key: str
+    region: str | None = None
+
+    def spark_confs(self) -> dict[str, str]:
+        c = {
+            "fs.s3a.access.key": self.access_key_id,
+            "fs.s3a.secret.key": self.secret_access_key,
+        }
+        if self.region:
+            c["fs.s3a.endpoint.region"] = self.region
+        return c
+
+
+@dataclass
+class AzureAccountKeyCredentials:
+    account_name: str
+    account_key: str
+
+    def spark_confs(self) -> dict[str, str]:
+        return {
+            f"fs.azure.account.key.{self.account_name}.dfs.core.windows.net":
+                self.account_key,
+        }
+
+
+@dataclass
+class GCSServiceAccountCredentials:
+    keyfile_json_path: str
+
+    def spark_confs(self) -> dict[str, str]:
+        return {
+            "google.cloud.auth.service.account.enable": "true",
+            "google.cloud.auth.service.account.json.keyfile": self.keyfile_json_path,
+        }
+
+
+def _apply_confs(spark: SparkSession, confs: dict[str, str]) -> None:
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    for k, v in confs.items():
+        hconf.set(k, v)
+
+
+# --------------------------------------------------------------------------
+# sources
+# --------------------------------------------------------------------------
+@dataclass
+class FileSource:
+    """Base: scan files of one format, with wildcard support and the
+    incremental last-modified filter (reference file_inputs.py:580
+    `initial_last_modified`).  Returns (DataFrame, new_offset)."""
+
+    path: str | list[str]
+    format: Any = None
+    initial_last_modified: str | dt.datetime | None = None
+
+    scheme: str = ""
+    credentials: Any = None
+
+    def _paths(self) -> list[str]:
+        return self.path if isinstance(self.path, list) else [self.path]
+
+    def _fmt(self) -> FileFormat:
+        return format_for(self.format if self.format is not None else self._paths()[0])
+
+    def load(self, spark: SparkSession) -> tuple[DataFrame, str | None]:
+        if self.credentials is not None:
+            _apply_confs(spark, self.credentials.spark_confs())
+        fmt = self._fmt()
+        reader = spark.read.format(fmt.name).options(**fmt.reader_options())
+        paths, new_offset = self._filtered_paths()
+        df = reader.load(paths)
+        if isinstance(fmt, LogFormat):
+            df = df.withColumnRenamed("value", "log")
+        return df, new_offset
+
+    def _filtered_paths(self) -> tuple[list[str], str | None]:
+        """Local-scheme incremental filter: keep files modified strictly
+        after the stored offset; return the max mtime seen as next offset.
+        (Cloud schemes delegate listing to Spark; offset passthrough.)"""
+        paths = self._paths()
+        if self.scheme not in ("", "file"):
+            return paths, None
+        expanded: list[tuple[str, float]] = []
+        for p in paths:
+            matches = _glob.glob(p) if any(ch in p for ch in "*?[") else [p]
+            for m in matches:
+                if os.path.isfile(m):
+                    expanded.append((m, os.path.getmtime(m)))
+                elif os.path.isdir(m):
+                    expanded.append((m, os.path.getmtime(m)))
+        if not expanded:
+            raise FileNotFoundError(f"no files match {paths}")
+        cutoff = None
+        if self.initial_last_modified is not None:
+            if isinstance(self.initial_last_modified, str):
+                cutoff = dt.datetime.fromisoformat(self.initial_last_modified).timestamp()
+            else:
+                cutoff = self.initial_last_modified.timestamp()
+        kept = [p for p, m in expanded if cutoff is None or m > cutoff]
+        max_m = max((m for _, m in expanded), default=None)
+        new_offset = (
+            dt.datetime.fromtimestamp(max_m, dt.timezone.utc).isoformat()
+            if max_m is not None else None
+        )
+        if not kept:
+            kept = []  # nothing new: empty scan list handled by caller
+        return kept, new_offset
+
+
+@dataclass
+class LocalFileSource(FileSource):
+    scheme: str = ""
+
+
+@dataclass
+class S3Source(FileSource):
+    scheme: str = "s3a"
+
+
+@dataclass
+class AzureSource(FileSource):
+    scheme: str = "abfss"
+
+
+@dataclass
+class GCSSource(FileSource):
+    scheme: str = "gs"
+
+
+# --------------------------------------------------------------------------
+# destinations
+# --------------------------------------------------------------------------
+@dataclass
+class FileDestination:
+    """Write a DataFrame with the reference's placeholder semantics
+    (file_outputs.py:90,1779): `$EXPORT_TIMESTAMP` -> epoch ms at export;
+    `$FRAGMENT_IDX` -> Spark's natural part-file numbering (fragments ARE
+    part files in a distributed engine — the reference writes fragments
+    serially, Spark writes them in parallel)."""
+
+    path: str
+    format: Any = None
+    single_file: bool = False
+
+    scheme: str = ""
+    credentials: Any = None
+
+    def save(self, df: DataFrame, spark: SparkSession | None = None) -> str:
+        if self.credentials is not None and spark is not None:
+            _apply_confs(spark, self.credentials.spark_confs())
+        fmt = format_for(self.format if self.format is not None else self.path)
+        path = self.path.replace(
+            "$EXPORT_TIMESTAMP",
+            str(int(dt.datetime.now(dt.timezone.utc).timestamp() * 1000)),
+        )
+        # $FRAGMENT_IDX: Spark part-file numbering subsumes it; a path
+        # containing the placeholder becomes a directory write
+        path = path.replace("$FRAGMENT_IDX", "").rstrip("-_")
+        out = df
+        if isinstance(fmt, LogFormat):
+            cols = df.columns
+            out = df.select(F.col(cols[0]).cast("string").alias("value"))
+        if self.single_file:
+            out = out.coalesce(1)
+        (out.write.format(fmt.name).options(**fmt.writer_options())
+            .mode("overwrite").save(path))
+        return path
+
+
+@dataclass
+class LocalFileDestination(FileDestination):
+    scheme: str = ""
+
+
+@dataclass
+class S3Destination(FileDestination):
+    scheme: str = "s3a"
+
+
+@dataclass
+class AzureDestination(FileDestination):
+    scheme: str = "abfss"
+
+
+@dataclass
+class GCSDestination(FileDestination):
+    scheme: str = "gs"

@@ -1,0 +1,114 @@
+"""File format descriptors (reference client/td-sdk/tabsdata/_format.py:
+Avro:70, CSV:119-466, NDJSON:467, Log:482, Parquet:497).
+
+Each maps to a Spark reader/writer format + options.  CSV keeps the
+reference's knobs (separator, quote, eol, header, schema inference).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class FileFormat:
+    name = "parquet"
+
+    def reader_options(self) -> dict[str, str]:
+        return {}
+
+    def writer_options(self) -> dict[str, str]:
+        return {}
+
+
+@dataclass
+class ParquetFormat(FileFormat):
+    name = "parquet"
+
+
+@dataclass
+class CSVFormat(FileFormat):
+    """reference _format.py:119-466"""
+
+    name = "csv"
+    separator: str = ","
+    quote_char: str = '"'
+    eol_char: str = "\n"
+    has_header: bool = True
+    infer_schema: bool = True
+    infer_schema_length: int = 100
+    null_values: list[str] | None = None
+    try_parse_dates: bool = False
+    encoding: str = "utf8"
+
+    def reader_options(self) -> dict[str, str]:
+        opts = {
+            "sep": self.separator,
+            "quote": self.quote_char,
+            "lineSep": self.eol_char,
+            "header": str(self.has_header).lower(),
+            "inferSchema": str(self.infer_schema).lower(),
+            "samplingRatio": "1.0",
+            "encoding": "UTF-8" if self.encoding == "utf8" else self.encoding,
+        }
+        if self.null_values:
+            opts["nullValue"] = self.null_values[0]
+        if self.try_parse_dates:
+            opts["timestampFormat"] = "yyyy-MM-dd HH:mm:ss"
+        return opts
+
+    def writer_options(self) -> dict[str, str]:
+        return {
+            "sep": self.separator,
+            "quote": self.quote_char,
+            "header": str(self.has_header).lower(),
+        }
+
+
+@dataclass
+class NDJSONFormat(FileFormat):
+    """newline-delimited JSON -> Spark 'json' (lines mode is the default)."""
+
+    name = "json"
+
+
+@dataclass
+class LogFormat(FileFormat):
+    """whole lines as a single string column (reference _format.py:482 ->
+    one 'str' column) -> Spark 'text' (column named value, renamed later)."""
+
+    name = "text"
+
+
+@dataclass
+class AvroFormat(FileFormat):
+    """Spark's avro is an external module; reading raises a clear error if
+    the spark-avro jar is absent (gate, don't crash at import)."""
+
+    name = "avro"
+
+
+_EXT_MAP = {
+    ".parquet": ParquetFormat, ".pq": ParquetFormat,
+    ".csv": CSVFormat, ".tsv": CSVFormat,
+    ".ndjson": NDJSONFormat, ".jsonl": NDJSONFormat, ".json": NDJSONFormat,
+    ".log": LogFormat, ".txt": LogFormat,
+    ".avro": AvroFormat,
+}
+
+
+def format_for(path_or_fmt) -> FileFormat:
+    """Accept a FileFormat, a format name, or infer from a path extension."""
+    if isinstance(path_or_fmt, FileFormat):
+        return path_or_fmt
+    if isinstance(path_or_fmt, str):
+        low = path_or_fmt.lower()
+        by_name = {"parquet": ParquetFormat, "csv": CSVFormat,
+                   "ndjson": NDJSONFormat, "json": NDJSONFormat,
+                   "jsonl": NDJSONFormat, "log": LogFormat, "avro": AvroFormat}
+        if low in by_name:
+            return by_name[low]()
+        for ext, cls in _EXT_MAP.items():
+            if low.endswith(ext):
+                return cls()
+    raise ValueError(f"cannot determine file format for {path_or_fmt!r}")

@@ -1,0 +1,162 @@
+"""PubSubEngine: register functions, trigger executions, cascade the DAG.
+
+Maps the reference lifecycle (SURVEY §3.2: plan -> version resolution ->
+transactions -> scheduler loop -> worker -> callback/commit) onto a local
+engine: each function run is one metadata transaction; its output versions
+publish atomically on commit and immediately schedule downstream functions
+(the pub/sub loop).  On a cluster the run step becomes a spark-submit /
+Spark Connect call; the control plane below is engine-agnostic."""
+
+from __future__ import annotations
+
+import json
+import tempfile
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..errors import TabsdataSparkError
+from ..io.plugin import DestinationPlugin, SourcePlugin
+from ..store.table_store import TableStore
+from ..tableframe._system import new_system_id
+from ..tableframe.frame import TableFrame
+from .decorators import TabsdataFunction
+from .graph import TriggerGraph, _norm
+
+
+@dataclass
+class RunReport:
+    function: str
+    status: str
+    published: dict[str, str] = field(default_factory=dict)  # table -> version
+    error: str | None = None
+
+
+class PubSubEngine:
+    def __init__(self, spark: SparkSession, store: TableStore):
+        self.spark = spark
+        self.store = store
+        self.graph = TriggerGraph()
+
+    # -- registration --------------------------------------------------
+    def register(self, collection: str, fn: TabsdataFunction) -> None:
+        self.graph.add(collection, fn)
+        self.store.meta.register_function(
+            collection, fn.name, fn.kind,
+            json.dumps(list(fn.input_tables)),
+            json.dumps(list(fn.output_tables)),
+            json.dumps(list(fn.trigger_by)) if fn.trigger_by is not None else None,
+        )
+
+    # -- trigger + cascade ---------------------------------------------
+    def trigger(self, collection: str, fn_name: str,
+                cascade: bool = True) -> list[RunReport]:
+        """Run one function; on success, cascade to downstream functions
+        triggered by its published tables (breadth-first, each in its own
+        transaction)."""
+        key = f"{collection}/{fn_name}"
+        if key not in self.graph.functions:
+            raise TabsdataSparkError(f"unknown function {key}")
+        execution_id = new_system_id()
+        reports = [self._run(key, execution_id)]
+        if not cascade or reports[0].status != "committed":
+            return reports
+        frontier = list(reports[0].published.keys())
+        ran = {key}
+        while frontier:
+            plan = [k for k in self.graph.downstream_plan(frontier) if k not in ran]
+            frontier = []
+            for k in plan:
+                ran.add(k)
+                rep = self._run(k, execution_id)
+                reports.append(rep)
+                if rep.status == "committed":
+                    frontier.extend(rep.published.keys())
+        return reports
+
+    # -- single run ----------------------------------------------------
+    def _run(self, key: str, execution_id: str) -> RunReport:
+        collection, fn = self.graph.functions[key]
+        run_id = self.store.meta.add_run(collection, fn.name, execution_id)
+        try:
+            inputs, offset_update = self._load_inputs(collection, fn)
+            result = fn(*inputs)
+            outputs = _as_list(result)
+            published: dict[str, str] = {}
+            with self.store.transaction() as txn:
+                if fn.kind == "subscriber":
+                    self._deliver(fn, outputs)
+                else:
+                    if len(outputs) != len(fn.output_tables):
+                        raise TabsdataSparkError(
+                            f"{key}: returned {len(outputs)} frames for "
+                            f"{len(fn.output_tables)} output tables")
+                    for frame, table in zip(outputs, fn.output_tables):
+                        if frame is None:
+                            continue
+                        ver = self.store.write(
+                            frame, collection, table, txn_id=txn,
+                            execution_id=execution_id)
+                        published[_norm(collection, table)] = ver
+                if offset_update:
+                    for k, v in offset_update.items():
+                        self.store.meta.set_offset(collection, fn.name, k, v)
+            self.store.meta.set_run_status(run_id, "committed")
+            return RunReport(key, "committed", published)
+        except Exception as e:  # noqa: BLE001 - report, don't crash the loop
+            self.store.meta.set_run_status(run_id, "failed")
+            return RunReport(key, "failed", error=f"{type(e).__name__}: {e}")
+
+    # -- input resolution ----------------------------------------------
+    def _load_inputs(self, collection: str, fn: TabsdataFunction):
+        offset_update: dict = {}
+        if fn.kind == "publisher":
+            src = fn.source
+            if isinstance(src, SourcePlugin):
+                with tempfile.TemporaryDirectory() as wd:
+                    dfs = src.resolve(self.spark, wd)
+                if src.initial_values:
+                    offset_update.update(src.initial_values)
+                frames = [TableFrame.from_spark(d) if d is not None else None
+                          for d in dfs]
+                return frames, offset_update
+            # file / sql sources
+            if hasattr(src, "load"):
+                stored = self.store.meta.get_offset(
+                    collection, fn.name, "last_modified")
+                if stored is not None and hasattr(src, "initial_last_modified"):
+                    src.initial_last_modified = stored
+                loaded = src.load(self.spark)
+                if isinstance(loaded, tuple):
+                    df, new_off = loaded
+                    if new_off is not None:
+                        offset_update["last_modified"] = new_off
+                    return [TableFrame.from_spark(df)], offset_update
+                if isinstance(loaded, list):
+                    return [TableFrame.from_spark(d) for d in loaded], offset_update
+                return [TableFrame.from_spark(loaded)], offset_update
+            raise TabsdataSparkError(f"unsupported source {type(src)}")
+        # transformer / subscriber: dependency tables from the store
+        frames = [
+            self.store.read_uri(self.spark, uri, default_collection=collection)
+            for uri in fn.input_tables
+        ]
+        return frames, offset_update
+
+    def _deliver(self, fn: TabsdataFunction, outputs: list) -> None:
+        dest = fn.destination
+        dfs = [o.df if isinstance(o, TableFrame) else o for o in outputs if o is not None]
+        if isinstance(dest, DestinationPlugin):
+            with tempfile.TemporaryDirectory() as wd:
+                dest.write_all(self.spark, dfs, wd)
+            return
+        for df in dfs:
+            dest.save(df) if not hasattr(dest, "scheme") else dest.save(df, self.spark)
+
+
+def _as_list(result) -> list:
+    if result is None:
+        return []
+    if isinstance(result, (list, tuple)):
+        return list(result)
+    return [result]

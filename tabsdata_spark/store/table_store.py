@@ -1,0 +1,134 @@
+"""TableStore: versioned Parquet storage over Spark + the metadata DB.
+
+Storage layout mirrors the reference's V2 scheme
+(server/libraries/td-storage/src/location.rs:19-38):
+    <root>/c/<COLLECTION>/d/<DATA_VERSION>/t/<TABLE>/<TABLE_VERSION>.t
+with the difference that each version is a *directory* of part files —
+Spark's natural parallel-write unit — instead of a single file.  At 100 TB
+each version directory holds as many part files as there were write tasks;
+readers scan them in parallel with partition pruning intact.
+
+Writes stamp system columns (`sys` mode, §1.2) and register the version in
+the metadata store inside a transaction; versions become visible only when
+the transaction commits (atomic multi-table publish, SURVEY §3.2.7).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from contextlib import contextmanager
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..errors import VersionResolutionError
+from ..tableframe import _system as S
+from ..tableframe.frame import TableFrame
+from .metadata import MetadataStore
+from .versions import TableURI, Version, parse_versions, resolve_refs
+
+
+def _schema_hash(df: DataFrame) -> str:
+    """Structural schema hash over sorted (name, dtype) pairs (reference
+    store_results_utils.py:66-88 hashes a sorted-field Arrow schema)."""
+    fields = sorted((f.name, f.dataType.simpleString()) for f in df.schema.fields
+                    if not S.is_system_column(f.name))
+    return hashlib.sha256(repr(fields).encode()).hexdigest()[:16]
+
+
+class TableStore:
+    def __init__(self, root: str, db_path: str | None = None):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self.meta = MetadataStore(db_path or os.path.join(root, "metadata.db"))
+
+    # -- layout --------------------------------------------------------
+    def version_path(self, collection: str, data_version: str, table: str,
+                     table_version: str) -> str:
+        return os.path.join(
+            self.root, "c", collection, "d", data_version, "t", table,
+            f"{table_version}.t",
+        )
+
+    # -- transactions --------------------------------------------------
+    @contextmanager
+    def transaction(self):
+        """All writes inside become visible atomically on exit; any
+        exception rolls the whole set back (files remain but are never
+        referenced by a committed version row)."""
+        txn = self.meta.begin_transaction()
+        try:
+            yield txn
+        except Exception:
+            self.meta.rollback_transaction(txn)
+            raise
+        self.meta.commit_transaction(txn)
+
+    # -- write ---------------------------------------------------------
+    def write(self, frame: TableFrame | DataFrame, collection: str,
+              table: str, txn_id: str | None = None,
+              execution_id: str | None = None) -> str:
+        """Write a new table version; returns its version id."""
+        if isinstance(frame, DataFrame):
+            frame = TableFrame.from_spark(frame)
+        version_id = S.new_system_id()
+        props = S.FrameProperties(
+            execution=execution_id or frame._props.execution,
+            transaction=txn_id,
+            version=version_id,
+            timestamp=frame._props.timestamp,
+        )
+        auto = txn_id is None
+        if auto:
+            txn_id = self.meta.begin_transaction()
+            props = S.FrameProperties(
+                execution=props.execution, transaction=txn_id,
+                version=version_id, timestamp=props.timestamp)
+        path = self.version_path(collection, version_id, table, version_id)
+        stored = S.materialize_for_store(frame._df, props)
+        stored.write.mode("errorifexists").parquet(path)
+        self.meta.add_version(
+            collection, table, version_id, path, txn_id,
+            execution_id=execution_id, schema_hash=_schema_hash(frame._df),
+        )
+        if auto:
+            self.meta.commit_transaction(txn_id)
+        return version_id
+
+    # -- read ----------------------------------------------------------
+    def read(self, spark: SparkSession, collection: str, table: str,
+             versions: str = "HEAD", as_of: str | None = None) -> TableFrame:
+        """Read one or more versions (list/range refs concatenate, oldest
+        first — the reference's multi-version dependency semantics)."""
+        hist = self.meta.committed_history(collection, table, as_of=as_of)
+        ids = [h[0] for h in hist]
+        paths = {h[0]: h[1] for h in hist}
+        ref = parse_versions(versions)
+        chosen = resolve_refs(ids, ref)
+        dfs = [spark.read.parquet(paths[v]) for v in chosen]
+        df = dfs[0]
+        for d in dfs[1:]:
+            df = df.unionByName(d, allowMissingColumns=True)
+        return TableFrame._from_df(df)
+
+    def read_uri(self, spark: SparkSession, uri: str,
+                 default_collection: str | None = None) -> TableFrame:
+        u = TableURI.parse(uri)
+        coll = u.collection or default_collection
+        if coll is None:
+            raise VersionResolutionError(f"uri {uri!r} needs a collection")
+        versions = "HEAD" if u.versions is None else _versions_str(u.versions)
+        return self.read(spark, coll, u.table, versions)
+
+    def history(self, collection: str, table: str) -> list[str]:
+        return [v for v, _ in self.meta.committed_history(collection, table)]
+
+
+def _versions_str(v) -> str:
+    from .versions import VersionList, VersionRange
+
+    if isinstance(v, VersionList):
+        return ",".join(str(x) for x in v.versions)
+    if isinstance(v, VersionRange):
+        return f"{v.start}..{v.end}"
+    return str(v)

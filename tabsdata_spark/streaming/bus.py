@@ -1,0 +1,104 @@
+"""Streaming extension: Structured Streaming over the table-version bus.
+
+The reference is micro-batch/trigger-based with NO streaming operators
+(SURVEY §2.9) — this module is the BASELINE.json north-star extension:
+model pub/sub triggers as Structured Streaming `availableNow` micro-batches
+over the same versioned table store, and expose the standard streaming
+toolkit (watermarked windows, session windows, stateful dedup) for the
+`events`-style tables.
+
+Scale design: file-source streams track processed files in checkpoints (no
+re-listing cost explosion), every aggregation is watermarked so state
+stores stay bounded, and sinks write through foreachBatch into the
+versioned store — giving streaming outputs the same atomic-version
+semantics as batch."""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from ..store.table_store import TableStore
+
+
+def stream_file_source(spark: SparkSession, path: str, schema,
+                       fmt: str = "parquet",
+                       max_files_per_trigger: int | None = None) -> DataFrame:
+    """Incremental file-directory stream (the reference's
+    initial_last_modified incremental ingest, upgraded to a checkpointed
+    Structured Streaming source)."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(path)
+
+
+def windowed_aggregate(stream: DataFrame, ts_col: str, window: str,
+                       watermark: str, aggs: dict, slide: str | None = None,
+                       group_extra: list[str] | None = None) -> DataFrame:
+    """Watermarked tumbling/sliding window aggregation.  Late rows beyond
+    `watermark` are dropped and state is evicted — bounded memory at any
+    throughput."""
+    wm = stream.withWatermark(ts_col, watermark)
+    win = (F.window(F.col(ts_col), window, slide) if slide
+           else F.window(F.col(ts_col), window))
+    keys = [win] + [F.col(c) for c in (group_extra or [])]
+    agg_cols = [expr.alias(name) for name, expr in aggs.items()]
+    return wm.groupBy(*keys).agg(*agg_cols)
+
+
+def session_windows(stream: DataFrame, ts_col: str, gap: str,
+                    watermark: str, keys: list[str], aggs: dict) -> DataFrame:
+    """Session windows via the built-in session_window (gap-based)."""
+    wm = stream.withWatermark(ts_col, watermark)
+    agg_cols = [expr.alias(name) for name, expr in aggs.items()]
+    return wm.groupBy(
+        F.session_window(F.col(ts_col), gap), *[F.col(k) for k in keys]
+    ).agg(*agg_cols)
+
+
+def stream_dedup(stream: DataFrame, keys: list[str], ts_col: str,
+                 watermark: str) -> DataFrame:
+    """Streaming exact-dedup with bounded state (dropDuplicatesWithinWatermark)."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def stream_to_table(stream: DataFrame, store: TableStore, collection: str,
+                    table: str, checkpoint_dir: str,
+                    available_now: bool = True) -> StreamingQuery:
+    """Sink a stream into the versioned table store: each micro-batch
+    becomes one committed table version (atomic, pub/sub-visible).
+    `available_now=True` reproduces the reference's trigger-when-asked
+    batch semantics; False runs continuously."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        store.write(batch_df, collection, table)
+
+    writer = (stream.writeStream.foreachBatch(write_batch)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def process_new_versions(spark: SparkSession, store: TableStore,
+                         collection: str, table: str, state_key: str,
+                         fn: Callable[[DataFrame], None]) -> int:
+    """Version-bus consumer: apply `fn` to every table version committed
+    since the last call (offset tracked in the metadata store).  This is
+    the reference's pub/sub trigger loop expressed as an idempotent
+    poll-and-advance."""
+    hist = store.meta.committed_history(collection, table)
+    last = store.meta.get_offset(collection, f"__stream__{state_key}", "version_idx")
+    start = int(last) + 1 if last is not None else 0
+    for idx in range(start, len(hist)):
+        _, path = hist[idx]
+        fn(spark.read.parquet(path))
+        store.meta.set_offset(collection, f"__stream__{state_key}",
+                              "version_idx", idx)
+    return max(0, len(hist) - start)

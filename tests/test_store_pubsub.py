@@ -1,0 +1,214 @@
+"""Versioned store, version resolution, pub/sub DAG, and end-to-end
+pipeline tests (reference test strategy level 3: golden pipeline tests,
+SURVEY §5)."""
+
+import os
+
+import pytest
+
+import tabsdata_spark as td
+from tabsdata_spark.errors import VersionResolutionError
+from tabsdata_spark.pubsub import CycleError, PubSubEngine
+from tabsdata_spark.store import TableStore, TableURI, Version, parse_versions
+from tabsdata_spark.store.versions import VersionList, VersionRange, resolve_refs
+
+
+# ---------------------------------------------------------------- versions
+def test_version_parsing():
+    assert Version.parse("HEAD").head_offset == 0
+    assert Version.parse("HEAD^^").head_offset == 2
+    assert Version.parse("HEAD~3").head_offset == 3
+    assert Version.parse("INITIAL").initial_offset == 0
+    assert Version.parse("INITIAL~2").initial_offset == 2
+    fixed = "01ARZ3NDEKTSV4RRFFQ69G5FAV"
+    assert Version.parse(fixed).fixed == fixed
+    with pytest.raises(VersionResolutionError):
+        Version.parse("nope!")
+    assert isinstance(parse_versions("HEAD,HEAD~1"), VersionList)
+    assert isinstance(parse_versions("INITIAL..HEAD"), VersionRange)
+
+
+def test_table_uri():
+    u = TableURI.parse("sales/orders@HEAD~2")
+    assert u.collection == "sales" and u.table == "orders"
+    assert str(u) == "sales/orders@HEAD~2"
+    u2 = TableURI.parse("orders")
+    assert u2.collection is None and u2.versions is None
+
+
+def test_resolve_refs():
+    hist = ["V1", "V2", "V3"]
+    assert resolve_refs(hist, Version.parse("HEAD")) == ["V3"]
+    assert resolve_refs(hist, Version.parse("HEAD~1")) == ["V2"]
+    assert resolve_refs(hist, Version.parse("INITIAL")) == ["V1"]
+    assert resolve_refs(hist, parse_versions("HEAD~1,HEAD")) == ["V2", "V3"]
+    assert resolve_refs(hist, parse_versions("INITIAL..HEAD")) == hist
+    with pytest.raises(VersionResolutionError):
+        resolve_refs(hist, Version.parse("HEAD~5"))
+
+
+# ---------------------------------------------------------------- store
+def test_store_write_read_history(spark, tmp_path):
+    store = TableStore(str(tmp_path / "warehouse"))
+    tf1 = td.TableFrame.from_dict(spark, {"x": [1, 2]})
+    tf2 = td.TableFrame.from_dict(spark, {"x": [3]})
+    v1 = store.write(tf1, "c1", "t")
+    v2 = store.write(tf2, "c1", "t")
+    assert store.history("c1", "t") == [v1, v2]
+    head = store.read(spark, "c1", "t")
+    assert sorted(head.to_dict()["x"]) == [3]
+    prev = store.read(spark, "c1", "t", "HEAD~1")
+    assert sorted(prev.to_dict()["x"]) == [1, 2]
+    both = store.read(spark, "c1", "t", "INITIAL..HEAD")
+    assert sorted(both.to_dict()["x"]) == [1, 2, 3]
+    by_uri = store.read_uri(spark, f"c1/t@{v1}")
+    assert sorted(by_uri.to_dict()["x"]) == [1, 2]
+
+
+def test_store_system_columns_stamped(spark, tmp_path):
+    store = TableStore(str(tmp_path / "w2"))
+    v = store.write(td.TableFrame.from_dict(spark, {"x": [1]}), "c", "t")
+    raw = spark.read.parquet(store.meta.committed_history("c", "t")[0][1])
+    assert "$td.id" in raw.columns and "$td.ver.version" in raw.columns
+    row = raw.collect()[0]
+    assert row["$td.ver.version"] == v
+    # reading through the store hides system columns from .columns
+    tf = store.read(spark, "c", "t")
+    assert tf.columns == ["x"]
+
+
+def test_transaction_atomicity(spark, tmp_path):
+    store = TableStore(str(tmp_path / "w3"))
+    tf = td.TableFrame.from_dict(spark, {"x": [1]})
+    with pytest.raises(RuntimeError):
+        with store.transaction() as txn:
+            store.write(tf, "c", "a", txn_id=txn)
+            store.write(tf, "c", "b", txn_id=txn)
+            raise RuntimeError("boom")
+    # nothing visible
+    with pytest.raises(VersionResolutionError):
+        store.read(spark, "c", "a")
+    # committed transaction publishes both atomically
+    with store.transaction() as txn:
+        store.write(tf, "c", "a", txn_id=txn)
+        store.write(tf, "c", "b", txn_id=txn)
+    assert store.read(spark, "c", "a").df.count() == 1
+    assert store.read(spark, "c", "b").df.count() == 1
+
+
+# ---------------------------------------------------------------- pub/sub
+def test_pubsub_end_to_end(spark, tmp_path):
+    """publisher(csv) -> transformer -> subscriber(csv) golden pipeline."""
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    (src_dir / "data.csv").write_text("k,v\na,1\nb,2\na,3\n")
+    out_dir = str(tmp_path / "out")
+    store = TableStore(str(tmp_path / "wh"))
+    engine = PubSubEngine(spark, store)
+
+    @td.publisher(td.LocalFileSource(str(src_dir / "*.csv"), format="csv"),
+                  tables="raw")
+    def publish(tf):
+        return tf
+
+    @td.transformer(input_tables=["raw"], output_tables=["agg"])
+    def aggregate(tf):
+        return tf.group_by("k").agg(total=td.col("v").sum())
+
+    @td.subscriber(tables=["agg"],
+                   destination=td.LocalFileDestination(out_dir, format="csv",
+                                                       single_file=True))
+    def export(tf):
+        return tf
+
+    engine.register("demo", publish)
+    engine.register("demo", aggregate)
+    engine.register("demo", export)
+
+    reports = engine.trigger("demo", "publish")
+    assert [r.status for r in reports] == ["committed"] * 3
+    assert [r.function for r in reports] == [
+        "demo/publish", "demo/aggregate", "demo/export"]
+
+    agg = store.read(spark, "demo", "agg").sort("k").to_dict()
+    assert agg["k"] == ["a", "b"] and agg["total"] == [4, 2]
+
+    csvs = [f for f in os.listdir(out_dir) if f.endswith(".csv")]
+    assert len(csvs) == 1
+    body = open(os.path.join(out_dir, csvs[0])).read().strip().splitlines()
+    assert sorted(body[1:]) == ["a,4", "b,2"]
+
+    # incremental: nothing new -> publisher republishes filtered (no files)
+    offsets = store.meta.get_offset("demo", "publish", "last_modified")
+    assert offsets is not None
+
+
+def test_pubsub_trigger_cycle_detection(spark, tmp_path):
+    store = TableStore(str(tmp_path / "wc"))
+    engine = PubSubEngine(spark, store)
+
+    @td.transformer(input_tables=["t1"], output_tables=["t2"])
+    def f1(tf):
+        return tf
+
+    @td.transformer(input_tables=["t2"], output_tables=["t1"])
+    def f2(tf):
+        return tf
+
+    engine.register("c", f1)
+    with pytest.raises(CycleError):
+        engine.register("c", f2)
+
+
+def test_pubsub_failure_isolated(spark, tmp_path):
+    store = TableStore(str(tmp_path / "wf"))
+    engine = PubSubEngine(spark, store)
+
+    @td.transformer(input_tables=["missing_table"], output_tables=["out"])
+    def broken(tf):
+        return tf
+
+    engine.register("c", broken)
+    reports = engine.trigger("c", "broken")
+    assert reports[0].status == "failed"
+    assert "missing_table" in (reports[0].error or "") or reports[0].error
+
+
+def test_source_plugin_and_offsets(spark, tmp_path):
+    store = TableStore(str(tmp_path / "wp"))
+    engine = PubSubEngine(spark, store)
+
+    class Counter(td.SourcePlugin):
+        def chunk(self, spark_, working_dir):
+            self.initial_values = {"cursor": "42"}
+            return spark_.createDataFrame([(1,)], "n long")
+
+    @td.publisher(Counter(), tables="nums")
+    def pub(tf):
+        return tf
+
+    engine.register("c", pub)
+    reports = engine.trigger("c", "pub")
+    assert reports[0].status == "committed"
+    assert store.meta.get_offset("c", "pub", "cursor") == "42"
+
+
+# ---------------------------------------------------------------- streaming
+def test_version_bus_consumer(spark, tmp_path):
+    from tabsdata_spark.streaming import process_new_versions
+
+    store = TableStore(str(tmp_path / "ws"))
+    store.write(td.TableFrame.from_dict(spark, {"x": [1]}), "c", "t")
+    store.write(td.TableFrame.from_dict(spark, {"x": [2]}), "c", "t")
+    seen = []
+    n = process_new_versions(spark, store, "c", "t", "consumer1",
+                             lambda df: seen.append(df.count()))
+    assert n == 2 and seen == [1, 1]
+    # idempotent: no new versions -> no work
+    n2 = process_new_versions(spark, store, "c", "t", "consumer1",
+                              lambda df: seen.append(df.count()))
+    assert n2 == 0 and len(seen) == 2
+    store.write(td.TableFrame.from_dict(spark, {"x": [3]}), "c", "t")
+    n3 = process_new_versions(spark, store, "c", "t", "consumer1",
+                              lambda df: seen.append(df.count()))
+    assert n3 == 1 and len(seen) == 3
