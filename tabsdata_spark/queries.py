@@ -1142,3 +1142,270 @@ def queries() -> dict[str, Query]:
 
 def oracle_sql() -> dict[str, str]:
     return dict(_ORACLES)
+
+
+# ===========================================================================
+# coverage batch 2
+# ===========================================================================
+@q(
+    "unnest_struct",
+    """
+    SELECT o_orderkey, o_orderstatus AS st, ROUND(o_totalprice, 2) AS tp
+    FROM orders
+    """,
+)
+def unnest_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load(spark, sf_dir, "orders")
+    packed = od.with_columns(
+        info=td.Expr(F.struct(
+            F.col("o_orderstatus").alias("st"),
+            F.round(F.col("o_totalprice"), 2).alias("tp"),
+        ))
+    ).select("o_orderkey", "info")
+    return packed.unnest("info").df
+
+
+@q(
+    "nan_handling",
+    """
+    WITH t AS (
+      SELECT l_orderkey, l_linenumber,
+             CASE WHEN l_discount = 0.0 THEN 'NaN'::DOUBLE
+                  ELSE l_discount END AS d
+      FROM lineitem)
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN isnan(d) THEN 0.0 ELSE d END AS d_filled,
+           isnan(d) AS was_nan
+    FROM t
+    """,
+)
+def nan_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    d = td.when(td.col("l_discount") == 0.0).then(float("nan")).otherwise(td.col("l_discount"))
+    out = (
+        li.with_columns(d=d)
+        .select(
+            "l_orderkey", "l_linenumber",
+            d_filled=td.col("d").fill_nan(0.0),
+            was_nan=td.col("d").is_nan(),
+        )
+    )
+    return out.df
+
+
+@q(
+    "drop_nans_q",
+    """
+    WITH t AS (
+      SELECT l_orderkey, l_linenumber,
+             CASE WHEN l_discount = 0.0 THEN 'NaN'::DOUBLE
+                  ELSE l_discount END AS d
+      FROM lineitem)
+    SELECT l_orderkey, l_linenumber, d FROM t WHERE NOT isnan(d)
+    """,
+)
+def drop_nans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    d = td.when(td.col("l_discount") == 0.0).then(float("nan")).otherwise(td.col("l_discount"))
+    return (li.with_columns(d=d).select("l_orderkey", "l_linenumber", "d")
+            .drop_nans("d").df)
+
+
+@q(
+    "unique_keep_first",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate FROM orders
+    QUALIFY row_number() OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate DESC, o_orderkey) = 1
+    """,
+)
+def unique_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load(spark, sf_dir, "orders")
+    out = (
+        od.select("o_custkey", "o_orderkey", "o_orderdate")
+        .sort(["o_orderdate", "o_orderkey"], descending=[True, False])
+        .unique(subset="o_custkey", keep="first")
+    )
+    return out.df
+
+
+@q(
+    "string_funcs2",
+    """
+    SELECT p_partkey,
+           lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS zf,
+           regexp_replace(p_name, '^[a-z]+', 'X') AS strip_first_word,
+           concat_ws('|', p_brand, p_type) AS joined,
+           repeat(p_brand, 2) AS dbl
+    FROM part
+    """,
+)
+def string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pt = load(spark, sf_dir, "part")
+    out = pt.select(
+        "p_partkey",
+        zf=td.col("p_partkey").cast("string").str.zfill(8),
+        strip_first_word=td.col("p_name").str.replace("^[a-z]+", "X"),
+        joined=td.concat_str(td.col("p_brand"), td.col("p_type"), separator="|"),
+        dbl=td.concat_str(td.col("p_brand"), td.col("p_brand")),
+    )
+    return out.df
+
+
+@q(
+    "dt_funcs2",
+    """
+    SELECT o_orderkey,
+           CAST(epoch_ms(o_orderdate) AS BIGINT) AS ep_ms,
+           CAST(epoch_us(o_orderdate) AS BIGINT) AS ep_us,
+           o_orderdate + INTERVAL 1 MONTH + INTERVAL 10 DAY AS shifted,
+           CAST(o_orderdate AS DATE) + INTERVAL 1 YEAR AS next_year
+    FROM orders
+    """,
+)
+def dt_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load(spark, sf_dir, "orders")
+    d = td.col("o_orderdate")
+    out = od.select(
+        "o_orderkey",
+        ep_ms=d.dt.epoch("ms"),
+        ep_us=d.dt.epoch("us"),
+        shifted=d.dt.offset_by("1mo10d"),
+        next_year=d.dt.offset_by("1y"),
+    )
+    return out.df
+
+
+@q(
+    "group_shortcuts",
+    """
+    SELECT s_nationkey,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS s_acctbal,
+           CAST(SUM(CAST(s_suppkey AS DECIMAL(18,2))) AS DOUBLE) AS s_suppkey
+    FROM supplier GROUP BY s_nationkey
+    """,
+)
+def group_shortcuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    su = load(spark, sf_dir, "supplier")
+    num_cols = [c for c in cs.numeric()._resolve(su.schema) if c != "s_nationkey"]
+    out = su.group_by("s_nationkey").agg(
+        **{c: _dec(td.col(c)).sum().cast("double") for c in num_cols}
+    )
+    return out.select("s_nationkey", "s_acctbal", "s_suppkey").df
+
+
+@q(
+    "sessionize",
+    """
+    WITH marked AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS mts,
+             CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL THEN 1
+                  WHEN date_diff('second', lag(CAST(ts AS TIMESTAMP)) OVER w,
+                                 CAST(ts AS TIMESTAMP)) > 1800 THEN 1
+                  ELSE 0 END AS is_new
+      FROM events WHERE user_id < 20
+      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_id, mts,
+             SUM(is_new) OVER (PARTITION BY user_id
+                  ORDER BY mts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked)
+    SELECT user_id, session_no, COUNT(*) AS n_events,
+           CAST(MIN(mts) AS TIMESTAMP) AS session_start
+    FROM sess GROUP BY user_id, session_no
+    """,
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap): the batch form of the
+    streaming session_window, expressed as lag+cumsum windows partitioned
+    by user — shuffles once on user_id, scales with user cardinality."""
+    from pyspark.sql.window import Window
+
+    ev = load_events(spark, sf_dir).filter(td.col("user_id") < 20).df
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    is_new = F.when(
+        F.lag("ts").over(w).isNull() |
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) > 1800),
+        1).otherwise(0)
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = (ev.withColumn("is_new", is_new)
+            .withColumn("session_no", F.sum("is_new").over(cum)))
+    return (sess.groupBy("user_id", "session_no")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("ts").alias("session_start")))
+
+
+@q(
+    "topk_per_group",
+    """
+    SELECT c_mktsegment, o_orderkey, o_totalprice FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    QUALIFY row_number() OVER (PARTITION BY c_mktsegment
+             ORDER BY o_totalprice DESC, o_orderkey) <= 3
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    cu = load(spark, sf_dir, "customer").df
+    od = load(spark, sf_dir, "orders").df
+    j = cu.join(od, cu.c_custkey == od.o_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (j.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= 3)
+            .select("c_mktsegment", "o_orderkey", "o_totalprice"))
+
+
+@q(
+    "eq_missing_q",
+    """
+    WITH t AS (SELECT c_custkey,
+                      NULLIF(c_mktsegment, 'BUILDING') AS seg
+               FROM customer)
+    SELECT c_custkey,
+           seg IS NOT DISTINCT FROM NULL AS was_building,
+           seg IS DISTINCT FROM 'MACHINERY' AS not_machinery
+    FROM t
+    """,
+)
+def eq_missing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load(spark, sf_dir, "customer")
+    seg = td.when(td.col("c_mktsegment") == "BUILDING").then(None).otherwise(td.col("c_mktsegment"))
+    out = (
+        cu.with_columns(seg=seg)
+        .select(
+            "c_custkey",
+            was_building=td.col("seg").eq_missing(None),
+            not_machinery=td.col("seg").ne_missing("MACHINERY"),
+        )
+    )
+    return out.df
+
+
+# rows-only: multimodal plumbing + rolling-hash fingerprint (hash-seeded)
+@q("multimodal_decode")
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tabsdata_spark.llm import multimodal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+    bins = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return multimodal.decode_and_featurize(bins)
+
+
+@q("rolling_fingerprint")
+def rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        textual.rolling_hash_fingerprint(F.col("text")).alias("fp"),
+    )
+
+
+@q("simhash_values")
+def simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.simhash(docs).select("doc_id", "simhash")

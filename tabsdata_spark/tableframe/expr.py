@@ -850,23 +850,28 @@ class ExprDateTimeNameSpace:
     def second(self):
         return self._new(F.second(self._c))
 
+    @property
+    def _ts(self) -> Column:
+        # NTZ parquet timestamps need an LTZ cast for unix_* (session tz UTC)
+        return self._c.cast("timestamp")
+
     def millisecond(self):
-        return self._new((F.unix_micros(self._c) % 1_000_000 / 1000).cast("int"))
+        return self._new((F.unix_micros(self._ts) % 1_000_000 / 1000).cast("int"))
 
     def microsecond(self):
-        return self._new((F.unix_micros(self._c) % 1_000_000).cast("int"))
+        return self._new((F.unix_micros(self._ts) % 1_000_000).cast("int"))
 
     def nanosecond(self):
-        return self._new(((F.unix_micros(self._c) % 1_000_000) * 1000).cast("long"))
+        return self._new(((F.unix_micros(self._ts) % 1_000_000) * 1000).cast("long"))
 
     def epoch(self, time_unit: str = "us"):
         if time_unit == "s":
-            return self._new(F.unix_timestamp(self._c))
+            return self._new(F.unix_timestamp(self._ts))
         if time_unit == "ms":
-            return self._new(F.unix_millis(self._c))
+            return self._new(F.unix_millis(self._ts))
         if time_unit == "ns":
-            return self._new(F.unix_micros(self._c) * 1000)
-        return self._new(F.unix_micros(self._c))
+            return self._new(F.unix_micros(self._ts) * 1000)
+        return self._new(F.unix_micros(self._ts))
 
     def timestamp(self, time_unit: str = "us"):
         return self.epoch(time_unit)
