@@ -1409,3 +1409,406 @@ def rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return dedup.simhash(docs).select("doc_id", "simhash")
+
+
+# ===========================================================================
+# coverage batch 3: adapted TPC-H join/agg suite (schema has no partsupp /
+# commitdate / shipmode -- predicates adapted to the driver star schema)
+# ===========================================================================
+@q(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate < TIMESTAMP '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (EXISTS -> left-semi join).  The semi join carries the
+    non-equi shipdate>orderdate predicate through a pre-filtered projection,
+    so the shuffle moves only (orderkey) pairs, not full lineitem rows."""
+    od = load(spark, sf_dir, "orders").filter(
+        (td.col("o_orderdate") >= td.lit("1996-07-01").cast("timestamp"))
+        & (td.col("o_orderdate") < td.lit("1996-10-01").cast("timestamp")))
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    qualifying = (
+        od.select("o_orderkey", "o_orderdate")
+        .join(li, left_on="o_orderkey", right_on="l_orderkey")
+        .filter(td.col("l_shipdate") > td.col("o_orderdate"))
+        .select("o_orderkey").unique()
+    )
+    out = (
+        od.join(qualifying, on="o_orderkey", how="semi")
+        .group_by("o_orderpriority")
+        .agg(order_count=td.col("o_orderpriority").len())
+        .sort("o_orderpriority")
+    )
+    return out.df
+
+
+@q(
+    "q7_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(vol) AS DOUBLE) AS revenue
+    FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 year(l.l_shipdate) AS l_year,
+                 CAST(l.l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS vol
+          FROM supplier s
+          JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+          WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+              OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+                                 AND TIMESTAMP '1997-12-31') shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: two broadcast nation joins + the big 3-table chain.  The
+    disjunctive nation-pair predicate lands after the broadcasts, pruning
+    before the orderkey shuffle."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        td.col("l_shipdate").is_between(
+            td.lit("1996-01-01").cast("timestamp"),
+            td.lit("1997-12-31").cast("timestamp")))
+    od = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cu = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    su = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    na = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = na.rename({"n_name": "supp_nation"})
+    n2 = na.rename({"n_name": "cust_nation"})
+    j = (
+        li.join(od, left_on="l_orderkey", right_on="o_orderkey")
+        .join(cu, left_on="o_custkey", right_on="c_custkey")
+        .join(su, left_on="l_suppkey", right_on="s_suppkey")
+        .join(n1, left_on="s_nationkey", right_on="n_nationkey")
+        .join(n2, left_on="c_nationkey", right_on="n_nationkey")
+        .filter(
+            ((td.col("supp_nation") == "NATION_1") & (td.col("cust_nation") == "NATION_2"))
+            | ((td.col("supp_nation") == "NATION_2") & (td.col("cust_nation") == "NATION_1")))
+    )
+    out = (
+        j.with_columns(
+            l_year=td.col("l_shipdate").dt.year(),
+            vol=_dec(td.col("l_extendedprice")) * (1 - _dec(td.col("l_discount"))),
+        )
+        .group_by("supp_nation", "cust_nation", "l_year")
+        .agg(revenue=td.col("vol").sum().cast("double"))
+        .sort(["supp_nation", "cust_nation", "l_year"])
+    )
+    return out.df
+
+
+@q(
+    "q8_market_share",
+    """
+    SELECT o_year,
+           ROUND(CAST(SUM(CASE WHEN nation = 'NATION_1' THEN vol ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(vol) AS DOUBLE), 6) AS mkt_share
+    FROM (SELECT year(o.o_orderdate) AS o_year,
+                 CAST(l.l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS vol,
+                 n.n_name AS nation
+          FROM part p
+          JOIN lineitem l ON p.p_partkey = l.l_partkey
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN nation n ON s.s_nationkey = n.n_nationkey
+          WHERE p.p_type = 'PROMO') all_nations
+    GROUP BY o_year ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: conditional-aggregate market share.  part filter
+    pushes to the scan; nation broadcasts."""
+    pt = load(spark, sf_dir, "part").filter(td.col("p_type") == "PROMO") \
+        .select("p_partkey")
+    li = load(spark, sf_dir, "lineitem")
+    su = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    od = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    na = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = (
+        li.join(pt, left_on="l_partkey", right_on="p_partkey")
+        .join(su, left_on="l_suppkey", right_on="s_suppkey")
+        .join(od, left_on="l_orderkey", right_on="o_orderkey")
+        .join(na, left_on="s_nationkey", right_on="n_nationkey")
+        .with_columns(
+            o_year=td.col("o_orderdate").dt.year(),
+            vol=_dec(td.col("l_extendedprice")) * (1 - _dec(td.col("l_discount"))),
+        )
+    )
+    nat_vol = td.when(td.col("n_name") == "NATION_1").then(td.col("vol")) \
+        .otherwise(td.lit(0).cast("decimal(18,2)"))
+    out = (
+        j.group_by("o_year")
+        .agg(
+            mkt_share=(nat_vol.sum().cast("double")
+                       / td.col("vol").sum().cast("double")).round(6),
+        )
+        .sort("o_year")
+    )
+    return out.df
+
+
+@q(
+    "q9_product_profit",
+    """
+    SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+    FROM (SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+                 CAST(l.l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                 - CAST(p.p_retailprice AS DECIMAL(18,2))
+                   * CAST(l.l_quantity AS DECIMAL(18,2))
+                   * CAST(0.10 AS DECIMAL(18,2)) AS amount
+          FROM part p
+          JOIN lineitem l ON p.p_partkey = l.l_partkey
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN nation n ON s.s_nationkey = n.n_nationkey
+          WHERE p.p_name LIKE '%red%') profit
+    GROUP BY nation, o_year ORDER BY nation, o_year DESC
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (supplycost ~ 10% of retailprice -- no partsupp in the
+    driver schema)."""
+    pt = load(spark, sf_dir, "part").filter(td.col("p_name").str.contains("red")) \
+        .select("p_partkey", "p_retailprice")
+    li = load(spark, sf_dir, "lineitem")
+    su = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    od = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    na = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = (
+        li.join(pt, left_on="l_partkey", right_on="p_partkey")
+        .join(su, left_on="l_suppkey", right_on="s_suppkey")
+        .join(od, left_on="l_orderkey", right_on="o_orderkey")
+        .join(na, left_on="s_nationkey", right_on="n_nationkey")
+        .with_columns(
+            nation=td.col("n_name"),
+            o_year=td.col("o_orderdate").dt.year(),
+            amount=_dec(td.col("l_extendedprice")) * (1 - _dec(td.col("l_discount")))
+                   - _dec(td.col("p_retailprice")) * _dec(td.col("l_quantity"))
+                     * td.lit(0.10).cast("decimal(18,2)"),
+        )
+    )
+    out = (
+        j.group_by("nation", "o_year")
+        .agg(sum_profit=td.col("amount").sum().cast("double"))
+        .sort(["nation", "o_year"], descending=[False, True])
+    )
+    return out.df
+
+
+@q(
+    "q12_priority_counts",
+    """
+    SELECT l_returnflag,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q12_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (returnflag stands in for shipmode)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (td.col("l_shipdate") >= td.lit("1996-01-01").cast("timestamp"))
+        & (td.col("l_shipdate") < td.lit("1997-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_returnflag")
+    od = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    hi = td.col("o_orderpriority").is_in(["1-URGENT", "2-HIGH"])
+    out = (
+        li.join(od, left_on="l_orderkey", right_on="o_orderkey")
+        .with_columns(
+            high=td.when(hi).then(1).otherwise(0),
+            low=td.when(~hi).then(1).otherwise(0),
+        )
+        .group_by("l_returnflag")
+        .agg(
+            high_line_count=td.col("high").sum(),
+            low_line_count=td.col("low").sum(),
+        )
+        .sort("l_returnflag")
+    )
+    return out.df
+
+
+@q(
+    "q14_promo_revenue",
+    """
+    SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN vol ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(vol) AS DOUBLE), 6) AS promo_revenue
+    FROM (SELECT p.p_type,
+                 CAST(l.l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS vol
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+          WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+            AND l.l_shipdate < TIMESTAMP '1996-10-01') t
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: whole-table conditional ratio (single-row result)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (td.col("l_shipdate") >= td.lit("1996-09-01").cast("timestamp"))
+        & (td.col("l_shipdate") < td.lit("1996-10-01").cast("timestamp")))
+    pt = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(pt, left_on="l_partkey", right_on="p_partkey").with_columns(
+        vol=_dec(td.col("l_extendedprice")) * (1 - _dec(td.col("l_discount"))))
+    promo = td.when(td.col("p_type") == "PROMO").then(td.col("vol")) \
+        .otherwise(td.lit(0).cast("decimal(18,2)"))
+    out = j.select(
+        promo_revenue=(100.0 * promo.sum().cast("double")
+                       / td.col("vol").sum().cast("double")).round(6))
+    return out.df
+
+
+@q(
+    "q16_supplier_cnt",
+    """
+    SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+    GROUP BY p_brand, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_size
+    """,
+)
+def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: COUNT(DISTINCT) after a selective dim filter."""
+    pt = load(spark, sf_dir, "part").filter(
+        (td.col("p_brand") != "Brand#1")
+        & td.col("p_size").is_in([1, 5, 9, 13, 17, 21, 25, 29])
+    ).select("p_partkey", "p_brand", "p_size")
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    out = (
+        li.join(pt, left_on="l_partkey", right_on="p_partkey")
+        .group_by("p_brand", "p_size")
+        .agg(supplier_cnt=td.col("l_suppkey").n_unique())
+        .sort(["supplier_cnt", "p_brand", "p_size"], descending=[True, False, False])
+    )
+    return out.df
+
+
+@q(
+    "q18_large_volume",
+    """
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                           GROUP BY l_orderkey
+                           HAVING SUM(l_quantity) > 250)
+    GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    """,
+)
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: HAVING subquery -> aggregate + semi join.  The qualifying
+    orderkey set is tiny -> AQE turns the main join into a broadcast."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.group_by("l_orderkey")
+        .agg(s=td.col("l_quantity").sum())
+        .filter(td.col("s") > 250)
+        .select("l_orderkey")
+    )
+    od = load(spark, sf_dir, "orders").join(big, left_on="o_orderkey",
+                                            right_on="l_orderkey", how="semi")
+    cu = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    out = (
+        od.join(cu, left_on="o_custkey", right_on="c_custkey")
+        .join(li, left_on="o_orderkey", right_on="l_orderkey")
+        .group_by("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(sum_qty=_dec(td.col("l_quantity")).sum().cast("double"))
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .select("c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+    )
+    return out.df
+
+
+@q(
+    "q19_disjunctive",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: OR-of-ANDs join predicate.  Expressed as a post-join
+    filter; Catalyst derives the common p_brand IN (...) prefilter and
+    pushes it below the join."""
+    li = load(spark, sf_dir, "lineitem")
+    pt = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(pt, left_on="l_partkey", right_on="p_partkey")
+    qty, size, brand = td.col("l_quantity"), td.col("p_size"), td.col("p_brand")
+    cond = (
+        ((brand == "Brand#12") & size.is_between(1, 5) & qty.is_between(1, 11))
+        | ((brand == "Brand#23") & size.is_between(1, 10) & qty.is_between(10, 20))
+        | ((brand == "Brand#3") & size.is_between(1, 15) & qty.is_between(20, 30))
+    )
+    out = j.filter(cond).select(
+        revenue=(_dec(td.col("l_extendedprice"))
+                 * (1 - _dec(td.col("l_discount")))).sum().cast("double"),
+        n=td.col("l_orderkey").len(),
+    )
+    return out.df
+
+
+@q(
+    "q22_idle_customers",
+    """
+    SELECT c_mktsegment, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer c
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-subquery threshold (broadcast 1-row cross
+    join) + NOT EXISTS (left-anti join)."""
+    cu = load(spark, sf_dir, "customer")
+    avg_bal = cu.filter(td.col("c_acctbal") > 0).select(
+        avg_bal=td.col("c_acctbal").mean())
+    recent = load(spark, sf_dir, "orders").filter(
+        td.col("o_orderdate") >= td.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey")
+    out = (
+        cu.join(avg_bal, how="cross")
+        .filter(td.col("c_acctbal") > td.col("avg_bal"))
+        .join(recent, left_on="c_custkey", right_on="o_custkey", how="anti")
+        .group_by("c_mktsegment")
+        .agg(
+            numcust=td.col("c_custkey").len(),
+            totacctbal=_dec(td.col("c_acctbal")).sum().cast("double"),
+        )
+        .sort("c_mktsegment")
+    )
+    return out.df
