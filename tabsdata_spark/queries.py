@@ -1812,3 +1812,243 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .sort("c_mktsegment")
     )
     return out.df
+
+
+# ===========================================================================
+# coverage batch 4: join-null/suffix semantics, relaxed concat, advanced
+# string/math expr, business days, rank methods, elementwise UDF
+# ===========================================================================
+@q(
+    "join_nulls_q",
+    """
+    WITH lhs AS (SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg
+                 FROM customer),
+         rhs AS (SELECT DISTINCT NULLIF(c_mktsegment, 'BUILDING') AS seg,
+                        'seg_' || COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'NULL') AS label
+                 FROM customer)
+    SELECT l.c_custkey, l.seg, r.label
+    FROM lhs l LEFT JOIN rhs r ON l.seg IS NOT DISTINCT FROM r.seg
+    """,
+)
+def join_nulls_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join_nulls=True -> `<=>` predicates: null keys match null keys
+    (frame.py:1026)."""
+    cu = load(spark, sf_dir, "customer")
+    seg = td.when(td.col("c_mktsegment") == "BUILDING").then(None) \
+        .otherwise(td.col("c_mktsegment"))
+    lhs = cu.with_columns(seg=seg).select("c_custkey", "seg")
+    rhs = (
+        cu.with_columns(seg=seg)
+        .select("seg").unique()
+        .with_columns(label=td.concat_str(td.lit("seg_"),
+                                          td.col("seg").fill_null("NULL")))
+    )
+    return lhs.join(rhs, on="seg", how="left", join_nulls=True) \
+        .select("c_custkey", "seg", "label").df
+
+
+@q(
+    "join_suffix_q",
+    """
+    SELECT a.o_orderkey, a.o_totalprice,
+           b.o_totalprice AS o_totalprice_right,
+           a.o_orderkey AS o_orderkey_right
+    FROM orders a JOIN orders b ON a.o_orderkey = b.o_orderkey
+    """,
+)
+def join_suffix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """coalesce=False keeps both key columns, right side suffixed
+    (frame.py:1025,1054)."""
+    od = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    out = od.join(od, on="o_orderkey", coalesce=False)
+    return out.select("o_orderkey", "o_totalprice",
+                      "o_totalprice_right", "o_orderkey_right").df
+
+
+@q(
+    "concat_relaxed",
+    """
+    SELECT k, CAST(v AS DOUBLE) AS v, src FROM (
+      SELECT o_orderkey AS k, o_totalprice AS v, 'o' AS src FROM orders
+      UNION ALL
+      SELECT l_orderkey AS k, CAST(l_linenumber AS DOUBLE) AS v, 'l' AS src
+      FROM lineitem)
+    """,
+)
+def concat_relaxed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """concat how=vertical_relaxed: int column relaxes to the double
+    supertype (functions/eager.py:23-115)."""
+    od = load(spark, sf_dir, "orders").select(
+        k=td.col("o_orderkey"), v=td.col("o_totalprice"), src=td.lit("o"))
+    li = load(spark, sf_dir, "lineitem").select(
+        k=td.col("l_orderkey"), v=td.col("l_linenumber"), src=td.lit("l"))
+    return td.concat([od, li], how="vertical_relaxed").df
+
+
+@q(
+    "concat_diag_relaxed",
+    """
+    SELECT k, x, CAST(NULL AS VARCHAR) AS y FROM
+      (SELECT o_orderkey AS k, o_totalprice AS x FROM orders)
+    UNION ALL
+    SELECT k, CAST(NULL AS DOUBLE) AS x, y FROM
+      (SELECT CAST(c_custkey AS BIGINT) AS k, c_mktsegment AS y FROM customer)
+    """,
+)
+def concat_diag_relaxed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ou = load(spark, sf_dir, "orders").select(k=td.col("o_orderkey"),
+                                              x=td.col("o_totalprice"))
+    cu = load(spark, sf_dir, "customer").select(k=td.col("c_custkey"),
+                                                y=td.col("c_mktsegment"))
+    return td.concat([ou, cu], how="diagonal_relaxed").select("k", "x", "y").df
+
+
+@q(
+    "math_extra",
+    """
+    SELECT p_partkey,
+           ROUND(cbrt(p_retailprice), 6) AS cbrt_price,
+           ROUND(p_retailprice / pow(10, floor(log10(abs(p_retailprice))) - 2)) *
+             pow(10, floor(log10(abs(p_retailprice))) - 2) AS sig3,
+           LEAST(p_size, 30) AS clip_hi,
+           GREATEST(p_size, 5) AS clip_lo,
+           ROUND((exp(p_size / 25.0) - exp(-p_size / 25.0)) / 2, 6) AS sh,
+           ROUND((exp(p_size / 25.0) + exp(-p_size / 25.0)) / 2, 6) AS ch,
+           ROUND((exp(p_size / 25.0) - exp(-p_size / 25.0))
+                 / (exp(p_size / 25.0) + exp(-p_size / 25.0)), 6) AS th,
+           ROUND(ln(1 + p_retailprice), 6) AS log1p_price,
+           ROUND(log2(p_size), 6) AS log2_size
+    FROM part
+    """,
+)
+def math_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pt = load(spark, sf_dir, "part")
+    price, size = td.col("p_retailprice"), td.col("p_size")
+    out = pt.select(
+        "p_partkey",
+        cbrt_price=price.cbrt().round(6),
+        sig3=price.round_sig_figs(3),
+        clip_hi=size.clip(upper_bound=30),
+        clip_lo=size.clip(lower_bound=5),
+        sh=(size / 25.0).sinh().round(6),
+        ch=(size / 25.0).cosh().round(6),
+        th=(size / 25.0).tanh().round(6),
+        log1p_price=price.log1p().round(6),
+        log2_size=size.log(2).round(6),
+    )
+    return out.df
+
+
+@q(
+    "str_advanced",
+    """
+    SELECT p_partkey,
+           CAST(regexp_extract(p_brand, '#(\\d+)', 1) AS BIGINT) AS brand_num,
+           (p_name LIKE '%red%' OR p_name LIKE '%blue%') AS has_color,
+           replace(replace(p_name, 'red', 'crimson'), 'blue', 'azure') AS recolored,
+           CASE WHEN starts_with(p_brand, 'Brand') THEN substr(p_brand, 6) ELSE p_brand END AS no_prefix,
+           CASE WHEN ends_with(p_type, 'DARD') THEN substr(p_type, 1, length(p_type) - 4) ELSE p_type END AS no_suffix,
+           rpad(p_brand, 12, '.') AS padded,
+           CASE WHEN strpos(p_name, 'o') > 0 THEN strpos(p_name, 'o') - 1 END AS find_o,
+           length(p_name) - length(replace(p_name, 'e', '')) AS n_e,
+           array_to_string(list_transform(string_split(p_name, ' '),
+                           x -> upper(x[1]) || x[2:]), ' ') AS title
+    FROM part
+    """,
+)
+def str_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pt = load(spark, sf_dir, "part")
+    name, brand, ptype = td.col("p_name"), td.col("p_brand"), td.col("p_type")
+    out = pt.select(
+        "p_partkey",
+        brand_num=brand.str.extract(r"#(\d+)", 1).str.to_integer().cast("long"),
+        has_color=name.str.contains_any(["red", "blue"]),
+        recolored=name.str.replace_many({"red": "crimson", "blue": "azure"}),
+        no_prefix=brand.str.strip_prefix("Brand"),
+        no_suffix=ptype.str.strip_suffix("DARD"),
+        padded=brand.str.pad_end(12, "."),
+        find_o=name.str.find("o", literal=True).cast("int"),
+        n_e=name.str.count_matches("e", literal=True).cast("long"),
+        title=name.str.to_titlecase(),
+    )
+    return out.df
+
+
+@q(
+    "business_days",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) + INTERVAL (
+             CASE isodow(o_orderdate)
+               WHEN 1 THEN 3 WHEN 2 THEN 3 WHEN 3 THEN 5 WHEN 4 THEN 5
+               WHEN 5 THEN 5 WHEN 6 THEN 4 WHEN 7 THEN 3 END) DAY AS plus3bd,
+           CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
+           CAST(date_trunc('quarter', o_orderdate) AS DATE) AS q_start
+    FROM orders
+    """,
+)
+def business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """add_business_days as a pure when-chain expression (no UDF); oracle
+    encodes the equivalent weekday->offset map."""
+    od = load(spark, sf_dir, "orders")
+    d = td.col("o_orderdate")
+    out = od.select(
+        "o_orderkey",
+        plus3bd=d.dt.add_business_days(3).cast("timestamp"),
+        week_start=d.dt.truncate("1w").cast("date"),
+        q_start=d.dt.truncate("1q").cast("date"),
+    )
+    return out.df
+
+
+@q(
+    "rank_methods",
+    """
+    SELECT o_orderkey,
+           rank() OVER (ORDER BY o_orderpriority) AS rk_min,
+           rank() OVER (ORDER BY o_orderpriority)
+             + count(*) OVER (PARTITION BY o_orderpriority) - 1 AS rk_max,
+           (2.0 * rank() OVER (ORDER BY o_orderpriority)
+             + count(*) OVER (PARTITION BY o_orderpriority) - 1) / 2.0 AS rk_avg,
+           dense_rank() OVER (ORDER BY o_orderpriority) AS rk_dense
+    FROM orders
+    """,
+)
+def rank_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load(spark, sf_dir, "orders")
+    p = td.col("o_orderpriority")
+    out = od.select(
+        "o_orderkey",
+        rk_min=p.rank("min").cast("long"),
+        rk_max=p.rank("max").cast("long"),
+        rk_avg=p.rank("average"),
+        rk_dense=p.rank("dense").cast("long"),
+    )
+    return out.df
+
+
+@q(
+    "udf_element_tier",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 300000 THEN 'high'
+                WHEN o_totalprice >= 100000 THEN 'mid'
+                ELSE 'low' END AS tier,
+           CAST(round(o_totalprice / 1000.0, 0) AS BIGINT) AS k_price
+    FROM orders
+    """,
+)
+def udf_element_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elementwise (on_element) UDF path — rows iterated inside the Arrow
+    batch (udf/function.py:213-254)."""
+    class Tier(td.UDF):
+        output_columns = [("tier", "string"), ("k_price", "long")]
+
+        def on_element(self, price):
+            tier = "high" if price >= 300000 else ("mid" if price >= 100000 else "low")
+            return [tier, int(round(price / 1000.0))]
+
+    od = load(spark, sf_dir, "orders")
+    out = od.udf(td.col("o_totalprice"), Tier()) \
+        .select("o_orderkey", "tier", "k_price")
+    return out.df

@@ -968,7 +968,7 @@ class ExprDateTimeNameSpace:
         return self._new(F.lit(0))
 
 
-_DURATION_RE = _re.compile(r"(-?\d+)(mo|ns|us|ms|[smhdwy])")
+_DURATION_RE = _re.compile(r"(-?\d+)(mo|ns|us|ms|[smhdwyq])")
 
 
 def _parse_offset(by: str) -> tuple[int, int, int]:
@@ -978,6 +978,8 @@ def _parse_offset(by: str) -> tuple[int, int, int]:
         v = int(num)
         if unit == "y":
             months += 12 * v
+        elif unit == "q":
+            months += 3 * v
         elif unit == "mo":
             months += v
         elif unit == "w":
@@ -1006,6 +1008,7 @@ def _duration_to_trunc_unit(every: str) -> str:
     unit = m.group(2)
     return {
         "y": "year",
+        "q": "quarter",
         "mo": "month",
         "w": "week",
         "d": "day",
