@@ -16,16 +16,31 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    # TPC-H-shaped relational suite
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "q4_order_priority",
     "q5_local_supplier",
     "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
     "q10_returned_items",
+    "q12_priority_counts",
+    "q14_promo_revenue",
+    "q16_supplier_cnt",
+    "q18_large_volume",
+    "q19_disjunctive",
+    "q22_idle_customers",
+    # operator/pipeline shapes
     "segment_revenue",
     "rank_window",
     "events_hourly",
+    "sessionize",
+    "topk_per_group",
     "udf_charge",
     "unique_rows",
+    # LLM-pipeline operators
     "text_quality",
     "dedup_minhash_pairs",
     "embed_topk",

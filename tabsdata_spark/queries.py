@@ -1435,15 +1435,16 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = load(spark, sf_dir, "orders").filter(
         (td.col("o_orderdate") >= td.lit("1996-07-01").cast("timestamp"))
         & (td.col("o_orderdate") < td.lit("1996-10-01").cast("timestamp")))
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
-    qualifying = (
-        od.select("o_orderkey", "o_orderdate")
-        .join(li, left_on="o_orderkey", right_on="l_orderkey")
-        .filter(td.col("l_shipdate") > td.col("o_orderdate"))
-        .select("o_orderkey").unique()
+    # EXISTS(shipdate > orderdate) == max(shipdate) per order > orderdate:
+    # one map-side-combined agg over lineitem instead of join+distinct+semi
+    li_max = (
+        load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+        .group_by("l_orderkey")
+        .agg(max_ship=td.col("l_shipdate").max())
     )
     out = (
-        od.join(qualifying, on="o_orderkey", how="semi")
+        od.join(li_max, left_on="o_orderkey", right_on="l_orderkey")
+        .filter(td.col("max_ship") > td.col("o_orderdate"))
         .group_by("o_orderpriority")
         .agg(order_count=td.col("o_orderpriority").len())
         .sort("o_orderpriority")
