@@ -58,8 +58,13 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = registry.queries()
-    # warm the JVM + parquet footers once with the flagship query
-    qs["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # Warm-up pass: run every headline query once untimed.  First execution
+    # pays one-time costs that are not query work — JVM JIT + whole-stage
+    # codegen compilation, parquet footer reads, and Python-worker process
+    # spawn for pandas_udf stages (workers are reused afterwards).  The timed
+    # pass below measures steady-state engine throughput.
+    for name in HEADLINE:
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
