@@ -2053,3 +2053,79 @@ def udf_element_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = od.udf(td.col("o_totalprice"), Tier()) \
         .select("o_orderkey", "tier", "k_price")
     return out.df
+
+
+# ===========================================================================
+# coverage batch 5: native event-time windowing (batch forms of the
+# streaming operators in tabsdata_spark/streaming/bus.py)
+# ===========================================================================
+@q(
+    "session_window_native",
+    """
+    WITH marked AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS mts,
+             CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL THEN 1
+                  WHEN date_diff('second', lag(CAST(ts AS TIMESTAMP)) OVER w,
+                                 CAST(ts AS TIMESTAMP)) >= 1800 THEN 1
+                  ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    ),
+    sess AS (
+      SELECT user_id, mts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY mts
+                  ROWS UNBOUNDED PRECEDING) AS sno
+      FROM marked)
+    SELECT user_id,
+           CAST(MIN(mts) AS TIMESTAMP) AS session_start,
+           CAST(MAX(mts) AS TIMESTAMP) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sno
+    """,
+)
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native session_window (gap-merge) in batch mode — the exact
+    operator the streaming bus uses with a watermark; state is bounded per
+    (user, open session) at scale."""
+    ev = load_events(spark, sf_dir).df
+    out = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return out
+
+
+@q(
+    "sliding_window_events",
+    """
+    WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS mts, value FROM events),
+    slid AS (
+      SELECT date_trunc('hour', mts) AS window_start, value FROM e
+      UNION ALL
+      SELECT date_trunc('hour', mts) - INTERVAL 1 HOUR AS window_start, value
+      FROM e)
+    SELECT window_start,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM slid GROUP BY window_start
+    """,
+)
+def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (2h window, 1h slide) — each event lands in two
+    windows; Spark expands then partially aggregates before the shuffle."""
+    ev = load_events(spark, sf_dir).df
+    out = (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total"),
+        )
+        .select(F.col("window.start").alias("window_start"), "n", "total")
+    )
+    return out

@@ -116,3 +116,16 @@ def test_global_agg_empty_groupby(spark):
     tf = td.TableFrame.from_dict(spark, {"x": [1, 2, 3]})
     out = tf.group_by().agg(s=td.col("x").sum(), n=td.col("x").len())
     assert out.first_row() == (6, 3)
+
+
+def test_approx_count_distinct_tolerance(spark, sf_dir):
+    """approx_count_distinct is the 100TB path for n_unique; verify it lands
+    within the configured rsd of the exact count."""
+    import pyspark.sql.functions as F
+
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    exact, approx = df.select(
+        F.countDistinct("o_custkey").alias("e"),
+        F.approx_count_distinct("o_custkey", 0.02).alias("a"),
+    ).first()
+    assert abs(approx - exact) / exact < 0.1

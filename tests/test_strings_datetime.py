@@ -207,3 +207,17 @@ def test_duration_totals(spark):
     assert d["hh"] == [60]
     assert d["mm"] == [3600]
     assert d["ss"] == [216000]
+
+
+def test_quarter_unit(spark):
+    ts = dt.datetime(2024, 8, 15, 10, 30)
+    tf = td.TableFrame.from_dict(spark, {"t": [ts]})
+    d = sel(
+        tf,
+        tq=td.col("t").dt.truncate("1q"),
+        oq=td.col("t").dt.offset_by("1q"),
+        oyq=td.col("t").dt.offset_by("1y1q"),
+    )
+    assert d["tq"][0] == dt.datetime(2024, 7, 1)
+    assert d["oq"][0] == dt.datetime(2024, 11, 15, 10, 30)
+    assert d["oyq"][0] == dt.datetime(2025, 11, 15, 10, 30)
