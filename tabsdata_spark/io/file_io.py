@@ -130,7 +130,11 @@ class FileSource:
                 cutoff = dt.datetime.fromisoformat(self.initial_last_modified).timestamp()
             else:
                 cutoff = self.initial_last_modified.timestamp()
-        kept = [p for p, m in expanded if cutoff is None or m > cutoff]
+        # compare at microsecond granularity: the ISO offset string only
+        # carries µs, so a raw float compare would re-ingest the newest file
+        # forever (its ns-precision mtime is > the truncated cutoff)
+        us = lambda t: int(t * 1_000_000)
+        kept = [p for p, m in expanded if cutoff is None or us(m) > us(cutoff)]
         max_m = max((m for _, m in expanded), default=None)
         new_offset = (
             dt.datetime.fromtimestamp(max_m, dt.timezone.utc).isoformat()

@@ -68,11 +68,17 @@ def stream_dedup(stream: DataFrame, keys: list[str], ts_col: str,
 
 def stream_to_table(stream: DataFrame, store: TableStore, collection: str,
                     table: str, checkpoint_dir: str,
-                    available_now: bool = True) -> StreamingQuery:
+                    available_now: bool = True,
+                    output_mode: str = "append") -> StreamingQuery:
     """Sink a stream into the versioned table store: each micro-batch
     becomes one committed table version (atomic, pub/sub-visible).
     `available_now=True` reproduces the reference's trigger-when-asked
-    batch semantics; False runs continuously."""
+    batch semantics; False runs continuously.
+
+    For watermarked aggregations use output_mode='update': append mode
+    holds a window back until the watermark passes its end, and in an
+    availableNow run the watermark only advances on the *next* batch — the
+    final windows would never be emitted."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -80,6 +86,7 @@ def stream_to_table(stream: DataFrame, store: TableStore, collection: str,
         store.write(batch_df, collection, table)
 
     writer = (stream.writeStream.foreachBatch(write_batch)
+              .outputMode(output_mode)
               .option("checkpointLocation", checkpoint_dir))
     if available_now:
         writer = writer.trigger(availableNow=True)
