@@ -1,0 +1,72 @@
+"""Skew- and scale-management utilities.
+
+AQE (enabled in session.py) already handles the common cases: runtime
+broadcast upgrades, post-shuffle coalescing, and sort-merge skew-join
+splitting.  The helpers here cover the cases AQE cannot fix:
+
+- `salted_join`: a shuffled join where one key dominates (AQE's skew split
+  only works for sort-merge; shuffled-hash builds on the skewed side still
+  OOM).  Salting fans the hot key out over `salt` sub-partitions by
+  replicating the SMALL side `salt` times — total shuffle grows by
+  |small| * (salt-1), but no single task sees the whole hot key.
+- `two_phase_count_distinct`: COUNT(DISTINCT x) per key shuffles every
+  (key, x) pair to one task per key; a skewed key concentrates its whole
+  distinct set on one task.  Phase 1 dedups on (key, x) — Spark plans a
+  partial (map-side) dedup — phase 2 counts per key; the hot key's work is
+  spread across as many tasks as it has distinct values.
+
+Both are semantics-preserving rewrites: results are identical to the
+direct form (tests assert equality on the synthetic tables).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def salted_join(big: DataFrame, small: DataFrame, on: list[str] | str,
+                how: str = "inner", salt: int = 16) -> DataFrame:
+    """Equi-join robust to heavy key skew on `big`.
+
+    `big` rows get a uniform random salt in [0, salt); `small` is exploded
+    to all `salt` values, so every (key, salt) bucket can join locally.
+    Use when one key holds >~1% of `big` and the join must shuffle (small
+    side too large to broadcast).  `how` is restricted to inner/left —
+    right/full would need the salt on the other side.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left (salt the big side)")
+    keys = [on] if isinstance(on, str) else list(on)
+    bs = big.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
+    ss = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    joined = bs.join(ss, keys + ["__salt"], how)
+    return joined.drop("__salt")
+
+
+def two_phase_count_distinct(df: DataFrame, keys: list[str] | str,
+                             col: str, out_name: str = "n_distinct") -> DataFrame:
+    """COUNT(DISTINCT col) GROUP BY keys, skew-proof.
+
+    Phase 1 (dedup on keys+col) gets map-side partial aggregation, so a hot
+    key's distinct set is reduced in parallel before any single-task step;
+    phase 2 is a cheap count of already-unique rows.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    return (
+        df.select(*keys, col).dropDuplicates(keys + [col])
+        .groupBy(*keys).agg(F.count(F.lit(1)).alias(out_name))
+    )
+
+
+def repartition_for_join(df: DataFrame, keys: list[str] | str,
+                         num_partitions: int | None = None) -> DataFrame:
+    """Pre-partition on the join keys so repeated joins against the same
+    keys reuse one exchange (Catalyst recognizes the co-partitioning and
+    elides the second shuffle)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    cols = [F.col(k) for k in keys]
+    return df.repartition(num_partitions, *cols) if num_partitions \
+        else df.repartition(*cols)

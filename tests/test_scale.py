@@ -1,0 +1,49 @@
+"""Skew utilities: semantics-preserving vs the direct forms."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from tabsdata_spark import scale
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
+        .select("l_orderkey", "l_partkey", "l_quantity")
+    pt = spark.read.parquet(f"{sf_dir}/part.parquet") \
+        .select("p_partkey", "p_brand").withColumnRenamed("p_partkey", "l_partkey")
+
+    plain = li.join(pt, "l_partkey").groupBy("p_brand") \
+        .agg(F.sum("l_quantity").alias("q")).collect()
+    salted = scale.salted_join(li, pt, "l_partkey", salt=8) \
+        .groupBy("p_brand").agg(F.sum("l_quantity").alias("q")).collect()
+    assert sorted((r.p_brand, r.q) for r in plain) == \
+           sorted((r.p_brand, r.q) for r in salted)
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    big = spark.createDataFrame([(1, "a"), (2, "b"), (99, "z")], ["k", "v"])
+    small = spark.createDataFrame([(1, "x"), (2, "y")], ["k", "w"])
+    out = scale.salted_join(big, small, "k", how="left", salt=4).collect()
+    got = sorted((r.k, r.v, r.w) for r in out)
+    assert got == [(1, "a", "x"), (2, "b", "y"), (99, "z", None)]
+
+
+def test_two_phase_count_distinct_matches(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    direct = li.groupBy("l_returnflag") \
+        .agg(F.countDistinct("l_partkey").alias("n_distinct")).collect()
+    two = scale.two_phase_count_distinct(li, "l_returnflag", "l_partkey").collect()
+    assert sorted((r.l_returnflag, r.n_distinct) for r in direct) == \
+           sorted((r.l_returnflag, r.n_distinct) for r in two)
+
+
+def test_repartition_reuses_exchange(spark, sf_dir):
+    li = scale.repartition_for_join(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"), "l_orderkey", 8)
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+    j = li.join(od, "l_orderkey")
+    # the pre-partitioned side must not be re-shuffled for the join
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning(l_orderkey") <= 2
