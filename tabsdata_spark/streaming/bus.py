@@ -109,3 +109,32 @@ def process_new_versions(spark: SparkSession, store: TableStore,
         store.meta.set_offset(collection, f"__stream__{state_key}",
                               "version_idx", idx)
     return max(0, len(hist) - start)
+
+
+def stateful_running_totals(stream: DataFrame, key: str, value_col: str,
+                            output_mode: str = "update") -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-key running
+    count/sum maintained across micro-batches in the state store.
+
+    This is the template for operators Spark lacks natively — the state is
+    one small tuple per key (bounded memory; keys partition across
+    executors), updates are Arrow-batched per group, and the operator
+    composes with watermarks/timeouts for eviction at scale."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "k long, n long, total double"
+    state_schema = "n long, total double"
+
+    def update(key_tuple, pdf_iter, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"k": [key_tuple[0]], "n": [n], "total": [total]})
+
+    return (stream.groupBy(F.col(key))
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    output_mode,
+                                    GroupStateTimeout.NoTimeout))

@@ -116,3 +116,32 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
           .trigger(availableNow=True).start())
     qy.awaitTermination(120)
     assert sorted(out) == [1, 2]
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    """applyInPandasWithState: state persists across micro-batches."""
+    src = tmp_path / "in3"
+    src.mkdir()
+    spark.createDataFrame([(1, 1.0), (1, 2.0), (2, 5.0)], ["user", "v"]) \
+        .coalesce(1).write.mode("overwrite").parquet(str(src / "batch1"))
+
+    def run_once():
+        stream = bus.stream_file_source(
+            spark, str(src / "*"), "user long, v double")
+        out = bus.stateful_running_totals(stream, "user", "v")
+        rows = []
+        qy = (out.writeStream.outputMode("update")
+              .foreachBatch(lambda b, i: rows.extend(
+                  (r.k, r.n, r.total) for r in b.collect()))
+              .option("checkpointLocation", str(tmp_path / "ckpt3"))
+              .trigger(availableNow=True).start())
+        qy.awaitTermination(120)
+        return rows
+
+    first = run_once()
+    assert sorted(first) == [(1, 2, 3.0), (2, 1, 5.0)]
+    # second batch arrives; state carries the running totals forward
+    spark.createDataFrame([(1, 10.0)], ["user", "v"]).coalesce(1) \
+        .write.mode("overwrite").parquet(str(src / "batch2"))
+    second = run_once()
+    assert sorted(second) == [(1, 3, 13.0)]
