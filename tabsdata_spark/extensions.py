@@ -1,0 +1,64 @@
+"""Operators beyond the reference surface.
+
+The reference deliberately blocks `join_asof` (SURVEY §2.2,
+_utils/tableframe/_constants.py:52-82) — its single-process Polars engine
+would handle it, but the API never exposed it.  Pipelines need it, so it is
+provided here as an *extension*, built Spark-first.
+
+`asof_join` uses the union + forward-fill formulation instead of a pandas
+merge_asof per group: both sides are tagged and unioned, one shuffle
+partitions by the `by` keys, and a running `last(value, ignorenulls=True)`
+window carries each right row onto the left rows that follow it in event
+order.  Cost at scale: ONE shuffle + ONE sort, all JVM-side, no Python
+boundary, no per-group pandas materialization — the standard way to make
+as-of joins survive 100 TB inputs.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.window import Window
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str,
+              by: list[str] | str | None = None,
+              strategy: str = "backward", suffix: str = "_right") -> DataFrame:
+    """For every left row, attach the right row with the largest `on` value
+    <= left's (`strategy='backward'`, inclusive) or the smallest >= left's
+    (`'forward'`).  Unmatched left rows keep nulls (left-join semantics).
+
+    `by` keys partition the match (and the shuffle).  Right columns that
+    clash with left names get `suffix`.
+    """
+    if strategy not in ("backward", "forward"):
+        raise ValueError(f"unknown asof strategy: {strategy}")
+    by = [by] if isinstance(by, str) else list(by or [])
+
+    rval_cols = [c for c in right.columns if c != on and c not in by]
+    out_names = {c: (c + suffix if c in left.columns else c) for c in rval_cols}
+    ron = on + suffix if on in left.columns else on
+
+    packed = F.struct(F.col(on).alias(ron),
+                      *[F.col(c).alias(out_names[c]) for c in rval_cols])
+    r2 = right.select(*by, F.col(on).alias("__ts"), F.lit(0).alias("__side"),
+                      packed.alias("__rv"))
+    l2 = left.select("*", F.col(on).alias("__ts"), F.lit(1).alias("__side"),
+                     F.lit(None).cast(r2.schema["__rv"].dataType).alias("__rv"))
+    unioned = l2.unionByName(r2, allowMissingColumns=True)
+
+    if strategy == "backward":
+        # right (side 0) sorts before left at equal ts -> inclusive match
+        order = [F.col("__ts").asc(), F.col("__side").asc()]
+    else:
+        order = [F.col("__ts").desc(), F.col("__side").asc()]
+    w = (Window.partitionBy(*[F.col(k) for k in by]).orderBy(*order)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+
+    filled = unioned.withColumn("__m", F.last("__rv", ignorenulls=True).over(w))
+    out = filled.filter(F.col("__side") == 1)
+    keep = [c for c in left.columns]
+    proj = [F.col(c) for c in keep]
+    proj.append(F.col(f"__m.{ron}").alias(ron))
+    proj += [F.col(f"__m.{out_names[c]}").alias(out_names[c]) for c in rval_cols]
+    return out.select(*proj)

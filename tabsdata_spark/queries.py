@@ -2129,3 +2129,29 @@ def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("window.start").alias("window_start"), "n", "total")
     )
     return out
+
+
+@q(
+    "asof_join_events",
+    """
+    SELECT l.event_id, l.user_id, CAST(l.ts AS TIMESTAMP) AS ts,
+           CAST(r.ts AS TIMESTAMP) AS view_ts, r.event_id AS view_event
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (extension; blocked in the reference API): every click
+    matched to the user's most recent prior view.  Union + forward-fill —
+    one shuffle on user_id, one sort, no Python (extensions.py)."""
+    from tabsdata_spark.extensions import asof_join
+
+    ev = load_events(spark, sf_dir).df
+    clicks = ev.filter(F.col("event_type") == "click") \
+        .select("event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view") \
+        .select(F.col("event_id").alias("view_event"), "user_id", "ts")
+    out = asof_join(clicks, views, on="ts", by="user_id")
+    return out.select("event_id", "user_id", "ts",
+                      F.col("ts_right").alias("view_ts"), "view_event")

@@ -1,0 +1,47 @@
+"""asof_join extension: backward/forward, equal-ts inclusivity, suffixes."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+
+from tabsdata_spark.extensions import asof_join
+
+
+def _t(m):
+    return dt.datetime(2024, 1, 1, 0, m)
+
+
+def test_asof_backward_basic(spark):
+    quotes = spark.createDataFrame(
+        [("A", _t(0), 10.0), ("A", _t(5), 11.0), ("B", _t(3), 20.0)],
+        ["sym", "ts", "px"])
+    trades = spark.createDataFrame(
+        [("A", _t(4), 100), ("A", _t(5), 200), ("A", _t(7), 300),
+         ("B", _t(1), 400), ("B", _t(9), 500)],
+        ["sym", "ts", "qty"])
+    out = asof_join(trades, quotes, on="ts", by="sym")
+    got = {(r.sym, r.qty): r.px for r in out.collect()}
+    assert got == {("A", 100): 10.0,   # last quote at or before t4 is t0
+                   ("A", 200): 11.0,   # equal ts matches (inclusive)
+                   ("A", 300): 11.0,
+                   ("B", 400): None,   # no quote yet -> left-join null
+                   ("B", 500): 20.0}
+
+
+def test_asof_forward(spark):
+    right = spark.createDataFrame([(1, _t(5), "x")], ["k", "ts", "v"])
+    left = spark.createDataFrame(
+        [(1, _t(3)), (1, _t(5)), (1, _t(7))], ["k", "ts"])
+    out = asof_join(left, right, on="ts", by="k", strategy="forward")
+    got = {r.ts: r.v for r in out.collect()}
+    assert got == {_t(3): "x", _t(5): "x", _t(7): None}
+
+
+def test_asof_suffix_and_no_by(spark):
+    left = spark.createDataFrame([(_t(2), "l")], ["ts", "v"])
+    right = spark.createDataFrame([(_t(1), "r")], ["ts", "v"])
+    out = asof_join(left, right, on="ts")
+    row = out.first()
+    assert row.v == "l" and row.v_right == "r" and row.ts_right == _t(1)
