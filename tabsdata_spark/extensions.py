@@ -62,3 +62,46 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     proj.append(F.col(f"__m.{ron}").alias(ron))
     proj += [F.col(f"__m.{out_names[c]}").alias(out_names[c]) for c in rval_cols]
     return out.select(*proj)
+
+
+def range_join(left: DataFrame, right: DataFrame, left_on: str,
+               right_start: str, right_end: str,
+               by: list[str] | str | None = None,
+               bucket: str = "1 day", how: str = "inner") -> DataFrame:
+    """Interval-containment join: left rows where
+    `right_start <= left_on <= right_end`.
+
+    Spark has no native range join; the naive form is a cross join +
+    filter.  This bucketizes time into fixed windows: each right interval
+    explodes into the buckets it covers, each left row lands in exactly one
+    bucket, and the match becomes an equi-join on (by, bucket) + a residual
+    BETWEEN filter.  Shuffle volume is |left| + |right| * avg_buckets, not
+    |left| * |right|; no duplicate pairs arise because a left row has one
+    bucket.  `bucket` should approximate the typical interval length.
+    """
+    by = [by] if isinstance(by, str) else list(by or [])
+    width_us = _interval_micros(bucket)
+
+    lb = (F.unix_micros(F.col(left_on).cast("timestamp")) / width_us).cast("long")
+    l2 = left.withColumn("__b", lb)
+    rs = (F.unix_micros(F.col(right_start).cast("timestamp")) / width_us).cast("long")
+    re_ = (F.unix_micros(F.col(right_end).cast("timestamp")) / width_us).cast("long")
+    r2 = right.withColumn("__b", F.explode(F.sequence(rs, re_)))
+
+    cond = [l2["__b"] == r2["__b"]] + [l2[k] == r2[k] for k in by]
+    joined = l2.join(r2, cond, how)
+    joined = joined.filter(
+        F.col(left_on).between(F.col(right_start), F.col(right_end))
+        if how == "inner" else
+        (F.col(right_start).isNull()
+         | F.col(left_on).between(F.col(right_start), F.col(right_end))))
+    keep = [l2[c] for c in left.columns] + \
+           [r2[c] for c in right.columns if c not in by and c != "__b"]
+    return joined.select(*keep)
+
+
+def _interval_micros(s: str) -> int:
+    n, unit = s.split()
+    mult = {"second": 1_000_000, "minute": 60_000_000, "hour": 3_600_000_000,
+            "day": 86_400_000_000}[unit.rstrip("s")]
+    return int(n) * mult

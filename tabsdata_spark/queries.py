@@ -2155,3 +2155,35 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = asof_join(clicks, views, on="ts", by="user_id")
     return out.select("event_id", "user_id", "ts",
                       F.col("ts_right").alias("view_ts"), "view_event")
+
+
+@q(
+    "range_join_events",
+    """
+    SELECT s.user_id, s.event_id AS signup_event, c.event_id AS click_event,
+           CAST(c.ts AS TIMESTAMP) AS click_ts
+    FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS s_start,
+                 CAST(ts AS TIMESTAMP) + INTERVAL 1 DAY AS s_end
+          FROM events WHERE event_type = 'signup') s
+    JOIN (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = 'click') c
+      ON s.user_id = c.user_id AND c.ts BETWEEN s.s_start AND s.s_end
+    """,
+)
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (extension): clicks within 1 day after each signup.
+    Bucketized equi-join — shuffle is linear in rows, not the cross
+    product (extensions.py:range_join)."""
+    from tabsdata_spark.extensions import range_join
+
+    ev = load_events(spark, sf_dir).df
+    signups = (ev.filter(F.col("event_type") == "signup")
+               .select("user_id", F.col("event_id").alias("signup_event"),
+                       F.col("ts").alias("s_start"),
+                       (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("s_end")))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("user_id", F.col("event_id").alias("click_event"),
+                      F.col("ts").alias("click_ts")))
+    out = range_join(clicks, signups, "click_ts", "s_start", "s_end",
+                     by="user_id")
+    return out.select("user_id", "signup_event", "click_event", "click_ts")

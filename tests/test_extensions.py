@@ -45,3 +45,21 @@ def test_asof_suffix_and_no_by(spark):
     out = asof_join(left, right, on="ts")
     row = out.first()
     assert row.v == "l" and row.v_right == "r" and row.ts_right == _t(1)
+
+
+def test_range_join_matches_cross_filter(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    signups = (ev.filter(F.col("event_type") == "signup")
+               .select("user_id", F.col("ts").alias("s_start"),
+                       (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("s_end")))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("user_id", F.col("ts").alias("cts"),
+                      F.col("event_id").alias("ce")))
+
+    from tabsdata_spark.extensions import range_join
+    fast = range_join(clicks, signups, "cts", "s_start", "s_end", by="user_id")
+    naive = (clicks.join(signups, "user_id")
+             .filter(F.col("cts").between(F.col("s_start"), F.col("s_end"))))
+    assert fast.count() == naive.count() > 0
