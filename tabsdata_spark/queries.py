@@ -2187,3 +2187,96 @@ def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = range_join(clicks, signups, "click_ts", "s_start", "s_end",
                      by="user_id")
     return out.select("user_id", "signup_event", "click_event", "click_ts")
+
+
+@q(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: scalar MAX over a derived view -> whole-column window max
+    (no second scan of lineitem, no self-join)."""
+    from pyspark.sql.window import Window
+
+    li = load(spark, sf_dir, "lineitem").filter(
+        (td.col("l_shipdate") >= td.lit("1996-01-01").cast("timestamp"))
+        & (td.col("l_shipdate") < td.lit("1996-04-01").cast("timestamp")))
+    rev = (
+        li.group_by("l_suppkey")
+        .agg(total_revenue=(_dec(td.col("l_extendedprice"))
+                            * (1 - _dec(td.col("l_discount")))).sum().cast("double"))
+    ).df
+    top = rev.withColumn("__mx", F.max("total_revenue").over(Window.partitionBy())) \
+        .filter(F.col("total_revenue") == F.col("__mx")).drop("__mx")
+    su = load(spark, sf_dir, "supplier").df.select("s_suppkey", "s_name")
+    return (su.join(top, su.s_suppkey == top.l_suppkey)
+            .select("s_suppkey", "s_name", "total_revenue")
+            .orderBy("s_suppkey"))
+
+
+@q(
+    "q17_small_quantity",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+             AS avg_yearly,
+           COUNT(*) AS n
+    FROM lineitem l
+    JOIN (SELECT l_partkey AS pk, 0.2 * AVG(l_quantity) AS lim
+          FROM lineitem GROUP BY l_partkey) t ON l.l_partkey = t.pk
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23' AND l.l_quantity < t.lim
+    """,
+)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: correlated AVG subquery -> pre-aggregated join.  The
+    per-part threshold aggregates once (map-side combined) instead of
+    re-computing per outer row."""
+    li = load(spark, sf_dir, "lineitem")
+    lim = (
+        li.group_by("l_partkey")
+        .agg(lim=td.col("l_quantity").mean() * 0.2)
+        .rename({"l_partkey": "pk"})
+    )
+    pt = load(spark, sf_dir, "part").filter(td.col("p_brand") == "Brand#23") \
+        .select("p_partkey")
+    out = (
+        li.join(lim, left_on="l_partkey", right_on="pk")
+        .join(pt, left_on="l_partkey", right_on="p_partkey", how="semi")
+        .filter(td.col("l_quantity") < td.col("lim"))
+        .select(
+            avg_yearly=_dec(td.col("l_extendedprice")).sum().cast("double") / 7.0,
+            n=td.col("l_orderkey").len(),
+        )
+    )
+    return out.df
+
+
+@q(
+    "cube_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (extension; reference has no grouping sets).  Spark plans a
+    single-pass Expand + aggregate — no per-level re-scan."""
+    li = load(spark, sf_dir, "lineitem").df
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                 .cast("double").alias("sum_qty")))
