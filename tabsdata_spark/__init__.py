@@ -6,7 +6,7 @@ Public API mirrors the reference's `import tabsdata as td` surface:
 pub/sub decorators, and the connector classes.
 """
 
-from . import io, llm, scale, store, streaming
+from . import extensions, io, llm, scale, store, streaming
 from .io import (
     AzureDestination, AzureSource, CSVFormat, DestinationPlugin,
     FileDestination, FileSource, GCSDestination, GCSSource, LocalFileDestination,
