@@ -2280,3 +2280,58 @@ def cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (li.rollup("l_returnflag", "l_linestatus")
             .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
                  .cast("double").alias("sum_qty")))
+
+
+@q(
+    "median_by_group",
+    """
+    SELECT l_returnflag,
+           ROUND(median(l_quantity), 6) AS med_qty,
+           ROUND(median(l_extendedprice), 6) AS med_price
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def median_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median per group (Expr.median, expr.py:2524).  NOTE at 100 TB:
+    exact median is a full sort per group; percentile_approx is the scale
+    path when tolerance allows."""
+    li = load(spark, sf_dir, "lineitem")
+    out = (
+        li.group_by("l_returnflag")
+        .agg(
+            med_qty=td.col("l_quantity").median().round(6),
+            med_price=td.col("l_extendedprice").median().round(6),
+        )
+        .sort("l_returnflag")
+    )
+    return out.df
+
+
+@q(
+    "rolling_window_events",
+    """
+    SELECT user_id, event_id,
+           ROUND(AVG(value) OVER (PARTITION BY user_id
+                 ORDER BY CAST(ts AS TIMESTAMP), event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mov_avg,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (PARTITION BY user_id
+                 ORDER BY CAST(ts AS TIMESTAMP), event_id
+                 ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+    FROM events
+    """,
+)
+def rolling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling frame-spec windows (extension; the reference blocks
+    `rolling`).  One shuffle on user_id serves both frames."""
+    from pyspark.sql.window import Window
+
+    ev = load_events(spark, sf_dir).df
+    base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w3 = base.rowsBetween(-2, Window.currentRow)
+    wrun = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "user_id", "event_id",
+        F.round(F.avg("value").over(w3), 6).alias("mov_avg"),
+        F.sum(F.col("value").cast("decimal(18,4)")).over(wrun)
+         .cast("double").alias("running_total"),
+    )
