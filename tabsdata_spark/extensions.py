@@ -105,3 +105,40 @@ def _interval_micros(s: str) -> int:
     mult = {"second": 1_000_000, "minute": 60_000_000, "hour": 3_600_000_000,
             "day": 86_400_000_000}[unit.rstrip("s")]
     return int(n) * mult
+
+
+def hierarchical_rollup(df: DataFrame, ts_col: str, value_col: str,
+                        levels: tuple[str, ...] = ("hour", "day", "month"),
+                        by: list[str] | str | None = None) -> DataFrame:
+    """Multi-resolution time rollup (the hypertable-rollup pattern): the
+    finest level aggregates the raw rows ONCE; every coarser level
+    re-aggregates the previous level's (already tiny) output.  At 100 TB
+    the raw table is scanned exactly once regardless of how many
+    resolutions are materialized.
+
+    Sums run in DECIMAL so re-aggregating partial sums is exact.  Returns
+    one frame with a `resolution` tag, bucket start, count and sum.
+    """
+    by = [by] if isinstance(by, str) else list(by or [])
+    finest, *coarser = levels
+    cur = (
+        df.groupBy(*by, F.date_trunc(finest, F.col(ts_col)).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col(value_col).cast("decimal(18,4)")).alias("__s"))
+    )
+    # materialize the finest rollup: the union references it once per level
+    # and Spark does not re-use the exchange across union branches — without
+    # this the raw table would be scanned len(levels) times.  The cached
+    # set is the *aggregated* output (tiny), never the raw input.
+    cur = cur.persist()
+    out = cur.select(*by, F.lit(finest).alias("resolution"), "bucket",
+                     "n", F.col("__s").cast("double").alias("total"))
+    for lvl in coarser:
+        cur = (
+            cur.groupBy(*by, F.date_trunc(lvl, F.col("bucket")).alias("bucket"))
+            .agg(F.sum("n").alias("n"), F.sum("__s").alias("__s"))
+        )
+        out = out.unionByName(
+            cur.select(*by, F.lit(lvl).alias("resolution"), "bucket",
+                       "n", F.col("__s").cast("double").alias("total")))
+    return out

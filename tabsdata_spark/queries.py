@@ -2335,3 +2335,31 @@ def rolling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,4)")).over(wrun)
          .cast("double").alias("running_total"),
     )
+
+
+@q(
+    "hierarchical_rollup_events",
+    """
+    WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS mts,
+                      CAST(value AS DECIMAL(18,4)) AS v
+               FROM events),
+    h AS (SELECT date_trunc('hour', mts) AS bucket, COUNT(*) AS n, SUM(v) AS s
+          FROM e GROUP BY 1),
+    d AS (SELECT date_trunc('day', bucket) AS bucket, SUM(n) AS n, SUM(s) AS s
+          FROM h GROUP BY 1),
+    m AS (SELECT date_trunc('month', bucket) AS bucket, SUM(n) AS n, SUM(s) AS s
+          FROM d GROUP BY 1)
+    SELECT 'hour' AS resolution, bucket, n, CAST(s AS DOUBLE) AS total FROM h
+    UNION ALL
+    SELECT 'day', bucket, n, CAST(s AS DOUBLE) FROM d
+    UNION ALL
+    SELECT 'month', bucket, n, CAST(s AS DOUBLE) FROM m
+    """,
+)
+def hierarchical_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style rollup: raw events scanned once, coarser
+    resolutions re-aggregate the finer output (extensions.py)."""
+    from tabsdata_spark.extensions import hierarchical_rollup
+
+    ev = load_events(spark, sf_dir).df
+    return hierarchical_rollup(ev, "ts", "value")

@@ -63,3 +63,26 @@ def test_range_join_matches_cross_filter(spark, sf_dir):
     naive = (clicks.join(signups, "user_id")
              .filter(F.col("cts").between(F.col("s_start"), F.col("s_end"))))
     assert fast.count() == naive.count() > 0
+
+
+def test_hierarchical_rollup_single_scan(spark, sf_dir):
+    """Coarser levels must re-aggregate the finer output, not re-scan raw."""
+    from tabsdata_spark.extensions import hierarchical_rollup
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    out = hierarchical_rollup(ev, "ts", "value")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # every union branch must read the cached finest rollup, not raw files
+    # (the plan string repeats the cached relation's lineage, so count
+    # InMemoryTableScan branches rather than FileScan occurrences)
+    assert plan.count("InMemoryTableScan") >= 3
+    # totals agree across resolutions
+    import pyspark.sql.functions as Fn
+    tot = {r.resolution: (r.n, round(r.total, 4)) for r in
+           out.groupBy("resolution")
+              .agg(Fn.sum("n").alias("n"),
+                   Fn.sum(Fn.col("total").cast("decimal(18,4)"))
+                     .cast("double").alias("total")).collect()}
+    assert tot["hour"] == tot["day"] == tot["month"]
