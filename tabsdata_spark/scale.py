@@ -70,3 +70,23 @@ def repartition_for_join(df: DataFrame, keys: list[str] | str,
     cols = [F.col(k) for k in keys]
     return df.repartition(num_partitions, *cols) if num_partitions \
         else df.repartition(*cols)
+
+
+def write_bucketed(df: DataFrame, table_name: str, keys: list[str] | str,
+                   num_buckets: int = 32, sort_by: list[str] | str | None = None,
+                   mode: str = "overwrite") -> None:
+    """Persist as a bucketed (+ optionally sorted) catalog table.
+
+    Bucketing is the durable form of co-partitioning: two tables bucketed
+    on the same keys with the same bucket count join with NO exchange (and
+    with sort_by, no sort) — the win for fact tables joined repeatedly on
+    the same key at 100 TB.  Requires saveAsTable (bucket metadata lives in
+    the catalog, not in the parquet files)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    sort_by = ([sort_by] if isinstance(sort_by, str) else list(sort_by)) \
+        if sort_by else keys
+    (df.write.mode(mode)
+       .bucketBy(num_buckets, *keys)
+       .sortBy(*sort_by)
+       .format("parquet")
+       .saveAsTable(table_name))

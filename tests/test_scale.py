@@ -47,3 +47,27 @@ def test_repartition_reuses_exchange(spark, sf_dir):
     # the pre-partitioned side must not be re-shuffled for the join
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning(l_orderkey") <= 2
+
+
+def test_bucketed_join_no_exchange(spark, sf_dir, tmp_path):
+    """Tables bucketed on the join key must join without any shuffle."""
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    # force the shuffle path (broadcast would win on this small data and
+    # bypass bucketing — at 100 TB neither side broadcasts)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
+        .select("l_orderkey", "l_quantity")
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_totalprice")
+    scale.write_bucketed(li, "b_li", "l_orderkey", 8)
+    scale.write_bucketed(od, "b_od", "l_orderkey", 8)
+    try:
+        j = spark.table("b_li").join(spark.table("b_od"), "l_orderkey")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_li")
+        spark.sql("DROP TABLE IF EXISTS b_od")
