@@ -212,3 +212,36 @@ def test_version_bus_consumer(spark, tmp_path):
     n3 = process_new_versions(spark, store, "c", "t", "consumer1",
                               lambda df: seen.append(df.count()))
     assert n3 == 1 and len(seen) == 3
+
+
+def test_table_services_sample_schema_download(spark, tmp_path):
+    """REST-equivalent sample/download/schema services (SURVEY §3.3)."""
+    from tabsdata_spark.store import services
+    from tabsdata_spark.store.table_store import TableStore
+
+    store = TableStore(str(tmp_path / "store"))
+    df = spark.createDataFrame(
+        [(i, f"n{i}", float(i) * 1.5) for i in range(20)], ["id", "name", "v"])
+    store.write(df, "c1", "t1")
+
+    sch = services.table_schema(spark, store, "c1/t1")
+    assert sch == [{"name": "id", "type": "bigint"},
+                   {"name": "name", "type": "string"},
+                   {"name": "v", "type": "double"}]
+    assert not any(s["name"].startswith("$td.") for s in sch)
+
+    rows = services.sample_table(spark, store, "c1/t1@HEAD", offset=0, length=5)
+    assert len(rows) == 5 and set(rows[0]) == {"id", "name", "v"}
+
+    agg = services.sample_table(
+        spark, store, "c1/t1",
+        sql="SELECT COUNT(*) AS n, SUM(v) AS s FROM t1")
+    assert agg[0]["n"] == 20
+
+    csv_text = services.sample_table(spark, store, "c1/t1", length=3, fmt="csv")
+    assert csv_text.splitlines()[0] == "id,name,v"
+
+    out = services.download_table(spark, store, "c1/t1",
+                                  str(tmp_path / "dl"), fmt="csv")
+    back = spark.read.csv(out, header=True, inferSchema=True)
+    assert back.count() == 20
