@@ -324,3 +324,56 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def connected_components(edges: DataFrame, src: str = "id_a",
+                         dst: str = "id_b", max_iter: int = 20) -> DataFrame:
+    """Connected components by min-label propagation: each node repeatedly
+    adopts the smallest label among itself and its neighbors until a fixed
+    point.  Converges in O(component diameter) rounds; near-dup graphs are
+    overwhelmingly tiny star/chain clusters, so 3-5 rounds in practice.
+
+    Scale notes: every round is one shuffle-join on node id;
+    `localCheckpoint` truncates the growing lineage each round (the classic
+    iterative-Spark trap); convergence is detected with a count of changed
+    labels.  For billion-edge graphs swap in the large-star/small-star
+    variant — the API stays (edges in, (node, component) out).
+
+    Returns (node, component) where component = min node id reachable.
+    """
+    u, v = F.col(src).alias("u"), F.col(dst).alias("v")
+    sym = (edges.select(u, v)
+           .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+           .distinct())
+    labels = (sym.select(F.col("u").alias("node"))
+              .union(sym.select(F.col("v").alias("node"))).distinct()
+              .withColumn("label", F.col("node")))
+    labels = labels.localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        neigh = (sym.join(labels, sym.u == labels.node)
+                 .groupBy(sym.v.alias("node"))
+                 .agg(F.min("label").alias("nmin")))
+        new_labels = (labels.join(neigh, "node", "left")
+                      .select("node",
+                              F.least("label", F.coalesce("nmin", "label"))
+                               .alias("label")))
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.col("n.label") != F.col("o.label")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def dedup_by_components(df: DataFrame, pairs: DataFrame,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Transitive near-dup removal: keep the min-id representative of every
+    connected component of the candidate-pair graph (the correct semantics
+    when A~B and B~C but A!~C)."""
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("node") != F.col("component")) \
+        .select(F.col("node").alias(id_col))
+    return df.join(losers, on=id_col, how="left_anti")

@@ -2363,3 +2363,44 @@ def hierarchical_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_events(spark, sf_dir).df
     return hierarchical_rollup(ev, "ts", "value")
+
+
+@q(
+    "connected_components_docs",
+    """
+    WITH RECURSIVE e AS (
+      SELECT a.doc_id AS s, b.doc_id AS t
+      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      WHERE a.doc_id % 5 = 0
+      UNION ALL
+      SELECT a.doc_id + 1 AS s, a.doc_id + 2 AS t
+      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 2
+      WHERE a.doc_id % 10 = 0
+    ),
+    sym AS (SELECT s, t FROM e UNION SELECT t AS s, s AS t FROM e),
+    nodes AS (SELECT DISTINCT s AS n FROM sym),
+    walk(node, label) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT sym.t, walk.label FROM walk JOIN sym ON sym.s = walk.node
+    )
+    SELECT node AS doc_id, MIN(label) AS component
+    FROM walk GROUP BY node
+    """,
+)
+def connected_components_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over a candidate-pair graph (transitive dedup
+    clusters).  Oracle = DuckDB recursive CTE; Spark = iterative min-label
+    propagation with per-round lineage checkpoints (llm/dedup.py)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    ids = docs.select(F.col("doc_id").alias("id"))
+    e1 = (docs.filter(F.col("doc_id") % 5 == 0)
+          .select(F.col("doc_id").alias("id_a"),
+                  (F.col("doc_id") + 1).alias("id_b"))
+          .join(ids, F.col("id_b") == F.col("id"), "left_semi"))
+    e2 = (docs.filter(F.col("doc_id") % 10 == 0)
+          .select((F.col("doc_id") + 1).alias("id_a"),
+                  (F.col("doc_id") + 2).alias("id_b"))
+          .join(ids, F.col("id_b") == F.col("id"), "left_semi"))
+    comp = dedup.connected_components(e1.union(e2))
+    return comp.select(F.col("node").alias("doc_id"), "component")

@@ -125,3 +125,25 @@ def test_multimodal_plumbing(spark):
     frames = multimodal.sample_frames(bins).collect()
     assert all(r["doc_id"] == 1 for r in frames)
     assert len(frames) >= 1
+
+
+def test_connected_components_chain_and_cycle(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),          # chain 1-2-3-4
+         (10, 11), (11, 12), (12, 10),    # cycle
+         (20, 21)],
+        ["id_a", "id_b"])
+    got = {r.node: r.component
+           for r in dedup.connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20}
+
+
+def test_dedup_by_components_transitive(spark):
+    df = spark.createDataFrame([(i, f"d{i}") for i in range(6)],
+                               ["doc_id", "text"])
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (4, 5)], ["id_a", "id_b"])
+    kept = sorted(r.doc_id for r in
+                  dedup.dedup_by_components(df, pairs).collect())
+    assert kept == [0, 3, 4]
