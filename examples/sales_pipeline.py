@@ -65,7 +65,9 @@ def main() -> None:
     # New data arrives -> trigger again.  The incremental source publishes
     # only files newer than the stored offset, so the new table version is
     # that run's DELTA (reference semantics: a version is one run's output;
-    # accumulate by self-depending on HEAD~1 in a transformer if needed).
+    # to accumulate, a transformer self-depends on its own table —
+    # input_tables=[..., "acc@HEAD"] with trigger_by excluding it; see
+    # test_self_dependent_accumulator).
     (src / "2024-02.csv").write_text("region,amount\nAPAC,300\nEMEA,25\n")
     reports = engine.trigger("sales", "ingest")
     print("run 2:", [(r.function, r.status) for r in reports])

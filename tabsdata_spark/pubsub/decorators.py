@@ -25,9 +25,21 @@ class TabsdataFunction:
         return self.fn(*args, **kwargs)
 
     def trigger_tables(self) -> list[str]:
+        """Default trigger edges = inputs read at HEAD.  An input pinned to
+        a PAST version (e.g. `acc@HEAD~1`, the self-dependency pattern) is
+        a Dependency edge only — the reference models these as
+        Dependency{self_dependency} edges, never Trigger edges
+        (graph.rs:25-80), which is what makes accumulating transformers
+        legal in an acyclic trigger graph."""
         if self.trigger_by is not None:
             return list(self.trigger_by)
-        return list(self.input_tables)
+        out = []
+        for t in self.input_tables:
+            ver = t.split("@", 1)[1] if "@" in t else None
+            if ver is not None and ver.upper() != "HEAD":
+                continue
+            out.append(t)
+        return out
 
 
 def publisher(source: Any, tables: str | Sequence[str],

@@ -136,11 +136,27 @@ class PubSubEngine:
                     return [TableFrame.from_spark(d) for d in loaded], offset_update
                 return [TableFrame.from_spark(loaded)], offset_update
             raise TabsdataSparkError(f"unsupported source {type(src)}")
-        # transformer / subscriber: dependency tables from the store
-        frames = [
-            self.store.read_uri(self.spark, uri, default_collection=collection)
-            for uri in fn.input_tables
-        ]
+        # transformer / subscriber: dependency tables from the store.
+        # Refs resolve BEFORE this run writes (reference planner resolves
+        # "as of triggered_on", SURVEY §3.2.3) — so a self-dependency reads
+        # its own table at HEAD = the *previous* run's output.  A ref that
+        # cannot resolve yet (first run of a self-dependent accumulator, or
+        # an explicitly past-pinned version) yields None, as the reference
+        # resolver finds no version as-of the trigger time.
+        from ..errors import VersionResolutionError
+
+        own_outputs = {_norm(collection, t) for t in fn.output_tables}
+        frames = []
+        for uri in fn.input_tables:
+            try:
+                frames.append(self.store.read_uri(
+                    self.spark, uri, default_collection=collection))
+            except VersionResolutionError:
+                ver = uri.split("@", 1)[1].upper() if "@" in uri else "HEAD"
+                if ver != "HEAD" or _norm(collection, uri) in own_outputs:
+                    frames.append(None)
+                else:
+                    raise
         return frames, offset_update
 
     def _deliver(self, fn: TabsdataFunction, outputs: list) -> None:

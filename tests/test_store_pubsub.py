@@ -245,3 +245,43 @@ def test_table_services_sample_schema_download(spark, tmp_path):
                                   str(tmp_path / "dl"), fmt="csv")
     back = spark.read.csv(out, header=True, inferSchema=True)
     assert back.count() == 20
+
+
+def test_self_dependent_accumulator(spark, tmp_path):
+    """Transformer reading its own output (reference
+    Dependency{self_dependency} edge).  Refs resolve before the run
+    writes, so `acc@HEAD` = the previous run's output; `trigger_by`
+    excludes it from the trigger DAG (no cycle).  None on first run;
+    accumulates across triggers."""
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.csv").write_text("k,v\nx,1\n")
+    store = TableStore(str(tmp_path / "wh"))
+    engine = PubSubEngine(spark, store)
+
+    @td.publisher(td.LocalFileSource(str(src / "*.csv"), format="csv"),
+                  tables="raw")
+    def pub(tf):
+        return tf
+
+    @td.transformer(input_tables=["raw", "acc@HEAD"], output_tables=["acc"],
+                    trigger_by=["raw"])
+    def accumulate(raw, prev):
+        if prev is None:
+            return raw
+        return td.concat([prev, raw], how="vertical_relaxed")
+
+    engine.register("c", pub)
+    engine.register("c", accumulate)   # no CycleError
+
+    r1 = engine.trigger("c", "pub")
+    assert [x.status for x in r1] == ["committed", "committed"]
+    assert store.read(spark, "c", "acc").df.count() == 1
+
+    import os as _os
+    _os.utime(src / "a.csv", (0, 0))
+    (src / "b.csv").write_text("k,v\ny,2\n")
+    r2 = engine.trigger("c", "pub")
+    assert [x.status for x in r2] == ["committed", "committed"]
+    acc = store.read(spark, "c", "acc").sort("k").to_dict()
+    assert acc["k"] == ["x", "y"] and acc["v"] == [1, 2]
