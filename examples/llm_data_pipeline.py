@@ -1,0 +1,70 @@
+"""LLM training-data pipeline example: the 100 TB-shaped composition.
+
+documents -> exact dedup -> MinHash-LSH candidates -> transitive clusters
+(connected components) -> quality filter -> token counts -> versioned store.
+
+Every stage is a DataFrame transform: shingle/minhash work is JVM-side
+(xxhash64 + affine permutations), candidate generation shuffles band keys
+not pairs, component resolution is O(diameter) label-propagation rounds,
+and quality/token scoring is pure expression work.  At scale the only knobs
+are partition counts and LSH band/bucket caps.
+
+Run:  python examples/llm_data_pipeline.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F
+
+import tabsdata_spark as td
+from tabsdata_spark.llm import dedup, textual
+from tabsdata_spark.store.table_store import TableStore
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+
+def main() -> None:
+    spark = td.get_spark(app_name="llm-data-pipeline-example")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n0 = docs.count()
+
+    # 1. exact dedup (hash-groupBy on normalized text)
+    docs = dedup.dedup_exact(docs, key_cols=["text"])
+    n1 = docs.count()
+
+    # 2. near-dup: LSH candidates -> exact-Jaccard verify -> transitive
+    #    clusters -> keep one representative per cluster
+    cands = dedup.minhash_lsh_candidates(docs)
+    confirmed = dedup.ngram_jaccard_pairs(docs, cands.select("id_a", "id_b")) \
+        .filter(F.col("jaccard") >= 0.6)
+    docs = dedup.dedup_by_components(docs, confirmed)
+    n2 = docs.count()
+
+    # 3. quality filter + token counts (pure JVM expressions)
+    scored = docs.withColumn("quality", textual.quality_score(F.col("text")))
+    kept = scored.filter(F.col("quality") >= 0.3) \
+        .withColumn("n_tokens", textual.token_count(F.col("text")))
+    n3 = kept.count()
+
+    # 4. commit as a versioned table (atomic publish)
+    work = tempfile.mkdtemp(prefix="tdspark_llm_")
+    store = TableStore(os.path.join(work, "warehouse"))
+    ver = store.write(kept, "corpus", "training_docs")
+
+    print(f"docs: {n0} -> exact-dedup {n1} -> near-dup {n2} "
+          f"-> quality-filtered {n3}")
+    print(f"published corpus/training_docs version {ver}")
+    print("token total:",
+          kept.agg(F.sum("n_tokens").alias("t")).first().t)
+
+
+if __name__ == "__main__":
+    main()
