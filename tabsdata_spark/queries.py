@@ -2404,3 +2404,30 @@ def connected_components_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
           .join(ids, F.col("id_b") == F.col("id"), "left_semi"))
     comp = dedup.connected_components(e1.union(e2))
     return comp.select(F.col("node").alias("doc_id"), "component")
+
+
+@q(
+    "filtered_agg",
+    """
+    SELECT l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                FILTER (WHERE l_returnflag = 'R') AS DOUBLE) AS qty_returned,
+           COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted
+    FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+)
+def filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expr.filter inside aggregation (expr.py:913) — the FILTER(WHERE)
+    clause; lowers to when()-guarded aggregates, still one pass."""
+    li = load(spark, sf_dir, "lineitem")
+    out = (
+        li.group_by("l_linestatus")
+        .agg(
+            qty_returned=_dec(td.col("l_quantity"))
+                .filter(td.col("l_returnflag") == "R").sum().cast("double"),
+            n_discounted=td.col("l_orderkey")
+                .filter(td.col("l_discount") > 0.05).count(),
+        )
+        .sort("l_linestatus")
+    )
+    return out.df
