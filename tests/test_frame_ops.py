@@ -170,3 +170,20 @@ def test_concat_str_function(spark):
     tf = td.TableFrame.from_dict(spark, {"a": ["x"], "b": ["y"]})
     out = tf.select(j=td.concat_str(td.col("a"), td.lit("-"), td.col("b")))
     assert out.item() == "x-y"
+
+
+def test_unsigned_int128_narrowing(spark):
+    """Documented type narrowing (SURVEY §1.3): UInt8/16/32 promote to the
+    next wider signed type, UInt64/Int128 -> Decimal(20,0)/(38,0)."""
+    tf = td.TableFrame.from_dict(spark, {"v": [1, 200, 70000]})
+    out = tf.select(
+        u8=td.col("v").cast("uint8"),
+        u32=td.col("v").cast("uint32"),
+        u64=td.col("v").cast("uint64"),
+        i128=td.col("v").cast("int128"),
+    )
+    types = dict(out.df.dtypes)
+    assert types == {"u8": "smallint", "u32": "bigint",
+                     "u64": "decimal(20,0)", "i128": "decimal(38,0)"}
+    big = out.df.collect()[-1]
+    assert int(big.u64) == 70000 and int(big.i128) == 70000
