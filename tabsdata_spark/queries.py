@@ -2431,3 +2431,28 @@ def filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .sort("l_linestatus")
     )
     return out.df
+
+
+@q(
+    "percentiles_events",
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50,
+           ROUND(quantile_cont(value, 0.9), 6) AS p90,
+           ROUND(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def percentiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group.  Scale note: exact
+    percentile sorts each group; percentile_approx (t-digest) is the
+    100 TB path when tolerance allows (see test_approx_count_distinct)."""
+    ev = load_events(spark, sf_dir).df
+    pct = F.percentile(F.col("value"), F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return (ev.groupBy("event_type")
+            .agg(pct.alias("__p"))
+            .select("event_type",
+                    F.round(F.col("__p")[0], 6).alias("p50"),
+                    F.round(F.col("__p")[1], 6).alias("p90"),
+                    F.round(F.col("__p")[2], 6).alias("p99"))
+            .orderBy("event_type"))
