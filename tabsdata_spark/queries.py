@@ -2456,3 +2456,82 @@ def percentiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("__p")[1], 6).alias("p90"),
                     F.round(F.col("__p")[2], 6).alias("p99"))
             .orderBy("event_type"))
+
+
+@q(
+    "vector_normalize",
+    """
+    SELECT vec_id,
+           ROUND(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 6) AS norm,
+           ROUND(list_sum(embedding::DOUBLE[]) / len(embedding), 6) AS mean_dim
+    FROM embeddings
+    """,
+)
+def vector_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector math as JVM higher-order functions (no UDF): L2 norm and
+    per-dimension mean over array<float> columns."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    sq = F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)
+    sm = F.aggregate(v, F.lit(0.0), lambda a, x: a + x)
+    return emb.select(
+        "vec_id",
+        F.round(F.sqrt(sq), 6).alias("norm"),
+        F.round(sm / F.size("embedding"), 6).alias("mean_dim"),
+    )
+
+
+@q(
+    "parse_dates",
+    """
+    WITH t AS (SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS ds,
+                      strftime(o_orderdate, '%d/%m/%Y %H:%M') AS eu
+               FROM orders)
+    SELECT o_orderkey,
+           CAST(strptime(ds, '%Y-%m-%d') AS DATE) AS d_parsed,
+           strptime(eu, '%d/%m/%Y %H:%M') AS ts_parsed
+    FROM t
+    """,
+)
+def parse_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """str.to_date / to_datetime round-trip (string.py:41,79)."""
+    od = load(spark, sf_dir, "orders")
+    d = td.col("o_orderdate")
+    out = (
+        od.with_columns(
+            ds=d.dt.to_string("%Y-%m-%d"),
+            eu=d.dt.to_string("%d/%m/%Y %H:%M"),
+        )
+        .select(
+            "o_orderkey",
+            d_parsed=td.col("ds").str.to_date("%Y-%m-%d"),
+            ts_parsed=td.col("eu").str.to_datetime("%d/%m/%Y %H:%M"),
+        )
+    )
+    return out.df
+
+
+@q(
+    "arg_extremum",
+    """
+    SELECT o_custkey,
+           arg_max(o_orderkey, o_totalprice) AS biggest_order,
+           arg_min(o_orderkey,
+                   CAST(epoch(o_orderdate) AS BIGINT) * 1000000000 + o_orderkey)
+             AS first_order,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def arg_extremum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by arg-extremum aggregates — one pass, no window, no
+    self-join (the scalable form of 'row with the max')."""
+    od = load(spark, sf_dir, "orders").df
+    # ties on o_orderdate are broken by orderkey via a composed sortable key
+    # (dates are day-granular -> epoch*1e9 + key stays in bigint range)
+    first_key = (F.unix_timestamp("o_orderdate") * F.lit(1_000_000_000)
+                 + F.col("o_orderkey"))
+    return (od.groupBy("o_custkey")
+            .agg(F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
+                 F.min_by("o_orderkey", first_key).alias("first_order"),
+                 F.max("o_totalprice").cast("double").alias("max_price")))
