@@ -2535,3 +2535,24 @@ def arg_extremum(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
                  F.min_by("o_orderkey", first_key).alias("first_order"),
                  F.max("o_totalprice").cast("double").alias("max_price")))
+
+
+@q(
+    "content_fingerprint_md5",
+    """
+    WITH t AS (SELECT doc_id,
+                      md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+               FROM documents)
+    SELECT fp, COUNT(*) AS n, MIN(doc_id) AS keeper
+    FROM t GROUP BY fp
+    """,
+)
+def content_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content md5 fingerprint (exact-dedup key at scale:
+    group/shuffle on a 16-byte digest instead of full text)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    return (docs.select("doc_id", F.md5(norm).alias("fp"))
+            .groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("doc_id").alias("keeper")))
