@@ -2556,3 +2556,277 @@ def content_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("fp")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.min("doc_id").alias("keeper")))
+
+
+# ===========================================================================
+# TPC-H completion batch: q2/q11/q13/q20/q21 shapes.  The test star schema
+# has no partsupp table, so lineitem serves as the part<->supplier catalog
+# (same join/agg/subquery structure; reference surface: frame.py:1017 join,
+# group_by.py:54 agg).
+# ===========================================================================
+@q(
+    "q2_min_cost_supplier",
+    """
+    WITH cost AS (
+        SELECT l.l_partkey, l.l_suppkey,
+               MIN(l.l_extendedprice / l.l_quantity) AS unit_cost
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'EUROPE'
+        GROUP BY l.l_partkey, l.l_suppkey
+    ),
+    best AS (SELECT l_partkey, MIN(unit_cost) AS best_cost
+             FROM cost GROUP BY l_partkey)
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_brand,
+           ROUND(c.unit_cost, 6) AS unit_cost
+    FROM cost c
+    JOIN best b ON b.l_partkey = c.l_partkey AND c.unit_cost = b.best_cost
+    JOIN part p ON p.p_partkey = c.l_partkey
+    JOIN supplier s ON s.s_suppkey = c.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_size BETWEEN 1 AND 10 AND p.p_type = 'LARGE'
+    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated-min subquery -> per-key MIN aggregate +
+    re-join on (key, min).  The part filter is applied *before* the cost
+    aggregation via a broadcast semi join, so at 100 TB only the lineitems
+    of the ~1/150 selected parts are aggregated; the dim chain
+    (supplier->nation->region) broadcasts."""
+    pt = (load(spark, sf_dir, "part")
+          .filter((td.col("p_size").is_between(1, 10)) & (td.col("p_type") == "LARGE"))
+          .select("p_partkey", "p_brand"))
+    eu = (load(spark, sf_dir, "supplier")
+          .join(load(spark, sf_dir, "nation"),
+                left_on="s_nationkey", right_on="n_nationkey")
+          .join(load(spark, sf_dir, "region").filter(td.col("r_name") == "EUROPE"),
+                left_on="n_regionkey", right_on="r_regionkey")
+          .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey",
+        unit=td.col("l_extendedprice") / td.col("l_quantity"))
+    cost = (
+        li.join(pt, left_on="l_partkey", right_on="p_partkey", how="semi")
+        .join(eu, left_on="l_suppkey", right_on="s_suppkey", how="semi")
+        .group_by("l_partkey", "l_suppkey")
+        .agg(unit_cost=td.col("unit").min())
+    )
+    best = cost.group_by("l_partkey").agg(best_cost=td.col("unit_cost").min())
+    out = (
+        cost.join(best, on="l_partkey")
+        .filter(td.col("unit_cost") == td.col("best_cost"))
+        .join(pt, left_on="l_partkey", right_on="p_partkey")
+        .join(eu, left_on="l_suppkey", right_on="s_suppkey")
+        .select("s_acctbal", "s_name", "n_name",
+                p_partkey=td.col("l_partkey"),
+                p_brand=td.col("p_brand"),
+                unit_cost=td.col("unit_cost").round(6))
+        .sort(["s_acctbal", "n_name", "s_name", "p_partkey"],
+              descending=[True, False, False, False])
+    )
+    return out.df
+
+
+@q(
+    "q11_important_parts",
+    """
+    WITH val AS (
+        SELECT l.l_partkey,
+               SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS val
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name IN ('NATION_3', 'NATION_7')
+        GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, CAST(val AS DOUBLE) AS part_value
+    FROM val
+    WHERE CAST(val AS DOUBLE) >
+          (SELECT CAST(SUM(val) AS DOUBLE) * 0.001 FROM val)
+    ORDER BY part_value DESC, l_partkey
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: group value + HAVING > fraction-of-total scalar
+    subquery (1-row broadcast cross join).  Decimal sums keep the threshold
+    compare bit-exact across engines and partition counts."""
+    nt = (load(spark, sf_dir, "nation")
+          .filter(td.col("n_name").is_in(["NATION_3", "NATION_7"]))
+          .select("n_nationkey"))
+    su = (load(spark, sf_dir, "supplier")
+          .join(nt, left_on="s_nationkey", right_on="n_nationkey", how="semi")
+          .select("s_suppkey"))
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey",
+                                                "l_extendedprice")
+    val = (
+        li.join(su, left_on="l_suppkey", right_on="s_suppkey", how="semi")
+        .group_by("l_partkey")
+        .agg(val=_dec(td.col("l_extendedprice")).sum())
+    )
+    thr = val.select(thr=(td.col("val").sum().cast("double") * 0.001))
+    out = (
+        val.join(thr, how="cross")
+        .filter(td.col("val").cast("double") > td.col("thr"))
+        .select("l_partkey", part_value=td.col("val").cast("double"))
+        .sort(["part_value", "l_partkey"], descending=[True, False])
+    )
+    return out.df
+
+
+@q(
+    "q13_customer_distribution",
+    """
+    WITH c_orders AS (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+             AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM c_orders GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: left join + two-level aggregation.  The non-equi join
+    condition (priority filter) is pushed onto the orders side before the
+    join -- COUNT(o_orderkey) over the left join is unchanged and the
+    filtered side shuffles fewer rows."""
+    cu = load(spark, sf_dir, "customer").select("c_custkey")
+    od = (load(spark, sf_dir, "orders")
+          .filter(td.col("o_orderpriority") != "1-URGENT")
+          .select("o_custkey", "o_orderkey"))
+    out = (
+        cu.join(od, left_on="c_custkey", right_on="o_custkey", how="left")
+        .group_by("c_custkey")
+        .agg(c_count=td.col("o_orderkey").count())
+        .group_by("c_count")
+        .agg(custdist=td.col("c_count").len())
+        .sort(["custdist", "c_count"], descending=[True, True])
+    )
+    return out.df
+
+
+@q(
+    "q20_excess_shippers",
+    """
+    WITH shipped AS (
+        SELECT l_suppkey, l_partkey, SUM(l_quantity) AS qty97
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l_suppkey, l_partkey
+    ),
+    total AS (
+        SELECT l_partkey, SUM(l_quantity) AS qty_all
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+        SELECT sh.l_suppkey FROM shipped sh
+        JOIN total t ON t.l_partkey = sh.l_partkey
+        WHERE sh.l_partkey IN (SELECT p_partkey FROM part
+                               WHERE p_name LIKE 'small%')
+          AND sh.qty97 > 0.05 * t.qty_all
+    )
+    ORDER BY s.s_name, s.s_suppkey
+    """,
+)
+def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested IN subqueries -> a chain of semi joins.
+    Quantity sums are integral doubles (exact); the part-name prefix
+    filter semi-joins before aggregation so the big scan aggregates only
+    matching parts."""
+    pts = (load(spark, sf_dir, "part")
+           .filter(td.col("p_name").str.starts_with("small"))
+           .select("p_partkey"))
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_partkey", "l_quantity", "l_shipdate")
+    li_p = li.join(pts, left_on="l_partkey", right_on="p_partkey", how="semi")
+    shipped = (
+        li_p.filter(
+            (td.col("l_shipdate") >= td.lit("1997-01-01").cast("timestamp"))
+            & (td.col("l_shipdate") < td.lit("1998-01-01").cast("timestamp")))
+        .group_by("l_suppkey", "l_partkey")
+        .agg(qty97=td.col("l_quantity").sum())
+    )
+    total = li_p.group_by("l_partkey").agg(qty_all=td.col("l_quantity").sum())
+    excess = (
+        shipped.join(total, on="l_partkey")
+        .filter(td.col("qty97") > td.col("qty_all") * 0.05)
+        .select("l_suppkey")
+    )
+    out = (
+        load(spark, sf_dir, "supplier")
+        .join(excess, left_on="s_suppkey", right_on="l_suppkey", how="semi")
+        .select("s_suppkey", "s_name")
+        .sort(["s_name", "s_suppkey"])
+    )
+    return out.df
+
+
+@q(
+    "q21_waiting_suppliers",
+    """
+    WITH late AS (
+        SELECT DISTINCT l.l_orderkey, l.l_suppkey
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    ),
+    multi AS (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        HAVING COUNT(DISTINCT l_suppkey) > 1
+    ),
+    sole AS (
+        SELECT l_orderkey FROM late GROUP BY l_orderkey HAVING COUNT(*) = 1
+    )
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM late la
+    JOIN supplier s ON s.s_suppkey = la.l_suppkey
+    WHERE la.l_orderkey IN (SELECT l_orderkey FROM multi)
+      AND la.l_orderkey IN (SELECT l_orderkey FROM sole)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS / NOT EXISTS over sibling lineitems.  The
+    schema has no commit/receipt dates, so "kept waiting" is shipdate >
+    orderdate + 90 days.  EXISTS(other supplier) <=> order has >1 distinct
+    supplier; NOT EXISTS(other late supplier) <=> order has exactly one
+    distinct late supplier -- both become aggregates + semi joins (no
+    per-row correlated rescans; 3 shuffles total at any scale)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    od = (load(spark, sf_dir, "orders")
+          .filter(td.col("o_orderstatus") == "F")
+          .select("o_orderkey", "o_orderdate"))
+    late = (
+        li.join(od, left_on="l_orderkey", right_on="o_orderkey")
+        .filter(td.col("l_shipdate")
+                > td.col("o_orderdate").dt.offset_by("90d"))
+        .select("l_orderkey", "l_suppkey")
+        .unique()
+    )
+    multi = (li.group_by("l_orderkey")
+             .agg(ns=td.col("l_suppkey").n_unique())
+             .filter(td.col("ns") > 1).select("l_orderkey"))
+    sole = (late.group_by("l_orderkey")
+            .agg(n=td.col("l_suppkey").len())
+            .filter(td.col("n") == 1).select("l_orderkey"))
+    out = (
+        late.join(multi, on="l_orderkey", how="semi")
+        .join(sole, on="l_orderkey", how="semi")
+        .join(load(spark, sf_dir, "supplier").select("s_suppkey", "s_name"),
+              left_on="l_suppkey", right_on="s_suppkey")
+        .group_by("s_name")
+        .agg(numwait=td.col("l_orderkey").len())
+        .sort(["numwait", "s_name"], descending=[True, False])
+    )
+    return out.df
