@@ -2830,3 +2830,38 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .sort(["numwait", "s_name"], descending=[True, False])
     )
     return out.df
+
+
+@q(
+    "connected_components_star_docs",
+    """
+    WITH RECURSIVE e AS (
+      SELECT a.doc_id AS s, a.doc_id + 1 AS t
+      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      WHERE a.doc_id % 100 < 49
+    ),
+    sym AS (SELECT s, t FROM e UNION SELECT t AS s, s AS t FROM e),
+    nodes AS (SELECT DISTINCT s AS n FROM sym),
+    walk(node, label) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT sym.t, walk.label FROM walk JOIN sym ON sym.s = walk.node
+    )
+    SELECT node AS doc_id, MIN(label) AS component
+    FROM walk GROUP BY node
+    """,
+)
+def connected_components_star_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via large-star/small-star contraction
+    (llm/dedup.py:connected_components_star) on 50-node chains — a
+    diameter that min-label propagation's default round budget cannot
+    walk, converged here in O(log^2 n) rounds.  Oracle = DuckDB
+    recursive CTE."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    ids = docs.select(F.col("doc_id").alias("id"))
+    edges = (docs.filter(F.col("doc_id") % 100 < 49)
+             .select(F.col("doc_id").alias("id_a"),
+                     (F.col("doc_id") + 1).alias("id_b"))
+             .join(ids, F.col("id_b") == F.col("id"), "left_semi"))
+    comp = dedup.connected_components_star(edges)
+    return comp.select(F.col("node").alias("doc_id"), "component")

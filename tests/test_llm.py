@@ -147,3 +147,35 @@ def test_dedup_by_components_transitive(spark):
     kept = sorted(r.doc_id for r in
                   dedup.dedup_by_components(df, pairs).collect())
     assert kept == [0, 3, 4]
+
+
+def test_connected_components_star_matches_propagation(spark):
+    """large-star/small-star fixpoint == min-label propagation on mixed
+    shapes, including a 60-node chain whose diameter exceeds the
+    propagation default round budget styles (star converges in O(log^2 n))."""
+    import random
+
+    rng = random.Random(7)
+    chain = [(i, i + 1) for i in range(100, 160)]          # long chain
+    cycle = [(200, 201), (201, 202), (202, 203), (203, 200)]
+    star = [(300, 300 + k) for k in range(1, 8)]
+    extra = [(rng.randrange(400, 430), rng.randrange(400, 430))
+             for _ in range(25)]
+    edges = spark.createDataFrame(chain + cycle + star + extra,
+                                  ["id_a", "id_b"])
+    got_star = {r.node: r.component
+                for r in dedup.connected_components_star(edges).collect()}
+    got_prop = {r.node: r.component
+                for r in dedup.connected_components(edges, max_iter=100).collect()}
+    assert got_star == got_prop
+    # chain collapses to its minimum regardless of diameter
+    assert all(got_star[i] == 100 for i in range(100, 161))
+
+
+def test_connected_components_star_string_ids(spark):
+    """Star contraction only needs a total order — works on string ids."""
+    edges = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("x", "y")], ["id_a", "id_b"])
+    got = {r.node: r.component
+           for r in dedup.connected_components_star(edges).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
