@@ -138,3 +138,53 @@ def stateful_running_totals(stream: DataFrame, key: str, value_col: str,
             .applyInPandasWithState(update, out_schema, state_schema,
                                     output_mode,
                                     GroupStateTimeout.NoTimeout))
+
+
+def stateful_running_totals_tws(stream: DataFrame, key: str, value_col: str,
+                                output_mode: str = "Update") -> DataFrame:
+    """Per-key running count/sum via transformWithStateInPandas — Spark 4's
+    successor to applyInPandasWithState (same semantics as
+    stateful_running_totals, new operator API).
+
+    Differences that matter at scale: typed composable state (value/list/
+    map handles instead of one tuple), per-key timers for eviction, and the
+    RocksDB state-store backend (required by this operator) whose
+    changelog checkpointing keeps commit cost proportional to the delta,
+    not the state size — the right backend when keyed state no longer fits
+    the executor heap.
+
+    Gated: the transformWithState protocol speaks protobuf to the state
+    server; raise a clear error when google.protobuf is absent instead of
+    crashing the streaming python worker mid-query."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "transformWithStateInPandas requires the 'protobuf' package "
+            "(its state-server protocol is protobuf-encoded); install "
+            "protobuf or use stateful_running_totals "
+            "(applyInPandasWithState) instead") from e
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "n long, total double")
+
+        def handleInputRows(self, key_tuple, rows, timerValues):
+            n, total = self._totals.get() if self._totals.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf[value_col].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame({"k": [key_tuple[0]], "n": [n], "total": [total]})
+
+        def close(self) -> None:
+            pass
+
+    return (stream.groupBy(F.col(key))
+            .transformWithStateInPandas(
+                statefulProcessor=RunningTotals(),
+                outputStructType="k long, n long, total double",
+                outputMode=output_mode,
+                timeMode="None"))

@@ -145,3 +145,60 @@ def test_stateful_running_totals(spark, tmp_path):
         .write.mode("overwrite").parquet(str(src / "batch2"))
     second = run_once()
     assert sorted(second) == [(1, 3, 13.0)]
+
+
+def test_stateful_running_totals_tws(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 API): typed value state persists
+    across micro-batches on the RocksDB state store.  The operator's state
+    protocol needs protobuf; without it the gate must raise a clear error
+    (this container has no protobuf -> gated path)."""
+    try:
+        import google.protobuf  # noqa: F401
+        have_protobuf = True
+    except ImportError:
+        have_protobuf = False
+
+    src = tmp_path / "in_tws"
+    src.mkdir()
+    spark.createDataFrame([(1, 1.0), (1, 2.0), (2, 5.0)], ["user", "v"]) \
+        .coalesce(1).write.mode("overwrite").parquet(str(src / "batch1"))
+
+    if not have_protobuf:
+        stream = bus.stream_file_source(
+            spark, str(src / "*"), "user long, v double")
+        try:
+            bus.stateful_running_totals_tws(stream, "user", "v")
+            assert False, "expected gated ImportError without protobuf"
+        except ImportError as e:
+            assert "protobuf" in str(e)
+        return
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try:
+        def run_once():
+            stream = bus.stream_file_source(
+                spark, str(src / "*"), "user long, v double")
+            out = bus.stateful_running_totals_tws(stream, "user", "v")
+            rows = []
+            qy = (out.writeStream.outputMode("update")
+                  .foreachBatch(lambda b, i: rows.extend(
+                      (r.k, r.n, r.total) for r in b.collect()))
+                  .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+                  .trigger(availableNow=True).start())
+            qy.awaitTermination(120)
+            return rows
+
+        first = run_once()
+        assert sorted(first) == [(1, 2, 3.0), (2, 1, 5.0)]
+        spark.createDataFrame([(1, 10.0)], ["user", "v"]).coalesce(1) \
+            .write.mode("overwrite").parquet(str(src / "batch2"))
+        second = run_once()
+        assert sorted(second) == [(1, 3, 13.0)]
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
