@@ -1,3 +1,7 @@
+from .catalog_io import (
+    GLUE_CATALOG_CONF, HADOOP_CATALOG_CONF, IcebergCatalogDestination,
+    catalog_confs,
+)
 from .file_io import (
     AzureAccountKeyCredentials, AzureDestination, AzureSource, FileDestination,
     FileSource, GCSDestination, GCSServiceAccountCredentials, GCSSource,
@@ -26,5 +30,6 @@ __all__ = [
     "PostgresSource", "OracleSource", "SQLDestination", "MySQLDestination",
     "MariaDBDestination", "PostgresDestination", "OracleDestination",
     "substitute_params", "SourcePlugin", "DestinationPlugin", "TableInput",
-    "TableOutput",
+    "TableOutput", "IcebergCatalogDestination", "catalog_confs",
+    "GLUE_CATALOG_CONF", "HADOOP_CATALOG_CONF",
 ]

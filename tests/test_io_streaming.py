@@ -202,3 +202,27 @@ def test_stateful_running_totals_tws(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_iceberg_catalog_gated(spark):
+    """Iceberg/Glue catalog publish: conf rendering is pure; publish()
+    raises a clear jar-missing error in this container (no iceberg
+    runtime jar), mirroring the avro gate."""
+    from tabsdata_spark.io import IcebergCatalogDestination, catalog_confs
+
+    confs = catalog_confs("glue_cat", "s3://bucket/wh", kind="glue")
+    assert confs["spark.sql.catalog.glue_cat"] == \
+        "org.apache.iceberg.spark.SparkCatalog"
+    assert confs["spark.sql.catalog.glue_cat.catalog-impl"].endswith("GlueCatalog")
+    assert confs["spark.sql.catalog.glue_cat.warehouse"] == "s3://bucket/wh"
+    local = catalog_confs("dev", "/tmp/wh", kind="hadoop")
+    assert local["spark.sql.catalog.dev.type"] == "hadoop"
+
+    dest = IcebergCatalogDestination("glue_cat", "ns", "t1",
+                                     partition_by=["days(ts)"])
+    df = spark.createDataFrame([(1,)], ["k"])
+    try:
+        dest.publish(df, spark)
+        raise AssertionError("expected gated RuntimeError without iceberg jar")
+    except RuntimeError as e:
+        assert "iceberg-spark-runtime" in str(e)
