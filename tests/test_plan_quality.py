@@ -64,3 +64,27 @@ def test_whole_stage_codegen_covers_expressions(spark, sf_dir):
     plan = _plan(out.df)
     # executedPlan toString marks codegen stages with "*(n)"
     assert "WholeStageCodegen" in plan or "*(1)" in plan
+
+
+def test_q2_semi_join_prefilters_fact_scan(spark, sf_dir):
+    """q2: the part filter must reach the part scan as pushed predicates and
+    the supplier->nation->region dim chain must broadcast (no shuffle of the
+    fact side against dims)."""
+    from tabsdata_spark import queries as registry
+    df = registry.queries()["q2_min_cost_supplier"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EqualTo(r_name,EUROPE)" in plan          # dim filter at the scan
+    assert "GreaterThanOrEqual(p_size,1)" in plan    # part filter at the scan
+    assert "BroadcastHashJoin" in plan               # dim chain broadcasts
+    assert "partial_min" in plan                     # map-side combine
+
+
+def test_q21_status_filter_pushed_and_no_cartesian(spark, sf_dir):
+    """q21's EXISTS/NOT-EXISTS rewrite must stay equi-join shaped: status
+    filter at the orders scan, no nested-loop/cartesian product anywhere."""
+    from tabsdata_spark import queries as registry
+    df = registry.queries()["q21_waiting_suppliers"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EqualTo(o_orderstatus,F)" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
