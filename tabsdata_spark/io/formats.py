@@ -45,12 +45,16 @@ class CSVFormat(FileFormat):
         opts = {
             "sep": self.separator,
             "quote": self.quote_char,
-            "lineSep": self.eol_char,
             "header": str(self.has_header).lower(),
             "inferSchema": str(self.infer_schema).lower(),
             "samplingRatio": "1.0",
             "encoding": "UTF-8" if self.encoding == "utf8" else self.encoding,
         }
+        # only force lineSep when the user set a non-default eol: Spark's
+        # default line splitting tolerates \n, \r\n and \r, and an explicit
+        # lineSep="\n" would leave \r in the last column of CRLF files
+        if self.eol_char != "\n":
+            opts["lineSep"] = self.eol_char
         if self.null_values:
             opts["nullValue"] = self.null_values[0]
         if self.try_parse_dates:

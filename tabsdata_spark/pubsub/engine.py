@@ -33,8 +33,20 @@ class RunReport:
 
 
 class PubSubEngine:
-    def __init__(self, spark: SparkSession, store: TableStore):
-        self.spark = spark
+    def __init__(self, spark: SparkSession | None, store: TableStore,
+                 sessions: "SessionProvider | None" = None):
+        """`sessions` picks where runs execute (runner.py): default wraps
+        the given in-process session; pass ConnectSessionProvider("sc://…")
+        to execute runs on a cluster via Spark Connect."""
+        from .runner import LocalSessionProvider, SessionProvider
+
+        if sessions is None:
+            if spark is None:
+                raise TabsdataSparkError(
+                    "PubSubEngine needs a SparkSession or a SessionProvider")
+            sessions = LocalSessionProvider(spark)
+        self.sessions: SessionProvider = sessions
+        self.spark = sessions.session()
         self.store = store
         self.graph = TriggerGraph()
 

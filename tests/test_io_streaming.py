@@ -226,3 +226,14 @@ def test_iceberg_catalog_gated(spark):
         raise AssertionError("expected gated RuntimeError without iceberg jar")
     except RuntimeError as e:
         assert "iceberg-spark-runtime" in str(e)
+
+
+def test_csv_crlf_line_endings(spark, tmp_path):
+    """CRLF csv files must not leak \\r into the last column (lineSep is
+    only forced when the user sets a non-default eol_char)."""
+    p = tmp_path / "crlf.csv"
+    p.write_bytes(b"k,v\r\n1,10\r\n2,20\r\n")
+    src = LocalFileSource(str(p), format="csv")
+    df, _ = src.load(spark) if isinstance(src.load(spark), tuple) else (src.load(spark), None)
+    assert df.columns == ["k", "v"]
+    assert sorted((int(r.k), int(r.v)) for r in df.collect()) == [(1, 10), (2, 20)]

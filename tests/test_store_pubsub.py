@@ -285,3 +285,25 @@ def test_self_dependent_accumulator(spark, tmp_path):
     assert [x.status for x in r2] == ["committed", "committed"]
     acc = store.read(spark, "c", "acc").sort("k").to_dict()
     assert acc["k"] == ["x", "y"] and acc["v"] == [1, 2]
+
+
+def test_session_providers(spark, tmp_path):
+    """LocalSessionProvider passes the session through; Connect provider
+    is gated on grpcio/protobuf (absent here) with a clear error; the
+    engine accepts either via the `sessions` strategy."""
+    from tabsdata_spark.pubsub import (
+        ConnectSessionProvider, LocalSessionProvider, PubSubEngine,
+    )
+    from tabsdata_spark.store import TableStore
+
+    store = TableStore(str(tmp_path / "store"))
+    prov = LocalSessionProvider(spark)
+    assert prov.session() is spark
+    eng = PubSubEngine(None, store, sessions=prov)
+    assert eng.spark is spark
+
+    try:
+        ConnectSessionProvider("sc://localhost:15002")
+        raise AssertionError("expected gated ImportError without grpcio")
+    except ImportError as e:
+        assert "grpcio" in str(e)
