@@ -145,3 +145,44 @@ def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fingerprint": fingerprint(t),
         }
     )
+
+
+# -- PII scrubbing / dataset splitting (training-data hygiene) --------------
+#: engine-portable regexes (Java regex and RE2 agree on these constructs)
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"\+?\d[\d\s().-]{7,}\d",
+}
+
+
+def redact_pii(text: Column, replacement: str = "[PII]",
+               patterns: dict[str, str] | None = None) -> Column:
+    """Chained regexp_replace over the PII pattern table — pure JVM
+    expressions (no UDF), so redaction streams through whole-stage codegen
+    at scan speed.  Order matters: email before phone so the digits inside
+    an address are consumed by the earlier, more specific rule."""
+    out = text
+    for pat in (patterns or PII_PATTERNS).values():
+        out = F.regexp_replace(out, pat, replacement)
+    return out
+
+
+def hash_split(key: Column, buckets: int = 100) -> Column:
+    """Deterministic engine-portable bucket in [0, buckets): md5 of the
+    stringified key -> first 6 hex digits -> int.  Unlike xxhash64 %, the
+    md5 path gives identical assignment in Spark, DuckDB, or any other
+    tool that joins the pipeline — splits must never depend on engine
+    hash internals.  Use for train/val/test partitioning."""
+    h = F.conv(F.substring(F.md5(key.cast("string")), 1, 6), 16, 10)
+    return (h.cast("long") % buckets).cast("int")
+
+
+def train_val_test(key: Column, val_pct: int = 5, test_pct: int = 5) -> Column:
+    """Label rows train/val/test by hash_split bucket ranges — stable under
+    re-runs, insertions, and repartitioning (membership depends only on the
+    key)."""
+    b = hash_split(key, 100)
+    return (F.when(b < test_pct, F.lit("test"))
+            .when(b < test_pct + val_pct, F.lit("val"))
+            .otherwise(F.lit("train")))

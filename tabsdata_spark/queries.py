@@ -2865,3 +2865,85 @@ def connected_components_star_docs(spark: SparkSession, sf_dir: str) -> DataFram
              .join(ids, F.col("id_b") == F.col("id"), "left_semi"))
     comp = dedup.connected_components_star(edges)
     return comp.select(F.col("node").alias("doc_id"), "component")
+
+
+# ===========================================================================
+# training-data hygiene: PII redaction, deterministic splits, dedup report
+# ===========================================================================
+@q(
+    "pii_redact",
+    r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[PII]', 'g'),
+               '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[PII]', 'g'),
+             '\+?\d[\d\s().-]{7,}\d', '[PII]', 'g') AS redacted
+    FROM documents
+    """,
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing as chained JVM regexp_replace (llm/textual.py:
+    redact_pii) — no UDF, codegen keeps it at scan speed; patterns are
+    Java-regex/RE2-portable so any engine reproduces the redaction."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id",
+                       textual.redact_pii(F.col("text")).alias("redacted"))
+
+
+@q(
+    "hash_split_docs",
+    """
+    SELECT doc_id,
+           CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+                AS BIGINT) % 100 AS INTEGER) AS bucket,
+           CASE
+             WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+                  AS BIGINT) % 100 < 5 THEN 'test'
+             WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+                  AS BIGINT) % 100 < 10 THEN 'val'
+             ELSE 'train'
+           END AS split
+    FROM documents
+    """,
+)
+def hash_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (llm/textual.py:hash_split):
+    md5-derived bucket, NOT engine hash internals — identical membership in
+    Spark, DuckDB, or any downstream tool, stable under repartitioning and
+    incremental appends."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    key = F.col("doc_id")
+    return docs.select(
+        "doc_id",
+        textual.hash_split(key).alias("bucket"),
+        textual.train_val_test(key).alias("split"),
+    )
+
+
+@q(
+    "dedup_stats",
+    r"""
+    WITH f AS (
+        SELECT source,
+               md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        FROM documents)
+    SELECT source, COUNT(*) AS docs, COUNT(DISTINCT fp) AS uniq,
+           ROUND(1.0 - COUNT(DISTINCT fp) * 1.0 / COUNT(*), 6) AS dup_rate
+    FROM f GROUP BY source ORDER BY source
+    """,
+)
+def dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-rate report per source: corpus-health metric computed on the
+    16-byte fingerprint (shuffle carries digests, not documents)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    return (docs.select("source", F.md5(norm).alias("fp"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("docs"),
+                 F.countDistinct("fp").alias("uniq"))
+            .select("source", "docs", "uniq",
+                    F.round(1.0 - F.col("uniq") / F.col("docs"), 6)
+                     .alias("dup_rate"))
+            .orderBy("source"))

@@ -179,3 +179,33 @@ def test_connected_components_star_string_ids(spark):
     got = {r.node: r.component
            for r in dedup.connected_components_star(edges).collect()}
     assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_redact_pii_and_hash_split(spark):
+    from tabsdata_spark.llm import textual
+
+    df = spark.createDataFrame(
+        [(1, "mail me at bob.smith+x@example.co.uk today"),
+         (2, "server 192.168.1.250 went down"),
+         (3, "call +1 (555) 010-7788 now"),
+         (4, "no pii here")],
+        ["doc_id", "text"])
+    got = {r.doc_id: r.red for r in df.select(
+        "doc_id", textual.redact_pii(F.col("text")).alias("red")).collect()}
+    assert got[1] == "mail me at [PII] today"
+    assert got[2] == "server [PII] went down"
+    assert "[PII]" in got[3] and "555" not in got[3]
+    assert got[4] == "no pii here"
+
+    # hash split: deterministic, engine-portable, and stable across calls
+    out1 = {r.doc_id: (r.b, r.s) for r in df.select(
+        "doc_id",
+        textual.hash_split(F.col("doc_id")).alias("b"),
+        textual.train_val_test(F.col("doc_id")).alias("s")).collect()}
+    out2 = {r.doc_id: (r.b, r.s) for r in df.select(
+        "doc_id",
+        textual.hash_split(F.col("doc_id")).alias("b"),
+        textual.train_val_test(F.col("doc_id")).alias("s")).collect()}
+    assert out1 == out2
+    assert all(0 <= b < 100 for b, _ in out1.values())
+    assert all(s in {"train", "val", "test"} for _, s in out1.values())
