@@ -398,9 +398,35 @@ class Expr:
         from .dtypes import to_spark_type
 
         target = to_spark_type(dtype)
+        casted = self._col.cast(target)
         if strict:
-            return self._new(self._col.cast(target))
-        return self._new(self._col.try_cast(target))
+            # Polars strict cast raises on conversion failure.  Sessions run
+            # ANSI-off (get_spark), where cast() nulls bad values — so guard:
+            # a non-null input that casts to null is a failure.  (Overflow
+            # wraps in legacy mode and is not caught; documented narrowing.)
+            return self._new(
+                F.when(
+                    self._col.isNotNull() & casted.isNull(),
+                    F.raise_error(F.concat(
+                        F.lit(f"strict cast to {target.simpleString()} "
+                              f"failed for value: "),
+                        self._col.cast("string"))),
+                ).otherwise(casted)
+            )
+        # Non-strict: legacy cast (ANSI off) nulls bad values on a branch,
+        # while try_cast's failure path is exception-driven — ~20x slower
+        # when most values fail to parse (measured: 5.0s vs 0.2s per 600k
+        # all-fail string->bigint rows).  Only fall back to try_cast if the
+        # active session runs ANSI-on, where plain cast would throw.
+        try:
+            from pyspark.sql import SparkSession
+
+            sess = SparkSession.getActiveSession()
+            ansi = (sess is not None and
+                    sess.conf.get("spark.sql.ansi.enabled", "false") == "true")
+        except Exception:
+            ansi = False
+        return self._new(self._col.try_cast(target) if ansi else casted)
 
     def fill_null(self, value):
         return self._new(F.coalesce(self._col, to_column(value)))
@@ -678,9 +704,17 @@ class ExprStringNameSpace:
 
     def to_integer(self, base: int = 10, strict: bool = True):
         if base == 10:
-            return self._new(
-                self._c.cast("long") if strict else self._c.try_cast("long")
-            )
+            casted = self._c.cast("long")  # legacy null-on-error, branch not
+            if strict:                     # exception (see Expr.cast)
+                return self._new(
+                    F.when(
+                        self._c.isNotNull() & casted.isNull(),
+                        F.raise_error(F.concat(
+                            F.lit("str.to_integer failed for value: "),
+                            self._c)),
+                    ).otherwise(casted)
+                )
+            return self._new(casted)
         return self._new(F.conv(self._c, base, 10).cast("long"))
 
     def contains_any(self, patterns: Sequence[str], ascii_case_insensitive: bool = False):

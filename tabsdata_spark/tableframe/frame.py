@@ -300,8 +300,9 @@ class TableFrame:
                         plan[c] = tgt
         out = self._df
         for c, tgt in plan.items():
-            col = _q(c)
-            out = out.withColumn(c, col.cast(tgt) if strict else col.try_cast(tgt))
+            # route through Expr.cast: legacy null-on-error fast path for
+            # non-strict, raise_error guard for strict (see expr.py)
+            out = out.withColumn(c, Expr(_q(c)).cast(tgt, strict=strict)._col)
         return self._rebuild(out, keep_sort=True)
 
     def unnest(self, columns: str | Sequence[str]) -> "TableFrame":

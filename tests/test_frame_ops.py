@@ -187,3 +187,28 @@ def test_unsigned_int128_narrowing(spark):
                      "u64": "decimal(20,0)", "i128": "decimal(38,0)"}
     big = out.df.collect()[-1]
     assert int(big.u64) == 70000 and int(big.i128) == 70000
+
+
+def test_cast_strict_raises_on_bad_value(spark):
+    """Polars strict-cast parity: conversion failure raises instead of
+    nulling (raise_error guard over the legacy cast)."""
+    tf = td.TableFrame.from_dict(spark, {"x": ["1", "nope", "3"]})
+    try:
+        tf.cast({"x": "int64"}, strict=True).to_dict()
+        raise AssertionError("strict cast should raise on 'nope'")
+    except Exception as e:
+        assert "strict cast" in str(e) or "SparkRuntime" in type(e).__name__
+    # clean values cast fine under strict
+    ok = td.TableFrame.from_dict(spark, {"x": ["1", "2"]})
+    assert ok.cast({"x": "int64"}, strict=True).to_dict()["x"] == [1, 2]
+
+
+def test_cast_nonstrict_avoids_try_cast(spark):
+    """On ANSI-off sessions the non-strict cast must emit a legacy Cast,
+    not TryCast: try_cast's failure path is exception-driven and ~20x
+    slower when most values fail to parse (100 TB hazard)."""
+    tf = td.TableFrame.from_dict(spark, {"x": ["a", "b"]})
+    out = tf.select(y=td.col("x").cast("long"))
+    plan = out.df._jdf.queryExecution().analyzed().toString()
+    assert "try_cast" not in plan.lower().replace("trycast", "try_cast")
+    assert out.to_dict()["y"] == [None, None]
