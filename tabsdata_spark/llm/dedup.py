@@ -119,8 +119,10 @@ def minhash_lsh_candidates(
     # each n-gram's hash from its n consecutive token hashes — no string
     # concatenation, no O(n^2) array_distinct (min over a multiset equals
     # min over its set, so distinct is unnecessary for minwise).
+    from ..scale import fan_out
+
     toks = tokens(F.lower(F.col(text_col)))
-    tok_hashed = df.select(
+    tok_hashed = fan_out(df).select(
         F.col(id_col).alias("__id"),
         F.transform(toks, lambda t: F.xxhash64(t)).alias("__th"),
     )
@@ -230,7 +232,10 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact Jaccard over word n-gram sets for given (id_a, id_b) pairs —
     two hash-joins against the shingled docs, then array set ops (JVM)."""
-    sh = df.select(F.col(id_col).alias("__id"), shingles(F.col(text_col), n).alias("__sh"))
+    from ..scale import fan_out
+
+    sh = fan_out(df).select(F.col(id_col).alias("__id"),
+                            shingles(F.col(text_col), n).alias("__sh"))
     out = (
         pairs.join(sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")), "id_a")
         .join(sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b")), "id_b")
@@ -264,7 +269,9 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
             out[row_i] = np.int64(sig.astype(np.uint64).view(np.int64))
         return pd.Series(out)
 
-    return df.withColumn("simhash", fold(tok_hashes))
+    from ..scale import fan_out
+
+    return fan_out(df).withColumn("simhash", fold(tok_hashes))
 
 
 def simhash_candidates(df: DataFrame, id_col: str = "doc_id",
@@ -310,9 +317,11 @@ def embedding_near_dup_pairs(
     caller accepts an all-pairs product — fine for sampled audits, not for
     100 TB (use LSH bucketing from similarity.py there)."""
     from .similarity import cosine
+    from ..scale import fan_out
 
-    left = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
-                     *([F.col(block_col)] if block_col else []))
+    left = fan_out(df).select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        *([F.col(block_col)] if block_col else []))
     right = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
                       *([F.col(block_col)] if block_col else []))
     on = [block_col] if block_col else []

@@ -25,6 +25,25 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 
+def fan_out(df: DataFrame, parallelism: int | None = None) -> DataFrame:
+    """Repartition a narrow input up to cluster width before a compute-bound
+    stage.
+
+    Spark sizes scan partitions from *bytes* (maxPartitionBytes), and a
+    parquet row group is unsplittable — so a small-but-expensive input
+    (embedding vectors, documents feeding O(dim)/O(len) projections) often
+    arrives as ONE partition and serializes the whole stage on one core.
+    When compute per row dwarfs scan cost, one extra round-robin shuffle
+    of the small input buys full-cluster parallelism.  No-op when the
+    input is already at least that wide.
+    """
+    spark = df.sparkSession
+    target = parallelism or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def salted_join(big: DataFrame, small: DataFrame, on: list[str] | str,
                 how: str = "inner", salt: int = 16) -> DataFrame:
     """Equi-join robust to heavy key skew on `big`.
