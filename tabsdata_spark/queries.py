@@ -1398,8 +1398,11 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("rolling_fingerprint")
 def rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tabsdata_spark.scale import fan_out
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return docs.select(
+    # heavy O(len) per-row hashing over a one-row-group input: fan out
+    return fan_out(docs).select(
         "doc_id",
         textual.rolling_hash_fingerprint(F.col("text")).alias("fp"),
     )
