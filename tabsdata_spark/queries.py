@@ -2950,3 +2950,70 @@ def dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(1.0 - F.col("uniq") / F.col("docs"), 6)
                      .alias("dup_rate"))
             .orderBy("source"))
+
+
+@q(
+    "pack_sequences",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+                  AS BIGINT) % 8 AS shard,
+             len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> x <> '')) AS n_tok
+      FROM documents)
+    SELECT doc_id, shard, n_tok,
+           CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - n_tok) / 2048.0)
+                AS BIGINT) AS pack_bin
+    FROM t
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM training: assign docs to fixed token-budget
+    bins (2048) with a running-sum window.  Scale shape: packing is done
+    PER SHARD (md5-derived, deterministic), so the window sort is
+    partition-local — the global-order variant would funnel the corpus
+    through one task.  Shard count scales with the cluster; bins are
+    reproducible across engines and runs."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_tok = textual.token_count(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        textual.hash_split(F.col("doc_id"), 8).cast("long").alias("shard"),
+        n_tok.alias("n_tok"),
+    )
+    from pyspark.sql.window import Window
+    w = (Window.partitionBy("shard").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    start = F.sum("n_tok").over(w) - F.col("n_tok")
+    return base.select(
+        "doc_id", "shard", "n_tok",
+        F.floor(start / 2048.0).cast("long").alias("pack_bin"),
+    )
+
+
+@q(
+    "quality_bins",
+    r"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             ROUND(LEAST(1.0, len(trim(text)) / 500.0), 6) AS q
+      FROM documents)
+    SELECT doc_id, lang, q,
+           ntile(4) OVER (PARTITION BY lang ORDER BY q, doc_id) AS bin
+    FROM t
+    """,
+)
+def quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-style quality quartiles per language: ntile over a
+    per-partition sort (never a global order — per-lang windows shuffle
+    once on lang and sort locally).  Tie-broken on doc_id so bins are
+    deterministic on both engines."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q_score = F.round(F.least(F.lit(1.0),
+                              F.length(F.trim(F.col("text"))) / 500.0), 6)
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("lang").orderBy("q", "doc_id")
+    return (docs.select("doc_id", "lang", q_score.alias("q"))
+            .withColumn("bin", F.ntile(4).over(w)))
