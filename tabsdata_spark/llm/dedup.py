@@ -435,6 +435,10 @@ def connected_components_star(edges: DataFrame, src: str = "id_a",
 
     prev = None
     for _ in range(max_iter):
+        # two checkpoints per round on purpose: each star pass joins its
+        # own groupBy-min back against its input (the input is consumed
+        # twice), so an unmaterialized intermediate would recompute the
+        # whole prior pass — measured slower than the extra checkpoint
         e = _large_star(e).localCheckpoint(eager=True)
         e = _small_star(e).localCheckpoint(eager=True)
         fp = _fingerprint(e)
