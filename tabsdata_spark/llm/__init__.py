@@ -1,3 +1,3 @@
-from . import dedup, multimodal, similarity, textual
+from . import corpus, dedup, multimodal, similarity, textual
 
-__all__ = ["dedup", "similarity", "textual", "multimodal"]
+__all__ = ["corpus", "dedup", "similarity", "textual", "multimodal"]

@@ -1,0 +1,171 @@
+"""Corpus indexing / retrieval-oriented operators for training-data
+pipelines: vocabulary building, TF-IDF, BM25 scoring, document chunking,
+repetition filters, and deterministic stratified sampling.
+
+Scale design notes (100 TB corpus, 1000 executors):
+- Tokenize-and-explode is the classic inverted-index shuffle: one wide
+  stage tokenizing at scan speed (pure JVM expressions, whole-stage
+  codegen), then a shuffle keyed on term.  Partial aggregation (map-side
+  combine) collapses per-split term counts before the exchange, so the
+  shuffle carries ~|vocab| rows per split, not ~|tokens|.
+- Term frequency is Zipfian — the head terms ("the", "of") would skew a
+  naive reduce.  Counting is associative so AQE's skew-join splitting plus
+  partial aggregation absorbs it; for joins ON term (tf_idf, bm25) the
+  document-frequency side is tiny (|vocab| rows) and is broadcast.
+- Chunking is embarrassingly parallel (per-row explode, no shuffle).
+- Sampling / repetition metrics are pure per-row projections.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+from pyspark.sql.window import Window
+
+from tabsdata_spark.llm.textual import hash_split
+
+
+def clean_tokens(text: Column) -> Column:
+    """Lowercased alphanumeric whitespace tokens (engine-portable: same
+    regex semantics in Java regex and DuckDB/RE2).  Null-safe: null text
+    -> empty array."""
+    safe = F.coalesce(text, F.lit(""))
+    cleaned = F.regexp_replace(F.lower(safe), r"[^a-z0-9\s]", "")
+    return F.filter(F.split(F.trim(cleaned), r"\s+"), lambda t: t != "")
+
+
+def term_doc_freq(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """(term, doc_id, tf) posting list — the inverted-index core.  One
+    explode + one groupBy(doc, term); partial agg collapses duplicates
+    before the exchange."""
+    return (
+        docs.select(F.col(id_col), F.explode(clean_tokens(F.col(text_col))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def vocabulary(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", top: int | None = None) -> DataFrame:
+    """Corpus vocabulary: (term, n_docs, n_occurrences), optionally top-N
+    by occurrences.  The full aggregate is one shuffle on term; the top-N
+    is a TakeOrderedAndProject (no global sort materialization)."""
+    tdf = term_doc_freq(docs, id_col, text_col)
+    vocab = tdf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tf").alias("n_occurrences"),
+    )
+    if top is not None:
+        w = Window.orderBy(F.col("n_occurrences").desc(), F.col("term"))
+        vocab = (vocab.withColumn("rank", F.row_number().over(w))
+                 .filter(F.col("rank") <= top))
+    return vocab
+
+
+def tf_idf(docs: DataFrame, id_col: str = "doc_id",
+           text_col: str = "text", top_per_doc: int | None = None) -> DataFrame:
+    """TF-IDF per (doc, term): tf * ln(N / df).  df comes from the tiny
+    vocabulary aggregate (broadcast join against the posting list); N is a
+    1-row broadcast.  `top_per_doc` keeps the k best terms per document
+    (window partitioned on doc — shuffles once on doc_id)."""
+    tdf = term_doc_freq(docs, id_col, text_col)
+    df_counts = tdf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    scored = (
+        tdf.join(F.broadcast(df_counts), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.round(
+            F.col("tf") * F.log(F.col("n_total").cast("double") / F.col("df")), 6))
+        .select(id_col, "term", "tf", "df", "tfidf")
+    )
+    if top_per_doc is not None:
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("tfidf").desc(), F.col("term"))
+        scored = (scored.withColumn("term_rank", F.row_number().over(w))
+                  .filter(F.col("term_rank") <= top_per_doc))
+    return scored
+
+
+def bm25(docs: DataFrame, query_terms: list[str], id_col: str = "doc_id",
+         text_col: str = "text", k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """BM25 relevance of every document against a bag of query terms
+    (Robertson/Sparck Jones, public formula):
+
+        idf(t)  = ln((N - df + 0.5) / (df + 0.5) + 1)
+        score   = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    Only postings for the query terms survive the first filter, so the
+    join fan-in is |query| * df rows regardless of corpus size; df/avgdl/N
+    are broadcast scalars.  Returns (doc_id, bm25) for docs matching any
+    term."""
+    tdf = term_doc_freq(docs, id_col, text_col).filter(
+        F.col("term").isin(query_terms))
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.avg(F.size(clean_tokens(F.col(text_col)))).alias("avgdl"),
+    )
+    df_counts = tdf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dl = docs.select(F.col(id_col),
+                     F.size(clean_tokens(F.col(text_col))).alias("dl"))
+    idf = F.log((F.col("n_total") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    tf_part = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    return (
+        tdf.join(F.broadcast(df_counts), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats.select("n_total", "avgdl")))
+        .groupBy(id_col)
+        .agg(F.round(F.sum(idf * tf_part), 6).alias("bm25"))
+    )
+
+
+def chunk_documents(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", size: int = 200,
+                    stride: int = 150) -> DataFrame:
+    """Split documents into fixed-size character chunks with overlap
+    (stride < size), the standard pre-embedding step.  Pure per-row
+    posexplode over an offset sequence — no shuffle, no UDF; empty text
+    still yields one (empty) chunk so no document is silently dropped.
+    Returns (doc_id, chunk_idx, chunk_start, chunk_len, chunk_md5)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    last_start = F.greatest(F.length(t) - 1, F.lit(0))
+    offsets = F.sequence(F.lit(0), last_start, F.lit(stride))
+    chunk = F.substring(t, F.col("chunk_start") + 1, size)
+    return (
+        docs.select(F.col(id_col), t.alias("__t"),
+                    F.posexplode(offsets).alias("chunk_idx", "chunk_start"))
+        .select(
+            id_col, "chunk_idx", "chunk_start",
+            F.length(F.substring(F.col("__t"), F.col("chunk_start") + 1, size))
+             .alias("chunk_len"),
+            F.md5(F.substring(F.col("__t"), F.col("chunk_start") + 1, size))
+             .alias("chunk_md5"),
+        )
+    )
+
+
+def duplicate_ngram_fraction(text: Column, n: int = 3) -> Column:
+    """Fraction of repeated word n-grams (Gopher-style repetition filter):
+    1 - distinct/total over the document's n-gram multiset; 0.0 when the
+    document has fewer than n tokens.  Array expressions only — runs at
+    scan speed inside codegen."""
+    toks = clean_tokens(text)
+    cnt = F.size(toks)
+    # clamp so sequence() never runs descending on short docs — the result
+    # is discarded by the `when` guard but must still evaluate safely
+    idx = F.sequence(F.lit(1), F.greatest(cnt - (n - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    frac = 1.0 - F.size(F.array_distinct(grams)) / F.size(grams).cast("double")
+    return F.when(cnt >= n, F.round(frac, 6)).otherwise(F.lit(0.0))
+
+
+def stratified_sample(df: DataFrame, key_col: str, rate_pct: int,
+                      strata_col: str | None = None) -> DataFrame:
+    """Deterministic hash sample: keep rows whose md5 bucket of `key_col`
+    falls below `rate_pct`.  Membership depends only on the key — stable
+    under re-runs, repartitioning, and engine swaps (same md5 rule works
+    in DuckDB et al.), unlike `df.sample()` whose outcome shifts with
+    partitioning.  Within every stratum the expected rate is `rate_pct`%
+    because buckets are independent of `strata_col`."""
+    return df.filter(hash_split(F.col(key_col), 100) < rate_pct)

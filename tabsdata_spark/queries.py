@@ -3017,3 +3017,271 @@ def quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("lang").orderBy("q", "doc_id")
     return (docs.select("doc_id", "lang", q_score.alias("q"))
             .withColumn("bin", F.ntile(4).over(w)))
+
+
+# ===========================================================================
+# Corpus indexing / retrieval queries (llm/corpus.py)
+# ===========================================================================
+_TOKS_CTE = """
+    toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g')), '\\s+'),
+                    x -> x <> '')) AS term
+      FROM documents)
+"""
+
+
+@q(
+    "vocab_top_terms",
+    f"""
+    WITH {_TOKS_CTE},
+    v AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences
+      FROM toks GROUP BY term)
+    SELECT term, n_docs, n_occurrences,
+           CAST(row_number() OVER (ORDER BY n_occurrences DESC, term) AS INT) AS rank
+    FROM v QUALIFY rank <= 40
+    """,
+)
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary, top-40 terms: tokenize at scan speed, one shuffle
+    on term with map-side combine, top-N via TakeOrderedAndProject."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from tabsdata_spark.llm import corpus
+    return corpus.vocabulary(docs, top=40)
+
+
+@q(
+    "tfidf_top_terms",
+    f"""
+    WITH {_TOKS_CTE},
+    tdf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    dfc AS (SELECT term, COUNT(*) AS df FROM tdf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_total FROM documents)
+    SELECT tdf.doc_id AS doc_id, tdf.term AS term, tf, df,
+           ROUND(tf * ln(CAST(n_total AS DOUBLE) / df), 6) AS tfidf,
+           CAST(row_number() OVER (PARTITION BY tdf.doc_id
+                ORDER BY ROUND(tf * ln(CAST(n_total AS DOUBLE) / df), 6) DESC,
+                         tdf.term) AS INT) AS term_rank
+    FROM tdf JOIN dfc ON dfc.term = tdf.term, n
+    QUALIFY term_rank <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document: posting list + broadcast df/N,
+    per-doc window for the top-k."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from tabsdata_spark.llm import corpus
+    return corpus.tf_idf(docs, top_per_doc=3)
+
+
+@q(
+    "bm25_docs",
+    f"""
+    WITH {_TOKS_CTE},
+    tdf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+            WHERE term IN ('join', 'vector', 'stream', 'window')
+            GROUP BY doc_id, term),
+    dfc AS (SELECT term, COUNT(*) AS df FROM tdf GROUP BY term),
+    dl AS (SELECT doc_id,
+                  len(list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g')), '\\s+'),
+                      x -> x <> '')) AS dl
+           FROM documents),
+    st AS (SELECT COUNT(*) AS n_total,
+                  AVG(len(list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g')), '\\s+'),
+                      x -> x <> ''))) AS avgdl
+           FROM documents)
+    SELECT tdf.doc_id AS doc_id,
+           ROUND(SUM(ln((n_total - df + 0.5) / (df + 0.5) + 1)
+                     * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS bm25
+    FROM tdf JOIN dfc ON dfc.term = tdf.term
+             JOIN dl ON dl.doc_id = tdf.doc_id, st
+    GROUP BY tdf.doc_id
+    """,
+)
+def bm25_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance against a fixed query bag; postings filtered to the
+    query terms before any join, so fan-in is |query|*df not corpus-sized."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from tabsdata_spark.llm import corpus
+    return corpus.bm25(docs, ["join", "vector", "stream", "window"])
+
+
+@q(
+    "doc_chunks",
+    """
+    SELECT doc_id,
+           CAST(start // 150 AS INT) AS chunk_idx,
+           CAST(start AS INT) AS chunk_start,
+           length(substring(coalesce(text, ''), CAST(start AS INT) + 1, 200)) AS chunk_len,
+           md5(substring(coalesce(text, ''), CAST(start AS INT) + 1, 200)) AS chunk_md5
+    FROM (SELECT doc_id, text,
+                 unnest(generate_series(0, greatest(length(coalesce(text, '')) - 1, 0), 150)) AS start
+          FROM documents)
+    """,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 200-char chunks at stride 150 — per-row posexplode, no
+    shuffle; md5 keys the chunk for downstream exact-dedup."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from tabsdata_spark.llm import corpus
+    out = corpus.chunk_documents(docs, size=200, stride=150)
+    return out.withColumn("chunk_len", F.col("chunk_len").cast("long"))
+
+
+@q(
+    "ngram_repetition",
+    """
+    SELECT doc_id,
+           CASE WHEN len(toks) >= 3
+                THEN ROUND(1 - len(list_distinct(grams)) / CAST(len(grams) AS DOUBLE), 6)
+                ELSE 0.0 END AS dup3_frac
+    FROM (SELECT doc_id, toks,
+                 list_transform(range(1, len(toks) - 1),
+                                i -> array_to_string(toks[i:i+2], ' ')) AS grams
+          FROM (SELECT doc_id,
+                       list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g')), '\\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents))
+    """,
+)
+def ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repeated-3-gram fraction per document — array
+    expressions only, runs inside codegen at scan speed."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from tabsdata_spark.llm import corpus
+    return docs.select(
+        "doc_id",
+        corpus.duplicate_ngram_fraction(F.col("text"), n=3).alias("dup3_frac"),
+    )
+
+
+@q(
+    "stratified_sample_docs",
+    """
+    SELECT lang, COUNT(*) AS n_total,
+           COUNT(*) FILTER (WHERE bucket < 25) AS n_sampled,
+           ROUND(COUNT(*) FILTER (WHERE bucket < 25) / CAST(COUNT(*) AS DOUBLE), 6) AS sample_rate
+    FROM (SELECT lang,
+                 CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+                      AS BIGINT) % 100 AS INTEGER) AS bucket
+          FROM documents)
+    GROUP BY lang
+    """,
+)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 25% hash sample audited per language stratum:
+    membership depends only on md5(doc_id), so the sample is stable under
+    re-runs, repartitioning, and engine swaps."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from tabsdata_spark.llm import corpus
+    sampled = corpus.stratified_sample(docs, "doc_id", 25)
+    tot = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    smp = sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
+    return (
+        tot.join(smp, "lang", "left")
+        .select(
+            "lang", "n_total",
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+            F.round(F.coalesce("n_sampled", F.lit(0)) / F.col("n_total").cast("double"), 6)
+             .alias("sample_rate"),
+        )
+    )
+
+
+@q(
+    "pivot_lang_counts",
+    """
+    SELECT source,
+           COUNT(*) FILTER (WHERE lang = 'de') AS n_de,
+           COUNT(*) FILTER (WHERE lang = 'en') AS n_en,
+           COUNT(*) FILTER (WHERE lang = 'es') AS n_es,
+           COUNT(*) FILTER (WHERE lang = 'fr') AS n_fr,
+           COUNT(*) FILTER (WHERE lang = 'zh') AS n_zh
+    FROM documents GROUP BY source
+    """,
+)
+def pivot_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native pivot with explicit values (no extra distinct-values job —
+    a silent scale trap when the pivot column has unknown cardinality);
+    absent cells coalesced to 0 for engine parity."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    langs = ["de", "en", "es", "fr", "zh"]
+    p = docs.groupBy("source").pivot("lang", langs).agg(F.count(F.lit(1)))
+    return p.select(
+        "source",
+        *[F.coalesce(F.col(l), F.lit(0)).cast("long").alias(f"n_{l}") for l in langs],
+    )
+
+
+@q(
+    "unpivot_part_metrics",
+    """
+    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value
+    FROM part WHERE p_partkey % 10 = 0
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS metric, CAST(p_retailprice AS DOUBLE) AS value
+    FROM part WHERE p_partkey % 10 = 0
+    """,
+)
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long melt via the native DataFrame.unpivot (Spark 3.4+) — a
+    zero-shuffle projection (each row fans out locally)."""
+    pt = (spark.read.parquet(f"{sf_dir}/part.parquet")
+          .filter((F.col("p_partkey") % 10) == 0)
+          .select("p_partkey",
+                  F.col("p_size").cast("double").alias("p_size"),
+                  F.col("p_retailprice").cast("double").alias("p_retailprice")))
+    return pt.unpivot(["p_partkey"], ["p_size", "p_retailprice"], "metric", "value")
+
+
+@q(
+    "percentrank_cumedist_events",
+    """
+    SELECT event_id, event_type,
+           ROUND(percent_rank() OVER w, 6) AS prk,
+           ROUND(cume_dist() OVER w, 6) AS cd
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+)
+def percentrank_cumedist_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist per event_type — one shuffle on the
+    partition key, local sort; unique (value, event_id) order keeps ranks
+    deterministic across engines."""
+    from pyspark.sql.window import Window
+    ev = load_events(spark, sf_dir).df.filter(
+        F.col("event_type").isin("click", "purchase"))
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id", "event_type",
+        F.round(F.percent_rank().over(w), 6).alias("prk"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+@q(
+    "lead_gap_events",
+    """
+    SELECT user_id, event_id,
+           lead(event_id) OVER w AS next_event_id,
+           epoch_us(lead(CAST(ts AS TIMESTAMP)) OVER w)
+             - epoch_us(CAST(ts AS TIMESTAMP)) AS gap_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    """,
+)
+def lead_gap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap via lead() — the building block for
+    session statistics; micros arithmetic avoids truncation divergence
+    between engines."""
+    from pyspark.sql.window import Window
+    ev = load_events(spark, sf_dir).df
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id", "event_id",
+        F.lead("event_id").over(w).alias("next_event_id"),
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts")))
+        .alias("gap_us"),
+    )

@@ -209,3 +209,94 @@ def test_redact_pii_and_hash_split(spark):
     assert out1 == out2
     assert all(0 <= b < 100 for b, _ in out1.values())
     assert all(s in {"train", "val", "test"} for _, s in out1.values())
+
+
+def test_corpus_tfidf_and_vocab(spark):
+    from tabsdata_spark.llm import corpus
+
+    df = spark.createDataFrame(
+        [(1, "apple banana apple"),
+         (2, "banana cherry"),
+         (3, "apple durian durian durian")],
+        ["doc_id", "text"])
+
+    vocab = {r.term: (r.n_docs, r.n_occurrences)
+             for r in corpus.vocabulary(df).collect()}
+    assert vocab["apple"] == (2, 3)
+    assert vocab["banana"] == (2, 2)
+    assert vocab["cherry"] == (1, 1)
+    assert vocab["durian"] == (1, 3)
+
+    top = corpus.vocabulary(df, top=2).orderBy("rank").collect()
+    assert [r.term for r in top] == ["apple", "durian"]  # 3 occ each, term tiebreak
+
+    import math
+    scored = {(r.doc_id, r.term): r.tfidf for r in corpus.tf_idf(df).collect()}
+    # apple: df=2, N=3 -> tf * ln(1.5)
+    assert scored[(1, "apple")] == round(2 * math.log(3 / 2), 6)
+    assert scored[(3, "durian")] == round(3 * math.log(3 / 1), 6)
+    # cherry unique to doc 2 -> highest idf
+    top1 = {r.doc_id: r.term
+            for r in corpus.tf_idf(df, top_per_doc=1).collect()}
+    assert top1[2] == "cherry"
+    assert top1[3] == "durian"
+
+
+def test_corpus_bm25_ranks_denser_docs_higher(spark):
+    from tabsdata_spark.llm import corpus
+
+    df = spark.createDataFrame(
+        [(1, "spark spark spark engine"),
+         (2, "spark is one word here among many other words in a long doc"),
+         (3, "nothing relevant at all")],
+        ["doc_id", "text"])
+    got = {r.doc_id: r.bm25 for r in corpus.bm25(df, ["spark"]).collect()}
+    assert set(got) == {1, 2}          # doc 3 matches no term
+    assert got[1] > got[2] > 0         # more hits in shorter doc wins
+
+
+def test_corpus_chunking_bounds(spark):
+    from tabsdata_spark.llm import corpus
+
+    df = spark.createDataFrame(
+        [(1, "a" * 450), (2, "b" * 10), (3, ""), (4, None)],
+        "doc_id long, text string")
+    rows = corpus.chunk_documents(df, size=200, stride=150).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # 450 chars at stride 150 -> starts 0/150/300, lens 200/200/150
+    assert [c.chunk_len for c in sorted(by_doc[1], key=lambda c: c.chunk_idx)] == [200, 200, 150]
+    assert [c.chunk_start for c in sorted(by_doc[1], key=lambda c: c.chunk_idx)] == [0, 150, 300]
+    assert [c.chunk_len for c in by_doc[2]] == [10]
+    # empty/null docs still yield exactly one (empty) chunk
+    assert [c.chunk_len for c in by_doc[3]] == [0]
+    assert [c.chunk_len for c in by_doc[4]] == [0]
+    # overlap: stride < size means consecutive chunks share size-stride chars
+    assert by_doc[1][1].chunk_start - by_doc[1][0].chunk_start == 150
+
+
+def test_corpus_repetition_and_sample(spark):
+    from tabsdata_spark.llm import corpus
+
+    df = spark.createDataFrame(
+        [(1, "a b c a b c a b c"),      # "a b c" 3-gram heavily repeated
+         (2, "all tokens unique here today friend"),
+         (3, "x y"),                    # < 3 tokens -> 0.0
+         (4, None)],
+        "doc_id long, text string")
+    got = {r.doc_id: r.f for r in df.select(
+        "doc_id",
+        corpus.duplicate_ngram_fraction(F.col("text"), n=3).alias("f")).collect()}
+    assert got[1] > 0.5
+    assert got[2] == 0.0
+    assert got[3] == 0.0
+    assert got[4] == 0.0
+
+    big = spark.range(0, 1000).withColumnRenamed("id", "k")
+    n = corpus.stratified_sample(big, "k", 20).count()
+    assert 120 <= n <= 280  # ~20% of 1000, md5-deterministic
+    # determinism: same rows every time
+    a = {r.k for r in corpus.stratified_sample(big, "k", 20).collect()}
+    b = {r.k for r in corpus.stratified_sample(big, "k", 20).collect()}
+    assert a == b
