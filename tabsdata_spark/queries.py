@@ -3285,3 +3285,196 @@ def lead_gap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts")))
         .alias("gap_us"),
     )
+
+
+# ===========================================================================
+# Deterministic statistics / JSON / graph queries (stats.py, graph.py)
+# ===========================================================================
+@q(
+    "json_extract_events",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           SUM(CAST(props->>'k' AS BIGINT)) AS sum_k,
+           ROUND(SUM(CAST(props->>'k' AS BIGINT)) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_k
+    FROM events GROUP BY event_type
+    """,
+)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction (get_json_object, JVM-side jsonpath — no
+    UDF) + integer-exact aggregation."""
+    ev = load_events(spark, sf_dir).df
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (ev.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("k").alias("sum_k"),
+                 F.round(F.sum("k") / F.count(F.lit(1)).cast("double"), 6)
+                  .alias("avg_k")))
+
+
+@q(
+    "stats_variance_events",
+    """
+    WITH a AS (
+      SELECT event_type, COUNT(value) AS n,
+             SUM(CAST(value AS DECIMAL(18,6))) AS s1,
+             SUM(CAST(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)) AS DECIMAL(38,12))) AS s2
+      FROM events GROUP BY event_type)
+    SELECT event_type, n,
+           ROUND(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
+           ROUND((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                 / (CAST(n AS DOUBLE) - 1), 6) AS var_samp,
+           ROUND(sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                 / (CAST(n AS DOUBLE) - 1)), 6) AS stddev_samp
+    FROM a
+    """,
+)
+def stats_variance_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent variance/stddev: exact decimal moment sums, then
+    the closed form in double — stable under any partitioning (the
+    built-in stddev aggregates doubles in partition order and drifts in
+    the last ulp at 1000 executors)."""
+    from tabsdata_spark import stats
+    ev = load_events(spark, sf_dir).df
+    return stats.exact_variance(ev, "value", ["event_type"])
+
+
+@q(
+    "corr_value_k_events",
+    """
+    WITH b AS (
+      SELECT event_type, value, CAST(props->>'k' AS BIGINT) AS k FROM events),
+    a AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(18,6))) AS sx,
+             SUM(CAST(k AS DECIMAL(18,6))) AS sy,
+             SUM(CAST(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)) AS DECIMAL(38,12))) AS sx2,
+             SUM(CAST(CAST(k AS DECIMAL(18,6)) * CAST(k AS DECIMAL(18,6)) AS DECIMAL(38,12))) AS sy2,
+             SUM(CAST(CAST(value AS DECIMAL(18,6)) * CAST(k AS DECIMAL(18,6)) AS DECIMAL(38,12))) AS sxy
+      FROM b GROUP BY event_type)
+    SELECT event_type, n,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr
+    FROM a
+    """,
+)
+def corr_value_k_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation from exact decimal cross-moments — same
+    determinism argument as stats_variance_events."""
+    from tabsdata_spark import stats
+    ev = load_events(spark, sf_dir).df
+    k = F.get_json_object("props", "$.k").cast("long")
+    return stats.exact_corr(ev.select("event_type", "value", k.alias("k")),
+                            "value", "k", ["event_type"])
+
+
+@q(
+    "mode_event_type_per_user",
+    """
+    SELECT user_id, event_type AS mode, cnt AS mode_count
+    FROM (SELECT user_id, event_type, COUNT(*) AS cnt,
+                 row_number() OVER (PARTITION BY user_id
+                      ORDER BY COUNT(*) DESC, event_type) AS rn
+          FROM events GROUP BY user_id, event_type)
+    WHERE rn = 1
+    """,
+)
+def mode_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode (count desc, value asc tie-break) —
+    built-in mode() resolves ties arbitrarily, i.e. differently per run
+    under repartitioning."""
+    from tabsdata_spark import stats
+    ev = load_events(spark, sf_dir).df
+    return stats.deterministic_mode(ev, "event_type", ["user_id"])
+
+
+@q(
+    "listagg_user_event_types",
+    """
+    SELECT user_id,
+           array_to_string(list_sort(list_distinct(list(event_type))), ',') AS types,
+           len(list_distinct(list(event_type))) AS n_types
+    FROM events WHERE user_id % 20 = 0 GROUP BY user_id
+    """,
+)
+def listagg_user_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/list aggregation made deterministic: collect_set -> sort ->
+    join (listagg without ORDER BY is partition-order-dependent)."""
+    ev = load_events(spark, sf_dir).df.filter((F.col("user_id") % 20) == 0)
+    types = F.array_sort(F.collect_set("event_type"))
+    return (ev.groupBy("user_id")
+            .agg(F.array_join(types, ",").alias("types"),
+                 F.size(types).cast("long").alias("n_types")))
+
+
+@q(
+    "histogram_event_values",
+    """
+    SELECT bucket, COUNT(*) AS n,
+           ROUND(CAST(bucket * 50.0 AS DOUBLE), 6) AS bucket_lo,
+           ROUND(CAST((bucket + 1) * 50.0 AS DOUBLE), 6) AS bucket_hi
+    FROM (SELECT LEAST(GREATEST(CAST(FLOOR((value - 0.0) / 50.0) AS INT), 0), 9) AS bucket
+          FROM events)
+    GROUP BY bucket
+    """,
+)
+def histogram_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-range histogram: floor-division projection + a <=10-group
+    count — single pass, no data-driven min/max pre-scan."""
+    from tabsdata_spark import stats
+    ev = load_events(spark, sf_dir).df
+    return stats.histogram(ev, "value", lo=0.0, hi=500.0, buckets=10)
+
+
+@q(
+    "pagerank_event_transitions",
+    """
+    WITH seq AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id
+                  ORDER BY CAST(ts AS TIMESTAMP), event_id) AS dst
+      FROM events),
+    e AS (SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS w
+          FROM seq WHERE dst IS NOT NULL GROUP BY src, dst),
+    outw AS (SELECT src, SUM(w) AS out_w FROM e GROUP BY src),
+    t AS (SELECT e.src AS src, e.dst AS dst, e.w / outw.out_w AS p
+          FROM e JOIN outw ON outw.src = e.src),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    nn AS (SELECT COUNT(*) AS n_total FROM nodes),
+    r0 AS (SELECT node, 1.0 / n_total AS rank, n_total FROM nodes, nn),
+    r1 AS (SELECT r.node AS node,
+                  (1.0 - 0.85) / r.n_total + 0.85 * COALESCE(m.mass, 0.0) AS rank,
+                  r.n_total AS n_total
+           FROM r0 r LEFT JOIN (SELECT t.dst AS node, SUM(r0.rank * t.p) AS mass
+                                FROM t JOIN r0 ON r0.node = t.src GROUP BY t.dst) m
+           ON m.node = r.node),
+    r2 AS (SELECT r.node AS node,
+                  (1.0 - 0.85) / r.n_total + 0.85 * COALESCE(m.mass, 0.0) AS rank,
+                  r.n_total AS n_total
+           FROM r1 r LEFT JOIN (SELECT t.dst AS node, SUM(r1.rank * t.p) AS mass
+                                FROM t JOIN r1 ON r1.node = t.src GROUP BY t.dst) m
+           ON m.node = r.node),
+    r3 AS (SELECT r.node AS node,
+                  (1.0 - 0.85) / r.n_total + 0.85 * COALESCE(m.mass, 0.0) AS rank,
+                  r.n_total AS n_total
+           FROM r2 r LEFT JOIN (SELECT t.dst AS node, SUM(r2.rank * t.p) AS mass
+                                FROM t JOIN r2 ON r2.node = t.src GROUP BY t.dst) m
+           ON m.node = r.node)
+    SELECT node, ROUND(rank, 6) AS rank FROM r3
+    """,
+)
+def pagerank_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the event-type transition graph (edges = consecutive
+    events per user, weighted by transition count).  3 unrolled power
+    iterations; integer-valued double weights keep out-degree sums exact
+    in any order."""
+    from pyspark.sql.window import Window
+    from tabsdata_spark import graph
+    ev = load_events(spark, sf_dir).df
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(F.col("event_type").alias("src"),
+                    F.lead("event_type").over(w).alias("dst"))
+    edges = (seq.filter(F.col("dst").isNotNull())
+             .groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w")))
+    return graph.pagerank(edges, iterations=3, damping=0.85, weight="w")

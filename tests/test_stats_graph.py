@@ -1,0 +1,93 @@
+"""Unit tests for stats.py (deterministic aggregates) and graph.py
+(PageRank)."""
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def test_exact_variance_matches_closed_form(spark):
+    from tabsdata_spark import stats
+
+    vals = [1.5, 2.5, 3.5, 10.0]
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
+    row = stats.exact_variance(df, "v", ["g"]).collect()[0]
+    n = len(vals)
+    mean = sum(vals) / n
+    var = sum((x - mean) ** 2 for x in vals) / (n - 1)
+    assert row.n == n
+    assert row.mean == round(mean, 6)
+    assert abs(row.var_samp - var) < 1e-6
+    assert abs(row.stddev_samp - math.sqrt(var)) < 1e-6
+
+
+def test_exact_variance_stable_under_repartition(spark):
+    from tabsdata_spark import stats
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 7).cast("string").alias("g"),
+        (F.col("id") * 0.37 + 0.01).alias("v"))
+    a = sorted(tuple(r) for r in stats.exact_variance(df, "v", ["g"]).collect())
+    b = sorted(tuple(r) for r in
+               stats.exact_variance(df.repartition(17), "v", ["g"]).collect())
+    assert a == b  # bit-identical, not approximately equal
+
+
+def test_exact_corr_perfect_and_inverse(spark):
+    from tabsdata_spark import stats
+
+    rows = [("a", float(i), float(2 * i + 1)) for i in range(10)]
+    rows += [("b", float(i), float(-3 * i + 40)) for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r.g: r.corr for r in stats.exact_corr(df, "x", "y", ["g"]).collect()}
+    assert got["a"] == 1.0
+    assert got["b"] == -1.0
+
+
+def test_deterministic_mode_tie_break(spark):
+    from tabsdata_spark import stats
+
+    df = spark.createDataFrame(
+        [("u1", "b"), ("u1", "b"), ("u1", "a"), ("u1", "a"), ("u1", "c"),
+         ("u2", "z")],
+        "u string, t string")
+    got = {r.u: (r.mode, r.mode_count)
+           for r in stats.deterministic_mode(df, "t", ["u"]).collect()}
+    assert got["u1"] == ("a", 2)  # tie a/b at 2 -> smallest value wins
+    assert got["u2"] == ("z", 1)
+
+
+def test_histogram_clamps_out_of_range(spark):
+    from tabsdata_spark import stats
+
+    df = spark.createDataFrame([(v,) for v in
+                                [-5.0, 0.0, 9.9, 10.0, 55.0, 99.9, 150.0]],
+                               "v double")
+    got = {r.bucket: r.n for r in
+           stats.histogram(df, "v", lo=0.0, hi=100.0, buckets=10).collect()}
+    assert got[0] == 3      # -5 clamped in, 0.0, 9.9
+    assert got[1] == 1      # 10.0
+    assert got[5] == 1      # 55
+    assert got[9] == 2      # 99.9 + 150 clamped down
+
+
+def test_pagerank_star_and_cycle(spark):
+    from tabsdata_spark import graph
+
+    # 4-cycle: symmetry -> every node has identical rank 0.25
+    cyc = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0)], "src long, dst long")
+    got = {r.node: r.rank for r in graph.pagerank(cyc, iterations=10).collect()}
+    assert all(v == 0.25 for v in got.values())
+
+    # star into a hub: hub accumulates strictly more mass than the leaves
+    star = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (0, 1)], "src long, dst long")
+    got = {r.node: r.rank for r in graph.pagerank(star, iterations=5).collect()}
+    assert got[0] > got[1] > 0
+    assert got[2] == got[3]  # symmetric leaves agree exactly
+    # checkpointed long run still returns sane values
+    long_run = {r.node: r.rank for r in
+                graph.pagerank(star, iterations=9, checkpoint_every=4).collect()}
+    assert long_run[0] > long_run[1]
