@@ -102,7 +102,14 @@ class FileSource:
         fmt = self._fmt()
         reader = spark.read.format(fmt.name).options(**fmt.reader_options())
         paths, new_offset = self._filtered_paths()
-        df = reader.load(paths)
+        if not paths:
+            # No files newer than the stored offset: a no-op run, not a
+            # failure.  reader.load([]) raises (unable to infer schema), so
+            # derive the schema from the full (already-ingested) file set
+            # and return an empty frame of the right shape.
+            df = reader.load(self._paths()).limit(0)
+        else:
+            df = reader.load(paths)
         if isinstance(fmt, LogFormat):
             df = df.withColumnRenamed("value", "log")
         return df, new_offset

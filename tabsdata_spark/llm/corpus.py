@@ -57,9 +57,17 @@ def vocabulary(docs: DataFrame, id_col: str = "doc_id",
         F.sum("tf").alias("n_occurrences"),
     )
     if top is not None:
-        w = Window.orderBy(F.col("n_occurrences").desc(), F.col("term"))
-        vocab = (vocab.withColumn("rank", F.row_number().over(w))
-                 .filter(F.col("rank") <= top))
+        # orderBy().limit() compiles to TakeOrderedAndProject — each task
+        # keeps a local top-N heap and only N rows per partition reach the
+        # driver-side merge.  A global row_number window would funnel the
+        # whole vocabulary through ONE task; oracle-identical, strictly
+        # worse.  rank recomputed after the take (tiny: `top` rows).
+        vocab = (vocab
+                 .orderBy(F.col("n_occurrences").desc(), F.col("term"))
+                 .limit(top)
+                 .withColumn("rank", F.row_number().over(
+                     Window.orderBy(F.col("n_occurrences").desc(),
+                                    F.col("term")))))
     return vocab
 
 

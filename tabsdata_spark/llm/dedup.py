@@ -66,34 +66,17 @@ def shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(F.when(cnt >= n, grams).otherwise(F.array(F.array_join(toks, " "))))
 
 
-_MINHASH_PRIME = 0x9E3779B97F4A7C15  # golden-ratio odd constant
-
-
-def _perm_constants(num_hashes: int) -> list[tuple[int, int]]:
-    """Deterministic odd multipliers + offsets for affine 64-bit mixing."""
-    out = []
-    a = _MINHASH_PRIME
-    for i in range(num_hashes):
-        a = (a * 6364136223846793005 + 1442695040888963407) % (1 << 64)
-        b = (a * 2862933555777941757 + 3037000493 + i) % (1 << 64)
-        out.append(((a | 1) - (1 << 64 if (a | 1) >= (1 << 63) else 0),
-                    b - (1 << 64 if b >= (1 << 63) else 0)))
-    return out
-
-
 def minhash_signature(shingle_arr: Column, num_hashes: int = 32) -> Column:
-    """k-minwise signature via hash-once + k affine permutations:
-    each shingle hashed ONCE with xxhash64, then k cheap wrapping affine
-    maps (h*a_i + b_i) with array_min — k*n multiplies instead of k*n string
-    hashes (~10x cheaper, same minwise-family quality)."""
+    """k-minwise signature via hash-once + k rehashes: each shingle hashed
+    ONCE with xxhash64, then k independent permutations derived as
+    xxhash64(h, i) with array_min.  All-JVM, and — unlike the earlier
+    wrapping affine maps (h*a_i + b_i) — overflow-free on ANSI-on sessions
+    (ANSI long arithmetic throws ARITHMETIC_OVERFLOW; xxhash64 never
+    overflows).  Still k*n cheap JVM ops, same minwise-family quality."""
     base = F.transform(shingle_arr, lambda s: F.xxhash64(s))
-
-    def affine(a: int, b: int):
-        return lambda h: h * F.lit(a) + F.lit(b)
-
     mins = [
-        F.array_min(F.transform(base, affine(a, b)))
-        for a, b in _perm_constants(num_hashes)
+        F.array_min(F.transform(base, lambda h, _i=i: F.xxhash64(h, F.lit(_i))))
+        for i in range(num_hashes)
     ]
     return F.array(*mins)
 
@@ -139,11 +122,11 @@ def minhash_lsh_candidates(
         .otherwise(empty).alias("__h"),
     )
 
-    def affine(a: int, b: int):
-        return lambda h: h * F.lit(a) + F.lit(b)
-
-    mins = [F.array_min(F.transform(F.col("__h"), affine(a, b)))
-            for a, b in _perm_constants(num_hashes)]
+    # Permutation i = xxhash64(h, i): independent min-wise hashes without
+    # wrapping 64-bit arithmetic (ANSI-on sessions throw on long overflow).
+    mins = [F.array_min(F.transform(F.col("__h"),
+                                    lambda h, _i=i: F.xxhash64(h, F.lit(_i))))
+            for i in range(num_hashes)]
     # persist: the signature table is read 4x downstream (bucket sizes, two
     # join sides, jaccard estimate); at cluster scale this would be a
     # checkpoint to parquet instead
@@ -403,9 +386,12 @@ def connected_components_star(edges: DataFrame, src: str = "id_a",
     e = e.localCheckpoint(eager=True)
 
     def _fingerprint(df: DataFrame):
+        # bit_xor, not sum: xor of 64-bit hashes is an order-insensitive
+        # set fingerprint (edges are distinct) that can never overflow —
+        # summing longs throws ARITHMETIC_OVERFLOW on ANSI-on sessions.
         r = df.agg(
             F.count(F.lit(1)).alias("n"),
-            F.coalesce(F.sum(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
         ).first()
         return (r["n"], r["h"])
 

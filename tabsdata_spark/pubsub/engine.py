@@ -90,8 +90,15 @@ class PubSubEngine:
     def _run(self, key: str, execution_id: str) -> RunReport:
         collection, fn = self.graph.functions[key]
         run_id = self.store.meta.add_run(collection, fn.name, execution_id)
+        # Per-run working dir for SourcePlugin.resolve: must outlive the
+        # whole run, not just input resolution — plugin-returned frames are
+        # lazy reads over files written into it, materialized only at
+        # store.write below (reference contract: chunk() writes parquet to
+        # working_dir and returns paths, _io/plugin.py).
+        workdir = tempfile.TemporaryDirectory(prefix="td-run-")
         try:
-            inputs, offset_update = self._load_inputs(collection, fn)
+            inputs, offset_update = self._load_inputs(
+                collection, fn, workdir.name)
             result = fn(*inputs)
             outputs = _as_list(result)
             published: dict[str, str] = {}
@@ -118,15 +125,17 @@ class PubSubEngine:
         except Exception as e:  # noqa: BLE001 - report, don't crash the loop
             self.store.meta.set_run_status(run_id, "failed")
             return RunReport(key, "failed", error=f"{type(e).__name__}: {e}")
+        finally:
+            workdir.cleanup()
 
     # -- input resolution ----------------------------------------------
-    def _load_inputs(self, collection: str, fn: TabsdataFunction):
+    def _load_inputs(self, collection: str, fn: TabsdataFunction,
+                     workdir: str):
         offset_update: dict = {}
         if fn.kind == "publisher":
             src = fn.source
             if isinstance(src, SourcePlugin):
-                with tempfile.TemporaryDirectory() as wd:
-                    dfs = src.resolve(self.spark, wd)
+                dfs = src.resolve(self.spark, workdir)
                 if src.initial_values:
                     offset_update.update(src.initial_values)
                 frames = [TableFrame.from_spark(d) if d is not None else None

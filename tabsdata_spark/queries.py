@@ -47,7 +47,13 @@ def _dec(e: td.Expr) -> td.Expr:
 
 def load_events(spark: SparkSession, sf_dir: str) -> td.TableFrame:
     """events.parquet carries TIMESTAMP(NANOS); with nanosAsLong the ts
-    column arrives as nanos-long -> convert to a micros timestamp."""
+    column arrives as nanos-long -> convert to a micros timestamp.
+
+    The conf is set on the *passed-in* session (runtime-settable) so the
+    read works on a vanilla Spark 4 session, not just get_spark()'s —
+    without it the scan dies with PARQUET_TYPE_ILLEGAL before any operator
+    runs."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -38,9 +38,16 @@ def fan_out(df: DataFrame, parallelism: int | None = None) -> DataFrame:
     input is already at least that wide.
     """
     spark = df.sparkSession
-    target = parallelism or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
-        return df
+    try:
+        target = parallelism or spark.sparkContext.defaultParallelism
+    except Exception:  # Spark Connect: no sparkContext; fall back to conf
+        target = parallelism or int(
+            spark.conf.get("spark.sql.shuffle.partitions"))
+    # Unconditional repartition — deliberately no df.rdd.getNumPartitions()
+    # probe: materializing .rdd forces (and with AQE can partially execute)
+    # the physical plan, and breaks outright on Spark Connect.  Callers use
+    # fan_out only on known-narrow inputs, where one round-robin exchange
+    # of a small table is noise next to the compute stage it unlocks.
     return df.repartition(target)
 
 

@@ -54,6 +54,31 @@ def _char_class(chars: str) -> str:
     return "[" + _re.sub(r"([\\\]\[\^\-])", r"\\\1", chars) + "]"
 
 
+def _ansi_enabled() -> bool:
+    """Effective ANSI mode of the active session.
+
+    Spark 4 defaults `spark.sql.ansi.enabled` to **true**, so this must be
+    read with NO explicit default: `conf.get(key, default)` returns the
+    supplied default whenever the user never set the key, hiding Spark's
+    own built-in default.  A bare `conf.get(key)` resolves to the effective
+    runtime value ("true" on a vanilla Spark 4 session).
+
+    When detection is impossible (no active session, exotic backend) we
+    assume ANSI **on**: `try_cast` is correct under either mode, while a
+    plain cast throws under ANSI — so the safe fallback is the one that
+    never raises.
+    """
+    try:
+        from pyspark.sql import SparkSession
+
+        sess = SparkSession.getActiveSession()
+        if sess is None:
+            return True
+        return str(sess.conf.get("spark.sql.ansi.enabled")).lower() == "true"
+    except Exception:
+        return True
+
+
 class Expr:
     """Lazy column expression (reference: tableframe/expr/expr.py:63-2758)."""
 
@@ -398,12 +423,16 @@ class Expr:
         from .dtypes import to_spark_type
 
         target = to_spark_type(dtype)
-        casted = self._col.cast(target)
         if strict:
-            # Polars strict cast raises on conversion failure.  Sessions run
-            # ANSI-off (get_spark), where cast() nulls bad values — so guard:
+            # Polars strict cast raises on conversion failure.  Under an
+            # ANSI-on session plain cast() already throws CAST_INVALID_INPUT
+            # with a value-carrying message — no guard needed.  Under a
+            # legacy (ANSI-off) session cast() nulls bad values, so guard:
             # a non-null input that casts to null is a failure.  (Overflow
             # wraps in legacy mode and is not caught; documented narrowing.)
+            casted = self._col.cast(target)
+            if _ansi_enabled():
+                return self._new(casted)
             return self._new(
                 F.when(
                     self._col.isNotNull() & casted.isNull(),
@@ -418,15 +447,10 @@ class Expr:
         # when most values fail to parse (measured: 5.0s vs 0.2s per 600k
         # all-fail string->bigint rows).  Only fall back to try_cast if the
         # active session runs ANSI-on, where plain cast would throw.
-        try:
-            from pyspark.sql import SparkSession
-
-            sess = SparkSession.getActiveSession()
-            ansi = (sess is not None and
-                    sess.conf.get("spark.sql.ansi.enabled", "false") == "true")
-        except Exception:
-            ansi = False
-        return self._new(self._col.try_cast(target) if ansi else casted)
+        return self._new(
+            self._col.try_cast(target) if _ansi_enabled()
+            else self._col.cast(target)
+        )
 
     def fill_null(self, value):
         return self._new(F.coalesce(self._col, to_column(value)))
@@ -704,8 +728,13 @@ class ExprStringNameSpace:
 
     def to_integer(self, base: int = 10, strict: bool = True):
         if base == 10:
-            casted = self._c.cast("long")  # legacy null-on-error, branch not
-            if strict:                     # exception (see Expr.cast)
+            # Same ANSI routing as Expr.cast: ANSI-on sessions throw from
+            # plain cast (strict) / need try_cast (non-strict); legacy
+            # sessions null-on-error, so strict adds an explicit guard.
+            if strict:
+                casted = self._c.cast("long")
+                if _ansi_enabled():
+                    return self._new(casted)
                 return self._new(
                     F.when(
                         self._c.isNotNull() & casted.isNull(),
@@ -714,7 +743,10 @@ class ExprStringNameSpace:
                             self._c)),
                     ).otherwise(casted)
                 )
-            return self._new(casted)
+            return self._new(
+                self._c.try_cast("long") if _ansi_enabled()
+                else self._c.cast("long")
+            )
         return self._new(F.conv(self._c, base, 10).cast("long"))
 
     def contains_any(self, patterns: Sequence[str], ascii_case_insensitive: bool = False):

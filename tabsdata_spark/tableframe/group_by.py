@@ -73,4 +73,10 @@ class TableFrameGroupBy:
         return self._apply_all(F.median)
 
     def n_unique(self) -> "TableFrame":  # noqa: F821
-        return self._apply_all(F.count_distinct)
+        # Same formulation as Expr.n_unique: Polars counts null as a
+        # distinct value, count_distinct alone ignores it — plain
+        # count_distinct would be off by one for groups containing nulls.
+        return self._apply_all(
+            lambda c: F.count_distinct(c)
+            + F.max(F.when(c.isNull(), 1).otherwise(0))
+        )

@@ -56,6 +56,19 @@ def test_incremental_last_modified(spark, tmp_path):
     assert paths2 == [str(b)]
 
 
+def test_incremental_no_new_files_yields_empty_frame(spark, tmp_path):
+    """A run with nothing newer than the offset is a no-op, not a failure:
+    load() must return an empty frame with the source schema (ADVICE r1 —
+    reader.load([]) used to raise unable-to-infer-schema)."""
+    (tmp_path / "a.csv").write_text("k,v\n1,x\n")
+    src = LocalFileSource(str(tmp_path / "*.csv"), format="csv")
+    _, offset1 = src.load(spark)
+    src2 = LocalFileSource(str(tmp_path / "*.csv"), format="csv",
+                           initial_last_modified=offset1)
+    df2, _ = src2.load(spark)
+    assert df2.columns == ["k", "v"] and df2.count() == 0
+
+
 def test_avro_gated(spark, tmp_path):
     df = spark.createDataFrame([(1,)], ["k"])
     dest = LocalFileDestination(str(tmp_path / "o.avro"), format="avro")

@@ -193,6 +193,32 @@ def test_source_plugin_and_offsets(spark, tmp_path):
     assert store.meta.get_offset("c", "pub", "cursor") == "42"
 
 
+def test_source_plugin_path_contract(spark, tmp_path):
+    """Reference contract (_io/plugin.py): chunk() writes parquet into
+    working_dir and returns the path.  The frames are lazy reads over those
+    files, so the working dir must survive until store.write materializes
+    them (ADVICE r1 — it used to be deleted when resolve() returned)."""
+    import os
+
+    store = TableStore(str(tmp_path / "wpp"))
+    engine = PubSubEngine(spark, store)
+
+    class PathPlugin(td.SourcePlugin):
+        def chunk(self, spark_, working_dir):
+            p = os.path.join(working_dir, "chunk.parquet")
+            spark_.createDataFrame([(1,), (2,)], "n long").write.parquet(p)
+            return p
+
+    @td.publisher(PathPlugin(), tables="paths_t")
+    def pub(tf):
+        return tf
+
+    engine.register("c", pub)
+    reports = engine.trigger("c", "pub")
+    assert reports[0].status == "committed", reports[0].error
+    assert store.read(spark, "c", "paths_t").to_spark().count() == 2
+
+
 # ---------------------------------------------------------------- streaming
 def test_version_bus_consumer(spark, tmp_path):
     from tabsdata_spark.streaming import process_new_versions

@@ -1,0 +1,107 @@
+"""Driver-parity regression net: every registered query must run on a
+VANILLA Spark 4 session (ANSI on, no legacy parquet confs, default
+timezone) — not just under get_spark()'s tuned session.
+
+Round-1 lesson: the driver's correctness harness uses an unconfigured
+SparkSession, where `spark.sql.ansi.enabled` defaults to true and
+`spark.sql.legacy.parquet.nanosAsLong` is unset.  Six queries that were
+green under get_spark() died there (CAST_INVALID_INPUT,
+PARQUET_TYPE_ILLEGAL, ARITHMETIC_OVERFLOW).  This suite reproduces the
+driver's session inside the shared test JVM by cloning a session and
+unsetting every conf get_spark() tunes, so that breakage is caught by
+pytest before the driver sees it.
+
+Contract (NOTES.md): get_spark() is an optimization, never a correctness
+dependency.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import SparkSession
+
+import tabsdata_spark as td
+
+# Session confs get_spark() sets that could mask vanilla behavior.  Static
+# confs (driver memory, UI) don't affect semantics and can't be unset.
+_TUNED_KEYS = [
+    "spark.sql.adaptive.enabled",
+    "spark.sql.adaptive.coalescePartitions.enabled",
+    "spark.sql.adaptive.skewJoin.enabled",
+    "spark.sql.adaptive.localShuffleReader.enabled",
+    "spark.sql.execution.arrow.pyspark.enabled",
+    "spark.sql.ansi.enabled",
+    "spark.sql.session.timeZone",
+    "spark.sql.autoBroadcastJoinThreshold",
+    "spark.sql.cbo.enabled",
+    "spark.sql.legacy.parquet.nanosAsLong",
+]
+
+
+@pytest.fixture(scope="module")
+def vanilla(spark):
+    ns = spark.newSession()
+    for key in _TUNED_KEYS:
+        try:
+            ns.conf.unset(key)
+        except Exception:
+            pass
+    # keep test shuffle width small (perf only; not semantics)
+    ns.conf.set("spark.sql.shuffle.partitions", "8")
+    assert ns.conf.get("spark.sql.ansi.enabled") == "true", \
+        "vanilla clone failed to restore Spark 4 ANSI default"
+    # Point active-session tracking (used by Expr's ANSI detection) at the
+    # vanilla clone, as it would be in the driver's single-session process.
+    prev = SparkSession.getActiveSession()
+    SparkSession._activeSession = ns
+    ns._jvm.SparkSession.setActiveSession(ns._jsparkSession)
+    yield ns
+    SparkSession._activeSession = prev
+    if prev is not None:
+        prev._jvm.SparkSession.setActiveSession(prev._jsparkSession)
+
+
+def test_full_registry_runs_on_vanilla_session(vanilla, sf_dir):
+    """Sweep the whole queries() registry: each must build and execute.
+    (Value-level oracle checks run in tools/check_queries.py --vanilla;
+    here we gate on 'no session-dependent crash', the r1 failure mode.)"""
+    from tabsdata_spark.queries import queries
+
+    failures = []
+    for name, fn in queries().items():
+        try:
+            df = fn(vanilla, sf_dir)
+            df.count()
+        except Exception as e:  # noqa: BLE001 - collect all, report once
+            failures.append(f"{name}: {type(e).__name__}: {str(e)[:160]}")
+    assert not failures, "vanilla-session failures:\n" + "\n".join(failures)
+
+
+def test_cast_semantics_on_ansi_session(vanilla):
+    tf = td.TableFrame.from_spark(
+        vanilla.createDataFrame([("12",), ("abc",), (None,)], "s string"))
+    out = tf.select(td.col("s").cast("long").alias("v")).to_spark().collect()
+    assert [r["v"] for r in out] == [12, None, None]
+
+
+def test_strict_cast_raises_on_ansi_session(vanilla):
+    tf = td.TableFrame.from_spark(
+        vanilla.createDataFrame([("abc",)], "s string"))
+    with pytest.raises(Exception):
+        tf.select(td.col("s").cast("long", strict=True)).to_spark().collect()
+
+
+def test_str_to_integer_non_strict_on_ansi_session(vanilla):
+    tf = td.TableFrame.from_spark(
+        vanilla.createDataFrame([("7",), ("x",)], "s string"))
+    out = tf.select(
+        td.col("s").str.to_integer(strict=False).alias("v")).to_spark().collect()
+    assert [r["v"] for r in out] == [7, None]
+
+
+def test_events_load_on_vanilla_session(vanilla, sf_dir):
+    from tabsdata_spark.queries import load_events
+
+    tf = load_events(vanilla, sf_dir)
+    schema = dict(tf.to_spark().dtypes)
+    assert schema.get("ts", "").startswith("timestamp")

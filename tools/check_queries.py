@@ -50,13 +50,24 @@ def canon(rows, cols):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--vanilla"]
+    vanilla = "--vanilla" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as entrymod
     import tabsdata_spark as td
 
-    spark = td.get_spark()
+    if vanilla:
+        # Driver-parity mode: a plain Spark 4 session (ANSI on, no legacy
+        # confs).  Every registered query must pass here, not just under
+        # the tuned get_spark() session.
+        from pyspark.sql import SparkSession
+
+        spark = (SparkSession.builder.master("local[8]")
+                 .appName("check-queries-vanilla").getOrCreate())
+    else:
+        spark = td.get_spark()
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
