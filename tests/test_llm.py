@@ -56,6 +56,24 @@ def test_minhash_candidates_and_dedup(docs):
     assert 1 not in ids and 0 in ids
 
 
+def test_minhash_near_dup_recall(spark):
+    """NEAR dups (not just exact) must collide in minhash buckets.  r2
+    regression net: a two-arg transform lambda made every permutation hash
+    the array index, so signatures of 98%-overlapping docs shared 0/32
+    minhashes and only exact dups were ever candidates."""
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 8).split()
+    edited = list(base)
+    edited[17] = "mutated"  # one token of ~80 -> jaccard ~0.93
+    rows = [(0, " ".join(base)), (1, " ".join(edited)),
+            (2, "unrelated text about completely other topics entirely")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cands = dedup.minhash_lsh_candidates(docs, num_hashes=32, bands=8)
+    est = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in cands.collect()}
+    assert (0, 1) in est, "near-dup pair missed by minhash banding"
+    assert est[(0, 1)] >= 0.6
+    assert (0, 2) not in est and (1, 2) not in est
+
+
 def test_ngram_jaccard(docs, spark):
     pairs = spark.createDataFrame([(0, 1), (0, 3)], "id_a long, id_b long")
     out = {(r["id_a"], r["id_b"]): r["jaccard"]
