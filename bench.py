@@ -46,6 +46,17 @@ HEADLINE = [
     "embed_topk",
 ]
 
+# Second, separately-totaled group (added r2): the corpus/retrieval suite.
+# Kept OUT of the frozen 25-query headline list so headline totals stay
+# comparable across rounds.
+CORPUS = [
+    "vocab_top_terms",
+    "tfidf_top_terms",
+    "bm25_docs",
+    "pack_sequences",
+    "doc_chunks",
+]
+
 
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -63,15 +74,20 @@ def main():
     # codegen compilation, parquet footer reads, and Python-worker process
     # spawn for pandas_udf stages (workers are reused afterwards).  The timed
     # pass below measures steady-state engine throughput.
-    for name in HEADLINE:
+    for name in HEADLINE + CORPUS:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        df = qs[name](spark, sf_dir)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    def timed(names: list[str]) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in names:
+            df = qs[name](spark, sf_dir)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            out[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    timings = timed(HEADLINE)
+    corpus_timings = timed(CORPUS)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -80,6 +96,8 @@ def main():
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "corpus_total": round(sum(corpus_timings.values()), 3),
+        "corpus_queries": corpus_timings,
     }))
 
 

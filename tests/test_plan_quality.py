@@ -88,3 +88,72 @@ def test_q21_status_filter_pushed_and_no_cartesian(spark, sf_dir):
     assert "EqualTo(o_orderstatus,F)" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------- LLM ops
+def _no_product(plan: str):
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_pipeline_is_bucket_join(spark, sf_dir):
+    """MinHash-LSH candidates must come from an equi-join on (band, bsig)
+    buckets — never an all-pairs product — at every banding setting."""
+    from tabsdata_spark.llm import dedup
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(dedup.minhash_lsh_candidates(docs, num_hashes=16, bands=4))
+    _no_product(plan)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+        or "BroadcastHashJoin" in plan
+
+
+def test_simhash_pipeline_is_bucket_join(spark, sf_dir):
+    from tabsdata_spark.llm import dedup
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(dedup.simhash_candidates(docs, max_hamming=7, bands=8))
+    _no_product(plan)
+
+
+def test_blocked_near_dup_join_has_no_product(spark, sf_dir):
+    """embedding_near_dup_pairs WITH block_col must plan an equi-join on
+    the block; the unblocked crossJoin fallback is audit-only."""
+    from tabsdata_spark.llm import dedup
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = _plan(dedup.embedding_near_dup_pairs(emb, block_col="label",
+                                                threshold=0.5))
+    _no_product(plan)
+
+
+def test_lsh_topk_probes_via_bucket_join(spark, sf_dir):
+    """Sign-LSH top-k: probe side must broadcast and join buckets on
+    (table, bucket) — candidate generation must not be quadratic."""
+    from tabsdata_spark.llm import similarity
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    plan = _plan(similarity.lsh_topk(emb, qs, k=3, bits=4, num_tables=4))
+    _no_product(plan)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_vocab_top_n_is_take_ordered(spark, sf_dir):
+    """vocabulary(top=N) must compile the top-N to TakeOrderedAndProject
+    (parallel partial top-k), not a single-task global window."""
+    from tabsdata_spark.llm import corpus
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(corpus.vocabulary(docs, top=20))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_connected_components_rounds_are_checkpointed(spark):
+    """Star-contraction CC truncates lineage each round: the returned
+    frame's plan must read from checkpointed RDD scans, not replay the
+    full iterative join chain."""
+    from tabsdata_spark.llm import dedup
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long")
+    out = dedup.connected_components_star(edges, max_iter=4)
+    plan = _plan(out)
+    assert "Scan ExistingRDD" in plan  # localCheckpoint truncated lineage
+    comp = {r["node"]: r["component"] for r in out.collect()}
+    assert comp[4] == 1 and comp[11] == 10
