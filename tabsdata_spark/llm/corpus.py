@@ -177,3 +177,70 @@ def stratified_sample(df: DataFrame, key_col: str, rate_pct: int,
     partitioning.  Within every stratum the expected rate is `rate_pct`%
     because buckets are independent of `strata_col`."""
     return df.filter(hash_split(F.col(key_col), 100) < rate_pct)
+
+
+def mixture_sample(df: DataFrame, strata_col: str, key_col: str,
+                   fraction: float,
+                   overrides: dict[str, float] | None = None) -> DataFrame:
+    """Deterministic data-mixture sampler: within every stratum (source,
+    domain, language, ...) keep exactly ceil(frac * count) rows, chosen by
+    md5 order of the key — the quota form of mixture weighting used to
+    re-balance training corpora.
+
+    Unlike rate-based `stratified_sample`, quotas are EXACT per stratum
+    (a mixture spec says "make src_a 10% of the corpus", not "keep each
+    row w.p. 0.1").  md5-ordering makes membership a pure function of the
+    data, so re-runs, repartitions, and other engines agree row-for-row.
+
+    Scale shape: one shuffle on the stratum for the per-stratum window;
+    both row_number and the stratum count come from the SAME window frame,
+    so there is no second aggregate or join."""
+    from pyspark.sql.window import Window
+
+    frac_col = F.lit(float(fraction))
+    for stratum, f in (overrides or {}).items():
+        frac_col = F.when(F.col(strata_col) == stratum, F.lit(float(f))) \
+            .otherwise(frac_col)
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.col(key_col).cast("string")), F.col(key_col))
+    wc = Window.partitionBy(strata_col)
+    # materialize both window columns before filtering — Spark disallows
+    # window expressions directly inside WHERE
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .withColumn("__quota",
+                        F.ceil(frac_col * F.count(F.lit(1)).over(wc)))
+            .filter(F.col("__rn") <= F.col("__quota"))
+            .drop("__rn", "__quota"))
+
+
+def source_vocab_overlap(docs: DataFrame, strata_col: str = "source",
+                         text_col: str = "text") -> DataFrame:
+    """(src_a, src_b, n_shared, jaccard) — vocabulary overlap between every
+    pair of strata that share at least one word.  The distinct (stratum,
+    word) table is the only big intermediate; the pair join keys on the
+    word, so each word contributes |strata-containing-it|^2 pair rows —
+    bounded by the stratum count, not the corpus size."""
+    v = (docs.select(F.col(strata_col).alias("src"),
+                     F.explode(clean_tokens(F.col(text_col))).alias("w"))
+         .distinct())
+    sizes = v.groupBy("src").agg(F.count(F.lit(1)).alias("nv"))
+    shared = (
+        v.select(F.col("src").alias("src_a"), "w")
+        .join(v.select(F.col("src").alias("src_b"), "w"), "w")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared
+        .join(F.broadcast(sizes.select(F.col("src").alias("src_a"),
+                                       F.col("nv").alias("nv_a"))), "src_a")
+        .join(F.broadcast(sizes.select(F.col("src").alias("src_b"),
+                                       F.col("nv").alias("nv_b"))), "src_b")
+        .select(
+            "src_a", "src_b", "n_shared",
+            F.round(F.col("n_shared")
+                    / (F.col("nv_a") + F.col("nv_b") - F.col("n_shared")), 6)
+             .alias("jaccard"),
+        )
+    )

@@ -466,3 +466,25 @@ def dedup_by_components(df: DataFrame, pairs: DataFrame,
     losers = comp.filter(F.col("node") != F.col("component")) \
         .select(F.col("node").alias(id_col))
     return df.join(losers, on=id_col, how="left_anti")
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: connect embeddings whose
+    cosine similarity >= threshold (blocked pairwise), take connected
+    components, keep the min-id representative of each semantic cluster.
+
+    Composition of scale-shaped pieces: blocked pair generation (quadratic
+    only within block), min-label components (localCheckpoint per round),
+    one anti-join.  Returns the surviving rows of `emb`.
+    """
+    pairs = embedding_near_dup_pairs(
+        emb, id_col=id_col, vec_col=vec_col,
+        block_col=block_col, threshold=threshold,
+    ).select("id_a", "id_b")
+    return dedup_by_components(emb, pairs, id_col=id_col)

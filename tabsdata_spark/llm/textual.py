@@ -186,3 +186,51 @@ def train_val_test(key: Column, val_pct: int = 5, test_pct: int = 5) -> Column:
     return (F.when(b < test_pct, F.lit("test"))
             .when(b < test_pct + val_pct, F.lit("val"))
             .otherwise(F.lit("train")))
+
+
+def composite_quality_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str | None = "lang",
+    keep_lang: str = "en",
+    min_tokens: int = 30,
+    max_tokens: int = 400,
+    max_top_token_ratio: float = 0.15,
+) -> DataFrame:
+    """C4-style composite keep/drop gate with per-rule flags: language,
+    token-count band, and max single-token dominance (a cheap repetition
+    proxy).  Returns (id, n_tokens, top_token_ratio, lang_ok, len_ok,
+    rep_ok, keep) so downstream stats can attribute drops to rules.
+
+    Scale shape: token counting is a per-row projection; the dominance
+    ratio needs per-(doc, token) counts — two partial-agg shuffles on the
+    doc id, no window, no UDF.
+    """
+    lang_ok = (F.col(lang_col) == keep_lang) if lang_col else F.lit(True)
+    toks = docs.select(
+        F.col(id_col),
+        lang_ok.alias("lang_ok"),
+        F.explode_outer(tokens(F.lower(F.col(text_col)))).alias("tok"),
+    )
+    per_tok = toks.groupBy(id_col, "lang_ok", "tok").agg(
+        F.count(F.lit(1)).alias("c"))
+    stats = per_tok.groupBy(id_col, "lang_ok").agg(
+        F.coalesce(F.sum(F.when(F.col("tok").isNotNull(), F.col("c"))),
+                   F.lit(0)).alias("n_tokens"),
+        F.coalesce(F.max(F.when(F.col("tok").isNotNull(), F.col("c"))),
+                   F.lit(0)).alias("top_c"),
+    )
+    top_ratio = F.when(F.col("n_tokens") > 0,
+                       F.round(F.col("top_c") / F.col("n_tokens"), 6)) \
+        .otherwise(F.lit(0.0))
+    out = stats.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        top_ratio.alias("top_token_ratio"),
+        F.col("lang_ok"),
+        F.col("n_tokens").between(min_tokens, max_tokens).alias("len_ok"),
+        (top_ratio <= max_top_token_ratio).alias("rep_ok"),
+    )
+    return out.withColumn(
+        "keep", F.col("lang_ok") & F.col("len_ok") & F.col("rep_ok"))

@@ -3550,3 +3550,197 @@ def pagerank_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (seq.filter(F.col("dst").isNotNull())
              .groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w")))
     return graph.pagerank(edges, iterations=3, damping=0.85, weight="w")
+
+
+# ===========================================================================
+# coverage batch 5 (r2): training-data hygiene suite — decontamination,
+# boilerplate detection, deterministic mixture sampling, vocabulary
+# overlap, composite quality gate, semantic dedup
+# ===========================================================================
+
+# DuckDB 5-gram shingle CTE matching llm.dedup.shingles(text, 5): distinct
+# word 5-grams; docs shorter than 5 tokens fall back to the whole text.
+_SHINGLE5_CTE = """
+    sh5 AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) >= 5
+                  THEN list_transform(range(1, len(toks) - 3),
+                       i -> array_to_string(toks[i:i+4], ' '))
+                  ELSE [array_to_string(toks, ' ')] END) AS grams
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS toks
+            FROM documents)
+    )
+"""
+
+
+@q(
+    "decontaminate_docs",
+    f"""
+    WITH {_SHINGLE5_CTE},
+    g AS (SELECT doc_id, unnest(grams) AS gram FROM sh5),
+    bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 29 = 1)
+    SELECT g.doc_id AS doc_id, COUNT(*) AS n_contaminated_grams
+    FROM g JOIN bg USING (gram)
+    WHERE g.doc_id % 29 <> 1
+    GROUP BY g.doc_id
+    """,
+)
+def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix recipe): flag training
+    docs sharing any distinct 5-gram with the held-out benchmark slice
+    (doc_id % 29 == 1 stands in for an eval set).  Benchmark gram set is
+    broadcast; the corpus side shuffles only for the final per-doc agg."""
+    from tabsdata_spark.llm import decontam
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 29 == 1)
+    train = docs.filter(F.col("doc_id") % 29 != 1)
+    return decontam.contamination(train, bench, n=5, min_hits=1)
+
+
+@q(
+    "boilerplate_ngrams_docs",
+    f"""
+    WITH {_SHINGLE5_CTE},
+    g AS (SELECT doc_id, unnest(grams) AS gram FROM sh5)
+    SELECT gram, COUNT(*) AS n_docs
+    FROM g GROUP BY gram HAVING COUNT(*) >= 2
+    """,
+)
+def boilerplate_ngrams_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus boilerplate: 5-grams appearing in >= 2 distinct documents.
+    One explode + map-side-combined groupBy; threshold prunes the unique
+    tail before anything downstream."""
+    from tabsdata_spark.llm import decontam
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return decontam.boilerplate_ngrams(docs, n=5, min_docs=2)
+
+
+@q(
+    "mixture_sample_docs",
+    """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+             CEIL((CASE WHEN source = 'src0' THEN 1.0
+                        WHEN source = 'src1' THEN 0.1
+                        ELSE 0.4 END)
+                  * COUNT(*) OVER (PARTITION BY source)) AS quota
+      FROM documents)
+    WHERE rn <= quota
+    """,
+)
+def mixture_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture re-weighting: exact per-source quotas
+    (all of src0, 10% of src1, 40% elsewhere) selected by md5 order of the
+    doc id — engine-portable, repartition-stable membership."""
+    from tabsdata_spark.llm import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus.mixture_sample(
+        docs, strata_col="source", key_col="doc_id", fraction=0.4,
+        overrides={"src0": 1.0, "src1": 0.1},
+    ).select("doc_id", "source")
+
+
+@q(
+    "source_vocab_overlap_q",
+    """
+    WITH v AS (
+      SELECT DISTINCT source AS src, unnest(toks) AS w
+      FROM (SELECT source,
+                   list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g')), '\\s+'), x -> x <> '') AS toks
+            FROM documents)
+    ),
+    sizes AS (SELECT src, COUNT(*) AS nv FROM v GROUP BY src),
+    shared AS (
+      SELECT a.src AS src_a, b.src AS src_b, COUNT(*) AS n_shared
+      FROM v a JOIN v b ON a.w = b.w AND a.src < b.src
+      GROUP BY a.src, b.src
+    )
+    SELECT src_a, src_b, n_shared,
+           ROUND(n_shared / CAST(sa.nv + sb.nv - n_shared AS DOUBLE), 6) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.src = shared.src_a
+    JOIN sizes sb ON sb.src = shared.src_b
+    """,
+)
+def source_vocab_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary jaccard between sources — corpus-mixture
+    diagnostics.  The (stratum, word) distinct table is the only large
+    intermediate; pair fan-out is bounded by strata count per word."""
+    from tabsdata_spark.llm import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus.source_vocab_overlap(docs, strata_col="source")
+
+
+@q(
+    "quality_gate_docs",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang = 'en' AS lang_ok, unnest(
+        list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '')
+      ) AS tok
+      FROM documents
+    ),
+    per_tok AS (
+      SELECT doc_id, lang_ok, tok, COUNT(*) AS c
+      FROM toks GROUP BY doc_id, lang_ok, tok
+    ),
+    stats AS (
+      SELECT doc_id, lang_ok, SUM(c) AS n_tokens, MAX(c) AS top_c
+      FROM per_tok GROUP BY doc_id, lang_ok
+    )
+    SELECT doc_id, n_tokens,
+           ROUND(top_c / CAST(n_tokens AS DOUBLE), 6) AS top_token_ratio,
+           lang_ok,
+           n_tokens BETWEEN 30 AND 400 AS len_ok,
+           ROUND(top_c / CAST(n_tokens AS DOUBLE), 6) <= 0.15 AS rep_ok,
+           lang_ok AND (n_tokens BETWEEN 30 AND 400)
+                   AND (ROUND(top_c / CAST(n_tokens AS DOUBLE), 6) <= 0.15) AS keep
+    FROM stats
+    """,
+)
+def quality_gate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style composite keep/drop gate with per-rule flags (language,
+    token band, single-token dominance) so drops are attributable."""
+    from tabsdata_spark.llm import textual as tx
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tx.composite_quality_filter(docs)
+
+
+@q(
+    "semantic_dedup_keep",
+    """
+    WITH RECURSIVE e AS (
+      SELECT a.vec_id AS u, b.vec_id AS v
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id <> b.vec_id
+      WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM e
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN e ON e.u = r.v
+    ),
+    comp AS (SELECT u AS node, LEAST(u, MIN(v)) AS component
+             FROM reach GROUP BY u)
+    SELECT vec_id, label FROM embeddings
+    WHERE vec_id NOT IN (SELECT node FROM comp WHERE component < node)
+    """,
+)
+def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: cosine >= 0.3 pairs (label-blocked)
+    -> connected components -> keep each cluster's min-id row.  Oracle is
+    a recursive-CTE transitive closure — exact cluster semantics, not just
+    pair counts."""
+    from tabsdata_spark.llm import dedup as dd
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return dd.semantic_dedup(emb, block_col="label", threshold=0.3) \
+        .select("vec_id", "label")

@@ -318,3 +318,98 @@ def test_corpus_repetition_and_sample(spark):
     a = {r.k for r in corpus.stratified_sample(big, "k", 20).collect()}
     b = {r.k for r in corpus.stratified_sample(big, "k", 20).collect()}
     assert a == b
+
+
+def test_decontamination(spark):
+    from tabsdata_spark.llm import decontam
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta"),     # contains bench gram
+         (1, "one two three four five six seven"),       # clean
+         (2, "alpha beta gamma delta epsilon omega")],   # shares the 5-gram
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string")
+    hits = {r.doc_id: r.n_contaminated_grams
+            for r in decontam.contamination(docs, bench, n=5).collect()}
+    assert 0 in hits and 2 in hits and 1 not in hits
+    clean = decontam.decontaminate(docs, bench, n=5)
+    assert {r.doc_id for r in clean.collect()} == {1}
+
+
+def test_boilerplate_ngrams(spark):
+    from tabsdata_spark.llm import decontam
+
+    boiler = "this content is provided as is without warranty"
+    docs = spark.createDataFrame(
+        [(i, f"{boiler} doc number {i} unique tail {i*7}") for i in range(4)]
+        + [(9, "entirely different text with no shared five grams at all")],
+        "doc_id long, text string")
+    out = decontam.boilerplate_ngrams(docs, n=5, min_docs=3).collect()
+    grams = {r.gram for r in out}
+    assert "this content is provided as" in grams
+    assert all(r.n_docs >= 3 for r in out)
+
+
+def test_mixture_sample_quota_and_determinism(spark):
+    from tabsdata_spark.llm import corpus
+
+    rows = [(i, "a" if i < 100 else "b") for i in range(150)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = corpus.mixture_sample(df, "source", "doc_id", fraction=0.2,
+                                overrides={"b": 1.0})
+    by_src = {}
+    for r in out.collect():
+        by_src.setdefault(r.source, set()).add(r.doc_id)
+    assert len(by_src["a"]) == 20   # exact ceil(0.2 * 100)
+    assert len(by_src["b"]) == 50   # override keeps all
+    again = {r.doc_id for r in corpus.mixture_sample(
+        df, "source", "doc_id", fraction=0.2, overrides={"b": 1.0}).collect()}
+    assert again == by_src["a"] | by_src["b"]  # md5-deterministic membership
+
+
+def test_source_vocab_overlap(spark):
+    from tabsdata_spark.llm import corpus
+
+    df = spark.createDataFrame(
+        [(0, "s1", "apple banana cherry"),
+         (1, "s2", "apple banana durian"),
+         (2, "s3", "xylophone zebra")],
+        "doc_id long, source string, text string")
+    out = {(r.src_a, r.src_b): r for r in
+           corpus.source_vocab_overlap(df).collect()}
+    assert out[("s1", "s2")].n_shared == 2
+    assert abs(out[("s1", "s2")].jaccard - 0.5) < 1e-9  # 2 shared of 4 union
+    assert ("s1", "s3") not in out  # zero overlap pairs omitted
+
+
+def test_composite_quality_filter(spark):
+    from tabsdata_spark.llm import textual as tx
+
+    long_ok = " ".join(f"w{i}" for i in range(50))
+    repetitive = " ".join(["spam"] * 30 + [f"w{i}" for i in range(20)])
+    docs = spark.createDataFrame(
+        [(0, long_ok, "en"),            # keep
+         (1, "too short", "en"),        # len fail
+         (2, long_ok, "fr"),            # lang fail
+         (3, repetitive, "en")],        # repetition fail
+        "doc_id long, text string, lang string")
+    out = {r.doc_id: r for r in tx.composite_quality_filter(docs).collect()}
+    assert out[0].keep
+    assert not out[1].keep and not out[1].len_ok
+    assert not out[2].keep and not out[2].lang_ok
+    assert not out[3].keep and not out[3].rep_ok
+
+
+def test_semantic_dedup(spark):
+    from tabsdata_spark.llm import dedup
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0], 1), (1, [0.99, 0.14], 1),   # same direction, block 1
+         (2, [0.0, 1.0], 1),                          # orthogonal, block 1
+         (3, [1.0, 0.0], 2)],                         # same dir, other block
+        "vec_id long, embedding array<float>, label int")
+    kept = {r.vec_id for r in
+            dedup.semantic_dedup(emb, block_col="label",
+                                 threshold=0.9).collect()}
+    assert kept == {0, 2, 3}  # 1 deduped into 0; blocks isolate 3

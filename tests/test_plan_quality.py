@@ -145,6 +145,26 @@ def test_vocab_top_n_is_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_decontamination_broadcasts_benchmark_grams(spark, sf_dir):
+    """The benchmark n-gram set must broadcast: the corpus side's only
+    exchange is the final per-doc partial agg, never a gram-keyed shuffle
+    of the full corpus against the benchmark."""
+    from tabsdata_spark.llm import decontam
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 29 == 1)
+    plan = _plan(decontam.contamination(docs, bench, n=5))
+    assert "BroadcastHashJoin" in plan
+    _no_product(plan)
+    assert "partial_count" in plan  # map-side combine on the doc-id agg
+
+
+def test_vocab_overlap_joins_on_word(spark, sf_dir):
+    from tabsdata_spark.llm import corpus
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(corpus.source_vocab_overlap(docs))
+    _no_product(plan)
+
+
 def test_connected_components_rounds_are_checkpointed(spark):
     """Star-contraction CC truncates lineage each round: the returned
     frame's plan must read from checkpointed RDD scans, not replay the
