@@ -241,10 +241,13 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
-def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per doc.  Token hashes via xxhash64 (JVM), bit folding
-    via one Arrow-batched pandas_udf (numpy bit tricks — vectorized)."""
-    tok_hashes = F.transform(tokens(F.lower(F.col(text_col))), lambda t: F.xxhash64(t))
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            hash_fn=F.xxhash64) -> DataFrame:
+    """64-bit SimHash per doc.  Token hashes via `hash_fn` (default
+    xxhash64, JVM), bit folding via one Arrow-batched pandas_udf (numpy bit
+    tricks — vectorized).  Pass `hash_fn=textual.portable_hash60` for
+    signatures reproducible outside Spark (60 effective bits)."""
+    tok_hashes = F.transform(tokens(F.lower(F.col(text_col))), lambda t: hash_fn(t))
 
     @F.pandas_udf(T.LongType())
     def fold(hashes: pd.Series) -> pd.Series:

@@ -119,15 +119,26 @@ def fingerprint(text: Column) -> Column:
     return F.array_join(F.array_sort(F.array_distinct(toks)), " ")
 
 
-def rolling_hash_fingerprint(text: Column, window: int = 8) -> Column:
-    """Winnowing-style document fingerprint: xxhash64 over each token
+def portable_hash60(col: Column) -> Column:
+    """60-bit engine-portable hash: first 15 hex chars of md5 parsed as an
+    integer.  Identical in Spark, DuckDB, Python (`int(md5hex[:15], 16)`) —
+    use when a hash value must be reproducible OUTSIDE Spark (oracle
+    checks, cross-engine pipelines).  ~3x slower than xxhash64; keep
+    xxhash64 for Spark-internal paths."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def rolling_hash_fingerprint(text: Column, window: int = 8,
+                             hash_fn=F.xxhash64) -> Column:
+    """Winnowing-style document fingerprint: `hash_fn` over each token
     `window`-gram, keep the minimum hash (a 1-of-n winnow).  64-bit, stable
-    across partitions/executors."""
+    across partitions/executors.  Pass `hash_fn=portable_hash60` when the
+    fingerprint must reproduce outside Spark."""
     toks = tokens(F.lower(text))
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - window, F.lit(0)))
     grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, window), " "))
-    hashes = F.transform(grams, lambda g: F.xxhash64(g))
+    hashes = F.transform(grams, lambda g: hash_fn(g))
     return F.array_min(hashes)
 
 

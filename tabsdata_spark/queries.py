@@ -1458,7 +1458,7 @@ def eq_missing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.df
 
 
-# rows-only: multimodal plumbing + rolling-hash fingerprint (hash-seeded)
+# rows-only: multimodal plumbing (codecs stubbed — no image libs here)
 @q("multimodal_decode")
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tabsdata_spark.llm import multimodal
@@ -1468,22 +1468,84 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_and_featurize(bins)
 
 
-@q("rolling_fingerprint")
+# DuckDB twin of textual.portable_hash60: int(md5(s)[:15], 16)
+_HASH60_SQL = """list_reduce(
+      list_transform(regexp_extract_all(substr(md5({v}), 1, 15), '.'),
+                     c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)),
+      (a, b) -> a * 16 + b)"""
+
+
+@q(
+    "rolling_fingerprint",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(t) > 8
+                  THEN list_transform(range(1, len(t) - 6),
+                       i -> array_to_string(t[i:i+7], ' '))
+                  ELSE [array_to_string(t, ' ')] END) AS gram
+      FROM toks
+    )
+    SELECT doc_id, MIN({_HASH60_SQL.format(v='gram')}) AS fp
+    FROM grams GROUP BY doc_id
+    """,
+)
 def rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed min-hash fingerprint, held to a full value-level oracle:
+    the portable_hash60 mode (md5-derived 60-bit ints) reproduces bit-exact
+    in DuckDB, so the tokenization, 8-gram windowing, AND the min-winnow
+    are all falsified, not just row counts.  Production default stays
+    xxhash64 (same code path; only the leaf hash differs)."""
     from tabsdata_spark.scale import fan_out
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     # heavy O(len) per-row hashing over a one-row-group input: fan out
     return fan_out(docs).select(
         "doc_id",
-        textual.rolling_hash_fingerprint(F.col("text")).alias("fp"),
+        textual.rolling_hash_fingerprint(
+            F.col("text"), hash_fn=textual.portable_hash60).alias("fp"),
     )
 
 
-@q("simhash_values")
+@q(
+    "simhash_values",
+    f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                x -> x <> '')) AS tok
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, {_HASH60_SQL.format(v='tok')} AS hv FROM tok
+    ),
+    votes AS (
+      SELECT doc_id, b.b AS b,
+             SUM(((hv >> b.b) & 1) * 2 - 1) AS vote
+      FROM h, (SELECT unnest(range(0, 60)) AS b) b
+      GROUP BY doc_id, b.b
+    )
+    SELECT doc_id,
+           SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+               AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
 def simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw SimHash signatures, held to a full value-level oracle: with
+    portable_hash60 token hashes the 60-bit signature reproduces bit-exact
+    in DuckDB (per-bit majority vote over token-hash bits), falsifying the
+    tokenizer, the hash, and the pandas_udf bit-fold.  Production default
+    stays xxhash64."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return dedup.simhash(docs).select("doc_id", "simhash")
+    return dedup.simhash(docs, hash_fn=textual.portable_hash60) \
+        .select("doc_id", "simhash")
 
 
 # ===========================================================================
@@ -3558,14 +3620,15 @@ def pagerank_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # overlap, composite quality gate, semantic dedup
 # ===========================================================================
 
-# DuckDB 5-gram shingle CTE matching llm.dedup.shingles(text, 5): distinct
-# word 5-grams; docs shorter than 5 tokens fall back to the whole text.
-_SHINGLE5_CTE = """
-    sh5 AS (
+def _shingle_cte(n: int, name: str) -> str:
+    """DuckDB distinct word `n`-gram CTE matching llm.dedup.shingles(text,
+    n); docs shorter than `n` tokens fall back to the whole text."""
+    return f"""
+    {name} AS (
       SELECT doc_id,
-             list_distinct(CASE WHEN len(toks) >= 5
-                  THEN list_transform(range(1, len(toks) - 3),
-                       i -> array_to_string(toks[i:i+4], ' '))
+             list_distinct(CASE WHEN len(toks) >= {n}
+                  THEN list_transform(range(1, len(toks) - {n - 2}),
+                       i -> array_to_string(toks[i:i+{n - 1}], ' '))
                   ELSE [array_to_string(toks, ' ')] END) AS grams
       FROM (SELECT doc_id,
                    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS toks
@@ -3574,11 +3637,14 @@ _SHINGLE5_CTE = """
 """
 
 
+_SHINGLE5_CTE = _shingle_cte(5, "sh5")
+
+
 @q(
     "decontaminate_docs",
     f"""
-    WITH {_SHINGLE5_CTE},
-    g AS (SELECT doc_id, unnest(grams) AS gram FROM sh5),
+    WITH {_shingle_cte(4, "sh4")},
+    g AS (SELECT doc_id, unnest(grams) AS gram FROM sh4),
     bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 29 = 1)
     SELECT g.doc_id AS doc_id, COUNT(*) AS n_contaminated_grams
     FROM g JOIN bg USING (gram)
@@ -3588,15 +3654,17 @@ _SHINGLE5_CTE = """
 )
 def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (GPT-3 appendix recipe): flag training
-    docs sharing any distinct 5-gram with the held-out benchmark slice
-    (doc_id % 29 == 1 stands in for an eval set).  Benchmark gram set is
-    broadcast; the corpus side shuffles only for the final per-doc agg."""
+    docs sharing any distinct 4-gram with the held-out benchmark slice
+    (doc_id % 29 == 1 stands in for an eval set; 4-grams because the
+    synthetic corpus's 5-gram overlap is empty at sf>=0.01 — a vacuous
+    check).  Benchmark gram set is broadcast; the corpus side shuffles
+    only for the final per-doc agg."""
     from tabsdata_spark.llm import decontam
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     bench = docs.filter(F.col("doc_id") % 29 == 1)
     train = docs.filter(F.col("doc_id") % 29 != 1)
-    return decontam.contamination(train, bench, n=5, min_hits=1)
+    return decontam.contamination(train, bench, n=4, min_hits=1)
 
 
 @q(

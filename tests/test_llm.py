@@ -413,3 +413,36 @@ def test_semantic_dedup(spark):
             dedup.semantic_dedup(emb, block_col="label",
                                  threshold=0.9).collect()}
     assert kept == {0, 2, 3}  # 1 deduped into 0; blocks isolate 3
+
+
+def test_portable_hash60_matches_python_md5(spark):
+    """portable_hash60 must reproduce int(md5(s)[:15], 16) exactly — the
+    contract that lets DuckDB oracles recompute fingerprints/simhashes."""
+    import hashlib
+
+    from tabsdata_spark.llm import textual as tx
+
+    vals = ["hello", "a b c", "", "Ünïcode ✓", "0"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = {r.s: r.h for r in
+           df.select("s", tx.portable_hash60(F.col("s")).alias("h")).collect()}
+    for v in vals:
+        expect = int(hashlib.md5(v.encode()).hexdigest()[:15], 16)
+        assert got[v] == expect, v
+
+
+def test_simhash_hash_modes_agree_on_structure(spark):
+    """xxhash64 (production) and portable_hash60 (oracle) simhash modes
+    must agree on the dup structure: exact-dup rows collide, unrelated
+    rows don't, under either leaf hash."""
+    from tabsdata_spark.llm import dedup, textual as tx
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"), (1, "alpha beta gamma delta"),
+         (2, "completely different words here entirely unrelated text")],
+        "doc_id long, text string")
+    for fn in (None, tx.portable_hash60):
+        kw = {} if fn is None else {"hash_fn": fn}
+        sh = {r.doc_id: r.simhash for r in dedup.simhash(docs, **kw).collect()}
+        assert sh[0] == sh[1]
+        assert sh[0] != sh[2]
