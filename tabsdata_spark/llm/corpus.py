@@ -244,3 +244,49 @@ def source_vocab_overlap(docs: DataFrame, strata_col: str = "source",
              .alias("jaccard"),
         )
     )
+
+
+def unigram_surprisal(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """CCNet-style perplexity proxy from a corpus-trained unigram LM:
+    (doc_id, n_tokens, avg_surprisal) where avg_surprisal is the
+    token-weighted mean of -log2 p(token), p estimated from the corpus
+    itself.  High scores flag gibberish / rare-token soup; low scores flag
+    repetitive boilerplate — both tails are filter candidates.
+
+    Scale shape: per-(doc, term) counts (one partial-agg shuffle), term
+    frequency table derived from THOSE counts (second, |vocab|-sized
+    shuffle), then a term-keyed join back.  The corpus total is a 1-row
+    broadcast cross join, never a driver collect."""
+    tdf = term_doc_freq(docs, id_col, text_col)
+    freq = tdf.groupBy("term").agg(F.sum("tf").alias("cf"))
+    total = freq.agg(F.sum("cf").alias("total"))
+    scored = (tdf.join(freq, "term")
+              .crossJoin(F.broadcast(total))
+              .withColumn("surprisal", -F.log2(F.col("cf") / F.col("total"))))
+    return (scored.groupBy(id_col)
+            .agg(F.sum("tf").alias("n_tokens"),
+                 F.round(F.sum(F.col("tf") * F.col("surprisal"))
+                         / F.sum("tf"), 6).alias("avg_surprisal")))
+
+
+def zipf_slope(docs: DataFrame, strata_col: str = "source",
+               text_col: str = "text") -> DataFrame:
+    """Per-stratum Zipf fit: slope of log(freq) over log(rank) for the
+    term rank-frequency curve (natural text ~ -1; templated/generated text
+    drifts).  (stratum, n_terms, slope) via the closed-form least-squares
+    ratio covar_pop/var_pop — pure aggregates, no iteration.
+
+    Scale shape: term counts shuffle on (stratum, term); ranking is a
+    window partitioned BY STRATUM (parallel across strata — never a global
+    sort); the regression is one more partial-agg shuffle on stratum."""
+    freq = (docs.select(F.col(strata_col).alias("stratum"),
+                        F.explode(clean_tokens(F.col(text_col))).alias("term"))
+            .groupBy("stratum", "term").agg(F.count(F.lit(1)).alias("cf")))
+    w = Window.partitionBy("stratum").orderBy(F.col("cf").desc(), F.col("term"))
+    ranked = freq.withColumn("lr", F.log(F.row_number().over(w).cast("double"))) \
+                 .withColumn("lf", F.log(F.col("cf").cast("double")))
+    return (ranked.groupBy("stratum")
+            .agg(F.count(F.lit(1)).alias("n_terms"),
+                 F.round(F.covar_pop("lr", "lf") / F.var_pop("lr"), 6)
+                  .alias("slope")))

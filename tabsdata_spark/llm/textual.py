@@ -245,3 +245,55 @@ def composite_quality_filter(
     )
     return out.withColumn(
         "keep", F.col("lang_ok") & F.col("len_ok") & F.col("rep_ok"))
+
+
+#: the Gopher "must contain >= 2 of these" stop list (public Rae et al.
+#: 2021 appendix A1.1)
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_rules(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher rep-removal rules (Rae et al. 2021 A1.1) as one pure-JVM
+    projection — word-count band, mean word length band, fraction of words
+    with an alphabetic character, and stopword presence — with per-rule
+    flags plus the combined keep bit.
+
+    Scale shape: every metric folds over the token ARRAY in the same
+    projection (aggregate/filter/size — no explode, no shuffle, no UDF):
+    a 100 TB scan stays one stage wide with zero exchanges."""
+    toks = tokens(F.lower(F.col(text_col)))
+    n = F.size(toks)
+    nd = n.cast("double")
+    mean_len = F.when(n > 0, F.round(
+        F.aggregate(toks, F.lit(0).cast("long"),
+                    lambda acc, t: acc + F.length(t)).cast("double") / nd, 6)
+    ).otherwise(F.lit(0.0))
+    alpha_frac = F.when(n > 0, F.round(
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))) / nd, 6)
+    ).otherwise(F.lit(0.0))
+    stop_hits = F.size(F.filter(
+        toks, lambda t: t.isin(*GOPHER_STOPWORDS)))
+    out = docs.select(
+        F.col(id_col),
+        n.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        alpha_frac.alias("alpha_frac"),
+        stop_hits.alias("stop_hits"),
+        n.between(min_words, max_words).alias("words_ok"),
+        mean_len.between(min_mean_len, max_mean_len).alias("word_len_ok"),
+        (alpha_frac >= min_alpha_frac).alias("alpha_ok"),
+        (stop_hits >= min_stop_hits).alias("stopword_ok"),
+    )
+    return out.withColumn(
+        "keep", F.col("words_ok") & F.col("word_len_ok")
+                & F.col("alpha_ok") & F.col("stopword_ok"))

@@ -3812,3 +3812,113 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return dd.semantic_dedup(emb, block_col="label", threshold=0.3) \
         .select("vec_id", "label")
+
+
+# ===========================================================================
+# coverage batch 6 (r2): corpus statistics — unigram-LM surprisal
+# (perplexity proxy), Gopher quality rules, Zipf rank-frequency fit
+# ===========================================================================
+
+#: DuckDB twin of llm.corpus.clean_tokens
+_CLEAN_TOKS_SQL = ("list_filter(regexp_split_to_array(trim(regexp_replace("
+                   "lower(text), '[^a-z0-9\\s]', '', 'g')), '\\s+'), "
+                   "x -> x <> '')")
+
+
+@q(
+    "unigram_surprisal_docs",
+    f"""
+    WITH tdf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest({_CLEAN_TOKS_SQL}) AS term FROM documents)
+      GROUP BY doc_id, term
+    ),
+    freq AS (SELECT term, SUM(tf) AS cf FROM tdf GROUP BY term),
+    tot AS (SELECT SUM(cf) AS total FROM freq)
+    SELECT doc_id, SUM(tf) AS n_tokens,
+           ROUND(SUM(tf * (-log2(CAST(cf AS DOUBLE) / total))) / SUM(tf), 6)
+               AS avg_surprisal
+    FROM tdf JOIN freq USING (term), tot
+    GROUP BY doc_id
+    """,
+)
+def unigram_surprisal_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity proxy: token-weighted mean -log2 p(token)
+    under the corpus's own unigram LM.  Both distribution tails are filter
+    candidates (gibberish up, boilerplate down)."""
+    from tabsdata_spark.llm import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus.unigram_surprisal(docs)
+
+
+@q(
+    "gopher_rules_docs",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             CASE WHEN len(toks) > 0 THEN ROUND(
+                  CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE)
+                  / len(toks), 6) ELSE 0.0 END AS mean_word_len,
+             CASE WHEN len(toks) > 0 THEN ROUND(
+                  CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+                       AS DOUBLE) / len(toks), 6) ELSE 0.0 END AS alpha_frac,
+             len(list_filter(toks, t -> list_contains(
+                  ['the','be','to','of','and','that','have','with'], t)))
+                 AS stop_hits
+      FROM t
+    )
+    SELECT doc_id, n_words, mean_word_len, alpha_frac, stop_hits,
+           n_words BETWEEN 50 AND 100000 AS words_ok,
+           mean_word_len BETWEEN 3.0 AND 10.0 AS word_len_ok,
+           alpha_frac >= 0.8 AS alpha_ok,
+           stop_hits >= 2 AS stopword_ok,
+           (n_words BETWEEN 50 AND 100000)
+             AND (mean_word_len BETWEEN 3.0 AND 10.0)
+             AND alpha_frac >= 0.8 AND stop_hits >= 2 AS keep
+    FROM m
+    """,
+)
+def gopher_rules_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rep-removal rules (public Rae et al. 2021 A1.1) with
+    per-rule flags — one shuffle-free array-fold projection."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textual.gopher_quality_rules(docs)
+
+
+@q(
+    "zipf_slope_sources",
+    f"""
+    WITH freq AS (
+      SELECT stratum, term, COUNT(*) AS cf
+      FROM (SELECT source AS stratum, unnest({_CLEAN_TOKS_SQL}) AS term
+            FROM documents)
+      GROUP BY stratum, term
+    ),
+    ranked AS (
+      SELECT stratum,
+             ln(CAST(row_number() OVER (PARTITION BY stratum
+                  ORDER BY cf DESC, term) AS DOUBLE)) AS lr,
+             ln(CAST(cf AS DOUBLE)) AS lf
+      FROM freq
+    )
+    SELECT stratum, COUNT(*) AS n_terms,
+           ROUND(covar_pop(lr, lf) / var_pop(lr), 6) AS slope
+    FROM ranked GROUP BY stratum
+    """,
+)
+def zipf_slope_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Zipf rank-frequency slope (natural text ~ -1; templated
+    or generated text drifts) — least squares in closed form, window
+    partitioned by stratum so ranking never global-sorts."""
+    from tabsdata_spark.llm import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus.zipf_slope(docs, strata_col="source")

@@ -446,3 +446,54 @@ def test_simhash_hash_modes_agree_on_structure(spark):
         sh = {r.doc_id: r.simhash for r in dedup.simhash(docs, **kw).collect()}
         assert sh[0] == sh[1]
         assert sh[0] != sh[2]
+
+
+def test_unigram_surprisal_math(spark):
+    from math import log2
+
+    from tabsdata_spark.llm import corpus
+
+    docs = spark.createDataFrame(
+        [(0, "a a b"), (1, "b c")], "doc_id long, text string")
+    out = {r.doc_id: r for r in corpus.unigram_surprisal(docs).collect()}
+    # corpus counts: a=2 b=2 c=1, total=5
+    s = {t: -log2(c / 5) for t, c in {"a": 2, "b": 2, "c": 1}.items()}
+    assert out[0].n_tokens == 3
+    assert abs(out[0].avg_surprisal - (2 * s["a"] + s["b"]) / 3) < 1e-6
+    assert abs(out[1].avg_surprisal - (s["b"] + s["c"]) / 2) < 1e-6
+
+
+def test_gopher_rules_flags(spark):
+    from tabsdata_spark.llm import textual as tx
+
+    good = "the data and the model have signal with " + \
+        " ".join(f"word{i}" for i in range(60))
+    few_stops = " ".join(f"w{i}" for i in range(60))
+    short_words = "the of " + " ".join(["a b"] * 40)
+    numeric = "the of " + " ".join(str(i * 1111) for i in range(60))
+    docs = spark.createDataFrame(
+        [(0, good), (1, few_stops), (2, short_words), (3, numeric), (4, "")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in tx.gopher_quality_rules(docs).collect()}
+    assert out[0].keep
+    assert not out[1].keep and not out[1].stopword_ok
+    assert not out[2].keep and not out[2].word_len_ok
+    assert not out[3].keep and not out[3].alpha_ok
+    assert not out[4].keep and out[4].n_words == 0
+
+
+def test_zipf_slope_closed_form(spark):
+    import numpy as np
+
+    from tabsdata_spark.llm import corpus
+
+    # freqs 8,4,2,1 over ranks 1..4
+    text = " ".join(["a"] * 8 + ["b"] * 4 + ["c"] * 2 + ["d"])
+    docs = spark.createDataFrame([(0, "s", text)],
+                                 "doc_id long, source string, text string")
+    row = corpus.zipf_slope(docs).collect()[0]
+    lr = np.log(np.arange(1, 5, dtype=float))
+    lf = np.log(np.array([8.0, 4.0, 2.0, 1.0]))
+    expect = np.cov(lr, lf, bias=True)[0, 1] / np.var(lr)
+    assert row.n_terms == 4
+    assert abs(row.slope - expect) < 1e-6

@@ -177,3 +177,32 @@ def test_connected_components_rounds_are_checkpointed(spark):
     assert "Scan ExistingRDD" in plan  # localCheckpoint truncated lineage
     comp = {r["node"]: r["component"] for r in out.collect()}
     assert comp[4] == 1 and comp[11] == 10
+
+
+def test_gopher_rules_is_shuffle_free(spark, sf_dir):
+    """Every Gopher metric folds over the token array in one projection —
+    a 100 TB scan must stay a single exchange-free stage."""
+    from tabsdata_spark.llm import textual as tx
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(tx.gopher_quality_rules(docs))
+    assert "Exchange" not in plan
+
+
+def test_unigram_surprisal_broadcasts_total(spark, sf_dir):
+    """The corpus-total scalar joins via a 1-row broadcast, and both aggs
+    partial-combine before their exchanges."""
+    from tabsdata_spark.llm import corpus
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(corpus.unigram_surprisal(docs))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_zipf_window_is_partitioned_by_stratum(spark, sf_dir):
+    """Ranking must window per stratum — a global (unpartitioned) rank
+    would funnel the whole vocabulary through one task."""
+    from tabsdata_spark.llm import corpus
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(corpus.zipf_slope(docs, strata_col="source"))
+    assert "Exchange SinglePartition" not in plan
+    assert "partitionspec" in plan.lower() or "hashpartitioning(stratum" in plan
