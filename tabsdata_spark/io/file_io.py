@@ -69,9 +69,16 @@ class GCSServiceAccountCredentials:
 
 
 def _apply_confs(spark: SparkSession, confs: dict[str, str]) -> None:
-    hconf = spark.sparkContext._jsc.hadoopConfiguration()
-    for k, v in confs.items():
-        hconf.set(k, v)
+    try:
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        for k, v in confs.items():
+            hconf.set(k, v)
+    except Exception:
+        # Spark Connect: no JVM handle.  Hadoop FS confs are also accepted
+        # as runtime SQL confs by the connectors' per-bucket/per-container
+        # resolution; best-effort set them there.
+        for k, v in confs.items():
+            spark.conf.set(k, v)
 
 
 # --------------------------------------------------------------------------

@@ -2344,10 +2344,12 @@ def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q15: scalar MAX over a derived view -> whole-column window max
-    (no second scan of lineitem, no self-join)."""
-    from pyspark.sql.window import Window
-
+    """TPC-H Q15: scalar MAX over a derived view as a 1-row broadcast
+    cross join back onto the view — no second scan of lineitem, no
+    self-join, and (unlike a whole-column window max) no funneling of the
+    per-supplier table through a single task: at 100 TB the revenue view
+    has one row per supplier, and only the per-partition max scalars move
+    to compute the global max."""
     li = load(spark, sf_dir, "lineitem").filter(
         (td.col("l_shipdate") >= td.lit("1996-01-01").cast("timestamp"))
         & (td.col("l_shipdate") < td.lit("1996-04-01").cast("timestamp")))
@@ -2356,7 +2358,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(total_revenue=(_dec(td.col("l_extendedprice"))
                             * (1 - _dec(td.col("l_discount")))).sum().cast("double"))
     ).df
-    top = rev.withColumn("__mx", F.max("total_revenue").over(Window.partitionBy())) \
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    top = rev.crossJoin(F.broadcast(mx)) \
         .filter(F.col("total_revenue") == F.col("__mx")).drop("__mx")
     su = load(spark, sf_dir, "supplier").df.select("s_suppkey", "s_name")
     return (su.join(top, su.s_suppkey == top.l_suppkey)

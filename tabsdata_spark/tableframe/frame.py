@@ -173,7 +173,12 @@ class TableFrame:
         self._user_df().explain(mode)
 
     def show_graph(self) -> str:
-        plan = self._user_df()._jdf.queryExecution().optimizedPlan().toString()
+        try:
+            plan = self._user_df()._jdf.queryExecution().optimizedPlan().toString()
+        except Exception:
+            # Spark Connect: no py4j _jdf handle — the extended explain
+            # string carries the optimized plan section instead.
+            plan = self._user_df()._explain_string(extended=True)
         print(plan)
         return plan
 

@@ -1,0 +1,91 @@
+"""Physical-plan linter: sweep every registered query and flag
+scale-killer shapes the plan-quality canaries don't cover query-by-query.
+
+Flags raised:
+- cartesian           CartesianProduct anywhere (unblocked pairwise op)
+- big-single-part     Exchange SinglePartition whose child is NOT a
+                      partial aggregate / limit — i.e. real data funneling
+                      through one task (global sort/window), not a scalar
+                      merge of per-partition rows
+- unpartitioned-win   window spec with no partitioning keys
+
+Known-and-documented global-order queries (reference-mandated Polars
+whole-column semantics, see NOTES.md) are allowlisted; everything else
+must come back clean.  Exits 1 on unexplained flags.
+
+Usage: python tools/audit_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+# Whole-column rank/diff/sort semantics from the reference (Polars parity):
+# a global order is the CONTRACT, not an accident.  Documented in NOTES.md.
+GLOBAL_ORDER_OK = {
+    "rank_window", "rank_methods", "diff_lag", "sort_slice", "head_tail",
+    "is_unique_flag", "unique_keep_first", "pack_sequences",
+}
+
+
+def _single_partition_is_scalar_merge(lines: list[str], i: int) -> bool:
+    """True if the Exchange SinglePartition at line i feeds a scalar
+    aggregate merge (child is a partial agg or a local limit) — the
+    correct, per-partition-row pattern — rather than funneling real rows."""
+    for below in lines[i + 1:i + 3]:
+        s = below.strip()
+        if "partial_" in s or "LocalLimit" in s or "CollectLimit" in s:
+            return True
+        if s.startswith("+-") or s.startswith(":-"):
+            break
+    return False
+
+
+def audit(plan: str) -> list[str]:
+    hits = []
+    lines = plan.splitlines()
+    if "CartesianProduct" in plan:
+        hits.append("cartesian")
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line \
+                and not _single_partition_is_scalar_merge(lines, i):
+            hits.append("big-single-part")
+            break
+    for line in lines:
+        if "windowspecdefinition(" in line.replace(" ", "") \
+                and "windowspecdefinition(," in line.replace(" ", ""):
+            hits.append("unpartitioned-win")
+            break
+    return hits
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+    import tabsdata_spark as td
+    from tabsdata_spark.queries import queries
+
+    spark = td.get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    unexplained = {}
+    for name, fn in queries().items():
+        try:
+            plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # noqa: BLE001
+            unexplained[name] = [f"PLAN-ERROR {type(e).__name__}"]
+            continue
+        hits = audit(plan)
+        if hits and name not in GLOBAL_ORDER_OK:
+            unexplained[name] = hits
+
+    for n, h in sorted(unexplained.items()):
+        print(f"FLAG  {n}: {h}")
+    print(f"{len(unexplained)} unexplained flags over {len(queries())} queries")
+    sys.exit(1 if unexplained else 0)
+
+
+if __name__ == "__main__":
+    main()
