@@ -3925,3 +3925,47 @@ def zipf_slope_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return corpus.zipf_slope(docs, strata_col="source")
+
+
+# ===========================================================================
+# coverage batch 7 (r2): versioned-table row diff — the "git for tables"
+# operator the reference's version model implies (HEAD~n reads) but never
+# ships as a service
+# ===========================================================================
+
+
+@q(
+    "version_diff_docs",
+    """
+    WITH old AS (
+      SELECT doc_id, text, lang, source FROM documents WHERE doc_id % 7 <> 0
+    ),
+    new AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 11 = 1 THEN text || ' [edited]' ELSE text END AS text,
+             lang, source
+      FROM documents WHERE doc_id % 5 <> 0
+    )
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.doc_id IS NULL THEN 'added'
+                ELSE 'changed' END AS status
+    FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    WHERE n.doc_id IS NULL OR o.doc_id IS NULL OR o.text <> n.text
+    """,
+)
+def version_diff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level diff between two simulated versions of the documents
+    table (v1 drops doc_id%7==0, v2 drops %5==0 and edits %11==1): one
+    (key, status) row per added/removed/changed key.  Each side shuffles
+    only (key, 64-bit digest) — payloads never move."""
+    from tabsdata_spark.store.diff import table_diff
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    v1 = docs.filter(F.col("doc_id") % 7 != 0)
+    v2 = (docs.filter(F.col("doc_id") % 5 != 0)
+          .withColumn("text", F.when(F.col("doc_id") % 11 == 1,
+                                     F.concat(F.col("text"),
+                                              F.lit(" [edited]")))
+                      .otherwise(F.col("text"))))
+    return table_diff(v1, v2, key_cols=["doc_id"])

@@ -1,0 +1,92 @@
+"""Version diff: added / removed / changed rows between two table
+versions — the operator the reference's "git for tables" model implies but
+never ships (its version access is whole-table reads at fixed offsets,
+client/td-sdk/tabsdata/tableuri.py `HEAD~n`; there is no row-level diff
+service in server/libraries/td-services).
+
+Scale design (100 TB x 2 versions):
+- Each side is projected to (key, digest) BEFORE the join: the digest is
+  one xxhash64 over the canonical JSON of the compared columns, so the
+  full-outer join shuffles 8-byte digests, never row payloads.
+- One shuffle per side, keyed on the diff key — with both versions
+  bucketed by key on write (scale.write_bucketed) the exchange disappears
+  entirely.
+- Output is status + keys only; callers join back to either version for
+  payloads (semi-join on an already-partitioned key).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .table_store import TableStore
+
+#: diff status values, in output order
+ADDED, REMOVED, CHANGED = "added", "removed", "changed"
+
+
+def _digest(df: DataFrame, key_cols: list[str],
+            compare_cols: list[str] | None) -> DataFrame:
+    cols = compare_cols or [c for c in df.columns if c not in key_cols]
+    # canonical row digest: names are baked into to_json keys, so column
+    # reordering between versions does not fake a change
+    payload = F.to_json(F.struct(*[F.col(c) for c in sorted(cols)]))
+    return df.select(*key_cols, F.xxhash64(payload).alias("__digest"))
+
+
+def table_diff(old: DataFrame, new: DataFrame, key_cols: list[str],
+               compare_cols: list[str] | None = None,
+               include_unchanged: bool = False) -> DataFrame:
+    """Row-level diff of two versions of a table: one row per key present
+    in either side, with `status` in {added, removed, changed[, unchanged]}.
+
+    Keys must be unique per side (enforce upstream with `unique`); the
+    comparison is null-safe on every compared column."""
+    # prefix-rename the new side so same-lineage inputs (both derived from
+    # one scan) can never hit Spark's ambiguous-column resolution
+    a = _digest(old, key_cols, compare_cols)
+    b = _digest(new, key_cols, compare_cols)
+    b = b.select(*[F.col(c).alias(f"__b_{c}") for c in b.columns])
+    cond = [F.col(k).eqNullSafe(F.col(f"__b_{k}")) for k in key_cols]
+    joined = a.join(b, cond, "full_outer")
+    a_key = F.col(key_cols[0])
+    b_key = F.col(f"__b_{key_cols[0]}")
+    status = (
+        F.when(b_key.isNull(), F.lit(REMOVED))
+        .when(a_key.isNull(), F.lit(ADDED))
+        .when(F.col("__digest") != F.col("__b___digest"), F.lit(CHANGED))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = joined.select(
+        *[F.coalesce(F.col(k), F.col(f"__b_{k}")).alias(k) for k in key_cols],
+        status.alias("status"),
+    )
+    if not include_unchanged:
+        out = out.filter(F.col("status") != "unchanged")
+    return out
+
+
+def diff_summary(old: DataFrame, new: DataFrame, key_cols: list[str],
+                 compare_cols: list[str] | None = None) -> DataFrame:
+    """(status, n) counts — the cheap health check before a full diff
+    materialization.  Same digest plan; the count is a partial agg."""
+    d = table_diff(old, new, key_cols, compare_cols, include_unchanged=True)
+    return d.groupBy("status").agg(F.count(F.lit(1)).alias("n"))
+
+
+def diff_versions(spark: SparkSession, store: TableStore, collection: str,
+                  table: str, old_version: str, new_version: str,
+                  key_cols: list[str],
+                  compare_cols: list[str] | None = None) -> DataFrame:
+    """Diff two stored versions of `collection/table` (any version selector
+    the store resolves: HEAD, HEAD~n, fixed id)."""
+    from ..tableframe._system import is_system_column
+
+    def user(tf) -> DataFrame:
+        df = tf.to_spark()
+        return df.select(*[c for c in df.columns if not is_system_column(c)])
+
+    old = user(store.read(spark, collection, table, versions=old_version))
+    new = user(store.read(spark, collection, table, versions=new_version))
+    return table_diff(old, new, key_cols, compare_cols)

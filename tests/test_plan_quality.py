@@ -206,3 +206,18 @@ def test_zipf_window_is_partitioned_by_stratum(spark, sf_dir):
     plan = _plan(corpus.zipf_slope(docs, strata_col="source"))
     assert "Exchange SinglePartition" not in plan
     assert "partitionspec" in plan.lower() or "hashpartitioning(stratum" in plan
+
+
+def test_version_diff_shuffles_digests_not_payloads(spark, sf_dir):
+    """table_diff must project each side to (key, xxhash64 digest) BEFORE
+    the full-outer join: the exchanges carry 8-byte digests, never text
+    payloads."""
+    from tabsdata_spark.store.diff import table_diff
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(table_diff(docs, docs.limit(400), ["doc_id"]))
+    _no_product(plan)
+    assert "xxhash64" in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            # exchange output schema is [key, digest] — no payload columns
+            assert "text#" not in line and "lang#" not in line

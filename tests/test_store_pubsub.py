@@ -333,3 +333,44 @@ def test_session_providers(spark, tmp_path):
         raise AssertionError("expected gated ImportError without grpcio")
     except ImportError as e:
         assert "grpcio" in str(e)
+
+
+def test_table_diff_statuses(spark):
+    from tabsdata_spark.store.diff import diff_summary, table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, None, 40)],
+        "k long, s string, v long")
+    new = spark.createDataFrame(
+        [(2, "b", 20),        # unchanged
+         (3, "cc", 30),       # changed (s)
+         (4, None, 40),       # unchanged (null-safe compare)
+         (5, "e", 50)],       # added
+        "k long, s string, v long")
+    d = {r.k: r.status for r in table_diff(old, new, ["k"]).collect()}
+    assert d == {1: "removed", 3: "changed", 5: "added"}
+    full = {r.k: r.status for r in
+            table_diff(old, new, ["k"], include_unchanged=True).collect()}
+    assert full[2] == "unchanged" and full[4] == "unchanged"
+    s = {r.status: r.n for r in diff_summary(old, new, ["k"]).collect()}
+    assert s == {"removed": 1, "changed": 1, "added": 1, "unchanged": 2}
+    # column order must not fake a change
+    reordered = new.select("k", "v", "s")
+    assert {r.k for r in table_diff(new, reordered, ["k"]).collect()} == set()
+    # compare_cols restricts the comparison
+    only_v = table_diff(old, new, ["k"], compare_cols=["v"])
+    assert {r.k: r.status for r in only_v.collect()} == \
+        {1: "removed", 5: "added"}
+
+
+def test_diff_versions_through_store(spark, tmp_path):
+    from tabsdata_spark.store.diff import diff_versions
+
+    store = TableStore(str(tmp_path / "dw"))
+    store.write(td.TableFrame.from_dict(
+        spark, {"k": [1, 2, 3], "x": ["p", "q", "r"]}), "c", "t")
+    store.write(td.TableFrame.from_dict(
+        spark, {"k": [2, 3, 4], "x": ["q", "R", "s"]}), "c", "t")
+    d = {r.k: r.status for r in diff_versions(
+        spark, store, "c", "t", "HEAD~1", "HEAD", ["k"]).collect()}
+    assert d == {1: "removed", 3: "changed", 4: "added"}
