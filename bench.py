@@ -57,6 +57,19 @@ CORPUS = [
     "doc_chunks",
 ]
 
+# Third group (added late r2): training-data hygiene / statistics suite.
+HYGIENE = [
+    "decontaminate_docs",
+    "boilerplate_ngrams_docs",
+    "quality_gate_docs",
+    "gopher_rules_docs",
+    "unigram_surprisal_docs",
+    "zipf_slope_sources",
+    "mixture_sample_docs",
+    "semantic_dedup_keep",
+    "version_diff_docs",
+]
+
 
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -74,20 +87,23 @@ def main():
     # codegen compilation, parquet footer reads, and Python-worker process
     # spawn for pandas_udf stages (workers are reused afterwards).  The timed
     # pass below measures steady-state engine throughput.
-    for name in HEADLINE + CORPUS:
+    for name in HEADLINE + CORPUS + HYGIENE:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     def timed(names: list[str]) -> dict[str, float]:
         out: dict[str, float] = {}
         for name in names:
-            df = qs[name](spark, sf_dir)
+            # construction INSIDE the timer: iterative operators (connected
+            # components) run eager rounds while building the frame; lazy
+            # queries only pay ms of plan assembly here
             t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             out[name] = round(time.perf_counter() - t0, 3)
         return out
 
     timings = timed(HEADLINE)
     corpus_timings = timed(CORPUS)
+    hygiene_timings = timed(HYGIENE)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -98,6 +114,8 @@ def main():
         "sf": sf,
         "corpus_total": round(sum(corpus_timings.values()), 3),
         "corpus_queries": corpus_timings,
+        "hygiene_total": round(sum(hygiene_timings.values()), 3),
+        "hygiene_queries": hygiene_timings,
     }))
 
 

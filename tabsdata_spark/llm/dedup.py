@@ -358,6 +358,11 @@ def connected_components(edges: DataFrame, src: str = "id_a",
               .union(sym.select(F.col("v").alias("node"))).distinct()
               .withColumn("label", F.col("node")))
     labels = labels.localCheckpoint(eager=True)
+    # Labels are per-node non-increasing, so sum(label) strictly decreases
+    # until the fixed point: an exact decimal sum is a convergence witness
+    # that costs one narrow agg — no old-vs-new join, no second shuffle.
+    prev_sum = labels.agg(
+        F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
 
     for _ in range(max_iter):
         neigh = (sym.join(labels, sym.u == labels.node)
@@ -367,13 +372,23 @@ def connected_components(edges: DataFrame, src: str = "id_a",
                       .select("node",
                               F.least("label", F.coalesce("nmin", "label"))
                                .alias("label")))
+        # pointer jumping: label := label[label] — composes the two hops
+        # found so far, so effective propagation depth doubles per round
+        # (O(log d) rounds on chains instead of O(d))
+        parent = new_labels.select(F.col("node").alias("p_node"),
+                                   F.col("label").alias("p_label"))
+        new_labels = (new_labels
+                      .join(parent, new_labels.label == parent.p_node, "left")
+                      .select("node",
+                              F.least("label", F.coalesce("p_label", "label"))
+                               .alias("label")))
         new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .filter(F.col("n.label") != F.col("o.label")).count())
+        cur_sum = new_labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select("node", F.col("label").alias("component"))
 
 
@@ -461,11 +476,17 @@ def connected_components_star(edges: DataFrame, src: str = "id_a",
 
 
 def dedup_by_components(df: DataFrame, pairs: DataFrame,
-                        id_col: str = "doc_id") -> DataFrame:
+                        id_col: str = "doc_id",
+                        algorithm: str = "star") -> DataFrame:
     """Transitive near-dup removal: keep the min-id representative of every
     connected component of the candidate-pair graph (the correct semantics
-    when A~B and B~C but A!~C)."""
-    comp = connected_components(pairs)
+    when A~B and B~C but A!~C).  `algorithm="star"` (default) is the
+    diameter-independent large/small-star contraction — the billion-edge
+    path; `"minlabel"` propagates min labels (fewer jobs per round, fine
+    for low-diameter graphs)."""
+    cc = connected_components_star if algorithm == "star" \
+        else connected_components
+    comp = cc(pairs)
     losers = comp.filter(F.col("node") != F.col("component")) \
         .select(F.col("node").alias(id_col))
     return df.join(losers, on=id_col, how="left_anti")

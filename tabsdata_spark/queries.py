@@ -3663,10 +3663,13 @@ def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     check).  Benchmark gram set is broadcast; the corpus side shuffles
     only for the final per-doc agg."""
     from tabsdata_spark.llm import decontam
+    from tabsdata_spark.scale import fan_out
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     bench = docs.filter(F.col("doc_id") % 29 == 1)
-    train = docs.filter(F.col("doc_id") % 29 != 1)
+    # shingling is compute-bound (O(len) array/hash work per row): fan the
+    # one-row-group test file out to cluster width (no-op at real scale)
+    train = fan_out(docs.filter(F.col("doc_id") % 29 != 1))
     return decontam.contamination(train, bench, n=4, min_hits=1)
 
 
@@ -3684,9 +3687,10 @@ def boilerplate_ngrams_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     One explode + map-side-combined groupBy; threshold prunes the unique
     tail before anything downstream."""
     from tabsdata_spark.llm import decontam
+    from tabsdata_spark.scale import fan_out
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return decontam.boilerplate_ngrams(docs, n=5, min_docs=2)
+    return decontam.boilerplate_ngrams(fan_out(docs), n=5, min_docs=2)
 
 
 @q(

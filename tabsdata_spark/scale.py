@@ -43,11 +43,19 @@ def fan_out(df: DataFrame, parallelism: int | None = None) -> DataFrame:
     except Exception:  # Spark Connect: no sparkContext; fall back to conf
         target = parallelism or int(
             spark.conf.get("spark.sql.shuffle.partitions"))
-    # Unconditional repartition — deliberately no df.rdd.getNumPartitions()
-    # probe: materializing .rdd forces (and with AQE can partially execute)
-    # the physical plan, and breaks outright on Spark Connect.  Callers use
-    # fan_out only on known-narrow inputs, where one round-robin exchange
-    # of a small table is noise next to the compute stage it unlocks.
+    # Width probe WITHOUT df.rdd: materializing .rdd forces (and with AQE
+    # can partially execute) the physical plan, and breaks on Spark
+    # Connect.  inputFiles() only lists the scan's files — a conservative
+    # lower bound on scan tasks (files also split by maxPartitionBytes).
+    # At real scale a 100 TB table has thousands of files >= target and
+    # fan_out becomes a no-op instead of a full-table reshuffle; the
+    # repartition only fires for genuinely narrow inputs (few files, or
+    # non-file-backed frames where listing is empty).
+    try:
+        if len(df.inputFiles()) >= target:
+            return df
+    except Exception:
+        pass
     return df.repartition(target)
 
 
