@@ -18,6 +18,8 @@ Scale design (the point of this module):
 
 from __future__ import annotations
 
+import contextlib
+
 import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
@@ -335,6 +337,29 @@ def embedding_near_dup_pairs(
     )
 
 
+@contextlib.contextmanager
+def _round_width(spark, n_rows: int, rows_per_part: int = 100_000):
+    """Size iterative-round shuffles from the MEASURED graph size.
+
+    CC rounds inherit `spark.sql.shuffle.partitions` (cluster-width, e.g.
+    200-2000), but the candidate-pair graph is usually orders of magnitude
+    smaller than the corpus that produced it — scheduling 2000 tasks per
+    round over a few thousand edges makes round latency, not data, the
+    cost.  Width = clamp(edges / rows_per_part, 2, configured), so a
+    billion-edge graph keeps full cluster width (no-op at scale) while a
+    small one runs 2-wide.  The conf is save/restored around the loop;
+    checkpointed intermediates keep the narrow width afterwards either way.
+    """
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    target = max(2, min(int(old), n_rows // rows_per_part + 1))
+    try:
+        spark.conf.set(key, str(target))
+        yield target
+    finally:
+        spark.conf.set(key, old)
+
+
 def connected_components(edges: DataFrame, src: str = "id_a",
                          dst: str = "id_b", max_iter: int = 20) -> DataFrame:
     """Connected components by min-label propagation: each node repeatedly
@@ -354,41 +379,47 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     sym = (edges.select(u, v)
            .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
            .distinct())
-    labels = (sym.select(F.col("u").alias("node"))
-              .union(sym.select(F.col("v").alias("node"))).distinct()
-              .withColumn("label", F.col("node")))
-    labels = labels.localCheckpoint(eager=True)
-    # Labels are per-node non-increasing, so sum(label) strictly decreases
-    # until the fixed point: an exact decimal sum is a convergence witness
-    # that costs one narrow agg — no old-vs-new join, no second shuffle.
-    prev_sum = labels.agg(
-        F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
-
-    for _ in range(max_iter):
-        neigh = (sym.join(labels, sym.u == labels.node)
-                 .groupBy(sym.v.alias("node"))
-                 .agg(F.min("label").alias("nmin")))
-        new_labels = (labels.join(neigh, "node", "left")
-                      .select("node",
-                              F.least("label", F.coalesce("nmin", "label"))
-                               .alias("label")))
-        # pointer jumping: label := label[label] — composes the two hops
-        # found so far, so effective propagation depth doubles per round
-        # (O(log d) rounds on chains instead of O(d))
-        parent = new_labels.select(F.col("node").alias("p_node"),
-                                   F.col("label").alias("p_label"))
-        new_labels = (new_labels
-                      .join(parent, new_labels.label == parent.p_node, "left")
-                      .select("node",
-                              F.least("label", F.coalesce("p_label", "label"))
-                               .alias("label")))
-        new_labels = new_labels.localCheckpoint(eager=True)
-        cur_sum = new_labels.agg(
+    sym = sym.localCheckpoint(eager=True)
+    n_edges = sym.count()
+    with _round_width(sym.sparkSession, n_edges):
+        labels = (sym.select(F.col("u").alias("node"))
+                  .union(sym.select(F.col("v").alias("node"))).distinct()
+                  .withColumn("label", F.col("node")))
+        labels = labels.localCheckpoint(eager=True)
+        # Labels are per-node non-increasing, so sum(label) strictly
+        # decreases until the fixed point: an exact decimal sum is a
+        # convergence witness costing one narrow agg — no old-vs-new join,
+        # no second shuffle.
+        prev_sum = labels.agg(
             F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
-        labels = new_labels
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+
+        for _ in range(max_iter):
+            neigh = (sym.join(labels, sym.u == labels.node)
+                     .groupBy(sym.v.alias("node"))
+                     .agg(F.min("label").alias("nmin")))
+            new_labels = (labels.join(neigh, "node", "left")
+                          .select("node",
+                                  F.least("label", F.coalesce("nmin", "label"))
+                                   .alias("label")))
+            # pointer jumping: label := label[label] — composes the two
+            # hops found so far, so effective propagation depth doubles per
+            # round (O(log d) rounds on chains instead of O(d))
+            parent = new_labels.select(F.col("node").alias("p_node"),
+                                       F.col("label").alias("p_label"))
+            new_labels = (new_labels
+                          .join(parent, new_labels.label == parent.p_node,
+                                "left")
+                          .select("node",
+                                  F.least("label",
+                                          F.coalesce("p_label", "label"))
+                                   .alias("label")))
+            new_labels = new_labels.localCheckpoint(eager=True)
+            cur_sum = new_labels.agg(
+                F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+            labels = new_labels
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
     return labels.select("node", F.col("label").alias("component"))
 
 
@@ -412,10 +443,17 @@ def connected_components_star(edges: DataFrame, src: str = "id_a",
     e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
          .filter(F.col("u") != F.col("v"))
          .distinct())
+    e = e.localCheckpoint(eager=True)
+    n_edges = e.count()
+    with _round_width(e.sparkSession, n_edges):
+        return _star_rounds(e, n_edges, max_iter, check_every)
+
+
+def _star_rounds(e: DataFrame, n_edges: int, max_iter: int,
+                 check_every: int) -> DataFrame:
     nodes = (e.select(F.col("u").alias("node"))
              .union(e.select(F.col("v").alias("node"))).distinct()
              .localCheckpoint(eager=True))
-    e = e.localCheckpoint(eager=True)
 
     def _fingerprint(df: DataFrame):
         # bit_xor, not sum: xor of 64-bit hashes is an order-insensitive
