@@ -1,0 +1,104 @@
+"""Distributed clustering over embedding columns.
+
+`kmeans` is Lloyd's algorithm expressed Spark-first: the corpus never
+leaves the executors — each iteration is one broadcast of the (k x dim)
+centroid model out, one narrow assignment pass, and one elementwise-mean
+aggregation back.  Only the centroid matrix (k*dim doubles, a few KB)
+round-trips through the driver, which is the same contract as any
+broadcast-model scoring step; corpus size is irrelevant to driver memory.
+
+Determinism contract (drives the DuckDB oracle in queries.py):
+- centroid init = the k rows with the smallest ids (no RNG);
+- distances and updated centroid elements are rounded to 6 decimals each
+  iteration, so independent engines computing the same math in different
+  association orders stay bit-aligned;
+- argmin ties break on the smaller centroid id.
+
+Reference surface: the tabsdata reference has no clustering operator —
+this extends the training-data suite (semantic curation / SemDeDup-style
+cluster-then-prune needs cluster assignments first).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    """Squared euclidean distance between two array columns, computed in
+    float64 regardless of storage type."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") - y.cast("double")),
+        F.lit(0.0),
+        lambda acc, d: acc + d * d,
+    )
+
+
+def kmeans(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means; returns (id_col, cluster, dist) assignments.
+
+    `cluster` is the seed id of the centroid (stable across iterations —
+    clusters keep their identity as the centroid moves).  Each iteration:
+
+    1. assign: argmin over the broadcast centroid array — a literal
+       (k x dim) array expression, evaluated JVM-side per row; no shuffle.
+    2. update: posexplode(vec) -> groupBy(cluster, dim_index) -> avg —
+       one map-side-combined shuffle of k*dim partials per partition, then
+       a driver collect of exactly k*dim means (the new model).
+
+    At 100 TB the assignment pass is embarrassingly parallel and the
+    update shuffle carries k*dim*partitions partial sums — independent of
+    row count.  Compare ivf_topk (similarity.py) which uses one sampled
+    Lloyd pass for its coarse quantizer; this is the full, oracle-checked
+    operator.
+    """
+    seeds = (emb.orderBy(F.col(id_col)).limit(k)
+             .select(F.col(id_col), F.col(vec_col)).collect())
+    cents: list[tuple[int, list[float]]] = [
+        (r[0], [float(x) for x in r[1]]) for r in seeds
+    ]
+
+    def assign(df: DataFrame, cents) -> DataFrame:
+        scored = F.array(*[
+            F.struct(
+                F.round(_sq_dist(F.col(vec_col),
+                                 F.array(*[F.lit(x) for x in vec])), 6)
+                 .alias("dist"),
+                F.lit(cid).cast("long").alias("cluster"),
+            )
+            for cid, vec in cents
+        ])
+        # array_sort on (dist, cluster) structs: lexicographic -> nearest
+        # centroid, ties to the smaller cluster id
+        best = F.array_sort(scored)[0]
+        return df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            best["cluster"].alias("cluster"),
+            best["dist"].alias("dist"),
+        )
+
+    for _ in range(iters):
+        assigned = assign(emb, cents)
+        new_rows = (
+            assigned
+            .select("cluster", F.posexplode(F.col(vec_col)).alias("i", "x"))
+            .groupBy("cluster", "i")
+            .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("m"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("s"))
+            .select("cluster", F.transform("s", lambda st: st["m"]).alias("c"))
+            .collect()
+        )
+        moved = {r["cluster"]: [float(x) for x in r["c"]] for r in new_rows}
+        # empty clusters keep their previous centroid
+        cents = [(cid, moved.get(cid, vec)) for cid, vec in cents]
+
+    return assign(emb, cents).select(id_col, "cluster", "dist")

@@ -179,6 +179,29 @@ def stratified_sample(df: DataFrame, key_col: str, rate_pct: int,
     return df.filter(hash_split(F.col(key_col), 100) < rate_pct)
 
 
+def cap_per_stratum(df: DataFrame, strata_col: str, order_col: str,
+                    cap: int, tie_col: str,
+                    descending: bool = True) -> DataFrame:
+    """Per-stratum cap: keep at most `cap` rows per stratum, preferring
+    the highest `order_col` (ties broken by `tie_col` ascending).
+
+    The domain-cap step of crawl curation (RefinedWeb/CCNet style: no
+    single domain may dominate the corpus; keep its best N documents).
+    One shuffle on the stratum, per-partition top-N via row_number — no
+    global sort, no driver state.  Skewed strata (one domain = 10% of the
+    crawl) are the known weak spot of any partitioned window; cap is
+    usually small, so pre-aggregating a per-(stratum, salt) local top-cap
+    before the window bounds the hot partition at salt*cap rows.
+    """
+    from pyspark.sql.window import Window
+
+    oc = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    w = Window.partitionBy(strata_col).orderBy(oc, F.col(tie_col).asc())
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= cap)
+            .withColumnRenamed("__rn", "stratum_rank"))
+
+
 def mixture_sample(df: DataFrame, strata_col: str, key_col: str,
                    fraction: float,
                    overrides: dict[str, float] | None = None) -> DataFrame:

@@ -530,6 +530,80 @@ def dedup_by_components(df: DataFrame, pairs: DataFrame,
     return df.join(losers, on=id_col, how="left_anti")
 
 
+def incremental_dedup(
+    new_batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental-ingest exact dedup: drop new rows whose normalized
+    content already exists in the ingested corpus, then dedup within the
+    batch itself (keep the min-id row per fingerprint).
+
+    The plan is two hash-joins on a 16-byte md5 digest, never on full
+    text: an anti-join against the corpus fingerprint set, then a
+    min-id-per-fingerprint semi-join inside the batch.  At 100 TB the
+    corpus side reduces to its distinct fingerprint column (pruned scan);
+    a daily batch is typically small enough that AQE broadcast-upgrades
+    the anti-join probe side.
+    """
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    fp_new = new_batch.withColumn("__fp", F.md5(norm))
+    fp_old = corpus.select(F.md5(norm).alias("__fp")).distinct()
+    fresh = fp_new.join(fp_old, "__fp", "left_anti")
+    keep = (fresh.groupBy("__fp")
+            .agg(F.min(F.col(id_col)).alias(id_col)))
+    return (fresh.join(keep, [id_col, "__fp"], "left_semi")
+            .drop("__fp"))
+
+
+def triangle_count(edges: DataFrame, src: str = "id_a",
+                   dst: str = "id_b") -> DataFrame:
+    """Per-node triangle counts of an undirected graph.
+
+    Degree-ordered orientation (Suri & Vassilvitskii, WWW 2011 "Counting
+    triangles and the curse of the last reducer"): each undirected edge is
+    directed from the lower-degree endpoint to the higher (ties by id), so
+    every triangle is counted exactly once and the join fan-out per node is
+    bounded by its *oriented* out-degree — O(sqrt(m)) even for celebrity
+    nodes, instead of the d^2 wedge explosion on the natural orientation.
+    Two shuffle joins total; returns (node, triangles) for nodes in >=1
+    triangle.
+    """
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+         .filter(F.col("u") != F.col("v"))
+         .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+         .distinct())
+    deg = (e.select(F.col("u").alias("n")).union(e.select(F.col("v").alias("n")))
+           .groupBy("n").agg(F.count(F.lit(1)).alias("d")))
+    # orient: lower (degree, id) -> higher
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    oriented = (e.join(du, "u").join(dv, "v")
+                .select(
+                    F.when((F.col("du") < F.col("dv"))
+                           | ((F.col("du") == F.col("dv"))
+                              & (F.col("u") < F.col("v"))),
+                           F.struct(F.col("u").alias("a"), F.col("v").alias("b")))
+                     .otherwise(
+                           F.struct(F.col("v").alias("a"), F.col("u").alias("b")))
+                     .alias("e"))
+                .select("e.a", "e.b"))
+    # wedges a->b, a->c (b<c in oriented id order not required: dedup via b!=c
+    # and closing edge existence in canonical form)
+    w1 = oriented.select(F.col("a"), F.col("b").alias("x"))
+    w2 = oriented.select(F.col("a"), F.col("b").alias("y"))
+    wedges = (w1.join(w2, "a").filter(F.col("x") < F.col("y")))
+    closed = wedges.join(
+        e.select(F.least("u", "v").alias("x"), F.greatest("u", "v").alias("y")),
+        ["x", "y"], "left_semi")
+    per_node = (closed.select(F.col("a").alias("node"))
+                .union(closed.select(F.col("x").alias("node")))
+                .union(closed.select(F.col("y").alias("node")))
+                .groupBy("node").agg(F.count(F.lit(1)).alias("triangles")))
+    return per_node
+
+
 def semantic_dedup(
     emb: DataFrame,
     id_col: str = "vec_id",

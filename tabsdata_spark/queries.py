@@ -3973,3 +3973,225 @@ def version_diff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                               F.lit(" [edited]")))
                       .otherwise(F.col("text"))))
     return table_diff(v1, v2, key_cols=["doc_id"])
+
+
+# ===========================================================================
+# coverage batch 8 (r2): curation caps, incremental dedup, graph triangles,
+# skew-rewrite queries, distributed k-means with a fully unrolled SQL oracle
+# ===========================================================================
+
+
+@q(
+    "source_caps_docs",
+    """
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id ASC)
+               AS stratum_rank
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars, stratum_rank
+    FROM ranked WHERE stratum_rank <= 15
+    """,
+)
+def source_caps_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-cap curation: keep each source's top-15 documents by length
+    (RefinedWeb-style per-domain quota).  One shuffle on source; the
+    window never sees more than one stratum per partition."""
+    from tabsdata_spark.llm import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus.cap_per_stratum(
+        docs, strata_col="source", order_col="n_chars", cap=15,
+        tie_col="doc_id",
+    ).select("doc_id", "source", "n_chars", "stratum_rank")
+
+
+@q(
+    "incremental_dedup_docs",
+    """
+    WITH norm AS (
+      SELECT doc_id, lang, source,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+      FROM documents
+    ),
+    old_fp AS (SELECT DISTINCT fp FROM norm WHERE doc_id % 10 <> 0),
+    batch AS (SELECT * FROM norm WHERE doc_id % 10 = 0),
+    fresh AS (
+      SELECT b.* FROM batch b ANTI JOIN old_fp o ON b.fp = o.fp
+    )
+    SELECT doc_id, lang, source FROM fresh f
+    WHERE doc_id = (SELECT MIN(doc_id) FROM fresh g WHERE g.fp = f.fp)
+    """,
+)
+def incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: a new batch (doc_id%10==0) is checked
+    against the already-ingested corpus by normalized-content md5; batch
+    rows colliding with the corpus or with an earlier batch row are
+    dropped.  Joins move 16-byte digests, never text."""
+    from tabsdata_spark.llm import dedup as dd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus_side = docs.filter(F.col("doc_id") % 10 != 0)
+    return dd.incremental_dedup(batch, corpus_side) \
+        .select("doc_id", "lang", "source")
+
+
+@q(
+    "triangle_count_emb",
+    """
+    WITH e AS (
+      SELECT LEAST(a.vec_id, b.vec_id) AS u, GREATEST(a.vec_id, b.vec_id) AS v
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.2
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1 JOIN e e2 ON e2.u = e1.v
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    nodes AS (
+      SELECT a AS node FROM tri UNION ALL
+      SELECT b FROM tri UNION ALL
+      SELECT c FROM tri
+    )
+    SELECT node, COUNT(*) AS triangles FROM nodes GROUP BY node
+    """,
+)
+def triangle_count_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts of the cosine>=0.2 similarity graph
+    (label-blocked) — the clustering-coefficient primitive for corpus
+    graph diagnostics.  Degree-ordered orientation bounds the wedge
+    fan-out of hub nodes (curse-of-the-last-reducer fix)."""
+    from tabsdata_spark.llm import dedup as dd
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = dd.embedding_near_dup_pairs(
+        emb, id_col="vec_id", block_col="label", threshold=0.2)
+    return dd.triangle_count(pairs)
+
+
+@q(
+    "salted_user_revenue",
+    """
+    SELECT t.tier,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM events e
+    JOIN (SELECT DISTINCT user_id, user_id % 5 AS tier FROM events) t
+      ON e.user_id = t.user_id
+    GROUP BY t.tier
+    """,
+)
+def salted_user_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof join: events joined to a per-user tier dim through
+    scale.salted_join (hot users spread over 16 salt buckets), then a
+    tier rollup.  Result is bit-identical to the plain join — salting
+    only changes row routing."""
+    from tabsdata_spark.scale import salted_join
+
+    ev = load_events(spark, sf_dir).to_spark()
+    dim = (ev.select("user_id").distinct()
+           .withColumn("tier", F.col("user_id") % 5))
+    joined = salted_join(ev.select("user_id", "value"), dim,
+                         on=["user_id"], how="inner", salt=16)
+    return (joined.groupBy("tier")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(18,2)"))
+                  .cast("double").alias("revenue")))
+
+
+@q(
+    "distinct_users_by_type",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
+    FROM events GROUP BY event_type
+    """,
+)
+def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) via the two-phase skew-proof rewrite: map-side
+    dedup on (event_type, user_id) spreads a hot type's distinct set
+    across the cluster before the per-type count."""
+    from tabsdata_spark.scale import two_phase_count_distinct
+
+    ev = load_events(spark, sf_dir).to_spark()
+    return two_phase_count_distinct(ev, "event_type", "user_id")
+
+
+#: k-means oracle: the SAME deterministic algorithm unrolled in SQL —
+#: seeds = 8 smallest vec_ids, 2 Lloyd iterations, distances and centroid
+#: elements rounded to 6dp each step (keeps both engines' float paths
+#: aligned), argmin ties to the smaller seed id.
+_KMEANS_ORACLE = """
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, e AS c FROM emb
+           WHERE vec_id IN (SELECT vec_id FROM emb ORDER BY vec_id LIMIT 8)),
+    d1 AS (
+      SELECT emb.vec_id, c0.cid,
+             ROUND(list_sum(list_transform(list_zip(emb.e, c0.c),
+                    p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS dist
+      FROM emb CROSS JOIN c0
+    ),
+    a1 AS (
+      SELECT vec_id, cid AS cluster, dist FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, cid) AS rn FROM d1
+      ) WHERE rn = 1
+    ),
+    c1 AS (
+      SELECT cluster AS cid, list(m ORDER BY i) AS c FROM (
+        SELECT cluster, i, ROUND(AVG(x), 6) AS m FROM (
+          SELECT a1.cluster, unnest(emb.e) AS x,
+                 unnest(generate_series(1, len(emb.e))) AS i
+          FROM a1 JOIN emb ON emb.vec_id = a1.vec_id
+        ) GROUP BY cluster, i
+      ) GROUP BY cluster
+    ),
+    d2 AS (
+      SELECT emb.vec_id, c1.cid,
+             ROUND(list_sum(list_transform(list_zip(emb.e, c1.c),
+                    p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS dist
+      FROM emb CROSS JOIN c1
+    ),
+    a2 AS (
+      SELECT vec_id, cid AS cluster, dist FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, cid) AS rn FROM d2
+      ) WHERE rn = 1
+    ),
+    c2 AS (
+      SELECT cluster AS cid, list(m ORDER BY i) AS c FROM (
+        SELECT cluster, i, ROUND(AVG(x), 6) AS m FROM (
+          SELECT a2.cluster, unnest(emb.e) AS x,
+                 unnest(generate_series(1, len(emb.e))) AS i
+          FROM a2 JOIN emb ON emb.vec_id = a2.vec_id
+        ) GROUP BY cluster, i
+      ) GROUP BY cluster
+    ),
+    d3 AS (
+      SELECT emb.vec_id, c2.cid,
+             ROUND(list_sum(list_transform(list_zip(emb.e, c2.c),
+                    p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS dist
+      FROM emb CROSS JOIN c2
+    )
+    SELECT vec_id, cid AS cluster, dist FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY dist, cid) AS rn FROM d3
+    ) WHERE rn = 1
+"""
+
+
+@q("kmeans_clusters_emb", _KMEANS_ORACLE)
+def kmeans_clusters_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means (k=8, 2 iterations, deterministic seed =
+    8 smallest ids).  Per iteration: broadcast centroid model out, narrow
+    argmin assignment, one k*dim-partial elementwise-mean shuffle back —
+    driver traffic is the centroid matrix only.  Oracle = the identical
+    algorithm unrolled as SQL CTEs."""
+    from tabsdata_spark.llm import cluster
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cluster.kmeans(emb, k=8, iters=2)

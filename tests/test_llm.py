@@ -497,3 +497,68 @@ def test_zipf_slope_closed_form(spark):
     expect = np.cov(lr, lf, bias=True)[0, 1] / np.var(lr)
     assert row.n_terms == 4
     assert abs(row.slope - expect) < 1e-6
+
+
+def test_incremental_dedup_drops_corpus_and_batch_dups(spark):
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(10, "alpha  beta"),      # normalizes to corpus dup -> dropped
+         (11, "epsilon zeta"),     # fresh
+         (12, "epsilon zeta"),     # batch-internal dup -> keep min id only
+         (13, "Gamma Delta")],     # case-normalized corpus dup -> dropped
+        "doc_id long, text string")
+    kept = sorted(r["doc_id"] for r in
+                  dedup.incremental_dedup(batch, corpus).collect())
+    assert kept == [11]
+
+
+def test_triangle_count_known_graph(spark):
+    # triangle 1-2-3 plus a pendant edge 3-4 and a second triangle 3-4-5
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (3, 5)],
+        "id_a long, id_b long")
+    out = {r["node"]: r["triangles"]
+           for r in dedup.triangle_count(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 2, 4: 1, 5: 1}
+
+
+def test_triangle_count_no_triangles(spark):
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    assert dedup.triangle_count(edges).count() == 0
+
+
+def test_kmeans_separated_clusters(spark):
+    from tabsdata_spark.llm import cluster
+    # two tight blobs far apart; seeds 0 and 1 land one in each blob
+    rows = [(0, [0.0, 0.0]), (1, [10.0, 10.0]),
+            (2, [0.1, -0.1]), (3, [9.9, 10.2]),
+            (4, [0.05, 0.02]), (5, [10.1, 9.8])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r["cluster"]
+           for r in cluster.kmeans(emb, k=2, iters=2).collect()}
+    assert out[0] == out[2] == out[4] == 0
+    assert out[1] == out[3] == out[5] == 1
+
+
+def test_kmeans_empty_cluster_keeps_seed(spark):
+    from tabsdata_spark.llm import cluster
+    # both seeds in the same blob: one cluster may end empty after the
+    # first update; its centroid must stay put, not crash
+    rows = [(0, [0.0, 0.0]), (1, [0.1, 0.0]), (2, [0.2, 0.1])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = cluster.kmeans(emb, k=2, iters=2).collect()
+    assert len(out) == 3
+
+
+def test_cap_per_stratum(spark):
+    from tabsdata_spark.llm import corpus
+    rows = [("a", 1, 100), ("a", 2, 300), ("a", 3, 200),
+            ("b", 4, 50), ("b", 5, 50)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_chars long")
+    out = corpus.cap_per_stratum(df, "source", "n_chars", cap=2,
+                                 tie_col="doc_id")
+    kept = sorted((r["source"], r["doc_id"], r["stratum_rank"])
+                  for r in out.collect())
+    # a: best two by n_chars desc -> ids 2,3; b: tie broken by doc_id -> 4,5
+    assert kept == [("a", 2, 1), ("a", 3, 2), ("b", 4, 1), ("b", 5, 2)]
