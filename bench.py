@@ -68,6 +68,10 @@ HYGIENE = [
     "mixture_sample_docs",
     "semantic_dedup_keep",
     "version_diff_docs",
+    "source_caps_docs",
+    "incremental_dedup_docs",
+    "triangle_count_emb",
+    "kmeans_clusters_emb",
 ]
 
 
@@ -96,7 +100,7 @@ def main():
     # execution only — plan assembly/analysis is driver-side Python (0.2-0.9s
     # for the wide plans) and would swamp sub-second engine timings, breaking
     # round-over-round comparability of the frozen headline list.
-    EAGER = {"semantic_dedup_keep"}
+    EAGER = {"semantic_dedup_keep", "kmeans_clusters_emb"}
 
     def timed(names: list[str]) -> dict[str, float]:
         out: dict[str, float] = {}

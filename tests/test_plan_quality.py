@@ -221,3 +221,52 @@ def test_version_diff_shuffles_digests_not_payloads(spark, sf_dir):
         if "Exchange hashpartitioning" in line:
             # exchange output schema is [key, digest] — no payload columns
             assert "text#" not in line and "lang#" not in line
+
+
+def test_triangle_count_no_cartesian(spark, sf_dir):
+    from tabsdata_spark.llm import dedup
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = dedup.embedding_near_dup_pairs(
+        emb, id_col="vec_id", block_col="label", threshold=0.2)
+    plan = _plan(dedup.triangle_count(pairs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kmeans_assignment_is_shuffle_free(spark, sf_dir):
+    # the argmin-over-broadcast-centroids scoring pass must be a narrow
+    # projection: no Exchange, no join — the model travels as literals
+    from tabsdata_spark.llm import cluster
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = cluster.kmeans(emb, k=4, iters=0)
+    plan = _plan(out)
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_cap_per_stratum_single_partitioned_window(spark, sf_dir):
+    from tabsdata_spark.llm import corpus
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = corpus.cap_per_stratum(docs, "source", "n_chars", cap=5,
+                                 tie_col="doc_id")
+    plan = _plan(out)
+    # exactly one exchange (hash by source) feeding a partitioned window —
+    # no global-order funnel
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_incremental_dedup_joins_on_digest_only(spark, sf_dir):
+    from tabsdata_spark.llm import dedup
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    corp = docs.filter(F.col("doc_id") % 10 != 0)
+    # project to the id only: column pruning must reach through the
+    # operator — every scan reads (doc_id, text) for fingerprinting,
+    # never the unreferenced payload columns
+    plan = _plan(dedup.incremental_dedup(batch, corp).select("doc_id"))
+    assert "LeftAnti" in plan
+    for seg in plan.split("ReadSchema:")[1:]:
+        rs = seg.splitlines()[0]
+        assert "n_chars" not in rs and "lang" not in rs
