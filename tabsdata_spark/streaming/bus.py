@@ -66,6 +66,31 @@ def stream_dedup(stream: DataFrame, keys: list[str], ts_col: str,
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def stream_ingest_dedup(stream: DataFrame, corpus: DataFrame,
+                        text_col: str, ts_col: str,
+                        watermark: str = "10 minutes") -> DataFrame:
+    """Continuous-ingestion dedup: the streaming twin of
+    `llm.dedup.incremental_dedup`.
+
+    New documents are fingerprinted (normalized-content md5), dropped if
+    the digest exists in the static corpus (stream-static left_anti join —
+    the static side is broadcast/re-read per micro-batch, the stream side
+    never buffers), then deduped against other in-flight documents with
+    watermark-bounded state (dropDuplicatesWithinWatermark keys on the
+    16-byte digest, so state size is digests, not text).
+
+    At scale the static side should be the corpus's distinct-fingerprint
+    table, not the corpus itself — pass `corpus` pre-projected if the
+    fingerprint column is materialized."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    fp_stream = stream.withColumn("__fp", F.md5(norm))
+    fp_corpus = corpus.select(F.md5(norm).alias("__fp")).distinct()
+    fresh = fp_stream.join(fp_corpus, "__fp", "left_anti")
+    return (fresh.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(["__fp"])
+            .drop("__fp"))
+
+
 def stream_to_table(stream: DataFrame, store: TableStore, collection: str,
                     table: str, checkpoint_dir: str,
                     available_now: bool = True,

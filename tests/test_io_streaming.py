@@ -250,3 +250,30 @@ def test_csv_crlf_line_endings(spark, tmp_path):
     df, _ = src.load(spark) if isinstance(src.load(spark), tuple) else (src.load(spark), None)
     assert df.columns == ["k", "v"]
     assert sorted((int(r.k), int(r.v)) for r in df.collect()) == [(1, 10), (2, 20)]
+
+
+def test_stream_ingest_dedup(spark, tmp_path):
+    src = tmp_path / "in3"
+    src.mkdir()
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+    rows = [
+        (10, "alpha  beta", t0),   # corpus dup (normalizes to 'alpha beta')
+        (11, "epsilon zeta", t0),  # fresh
+        (12, "epsilon  zeta", t0), # in-stream dup of 11
+        (13, "new content", t0),   # fresh
+    ]
+    spark.createDataFrame(rows, ["doc_id", "text", "ts"]).coalesce(1) \
+        .write.mode("overwrite").parquet(str(src))
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta")], ["doc_id", "text"])
+    stream = bus.stream_file_source(
+        spark, str(src), "doc_id long, text string, ts timestamp")
+    dd = bus.stream_ingest_dedup(stream, corpus, "text", "ts")
+    out = []
+    qy = (dd.writeStream.foreachBatch(
+            lambda b, i: out.extend(r.doc_id for r in b.collect()))
+          .option("checkpointLocation", str(tmp_path / "ckpt3"))
+          .trigger(availableNow=True).start())
+    qy.awaitTermination(120)
+    assert sorted(out) in ([11, 13], [12, 13])  # one of the in-stream dups
+    assert 10 not in out
