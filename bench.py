@@ -100,7 +100,8 @@ def main():
     # execution only — plan assembly/analysis is driver-side Python (0.2-0.9s
     # for the wide plans) and would swamp sub-second engine timings, breaking
     # round-over-round comparability of the frozen headline list.
-    EAGER = {"semantic_dedup_keep", "kmeans_clusters_emb"}
+    EAGER = {"semantic_dedup_keep", "kmeans_clusters_emb",
+             "triangle_count_emb"}
 
     def timed(names: list[str]) -> dict[str, float]:
         out: dict[str, float] = {}

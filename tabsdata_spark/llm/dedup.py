@@ -574,6 +574,11 @@ def triangle_count(edges: DataFrame, src: str = "id_a",
          .filter(F.col("u") != F.col("v"))
          .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
          .distinct())
+    # the canonical edge set is consumed five times (degrees, two wedge
+    # sides, closing-edge probe) — materialize once or the upstream
+    # candidate-pair join (often an O(n^2/blocks) similarity join) re-runs
+    # per consumer
+    e = e.localCheckpoint(eager=True)
     deg = (e.select(F.col("u").alias("n")).union(e.select(F.col("v").alias("n")))
            .groupBy("n").agg(F.count(F.lit(1)).alias("d")))
     # orient: lower (degree, id) -> higher
