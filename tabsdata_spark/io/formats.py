@@ -85,6 +85,15 @@ class LogFormat(FileFormat):
 
 
 @dataclass
+class ORCFormat(FileFormat):
+    """Columnar sibling of parquet; Spark ships the ORC reader/writer
+    in-core (orc-core jar is bundled).  Extension beyond the reference's
+    format list — useful for Hive-adjacent lakes."""
+
+    name = "orc"
+
+
+@dataclass
 class AvroFormat(FileFormat):
     """Spark's avro is an external module; reading raises a clear error if
     the spark-avro jar is absent (gate, don't crash at import)."""
@@ -98,6 +107,7 @@ _EXT_MAP = {
     ".ndjson": NDJSONFormat, ".jsonl": NDJSONFormat, ".json": NDJSONFormat,
     ".log": LogFormat, ".txt": LogFormat,
     ".avro": AvroFormat,
+    ".orc": ORCFormat,
 }
 
 
@@ -109,7 +119,8 @@ def format_for(path_or_fmt) -> FileFormat:
         low = path_or_fmt.lower()
         by_name = {"parquet": ParquetFormat, "csv": CSVFormat,
                    "ndjson": NDJSONFormat, "json": NDJSONFormat,
-                   "jsonl": NDJSONFormat, "log": LogFormat, "avro": AvroFormat}
+                   "jsonl": NDJSONFormat, "log": LogFormat,
+                   "avro": AvroFormat, "orc": ORCFormat}
         if low in by_name:
             return by_name[low]()
         for ext, cls in _EXT_MAP.items():

@@ -277,3 +277,13 @@ def test_stream_ingest_dedup(spark, tmp_path):
     qy.awaitTermination(120)
     assert sorted(out) in ([11, 13], [12, 13])  # one of the in-stream dups
     assert 10 not in out
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    from tabsdata_spark.io.file_io import LocalFileSource, LocalFileDestination
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    dest = LocalFileDestination(str(tmp_path / "out.orc"), format="orc")
+    dest.save(df, spark)
+    src = LocalFileSource(str(tmp_path / "out.orc"))
+    back, _ = src.load(spark)
+    assert sorted((r.k, r.v) for r in back.collect()) == [(1, "a"), (2, "b")]
