@@ -1,0 +1,96 @@
+"""Token auth for the REST front.
+
+Reference counterpart: server/libraries/td-security (password hashing) and
+the auth endpoints at rest_urls/mod.rs:47-54 (AUTH_LOGIN / AUTH_REFRESH /
+AUTH_LOGOUT / AUTH_USER_INFO).  The reference issues JWTs; here tokens are
+HMAC-SHA256-signed JSON payloads (same bearer-token contract, no external
+jwt dependency).  Passwords are stored salted+hashed (PBKDF2), never plain.
+
+This is a single-node control plane: the secret lives in process memory
+(or is supplied by the deployer), not in a distributed keystore.
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import hmac
+import json
+import os
+import secrets
+import time
+
+
+def _b64e(raw: bytes) -> str:
+    return base64.urlsafe_b64encode(raw).decode().rstrip("=")
+
+
+def _b64d(s: str) -> bytes:
+    return base64.urlsafe_b64decode(s + "=" * (-len(s) % 4))
+
+
+class AuthError(Exception):
+    pass
+
+
+class Authenticator:
+    """User registry + bearer-token mint/verify."""
+
+    def __init__(self, users: dict[str, str] | None = None,
+                 secret: bytes | None = None, ttl_s: int = 3600):
+        self._secret = secret or secrets.token_bytes(32)
+        self.ttl_s = ttl_s
+        self._users: dict[str, tuple[bytes, bytes]] = {}
+        self._roles: dict[str, str] = {}
+        for name, pw in (users or {"admin": "tabsdata"}).items():
+            self.add_user(name, pw)
+
+    # -- users ---------------------------------------------------------
+    def add_user(self, name: str, password: str, role: str = "admin") -> None:
+        salt = secrets.token_bytes(16)
+        self._users[name] = (salt, self._hash(password, salt))
+        self._roles[name] = role
+
+    def check_password(self, name: str, password: str) -> bool:
+        rec = self._users.get(name)
+        if rec is None:
+            return False
+        salt, want = rec
+        return hmac.compare_digest(self._hash(password, salt), want)
+
+    @staticmethod
+    def _hash(password: str, salt: bytes) -> bytes:
+        return hashlib.pbkdf2_hmac("sha256", password.encode(), salt, 100_000)
+
+    # -- tokens --------------------------------------------------------
+    def login(self, name: str, password: str) -> dict:
+        if not self.check_password(name, password):
+            raise AuthError("invalid credentials")
+        return self._mint(name)
+
+    def refresh(self, token: str) -> dict:
+        return self._mint(self.verify(token)["user"])
+
+    def _mint(self, name: str) -> dict:
+        payload = {"user": name, "role": self._roles.get(name, "user"),
+                   "exp": int(time.time()) + self.ttl_s}
+        body = _b64e(json.dumps(payload).encode())
+        sig = _b64e(hmac.new(self._secret, body.encode(), "sha256").digest())
+        return {"access_token": f"{body}.{sig}", "token_type": "Bearer",
+                "expires_in": self.ttl_s}
+
+    def verify(self, token: str) -> dict:
+        try:
+            body, sig = token.split(".")
+        except ValueError:
+            raise AuthError("malformed token") from None
+        want = _b64e(hmac.new(self._secret, body.encode(), "sha256").digest())
+        if not hmac.compare_digest(sig, want):
+            raise AuthError("bad signature")
+        payload = json.loads(_b64d(body))
+        if payload["exp"] < time.time():
+            raise AuthError("token expired")
+        return payload
+
+
+__all__ = ["Authenticator", "AuthError"]

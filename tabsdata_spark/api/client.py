@@ -1,0 +1,148 @@
+"""SDK-style HTTP client for the control-plane server.
+
+Reference counterpart: the generated Python client under
+client/td-sdk/tabsdata/api/apiserver.py (requests-based, bearer auth,
+refresh-on-expiry).  Stdlib urllib here — no external dependency.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+from urllib.error import HTTPError
+from urllib.parse import urlencode
+from urllib.request import Request, urlopen
+
+from .server import ApiError
+
+
+class ApiClient:
+    """Thin typed wrapper over the REST surface.
+
+    >>> c = ApiClient(server.base_url)
+    >>> c.login("admin", "tabsdata")
+    >>> c.collections()
+    """
+
+    def __init__(self, base_url: str, timeout: float = 30.0):
+        self.base_url = base_url.rstrip("/")
+        self.timeout = timeout
+        self._token: str | None = None
+
+    # -- transport -----------------------------------------------------
+    def _request(self, method: str, path: str, query: dict | None = None,
+                 body: dict | None = None) -> Any:
+        url = f"{self.base_url}/{path.lstrip('/')}"
+        if query:
+            url += "?" + urlencode({k: v for k, v in query.items()
+                                    if v is not None})
+        data = json.dumps(body).encode() if body is not None else None
+        req = Request(url, data=data, method=method)
+        req.add_header("Content-Type", "application/json")
+        if self._token:
+            req.add_header("Authorization", f"Bearer {self._token}")
+        try:
+            with urlopen(req, timeout=self.timeout) as resp:
+                return json.loads(resp.read())
+        except HTTPError as e:
+            try:
+                message = json.loads(e.read()).get("error", str(e))
+            except Exception:
+                message = str(e)
+            raise ApiError(e.code, message) from None
+
+    def _get(self, path, **query):
+        return self._request("GET", path, query=query or None)
+
+    def _post(self, path, **body):
+        return self._request("POST", path, body=body)
+
+    # -- auth ----------------------------------------------------------
+    def login(self, name: str, password: str) -> dict:
+        out = self._post("auth/login", name=name, password=password)
+        self._token = out["access_token"]
+        return out
+
+    def refresh(self) -> dict:
+        out = self._post("auth/refresh")
+        self._token = out["access_token"]
+        return out
+
+    def logout(self) -> None:
+        self._post("auth/logout")
+        self._token = None
+
+    def user_info(self) -> dict:
+        return self._get("auth/info")
+
+    def change_password(self, old: str, new: str) -> dict:
+        return self._post("auth/password_change",
+                          old_password=old, new_password=new)
+
+    # -- status --------------------------------------------------------
+    def status(self) -> dict:
+        return self._get("status")
+
+    def runtime_info(self) -> dict:
+        return self._get("runtime-info")
+
+    # -- users ---------------------------------------------------------
+    def users(self) -> list[dict]:
+        return self._get("users")
+
+    def create_user(self, name: str, password: str, role: str = "user") -> dict:
+        return self._post("users", name=name, password=password, role=role)
+
+    # -- collections / tables ------------------------------------------
+    def collections(self) -> list[dict]:
+        return self._get("collections")
+
+    def create_collection(self, name: str) -> dict:
+        return self._post("collections", name=name)
+
+    def collection(self, name: str) -> dict:
+        return self._get(f"collections/{name}")
+
+    def tables(self, collection: str) -> list[str]:
+        return self._get(f"collections/{collection}/tables")
+
+    def table_schema(self, collection: str, table: str,
+                     at: str | None = None) -> list[dict]:
+        return self._get(f"collections/{collection}/tables/{table}/schema",
+                         at=at)
+
+    def sample(self, collection: str, table: str, offset: int = 0,
+               length: int = 100, sql: str | None = None,
+               fmt: str = "rows", at: str | None = None) -> Any:
+        return self._get(f"collections/{collection}/tables/{table}/sample",
+                         offset=offset, len=length, sql=sql, format=fmt, at=at)
+
+    def data_versions(self, collection: str, table: str) -> list[dict]:
+        return self._get(
+            f"collections/{collection}/tables/{table}/data-versions")
+
+    def download(self, collection: str, table: str, dest: str,
+                 fmt: str = "parquet", sql: str | None = None) -> dict:
+        return self._get(f"collections/{collection}/tables/{table}/download",
+                         dest=dest, format=fmt, sql=sql)
+
+    # -- functions / executions ----------------------------------------
+    def functions(self, collection: str | None = None) -> list[dict]:
+        path = (f"collections/{collection}/functions"
+                if collection else "functions")
+        return self._get(path)
+
+    def function(self, collection: str, name: str) -> dict:
+        return self._get(f"collections/{collection}/functions/{name}")
+
+    def history(self, collection: str, name: str) -> list[dict]:
+        return self._get(f"collections/{collection}/functions/{name}/history")
+
+    def execute(self, collection: str, name: str) -> list[dict]:
+        return self._post(f"collections/{collection}/functions/{name}/execute")
+
+    def transactions(self) -> list[dict]:
+        return self._get("transactions")
+
+
+__all__ = ["ApiClient"]

@@ -113,6 +113,13 @@ class MetadataStore:
             c.execute("INSERT OR IGNORE INTO tables VALUES (?, ?, ?)",
                       (collection, name, _now()))
 
+    def list_collections(self) -> list[dict]:
+        with self._conn() as c:
+            rows = c.execute(
+                "SELECT name, created_at FROM collections ORDER BY name"
+            ).fetchall()
+        return [{"name": n, "created_at": t} for n, t in rows]
+
     def list_tables(self, collection: str) -> list[str]:
         with self._conn() as c:
             rows = c.execute(
@@ -208,6 +215,42 @@ class MetadataStore:
         with self._conn() as c:
             c.execute("UPDATE function_runs SET status=?, finished_at=? "
                       "WHERE id=?", (status, _now(), run_id))
+
+    def list_runs(self, collection: str | None = None,
+                  fn: str | None = None) -> list[dict]:
+        """Run history, newest first (reference: GET function history,
+        rest_urls/mod.rs FUNCTION_HISTORY)."""
+        sql = ("SELECT id, collection, function_name, txn_id, status, "
+               "triggered_on, finished_at FROM function_runs")
+        where, args = [], []
+        if collection is not None:
+            where.append("collection=?")
+            args.append(collection)
+        if fn is not None:
+            where.append("function_name=?")
+            args.append(fn)
+        if where:
+            sql += " WHERE " + " AND ".join(where)
+        sql += " ORDER BY triggered_on DESC"
+        cols = ["id", "collection", "function", "txn_id", "status",
+                "triggered_on", "finished_at"]
+        with self._conn() as c:
+            return [dict(zip(cols, r)) for r in c.execute(sql, args)]
+
+    def version_rows(self, collection: str, table: str) -> list[dict]:
+        """Committed data-versions with stats (reference:
+        LIST_TABLE_DATA_VERSIONS, rest_urls/mod.rs)."""
+        sql = (
+            "SELECT v.version_id, v.created_at, v.row_count, v.schema_hash, "
+            "v.execution_id FROM table_versions v "
+            "JOIN transactions t ON v.txn_id = t.id "
+            "WHERE v.collection=? AND v.table_name=? AND t.status='committed' "
+            "ORDER BY v.created_at, v.version_id"
+        )
+        cols = ["id", "created_at", "row_count", "schema_hash", "execution_id"]
+        with self._conn() as c:
+            return [dict(zip(cols, r))
+                    for r in c.execute(sql, (collection, table))]
 
     # -- offsets (incremental ingest state, reference offset_utils.py) --
     def get_offset(self, collection: str, fn: str, key: str):

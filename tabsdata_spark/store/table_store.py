@@ -36,6 +36,26 @@ def _schema_hash(df: DataFrame) -> str:
     return hashlib.sha256(repr(fields).encode()).hexdigest()[:16]
 
 
+def _footer_row_count(path: str, spark: SparkSession) -> int | None:
+    """Version row-count stat from parquet footers — metadata only, no data
+    scan (stat parity with the reference's version rows, plan.rs).  Local
+    paths sum footers on the driver; remote stores fall back to a Spark
+    metadata-only count (parquet count() never reads column data)."""
+    if "://" not in path or path.startswith("file://"):
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        local = path[len("file://"):] if path.startswith("file://") else path
+        files = _glob.glob(os.path.join(local, "*.parquet"))
+        if files:
+            return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    try:
+        return spark.read.parquet(path).count()
+    except Exception:  # stats are best-effort, never fail a write
+        return None
+
+
 class TableStore:
     def __init__(self, root: str, db_path: str | None = None):
         self.root = root
@@ -90,6 +110,7 @@ class TableStore:
         self.meta.add_version(
             collection, table, version_id, path, txn_id,
             execution_id=execution_id, schema_hash=_schema_hash(frame._df),
+            row_count=_footer_row_count(path, frame._df.sparkSession),
         )
         if auto:
             self.meta.commit_transaction(txn_id)

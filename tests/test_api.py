@@ -1,0 +1,198 @@
+"""REST control-plane tests: auth, collections/tables/functions routes,
+execute-over-HTTP, end-to-end client<->server (reference test strategy:
+apiserver integration tests, SURVEY §5)."""
+
+
+import pytest
+
+import tabsdata_spark as td
+from tabsdata_spark.api import ApiClient, ApiServer
+from tabsdata_spark.api.auth import AuthError, Authenticator
+from tabsdata_spark.api.server import ApiError
+from tabsdata_spark.pubsub import PubSubEngine
+from tabsdata_spark.store import TableStore
+
+
+# ---------------------------------------------------------------- auth unit
+def test_auth_password_and_token_roundtrip():
+    a = Authenticator({"alice": "pw1"})
+    assert a.check_password("alice", "pw1")
+    assert not a.check_password("alice", "nope")
+    assert not a.check_password("ghost", "pw1")
+    tok = a.login("alice", "pw1")
+    payload = a.verify(tok["access_token"])
+    assert payload["user"] == "alice"
+    with pytest.raises(AuthError):
+        a.verify(tok["access_token"] + "x")
+    with pytest.raises(AuthError):
+        a.login("alice", "wrong")
+
+
+def test_auth_token_expiry():
+    a = Authenticator({"u": "p"}, ttl_s=-1)
+    tok = a.login("u", "p")["access_token"]
+    with pytest.raises(AuthError):
+        a.verify(tok)
+
+
+# ---------------------------------------------------------------- server e2e
+@pytest.fixture()
+def served(spark, tmp_path):
+    store = TableStore(str(tmp_path / "wh"))
+    tf = td.TableFrame.from_dict(spark, {"k": [1, 2, 3], "v": ["a", "b", "c"]})
+    store.write(tf, "sales", "orders")
+    store.write(td.TableFrame.from_dict(spark, {"k": [1, 2, 3, 4]}),
+                "sales", "orders")
+
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    (src_dir / "data.csv").write_text("n\n1\n2\n3\n")
+
+    @td.publisher(td.LocalFileSource(str(src_dir / "*.csv"), format="csv"),
+                  tables="raw")
+    def pub(tf):
+        return tf
+
+    @td.transformer(input_tables=["raw"], output_tables=["doubled"])
+    def double(raw):
+        return raw.with_columns(n2=td.col("n").cast(int) * 2)
+
+    engine = PubSubEngine(spark, store)
+    engine.register("sales", pub)
+    engine.register("sales", double)
+
+    server = ApiServer(spark, store, engine=engine,
+                       auth=Authenticator({"admin": "tabsdata"}))
+    with server:
+        client = ApiClient(server.base_url)
+        client.login("admin", "tabsdata")
+        yield server, client, store
+
+
+def test_status_is_public(served):
+    server, _, _ = served
+    fresh = ApiClient(server.base_url)          # no login
+    assert fresh.status() == {"status": "OK"}
+    with pytest.raises(ApiError) as ei:
+        fresh.collections()
+    assert ei.value.status == 401
+
+
+def test_login_and_info(served):
+    _, client, _ = served
+    info = client.user_info()
+    assert info["user"] == "admin" and info["role"] == "admin"
+    assert client.runtime_info()["engine"] == "tabsdata-spark"
+
+
+def test_bad_login_rejected(served):
+    server, _, _ = served
+    c = ApiClient(server.base_url)
+    with pytest.raises(ApiError) as ei:
+        c.login("admin", "wrong")
+    assert ei.value.status == 401
+
+
+def test_logout_revokes_token(served):
+    server, _, _ = served
+    c = ApiClient(server.base_url)
+    c.login("admin", "tabsdata")
+    tok = c._token
+    c.logout()
+    c._token = tok                               # replay revoked token
+    with pytest.raises(ApiError) as ei:
+        c.collections()
+    assert ei.value.status == 401
+
+
+def test_collections_tables_schema_sample(served):
+    _, client, _ = served
+    names = [c["name"] for c in client.collections()]
+    assert "sales" in names
+    assert client.tables("sales") == ["orders"]
+    schema = client.table_schema("sales", "orders")
+    assert {f["name"] for f in schema} == {"k"}   # HEAD version has only k
+    rows = client.sample("sales", "orders", length=10)
+    assert sorted(r["k"] for r in rows) == [1, 2, 3, 4]
+    # versioned read via ?at=
+    old = client.sample("sales", "orders", at="HEAD~1")
+    assert {f["name"] for f in
+            client.table_schema("sales", "orders", at="HEAD~1")} == {"k", "v"}
+    assert sorted(r["k"] for r in old) == [1, 2, 3]
+    # SQL pushes through spark.sql
+    agg = client.sample("sales", "orders",
+                        sql="SELECT COUNT(*) AS n FROM orders")
+    assert agg[0]["n"] == 4
+
+
+def test_sample_csv_format(served):
+    _, client, _ = served
+    csv_text = client.sample("sales", "orders", fmt="csv")
+    assert csv_text.splitlines()[0] == "k"
+
+
+def test_data_versions_listing(served):
+    _, client, _ = served
+    versions = client.data_versions("sales", "orders")
+    assert len(versions) == 2
+    assert versions[0]["row_count"] == 3 and versions[1]["row_count"] == 4
+
+
+def test_functions_and_execute(served):
+    _, client, store = served
+    fns = {f["name"]: f for f in client.functions("sales")}
+    assert fns["pub"]["kind"] == "publisher"
+    assert fns["double"]["input_tables"] == ["raw"]
+    one = client.function("sales", "double")
+    assert one["output_tables"] == ["doubled"]
+
+    reports = client.execute("sales", "pub")
+    assert [r["status"] for r in reports] == ["committed", "committed"]
+    assert {r["function"] for r in reports} == {"sales/pub", "sales/double"}
+
+    hist = client.history("sales", "pub")
+    assert hist and hist[0]["status"] == "committed"
+    assert len(client.transactions()) >= 2
+
+
+def test_unknown_routes_404(served):
+    server, client, _ = served
+    with pytest.raises(ApiError) as ei:
+        client.collection("ghost")
+    assert ei.value.status == 404
+    with pytest.raises(ApiError) as ei:
+        client.function("sales", "nope")
+    assert ei.value.status == 404
+
+
+def test_create_collection_and_user(served):
+    server, client, _ = served
+    client.create_collection("hr")
+    assert "hr" in [c["name"] for c in client.collections()]
+    client.create_user("bob", "pw", role="user")
+    assert {"name": "bob", "role": "user"} in client.users()
+    c2 = ApiClient(server.base_url)
+    c2.login("bob", "pw")
+    assert c2.user_info()["role"] == "user"
+
+
+def test_password_change(served):
+    server, _, _ = served
+    c = ApiClient(server.base_url)
+    c.login("admin", "tabsdata")
+    with pytest.raises(ApiError) as ei:
+        c.change_password("wrong-old", "x")
+    assert ei.value.status == 403
+    c.change_password("tabsdata", "newpw")
+    c2 = ApiClient(server.base_url)
+    c2.login("admin", "newpw")
+    assert c2.user_info()["user"] == "admin"
+
+
+def test_download_via_api(served, tmp_path):
+    _, client, _ = served
+    dest = str(tmp_path / "dump")
+    out = client.download("sales", "orders", dest)
+    assert out["path"] == dest
+    import glob
+    assert glob.glob(dest + "/*.parquet")
