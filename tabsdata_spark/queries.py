@@ -55,8 +55,17 @@ def load_events(spark: SparkSession, sf_dir: str) -> td.TableFrame:
     runs."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        # legacy conf honored (session built with it): nanos-long -> micros
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # Spark 4.1 vanilla sessions read TIMESTAMP(NANOS) natively as NTZ
+        # (runtime nanosAsLong is ignored); normalize to TIMESTAMP so every
+        # downstream expr (unix_micros, window ranges, date math) sees ONE
+        # type on any session flavor.  Session TZ is UTC in both harnesses,
+        # so the NTZ->LTZ reinterpretation is value-identity.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return td.TableFrame.from_spark(df)
 
 

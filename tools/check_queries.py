@@ -77,9 +77,12 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     passed = failed = rows_only = 0
+    import time as _time
+    t_all = _time.monotonic()
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = _time.monotonic()
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
@@ -114,9 +117,11 @@ def main():
             print(f"FAIL  {name}: {'; '.join(problems)}")
             failed += 1
         else:
-            print(f"OK    {name}: {len(srows)} rows")
+            print(f"OK    {name}: {len(srows)} rows"
+                  f"  [{_time.monotonic() - t0:.2f}s]")
             passed += 1
-    print(f"\n{passed} ok, {rows_only} rows-only, {failed} failed")
+    print(f"\n{passed} ok, {rows_only} rows-only, {failed} failed"
+          f"  [total {_time.monotonic() - t_all:.1f}s]")
     sys.exit(1 if failed else 0)
 
 
