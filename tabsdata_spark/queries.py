@@ -1038,12 +1038,20 @@ _NEAR_DUP_ORACLE = """
                    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS toks
             FROM documents)
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           ROUND(len(list_intersect(a.shingles, b.shingles))
-                 / CAST(len(list_distinct(a.shingles || b.shingles)) AS DOUBLE), 6) AS jaccard
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    WHERE ROUND(len(list_intersect(a.shingles, b.shingles))
-          / CAST(len(list_distinct(a.shingles || b.shingles)) AS DOUBLE), 6) >= 0.5
+    ,
+    sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    ex AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           ROUND(shared / CAST(sa.n + sb.n - shared AS DOUBLE), 6) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.doc_id = id_a
+    JOIN sz sb ON sb.doc_id = id_b
+    WHERE ROUND(shared / CAST(sa.n + sb.n - shared AS DOUBLE), 6) >= 0.5
     """
 
 
