@@ -4221,3 +4221,72 @@ def kmeans_clusters_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return cluster.kmeans(emb, k=8, iters=2)
+
+
+# ===========================================================================
+# DSIR importance resampling (llm/dsir.py)
+# ===========================================================================
+_DSIR_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(regexp_replace(lower(text),
+                  '[^a-z0-9\\s]', '', 'g')), '\\s+'), x -> x <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 2
+                  THEN list_transform(range(1, len(t)),
+                       i -> array_to_string(t[i:i+1], ' '))
+                  ELSE [array_to_string(t, ' ')] END AS g
+      FROM toks
+    ),
+    feats AS (
+      SELECT doc_id,
+             CAST(CAST(('0x' || substring(md5(gram), 1, 6)) AS BIGINT)
+                  % 10000 AS INTEGER) AS bucket
+      FROM (SELECT doc_id, unnest(g) AS gram FROM grams)
+      WHERE gram <> ''
+    ),
+    t_counts AS (SELECT bucket, COUNT(*) AS cnt FROM feats
+                 WHERE doc_id % 31 = 2 GROUP BY bucket),
+    r_counts AS (SELECT bucket, COUNT(*) AS cnt FROM feats
+                 WHERE doc_id % 31 <> 2 GROUP BY bucket),
+    totals AS (SELECT (SELECT SUM(cnt) FROM t_counts) AS t_total,
+                      (SELECT SUM(cnt) FROM r_counts) AS r_total),
+    ratio AS (
+      SELECT COALESCE(t.bucket, r.bucket) AS bucket,
+             ln((COALESCE(t.cnt, 0) + 1.0) / (tt.t_total + 1.0 * 10000))
+             - ln((COALESCE(r.cnt, 0) + 1.0) / (tt.r_total + 1.0 * 10000))
+             AS log_ratio
+      FROM t_counts t FULL JOIN r_counts r ON t.bucket = r.bucket
+      CROSS JOIN totals tt
+    ),
+    weights AS (
+      SELECT f.doc_id, COUNT(*) AS n_features,
+             ROUND(AVG(COALESCE(ratio.log_ratio, 0.0)), 6) AS weight
+      FROM feats f LEFT JOIN ratio USING (bucket)
+      WHERE f.doc_id % 31 <> 2
+      GROUP BY f.doc_id
+    )
+    SELECT doc_id, n_features, weight FROM weights
+    ORDER BY weight DESC, doc_id LIMIT 100
+"""
+
+
+@q("dsir_select_docs", _DSIR_ORACLE)
+def dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): hashed-bigram bag-of-buckets
+    models for a target slice (doc_id % 31 == 2 stands in for the wanted
+    domain) vs the raw pool; each raw doc scored by mean log-likelihood
+    ratio; top-100 selected.  Bucket counts are two tiny aggregates; the
+    log-ratio table broadcasts; the only corpus-wide shuffle is the
+    per-doc weight sum; top-k is TakeOrderedAndProject.  Portable md5
+    bucketing keeps selection membership engine-independent."""
+    from tabsdata_spark.llm import dsir
+    from tabsdata_spark.scale import fan_out
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    target = docs.filter(F.col("doc_id") % 31 == 2)
+    raw = fan_out(docs.filter(F.col("doc_id") % 31 != 2))
+    return dsir.dsir_select(raw, target, k=100, n=2, buckets=10_000)

@@ -562,3 +562,35 @@ def test_cap_per_stratum(spark):
                   for r in out.collect())
     # a: best two by n_chars desc -> ids 2,3; b: tie broken by doc_id -> 4,5
     assert kept == [("a", 2, 1), ("a", 3, 2), ("b", 4, 1), ("b", 5, 2)]
+
+
+def test_dsir_shifts_selection_toward_target(spark):
+    from tabsdata_spark.llm import dsir
+    # target domain: cooking text; raw pool: 3 cooking docs among noise
+    cooking = ["chop the onions and simmer the broth slowly",
+               "whisk the eggs then fold in the flour",
+               "season the stew and simmer until tender"]
+    noise = ["the market rallied as bond yields fell sharply",
+             "the defender cleared the ball off the goal line",
+             "quarterly revenue grew despite currency headwinds"]
+    target = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(cooking)], "doc_id long, text string")
+    raw_rows = [(i, noise[i % 3]) for i in range(6)] + \
+               [(10 + i, cooking[i]) for i in range(3)]
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    top = dsir.dsir_select(raw, target, k=3).collect()
+    assert sorted(r["doc_id"] for r in top) == [10, 11, 12]
+    # weights are length-normalized means, so every cooking doc outranks
+    # every noise doc decisively
+    w = {r["doc_id"]: r["weight"] for r in
+         dsir.importance_weights(raw, target).collect()}
+    assert min(w[10], w[11], w[12]) > max(w[i] for i in range(6))
+
+
+def test_dsir_bucket_distribution_counts(spark):
+    from tabsdata_spark.llm import dsir
+    df = spark.createDataFrame([(1, "a b a b"), (2, "a b")],
+                               "doc_id long, text string")
+    # bigrams: doc1 -> 'a b','b a','a b'; doc2 -> 'a b'  => 4 features total
+    dist = dsir.bucket_distribution(df, n=2, buckets=1000)
+    assert dist.agg({"cnt": "sum"}).collect()[0][0] == 4
