@@ -1,0 +1,198 @@
+"""`td`-style command-line client for the control-plane server.
+
+Reference counterpart: the `td` CLI (client/td-sdk/tabsdata/cli/ —
+login/collection/table/fn/exec command groups over the REST API).  Same
+verb surface, argparse + stdlib only.  The bearer token persists in a
+user-writable file between invocations (reference caches credentials the
+same way), overridable with --token-file for tests/automation.
+
+Usage (server URL from --server or $TD_SPARK_SERVER):
+    td login admin --password tabsdata
+    td collection list
+    td collection create sales
+    td table list sales
+    td table schema sales orders
+    td table sample sales orders --len 10 --sql "SELECT COUNT(*) n FROM orders"
+    td table versions sales orders
+    td table download sales orders /tmp/dump --format csv
+    td fn list sales
+    td fn info sales ingest
+    td fn history sales ingest
+    td fn trigger sales ingest
+    td txn list
+    td user list
+    td status
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+from .client import ApiClient
+from .server import ApiError
+
+_DEFAULT_TOKEN_FILE = os.path.join(
+    os.path.expanduser("~"), ".config", "tabsdata_spark", "token.json")
+
+
+def _client(args) -> ApiClient:
+    server = args.server or os.environ.get("TD_SPARK_SERVER")
+    if not server:
+        raise SystemExit("no server: pass --server or set TD_SPARK_SERVER")
+    c = ApiClient(server)
+    if os.path.exists(args.token_file):
+        with open(args.token_file) as f:
+            c._token = json.load(f).get("access_token")
+    return c
+
+
+def _save_token(args, tok: dict) -> None:
+    os.makedirs(os.path.dirname(args.token_file), exist_ok=True)
+    with open(args.token_file, "w") as f:
+        json.dump(tok, f)
+    os.chmod(args.token_file, 0o600)
+
+
+def _emit(obj) -> None:
+    if isinstance(obj, list):
+        for row in obj:
+            print(json.dumps(row, default=str))
+    else:
+        print(json.dumps(obj, default=str))
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="td", description="tabsdata-spark control-plane CLI")
+    p.add_argument("--server", default=None,
+                   help="API base url (default: $TD_SPARK_SERVER)")
+    p.add_argument("--token-file", default=_DEFAULT_TOKEN_FILE)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    lg = sub.add_parser("login")
+    lg.add_argument("name")
+    lg.add_argument("--password", required=True)
+
+    sub.add_parser("logout")
+    sub.add_parser("status")
+    sub.add_parser("runtime-info")
+
+    coll = sub.add_parser("collection").add_subparsers(dest="sub", required=True)
+    coll.add_parser("list")
+    c_new = coll.add_parser("create")
+    c_new.add_argument("name")
+    c_info = coll.add_parser("info")
+    c_info.add_argument("name")
+
+    tbl = sub.add_parser("table").add_subparsers(dest="sub", required=True)
+    t_ls = tbl.add_parser("list")
+    t_ls.add_argument("collection")
+    for verb in ("schema", "sample", "versions"):
+        t = tbl.add_parser(verb)
+        t.add_argument("collection")
+        t.add_argument("table")
+        if verb == "schema":
+            t.add_argument("--at", default=None)
+        if verb == "sample":
+            t.add_argument("--at", default=None)
+            t.add_argument("--offset", type=int, default=0)
+            t.add_argument("--len", type=int, default=100, dest="length")
+            t.add_argument("--sql", default=None)
+            t.add_argument("--format", default="rows", dest="fmt",
+                           choices=["rows", "csv", "json"])
+    t_dl = tbl.add_parser("download")
+    t_dl.add_argument("collection")
+    t_dl.add_argument("table")
+    t_dl.add_argument("dest")
+    t_dl.add_argument("--format", default="parquet", dest="fmt")
+    t_dl.add_argument("--sql", default=None)
+
+    fn = sub.add_parser("fn").add_subparsers(dest="sub", required=True)
+    f_ls = fn.add_parser("list")
+    f_ls.add_argument("collection", nargs="?", default=None)
+    for verb in ("info", "history", "trigger"):
+        f = fn.add_parser(verb)
+        f.add_argument("collection")
+        f.add_argument("function")
+
+    txn = sub.add_parser("txn").add_subparsers(dest="sub", required=True)
+    txn.add_parser("list")
+
+    usr = sub.add_parser("user").add_subparsers(dest="sub", required=True)
+    usr.add_parser("list")
+    u_new = usr.add_parser("create")
+    u_new.add_argument("name")
+    u_new.add_argument("--password", required=True)
+    u_new.add_argument("--role", default="user")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    try:
+        c = _client(args)
+        if args.cmd == "login":
+            tok = c.login(args.name, args.password)
+            _save_token(args, tok)
+            print(f"logged in as {args.name}")
+        elif args.cmd == "logout":
+            c.logout()
+            if os.path.exists(args.token_file):
+                os.remove(args.token_file)
+            print("logged out")
+        elif args.cmd == "status":
+            _emit(c.status())
+        elif args.cmd == "runtime-info":
+            _emit(c.runtime_info())
+        elif args.cmd == "collection":
+            if args.sub == "list":
+                _emit(c.collections())
+            elif args.sub == "create":
+                _emit(c.create_collection(args.name))
+            else:
+                _emit(c.collection(args.name))
+        elif args.cmd == "table":
+            if args.sub == "list":
+                _emit(c.tables(args.collection))
+            elif args.sub == "schema":
+                _emit(c.table_schema(args.collection, args.table, at=args.at))
+            elif args.sub == "sample":
+                out = c.sample(args.collection, args.table,
+                               offset=args.offset, length=args.length,
+                               sql=args.sql, fmt=args.fmt, at=args.at)
+                if args.fmt == "rows":
+                    _emit(out)
+                else:
+                    print(out, end="")
+            elif args.sub == "versions":
+                _emit(c.data_versions(args.collection, args.table))
+            else:
+                _emit(c.download(args.collection, args.table, args.dest,
+                                 fmt=args.fmt, sql=args.sql))
+        elif args.cmd == "fn":
+            if args.sub == "list":
+                _emit(c.functions(args.collection))
+            elif args.sub == "info":
+                _emit(c.function(args.collection, args.function))
+            elif args.sub == "history":
+                _emit(c.history(args.collection, args.function))
+            else:
+                _emit(c.execute(args.collection, args.function))
+        elif args.cmd == "txn":
+            _emit(c.transactions())
+        elif args.cmd == "user":
+            if args.sub == "list":
+                _emit(c.users())
+            else:
+                _emit(c.create_user(args.name, args.password, args.role))
+        return 0
+    except ApiError as e:
+        print(f"error ({e.status}): {e.message}", file=sys.stderr)
+        return 1
+
+
+if __name__ == "__main__":  # pragma: no cover
+    sys.exit(main())

@@ -196,3 +196,52 @@ def test_download_via_api(served, tmp_path):
     assert out["path"] == dest
     import glob
     assert glob.glob(dest + "/*.parquet")
+
+
+# ---------------------------------------------------------------- CLI
+def _cli(served, tmp_path, *argv):
+    import io
+    from contextlib import redirect_stdout
+
+    from tabsdata_spark.api import cli
+    server, _, _ = served
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = cli.main(["--server", server.base_url,
+                       "--token-file", str(tmp_path / "tok.json"), *argv])
+    return rc, buf.getvalue()
+
+
+def test_cli_login_and_reads(served, tmp_path):
+    rc, out = _cli(served, tmp_path, "login", "admin", "--password", "tabsdata")
+    assert rc == 0 and "logged in" in out
+    rc, out = _cli(served, tmp_path, "collection", "list")
+    assert rc == 0 and '"sales"' in out
+    rc, out = _cli(served, tmp_path, "table", "list", "sales")
+    assert rc == 0 and "orders" in out
+    rc, out = _cli(served, tmp_path, "table", "schema", "sales", "orders")
+    assert rc == 0 and '"k"' in out
+    rc, out = _cli(served, tmp_path, "table", "sample", "sales", "orders",
+                   "--format", "csv")
+    assert rc == 0 and out.splitlines()[0] == "k"
+    rc, out = _cli(served, tmp_path, "table", "versions", "sales", "orders")
+    assert rc == 0 and len(out.strip().splitlines()) == 2
+
+
+def test_cli_fn_trigger_and_errors(served, tmp_path):
+    _cli(served, tmp_path, "login", "admin", "--password", "tabsdata")
+    rc, out = _cli(served, tmp_path, "fn", "list", "sales")
+    assert rc == 0 and "publisher" in out
+    rc, out = _cli(served, tmp_path, "fn", "trigger", "sales", "pub")
+    assert rc == 0 and out.count('"committed"') == 2
+    rc, out = _cli(served, tmp_path, "fn", "history", "sales", "pub")
+    assert rc == 0 and "committed" in out
+    rc, _ = _cli(served, tmp_path, "fn", "info", "sales", "ghost")
+    assert rc == 1
+    rc, out = _cli(served, tmp_path, "status")
+    assert rc == 0 and "OK" in out
+
+
+def test_cli_unauthenticated_fails(served, tmp_path):
+    rc, _ = _cli(served, tmp_path, "collection", "list")   # no login
+    assert rc == 1
