@@ -23,7 +23,29 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
 
-from .formats import FileFormat, LogFormat, format_for
+from .formats import AvroFormat, FileFormat, LogFormat, format_for
+
+
+_AVRO_PROBE_CACHE: dict[int, bool] = {}
+
+
+def _spark_avro_available(spark: SparkSession) -> bool:
+    """True when the spark-avro *data source* is registered (preferred:
+    block-splittable scans, codegen row decode).  Without it the
+    pure-Python container codec in avro_py takes over.  NB: Class.forName
+    on AvroFileFormat is NOT a valid probe — the spark-connect jar shades
+    the avro classes without registering the source — so probe the actual
+    DataSource lookup and cache per session."""
+    key = id(spark)
+    if key not in _AVRO_PROBE_CACHE:
+        try:
+            spark.read.format("avro").load("/nonexistent-avro-probe-path")
+            _AVRO_PROBE_CACHE[key] = True
+        except Exception as e:
+            # path-not-found means the source resolved; find-data-source
+            # failure means the jar is absent
+            _AVRO_PROBE_CACHE[key] = "find data source" not in str(e).lower()
+    return _AVRO_PROBE_CACHE[key]
 
 
 # --------------------------------------------------------------------------
@@ -107,8 +129,17 @@ class FileSource:
         if self.credentials is not None:
             _apply_confs(spark, self.credentials.spark_confs())
         fmt = self._fmt()
-        reader = spark.read.format(fmt.name).options(**fmt.reader_options())
         paths, new_offset = self._filtered_paths()
+        if isinstance(fmt, AvroFormat) and not _spark_avro_available(spark):
+            # spark-avro jar absent: pure-Python container codec, still
+            # distributed (binaryFile + mapInPandas; avro_py module doc)
+            from .avro_py import read_avro
+
+            df = read_avro(spark, paths or self._paths())
+            if not paths:
+                df = df.limit(0)
+            return df, new_offset
+        reader = spark.read.format(fmt.name).options(**fmt.reader_options())
         if not paths:
             # No files newer than the stored offset: a no-op run, not a
             # failure.  reader.load([]) raises (unable to infer schema), so
@@ -214,6 +245,15 @@ class FileDestination:
             out = df.select(F.col(cols[0]).cast("string").alias("value"))
         if self.single_file:
             out = out.coalesce(1)
+        if isinstance(fmt, AvroFormat) and \
+                not _spark_avro_available(df.sparkSession):
+            import shutil
+
+            from .avro_py import write_avro
+
+            shutil.rmtree(path, ignore_errors=True)   # overwrite semantics
+            write_avro(out, path)
+            return path
         (out.write.format(fmt.name).options(**fmt.writer_options())
             .mode("overwrite").save(path))
         return path
