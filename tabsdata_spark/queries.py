@@ -4290,3 +4290,113 @@ def dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = docs.filter(F.col("doc_id") % 31 == 2)
     raw = fan_out(docs.filter(F.col("doc_id") % 31 != 2))
     return dsir.dsir_select(raw, target, k=100, n=2, buckets=10_000)
+
+
+# ===========================================================================
+# Window/sketch extensions: ntile, grouping sets, HLL/approx invariants
+# ===========================================================================
+@q(
+    "ntile_customers",
+    """
+    SELECT c_custkey, c_mktsegment,
+           ntile(4) OVER (PARTITION BY c_mktsegment
+                          ORDER BY c_acctbal DESC, c_custkey) AS balance_quartile
+    FROM customer
+    """,
+)
+def ntile_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment balance quartiles via ntile — the standard cohort
+    bucketing window.  Partitioned window: one shuffle on mktsegment, no
+    global ordering."""
+    from pyspark.sql.window import Window
+
+    cust = load(spark, sf_dir, "customer").df
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return cust.select(
+        "c_custkey", "c_mktsegment",
+        F.ntile(4).over(w).alias("balance_quartile"))
+
+
+@q(
+    "grouping_sets_revenue",
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END
+             + CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END AS agg_level
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                            (o_orderpriority), (o_orderstatus))
+    """,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (extension; beyond rollup/cube).  Spark
+    plans ONE Expand + single aggregate over all three groupings — no
+    per-level re-scan of orders.  agg_level derives from the null pattern
+    so the oracle needs no GROUPING() portability."""
+    orders = load(spark, sf_dir, "orders").df
+    orders.createOrReplaceTempView("__gs_orders")
+    return spark.sql("""
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS revenue,
+               CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END
+                 + CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END
+                 AS agg_level
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderpriority), (o_orderstatus))
+    """)
+
+
+@q(
+    "approx_distinct_invariant",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS approx_within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
+def approx_distinct_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ cardinality with a falsifiable invariant oracle: the
+    query OUTPUTS whether Spark's approx_count_distinct(rsd=2%) landed
+    within 5% of the exact count, so a sketch regression flips a value the
+    driver hash-compares.  (Raw sketch estimates are engine-specific and
+    can never be value-oracled directly.)  At scale the approx path is one
+    map-side sketch merge — no distinct expansion shuffle."""
+    ev = load_events(spark, sf_dir).df
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("__approx"))
+    return agg.select(
+        "event_type", "exact_users",
+        (F.abs(F.col("__approx") - F.col("exact_users"))
+         <= 0.05 * F.col("exact_users")).alias("approx_within_5pct"))
+
+
+@q(
+    "approx_quantile_invariant",
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 6) AS exact_p50,
+           TRUE AS approx_within_band
+    FROM events GROUP BY event_type
+    """,
+)
+def approx_quantile_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna approximate median held to a rank-accuracy band:
+    the query outputs whether percentile_approx(value, 0.5, acc=10000)
+    falls between the exact 48th and 52nd percentiles.  Sketch estimates
+    aren't portable; the band membership is."""
+    ev = load_events(spark, sf_dir).df
+    agg = ev.groupBy("event_type").agg(
+        F.expr("round(percentile(value, 0.5), 6)").alias("exact_p50"),
+        F.expr("percentile_approx(value, 0.5, 10000)").alias("__approx"),
+        F.expr("percentile(value, 0.48)").alias("__lo"),
+        F.expr("percentile(value, 0.52)").alias("__hi"))
+    return agg.select(
+        "event_type", "exact_p50",
+        ((F.col("__approx") >= F.col("__lo"))
+         & (F.col("__approx") <= F.col("__hi"))).alias("approx_within_band"))
