@@ -91,6 +91,33 @@ def stream_ingest_dedup(stream: DataFrame, corpus: DataFrame,
             .drop("__fp"))
 
 
+def stream_interval_join(left: DataFrame, right: DataFrame,
+                         on: str, left_ts: str, right_ts: str,
+                         left_watermark: str, right_watermark: str,
+                         within: str, how: str = "inner") -> DataFrame:
+    """Stream-stream interval join (the ad-tech click<->impression shape):
+    rows join when keys match AND right_ts in [left_ts, left_ts + within].
+
+    Both sides carry watermarks, and the time-range predicate bounds the
+    join state on BOTH sides — without it a stream-stream join buffers
+    forever.  State eviction: a left row is dropped once the right
+    watermark passes left_ts + within; a right row once the left watermark
+    passes right_ts.  Outer flavors emit the unmatched row when the
+    watermark closes the interval (late results, exactly once).
+    """
+    lw = left.withWatermark(left_ts, left_watermark)
+    rw = right.withWatermark(right_ts, right_watermark)
+    cond = (
+        (lw[on] == rw[on])
+        & (rw[right_ts] >= lw[left_ts])
+        & (rw[right_ts] <= F.expr(f"{left_ts} + INTERVAL {within}"))
+    )
+    joined = lw.join(rw, cond, how)
+    # collapse the duplicated key: keep the side that is never null
+    return (joined.drop(lw[on]) if how in ("right", "rightOuter", "right_outer")
+            else joined.drop(rw[on]))
+
+
 def stream_to_table(stream: DataFrame, store: TableStore, collection: str,
                     table: str, checkpoint_dir: str,
                     available_now: bool = True,

@@ -330,3 +330,35 @@ def test_orc_roundtrip(spark, tmp_path):
     src = LocalFileSource(str(tmp_path / "out.orc"))
     back, _ = src.load(spark)
     assert sorted((r.k, r.v) for r in back.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_stream_interval_join_clicks_to_impressions(spark, tmp_path):
+    """Stream-stream interval join: clicks attach to the impression they
+    followed within 10 minutes; both states watermark-bounded."""
+    imp_dir, clk_dir = tmp_path / "imp", tmp_path / "clk"
+    imp_dir.mkdir(); clk_dir.mkdir()
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+    imps = [(1, t0), (2, t0), (3, dt.datetime(2024, 1, 1, 1, 0))]
+    clicks = [(1, dt.datetime(2024, 1, 1, 0, 5)),     # within 10m -> joins
+              (2, dt.datetime(2024, 1, 1, 0, 20)),    # 20m late -> no join
+              (3, dt.datetime(2024, 1, 1, 1, 2))]     # within -> joins
+    spark.createDataFrame(imps, ["ad_id", "imp_ts"]).coalesce(1) \
+        .write.mode("overwrite").parquet(str(imp_dir))
+    spark.createDataFrame(clicks, ["ad_id", "clk_ts"]).coalesce(1) \
+        .write.mode("overwrite").parquet(str(clk_dir))
+
+    imp_s = bus.stream_file_source(spark, str(imp_dir),
+                                   "ad_id long, imp_ts timestamp")
+    clk_s = bus.stream_file_source(spark, str(clk_dir),
+                                   "ad_id long, clk_ts timestamp")
+    joined = bus.stream_interval_join(
+        imp_s, clk_s, on="ad_id", left_ts="imp_ts", right_ts="clk_ts",
+        left_watermark="30 minutes", right_watermark="30 minutes",
+        within="10 MINUTES")
+    qy = (joined.writeStream.format("memory").queryName("ij")
+          .trigger(availableNow=True).outputMode("append").start())
+    qy.awaitTermination(120)
+    got = sorted((r.ad_id, r.clk_ts) for r in
+                 spark.sql("SELECT ad_id, clk_ts FROM ij").collect())
+    assert got == [(1, dt.datetime(2024, 1, 1, 0, 5)),
+                   (3, dt.datetime(2024, 1, 1, 1, 2))]
