@@ -144,5 +144,9 @@ class ApiClient:
     def transactions(self) -> list[dict]:
         return self._get("transactions")
 
+    def function_runs(self, collection: str | None = None,
+                      fn: str | None = None) -> list[dict]:
+        return self._get("function_runs", collection=collection, fn=fn)
+
 
 __all__ = ["ApiClient"]

@@ -175,6 +175,9 @@ class ApiServer:
             return self._user_routes(method, parts, body)
         if head == "functions" and method == "GET":
             return self._functions(None)
+        if head == "function_runs" and method == "GET":
+            return self.store.meta.list_runs(
+                query.get("collection"), query.get("fn"))
         raise ApiError(404, f"unknown route {method} {'/'.join(parts)}")
 
     def _auth_routes(self, method, parts, body, user):

@@ -153,6 +153,9 @@ def test_functions_and_execute(served):
     hist = client.history("sales", "pub")
     assert hist and hist[0]["status"] == "committed"
     assert len(client.transactions()) >= 2
+    runs = client.function_runs()
+    assert {r["function"] for r in runs} == {"pub", "double"}
+    assert client.function_runs(fn="pub")[0]["status"] == "committed"
 
 
 def test_unknown_routes_404(served):

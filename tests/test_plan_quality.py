@@ -270,3 +270,39 @@ def test_incremental_dedup_joins_on_digest_only(spark, sf_dir):
     for seg in plan.split("ReadSchema:")[1:]:
         rs = seg.splitlines()[0]
         assert "n_chars" not in rs and "lang" not in rs
+
+
+def test_dsir_ratio_table_broadcasts(spark, sf_dir):
+    """DSIR: the per-bucket log-ratio table must broadcast-join the
+    exploded corpus features (corpus side shuffles only for the per-doc
+    sum), and the top-k select must be a TakeOrderedAndProject."""
+    from tabsdata_spark.llm import dsir
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    target = docs.filter(F.col("doc_id") % 31 == 2)
+    raw = docs.filter(F.col("doc_id") % 31 != 2)
+    out = dsir.dsir_select(raw, target, k=50)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_grouping_sets_single_expand(spark, sf_dir):
+    """GROUPING SETS must plan ONE Expand + one aggregate pass — not a
+    union of per-level scans."""
+    import tabsdata_spark.queries as Q
+    out = Q.grouping_sets_revenue(spark, sf_dir)
+    plan = _plan(out)
+    assert plan.count("Expand") >= 1
+    # exactly one scan of orders
+    assert plan.count("orders.parquet") == 1
+
+
+def test_approx_distinct_no_expand_shuffle(spark, sf_dir):
+    """approx_count_distinct must stay a sketch merge: no second shuffle
+    for a distinct expansion on the approx side."""
+    from tabsdata_spark.queries import load_events
+    ev = load_events(spark, sf_dir).df
+    out = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("u"))
+    plan = _plan(out)
+    assert "partial_approx_count_distinct" in plan
