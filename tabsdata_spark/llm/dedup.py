@@ -646,3 +646,55 @@ def semantic_dedup(
         block_col=block_col, threshold=threshold,
     ).select("id_a", "id_b")
     return dedup_by_components(emb, pairs, id_col=id_col)
+
+
+# ---------------------------------------------------------------------------
+# Cross-document repeated substrings (ExactSubstr-lite)
+# ---------------------------------------------------------------------------
+def repeated_span_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 8, p: int = 4,
+                        min_shared: int = 1, max_docs_per_span: int = 100,
+                        hash_fn=None) -> DataFrame:
+    """Document pairs sharing long verbatim token spans — the substring-
+    level duplication signal of Lee et al., "Deduplicating Training Data
+    Makes Language Models Better" (2022), at document-pair granularity.
+
+    Method (public: Manber 1994 / Broder "mod p" fingerprint selection):
+    hash every token n-gram, KEEP only hashes ≡ 0 (mod p) — a
+    position-independent 1/p sample, so two documents sharing a verbatim
+    span of >= n+p tokens share a selected fingerprint with high
+    probability.  Selected (doc, hash) rows join through an inverted index;
+    pair score = number of distinct shared selected spans.
+
+    Scale shape: the explode is corpus-sized but the selection cuts it by
+    p before the only shuffle; `max_docs_per_span` drops boilerplate spans
+    (appearing in >max docs) before the quadratic within-span pair step —
+    the same bucket-cap trick as the LSH join.  With the default xxhash64
+    everything stays JVM-side; pass `hash_fn=portable_hash60` for an
+    engine-portable (oracle-able) variant.
+    """
+    from .textual import tokens, word_ngrams
+
+    hf = hash_fn or F.xxhash64
+    toks = tokens(F.lower(F.col(text_col)))
+    grams = word_ngrams(toks, n)
+    hashed = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.when(F.size(toks) >= n, grams)
+                  .otherwise(F.array(F.array_join(toks, " ")))).alias("__g"),
+    ).select("__id", hf(F.col("__g")).alias("__h"))
+    sel = (hashed.filter(F.col("__h") % p == 0)
+           .select("__id", "__h").distinct())
+    # boilerplate cap: spans present in too many docs are corpus-level
+    # boilerplate (tracked by boilerplate_ngrams), not pairwise duplication
+    span_w = Window.partitionBy("__h")
+    sel = (sel.withColumn("__nd", F.count(F.lit(1)).over(span_w))
+           .filter((F.col("__nd") > 1) & (F.col("__nd") <= max_docs_per_span))
+           .drop("__nd"))
+    a = sel.select(F.col("__h").alias("h"), F.col("__id").alias("id_a"))
+    b = sel.select(F.col("__h").alias("h"), F.col("__id").alias("id_b"))
+    return (a.join(b, "h")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_shared_spans"))
+            .filter(F.col("n_shared_spans") >= min_shared))

@@ -4400,3 +4400,53 @@ def approx_quantile_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "exact_p50",
         ((F.col("__approx") >= F.col("__lo"))
          & (F.col("__approx") <= F.col("__hi"))).alias("approx_within_band"))
+
+
+_REPEATED_SPANS_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(t) >= 8
+                  THEN list_transform(range(1, len(t) - 6),
+                       i -> array_to_string(t[i:i+7], ' '))
+                  ELSE [array_to_string(t, ' ')] END) AS gram
+      FROM toks
+    ),
+    sel AS (
+      SELECT DISTINCT doc_id, h FROM (
+        SELECT doc_id, {_HASH60_SQL.format(v='gram')} AS h FROM grams)
+      WHERE h % 4 = 0
+    ),
+    capped AS (
+      SELECT doc_id, h FROM (
+        SELECT doc_id, h, COUNT(*) OVER (PARTITION BY h) AS nd FROM sel)
+      WHERE nd > 1 AND nd <= 100
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           COUNT(*) AS n_shared_spans
+    FROM capped a JOIN capped b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 1
+"""
+
+
+@q("repeated_spans_docs", _REPEATED_SPANS_ORACLE)
+def repeated_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document verbatim-span duplication (ExactSubstr-lite, Lee et
+    al. 2022): mod-p-selected 8-token-gram fingerprints joined through an
+    inverted index; pair score = shared selected spans.  Portable
+    md5-derived hashes make selection membership engine-independent; the
+    boilerplate cap bounds the within-span pair fan-out."""
+    from tabsdata_spark.llm import dedup
+    from tabsdata_spark.llm.textual import portable_hash60
+    from tabsdata_spark.scale import fan_out
+
+    docs = fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return dedup.repeated_span_pairs(
+        docs, n=8, p=4, min_shared=1, max_docs_per_span=100,
+        hash_fn=portable_hash60)

@@ -594,3 +594,20 @@ def test_dsir_bucket_distribution_counts(spark):
     # bigrams: doc1 -> 'a b','b a','a b'; doc2 -> 'a b'  => 4 features total
     dist = dsir.bucket_distribution(df, n=2, buckets=1000)
     assert dist.agg({"cnt": "sum"}).collect()[0][0] == 4
+
+
+def test_repeated_span_pairs_flags_verbatim_spans(spark):
+    from tabsdata_spark.llm import dedup
+    span = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the hills")
+    rows = [
+        (1, "intro text before " + span + " trailing words here"),
+        (2, span + " completely different ending material follows now"),
+        (3, "nothing in common with the others at all in this one "
+            "document about cooking pasta slowly"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # p=1 keeps every 8-gram -> deterministic detection of the shared span
+    out = dedup.repeated_span_pairs(docs, n=8, p=1, min_shared=3).collect()
+    assert [(r.id_a, r.id_b) for r in out] == [(1, 2)]
+    assert out[0].n_shared_spans >= 3
