@@ -354,6 +354,51 @@ def embedding_near_dup_pairs(
     )
 
 
+#: below this edge count the whole graph fits in driver memory many times
+#: over (16 bytes/edge -> ~3 MB at the threshold) and iterative-round
+#: latency dominates data cost, so CC switches to a driver union-find —
+#: the same measured-size adaptivity as AQE's broadcast-join demotion.
+SMALL_GRAPH_EDGES = 200_000
+
+
+def _driver_union_find(e: DataFrame) -> DataFrame:
+    """Small-graph CC fast path: collect the (bounded, see
+    SMALL_GRAPH_EDGES) edge list, run union-find with path compression +
+    union-by-label (component = min node id, matching the distributed
+    contract exactly), return (node, component) as a DataFrame.
+
+    O(E α(E)) sequential beats O(log n) distributed *rounds* whenever the
+    edge list is a few MB: each Spark round costs several scheduled jobs +
+    a checkpoint, which on small graphs is pure latency.  The distributed
+    star/min-label paths remain the >threshold route."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:                       # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    rows = e.collect()
+    for r in rows:
+        u, v = r[0], r[1]
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by label: smaller id becomes the root, so the final
+            # root of every tree IS the component minimum
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+    out = [(n, find(n)) for n in parent]
+    id_type = e.schema.fields[0].dataType.simpleString()
+    return e.sparkSession.createDataFrame(
+        out, f"node {id_type}, component {id_type}")
+
+
 @contextlib.contextmanager
 def _round_width(spark, n_rows: int, rows_per_part: int = 100_000):
     """Size iterative-round shuffles from the MEASURED graph size.
@@ -378,7 +423,8 @@ def _round_width(spark, n_rows: int, rows_per_part: int = 100_000):
 
 
 def connected_components(edges: DataFrame, src: str = "id_a",
-                         dst: str = "id_b", max_iter: int = 20) -> DataFrame:
+                         dst: str = "id_b", max_iter: int = 20,
+                         small_graph_threshold: int | None = None) -> DataFrame:
     """Connected components by min-label propagation: each node repeatedly
     adopts the smallest label among itself and its neighbors until a fixed
     point.  Converges in O(component diameter) rounds; near-dup graphs are
@@ -398,6 +444,10 @@ def connected_components(edges: DataFrame, src: str = "id_a",
            .distinct())
     sym = sym.localCheckpoint(eager=True)
     n_edges = sym.count()
+    small = SMALL_GRAPH_EDGES if small_graph_threshold is None \
+        else small_graph_threshold
+    if n_edges <= small:
+        return _driver_union_find(sym)
     with _round_width(sym.sparkSession, n_edges):
         labels = (sym.select(F.col("u").alias("node"))
                   .union(sym.select(F.col("v").alias("node"))).distinct()
@@ -443,7 +493,8 @@ def connected_components(edges: DataFrame, src: str = "id_a",
 def connected_components_star(edges: DataFrame, src: str = "id_a",
                               dst: str = "id_b",
                               max_iter: int = 30,
-                              check_every: int = 2) -> DataFrame:
+                              check_every: int = 2,
+                              small_graph_threshold: int | None = None) -> DataFrame:
     """Connected components by alternating large-star / small-star edge
     rewrites (Kiveris et al., "Connected Components in MapReduce and
     Beyond", SoCC 2014).  Converges in O(log^2 n) rounds *independent of
@@ -462,6 +513,10 @@ def connected_components_star(edges: DataFrame, src: str = "id_a",
          .distinct())
     e = e.localCheckpoint(eager=True)
     n_edges = e.count()
+    small = SMALL_GRAPH_EDGES if small_graph_threshold is None \
+        else small_graph_threshold
+    if n_edges <= small:
+        return _driver_union_find(e)
     with _round_width(e.sparkSession, n_edges):
         return _star_rounds(e, n_edges, max_iter, check_every)
 

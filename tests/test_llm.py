@@ -151,11 +151,18 @@ def test_connected_components_chain_and_cycle(spark):
          (10, 11), (11, 12), (12, 10),    # cycle
          (20, 21)],
         ["id_a", "id_b"])
+    want = {1: 1, 2: 1, 3: 1, 4: 1,
+            10: 10, 11: 10, 12: 10,
+            20: 20, 21: 20}
+    # small-graph fast path (driver union-find)...
     got = {r.node: r.component
            for r in dedup.connected_components(edges).collect()}
-    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
-                   10: 10, 11: 10, 12: 10,
-                   20: 20, 21: 20}
+    assert got == want
+    # ...and the distributed min-label rounds (threshold 0 forces them)
+    got_dist = {r.node: r.component
+                for r in dedup.connected_components(
+                    edges, small_graph_threshold=0).collect()}
+    assert got_dist == want
 
 
 def test_dedup_by_components_transitive(spark):
@@ -182,10 +189,16 @@ def test_connected_components_star_matches_propagation(spark):
     edges = spark.createDataFrame(chain + cycle + star + extra,
                                   ["id_a", "id_b"])
     got_star = {r.node: r.component
-                for r in dedup.connected_components_star(edges).collect()}
+                for r in dedup.connected_components_star(
+                    edges, small_graph_threshold=0).collect()}
     got_prop = {r.node: r.component
-                for r in dedup.connected_components(edges, max_iter=100).collect()}
+                for r in dedup.connected_components(
+                    edges, max_iter=100, small_graph_threshold=0).collect()}
     assert got_star == got_prop
+    # fast path agrees with both distributed variants
+    got_uf = {r.node: r.component
+              for r in dedup.connected_components_star(edges).collect()}
+    assert got_uf == got_star
     # chain collapses to its minimum regardless of diameter
     assert all(got_star[i] == 100 for i in range(100, 161))
 
@@ -194,9 +207,11 @@ def test_connected_components_star_string_ids(spark):
     """Star contraction only needs a total order — works on string ids."""
     edges = spark.createDataFrame(
         [("b", "a"), ("c", "b"), ("x", "y")], ["id_a", "id_b"])
-    got = {r.node: r.component
-           for r in dedup.connected_components_star(edges).collect()}
-    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+    for thr in (None, 0):
+        got = {r.node: r.component
+               for r in dedup.connected_components_star(
+                   edges, small_graph_threshold=thr).collect()}
+        assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
 
 
 def test_redact_pii_and_hash_split(spark):
