@@ -72,6 +72,8 @@ HYGIENE = [
     "incremental_dedup_docs",
     "triangle_count_emb",
     "kmeans_clusters_emb",
+    "dsir_select_docs",
+    "repeated_spans_docs",
 ]
 
 

@@ -41,7 +41,18 @@ def _fake_decode_image(payload: bytes) -> dict:
     }
 
 
-_DECODER: Callable[[bytes], dict] = _fake_decode_image
+def _default_decoder(payload: bytes) -> dict:
+    """REAL decode for formats whose specs need no external libs (BMP,
+    PCM WAV — llm/codecs.py); deterministic fake for everything else so
+    the plumbing stays testable without image/audio libraries."""
+    from . import codecs
+
+    if codecs.sniff_format(payload) is not None:
+        return codecs.decode_media(payload)
+    return _fake_decode_image(payload)
+
+
+_DECODER: Callable[[bytes], dict] = _default_decoder
 
 
 def set_decoder(fn: Callable[[bytes], dict]) -> None:
@@ -102,14 +113,29 @@ def decode_and_featurize(df: DataFrame, id_col: str = "doc_id",
 def resize_images(df: DataFrame, id_col: str = "doc_id",
                   binary_col: str = "payload", width: int = 224,
                   height: int = 224) -> DataFrame:
-    """Resize stub: real implementation needs an image lib.  The plumbing
-    (signature, schema, batching) is real; the pixel work raises."""
+    """Executor-side image resize.  REAL for BMP payloads (pure-numpy
+    nearest-neighbor kernel, llm/codecs.py); other formats raise the
+    documented gate — jpeg/png need an image library this container
+    lacks."""
+    import pandas as pd
+
+    from . import codecs
 
     def run(batches):
-        raise NotImplementedError(
-            "image resize requires an image library not present in this "
-            "container; call set_decoder()/replace this kernel when deploying"
-        )
+        for pdf in batches:
+            rows = []
+            for _id, payload in zip(pdf[id_col], pdf[binary_col]):
+                if payload is None:
+                    rows.append((_id, None))
+                    continue
+                b = bytes(payload)
+                if codecs.sniff_format(b) != "bmp":
+                    raise NotImplementedError(
+                        "resize is implemented for BMP; jpeg/png need an "
+                        "image library not present in this container "
+                        "(plug one in via a custom mapInPandas kernel)")
+                rows.append((_id, codecs.resize_bmp(b, width, height)))
+            yield pd.DataFrame(rows, columns=[id_col, "resized"])
 
     out_schema = T.StructType([
         T.StructField(id_col, T.LongType()),

@@ -626,3 +626,55 @@ def test_repeated_span_pairs_flags_verbatim_spans(spark):
     out = dedup.repeated_span_pairs(docs, n=8, p=1, min_shared=3).collect()
     assert [(r.id_a, r.id_b) for r in out] == [(1, 2)]
     assert out[0].n_shared_spans >= 3
+
+
+def test_bmp_codec_roundtrip_and_features():
+    import numpy as np
+
+    from tabsdata_spark.llm import codecs
+    px = np.zeros((10, 7, 3), dtype=np.uint8)
+    px[:, :, 0] = 255                                   # solid red
+    px[0, 0] = (0, 255, 0)                              # one green pixel
+    blob = codecs.encode_bmp(px)
+    d = codecs.decode_bmp(blob)
+    assert (d["width"], d["height"]) == (7, 10)
+    assert (d["pixels"] == px).all()
+    assert d["features"][0] > 0.9                       # mean red high
+    small = codecs.decode_bmp(codecs.resize_bmp(blob, 3, 4))
+    assert (small["width"], small["height"]) == (3, 4)
+    assert small["pixels"][2, 1].tolist() == [255, 0, 0]
+
+
+def test_wav_codec_roundtrip_resample():
+    import numpy as np
+
+    from tabsdata_spark.llm import codecs
+    t = np.arange(16000) / 16000.0
+    sine = 0.5 * np.sin(2 * np.pi * 440 * t)            # 1s of A440
+    blob = codecs.encode_wav(sine, 16000)
+    d = codecs.decode_wav(blob)
+    assert d["sample_rate"] == 16000 and d["duration_ms"] == 1000
+    assert abs(d["features"][0] - 0.3536) < 0.01        # rms of 0.5 sine
+    down = codecs.decode_wav(codecs.resample_wav(blob, 8000))
+    assert down["sample_rate"] == 8000
+    assert abs(down["duration_ms"] - 1000) <= 1
+    assert abs(down["features"][0] - d["features"][0]) < 0.01
+
+
+def test_multimodal_real_decode_and_resize(spark):
+    import numpy as np
+
+    from tabsdata_spark.llm import codecs, multimodal
+    px = np.full((8, 6, 3), 128, dtype=np.uint8)
+    bmp = codecs.encode_bmp(px)
+    wavb = codecs.encode_wav(np.zeros(800), 8000)
+    df = spark.createDataFrame([(1, bytearray(bmp)), (2, bytearray(wavb))],
+                               "doc_id long, payload binary")
+    got = {r.doc_id: r for r in
+           multimodal.decode_and_featurize(df).collect()}
+    assert (got[1].width, got[1].height) == (6, 8)      # real BMP dims
+    assert got[2].width == 100                          # wav duration_ms
+    rs = multimodal.resize_images(
+        df.filter(F.col("doc_id") == 1), width=3, height=3).collect()
+    out = codecs.decode_bmp(bytes(rs[0].resized))
+    assert (out["width"], out["height"]) == (3, 3)
