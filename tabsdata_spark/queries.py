@@ -1480,14 +1480,59 @@ def eq_missing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.df
 
 
-# rows-only: multimodal plumbing (codecs stubbed — no image libs here)
-@q("multimodal_decode")
+@q(
+    "multimodal_decode",
+    """
+    SELECT doc_id,
+           CAST(8 + doc_id % 16 AS INTEGER) AS width,
+           CAST(4 + doc_id % 8 AS INTEGER) AS height,
+           ROUND((doc_id % 256) / 255.0, 6) AS mean_r,
+           ROUND(((doc_id * 7) % 256) / 255.0, 6) AS mean_g,
+           ROUND(((doc_id * 13) % 256) / 255.0, 6) AS mean_b,
+           0.0 AS luma_std
+    FROM documents WHERE doc_id < 100
+    """,
+)
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, value-oracled: each doc gets a solid-color BMP
+    whose dimensions and RGB are closed-form in doc_id, encoded
+    executor-side (pandas_udf), then decoded + featurized through the
+    multimodal mapInPandas path with the spec-level BMP codec.  The
+    oracle recomputes the expected dims/means arithmetically — a codec or
+    plumbing regression flips hard-compared values.  (Solid color =>
+    luma std is exactly 0.)"""
+    import pandas as pd
+
     from tabsdata_spark.llm import multimodal
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
-    bins = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
-    return multimodal.decode_and_featurize(bins)
+    def make_bmps(batches):
+        import numpy as np
+
+        from tabsdata_spark.llm import codecs
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                px = np.empty((4 + i % 8, 8 + i % 16, 3), dtype=np.uint8)
+                px[:, :, 0] = i % 256
+                px[:, :, 1] = (i * 7) % 256
+                px[:, :, 2] = (i * 13) % 256
+                payloads.append(codecs.encode_bmp(px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .filter(F.col("doc_id") < 100)
+    bins = docs.select("doc_id").mapInPandas(
+        make_bmps, "doc_id long, payload binary")
+    dec = multimodal.decode_and_featurize(bins)
+    return dec.select(
+        "doc_id", "width", "height",
+        F.element_at("features", 1).alias("mean_r"),
+        F.element_at("features", 2).alias("mean_g"),
+        F.element_at("features", 3).alias("mean_b"),
+        F.element_at("features", 4).alias("luma_std"))
 
 
 # DuckDB twin of textual.portable_hash60: int(md5(s)[:15], 16)
