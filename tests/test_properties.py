@@ -80,3 +80,58 @@ def test_groupby_sum_equals_total(spark, vals):
     total = sum(r.s for r in per_group if r.s is not None)
     expected = sum(x for x in vals if x is not None)
     assert total == expected or (expected == 0 and total == 0)
+
+
+# ---------------------------------------------------------------- avro codec
+# Spark-free: the binary codec is pure Python, so hypothesis can hammer it
+# at full speed (no session involved).
+_avro_scalar = st.one_of(
+    st.none(),
+    st.integers(-(2 ** 63), 2 ** 63 - 1),
+    st.text(max_size=40),
+    st.booleans(),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+)
+
+
+@given(rows=st.lists(
+    st.fixed_dictionaries({
+        "a": st.integers(-(2 ** 63), 2 ** 63 - 1),
+        "s": st.one_of(st.none(), st.text(max_size=60)),
+        "d": st.one_of(st.none(),
+                       st.floats(allow_nan=False, allow_infinity=False)),
+        "arr": st.lists(st.integers(-(2 ** 31), 2 ** 31), max_size=8),
+        "m": st.dictionaries(st.text(min_size=1, max_size=10),
+                             st.integers(-1000, 1000), max_size=5),
+    }),
+    max_size=30),
+    codec=st.sampled_from(["null", "deflate"]))
+@settings(max_examples=60, deadline=None)
+def test_avro_container_roundtrip_property(rows, codec):
+    from tabsdata_spark.io import avro_py
+
+    schema = {
+        "type": "record", "name": "R", "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "s", "type": ["null", "string"], "default": None},
+            {"name": "d", "type": ["null", "double"], "default": None},
+            {"name": "arr", "type": {"type": "array", "items": "int"}},
+            {"name": "m", "type": {"type": "map", "values": "long"}},
+        ],
+    }
+    blob = avro_py.write_container(schema, rows, codec=codec)
+    got_schema, got = avro_py.read_container(blob)
+    assert got_schema == schema
+    assert got == rows
+
+
+@given(n=st.integers(-(2 ** 63), 2 ** 63 - 1))
+@settings(max_examples=200, deadline=None)
+def test_avro_zigzag_varint_roundtrip_property(n):
+    import io as _io
+
+    from tabsdata_spark.io.avro_py import _Reader, _write_long
+
+    buf = _io.BytesIO()
+    _write_long(buf, n)
+    assert _Reader(buf.getvalue()).read_long() == n
