@@ -31,7 +31,7 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     `by` keys partition the match (and the shuffle).  Right columns that
     clash with left names get `suffix`.
     """
-    if strategy not in ("backward", "forward"):
+    if strategy not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown asof strategy: {strategy}")
     by = [by] if isinstance(by, str) else list(by or [])
 
@@ -47,15 +47,44 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
                      F.lit(None).cast(r2.schema["__rv"].dataType).alias("__rv"))
     unioned = l2.unionByName(r2, allowMissingColumns=True)
 
+    part = [F.col(k) for k in by]
+    # trailing `__rv desc` makes ties among equal-`on` right rows
+    # deterministic: the fill's last() lands on the MINIMUM packed struct
+    # (struct order: match ts, then value columns), independent of
+    # partitioning or input order
+    wb = (Window.partitionBy(*part)
+          .orderBy(F.col("__ts").asc(), F.col("__side").asc(),
+                   F.col("__rv").desc())
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wf = (Window.partitionBy(*part)
+          .orderBy(F.col("__ts").desc(), F.col("__side").asc(),
+                   F.col("__rv").desc())
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+
     if strategy == "backward":
         # right (side 0) sorts before left at equal ts -> inclusive match
-        order = [F.col("__ts").asc(), F.col("__side").asc()]
+        filled = unioned.withColumn(
+            "__m", F.last("__rv", ignorenulls=True).over(wb))
+    elif strategy == "forward":
+        filled = unioned.withColumn(
+            "__m", F.last("__rv", ignorenulls=True).over(wf))
     else:
-        order = [F.col("__ts").desc(), F.col("__side").asc()]
-    w = (Window.partitionBy(*[F.col(k) for k in by]).orderBy(*order)
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-
-    filled = unioned.withColumn("__m", F.last("__rv", ignorenulls=True).over(w))
+        # nearest: both directional fills (same partitioning -> one shuffle,
+        # two sorts), then pick the closer match; ties go backward, matching
+        # pandas merge_asof.  Distances compared as doubles so the same
+        # code serves timestamp and numeric `on` columns.
+        mb = F.last("__rv", ignorenulls=True).over(wb)
+        mf = F.last("__rv", ignorenulls=True).over(wf)
+        dist = lambda m: F.abs(F.col("__ts").cast("double")
+                               - m[ron].cast("double"))
+        filled = (unioned.withColumn("__mb", mb).withColumn("__mf", mf)
+                  .withColumn(
+                      "__m",
+                      F.when(F.col("__mb").isNull(), F.col("__mf"))
+                       .when(F.col("__mf").isNull(), F.col("__mb"))
+                       .when(dist(F.col("__mb")) <= dist(F.col("__mf")),
+                             F.col("__mb"))
+                       .otherwise(F.col("__mf"))))
     out = filled.filter(F.col("__side") == 1)
     keep = [c for c in left.columns]
     proj = [F.col(c) for c in keep]

@@ -4495,3 +4495,38 @@ def repeated_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.repeated_span_pairs(
         docs, n=8, p=4, min_shared=1, max_docs_per_span=100,
         hash_fn=portable_hash60)
+
+
+@q(
+    "asof_nearest_events",
+    """
+    SELECT event_id, user_id, ts, view_ts, view_event FROM (
+      SELECT l.event_id, l.user_id, CAST(l.ts AS TIMESTAMP) AS ts,
+             CAST(r.ts AS TIMESTAMP) AS view_ts, r.event_id AS view_event,
+             row_number() OVER (
+               PARTITION BY l.event_id
+               ORDER BY abs(epoch_us(CAST(l.ts AS TIMESTAMP))
+                            - epoch_us(CAST(r.ts AS TIMESTAMP))),
+                        CAST(r.ts AS TIMESTAMP), r.event_id) AS rn
+      FROM (SELECT * FROM events WHERE event_type = 'click') l
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+        ON l.user_id = r.user_id)
+    WHERE rn = 1
+    """,
+)
+def asof_nearest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, `nearest` strategy: each click matched to the user's
+    closest view in either direction (ties -> the earlier/backward view,
+    pandas merge_asof semantics).  Same one-shuffle union plan as
+    backward/forward with a second sort for the reverse fill; the O(n^2)
+    per-key all-pairs oracle is viable only at sf0.01."""
+    from tabsdata_spark.extensions import asof_join
+
+    ev = load_events(spark, sf_dir).df
+    clicks = ev.filter(F.col("event_type") == "click") \
+        .select("event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view") \
+        .select(F.col("event_id").alias("view_event"), "user_id", "ts")
+    out = asof_join(clicks, views, on="ts", by="user_id", strategy="nearest")
+    return out.select("event_id", "user_id", "ts",
+                      F.col("ts_right").alias("view_ts"), "view_event")

@@ -86,3 +86,28 @@ def test_hierarchical_rollup_single_scan(spark, sf_dir):
                    Fn.sum(Fn.col("total").cast("decimal(18,4)"))
                      .cast("double").alias("total")).collect()}
     assert tot["hour"] == tot["day"] == tot["month"]
+
+
+def test_asof_join_nearest_strategy(spark):
+    from tabsdata_spark.extensions import asof_join
+    left = spark.createDataFrame(
+        [(1, 10), (1, 100), (2, 50)], ["k", "t"])
+    right = spark.createDataFrame(
+        [(1, 7, "a"), (1, 12, "b"), (1, 90, "c"), (2, 500, "z")],
+        ["k", "t", "v"])
+    out = {(r.k, r.t): r.v for r in
+           asof_join(left, right, on="t", by="k",
+                     strategy="nearest").collect()}
+    assert out[(1, 10)] == "b"     # dist 2 forward beats dist 3 backward
+    assert out[(1, 100)] == "c"    # only backward nearby
+    assert out[(2, 50)] == "z"     # forward-only match (backward empty)
+
+
+def test_asof_join_nearest_tie_prefers_backward(spark):
+    from tabsdata_spark.extensions import asof_join
+    left = spark.createDataFrame([(1, 10)], ["k", "t"])
+    right = spark.createDataFrame(
+        [(1, 8, "early"), (1, 12, "late")], ["k", "t", "v"])
+    out = asof_join(left, right, on="t", by="k",
+                    strategy="nearest").collect()
+    assert out[0].v == "early"     # equal distance 2 -> backward wins
