@@ -728,15 +728,17 @@ def repeated_span_pairs(df: DataFrame, id_col: str = "doc_id",
     everything stays JVM-side; pass `hash_fn=portable_hash60` for an
     engine-portable (oracle-able) variant.
     """
-    from .textual import tokens, word_ngrams
-
     hf = hash_fn or F.xxhash64
-    toks = tokens(F.lower(F.col(text_col)))
-    grams = word_ngrams(toks, n)
-    hashed = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(F.when(F.size(toks) >= n, grams)
-                  .otherwise(F.array(F.array_join(toks, " ")))).alias("__g"),
+    # materialize tokens before the gram transform: expressions referenced
+    # inside word_ngrams' slices are inlined per slice, re-running the
+    # tokenizer n times per row (see dsir._bucketed_features)
+    toked = df.select(F.col(id_col).alias("__id"),
+                      tokens(F.lower(F.col(text_col))).alias("__t"))
+    t = F.col("__t")
+    hashed = toked.select(
+        "__id",
+        F.explode(F.when(F.size(t) >= n, word_ngrams(t, n))
+                  .otherwise(F.array(F.array_join(t, " ")))).alias("__g"),
     ).select("__id", hf(F.col("__g")).alias("__h"))
     sel = (hashed.filter(F.col("__h") % p == 0)
            .select("__id", "__h").distinct())

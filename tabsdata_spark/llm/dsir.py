@@ -37,23 +37,26 @@ from .corpus import clean_tokens
 def _bucketed_features(docs: DataFrame, id_col: str, text_col: str,
                        n: int, buckets: int) -> DataFrame:
     """(id, bucket) with multiplicity: word n-grams (unigrams when n=1)
-    hashed into [0, buckets) via the portable md5 bucket."""
-    toks = clean_tokens(F.col(text_col))
+    hashed into [0, buckets) via the portable md5 bucket.
+
+    Tokens are PROJECTED into a column before the gram transform: an
+    expression used inside a lambda is inlined into the lambda body, so
+    referencing `clean_tokens(text)` per gram re-runs the regex tokenizer
+    per gram — O(len^2) per document (measured 43s -> 1.6s for the raw
+    bucket counts at sf0.1)."""
+    from .textual import word_ngrams
+
+    toked = docs.select(F.col(id_col).alias("__id"),
+                        clean_tokens(F.col(text_col)).alias("__t"))
+    t = F.col("__t")
     if n == 1:
-        grams = toks
+        grams = t
     else:
-        cnt = F.size(toks)
-        idx = F.sequence(F.lit(1), F.greatest(cnt - (n - 1), F.lit(1)))
-        grams = F.when(
-            cnt >= n,
-            F.transform(idx, lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, F.least(i + j, F.greatest(cnt, F.lit(1))))
-                       for j in range(n)])),
-        ).otherwise(F.array(F.array_join(toks, " ")))
+        grams = F.when(F.size(t) >= n, word_ngrams(t, n)) \
+            .otherwise(F.array(F.array_join(t, " ")))
     bucket = (F.conv(F.substring(F.md5(F.col("__g")), 1, 6), 16, 10)
               .cast("long") % buckets).cast("int")
-    return (docs.select(F.col(id_col).alias("__id"),
-                        F.explode(grams).alias("__g"))
+    return (toked.select("__id", F.explode(grams).alias("__g"))
             .filter(F.col("__g") != "")
             .select("__id", bucket.alias("bucket")))
 
