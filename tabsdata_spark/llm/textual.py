@@ -137,13 +137,22 @@ def word_ngrams(toks: Column, n: int) -> Column:
     element copies plus per-call object churn (higher-order array
     functions never enter codegen); measured 10x slower on the documents
     table.  Short inputs (len < n) yield one truncated gram; callers gate
-    on size when that matters."""
-    m = F.greatest(F.size(toks) - (n - 1), F.lit(1))
-    grams = F.slice(toks, 1, m)
-    for j in range(1, n):
-        grams = F.zip_with(grams, F.slice(toks, j + 1, m),
-                           lambda g, t: F.concat_ws(" ", g, t))
-    return grams
+    on size when that matters.
+
+    `toks` is BOUND ONCE through a one-element transform: when callers
+    pass a computed expression (e.g. clean_tokens(text)), naive slicing
+    would inline that expression into all n slices and re-run the
+    tokenizer n times per row — the wrapper makes the helper safe to call
+    on expressions, not just materialized columns."""
+    def grams_of(t: Column) -> Column:
+        m = F.greatest(F.size(t) - (n - 1), F.lit(1))
+        grams = F.slice(t, 1, m)
+        for j in range(1, n):
+            grams = F.zip_with(grams, F.slice(t, j + 1, m),
+                               lambda g, w: F.concat_ws(" ", g, w))
+        return grams
+
+    return F.element_at(F.transform(F.array(toks), grams_of), 1)
 
 
 def rolling_hash_fingerprint(text: Column, window: int = 8,
