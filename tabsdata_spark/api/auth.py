@@ -94,3 +94,98 @@ class Authenticator:
 
 
 __all__ = ["Authenticator", "AuthError"]
+
+
+# ---------------------------------------------------------------------------
+# roles / permissions (reference: rest_urls ROLES/PERMISSIONS/USER_ROLES,
+# authz.rs permission kinds: sa=SysAdmin ss=SecAdmin ca=CollectionAdmin
+# cd=CollectionDev cx=CollectionExec cr=CollectionRead; entity '*' = system
+# scope, otherwise a collection name)
+# ---------------------------------------------------------------------------
+PERMISSION_TYPES = {"sa", "ss", "ca", "cd", "cx", "cr"}
+
+
+class RoleStore:
+    """Role -> permission grants; user -> roles.  In-memory, mirroring the
+    reference's bootstrap roles (user/sys_admin/sec_admin)."""
+
+    def __init__(self):
+        self._perms: dict[str, list[dict]] = {
+            "sys_admin": [{"permission_type": "sa", "entity": "*"}],
+            "sec_admin": [{"permission_type": "ss", "entity": "*"}],
+            "user": [{"permission_type": "cr", "entity": "*"}],
+            # the Authenticator's bootstrap user carries role "admin"
+            "admin": [{"permission_type": "sa", "entity": "*"}],
+        }
+        self._members: dict[str, set[str]] = {
+            "sys_admin": set(), "sec_admin": set(), "user": set(),
+            "admin": set()}
+
+    # -- roles ---------------------------------------------------------
+    def list_roles(self) -> list[dict]:
+        return [{"name": r, "permissions": list(ps)}
+                for r, ps in sorted(self._perms.items())]
+
+    def create_role(self, name: str) -> None:
+        if name in self._perms:
+            raise AuthError(f"role {name} exists")
+        self._perms[name] = []
+        self._members[name] = set()
+
+    def delete_role(self, name: str) -> None:
+        if name in ("sys_admin", "sec_admin", "user"):
+            raise AuthError(f"built-in role {name} cannot be deleted")
+        self._perms.pop(name, None)
+        self._members.pop(name, None)
+
+    def _require(self, role: str) -> None:
+        if role not in self._perms:
+            raise AuthError(f"unknown role {role}")
+
+    # -- permissions ---------------------------------------------------
+    def grant(self, role: str, permission_type: str,
+              entity: str = "*") -> None:
+        self._require(role)
+        if permission_type not in PERMISSION_TYPES:
+            raise AuthError(f"unknown permission type {permission_type}")
+        p = {"permission_type": permission_type, "entity": entity}
+        if p not in self._perms[role]:
+            self._perms[role].append(p)
+
+    def revoke(self, role: str, permission_type: str,
+               entity: str = "*") -> None:
+        self._require(role)
+        self._perms[role] = [
+            p for p in self._perms[role]
+            if not (p["permission_type"] == permission_type
+                    and p["entity"] == entity)]
+
+    def permissions(self, role: str) -> list[dict]:
+        self._require(role)
+        return list(self._perms[role])
+
+    # -- membership ----------------------------------------------------
+    def add_user(self, role: str, user: str) -> None:
+        self._require(role)
+        self._members[role].add(user)
+
+    def remove_user(self, role: str, user: str) -> None:
+        self._require(role)
+        self._members[role].discard(user)
+
+    def users(self, role: str) -> list[str]:
+        self._require(role)
+        return sorted(self._members[role])
+
+    def allows(self, role: str, permission_type: str,
+               collection: str | None = None) -> bool:
+        """True when `role` carries `permission_type` for the collection
+        (or system scope).  sa implies everything; ss implies the
+        security surface."""
+        for p in self._perms.get(role, []):
+            if p["permission_type"] == "sa":
+                return True
+            if p["permission_type"] == permission_type and \
+                    p["entity"] in ("*", collection):
+                return True
+        return False

@@ -148,5 +148,29 @@ class ApiClient:
                       fn: str | None = None) -> list[dict]:
         return self._get("function_runs", collection=collection, fn=fn)
 
+    # -- roles / permissions -------------------------------------------
+    def roles(self) -> list[dict]:
+        return self._get("roles")
+
+    def create_role(self, name: str) -> dict:
+        return self._post("roles", name=name)
+
+    def delete_role(self, name: str) -> dict:
+        return self._request("DELETE", f"roles/{name}")
+
+    def grant(self, role: str, permission_type: str,
+              entity: str = "*") -> dict:
+        return self._post(f"roles/{role}/permissions",
+                          permission_type=permission_type, entity=entity)
+
+    def role_permissions(self, role: str) -> list[dict]:
+        return self._get(f"roles/{role}/permissions")
+
+    def role_users(self, role: str) -> list[str]:
+        return self._get(f"roles/{role}/users")
+
+    def assign_role(self, role: str, user: str) -> dict:
+        return self._post(f"roles/{role}/users", user=user)
+
 
 __all__ = ["ApiClient"]

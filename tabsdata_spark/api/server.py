@@ -22,7 +22,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any
 from urllib.parse import parse_qs, urlparse
 
-from .auth import AuthError, Authenticator
+from .auth import AuthError, Authenticator, RoleStore
 
 BASE = "/api/v1"
 
@@ -56,6 +56,7 @@ class ApiServer:
         self.store = store
         self.engine = engine
         self.auth = auth or Authenticator()
+        self.roles = RoleStore()
         self._revoked: set[str] = set()
         outer = self
 
@@ -173,6 +174,8 @@ class ApiServer:
             return self._transactions()
         if head == "users":
             return self._user_routes(method, parts, body)
+        if head == "roles":
+            return self._role_routes(method, parts, body, user)
         if head == "functions" and method == "GET":
             return self._functions(None)
         if head == "function_runs" and method == "GET":
@@ -214,6 +217,56 @@ class ApiServer:
                                role=body.get("role", "user"))
             return {"ok": True}
         raise ApiError(404, "unknown users route")
+
+    def _role_routes(self, method, parts, body, user):
+        """ROLES / PERMISSIONS / USER_ROLES surface (reference
+        rest_urls/mod.rs:75-121).  Mutations need the security surface
+        (sa or ss permission, authz.rs's Authz<SysAdmin, SecAdmin>)."""
+        r = self.roles
+        if method != "GET":
+            role = user["role"] if user else ""
+            if not (r.allows(role, "sa") or r.allows(role, "ss")):
+                raise ApiError(403, "needs sys_admin/sec_admin permission")
+        if len(parts) == 1:
+            if method == "GET":
+                return r.list_roles()
+            if method == "POST":
+                r.create_role(body["name"])
+                return {"ok": True, "name": body["name"]}
+        name = parts[1]
+        sub = parts[2] if len(parts) > 2 else ""
+        try:
+            if not sub:
+                if method == "GET":
+                    return {"name": name, "permissions": r.permissions(name)}
+                if method == "DELETE":
+                    r.delete_role(name)
+                    return {"ok": True}
+            if sub == "permissions":
+                if method == "GET":
+                    return r.permissions(name)
+                if method == "POST":
+                    r.grant(name, body["permission_type"],
+                            body.get("entity", "*"))
+                    return {"ok": True}
+                if method == "DELETE":
+                    r.revoke(name, parts[3] if len(parts) > 3
+                             else body.get("permission_type", ""),
+                             body.get("entity", "*"))
+                    return {"ok": True}
+            if sub == "users":
+                if method == "GET":
+                    return r.users(name)
+                if method == "POST":
+                    r.add_user(name, body["user"])
+                    return {"ok": True}
+                if method == "DELETE" and len(parts) > 3:
+                    r.remove_user(name, parts[3])
+                    return {"ok": True}
+        except AuthError as e:
+            raise ApiError(404 if "unknown" in str(e) else 409, str(e)) \
+                from None
+        raise ApiError(404, f"unknown roles route {method} {sub}")
 
     # -- collections / tables / functions ------------------------------
     def _collection_routes(self, method, parts, query, body):

@@ -248,3 +248,43 @@ def test_cli_fn_trigger_and_errors(served, tmp_path):
 def test_cli_unauthenticated_fails(served, tmp_path):
     rc, _ = _cli(served, tmp_path, "collection", "list")   # no login
     assert rc == 1
+
+
+def test_roles_and_permissions(served):
+    server, client, _ = served
+    names = {r["name"] for r in client.roles()}
+    assert {"sys_admin", "sec_admin", "user", "admin"} <= names
+    client.create_role("analyst")
+    client.grant("analyst", "cr", entity="sales")
+    client.grant("analyst", "cx", entity="sales")
+    assert client.role_permissions("analyst") == [
+        {"permission_type": "cr", "entity": "sales"},
+        {"permission_type": "cx", "entity": "sales"}]
+    client.assign_role("analyst", "bob")
+    assert client.role_users("analyst") == ["bob"]
+    client.delete_role("analyst")
+    assert "analyst" not in {r["name"] for r in client.roles()}
+
+
+def test_role_mutation_requires_admin_permission(served):
+    server, client, _ = served
+    client.create_user("eve", "pw", role="user")
+    c2 = ApiClient(server.base_url)
+    c2.login("eve", "pw")
+    assert c2.roles()                          # reads allowed
+    with pytest.raises(ApiError) as ei:
+        c2.create_role("hax")
+    assert ei.value.status == 403
+    with pytest.raises(ApiError) as ei:
+        c2.grant("user", "sa")
+    assert ei.value.status == 403
+
+
+def test_builtin_roles_protected(served):
+    _, client, _ = served
+    with pytest.raises(ApiError) as ei:
+        client.delete_role("sys_admin")
+    assert ei.value.status == 409
+    with pytest.raises(ApiError) as ei:
+        client.grant("ghost-role", "cr")
+    assert ei.value.status == 404
