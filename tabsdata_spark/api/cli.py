@@ -127,6 +127,23 @@ def build_parser() -> argparse.ArgumentParser:
     u_new.add_argument("name")
     u_new.add_argument("--password", required=True)
     u_new.add_argument("--role", default="user")
+
+    rol = sub.add_parser("role").add_subparsers(dest="sub", required=True)
+    rol.add_parser("list")
+    r_new = rol.add_parser("create")
+    r_new.add_argument("name")
+    r_del = rol.add_parser("delete")
+    r_del.add_argument("name")
+    r_grant = rol.add_parser("grant")
+    r_grant.add_argument("name")
+    r_grant.add_argument("permission_type",
+                         choices=["sa", "ss", "ca", "cd", "cx", "cr"])
+    r_grant.add_argument("--entity", default="*")
+    r_add = rol.add_parser("add-user")
+    r_add.add_argument("name")
+    r_add.add_argument("user")
+    r_users = rol.add_parser("users")
+    r_users.add_argument("name")
     return p
 
 
@@ -188,6 +205,19 @@ def main(argv: list[str] | None = None) -> int:
                 _emit(c.users())
             else:
                 _emit(c.create_user(args.name, args.password, args.role))
+        elif args.cmd == "role":
+            if args.sub == "list":
+                _emit(c.roles())
+            elif args.sub == "create":
+                _emit(c.create_role(args.name))
+            elif args.sub == "delete":
+                _emit(c.delete_role(args.name))
+            elif args.sub == "grant":
+                _emit(c.grant(args.name, args.permission_type, args.entity))
+            elif args.sub == "add-user":
+                _emit(c.assign_role(args.name, args.user))
+            else:
+                _emit(c.role_users(args.name))
         return 0
     except ApiError as e:
         print(f"error ({e.status}): {e.message}", file=sys.stderr)

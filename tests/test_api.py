@@ -288,3 +288,20 @@ def test_builtin_roles_protected(served):
     with pytest.raises(ApiError) as ei:
         client.grant("ghost-role", "cr")
     assert ei.value.status == 404
+
+
+def test_cli_role_commands(served, tmp_path):
+    _cli(served, tmp_path, "login", "admin", "--password", "tabsdata")
+    rc, out = _cli(served, tmp_path, "role", "create", "ops")
+    assert rc == 0
+    rc, out = _cli(served, tmp_path, "role", "grant", "ops", "cx",
+                   "--entity", "sales")
+    assert rc == 0
+    rc, out = _cli(served, tmp_path, "role", "add-user", "ops", "carol")
+    assert rc == 0
+    rc, out = _cli(served, tmp_path, "role", "users", "ops")
+    assert rc == 0 and "carol" in out
+    rc, out = _cli(served, tmp_path, "role", "list")
+    assert rc == 0 and '"ops"' in out
+    rc, out = _cli(served, tmp_path, "role", "delete", "ops")
+    assert rc == 0
