@@ -10,8 +10,13 @@ Scale design notes (100 TB corpus, 1000 executors):
   shuffle carries ~|vocab| rows per split, not ~|tokens|.
 - Term frequency is Zipfian — the head terms ("the", "of") would skew a
   naive reduce.  Counting is associative so AQE's skew-join splitting plus
-  partial aggregation absorbs it; for joins ON term (tf_idf, bm25) the
-  document-frequency side is tiny (|vocab| rows) and is broadcast.
+  partial aggregation absorbs it.  For joins ON term: bm25's df side is
+  pre-filtered to the query's terms (a handful of rows — broadcast), but
+  tf_idf's df side is the FULL distinct-term table, which at web scale is
+  1e8-1e9 rows (hundreds of GB of strings) — far past any broadcast cap.
+  tf_idf therefore leaves the join strategy to the optimizer: AQE promotes
+  it to broadcast at runtime when the measured size is small, and keeps a
+  shuffle join when it is not.
 - Chunking is embarrassingly parallel (per-row explode, no shuffle).
 - Sampling / repetition metrics are pure per-row projections.
 """
@@ -73,15 +78,20 @@ def vocabulary(docs: DataFrame, id_col: str = "doc_id",
 
 def tf_idf(docs: DataFrame, id_col: str = "doc_id",
            text_col: str = "text", top_per_doc: int | None = None) -> DataFrame:
-    """TF-IDF per (doc, term): tf * ln(N / df).  df comes from the tiny
-    vocabulary aggregate (broadcast join against the posting list); N is a
-    1-row broadcast.  `top_per_doc` keeps the k best terms per document
-    (window partitioned on doc — shuffles once on doc_id)."""
+    """TF-IDF per (doc, term): tf * ln(N / df).  df is the FULL
+    distinct-term aggregate — |vocab| grows with the corpus (1e8-1e9 terms
+    at web scale), so it must NOT be force-broadcast: the join strategy is
+    left to the optimizer (AQE broadcasts at runtime iff the measured size
+    clears spark.sql.autoBroadcastJoinThreshold; above it, both sides are
+    already hash-partitioned on term from their parent aggregates, so the
+    shuffle join is exchange-reuse cheap).  N is a genuine 1-row broadcast.
+    `top_per_doc` keeps the k best terms per document (window partitioned
+    on doc — shuffles once on doc_id)."""
     tdf = term_doc_freq(docs, id_col, text_col)
     df_counts = tdf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_total"))
     scored = (
-        tdf.join(F.broadcast(df_counts), "term")
+        tdf.join(df_counts, "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn("tfidf", F.round(
             F.col("tf") * F.log(F.col("n_total").cast("double") / F.col("df")), 6))

@@ -607,7 +607,7 @@ def datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey,
            CAST(TRUNC(l_quantity) AS INT) AS qty_int,
            CAST(l_linenumber AS VARCHAR) AS line_str,
-           CAST(l_extendedprice AS DECIMAL(12,2)) AS price_dec,
+           CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS price_dec,
            TRY_CAST(l_returnflag AS BIGINT) AS bad_cast,
            CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_str
     FROM lineitem
@@ -619,7 +619,13 @@ def cast_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         qty_int=td.col("l_quantity").cast("int"),
         line_str=td.col("l_linenumber").cast("string"),
-        price_dec=td.col("l_extendedprice").cast("decimal(12,2)", strict=True),
+        # strict decimal cast still exercised, then re-cast to double: a
+        # double is never an exact tie at 2dp ((2n+1)/200 has no finite
+        # binary form), so both engines round identically — and the double
+        # surface type hashes identically, where DECIMAL(12,2) is
+        # normalizer-fragile (r2 driver hash_match=false with rows+schema
+        # green).
+        price_dec=td.col("l_extendedprice").cast("decimal(12,2)", strict=True).cast("double"),
         bad_cast=td.col("l_returnflag").cast("long"),
         ship_str=td.col("l_shipdate").cast("date").cast("string"),
     )
@@ -1230,12 +1236,52 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
                        textual.language_id(F.col("text")).alias("lang_pred"))
 
 
+# Round-3 registry rotation: the driver's correctness snapshot covers the
+# FIRST 50 entries of queries() in dict order.  Rounds 1-2 verified the same
+# 50 (registration order); those stay enforced by tests/test_vanilla_session
+# and tools/check_queries.py.  This window re-runs cast_ops (hash fix) plus
+# 49 queries that have never had a driver row.  Round 4 rotates the final
+# ~49 in.  Rotation map recorded in NOTES.md.
+_PRIORITY_R3 = [
+    "cast_ops",
+    # TPC-H shapes never driver-verified
+    "q2_min_cost_supplier", "q4_order_priority", "q7_volume_shipping",
+    "q8_market_share", "q9_product_profit", "q11_important_parts",
+    "q12_priority_counts", "q13_customer_distribution", "q14_promo_revenue",
+    "q15_top_supplier", "q16_supplier_cnt", "q17_small_quantity",
+    "q18_large_volume", "q19_disjunctive", "q20_excess_shippers",
+    "q21_waiting_suppliers", "q22_idle_customers",
+    # streaming batch twins (§2.9)
+    "session_window_native", "sliding_window_events",
+    "asof_join_events", "range_join_events",
+    # graph / dedup / clustering
+    "connected_components_docs", "connected_components_star_docs",
+    "semantic_dedup_keep", "decontaminate_docs", "dsir_select_docs",
+    "kmeans_clusters_emb", "triangle_count_emb", "repeated_spans_docs",
+    # analytics / window / pivot
+    "pivot_lang_counts", "unpivot_part_metrics", "pagerank_event_transitions",
+    "percentiles_events", "median_by_group", "cube_rollup",
+    "grouping_sets_revenue", "ntile_customers",
+    # corpus / hygiene
+    "tfidf_top_terms", "bm25_docs", "vocab_top_terms", "quality_gate_docs",
+    "gopher_rules_docs", "pii_redact", "hash_split_docs", "pack_sequences",
+    "doc_chunks", "stratified_sample_docs", "mixture_sample_docs",
+    "incremental_dedup_docs",
+]
+
+
+def _rotated(d: dict) -> dict:
+    out = {n: d[n] for n in _PRIORITY_R3 if n in d}
+    out.update((n, v) for n, v in d.items() if n not in out)
+    return out
+
+
 def queries() -> dict[str, Query]:
-    return dict(_QUERIES)
+    return _rotated(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(_ORACLES)
+    return _rotated(_ORACLES)
 
 
 # ===========================================================================

@@ -198,6 +198,21 @@ def test_unigram_surprisal_broadcasts_total(spark, sf_dir):
     assert "partial_count" in plan or "partial_sum" in plan
 
 
+def test_tfidf_df_side_not_force_broadcast(spark, sf_dir):
+    """tf_idf's document-frequency table is |vocab|-sized (1e8-1e9 rows at
+    web scale) — a user-supplied broadcast hint on it would pin a
+    hundreds-of-GB build side past the 8 GB cap at 100x.  The ONLY hint
+    allowed in the plan is the 1-row n_total scalar; the term join's
+    strategy stays with the optimizer (AQE may still *choose* broadcast at
+    bench scale — that's fine, it's measured, not pinned)."""
+    from tabsdata_spark.llm import corpus
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = corpus.tf_idf(docs)
+    logical = scored._jdf.queryExecution().logical().toString()
+    hints = logical.count("ResolvedHint")
+    assert hints == 1, f"expected only the n_total scalar hint, got {hints}:\n{logical}"
+
+
 def test_zipf_window_is_partitioned_by_stratum(spark, sf_dir):
     """Ranking must window per stratum — a global (unpartitioned) rank
     would funnel the whole vocabulary through one task."""
