@@ -133,7 +133,11 @@ class RoleStore:
         self._members[name] = set()
 
     def delete_role(self, name: str) -> None:
-        if name in ("sys_admin", "sec_admin", "user"):
+        # 'admin' is protected too: it's the bootstrap Authenticator user's
+        # role — deleting it would lock the only administrator out of every
+        # role/user mutation with no recovery path (allows() returns False
+        # for an unknown role).
+        if name in ("sys_admin", "sec_admin", "user", "admin"):
             raise AuthError(f"built-in role {name} cannot be deleted")
         self._perms.pop(name, None)
         self._members.pop(name, None)
@@ -187,5 +191,21 @@ class RoleStore:
                 return True
             if p["permission_type"] == permission_type and \
                     p["entity"] in ("*", collection):
+                return True
+        return False
+
+    def roles_of(self, user: str) -> set[str]:
+        """Every role whose membership contains `user`."""
+        return {r for r, members in self._members.items() if user in members}
+
+    def user_allows(self, user: str, base_role: str, permission_type: str,
+                    collection: str | None = None) -> bool:
+        """Effective permission check: union of the token's base role and
+        every role the user has been added to via POST /roles/{r}/users.
+        This is what makes role assignment authoritative (reference:
+        user->role rows drive authz); consulting only the token-embedded
+        role would render membership decorative."""
+        for role in {base_role, *self.roles_of(user)}:
+            if self.allows(role, permission_type, collection):
                 return True
         return False

@@ -57,6 +57,12 @@ class ApiClient:
     def _post(self, path, **body):
         return self._request("POST", path, body=body)
 
+    def _put(self, path, **body):
+        return self._request("PUT", path, body=body)
+
+    def _delete(self, path, **body):
+        return self._request("DELETE", path, body=body or None)
+
     # -- auth ----------------------------------------------------------
     def login(self, name: str, password: str) -> dict:
         out = self._post("auth/login", name=name, password=password)
@@ -92,6 +98,18 @@ class ApiClient:
 
     def create_user(self, name: str, password: str, role: str = "user") -> dict:
         return self._post("users", name=name, password=password, role=role)
+
+    def update_user(self, name: str, password: str | None = None,
+                    role: str | None = None) -> dict:
+        body = {}
+        if password is not None:
+            body["password"] = password
+        if role is not None:
+            body["role"] = role
+        return self._put(f"users/{name}", **body)
+
+    def delete_user(self, name: str) -> dict:
+        return self._delete(f"users/{name}")
 
     # -- collections / tables ------------------------------------------
     def collections(self) -> list[dict]:
@@ -144,6 +162,53 @@ class ApiClient:
     def transactions(self) -> list[dict]:
         return self._get("transactions")
 
+    def cancel_transaction(self, txn_id: str) -> dict:
+        return self._post(f"transactions/{txn_id}/cancel")
+
+    def recover_transaction(self, txn_id: str) -> dict:
+        return self._post(f"transactions/{txn_id}/recover")
+
+    def executions(self) -> list[dict]:
+        return self._get("executions")
+
+    def cancel_execution(self, execution_id: str) -> dict:
+        return self._post(f"executions/{execution_id}/cancel")
+
+    def recover_execution(self, execution_id: str) -> dict:
+        return self._post(f"executions/{execution_id}/recover")
+
+    def workers(self, collection: str | None = None,
+                fn: str | None = None) -> list[dict]:
+        return self._get("workers", collection=collection, fn=fn)
+
+    def worker_logs(self, worker_id: str) -> list[dict]:
+        return self._get(f"workers/{worker_id}/logs")
+
+    def upload_bundle(self, collection: str, fn: str, content: bytes) -> dict:
+        import base64
+        return self._post(f"collections/{collection}/functions/{fn}/bundle",
+                          content=base64.b64encode(content).decode())
+
+    def download_bundle(self, collection: str, fn: str) -> bytes:
+        import base64
+        out = self._get(f"collections/{collection}/functions/{fn}/bundle")
+        return base64.b64decode(out["content"])
+
+    # -- inter-collection permissions ----------------------------------
+    def inter_permissions(self, collection: str) -> list[dict]:
+        return self._get(
+            f"collections/{collection}/inter-collection-permissions")
+
+    def grant_inter(self, collection: str, to_collection: str) -> dict:
+        return self._post(
+            f"collections/{collection}/inter-collection-permissions",
+            to_collection=to_collection)
+
+    def revoke_inter(self, collection: str, to_collection: str) -> dict:
+        return self._delete(
+            f"collections/{collection}/inter-collection-permissions/"
+            f"{to_collection}")
+
     def function_runs(self, collection: str | None = None,
                       fn: str | None = None) -> list[dict]:
         return self._get("function_runs", collection=collection, fn=fn)
@@ -156,7 +221,12 @@ class ApiClient:
         return self._post("roles", name=name)
 
     def delete_role(self, name: str) -> dict:
-        return self._request("DELETE", f"roles/{name}")
+        return self._delete(f"roles/{name}")
+
+    def revoke(self, role: str, permission_type: str,
+               entity: str = "*") -> dict:
+        return self._delete(f"roles/{role}/permissions",
+                            permission_type=permission_type, entity=entity)
 
     def grant(self, role: str, permission_type: str,
               entity: str = "*") -> dict:

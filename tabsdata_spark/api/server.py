@@ -51,13 +51,22 @@ class ApiServer:
     """
 
     def __init__(self, spark, store, engine=None, auth: Authenticator | None = None,
-                 host: str = "127.0.0.1", port: int = 0):
+                 host: str = "127.0.0.1", port: int = 0,
+                 export_root: str | None = None):
         self.spark = spark
         self.store = store
         self.engine = engine
         self.auth = auth or Authenticator()
         self.roles = RoleStore()
         self._revoked: set[str] = set()
+        # Server-side writes from GET .../download are confined here: a
+        # client-chosen absolute path would let any authenticated user
+        # overwrite whatever the server process can write (the reference
+        # streams downloads to the client instead; this is the equivalent
+        # containment for a path-based contract).
+        import os as _os
+        self.export_root = _os.path.realpath(
+            export_root or _os.path.join(store.root, "exports"))
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -94,9 +103,13 @@ class ApiServer:
                     user = None
                     if (method, rel) not in _PUBLIC:
                         user = outer._authenticate(self.headers.get("Authorization"))
+                    # DELETE bodies are parsed too: revoke-style routes name
+                    # the permission/entity in the body (without this the
+                    # body read {} and revokes silently no-opped).
                     result = outer._route(method, rel.split("/"), query,
                                           self._json_body() if method in
-                                          ("POST", "PUT", "PATCH") else {}, user)
+                                          ("POST", "PUT", "PATCH", "DELETE")
+                                          else {}, user)
                     self._respond(200, result)
                 except ApiError as e:
                     self._respond(e.status, {"error": e.message})
@@ -114,6 +127,9 @@ class ApiServer:
 
             def do_DELETE(self):
                 self._handle("DELETE")
+
+            def do_PUT(self):
+                self._handle("PUT")
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self.host, self.port = self._httpd.server_address[:2]
@@ -169,11 +185,15 @@ class ApiServer:
                 "default_parallelism": self.spark.sparkContext.defaultParallelism,
             }
         if head == "collections":
-            return self._collection_routes(method, parts, query, body)
-        if head == "transactions" and method == "GET":
-            return self._transactions()
+            return self._collection_routes(method, parts, query, body, user)
+        if head == "transactions":
+            return self._transaction_routes(method, parts, user)
+        if head == "executions":
+            return self._execution_routes(method, parts, user)
+        if head == "workers":
+            return self._worker_routes(method, parts, query)
         if head == "users":
-            return self._user_routes(method, parts, body)
+            return self._user_routes(method, parts, body, user)
         if head == "roles":
             return self._role_routes(method, parts, body, user)
         if head == "functions" and method == "GET":
@@ -182,6 +202,24 @@ class ApiServer:
             return self.store.meta.list_runs(
                 query.get("collection"), query.get("fn"))
         raise ApiError(404, f"unknown route {method} {'/'.join(parts)}")
+
+    def _has_security(self, user: dict | None,
+                      collection: str | None = None) -> bool:
+        """sa or ss — the security surface (reference Authz<SysAdmin,
+        SecAdmin>) — resolved over the token role UNION role memberships;
+        with `collection`, collection-admin (ca) on it also qualifies."""
+        if not user:
+            return False
+        check = self.roles.user_allows
+        name, role = user["user"], user["role"]
+        if check(name, role, "sa") or check(name, role, "ss"):
+            return True
+        return collection is not None and check(name, role, "ca", collection)
+
+    def _require_security(self, user: dict | None,
+                          collection: str | None = None) -> None:
+        if not self._has_security(user, collection):
+            raise ApiError(403, "needs sys_admin/sec_admin permission")
 
     def _auth_routes(self, method, parts, body, user):
         sub = parts[1] if len(parts) > 1 else ""
@@ -208,14 +246,41 @@ class ApiServer:
             return {"ok": True}
         raise ApiError(404, f"unknown auth route {method} {sub}")
 
-    def _user_routes(self, method, parts, body):
+    def _user_routes(self, method, parts, body, user):
+        """USERS surface (reference rest_urls/mod.rs:63-72).  All mutations
+        need the security surface — without the gate any authenticated
+        'user'-role caller could mint themselves an admin account."""
         if method == "GET" and len(parts) == 1:
             return [{"name": n, "role": self.auth._roles.get(n, "user")}
                     for n in sorted(self.auth._users)]
+        if method != "GET":
+            self._require_security(user)
         if method == "POST" and len(parts) == 1:
+            if body["name"] in self.auth._users:
+                raise ApiError(409, f"user {body['name']} exists")
             self.auth.add_user(body["name"], body["password"],
                                role=body.get("role", "user"))
             return {"ok": True}
+        if len(parts) == 2:
+            name = parts[1]
+            if name not in self.auth._users:
+                raise ApiError(404, f"unknown user {name}")
+            if method == "PUT":
+                # update password and/or role (reference USER_UPDATE)
+                role = body.get("role", self.auth._roles.get(name, "user"))
+                if "password" in body:
+                    self.auth.add_user(name, body["password"], role=role)
+                else:
+                    self.auth._roles[name] = role
+                return {"ok": True}
+            if method == "DELETE":
+                if name == user["user"]:
+                    raise ApiError(409, "cannot delete the calling user")
+                del self.auth._users[name]
+                self.auth._roles.pop(name, None)
+                for r in self.roles.roles_of(name):
+                    self.roles.remove_user(r, name)
+                return {"ok": True}
         raise ApiError(404, "unknown users route")
 
     def _role_routes(self, method, parts, body, user):
@@ -224,9 +289,7 @@ class ApiServer:
         (sa or ss permission, authz.rs's Authz<SysAdmin, SecAdmin>)."""
         r = self.roles
         if method != "GET":
-            role = user["role"] if user else ""
-            if not (r.allows(role, "sa") or r.allows(role, "ss")):
-                raise ApiError(403, "needs sys_admin/sec_admin permission")
+            self._require_security(user)
         if len(parts) == 1:
             if method == "GET":
                 return r.list_roles()
@@ -269,7 +332,7 @@ class ApiServer:
         raise ApiError(404, f"unknown roles route {method} {sub}")
 
     # -- collections / tables / functions ------------------------------
-    def _collection_routes(self, method, parts, query, body):
+    def _collection_routes(self, method, parts, query, body, user):
         meta = self.store.meta
         if len(parts) == 1:
             if method == "GET":
@@ -287,8 +350,32 @@ class ApiServer:
         if sub == "tables":
             return self._table_routes(method, collection, parts[3:], query)
         if sub == "functions":
-            return self._function_routes(method, collection, parts[3:], query)
+            return self._function_routes(method, collection, parts[3:],
+                                         query, body)
+        if sub == "inter-collection-permissions":
+            return self._inter_routes(method, collection, parts[3:], body,
+                                      user)
         raise ApiError(404, f"unknown collection route {sub}")
+
+    def _inter_routes(self, method, collection, rest, body, user):
+        """Inter-collection permissions (reference rest_urls/mod.rs:147-152):
+        `collection` grants `to_collection` read access to its tables,
+        enforced by the engine at input-resolution time.  Mutations need
+        the security surface or collection-admin on the granting side."""
+        meta = self.store.meta
+        if method == "GET" and not rest:
+            return meta.list_inter(collection)
+        self._require_security(user, collection)
+        if method == "POST" and not rest:
+            meta.grant_inter(collection, body["to_collection"])
+            return {"ok": True}
+        if method == "DELETE":
+            to = rest[0] if rest else body.get("to_collection", "")
+            if not to:
+                raise ApiError(400, "to_collection required")
+            meta.revoke_inter(collection, to)
+            return {"ok": True}
+        raise ApiError(404, "unknown inter-collection-permissions route")
 
     def _table_routes(self, method, collection, rest, query):
         from ..store import services
@@ -319,12 +406,29 @@ class ApiServer:
             if not dest:
                 raise ApiError(400, "download requires ?dest=<path>")
             path = services.download_table(
-                self.spark, self.store, uri, dest,
+                self.spark, self.store, uri, self._confine_dest(dest),
                 fmt=query.get("format", "parquet"), sql=query.get("sql"))
             return {"path": path}
         raise ApiError(404, f"unknown table route {sub}")
 
-    def _function_routes(self, method, collection, rest, query):
+    def _confine_dest(self, dest: str) -> str:
+        """Confine a client-supplied download path to export_root.
+        Relative paths are joined under it; absolute paths must already
+        resolve inside it (symlink/.. tricks die at realpath)."""
+        import os
+
+        resolved = os.path.realpath(
+            dest if os.path.isabs(dest)
+            else os.path.join(self.export_root, dest))
+        if resolved != self.export_root and \
+                not resolved.startswith(self.export_root + os.sep):
+            raise ApiError(
+                403, f"download dest must be under export root "
+                     f"{self.export_root}")
+        os.makedirs(os.path.dirname(resolved), exist_ok=True)
+        return resolved
+
+    def _function_routes(self, method, collection, rest, query, body=None):
         if not rest:
             return self._functions(collection)
         fn = rest[0]
@@ -337,6 +441,33 @@ class ApiServer:
             raise ApiError(404, f"unknown function {collection}/{fn}")
         if method == "GET" and sub == "history":
             return meta.list_runs(collection, fn)
+        if sub == "bundle":
+            # function code bundle upload/fetch (reference
+            # rest_urls/mod.rs:172 FUNCTION_UPLOAD: the packaged code a
+            # worker materializes into its venv; here stored verbatim in
+            # the warehouse, keyed by (collection, fn)).
+            import base64
+            import os
+
+            bdir = os.path.join(self.store.root, "bundles", collection)
+            bpath = os.path.join(bdir, f"{fn}.bundle")
+            if method == "POST":
+                os.makedirs(bdir, exist_ok=True)
+                try:
+                    raw = base64.b64decode((body or {})["content"])
+                except (KeyError, ValueError):
+                    raise ApiError(400, "bundle needs base64 'content'") \
+                        from None
+                with open(bpath, "wb") as f:
+                    f.write(raw)
+                return {"ok": True, "size": len(raw)}
+            if method == "GET":
+                if not os.path.exists(bpath):
+                    raise ApiError(404, f"no bundle for {collection}/{fn}")
+                with open(bpath, "rb") as f:
+                    raw = f.read()
+                return {"content": base64.b64encode(raw).decode(),
+                        "size": len(raw)}
         if method == "POST" and sub == "execute":
             if self.engine is None:
                 raise ApiError(503, "no execution engine attached")
@@ -365,6 +496,86 @@ class ApiServer:
             return [dict(zip(cols, r)) for r in c.execute(
                 "SELECT id, status, created_at, committed_at FROM transactions "
                 "ORDER BY created_at DESC")]
+
+    def _transaction_routes(self, method, parts, user):
+        """TRANSACTIONS list/cancel/recover (reference
+        rest_urls/mod.rs:260-271)."""
+        from ..errors import VersionResolutionError
+
+        if method == "GET" and len(parts) == 1:
+            return self._transactions()
+        if method == "POST" and len(parts) == 3:
+            txn_id, action = parts[1], parts[2]
+            self._require_security(user)
+            try:
+                if action == "cancel":
+                    self.store.meta.cancel_transaction(txn_id)
+                    return {"ok": True, "id": txn_id, "status": "canceled"}
+                if action == "recover":
+                    self.store.meta.recover_transaction(txn_id)
+                    return {"ok": True, "id": txn_id, "status": "open"}
+            except VersionResolutionError as e:
+                raise ApiError(
+                    404 if "unknown" in str(e) else 409, str(e)) from None
+        raise ApiError(404, "unknown transactions route")
+
+    def _execution_routes(self, method, parts, user):
+        """EXECUTIONS surface (reference rest_urls/mod.rs:245-254): an
+        execution groups the function runs of one trigger cascade;
+        cancel/recover fan out to every non-committed run's transaction."""
+        runs = self.store.meta.list_runs()
+        by_exec: dict[str, list[dict]] = {}
+        for r in runs:
+            by_exec.setdefault(r["txn_id"], []).append(r)
+        if method == "GET" and len(parts) == 1:
+            out = []
+            for eid, rs in by_exec.items():
+                statuses = {r["status"] for r in rs}
+                status = ("failed" if "failed" in statuses else
+                          "canceled" if "canceled" in statuses else
+                          "scheduled" if "scheduled" in statuses else
+                          "committed")
+                out.append({"id": eid, "runs": len(rs), "status": status,
+                            "triggered_on": min(r["triggered_on"] for r in rs)})
+            return sorted(out, key=lambda e: e["triggered_on"], reverse=True)
+        if method == "POST" and len(parts) == 3:
+            eid, action = parts[1], parts[2]
+            if eid not in by_exec:
+                raise ApiError(404, f"unknown execution {eid}")
+            self._require_security(user)
+            if action not in ("cancel", "recover"):
+                raise ApiError(404, f"unknown executions action {action}")
+            new_status = "canceled" if action == "cancel" else "scheduled"
+            from_states = (("scheduled", "failed") if action == "cancel"
+                           else ("canceled", "failed"))
+            n = 0
+            for r in by_exec[eid]:
+                if r["status"] in from_states:
+                    self.store.meta.set_run_status(r["id"], new_status)
+                    n += 1
+            return {"ok": True, "id": eid, "runs_updated": n}
+        raise ApiError(404, "unknown executions route")
+
+    def _worker_routes(self, method, parts, query):
+        """WORKERS list + logs (reference rest_urls/mod.rs:277-287).  One
+        in-process run == one worker; logs come from run_logs rows the
+        engine appends at start/commit/fail."""
+        if method != "GET":
+            raise ApiError(405, "workers are read-only")
+        if len(parts) == 1:
+            runs = self.store.meta.list_runs(
+                query.get("collection"), query.get("fn"))
+            return [{"id": r["id"], "collection": r["collection"],
+                     "function": r["function"], "status": r["status"],
+                     "started_on": r["triggered_on"],
+                     "finished_at": r["finished_at"],
+                     "execution_id": r["txn_id"]} for r in runs]
+        if len(parts) == 3 and parts[2] == "logs":
+            lines = self.store.meta.logs(parts[1])
+            if not lines:
+                raise ApiError(404, f"no logs for worker {parts[1]}")
+            return lines
+        raise ApiError(404, "unknown workers route")
 
 
 __all__ = ["ApiServer", "ApiError"]

@@ -90,6 +90,8 @@ class PubSubEngine:
     def _run(self, key: str, execution_id: str) -> RunReport:
         collection, fn = self.graph.functions[key]
         run_id = self.store.meta.add_run(collection, fn.name, execution_id)
+        log = self.store.meta.add_log
+        log(run_id, f"worker started: {key} (execution {execution_id})")
         # Per-run working dir for SourcePlugin.resolve: must outlive the
         # whole run, not just input resolution — plugin-returned frames are
         # lazy reads over files written into it, materialized only at
@@ -121,9 +123,12 @@ class PubSubEngine:
                     for k, v in offset_update.items():
                         self.store.meta.set_offset(collection, fn.name, k, v)
             self.store.meta.set_run_status(run_id, "committed")
+            log(run_id, "committed: " + (", ".join(
+                f"{t}@{v}" for t, v in published.items()) or "(no tables)"))
             return RunReport(key, "committed", published)
         except Exception as e:  # noqa: BLE001 - report, don't crash the loop
             self.store.meta.set_run_status(run_id, "failed")
+            log(run_id, f"failed: {type(e).__name__}: {e}")
             return RunReport(key, "failed", error=f"{type(e).__name__}: {e}")
         finally:
             workdir.cleanup()
@@ -164,14 +169,32 @@ class PubSubEngine:
         # cannot resolve yet (first run of a self-dependent accumulator, or
         # an explicitly past-pinned version) yields None, as the reference
         # resolver finds no version as-of the trigger time.
+        #
+        # ALL inputs resolve against ONE snapshot timestamp (commit-time
+        # visibility, committed_history): under concurrent triggers, a
+        # commit landing between two input resolutions must not yield a
+        # torn read (table A from txn1, table B from txn2) — the serial-
+        # izability property the reference scheduler gets from planning.
         from ..errors import VersionResolutionError
+
+        snapshot = self.store.meta.snapshot_ts()
 
         own_outputs = {_norm(collection, t) for t in fn.output_tables}
         frames = []
         for uri in fn.input_tables:
+            # Cross-collection reads need an inter-collection grant from the
+            # source collection (reference rest_urls/mod.rs:147-152 +
+            # InterCollectionRead authz); same-collection reads are free.
+            src_coll = _norm(collection, uri).split("/", 1)[0]
+            if not self.store.meta.inter_allowed(src_coll, collection):
+                raise TabsdataSparkError(
+                    f"collection '{src_coll}' has not granted "
+                    f"inter-collection access to '{collection}' "
+                    f"(input {uri!r})")
             try:
                 frames.append(self.store.read_uri(
-                    self.spark, uri, default_collection=collection))
+                    self.spark, uri, default_collection=collection,
+                    as_of=snapshot))
             except VersionResolutionError:
                 ver = uri.split("@", 1)[1].upper() if "@" in uri else "HEAD"
                 if ver != "HEAD" or _norm(collection, uri) in own_outputs:

@@ -71,6 +71,19 @@ CREATE TABLE IF NOT EXISTS function_runs (
     triggered_on TEXT NOT NULL,
     finished_at TEXT
 );
+CREATE TABLE IF NOT EXISTS inter_collection_permissions (
+    collection TEXT NOT NULL,              -- granting (source) collection
+    to_collection TEXT NOT NULL,           -- collection allowed to read it
+    created_at TEXT NOT NULL,
+    PRIMARY KEY (collection, to_collection)
+);
+CREATE TABLE IF NOT EXISTS run_logs (
+    run_id TEXT NOT NULL,
+    seq INTEGER NOT NULL,
+    ts TEXT NOT NULL,
+    line TEXT NOT NULL,
+    PRIMARY KEY (run_id, seq)
+);
 CREATE TABLE IF NOT EXISTS offsets (
     collection TEXT NOT NULL,
     function_name TEXT NOT NULL,
@@ -136,14 +149,58 @@ class MetadataStore:
         return txn
 
     def commit_transaction(self, txn_id: str) -> None:
-        with self._conn() as c:
-            c.execute("UPDATE transactions SET status='committed', "
-                      "committed_at=? WHERE id=?", (_now(), txn_id))
+        # The lock makes stamping committed_at and making the row visible
+        # atomic w.r.t. snapshot_ts(): a snapshot taken at s sees exactly
+        # the transactions whose commit FINISHED before s — without it, a
+        # commit stamped t < s but landing after a reader's first query
+        # would be visible to that reader's later queries only (torn
+        # snapshot).  Process-local, like this control plane (server.py).
+        with self._lock:
+            with self._conn() as c:
+                c.execute("UPDATE transactions SET status='committed', "
+                          "committed_at=? WHERE id=?", (_now(), txn_id))
+
+    def snapshot_ts(self) -> str:
+        """A timestamp usable as a consistent `as_of` snapshot: taken
+        under the commit lock, so every commit stamped <= it is already
+        visible and every commit stamped > it is not yet stamped."""
+        with self._lock:
+            return _now()
 
     def rollback_transaction(self, txn_id: str) -> None:
         with self._conn() as c:
             c.execute("UPDATE transactions SET status='rolled_back' "
                       "WHERE id=?", (txn_id,))
+
+    def cancel_transaction(self, txn_id: str) -> None:
+        """Cancel a non-committed transaction and its unfinished runs
+        (reference: TRANSACTION_CANCEL, rest_urls/mod.rs:269 — committed
+        work is immutable, so cancel only moves open/failed states)."""
+        if self.transaction_status(txn_id) == "committed":
+            raise VersionResolutionError(
+                f"transaction {txn_id} is committed; cannot cancel")
+        with self._conn() as c:
+            c.execute("UPDATE transactions SET status='canceled' WHERE id=?",
+                      (txn_id,))
+            c.execute(
+                "UPDATE function_runs SET status='canceled', finished_at=? "
+                "WHERE txn_id=? AND status IN ('scheduled','failed')",
+                (_now(), txn_id))
+
+    def recover_transaction(self, txn_id: str) -> None:
+        """Re-open a canceled/rolled-back transaction so its runs can be
+        retried (reference: TRANSACTION_RECOVER, rest_urls/mod.rs:270)."""
+        status = self.transaction_status(txn_id)
+        if status == "committed":
+            raise VersionResolutionError(
+                f"transaction {txn_id} is committed; nothing to recover")
+        with self._conn() as c:
+            c.execute("UPDATE transactions SET status='open', "
+                      "committed_at=NULL WHERE id=?", (txn_id,))
+            c.execute(
+                "UPDATE function_runs SET status='scheduled', "
+                "finished_at=NULL WHERE txn_id=? "
+                "AND status IN ('canceled','failed')", (txn_id,))
 
     def transaction_status(self, txn_id: str) -> str:
         with self._conn() as c:
@@ -170,7 +227,11 @@ class MetadataStore:
                           as_of: str | None = None) -> list[tuple[str, str]]:
         """Ordered (oldest->newest) [(version_id, path)] of committed
         versions, optionally 'as of' a timestamp (reference
-        version_resolver.rs resolves against triggered_on)."""
+        version_resolver.rs resolves against triggered_on).  The as_of
+        filter compares COMMIT time, not version-creation time: a
+        transaction's tables become visible atomically at commit, so a
+        snapshot taken mid-transaction either sees all of its tables or
+        none — never a torn subset."""
         sql = (
             "SELECT v.version_id, v.path FROM table_versions v "
             "JOIN transactions t ON v.txn_id = t.id "
@@ -178,9 +239,16 @@ class MetadataStore:
         )
         args: list = [collection, table]
         if as_of is not None:
-            sql += " AND v.created_at <= ?"
+            sql += " AND t.committed_at <= ?"
             args.append(as_of)
-        sql += " ORDER BY v.created_at, v.version_id"
+        # Order by COMMIT time, not version-creation time: concurrent
+        # transactions interleave their writes, so created_at ordering can
+        # rank txn2's version of table A above txn1's while ranking them
+        # the other way on table B — "HEAD" would then be a torn snapshot.
+        # Commit time is per-transaction, so every table sees the same
+        # serial order (txn_id tiebreak keeps equal-microsecond commits
+        # consistent across tables).
+        sql += " ORDER BY t.committed_at, v.txn_id, v.created_at, v.version_id"
         with self._conn() as c:
             return c.execute(sql, args).fetchall()
 
@@ -245,12 +313,66 @@ class MetadataStore:
             "v.execution_id FROM table_versions v "
             "JOIN transactions t ON v.txn_id = t.id "
             "WHERE v.collection=? AND v.table_name=? AND t.status='committed' "
-            "ORDER BY v.created_at, v.version_id"
+            "ORDER BY t.committed_at, v.txn_id, v.created_at, v.version_id"
         )
         cols = ["id", "created_at", "row_count", "schema_hash", "execution_id"]
         with self._conn() as c:
             return [dict(zip(cols, r))
                     for r in c.execute(sql, (collection, table))]
+
+    # -- inter-collection permissions (reference rest_urls/mod.rs:147-152:
+    # a collection grants another collection read access to its tables) --
+    def grant_inter(self, collection: str, to_collection: str) -> None:
+        self.ensure_collection(collection)
+        with self._conn() as c:
+            c.execute(
+                "INSERT OR IGNORE INTO inter_collection_permissions "
+                "VALUES (?,?,?)", (collection, to_collection, _now()))
+
+    def revoke_inter(self, collection: str, to_collection: str) -> None:
+        with self._conn() as c:
+            c.execute(
+                "DELETE FROM inter_collection_permissions "
+                "WHERE collection=? AND to_collection=?",
+                (collection, to_collection))
+
+    def list_inter(self, collection: str) -> list[dict]:
+        with self._conn() as c:
+            rows = c.execute(
+                "SELECT to_collection, created_at FROM "
+                "inter_collection_permissions WHERE collection=? "
+                "ORDER BY to_collection", (collection,)).fetchall()
+        return [{"to_collection": t, "created_at": ts} for t, ts in rows]
+
+    def inter_allowed(self, src_collection: str, consumer: str) -> bool:
+        """May functions in `consumer` read tables of `src_collection`?
+        Same-collection reads are always allowed; cross-collection reads
+        need an explicit grant (reference authz: InterCollectionRead)."""
+        if src_collection == consumer:
+            return True
+        with self._conn() as c:
+            row = c.execute(
+                "SELECT 1 FROM inter_collection_permissions "
+                "WHERE collection=? AND to_collection=?",
+                (src_collection, consumer)).fetchone()
+        return row is not None
+
+    # -- worker logs (reference rest_urls/mod.rs:277-287: WORKERS list +
+    # per-worker logs; here one in-process worker == one function run) --
+    def add_log(self, run_id: str, line: str) -> None:
+        with self._conn() as c:
+            seq = c.execute(
+                "SELECT COALESCE(MAX(seq), -1) + 1 FROM run_logs "
+                "WHERE run_id=?", (run_id,)).fetchone()[0]
+            c.execute("INSERT INTO run_logs VALUES (?,?,?,?)",
+                      (run_id, seq, _now(), line))
+
+    def logs(self, run_id: str) -> list[dict]:
+        with self._conn() as c:
+            rows = c.execute(
+                "SELECT seq, ts, line FROM run_logs WHERE run_id=? "
+                "ORDER BY seq", (run_id,)).fetchall()
+        return [{"seq": s, "ts": t, "line": ln} for s, t, ln in rows]
 
     # -- offsets (incremental ingest state, reference offset_utils.py) --
     def get_offset(self, collection: str, fn: str, key: str):

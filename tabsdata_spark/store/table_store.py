@@ -133,13 +133,14 @@ class TableStore:
         return TableFrame._from_df(df)
 
     def read_uri(self, spark: SparkSession, uri: str,
-                 default_collection: str | None = None) -> TableFrame:
+                 default_collection: str | None = None,
+                 as_of: str | None = None) -> TableFrame:
         u = TableURI.parse(uri)
         coll = u.collection or default_collection
         if coll is None:
             raise VersionResolutionError(f"uri {uri!r} needs a collection")
         versions = "HEAD" if u.versions is None else _versions_str(u.versions)
-        return self.read(spark, coll, u.table, versions)
+        return self.read(spark, coll, u.table, versions, as_of=as_of)
 
     def history(self, collection: str, table: str) -> list[str]:
         return [v for v, _ in self.meta.committed_history(collection, table)]

@@ -193,12 +193,28 @@ def test_password_change(served):
 
 
 def test_download_via_api(served, tmp_path):
-    _, client, _ = served
-    dest = str(tmp_path / "dump")
-    out = client.download("sales", "orders", dest)
-    assert out["path"] == dest
+    server, client, _ = served
+    # relative dest lands under the server's export root
+    out = client.download("sales", "orders", "dump")
+    assert out["path"].startswith(server.export_root)
     import glob
-    assert glob.glob(dest + "/*.parquet")
+    assert glob.glob(out["path"] + "/*.parquet")
+
+
+def test_download_dest_confined_to_export_root(served, tmp_path):
+    server, client, _ = served
+    # absolute path outside the export root is rejected — a client must
+    # not be able to make the server write to arbitrary filesystem paths
+    with pytest.raises(ApiError) as ei:
+        client.download("sales", "orders", str(tmp_path / "evil"))
+    assert ei.value.status == 403
+    with pytest.raises(ApiError) as ei:
+        client.download("sales", "orders", "../../escape")
+    assert ei.value.status == 403
+    # absolute path INSIDE the export root is fine
+    import os
+    ok = os.path.join(server.export_root, "abs-dump")
+    assert client.download("sales", "orders", ok)["path"] == ok
 
 
 # ---------------------------------------------------------------- CLI
@@ -287,6 +303,175 @@ def test_builtin_roles_protected(served):
     assert ei.value.status == 409
     with pytest.raises(ApiError) as ei:
         client.grant("ghost-role", "cr")
+    assert ei.value.status == 404
+
+
+def test_user_creation_requires_security(served):
+    """Privilege-escalation gate: a 'user'-role caller must not be able to
+    mint accounts (let alone admin ones)."""
+    server, client, _ = served
+    client.create_user("eve2", "pw", role="user")
+    c2 = ApiClient(server.base_url)
+    c2.login("eve2", "pw")
+    assert c2.users()                              # reads allowed
+    for kwargs in ({"role": "sys_admin"}, {"role": "user"}):
+        with pytest.raises(ApiError) as ei:
+            c2.create_user("sneaky", "pw", **kwargs)
+        assert ei.value.status == 403
+
+
+def test_role_membership_grants_authz(served):
+    """Adding a user to sys_admin must actually grant the security surface
+    (allows() unions memberships with the token role)."""
+    server, client, _ = served
+    client.create_user("carol", "pw", role="user")
+    c2 = ApiClient(server.base_url)
+    c2.login("carol", "pw")
+    with pytest.raises(ApiError):
+        c2.create_role("carols-role")              # plain user: denied
+    client.assign_role("sys_admin", "carol")
+    c2.create_role("carols-role")                  # membership now grants
+    assert "carols-role" in {r["name"] for r in c2.roles()}
+    client.delete_role("carols-role")
+
+
+def test_admin_role_protected_from_delete(served):
+    _, client, _ = served
+    with pytest.raises(ApiError) as ei:
+        client.delete_role("admin")
+    assert ei.value.status == 409
+
+
+def test_revoke_permission_via_delete_body(served):
+    _, client, _ = served
+    client.create_role("temp-role")
+    client.grant("temp-role", "cr", entity="sales")
+    assert client.role_permissions("temp-role")
+    client.revoke("temp-role", "cr", entity="sales")
+    assert client.role_permissions("temp-role") == []
+    client.delete_role("temp-role")
+
+
+def test_user_update_and_delete(served):
+    server, client, _ = served
+    client.create_user("dave", "old-pw", role="user")
+    client.update_user("dave", password="new-pw", role="sys_admin")
+    c2 = ApiClient(server.base_url)
+    c2.login("dave", "new-pw")
+    assert c2.user_info()["role"] == "sys_admin"
+    with pytest.raises(ApiError) as ei:
+        client.delete_user("admin")                # cannot delete self
+    assert ei.value.status == 409
+    client.delete_user("dave")
+    with pytest.raises(ApiError):
+        ApiClient(server.base_url).login("dave", "new-pw")
+    with pytest.raises(ApiError) as ei:
+        client.update_user("ghost", role="user")
+    assert ei.value.status == 404
+
+
+def test_inter_collection_permissions_enforced(served, spark):
+    """Cross-collection reads need a grant from the source collection —
+    the engine refuses input resolution without it."""
+    server, client, store = served
+    engine = server.engine
+    client.create_collection("analytics")
+
+    @td.transformer(input_tables=["sales/raw"], output_tables=["mirror"])
+    def mirror_raw(raw):
+        return raw
+
+    engine.register("analytics", mirror_raw)
+    client.execute("sales", "pub")                 # publishes sales/raw
+    reports = client.execute("analytics", "mirror_raw")
+    assert reports[0]["status"] == "failed"
+    assert "inter-collection" in reports[0]["error"]
+
+    client.grant_inter("sales", "analytics")
+    assert client.inter_permissions("sales") == [
+        {"to_collection": "analytics",
+         "created_at": client.inter_permissions("sales")[0]["created_at"]}]
+    reports = client.execute("analytics", "mirror_raw")
+    assert reports[0]["status"] == "committed"
+
+    client.revoke_inter("sales", "analytics")
+    reports = client.execute("analytics", "mirror_raw")
+    assert reports[0]["status"] == "failed"
+
+
+def test_inter_collection_mutation_requires_security(served):
+    server, client, _ = served
+    client.create_user("mallory", "pw", role="user")
+    c2 = ApiClient(server.base_url)
+    c2.login("mallory", "pw")
+    assert c2.inter_permissions("sales") == []     # reads allowed
+    with pytest.raises(ApiError) as ei:
+        c2.grant_inter("sales", "anywhere")
+    assert ei.value.status == 403
+
+
+def test_transaction_cancel_and_recover(served):
+    _, client, store = served
+    txn = store.meta.begin_transaction()
+    client.cancel_transaction(txn)
+    assert store.meta.transaction_status(txn) == "canceled"
+    client.recover_transaction(txn)
+    assert store.meta.transaction_status(txn) == "open"
+    store.meta.commit_transaction(txn)
+    with pytest.raises(ApiError) as ei:
+        client.cancel_transaction(txn)             # committed is immutable
+    assert ei.value.status == 409
+    with pytest.raises(ApiError) as ei:
+        client.cancel_transaction("no-such-txn")
+    assert ei.value.status == 404
+
+
+def test_executions_workers_and_logs(served):
+    _, client, _ = served
+    client.execute("sales", "pub")
+    execs = client.executions()
+    assert execs and execs[0]["status"] == "committed"
+    assert execs[0]["runs"] == 2                   # pub + cascaded double
+    workers = client.workers(collection="sales")
+    assert {w["function"] for w in workers} == {"pub", "double"}
+    logs = client.worker_logs(workers[0]["id"])
+    text = " ".join(line["line"] for line in logs)
+    assert "worker started" in text and "committed" in text
+    with pytest.raises(ApiError) as ei:
+        client.worker_logs("no-such-worker")
+    assert ei.value.status == 404
+
+
+def test_execution_cancel_recover(served):
+    _, client, store = served
+    # a failed run (unknown input table) leaves a recoverable execution
+    @td.transformer(input_tables=["nope"], output_tables=["x"])
+    def broken(nope):
+        return nope
+
+    _, client, store = served
+    server = _
+    server.engine.register("sales", broken)
+    reports = client.execute("sales", "broken")
+    assert reports[0]["status"] == "failed"
+    eid = [e for e in client.executions() if e["status"] == "failed"][0]["id"]
+    out = client.cancel_execution(eid)
+    assert out["runs_updated"] == 1
+    assert [e for e in client.executions() if e["id"] == eid][0]["status"] \
+        == "canceled"
+    client.recover_execution(eid)
+    assert [e for e in client.executions() if e["id"] == eid][0]["status"] \
+        == "scheduled"
+
+
+def test_bundle_upload_roundtrip(served):
+    _, client, _ = served
+    payload = b"def pub(tf):\n    return tf\n" * 10
+    out = client.upload_bundle("sales", "pub", payload)
+    assert out["size"] == len(payload)
+    assert client.download_bundle("sales", "pub") == payload
+    with pytest.raises(ApiError) as ei:
+        client.download_bundle("sales", "ghost")
     assert ei.value.status == 404
 
 

@@ -374,3 +374,99 @@ def test_diff_versions_through_store(spark, tmp_path):
     d = {r.k: r.status for r in diff_versions(
         spark, store, "c", "t", "HEAD~1", "HEAD", ["k"]).collect()}
     assert d == {1: "removed", 3: "changed", 4: "added"}
+
+
+# ----------------------------------------------------- scheduler concurrency
+def test_concurrent_triggers_commit_atomically_and_serialize(spark, tmp_path):
+    """Two concurrent trigger cascades on dependent functions: multi-table
+    commits must stay atomic (each execution's two output tables come from
+    ONE transaction) and the commit order must be identical on every table
+    (serializable history).  The downstream transformer resolves all its
+    inputs against one commit-time snapshot, so it can never see table `a`
+    from one publisher run and table `b` from another (torn read).
+    Reference: scheduler_server.rs:21-75 commits transactions atomically
+    and cascades triggers."""
+    import threading
+
+    from tabsdata_spark.io.plugin import SourcePlugin
+
+    store = TableStore(str(tmp_path / "wh"))
+
+    class TwoTableSource(SourcePlugin):
+        """Each chunk() call emits the SAME fresh value into both outputs;
+        a torn snapshot downstream would pair different values."""
+
+        def __init__(self):
+            super().__init__()
+            self._lock = threading.Lock()
+            self._n = 0
+
+        def chunk(self, spark_, working_dir):
+            with self._lock:
+                self._n += 1
+                v = self._n
+            df = spark_.createDataFrame([(v,)], "v int")
+            return [df, df]
+
+    @td.publisher(TwoTableSource(), tables=["a", "b"])
+    def pub(a, b):
+        return a, b
+
+    @td.transformer(input_tables=["a", "b"], output_tables=["paired"],
+                    trigger_by=["a"])
+    def pair(a, b):
+        return a.join(b, left_on="v", right_on="v", how="cross",
+                      suffix="_b").select(
+            va=td.col("v"), vb=td.col("v_b"))
+
+    engine = PubSubEngine(spark, store)
+    engine.register("c", pub)
+    engine.register("c", pair)
+
+    results: list = [None, None]
+
+    def run(i):
+        results[i] = engine.trigger("c", "pub")
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    # every run of both cascades committed
+    for reports in results:
+        assert [r.status for r in reports] == ["committed", "committed"], \
+            [(r.function, r.error) for r in reports]
+
+    # atomic multi-table commit: each publisher transaction carries exactly
+    # one version of `a` AND one of `b`
+    with store.meta._conn() as c:
+        rows = c.execute(
+            "SELECT v.txn_id, v.table_name FROM table_versions v "
+            "JOIN transactions t ON v.txn_id = t.id "
+            "WHERE t.status='committed' AND v.collection='c' "
+            "AND v.table_name IN ('a','b')").fetchall()
+    by_txn: dict = {}
+    for txn, tbl in rows:
+        by_txn.setdefault(txn, []).append(tbl)
+    assert len(by_txn) == 2
+    for txn, tables in by_txn.items():
+        assert sorted(tables) == ["a", "b"], (txn, tables)
+
+    # serializable history: both tables observed the same commit order
+    def txn_order(table):
+        with store.meta._conn() as c:
+            return [r[0] for r in c.execute(
+                "SELECT v.txn_id FROM table_versions v "
+                "JOIN transactions t ON v.txn_id = t.id "
+                "WHERE t.status='committed' AND v.collection='c' "
+                "AND v.table_name=? ORDER BY t.committed_at, v.txn_id",
+                (table,))]
+
+    assert txn_order("a") == txn_order("b")
+
+    # no torn snapshot: every paired row matched equal values
+    paired = store.read(spark, "c", "paired", "INITIAL..HEAD").to_dict()
+    assert len(paired["va"]) == 2
+    assert paired["va"] == paired["vb"], paired
