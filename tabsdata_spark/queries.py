@@ -4444,53 +4444,77 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "approx_distinct_invariant",
     """
-    SELECT event_type,
-           COUNT(DISTINCT user_id) AS exact_users,
+    SELECT 'events' AS src, event_type AS grp,
+           COUNT(DISTINCT user_id) AS exact_distinct,
            TRUE AS approx_within_5pct
     FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'documents' AS src, source AS grp,
+           COUNT(DISTINCT n_chars) AS exact_distinct,
+           TRUE AS approx_within_5pct
+    FROM documents GROUP BY source
     """,
 )
 def approx_distinct_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ cardinality with a falsifiable invariant oracle: the
-    query OUTPUTS whether Spark's approx_count_distinct(rsd=2%) landed
-    within 5% of the exact count, so a sketch regression flips a value the
-    driver hash-compares.  (Raw sketch estimates are engine-specific and
-    can never be value-oracled directly.)  At scale the approx path is one
-    map-side sketch merge — no distinct expansion shuffle."""
+    """HyperLogLog++ cardinality with a falsifiable invariant oracle,
+    anchored per SOURCE table: events (user_id by event_type) and
+    documents (n_chars by source) each emit the exact COUNT DISTINCT as a
+    hash-compared value and whether approx_count_distinct(rsd=2%) landed
+    within 5% of it — a sketch regression on either source flips a value
+    the driver hash-compares.  (Raw sketch estimates are engine-specific
+    and can never be value-oracled directly.)  At scale the approx path is
+    one map-side sketch merge — no distinct expansion shuffle."""
+    def invariant(df, src, grp_col, val_col):
+        agg = df.groupBy(F.col(grp_col).alias("grp")).agg(
+            F.countDistinct(val_col).alias("exact_distinct"),
+            F.approx_count_distinct(val_col, rsd=0.02).alias("__approx"))
+        return agg.select(
+            F.lit(src).alias("src"), "grp", "exact_distinct",
+            (F.abs(F.col("__approx") - F.col("exact_distinct"))
+             <= 0.05 * F.col("exact_distinct")).alias("approx_within_5pct"))
+
     ev = load_events(spark, sf_dir).df
-    agg = ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("exact_users"),
-        F.approx_count_distinct("user_id", rsd=0.02).alias("__approx"))
-    return agg.select(
-        "event_type", "exact_users",
-        (F.abs(F.col("__approx") - F.col("exact_users"))
-         <= 0.05 * F.col("exact_users")).alias("approx_within_5pct"))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return invariant(ev, "events", "event_type", "user_id").unionAll(
+        invariant(docs, "documents", "source", "n_chars"))
 
 
 @q(
     "approx_quantile_invariant",
     """
-    SELECT event_type,
+    SELECT 'events' AS src, event_type AS grp,
            ROUND(quantile_cont(value, 0.5), 6) AS exact_p50,
            TRUE AS approx_within_band
     FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'documents' AS src, source AS grp,
+           ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 6) AS exact_p50,
+           TRUE AS approx_within_band
+    FROM documents GROUP BY source
     """,
 )
 def approx_quantile_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greenwald-Khanna approximate median held to a rank-accuracy band:
-    the query outputs whether percentile_approx(value, 0.5, acc=10000)
-    falls between the exact 48th and 52nd percentiles.  Sketch estimates
-    aren't portable; the band membership is."""
+    """Greenwald-Khanna approximate median held to a rank-accuracy band,
+    anchored per SOURCE table (events.value by event_type, documents.
+    n_chars by source): each row hash-compares the exact p50 value and
+    whether percentile_approx(.., 0.5, acc=10000) falls between the exact
+    48th and 52nd percentiles.  Sketch estimates aren't portable; the
+    exact anchor and band membership are."""
+    def invariant(df, src, grp_col, val_col):
+        agg = df.groupBy(F.col(grp_col).alias("grp")).agg(
+            F.expr(f"round(percentile({val_col}, 0.5), 6)").alias("exact_p50"),
+            F.expr(f"percentile_approx({val_col}, 0.5, 10000)").alias("__approx"),
+            F.expr(f"percentile({val_col}, 0.48)").alias("__lo"),
+            F.expr(f"percentile({val_col}, 0.52)").alias("__hi"))
+        return agg.select(
+            F.lit(src).alias("src"), "grp", "exact_p50",
+            ((F.col("__approx") >= F.col("__lo"))
+             & (F.col("__approx") <= F.col("__hi"))).alias("approx_within_band"))
+
     ev = load_events(spark, sf_dir).df
-    agg = ev.groupBy("event_type").agg(
-        F.expr("round(percentile(value, 0.5), 6)").alias("exact_p50"),
-        F.expr("percentile_approx(value, 0.5, 10000)").alias("__approx"),
-        F.expr("percentile(value, 0.48)").alias("__lo"),
-        F.expr("percentile(value, 0.52)").alias("__hi"))
-    return agg.select(
-        "event_type", "exact_p50",
-        ((F.col("__approx") >= F.col("__lo"))
-         & (F.col("__approx") <= F.col("__hi"))).alias("approx_within_band"))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return invariant(ev, "events", "event_type", "value").unionAll(
+        invariant(docs, "documents", "source", "n_chars"))
 
 
 _REPEATED_SPANS_ORACLE = f"""
