@@ -34,10 +34,16 @@ class RunReport:
 
 class PubSubEngine:
     def __init__(self, spark: SparkSession | None, store: TableStore,
-                 sessions: "SessionProvider | None" = None):
+                 sessions: "SessionProvider | None" = None,
+                 isolation: "IsolatedWorker | bool | None" = None):
         """`sessions` picks where runs execute (runner.py): default wraps
         the given in-process session; pass ConnectSessionProvider("sc://…")
-        to execute runs on a cluster via Spark Connect."""
+        to execute runs on a cluster via Spark Connect.
+
+        `isolation` enables per-run venv-subprocess workers (isolation.py)
+        for transformers registered WITH a bundle: pass an IsolatedWorker
+        or True (one is created under the store root).  Functions without
+        a bundle keep running in-process."""
         from .runner import LocalSessionProvider, SessionProvider
 
         if sessions is None:
@@ -49,9 +55,21 @@ class PubSubEngine:
         self.spark = sessions.session()
         self.store = store
         self.graph = TriggerGraph()
+        if isolation is True:
+            from .isolation import IsolatedWorker
+            import os
+
+            isolation = IsolatedWorker(
+                os.path.join(store.root, "workers"))
+            os.makedirs(isolation.root, exist_ok=True)
+        self.isolation = isolation or None
 
     # -- registration --------------------------------------------------
-    def register(self, collection: str, fn: TabsdataFunction) -> None:
+    def register(self, collection: str, fn: TabsdataFunction,
+                 bundle: str | None = None) -> None:
+        """`bundle` — optional self-contained python source defining the
+        decorated function (same artifact as the API's POST .../bundle):
+        stored under the warehouse and required for isolated execution."""
         self.graph.add(collection, fn)
         self.store.meta.register_function(
             collection, fn.name, fn.kind,
@@ -59,6 +77,20 @@ class PubSubEngine:
             json.dumps(list(fn.output_tables)),
             json.dumps(list(fn.trigger_by)) if fn.trigger_by is not None else None,
         )
+        if bundle is not None:
+            import os
+
+            bdir = os.path.join(self.store.root, "bundles", collection)
+            os.makedirs(bdir, exist_ok=True)
+            with open(os.path.join(bdir, f"{fn.name}.bundle"), "w") as f:
+                f.write(bundle)
+
+    def _bundle_path(self, collection: str, fn_name: str) -> str | None:
+        import os
+
+        p = os.path.join(self.store.root, "bundles", collection,
+                         f"{fn_name}.bundle")
+        return p if os.path.exists(p) else None
 
     # -- trigger + cascade ---------------------------------------------
     def trigger(self, collection: str, fn_name: str,
@@ -89,6 +121,10 @@ class PubSubEngine:
     # -- single run ----------------------------------------------------
     def _run(self, key: str, execution_id: str) -> RunReport:
         collection, fn = self.graph.functions[key]
+        bundle = self._bundle_path(collection, fn.name)
+        if (self.isolation is not None and bundle is not None
+                and fn.kind == "transformer"):
+            return self._run_isolated(key, execution_id, bundle)
         run_id = self.store.meta.add_run(collection, fn.name, execution_id)
         log = self.store.meta.add_log
         log(run_id, f"worker started: {key} (execution {execution_id})")
@@ -132,6 +168,65 @@ class PubSubEngine:
             return RunReport(key, "failed", error=f"{type(e).__name__}: {e}")
         finally:
             workdir.cleanup()
+
+    # -- isolated run ---------------------------------------------------
+    def _run_isolated(self, key: str, execution_id: str,
+                      bundle: str) -> RunReport:
+        """Transformer run in a venv-subprocess worker (isolation.py):
+        the control plane resolves input version PATHS against one
+        snapshot, the worker computes in its own process/JVM, and the
+        outputs publish here inside one transaction — same atomicity as
+        the in-process path, reference's planner/worker split."""
+        from ..errors import VersionResolutionError
+
+        collection, fn = self.graph.functions[key]
+        run_id = self.store.meta.add_run(collection, fn.name, execution_id)
+        log = self.store.meta.add_log
+        log(run_id, f"isolated worker started: {key} "
+                    f"(execution {execution_id}, bundle {bundle})")
+        try:
+            snapshot = self.store.meta.snapshot_ts()
+            own_outputs = {_norm(collection, t) for t in fn.output_tables}
+            inputs: list[list[str] | None] = []
+            for uri in fn.input_tables:
+                src_coll = _norm(collection, uri).split("/", 1)[0]
+                if not self.store.meta.inter_allowed(src_coll, collection):
+                    raise TabsdataSparkError(
+                        f"collection '{src_coll}' has not granted "
+                        f"inter-collection access to '{collection}' "
+                        f"(input {uri!r})")
+                try:
+                    inputs.append(self.store.resolve_uri_paths(
+                        uri, default_collection=collection, as_of=snapshot))
+                except VersionResolutionError:
+                    ver = uri.split("@", 1)[1].upper() if "@" in uri else "HEAD"
+                    if ver != "HEAD" or _norm(collection, uri) in own_outputs:
+                        inputs.append(None)
+                    else:
+                        raise
+            out_paths = self.isolation.run(bundle, fn.name, inputs)
+            if len(out_paths) != len(fn.output_tables):
+                raise TabsdataSparkError(
+                    f"{key}: worker returned {len(out_paths)} frames for "
+                    f"{len(fn.output_tables)} output tables")
+            published: dict[str, str] = {}
+            with self.store.transaction() as txn:
+                for path, table in zip(out_paths, fn.output_tables):
+                    if path is None:
+                        continue
+                    ver = self.store.write(
+                        TableFrame._from_df(self.spark.read.parquet(path)),
+                        collection, table, txn_id=txn,
+                        execution_id=execution_id)
+                    published[_norm(collection, table)] = ver
+            self.store.meta.set_run_status(run_id, "committed")
+            log(run_id, "committed: " + (", ".join(
+                f"{t}@{v}" for t, v in published.items()) or "(no tables)"))
+            return RunReport(key, "committed", published)
+        except Exception as e:  # noqa: BLE001 - report, don't crash the loop
+            self.store.meta.set_run_status(run_id, "failed")
+            log(run_id, f"failed: {type(e).__name__}: {e}")
+            return RunReport(key, "failed", error=f"{type(e).__name__}: {e}")
 
     # -- input resolution ----------------------------------------------
     def _load_inputs(self, collection: str, fn: TabsdataFunction,

@@ -117,16 +117,33 @@ class TableStore:
         return version_id
 
     # -- read ----------------------------------------------------------
+    def resolve_paths(self, collection: str, table: str,
+                      versions: str = "HEAD",
+                      as_of: str | None = None) -> list[str]:
+        """Resolve version refs to parquet paths (oldest first) without
+        touching Spark — the planner-side half of read(), used by isolated
+        workers that scan the paths in their own session."""
+        hist = self.meta.committed_history(collection, table, as_of=as_of)
+        ids = [h[0] for h in hist]
+        paths = {h[0]: h[1] for h in hist}
+        chosen = resolve_refs(ids, parse_versions(versions))
+        return [paths[v] for v in chosen]
+
+    def resolve_uri_paths(self, uri: str, default_collection: str | None = None,
+                          as_of: str | None = None) -> list[str]:
+        u = TableURI.parse(uri)
+        coll = u.collection or default_collection
+        if coll is None:
+            raise VersionResolutionError(f"uri {uri!r} needs a collection")
+        versions = "HEAD" if u.versions is None else _versions_str(u.versions)
+        return self.resolve_paths(coll, u.table, versions, as_of=as_of)
+
     def read(self, spark: SparkSession, collection: str, table: str,
              versions: str = "HEAD", as_of: str | None = None) -> TableFrame:
         """Read one or more versions (list/range refs concatenate, oldest
         first — the reference's multi-version dependency semantics)."""
-        hist = self.meta.committed_history(collection, table, as_of=as_of)
-        ids = [h[0] for h in hist]
-        paths = {h[0]: h[1] for h in hist}
-        ref = parse_versions(versions)
-        chosen = resolve_refs(ids, ref)
-        dfs = [spark.read.parquet(paths[v]) for v in chosen]
+        chosen = self.resolve_paths(collection, table, versions, as_of=as_of)
+        dfs = [spark.read.parquet(p) for p in chosen]
         df = dfs[0]
         for d in dfs[1:]:
             df = df.unionByName(d, allowMissingColumns=True)

@@ -470,3 +470,63 @@ def test_concurrent_triggers_commit_atomically_and_serialize(spark, tmp_path):
     paired = store.read(spark, "c", "paired", "INITIAL..HEAD").to_dict()
     assert len(paired["va"]) == 2
     assert paired["va"] == paired["vb"], paired
+
+
+# ----------------------------------------------------- worker isolation
+def test_isolated_worker_runs_bundled_transformer(spark, tmp_path):
+    """A transformer registered WITH a bundle executes in a venv
+    subprocess (own interpreter + own JVM); the control plane resolves
+    input paths, publishes outputs transactionally, and the run logs name
+    the isolated worker.  Reference: per-run virtualenv workers
+    (client/td-sdk/tabsdata/_tabsserver/invoker.py:76,
+    td-supervisor runner.rs)."""
+    store = TableStore(str(tmp_path / "wh"))
+    store.write(td.TableFrame.from_dict(spark, {"n": [1, 2, 3]}), "c", "raw")
+
+    BUNDLE = """
+import tabsdata_spark as td
+
+@td.transformer(input_tables=["raw"], output_tables=["doubled"])
+def double(raw):
+    return raw.with_columns(n2=td.col("n") * 2)
+"""
+
+    @td.transformer(input_tables=["raw"], output_tables=["doubled"])
+    def double(raw):
+        raise AssertionError("in-process body must NOT run when isolated")
+
+    engine = PubSubEngine(spark, store, isolation=True)
+    engine.register("c", double, bundle=BUNDLE)
+
+    # the venv interpreter is a different prefix than the engine's
+    assert engine.isolation.check_python_isolated(engine.isolation.python())
+
+    reports = engine.trigger("c", "double")
+    assert reports[0].status == "committed", reports[0].error
+    out = store.read(spark, "c", "doubled").to_dict()
+    assert sorted(out["n2"]) == [2, 4, 6]
+
+    runs = store.meta.list_runs("c", "double")
+    logs = " ".join(line["line"] for line in store.meta.logs(runs[0]["id"]))
+    assert "isolated worker started" in logs and "committed" in logs
+
+
+def test_isolated_worker_failure_is_contained(spark, tmp_path):
+    """A broken bundle fails ITS run report; the engine (and its Spark
+    session) keep working.  Bundle load fails before the worker pays JVM
+    startup."""
+    store = TableStore(str(tmp_path / "wh"))
+    store.write(td.TableFrame.from_dict(spark, {"n": [1]}), "c", "raw")
+
+    @td.transformer(input_tables=["raw"], output_tables=["out"])
+    def broken(raw):
+        return raw
+
+    engine = PubSubEngine(spark, store, isolation=True)
+    engine.register("c", broken, bundle="this is not python (")
+
+    reports = engine.trigger("c", "broken")
+    assert reports[0].status == "failed"
+    assert "SyntaxError" in reports[0].error
+    # engine session unharmed
+    assert spark.range(3).count() == 3
