@@ -755,3 +755,60 @@ def repeated_span_pairs(df: DataFrame, id_col: str = "doc_id",
             .groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).alias("n_shared_spans"))
             .filter(F.col("n_shared_spans") >= min_shared))
+
+
+def segment_dedup(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", seg_words: int = 20) -> DataFrame:
+    """Paragraph/line-level EXACT dedup (the C4 / RefinedWeb corpus-
+    hygiene step: drop every repeated line, keep its first occurrence),
+    over fixed `seg_words`-word segments since the corpus has no
+    structural line breaks.  Returns one row per document:
+    (id, segs_total, segs_kept, text_dedup) where text_dedup is the
+    document rebuilt from its surviving segments in order — documents
+    made entirely of already-seen segments survive with empty text.
+
+    Keep-first is deterministic: the occurrence with the smallest
+    (id, seg_idx) wins.
+
+    100 TB design: segmentation is a per-row projection (the word array
+    is bound once — naive slicing would inline the tokenizer per
+    segment); the ONLY data-sized shuffle keys on the segment string for
+    the keep-first window (same key a groupBy-dedup would use; hot
+    boilerplate segments are exactly the skew AQE's skew-join/window
+    handling splits); the rebuild groups by doc id, whose fan-in is
+    bounded by segments-per-doc.  No driver-side state.
+    """
+    k = seg_words
+
+    def segs_of(w: Column) -> Column:
+        nseg = F.greatest(F.ceil(F.size(w) / k).cast("int"), F.lit(1))
+        return F.transform(
+            F.sequence(F.lit(0), nseg - F.lit(1)),
+            lambda i: F.array_join(F.slice(w, i * k + 1, k), " "))
+
+    words = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    # bind the split ONCE (element_at/transform/array trick, see
+    # word_ngrams): referencing `words` inside the lambda would re-split
+    # the text once per segment — the O(len^2) inlining trap.
+    segments = F.element_at(F.transform(F.array(words), segs_of), 1)
+
+    seg_rows = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(segments).alias("seg_idx", "seg"))
+    first_w = Window.partitionBy("seg").orderBy("__id", "seg_idx")
+    kept = (seg_rows
+            .withColumn("__rn", F.row_number().over(first_w))
+            .filter(F.col("__rn") == 1))
+    rebuilt = kept.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("segs_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                lambda s: s["seg"]),
+            " ").alias("text_dedup"))
+    totals = df.select(F.col(id_col).alias("__id"),
+                       F.size(segments).alias("segs_total"))
+    return (totals.join(rebuilt, "__id", "left")
+            .select(F.col("__id").alias(id_col), "segs_total",
+                    F.coalesce("segs_kept", F.lit(0)).alias("segs_kept"),
+                    F.coalesce("text_dedup", F.lit("")).alias("text_dedup")))

@@ -4600,3 +4600,46 @@ def asof_nearest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = asof_join(clicks, views, on="ts", by="user_id", strategy="nearest")
     return out.select("event_id", "user_id", "ts",
                       F.col("ts_right").alias("view_ts"), "view_event")
+
+
+# ===========================================================================
+# round-3 additions (registered AFTER the rotation window on purpose)
+# ===========================================================================
+@q(
+    "segment_dedup_docs",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS words
+      FROM documents),
+    idx AS (
+      SELECT doc_id, words,
+             CAST(UNNEST(range(0, GREATEST(CAST(CEIL(len(words)/20.0)
+                                                AS BIGINT), 1))) AS INT)
+               AS seg_idx
+      FROM w),
+    segs AS (
+      SELECT doc_id, seg_idx,
+             array_to_string(words[seg_idx*20+1 : (seg_idx+1)*20], ' ') AS seg
+      FROM idx),
+    kept AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY seg
+                                   ORDER BY doc_id, seg_idx) AS rn
+      FROM segs),
+    rebuilt AS (
+      SELECT doc_id, COUNT(*) AS segs_kept,
+             string_agg(seg, ' ' ORDER BY seg_idx) AS text_dedup
+      FROM kept WHERE rn = 1 GROUP BY doc_id),
+    totals AS (SELECT doc_id, COUNT(*) AS segs_total FROM segs GROUP BY doc_id)
+    SELECT t.doc_id, t.segs_total,
+           COALESCE(r.segs_kept, 0) AS segs_kept,
+           COALESCE(r.text_dedup, '') AS text_dedup
+    FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def segment_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup (C4/RefinedWeb line dedup, 20-word
+    segments): keep each segment's first occurrence corpus-wide, rebuild
+    documents from survivors.  See llm/dedup.py:segment_dedup for the
+    100 TB shuffle analysis."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.segment_dedup(docs)

@@ -678,3 +678,27 @@ def test_multimodal_real_decode_and_resize(spark):
         df.filter(F.col("doc_id") == 1), width=3, height=3).collect()
     out = codecs.decode_bmp(bytes(rs[0].resized))
     assert (out["width"], out["height"]) == (3, 3)
+
+
+def test_segment_dedup_keeps_first_occurrence(spark):
+    """Two docs share a 20-word segment: the later doc loses it; rebuild
+    preserves within-doc order; all-duplicate docs survive with empty
+    text."""
+    from tabsdata_spark.llm.dedup import segment_dedup
+
+    seg_a = " ".join(["alpha"] * 20)       # shared segment
+    seg_b = " ".join(["beta"] * 20)
+    seg_c = " ".join(["gamma"] * 5)        # short trailing segment
+    rows = [
+        (1, f"{seg_a} {seg_b} {seg_c}"),   # keeps everything (first)
+        (2, f"{seg_b} {seg_a}"),           # both segments already seen
+        (3, f"{seg_c}"),                   # short doc, seg_c seen in doc 1?
+    ]
+    # note: doc 1's third segment IS seg_c (word 41-45), so doc 3 drops it
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in segment_dedup(df).collect()}
+    assert out[1]["segs_total"] == 3 and out[1]["segs_kept"] == 3
+    assert out[1]["text_dedup"] == f"{seg_a} {seg_b} {seg_c}"
+    assert out[2]["segs_total"] == 2 and out[2]["segs_kept"] == 0
+    assert out[2]["text_dedup"] == ""
+    assert out[3]["segs_total"] == 1 and out[3]["segs_kept"] == 0

@@ -321,3 +321,14 @@ def test_approx_distinct_no_expand_shuffle(spark, sf_dir):
         F.approx_count_distinct("user_id", rsd=0.02).alias("u"))
     plan = _plan(out)
     assert "partial_approx_count_distinct" in plan
+
+
+def test_segment_dedup_windows_per_segment(spark, sf_dir):
+    """The keep-first window must partition on the segment value — the
+    one data-sized shuffle.  A global (SinglePartition) window or a
+    cartesian pair-join would not survive 100 TB."""
+    from tabsdata_spark.llm import dedup
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(dedup.segment_dedup(docs))
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
