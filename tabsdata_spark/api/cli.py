@@ -110,6 +110,8 @@ def build_parser() -> argparse.ArgumentParser:
     t_dl.add_argument("--format", default="parquet", dest="fmt")
     t_dl.add_argument("--sql", default=None)
 
+    sub.add_parser("docs")
+
     fn = sub.add_parser("fn").add_subparsers(dest="sub", required=True)
     f_ls = fn.add_parser("list")
     f_ls.add_argument("collection", nargs="?", default=None)
@@ -117,9 +119,41 @@ def build_parser() -> argparse.ArgumentParser:
         f = fn.add_parser(verb)
         f.add_argument("collection")
         f.add_argument("function")
+    f_bu = fn.add_parser("bundle-upload")
+    f_bu.add_argument("collection")
+    f_bu.add_argument("function")
+    f_bu.add_argument("file")
+    f_bd = fn.add_parser("bundle-download")
+    f_bd.add_argument("collection")
+    f_bd.add_argument("function")
+    f_bd.add_argument("file")
 
     txn = sub.add_parser("txn").add_subparsers(dest="sub", required=True)
     txn.add_parser("list")
+    for verb in ("cancel", "recover"):
+        t = txn.add_parser(verb)
+        t.add_argument("id")
+
+    ex = sub.add_parser("exec").add_subparsers(dest="sub", required=True)
+    ex.add_parser("list")
+    for verb in ("cancel", "recover"):
+        e = ex.add_parser(verb)
+        e.add_argument("id")
+
+    wk = sub.add_parser("worker").add_subparsers(dest="sub", required=True)
+    w_ls = wk.add_parser("list")
+    w_ls.add_argument("--collection", default=None)
+    w_ls.add_argument("--fn", default=None)
+    w_lg = wk.add_parser("logs")
+    w_lg.add_argument("id")
+
+    prm = sub.add_parser("perm").add_subparsers(dest="sub", required=True)
+    p_ls = prm.add_parser("list")
+    p_ls.add_argument("collection")
+    for verb in ("grant", "revoke"):
+        g = prm.add_parser(verb)
+        g.add_argument("collection")
+        g.add_argument("to_collection")
 
     usr = sub.add_parser("user").add_subparsers(dest="sub", required=True)
     usr.add_parser("list")
@@ -127,6 +161,12 @@ def build_parser() -> argparse.ArgumentParser:
     u_new.add_argument("name")
     u_new.add_argument("--password", required=True)
     u_new.add_argument("--role", default="user")
+    u_up = usr.add_parser("update")
+    u_up.add_argument("name")
+    u_up.add_argument("--password", default=None)
+    u_up.add_argument("--role", default=None)
+    u_del = usr.add_parser("delete")
+    u_del.add_argument("name")
 
     rol = sub.add_parser("role").add_subparsers(dest="sub", required=True)
     rol.add_parser("list")
@@ -189,6 +229,8 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 _emit(c.download(args.collection, args.table, args.dest,
                                  fmt=args.fmt, sql=args.sql))
+        elif args.cmd == "docs":
+            _emit(c._get("docs"))
         elif args.cmd == "fn":
             if args.sub == "list":
                 _emit(c.functions(args.collection))
@@ -196,15 +238,53 @@ def main(argv: list[str] | None = None) -> int:
                 _emit(c.function(args.collection, args.function))
             elif args.sub == "history":
                 _emit(c.history(args.collection, args.function))
+            elif args.sub == "bundle-upload":
+                with open(args.file, "rb") as f:
+                    _emit(c.upload_bundle(args.collection, args.function,
+                                          f.read()))
+            elif args.sub == "bundle-download":
+                raw = c.download_bundle(args.collection, args.function)
+                with open(args.file, "wb") as f:
+                    f.write(raw)
+                _emit({"ok": True, "file": args.file, "size": len(raw)})
             else:
                 _emit(c.execute(args.collection, args.function))
         elif args.cmd == "txn":
-            _emit(c.transactions())
+            if args.sub == "list":
+                _emit(c.transactions())
+            elif args.sub == "cancel":
+                _emit(c.cancel_transaction(args.id))
+            else:
+                _emit(c.recover_transaction(args.id))
+        elif args.cmd == "exec":
+            if args.sub == "list":
+                _emit(c.executions())
+            elif args.sub == "cancel":
+                _emit(c.cancel_execution(args.id))
+            else:
+                _emit(c.recover_execution(args.id))
+        elif args.cmd == "worker":
+            if args.sub == "list":
+                _emit(c.workers(collection=args.collection, fn=args.fn))
+            else:
+                _emit(c.worker_logs(args.id))
+        elif args.cmd == "perm":
+            if args.sub == "list":
+                _emit(c.inter_permissions(args.collection))
+            elif args.sub == "grant":
+                _emit(c.grant_inter(args.collection, args.to_collection))
+            else:
+                _emit(c.revoke_inter(args.collection, args.to_collection))
         elif args.cmd == "user":
             if args.sub == "list":
                 _emit(c.users())
-            else:
+            elif args.sub == "create":
                 _emit(c.create_user(args.name, args.password, args.role))
+            elif args.sub == "update":
+                _emit(c.update_user(args.name, password=args.password,
+                                    role=args.role))
+            else:
+                _emit(c.delete_user(args.name))
         elif args.cmd == "role":
             if args.sub == "list":
                 _emit(c.roles())

@@ -27,8 +27,74 @@ from .auth import AuthError, Authenticator, RoleStore
 BASE = "/api/v1"
 
 # Routes callable without a bearer token (reference: AUTH_LOGIN plus the
-# liveness probe SERVER_STATUS).
-_PUBLIC = {("POST", "auth/login"), ("GET", "status")}
+# liveness probe SERVER_STATUS and the API docs, rest_urls/mod.rs:32-33).
+_PUBLIC = {("POST", "auth/login"), ("GET", "status"), ("GET", "docs")}
+
+# Machine-readable route inventory served at GET /docs (reference serves
+# openapi.json + docs UI, rest_urls/mod.rs:32-33; a full OpenAPI schema
+# would add a dependency for no consumer — this is the same discovery
+# contract in plain JSON).
+_ROUTE_DOCS = [
+    {"method": m, "path": p, "summary": s} for m, p, s in [
+        ("POST", "/auth/login", "mint a bearer token"),
+        ("POST", "/auth/refresh", "re-mint the current token"),
+        ("POST", "/auth/logout", "revoke the current token"),
+        ("GET", "/auth/info", "current user/role/expiry"),
+        ("POST", "/auth/password_change", "rotate own password"),
+        ("GET", "/status", "liveness probe"),
+        ("GET", "/docs", "this inventory"),
+        ("GET", "/runtime-info", "engine/spark runtime details"),
+        ("GET", "/users", "list users"),
+        ("POST", "/users", "create user (sa/ss)"),
+        ("PUT", "/users/{name}", "update password/role (sa/ss)"),
+        ("DELETE", "/users/{name}", "delete user (sa/ss)"),
+        ("GET", "/roles", "list roles with grants"),
+        ("POST", "/roles", "create role (sa/ss)"),
+        ("GET", "/roles/{role}", "role detail"),
+        ("DELETE", "/roles/{role}", "delete role (sa/ss)"),
+        ("GET", "/roles/{role}/permissions", "list grants"),
+        ("POST", "/roles/{role}/permissions", "grant permission (sa/ss)"),
+        ("DELETE", "/roles/{role}/permissions", "revoke permission (sa/ss)"),
+        ("GET", "/roles/{role}/users", "list members"),
+        ("POST", "/roles/{role}/users", "add member (sa/ss)"),
+        ("DELETE", "/roles/{role}/users/{user}", "remove member (sa/ss)"),
+        ("GET", "/collections", "list collections"),
+        ("POST", "/collections", "create collection"),
+        ("GET", "/collections/{c}", "collection detail"),
+        ("GET", "/collections/{c}/tables", "list tables"),
+        ("GET", "/collections/{c}/tables/{t}/schema", "table schema (?at=)"),
+        ("GET", "/collections/{c}/tables/{t}/sample",
+         "rows/csv/json sample (?sql= ?at= ?offset= ?len=)"),
+        ("GET", "/collections/{c}/tables/{t}/data-versions",
+         "committed versions with stats"),
+        ("GET", "/collections/{c}/tables/{t}/download",
+         "export under the server export root (?dest= ?format= ?sql=)"),
+        ("GET", "/collections/{c}/inter-collection-permissions",
+         "list collections granted read access"),
+        ("POST", "/collections/{c}/inter-collection-permissions",
+         "grant read access to another collection (sa/ss/ca)"),
+        ("DELETE", "/collections/{c}/inter-collection-permissions/{to}",
+         "revoke (sa/ss/ca)"),
+        ("GET", "/collections/{c}/functions", "list functions"),
+        ("GET", "/collections/{c}/functions/{f}", "function detail"),
+        ("GET", "/collections/{c}/functions/{f}/history", "run history"),
+        ("POST", "/collections/{c}/functions/{f}/execute",
+         "trigger + cascade"),
+        ("POST", "/collections/{c}/functions/{f}/bundle",
+         "upload code bundle (base64)"),
+        ("GET", "/collections/{c}/functions/{f}/bundle", "fetch bundle"),
+        ("GET", "/functions", "list functions across collections"),
+        ("GET", "/function_runs", "run rows (?collection= ?fn=)"),
+        ("GET", "/transactions", "list transactions"),
+        ("POST", "/transactions/{id}/cancel", "cancel non-committed (sa/ss)"),
+        ("POST", "/transactions/{id}/recover", "re-open canceled (sa/ss)"),
+        ("GET", "/executions", "trigger cascades grouped by execution"),
+        ("POST", "/executions/{id}/cancel", "cancel unfinished runs (sa/ss)"),
+        ("POST", "/executions/{id}/recover", "re-schedule runs (sa/ss)"),
+        ("GET", "/workers", "function-run workers (?collection= ?fn=)"),
+        ("GET", "/workers/{id}/logs", "worker log lines"),
+    ]
+]
 
 
 class ApiError(Exception):
@@ -177,6 +243,8 @@ class ApiServer:
             return self._auth_routes(method, parts, body, user)
         if head == "status" and method == "GET":
             return {"status": "OK"}
+        if head == "docs" and method == "GET":
+            return _ROUTE_DOCS
         if head == "runtime-info" and method == "GET":
             return {
                 "engine": "tabsdata-spark",

@@ -490,3 +490,47 @@ def test_cli_role_commands(served, tmp_path):
     assert rc == 0 and '"ops"' in out
     rc, out = _cli(served, tmp_path, "role", "delete", "ops")
     assert rc == 0
+
+
+def test_docs_route_public_and_complete(served):
+    server, _, _ = served
+    fresh = ApiClient(server.base_url)            # no login needed
+    docs = fresh._get("docs")
+    listed = {(d["method"], d["path"]) for d in docs}
+    assert ("POST", "/auth/login") in listed
+    assert ("GET", "/workers/{id}/logs") in listed
+    assert ("POST", "/collections/{c}/inter-collection-permissions") in listed
+    assert len(listed) == len(docs)               # no duplicate rows
+
+
+def test_cli_new_command_groups(served, tmp_path):
+    _cli(served, tmp_path, "login", "admin", "--password", "tabsdata")
+    rc, out = _cli(served, tmp_path, "docs")
+    assert rc == 0 and "/workers/{id}/logs" in out
+    rc, out = _cli(served, tmp_path, "fn", "trigger", "sales", "pub")
+    assert rc == 0
+    rc, out = _cli(served, tmp_path, "worker", "list", "--collection", "sales")
+    assert rc == 0 and '"pub"' in out
+    wid = __import__("json").loads(out.splitlines()[0])["id"]
+    rc, out = _cli(served, tmp_path, "worker", "logs", wid)
+    assert rc == 0 and "worker started" in out
+    rc, out = _cli(served, tmp_path, "exec", "list")
+    assert rc == 0 and "committed" in out
+    rc, out = _cli(served, tmp_path, "perm", "grant", "sales", "analytics2")
+    assert rc == 0
+    rc, out = _cli(served, tmp_path, "perm", "list", "sales")
+    assert rc == 0 and "analytics2" in out
+    rc, out = _cli(served, tmp_path, "perm", "revoke", "sales", "analytics2")
+    assert rc == 0
+    bundle = tmp_path / "b.py"
+    bundle.write_text("# bundle\n")
+    rc, out = _cli(served, tmp_path, "fn", "bundle-upload", "sales", "pub",
+                   str(bundle))
+    assert rc == 0
+    back = tmp_path / "b2.py"
+    rc, out = _cli(served, tmp_path, "fn", "bundle-download", "sales", "pub",
+                   str(back))
+    assert rc == 0 and back.read_text() == "# bundle\n"
+    rc, out = _cli(served, tmp_path, "user", "update", "admin",
+                   "--role", "admin")
+    assert rc == 0
