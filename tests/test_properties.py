@@ -135,3 +135,40 @@ def test_avro_zigzag_varint_roundtrip_property(n):
     buf = _io.BytesIO()
     _write_long(buf, n)
     assert _Reader(buf.getvalue()).read_long() == n
+
+
+# ---------------------------------------------------------------- seg dedup
+@settings(max_examples=15, deadline=None)
+@given(docs=st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]),
+             min_size=0, max_size=50),
+    min_size=1, max_size=8))
+def test_segment_dedup_invariants(spark, docs):
+    """For any corpus: a reference python implementation of keep-first
+    segment dedup agrees exactly with the distributed one — totals, kept
+    counts, and rebuilt text per document."""
+    from tabsdata_spark.llm.dedup import segment_dedup
+
+    k = 3
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           segment_dedup(df, seg_words=k).collect()}
+
+    def segs(text):
+        w = text.split(" ")          # '' splits to [''] — one empty segment
+        return [" ".join(w[i:i + k]) for i in range(0, len(w), k)]
+
+    seen: set[str] = set()
+    for doc_id, text in rows:        # rows are in (doc_id, seg_idx) order
+        mine = segs(text)
+        kept = []
+        for s in mine:               # within-doc repeats dedup too
+            if s not in seen:
+                kept.append(s)
+                seen.add(s)
+        r = out[doc_id]
+        assert r["segs_total"] == len(mine)
+        assert r["segs_kept"] == len(kept)
+        assert r["text_dedup"] == " ".join(kept)
+    assert len(out) == len(rows)

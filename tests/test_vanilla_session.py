@@ -105,3 +105,22 @@ def test_events_load_on_vanilla_session(vanilla, sf_dir):
     tf = load_events(vanilla, sf_dir)
     schema = dict(tf.to_spark().dtypes)
     assert schema.get("ts", "").startswith("timestamp")
+
+
+def test_driver_window_covers_never_verified_queries():
+    """The driver snapshots queries()[0:50].  Guard the r3 rotation: the
+    window must be exactly _PRIORITY_R3, every entry must exist with an
+    oracle, and (except cast_ops, kept for its hash fix) none may be a
+    query the driver already verified in rounds 1-2."""
+    import json
+
+    from tabsdata_spark import queries as registry
+
+    names = list(registry.queries())
+    window = names[:50]
+    assert window == registry._PRIORITY_R3
+    oracles = registry.oracle_sql()
+    assert all(n in oracles for n in window)
+    r2 = set(json.load(open("CORRECTNESS_r02.json")))
+    already = set(window) & r2
+    assert already == {"cast_ops"}, already
