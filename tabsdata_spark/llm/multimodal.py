@@ -145,10 +145,17 @@ def resize_images(df: DataFrame, id_col: str = "doc_id",
 
 
 def sample_frames(df: DataFrame, id_col: str = "doc_id",
-                  binary_col: str = "payload", every_ms: int = 1000) -> DataFrame:
-    """Video frame-sampling stub: emits (id, frame_idx, frame_bytes) rows.
-    Deterministic fake: derives frame count from payload size."""
+                  binary_col: str = "payload",
+                  max_frames: int = 8) -> DataFrame:
+    """Video frame sampling: emits (id, frame_idx, frame_bytes) rows.
+    REAL for uncompressed AVI payloads (codecs.sample_avi_frames —
+    evenly-spaced frames re-encoded as standalone BMPs, feeding the image
+    decode/featurize/resize path); other payloads keep the deterministic
+    fake so the plumbing (schema, batching, explode shape) is exercised
+    for formats whose decoders need external libs."""
     import pandas as pd
+
+    from .codecs import sample_avi_frames, sniff_format
 
     out_schema = T.StructType([
         T.StructField(id_col, T.LongType()),
@@ -162,9 +169,14 @@ def sample_frames(df: DataFrame, id_col: str = "doc_id",
             for _id, payload in zip(pdf[id_col], pdf[binary_col]):
                 if payload is None:
                     continue
+                payload = bytes(payload)
+                if sniff_format(payload) == "avi":
+                    for i, bmp in sample_avi_frames(payload, max_frames):
+                        rows.append((_id, i, bmp))
+                    continue
                 n_frames = max(1, len(payload) // 64)
-                for i in range(min(n_frames, 8)):
-                    rows.append((_id, i, bytes(payload[i * 8: i * 8 + 8])))
+                for i in range(min(n_frames, max_frames)):
+                    rows.append((_id, i, payload[i * 8: i * 8 + 8]))
             yield pd.DataFrame(rows, columns=[id_col, "frame_idx", "frame"])
 
     return df.select(id_col, binary_col).mapInPandas(run, out_schema)

@@ -4643,3 +4643,74 @@ def segment_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shuffle analysis."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return dedup.segment_dedup(docs)
+
+
+@q(
+    "video_frames_decode",
+    """
+    WITH f AS (
+      SELECT doc_id,
+             CAST(UNNEST(range(0, 2 + doc_id % 4)) AS INT) AS frame_idx
+      FROM documents WHERE doc_id < 60
+    )
+    SELECT doc_id, frame_idx,
+           CAST(6 + doc_id % 5 AS INTEGER) AS width,
+           CAST(3 + doc_id % 4 AS INTEGER) AS height,
+           ROUND(((doc_id * 31 + frame_idx * 17) % 256) / 255.0, 6) AS mean_luma,
+           0.0 AS luma_std
+    FROM f
+    """,
+)
+def video_frames_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode, value-oracled: each doc gets an uncompressed AVI
+    whose frame count, dimensions, and per-frame solid gray level are
+    closed-form in (doc_id, frame_idx); the query runs the full video
+    pipeline — container encode (executor-side), RIFF parse + frame
+    sampling (multimodal.sample_frames -> standalone BMPs), then BMP
+    decode/featurize per frame.  The oracle recomputes every value
+    arithmetically, so a regression anywhere in the chain flips
+    hash-compared values.  Solid frames => luma std exactly 0."""
+    import pandas as pd
+
+    from tabsdata_spark.llm import multimodal
+
+    def make_avis(batches):
+        import numpy as np
+
+        from tabsdata_spark.llm import codecs
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                n, h, w = 2 + i % 4, 3 + i % 4, 6 + i % 5
+                frames = np.empty((n, h, w, 3), dtype=np.uint8)
+                for f in range(n):
+                    frames[f] = (i * 31 + f * 17) % 256
+                payloads.append(codecs.encode_avi(frames, fps=10))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    def decode_frames(batches):
+        from tabsdata_spark.llm import codecs
+
+        for pdf in batches:
+            rows = []
+            for i, fi, frame in zip(pdf["doc_id"], pdf["frame_idx"],
+                                    pdf["frame"]):
+                d = codecs.decode_bmp(bytes(frame))
+                rows.append((int(i), int(fi), d["width"], d["height"],
+                             d["features"][0], d["features"][3]))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "frame_idx", "width", "height", "mean_luma",
+                "luma_std"])
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .filter(F.col("doc_id") < 60)
+    bins = docs.select("doc_id").mapInPandas(
+        make_avis, "doc_id long, payload binary")
+    frames = multimodal.sample_frames(bins, max_frames=8)
+    return frames.mapInPandas(
+        decode_frames,
+        "doc_id long, frame_idx int, width int, height int, "
+        "mean_luma double, luma_std double")
