@@ -87,8 +87,18 @@ class TableStore:
     # -- write ---------------------------------------------------------
     def write(self, frame: TableFrame | DataFrame, collection: str,
               table: str, txn_id: str | None = None,
-              execution_id: str | None = None) -> str:
-        """Write a new table version; returns its version id."""
+              execution_id: str | None = None,
+              partition_by: list[str] | None = None) -> str:
+        """Write a new table version; returns its version id.
+
+        `partition_by` stores the version hive-partitioned on the given
+        columns — the Spark-idiomatic form of the reference's
+        partition-variant layout (td-storage location.rs:36,
+        `.../p/PARTITION.p` files): one directory per partition value
+        instead of one file, so reads prune partitions at the scan
+        (PartitionFilters) and a 100 TB table filtered to one day touches
+        one directory.  Readers need no hint — spark.read.parquet
+        discovers the partition columns from the layout."""
         if isinstance(frame, DataFrame):
             frame = TableFrame.from_spark(frame)
         version_id = S.new_system_id()
@@ -106,7 +116,14 @@ class TableStore:
                 version=version_id, timestamp=props.timestamp)
         path = self.version_path(collection, version_id, table, version_id)
         stored = S.materialize_for_store(frame._df, props)
-        stored.write.mode("errorifexists").parquet(path)
+        writer = stored.write.mode("errorifexists")
+        if partition_by:
+            missing = set(partition_by) - set(frame._df.columns)
+            if missing:
+                raise VersionResolutionError(
+                    f"partition_by columns not in frame: {sorted(missing)}")
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
         self.meta.add_version(
             collection, table, version_id, path, txn_id,
             execution_id=execution_id, schema_hash=_schema_hash(frame._df),

@@ -530,3 +530,35 @@ def test_isolated_worker_failure_is_contained(spark, tmp_path):
     assert "SyntaxError" in reports[0].error
     # engine session unharmed
     assert spark.range(3).count() == 3
+
+
+def test_partitioned_version_write_prunes_at_scan(spark, tmp_path):
+    """partition_by stores a version hive-partitioned (the Spark form of
+    the reference's partition-variant layout, location.rs:36): reads
+    discover the partition column, filters on it become PartitionFilters
+    at the scan (directory pruning, the 100 TB path), and contents
+    round-trip."""
+    store = TableStore(str(tmp_path / "wh"))
+    tf = td.TableFrame.from_dict(spark, {
+        "region": ["eu", "eu", "us", "us", "ap"],
+        "amount": [1, 2, 3, 4, 5]})
+    store.write(tf, "c", "sales", partition_by=["region"])
+
+    back = store.read(spark, "c", "sales")
+    got = sorted(zip(back.to_dict()["region"], back.to_dict()["amount"]))
+    assert got == [("ap", 5), ("eu", 1), ("eu", 2), ("us", 3), ("us", 4)]
+
+    pruned = back.filter(td.col("region") == "eu")
+    plan = pruned.df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "region" in \
+        plan.split("PartitionFilters", 1)[1][:200]
+    assert sorted(pruned.to_dict()["amount"]) == [1, 2]
+
+    # layout on disk: one directory per partition value
+    import glob
+    vdir = store.resolve_paths("c", "sales")[0]
+    assert sorted(os.path.basename(p) for p in glob.glob(f"{vdir}/region=*")) \
+        == ["region=ap", "region=eu", "region=us"]
+
+    with pytest.raises(VersionResolutionError):
+        store.write(tf, "c", "sales", partition_by=["nope"])
