@@ -20,6 +20,8 @@ class TabsdataFunction:
     input_tables: Sequence[str] = field(default_factory=tuple)   # table URIs
     output_tables: Sequence[str] = field(default_factory=tuple)  # table names
     trigger_by: Sequence[str] | None = None  # table URIs; None -> all inputs
+    partition_by: dict[str, list[str]] = field(default_factory=dict)
+    # output table -> hive-partition columns (partition-variant storage)
 
     def __call__(self, *args, **kwargs):
         return self.fn(*args, **kwargs)
@@ -44,14 +46,17 @@ class TabsdataFunction:
 
 def publisher(source: Any, tables: str | Sequence[str],
               trigger_by: Sequence[str] | None = None,
-              name: str | None = None) -> Callable:
-    """External source -> tables (reference _decorators.py:42)."""
+              name: str | None = None,
+              partition_by: dict[str, list[str]] | None = None) -> Callable:
+    """External source -> tables (reference _decorators.py:42).
+    `partition_by` maps output table -> hive-partition columns."""
     outs = [tables] if isinstance(tables, str) else list(tables)
 
     def deco(fn: Callable) -> TabsdataFunction:
         return TabsdataFunction(
             fn=fn, kind="publisher", name=name or fn.__name__,
             source=source, output_tables=outs, trigger_by=trigger_by,
+            partition_by=dict(partition_by or {}),
         )
 
     return deco
@@ -60,8 +65,10 @@ def publisher(source: Any, tables: str | Sequence[str],
 def transformer(input_tables: str | Sequence[str],
                 output_tables: str | Sequence[str],
                 trigger_by: Sequence[str] | None = None,
-                name: str | None = None) -> Callable:
-    """Tables -> tables (reference _decorators.py:102)."""
+                name: str | None = None,
+                partition_by: dict[str, list[str]] | None = None) -> Callable:
+    """Tables -> tables (reference _decorators.py:102).
+    `partition_by` maps output table -> hive-partition columns."""
     ins = [input_tables] if isinstance(input_tables, str) else list(input_tables)
     outs = [output_tables] if isinstance(output_tables, str) else list(output_tables)
 
@@ -69,6 +76,7 @@ def transformer(input_tables: str | Sequence[str],
         return TabsdataFunction(
             fn=fn, kind="transformer", name=name or fn.__name__,
             input_tables=ins, output_tables=outs, trigger_by=trigger_by,
+            partition_by=dict(partition_by or {}),
         )
 
     return deco

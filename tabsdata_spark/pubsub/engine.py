@@ -153,7 +153,8 @@ class PubSubEngine:
                             continue
                         ver = self.store.write(
                             frame, collection, table, txn_id=txn,
-                            execution_id=execution_id)
+                            execution_id=execution_id,
+                            partition_by=fn.partition_by.get(table))
                         published[_norm(collection, table)] = ver
                 if offset_update:
                     for k, v in offset_update.items():
@@ -217,7 +218,8 @@ class PubSubEngine:
                     ver = self.store.write(
                         TableFrame._from_df(self.spark.read.parquet(path)),
                         collection, table, txn_id=txn,
-                        execution_id=execution_id)
+                        execution_id=execution_id,
+                        partition_by=fn.partition_by.get(table))
                     published[_norm(collection, table)] = ver
             self.store.meta.set_run_status(run_id, "committed")
             log(run_id, "committed: " + (", ".join(

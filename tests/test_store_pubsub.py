@@ -562,3 +562,28 @@ def test_partitioned_version_write_prunes_at_scan(spark, tmp_path):
 
     with pytest.raises(VersionResolutionError):
         store.write(tf, "c", "sales", partition_by=["nope"])
+
+
+def test_transformer_partitioned_output(spark, tmp_path):
+    """partition_by on the decorator flows through the engine to the
+    store: the published version is hive-partitioned and reads prune."""
+    store = TableStore(str(tmp_path / "wh"))
+    store.write(td.TableFrame.from_dict(spark, {
+        "region": ["eu", "us", "eu"], "amount": [1, 2, 3]}), "c", "raw")
+
+    @td.transformer(input_tables=["raw"], output_tables=["by_region"],
+                    partition_by={"by_region": ["region"]})
+    def split(raw):
+        return raw
+
+    engine = PubSubEngine(spark, store)
+    engine.register("c", split)
+    reports = engine.trigger("c", "split")
+    assert reports[0].status == "committed", reports[0].error
+
+    import glob
+    vdir = store.resolve_paths("c", "by_region")[0]
+    assert {os.path.basename(p) for p in glob.glob(f"{vdir}/region=*")} \
+        == {"region=eu", "region=us"}
+    back = store.read(spark, "c", "by_region")
+    assert sorted(back.to_dict()["amount"]) == [1, 2, 3]
