@@ -77,6 +77,23 @@ HYGIENE = [
 ]
 
 
+# Fourth group (added r3): batch twins of the streaming windows, graph
+# operators, and the new curation/multimodal ops — none were in a timed
+# group before.  Additive: the three existing ledgers keep their keys.
+EXTENDED = [
+    "session_window_native",
+    "sliding_window_events",
+    "asof_join_events",
+    "range_join_events",
+    "pagerank_event_transitions",
+    "connected_components_star_docs",
+    "percentiles_events",
+    "segment_dedup_docs",
+    "video_frames_decode",
+    "multimodal_decode",
+]
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -93,7 +110,7 @@ def main():
     # codegen compilation, parquet footer reads, and Python-worker process
     # spawn for pandas_udf stages (workers are reused afterwards).  The timed
     # pass below measures steady-state engine throughput.
-    for name in HEADLINE + CORPUS + HYGIENE:
+    for name in HEADLINE + CORPUS + HYGIENE + EXTENDED:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     # Queries whose distributed work happens at CONSTRUCTION time (iterative
@@ -103,7 +120,8 @@ def main():
     # for the wide plans) and would swamp sub-second engine timings, breaking
     # round-over-round comparability of the frozen headline list.
     EAGER = {"semantic_dedup_keep", "kmeans_clusters_emb",
-             "triangle_count_emb"}
+             "triangle_count_emb", "connected_components_star_docs",
+             "pagerank_event_transitions"}
 
     def timed(names: list[str]) -> dict[str, float]:
         out: dict[str, float] = {}
@@ -121,6 +139,7 @@ def main():
     timings = timed(HEADLINE)
     corpus_timings = timed(CORPUS)
     hygiene_timings = timed(HYGIENE)
+    extended_timings = timed(EXTENDED)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -133,6 +152,8 @@ def main():
         "corpus_queries": corpus_timings,
         "hygiene_total": round(sum(hygiene_timings.values()), 3),
         "hygiene_queries": hygiene_timings,
+        "extended_total": round(sum(extended_timings.values()), 3),
+        "extended_queries": extended_timings,
     }))
 
 
