@@ -59,9 +59,7 @@ class PubSubEngine:
             from .isolation import IsolatedWorker
             import os
 
-            isolation = IsolatedWorker(
-                os.path.join(store.root, "workers"))
-            os.makedirs(isolation.root, exist_ok=True)
+            isolation = IsolatedWorker(os.path.join(store.root, "workers"))
         self.isolation = isolation or None
 
     # -- registration --------------------------------------------------

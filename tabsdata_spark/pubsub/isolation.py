@@ -49,6 +49,7 @@ class IsolatedWorker:
 
     def __init__(self, root: str, timeout_s: float = 600.0):
         self.root = root
+        os.makedirs(root, exist_ok=True)
         self.timeout_s = timeout_s
         self._python: str | None = None
 

@@ -587,3 +587,26 @@ def test_transformer_partitioned_output(spark, tmp_path):
         == {"region=eu", "region=us"}
     back = store.read(spark, "c", "by_region")
     assert sorted(back.to_dict()["amount"]) == [1, 2, 3]
+
+
+def test_isolated_worker_timeout_is_contained(spark, tmp_path):
+    """A hung bundle hits the worker timeout and fails its own run
+    report; the engine keeps serving."""
+    store = TableStore(str(tmp_path / "wh"))
+    store.write(td.TableFrame.from_dict(spark, {"n": [1]}), "c", "raw")
+
+    @td.transformer(input_tables=["raw"], output_tables=["out"])
+    def hangs(raw):
+        return raw
+
+    from tabsdata_spark.pubsub.isolation import IsolatedWorker
+
+    worker = IsolatedWorker(str(tmp_path / "workers"), timeout_s=10.0)
+    engine = PubSubEngine(spark, store, isolation=worker)
+    engine.register("c", hangs,
+                    bundle="import time\ntime.sleep(600)\n")
+    reports = engine.trigger("c", "hangs")
+    assert reports[0].status == "failed"
+    assert "TimeoutExpired" in reports[0].error
+    assert store.meta.list_runs("c", "hangs")[0]["status"] == "failed"
+    assert spark.range(2).count() == 2
