@@ -21,6 +21,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--user", default="admin")
     ap.add_argument("--password", default="tabsdata")
+    ap.add_argument("--ssl-cert", default=None,
+                    help="PEM cert: serve HTTPS (needs --ssl-key)")
+    ap.add_argument("--ssl-key", default=None)
     args = ap.parse_args(argv)
 
     import tabsdata_spark as td
@@ -34,7 +37,8 @@ def main(argv: list[str] | None = None) -> int:
     store = TableStore(args.root)
     server = ApiServer(spark, store,
                        auth=Authenticator({args.user: args.password}),
-                       host=args.host, port=args.port)
+                       host=args.host, port=args.port,
+                       ssl_cert=args.ssl_cert, ssl_key=args.ssl_key)
     server.start()
     print(f"serving {args.root} at {server.base_url} "
           f"(login: {args.user})", flush=True)

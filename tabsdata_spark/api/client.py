@@ -24,10 +24,18 @@ class ApiClient:
     >>> c.collections()
     """
 
-    def __init__(self, base_url: str, timeout: float = 30.0):
+    def __init__(self, base_url: str, timeout: float = 30.0,
+                 cafile: str | None = None):
+        """`cafile` — CA bundle (or the self-signed server cert itself)
+        used to verify an https server; None uses system trust."""
         self.base_url = base_url.rstrip("/")
         self.timeout = timeout
         self._token: str | None = None
+        self._ssl_ctx = None
+        if cafile is not None:
+            import ssl
+
+            self._ssl_ctx = ssl.create_default_context(cafile=cafile)
 
     # -- transport -----------------------------------------------------
     def _request(self, method: str, path: str, query: dict | None = None,
@@ -42,7 +50,8 @@ class ApiClient:
         if self._token:
             req.add_header("Authorization", f"Bearer {self._token}")
         try:
-            with urlopen(req, timeout=self.timeout) as resp:
+            with urlopen(req, timeout=self.timeout,
+                         context=self._ssl_ctx) as resp:
                 return json.loads(resp.read())
         except HTTPError as e:
             try:

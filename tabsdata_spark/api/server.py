@@ -118,7 +118,8 @@ class ApiServer:
 
     def __init__(self, spark, store, engine=None, auth: Authenticator | None = None,
                  host: str = "127.0.0.1", port: int = 0,
-                 export_root: str | None = None):
+                 export_root: str | None = None,
+                 ssl_cert: str | None = None, ssl_key: str | None = None):
         self.spark = spark
         self.store = store
         self.engine = engine
@@ -198,13 +199,25 @@ class ApiServer:
                 self._handle("PUT")
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
+        # TLS (reference: the apiserver serves HTTPS with a provided cert,
+        # rest_urls/mod.rs:56): wrap the listening socket; clients verify
+        # against the cert (ApiClient cafile=...).
+        self.tls = bool(ssl_cert)
+        if ssl_cert:
+            import ssl as _ssl
+
+            ctx = _ssl.SSLContext(_ssl.PROTOCOL_TLS_SERVER)
+            ctx.load_cert_chain(ssl_cert, ssl_key)
+            self._httpd.socket = ctx.wrap_socket(
+                self._httpd.socket, server_side=True)
         self.host, self.port = self._httpd.server_address[:2]
         self._thread: threading.Thread | None = None
 
     # -- lifecycle -----------------------------------------------------
     @property
     def base_url(self) -> str:
-        return f"http://{self.host}:{self.port}{BASE}"
+        scheme = "https" if self.tls else "http"
+        return f"{scheme}://{self.host}:{self.port}{BASE}"
 
     def start(self) -> "ApiServer":
         self._thread = threading.Thread(target=self._httpd.serve_forever,

@@ -534,3 +534,35 @@ def test_cli_new_command_groups(served, tmp_path):
     rc, out = _cli(served, tmp_path, "user", "update", "admin",
                    "--role", "admin")
     assert rc == 0
+
+
+def test_tls_server_and_verified_client(spark, tmp_path):
+    """HTTPS end-to-end: server wraps its socket with a cert (reference
+    serves TLS, rest_urls:56), the client verifies against it, and an
+    unverified client is rejected by the handshake."""
+    import ssl
+    import subprocess
+
+    cert = tmp_path / "cert.pem"
+    key = tmp_path / "key.pem"
+    subprocess.run(
+        ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+         "-keyout", str(key), "-out", str(cert), "-days", "1",
+         "-subj", "/CN=127.0.0.1", "-addext",
+         "subjectAltName=IP:127.0.0.1"],
+        check=True, capture_output=True)
+
+    store = TableStore(str(tmp_path / "wh"))
+    store.write(td.TableFrame.from_dict(spark, {"k": [1]}), "c", "t")
+    server = ApiServer(spark, store,
+                       auth=Authenticator({"admin": "pw"}),
+                       ssl_cert=str(cert), ssl_key=str(key))
+    with server:
+        assert server.base_url.startswith("https://")
+        c = ApiClient(server.base_url, cafile=str(cert))
+        c.login("admin", "pw")
+        assert c.tables("c") == ["t"]
+        # a client that does NOT trust the cert fails the handshake
+        strict = ApiClient(server.base_url)
+        with pytest.raises((ssl.SSLError, OSError)):
+            strict.status()
