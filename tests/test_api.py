@@ -566,3 +566,40 @@ def test_tls_server_and_verified_client(spark, tmp_path):
         strict = ApiClient(server.base_url)
         with pytest.raises((ssl.SSLError, OSError)):
             strict.status()
+
+
+def test_rest_bundle_upload_enables_isolated_execution(spark, tmp_path):
+    """Full loop: a function's code bundle uploaded over REST is the same
+    artifact the engine's isolation path executes — POST .../bundle then
+    POST .../execute runs the uploaded code in a venv subprocess worker,
+    and the worker logs say so."""
+    store = TableStore(str(tmp_path / "wh"))
+    store.write(td.TableFrame.from_dict(spark, {"n": [5, 6]}), "c", "raw")
+
+    @td.transformer(input_tables=["raw"], output_tables=["tripled"])
+    def triple(raw):
+        raise AssertionError("in-process body must not run")
+
+    engine = PubSubEngine(spark, store, isolation=True)
+    engine.register("c", triple)          # no bundle yet -> would run in-proc
+
+    server = ApiServer(spark, store, engine=engine,
+                       auth=Authenticator({"admin": "pw"}))
+    with server:
+        client = ApiClient(server.base_url)
+        client.login("admin", "pw")
+        client.upload_bundle("c", "triple", b"""
+import tabsdata_spark as td
+
+@td.transformer(input_tables=["raw"], output_tables=["tripled"])
+def triple(raw):
+    return raw.with_columns(n3=td.col("n") * 3)
+""")
+        reports = client.execute("c", "triple")
+        assert reports[0]["status"] == "committed", reports[0]["error"]
+        out = store.read(spark, "c", "tripled").to_dict()
+        assert sorted(out["n3"]) == [15, 18]
+        worker = client.workers(collection="c")[0]
+        logs = " ".join(line["line"] for line in
+                        client.worker_logs(worker["id"]))
+        assert "isolated worker started" in logs
