@@ -103,6 +103,10 @@ def build_parser() -> argparse.ArgumentParser:
             t.add_argument("--sql", default=None)
             t.add_argument("--format", default="rows", dest="fmt",
                            choices=["rows", "csv", "json"])
+    t_vac = tbl.add_parser("vacuum")
+    t_vac.add_argument("collection")
+    t_vac.add_argument("table")
+    t_vac.add_argument("--keep-last", type=int, default=None)
     t_dl = tbl.add_parser("download")
     t_dl.add_argument("collection")
     t_dl.add_argument("table")
@@ -226,6 +230,9 @@ def main(argv: list[str] | None = None) -> int:
                     print(out, end="")
             elif args.sub == "versions":
                 _emit(c.data_versions(args.collection, args.table))
+            elif args.sub == "vacuum":
+                _emit(c.vacuum(args.collection, args.table,
+                               keep_last=args.keep_last))
             else:
                 _emit(c.download(args.collection, args.table, args.dest,
                                  fmt=args.fmt, sql=args.sql))

@@ -148,6 +148,12 @@ class ApiClient:
         return self._get(
             f"collections/{collection}/tables/{table}/data-versions")
 
+    def vacuum(self, collection: str, table: str,
+               keep_last: int | None = None) -> dict:
+        return self._request("POST",
+                             f"collections/{collection}/tables/{table}/vacuum",
+                             query={"keep_last": keep_last})
+
     def download(self, collection: str, table: str, dest: str,
                  fmt: str = "parquet", sql: str | None = None) -> dict:
         return self._get(f"collections/{collection}/tables/{table}/download",

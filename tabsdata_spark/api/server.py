@@ -69,6 +69,8 @@ _ROUTE_DOCS = [
          "committed versions with stats"),
         ("GET", "/collections/{c}/tables/{t}/download",
          "export under the server export root (?dest= ?format= ?sql=)"),
+        ("POST", "/collections/{c}/tables/{t}/vacuum",
+         "reclaim dead/old versions (?keep_last=) (sa/ss/ca)"),
         ("GET", "/collections/{c}/inter-collection-permissions",
          "list collections granted read access"),
         ("POST", "/collections/{c}/inter-collection-permissions",
@@ -429,7 +431,8 @@ class ApiServer:
             return names[collection]
         sub = parts[2] if len(parts) > 2 else ""
         if sub == "tables":
-            return self._table_routes(method, collection, parts[3:], query)
+            return self._table_routes(method, collection, parts[3:], query,
+                                      user)
         if sub == "functions":
             return self._function_routes(method, collection, parts[3:],
                                          query, body)
@@ -458,7 +461,7 @@ class ApiServer:
             return {"ok": True}
         raise ApiError(404, "unknown inter-collection-permissions route")
 
-    def _table_routes(self, method, collection, rest, query):
+    def _table_routes(self, method, collection, rest, query, user=None):
         from ..store import services
 
         meta = self.store.meta
@@ -469,6 +472,14 @@ class ApiServer:
         uri = f"{collection}/{table}"
         if query.get("at"):
             uri += f"@{query['at']}"
+        if method == "POST" and sub == "vacuum":
+            # retention is the one mutating table route; destructive, so
+            # it needs the security surface
+            self._require_security(user, collection)
+            keep = query.get("keep_last")
+            return self.store.vacuum(
+                collection, table,
+                keep_last=int(keep) if keep is not None else None)
         if method != "GET":
             raise ApiError(405, "tables are read-only over the API")
         if sub == "schema":

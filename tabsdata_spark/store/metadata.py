@@ -320,6 +320,35 @@ class MetadataStore:
             return [dict(zip(cols, r))
                     for r in c.execute(sql, (collection, table))]
 
+    def versions_with_status(self, collection: str | None = None,
+                             table: str | None = None) -> list[dict]:
+        """Every version row joined to its transaction status (vacuum's
+        view: committed history order plus dead rolled-back/canceled
+        rows)."""
+        sql = ("SELECT v.version_id, v.collection, v.table_name, v.path, "
+               "v.txn_id, t.status, t.committed_at, v.created_at "
+               "FROM table_versions v JOIN transactions t ON v.txn_id=t.id")
+        where, args = [], []
+        if collection is not None:
+            where.append("v.collection=?")
+            args.append(collection)
+        if table is not None:
+            where.append("v.table_name=?")
+            args.append(table)
+        if where:
+            sql += " WHERE " + " AND ".join(where)
+        sql += (" ORDER BY t.committed_at, v.txn_id, v.created_at, "
+                "v.version_id")
+        cols = ["version_id", "collection", "table", "path", "txn_id",
+                "status", "committed_at", "created_at"]
+        with self._conn() as c:
+            return [dict(zip(cols, r)) for r in c.execute(sql, args)]
+
+    def delete_versions(self, version_ids: list[str]) -> None:
+        with self._conn() as c:
+            c.executemany("DELETE FROM table_versions WHERE version_id=?",
+                          [(v,) for v in version_ids])
+
     # -- inter-collection permissions (reference rest_urls/mod.rs:147-152:
     # a collection grants another collection read access to its tables) --
     def grant_inter(self, collection: str, to_collection: str) -> None:

@@ -179,6 +179,52 @@ class TableStore:
     def history(self, collection: str, table: str) -> list[str]:
         return [v for v, _ in self.meta.committed_history(collection, table)]
 
+    # -- retention -----------------------------------------------------
+    def vacuum(self, collection: str | None = None, table: str | None = None,
+               keep_last: int | None = None) -> dict:
+        """Reclaim dead storage:
+
+        - version files of rolled-back/canceled transactions (never
+          visible to any reader — their commit never happened);
+        - with `keep_last=N`, committed versions beyond the newest N per
+          table (metadata rows removed too, so `HEAD~n` past the horizon
+          resolves to nothing rather than a dangling path).
+
+        Versions of OPEN transactions are never touched (a concurrent run
+        may still commit them).  Returns {"files_removed", "versions_
+        pruned"}.  Metadata-driven and local/posix-path only by design:
+        on object stores the same walk issues delete-prefix calls."""
+        import shutil
+
+        rows = self.meta.versions_with_status(collection, table)
+        dead = [r for r in rows if r["status"] in ("rolled_back", "canceled")]
+        pruned: list[dict] = []
+        if keep_last is not None:
+            if keep_last < 1:
+                raise VersionResolutionError("keep_last must be >= 1")
+            committed: dict[tuple[str, str], list[dict]] = {}
+            for r in rows:                      # already in commit order
+                if r["status"] == "committed":
+                    committed.setdefault(
+                        (r["collection"], r["table"]), []).append(r)
+            for versions in committed.values():
+                pruned.extend(versions[:-keep_last])
+        root = os.path.realpath(self.root)
+        files_removed = 0
+        for r in dead + pruned:
+            if os.path.isdir(r["path"]):
+                shutil.rmtree(r["path"])
+                files_removed += 1
+                # drop now-empty parents (d/<version>/t shells) up to root
+                parent = os.path.dirname(os.path.realpath(r["path"]))
+                while parent.startswith(root + os.sep) and \
+                        not os.listdir(parent):
+                    os.rmdir(parent)
+                    parent = os.path.dirname(parent)
+        self.meta.delete_versions([r["version_id"] for r in dead + pruned])
+        return {"files_removed": files_removed,
+                "versions_pruned": len(pruned)}
+
 
 def _versions_str(v) -> str:
     from .versions import VersionList, VersionRange

@@ -603,3 +603,16 @@ def triple(raw):
         logs = " ".join(line["line"] for line in
                         client.worker_logs(worker["id"]))
         assert "isolated worker started" in logs
+
+
+def test_vacuum_over_api_requires_security_and_prunes(served):
+    server, client, store = served
+    client.create_user("viewer", "pw", role="user")
+    c2 = ApiClient(server.base_url)
+    c2.login("viewer", "pw")
+    with pytest.raises(ApiError) as ei:
+        c2.vacuum("sales", "orders", keep_last=1)
+    assert ei.value.status == 403
+    out = client.vacuum("sales", "orders", keep_last=1)
+    assert out["versions_pruned"] == 1
+    assert len(client.data_versions("sales", "orders")) == 1

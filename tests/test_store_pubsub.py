@@ -610,3 +610,35 @@ def test_isolated_worker_timeout_is_contained(spark, tmp_path):
     assert "TimeoutExpired" in reports[0].error
     assert store.meta.list_runs("c", "hangs")[0]["status"] == "failed"
     assert spark.range(2).count() == 2
+
+
+def test_vacuum_reclaims_dead_and_old_versions(spark, tmp_path):
+    """vacuum removes rolled-back transaction files (never visible) and,
+    with keep_last, committed versions beyond the horizon — while HEAD
+    and the surviving history keep reading."""
+    store = TableStore(str(tmp_path / "wh"))
+    for i in range(3):
+        store.write(td.TableFrame.from_dict(spark, {"x": [i]}), "c", "t")
+    # a rolled-back write leaves files no reader can see
+    with pytest.raises(RuntimeError):
+        with store.transaction() as txn:
+            store.write(td.TableFrame.from_dict(spark, {"x": [99]}),
+                        "c", "t", txn_id=txn)
+            raise RuntimeError("boom")
+    assert len(store.meta.versions_with_status("c", "t")) == 4
+
+    out = store.vacuum("c", "t")
+    assert out == {"files_removed": 1, "versions_pruned": 0}
+    assert len(store.history("c", "t")) == 3      # committed all intact
+
+    out = store.vacuum("c", "t", keep_last=2)
+    assert out["versions_pruned"] == 1
+    hist = store.history("c", "t")
+    assert len(hist) == 2
+    assert store.read(spark, "c", "t").to_dict()["x"] == [2]
+    assert store.read(spark, "c", "t", "HEAD~1").to_dict()["x"] == [1]
+    with pytest.raises(VersionResolutionError):
+        store.read(spark, "c", "t", "HEAD~2")     # beyond the horizon
+    # the pruned version's directory is gone from disk
+    import glob
+    assert len(glob.glob(f"{store.root}/c/c/d/*")) == 2
