@@ -1,7 +1,8 @@
 """LLM training-data pipeline example: the 100 TB-shaped composition.
 
-documents -> exact dedup -> MinHash-LSH candidates -> transitive clusters
-(connected components) -> quality filter -> token counts -> versioned store.
+documents -> exact dedup -> paragraph-level dedup -> MinHash-LSH candidates
+-> transitive clusters (connected components) -> quality filter -> token
+counts -> versioned store (hive-partitioned by source).
 
 Every stage is a DataFrame transform: shingle/minhash work is JVM-side
 (xxhash64 + affine permutations), candidate generation shuffles band keys
@@ -40,6 +41,14 @@ def main() -> None:
     docs = dedup.dedup_exact(docs, key_cols=["text"])
     n1 = docs.count()
 
+    # 1b. paragraph-level exact dedup (C4/RefinedWeb line dedup): drop
+    #     repeated 20-word segments corpus-wide, rebuild the documents
+    seg = dedup.segment_dedup(docs)
+    docs = (docs.drop("text")
+            .join(seg.filter(F.col("segs_kept") > 0)
+                     .select("doc_id", F.col("text_dedup").alias("text")),
+                  "doc_id"))
+
     # 2. near-dup: LSH candidates -> exact-Jaccard verify -> transitive
     #    clusters -> keep one representative per cluster
     cands = dedup.minhash_lsh_candidates(docs)
@@ -57,7 +66,8 @@ def main() -> None:
     # 4. commit as a versioned table (atomic publish)
     work = tempfile.mkdtemp(prefix="tdspark_llm_")
     store = TableStore(os.path.join(work, "warehouse"))
-    ver = store.write(kept, "corpus", "training_docs")
+    ver = store.write(kept, "corpus", "training_docs",
+                      partition_by=["source"])  # scans prune by source
 
     print(f"docs: {n0} -> exact-dedup {n1} -> near-dup {n2} "
           f"-> quality-filtered {n3}")
