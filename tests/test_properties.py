@@ -172,3 +172,34 @@ def test_segment_dedup_invariants(spark, docs):
         assert r["segs_kept"] == len(kept)
         assert r["text_dedup"] == " ".join(kept)
     assert len(out) == len(rows)
+
+
+# Spark-free: the AVI container codec is pure Python — hammer the
+# roundtrip over arbitrary frame geometries (odd widths exercise row
+# padding; single-frame videos exercise the empty-motion path).
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(1, 5),
+    h=st.integers(1, 12),
+    w=st.integers(1, 13),
+    fps=st.integers(1, 60),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_avi_container_roundtrip(n, h, w, fps, seed):
+    import numpy as np
+
+    from tabsdata_spark.llm import codecs
+
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(0, 256, size=(n, h, w, 3), dtype=np.uint8)
+    avi = codecs.encode_avi(frames, fps=fps)
+    meta = codecs.decode_avi(avi)
+    assert (meta["width"], meta["height"], meta["n_frames"], meta["fps"]) \
+        == (w, h, n, fps)
+    for i in range(n):
+        bmp = codecs.avi_frame(avi, meta, i)
+        d = codecs.decode_bmp(bmp)
+        assert (d["width"], d["height"]) == (w, h)
+        assert np.array_equal(d["pixels"], frames[i])
+    if n == 1:
+        assert meta["features"][1] == 0.0
