@@ -71,8 +71,15 @@ class Authenticator:
     def refresh(self, token: str) -> dict:
         return self._mint(self.verify(token)["user"])
 
-    def _mint(self, name: str) -> dict:
-        payload = {"user": name, "role": self._roles.get(name, "user"),
+    def mint_as(self, name: str, role: str) -> dict:
+        """Token with an explicitly assumed role (AUTH_ROLE_CHANGE,
+        rest_urls/mod.rs:51) — the caller must have checked the user may
+        assume it (base role or RoleStore membership)."""
+        return self._mint(name, role)
+
+    def _mint(self, name: str, role: str | None = None) -> dict:
+        payload = {"user": name,
+                   "role": role or self._roles.get(name, "user"),
                    "exp": int(time.time()) + self.ttl_s}
         body = _b64e(json.dumps(payload).encode())
         sig = _b64e(hmac.new(self._secret, body.encode(), "sha256").digest())

@@ -94,6 +94,14 @@ class ApiClient:
         return self._post("auth/password_change",
                           old_password=old, new_password=new)
 
+    def change_role(self, role: str) -> dict:
+        out = self._post("auth/role_change", role=role)
+        self._token = out["access_token"]
+        return out
+
+    def ssl_cert(self) -> str:
+        return self._get("ssl-cert")["pem"]
+
     # -- status --------------------------------------------------------
     def status(self) -> dict:
         return self._get("status")
@@ -120,6 +128,9 @@ class ApiClient:
     def delete_user(self, name: str) -> dict:
         return self._delete(f"users/{name}")
 
+    def user(self, name: str) -> dict:
+        return self._get(f"users/{name}")
+
     # -- collections / tables ------------------------------------------
     def collections(self) -> list[dict]:
         return self._get("collections")
@@ -129,6 +140,18 @@ class ApiClient:
 
     def collection(self, name: str) -> dict:
         return self._get(f"collections/{name}")
+
+    def rename_collection(self, name: str, new_name: str) -> dict:
+        return self._put(f"collections/{name}", name=new_name)
+
+    def delete_collection(self, name: str) -> dict:
+        return self._delete(f"collections/{name}")
+
+    def all_tables(self) -> list[dict]:
+        return self._get("tables")
+
+    def delete_table(self, collection: str, table: str) -> dict:
+        return self._delete(f"collections/{collection}/tables/{table}")
 
     def tables(self, collection: str) -> list[str]:
         return self._get(f"collections/{collection}/tables")
@@ -167,6 +190,16 @@ class ApiClient:
 
     def function(self, collection: str, name: str) -> dict:
         return self._get(f"collections/{collection}/functions/{name}")
+
+    def update_function(self, collection: str, name: str, **spec) -> dict:
+        return self._put(f"collections/{collection}/functions/{name}", **spec)
+
+    def delete_function(self, collection: str, name: str) -> dict:
+        return self._delete(f"collections/{collection}/functions/{name}")
+
+    def set_role_permissions(self, role: str,
+                             permissions: list[dict]) -> dict:
+        return self._put(f"roles/{role}", permissions=permissions)
 
     def history(self, collection: str, name: str) -> list[dict]:
         return self._get(f"collections/{collection}/functions/{name}/history")

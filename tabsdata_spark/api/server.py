@@ -22,7 +22,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any
 from urllib.parse import parse_qs, urlparse
 
-from .auth import AuthError, Authenticator, RoleStore
+from .auth import PERMISSION_TYPES, AuthError, Authenticator, RoleStore
 
 BASE = "/api/v1"
 
@@ -41,16 +41,20 @@ _ROUTE_DOCS = [
         ("POST", "/auth/logout", "revoke the current token"),
         ("GET", "/auth/info", "current user/role/expiry"),
         ("POST", "/auth/password_change", "rotate own password"),
+        ("POST", "/auth/role_change", "assume a role you belong to"),
+        ("GET", "/ssl-cert", "serving certificate (TLS deployments)"),
         ("GET", "/status", "liveness probe"),
         ("GET", "/docs", "this inventory"),
         ("GET", "/runtime-info", "engine/spark runtime details"),
         ("GET", "/users", "list users"),
         ("POST", "/users", "create user (sa/ss)"),
+        ("GET", "/users/{name}", "user detail with memberships"),
         ("PUT", "/users/{name}", "update password/role (sa/ss)"),
         ("DELETE", "/users/{name}", "delete user (sa/ss)"),
         ("GET", "/roles", "list roles with grants"),
         ("POST", "/roles", "create role (sa/ss)"),
         ("GET", "/roles/{role}", "role detail"),
+        ("PUT", "/roles/{role}", "replace grant set (sa/ss)"),
         ("DELETE", "/roles/{role}", "delete role (sa/ss)"),
         ("GET", "/roles/{role}/permissions", "list grants"),
         ("POST", "/roles/{role}/permissions", "grant permission (sa/ss)"),
@@ -61,6 +65,9 @@ _ROUTE_DOCS = [
         ("GET", "/collections", "list collections"),
         ("POST", "/collections", "create collection"),
         ("GET", "/collections/{c}", "collection detail"),
+        ("PUT", "/collections/{c}", "rename collection (sa/ss/ca)"),
+        ("DELETE", "/collections/{c}", "delete empty collection (sa/ss/ca)"),
+        ("GET", "/tables", "list tables across collections"),
         ("GET", "/collections/{c}/tables", "list tables"),
         ("GET", "/collections/{c}/tables/{t}/schema", "table schema (?at=)"),
         ("GET", "/collections/{c}/tables/{t}/sample",
@@ -69,6 +76,8 @@ _ROUTE_DOCS = [
          "committed versions with stats"),
         ("GET", "/collections/{c}/tables/{t}/download",
          "export under the server export root (?dest= ?format= ?sql=)"),
+        ("DELETE", "/collections/{c}/tables/{t}",
+         "delete table + all versions (sa/ss/ca)"),
         ("POST", "/collections/{c}/tables/{t}/vacuum",
          "reclaim dead/old versions (?keep_last=) (sa/ss/ca)"),
         ("GET", "/collections/{c}/inter-collection-permissions",
@@ -79,6 +88,10 @@ _ROUTE_DOCS = [
          "revoke (sa/ss/ca)"),
         ("GET", "/collections/{c}/functions", "list functions"),
         ("GET", "/collections/{c}/functions/{f}", "function detail"),
+        ("PUT", "/collections/{c}/functions/{f}",
+         "update spec: tables/trigger lists (sa/ss/ca)"),
+        ("DELETE", "/collections/{c}/functions/{f}",
+         "unregister function (sa/ss/ca)"),
         ("GET", "/collections/{c}/functions/{f}/history", "run history"),
         ("POST", "/collections/{c}/functions/{f}/execute",
          "trigger + cascade"),
@@ -205,6 +218,7 @@ class ApiServer:
         # rest_urls/mod.rs:56): wrap the listening socket; clients verify
         # against the cert (ApiClient cafile=...).
         self.tls = bool(ssl_cert)
+        self._ssl_cert_path = ssl_cert
         if ssl_cert:
             import ssl as _ssl
 
@@ -281,6 +295,16 @@ class ApiServer:
             return self._role_routes(method, parts, body, user)
         if head == "functions" and method == "GET":
             return self._functions(None)
+        if head == "tables" and method == "GET":
+            # global table listing (reference LIST_TABLES, :231)
+            return self.store.meta.list_all_tables()
+        if head == "ssl-cert" and method == "GET":
+            # reference CERT_DOWNLOAD (:56): clients fetch the serving
+            # cert to pin it (ApiClient cafile=)
+            if not self._ssl_cert_path:
+                raise ApiError(404, "server is not serving TLS")
+            with open(self._ssl_cert_path) as f:
+                return {"pem": f.read()}
         if head == "function_runs" and method == "GET":
             return self.store.meta.list_runs(
                 query.get("collection"), query.get("fn"))
@@ -327,6 +351,16 @@ class ApiServer:
             self.auth.add_user(user["user"], body["new_password"],
                                role=user["role"])
             return {"ok": True}
+        if method == "POST" and sub == "role_change":
+            # assume another role (AUTH_ROLE_CHANGE, :51): only the base
+            # role or a role the user is a member of
+            want = body.get("role", "")
+            name = user["user"]
+            if want != self.auth._roles.get(name) and \
+                    name not in self.roles._members.get(want, set()):
+                raise ApiError(403, f"user {name} cannot assume role {want}")
+            self._revoked.add(user["token"])       # old token dies with it
+            return self.auth.mint_as(name, want)
         raise ApiError(404, f"unknown auth route {method} {sub}")
 
     def _user_routes(self, method, parts, body, user):
@@ -344,6 +378,12 @@ class ApiServer:
             self.auth.add_user(body["name"], body["password"],
                                role=body.get("role", "user"))
             return {"ok": True}
+        if method == "GET" and len(parts) == 2:
+            name = parts[1]
+            if name not in self.auth._users:
+                raise ApiError(404, f"unknown user {name}")
+            return {"name": name, "role": self.auth._roles.get(name, "user"),
+                    "member_of": sorted(self.roles.roles_of(name))}
         if len(parts) == 2:
             name = parts[1]
             if name not in self.auth._users:
@@ -385,6 +425,20 @@ class ApiServer:
             if not sub:
                 if method == "GET":
                     return {"name": name, "permissions": r.permissions(name)}
+                if method == "PUT":
+                    # replace the grant set atomically (UPDATE_ROLE, :87)
+                    wanted = body.get("permissions", [])
+                    for p in wanted:            # validate before mutating
+                        if p.get("permission_type") not in PERMISSION_TYPES:
+                            raise ApiError(
+                                400, f"unknown permission type "
+                                     f"{p.get('permission_type')}")
+                    for p in list(r.permissions(name)):
+                        r.revoke(name, p["permission_type"], p["entity"])
+                    for p in wanted:
+                        r.grant(name, p["permission_type"],
+                                p.get("entity", "*"))
+                    return {"ok": True, "permissions": r.permissions(name)}
                 if method == "DELETE":
                     r.delete_role(name)
                     return {"ok": True}
@@ -424,18 +478,38 @@ class ApiServer:
                 meta.ensure_collection(body["name"])
                 return {"ok": True, "name": body["name"]}
         collection = parts[1]
-        if len(parts) == 2 and method == "GET":
+        if len(parts) == 2:
             names = {c["name"]: c for c in meta.list_collections()}
             if collection not in names:
                 raise ApiError(404, f"unknown collection {collection}")
-            return names[collection]
+            if method == "GET":
+                return names[collection]
+            from ..errors import VersionResolutionError
+
+            if method == "PUT":
+                # rename (UPDATE_COLLECTION, :136) — version paths are
+                # absolute so data keeps reading under the new name
+                self._require_security(user, collection)
+                try:
+                    meta.rename_collection(collection, body["name"])
+                except VersionResolutionError as e:
+                    raise ApiError(409, str(e)) from None
+                return {"ok": True, "name": body["name"]}
+            if method == "DELETE":
+                # refuse while tables exist (DELETE_COLLECTION, :137)
+                self._require_security(user, collection)
+                try:
+                    meta.drop_collection(collection)
+                except VersionResolutionError as e:
+                    raise ApiError(409, str(e)) from None
+                return {"ok": True}
         sub = parts[2] if len(parts) > 2 else ""
         if sub == "tables":
             return self._table_routes(method, collection, parts[3:], query,
                                       user)
         if sub == "functions":
             return self._function_routes(method, collection, parts[3:],
-                                         query, body)
+                                         query, body, user)
         if sub == "inter-collection-permissions":
             return self._inter_routes(method, collection, parts[3:], body,
                                       user)
@@ -473,13 +547,18 @@ class ApiServer:
         if query.get("at"):
             uri += f"@{query['at']}"
         if method == "POST" and sub == "vacuum":
-            # retention is the one mutating table route; destructive, so
-            # it needs the security surface
+            # retention is destructive: security surface required
             self._require_security(user, collection)
             keep = query.get("keep_last")
             return self.store.vacuum(
                 collection, table,
                 keep_last=int(keep) if keep is not None else None)
+        if method == "DELETE" and not sub:
+            # TABLE_DELETE (:237): metadata rows + every version's files
+            self._require_security(user, collection)
+            if table not in meta.list_tables(collection):
+                raise ApiError(404, f"unknown table {collection}/{table}")
+            return self.store.drop_table(collection, table)
         if method != "GET":
             raise ApiError(405, "tables are read-only over the API")
         if sub == "schema":
@@ -520,7 +599,8 @@ class ApiServer:
         os.makedirs(os.path.dirname(resolved), exist_ok=True)
         return resolved
 
-    def _function_routes(self, method, collection, rest, query, body=None):
+    def _function_routes(self, method, collection, rest, query, body=None,
+                         user=None):
         if not rest:
             return self._functions(collection)
         fn = rest[0]
@@ -531,6 +611,33 @@ class ApiServer:
                 if row["name"] == fn:
                     return row
             raise ApiError(404, f"unknown function {collection}/{fn}")
+        if method in ("PUT", "DELETE") and not sub:
+            self._require_security(user, collection)
+            existing = {row["name"]: row for row in self._functions(collection)}
+            if fn not in existing:
+                raise ApiError(404, f"unknown function {collection}/{fn}")
+            if method == "DELETE":
+                # FUNCTION_DELETE (:168): registry row + trigger edges
+                if self.engine is not None:
+                    self.engine.unregister(collection, fn)
+                else:
+                    meta.drop_function(collection, fn)
+                return {"ok": True}
+            # FUNCTION_UPDATE (:171): metadata-level spec update (tables/
+            # trigger lists); the callable itself changes via the bundle
+            cur = existing[fn]
+            meta.register_function(
+                collection, fn, (body or {}).get("kind", cur["kind"]),
+                json.dumps((body or {}).get("input_tables",
+                                            cur["input_tables"])),
+                json.dumps((body or {}).get("output_tables",
+                                            cur["output_tables"])),
+                json.dumps((body or {}).get("trigger_by", cur["trigger_by"]))
+                if ((body or {}).get("trigger_by", cur["trigger_by"])
+                    is not None) else None)
+            for row in self._functions(collection):
+                if row["name"] == fn:
+                    return row
         if method == "GET" and sub == "history":
             return meta.list_runs(collection, fn)
         if sub == "bundle":

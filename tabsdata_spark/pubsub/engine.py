@@ -83,6 +83,20 @@ class PubSubEngine:
             with open(os.path.join(bdir, f"{fn.name}.bundle"), "w") as f:
                 f.write(bundle)
 
+    def unregister(self, collection: str, fn_name: str) -> None:
+        """Remove a function from the registry and the trigger graph
+        (reference FUNCTION_DELETE)."""
+        key = f"{collection}/{fn_name}"
+        self.store.meta.drop_function(collection, fn_name)
+        if key in self.graph.functions:
+            del self.graph.functions[key]
+            self.graph.outputs.pop(key, None)
+            self.graph.dependencies.pop(key, None)
+            for table, consumers in list(self.graph.triggers.items()):
+                self.graph.triggers[table] = [k for k in consumers if k != key]
+                if not self.graph.triggers[table]:
+                    del self.graph.triggers[table]
+
     def _bundle_path(self, collection: str, fn_name: str) -> str | None:
         import os
 

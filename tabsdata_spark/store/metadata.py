@@ -126,6 +126,65 @@ class MetadataStore:
             c.execute("INSERT OR IGNORE INTO tables VALUES (?, ?, ?)",
                       (collection, name, _now()))
 
+    def rename_collection(self, old: str, new: str) -> None:
+        """Rename across every metadata table.  Version PATHS are stored
+        absolute, so existing data keeps reading without a file move —
+        only the logical name changes (reference UPDATE_COLLECTION)."""
+        with self._conn() as c:
+            if c.execute("SELECT 1 FROM collections WHERE name=?",
+                         (new,)).fetchone():
+                raise VersionResolutionError(f"collection {new} exists")
+            for table, col in [("collections", "name"),
+                               ("tables", "collection"),
+                               ("table_versions", "collection"),
+                               ("functions", "collection"),
+                               ("function_runs", "collection"),
+                               ("offsets", "collection"),
+                               ("inter_collection_permissions", "collection"),
+                               ("inter_collection_permissions",
+                                "to_collection")]:
+                c.execute(f"UPDATE {table} SET {col}=? WHERE {col}=?",
+                          (new, old))
+
+    def drop_collection(self, name: str) -> None:
+        with self._conn() as c:
+            n_tables = c.execute(
+                "SELECT COUNT(*) FROM tables WHERE collection=?",
+                (name,)).fetchone()[0]
+            if n_tables:
+                raise VersionResolutionError(
+                    f"collection {name} has {n_tables} tables; "
+                    f"delete them first")
+            c.execute("DELETE FROM collections WHERE name=?", (name,))
+            c.execute("DELETE FROM functions WHERE collection=?", (name,))
+            c.execute("DELETE FROM inter_collection_permissions "
+                      "WHERE collection=? OR to_collection=?", (name, name))
+
+    def drop_table(self, collection: str, table: str) -> list[str]:
+        """Remove a table and its version rows; returns the version paths
+        so the caller can reclaim the files."""
+        with self._conn() as c:
+            paths = [r[0] for r in c.execute(
+                "SELECT path FROM table_versions WHERE collection=? AND "
+                "table_name=?", (collection, table))]
+            c.execute("DELETE FROM table_versions WHERE collection=? AND "
+                      "table_name=?", (collection, table))
+            c.execute("DELETE FROM tables WHERE collection=? AND name=?",
+                      (collection, table))
+        return paths
+
+    def drop_function(self, collection: str, name: str) -> None:
+        with self._conn() as c:
+            c.execute("DELETE FROM functions WHERE collection=? AND name=?",
+                      (collection, name))
+
+    def list_all_tables(self) -> list[dict]:
+        with self._conn() as c:
+            rows = c.execute(
+                "SELECT collection, name FROM tables "
+                "ORDER BY collection, name").fetchall()
+        return [{"collection": cl, "name": n} for cl, n in rows]
+
     def list_collections(self) -> list[dict]:
         with self._conn() as c:
             rows = c.execute(

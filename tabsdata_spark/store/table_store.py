@@ -209,21 +209,32 @@ class TableStore:
                         (r["collection"], r["table"]), []).append(r)
             for versions in committed.values():
                 pruned.extend(versions[:-keep_last])
-        root = os.path.realpath(self.root)
-        files_removed = 0
-        for r in dead + pruned:
-            if os.path.isdir(r["path"]):
-                shutil.rmtree(r["path"])
-                files_removed += 1
-                # drop now-empty parents (d/<version>/t shells) up to root
-                parent = os.path.dirname(os.path.realpath(r["path"]))
-                while parent.startswith(root + os.sep) and \
-                        not os.listdir(parent):
-                    os.rmdir(parent)
-                    parent = os.path.dirname(parent)
+        files_removed = sum(
+            self._remove_version_dir(r["path"]) for r in dead + pruned)
         self.meta.delete_versions([r["version_id"] for r in dead + pruned])
         return {"files_removed": files_removed,
                 "versions_pruned": len(pruned)}
+
+    def _remove_version_dir(self, path: str) -> int:
+        import shutil
+
+        if not os.path.isdir(path):
+            return 0
+        shutil.rmtree(path)
+        # drop now-empty parents (d/<version>/t shells) up to root
+        root = os.path.realpath(self.root)
+        parent = os.path.dirname(os.path.realpath(path))
+        while parent.startswith(root + os.sep) and not os.listdir(parent):
+            os.rmdir(parent)
+            parent = os.path.dirname(parent)
+        return 1
+
+    def drop_table(self, collection: str, table: str) -> dict:
+        """Delete a table: metadata rows and every version's files
+        (reference TABLE_DELETE, rest_urls/mod.rs:237)."""
+        paths = self.meta.drop_table(collection, table)
+        removed = sum(self._remove_version_dir(p) for p in paths)
+        return {"versions_removed": len(paths), "files_removed": removed}
 
 
 def _versions_str(v) -> str:

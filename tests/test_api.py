@@ -616,3 +616,125 @@ def test_vacuum_over_api_requires_security_and_prunes(served):
     out = client.vacuum("sales", "orders", keep_last=1)
     assert out["versions_pruned"] == 1
     assert len(client.data_versions("sales", "orders")) == 1
+
+
+def test_role_change_assume_and_revert(served):
+    """role_change mints a token with an explicitly assumed role (only a
+    role the user belongs to), revoking the old token."""
+    server, client, _ = served
+    client.create_user("flex", "pw", role="user")
+    client.assign_role("sys_admin", "flex")
+    c2 = ApiClient(server.base_url)
+    c2.login("flex", "pw")
+    old_token = c2._token
+    assert c2.user_info()["role"] == "user"
+    c2.change_role("sys_admin")
+    assert c2.user_info()["role"] == "sys_admin"
+    # a role the user does NOT belong to is refused
+    with pytest.raises(ApiError) as ei:
+        c2.change_role("sec_admin")
+    assert ei.value.status == 403
+    # the pre-change token was revoked
+    c3 = ApiClient(server.base_url)
+    c3._token = old_token
+    with pytest.raises(ApiError) as ei:
+        c3.user_info()
+    assert ei.value.status == 401
+
+
+def test_collection_rename_and_delete(served):
+    _, client, store = served
+    client.create_collection("tmp-coll")
+    client.rename_collection("tmp-coll", "renamed-coll")
+    names = [c["name"] for c in client.collections()]
+    assert "renamed-coll" in names and "tmp-coll" not in names
+    # rename keeps data readable: sales has data; rename + read back
+    client.rename_collection("sales", "sales2")
+    assert client.sample("sales2", "orders", length=5)
+    with pytest.raises(ApiError) as ei:
+        client.delete_collection("sales2")         # non-empty: refused
+    assert ei.value.status == 409
+    client.rename_collection("sales2", "sales")    # restore for fixtures
+    client.delete_collection("renamed-coll")
+    assert "renamed-coll" not in [c["name"] for c in client.collections()]
+
+
+def test_table_delete_removes_versions_and_files(served):
+    _, client, store = served
+    import glob
+    assert len(client.data_versions("sales", "orders")) == 2
+    out = client.delete_table("sales", "orders")
+    assert out["versions_removed"] == 2
+    assert client.tables("sales") == []
+    assert not glob.glob(f"{store.root}/c/sales/d/*")
+    with pytest.raises(ApiError) as ei:
+        client.delete_table("sales", "orders")
+    assert ei.value.status == 404
+
+
+def test_function_update_and_delete(served):
+    _, client, _ = served
+    updated = client.update_function("sales", "double",
+                                     output_tables=["doubled", "audit"])
+    assert updated["output_tables"] == ["doubled", "audit"]
+    client.delete_function("sales", "double")
+    with pytest.raises(ApiError) as ei:
+        client.function("sales", "double")
+    assert ei.value.status == 404
+    # deleting removed it from the trigger graph too: pub no longer cascades
+    reports = client.execute("sales", "pub")
+    assert [r["function"] for r in reports] == ["sales/pub"]
+
+
+def test_role_permission_replace(served):
+    _, client, _ = served
+    client.create_role("replaceable")
+    client.grant("replaceable", "cr", entity="sales")
+    out = client.set_role_permissions("replaceable", [
+        {"permission_type": "cx", "entity": "sales"},
+        {"permission_type": "cd", "entity": "*"}])
+    assert out["permissions"] == [
+        {"permission_type": "cx", "entity": "sales"},
+        {"permission_type": "cd", "entity": "*"}]
+    with pytest.raises(ApiError) as ei:
+        client.set_role_permissions("replaceable",
+                                    [{"permission_type": "zz"}])
+    assert ei.value.status == 400
+    client.delete_role("replaceable")
+
+
+def test_global_tables_and_user_detail(served):
+    _, client, _ = served
+    allt = client.all_tables()
+    assert {"collection": "sales", "name": "orders"} in allt
+    client.create_user("detailed", "pw", role="user")
+    client.assign_role("sys_admin", "detailed")
+    d = client.user("detailed")
+    assert d["role"] == "user" and "sys_admin" in d["member_of"]
+    with pytest.raises(ApiError) as ei:
+        client.user("ghost-user")
+    assert ei.value.status == 404
+
+
+def test_ssl_cert_route(spark, tmp_path):
+    import subprocess
+
+    cert, key = tmp_path / "c.pem", tmp_path / "k.pem"
+    subprocess.run(
+        ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+         "-keyout", str(key), "-out", str(cert), "-days", "1",
+         "-subj", "/CN=127.0.0.1", "-addext", "subjectAltName=IP:127.0.0.1"],
+        check=True, capture_output=True)
+    store = TableStore(str(tmp_path / "wh"))
+    with ApiServer(spark, store, auth=Authenticator({"a": "b"}),
+                   ssl_cert=str(cert), ssl_key=str(key)) as srv:
+        c = ApiClient(srv.base_url, cafile=str(cert))
+        c.login("a", "b")
+        assert c.ssl_cert() == cert.read_text()
+    # plain-http server 404s the cert route
+    with ApiServer(spark, store, auth=Authenticator({"a": "b"})) as srv2:
+        c2 = ApiClient(srv2.base_url)
+        c2.login("a", "b")
+        with pytest.raises(ApiError) as ei:
+            c2.ssl_cert()
+        assert ei.value.status == 404
