@@ -86,6 +86,11 @@ def build_parser() -> argparse.ArgumentParser:
     c_new.add_argument("name")
     c_info = coll.add_parser("info")
     c_info.add_argument("name")
+    c_ren = coll.add_parser("rename")
+    c_ren.add_argument("name")
+    c_ren.add_argument("new_name")
+    c_del = coll.add_parser("delete")
+    c_del.add_argument("name")
 
     tbl = sub.add_parser("table").add_subparsers(dest="sub", required=True)
     t_ls = tbl.add_parser("list")
@@ -103,6 +108,9 @@ def build_parser() -> argparse.ArgumentParser:
             t.add_argument("--sql", default=None)
             t.add_argument("--format", default="rows", dest="fmt",
                            choices=["rows", "csv", "json"])
+    t_rm = tbl.add_parser("delete")
+    t_rm.add_argument("collection")
+    t_rm.add_argument("table")
     t_vac = tbl.add_parser("vacuum")
     t_vac.add_argument("collection")
     t_vac.add_argument("table")
@@ -171,6 +179,8 @@ def build_parser() -> argparse.ArgumentParser:
     u_up.add_argument("--role", default=None)
     u_del = usr.add_parser("delete")
     u_del.add_argument("name")
+    u_info = usr.add_parser("info")
+    u_info.add_argument("name")
 
     rol = sub.add_parser("role").add_subparsers(dest="sub", required=True)
     rol.add_parser("list")
@@ -213,6 +223,10 @@ def main(argv: list[str] | None = None) -> int:
                 _emit(c.collections())
             elif args.sub == "create":
                 _emit(c.create_collection(args.name))
+            elif args.sub == "rename":
+                _emit(c.rename_collection(args.name, args.new_name))
+            elif args.sub == "delete":
+                _emit(c.delete_collection(args.name))
             else:
                 _emit(c.collection(args.name))
         elif args.cmd == "table":
@@ -233,6 +247,8 @@ def main(argv: list[str] | None = None) -> int:
             elif args.sub == "vacuum":
                 _emit(c.vacuum(args.collection, args.table,
                                keep_last=args.keep_last))
+            elif args.sub == "delete":
+                _emit(c.delete_table(args.collection, args.table))
             else:
                 _emit(c.download(args.collection, args.table, args.dest,
                                  fmt=args.fmt, sql=args.sql))
@@ -290,6 +306,8 @@ def main(argv: list[str] | None = None) -> int:
             elif args.sub == "update":
                 _emit(c.update_user(args.name, password=args.password,
                                     role=args.role))
+            elif args.sub == "info":
+                _emit(c.user(args.name))
             else:
                 _emit(c.delete_user(args.name))
         elif args.cmd == "role":

@@ -738,3 +738,21 @@ def test_ssl_cert_route(spark, tmp_path):
         with pytest.raises(ApiError) as ei:
             c2.ssl_cert()
         assert ei.value.status == 404
+
+
+def test_cli_crud_verbs(served, tmp_path):
+    _cli(served, tmp_path, "login", "admin", "--password", "tabsdata")
+    rc, _ = _cli(served, tmp_path, "collection", "create", "cli-tmp")
+    assert rc == 0
+    rc, _ = _cli(served, tmp_path, "collection", "rename", "cli-tmp",
+                 "cli-tmp2")
+    assert rc == 0
+    rc, _ = _cli(served, tmp_path, "collection", "delete", "cli-tmp2")
+    assert rc == 0
+    rc, out = _cli(served, tmp_path, "user", "info", "admin")
+    assert rc == 0 and '"member_of"' in out
+    rc, out = _cli(served, tmp_path, "table", "vacuum", "sales", "orders",
+                   "--keep-last", "1")
+    assert rc == 0 and '"versions_pruned": 1' in out
+    rc, out = _cli(served, tmp_path, "table", "delete", "sales", "orders")
+    assert rc == 0 and '"versions_removed": 1' in out
