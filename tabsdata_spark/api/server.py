@@ -475,6 +475,9 @@ class ApiServer:
             if method == "GET":
                 return meta.list_collections()
             if method == "POST":
+                # collection creation is an admin operation (reference
+                # authz: CollAdmin/SysAdmin create collections)
+                self._require_security(user)
                 meta.ensure_collection(body["name"])
                 return {"ok": True, "name": body["name"]}
         collection = parts[1]
@@ -494,6 +497,12 @@ class ApiServer:
                     meta.rename_collection(collection, body["name"])
                 except VersionResolutionError as e:
                     raise ApiError(409, str(e)) from None
+                # role grants scoped to the old name follow the rename —
+                # otherwise every ca/cx/cr on the collection silently dies
+                for perms in self.roles._perms.values():
+                    for p in perms:
+                        if p["entity"] == collection:
+                            p["entity"] = body["name"]
                 return {"ok": True, "name": body["name"]}
             if method == "DELETE":
                 # refuse while tables exist (DELETE_COLLECTION, :137)
@@ -502,6 +511,10 @@ class ApiServer:
                     meta.drop_collection(collection)
                 except VersionResolutionError as e:
                     raise ApiError(409, str(e)) from None
+                if self.engine is not None:
+                    for key in [k for k in self.engine.graph.functions
+                                if k.startswith(collection + "/")]:
+                        self.engine.unregister(*key.split("/", 1))
                 return {"ok": True}
         sub = parts[2] if len(parts) > 2 else ""
         if sub == "tables":
@@ -651,6 +664,10 @@ class ApiServer:
             bdir = os.path.join(self.store.root, "bundles", collection)
             bpath = os.path.join(bdir, f"{fn}.bundle")
             if method == "POST":
+                # bundles are CODE the isolation path will execute on the
+                # server — upload is an admin/collection-admin operation
+                # (reference gates function deploys on collection dev)
+                self._require_security(user, collection)
                 os.makedirs(bdir, exist_ok=True)
                 try:
                     raw = base64.b64decode((body or {})["content"])
@@ -670,6 +687,14 @@ class ApiServer:
         if method == "POST" and sub == "execute":
             if self.engine is None:
                 raise ApiError(503, "no execution engine attached")
+            # execution needs the exec permission on the collection
+            # (reference authz CollectionExec 'cx'); security surface
+            # qualifies implicitly
+            if not (user and (self.roles.user_allows(
+                    user["user"], user["role"], "cx", collection)
+                    or self._has_security(user, collection))):
+                raise ApiError(403, f"needs exec (cx) permission on "
+                                    f"{collection}")
             reports = self.engine.trigger(collection, fn)
             return [{"function": r.function, "status": r.status,
                      "published": r.published, "error": r.error}

@@ -756,3 +756,43 @@ def test_cli_crud_verbs(served, tmp_path):
     assert rc == 0 and '"versions_pruned": 1' in out
     rc, out = _cli(served, tmp_path, "table", "delete", "sales", "orders")
     assert rc == 0 and '"versions_removed": 1' in out
+
+
+def test_execute_and_bundle_and_collection_create_are_gated(served):
+    """A plain 'user'-role caller (cr only) cannot create collections,
+    upload code bundles, or trigger executions; granting cx via a role
+    unlocks execute (the reference's CollectionExec model)."""
+    server, client, _ = served
+    client.create_user("runner", "pw", role="user")
+    c2 = ApiClient(server.base_url)
+    c2.login("runner", "pw")
+    with pytest.raises(ApiError) as ei:
+        c2.create_collection("mine")
+    assert ei.value.status == 403
+    with pytest.raises(ApiError) as ei:
+        c2.upload_bundle("sales", "pub", b"evil = True")
+    assert ei.value.status == 403
+    with pytest.raises(ApiError) as ei:
+        c2.execute("sales", "pub")
+    assert ei.value.status == 403
+    # grant cx on sales through a role -> execute works
+    client.create_role("sales-exec")
+    client.grant("sales-exec", "cx", entity="sales")
+    client.assign_role("sales-exec", "runner")
+    reports = c2.execute("sales", "pub")
+    assert reports[0]["status"] == "committed"
+    # cx does not leak the admin surface
+    with pytest.raises(ApiError):
+        c2.upload_bundle("sales", "pub", b"still no")
+    client.delete_role("sales-exec")
+
+
+def test_collection_rename_migrates_role_grants(served):
+    server, client, _ = served
+    client.create_role("scoped")
+    client.grant("scoped", "cr", entity="sales")
+    client.rename_collection("sales", "sales-x")
+    assert client.role_permissions("scoped") == [
+        {"permission_type": "cr", "entity": "sales-x"}]
+    client.rename_collection("sales-x", "sales")   # restore
+    client.delete_role("scoped")
