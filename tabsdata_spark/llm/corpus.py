@@ -330,3 +330,91 @@ def zipf_slope(docs: DataFrame, strata_col: str = "source",
             .agg(F.count(F.lit(1)).alias("n_terms"),
                  F.round(F.covar_pop("lr", "lf") / F.var_pop("lr"), 6)
                   .alias("slope")))
+
+
+def bigram_lm_score(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", k: float = 0.5) -> DataFrame:
+    """Bigram-LM cross-entropy per document (the CCNet/WebText perplexity
+    filter, one order up from `unigram_surprisal`): train add-k-smoothed
+    conditional probabilities p(w2|w1) = (c(w1 w2) + k) / (c(w1 .) + k*V)
+    on the corpus itself, then score every document by the token-weighted
+    mean of -log2 p over its bigrams.  Both tails are filter candidates:
+    high cross-entropy flags gibberish, low flags templated boilerplate.
+
+    Returns (doc_id, n_bigrams, cross_entropy, perplexity); documents with
+    fewer than two tokens produce no bigrams and are absent (callers
+    left-join if they need every id).
+
+    Scale shape (100 TB corpus): per-(doc, bigram) counts are one
+    partial-agg shuffle; the corpus bigram table derives from THOSE counts
+    (second, |bigram-vocab|-sized shuffle); the prefix-count table derives
+    from the bigram table (shuffle on w1 — strictly smaller).  Both LM
+    joins key on bigram/w1 with no broadcast hint: the bigram vocabulary
+    grows with the corpus (far past any broadcast cap at web scale), so
+    the strategy is left to AQE exactly as in `tf_idf`.  V (the
+    conditioning-vocabulary size) is a genuine 1-row broadcast."""
+    from tabsdata_spark.llm.textual import word_ngrams
+
+    toks = clean_tokens(F.col(text_col))
+    grams = F.when(F.size(toks) >= 2, word_ngrams(toks, 2)) \
+        .otherwise(F.array().cast("array<string>"))
+    doc_bi = (docs.select(F.col(id_col), F.explode(grams).alias("bigram"))
+              .groupBy(id_col, "bigram")
+              .agg(F.count(F.lit(1)).alias("tf")))
+    c2 = (doc_bi.groupBy("bigram").agg(F.sum("tf").alias("c2"))
+          .withColumn("w1", F.substring_index(F.col("bigram"), " ", 1)))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vsize = c1.agg(F.count(F.lit(1)).alias("v"))
+    probs = (c2.join(c1, "w1")
+             .crossJoin(F.broadcast(vsize))
+             .select("bigram",
+                     F.log2((F.col("c2") + F.lit(float(k)))
+                            / (F.col("c1") + F.lit(float(k)) * F.col("v")))
+                      .alias("logp")))
+    scored = (doc_bi.join(probs, "bigram")
+              .groupBy(id_col)
+              .agg(F.sum("tf").alias("n_bigrams"),
+                   F.round(-F.sum(F.col("tf") * F.col("logp"))
+                           / F.sum("tf"), 6).alias("cross_entropy")))
+    return scored.withColumn(
+        "perplexity", F.round(F.pow(F.lit(2.0), F.col("cross_entropy")), 4))
+
+
+def token_budget_select(docs: DataFrame, budget_tokens: int,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        bins: int = 100) -> DataFrame:
+    """Quality-thresholded corpus selection under a token budget: find the
+    highest quality cutoff whose selected documents still fit inside
+    `budget_tokens`, and return those documents with their scores.  The
+    standard "we can afford N tokens of training data — take the best"
+    step of a data-curation pipeline.
+
+    A greedy exact answer needs a global sort by quality with a running
+    token sum — a single-task window at scale.  This instead quantizes
+    quality into `bins` buckets: one partial-agg shuffle builds the
+    per-bin token histogram (<= `bins` rows), the cumulative sum runs on
+    that tiny aggregate (global window over <= `bins` rows — bounded by
+    construction, not by data size), and the cutoff joins back as a 1-row
+    broadcast.  Selection is therefore bin-granular: the result is the
+    largest bin-aligned prefix of the quality ordering that fits.  Returns
+    (doc_id, n_tokens, quality, qbin); empty when even the best bin
+    overflows the budget."""
+    from tabsdata_spark.llm.textual import quality_score, token_count
+
+    scored = docs.select(
+        F.col(id_col),
+        token_count(F.col(text_col)).alias("n_tokens"),
+        quality_score(F.col(text_col)).alias("quality"))
+    binned = scored.withColumn(
+        "qbin",
+        F.least(F.lit(bins - 1),
+                F.floor(F.col("quality") * bins)).cast("int"))
+    hist = binned.groupBy("qbin").agg(F.sum("n_tokens").alias("bin_tokens"))
+    w = (Window.orderBy(F.col("qbin").desc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = hist.withColumn("cum_tokens", F.sum("bin_tokens").over(w))
+    cutoff = (cum.filter(F.col("cum_tokens") <= budget_tokens)
+              .agg(F.min("qbin").alias("cut")))
+    return (binned.crossJoin(F.broadcast(cutoff))
+            .filter(F.col("qbin") >= F.col("cut"))
+            .select(id_col, "n_tokens", "quality", "qbin"))

@@ -87,3 +87,77 @@ def boilerplate_ngrams(
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+def bloom_bitset(benchmark: DataFrame, text_col: str = "text", n: int = 5,
+                 m_bits: int = 1 << 16, k_hashes: int = 3) -> list[int]:
+    """Build a Bloom filter (list of 64-bit words, driver-side) over the
+    benchmark's distinct word n-grams.  Bit positions come from
+    `portable_hash60(j + "|" + gram) % m_bits` for j in 0..k-1 — an
+    engine-portable hash, so an oracle can recompute the identical bit
+    set outside Spark.
+
+    The collect is bounded by the BENCHMARK size (eval sets are thousands
+    of documents by nature — the same smallness assumption the broadcast
+    join in `contamination` already makes); the returned bitset is
+    m_bits/8 bytes regardless of benchmark size, e.g. 8 KiB at the
+    default 2^16 bits."""
+    from tabsdata_spark.llm.textual import portable_hash60
+
+    g = benchmark.select(
+        F.explode(shingles(F.col(text_col), n)).alias("gram")).distinct()
+    pos_cols = [
+        (portable_hash60(F.concat(F.lit(f"{j}|"), F.col("gram")))
+         % m_bits).alias(f"p{j}")
+        for j in range(k_hashes)
+    ]
+    rows = (g.select(F.explode(F.array(*pos_cols)).alias("pos"))
+            .distinct().collect())
+    words = [0] * ((m_bits + 63) // 64)
+    for r in rows:
+        p = int(r["pos"])
+        words[p // 64] |= 1 << (p % 64)
+    # literals are signed 64-bit in Spark: wrap to the signed range
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_contains(gram, words: list[int], m_bits: int = 1 << 16,
+                   k_hashes: int = 3):
+    """Boolean Column: all `k_hashes` Bloom bits for `gram` are set in
+    `words` (the bitset from `bloom_bitset`).  Pure JVM expressions —
+    element_at on a literal array + bit_get — evaluated at scan speed with
+    no join and no shuffle on the probe side."""
+    from tabsdata_spark.llm.textual import portable_hash60
+
+    arr = F.lit(words)
+    cond = F.lit(True)
+    for j in range(k_hashes):
+        p = portable_hash60(F.concat(F.lit(f"{j}|"), gram)) % m_bits
+        word = F.element_at(arr, (p / F.lit(64)).cast("int") + 1)
+        cond = cond & (F.bit_get(word, (p % 64).cast("int")) == 1)
+    return cond
+
+
+def bloom_contamination(docs: DataFrame, benchmark: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        n: int = 5, m_bits: int = 1 << 16,
+                        k_hashes: int = 3) -> DataFrame:
+    """(doc_id, n_bloom_hits) for docs with at least one n-gram whose
+    Bloom membership test passes against the benchmark gram set.
+
+    The scale story vs `contamination`'s broadcast join: the corpus side
+    does ZERO joins — each task probes a fixed-size literal bitset
+    (m_bits/8 bytes shipped once per executor inside the serialized plan),
+    so the only exchange in the whole plan is the final partial-agg on doc
+    id.  The price is Bloom false positives (~(1-e^{-kn/m})^k); callers
+    either accept the over-flagging (removal is the safe direction for
+    decontamination) or re-verify flagged docs with the exact join, which
+    then runs on the tiny flagged subset."""
+    words = bloom_bitset(benchmark, text_col, n, m_bits, k_hashes)
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode(shingles(F.col(text_col), n)).alias("gram"))
+    return (doc_grams
+            .filter(bloom_contains(F.col("gram"), words, m_bits, k_hashes))
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_bloom_hits")))

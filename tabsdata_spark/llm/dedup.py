@@ -812,3 +812,33 @@ def segment_dedup(df: DataFrame, id_col: str = "doc_id",
             .select(F.col("__id").alias(id_col), "segs_total",
                     F.coalesce("segs_kept", F.lit(0)).alias("segs_kept"),
                     F.coalesce("text_dedup", F.lit("")).alias("text_dedup")))
+
+
+def dedup_keep_best(df: DataFrame, pairs: DataFrame, order_col: str,
+                    id_col: str = "doc_id",
+                    algorithm: str = "star") -> DataFrame:
+    """Transitive near-dup removal keeping the BEST row of every duplicate
+    cluster instead of the min-id one: within each connected component of
+    the candidate-pair graph, the surviving representative maximizes
+    `order_col` (ties broken by min id, so the choice is deterministic).
+    The curation form of `dedup_by_components` — "of these near-identical
+    pages, keep the highest-quality copy".
+
+    Plan shape: components as usual, then one join from the component
+    assignment to the scored rows, one per-component max-struct aggregate
+    (partial-agg shuffle on component — never a window over the full
+    table), and a semi-join of winners back to `df`.  Unclustered rows
+    never enter the component table and survive untouched."""
+    cc = connected_components_star if algorithm == "star" \
+        else connected_components
+    comp = cc(pairs)
+    scored = comp.join(
+        df.select(F.col(id_col).alias("node"), F.col(order_col)), "node")
+    winners = (scored.groupBy("component")
+               .agg(F.max(F.struct(F.col(order_col),
+                                   (-F.col("node")).alias("neg_id")))
+                    .alias("best"))
+               .select((-F.col("best.neg_id")).alias(id_col)))
+    clustered = comp.select(F.col("node").alias(id_col))
+    return df.join(clustered, id_col, "left_anti") \
+        .unionByName(df.join(winners, id_col, "left_semi"))

@@ -321,3 +321,25 @@ def gopher_quality_rules(
     return out.withColumn(
         "keep", F.col("words_ok") & F.col("word_len_ok")
                 & F.col("alpha_ok") & F.col("stopword_ok"))
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonicalize raw web text before fingerprinting / dedup: unify
+    curly quotes, en/em dashes, and NBSP to ASCII; strip C0/C1-adjacent
+    control characters (keeping tab and newline); collapse runs of
+    spaces/tabs to one space; trim spaces around newlines; cap blank-line
+    runs at one blank line; trim the ends.
+
+    Pure translate/regexp_replace chain — runs at scan speed inside
+    codegen, and every step has identical semantics in Java regex and
+    DuckDB/RE2 so oracles can recompute it verbatim."""
+    t = F.coalesce(text, F.lit(""))
+    t = F.translate(
+        t,
+        "‘’“”–— ",
+        "''\"\"-- ")
+    t = F.regexp_replace(t, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", "")
+    t = F.regexp_replace(t, "[ \\t]+", " ")
+    t = F.regexp_replace(t, " ?\\n ?", "\n")
+    t = F.regexp_replace(t, "\\n{3,}", "\n\n")
+    return F.trim(t)

@@ -4714,3 +4714,232 @@ def video_frames_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_frames,
         "doc_id long, frame_idx int, width int, height int, "
         "mean_luma double, luma_std double")
+
+
+# ===========================================================================
+# round-3 additions (registered after the driver window; r4 rotation pool)
+# ===========================================================================
+@q(
+    "bigram_lm_docs",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g')), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents),
+    bi AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i+1])) AS bigram
+      FROM t WHERE len(toks) >= 2),
+    db AS (SELECT doc_id, bigram, COUNT(*) AS tf FROM bi GROUP BY doc_id, bigram),
+    c2 AS (SELECT bigram, split_part(bigram, ' ', 1) AS w1, SUM(tf) AS c2
+           FROM db GROUP BY bigram),
+    c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY w1),
+    v AS (SELECT COUNT(*) AS v FROM c1),
+    p AS (SELECT bigram, log2((c2 + 0.5) / (c1 + 0.5 * v)) AS logp
+          FROM c2 JOIN c1 USING (w1) CROSS JOIN v)
+    SELECT doc_id, SUM(tf) AS n_bigrams,
+           ROUND(-SUM(tf * logp) / SUM(tf), 6) AS cross_entropy,
+           ROUND(POW(2.0, ROUND(-SUM(tf * logp) / SUM(tf), 6)), 4) AS perplexity
+    FROM db JOIN p USING (bigram)
+    GROUP BY doc_id
+    """,
+)
+def bigram_lm_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM cross-entropy / perplexity filter (CCNet-style, one order
+    above unigram_surprisal): add-k conditional probs trained on the corpus
+    itself, token-weighted -log2 p per document.  llm/corpus.py
+    bigram_lm_score; both LM joins are AQE-decided (bigram vocab grows with
+    the corpus — never force-broadcast)."""
+    from tabsdata_spark.llm import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus.bigram_lm_score(docs)
+
+
+_BLOOM_POS_SQL = """list_reduce(
+      list_transform(regexp_extract_all(substr(md5(CAST(j AS VARCHAR) || '|' || gram), 1, 15), '.'),
+                     c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)),
+      (a, b) -> a * 16 + b) % 65536"""
+
+
+@q(
+    "bloom_decontaminate_docs",
+    rf"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) >= 5
+                  THEN list_transform(range(1, len(toks) - 3),
+                       i -> array_to_string(toks[i:i+4], ' '))
+                  ELSE [array_to_string(toks, ' ')] END) AS grams
+      FROM tok),
+    bench_pos AS (
+      SELECT DISTINCT {_BLOOM_POS_SQL} AS pos
+      FROM (SELECT DISTINCT unnest(grams) AS gram FROM sh WHERE doc_id % 97 = 0)
+      CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)),
+    doc_pos AS (
+      SELECT doc_id, gram, {_BLOOM_POS_SQL} AS pos
+      FROM (SELECT doc_id, unnest(grams) AS gram FROM sh WHERE doc_id % 97 <> 0)
+      CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)),
+    hits AS (
+      SELECT doc_id, gram
+      FROM doc_pos JOIN bench_pos USING (pos)
+      GROUP BY doc_id, gram
+      HAVING COUNT(*) = 3)
+    SELECT doc_id, COUNT(*) AS n_bloom_hits
+    FROM hits GROUP BY doc_id
+    """,
+)
+def bloom_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination (llm/decontam.py bloom_contamination):
+    the benchmark's 5-gram set becomes an 8 KiB literal bitset probed with
+    pure expressions (portable_hash60 + bit_get) — the corpus side does
+    ZERO joins, so the only exchange at 100 TB is the final per-doc agg.
+    The oracle models the identical bitset as a distinct-position set, so
+    Bloom false positives are part of the compared semantics, not noise."""
+    from tabsdata_spark.llm import decontam
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corp = docs.filter(F.col("doc_id") % 97 != 0)
+    return decontam.bloom_contamination(corp, bench)
+
+
+@q(
+    "normalize_text_docs",
+    """
+    WITH dirty AS (
+      SELECT doc_id,
+             '  “start”' || chr(9) || text || ' – x ' || chr(1)
+               || 'y' || repeat(chr(10), 4) || '  end  ' AS t
+      FROM documents),
+    n1 AS (
+      SELECT doc_id,
+             translate(t, '‘’“”–— ',
+                       '''''""-- ') AS t
+      FROM dirty),
+    n2 AS (SELECT doc_id, regexp_replace(t, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g') AS t FROM n1),
+    n3 AS (SELECT doc_id, regexp_replace(t, '[ \t]+', ' ', 'g') AS t FROM n2),
+    n4 AS (SELECT doc_id, regexp_replace(t, ' ?\n ?', chr(10), 'g') AS t FROM n3),
+    n5 AS (SELECT doc_id, regexp_replace(t, '\n{3,}', chr(10) || chr(10), 'g') AS t FROM n4)
+    SELECT doc_id, trim(t) AS norm_text, md5(trim(t)) AS norm_md5
+    FROM n5
+    """,
+)
+def normalize_text_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text canonicalization (llm/textual.py normalize_text): quotes/dash/
+    NBSP unification, control-char strip, whitespace collapse — applied to
+    deterministically dirtied text so every rule fires; compared on the
+    full normalized string AND its md5."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dirty = F.concat(F.lit("  “start”\t"), F.col("text"),
+                     F.lit(" – x \x01y\n\n\n\n  end  "))
+    norm = textual.normalize_text(dirty)
+    return docs.select("doc_id", norm.alias("norm_text"),
+                       F.md5(norm).alias("norm_md5"))
+
+
+@q(
+    "dedup_keep_best_docs",
+    """
+    WITH RECURSIVE e AS (
+      SELECT a.doc_id AS s, b.doc_id AS t
+      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      WHERE a.doc_id % 5 = 0
+    ),
+    sym AS (SELECT s, t FROM e UNION SELECT t AS s, s AS t FROM e),
+    nodes AS (SELECT DISTINCT s AS n FROM sym),
+    walk(node, label) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT sym.t, walk.label FROM walk JOIN sym ON sym.s = walk.node
+    ),
+    comp AS (SELECT node, MIN(label) AS component FROM walk GROUP BY node),
+    best AS (
+      SELECT component, node AS keep_id
+      FROM (SELECT comp.component, comp.node,
+                   ROW_NUMBER() OVER (PARTITION BY comp.component
+                       ORDER BY d.n_chars DESC, comp.node ASC) AS rn
+            FROM comp JOIN documents d ON d.doc_id = comp.node)
+      WHERE rn = 1)
+    SELECT d.doc_id, d.n_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT node FROM comp)
+       OR d.doc_id IN (SELECT keep_id FROM best)
+    """,
+)
+def dedup_keep_best_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best near-dup removal (llm/dedup.py dedup_keep_best): within
+    each duplicate cluster keep the longest document (max n_chars, ties ->
+    min id) instead of the min-id one — the curation form of transitive
+    dedup.  Component graph is the deterministic chain graph shared with
+    connected_components_docs so the oracle stays a recursive CTE."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = docs.select(F.col("doc_id").alias("id"))
+    e1 = (docs.filter(F.col("doc_id") % 5 == 0)
+          .select(F.col("doc_id").alias("id_a"),
+                  (F.col("doc_id") + 1).alias("id_b"))
+          .join(ids, F.col("id_b") == F.col("id"), "left_semi"))
+    kept = dedup.dedup_keep_best(docs, e1, "n_chars")
+    return kept.select("doc_id", "n_chars")
+
+
+@q(
+    "token_budget_select_docs",
+    r"""
+    WITH scored AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+             ROUND((
+               LEAST(length(text) / 500.0, 1.0)
+               + GREATEST(0.0, 1.0 - (CASE WHEN length(text) > 0
+                   THEN len(regexp_extract_all(text, '[.,!?;:]')) / CAST(length(text) AS DOUBLE)
+                   ELSE 0.0 END) * 5.0)
+               + (CASE WHEN (CASE WHEN len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '')) > 0
+                       THEN len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be'], x)))
+                            / CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '')) AS DOUBLE)
+                       ELSE 0.0 END) > 0.1 THEN 1.0
+                  ELSE (CASE WHEN len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '')) > 0
+                       THEN len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be'], x)))
+                            / CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '')) AS DOUBLE)
+                       ELSE 0.0 END) * 10.0 END)
+             ) / 3.0, 6) AS quality
+      FROM documents),
+    binned AS (
+      SELECT doc_id, n_tokens, quality,
+             CAST(LEAST(99, FLOOR(quality * 100)) AS INTEGER) AS qbin
+      FROM scored),
+    budget AS (SELECT CAST(TRUNC(SUM(n_tokens) * 0.3) AS BIGINT) AS b FROM binned),
+    hist AS (SELECT qbin, SUM(n_tokens) AS bin_tokens FROM binned GROUP BY qbin),
+    cum AS (
+      SELECT qbin, SUM(bin_tokens) OVER (ORDER BY qbin DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      FROM hist),
+    cutoff AS (SELECT MIN(qbin) AS cut FROM cum CROSS JOIN budget
+               WHERE cum_tokens <= b)
+    SELECT doc_id, n_tokens, quality, qbin
+    FROM binned CROSS JOIN cutoff
+    WHERE qbin >= cut
+    """,
+)
+def token_budget_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection (llm/corpus.py token_budget_select):
+    highest quality-bin prefix fitting 30% of the corpus' tokens.  The
+    cumulative window runs over the <=100-row bin histogram (bounded by
+    construction), never the data; the cutoff joins back as a 1-row
+    broadcast."""
+    from tabsdata_spark.llm import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    total = docs.agg(
+        F.sum(textual.token_count(F.col("text"))).alias("t")).first()["t"]
+    return corpus.token_budget_select(docs, int(total * 0.3))

@@ -756,3 +756,114 @@ def test_avi_codec_roundtrip_and_frame_sampling(spark):
     bad = b"RIFF" + struct.pack("<I", len(body)) + body
     with _pytest.raises(ValueError, match="uncompressed"):
         codecs.decode_avi(bad)
+
+
+def test_bigram_lm_score_math(spark):
+    from tabsdata_spark.llm import corpus
+
+    df = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b"), (2, "c")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in corpus.bigram_lm_score(df, k=0.5).collect()}
+    # corpus bigrams: "a b" x3, "b a" x1 -> c1(a)=3, c1(b)=1, V=2
+    import math
+    p_ab = (3 + 0.5) / (3 + 0.5 * 2)   # c2(a b)+k / c1(a)+kV
+    p_ba = (1 + 0.5) / (1 + 0.5 * 2)
+    h0 = -(2 * math.log2(p_ab) + 1 * math.log2(p_ba)) / 3
+    assert out[0]["n_bigrams"] == 3
+    assert abs(out[0]["cross_entropy"] - round(h0, 6)) < 1e-9
+    assert abs(out[0]["perplexity"] - round(2 ** round(h0, 6), 4)) < 1e-9
+    assert out[1]["n_bigrams"] == 1
+    assert 2 not in out  # single-token doc has no bigrams
+
+
+def test_bloom_contamination_flags_and_fp_bound(spark):
+    from tabsdata_spark.llm import decontam
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(0, "prefix alpha beta gamma delta epsilon suffix"),  # shares 5-grams
+         (1, "one two three four five six seven"),             # clean
+         (2, "alpha beta gamma delta epsilon zeta")],          # exact bench text
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["n_bloom_hits"]
+           for r in decontam.bloom_contamination(docs, bench).collect()}
+    assert out[0] >= 1 and out[2] >= 1
+    assert 1 not in out  # tiny bench + 64k bits: no false positive here
+
+
+def test_bloom_bitset_matches_python_model(spark):
+    """The executor-side bit test must agree with a pure-python bloom
+    model built from the same portable hash."""
+    import hashlib
+
+    from tabsdata_spark.llm import decontam
+
+    bench = spark.createDataFrame(
+        [(0, "w0 w1 w2 w3 w4 w5 w6")], "doc_id long, text string")
+    words = decontam.bloom_bitset(bench, m_bits=1 << 12, k_hashes=2)
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    grams = ["w0 w1 w2 w3 w4", "w1 w2 w3 w4 w5", "w2 w3 w4 w5 w6"]
+    model = [0] * ((1 << 12) // 64)
+    for g in grams:
+        for j in range(2):
+            p = h60(f"{j}|{g}") % (1 << 12)
+            model[p // 64] |= 1 << (p % 64)
+    model = [w - (1 << 64) if w >= (1 << 63) else w for w in model]
+    assert words == model
+
+
+def test_normalize_text_rules(spark):
+    out = spark.range(1).select(
+        textual.normalize_text(
+            F.lit("  “Hi” there\t\tnow \n\n\n\n x \x01\x02 ‘y’ – z  "))
+        .alias("t")).first()["t"]
+    assert out == '"Hi" there now\n\nx \'y\' - z'
+
+
+def test_normalize_text_null_and_idempotent(spark):
+    row = spark.range(1).select(
+        textual.normalize_text(F.lit(None).cast("string")).alias("a"),
+        textual.normalize_text(
+            textual.normalize_text(F.lit(" a  b \n\n\n c "))).alias("b"),
+    ).first()
+    assert row["a"] == ""
+    assert row["b"] == "a b\n\nc"
+
+
+def test_dedup_keep_best_picks_max_and_keeps_singletons(spark):
+    df = spark.createDataFrame(
+        [(0, 10), (1, 99), (2, 50), (3, 7), (4, 7)],
+        "doc_id long, score long")
+    # cluster {0,1,2} via chain 0-1, 1-2; {3,4}; no singletons in pairs
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4)], "id_a long, id_b long")
+    kept = sorted(r["doc_id"] for r in
+                  dedup.dedup_keep_best(df, pairs, "score").collect())
+    assert kept == [1, 3]  # max score in c1; tie in c2 -> min id
+
+
+def test_token_budget_select_respects_budget(spark):
+    from tabsdata_spark.llm import corpus
+
+    rows = [(i, "word " * (10 + i) + ("great text the and of to in is it "
+                                      "that for on with" if i % 2 else ""))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    total = df.select(F.sum(textual.token_count(F.col("text")))).first()[0]
+    sel = corpus.token_budget_select(df, int(total * 0.5))
+    got = sel.agg(F.sum("n_tokens")).first()[0]
+    assert got is not None and got <= int(total * 0.5)
+    # selection is quality-prefix: every selected bin >= every rejected bin
+    sel_bins = {r["qbin"] for r in sel.collect()}
+    all_bins = {r["qbin"] for r in
+                df.select(F.least(F.lit(99), F.floor(
+                    textual.quality_score(F.col("text")) * 100))
+                    .cast("int").alias("qbin")).collect()}
+    rej = all_bins - sel_bins
+    assert not rej or not sel_bins or min(sel_bins) > max(rej)
