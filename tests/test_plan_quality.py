@@ -332,3 +332,46 @@ def test_segment_dedup_windows_per_segment(spark, sf_dir):
     plan = _plan(dedup.segment_dedup(docs))
     assert "Exchange SinglePartition" not in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bloom_contamination_corpus_side_is_join_free(spark, sf_dir):
+    """The bloom probe must be a literal-bitset expression: zero joins in
+    the whole plan, one exchange (the final per-doc agg)."""
+    from tabsdata_spark.llm import decontam
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    out = decontam.bloom_contamination(
+        docs.filter(F.col("doc_id") % 97 != 0), bench)
+    plan = _plan(out)
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_bigram_lm_joins_left_to_optimizer(spark, sf_dir):
+    """Neither LM join may carry a forced broadcast hint: the bigram vocab
+    grows with the corpus.  The logical plan must be hint-free (AQE may
+    still *choose* broadcast at runtime from measured sizes — that's the
+    point)."""
+    from tabsdata_spark.llm import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = corpus.bigram_lm_score(docs)
+    logical = out._jdf.queryExecution().optimizedPlan().toString()
+    # the only ResolvedHint allowed is the 1-row V broadcast
+    assert logical.count("ResolvedHint") <= 1
+
+
+def test_token_budget_histogram_window_is_bounded(spark, sf_dir):
+    """The cumulative window runs over the <=bins-row histogram, AFTER the
+    per-bin aggregate — never over the raw doc table."""
+    from tabsdata_spark.llm import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = corpus.token_budget_select(docs, 10_000)
+    plan = _plan(out)
+    w = plan.index("Window")
+    agg = plan.index("HashAggregate")
+    # a Window node exists and consumes an aggregate, not the scan
+    assert "qbin" in plan[w:w + 400]
+    assert agg > -1
