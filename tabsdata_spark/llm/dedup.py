@@ -842,3 +842,61 @@ def dedup_keep_best(df: DataFrame, pairs: DataFrame, order_col: str,
     clustered = comp.select(F.col("node").alias(id_col))
     return df.join(clustered, id_col, "left_anti") \
         .unionByName(df.join(winners, id_col, "left_semi"))
+
+
+def incremental_near_dup(
+    new_batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    n: int = 3,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Incremental-ingest NEAR dedup (the minhash sibling of
+    `incremental_dedup`'s exact digests): flag new-batch documents that are
+    near-duplicates of the already-ingested corpus.  Returns
+    (doc_id, match_id, jaccard) — the new doc, its best corpus match
+    (highest exact n-gram jaccard, ties -> min match id), and that jaccard.
+
+    Pipeline: ONE banded-LSH pass over the tagged union (signatures are
+    computed once, not once per side), candidates cut to new-vs-corpus
+    pairs, then exact n-gram Jaccard verification on the surviving
+    candidates only.  Scale shape: the corpus side never all-pairs — the
+    quadratic step stays inside capped LSH buckets exactly as in
+    `minhash_lsh_candidates`; the verify join touches candidate pairs
+    only.  Ids must be disjoint across the two tables (they share one id
+    space by contract, as in any versioned ingest)."""
+    tagged = (
+        new_batch.select(F.col(id_col), F.col(text_col),
+                         F.lit(True).alias("__new"))
+        .unionByName(corpus.select(F.col(id_col), F.col(text_col),
+                                   F.lit(False).alias("__new")))
+    )
+    cand = minhash_lsh_candidates(tagged, id_col, text_col, **lsh_kwargs)
+    flags = tagged.select(F.col(id_col), F.col("__new"))
+    sided = (
+        cand.join(flags.select(F.col(id_col).alias("id_a"),
+                               F.col("__new").alias("new_a")), "id_a")
+        .join(flags.select(F.col(id_col).alias("id_b"),
+                           F.col("__new").alias("new_b")), "id_b")
+        .filter(F.col("new_a") != F.col("new_b"))   # one new, one corpus
+    )
+    # orient: doc_id = the new side, match_id = the corpus side
+    oriented = sided.select(
+        F.when(F.col("new_a"), F.col("id_a")).otherwise(F.col("id_b"))
+         .alias("doc_id_n"),
+        F.when(F.col("new_a"), F.col("id_b")).otherwise(F.col("id_a"))
+         .alias("match_id_n"),
+        "id_a", "id_b",
+    )
+    verified = ngram_jaccard_pairs(
+        tagged, oriented.select("id_a", "id_b"), id_col, text_col, n)
+    hits = (oriented.join(verified, ["id_a", "id_b"])
+            .filter(F.col("jaccard") >= threshold)
+            .select(F.col("doc_id_n").alias(id_col),
+                    F.col("match_id_n").alias("match_id"), "jaccard"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("jaccard").desc(), F.col("match_id").asc())
+    return (hits.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn"))

@@ -4943,3 +4943,119 @@ def token_budget_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = docs.agg(
         F.sum(textual.token_count(F.col("text"))).alias("t")).first()["t"]
     return corpus.token_budget_select(docs, int(total * 0.3))
+
+
+@q("embed_pq_topk", _EMBED_TOPK_ORACLE)
+def embed_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (llm/similarity.py pq_topk: Jégou et al.
+    ADC — m byte-codes per vector, per-query distance tables, lookups
+    instead of dot products) used as a candidate generator, exact-cosine
+    re-ranked to top-5 — held to the same EXACT oracle as embed_topk: the
+    PQ candidate set must cover every true top-5 neighbor at this
+    (m=16, ksub=64, 100-candidate) setting, so codebook/encode/ADC
+    regressions surface as recall failures in the driver check.  (These
+    embeddings are near-random — the hardest case for PQ: no cluster
+    structure to exploit, so the subspace grid must be fine; real
+    embedding corpora tolerate far coarser m.)"""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    cand = similarity.pq_topk(emb, qs, k=100, m=16, ksub=64) \
+        .select("query_id", "vec_id")
+    withv = cand.join(emb.select("vec_id", "embedding"), "vec_id")
+    withq = withv.join(
+        F.broadcast(qs.select(F.col("query_id"),
+                              F.col("embedding").alias("__qv"))), "query_id")
+    cos = F.round(similarity.cosine(F.col("embedding"), F.col("__qv")), 6)
+    from pyspark.sql.window import Window as W
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                          F.col("vec_id").asc())
+    return (withq.select("query_id", "vec_id", cos.alias("cosine"))
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= 5))
+
+
+def _zorder_oracle(bits: int, specs: list[tuple[str, float, float]]) -> str:
+    """Generate the DuckDB twin of scale.zorder_value: same quantization
+    arithmetic, same (q >> b) & 1 interleave, shift amounts unrolled."""
+    ndim = len(specs)
+    scale_max = (1 << bits) - 1
+    qdefs = ", ".join(
+        f"CAST(FLOOR((LEAST(GREATEST(CAST({c} AS DOUBLE), {lo}), {hi}) - {lo})"
+        f" / {float(hi) - float(lo)} * {float(scale_max)}) AS BIGINT) AS q{d}"
+        for d, (c, lo, hi) in enumerate(specs))
+    terms = " + ".join(
+        f"(((q{d} >> {b}) & 1) << {b * ndim + d})"
+        for b in range(bits) for d in range(ndim))
+    return qdefs, terms
+
+
+_ZQ, _ZTERMS = _zorder_oracle(8, [("user_id", 0.0, 200.0),
+                                  ("value", 0.0, 500.0)])
+
+
+@q(
+    "zorder_events",
+    f"""
+    WITH q AS (SELECT event_id, {_ZQ} FROM events)
+    SELECT event_id, {_ZTERMS} AS zval
+    FROM q
+    """,
+)
+def zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout value (scale.zorder_value): quantize
+    (user_id, value) to an 8-bit grid and bit-interleave — the multi-column
+    data-skipping layout behind OPTIMIZE ZORDER, as constant-shift integer
+    expressions.  zorder_repartition range-partitions by this value; the
+    oracle pins the curve arithmetic bit-for-bit."""
+    from tabsdata_spark.scale import zorder_value
+
+    ev = load_events(spark, sf_dir).df
+    z = zorder_value([F.col("user_id"), F.col("value")],
+                     [(0.0, 200.0), (0.0, 500.0)], bits=8)
+    return ev.select("event_id", z.alias("zval"))
+
+
+@q(
+    "incremental_near_dup_docs",
+    r"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) >= 3
+                  THEN list_transform(range(1, len(toks) - 1),
+                       i -> array_to_string(toks[i:i+2], ' '))
+                  ELSE [array_to_string(toks, ' ')] END) AS shingles
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS toks
+            FROM documents)),
+    sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    ex AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+    inter AS (
+      SELECT n.doc_id AS doc_id, c.doc_id AS match_id, COUNT(*) AS shared
+      FROM ex n JOIN ex c ON n.g = c.g
+      WHERE n.doc_id >= 250 AND c.doc_id < 250
+      GROUP BY 1, 2),
+    j AS (
+      SELECT inter.doc_id, match_id,
+             ROUND(shared / CAST(sa.n + sb.n - shared AS DOUBLE), 6) AS jaccard
+      FROM inter
+      JOIN sz sa ON sa.doc_id = inter.doc_id
+      JOIN sz sb ON sb.doc_id = inter.match_id
+      WHERE shared / CAST(sa.n + sb.n - shared AS DOUBLE) >= 0.5)
+    SELECT doc_id, match_id, jaccard
+    FROM j
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+            ORDER BY jaccard DESC, match_id ASC) = 1
+    """,
+)
+def incremental_near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest NEAR dedup (llm/dedup.py incremental_near_dup):
+    new batch (doc_id >= 250) flagged against the ingested corpus
+    (doc_id < 250) via one banded-LSH pass over the tagged union + exact
+    n-gram Jaccard verify; best corpus match per flagged doc.  The oracle
+    is the exact inverted-index jaccard join, so LSH recall at this
+    (32-hash, 8-band) setting is pinned to exactness on the test corpus."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    batch = docs.filter(F.col("doc_id") >= 250)
+    corpus = docs.filter(F.col("doc_id") < 250)
+    return dedup.incremental_near_dup(batch, corpus, threshold=0.5)

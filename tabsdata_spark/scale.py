@@ -124,3 +124,54 @@ def write_bucketed(df: DataFrame, table_name: str, keys: list[str] | str,
        .sortBy(*sort_by)
        .format("parquet")
        .saveAsTable(table_name))
+
+
+def zorder_value(cols: list[F.Column], bounds: list[tuple[float, float]],
+                 bits: int = 16) -> F.Column:
+    """Z-order (Morton) curve value over `cols`: each column is normalized
+    to a `bits`-bit integer grid using the caller-supplied [lo, hi] bounds
+    (clamped), then the grids are bit-interleaved into one long.  Sorting /
+    range-partitioning by this value clusters rows that are close in EVERY
+    dimension into the same file ranges, so min/max data skipping prunes
+    multi-column range predicates — the layout trick behind Delta/Iceberg
+    OPTIMIZE ZORDER, built from plain expressions.
+
+    bits * len(cols) must stay <= 62 (the interleaved value must fit a
+    signed long).  Every shift amount is a plan-time constant, so the whole
+    interleave compiles to integer shift/and/or inside whole-stage codegen,
+    and the identical `(q >> b) & 1` arithmetic is available in any engine
+    for oracle checks.
+    """
+    ndim = len(cols)
+    if bits * ndim > 62:
+        raise ValueError(f"bits*ndim = {bits * ndim} > 62 (signed-long cap)")
+    scale_max = (1 << bits) - 1
+    quantized = []
+    for c, (lo, hi) in zip(cols, bounds):
+        span = float(hi) - float(lo)
+        q = F.floor((F.least(F.greatest(c.cast("double"), F.lit(float(lo))),
+                             F.lit(float(hi))) - F.lit(float(lo)))
+                    / F.lit(span) * F.lit(float(scale_max)))
+        quantized.append(q.cast("long"))
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for d, qcol in enumerate(quantized):
+            # bit b of dim d lands at position b*ndim + d; b is a python
+            # int, so shiftright/shiftleft take literal shift amounts
+            bit = F.shiftright(qcol, b).bitwiseAND(F.lit(1).cast("long"))
+            z = z + F.shiftleft(bit, b * ndim + d)
+    return z
+
+
+def zorder_repartition(df: DataFrame, cols: list[str],
+                       bounds: list[tuple[float, float]],
+                       num_partitions: int, bits: int = 16) -> DataFrame:
+    """Range-partition `df` by its Z-order value (one range-exchange; the
+    sampled range boundaries give balanced output files), sorted within
+    partitions so every written file covers a compact Z-range — maximal
+    min/max pruning for readers filtering on any subset of `cols`."""
+    zcol = zorder_value([F.col(c) for c in cols], bounds, bits)
+    return (df.withColumn("__z", zcol)
+            .repartitionByRange(num_partitions, F.col("__z"))
+            .sortWithinPartitions("__z")
+            .drop("__z"))

@@ -867,3 +867,89 @@ def test_token_budget_select_respects_budget(spark):
                     .cast("int").alias("qbin")).collect()}
     rej = all_bins - sel_bins
     assert not rej or not sel_bins or min(sel_bins) > max(rej)
+
+
+def test_pq_encode_roundtrip_and_topk_recall(spark):
+    from tabsdata_spark.llm import similarity
+
+    import numpy as np
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 8)).astype(float)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = similarity.pq_train(emb, m=4, ksub=8, sample=40)
+    assert len(books) == 4 and len(books[0]) == 8 and len(books[0][0]) == 2
+    codes = emb.select(
+        similarity.pq_encode(F.col("embedding"), books).alias("c")).collect()
+    assert all(len(r["c"]) == 4 and all(0 <= v < 8 for v in r["c"])
+               for r in codes)
+    # with k = corpus size the PQ candidate set is everything -> top-1 by
+    # exact re-rank must contain each query itself
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = similarity.pq_topk(emb, qs, k=40, m=4, ksub=8, books=books)
+    got = {(r["query_id"], r["vec_id"]): r["rank"] for r in out.collect()}
+    for q in range(3):
+        assert (q, q) in got  # self is always a candidate
+
+
+def test_zorder_value_interleave_model(spark):
+    from tabsdata_spark.scale import zorder_value
+
+    df = spark.createDataFrame(
+        [(0, 0.0, 0.0), (1, 200.0, 500.0), (2, 100.0, 0.0), (3, 777.0, -5.0)],
+        "id long, x double, y double")
+    out = {r["id"]: r["z"] for r in df.select(
+        "id", zorder_value([F.col("x"), F.col("y")],
+                           [(0.0, 200.0), (0.0, 500.0)], bits=4)
+        .alias("z")).collect()}
+
+    def model(x, y):
+        qx = int(min(max(x, 0.0), 200.0) / 200.0 * 15)
+        qy = int(min(max(y, 0.0), 500.0) / 500.0 * 15)
+        z = 0
+        for b in range(4):
+            z |= ((qx >> b) & 1) << (2 * b)
+            z |= ((qy >> b) & 1) << (2 * b + 1)
+        return z
+
+    assert out[0] == model(0, 0) == 0
+    assert out[1] == model(200, 500) == 255   # all 8 bits set
+    assert out[2] == model(100, 0)
+    assert out[3] == model(777, -5)           # clamped to (200, 0)
+
+
+def test_zorder_repartition_ranges_are_locally_sorted(spark):
+    from tabsdata_spark.scale import zorder_repartition, zorder_value
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 97).cast("double").alias("x"),
+        ((F.col("id") * 31) % 83).cast("double").alias("y"))
+    parts = zorder_repartition(df, ["x", "y"], [(0.0, 97.0), (0.0, 83.0)],
+                               num_partitions=4, bits=6)
+    z = zorder_value([F.col("x"), F.col("y")], [(0.0, 97.0), (0.0, 83.0)], 6)
+    got = parts.select(F.spark_partition_id().alias("p"), z.alias("z")) \
+        .groupBy("p").agg(F.min("z").alias("lo"), F.max("z").alias("hi")) \
+        .orderBy("p").collect()
+    assert 1 < len(got) <= 4
+    # range partitions on z: consecutive partitions cover disjoint z ranges
+    for a, b in zip(got, got[1:]):
+        assert a["hi"] <= b["lo"]
+
+
+def test_incremental_near_dup_flags_cross_side_only(spark):
+    corpus = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog today"),
+         (1, "completely unrelated text about spark physical plans")],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog now"),   # ~corpus 0
+         (11, "another new document entirely on its own topic"),
+         (12, "another brand new document entirely on its own topic")],
+        "doc_id long, text string")
+    out = dedup.incremental_near_dup(batch, corpus, threshold=0.4,
+                                     max_bucket=10)
+    rows = {r["doc_id"]: r["match_id"] for r in out.collect()}
+    assert rows.get(10) == 0          # flagged against its corpus twin
+    # 11 vs 12 are near-dups of each other but both NEW -> not flagged here
+    assert 11 not in rows and 12 not in rows
