@@ -5059,3 +5059,55 @@ def incremental_near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.filter(F.col("doc_id") >= 250)
     corpus = docs.filter(F.col("doc_id") < 250)
     return dedup.incremental_near_dup(batch, corpus, threshold=0.5)
+
+
+@q(
+    "heavy_hitters_tokens",
+    f"""
+    WITH {_TOKS_CTE},
+    c AS (SELECT term, COUNT(*) AS n FROM toks GROUP BY term),
+    t AS (SELECT SUM(n) AS total FROM c)
+    SELECT term, n, n >= total / 1024.0 AS guarantee_ok
+    FROM c CROSS JOIN t
+    ORDER BY n DESC, term ASC
+    LIMIT 20
+    """,
+)
+def heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-20 tokens via the two-pass candidate/recount heavy-hitter
+    pattern (stats.heavy_hitters): per-partition SpaceSaving candidates,
+    exact recount of candidates only — the shuffle carries candidate rows,
+    never the full vocabulary.  Oracle = the plain exact top-20, so a
+    candidate-coverage failure (budget too small) flips rows."""
+    from tabsdata_spark import stats
+    from tabsdata_spark.llm.corpus import clean_tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        F.explode(clean_tokens(F.col("text"))).alias("term"))
+    return stats.heavy_hitters(toks, "term", k=20, budget=1024)
+
+
+@q(
+    "hll_union_invariant",
+    """
+    SELECT source AS grp, COUNT(DISTINCT n_chars) AS exact_distinct,
+           TRUE AS within_5pct
+    FROM documents GROUP BY source
+    UNION ALL
+    SELECT '__all__' AS grp, COUNT(DISTINCT n_chars) AS exact_distinct,
+           TRUE AS within_5pct
+    FROM documents
+    """,
+)
+def hll_union_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable DataSketches HLL (stats.hll_mergeable_distinct): per-source
+    sketches plus their union.  The '__all__' row additionally asserts the
+    union is LOSSLESS (estimate of unioned per-group sketches == estimate
+    of one direct sketch — register-wise max), the property that lets a
+    100 TB rollup re-aggregate stored sketches without rescanning; both
+    invariants ride on hash-compared exact anchors."""
+    from tabsdata_spark import stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stats.hll_mergeable_distinct(docs, "source", "n_chars")

@@ -175,3 +175,40 @@ def zorder_repartition(df: DataFrame, cols: list[str],
             .repartitionByRange(num_partitions, F.col("__z"))
             .sortWithinPartitions("__z")
             .drop("__z"))
+
+
+def partition_stats(df: DataFrame) -> DataFrame:
+    """Per-partition row counts — the skew diagnostic: one pass, one tiny
+    collect-side aggregate keyed on spark_partition_id.  Returns
+    (partition_id, n_rows) plus overall skew ratio columns (max/mean) so a
+    dashboard can alert on a hot partition before it OOMs a task."""
+    per = (df.select(F.spark_partition_id().alias("partition_id"))
+           .groupBy("partition_id").agg(F.count(F.lit(1)).alias("n_rows")))
+    tot = per.agg(
+        F.max("n_rows").alias("__max"),
+        F.avg("n_rows").alias("__mean"))
+    return (per.crossJoin(F.broadcast(tot))
+            .select("partition_id", "n_rows",
+                    F.round(F.col("__max") / F.col("__mean"), 4)
+                     .alias("skew_ratio")))
+
+
+def compact_to_target_size(df: DataFrame, path: str,
+                           target_bytes: int = 128 * 1024 * 1024,
+                           format: str = "parquet",
+                           mode: str = "overwrite") -> int:
+    """Write `df` aiming for ~`target_bytes` per output file — the
+    small-files compaction every long-lived 100 TB table needs (a million
+    1 MB files kill both the driver's listing and the scan's task count).
+
+    Size is estimated from the plan's own statistics (Catalyst's sizeInBytes
+    — filescan-based, no extra job); the file count is
+    ceil(estimate / target).  repartition(n) (round-robin) gives uniform
+    file sizes; for sorted layouts compose with zorder_repartition first
+    and skip this helper's repartition.  Returns the file count used."""
+    import math as _math
+
+    est = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    n = max(1, _math.ceil(int(est) / target_bytes))
+    df.repartition(n).write.mode(mode).format(format).save(path)
+    return n

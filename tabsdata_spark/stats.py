@@ -104,3 +104,82 @@ def histogram(df: DataFrame, value_col: str, lo: float, hi: float,
             .agg(F.count(F.lit(1)).alias("n"))
             .withColumn("bucket_lo", F.round(F.col("bucket") * width + lo, 6))
             .withColumn("bucket_hi", F.round((F.col("bucket") + 1) * width + lo, 6)))
+
+
+def heavy_hitters(df: DataFrame, value_col: str, k: int = 20,
+                  budget: int = 1024) -> DataFrame:
+    """EXACT top-k most frequent values with a bounded shuffle — the
+    two-pass candidate/recount pattern (Misra-Gries / SpaceSaving per
+    partition, then exact verification):
+
+    Pass 1 keeps each partition's `budget` most frequent values (a pandas
+    value_counts per Arrow batch — vectorized, no python-per-row).  By the
+    pigeonhole guarantee, any value with global frequency >= N/budget tops
+    the budget in at least one partition, so the candidate union covers
+    every true heavy hitter whenever freq(k-th hitter) >= N/budget.
+    Pass 2 exact-counts ONLY the candidates (broadcast semi-join, one
+    partial-agg shuffle of <= partitions*budget groups) and takes the
+    top-k with TakeOrderedAndProject.
+
+    vs the naive groupBy-everything: the shuffle carries candidates
+    instead of |distinct values| — the difference between ~k rows and a
+    1e9-row vocabulary exchange at web scale.  `guarantee_ok` is FALSE on
+    any returned row whose count falls under N/budget — the caller's
+    signal to re-run with a bigger budget (the result may then miss true
+    hitters below that line)."""
+    import pandas as pd
+
+    src = df.select(F.col(value_col).alias("v"))
+
+    def candidates(batches):
+        counts: dict = {}
+        for pdf in batches:
+            for v, c in pdf["v"].value_counts().items():
+                counts[v] = counts.get(v, 0) + int(c)
+        top = sorted(counts.items(), key=lambda t: (-t[1], str(t[0])))[:budget]
+        yield pd.DataFrame({"v": [t[0] for t in top]})
+
+    cand = src.mapInPandas(candidates, f"v {dict(src.dtypes)['v']}").distinct()
+    total = src.agg(F.count(F.lit(1)).alias("n_total"))
+    counted = (src.join(F.broadcast(cand), "v", "left_semi")
+               .groupBy("v").agg(F.count(F.lit(1)).alias("n"))
+               .orderBy(F.col("n").desc(), F.col("v").asc())
+               .limit(k))
+    return (counted.crossJoin(F.broadcast(total))
+            .select(F.col("v").alias(value_col), "n",
+                    (F.col("n") >= F.col("n_total") / budget)
+                    .alias("guarantee_ok")))
+
+
+def hll_mergeable_distinct(df: DataFrame, group_col: str, value_col: str,
+                           lg_k: int = 12) -> DataFrame:
+    """Mergeable distinct-count sketches (DataSketches HLL via Spark's
+    hll_sketch_agg): one sketch per group plus their UNION — the shape of
+    a 100 TB rollup where per-partition/per-day sketches are stored once
+    and re-aggregated endlessly without rescanning.
+
+    HLL union is register-wise max, so estimate(union of per-group
+    sketches) is IDENTICAL to the estimate of a single sketch over all
+    rows — the query invariant asserts that equality (union_lossless) and
+    a 5% band against the exact count.  Returns per-group rows plus an
+    '__all__' row."""
+    per = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.hll_sketch_agg(F.col(value_col), F.lit(lg_k)).alias("sk"),
+        F.countDistinct(value_col).alias("exact_distinct"))
+    union_est = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("sk"))).alias("est"))
+    direct = df.agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.col(value_col), F.lit(lg_k))).alias("est"),
+        F.countDistinct(value_col).alias("exact_distinct"))
+    per_rows = per.select(
+        "grp", "exact_distinct",
+        (F.abs(F.hll_sketch_estimate(F.col("sk")) - F.col("exact_distinct"))
+         <= 0.05 * F.col("exact_distinct")).alias("within_5pct"))
+    all_row = (union_est.crossJoin(direct.withColumnRenamed("est", "est_d"))
+               .select(F.lit("__all__").alias("grp"), "exact_distinct",
+                       ((F.col("est") == F.col("est_d"))
+                        & (F.abs(F.col("est") - F.col("exact_distinct"))
+                           <= 0.05 * F.col("exact_distinct")))
+                       .alias("within_5pct")))
+    return per_rows.unionByName(all_row)

@@ -91,3 +91,55 @@ def test_pagerank_star_and_cycle(spark):
     long_run = {r.node: r.rank for r in
                 graph.pagerank(star, iterations=9, checkpoint_every=4).collect()}
     assert long_run[0] > long_run[1]
+
+
+def test_heavy_hitters_exact_and_guarantee(spark):
+    from tabsdata_spark import stats
+
+    rows = [(v,) for v in
+            ["a"] * 50 + ["b"] * 30 + ["c"] * 10 + [f"x{i}" for i in range(40)]]
+    df = spark.createDataFrame(rows, "v string").repartition(4)
+    out = stats.heavy_hitters(df, "v", k=3, budget=8).collect()
+    got = [(r["v"], r["n"], r["guarantee_ok"]) for r in out]
+    assert got[0] == ("a", 50, True)
+    assert got[1] == ("b", 30, True)
+    assert got[2] == ("c", 10, False)  # 10 < 130/8: below the coverage line
+    # counts are exact, not sketch estimates
+    assert sum(n for _, n, _ in got) == 90
+
+
+def test_hll_mergeable_union_is_lossless(spark):
+    from tabsdata_spark import stats
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}", i % 57) for i in range(600)],
+        "id long, grp string, val long")
+    out = {r["grp"]: r for r in
+           stats.hll_mergeable_distinct(df, "grp", "val").collect()}
+    assert out["__all__"]["exact_distinct"] == 57
+    assert out["__all__"]["within_5pct"]  # includes the union==direct check
+    assert all(out[g]["within_5pct"] for g in ("g0", "g1", "g2"))
+
+
+def test_partition_stats_counts_all_rows(spark):
+    from tabsdata_spark.scale import partition_stats
+
+    df = spark.range(1000).repartition(5)
+    out = partition_stats(df).collect()
+    assert sum(r["n_rows"] for r in out) == 1000
+    assert len(out) == 5
+    assert all(r["skew_ratio"] >= 1.0 for r in out)
+
+
+def test_compact_to_target_size(spark, tmp_path):
+    from tabsdata_spark.scale import compact_to_target_size
+
+    df = spark.range(100_000).select(
+        F.col("id"), F.md5(F.col("id").cast("string")).alias("payload"))
+    dest = str(tmp_path / "compacted")
+    n = compact_to_target_size(df, dest, target_bytes=1 * 1024 * 1024)
+    import glob
+    files = glob.glob(f"{dest}/part-*")
+    assert len(files) == n >= 1
+    back = spark.read.parquet(dest)
+    assert back.count() == 100_000
