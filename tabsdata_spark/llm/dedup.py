@@ -89,22 +89,22 @@ def minhash_signature(shingle_arr: Column, num_hashes: int = 32) -> Column:
     )
 
 
-def minhash_lsh_candidates(
+def band_signature_rows(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = 32,
     bands: int = 8,
     shingle_size: int = 3,
-    max_bucket: int = 50,
+    widen: bool = True,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Candidate near-duplicate pairs via banded MinHash LSH.
-
-    rows*bands exploded rows -> shuffle on (band, signature) -> within-bucket
-    self-join.  `max_bucket` drops degenerate buckets (boilerplate text)
-    before the quadratic within-bucket step — essential at scale.
-    Returns (id_a, id_b, est_jaccard) with id_a < id_b, deduped across bands.
-    """
+    """(__id, __sig, band, bsig [, keep_cols...]) — one row per (doc, band):
+    the shared minhash front half of batch LSH (`minhash_lsh_candidates`)
+    and the streaming near-dup flagger (`streaming.bus.stream_near_dup_flag`,
+    which passes widen=False: fan_out and persist are batch-only).  No
+    bucket cap here — capping needs a count over the bucket, which batch
+    does with a window and streams must do on the static side."""
     rows_per_band = num_hashes // bands
     # Cheap shingle hashing: hash each token once (xxhash64), then derive
     # each n-gram's hash from its n consecutive token hashes — no string
@@ -113,9 +113,10 @@ def minhash_lsh_candidates(
     from ..scale import fan_out
 
     toks = tokens(F.lower(F.col(text_col)))
-    tok_hashed = fan_out(df).select(
+    tok_hashed = (fan_out(df) if widen else df).select(
         F.col(id_col).alias("__id"),
         F.transform(toks, lambda t: F.xxhash64(t)).alias("__th"),
+        *[F.col(c) for c in keep_cols],
     )
     n = F.size(F.col("__th"))
     idx = F.sequence(F.lit(1), F.greatest(n - (shingle_size - 1), F.lit(1)))
@@ -128,6 +129,7 @@ def minhash_lsh_candidates(
         "__id",
         F.when(n >= 1, F.transform(idx, lambda i: F.xxhash64(*gram_cols(i))))
         .otherwise(empty).alias("__h"),
+        *[F.col(c) for c in keep_cols],
     )
 
     # Permutation i = xxhash64(h, i): independent min-wise hashes without
@@ -139,10 +141,8 @@ def minhash_lsh_candidates(
         lambda i: F.array_min(F.transform(F.col("__h"),
                                           lambda h: F.xxhash64(h, i))),
     )
-    # persist: the signature table is read 4x downstream (bucket sizes, two
-    # join sides, jaccard estimate); at cluster scale this would be a
-    # checkpoint to parquet instead
-    with_sig = hashed.select("__id", sig.alias("__sig")).persist()
+    with_sig = hashed.select("__id", sig.alias("__sig"),
+                             *[F.col(c) for c in keep_cols])
 
     # One nested expression over the band index (codegen stays O(1) in
     # `bands`, matching the signature rewrite above).
@@ -162,10 +162,34 @@ def minhash_lsh_candidates(
             ).alias("bsig"),
         ),
     )
-    exploded = (
-        with_sig.select("__id", "__sig", F.explode(band_structs).alias("bd"))
-        .select("__id", "__sig", F.col("bd.band").alias("band"), F.col("bd.bsig").alias("bsig"))
+    return (
+        with_sig.select("__id", "__sig", F.explode(band_structs).alias("bd"),
+                        *[F.col(c) for c in keep_cols])
+        .select("__id", "__sig", F.col("bd.band").alias("band"),
+                F.col("bd.bsig").alias("bsig"), *[F.col(c) for c in keep_cols])
     )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_size: int = 3,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH.
+
+    rows*bands exploded rows -> shuffle on (band, signature) -> within-bucket
+    self-join.  `max_bucket` drops degenerate buckets (boilerplate text)
+    before the quadratic within-bucket step — essential at scale.
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b, deduped across bands.
+    """
+    # persist: the exploded signature table is read from both join sides;
+    # at cluster scale this would be a checkpoint to parquet instead
+    exploded = band_signature_rows(
+        df, id_col, text_col, num_hashes, bands, shingle_size).persist()
     # Cap bucket size with a count-over-window: ONE shuffle on (band, bsig)
     # that also co-locates rows for the self-join below, vs the former
     # groupBy + join-back (two shuffles + a join).

@@ -91,6 +91,47 @@ def stream_ingest_dedup(stream: DataFrame, corpus: DataFrame,
             .drop("__fp"))
 
 
+def stream_near_dup_flag(stream: DataFrame, corpus: DataFrame,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         ts_col: str = "ts", watermark: str = "10 minutes",
+                         num_hashes: int = 32, bands: int = 8,
+                         shingle_size: int = 3,
+                         max_bucket: int = 50) -> DataFrame:
+    """Streaming NEAR-dedup flagger: the minhash sibling of
+    `stream_ingest_dedup`'s exact digests — emit incoming documents whose
+    banded minhash signature collides with any corpus band bucket (i.e.
+    LSH candidates against the ingested corpus, the same front half as
+    `llm.dedup.incremental_near_dup`; exact-jaccard verification, which
+    needs the specific partner document, stays a batch follow-up on the
+    flagged trickle).
+
+    Plan shape: corpus band buckets are a STATIC distinct (band, bsig)
+    table, boilerplate-capped on the static side (streams can't count
+    their own buckets); the stream computes its band signatures with pure
+    expressions and left-semi joins the static buckets per micro-batch —
+    no stream-side buffering.  A watermark-bounded
+    dropDuplicatesWithinWatermark collapses the bands-per-doc fan-out so
+    each flagged doc id is emitted once; state holds ids, not text."""
+    from tabsdata_spark.llm import dedup as _dedup
+
+    lsh_args = dict(num_hashes=num_hashes, bands=bands,
+                    shingle_size=shingle_size)
+    corpus_buckets = (
+        _dedup.band_signature_rows(corpus, id_col, text_col, **lsh_args)
+        .groupBy("band", "bsig")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") <= max_bucket)
+        .select("band", "bsig")
+    )
+    sb = _dedup.band_signature_rows(stream, id_col, text_col,
+                                    widen=False, keep_cols=(ts_col,),
+                                    **lsh_args)
+    flagged = sb.join(corpus_buckets, ["band", "bsig"], "left_semi")
+    return (flagged.select(F.col("__id").alias(id_col), F.col(ts_col))
+            .withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark([id_col]))
+
+
 def stream_interval_join(left: DataFrame, right: DataFrame,
                          on: str, left_ts: str, right_ts: str,
                          left_watermark: str, right_watermark: str,

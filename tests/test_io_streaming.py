@@ -362,3 +362,43 @@ def test_stream_interval_join_clicks_to_impressions(spark, tmp_path):
                  spark.sql("SELECT ad_id, clk_ts FROM ij").collect())
     assert got == [(1, dt.datetime(2024, 1, 1, 0, 5)),
                    (3, dt.datetime(2024, 1, 1, 1, 2))]
+
+
+def test_stream_near_dup_flag(spark, tmp_path):
+    import datetime as dt
+    src = tmp_path / "in_nd"
+    src.mkdir()
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+    rows = [
+        (20, "the quick brown fox jumps over the lazy dog today", t0),  # ~corpus
+        (21, "an entirely different new document about catalysts", t0), # fresh
+        (22, "the quick brown fox jumps over the lazy dog now", t0),    # ~corpus
+    ]
+    spark.createDataFrame(rows, ["doc_id", "text", "ts"]).coalesce(1) \
+        .write.mode("overwrite").parquet(str(src))
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog tomorrow"),
+         (2, "unrelated corpus text about storage engines")],
+        ["doc_id", "text"])
+    stream = bus.stream_file_source(
+        spark, str(src), "doc_id long, text string, ts timestamp")
+    flagged = bus.stream_near_dup_flag(stream, corpus)
+    out = []
+    qy = (flagged.writeStream.foreachBatch(
+            lambda b, i: out.extend(r.doc_id for r in b.collect()))
+          .option("checkpointLocation", str(tmp_path / "ckpt_nd"))
+          .trigger(availableNow=True).start())
+    qy.awaitTermination(120)
+    # batch-LSH parity: the flagged set equals the batch candidate front half
+    from tabsdata_spark.llm import dedup as d
+    tagged = spark.createDataFrame(rows, ["doc_id", "text", "ts"]) \
+        .select("doc_id", "text")
+    import pyspark.sql.functions as FF
+    sb = d.band_signature_rows(tagged).select("__id", "band", "bsig")
+    cb = d.band_signature_rows(corpus).select("band", "bsig").distinct()
+    expect = sorted(r["__id"] for r in
+                    sb.join(cb, ["band", "bsig"], "left_semi")
+                    .select("__id").distinct().collect())
+    assert sorted(out) == expect
+    assert 21 not in out
+    assert 20 in out and 22 in out
