@@ -1,8 +1,10 @@
 """LLM training-data pipeline example: the 100 TB-shaped composition.
 
-documents -> exact dedup -> paragraph-level dedup -> MinHash-LSH candidates
--> transitive clusters (connected components) -> quality filter -> token
-counts -> versioned store (hive-partitioned by source).
+documents -> normalize -> exact dedup -> paragraph-level dedup ->
+MinHash-LSH candidates -> transitive clusters (keep the BEST copy per
+cluster) -> benchmark decontamination (Bloom bitset probe) -> quality
+filter -> token-budget selection -> versioned store (hive-partitioned by
+source).
 
 Every stage is a DataFrame transform: shingle/minhash work is JVM-side
 (xxhash64 + affine permutations), candidate generation shuffles band keys
@@ -24,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import pyspark.sql.functions as F
 
 import tabsdata_spark as td
-from tabsdata_spark.llm import dedup, textual
+from tabsdata_spark.llm import corpus, decontam, dedup, textual
 from tabsdata_spark.store.table_store import TableStore
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
@@ -36,6 +38,10 @@ def main() -> None:
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     n0 = docs.count()
+
+    # 0. canonicalize raw text (quotes/dashes/control chars/whitespace)
+    #    BEFORE any fingerprinting, so trivially-different copies collide
+    docs = docs.withColumn("text", textual.normalize_text(F.col("text")))
 
     # 1. exact dedup (hash-groupBy on normalized text)
     docs = dedup.dedup_exact(docs, key_cols=["text"])
@@ -54,8 +60,18 @@ def main() -> None:
     cands = dedup.minhash_lsh_candidates(docs)
     confirmed = dedup.ngram_jaccard_pairs(docs, cands.select("id_a", "id_b")) \
         .filter(F.col("jaccard") >= 0.6)
-    docs = dedup.dedup_by_components(docs, confirmed)
+    #    keep the LONGEST copy of every duplicate cluster, not the min id —
+    #    near-dup web pages usually differ by truncation
+    docs = dedup.dedup_keep_best(docs, confirmed.select("id_a", "id_b"),
+                                 "n_chars")
     n2 = docs.count()
+
+    # 2b. benchmark decontamination: eval-set 5-grams as an 8 KiB Bloom
+    #     bitset probed at scan speed — zero corpus-side joins
+    benchmark = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .filter(F.col("doc_id") % 97 == 0)
+    flagged = decontam.bloom_contamination(docs, benchmark, n=5)
+    docs = docs.join(flagged.select("doc_id"), "doc_id", "left_anti")
 
     # 3. quality filter + token counts (pure JVM expressions)
     scored = docs.withColumn("quality", textual.quality_score(F.col("text")))
@@ -63,14 +79,22 @@ def main() -> None:
         .withColumn("n_tokens", textual.token_count(F.col("text")))
     n3 = kept.count()
 
+    # 3b. token-budget selection: keep the best-quality bin-prefix that
+    #     fits 80%% of the surviving token mass (the "we can afford N
+    #     tokens" cut, histogram-bounded — no global sort)
+    total_tokens = kept.agg(F.sum("n_tokens")).first()[0]
+    budget = corpus.token_budget_select(kept, int(total_tokens * 0.8))
+    kept = kept.join(budget.select("doc_id"), "doc_id", "left_semi")
+    n4 = kept.count()
+
     # 4. commit as a versioned table (atomic publish)
     work = tempfile.mkdtemp(prefix="tdspark_llm_")
     store = TableStore(os.path.join(work, "warehouse"))
     ver = store.write(kept, "corpus", "training_docs",
                       partition_by=["source"])  # scans prune by source
 
-    print(f"docs: {n0} -> exact-dedup {n1} -> near-dup {n2} "
-          f"-> quality-filtered {n3}")
+    print(f"docs: {n0} -> exact-dedup {n1} -> near-dup(keep-best) {n2} "
+          f"-> quality-filtered {n3} -> budget-selected {n4}")
     print(f"published corpus/training_docs version {ver}")
     print("token total:",
           kept.agg(F.sum("n_tokens").alias("t")).first().t)

@@ -27,6 +27,11 @@ sys.path.insert(0, ".")
 GLOBAL_ORDER_OK = {
     "rank_window", "rank_methods", "diff_lag", "sort_slice", "head_tail",
     "is_unique_flag", "unique_keep_first", "pack_sequences",
+    # bounded-by-construction global windows: the single partition receives
+    # an AGGREGATE of fixed cardinality, not data-sized rows —
+    # token_budget_select's cumulative sum runs over the <=bins-row quality
+    # histogram (llm/corpus.py token_budget_select)
+    "token_budget_select_docs",
 }
 
 
