@@ -171,3 +171,47 @@ def hierarchical_rollup(df: DataFrame, ts_col: str, value_col: str,
             cur.select(*by, F.lit(lvl).alias("resolution"), "bucket",
                        "n", F.col("__s").cast("double").alias("total")))
     return out
+
+
+def funnel(events: DataFrame, user_col: str, ts_col: str, type_col: str,
+           steps: list[str], within: str | None = None) -> DataFrame:
+    """Ordered event-funnel analysis: for each user, the earliest strictly
+    increasing timestamp chain through `steps` (classic product-analytics
+    A→B→C), optionally requiring the whole chain inside `within` (an
+    INTERVAL string) of step 1.  Returns one row per user who completed
+    step 1, with t_1..t_k (null once the chain breaks) and reached_steps.
+
+    Plan shape: k-1 self-joins, each keyed on the user — after the first
+    shuffle every join reuses the same hash partitioning (exchange reuse),
+    and each stage's input is only the users still alive in the funnel.
+    min-aggregates keep one row per user per stage, so no stage is ever
+    bigger than the user count; k is small by nature.  No windows over the
+    full event table, no driver state."""
+    def stage(i: int) -> DataFrame:
+        return (events.filter(F.col(type_col) == steps[i])
+                .select(F.col(user_col).alias("__u"),
+                        F.col(ts_col).alias("__ts")))
+
+    cur = stage(0).groupBy("__u").agg(F.min("__ts").alias("t_1"))
+    for i in range(1, len(steps)):
+        nxt = (stage(i).join(cur, "__u")
+               .filter(F.col("__ts") > F.col(f"t_{i}"))
+               .groupBy("__u").agg(F.min("__ts").alias(f"t_{i + 1}")))
+        cur = cur.join(nxt.select("__u", f"t_{i + 1}"), "__u", "left")
+    if within is not None:
+        # timestamps increase along the chain, so nulling every stage past
+        # the window (not just the last) keeps reached_steps consistent:
+        # a user converts only within `within` of their step-1 time
+        deadline = F.col("t_1") + F.expr(f"INTERVAL {within}")
+        for i in range(2, len(steps) + 1):
+            cur = cur.withColumn(
+                f"t_{i}",
+                F.when(F.col(f"t_{i}") <= deadline, F.col(f"t_{i}")))
+    cols = [F.col(f"t_{i + 1}") for i in range(len(steps))]
+    # reached_steps = length of the consecutive non-null stage prefix
+    reached = F.lit(len(steps))
+    for i in range(len(steps) - 1, 0, -1):
+        reached = F.when(F.col(f"t_{i + 1}").isNull(), F.lit(i)) \
+            .otherwise(reached)
+    return cur.select(F.col("__u").alias(user_col), *cols,
+                      reached.alias("reached_steps"))

@@ -418,3 +418,90 @@ def token_budget_select(docs: DataFrame, budget_tokens: int,
     return (binned.crossJoin(F.broadcast(cutoff))
             .filter(F.col("qbin") >= F.col("cut"))
             .select(id_col, "n_tokens", "quality", "qbin"))
+
+
+def feature_hash_embedding(docs: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", dim: int = 16,
+                           hash_fn=None) -> DataFrame:
+    """Dense document vectors WITHOUT a model: the hashing trick
+    (Weinberger et al., "Feature Hashing for Large Scale Multitask
+    Learning", ICML 2009).  Each term lands in bucket hash(term) % dim
+    with sign ±1 from an independent hash bit; the doc vector is the
+    signed tf sum per bucket.  Gives every downstream embedding consumer
+    (k-means, ANN, semantic dedup) a text-only on-ramp.
+
+    Scale shape: one posting-list shuffle (partial-agg on (doc, bucket) —
+    at most `dim` rows per doc survive), then one per-doc assembly
+    aggregate; the dense array is built by map lookup over a
+    sequence(0, dim-1) — no pivot, no per-dim columns.  Default hash is
+    xxhash64; pass `hash_fn=portable_hash60` (as the registry query does)
+    when the values must reproduce outside Spark."""
+    from tabsdata_spark.llm.textual import portable_hash60  # noqa: F401
+
+    hf = hash_fn or F.xxhash64
+    tdf = term_doc_freq(docs, id_col, text_col)
+    bucket = (hf(F.col("term")) % dim + dim) % dim
+    sign = (hf(F.concat(F.lit("s|"), F.col("term"))) % 2 + 2) % 2 * 2 - 1
+    sums = (tdf.select(F.col(id_col),
+                       bucket.cast("int").alias("bucket"),
+                       (F.col("tf") * sign).alias("val"))
+            .groupBy(id_col, "bucket")
+            .agg(F.sum("val").alias("val")))
+    assembled = (sums.groupBy(id_col)
+                 .agg(F.map_from_entries(
+                     F.collect_list(F.struct("bucket", "val"))).alias("__m"))
+                 .select(
+                     F.col(id_col),
+                     F.transform(
+                         F.sequence(F.lit(0), F.lit(dim - 1)),
+                         lambda d: F.coalesce(
+                             F.element_at(F.col("__m"), d),
+                             F.lit(0).cast("long")).cast("double"))
+                     .alias("embedding")))
+    return assembled
+
+
+def sparse_cosine_pairs(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", min_sim: float = 0.5,
+                        max_df: int | None = 100) -> DataFrame:
+    """Document pairs by TF-IDF cosine similarity through the inverted
+    index — the cosine complement to minhash's Jaccard: exact sparse dot
+    products, no signatures, no candidate misses above the threshold
+    (pruned terms aside).
+
+    Scale shape: weights and norms are two partial-agg shuffles; the pair
+    generation joins postings ON TERM, so each term contributes df^2 pair
+    rows — `max_df` prunes ubiquitous terms first (the classic bound:
+    stopword-grade terms carry ~zero idf weight but quadratic join cost;
+    same role as the LSH bucket cap).  Returns (id_a, id_b, cosine) with
+    id_a < id_b."""
+    tdf = term_doc_freq(docs, id_col, text_col)
+    dfc = tdf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if max_df is not None:
+        dfc = dfc.filter(F.col("df") <= max_df)
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    w = (tdf.join(dfc, "term")
+         .crossJoin(F.broadcast(n_docs))
+         .select(F.col(id_col).alias("__id"), "term",
+                 (F.col("tf")
+                  * F.log(F.col("n_total").cast("double") / F.col("df")))
+                 .alias("w")))
+    norms = w.groupBy("__id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    a = w.select(F.col("term"), F.col("__id").alias("id_a"),
+                 F.col("w").alias("wa"))
+    b = w.select(F.col("term"), F.col("__id").alias("id_b"),
+                 F.col("w").alias("wb"))
+    dots = (a.join(b, "term")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot")))
+    return (dots
+            .join(norms.select(F.col("__id").alias("id_a"),
+                               F.col("nrm").alias("na")), "id_a")
+            .join(norms.select(F.col("__id").alias("id_b"),
+                               F.col("nrm").alias("nb")), "id_b")
+            .select("id_a", "id_b",
+                    F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6)
+                    .alias("cosine"))
+            .filter(F.col("cosine") >= min_sim))

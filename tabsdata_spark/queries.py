@@ -5111,3 +5111,123 @@ def hll_union_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return stats.hll_mergeable_distinct(docs, "source", "n_chars")
+
+
+@q(
+    "feature_hash_docs",
+    rf"""
+    WITH tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM (SELECT doc_id,
+                   unnest(list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g')), '\s+'),
+                          x -> x <> '')) AS term
+            FROM documents)
+      GROUP BY doc_id, term),
+    sums AS (
+      SELECT doc_id,
+             CAST({_HASH60_SQL.format(v='term')} % 16 AS INTEGER) AS bucket,
+             SUM(tf * (({_HASH60_SQL.format(v="'s|' || term")} % 2) * 2 - 1))
+               AS val
+      FROM tf GROUP BY 1, 2),
+    grid AS (
+      SELECT doc_id, unnest(range(0, 16)) AS bucket
+      FROM (SELECT DISTINCT doc_id FROM sums)),
+    vals AS (
+      SELECT g.doc_id, g.bucket, COALESCE(s.val, 0) AS val
+      FROM grid g LEFT JOIN sums s
+        ON s.doc_id = g.doc_id AND s.bucket = g.bucket)
+    SELECT doc_id,
+           list(CAST(val AS DOUBLE) ORDER BY bucket) AS embedding
+    FROM vals GROUP BY doc_id
+    """,
+)
+def feature_hash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing document embeddings (llm/corpus.py
+    feature_hash_embedding — Weinberger et al. hashing trick): signed tf
+    sums over hash buckets, assembled by map lookup (no pivot).  Run in
+    portable-hash mode so the oracle recomputes every coordinate
+    bit-for-bit; production keeps xxhash64."""
+    from tabsdata_spark.llm import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus.feature_hash_embedding(
+        docs, dim=16, hash_fn=textual.portable_hash60)
+
+
+@q(
+    "sparse_cosine_docs",
+    r"""
+    WITH tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM (SELECT doc_id,
+                   unnest(list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g')), '\s+'),
+                          x -> x <> '')) AS term
+            FROM documents)
+      GROUP BY doc_id, term),
+    dfc AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+            HAVING COUNT(*) <= 100),
+    n AS (SELECT COUNT(*) AS n_total FROM documents),
+    w AS (
+      SELECT doc_id, term,
+             tf * ln(CAST(n_total AS DOUBLE) / df) AS w
+      FROM tf JOIN dfc USING (term) CROSS JOIN n),
+    norms AS (SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM w GROUP BY doc_id),
+    dots AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.w * b.w) AS dot
+      FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
+    FROM dots
+    JOIN norms na ON na.doc_id = id_a
+    JOIN norms nb ON nb.doc_id = id_b
+    WHERE ROUND(dot / (na.nrm * nb.nrm), 6) >= 0.5
+    """,
+)
+def sparse_cosine_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact TF-IDF cosine pairs through the inverted index (llm/corpus.py
+    sparse_cosine_pairs) — the cosine complement to minhash Jaccard.
+    df <= 100 prunes ubiquitous terms BEFORE the quadratic posting join
+    (near-zero idf, quadratic cost), the standard fan-out bound."""
+    from tabsdata_spark.llm import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus.sparse_cosine_pairs(docs, min_sim=0.5, max_df=100)
+
+
+@q(
+    "funnel_events",
+    """
+    WITH s1 AS (SELECT user_id, MIN(ts) AS t_1 FROM events
+                WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, MIN(e.ts) AS t_2
+           FROM events e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'view' AND e.ts > s1.t_1
+           GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, MIN(e.ts) AS t_3
+           FROM events e JOIN s2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t_2
+           GROUP BY e.user_id),
+    j AS (SELECT s1.user_id, s1.t_1, s2.t_2, s3.t_3
+          FROM s1 LEFT JOIN s2 USING (user_id)
+                  LEFT JOIN s3 USING (user_id)),
+    wnd AS (SELECT user_id, t_1,
+                   CASE WHEN t_2 <= t_1 + INTERVAL 2 DAY THEN t_2 END AS t_2,
+                   CASE WHEN t_3 <= t_1 + INTERVAL 2 DAY THEN t_3 END AS t_3
+            FROM j)
+    SELECT user_id, t_1, t_2, t_3,
+           CASE WHEN t_2 IS NULL THEN 1
+                WHEN t_3 IS NULL THEN 2
+                ELSE 3 END AS reached_steps
+    FROM wnd
+    """,
+)
+def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event funnel signup -> view -> purchase within 2 days
+    (extensions.funnel): k-1 user-keyed min-joins, exchange-reused
+    partitioning, no full-table windows."""
+    from tabsdata_spark.extensions import funnel
+
+    ev = load_events(spark, sf_dir).df
+    return funnel(ev, "user_id", "ts", "event_type",
+                  ["signup", "view", "purchase"], within="2 DAY")

@@ -111,3 +111,29 @@ def test_asof_join_nearest_tie_prefers_backward(spark):
     out = asof_join(left, right, on="t", by="k",
                     strategy="nearest").collect()
     assert out[0].v == "early"     # equal distance 2 -> backward wins
+
+
+def test_funnel_orders_and_window(spark):
+    import datetime as dt
+
+    from tabsdata_spark.extensions import funnel
+
+    t = lambda h: dt.datetime(2024, 1, 1, h)
+    rows = [
+        # u1 completes in order within window
+        (1, t(0), "a"), (1, t(1), "b"), (1, t(2), "c"),
+        # u2 does b BEFORE a: chain must not count the early b
+        (2, t(0), "b"), (2, t(1), "a"),
+        # u3 completes but c lands outside the 3h window
+        (3, t(0), "a"), (3, t(1), "b"), (3, t(9), "c"),
+        # u4 never starts (no a)
+        (4, t(0), "c"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, et string")
+    out = {r["user_id"]: r for r in
+           funnel(ev, "user_id", "ts", "et", ["a", "b", "c"],
+                  within="3 HOUR").collect()}
+    assert out[1]["reached_steps"] == 3
+    assert out[2]["reached_steps"] == 1 and out[2]["t_2"] is None
+    assert out[3]["reached_steps"] == 2 and out[3]["t_3"] is None
+    assert 4 not in out

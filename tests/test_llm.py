@@ -953,3 +953,44 @@ def test_incremental_near_dup_flags_cross_side_only(spark):
     assert rows.get(10) == 0          # flagged against its corpus twin
     # 11 vs 12 are near-dups of each other but both NEW -> not flagged here
     assert 11 not in rows and 12 not in rows
+
+
+def test_feature_hash_embedding_model(spark):
+    from tabsdata_spark.llm import corpus
+
+    df = spark.createDataFrame(
+        [(0, "aa bb aa"), (1, "cc")], "doc_id long, text string")
+    out = {r["doc_id"]: r["embedding"] for r in
+           corpus.feature_hash_embedding(df, dim=4).collect()}
+    assert len(out[0]) == 4 and len(out[1]) == 4
+    # signed tf sums: |sum of coords| counts tokens up to sign cancellation
+    assert sum(abs(v) for v in out[0]) >= 1
+    # deterministic across calls
+    again = {r["doc_id"]: r["embedding"] for r in
+             corpus.feature_hash_embedding(df, dim=4).collect()}
+    assert out == again
+
+
+def test_sparse_cosine_pairs_exact(spark):
+    from tabsdata_spark.llm import corpus
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma"),
+         (1, "alpha beta gamma"),        # identical -> cosine 1.0
+         (2, "delta epsilon zeta")],     # disjoint  -> no pair
+        "doc_id long, text string")
+    out = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in corpus.sparse_cosine_pairs(df, min_sim=0.1,
+                                               max_df=None).collect()}
+    assert out[(0, 1)] == 1.0
+    assert (0, 2) not in out and (1, 2) not in out
+
+
+def test_sparse_cosine_max_df_prunes_stopword_terms(spark):
+    from tabsdata_spark.llm import corpus
+
+    # 'the' appears in all docs; with max_df=2 it cannot create pairs
+    df = spark.createDataFrame(
+        [(0, "the alpha"), (1, "the beta"), (2, "the gamma")],
+        "doc_id long, text string")
+    assert corpus.sparse_cosine_pairs(df, min_sim=0.01, max_df=2).count() == 0
