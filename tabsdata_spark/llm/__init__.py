@@ -1,3 +1,5 @@
-from . import corpus, dedup, multimodal, similarity, textual
+from . import (cluster, codecs, corpus, decontam, dedup, dsir, multimodal,
+               similarity, textual)
 
-__all__ = ["corpus", "dedup", "similarity", "textual", "multimodal"]
+__all__ = ["cluster", "codecs", "corpus", "decontam", "dedup", "dsir",
+           "multimodal", "similarity", "textual"]

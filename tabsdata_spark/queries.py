@@ -5231,3 +5231,47 @@ def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir).df
     return funnel(ev, "user_id", "ts", "event_type",
                   ["signup", "view", "purchase"], within="2 DAY")
+
+
+@q(
+    "drift_psi_events",
+    """
+    WITH ha AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR(value / 50.0) AS INTEGER), 0), 9)
+               AS bucket, COUNT(*) AS na
+      FROM events WHERE user_id % 2 = 0 GROUP BY 1),
+    hb AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR(value / 50.0) AS INTEGER), 0), 9)
+               AS bucket, COUNT(*) AS nb
+      FROM events WHERE user_id % 2 = 1 GROUP BY 1),
+    grid AS (SELECT CAST(unnest(range(0, 10)) AS INTEGER) AS bucket),
+    j AS (
+      SELECT g.bucket, COALESCE(na, 0) AS na, COALESCE(nb, 0) AS nb
+      FROM grid g LEFT JOIN ha ON ha.bucket = g.bucket
+                  LEFT JOIN hb ON hb.bucket = g.bucket),
+    t AS (SELECT SUM(na) AS ta, SUM(nb) AS tb FROM j),
+    per AS (
+      SELECT bucket,
+             ROUND((na + 0.5) / (ta + 5.0), 6) AS p_a,
+             ROUND((nb + 0.5) / (tb + 5.0), 6) AS p_b,
+             ROUND(((na + 0.5) / (ta + 5.0) - (nb + 0.5) / (tb + 5.0))
+                   * ln(((na + 0.5) / (ta + 5.0))
+                        / ((nb + 0.5) / (tb + 5.0))), 6) AS psi
+      FROM j CROSS JOIN t)
+    SELECT bucket, p_a, p_b, psi FROM per
+    UNION ALL
+    SELECT -1 AS bucket, NULL AS p_a, NULL AS p_b,
+           ROUND((SELECT SUM(psi) FROM per), 6) AS psi
+    """,
+)
+def drift_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two event cohorts
+    (stats.drift_psi): fixed-range histograms (O(buckets) state), Laplace
+    add-half smoothing so empty buckets stay finite and deterministic,
+    per-bucket contributions plus the total (bucket = -1)."""
+    from tabsdata_spark import stats
+
+    ev = load_events(spark, sf_dir).df
+    a = ev.filter(F.col("user_id") % 2 == 0)
+    b = ev.filter(F.col("user_id") % 2 == 1)
+    return stats.drift_psi(a, b, "value", 0.0, 500.0, buckets=10)

@@ -183,3 +183,40 @@ def hll_mergeable_distinct(df: DataFrame, group_col: str, value_col: str,
                            <= 0.05 * F.col("exact_distinct")))
                        .alias("within_5pct")))
     return per_rows.unionByName(all_row)
+
+
+def drift_psi(df_a: DataFrame, df_b: DataFrame, value_col: str,
+              lo: float, hi: float, buckets: int = 10) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    column — the standard distribution-drift monitor between corpus /
+    feature versions (PSI < 0.1 stable, > 0.25 drifted).
+
+    Each side is reduced to its fixed-range histogram (one partial-agg
+    shuffle of <= buckets groups per side — the scan dominates, state is
+    O(buckets)); proportions get add-half Laplace smoothing so empty
+    buckets stay finite AND deterministic; contributions are
+    (pa - pb) * ln(pa / pb) per bucket.  Returns one row per bucket plus
+    the total under bucket = -1."""
+    def hist(df):
+        return histogram(df, value_col, lo, hi, buckets) \
+            .select("bucket", "n")
+
+    ha = hist(df_a).withColumnRenamed("n", "na")
+    hb = hist(df_b).withColumnRenamed("n", "nb")
+    grid = df_a.sparkSession.range(buckets) \
+        .select(F.col("id").cast("int").alias("bucket"))
+    j = (grid.join(ha, "bucket", "left").join(hb, "bucket", "left")
+         .fillna(0, ["na", "nb"]))
+    tot = j.agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb"))
+    pa = (F.col("na") + 0.5) / (F.col("ta") + 0.5 * buckets)
+    pb = (F.col("nb") + 0.5) / (F.col("tb") + 0.5 * buckets)
+    per = (j.crossJoin(F.broadcast(tot))
+           .select("bucket",
+                   F.round(pa, 6).alias("p_a"),
+                   F.round(pb, 6).alias("p_b"),
+                   F.round((pa - pb) * F.log(pa / pb), 6).alias("psi")))
+    total = per.agg(F.lit(-1).alias("bucket"),
+                    F.lit(None).cast("double").alias("p_a"),
+                    F.lit(None).cast("double").alias("p_b"),
+                    F.round(F.sum("psi"), 6).alias("psi"))
+    return per.unionByName(total)

@@ -143,3 +143,18 @@ def test_compact_to_target_size(spark, tmp_path):
     assert len(files) == n >= 1
     back = spark.read.parquet(dest)
     assert back.count() == 100_000
+
+
+def test_drift_psi_identical_and_shifted(spark):
+    from tabsdata_spark import stats
+
+    a = spark.range(1000).select((F.col("id") % 100).cast("double").alias("v"))
+    out_same = {r["bucket"]: r["psi"]
+                for r in stats.drift_psi(a, a, "v", 0.0, 100.0, 10).collect()}
+    assert out_same[-1] == 0.0  # identical distributions -> PSI 0
+    b = spark.range(1000).select(
+        ((F.col("id") % 100) / 2).cast("double").alias("v"))  # squashed low
+    out_shift = {r["bucket"]: r["psi"]
+                 for r in stats.drift_psi(a, b, "v", 0.0, 100.0, 10).collect()}
+    assert out_shift[-1] > 0.25  # clearly drifted
+    assert len(out_shift) == 11  # 10 buckets + total row
