@@ -215,3 +215,42 @@ def funnel(events: DataFrame, user_col: str, ts_col: str, type_col: str,
             .otherwise(reached)
     return cur.select(F.col("__u").alias(user_col), *cols,
                       reached.alias("reached_steps"))
+
+
+def retention_cohorts(events: DataFrame, user_col: str, ts_col: str,
+                      granularity: str = "week",
+                      max_offset: int | None = None) -> DataFrame:
+    """Cohort retention matrix: users bucketed by their FIRST activity
+    period (the cohort), counted in every later period they return —
+    the standard growth-analytics triangle.
+
+    Plan shape: first-activity is one partial-agg shuffle on user; the
+    (cohort, offset) matrix is one more partial-agg over the distinct
+    (user, period) activity pairs — dropDuplicates gets map-side combine,
+    so a power user's thousand events collapse before the exchange.  No
+    windows over the event table.  Returns (cohort, offset, n_users,
+    retention) with retention = n_users / cohort size, offset 0 = the
+    cohort period itself."""
+    period = F.date_trunc(granularity, F.col(ts_col))
+    acts = (events.select(F.col(user_col).alias("__u"),
+                          period.alias("__p")).dropDuplicates())
+    first = acts.groupBy("__u").agg(F.min("__p").alias("__cohort"))
+    diff_unit = {"week": 7 * 86400, "day": 86400}.get(granularity)
+    if diff_unit is None:
+        raise ValueError("granularity must be 'week' or 'day'")
+    joined = (acts.join(first, "__u")
+              .withColumn("period_offset",
+                          ((F.unix_timestamp("__p")
+                            - F.unix_timestamp("__cohort"))
+                           / diff_unit).cast("int")))
+    if max_offset is not None:
+        joined = joined.filter(F.col("period_offset") <= max_offset)
+    sizes = first.groupBy("__cohort").agg(
+        F.count(F.lit(1)).alias("cohort_size"))
+    mat = joined.groupBy("__cohort", "period_offset").agg(
+        F.count(F.lit(1)).alias("n_users"))
+    return (mat.join(F.broadcast(sizes), "__cohort")
+            .select(F.col("__cohort").alias("cohort"), "period_offset",
+                    "n_users",
+                    F.round(F.col("n_users") / F.col("cohort_size"), 6)
+                    .alias("retention")))

@@ -5275,3 +5275,33 @@ def drift_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = ev.filter(F.col("user_id") % 2 == 0)
     b = ev.filter(F.col("user_id") % 2 == 1)
     return stats.drift_psi(a, b, "value", 0.0, 500.0, buckets=10)
+
+
+@q(
+    "retention_cohorts_events",
+    """
+    WITH acts AS (
+      SELECT DISTINCT user_id AS u,
+             CAST(date_trunc('week', ts) AS TIMESTAMP) AS p FROM events),
+    firstp AS (SELECT u, MIN(p) AS cohort FROM acts GROUP BY u),
+    sizes AS (SELECT cohort, COUNT(*) AS cohort_size FROM firstp
+              GROUP BY cohort),
+    j AS (
+      SELECT a.u, f.cohort,
+             CAST(TRUNC((epoch(a.p) - epoch(f.cohort)) / 604800.0)
+                  AS INTEGER) AS period_offset
+      FROM acts a JOIN firstp f USING (u))
+    SELECT j.cohort, period_offset, COUNT(*) AS n_users,
+           ROUND(COUNT(*) / CAST(cohort_size AS DOUBLE), 6) AS retention
+    FROM j JOIN sizes ON sizes.cohort = j.cohort
+    GROUP BY j.cohort, period_offset, cohort_size
+    """,
+)
+def retention_cohorts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix (extensions.retention_cohorts): the
+    distinct (user, week) activity pairs collapse map-side before the only
+    real shuffles; no windows over the event table."""
+    from tabsdata_spark.extensions import retention_cohorts
+
+    ev = load_events(spark, sf_dir).df
+    return retention_cohorts(ev, "user_id", "ts", "week")

@@ -137,3 +137,24 @@ def test_funnel_orders_and_window(spark):
     assert out[2]["reached_steps"] == 1 and out[2]["t_2"] is None
     assert out[3]["reached_steps"] == 2 and out[3]["t_3"] is None
     assert 4 not in out
+
+
+def test_retention_cohorts_matrix(spark):
+    import datetime as dt
+
+    from tabsdata_spark.extensions import retention_cohorts
+
+    d = lambda day: dt.datetime(2024, 1, day, 12)
+    rows = [
+        (1, d(1)), (1, d(8)), (1, d(15)),   # cohort w0, back w1 and w2
+        (2, d(1)),                           # cohort w0, never back
+        (3, d(8)), (3, d(22)),               # cohort w1, back w2 later
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {(r["cohort"].day, r["period_offset"]): (r["n_users"], r["retention"])
+           for r in retention_cohorts(ev, "user_id", "ts", "week").collect()}
+    assert out[(1, 0)] == (2, 1.0)          # w0 cohort: both users at offset 0
+    assert out[(1, 1)] == (1, 0.5)          # only user 1 returns next week
+    assert out[(1, 2)] == (1, 0.5)
+    assert out[(8, 0)] == (1, 1.0)          # user 3's own cohort
+    assert out[(8, 2)] == (1, 1.0)
