@@ -505,3 +505,53 @@ def sparse_cosine_pairs(docs: DataFrame, id_col: str = "doc_id",
                     F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6)
                     .alias("cosine"))
             .filter(F.col("cosine") >= min_sim))
+
+
+def collocations(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", min_count: int = 5,
+                 top: int | None = None) -> DataFrame:
+    """Corpus collocations by pointwise mutual information — the
+    phrase-mining step of corpus prep (Church & Hanks 1990):
+    PMI(a,b) = ln( p(ab) / (p(a)·p(b)) ) over adjacent token pairs, with
+    `min_count` filtering the unstable long tail (rare pairs score
+    spuriously high).
+
+    Scale shape: bigram and unigram counts are two partial-agg shuffles
+    (the unigram table derives from the bigram prefixes — no second pass
+    over text); totals are 1-row broadcasts; the final join keys on the
+    constituent words with no broadcast hint (vocab-sized at web scale —
+    AQE decides).  Returns (bigram, n_pair, pmi), optionally top-N by PMI
+    via TakeOrderedAndProject."""
+    from tabsdata_spark.llm.textual import word_ngrams
+
+    toks = clean_tokens(F.col(text_col))
+    grams = F.when(F.size(toks) >= 2, word_ngrams(toks, 2)) \
+        .otherwise(F.array().cast("array<string>"))
+    pairs = (docs.select(F.explode(grams).alias("bigram"))
+             .groupBy("bigram").agg(F.count(F.lit(1)).alias("n_pair"))
+             .filter(F.col("n_pair") >= min_count)
+             .withColumn("w1", F.substring_index(F.col("bigram"), " ", 1))
+             .withColumn("w2", F.substring_index(F.col("bigram"), " ", -1)))
+    uni = (docs.select(F.explode(toks).alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("n_w")))
+    n_tok = uni.agg(F.sum("n_w").alias("n_tokens"))
+    n_big = (docs.select(F.size(grams).alias("k"))
+             .agg(F.sum("k").alias("n_bigrams")))
+    scored = (pairs
+              .join(uni.select(F.col("w").alias("w1"),
+                               F.col("n_w").alias("c1")), "w1")
+              .join(uni.select(F.col("w").alias("w2"),
+                               F.col("n_w").alias("c2")), "w2")
+              .crossJoin(F.broadcast(n_tok))
+              .crossJoin(F.broadcast(n_big))
+              .select(
+                  "bigram", "n_pair",
+                  F.round(F.log(
+                      (F.col("n_pair") / F.col("n_bigrams"))
+                      / ((F.col("c1") / F.col("n_tokens"))
+                         * (F.col("c2") / F.col("n_tokens")))), 6)
+                  .alias("pmi")))
+    if top is not None:
+        scored = scored.orderBy(F.col("pmi").desc(),
+                                F.col("bigram").asc()).limit(top)
+    return scored

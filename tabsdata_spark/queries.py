@@ -5305,3 +5305,84 @@ def retention_cohorts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_events(spark, sf_dir).df
     return retention_cohorts(ev, "user_id", "ts", "week")
+
+
+@q(
+    "collocations_docs",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g')), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents),
+    bi AS (
+      SELECT unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i+1])) AS bigram
+      FROM t WHERE len(toks) >= 2),
+    pairs AS (
+      SELECT bigram, COUNT(*) AS n_pair FROM bi GROUP BY bigram
+      HAVING COUNT(*) >= 5),
+    uni AS (
+      SELECT w, COUNT(*) AS n_w
+      FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+    nt AS (SELECT SUM(n_w) AS n_tokens FROM uni),
+    nb AS (SELECT SUM(CASE WHEN len(toks) >= 2 THEN len(toks) - 1 ELSE 0 END)
+             AS n_bigrams FROM t)
+    SELECT bigram, n_pair,
+           ROUND(ln((n_pair / n_bigrams)
+                    / ((c1.n_w / CAST(n_tokens AS DOUBLE))
+                       * (c2.n_w / CAST(n_tokens AS DOUBLE)))), 6) AS pmi
+    FROM pairs
+    JOIN uni c1 ON c1.w = split_part(bigram, ' ', 1)
+    JOIN uni c2 ON c2.w = split_part(bigram, ' ', -1)
+    CROSS JOIN nt CROSS JOIN nb
+    """,
+)
+def collocations_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocations (llm/corpus.py collocations — Church & Hanks
+    phrase mining): bigram-vs-unigram independence ratio, min_count=5
+    pruning the spurious tail; constituent-word joins hint-free (AQE)."""
+    from tabsdata_spark.llm import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus.collocations(docs, min_count=5)
+
+
+@q(
+    "mad_outliers_events",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS grp_median
+      FROM events GROUP BY event_type),
+    mad AS (
+      SELECT e.event_type,
+             quantile_cont(ABS(e.value - m.grp_median), 0.5) AS grp_mad
+      FROM events e JOIN med m USING (event_type)
+      GROUP BY e.event_type),
+    j AS (
+      SELECT e.event_id, e.event_type, e.value, m.grp_median, d.grp_mad,
+             CASE WHEN d.grp_mad > 0
+                  THEN ROUND(0.6745 * (e.value - m.grp_median) / d.grp_mad, 6)
+             END AS robust_z
+      FROM events e JOIN med m USING (event_type)
+                    JOIN mad d USING (event_type))
+    SELECT event_id, event_type, ROUND(value, 6) AS value,
+           ROUND(grp_median, 6) AS grp_median, ROUND(grp_mad, 6) AS grp_mad,
+           robust_z,
+           COALESCE(ABS(robust_z) > 3.5, FALSE) AS is_outlier
+    FROM j
+    """,
+)
+def mad_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust modified-z outliers (stats.mad_outliers, Iglewicz-Hoaglin):
+    exact per-group median + MAD (two partial-agg shuffles), flags joined
+    back via broadcast of the per-group stats."""
+    from tabsdata_spark import stats
+
+    ev = load_events(spark, sf_dir).df
+    out = stats.mad_outliers(ev, "value", ["event_type"])
+    return out.select("event_id", "event_type",
+                      F.round("value", 6).alias("value"),
+                      F.round("grp_median", 6).alias("grp_median"),
+                      F.round("grp_mad", 6).alias("grp_mad"),
+                      "robust_z", "is_outlier")

@@ -220,3 +220,31 @@ def drift_psi(df_a: DataFrame, df_b: DataFrame, value_col: str,
                     F.lit(None).cast("double").alias("p_b"),
                     F.round(F.sum("psi"), 6).alias("psi"))
     return per.unionByName(total)
+
+
+def mad_outliers(df: DataFrame, value_col: str, group_cols: list[str],
+                 threshold: float = 3.5) -> DataFrame:
+    """Robust outlier flags via the modified z-score (Iglewicz & Hoaglin):
+    |0.6745 * (x - median) / MAD| > threshold — immune to the outliers
+    themselves, unlike mean/stddev z-scores.
+
+    Plan shape: per-group median and MAD are two exact-percentile
+    aggregates (each a partial-agg shuffle on the group keys); the flags
+    join the tiny per-group stats table back (broadcast).  Rows in groups
+    with MAD = 0 (constant-valued) are never flagged.  Returns the input
+    plus (grp_median, grp_mad, robust_z, is_outlier)."""
+    med = F.expr(f"percentile({value_col}, 0.5)")
+    stats1 = df.groupBy(*group_cols).agg(med.alias("grp_median"))
+    dev = df.join(F.broadcast(stats1), group_cols).withColumn(
+        "__ad", F.abs(F.col(value_col) - F.col("grp_median")))
+    stats2 = dev.groupBy(*group_cols).agg(
+        F.first("grp_median").alias("grp_median"),
+        F.expr("percentile(__ad, 0.5)").alias("grp_mad"))
+    z = F.when(F.col("grp_mad") > 0,
+               0.6745 * (F.col(value_col) - F.col("grp_median"))
+               / F.col("grp_mad"))
+    return (df.join(F.broadcast(stats2), group_cols)
+            .withColumn("robust_z", F.round(z, 6))
+            .withColumn("is_outlier",
+                        F.coalesce(F.abs(F.col("robust_z")) > threshold,
+                                   F.lit(False))))

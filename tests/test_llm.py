@@ -994,3 +994,15 @@ def test_sparse_cosine_max_df_prunes_stopword_terms(spark):
         [(0, "the alpha"), (1, "the beta"), (2, "the gamma")],
         "doc_id long, text string")
     assert corpus.sparse_cosine_pairs(df, min_sim=0.01, max_df=2).count() == 0
+
+
+def test_collocations_pmi_ranks_fixed_phrase_first(spark):
+    from tabsdata_spark.llm import corpus
+
+    # "new york" always co-occurs; "the cat" / "the dog" split "the"
+    rows = [(i, "new york " + ("the cat " if i % 2 else "the dog ") * 2)
+            for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = corpus.collocations(df, min_count=3, top=5).collect()
+    assert out[0]["bigram"] == "new york"
+    assert all(out[0]["pmi"] >= r["pmi"] for r in out)

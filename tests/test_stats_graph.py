@@ -158,3 +158,19 @@ def test_drift_psi_identical_and_shifted(spark):
                  for r in stats.drift_psi(a, b, "v", 0.0, 100.0, 10).collect()}
     assert out_shift[-1] > 0.25  # clearly drifted
     assert len(out_shift) == 11  # 10 buckets + total row
+
+
+def test_mad_outliers_flags_only_the_spike(spark):
+    from tabsdata_spark import stats
+
+    rows = [(i, "g", float(10 + (i % 3))) for i in range(30)] + [(99, "g", 500.0)]
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    out = {r["id"]: r["is_outlier"]
+           for r in stats.mad_outliers(df, "v", ["grp"]).collect()}
+    assert out[99] is True
+    assert sum(out.values()) == 1
+    # constant group: MAD 0 -> nothing flagged
+    const = spark.createDataFrame([(1, "c", 5.0), (2, "c", 5.0)],
+                                  "id long, grp string, v double")
+    assert all(not r["is_outlier"] for r in
+               stats.mad_outliers(const, "v", ["grp"]).collect())
