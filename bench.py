@@ -94,6 +94,32 @@ EXTENDED = [
 ]
 
 
+# Fifth/sixth groups (added late r3): the text-curation operators and the
+# analytics/layout operators built this round.  Additive: earlier ledgers
+# keep their keys for round-over-round comparison.
+CURATION = [
+    "normalize_text_docs",
+    "bigram_lm_docs",
+    "bloom_decontaminate_docs",
+    "heavy_hitters_tokens",
+    "sparse_cosine_docs",
+    "feature_hash_docs",
+    "collocations_docs",
+    "token_budget_select_docs",
+    "dedup_keep_best_docs",
+    "incremental_near_dup_docs",
+]
+
+ANALYTICS = [
+    "funnel_events",
+    "retention_cohorts_events",
+    "drift_psi_events",
+    "mad_outliers_events",
+    "zorder_events",
+    "hll_union_invariant",
+]
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -110,7 +136,7 @@ def main():
     # codegen compilation, parquet footer reads, and Python-worker process
     # spawn for pandas_udf stages (workers are reused afterwards).  The timed
     # pass below measures steady-state engine throughput.
-    for name in HEADLINE + CORPUS + HYGIENE + EXTENDED:
+    for name in HEADLINE + CORPUS + HYGIENE + EXTENDED + CURATION + ANALYTICS:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     # Queries whose distributed work happens at CONSTRUCTION time (iterative
@@ -121,7 +147,10 @@ def main():
     # round-over-round comparability of the frozen headline list.
     EAGER = {"semantic_dedup_keep", "kmeans_clusters_emb",
              "triangle_count_emb", "connected_components_star_docs",
-             "pagerank_event_transitions"}
+             "pagerank_event_transitions",
+             # driver-side bitset build / budget scalar are part of the work
+             "bloom_decontaminate_docs", "token_budget_select_docs",
+             "dedup_keep_best_docs", "incremental_near_dup_docs"}
 
     def timed(names: list[str]) -> dict[str, float]:
         out: dict[str, float] = {}
@@ -140,6 +169,8 @@ def main():
     corpus_timings = timed(CORPUS)
     hygiene_timings = timed(HYGIENE)
     extended_timings = timed(EXTENDED)
+    curation_timings = timed(CURATION)
+    analytics_timings = timed(ANALYTICS)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -154,6 +185,10 @@ def main():
         "hygiene_queries": hygiene_timings,
         "extended_total": round(sum(extended_timings.values()), 3),
         "extended_queries": extended_timings,
+        "curation_total": round(sum(curation_timings.values()), 3),
+        "curation_queries": curation_timings,
+        "analytics_total": round(sum(analytics_timings.values()), 3),
+        "analytics_queries": analytics_timings,
     }))
 
 
