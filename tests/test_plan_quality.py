@@ -375,3 +375,18 @@ def test_token_budget_histogram_window_is_bounded(spark, sf_dir):
     # a Window node exists and consumes an aggregate, not the scan
     assert "qbin" in plan[w:w + 400]
     assert agg > -1
+
+
+def test_heavy_hitters_recount_is_take_ordered(spark, sf_dir):
+    """Pass 2 must end in TakeOrderedAndProject (per-partition heaps), and
+    pass 1 must be the Arrow candidate scan — never a full-vocabulary
+    global sort."""
+    from tabsdata_spark import stats
+    from tabsdata_spark.llm.corpus import clean_tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(F.explode(clean_tokens(F.col("text"))).alias("term"))
+    out = stats.heavy_hitters(toks, "term", k=10, budget=64)
+    plan = _plan(out)
+    assert "TakeOrderedAndProject" in plan
+    assert "MapInPandas" in plan

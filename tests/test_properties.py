@@ -203,3 +203,51 @@ def test_avi_container_roundtrip(n, h, w, fps, seed):
         assert np.array_equal(d["pixels"], frames[i])
     if n == 1:
         assert meta["features"][1] == 0.0
+
+
+@given(vals=st.lists(st.text(
+    alphabet=st.characters(min_codepoint=1, max_codepoint=0x2030),
+    max_size=40), min_size=1, max_size=8))
+@SET
+def test_normalize_text_idempotent(spark, vals):
+    """normalize(normalize(x)) == normalize(x) for arbitrary unicode."""
+    from tabsdata_spark.llm import textual
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               "i int, t string")
+    out = df.select(
+        textual.normalize_text(F.col("t")).alias("once"),
+        textual.normalize_text(textual.normalize_text(F.col("t")))
+        .alias("twice")).collect()
+    for r in out:
+        assert r["once"] == r["twice"]
+
+
+@given(xs=st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                             allow_nan=False), min_size=1, max_size=12))
+@SET
+def test_zorder_value_matches_python_model(spark, xs):
+    from tabsdata_spark.scale import zorder_value
+    import pyspark.sql.functions as F
+
+    bits, lo, hi = 6, -100.0, 100.0
+    df = spark.createDataFrame([(i, float(x)) for i, x in enumerate(xs)],
+                               "i int, x double")
+    got = {r["i"]: r["z"] for r in df.select(
+        "i", zorder_value([F.col("x"), F.col("x")],
+                          [(lo, hi), (lo, hi)], bits).alias("z")).collect()}
+
+    def model(x):
+        import math
+        q = int(math.floor((min(max(x, lo), hi) - lo) / (hi - lo)
+                           * ((1 << bits) - 1)))
+        z = 0
+        for b in range(bits):
+            bit = (q >> b) & 1
+            z |= bit << (2 * b)
+            z |= bit << (2 * b + 1)
+        return z
+
+    for i, x in enumerate(xs):
+        assert got[i] == model(x), (x, got[i], model(x))
