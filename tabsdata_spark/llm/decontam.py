@@ -90,24 +90,26 @@ def boilerplate_ngrams(
 
 
 def bloom_bitset(benchmark: DataFrame, text_col: str = "text", n: int = 5,
-                 m_bits: int = 1 << 16, k_hashes: int = 3) -> list[int]:
+                 m_bits: int = 1 << 16, k_hashes: int = 3,
+                 hash_fn=None) -> list[int]:
     """Build a Bloom filter (list of 64-bit words, driver-side) over the
     benchmark's distinct word n-grams.  Bit positions come from
-    `portable_hash60(j + "|" + gram) % m_bits` for j in 0..k-1 — an
-    engine-portable hash, so an oracle can recompute the identical bit
-    set outside Spark.
+    `hash(j + "|" + gram) % m_bits` for j in 0..k-1.  The default hash is
+    xxhash64 (JVM-side, the production path); pass
+    `hash_fn=portable_hash60` when an external oracle must recompute the
+    identical bit set (the registry query does — ~3x slower per gram).
 
     The collect is bounded by the BENCHMARK size (eval sets are thousands
     of documents by nature — the same smallness assumption the broadcast
     join in `contamination` already makes); the returned bitset is
     m_bits/8 bytes regardless of benchmark size, e.g. 8 KiB at the
     default 2^16 bits."""
-    from tabsdata_spark.llm.textual import portable_hash60
-
+    hf = hash_fn or F.xxhash64
     g = benchmark.select(
         F.explode(shingles(F.col(text_col), n)).alias("gram")).distinct()
+    # pmod: xxhash64 is signed; portable_hash60 is non-negative (same result)
     pos_cols = [
-        (portable_hash60(F.concat(F.lit(f"{j}|"), F.col("gram")))
+        ((hf(F.concat(F.lit(f"{j}|"), F.col("gram"))) % m_bits + m_bits)
          % m_bits).alias(f"p{j}")
         for j in range(k_hashes)
     ]
@@ -122,17 +124,17 @@ def bloom_bitset(benchmark: DataFrame, text_col: str = "text", n: int = 5,
 
 
 def bloom_contains(gram, words: list[int], m_bits: int = 1 << 16,
-                   k_hashes: int = 3):
+                   k_hashes: int = 3, hash_fn=None):
     """Boolean Column: all `k_hashes` Bloom bits for `gram` are set in
-    `words` (the bitset from `bloom_bitset`).  Pure JVM expressions —
-    element_at on a literal array + bit_get — evaluated at scan speed with
-    no join and no shuffle on the probe side."""
-    from tabsdata_spark.llm.textual import portable_hash60
-
+    `words` (the bitset from `bloom_bitset`; same `hash_fn` required).
+    Pure JVM expressions — element_at on a literal array + bit_get —
+    evaluated at scan speed with no join and no shuffle on the probe
+    side."""
+    hf = hash_fn or F.xxhash64
     arr = F.lit(words)
     cond = F.lit(True)
     for j in range(k_hashes):
-        p = portable_hash60(F.concat(F.lit(f"{j}|"), gram)) % m_bits
+        p = (hf(F.concat(F.lit(f"{j}|"), gram)) % m_bits + m_bits) % m_bits
         word = F.element_at(arr, (p / F.lit(64)).cast("int") + 1)
         cond = cond & (F.bit_get(word, (p % 64).cast("int")) == 1)
     return cond
@@ -141,7 +143,7 @@ def bloom_contains(gram, words: list[int], m_bits: int = 1 << 16,
 def bloom_contamination(docs: DataFrame, benchmark: DataFrame,
                         id_col: str = "doc_id", text_col: str = "text",
                         n: int = 5, m_bits: int = 1 << 16,
-                        k_hashes: int = 3) -> DataFrame:
+                        k_hashes: int = 3, hash_fn=None) -> DataFrame:
     """(doc_id, n_bloom_hits) for docs with at least one n-gram whose
     Bloom membership test passes against the benchmark gram set.
 
@@ -153,11 +155,12 @@ def bloom_contamination(docs: DataFrame, benchmark: DataFrame,
     either accept the over-flagging (removal is the safe direction for
     decontamination) or re-verify flagged docs with the exact join, which
     then runs on the tiny flagged subset."""
-    words = bloom_bitset(benchmark, text_col, n, m_bits, k_hashes)
+    words = bloom_bitset(benchmark, text_col, n, m_bits, k_hashes, hash_fn)
     doc_grams = docs.select(
         F.col(id_col),
         F.explode(shingles(F.col(text_col), n)).alias("gram"))
     return (doc_grams
-            .filter(bloom_contains(F.col("gram"), words, m_bits, k_hashes))
+            .filter(bloom_contains(F.col("gram"), words, m_bits, k_hashes,
+                                   hash_fn))
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_bloom_hits")))

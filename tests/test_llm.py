@@ -790,6 +790,11 @@ def test_bloom_contamination_flags_and_fp_bound(spark):
         "doc_id long, text string")
     out = {r["doc_id"]: r["n_bloom_hits"]
            for r in decontam.bloom_contamination(docs, bench).collect()}
+    # default (xxhash64) and portable modes agree on this corpus
+    port = {r["doc_id"]: r["n_bloom_hits"]
+            for r in decontam.bloom_contamination(
+                docs, bench, hash_fn=textual.portable_hash60).collect()}
+    assert out == port
     assert out[0] >= 1 and out[2] >= 1
     assert 1 not in out  # tiny bench + 64k bits: no false positive here
 
@@ -803,7 +808,8 @@ def test_bloom_bitset_matches_python_model(spark):
 
     bench = spark.createDataFrame(
         [(0, "w0 w1 w2 w3 w4 w5 w6")], "doc_id long, text string")
-    words = decontam.bloom_bitset(bench, m_bits=1 << 12, k_hashes=2)
+    words = decontam.bloom_bitset(bench, m_bits=1 << 12, k_hashes=2,
+                                  hash_fn=textual.portable_hash60)
 
     def h60(s):
         return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
