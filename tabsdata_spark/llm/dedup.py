@@ -924,3 +924,58 @@ def incremental_near_dup(
         F.col("jaccard").desc(), F.col("match_id").asc())
     return (hits.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1).drop("__rn"))
+
+
+def corpus_band_index(corpus: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", max_bucket: int = 50,
+                      **lsh_kwargs) -> DataFrame:
+    """Persistable LSH band index of a corpus: (band, bsig, doc_id) rows,
+    boilerplate buckets (> max_bucket members) dropped at build time.
+    Build ONCE per corpus version and store it (e.g. TableStore.write);
+    every later ingest batch joins its own signatures against the stored
+    index instead of re-hashing the corpus — at 100 TB that converts a
+    full-corpus tokenize+minhash per batch into a scan of a ~24-byte/row
+    index table."""
+    rows = band_signature_rows(corpus, id_col, text_col, **lsh_kwargs)
+    w = Window.partitionBy("band", "bsig")
+    return (rows.withColumn("__n", F.count(F.lit(1)).over(w))
+            .filter(F.col("__n") <= max_bucket)
+            .select("band", "bsig", F.col("__id").alias(id_col)))
+
+
+def incremental_near_dup_indexed(
+    new_batch: DataFrame,
+    corpus: DataFrame,
+    corpus_bands: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    n: int = 3,
+    **lsh_kwargs,
+) -> DataFrame:
+    """`incremental_near_dup` against a PRECOMPUTED `corpus_band_index`:
+    same contract — (doc_id, match_id, jaccard), best corpus match per
+    flagged new doc — but the corpus is never re-tokenized: only the new
+    batch computes signatures; candidates come from a join against the
+    stored index; exact verification reads corpus text for candidate
+    partners only (a semi-joined sliver at real scale)."""
+    bb = band_signature_rows(new_batch, id_col, text_col, **lsh_kwargs)
+    cand = (bb.select("band", "bsig", F.col("__id").alias("doc_id_n"))
+            .join(corpus_bands.select("band", "bsig",
+                                      F.col(id_col).alias("match_id_n")),
+                  ["band", "bsig"])
+            .select("doc_id_n", "match_id_n").distinct())
+    texts = (new_batch.select(F.col(id_col), F.col(text_col))
+             .unionByName(corpus.select(F.col(id_col), F.col(text_col))))
+    verified = ngram_jaccard_pairs(
+        texts,
+        cand.select(F.col("doc_id_n").alias("id_a"),
+                    F.col("match_id_n").alias("id_b")),
+        id_col, text_col, n)
+    hits = (verified.filter(F.col("jaccard") >= threshold)
+            .select(F.col("id_a").alias(id_col),
+                    F.col("id_b").alias("match_id"), "jaccard"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("jaccard").desc(), F.col("match_id").asc())
+    return (hits.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn"))

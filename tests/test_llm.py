@@ -1012,3 +1012,32 @@ def test_collocations_pmi_ranks_fixed_phrase_first(spark):
     out = corpus.collocations(df, min_count=3, top=5).collect()
     assert out[0]["bigram"] == "new york"
     assert all(out[0]["pmi"] >= r["pmi"] for r in out)
+
+
+def test_incremental_near_dup_indexed_matches_direct(spark, tmp_path):
+    """Store the band index in the versioned table store, read it back,
+    and get the same flags as the direct (recompute-everything) path."""
+    from tabsdata_spark.store.table_store import TableStore
+
+    corpus = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog today"),
+         (1, "completely unrelated text about spark physical plans")],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog now"),
+         (11, "another new document entirely on its own topic")],
+        "doc_id long, text string")
+
+    idx = dedup.corpus_band_index(corpus, max_bucket=10)
+    store = TableStore(str(tmp_path / "wh"))
+    store.write(idx, "dedup", "band_index")
+    stored = store.read(spark, "dedup", "band_index").to_spark()
+
+    direct = {(r["doc_id"], r["match_id"], r["jaccard"]) for r in
+              dedup.incremental_near_dup(batch, corpus, threshold=0.4,
+                                         max_bucket=10).collect()}
+    indexed = {(r["doc_id"], r["match_id"], r["jaccard"]) for r in
+               dedup.incremental_near_dup_indexed(
+                   batch, corpus, stored, threshold=0.4).collect()}
+    assert indexed == direct
+    assert (10, 0, direct and sorted(direct)[0][2]) in direct or len(direct) == 1
