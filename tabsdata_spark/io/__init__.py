@@ -9,8 +9,8 @@ from .file_io import (
     S3Destination, S3Source,
 )
 from .formats import (
-    AvroFormat, CSVFormat, FileFormat, LogFormat, NDJSONFormat, ParquetFormat,
-    format_for,
+    AvroFormat, CSVFormat, FileFormat, LogFormat, NDJSONFormat, ORCFormat,
+    ParquetFormat, XMLFormat, format_for,
 )
 from .plugin import DestinationPlugin, SourcePlugin
 from .sql_io import (
@@ -26,7 +26,7 @@ __all__ = [
     "AzureDestination", "GCSDestination", "S3AccessKeyCredentials",
     "AzureAccountKeyCredentials", "GCSServiceAccountCredentials",
     "FileFormat", "CSVFormat", "NDJSONFormat", "LogFormat", "ParquetFormat",
-    "AvroFormat", "format_for", "SQLSource", "MySQLSource", "MariaDBSource",
+    "AvroFormat", "ORCFormat", "XMLFormat", "format_for", "SQLSource", "MySQLSource", "MariaDBSource",
     "PostgresSource", "OracleSource", "SQLDestination", "MySQLDestination",
     "MariaDBDestination", "PostgresDestination", "OracleDestination",
     "substitute_params", "SourcePlugin", "DestinationPlugin", "TableInput",

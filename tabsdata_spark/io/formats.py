@@ -94,6 +94,24 @@ class ORCFormat(FileFormat):
 
 
 @dataclass
+class XMLFormat(FileFormat):
+    """Spark 4 ships the (formerly spark-xml) XML source in-core.
+    Extension beyond the reference's format list — the long tail of
+    enterprise feeds is XML.  `row_tag` names the repeated element that
+    becomes a row; `root_tag` wraps written output."""
+
+    name = "xml"
+    row_tag: str = "row"
+    root_tag: str = "rows"
+
+    def reader_options(self) -> dict[str, str]:
+        return {"rowTag": self.row_tag}
+
+    def writer_options(self) -> dict[str, str]:
+        return {"rowTag": self.row_tag, "rootTag": self.root_tag}
+
+
+@dataclass
 class AvroFormat(FileFormat):
     """Spark's avro is an external module; reading raises a clear error if
     the spark-avro jar is absent (gate, don't crash at import)."""
@@ -108,6 +126,7 @@ _EXT_MAP = {
     ".log": LogFormat, ".txt": LogFormat,
     ".avro": AvroFormat,
     ".orc": ORCFormat,
+    ".xml": XMLFormat,
 }
 
 
@@ -120,7 +139,8 @@ def format_for(path_or_fmt) -> FileFormat:
         by_name = {"parquet": ParquetFormat, "csv": CSVFormat,
                    "ndjson": NDJSONFormat, "json": NDJSONFormat,
                    "jsonl": NDJSONFormat, "log": LogFormat,
-                   "avro": AvroFormat, "orc": ORCFormat}
+                   "avro": AvroFormat, "orc": ORCFormat,
+                   "xml": XMLFormat}
         if low in by_name:
             return by_name[low]()
         for ext, cls in _EXT_MAP.items():

@@ -402,3 +402,18 @@ def test_stream_near_dup_flag(spark, tmp_path):
     assert sorted(out) == expect
     assert 21 not in out
     assert 20 in out and 22 in out
+
+
+def test_xml_roundtrip(spark, tmp_path):
+    from tabsdata_spark.io.file_io import LocalFileDestination, LocalFileSource
+    from tabsdata_spark.io.formats import XMLFormat
+
+    df = spark.createDataFrame([(1, "a"), (2, "b & c")], ["k", "v"])
+    dest = LocalFileDestination(str(tmp_path / "out.xml"),
+                                format=XMLFormat(row_tag="rec"))
+    dest.save(df, spark)
+    src = LocalFileSource(str(tmp_path / "out.xml"),
+                          format=XMLFormat(row_tag="rec"))
+    back, _ = src.load(spark)
+    assert sorted((r["k"], r["v"]) for r in back.collect()) == \
+        [(1, "a"), (2, "b & c")]
