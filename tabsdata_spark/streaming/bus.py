@@ -132,6 +132,57 @@ def stream_near_dup_flag(stream: DataFrame, corpus: DataFrame,
             .dropDuplicatesWithinWatermark([id_col]))
 
 
+def stream_drift_monitor(stream: DataFrame, ts_col: str, value_col: str,
+                         baseline: list[float], lo: float, hi: float,
+                         window: str = "10 minutes",
+                         watermark: str = "10 minutes") -> DataFrame:
+    """Continuous PSI drift monitoring: per event-time window, the
+    Population Stability Index of `value_col`'s histogram against a static
+    `baseline` (reference proportions per bucket, e.g. from
+    stats.histogram over the training corpus) — the streaming twin of
+    stats.drift_psi, alerting when serving data drifts from what the
+    model/corpus was built on.
+
+    Plan shape: TWO chained event-time aggregations (Spark's
+    multiple-stateful-operator support): bucket counts per window
+    (state = buckets x open windows), then per-window assembly via
+    collect_list of <= buckets structs; PSI folds over that bounded array
+    against the baseline literal — observed proportions get the same
+    add-half smoothing as the batch twin.  Emits
+    (window_start, window_end, n_events, psi) once the watermark closes
+    each window."""
+    buckets = len(baseline)
+    width = (hi - lo) / buckets
+    raw = F.floor((F.col(value_col) - lo) / width).cast("int")
+    bucket = F.least(F.greatest(raw, F.lit(0)), F.lit(buckets - 1))
+    counts = (stream.withWatermark(ts_col, watermark)
+              .groupBy(F.window(F.col(ts_col), window).alias("w"),
+                       bucket.alias("bucket"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    per_window = (counts
+                  .groupBy(F.window(F.window_time("w"), window).alias("w"))
+                  .agg(F.collect_list(F.struct("bucket", "n")).alias("arr")))
+    total = F.aggregate(F.col("arr"), F.lit(0).cast("long"),
+                        lambda acc, x: acc + x["n"])
+
+    def n_of(d: int):
+        return F.aggregate(
+            F.col("arr"), F.lit(0).cast("long"),
+            lambda acc, x: acc + F.when(x["bucket"] == d, x["n"])
+            .otherwise(F.lit(0).cast("long")))
+
+    psi = F.lit(0.0)
+    for d in range(buckets):
+        p_obs = (n_of(d) + 0.5) / (total.cast("double") + 0.5 * buckets)
+        p_ref = F.lit(max(float(baseline[d]), 1e-9))
+        psi = psi + (p_obs - p_ref) * F.log(p_obs / p_ref)
+    return per_window.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        total.alias("n_events"),
+        F.round(psi, 6).alias("psi"))
+
+
 def stream_interval_join(left: DataFrame, right: DataFrame,
                          on: str, left_ts: str, right_ts: str,
                          left_watermark: str, right_watermark: str,

@@ -417,3 +417,46 @@ def test_xml_roundtrip(spark, tmp_path):
     back, _ = src.load(spark)
     assert sorted((r["k"], r["v"]) for r in back.collect()) == \
         [(1, "a"), (2, "b & c")]
+
+
+def test_stream_drift_monitor_flags_shifted_window(spark, tmp_path):
+    import datetime as dt
+    import math
+
+    src = tmp_path / "in_drift"
+    src.mkdir()
+    t0 = dt.datetime(2024, 1, 1, 0, 5)
+    t1 = dt.datetime(2024, 1, 1, 1, 5)
+    t2 = dt.datetime(2024, 1, 1, 3, 0)
+    rows = ([(t0, float(v % 10)) for v in range(100)]          # uniform 0-9
+            + [(t1, 0.0)] * 100                                # all in bucket 0
+            + [(t2, 5.0)])   # watermark pusher: closes the hour-1 window
+    spark.createDataFrame(rows, "ts timestamp, value double").coalesce(1) \
+        .write.mode("overwrite").parquet(str(src))
+    stream = bus.stream_file_source(spark, str(src),
+                                    "ts timestamp, value double")
+    baseline = [0.1] * 10  # uniform reference
+    mon = bus.stream_drift_monitor(stream, "ts", "value", baseline,
+                                   0.0, 10.0, window="30 minutes",
+                                   watermark="5 minutes")
+    out = []
+    qy = (mon.writeStream.outputMode("append").foreachBatch(
+            lambda b, i: out.extend(b.collect()))
+          .option("checkpointLocation", str(tmp_path / "ckpt_drift"))
+          .trigger(availableNow=True).start())
+    qy.awaitTermination(120)
+    got = {r["window_start"].hour: r for r in out}
+    assert got[0]["n_events"] == 100 and got[1]["n_events"] == 100
+
+    def psi_model(counts):
+        tot = sum(counts)
+        s = 0.0
+        for d in range(10):
+            p = (counts[d] + 0.5) / (tot + 5.0)
+            q = 0.1
+            s += (p - q) * math.log(p / q)
+        return round(s, 6)
+
+    assert got[0]["psi"] == psi_model([10] * 10)
+    assert got[1]["psi"] == psi_model([100] + [0] * 9)
+    assert got[1]["psi"] > 10 * max(got[0]["psi"], 1e-9)
