@@ -133,6 +133,41 @@ class TableStore:
             self.meta.commit_transaction(txn_id)
         return version_id
 
+    def merge(self, updates: TableFrame | DataFrame, collection: str,
+              table: str, key_cols: list[str],
+              delete_missing: bool = False,
+              txn_id: str | None = None,
+              partition_by: list[str] | None = None) -> str:
+        """Keyed MERGE (upsert) producing a NEW version: rows of HEAD whose
+        key appears in `updates` are replaced, new keys are inserted, and
+        with `delete_missing=True` HEAD keys absent from `updates` are
+        dropped (full-snapshot semantics).  Versioning is untouched — the
+        merge is sugar over read-HEAD + anti-join + union + write, so time
+        travel, vacuum, and diff all keep working.
+
+        Plan shape: ONE hash anti-join of HEAD against the distinct update
+        keys (broadcast when the batch is small — the common case), one
+        union, one write.  No row-level state: at 100 TB this is the
+        rewrite-the-affected-partitions pattern; pass `partition_by` so
+        readers prune, and keep update batches partition-aligned when
+        possible."""
+        up = updates.to_spark() if isinstance(updates, TableFrame) else updates
+        try:
+            # user columns only on both sides: the stored system columns
+            # (version/txn ids) must NOT survive into the new version —
+            # write() stamps fresh ones
+            head = self.read(up.sparkSession, collection, table).to_spark()
+            if delete_missing:
+                merged = up  # full-snapshot semantics: the batch IS the table
+            else:
+                survivors = head.join(up.select(*key_cols).distinct(),
+                                      on=key_cols, how="left_anti")
+                merged = survivors.unionByName(up)
+        except VersionResolutionError:
+            merged = up  # first version: plain write
+        return self.write(TableFrame.from_spark(merged), collection, table,
+                          txn_id=txn_id, partition_by=partition_by)
+
     # -- read ----------------------------------------------------------
     def resolve_paths(self, collection: str, table: str,
                       versions: str = "HEAD",

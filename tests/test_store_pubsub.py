@@ -642,3 +642,29 @@ def test_vacuum_reclaims_dead_and_old_versions(spark, tmp_path):
     # the pruned version's directory is gone from disk
     import glob
     assert len(glob.glob(f"{store.root}/c/c/d/*")) == 2
+
+
+def test_store_merge_upsert_creates_new_version(spark, tmp_path):
+    from tabsdata_spark.store.table_store import TableStore
+
+    store = TableStore(str(tmp_path / "wh"))
+    v1 = store.write(
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string"),
+        "col", "t")
+    v2 = store.merge(
+        spark.createDataFrame([(2, "B"), (4, "d")], "k long, v string"),
+        "col", "t", key_cols=["k"])
+    assert v1 != v2
+    head = {(r["k"], r["v"]) for r in
+            store.read(spark, "col", "t").to_spark().collect()}
+    assert head == {(1, "a"), (2, "B"), (3, "c"), (4, "d")}
+    # time travel to v1 still works
+    old = {(r["k"], r["v"]) for r in
+           store.read(spark, "col", "t", versions="HEAD~1")
+           .to_spark().collect()}
+    assert old == {(1, "a"), (2, "b"), (3, "c")}
+    # first-version merge on a fresh table = plain write
+    store.merge(spark.createDataFrame([(9, "z")], "k long, v string"),
+                "col", "t2", key_cols=["k"])
+    assert {(r["k"], r["v"]) for r in
+            store.read(spark, "col", "t2").to_spark().collect()} == {(9, "z")}
