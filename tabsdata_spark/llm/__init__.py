@@ -1,5 +1,5 @@
 from . import (cluster, codecs, corpus, decontam, dedup, dsir, multimodal,
-               similarity, textual)
+               pipeline, similarity, textual)
 
 __all__ = ["cluster", "codecs", "corpus", "decontam", "dedup", "dsir",
-           "multimodal", "similarity", "textual"]
+           "multimodal", "pipeline", "similarity", "textual"]

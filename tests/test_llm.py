@@ -1041,3 +1041,25 @@ def test_incremental_near_dup_indexed_matches_direct(spark, tmp_path):
                    batch, corpus, stored, threshold=0.4).collect()}
     assert indexed == direct
     assert (10, 0, direct and sorted(direct)[0][2]) in direct or len(direct) == 1
+
+
+def test_curate_corpus_one_call(spark):
+    from tabsdata_spark.llm.pipeline import curate_corpus
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog in the morning sun"),
+        (1, "the quick brown fox jumps over the lazy dog in the morning sun"),
+        (2, "the quick brown fox jumps over the lazy dog in the morning"),
+        (3, "a completely different and quite long document about the spark "
+            "engine with the usual words that it needs for the quality gate"),
+        (4, "x"),   # fails the quality gate
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out, rep = curate_corpus(docs, near_dup_threshold=0.5, quality_min=0.4)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert rep["input"] == 5
+    assert rep["exact_dedup"] == 4            # 0/1 collapse
+    assert 4 not in ids                       # quality-gated
+    assert len([i for i in ids if i in (0, 2)]) == 1  # near-dups collapsed
+    assert 3 in ids
+    assert rep["near_dedup"] >= rep["quality_gated"]
