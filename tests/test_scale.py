@@ -71,3 +71,41 @@ def test_bucketed_join_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_li")
         spark.sql("DROP TABLE IF EXISTS b_od")
+
+
+def test_zorder_layout_tightens_file_minmax(spark, tmp_path):
+    """The point of Z-ordering: every written file covers a compact range
+    in EACH dimension, so parquet min/max skipping prunes multi-column
+    predicates.  Compare per-file x-spans against a round-robin layout."""
+    import glob
+
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    from tabsdata_spark.scale import zorder_repartition
+
+    df = spark.range(4000).select(
+        (F.col("id") % 64).cast("double").alias("x"),
+        ((F.col("id") * 7) % 64).cast("double").alias("y"))
+
+    zdir, rdir = str(tmp_path / "z"), str(tmp_path / "r")
+    zorder_repartition(df, ["x", "y"], [(0.0, 64.0), (0.0, 64.0)],
+                       num_partitions=8, bits=6).write.parquet(zdir)
+    df.repartition(8).write.parquet(rdir)
+
+    def mean_x_span(d):
+        spans = []
+        for f in glob.glob(f"{d}/part-*.parquet"):
+            md = pq.read_metadata(f)
+            lo = min(md.row_group(i).column(0).statistics.min
+                     for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(0).statistics.max
+                     for i in range(md.num_row_groups))
+            spans.append(hi - lo)
+        return sum(spans) / len(spans)
+
+    z_span, r_span = mean_x_span(zdir), mean_x_span(rdir)
+    # round-robin files span ~the full domain; z-ordered files must be
+    # substantially tighter on x (and by symmetry y)
+    assert r_span > 60
+    assert z_span < r_span / 2
