@@ -90,3 +90,17 @@ def diff_versions(spark: SparkSession, store: TableStore, collection: str,
     old = user(store.read(spark, collection, table, versions=old_version))
     new = user(store.read(spark, collection, table, versions=new_version))
     return table_diff(old, new, key_cols, compare_cols)
+
+
+def version_drift(spark, store, collection: str, table: str,
+                  value_col: str, lo: float, hi: float, buckets: int = 10,
+                  old: str = "HEAD~1", new: str = "HEAD"):
+    """PSI distribution drift of `value_col` between two stored versions
+    (default: the last commit vs the one before) — stats.drift_psi over
+    time travel.  The version-store form of a data-quality gate: alert
+    when a publish shifts a column's distribution."""
+    from tabsdata_spark.stats import drift_psi
+
+    a = store.read(spark, collection, table, versions=old).to_spark()
+    b = store.read(spark, collection, table, versions=new).to_spark()
+    return drift_psi(a, b, value_col, lo, hi, buckets)

@@ -168,6 +168,25 @@ class TableStore:
         return self.write(TableFrame.from_spark(merged), collection, table,
                           txn_id=txn_id, partition_by=partition_by)
 
+    def optimize(self, spark, collection: str, table: str,
+                 target_bytes: int = 128 * 1024 * 1024,
+                 txn_id: str | None = None) -> tuple[str, int]:
+        """Compact HEAD's files into ~`target_bytes` outputs as a NEW
+        version (content-identical; OPTIMIZE for the version store).  Old
+        versions stay readable until `vacuum` reclaims them.  Returns
+        (new_version_id, n_files).  At 100 TB run per partition-aligned
+        table: compaction is a full rewrite, so schedule it on cold
+        tables, not per-commit."""
+        import math as _math
+
+        head = self.read(spark, collection, table)
+        df = head.to_spark()
+        est = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        n = max(1, _math.ceil(int(est) / target_bytes))
+        ver = self.write(TableFrame.from_spark(df.repartition(n)),
+                         collection, table, txn_id=txn_id)
+        return ver, n
+
     # -- read ----------------------------------------------------------
     def resolve_paths(self, collection: str, table: str,
                       versions: str = "HEAD",

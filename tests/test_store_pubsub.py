@@ -668,3 +668,26 @@ def test_store_merge_upsert_creates_new_version(spark, tmp_path):
                 "col", "t2", key_cols=["k"])
     assert {(r["k"], r["v"]) for r in
             store.read(spark, "col", "t2").to_spark().collect()} == {(9, "z")}
+
+
+def test_store_optimize_and_version_drift(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from tabsdata_spark.store.diff import version_drift
+    from tabsdata_spark.store.table_store import TableStore
+
+    store = TableStore(str(tmp_path / "wh"))
+    v1_df = spark.range(500).select(
+        F.col("id").alias("k"), (F.col("id") % 100).cast("double").alias("v"))
+    store.write(v1_df.repartition(16), "col", "t")   # fragmented
+    ver, n = store.optimize(spark, "col", "t", target_bytes=64 * 1024 * 1024)
+    assert n == 1
+    head = store.read(spark, "col", "t").to_spark()
+    assert head.count() == 500
+    assert len(head.inputFiles()) <= 2   # compacted
+    # drift: write a shifted v3, compare against the optimized v2
+    store.write(spark.range(500).select(
+        F.col("id").alias("k"), F.lit(1.0).alias("v")), "col", "t")
+    out = {r["bucket"]: r["psi"] for r in version_drift(
+        spark, store, "col", "t", "v", 0.0, 100.0).collect()}
+    assert out[-1] > 0.25   # clearly drifted
