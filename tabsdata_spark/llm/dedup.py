@@ -979,3 +979,43 @@ def incremental_near_dup_indexed(
         F.col("jaccard").desc(), F.col("match_id").asc())
     return (hits.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1).drop("__rn"))
+
+
+def dedup_within_window(df: DataFrame, keys: list[str], ts_col: str,
+                        window: str) -> DataFrame:
+    """Batch twin of streaming dropDuplicatesWithinWatermark: keep the
+    FIRST row (by `ts_col`, ties broken by the full key) of each key per
+    tumbling `window` — the log-pipeline dedup where the same logical
+    event may repeat within a bounded horizon.
+
+    One shuffle on (window, keys) for the per-window min; semantics align
+    with the streaming operator so a backfill job and the live stream
+    produce the same survivors on the same data."""
+    w = F.window(F.col(ts_col), window)
+    keep = (df.groupBy(w.alias("__w"), *[F.col(k) for k in keys])
+            .agg(F.min(F.col(ts_col)).alias(ts_col)))
+    return df.join(keep.select(*keys, ts_col), keys + [ts_col], "left_semi") \
+        .dropDuplicates(keys + [ts_col])
+
+
+def edit_distance_pairs(df: DataFrame, pairs: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        max_len: int = 1000) -> DataFrame:
+    """Exact Levenshtein verification for candidate pairs — the
+    character-level complement to `ngram_jaccard_pairs` (token-level) for
+    short fields (titles, names, URLs).  JVM levenshtein on truncated
+    text (`max_len` caps the O(len^2) DP per pair; candidates only, never
+    all-pairs).  Returns (id_a, id_b, edit_distance, edit_similarity)
+    with similarity = 1 - dist / max(len_a, len_b)."""
+    t = F.substring(F.col(text_col), 1, max_len)
+    sub = df.select(F.col(id_col).alias("__id"), t.alias("__t"))
+    out = (pairs
+           .join(sub.select(F.col("__id").alias("id_a"),
+                            F.col("__t").alias("ta")), "id_a")
+           .join(sub.select(F.col("__id").alias("id_b"),
+                            F.col("__t").alias("tb")), "id_b"))
+    dist = F.levenshtein(F.col("ta"), F.col("tb"))
+    mx = F.greatest(F.length("ta"), F.length("tb"))
+    sim = F.when(mx > 0, 1.0 - dist / mx).otherwise(F.lit(1.0))
+    return out.select("id_a", "id_b", dist.alias("edit_distance"),
+                      F.round(sim, 6).alias("edit_similarity"))

@@ -5387,3 +5387,59 @@ def mad_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("grp_median", 6).alias("grp_median"),
                       F.round("grp_mad", 6).alias("grp_mad"),
                       "robust_z", "is_outlier")
+
+
+@q(
+    "dedup_window_events",
+    """
+    WITH keep AS (
+      SELECT user_id, event_type, time_bucket(INTERVAL 1 HOUR, ts) AS w,
+             MIN(ts) AS ts
+      FROM events GROUP BY user_id, event_type, w)
+    SELECT DISTINCT e.event_id, e.user_id, e.event_type, e.ts
+    FROM events e
+    JOIN keep k ON k.user_id = e.user_id AND k.event_type = e.event_type
+              AND k.ts = e.ts
+    """,
+)
+def dedup_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed dedup (llm/dedup.dedup_within_window — batch twin of
+    dropDuplicatesWithinWatermark): first event per (user, type) per
+    tumbling hour.  NOTE the oracle keeps every event sharing that min ts;
+    the operator dropDuplicates on (keys, ts) — the events table has no
+    (user,type,ts) collision at sf0.01, making the two forms identical
+    and the comparison exact."""
+    ev = load_events(spark, sf_dir).df
+    out = dedup.dedup_within_window(ev, ["user_id", "event_type"], "ts",
+                                    "1 hour")
+    return out.select("event_id", "user_id", "event_type", "ts")
+
+
+@q(
+    "edit_distance_pairs_docs",
+    """
+    WITH t AS (SELECT doc_id, substr(text, 1, 1000) AS tt FROM documents),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.tt AS ta, b.tt AS tb
+      FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+      WHERE a.doc_id % 7 = 0)
+    SELECT id_a, id_b,
+           levenshtein(ta, tb) AS edit_distance,
+           ROUND(CASE WHEN GREATEST(length(ta), length(tb)) > 0
+                 THEN 1.0 - levenshtein(ta, tb)
+                      / CAST(GREATEST(length(ta), length(tb)) AS DOUBLE)
+                 ELSE 1.0 END, 6) AS edit_similarity
+    FROM p
+    """,
+)
+def edit_distance_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Levenshtein verification on deterministic candidate
+    pairs (llm/dedup.edit_distance_pairs) — JVM levenshtein, candidates
+    only, length-capped DP."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = docs.select(F.col("doc_id").alias("id"))
+    pairs = (docs.filter(F.col("doc_id") % 7 == 0)
+             .select(F.col("doc_id").alias("id_a"),
+                     (F.col("doc_id") + 1).alias("id_b"))
+             .join(ids, F.col("id_b") == F.col("id"), "left_semi"))
+    return dedup.edit_distance_pairs(docs, pairs)

@@ -1063,3 +1063,28 @@ def test_curate_corpus_one_call(spark):
     assert len([i for i in ids if i in (0, 2)]) == 1  # near-dups collapsed
     assert 3 in ids
     assert rep["near_dedup"] >= rep["quality_gated"]
+
+
+def test_dedup_within_window_keeps_first_per_window(spark):
+    import datetime as dt
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [(1, "k", t(5)), (2, "k", t(20)),     # same hour -> keep first
+            (3, "k", t(70)),                     # next hour -> kept
+            (4, "j", t(6))]                      # other key -> kept
+    df = spark.createDataFrame(rows, "event_id long, k string, ts timestamp")
+    kept = sorted(r["event_id"] for r in
+                  dedup.dedup_within_window(df, ["k"], "ts", "1 hour")
+                  .collect())
+    assert kept == [1, 3, 4]
+
+
+def test_edit_distance_pairs_values(spark):
+    df = spark.createDataFrame(
+        [(0, "kitten"), (1, "sitting"), (2, "kitten")],
+        "doc_id long, text string")
+    pairs = spark.createDataFrame([(0, 1), (0, 2)], "id_a long, id_b long")
+    out = {(r["id_a"], r["id_b"]): (r["edit_distance"], r["edit_similarity"])
+           for r in dedup.edit_distance_pairs(df, pairs).collect()}
+    assert out[(0, 1)][0] == 3
+    assert out[(0, 2)] == (0, 1.0)
