@@ -1068,7 +1068,7 @@ def test_curate_corpus_one_call(spark):
 def test_dedup_within_window_keeps_first_per_window(spark):
     import datetime as dt
 
-    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    t = lambda m: dt.datetime(2024, 1, 1, m // 60, m % 60)
     rows = [(1, "k", t(5)), (2, "k", t(20)),     # same hour -> keep first
             (3, "k", t(70)),                     # next hour -> kept
             (4, "j", t(6))]                      # other key -> kept
