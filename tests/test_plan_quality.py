@@ -390,3 +390,38 @@ def test_heavy_hitters_recount_is_take_ordered(spark, sf_dir):
     plan = _plan(out)
     assert "TakeOrderedAndProject" in plan
     assert "MapInPandas" in plan
+
+
+def test_funnel_no_cartesian_and_user_keyed(spark, sf_dir):
+    from tabsdata_spark.extensions import funnel
+    from tabsdata_spark.queries import load_events
+
+    ev = load_events(spark, sf_dir).df
+    out = funnel(ev, "user_id", "ts", "event_type",
+                 ["signup", "view", "purchase"], within="2 DAY")
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan  # stage mins are aggregates, not windows
+
+
+def test_sparse_cosine_prunes_df_before_pair_join(spark, sf_dir):
+    from tabsdata_spark.llm import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = corpus.sparse_cosine_pairs(docs, min_sim=0.5, max_df=100)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    # the df cap must appear as a post-aggregation filter (HAVING df<=100)
+    assert "(df" in plan.replace("#", " ") or "df <= 100" in plan \
+        or "<= 100" in plan
+
+
+def test_retention_no_full_table_window(spark, sf_dir):
+    from tabsdata_spark.extensions import retention_cohorts
+    from tabsdata_spark.queries import load_events
+
+    ev = load_events(spark, sf_dir).df
+    out = retention_cohorts(ev, "user_id", "ts", "week")
+    plan = _plan(out)
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
