@@ -40,14 +40,26 @@ class CSVFormat(FileFormat):
     null_values: list[str] | None = None
     try_parse_dates: bool = False
     encoding: str = "utf8"
+    #: malformed-row policy: "permissive" (keep, null the bad fields),
+    #: "drop" (silently skip), "fail" (abort the job).  Web-scale ingest
+    #: defaults to permissive — a 100 TB crawl ALWAYS has bad rows, and a
+    #: FAILFAST import that dies at row 3 billion wastes the whole job.
+    on_bad_lines: str = "permissive"
 
     def reader_options(self) -> dict[str, str]:
+        mode = {"permissive": "PERMISSIVE", "drop": "DROPMALFORMED",
+                "fail": "FAILFAST"}.get(self.on_bad_lines)
+        if mode is None:
+            raise ValueError(
+                f"on_bad_lines must be permissive/drop/fail, "
+                f"got {self.on_bad_lines!r}")
         opts = {
             "sep": self.separator,
             "quote": self.quote_char,
             "header": str(self.has_header).lower(),
             "inferSchema": str(self.infer_schema).lower(),
             "samplingRatio": "1.0",
+            "mode": mode,
             "encoding": "UTF-8" if self.encoding == "utf8" else self.encoding,
         }
         # only force lineSep when the user set a non-default eol: Spark's

@@ -5443,3 +5443,54 @@ def edit_distance_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                      (F.col("doc_id") + 1).alias("id_b"))
              .join(ids, F.col("id_b") == F.col("id"), "left_semi"))
     return dedup.edit_distance_pairs(docs, pairs)
+
+
+@q(
+    "audio_features_decode",
+    """
+    SELECT doc_id,
+           16000 AS sample_rate,
+           CAST(10 + doc_id % 5 AS INTEGER) AS duration_ms,
+           ROUND(((1 + (doc_id * 7) % 1000) - 1) / 32768.0, 6) AS rms,
+           ROUND(((1 + (doc_id * 7) % 1000) - 1) / 32768.0, 6) AS peak,
+           0.0 AS zcr
+    FROM documents WHERE doc_id < 80
+    """,
+)
+def audio_features_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, value-oracled (the WAV sibling of
+    video_frames_decode): each doc gets a 16-bit PCM WAV holding a
+    constant-amplitude signal whose stored int16 value is closed-form in
+    doc_id (c = k/32768 encodes as trunc(c*32767) = k-1 exactly — the
+    encoder's truncation is part of the oracle), so RMS/peak/duration
+    recompute arithmetically and zero-crossing rate is exactly 0.  The
+    pipeline runs executor-side encode (llm/codecs.encode_wav) then
+    decode/featurize (decode_wav) over mapInPandas."""
+    import pandas as pd
+
+    def make_and_decode(batches):
+        import numpy as np
+
+        from tabsdata_spark.llm import codecs
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                k = 1 + (i * 7) % 1000
+                n = 160 + (i % 5) * 16
+                payload = codecs.encode_wav(
+                    np.full(n, k / 32768.0), sample_rate=16_000)
+                d = codecs.decode_wav(payload)
+                rows.append((i, d["sample_rate"], d["duration_ms"],
+                             d["features"][0], d["features"][1],
+                             d["features"][2]))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "sample_rate", "duration_ms", "rms", "peak", "zcr"])
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .filter(F.col("doc_id") < 80)
+    return docs.select("doc_id").mapInPandas(
+        make_and_decode,
+        "doc_id long, sample_rate int, duration_ms int, rms double, "
+        "peak double, zcr double")

@@ -460,3 +460,27 @@ def test_stream_drift_monitor_flags_shifted_window(spark, tmp_path):
     assert got[0]["psi"] == psi_model([10] * 10)
     assert got[1]["psi"] == psi_model([100] + [0] * 9)
     assert got[1]["psi"] > 10 * max(got[0]["psi"], 1e-9)
+
+
+def test_csv_bad_lines_drop_and_permissive(spark, tmp_path):
+    from tabsdata_spark.io.file_io import LocalFileSource
+    from tabsdata_spark.io.formats import CSVFormat
+
+    p = tmp_path / "bad.csv"
+    p.write_text("k,v\n1,10\nnot_an_int,20\n3,30\n")
+    schema_opts = dict(infer_schema=False)
+
+    # DROPMALFORMED: the bad row vanishes (needs an explicit schema to
+    # define "malformed")
+    src = LocalFileSource(str(p), format=CSVFormat(on_bad_lines="drop",
+                                                   **schema_opts))
+    df, _ = src.load(spark)
+    df = spark.read.options(**CSVFormat(on_bad_lines="drop").reader_options()) \
+        .schema("k int, v int").csv(str(p))
+    assert sorted((r["k"], r["v"]) for r in df.collect()) == [(1, 10), (3, 30)]
+
+    perm = spark.read.options(
+        **CSVFormat(on_bad_lines="permissive").reader_options()) \
+        .schema("k int, v int").csv(str(p))
+    rows = sorted(perm.collect(), key=lambda r: (r["k"] is None, r["k"]))
+    assert len(rows) == 3 and rows[-1]["k"] is None  # kept, nulled
