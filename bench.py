@@ -110,6 +110,18 @@ CURATION = [
     "incremental_near_dup_docs",
 ]
 
+# Remaining TPC-H shapes not in the frozen headline list — completes the
+# 22-query timing evidence as its own ledger.
+TPCH_REST = [
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q20_excess_shippers",
+    "q21_waiting_suppliers",
+]
+
 ANALYTICS = [
     "funnel_events",
     "retention_cohorts_events",
@@ -136,7 +148,8 @@ def main():
     # codegen compilation, parquet footer reads, and Python-worker process
     # spawn for pandas_udf stages (workers are reused afterwards).  The timed
     # pass below measures steady-state engine throughput.
-    for name in HEADLINE + CORPUS + HYGIENE + EXTENDED + CURATION + ANALYTICS:
+    for name in (HEADLINE + CORPUS + HYGIENE + EXTENDED + CURATION
+                 + ANALYTICS + TPCH_REST):
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     # Queries whose distributed work happens at CONSTRUCTION time (iterative
@@ -171,6 +184,7 @@ def main():
     extended_timings = timed(EXTENDED)
     curation_timings = timed(CURATION)
     analytics_timings = timed(ANALYTICS)
+    tpch_rest_timings = timed(TPCH_REST)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -189,6 +203,8 @@ def main():
         "curation_queries": curation_timings,
         "analytics_total": round(sum(analytics_timings.values()), 3),
         "analytics_queries": analytics_timings,
+        "tpch_rest_total": round(sum(tpch_rest_timings.values()), 3),
+        "tpch_rest_queries": tpch_rest_timings,
     }))
 
 
