@@ -371,9 +371,13 @@ def embedding_near_dup_pairs(
     pairs = (left.crossJoin(right) if not on else left.join(right, on=on))
     pairs = pairs.filter(F.col("id_a") < F.col("id_b"))
     sim = cosine(F.col("va"), F.col("vb"))
+    # threshold on the UNROUNDED cosine: rounding first admits pairs in
+    # [threshold - 5e-7, threshold) that an exact-similarity oracle (or a
+    # downstream exact verify) excludes — measured as an off-by-one-edge
+    # triangle-count divergence at sf0.1.  The rounded value is display-only.
     return (
-        pairs.withColumn("cosine", F.round(sim, 6))
-        .filter(F.col("cosine") >= threshold)
+        pairs.filter(sim >= threshold)
+        .withColumn("cosine", F.round(sim, 6))
         .select("id_a", "id_b", "cosine")
     )
 

@@ -2285,7 +2285,7 @@ def rank_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN o_totalprice >= 300000 THEN 'high'
                 WHEN o_totalprice >= 100000 THEN 'mid'
                 ELSE 'low' END AS tier,
-           CAST(round(o_totalprice / 1000.0, 0) AS BIGINT) AS k_price
+           CAST(FLOOR(o_totalprice / 1000.0 + 0.5) AS BIGINT) AS k_price
     FROM orders
     """,
 )
@@ -2297,7 +2297,8 @@ def udf_element_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         def on_element(self, price):
             tier = "high" if price >= 300000 else ("mid" if price >= 100000 else "low")
-            return [tier, int(round(price / 1000.0))]
+            # half-UP, not python's banker's round: portable across engines
+            return [tier, int(price / 1000.0 + 0.5)]
 
     od = load(spark, sf_dir, "orders")
     out = od.udf(td.col("o_totalprice"), Tier()) \
@@ -2315,8 +2316,9 @@ def udf_element_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH marked AS (
       SELECT user_id, CAST(ts AS TIMESTAMP) AS mts,
              CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL THEN 1
-                  WHEN date_diff('second', lag(CAST(ts AS TIMESTAMP)) OVER w,
-                                 CAST(ts AS TIMESTAMP)) >= 1800 THEN 1
+                  WHEN epoch(CAST(ts AS TIMESTAMP))
+                       - epoch(lag(CAST(ts AS TIMESTAMP)) OVER w)
+                       >= 1800.0 THEN 1
                   ELSE 0 END AS is_new
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
@@ -2833,7 +2835,8 @@ def content_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     best AS (SELECT l_partkey, MIN(unit_cost) AS best_cost
              FROM cost GROUP BY l_partkey)
     SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_brand,
-           ROUND(c.unit_cost, 6) AS unit_cost
+           CAST(FLOOR(c.unit_cost * 1000000.0 + 0.5) AS BIGINT)
+             AS unit_cost_micros
     FROM cost c
     JOIN best b ON b.l_partkey = c.l_partkey AND c.unit_cost = b.best_cost
     JOIN part p ON p.p_partkey = c.l_partkey
@@ -2876,7 +2879,12 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_acctbal", "s_name", "n_name",
                 p_partkey=td.col("l_partkey"),
                 p_brand=td.col("p_brand"),
-                unit_cost=td.col("unit_cost").round(6))
+                # micros via pure IEEE ops (*, +, floor) — engine ROUND
+                # libraries disagree on half-boundary-adjacent doubles
+                # (measured at sf0.1: 266.907813 vs ...812); identical
+                # double arithmetic cannot
+                unit_cost_micros=(td.col("unit_cost") * 1000000.0 + 0.5)
+                .floor().cast("long"))
         .sort(["s_acctbal", "n_name", "s_name", "p_partkey"],
               descending=[True, False, False, False])
     )

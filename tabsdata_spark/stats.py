@@ -152,7 +152,7 @@ def heavy_hitters(df: DataFrame, value_col: str, k: int = 20,
 
 
 def hll_mergeable_distinct(df: DataFrame, group_col: str, value_col: str,
-                           lg_k: int = 12) -> DataFrame:
+                           lg_k: int = 14) -> DataFrame:
     """Mergeable distinct-count sketches (DataSketches HLL via Spark's
     hll_sketch_agg): one sketch per group plus their UNION — the shape of
     a 100 TB rollup where per-partition/per-day sketches are stored once
@@ -162,7 +162,10 @@ def hll_mergeable_distinct(df: DataFrame, group_col: str, value_col: str,
     sketches) is IDENTICAL to the estimate of a single sketch over all
     rows — the query invariant asserts that equality (union_lossless) and
     a 5% band against the exact count.  Returns per-group rows plus an
-    '__all__' row."""
+    '__all__' row.  lg_k=14 keeps the relative standard error ~0.8%
+    (2^14 registers, 16 KiB/sketch): the 5% band then holds with wide
+    margin at any test scale — lg_k=12 was measured OUTSIDE 5% on a
+    523-distinct column at sf0.1."""
     per = df.groupBy(F.col(group_col).alias("grp")).agg(
         F.hll_sketch_agg(F.col(value_col), F.lit(lg_k)).alias("sk"),
         F.countDistinct(value_col).alias("exact_distinct"))
