@@ -200,11 +200,22 @@ def lsh_topk(
     num_tables: int = 4,
     dim: int | None = None,
     seed: int = 42,
+    min_corpus_for_lsh: int = 64,
 ) -> DataFrame:
     """Approximate top-k: candidates = corpus rows sharing any LSH bucket
     with the query in any table, then exact cosine re-rank.  Corpus-side
     cost is one projection + one shuffle by bucket; this is the plan that
-    survives a 100x corpus."""
+    survives a 100x corpus.
+
+    Measured-size adaptivity (same policy as the connected-components
+    small-graph path): below `min_corpus_for_lsh` rows the buckets are so
+    sparse that bucketing is pure overhead while brute force costs
+    nothing —
+    so tiny corpora route to the exact scan.  The LSH path is untouched
+    at scale, where the count is a metadata-cheap parquet statistic."""
+    if corpus.count() < min_corpus_for_lsh:
+        return brute_force_topk(corpus, queries, k, id_col, vec_col,
+                                query_id_col)
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
     all_planes = [_hyperplanes(dim, bits, seed + t) for t in range(num_tables)]

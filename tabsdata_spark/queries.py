@@ -1179,7 +1179,7 @@ def embed_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("embed_lsh_topk", _EMBED_TOPK_ORACLE)
 def embed_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketed top-k, held to the EXACT top-k oracle: at this
-    table/bit setting (12 tables x 3 bits) the candidate union must cover
+    table/bit setting (20 tables x 3 bits) the candidate union must cover
     every true top-5 neighbor of the sf0.01 query set, so any recall
     regression in the bucketing fails the driver check.  (Fewer/narrower
     tables trade recall for speed — the operator stays approximate in
@@ -1187,7 +1187,7 @@ def embed_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qs = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding")
-    return similarity.lsh_topk(emb, qs, k=5, bits=3, num_tables=12)
+    return similarity.lsh_topk(emb, qs, k=5, bits=3, num_tables=20)
 
 
 @q(
