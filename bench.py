@@ -122,6 +122,14 @@ TPCH_REST = [
     "q21_waiting_suppliers",
 ]
 
+# Mining group (added late r3): partial-dup containment, hard-negative
+# mining, char-entropy quality.
+MINING = [
+    "containment_pairs_docs",
+    "hard_negatives_emb",
+    "char_entropy_docs",
+]
+
 ANALYTICS = [
     "funnel_events",
     "retention_cohorts_events",
@@ -149,7 +157,7 @@ def main():
     # spawn for pandas_udf stages (workers are reused afterwards).  The timed
     # pass below measures steady-state engine throughput.
     for name in (HEADLINE + CORPUS + HYGIENE + EXTENDED + CURATION
-                 + ANALYTICS + TPCH_REST):
+                 + ANALYTICS + TPCH_REST + MINING):
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     # Queries whose distributed work happens at CONSTRUCTION time (iterative
@@ -185,6 +193,7 @@ def main():
     curation_timings = timed(CURATION)
     analytics_timings = timed(ANALYTICS)
     tpch_rest_timings = timed(TPCH_REST)
+    mining_timings = timed(MINING)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -205,6 +214,8 @@ def main():
         "analytics_queries": analytics_timings,
         "tpch_rest_total": round(sum(tpch_rest_timings.values()), 3),
         "tpch_rest_queries": tpch_rest_timings,
+        "mining_total": round(sum(mining_timings.values()), 3),
+        "mining_queries": mining_timings,
     }))
 
 

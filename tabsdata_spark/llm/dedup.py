@@ -279,6 +279,46 @@ def ngram_jaccard_pairs(
     return out.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
 
 
+def containment_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """One-sided containment C(A,B) = |A ∩ B| / |A| over word n-gram sets
+    for given (id_a, id_b) pairs — the partial-duplication signal symmetric
+    Jaccard misses: a short document quoted wholesale inside a long one has
+    containment ~1.0 but Jaccard near |A|/|B| (tiny).  The standard verify
+    step for quote/boilerplate extraction in web-corpus curation
+    (RealNews/C4-style "contained in a longer page" dedup).
+
+    Same scale shape as ngram_jaccard_pairs: shingle sets travel as
+    xxhash64 longs (8-byte elements shrink the pair-join shuffle ~3x), two
+    hash-joins against the shingled docs, set ops JVM-side.  Emits both
+    directions (containment is asymmetric) so callers can pick
+    max/directional policies downstream.
+    """
+    from ..scale import fan_out
+
+    hashed = F.transform(shingles(F.col(text_col), n),
+                         lambda g: F.xxhash64(g))
+    sh = fan_out(df).select(F.col(id_col).alias("__id"),
+                            hashed.alias("__sh"))
+    out = (
+        pairs.join(sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b")), "id_b")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    c_ab = F.when(F.size("sh_a") > 0, inter / F.size("sh_a")).otherwise(F.lit(0.0))
+    c_ba = F.when(F.size("sh_b") > 0, inter / F.size("sh_b")).otherwise(F.lit(0.0))
+    return out.select(
+        "id_a", "id_b",
+        F.round(c_ab, 6).alias("containment_ab"),
+        F.round(c_ba, 6).alias("containment_ba"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

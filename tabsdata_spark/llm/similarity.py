@@ -133,6 +133,56 @@ def _brute_force_topk_numpy(corpus, queries, k, id_col, vec_col, query_id_col):
     return partial.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    lo: float = 0.4,
+    hi: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    block_col: str | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-k most-similar corpus rows whose cosine falls in
+    [lo, hi) — similar enough to be confusable, below the near-duplicate
+    band (near-dups are false negatives, not hard ones).
+
+    Scale shape: with `block_col` the candidate set is a hash-join on the
+    block key (shard/topic/label), never an all-pairs product — the same
+    blocking contract as embedding_near_dup_pairs.  Without a block the
+    query side is broadcast (queries are the small side by construction).
+    The band filter runs on the UNROUNDED cosine before the per-query
+    top-k window; `rank` partitions by query id, so the window shuffle
+    carries only band-surviving candidates.
+    """
+    c_cols = [F.col(id_col), F.col(vec_col).alias("__cvec")]
+    q_cols = [F.col(query_id_col).alias("__qid"), F.col(vec_col).alias("__qvec")]
+    if block_col is not None:
+        c = corpus.select(F.col(block_col).alias("__blk"), *c_cols)
+        q = queries.select(F.col(block_col).alias("__blk"), *q_cols)
+        joined = q.join(c, "__blk")
+    else:
+        c = corpus.select(*c_cols)
+        q = queries.select(*q_cols)
+        joined = c.crossJoin(F.broadcast(q))
+    sim = cosine(F.col("__qvec"), F.col("__cvec"))
+    banded = (
+        joined.filter(F.col("__qid") != F.col(id_col))
+        .withColumn("__sim", sim)
+        .filter((F.col("__sim") >= lo) & (F.col("__sim") < hi))
+    )
+    w = Window.partitionBy("__qid").orderBy(
+        F.col("__sim").desc(), F.col(id_col).asc())
+    return (
+        banded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("__qid").alias(query_id_col), F.col(id_col),
+                F.round("__sim", 6).alias("cosine"), "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # sign-LSH (random hyperplane) bucketing
 # ---------------------------------------------------------------------------

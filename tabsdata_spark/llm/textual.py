@@ -88,6 +88,35 @@ def quality_score(text: Column) -> Column:
     return F.round((len_score + punct_pen + sw_score) / 3.0, 6)
 
 
+def char_entropy(text: Column) -> Column:
+    """Shannon entropy (bits/char) of the character distribution — a cheap
+    gibberish/boilerplate signal: repeated filler scores low, keyboard
+    mash / base64 blobs score high, natural prose sits ~3.5-4.5.
+
+    Shuffle-free: one pass of array expressions per row, O(distinct-chars
+    x len) compares (ASCII prose has <100 distinct chars).  The char array
+    is BOUND ONCE through a one-element transform — referencing the
+    computed split inside the per-distinct-char lambda would inline and
+    re-run it once per distinct char (the documented lambda-inlining
+    trap).  Entropy is computed as log2(n) - sum(c*log2(c))/n over integer
+    counts c: fewer float ops than the p*log2(p) form and identical
+    rounding behavior across engines."""
+    chars = F.filter(F.split(F.coalesce(text, F.lit("")), ""),
+                     lambda c: c != "")
+
+    def ent_of(cs: Column) -> Column:
+        n = F.size(cs)
+        counts = F.transform(
+            F.array_distinct(cs),
+            lambda c: F.size(F.filter(cs, lambda x: x == c)).cast("double"))
+        csum = F.aggregate(counts, F.lit(0.0),
+                           lambda acc, c: acc + c * F.log2(c))
+        return F.when(n > 0, F.log2(n.cast("double")) - csum / n) \
+                .otherwise(F.lit(0.0))
+
+    return F.element_at(F.transform(F.array(chars), ent_of), 1)
+
+
 def language_id(text: Column, markers: dict[str, list[str]] | None = None) -> Column:
     """Marker-word language ID: score each language by marker-token hits,
     pick the argmax (ties -> lexicographically first language, deterministic).

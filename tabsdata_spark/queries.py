@@ -5502,3 +5502,106 @@ def audio_features_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         make_and_decode,
         "doc_id long, sample_rate int, duration_ms int, rms double, "
         "peak double, zcr double")
+
+
+# ===========================================================================
+# Late round-3 additions: partial-dup containment, hard-negative mining,
+# char-entropy quality (registered AFTER the r3 driver window; r4+ pool)
+# ===========================================================================
+@q(
+    "containment_pairs_docs",
+    r"""
+    WITH sh AS (
+      SELECT doc_id, list_distinct(ngrams) AS shingles
+      FROM (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= 3
+                    THEN list_transform(range(1, len(toks) - 1),
+                         i -> array_to_string(toks[i:i+2], ' '))
+                    ELSE [array_to_string(toks, ' ')] END AS ngrams
+        FROM (SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS toks
+              FROM documents))
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CASE WHEN len(a.shingles) > 0
+                 THEN len(list_intersect(a.shingles, b.shingles))
+                      / CAST(len(a.shingles) AS DOUBLE)
+                 ELSE 0.0 END, 6) AS containment_ab,
+           ROUND(CASE WHEN len(b.shingles) > 0
+                 THEN len(list_intersect(a.shingles, b.shingles))
+                      / CAST(len(b.shingles) AS DOUBLE)
+                 ELSE 0.0 END, 6) AS containment_ba
+    FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+    WHERE a.doc_id % 7 = 0
+    """,
+)
+def containment_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided n-gram containment on deterministic candidate pairs —
+    the partial-duplication verify step (short doc quoted inside a long
+    one) that symmetric Jaccard misses."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = docs.select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    ).filter((F.col("id_a") % 7) == 0)
+    pairs = pairs.join(
+        docs.select(F.col("doc_id").alias("id_b")), on="id_b", how="left_semi"
+    )
+    return dedup.containment_pairs(docs, pairs, n=3)
+
+
+@q(
+    "hard_negatives_emb",
+    """
+    WITH q AS (SELECT vec_id AS query_id, label, embedding AS qv
+               FROM embeddings WHERE vec_id < 8),
+    cand AS (
+      SELECT q.query_id, e.vec_id,
+             list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS sim
+      FROM embeddings e JOIN q ON e.label = q.label AND e.vec_id <> q.query_id)
+    SELECT query_id, vec_id, ROUND(sim, 6) AS cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, vec_id) AS INT) AS rank
+    FROM cand
+    WHERE sim >= 0.3 AND sim < 0.9
+    QUALIFY rank <= 3
+    """,
+)
+def hard_negatives_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, top-3
+    label-blocked neighbors with cosine in [0.3, 0.9) — confusable but
+    not near-duplicate.  Band filter on the UNROUNDED cosine (engine
+    float-sum margins to both boundaries measured >= 5e-4 at all sfs)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "label", "embedding")
+    return similarity.hard_negatives(
+        emb, qs, k=3, lo=0.3, hi=0.9, block_col="label")
+
+
+@q(
+    "char_entropy_docs",
+    """
+    WITH c AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ''), x -> x <> '') AS chars
+      FROM documents)
+    SELECT doc_id,
+           ROUND(CASE WHEN len(chars) > 0 THEN
+             log2(CAST(len(chars) AS DOUBLE)) -
+             list_sum(list_transform(list_distinct(chars),
+                c2 -> CAST(len(list_filter(chars, x -> x = c2)) AS DOUBLE)
+                      * log2(CAST(len(list_filter(chars, x -> x = c2)) AS DOUBLE))))
+             / len(chars)
+           ELSE 0.0 END, 6) AS entropy
+    FROM c
+    """,
+)
+def char_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document (gibberish /
+    boilerplate signal).  Shuffle-free array expressions; both engines
+    compute log2(n) - sum(c*log2(c))/n over integer counts (identical
+    IEEE arithmetic shape)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id", F.round(textual.char_entropy(F.col("text")), 6).alias("entropy"))

@@ -1088,3 +1088,46 @@ def test_edit_distance_pairs_values(spark):
            for r in dedup.edit_distance_pairs(df, pairs).collect()}
     assert out[(0, 1)][0] == 3
     assert out[(0, 2)] == (0, 1.0)
+
+
+def test_containment_pairs_asymmetry(spark):
+    # doc 1 is fully contained in doc 0; doc 0 is NOT contained in doc 1
+    long = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    short = "delta epsilon zeta eta theta"
+    df = spark.createDataFrame([(0, long), (1, short)], "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 0)], "id_a long, id_b long")
+    r = dedup.containment_pairs(df, pairs, n=3).collect()[0]
+    assert r["containment_ab"] == 1.0          # all of short's shingles in long
+    assert r["containment_ba"] < 0.5           # long mostly not in short
+
+
+def test_hard_negatives_band_and_exclusions(spark):
+    from tabsdata_spark.llm import similarity
+
+    # q=(1,0); dup=(1,0) cosine 1.0 (excluded: >= hi); hard=(1,1) cos ~0.707;
+    # far=(-1,0) cos -1 (excluded: < lo); other-label row excluded by block
+    rows = [(0, [1.0, 0.0], "a"), (1, [1.0, 0.001], "a"), (2, [1.0, 1.0], "a"),
+            (3, [-1.0, 0.0], "a"), (4, [1.0, 1.0], "b")]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    qs = df.filter("vec_id = 0").select(
+        df.vec_id.alias("query_id"), "label", "embedding")
+    out = similarity.hard_negatives(df, qs, k=5, lo=0.3, hi=0.95,
+                                    block_col="label")
+    got = {(r["query_id"], r["vec_id"]): r["cosine"] for r in out.collect()}
+    assert set(got) == {(0, 2)}
+    assert abs(got[(0, 2)] - 0.707107) < 1e-6
+
+
+def test_char_entropy_values(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(0, "aaaa"), (1, "abab"), (2, "abcd"), (3, ""), (4, None)],
+        "doc_id long, text string")
+    from tabsdata_spark.llm import textual as tx
+    out = {r["doc_id"]: r["e"] for r in df.select(
+        "doc_id", F.round(tx.char_entropy(F.col("text")), 6).alias("e")).collect()}
+    assert out[0] == 0.0
+    assert abs(out[1] - 1.0) < 1e-9
+    assert abs(out[2] - 2.0) < 1e-9
+    assert out[3] == 0.0 and out[4] == 0.0

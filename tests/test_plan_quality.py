@@ -425,3 +425,31 @@ def test_retention_no_full_table_window(spark, sf_dir):
     plan = _plan(out)
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_containment_pairs_joins_not_cartesian(spark, sf_dir):
+    from tabsdata_spark.llm import dedup as dd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = docs.selectExpr("doc_id AS id_a", "doc_id + 1 AS id_b")
+    plan = _plan(dd.containment_pairs(docs, pairs))
+    assert "CartesianProduct" not in plan
+
+
+def test_hard_negatives_blocked_join_no_cartesian(spark, sf_dir):
+    from tabsdata_spark.llm import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.limit(8).select(emb.vec_id.alias("query_id"), "label", "embedding")
+    plan = _plan(similarity.hard_negatives(emb, qs, block_col="label"))
+    assert "CartesianProduct" not in plan
+    # per-query top-k window must be hash-partitioned, not global
+    assert "Window" in plan
+
+
+def test_char_entropy_is_shuffle_free(spark, sf_dir):
+    from tabsdata_spark.llm import textual as tx
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(docs.select("doc_id", tx.char_entropy(F.col("text"))))
+    assert "Exchange" not in plan
