@@ -247,6 +247,22 @@ def minhash_dedup(
 # ---------------------------------------------------------------------------
 # n-gram Jaccard (exact verify)
 # ---------------------------------------------------------------------------
+def _shingle_pair_members(df, pairs, id_col, text_col, n):
+    """Hashed shingle sets for exactly the docs referenced by `pairs`:
+    semi-join the corpus to the union of pair ids (a TINY set relative to
+    the corpus — it's LSH's candidate output), THEN tokenize.  One column
+    (`__id`, `__sh`), consumed twice by the a/b joins."""
+    from ..scale import fan_out
+
+    wanted = (pairs.select(F.col("id_a").alias(id_col))
+              .union(pairs.select(F.col("id_b").alias(id_col))))
+    members = df.join(wanted, id_col, "left_semi")
+    hashed = F.transform(shingles(F.col(text_col), n),
+                         lambda g: F.xxhash64(g))
+    return fan_out(members).select(F.col(id_col).alias("__id"),
+                                   hashed.alias("__sh"))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     pairs: DataFrame,
@@ -262,13 +278,13 @@ def ngram_jaccard_pairs(
     makes the set intersection integer-compare cheap.  Set cardinalities
     are preserved (distinct strings -> distinct hashes; a 64-bit collision
     inside one document's ~10^2-gram set is ~1e-17).  |A ∪ B| is derived
-    as |A|+|B|-|A ∩ B| — one array op per pair instead of two."""
-    from ..scale import fan_out
+    as |A|+|B|-|A ∩ B| — one array op per pair instead of two.
 
-    hashed = F.transform(shingles(F.col(text_col), n),
-                         lambda g: F.xxhash64(g))
-    sh = fan_out(df).select(F.col(id_col).alias("__id"),
-                            hashed.alias("__sh"))
+    Only docs that appear in `pairs` are shingled: the candidate set out
+    of LSH is orders of magnitude smaller than the corpus, so a semi-join
+    on the pair ids first (broadcast when small) avoids tokenizing the
+    99% of a 100 TB corpus that no candidate pair touches."""
+    sh = _shingle_pair_members(df, pairs, id_col, text_col, n)
     out = (
         pairs.join(sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")), "id_a")
         .join(sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b")), "id_b")
@@ -293,18 +309,14 @@ def containment_pairs(
     step for quote/boilerplate extraction in web-corpus curation
     (RealNews/C4-style "contained in a longer page" dedup).
 
-    Same scale shape as ngram_jaccard_pairs: shingle sets travel as
-    xxhash64 longs (8-byte elements shrink the pair-join shuffle ~3x), two
-    hash-joins against the shingled docs, set ops JVM-side.  Emits both
-    directions (containment is asymmetric) so callers can pick
-    max/directional policies downstream.
+    Same scale shape as ngram_jaccard_pairs: only pair members are
+    shingled (semi-join first), shingle sets travel as xxhash64 longs
+    (8-byte elements shrink the pair-join shuffle ~3x), two hash-joins
+    against the shingled docs, set ops JVM-side.  Emits both directions
+    (containment is asymmetric) so callers can pick max/directional
+    policies downstream.
     """
-    from ..scale import fan_out
-
-    hashed = F.transform(shingles(F.col(text_col), n),
-                         lambda g: F.xxhash64(g))
-    sh = fan_out(df).select(F.col(id_col).alias("__id"),
-                            hashed.alias("__sh"))
+    sh = _shingle_pair_members(df, pairs, id_col, text_col, n)
     out = (
         pairs.join(sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")), "id_a")
         .join(sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b")), "id_b")

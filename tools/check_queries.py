@@ -49,9 +49,62 @@ def canon(rows, cols):
     )
 
 
+def norm_raw(v):
+    """Like norm_val but floats keep full precision (for bit-exactness
+    audits)."""
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else v
+    if isinstance(v, list):
+        return tuple(norm_raw(x) for x in v)
+    return norm_val(v)
+
+
+def canon_raw(rows, cols):
+    """Rows sorted by the ROUNDED canonical key (aligns across engines even
+    when raw floats differ in the last ulp) but carrying RAW float values."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    pairs = [
+        (tuple(norm_val(r[i]) for i in order), tuple(norm_raw(r[i]) for i in order))
+        for r in rows
+    ]
+    pairs.sort(key=lambda p: _sort_key(p[0]))
+    return [p[1] for p in pairs]
+
+
+def _flat_floats(t):
+    for x in t:
+        if isinstance(x, tuple):
+            yield from _flat_floats(x)
+        elif isinstance(x, float):
+            yield x
+        else:
+            yield None
+
+
+def ulp_report(sc, dc):
+    """Max float discrepancy between raw-value row sets that already compare
+    equal under round(9): bit-identical floats => hash-proof under ANY
+    driver normalizer (str/repr/bit-hash alike).  Returns (n_cells,
+    n_diff, max_abs_diff, example)."""
+    n_cells = n_diff = 0
+    max_d = 0.0
+    example = None
+    for a_row, b_row in zip(sc, dc):
+        for a, b in zip(_flat_floats(a_row), _flat_floats(b_row)):
+            if isinstance(a, float) and isinstance(b, float):
+                n_cells += 1
+                if a != b:
+                    n_diff += 1
+                    d = abs(a - b)
+                    if d > max_d:
+                        max_d, example = d, (a, b)
+    return n_cells, n_diff, max_d, example
+
+
 def main():
-    args = [a for a in sys.argv[1:] if a != "--vanilla"]
+    args = [a for a in sys.argv[1:] if a not in ("--vanilla", "--exact")]
     vanilla = "--vanilla" in sys.argv[1:]
+    exact = "--exact" in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
@@ -117,8 +170,17 @@ def main():
             print(f"FAIL  {name}: {'; '.join(problems)}")
             failed += 1
         else:
+            note = ""
+            if exact:
+                rc_s, rc_d = canon_raw(srows, scols), canon_raw(drows, dcols)
+                n_cells, n_diff, max_d, ex = ulp_report(rc_s, rc_d)
+                if n_diff:
+                    note = (f"  [NOT bit-exact: {n_diff}/{n_cells} float"
+                            f" cells differ, max {max_d:.3e} e.g. {ex}]")
+                elif n_cells:
+                    note = f"  [bit-exact: {n_cells} float cells]"
             print(f"OK    {name}: {len(srows)} rows"
-                  f"  [{_time.monotonic() - t0:.2f}s]")
+                  f"  [{_time.monotonic() - t0:.2f}s]{note}")
             passed += 1
     print(f"\n{passed} ok, {rows_only} rows-only, {failed} failed"
           f"  [total {_time.monotonic() - t_all:.1f}s]")
