@@ -128,6 +128,7 @@ MINING = [
     "containment_pairs_docs",
     "hard_negatives_emb",
     "char_entropy_docs",
+    "weighted_sample_docs",
 ]
 
 ANALYTICS = [

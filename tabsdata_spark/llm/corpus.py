@@ -196,6 +196,40 @@ def stratified_sample(df: DataFrame, key_col: str, rate_pct: int,
     return df.filter(hash_split(F.col(key_col), 100) < rate_pct)
 
 
+def weighted_sample(df: DataFrame, weight_col: str, key_col: str, k: int,
+                    strata_col: str | None = None) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, probability ∝ weight
+    (Efraimidis & Spirakis A-ES, Inf. Process. Lett. 97(5), 2006): each
+    row gets key ln(u)/w with u = hash-uniform in (0,1); the k largest
+    keys are a weight-proportional sample.  The data-mixing primitive the
+    rate/quota samplers can't express — "oversample long/high-quality
+    docs" with one weight column.
+
+    Determinism: u comes from the portable 60-bit md5 hash of `key_col`,
+    so membership is a pure function of the data — identical across
+    re-runs, partitionings, and engines (the oracle replays the exact
+    arithmetic).  Rows with weight <= 0 or null are excluded (zero mass).
+
+    Scale shape: with `strata_col`, one shuffle on the stratum and a
+    per-stratum window.  Without, orderBy(key).limit(k) lowers to
+    TakeOrderedAndProject — per-partition top-k then a k-row reduce, no
+    global sort."""
+    from tabsdata_spark.llm.textual import portable_hash60
+
+    u = (portable_hash60(F.col(key_col).cast("string")) + 1) \
+        / F.lit(float(2 ** 60))
+    es_key = F.log(u) / F.col(weight_col).cast("double")
+    base = df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)) \
+             .withColumn("__es", es_key)
+    if strata_col is None:
+        return base.orderBy(F.col("__es").desc(), F.col(key_col).asc()) \
+                   .limit(k).drop("__es")
+    w = Window.partitionBy(strata_col).orderBy(
+        F.col("__es").desc(), F.col(key_col).asc())
+    return (base.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k).drop("__es", "__rn"))
+
+
 def cap_per_stratum(df: DataFrame, strata_col: str, order_col: str,
                     cap: int, tie_col: str,
                     descending: bool = True) -> DataFrame:

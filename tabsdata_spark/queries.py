@@ -5605,3 +5605,31 @@ def char_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select(
         "doc_id", F.round(textual.char_entropy(F.col("text")), 6).alias("entropy"))
+
+
+@q(
+    "weighted_sample_docs",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             ln(({_HASH60_SQL.format(v="CAST(doc_id AS VARCHAR)")} + 1)
+                / 1152921504606846976.0) / CAST(n_chars AS DOUBLE) AS es
+      FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+    SELECT doc_id, source, n_chars
+    FROM keyed
+    QUALIFY row_number() OVER (PARTITION BY source
+                               ORDER BY es DESC, doc_id) <= 5
+    """,
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis A-ES):
+    5 docs per source with probability ∝ n_chars, deterministic via the
+    portable md5 hash — the oracle replays the identical key arithmetic
+    (ln((h+1)/2^60)/w)."""
+    from tabsdata_spark.llm import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "source", "n_chars")
+    return corpus.weighted_sample(
+        docs, weight_col="n_chars", key_col="doc_id", k=5,
+        strata_col="source")

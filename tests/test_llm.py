@@ -1131,3 +1131,36 @@ def test_char_entropy_values(spark):
     assert abs(out[1] - 1.0) < 1e-9
     assert abs(out[2] - 2.0) < 1e-9
     assert out[3] == 0.0 and out[4] == 0.0
+
+
+def test_weighted_sample_bias_and_determinism(spark):
+    from tabsdata_spark.llm import corpus
+
+    # 200 light rows (w=1) + 20 heavy rows (w=1000): a 20-row weighted
+    # sample must be dominated by heavy rows (each heavy row carries ~5x
+    # the total mass of ALL light rows combined)
+    rows = [(i, "s", 1) for i in range(200)] + \
+           [(1000 + i, "s", 1000) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, w long")
+    out1 = sorted(r["doc_id"] for r in corpus.weighted_sample(
+        df, "w", "doc_id", 20, strata_col="source").collect())
+    out2 = sorted(r["doc_id"] for r in corpus.weighted_sample(
+        df, "w", "doc_id", 20, strata_col="source").collect())
+    assert out1 == out2                      # deterministic
+    heavy = sum(1 for d in out1 if d >= 1000)
+    assert heavy >= 15                       # weight-proportional
+    # zero/null weights excluded entirely
+    df0 = spark.createDataFrame([(0, "s", 0), (1, "s", None), (2, "s", 5)],
+                                "doc_id long, source string, w long")
+    kept = [r["doc_id"] for r in corpus.weighted_sample(
+        df0, "w", "doc_id", 3, strata_col="source").collect()]
+    assert kept == [2]
+
+
+def test_weighted_sample_global_path_is_top_k(spark):
+    from tabsdata_spark.llm import corpus
+
+    df = spark.createDataFrame([(i, i + 1) for i in range(50)],
+                               "doc_id long, w long")
+    out = corpus.weighted_sample(df, "w", "doc_id", 5)
+    assert out.count() == 5

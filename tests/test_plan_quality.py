@@ -453,3 +453,23 @@ def test_char_entropy_is_shuffle_free(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     plan = _plan(docs.select("doc_id", tx.char_entropy(F.col("text"))))
     assert "Exchange" not in plan
+
+
+def test_weighted_sample_global_lowers_to_take_ordered(spark, sf_dir):
+    from tabsdata_spark.llm import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = corpus.weighted_sample(docs, "n_chars", "doc_id", 10)
+    plan = _plan(out)
+    assert "TakeOrderedAndProject" in plan   # no global sort
+
+
+def test_weighted_sample_strata_window_partitioned(spark, sf_dir):
+    from tabsdata_spark.llm import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = corpus.weighted_sample(docs, "n_chars", "doc_id", 10,
+                                 strata_col="source")
+    plan = _plan(out)
+    assert "Window" in plan
+    assert "SinglePartition" not in plan   # per-stratum, never global
