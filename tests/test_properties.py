@@ -251,3 +251,59 @@ def test_zorder_value_matches_python_model(spark, xs):
 
     for i, x in enumerate(xs):
         assert got[i] == model(x), (x, got[i], model(x))
+
+
+# ------------------------------------------------------- containment/jaccard
+@settings(max_examples=10, deadline=None)
+@given(docs=st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+             min_size=1, max_size=30),
+    min_size=2, max_size=6))
+def test_containment_bounds_jaccard(spark, docs):
+    """For any pair: J(A,B) <= min(C(A,B), C(B,A)) and both containments
+    are in [0, 1] — set algebra the distributed ops must respect."""
+    from tabsdata_spark.llm.dedup import containment_pairs, ngram_jaccard_pairs
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(len(docs) - 1)], "id_a long, id_b long")
+    cont = {(r["id_a"], r["id_b"]): (r["containment_ab"], r["containment_ba"])
+            for r in containment_pairs(df, pairs, n=3).collect()}
+    jac = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(df, pairs, n=3).collect()}
+    assert set(cont) == set(jac)
+    for key, (cab, cba) in cont.items():
+        assert 0.0 <= cab <= 1.0 and 0.0 <= cba <= 1.0
+        assert jac[key] <= min(cab, cba) + 1e-9
+
+
+# ---------------------------------------------------------- weighted sample
+@settings(max_examples=10, deadline=None)
+@given(weights=st.lists(st.integers(min_value=0, max_value=100),
+                        min_size=1, max_size=40),
+       k=st.integers(min_value=1, max_value=10))
+def test_weighted_sample_subset_and_size(spark, weights, k):
+    """Sample is always a subset of the positive-weight rows, of size
+    min(k, |positive|), and equals the reference A-ES computed in pure
+    Python with the same portable hash."""
+    import hashlib
+    import math as m
+
+    from tabsdata_spark.llm.corpus import weighted_sample
+
+    rows = [(i, w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = sorted(r["doc_id"] for r in
+                 weighted_sample(df, "w", "doc_id", k).collect())
+    pos = [(i, w) for i, w in rows if w > 0]
+    assert len(got) == min(k, len(pos))
+    assert set(got) <= {i for i, _ in pos}
+
+    def es_key(i, w):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+        return m.log((h + 1) / float(2 ** 60)) / float(w)
+
+    expect = sorted(i for i, _ in sorted(
+        pos, key=lambda t: (-es_key(*t), t[0]))[:k])
+    assert got == expect
