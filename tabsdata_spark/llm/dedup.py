@@ -247,16 +247,27 @@ def minhash_dedup(
 # ---------------------------------------------------------------------------
 # n-gram Jaccard (exact verify)
 # ---------------------------------------------------------------------------
-def _shingle_pair_members(df, pairs, id_col, text_col, n):
-    """Hashed shingle sets for exactly the docs referenced by `pairs`:
-    semi-join the corpus to the union of pair ids (a TINY set relative to
-    the corpus — it's LSH's candidate output), THEN tokenize.  One column
-    (`__id`, `__sh`), consumed twice by the a/b joins."""
+def _shingle_pair_members(df, pairs, id_col, text_col, n, prune_to_pairs):
+    """Hashed shingle sets for the docs referenced by `pairs`.  One column
+    (`__id`, `__sh`), consumed twice by the a/b joins.
+
+    With `prune_to_pairs` the corpus is semi-joined to the pair ids (a
+    TINY set relative to the corpus — it's LSH's candidate output) BEFORE
+    tokenizing, so the 99% of a 100 TB corpus no candidate touches is
+    never shingled.  The id projection re-evaluates the `pairs` lineage
+    once (single explode, not a two-select union), which is free when
+    candidates are materialized — the production shape — but callers whose
+    `pairs` is still an unmaterialized heavy pipeline (candidate
+    generation fused into the same plan) should pass
+    prune_to_pairs=False: recomputing LSH to save a shingle pass is a net
+    loss there."""
     from ..scale import fan_out
 
-    wanted = (pairs.select(F.col("id_a").alias(id_col))
-              .union(pairs.select(F.col("id_b").alias(id_col))))
-    members = df.join(wanted, id_col, "left_semi")
+    members = df
+    if prune_to_pairs:
+        wanted = pairs.select(F.explode(F.array(
+            F.col("id_a"), F.col("id_b"))).alias(id_col))
+        members = df.join(wanted, id_col, "left_semi")
     hashed = F.transform(shingles(F.col(text_col), n),
                          lambda g: F.xxhash64(g))
     return fan_out(members).select(F.col(id_col).alias("__id"),
@@ -269,6 +280,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    prune_to_pairs: bool = True,
 ) -> DataFrame:
     """Exact Jaccard over word n-gram sets for given (id_a, id_b) pairs —
     two hash-joins against the shingled docs, then array set ops (JVM).
@@ -280,11 +292,14 @@ def ngram_jaccard_pairs(
     inside one document's ~10^2-gram set is ~1e-17).  |A ∪ B| is derived
     as |A|+|B|-|A ∩ B| — one array op per pair instead of two.
 
-    Only docs that appear in `pairs` are shingled: the candidate set out
-    of LSH is orders of magnitude smaller than the corpus, so a semi-join
-    on the pair ids first (broadcast when small) avoids tokenizing the
-    99% of a 100 TB corpus that no candidate pair touches."""
-    sh = _shingle_pair_members(df, pairs, id_col, text_col, n)
+    With `prune_to_pairs` (default) only docs that appear in `pairs` are
+    shingled: the candidate set out of LSH is orders of magnitude smaller
+    than the corpus, so a semi-join on the pair ids first (broadcast when
+    small) avoids tokenizing the 99% of a 100 TB corpus that no candidate
+    pair touches.  Pass False when `pairs` is an unmaterialized heavy
+    pipeline fused into this plan (see _shingle_pair_members)."""
+    sh = _shingle_pair_members(df, pairs, id_col, text_col, n,
+                               prune_to_pairs)
     out = (
         pairs.join(sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")), "id_a")
         .join(sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b")), "id_b")
@@ -301,6 +316,7 @@ def containment_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    prune_to_pairs: bool = True,
 ) -> DataFrame:
     """One-sided containment C(A,B) = |A ∩ B| / |A| over word n-gram sets
     for given (id_a, id_b) pairs — the partial-duplication signal symmetric
@@ -316,7 +332,8 @@ def containment_pairs(
     (containment is asymmetric) so callers can pick max/directional
     policies downstream.
     """
-    sh = _shingle_pair_members(df, pairs, id_col, text_col, n)
+    sh = _shingle_pair_members(df, pairs, id_col, text_col, n,
+                               prune_to_pairs)
     out = (
         pairs.join(sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")), "id_a")
         .join(sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b")), "id_b")
@@ -970,8 +987,11 @@ def incremental_near_dup(
          .alias("match_id_n"),
         "id_a", "id_b",
     )
+    # pairs lineage here IS the band join (unmaterialized): pruning
+    # would re-run candidate generation to save a shingle pass — net loss
     verified = ngram_jaccard_pairs(
-        tagged, oriented.select("id_a", "id_b"), id_col, text_col, n)
+        tagged, oriented.select("id_a", "id_b"), id_col, text_col, n,
+        prune_to_pairs=False)
     hits = (oriented.join(verified, ["id_a", "id_b"])
             .filter(F.col("jaccard") >= threshold)
             .select(F.col("doc_id_n").alias(id_col),
@@ -1027,7 +1047,7 @@ def incremental_near_dup_indexed(
         texts,
         cand.select(F.col("doc_id_n").alias("id_a"),
                     F.col("match_id_n").alias("id_b")),
-        id_col, text_col, n)
+        id_col, text_col, n, prune_to_pairs=False)
     hits = (verified.filter(F.col("jaccard") >= threshold)
             .select(F.col("id_a").alias(id_col),
                     F.col("id_b").alias("match_id"), "jaccard"))

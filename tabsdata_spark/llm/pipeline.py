@@ -61,8 +61,11 @@ def curate_corpus(
         note("segment_dedup", docs)
     if near_dup_threshold is not None:
         cands = dedup.minhash_lsh_candidates(docs, id_col, text_col)
+        # candidates are an unmaterialized lineage over the same docs:
+        # verify against the full shingled corpus (prune would re-run LSH)
         confirmed = dedup.ngram_jaccard_pairs(
-            docs, cands.select("id_a", "id_b"), id_col, text_col) \
+            docs, cands.select("id_a", "id_b"), id_col, text_col,
+            prune_to_pairs=False) \
             .filter(F.col("jaccard") >= near_dup_threshold) \
             .select("id_a", "id_b")
         if keep == "best":

@@ -1072,7 +1072,9 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     cands = dedup.minhash_lsh_candidates(docs, num_hashes=32, bands=8) \
         .select("id_a", "id_b")
-    verified = dedup.ngram_jaccard_pairs(docs, cands, n=3)
+    # candidate lineage is fused (not materialized): no pair pruning
+    verified = dedup.ngram_jaccard_pairs(docs, cands, n=3,
+                                         prune_to_pairs=False)
     return verified.filter(F.col("jaccard") >= 0.5)
 
 
@@ -1095,7 +1097,9 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 16 keeps 33% recall margin while cutting the verify join ~2x
     cands = dedup.simhash_candidates(docs, max_hamming=16, bands=8) \
         .select("id_a", "id_b")
-    verified = dedup.ngram_jaccard_pairs(docs, cands, n=3)
+    # candidate lineage is fused (not materialized): no pair pruning
+    verified = dedup.ngram_jaccard_pairs(docs, cands, n=3,
+                                         prune_to_pairs=False)
     return verified.filter(F.col("jaccard") >= 0.5)
 
 
