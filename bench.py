@@ -129,6 +129,7 @@ MINING = [
     "hard_negatives_emb",
     "char_entropy_docs",
     "weighted_sample_docs",
+    "bpe_encode_docs",
 ]
 
 ANALYTICS = [

@@ -1,5 +1,5 @@
-from . import (cluster, codecs, corpus, decontam, dedup, dsir, multimodal,
-               pipeline, similarity, textual)
+from . import (bpe, cluster, codecs, corpus, decontam, dedup, dsir,
+               multimodal, pipeline, similarity, textual)
 
-__all__ = ["cluster", "codecs", "corpus", "decontam", "dedup", "dsir",
+__all__ = ["bpe", "cluster", "codecs", "corpus", "decontam", "dedup", "dsir",
            "multimodal", "pipeline", "similarity", "textual"]

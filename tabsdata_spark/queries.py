@@ -5637,3 +5637,61 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.weighted_sample(
         docs, weight_col="n_chars", key_col="doc_id", k=5,
         strata_col="source")
+
+
+@q(
+    "bpe_encode_docs",
+    r"""
+    WITH wq AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g')), '\s+'),
+                    x -> x <> '')) AS word
+      FROM documents
+    ), enc AS (
+      SELECT doc_id,
+             -- each symbol wrapped in single seps, double sep between
+             -- adjacent symbols: non-overlapping left-to-right replace then
+             -- merges ALL adjacent occurrences of a pair in one pass,
+             -- exactly the per-rule merge semantics of the encoder
+             replace(replace(replace(replace(replace(
+               chr(31) || array_to_string(string_split(word, ''), chr(31) || chr(31)) || chr(31),
+               chr(31)||'t'||chr(31)||chr(31)||'h'||chr(31), chr(31)||'th'||chr(31)),
+               chr(31)||'e'||chr(31)||chr(31)||'r'||chr(31), chr(31)||'er'||chr(31)),
+               chr(31)||'th'||chr(31)||chr(31)||'e'||chr(31), chr(31)||'the'||chr(31)),
+               chr(31)||'a'||chr(31)||chr(31)||'n'||chr(31), chr(31)||'an'||chr(31)),
+               chr(31)||'i'||chr(31)||chr(31)||'n'||chr(31), chr(31)||'in'||chr(31)) AS s
+      FROM wq
+    ), counted AS (
+      SELECT doc_id,
+             len(string_split(substr(s, 2, len(s) - 2), chr(31) || chr(31))) AS ntok
+      FROM enc
+    ), agg AS (
+      SELECT doc_id, count(*) AS n_words, sum(ntok) AS n_bpe_tokens
+      FROM counted GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(a.n_words, 0) AS INT) AS n_words,
+           CAST(COALESCE(a.n_bpe_tokens, 0) AS INT) AS n_bpe_tokens
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE encoding with a FIXED literal merge table, held to a DuckDB
+    oracle that replays each merge rule as a delimiter-safe string
+    replacement.  The merge table is chosen so per-rule sequential
+    application equals the encoder's iterative min-rank algorithm (no
+    later rule's RESULT equals an earlier rule's COMPONENT, so earlier
+    pairs can never re-appear after their pass) — making the production
+    pandas_udf path value-checkable in pure SQL.  llm/bpe.train_bpe
+    (driver merge loop over the bounded word-frequency dictionary) is
+    pytest-verified against an independent reference instead."""
+    from tabsdata_spark.llm import bpe
+    from tabsdata_spark.llm.corpus import clean_tokens
+
+    merges = [("t", "h"), ("e", "r"), ("th", "e"), ("a", "n"), ("i", "n")]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    enc = bpe.bpe_encode(docs, merges)
+    return enc.select(
+        "doc_id",
+        F.size(clean_tokens(F.col("text"))).alias("n_words"),
+        F.size("bpe_tokens").alias("n_bpe_tokens"))

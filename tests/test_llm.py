@@ -1164,3 +1164,78 @@ def test_weighted_sample_global_path_is_top_k(spark):
                                "doc_id long, w long")
     out = corpus.weighted_sample(df, "w", "doc_id", 5)
     assert out.count() == 5
+
+
+def test_bpe_train_matches_naive_reference(spark):
+    from tabsdata_spark.llm import bpe
+
+    docs = spark.createDataFrame(
+        [(0, "the cat sat on the mat"), (1, "the rat and the cat"),
+         (2, "that hat is the cat hat")], "doc_id long, text string")
+    merges = bpe.train_bpe(docs, num_merges=6)
+
+    # independent naive reference: recount pairs from scratch each step
+    corpus = ["the cat sat on the mat", "the rat and the cat",
+              "that hat is the cat hat"]
+    wc = {}
+    for t in corpus:
+        for w in t.split():
+            wc[w] = wc.get(w, 0) + 1
+    vocab = {tuple(w): c for w, c in wc.items()}
+    expect = []
+    for _ in range(6):
+        pairs = {}
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        expect.append(best)
+        m = best[0] + best[1]
+        nv = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and (syms[i], syms[i + 1]) == best:
+                    out.append(m); i += 2
+                else:
+                    out.append(syms[i]); i += 1
+            nv[tuple(out)] = nv.get(tuple(out), 0) + c
+        vocab = nv
+    assert merges == expect
+
+
+def test_bpe_encode_semantics(spark):
+    from tabsdata_spark.llm import bpe
+
+    # leftmost-first same-pair runs: (a,a) on "aaa" -> ["aa", "a"]
+    assert bpe.encode_word("aaa", {("a", "a"): 0}, {}) == ["aa", "a"]
+    # min-rank order: with (b,c) ranked before (a,b), "abc" -> ["a", "bc"]
+    ranks = {("b", "c"): 0, ("a", "b"): 1}
+    assert bpe.encode_word("abc", ranks, {}) == ["a", "bc"]
+    # cascading: later rule becomes applicable after an earlier merge
+    ranks = {("t", "h"): 0, ("th", "e"): 1}
+    assert bpe.encode_word("the", ranks, {}) == ["the"]
+
+    docs = spark.createDataFrame(
+        [(0, "The THE the!"), (1, None), (2, "")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["bpe_tokens"] for r in
+           bpe.bpe_encode(docs, [("t", "h"), ("th", "e")]).collect()}
+    assert out[0] == ["the"] * 3      # case/punct normalized per clean_tokens
+    assert out[1] == [] and out[2] == []
+
+
+def test_bpe_reconstruction_property(spark):
+    from tabsdata_spark.llm import bpe
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .limit(50)
+    merges = bpe.train_bpe(docs, num_merges=30, max_vocab_words=1000)
+    enc = bpe.bpe_encode(docs, merges)
+    rows = enc.select("text", "bpe_tokens").collect()
+    assert len(rows) == 50
+    for r in rows:
+        rebuilt = "".join(r["bpe_tokens"])
+        assert rebuilt == "".join(bpe._clean_words(r["text"]))

@@ -473,3 +473,12 @@ def test_weighted_sample_strata_window_partitioned(spark, sf_dir):
     plan = _plan(out)
     assert "Window" in plan
     assert "SinglePartition" not in plan   # per-stratum, never global
+
+
+def test_bpe_encode_is_shuffle_free(spark, sf_dir):
+    from tabsdata_spark.llm import bpe
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(bpe.bpe_encode(docs, [("t", "h"), ("th", "e")]))
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan or "BatchEvalPython" not in plan
