@@ -130,6 +130,7 @@ MINING = [
     "char_entropy_docs",
     "weighted_sample_docs",
     "bpe_encode_docs",
+    "readability_docs",
 ]
 
 ANALYTICS = [

@@ -352,6 +352,37 @@ def gopher_quality_rules(
                 & F.col("alpha_ok") & F.col("stopword_ok"))
 
 
+def syllable_estimate(word: Column) -> Column:
+    """Syllables ~ vowel-group count (runs of [aeiouy] in a lowercased
+    word), floored at 1 — the standard cheap estimator readability
+    formulas are calibrated against.  Portable regex (Java + RE2)."""
+    groups = F.regexp_count(F.lower(word), F.lit(r"[aeiouy]+"))
+    return F.greatest(groups, F.lit(1))
+
+
+def readability(text: Column) -> Column:
+    """Flesch-Kincaid grade level (Kincaid et al., 1975):
+    0.39*(words/sentences) + 11.8*(syllables/word) - 15.59.
+
+    Sentences = [.!?]+ runs (floored at 1), words = whitespace tokens,
+    syllables via `syllable_estimate` summed with one array fold.  Pure
+    JVM expressions, shuffle-free — a per-row quality signal for corpus
+    filtering (very high grade = run-on gibberish, very low = fragment
+    soup).  Null/empty text -> 0.0."""
+    toks = tokens(text)
+    n_words = F.size(toks)
+    n_sent = F.greatest(
+        F.regexp_count(F.coalesce(text, F.lit("")), F.lit(r"[.!?]+")),
+        F.lit(1))
+    n_syll = F.aggregate(
+        toks, F.lit(0),
+        lambda acc, w: acc + syllable_estimate(w))
+    grade = (F.lit(0.39) * (n_words.cast("double") / n_sent.cast("double"))
+             + F.lit(11.8) * (n_syll.cast("double") / n_words.cast("double"))
+             - F.lit(15.59))
+    return F.when(n_words > 0, grade).otherwise(F.lit(0.0))
+
+
 def normalize_text(text: Column) -> Column:
     """Canonicalize raw web text before fingerprinting / dedup: unify
     curly quotes, en/em dashes, and NBSP to ASCII; strip C0/C1-adjacent

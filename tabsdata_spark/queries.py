@@ -5695,3 +5695,33 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(clean_tokens(F.col("text"))).alias("n_words"),
         F.size("bpe_tokens").alias("n_bpe_tokens"))
+
+
+@q(
+    "readability_docs",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(COALESCE(text, '')), '\s+'),
+                         x -> x <> '') AS toks,
+             greatest(len(regexp_extract_all(COALESCE(text, ''), '[.!?]+')), 1) AS n_sent
+      FROM documents)
+    SELECT doc_id,
+           ROUND(CASE WHEN len(toks) > 0 THEN
+             0.39 * (CAST(len(toks) AS DOUBLE) / CAST(n_sent AS DOUBLE))
+             + 11.8 * (CAST(list_sum(list_transform(toks,
+                 w -> greatest(len(regexp_extract_all(lower(w), '[aeiouy]+')), 1)))
+               AS DOUBLE) / CAST(len(toks) AS DOUBLE))
+             - 15.59
+           ELSE 0.0 END, 6) AS fk_grade
+    FROM t
+    """,
+)
+def readability_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid grade per document — shuffle-free quality signal;
+    the oracle replays the identical IEEE arithmetic shape
+    (0.39*(w/s) + 11.8*(syll/w) - 15.59)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        F.round(textual.readability(F.col("text")), 6).alias("fk_grade"))

@@ -1239,3 +1239,21 @@ def test_bpe_reconstruction_property(spark):
     for r in rows:
         rebuilt = "".join(r["bpe_tokens"])
         assert rebuilt == "".join(bpe._clean_words(r["text"]))
+
+
+def test_readability_values(spark):
+    from tabsdata_spark.llm import textual as tx
+
+    # "The cat sat." = 3 words, 1 sentence, 3 syllables (1 per word):
+    # 0.39*3 + 11.8*1 - 15.59 = -13.25 (clamped only by formula, fine)
+    df = spark.createDataFrame(
+        [(0, "The cat sat."), (1, None), (2, "")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["g"] for r in df.select(
+        "doc_id", F.round(tx.readability(F.col("text")), 4).alias("g")).collect()}
+    assert abs(out[0] - (0.39 * 3 + 11.8 - 15.59)) < 1e-9
+    assert out[1] == 0.0 and out[2] == 0.0
+    # syllable estimator: vowel groups, floor 1
+    s = spark.createDataFrame([("strengths",), ("idea",)], "w string") \
+        .select(tx.syllable_estimate(F.col("w")).alias("s")).collect()
+    assert [r["s"] for r in s] == [1, 2]
