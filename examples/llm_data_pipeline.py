@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import pyspark.sql.functions as F
 
 import tabsdata_spark as td
-from tabsdata_spark.llm import corpus, decontam, dedup, textual
+from tabsdata_spark.llm import bpe, corpus, decontam, dedup, textual
 from tabsdata_spark.store.table_store import TableStore
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
@@ -58,7 +58,8 @@ def main() -> None:
     # 2. near-dup: LSH candidates -> exact-Jaccard verify -> transitive
     #    clusters -> keep one representative per cluster
     cands = dedup.minhash_lsh_candidates(docs)
-    confirmed = dedup.ngram_jaccard_pairs(docs, cands.select("id_a", "id_b")) \
+    confirmed = dedup.ngram_jaccard_pairs(docs, cands.select("id_a", "id_b"),
+                                          prune_to_pairs=False) \
         .filter(F.col("jaccard") >= 0.6)
     #    keep the LONGEST copy of every duplicate cluster, not the min id —
     #    near-dup web pages usually differ by truncation
@@ -73,9 +74,12 @@ def main() -> None:
     flagged = decontam.bloom_contamination(docs, benchmark, n=5)
     docs = docs.join(flagged.select("doc_id"), "doc_id", "left_anti")
 
-    # 3. quality filter + token counts (pure JVM expressions)
-    scored = docs.withColumn("quality", textual.quality_score(F.col("text")))
-    kept = scored.filter(F.col("quality") >= 0.3) \
+    # 3. quality filter + readability band + token counts (pure JVM
+    #    expressions; Flesch-Kincaid rejects fragment soup and run-ons)
+    scored = (docs.withColumn("quality", textual.quality_score(F.col("text")))
+              .withColumn("fk_grade", textual.readability(F.col("text"))))
+    kept = scored.filter((F.col("quality") >= 0.3)
+                         & F.col("fk_grade").between(-20, 60)) \
         .withColumn("n_tokens", textual.token_count(F.col("text")))
     n3 = kept.count()
 
@@ -98,6 +102,13 @@ def main() -> None:
     print(f"published corpus/training_docs version {ver}")
     print("token total:",
           kept.agg(F.sum("n_tokens").alias("t")).first().t)
+
+    # 5. tokenize the final corpus: train BPE merges on the surviving docs
+    #    (one word-count shuffle + driver merge loop), encode Arrow-batched
+    merges = bpe.train_bpe(kept, num_merges=64, max_vocab_words=20_000)
+    encoded = bpe.bpe_encode(kept, merges)
+    print("bpe tokens:",
+          encoded.agg(F.sum(F.size("bpe_tokens")).alias("t")).first().t)
 
 
 if __name__ == "__main__":
