@@ -131,6 +131,7 @@ MINING = [
     "weighted_sample_docs",
     "bpe_encode_docs",
     "readability_docs",
+    "js_divergence_sources",
 ]
 
 ANALYTICS = [

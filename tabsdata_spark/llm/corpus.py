@@ -320,6 +320,64 @@ def source_vocab_overlap(docs: DataFrame, strata_col: str = "source",
     )
 
 
+def js_divergence_sources(docs: DataFrame, strata_col: str = "source",
+                          text_col: str = "text") -> DataFrame:
+    """(src_a, src_b, jsd) — Jensen-Shannon divergence (base 2, in [0,1])
+    between the unigram distributions of every stratum pair: the standard
+    "how different are these corpus slices" diagnostic for mixture design
+    (Lin, IEEE Trans. IT 37(1), 1991).
+
+    Decomposition that avoids a per-pair full-outer join: for terms BOTH
+    strata contain, sum 0.5*(p*log2(2p/(p+q)) + q*log2(2q/(p+q))); terms
+    exclusive to one side contribute 0.5*log2(2) = 0.5 of their mass, added
+    as 0.5*(1 - common_p) + 0.5*(1 - common_q).  One inner join on term.
+
+    Scale shape: the (stratum, term) count table is the only corpus-sized
+    intermediate (one partial-agg shuffle); the pair join keys on term
+    (each term fans out |strata-containing-it|^2 <= |strata|^2 rows);
+    per-pair totals are a tiny aggregation.  Contributions are summed
+    through DECIMAL(28,14) — exact, order-free addition, so the result is
+    independent of partitioning and engine (the p/m terms themselves are
+    integer-count divisions + log2: bit-identical everywhere)."""
+    tc = (docs.select(F.col(strata_col).alias("src"),
+                      F.explode(clean_tokens(F.col(text_col))).alias("term"))
+          .groupBy("src", "term").agg(F.count(F.lit(1)).alias("c")))
+    tot = tc.groupBy("src").agg(F.sum("c").alias("n"))
+    p = (tc.join(F.broadcast(tot), "src")
+         .select("src", "term",
+                 (F.col("c").cast("double") / F.col("n").cast("double"))
+                 .alias("p")))
+    a = p.select(F.col("src").alias("src_a"), "term", F.col("p").alias("pa"))
+    b = p.select(F.col("src").alias("src_b"), "term", F.col("p").alias("pb"))
+    joined = (a.join(b, "term")
+              .filter(F.col("src_a") < F.col("src_b")))
+    contrib = (
+        F.lit(0.5) * (F.col("pa") * F.log2(F.lit(2.0) * F.col("pa")
+                                           / (F.col("pa") + F.col("pb")))
+                      + F.col("pb") * F.log2(F.lit(2.0) * F.col("pb")
+                                             / (F.col("pa") + F.col("pb"))))
+    ).cast("decimal(28,14)")
+    agg = (joined.groupBy("src_a", "src_b")
+           .agg(F.sum(contrib).alias("common_contrib"),
+                F.sum(F.col("pa").cast("decimal(28,14)")).alias("common_pa"),
+                F.sum(F.col("pb").cast("decimal(28,14)")).alias("common_pb")))
+    # every stratum pair appears in the output — pairs with NO shared
+    # terms (the inner join drops them) are fully disjoint: jsd = 1.0,
+    # which the coalesce-to-zero sums produce naturally
+    srcs = tot.select("src")
+    all_pairs = (srcs.select(F.col("src").alias("src_a"))
+                 .crossJoin(srcs.select(F.col("src").alias("src_b")))
+                 .filter(F.col("src_a") < F.col("src_b")))
+    full = all_pairs.join(agg, ["src_a", "src_b"], "left")
+    zero = F.lit(0).cast("decimal(28,14)")
+    jsd = (F.coalesce(F.col("common_contrib"), zero).cast("double")
+           + F.lit(0.5) * (F.lit(1.0)
+                           - F.coalesce(F.col("common_pa"), zero).cast("double"))
+           + F.lit(0.5) * (F.lit(1.0)
+                           - F.coalesce(F.col("common_pb"), zero).cast("double")))
+    return full.select("src_a", "src_b", F.round(jsd, 6).alias("jsd"))
+
+
 def unigram_surprisal(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text") -> DataFrame:
     """CCNet-style perplexity proxy from a corpus-trained unigram LM:

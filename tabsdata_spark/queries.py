@@ -5725,3 +5725,50 @@ def readability_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         F.round(textual.readability(F.col("text")), 6).alias("fk_grade"))
+
+
+@q(
+    "js_divergence_sources",
+    r"""
+    WITH tc AS (
+      SELECT source AS src, term, count(*) AS c
+      FROM (SELECT source,
+                   unnest(list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g')), '\s+'),
+                          x -> x <> '')) AS term
+            FROM documents)
+      GROUP BY source, term
+    ), tot AS (
+      SELECT src, sum(c) AS n FROM tc GROUP BY src
+    ), p AS (
+      SELECT tc.src, tc.term,
+             CAST(tc.c AS DOUBLE) / CAST(tot.n AS DOUBLE) AS p
+      FROM tc JOIN tot ON tc.src = tot.src
+    ), joined AS (
+      SELECT a.src AS src_a, b.src AS src_b, a.p AS pa, b.p AS pb
+      FROM p a JOIN p b ON a.term = b.term AND a.src < b.src
+    ), agg AS (
+      SELECT src_a, src_b,
+             sum(CAST(0.5 * (pa * log2(2.0 * pa / (pa + pb))
+                             + pb * log2(2.0 * pb / (pa + pb)))
+                 AS DECIMAL(28,14))) AS common_contrib,
+             sum(CAST(pa AS DECIMAL(28,14))) AS common_pa,
+             sum(CAST(pb AS DECIMAL(28,14))) AS common_pb
+      FROM joined GROUP BY src_a, src_b
+    )
+    SELECT ap.src_a, ap.src_b,
+           ROUND(CAST(COALESCE(agg.common_contrib, 0) AS DOUBLE)
+                 + 0.5 * (1.0 - CAST(COALESCE(agg.common_pa, 0) AS DOUBLE))
+                 + 0.5 * (1.0 - CAST(COALESCE(agg.common_pb, 0) AS DOUBLE)), 6) AS jsd
+    FROM (SELECT a.src AS src_a, b.src AS src_b
+          FROM tot a JOIN tot b ON a.src < b.src) ap
+    LEFT JOIN agg ON ap.src_a = agg.src_a AND ap.src_b = agg.src_b
+    """,
+)
+def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between source unigram distributions —
+    corpus-mixture diagnostic; decimal-summed contributions make the
+    aggregation order-free across engines and partitionings."""
+    from tabsdata_spark.llm import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus.js_divergence_sources(docs)

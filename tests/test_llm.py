@@ -1257,3 +1257,28 @@ def test_readability_values(spark):
     s = spark.createDataFrame([("strengths",), ("idea",)], "w string") \
         .select(tx.syllable_estimate(F.col("w")).alias("s")).collect()
     assert [r["s"] for r in s] == [1, 2]
+
+
+def test_js_divergence_values(spark):
+    import math
+
+    from tabsdata_spark.llm import corpus
+
+    df = spark.createDataFrame(
+        [(0, "a a b", "A"), (1, "a b b", "B"), (2, "a a b", "C"),
+         (3, "x y z", "D")],
+        "doc_id long, text string, source string")
+    out = {(r["src_a"], r["src_b"]): r["jsd"] for r in
+           corpus.js_divergence_sources(df).collect()}
+
+    def kl(p, m):
+        return sum(pi * math.log2(pi / mi) for pi, mi in zip(p, m) if pi > 0)
+
+    pa, pb = [2 / 3, 1 / 3], [1 / 3, 2 / 3]
+    m = [0.5, 0.5]
+    expect = 0.5 * kl(pa, m) + 0.5 * kl(pb, m)
+    assert abs(out[("A", "B")] - expect) < 1e-6
+    assert out[("A", "C")] == 0.0          # identical distributions
+    # disjoint vocabularies -> maximal divergence 1.0 (the pair grid is
+    # total; no-shared-term pairs coalesce to the full exclusive mass)
+    assert out[("A", "D")] == 1.0

@@ -482,3 +482,13 @@ def test_bpe_encode_is_shuffle_free(spark, sf_dir):
     plan = _plan(bpe.bpe_encode(docs, [("t", "h"), ("th", "e")]))
     assert "Exchange" not in plan
     assert "ArrowEvalPython" in plan or "BatchEvalPython" not in plan
+
+
+def test_js_divergence_joins_on_term_no_product_blowup(spark, sf_dir):
+    from tabsdata_spark.llm import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(corpus.js_divergence_sources(docs))
+    # the corpus-sized join keys on term; the only product is the tiny
+    # strata-pair grid (|strata|^2 rows)
+    assert "partial_sum" in plan            # map-side combine on counts
