@@ -135,6 +135,7 @@ MINING = [
 ]
 
 ANALYTICS = [
+    "bloom_join_orders",
     "funnel_events",
     "retention_cohorts_events",
     "drift_psi_events",
@@ -175,7 +176,9 @@ def main():
              "pagerank_event_transitions",
              # driver-side bitset build / budget scalar are part of the work
              "bloom_decontaminate_docs", "token_budget_select_docs",
-             "dedup_keep_best_docs", "incremental_near_dup_docs"}
+             "dedup_keep_best_docs", "incremental_near_dup_docs",
+             # bloom bitset built driver-side at construction
+             "bloom_join_orders"}
 
     def timed(names: list[str]) -> dict[str, float]:
         out: dict[str, float] = {}

@@ -5772,3 +5772,33 @@ def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return corpus.js_divergence_sources(docs)
+
+
+@q(
+    "bloom_join_orders",
+    """
+    SELECT c.c_custkey,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+           COUNT(*) AS n_orders
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_acctbal > 9000
+    GROUP BY c.c_custkey
+    """,
+)
+def bloom_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter join: the small side (high-balance customers) turns
+    into a driver-built Bloom bitset probed at the orders scan BEFORE the
+    exact join — identical results to a plain join (false positives only
+    admit extra rows into the exact join), big-side shuffle shrunk by the
+    dim selectivity.  The oracle is the plain join."""
+    from tabsdata_spark.scale import bloom_prefilter_join
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .select(F.col("o_custkey").alias("c_custkey"), "o_totalprice")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet") \
+        .filter(F.col("c_acctbal") > 9000).select("c_custkey")
+    joined = bloom_prefilter_join(orders, cust, on="c_custkey")
+    return (joined.groupBy("c_custkey")
+            .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                  .cast("double").alias("total_spend"),
+                 F.count(F.lit(1)).alias("n_orders")))

@@ -80,6 +80,60 @@ def salted_join(big: DataFrame, small: DataFrame, on: list[str] | str,
     return joined.drop("__salt")
 
 
+def bloom_prefilter_join(big: DataFrame, small: DataFrame, on: str,
+                         how: str = "inner", m_bits: int | None = None,
+                         k_hashes: int = 3) -> DataFrame:
+    """Runtime-filter join (the Bloom side-channel every warehouse engine
+    applies to star joins): build a Bloom bitset over the SMALL side's
+    join keys driver-side (m_bits/8 bytes; sized to ~16 bits/key by
+    default — ~0.5% false positives at k=3), probe it on the BIG side as
+    pure scan-speed expressions
+    (element_at on a literal array + bit_get, no join, no shuffle), then
+    run the exact equi-join on the survivors.
+
+    False positives only admit extra rows into the exact join, so results
+    are IDENTICAL to a plain join — the filter just shrinks the big
+    side's shuffle by the join selectivity (at 100 TB a 1% selective dim
+    join moves 1% of the fact shuffle).  Spark's own runtime row-group
+    filter needs DPP-eligible layouts; this works on any column.  `how`
+    is restricted to inner/left_semi — outer joins must keep unmatched
+    big-side rows, which the prefilter would drop.
+
+    The driver collect is bounded by the small side's distinct-key count
+    mapped to <= k * |keys| bit positions (the same smallness assumption
+    any broadcast join already makes)."""
+    if how not in ("inner", "left_semi", "semi"):
+        raise ValueError("bloom_prefilter_join supports inner/left_semi "
+                         "(outer joins must keep unmatched big rows)")
+    kc = F.col(on).cast("string")
+    if m_bits is None:
+        # ~16 bits per distinct key, floor 2^13 (1 KiB), power of two for
+        # cheap modulo; the literal array is embedded k times in codegen,
+        # so oversizing it bloats every generated stage
+        n_keys = small.select(on).distinct().count()
+        m_bits = 1 << max(13, (16 * max(n_keys, 1) - 1).bit_length())
+    pos = [
+        ((F.xxhash64(F.concat(F.lit(f"{j}|"), kc)) % m_bits + m_bits)
+         % m_bits).alias(f"p{j}")
+        for j in range(k_hashes)
+    ]
+    rows = (small.select(F.explode(F.array(*pos)).alias("pos"))
+            .distinct().collect())
+    words = [0] * ((m_bits + 63) // 64)
+    for r in rows:
+        p = int(r["pos"])
+        words[p // 64] |= 1 << (p % 64)
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+    arr = F.lit(words)
+    cond = F.lit(True)
+    for j in range(k_hashes):
+        p = (F.xxhash64(F.concat(F.lit(f"{j}|"), kc)) % m_bits + m_bits) % m_bits
+        word = F.element_at(arr, (p / F.lit(64)).cast("int") + 1)
+        cond = cond & (F.bit_get(word, (p % 64).cast("int")) == 1)
+    return big.filter(cond).join(small, on, how)
+
+
 def two_phase_count_distinct(df: DataFrame, keys: list[str] | str,
                              col: str, out_name: str = "n_distinct") -> DataFrame:
     """COUNT(DISTINCT col) GROUP BY keys, skew-proof.

@@ -492,3 +492,15 @@ def test_js_divergence_joins_on_term_no_product_blowup(spark, sf_dir):
     # the corpus-sized join keys on term; the only product is the tiny
     # strata-pair grid (|strata|^2 rows)
     assert "partial_sum" in plan            # map-side combine on counts
+
+
+def test_bloom_prefilter_probes_before_join(spark, sf_dir):
+    from tabsdata_spark.scale import bloom_prefilter_join
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .select(F.col("o_custkey").alias("c_custkey"), "o_totalprice")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet") \
+        .filter(F.col("c_acctbal") > 9000).select("c_custkey")
+    plan = _plan(bloom_prefilter_join(orders, cust, "c_custkey"))
+    assert "bit_get" in plan          # scan-speed bitset probe on the big side
+    _no_product(plan)

@@ -109,3 +109,22 @@ def test_zorder_layout_tightens_file_minmax(spark, tmp_path):
     # substantially tighter on x (and by symmetry y)
     assert r_span > 60
     assert z_span < r_span / 2
+
+
+def test_bloom_prefilter_join_equals_plain_join(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from tabsdata_spark.scale import bloom_prefilter_join
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .select(F.col("o_custkey").alias("c_custkey"), "o_totalprice")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet") \
+        .filter(F.col("c_acctbal") > 9000).select("c_custkey")
+    got = sorted(tuple(r) for r in
+                 bloom_prefilter_join(orders, cust, "c_custkey").collect())
+    want = sorted(tuple(r) for r in orders.join(cust, "c_custkey").collect())
+    assert got == want and len(got) > 0
+
+    import pytest
+    with pytest.raises(ValueError):
+        bloom_prefilter_join(orders, cust, "c_custkey", how="left")
