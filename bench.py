@@ -132,6 +132,9 @@ MINING = [
     "bpe_encode_docs",
     "readability_docs",
     "js_divergence_sources",
+    "rrf_fuse_docs",
+    "semantic_decontam_emb",
+    "padding_waste_docs",
 ]
 
 ANALYTICS = [
@@ -142,6 +145,8 @@ ANALYTICS = [
     "mad_outliers_events",
     "zorder_events",
     "hll_union_invariant",
+    "rolling_zscore_events",
+    "regr_trend_events",
 ]
 
 

@@ -254,3 +254,54 @@ def retention_cohorts(events: DataFrame, user_col: str, ts_col: str,
                     "n_users",
                     F.round(F.col("n_users") / F.col("cohort_size"), 6)
                     .alias("retention")))
+
+
+def rolling_zscore(df: DataFrame, key_cols: list[str] | str, ts_col: str,
+                   value_col: str, window: int = 20, min_periods: int = 8,
+                   threshold: float = 2.5,
+                   tie_cols: list[str] | None = None) -> DataFrame:
+    """Per-key rolling-window anomaly detection: flag rows whose value sits
+    more than `threshold` sample standard deviations from the mean of the
+    PRECEDING `window` observations (the trailing frame excludes the row
+    itself, so an anomaly cannot mask itself).
+
+    Exactness contract: the rolling moments are integer sums of
+    micros-quantized values (m = floor(v*1e6 + 0.5) as bigint), so mean and
+    stddev are identical IEEE expressions over identical integers in any
+    engine and any partitioning — no float accumulation-order drift, no
+    double->decimal cast-rounding divergence (see NOTES oracle rules).
+
+    Scale shape: ONE shuffle on the key columns, one sort per partition,
+    two integer window sums over a rows-based frame — all JVM window
+    codegen, state bounded by `window`.  Per-key ordering is total via
+    (ts, *tie_cols), so results are stable under repartitioning."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    order = [F.col(ts_col)] + [F.col(c) for c in (tie_cols or [])]
+    m = F.floor(F.col(value_col) * 1e6 + F.lit(0.5)).cast("bigint")
+    frame = (Window.partitionBy(*keys).orderBy(*order)
+             .rowsBetween(-window, -1))
+    base = df.withColumn("__m", m)
+    n = F.count("__m").over(frame)
+    s1 = F.sum("__m").over(frame)
+    s2 = F.sum((F.col("__m") * F.col("__m"))).over(frame)
+    nd = n.cast("double")
+    mean = (s1.cast("double") / 1e6) / nd
+    # sample variance over the micros integers, de-scaled once at the end
+    var = ((s2.cast("double") - s1.cast("double") * s1.cast("double") / nd)
+           / (nd - 1)) / 1e12
+    std = F.sqrt(var)
+    # materialize the window expressions before filtering on them (window
+    # functions are not allowed inside WHERE); the unrounded z drives the
+    # threshold, round is display-only
+    scored = (base.withColumn("__n", n)
+              .withColumn("__mean", mean)
+              .withColumn("__std", std)
+              .withColumn("__z", (F.col(value_col) - F.col("__mean"))
+                          / F.col("__std")))
+    return (scored
+            .filter(F.col("__n") >= min_periods)
+            .filter(F.abs(F.col("__z")) > threshold)
+            .withColumn("roll_mean", F.round(F.col("__mean"), 6))
+            .withColumn("roll_std", F.round(F.col("__std"), 6))
+            .withColumn("zscore", F.round(F.col("__z"), 6))
+            .drop("__m", "__n", "__mean", "__std", "__z"))

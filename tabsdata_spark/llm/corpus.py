@@ -647,3 +647,79 @@ def collocations(docs: DataFrame, id_col: str = "doc_id",
         scored = scored.orderBy(F.col("pmi").desc(),
                                 F.col("bigram").asc()).limit(top)
     return scored
+
+
+def rrf_fuse(rankings: list[DataFrame], id_col: str = "doc_id",
+             score_col: str = "score", k: int = 60,
+             top_n: int = 100) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009, public
+    formula) of N retrieval signals over the same id space:
+
+        rrf(d) = sum_i 1 / (k + rank_i(d))     (absent from list i -> 0)
+
+    Each input is cut to its top `top_n` by (score desc, id asc) — a
+    TakeOrderedAndProject, the distributed top-k — BEFORE ranks are
+    assigned, so the only unpartitioned window in the plan runs over an
+    already-bounded candidate list (<= top_n rows), never the corpus.
+    The per-signal contributions are added in fixed left-to-right order
+    (coalesce(1/(k+r_i), 0) + ...), keeping the fused score bit-stable
+    regardless of join output order.
+
+    Scale shape: per-signal scoring is whatever the caller built; fusion
+    itself is top-k + tiny-window + (N-1) outer joins over <= N*top_n rows
+    — driver-light, broadcastable, corpus-size independent."""
+    ranked = []
+    for i, r in enumerate(rankings):
+        top = (r.select(F.col(id_col), F.col(score_col))
+               .orderBy(F.col(score_col).desc(), F.col(id_col))
+               .limit(top_n))
+        w = Window.orderBy(F.col(score_col).desc(), F.col(id_col))
+        ranked.append(top.select(
+            F.col(id_col),
+            F.row_number().over(w).alias(f"rank_{i}")))
+    fused = ranked[0]
+    for nxt in ranked[1:]:
+        fused = fused.join(nxt, id_col, "full")
+    contrib = [F.coalesce(1.0 / (F.lit(float(k)) + F.col(f"rank_{i}")),
+                          F.lit(0.0))
+               for i in range(len(ranked))]
+    total = contrib[0]
+    for c in contrib[1:]:
+        total = total + c
+    return fused.select(
+        id_col, *[f"rank_{i}" for i in range(len(ranked))],
+        F.round(total, 9).alias("rrf"),
+    )
+
+
+def padding_waste(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  bucket_bounds: list[int] | None = None) -> DataFrame:
+    """Padding overhead of length-bucketed batching: assign each document
+    to the smallest bucket whose capacity holds its token count, then
+    report per-bucket docs, real tokens, padded tokens (n_docs * capacity)
+    and waste fraction — the metric that decides a training pipeline's
+    bucket boundaries.  Documents longer than the largest bucket are
+    truncated to it (standard practice), so waste can only come from
+    padding, never exceed capacity.
+
+    One projection + one partial-agg shuffle over <= len(bounds) groups;
+    token counting is the same whitespace tokenizer as the corpus suite
+    (clean_tokens), all JVM-side."""
+    bounds = sorted(bucket_bounds or [64, 128, 256, 512, 1024])
+    n_tok = F.size(clean_tokens(F.col(text_col)))
+    cap = F.lit(bounds[-1])
+    for b in reversed(bounds[:-1]):
+        cap = F.when(n_tok <= b, b).otherwise(cap)
+    used = F.least(n_tok, F.lit(bounds[-1]))
+    agg = (docs.select(cap.alias("bucket"), used.alias("__used"))
+           .groupBy("bucket")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum("__used").alias("real_tokens")))
+    padded = F.col("n_docs") * F.col("bucket")
+    return agg.select(
+        "bucket", "n_docs", "real_tokens",
+        padded.alias("padded_tokens"),
+        F.round((padded - F.col("real_tokens")) / padded.cast("double"), 6)
+        .alias("waste_frac"),
+    )

@@ -164,3 +164,39 @@ def bloom_contamination(docs: DataFrame, benchmark: DataFrame,
                                    hash_fn))
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_bloom_hits")))
+
+
+def semantic_decontaminate(corpus_emb: DataFrame, bench_emb: DataFrame,
+                           id_col: str = "vec_id", vec_col: str = "embedding",
+                           threshold: float = 0.85) -> DataFrame:
+    """Embedding-level benchmark decontamination: flag every corpus vector
+    whose cosine similarity to ANY benchmark vector reaches `threshold`,
+    reporting the best-matching benchmark id (ties -> smallest id).
+
+    Semantic twin of the n-gram `contamination` operator — catches
+    paraphrased benchmark leakage that exact n-gram overlap misses
+    (SemDeDup/Phi-style decontamination, public recipes).
+
+    Scale shape: the benchmark side is small by nature (eval suites are
+    thousands of rows), so it is broadcast and the corpus side NEVER
+    shuffles — one scan, one broadcast nested-loop prune, one partial-agg
+    max per corpus id.  The cosine is the same zip_with/aggregate JVM
+    expression as the similarity suite; the threshold filters on the
+    UNROUNDED value (round is display-only, see NOTES oracle rules)."""
+    from tabsdata_spark.llm import similarity as sim
+
+    left = corpus_emb.select(F.col(id_col).alias("corpus_id"),
+                             F.col(vec_col).alias("__cv"))
+    right = bench_emb.select(F.col(id_col).alias("bench_id"),
+                             F.col(vec_col).alias("__bv"))
+    cos = sim.cosine(F.col("__cv"), F.col("__bv"))
+    pairs = (left.join(F.broadcast(right),
+                       cos >= F.lit(threshold), "inner"))
+    best = (pairs.groupBy("corpus_id")
+            .agg(F.max(F.struct(cos.alias("c"),
+                                (-F.col("bench_id")).alias("nb")))
+                 .alias("__best"))
+            .select("corpus_id",
+                    (-F.col("__best.nb")).alias("bench_id"),
+                    F.round(F.col("__best.c"), 6).alias("cosine")))
+    return best

