@@ -147,6 +147,8 @@ ANALYTICS = [
     "hll_union_invariant",
     "rolling_zscore_events",
     "regr_trend_events",
+    "ab_test_events",
+    "mi_lang_source_docs",
 ]
 
 

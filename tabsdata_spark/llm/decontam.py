@@ -180,16 +180,23 @@ def semantic_decontaminate(corpus_emb: DataFrame, bench_emb: DataFrame,
     Scale shape: the benchmark side is small by nature (eval suites are
     thousands of rows), so it is broadcast and the corpus side NEVER
     shuffles — one scan, one broadcast nested-loop prune, one partial-agg
-    max per corpus id.  The cosine is the same zip_with/aggregate JVM
-    expression as the similarity suite; the threshold filters on the
-    UNROUNDED value (round is display-only, see NOTES oracle rules)."""
+    max per corpus id.  Norms are precomputed ONCE PER ROW on each side
+    before the join, so the per-pair condition is a single dot-product
+    array pass instead of dot + two norms (3x less lambda work over the
+    |corpus|*|bench| pair stream); the value is still the bit-identical
+    dot/(na*nb) expression tree of the similarity suite, and the threshold
+    filters on the UNROUNDED value (round is display-only, see NOTES
+    oracle rules)."""
     from tabsdata_spark.llm import similarity as sim
 
     left = corpus_emb.select(F.col(id_col).alias("corpus_id"),
-                             F.col(vec_col).alias("__cv"))
+                             F.col(vec_col).alias("__cv"),
+                             sim.norm(F.col(vec_col)).alias("__cn"))
     right = bench_emb.select(F.col(id_col).alias("bench_id"),
-                             F.col(vec_col).alias("__bv"))
-    cos = sim.cosine(F.col("__cv"), F.col("__bv"))
+                             F.col(vec_col).alias("__bv"),
+                             sim.norm(F.col(vec_col)).alias("__bn"))
+    cos = sim.dot(F.col("__cv"), F.col("__bv")) \
+        / (F.col("__cn") * F.col("__bn"))
     pairs = (left.join(F.broadcast(right),
                        cos >= F.lit(threshold), "inner"))
     best = (pairs.groupBy("corpus_id")

@@ -6003,3 +6003,93 @@ def padding_waste_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return corpus.padding_waste(docs, bucket_bounds=[16, 32, 48, 64, 96, 128])
+
+
+@q(
+    "ab_test_events",
+    """
+    WITH b AS (
+      SELECT event_type,
+             user_id % 2 = 0 AS cohort,
+             CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) AS m
+      FROM events WHERE value IS NOT NULL),
+    a AS (
+      SELECT event_type,
+             COUNT(CASE WHEN cohort THEN m END) AS n_a,
+             CAST(SUM(CASE WHEN cohort THEN m END) AS DOUBLE) AS s1a,
+             CAST(SUM(CASE WHEN cohort THEN m * m END) AS DOUBLE) AS s2a,
+             COUNT(CASE WHEN NOT cohort THEN m END) AS n_b,
+             CAST(SUM(CASE WHEN NOT cohort THEN m END) AS DOUBLE) AS s1b,
+             CAST(SUM(CASE WHEN NOT cohort THEN m * m END) AS DOUBLE) AS s2b
+      FROM b GROUP BY event_type),
+    d AS (
+      SELECT event_type, n_a, n_b,
+             CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+             (s1a / 1e6) / CAST(n_a AS DOUBLE) AS ma,
+             (s1b / 1e6) / CAST(n_b AS DOUBLE) AS mb,
+             ((s2a - s1a * s1a / CAST(n_a AS DOUBLE))
+              / (CAST(n_a AS DOUBLE) - 1)) / 1e12 AS va,
+             ((s2b - s1b * s1b / CAST(n_b AS DOUBLE))
+              / (CAST(n_b AS DOUBLE) - 1)) / 1e12 AS vb
+      FROM a),
+    e AS (SELECT *, va / na + vb / nb AS se2 FROM d)
+    SELECT event_type, n_a, n_b,
+           ROUND(ma, 6) AS mean_a,
+           ROUND(mb, 6) AS mean_b,
+           ROUND((ma - mb) / SQRT(se2), 6) AS t_stat,
+           ROUND((se2 * se2) / ((va / na) * (va / na) / (na - 1)
+                                + (vb / nb) * (vb / nb) / (nb - 1)), 6) AS dof
+    FROM e
+    """,
+)
+def ab_test_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t-test per event_type between even/odd user-id
+    cohorts (stats.welch_ttest): six conditional integer moment sums in
+    ONE partial-agg shuffle, identical IEEE t/dof derivation in any
+    engine — the A/B experiment primitive."""
+    from tabsdata_spark import stats
+
+    ev = load_events(spark, sf_dir).df.filter(F.col("value").isNotNull())
+    b = ev.withColumn("cohort", F.col("user_id") % 2 == 0)
+    return stats.welch_ttest(b, "value", "cohort", ["event_type"])
+
+
+@q(
+    "mi_lang_source_docs",
+    """
+    WITH cells AS (SELECT lang AS x, source AS y, COUNT(*) AS c
+                   FROM documents GROUP BY 1, 2),
+    rx AS (SELECT x, SUM(c) AS rx FROM cells GROUP BY x),
+    cy AS (SELECT y, SUM(c) AS cy FROM cells GROUP BY y),
+    n AS (SELECT SUM(c) AS n_total FROM cells),
+    mi AS (
+      SELECT COUNT(*) AS n_cells,
+             SUM(CAST((CAST(c AS DOUBLE) / CAST(n_total AS DOUBLE))
+                      * ln(CAST(c AS DOUBLE) * CAST(n_total AS DOUBLE)
+                           / (CAST(rx AS DOUBLE) * CAST(cy AS DOUBLE)))
+                  AS DECIMAL(28,14))) AS _mi
+      FROM cells JOIN rx USING (x) JOIN cy USING (y), n),
+    hx AS (SELECT SUM(CAST(-(CAST(rx AS DOUBLE) / CAST(n_total AS DOUBLE))
+                           * ln(CAST(rx AS DOUBLE) / CAST(n_total AS DOUBLE))
+                       AS DECIMAL(28,14))) AS _hx FROM rx, n),
+    hy AS (SELECT SUM(CAST(-(CAST(cy AS DOUBLE) / CAST(n_total AS DOUBLE))
+                           * ln(CAST(cy AS DOUBLE) / CAST(n_total AS DOUBLE))
+                       AS DECIMAL(28,14))) AS _hy FROM cy, n)
+    SELECT n_cells,
+           ROUND(CAST(_mi AS DOUBLE), 6) AS mi_nats,
+           ROUND(CAST(_hx AS DOUBLE), 6) AS h_x,
+           ROUND(CAST(_hy AS DOUBLE), 6) AS h_y,
+           ROUND(CAST(_mi AS DOUBLE)
+                 / LEAST(CAST(_hx AS DOUBLE), CAST(_hy AS DOUBLE)), 6) AS nmi
+    FROM mi, hx, hy
+    """,
+)
+def mi_lang_source_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between lang and source labels
+    (stats.mutual_information): cell table bounded by |langs|*|sources|,
+    decimal-summed contributions (order-free), scalar crossJoins of 1-row
+    broadcast frames — the label-redundancy diagnostic."""
+    from tabsdata_spark import stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stats.mutual_information(docs, "lang", "source")

@@ -293,3 +293,101 @@ def exact_regression(df: DataFrame, x_col: str, y_col: str,
         F.round(slope, 9).alias("slope"),
         F.round(intercept, 6).alias("intercept"),
     )
+
+
+def welch_ttest(df: DataFrame, value_col: str, cohort_col: str,
+                group_cols: list[str]) -> DataFrame:
+    """Per-group Welch two-sample t-test between the rows where
+    `cohort_col` is true (A) and false (B) — the A/B-experiment primitive:
+
+        t   = (mA - mB) / sqrt(vA/nA + vB/nB)
+        dof = (vA/nA + vB/nB)^2
+              / ((vA/nA)^2/(nA-1) + (vB/nB)^2/(nB-1))   (Welch-Satterthwaite)
+
+    Exactness contract: both cohorts' moment sums are integer sums of
+    micros-quantized values (m = floor(v*1e6 + 0.5); squares summed as
+    decimal(38,0) — Spark's exact 128-bit path, DuckDB's HUGEINT), so
+    means/variances/t/dof are identical IEEE derivations over identical
+    integers in any engine and partitioning.
+
+    Scale shape: ONE partial-agg shuffle on the group keys — six
+    conditional sums that combine associatively; no join between cohorts,
+    no second scan.  Rows with null value or null cohort are excluded from
+    both sides."""
+    big = "decimal(38,0)"
+    m = F.floor(F.col(value_col) * 1e6 + F.lit(0.5)).cast("bigint")
+    cond = F.col(cohort_col)
+    a, b = F.when(cond, m), F.when(~cond, m)
+    agg = df.groupBy(*group_cols).agg(
+        F.count(a).alias("n_a"),
+        F.sum(a.cast(big)).alias("_s1a"),
+        F.sum((a * a).cast(big)).alias("_s2a"),
+        F.count(b).alias("n_b"),
+        F.sum(b.cast(big)).alias("_s1b"),
+        F.sum((b * b).cast(big)).alias("_s2b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    s1a, s2a = F.col("_s1a").cast("double"), F.col("_s2a").cast("double")
+    s1b, s2b = F.col("_s1b").cast("double"), F.col("_s2b").cast("double")
+    ma, mb = (s1a / 1e6) / na, (s1b / 1e6) / nb
+    va = ((s2a - s1a * s1a / na) / (na - 1)) / 1e12
+    vb = ((s2b - s1b * s1b / nb) / (nb - 1)) / 1e12
+    se2 = va / na + vb / nb
+    t = (ma - mb) / F.sqrt(se2)
+    dof = (se2 * se2) / ((va / na) * (va / na) / (na - 1)
+                         + (vb / nb) * (vb / nb) / (nb - 1))
+    return agg.select(
+        *group_cols, "n_a", "n_b",
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(dof, 6).alias("dof"),
+    )
+
+
+def mutual_information(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Mutual information (nats) between two categorical columns:
+
+        MI = sum_cells (c/N) * ln(c*N / (rx*cy))
+
+    plus the entropies H(x), H(y) and the normalized MI / min(H) — the
+    standard "how redundant are these two labels" diagnostic (e.g. lang
+    vs source in a curation pipeline).
+
+    Exactness: each cell/marginal contribution is a bit-identical IEEE
+    expression over integer counts; the sums run through DECIMAL(28,14)
+    (order-free exact addition, same trick as js_divergence_sources), so
+    the scalar result is independent of partitioning and engine.
+
+    Scale shape: one partial-agg shuffle to the (x, y) cell table —
+    bounded by |X|*|Y|, corpus-size independent after that; marginals are
+    re-aggregations of the cell table; the scalar combine is a crossJoin
+    of three 1-row frames."""
+    dec = "decimal(28,14)"
+    cells = df.groupBy(F.col(x_col).alias("__x"), F.col(y_col).alias("__y")) \
+        .agg(F.count(F.lit(1)).alias("c"))
+    rx = cells.groupBy("__x").agg(F.sum("c").alias("rx"))
+    cy = cells.groupBy("__y").agg(F.sum("c").alias("cy"))
+    n = cells.agg(F.sum("c").alias("n_total"))
+    cn, rxn, cyn = (F.col("c").cast("double"), F.col("rx").cast("double"),
+                    F.col("cy").cast("double"))
+    nn = F.col("n_total").cast("double")
+    mi_contrib = ((cn / nn) * F.log(cn * nn / (rxn * cyn))).cast(dec)
+    mi = (cells.join(F.broadcast(rx), "__x")
+          .join(F.broadcast(cy), "__y")
+          .crossJoin(F.broadcast(n))
+          .agg(F.sum(mi_contrib).alias("_mi"), F.count(F.lit(1)).alias("n_cells")))
+    hx_contrib = (-(rxn / nn) * F.log(rxn / nn)).cast(dec)
+    hx = rx.crossJoin(F.broadcast(n)).agg(F.sum(hx_contrib).alias("_hx"))
+    hy_contrib = (-(cyn / nn) * F.log(cyn / nn)).cast(dec)
+    hy = cy.crossJoin(F.broadcast(n)).agg(F.sum(hy_contrib).alias("_hy"))
+    out = mi.crossJoin(F.broadcast(hx)).crossJoin(F.broadcast(hy))
+    mid = F.col("_mi").cast("double")
+    hxd, hyd = F.col("_hx").cast("double"), F.col("_hy").cast("double")
+    return out.select(
+        "n_cells",
+        F.round(mid, 6).alias("mi_nats"),
+        F.round(hxd, 6).alias("h_x"),
+        F.round(hyd, 6).alias("h_y"),
+        F.round(mid / F.least(hxd, hyd), 6).alias("nmi"),
+    )

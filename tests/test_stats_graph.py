@@ -196,3 +196,50 @@ def test_exact_regression_is_partitioning_invariant(spark):
     r1 = stats.exact_regression(df1, "x", "y", ["g"]).collect()[0]
     r2 = stats.exact_regression(df1.repartition(7), "x", "y", ["g"]).collect()[0]
     assert (r1.slope, r1.intercept) == (r2.slope, r2.intercept)
+
+
+def test_welch_ttest_known_samples(spark):
+    from tabsdata_spark import stats
+
+    rows = [("g", True, v) for v in (10.0, 12.0, 14.0)]
+    rows += [("g", False, v) for v in (20.0, 22.0, 24.0, 26.0)]
+    df = spark.createDataFrame(rows, "g string, cohort boolean, v double")
+    r = stats.welch_ttest(df, "v", "cohort", ["g"]).collect()[0]
+    assert (r.n_a, r.n_b) == (3, 4)
+    assert r.mean_a == 10.0 + 2.0 and r.mean_b == 23.0
+    va, vb = 4.0, 20.0 / 3.0
+    import math
+    t_exp = (12.0 - 23.0) / math.sqrt(va / 3 + vb / 4)
+    assert abs(r.t_stat - round(t_exp, 6)) < 1e-9
+    se2 = va / 3 + vb / 4
+    dof_exp = se2 * se2 / ((va / 3) ** 2 / 2 + (vb / 4) ** 2 / 3)
+    assert abs(r.dof - round(dof_exp, 6)) < 1e-9
+
+
+def test_welch_ttest_identical_cohorts_t_zero(spark):
+    from tabsdata_spark import stats
+
+    rows = [("g", i % 2 == 0, float(10 + i // 2 % 5)) for i in range(40)]
+    df = spark.createDataFrame(rows, "g string, cohort boolean, v double")
+    r = stats.welch_ttest(df, "v", "cohort", ["g"]).collect()[0]
+    assert r.t_stat == 0.0 and r.mean_a == r.mean_b
+
+
+def test_mutual_information_dependence_extremes(spark):
+    from tabsdata_spark import stats
+    import math
+
+    # perfectly dependent: y == x -> MI == H(x) == H(y), nmi == 1
+    dep = spark.createDataFrame(
+        [(c, c) for c in "aabbbb"], "x string, y string")
+    r = stats.mutual_information(dep, "x", "y").collect()[0]
+    h = -(2 / 6) * math.log(2 / 6) - (4 / 6) * math.log(4 / 6)
+    assert abs(r.mi_nats - round(h, 6)) < 1e-9
+    assert r.nmi == 1.0
+
+    # perfectly independent balanced grid -> MI exactly 0
+    ind = spark.createDataFrame(
+        [(x, y) for x in "ab" for y in "cd" for _ in range(3)],
+        "x string, y string")
+    r2 = stats.mutual_information(ind, "x", "y").collect()[0]
+    assert r2.mi_nats == 0.0 and r2.n_cells == 4
