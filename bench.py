@@ -135,6 +135,7 @@ MINING = [
     "rrf_fuse_docs",
     "semantic_decontam_emb",
     "padding_waste_docs",
+    "mmr_rerank_emb",
 ]
 
 ANALYTICS = [

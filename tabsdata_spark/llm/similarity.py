@@ -515,3 +515,76 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         F.col("adc_dist").asc(), F.col(id_col).asc())
     return scored.withColumn("rank", F.row_number().over(w)) \
         .filter(F.col("rank") <= k)
+
+
+def mmr_rerank(candidates: DataFrame, lam: float = 0.75, k: int = 5,
+               query_col: str = "query_id", id_col: str = "vec_id",
+               vec_col: str = "embedding", rel_col: str = "rel") -> DataFrame:
+    """Maximal-marginal-relevance diversified reranking (Carbonell &
+    Goldstein 1998): per query, greedily select k results maximizing
+
+        lam * rel(d) - (1 - lam) * max_{s in selected} cos(d, s)
+
+    (empty selected set -> 0.0 for the diversity term); ties break to the
+    smallest id.  Returns (query, sel_rank 1..k, id, mmr_score unrounded).
+
+    Scale shape: candidates are an ALREADY-BOUNDED per-query top-n (from
+    brute_force_topk / lsh_topk), so the greedy O(k*n) selection runs
+    per-query-group in ONE applyInPandas pass — Arrow-batched, n*k bounded
+    work per group, corpus-size independent.  The cosine inside is the
+    same sequential float64 fold as the similarity suite / DuckDB's
+    list_cosine_similarity (loop accumulation, dot/(sqrt(sa)*sqrt(sb))),
+    so selections and scores are bit-identical to a SQL replay."""
+    import pandas as pd
+
+    one_minus = 1 - lam  # fold 1-lam ONCE, same as the SQL literal tree
+
+    def _cos(a: list, b: list) -> float:
+        dot = 0.0
+        sa = 0.0
+        sb = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+            sa += x * x
+            sb += y * y
+        import math
+        return dot / (math.sqrt(sa) * math.sqrt(sb))
+
+    def _select(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = pdf[query_col].iloc[0]
+        vecs = {}
+        rels = {}
+        for _, row in pdf.iterrows():
+            cid = int(row[id_col])
+            vecs[cid] = [float(x) for x in row[vec_col]]
+            rels[cid] = float(row[rel_col])
+        sims: dict = {}
+
+        def pair(a: int, b: int) -> float:
+            key = (a, b) if a < b else (b, a)
+            if key not in sims:
+                sims[key] = _cos(vecs[key[0]], vecs[key[1]])
+            return sims[key]
+
+        avail = set(vecs)
+        selected: list = []
+        out = []
+        for step in range(1, k + 1):
+            if not avail:
+                break
+            best_id, best_score = None, None
+            for cid in sorted(avail):
+                ms = max((pair(cid, s) for s in selected), default=0.0)
+                score = lam * rels[cid] - one_minus * ms
+                if best_id is None or score > best_score:
+                    best_id, best_score = cid, score
+            out.append((qid, step, best_id, best_score))
+            avail.discard(best_id)
+            selected.append(best_id)
+        return pd.DataFrame(
+            out, columns=[query_col, "sel_rank", id_col, "mmr_score"])
+
+    return candidates.groupBy(query_col).applyInPandas(
+        _select,
+        schema=f"{query_col} long, sel_rank int, {id_col} long, "
+               f"mmr_score double")

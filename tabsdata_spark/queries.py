@@ -6093,3 +6093,137 @@ def mi_lang_source_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return stats.mutual_information(docs, "lang", "source")
+
+
+@q(
+    "mmr_rerank_emb",
+    """
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    qs AS (SELECT vec_id AS query_id, e AS qe FROM emb WHERE vec_id < 3),
+    scored AS (
+      SELECT q.query_id, c.vec_id, c.e,
+             ROUND(list_cosine_similarity(c.e, q.qe), 6) AS rel
+      FROM emb c, qs q),
+    cand AS (
+      SELECT query_id, vec_id, e, rel FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY rel DESC, vec_id) AS rn
+        FROM scored) WHERE rn <= 21 AND vec_id <> query_id),
+    ps AS (
+      SELECT a.query_id, a.vec_id AS ida, b.vec_id AS idb,
+             list_cosine_similarity(a.e, b.e) AS sim
+      FROM cand a JOIN cand b ON a.query_id = b.query_id
+                              AND a.vec_id <> b.vec_id),
+    sel0 AS (SELECT query_id, vec_id FROM cand WHERE 1 = 0),
+    s1 AS (
+      SELECT query_id, vec_id, CAST(1 AS INTEGER) AS sel_rank,
+             0.75 * rel - 0.25 * 0.0 AS score FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY 0.75 * rel - 0.25 * 0.0 DESC,
+                                              vec_id) AS rn
+        FROM cand) WHERE rn = 1),
+    sel1 AS (SELECT query_id, vec_id FROM s1),
+    m2 AS (
+      SELECT c.query_id, c.vec_id, c.rel, MAX(ps.sim) AS ms
+      FROM cand c
+      JOIN sel1 s ON s.query_id = c.query_id
+      JOIN ps ON ps.query_id = c.query_id AND ps.ida = c.vec_id
+             AND ps.idb = s.vec_id
+      WHERE NOT EXISTS (SELECT 1 FROM sel1 x
+                        WHERE x.query_id = c.query_id
+                          AND x.vec_id = c.vec_id)
+      GROUP BY c.query_id, c.vec_id, c.rel),
+    s2 AS (
+      SELECT query_id, vec_id, CAST(2 AS INTEGER) AS sel_rank, score FROM (
+        SELECT query_id, vec_id, 0.75 * rel - 0.25 * ms AS score,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY 0.75 * rel - 0.25 * ms DESC,
+                                           vec_id) AS rn
+        FROM m2) WHERE rn = 1),
+    sel2 AS (SELECT query_id, vec_id FROM sel1
+               UNION ALL SELECT query_id, vec_id FROM s2),
+    m3 AS (
+      SELECT c.query_id, c.vec_id, c.rel, MAX(ps.sim) AS ms
+      FROM cand c
+      JOIN sel2 s ON s.query_id = c.query_id
+      JOIN ps ON ps.query_id = c.query_id AND ps.ida = c.vec_id
+             AND ps.idb = s.vec_id
+      WHERE NOT EXISTS (SELECT 1 FROM sel2 x
+                        WHERE x.query_id = c.query_id
+                          AND x.vec_id = c.vec_id)
+      GROUP BY c.query_id, c.vec_id, c.rel),
+    s3 AS (
+      SELECT query_id, vec_id, CAST(3 AS INTEGER) AS sel_rank, score FROM (
+        SELECT query_id, vec_id, 0.75 * rel - 0.25 * ms AS score,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY 0.75 * rel - 0.25 * ms DESC,
+                                           vec_id) AS rn
+        FROM m3) WHERE rn = 1),
+    sel3 AS (SELECT query_id, vec_id FROM sel2
+               UNION ALL SELECT query_id, vec_id FROM s3),
+    m4 AS (
+      SELECT c.query_id, c.vec_id, c.rel, MAX(ps.sim) AS ms
+      FROM cand c
+      JOIN sel3 s ON s.query_id = c.query_id
+      JOIN ps ON ps.query_id = c.query_id AND ps.ida = c.vec_id
+             AND ps.idb = s.vec_id
+      WHERE NOT EXISTS (SELECT 1 FROM sel3 x
+                        WHERE x.query_id = c.query_id
+                          AND x.vec_id = c.vec_id)
+      GROUP BY c.query_id, c.vec_id, c.rel),
+    s4 AS (
+      SELECT query_id, vec_id, CAST(4 AS INTEGER) AS sel_rank, score FROM (
+        SELECT query_id, vec_id, 0.75 * rel - 0.25 * ms AS score,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY 0.75 * rel - 0.25 * ms DESC,
+                                           vec_id) AS rn
+        FROM m4) WHERE rn = 1),
+    sel4 AS (SELECT query_id, vec_id FROM sel3
+               UNION ALL SELECT query_id, vec_id FROM s4),
+    m5 AS (
+      SELECT c.query_id, c.vec_id, c.rel, MAX(ps.sim) AS ms
+      FROM cand c
+      JOIN sel4 s ON s.query_id = c.query_id
+      JOIN ps ON ps.query_id = c.query_id AND ps.ida = c.vec_id
+             AND ps.idb = s.vec_id
+      WHERE NOT EXISTS (SELECT 1 FROM sel4 x
+                        WHERE x.query_id = c.query_id
+                          AND x.vec_id = c.vec_id)
+      GROUP BY c.query_id, c.vec_id, c.rel),
+    s5 AS (
+      SELECT query_id, vec_id, CAST(5 AS INTEGER) AS sel_rank, score FROM (
+        SELECT query_id, vec_id, 0.75 * rel - 0.25 * ms AS score,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY 0.75 * rel - 0.25 * ms DESC,
+                                           vec_id) AS rn
+        FROM m5) WHERE rn = 1),
+    sel5 AS (SELECT query_id, vec_id FROM sel4
+               UNION ALL SELECT query_id, vec_id FROM s5),
+    allsel AS (
+      SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL
+      SELECT * FROM s3 UNION ALL SELECT * FROM s4 UNION ALL
+      SELECT * FROM s5)
+    SELECT query_id, sel_rank, vec_id, ROUND(score, 6) AS mmr_score
+    FROM allsel
+    """,
+)
+def mmr_rerank_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified top-5 per query via maximal marginal relevance
+    (similarity.mmr_rerank, lambda=0.75): top-21 exact candidates per
+    query (self excluded -> 20), then one Arrow applyInPandas greedy pass
+    per bounded candidate group.  Oracle unrolls the 5 greedy steps as
+    chained argmax CTEs over the same rounded relevances and unrounded
+    pairwise cosines — selections and scores are bit-identical."""
+    from tabsdata_spark.llm import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    top = sim.brute_force_topk(emb, qs, k=21)
+    cand = (top.filter(F.col("vec_id") != F.col("query_id"))
+            .withColumnRenamed("cosine", "rel")
+            .join(emb.select("vec_id", "embedding"), "vec_id")
+            .select("query_id", "vec_id", "rel", "embedding"))
+    out = sim.mmr_rerank(cand, lam=0.75, k=5)
+    return out.select("query_id", "sel_rank", "vec_id",
+                      F.round(F.col("mmr_score"), 6).alias("mmr_score"))

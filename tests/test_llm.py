@@ -1357,3 +1357,32 @@ def test_padding_waste_buckets_and_truncation(spark):
     assert out[4].padded_tokens == 8 and out[4].waste_frac == pytest.approx(1 / 8)
     assert out[8].n_docs == 2 and out[8].real_tokens == 7 + 8  # 50 -> capped at 8
     assert out[8].waste_frac == pytest.approx(1 / 16)
+
+
+def test_mmr_rerank_prefers_diversity_over_pure_relevance(spark):
+    # query-relevance order is d1 > d2 > d3, but d2 is a near-duplicate of
+    # d1 -- MMR must pick d1 first, then skip d2 for the orthogonal d3
+    cand = spark.createDataFrame(
+        [(0, 1, 0.99, [1.0, 0.0]),
+         (0, 2, 0.98, [1.0, 0.01]),
+         (0, 3, 0.60, [0.0, 1.0])],
+        "query_id long, vec_id long, rel double, embedding array<double>")
+    out = similarity.mmr_rerank(cand, lam=0.5, k=3).collect()
+    order = [(r.sel_rank, r.vec_id) for r in sorted(out, key=lambda r: r.sel_rank)]
+    assert order == [(1, 1), (2, 3), (3, 2)]
+    first = [r for r in out if r.sel_rank == 1][0]
+    assert first.mmr_score == pytest.approx(0.5 * 0.99, abs=1e-12)
+
+
+def test_mmr_rerank_tie_breaks_to_smallest_id_and_caps_at_k(spark):
+    cand = spark.createDataFrame(
+        [(7, 30, 0.9, [1.0, 0.0]),
+         (7, 10, 0.9, [0.0, 1.0]),   # same rel, orthogonal: id 10 wins rank 1
+         (7, 20, 0.9, [0.0, 1.0])],
+        "query_id long, vec_id long, rel double, embedding array<double>")
+    out = sorted(similarity.mmr_rerank(cand, lam=0.75, k=2).collect(),
+                 key=lambda r: r.sel_rank)
+    # rank 1: rel ties at 0.9 -> smallest id (10); rank 2: 30 (orthogonal
+    # to 10) beats 20 (exact duplicate of 10); k=2 stops there
+    assert [r.vec_id for r in out] == [10, 30]
+    assert len(out) == 2
