@@ -446,11 +446,15 @@ def bigram_lm_score(docs: DataFrame, id_col: str = "doc_id",
     the strategy is left to AQE exactly as in `tf_idf`.  V (the
     conditioning-vocabulary size) is a genuine 1-row broadcast."""
     from tabsdata_spark.llm.textual import word_ngrams
+    from tabsdata_spark.scale import fan_out
 
     toks = clean_tokens(F.col(text_col))
     grams = F.when(F.size(toks) >= 2, word_ngrams(toks, 2)) \
         .otherwise(F.array().cast("array<string>"))
-    doc_bi = (docs.select(F.col(id_col), F.explode(grams).alias("bigram"))
+    # tokenize+explode is compute-bound: widen narrow scans (single parquet
+    # split at small sf) so the regex/n-gram work runs cluster-wide;
+    # fan_out is a no-op when the scan already has enough splits
+    doc_bi = (fan_out(docs).select(F.col(id_col), F.explode(grams).alias("bigram"))
               .groupBy(id_col, "bigram")
               .agg(F.count(F.lit(1)).alias("tf")))
     c2 = (doc_bi.groupBy("bigram").agg(F.sum("tf").alias("c2"))
