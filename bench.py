@@ -150,6 +150,8 @@ ANALYTICS = [
     "regr_trend_events",
     "ab_test_events",
     "mi_lang_source_docs",
+    "cooccurrence_events",
+    "resample_ffill_events",
 ]
 
 

@@ -305,3 +305,90 @@ def rolling_zscore(df: DataFrame, key_cols: list[str] | str, ts_col: str,
             .withColumn("roll_std", F.round(F.col("__std"), 6))
             .withColumn("zscore", F.round(F.col("__z"), 6))
             .drop("__m", "__n", "__mean", "__std", "__z"))
+
+
+def cooccurrence_lift(df: DataFrame, basket_col: str, item_col: str) -> DataFrame:
+    """Market-basket association strength for every item pair:
+
+        support(a,b) = n_ab / N          (baskets containing both)
+        confidence   = n_ab / n_a        (directional, a -> b kept a < b)
+        lift         = n_ab * N / (n_a * n_b)
+
+    counts are exact integers; the ratios are identical IEEE divisions in
+    any engine.  Pairs are emitted once with item_a < item_b.
+
+    Scale shape: dropDuplicates collapses each basket's repeats with
+    map-side combine BEFORE any join; the pair generation self-joins the
+    (basket, item) table keyed on the BASKET id, so fan-out per basket is
+    (distinct items)^2 — bounded by catalog size per basket, never
+    corpus x corpus; item marginals broadcast (|items| rows)."""
+    bi = (df.select(F.col(basket_col).alias("__b"),
+                    F.col(item_col).alias("__i"))
+          .dropDuplicates())
+    n_total = bi.select("__b").dropDuplicates().agg(
+        F.count(F.lit(1)).alias("n_baskets"))
+    marg = bi.groupBy("__i").agg(F.count(F.lit(1)).alias("n_item"))
+    a = bi.select("__b", F.col("__i").alias("item_a"))
+    b = bi.select("__b", F.col("__i").alias("item_b"))
+    pairs = (a.join(b, "__b")
+             .filter(F.col("item_a") < F.col("item_b"))
+             .groupBy("item_a", "item_b")
+             .agg(F.count(F.lit(1)).alias("n_ab")))
+    out = (pairs
+           .join(F.broadcast(marg.select(F.col("__i").alias("item_a"),
+                                         F.col("n_item").alias("n_a"))),
+                 "item_a")
+           .join(F.broadcast(marg.select(F.col("__i").alias("item_b"),
+                                         F.col("n_item").alias("n_b"))),
+                 "item_b")
+           .crossJoin(F.broadcast(n_total)))
+    nd = F.col("n_ab").cast("double")
+    return out.select(
+        "item_a", "item_b", "n_ab",
+        F.round(nd / F.col("n_baskets").cast("double"), 6).alias("support"),
+        F.round(nd / F.col("n_a").cast("double"), 6).alias("confidence"),
+        F.round(nd * F.col("n_baskets").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+                6).alias("lift"),
+    )
+
+
+def resample_ffill(df: DataFrame, key_cols: list[str] | str, ts_col: str,
+                   value_col: str, step: str = "1 hour") -> DataFrame:
+    """Per-key regular time grid with forward-filled values (timeseries
+    resampling): the grid spans floor(min ts) .. floor(max ts) of EACH key
+    at `step` resolution; each grid point carries the latest observed
+    value at-or-before it (nulls until the first observation; within a
+    bucket the LAST observation by (ts, value) wins deterministically).
+
+    Scale shape: grid bounds are one partial-agg shuffle per key; the grid
+    explodes sequence(min, max, step) per key (rows = span/step, data-size
+    independent); observations union the grid and ONE per-key window
+    (last-ignorenulls over event order) carries values forward — the same
+    union + forward-fill formulation as asof_join, no per-key pandas."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    bounds = df.groupBy(*keys).agg(
+        F.date_trunc("hour", F.min(ts_col)).alias("__lo") if step == "1 hour"
+        else F.min(ts_col).alias("__lo"),
+        F.date_trunc("hour", F.max(ts_col)).alias("__hi") if step == "1 hour"
+        else F.max(ts_col).alias("__hi"),
+    )
+    grid = bounds.select(
+        *keys,
+        F.explode(F.sequence(F.col("__lo"), F.col("__hi"),
+                             F.expr(f"INTERVAL {step}"))).alias("grid_ts"))
+    # order observations before grid points at the same instant is wrong —
+    # a grid point AT an observation must see it: tag obs 0, grid 1
+    obs = df.select(
+        *keys, F.col(ts_col).alias("grid_ts"), F.lit(0).alias("__tag"),
+        F.col(value_col).alias("__v"))
+    g = grid.select(*keys, "grid_ts", F.lit(1).alias("__tag"),
+                    F.lit(None).cast(dict(df.dtypes)[value_col]).alias("__v"))
+    unioned = obs.unionByName(g)
+    w = (Window.partitionBy(*keys)
+         .orderBy(F.col("grid_ts"), F.col("__tag"), F.col("__v"))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    filled = unioned.withColumn(
+        "value_ffill", F.last("__v", ignorenulls=True).over(w))
+    return (filled.filter(F.col("__tag") == 1)
+            .select(*keys, "grid_ts", "value_ffill"))

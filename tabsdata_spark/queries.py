@@ -6227,3 +6227,70 @@ def mmr_rerank_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = sim.mmr_rerank(cand, lam=0.75, k=5)
     return out.select("query_id", "sel_rank", "vec_id",
                       F.round(F.col("mmr_score"), 6).alias("mmr_score"))
+
+
+@q(
+    "cooccurrence_events",
+    """
+    WITH bi AS (SELECT DISTINCT user_id AS b, event_type AS i FROM events),
+    n AS (SELECT COUNT(DISTINCT b) AS n_baskets FROM bi),
+    marg AS (SELECT i, COUNT(*) AS n_item FROM bi GROUP BY i),
+    pairs AS (SELECT a.i AS item_a, b.i AS item_b, COUNT(*) AS n_ab
+              FROM bi a JOIN bi b ON a.b = b.b AND a.i < b.i
+              GROUP BY 1, 2)
+    SELECT item_a, item_b, n_ab,
+           ROUND(CAST(n_ab AS DOUBLE) / CAST(n_baskets AS DOUBLE), 6)
+             AS support,
+           ROUND(CAST(n_ab AS DOUBLE) / CAST(ma.n_item AS DOUBLE), 6)
+             AS confidence,
+           ROUND(CAST(n_ab AS DOUBLE) * CAST(n_baskets AS DOUBLE)
+                 / (CAST(ma.n_item AS DOUBLE) * CAST(mb.n_item AS DOUBLE)), 6)
+             AS lift
+    FROM pairs JOIN marg ma ON ma.i = item_a
+               JOIN marg mb ON mb.i = item_b, n
+    """,
+)
+def cooccurrence_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket lift between event types over user baskets
+    (extensions.cooccurrence_lift): distinct (user, type) collapses with
+    map-side combine before the basket-keyed self-join (fan-out bounded by
+    per-user catalog size), marginals broadcast."""
+    from tabsdata_spark.extensions import cooccurrence_lift
+
+    ev = load_events(spark, sf_dir).df
+    return cooccurrence_lift(ev, "user_id", "event_type")
+
+
+@q(
+    "resample_ffill_events",
+    """
+    WITH src AS (SELECT user_id, ts, value FROM events WHERE user_id % 50 = 0),
+    b AS (SELECT user_id, date_trunc('hour', MIN(ts)) AS lo,
+                 date_trunc('hour', MAX(ts)) AS hi
+          FROM src GROUP BY user_id),
+    grid AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                    AS grid_ts
+             FROM b),
+    u AS (
+      SELECT user_id, ts AS grid_ts, 0 AS tag, value AS v FROM src
+      UNION ALL SELECT user_id, grid_ts, 1, NULL FROM grid),
+    f AS (SELECT user_id, grid_ts, tag,
+                 LAST_VALUE(v IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY grid_ts, tag, v
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS value_ffill
+          FROM u)
+    SELECT user_id, grid_ts, value_ffill FROM f WHERE tag = 1
+    """,
+)
+def resample_ffill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-user resampling with forward fill
+    (extensions.resample_ffill) over a 1-in-50 user sample: grid bounds
+    from one per-key agg, sequence-exploded grid (span/step rows,
+    data-size independent), union + ONE per-key last-ignorenulls window —
+    the asof_join formulation, no per-key pandas."""
+    from tabsdata_spark.extensions import resample_ffill
+
+    ev = load_events(spark, sf_dir).df.filter(F.col("user_id") % 50 == 0)
+    return resample_ffill(ev.select("user_id", "ts", "value"),
+                          "user_id", "ts", "value", step="1 hour")

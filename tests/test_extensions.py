@@ -200,3 +200,43 @@ def test_rolling_zscore_frame_excludes_current_row(spark):
                          min_periods=8, threshold=2.5).collect()
     assert [r.event_id for r in out] == [9]
     assert abs(out[0].roll_mean - 20.0) < 0.05
+
+
+def test_cooccurrence_lift_counts_and_ratios(spark):
+    import pytest
+    from tabsdata_spark.extensions import cooccurrence_lift
+
+    rows = [(1, "a"), (1, "b"), (1, "a"),      # repeat collapses
+            (2, "a"), (2, "b"),
+            (3, "a"), (3, "c"),
+            (4, "b")]
+    df = spark.createDataFrame(rows, "b long, i string")
+    out = {(r.item_a, r.item_b): r
+           for r in cooccurrence_lift(df, "b", "i").collect()}
+    ab = out[("a", "b")]
+    assert ab.n_ab == 2
+    assert ab.support == 0.5                       # 2 of 4 baskets
+    assert ab.confidence == pytest.approx(2 / 3)   # n_a = 3
+    assert ab.lift == pytest.approx(2 * 4 / (3 * 3))
+    ac = out[("a", "c")]
+    assert ac.n_ab == 1 and ac.lift == pytest.approx(1 * 4 / (3 * 1))
+    assert ("b", "c") not in out                   # never co-occur
+
+
+def test_resample_ffill_grid_and_fill(spark):
+    from tabsdata_spark.extensions import resample_ffill
+    import datetime as dt
+
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+    rows = [(1, t(0, 30), 10.0), (1, t(3, 15), 30.0),
+            (2, t(1, 0), 5.0)]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+    out = {(r.k, r.grid_ts): r.value_ffill
+           for r in resample_ffill(df, "k", "ts", "v").collect()}
+    # user 1 grid: hours 0..3; hour 0 precedes the first obs -> null
+    assert out[(1, t(0))] is None
+    assert out[(1, t(1))] == 10.0 and out[(1, t(2))] == 10.0
+    assert out[(1, t(3))] == 10.0   # obs at 3:15 is after the 3:00 point
+    # user 2: single grid point AT the observation instant sees it
+    assert out[(2, t(1))] == 5.0
+    assert len(out) == 5
