@@ -332,3 +332,70 @@ def stateful_running_totals_tws(stream: DataFrame, key: str, value_col: str,
                 outputStructType="k long, n long, total double",
                 outputMode=output_mode,
                 timeMode="None"))
+
+
+def stream_anomaly_flag(stream: DataFrame, key: str, ts_col: str,
+                        value_col: str, id_col: str,
+                        window: int = 20, min_periods: int = 8,
+                        threshold: float = 2.5,
+                        output_mode: str = "update") -> DataFrame:
+    """Streaming twin of extensions.rolling_zscore: per-key trailing-window
+    anomaly detection with the window carried in the state store (one
+    bounded array of `window` micros-quantized longs per key — fixed
+    memory, keys partition across executors).
+
+    Parity contract with the batch operator: rows are processed in
+    (ts, id) order within each micro-batch, the trailing frame EXCLUDES
+    the current row, and mean/std/z are the identical IEEE expressions
+    over the identical integer moment sums — so on time-ordered input the
+    flagged rows and scores match extensions.rolling_zscore bit-for-bit
+    (asserted by the parity test).  Late (out-of-order across batches)
+    rows score against the state as-arrived; bound disorder upstream with
+    a watermark if exact replay parity is required."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (f"{id_col} long, k long, {value_col} double, "
+                  f"zscore double")
+    state_schema = "w array<long>"
+
+    def update(key_tuple, pdf_iter, state: GroupState):
+        (w,) = state.get if state.exists else ([],)
+        w = list(w)
+        flagged_ids, flagged_vs, flagged_zs = [], [], []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values([ts_col, id_col])
+            for v, rid in zip(pdf[value_col], pdf[id_col]):
+                v = float(v)
+                m = int(math.floor(v * 1e6 + 0.5))
+                n = len(w)
+                if n >= min_periods:
+                    s1 = float(sum(w))
+                    s2 = float(sum(x * x for x in w))
+                    nd = float(n)
+                    mean = (s1 / 1e6) / nd
+                    var = ((s2 - s1 * s1 / nd) / (nd - 1)) / 1e12
+                    std = math.sqrt(var)
+                    z = (v - mean) / std
+                    if abs(z) > threshold:
+                        flagged_ids.append(int(rid))
+                        flagged_vs.append(v)
+                        flagged_zs.append(z)
+                w.append(m)
+                if len(w) > window:
+                    w = w[-window:]
+        state.update((w,))
+        if flagged_ids:
+            yield pd.DataFrame({
+                id_col: flagged_ids,
+                "k": [key_tuple[0]] * len(flagged_ids),
+                value_col: flagged_vs,
+                "zscore": flagged_zs,
+            })
+
+    return (stream.groupBy(F.col(key))
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    output_mode,
+                                    GroupStateTimeout.NoTimeout))

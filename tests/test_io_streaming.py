@@ -484,3 +484,55 @@ def test_csv_bad_lines_drop_and_permissive(spark, tmp_path):
         .schema("k int, v int").csv(str(p))
     rows = sorted(perm.collect(), key=lambda r: (r["k"] is None, r["k"]))
     assert len(rows) == 3 and rows[-1]["k"] is None  # kept, nulled
+
+
+def test_stream_anomaly_flag_matches_batch_rolling_zscore(spark, tmp_path):
+    """Streaming trailing-window z-score == batch rolling_zscore on
+    time-ordered input, with the window carried across micro-batches."""
+    import datetime as dt
+
+    from tabsdata_spark.extensions import rolling_zscore
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    rid = 0
+    for u in (1, 2):
+        for i in range(30):
+            # flat baseline with a spike at i==25 for user 1 only
+            v = 100.0 if (u == 1 and i == 25) else 10.0 + (i % 4) * 0.25 + u
+            rows.append((rid, u, t0 + dt.timedelta(minutes=i), v))
+            rid += 1
+    schema = "event_id long, user long, ts timestamp, v double"
+    df = spark.createDataFrame(rows, schema)
+
+    batch = {r.event_id: r.zscore
+             for r in rolling_zscore(df, "user", "ts", "v", window=20,
+                                     min_periods=8, threshold=2.5,
+                                     tie_cols=["event_id"]).collect()}
+    assert batch  # the spike must be flagged
+
+    src = tmp_path / "anom"
+    src.mkdir()
+    # split time-ordered halves into two micro-batch files
+    df.filter(F.col("event_id") % 60 < 30).coalesce(1).write.parquet(
+        str(src / "b1"))
+    df.filter(F.col("event_id") % 60 >= 30).coalesce(1).write.parquet(
+        str(src / "b2"))
+
+    flagged = {}
+
+    def run_once():
+        stream = bus.stream_file_source(spark, str(src / "*"), schema)
+        out = bus.stream_anomaly_flag(stream, "user", "ts", "v", "event_id",
+                                      window=20, min_periods=8, threshold=2.5)
+        qy = (out.writeStream.outputMode("update")
+              .foreachBatch(lambda b, i: flagged.update(
+                  {r.event_id: r.zscore for r in b.collect()}))
+              .option("checkpointLocation", str(tmp_path / "anom_ckpt"))
+              .trigger(availableNow=True).start())
+        qy.awaitTermination(120)
+
+    run_once()
+    assert set(flagged) == set(batch)
+    for eid, z in flagged.items():
+        assert abs(z - batch[eid]) < 5e-7   # batch col is rounded to 6
