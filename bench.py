@@ -152,6 +152,9 @@ ANALYTICS = [
     "mi_lang_source_docs",
     "cooccurrence_events",
     "resample_ffill_events",
+    "winsorize_events",
+    "benford_prices",
+    "markov_events",
 ]
 
 

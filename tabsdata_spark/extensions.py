@@ -392,3 +392,32 @@ def resample_ffill(df: DataFrame, key_cols: list[str] | str, ts_col: str,
         "value_ffill", F.last("__v", ignorenulls=True).over(w))
     return (filled.filter(F.col("__tag") == 1)
             .select(*keys, "grid_ts", "value_ffill"))
+
+
+def markov_transitions(df: DataFrame, key_cols: list[str] | str,
+                       ts_col: str, state_col: str,
+                       tie_cols: list[str] | None = None) -> DataFrame:
+    """First-order Markov transition estimates over per-key event
+    sequences: count consecutive (state -> next_state) pairs in (ts, tie)
+    order and divide by the out-degree of the source state:
+
+        p = n_ab / n_a        (exact integer counts, IEEE division)
+
+    Scale shape: ONE shuffle on the keys + one per-key lead() window, then
+    a partial-agg count over at most |states|^2 groups; out-degrees are a
+    re-aggregation of the pair table (broadcast back).  Sequence ends
+    (lead null) drop out of both numerator and denominator."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    order = [F.col(ts_col)] + [F.col(c) for c in (tie_cols or [])]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    nxt = F.lead(state_col).over(w)
+    pairs = (df.select(F.col(state_col).alias("state"),
+                       nxt.alias("next_state"))
+             .filter(F.col("next_state").isNotNull())
+             .groupBy("state", "next_state")
+             .agg(F.count(F.lit(1)).alias("n_ab")))
+    out_deg = pairs.groupBy("state").agg(F.sum("n_ab").alias("n_a"))
+    return (pairs.join(F.broadcast(out_deg), "state")
+            .select("state", "next_state", "n_ab",
+                    F.round(F.col("n_ab").cast("double")
+                            / F.col("n_a").cast("double"), 6).alias("p")))

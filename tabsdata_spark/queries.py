@@ -6294,3 +6294,116 @@ def resample_ffill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir).df.filter(F.col("user_id") % 50 == 0)
     return resample_ffill(ev.select("user_id", "ts", "value"),
                           "user_id", "ts", "value", step="1 hour")
+
+
+@q(
+    "winsorize_events",
+    """
+    WITH qs AS (
+      SELECT event_type,
+             quantile_cont(value, 0.01) AS q_lo,
+             quantile_cont(value, 0.99) AS q_hi
+      FROM events GROUP BY event_type),
+    j AS (
+      SELECT e.event_id, e.event_type, e.value, qs.q_lo, qs.q_hi,
+             LEAST(GREATEST(e.value, qs.q_lo), qs.q_hi) AS w
+      FROM events e JOIN qs USING (event_type))
+    SELECT event_id, event_type, ROUND(value, 6) AS value,
+           ROUND(q_lo, 6) AS q_lo, ROUND(q_hi, 6) AS q_hi,
+           ROUND(w, 6) AS value_w
+    FROM j WHERE w <> value
+    """,
+)
+def winsorize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type winsorization at exact [p01, p99] (stats.winsorize):
+    two-quantile partial agg + broadcast bounds; emits only the clipped
+    tail rows (filter on the unrounded clip)."""
+    from tabsdata_spark import stats
+
+    ev = load_events(spark, sf_dir).df
+    out = stats.winsorize(ev, "value", ["event_type"], lo=0.01, hi=0.99)
+    return (out.filter(F.col("value_w") != F.col("value"))
+            .select("event_id", "event_type",
+                    F.round("value", 6).alias("value"),
+                    F.round("q_lo", 6).alias("q_lo"),
+                    F.round("q_hi", 6).alias("q_hi"),
+                    F.round("value_w", 6).alias("value_w")))
+
+
+@q(
+    "benford_prices",
+    """
+    WITH base AS (
+      SELECT l_returnflag,
+             CAST(FLOOR(l_extendedprice * 1e6 + 0.5) AS BIGINT) AS m
+      FROM lineitem WHERE FLOOR(l_extendedprice * 1e6 + 0.5) > 0),
+    counts AS (
+      SELECT l_returnflag,
+             CAST(SUBSTRING(CAST(m AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+             COUNT(*) AS obs
+      FROM base GROUP BY 1, 2),
+    totals AS (SELECT l_returnflag, SUM(obs) AS n_total
+               FROM counts GROUP BY 1),
+    grid AS (SELECT l_returnflag, n_total,
+                    CAST(unnest(range(1, 10)) AS INTEGER) AS digit
+             FROM totals),
+    filled AS (
+      SELECT g.l_returnflag, g.n_total, g.digit,
+             COALESCE(c.obs, 0) AS obs
+      FROM grid g LEFT JOIN counts c
+        ON c.l_returnflag = g.l_returnflag AND c.digit = g.digit),
+    contrib AS (
+      SELECT l_returnflag, n_total,
+             CAST(((CAST(obs AS DOUBLE)
+                    - CAST(n_total AS DOUBLE)
+                      * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
+                   * (CAST(obs AS DOUBLE)
+                      - CAST(n_total AS DOUBLE)
+                        * log10(1.0 + 1.0 / CAST(digit AS DOUBLE))))
+                  / (CAST(n_total AS DOUBLE)
+                     * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
+                  AS DECIMAL(28,14)) AS c
+      FROM filled)
+    SELECT l_returnflag, CAST(MIN(n_total) AS BIGINT) AS n,
+           ROUND(CAST(SUM(c) AS DOUBLE), 6) AS chi2
+    FROM contrib GROUP BY l_returnflag
+    """,
+)
+def benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit Benford chi-square per return flag
+    (stats.benford_deviation): digit from the micros-quantized integer's
+    string form (engine-identical), zero-count digits contribute via the
+    1..9 grid, decimal-summed contributions."""
+    from tabsdata_spark import stats
+
+    li = load(spark, sf_dir, "lineitem").df
+    return stats.benford_deviation(li, "l_extendedprice", ["l_returnflag"])
+
+
+@q(
+    "markov_events",
+    """
+    WITH seq AS (
+      SELECT event_type AS state,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_state
+      FROM events),
+    pairs AS (
+      SELECT state, next_state, COUNT(*) AS n_ab
+      FROM seq WHERE next_state IS NOT NULL
+      GROUP BY state, next_state),
+    deg AS (SELECT state, SUM(n_ab) AS n_a FROM pairs GROUP BY state)
+    SELECT p.state, p.next_state, p.n_ab,
+           ROUND(CAST(p.n_ab AS DOUBLE) / CAST(d.n_a AS DOUBLE), 6) AS p
+    FROM pairs p JOIN deg d USING (state)
+    """,
+)
+def markov_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences
+    (extensions.markov_transitions): one key shuffle + lead window, pair
+    counts bounded by |states|^2, out-degrees broadcast."""
+    from tabsdata_spark.extensions import markov_transitions
+
+    ev = load_events(spark, sf_dir).df
+    return markov_transitions(ev, "user_id", "ts", "event_type",
+                              tie_cols=["event_id"])

@@ -391,3 +391,66 @@ def mutual_information(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
         F.round(hyd, 6).alias("h_y"),
         F.round(mid / F.least(hxd, hyd), 6).alias("nmi"),
     )
+
+
+def winsorize(df: DataFrame, value_col: str, group_cols: list[str],
+              lo: float = 0.01, hi: float = 0.99) -> DataFrame:
+    """Per-group winsorization: clip values into the exact interpolated
+    [p_lo, p_hi] percentile interval — the outlier-taming complement to
+    mad_outliers (which only flags).  Exact percentile() keeps the bounds
+    engine-portable (matches quantile_cont); the clip itself is
+    LEAST/GREATEST, value-exact.
+
+    Scale shape: two-quantile aggregate per group (one partial-agg
+    shuffle), bounds broadcast back — the raw table is scanned twice but
+    never reshuffled.  Returns the input plus (q_lo, q_hi, value_w)."""
+    qs = df.groupBy(*group_cols).agg(
+        F.expr(f"percentile({value_col}, {lo}d)").alias("q_lo"),
+        F.expr(f"percentile({value_col}, {hi}d)").alias("q_hi"))
+    clipped = F.least(F.greatest(F.col(value_col), F.col("q_lo")),
+                      F.col("q_hi"))
+    return (df.join(F.broadcast(qs), group_cols)
+            .withColumn("value_w", clipped))
+
+
+def benford_deviation(df: DataFrame, value_col: str,
+                      group_cols: list[str]) -> DataFrame:
+    """Per-group Benford's-law conformity: chi-square statistic of the
+    first-significant-digit distribution against log10(1 + 1/d) — the
+    classic fabricated-numbers / data-quality screen (Benford 1938,
+    Nigrini's audit usage; public formulas).
+
+    The first digit comes from the micros-quantized INTEGER rendered as a
+    string (integer-to-string is identical in every engine — no float
+    formatting or log10-of-value edge cases); zero/negative values are
+    excluded.  Digits with zero observations still contribute (0-np)^2/np
+    via a per-group 1..9 grid.  The 9 contributions are decimal-summed
+    (order-free), so chi2 is bit-stable across engines and partitionings.
+
+    Scale shape: one partial-agg shuffle to (group, digit) — at most
+    9 rows per group after combine — then grid join + tiny re-agg."""
+    dec = "decimal(28,14)"
+    m = F.floor(F.col(value_col) * 1e6 + F.lit(0.5)).cast("bigint")
+    base = (df.select(*group_cols, m.alias("__m"))
+            .filter(F.col("__m") > 0))
+    digit = F.substring(F.col("__m").cast("string"), 1, 1).cast("int")
+    counts = (base.select(*group_cols, digit.alias("digit"))
+              .groupBy(*group_cols, "digit")
+              .agg(F.count(F.lit(1)).alias("obs")))
+    totals = counts.groupBy(*group_cols).agg(
+        F.sum("obs").alias("n_total"))
+    grid = totals.select(*group_cols, "n_total",
+                         F.explode(F.sequence(F.lit(1), F.lit(9)))
+                         .alias("digit"))
+    full = (grid.join(counts, [*group_cols, "digit"], "left")
+            .withColumn("obs", F.coalesce(F.col("obs"), F.lit(0))))
+    p = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+    expd = F.col("n_total").cast("double") * p
+    od = F.col("obs").cast("double")
+    contrib = (((od - expd) * (od - expd)) / expd).cast(dec)
+    out = (full.groupBy(*group_cols)
+           .agg(F.first("n_total").alias("n"),
+                F.sum(contrib).alias("_chi2")))
+    return out.select(*group_cols, "n",
+                      F.round(F.col("_chi2").cast("double"), 6)
+                      .alias("chi2"))

@@ -240,3 +240,25 @@ def test_resample_ffill_grid_and_fill(spark):
     # user 2: single grid point AT the observation instant sees it
     assert out[(2, t(1))] == 5.0
     assert len(out) == 5
+
+
+def test_markov_transitions_probabilities(spark):
+    import datetime as dt
+
+    import pytest
+
+    from tabsdata_spark.extensions import markov_transitions
+
+    t0 = dt.datetime(2024, 1, 1)
+    seq = ["a", "b", "a", "c", "a", "b"]          # a->b x2, b->a, a->c, c->a
+    rows = [(1, i, t0 + dt.timedelta(minutes=i), s)
+            for i, s in enumerate(seq)]
+    df = spark.createDataFrame(rows, "u long, eid long, ts timestamp, s string")
+    out = {(r.state, r.next_state): r for r in markov_transitions(
+        df, "u", "ts", "s", tie_cols=["eid"]).collect()}
+    assert out[("a", "b")].n_ab == 2
+    assert out[("a", "b")].p == pytest.approx(2 / 3)
+    assert out[("a", "c")].p == pytest.approx(1 / 3)
+    assert out[("b", "a")].p == 1.0 and out[("c", "a")].p == 1.0
+    # last event has no successor: 5 transitions total
+    assert sum(r.n_ab for r in out.values()) == 5

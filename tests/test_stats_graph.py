@@ -243,3 +243,52 @@ def test_mutual_information_dependence_extremes(spark):
         "x string, y string")
     r2 = stats.mutual_information(ind, "x", "y").collect()[0]
     assert r2.mi_nats == 0.0 and r2.n_cells == 4
+
+
+def test_winsorize_clips_to_exact_percentiles(spark):
+    from tabsdata_spark import stats
+
+    # 0..100: p01 = 1.0, p99 = 99.0 under linear interpolation
+    df = spark.createDataFrame([("g", float(i)) for i in range(101)],
+                               "g string, v double")
+    out = stats.winsorize(df, "v", ["g"], lo=0.01, hi=0.99).collect()
+    lo = [r for r in out if r.v == 0.0][0]
+    hi = [r for r in out if r.v == 100.0][0]
+    mid = [r for r in out if r.v == 50.0][0]
+    assert lo.q_lo == 1.0 and lo.value_w == 1.0
+    assert hi.q_hi == 99.0 and hi.value_w == 99.0
+    assert mid.value_w == 50.0
+
+
+def test_benford_deviation_uniform_vs_benford(spark):
+    from tabsdata_spark import stats
+    import math
+
+    # group 'b': first digits drawn per Benford counts out of 100;
+    # group 'u': uniform over digits -> much larger chi2
+    benford_counts = [30, 18, 12, 10, 8, 7, 6, 5, 4]   # ~100*log10(1+1/d)
+    rows = []
+    for d, c in enumerate(benford_counts, start=1):
+        rows += [("b", float(d))] * c
+    for d in range(1, 10):
+        rows += [("u", float(d))] * 11
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r.g: r for r in stats.benford_deviation(df, "v", ["g"]).collect()}
+    assert out["b"].n == 100 and out["u"].n == 99
+    assert out["b"].chi2 < out["u"].chi2
+    # replicate the chi2 for the uniform group in python
+    exp = [99 * math.log10(1 + 1 / d) for d in range(1, 10)]
+    chi2 = sum((11 - e) ** 2 / e for e in exp)
+    assert abs(out["u"].chi2 - chi2) < 1e-6
+
+
+def test_benford_first_digit_from_micros_integer(spark):
+    from tabsdata_spark import stats
+
+    # 0.0005 -> m=500 -> digit 5; 0.25 -> 250000 -> 2; 9000.0 -> 9
+    df = spark.createDataFrame(
+        [("g", 0.0005), ("g", 0.25), ("g", 9000.0), ("g", 0.0),
+         ("g", -3.0)],                      # zero/negative excluded
+        "g string, v double")
+    r = stats.benford_deviation(df, "v", ["g"]).collect()[0]
+    assert r.n == 3
