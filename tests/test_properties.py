@@ -307,3 +307,97 @@ def test_weighted_sample_subset_and_size(spark, weights, k):
     expect = sorted(i for i, _ in sorted(
         pos, key=lambda t: (-es_key(*t), t[0]))[:k])
     assert got == expect
+
+
+@given(obs=st.lists(
+    st.tuples(st.integers(1, 3),                      # key
+              st.integers(0, 30),                     # minutes offset
+              st.floats(-50, 50, allow_nan=False, width=32)),
+    min_size=1, max_size=25))
+@settings(max_examples=15, deadline=None)
+def test_resample_ffill_matches_python_model(spark, obs):
+    """Grid bounds, fill values, and pre-observation nulls all match a
+    direct python replay of the spec."""
+    import datetime as dt
+
+    from tabsdata_spark.extensions import resample_ffill
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(k, t0 + dt.timedelta(minutes=m), float(v)) for k, m, v in obs]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+    got = {(r.k, r.grid_ts): r.value_ffill
+           for r in resample_ffill(df, "k", "ts", "v").collect()}
+
+    def floor_h(t):
+        return t.replace(minute=0, second=0, microsecond=0)
+
+    by_key: dict = {}
+    for k, t, v in rows:
+        by_key.setdefault(k, []).append((t, v))
+    expect = {}
+    for k, pts in by_key.items():
+        lo = floor_h(min(t for t, _ in pts))
+        hi = floor_h(max(t for t, _ in pts))
+        g = lo
+        while g <= hi:
+            past = [(t, v) for t, v in pts if t <= g]
+            if past:
+                tmax = max(t for t, _ in past)
+                # ties at the same instant resolve to the max value
+                expect[(k, g)] = max(v for t, v in past if t == tmax)
+            else:
+                expect[(k, g)] = None
+            g += dt.timedelta(hours=1)
+    assert got == expect
+
+
+@given(baskets=st.lists(
+    st.tuples(st.integers(1, 5), st.sampled_from("abcd")),
+    min_size=1, max_size=30))
+@settings(max_examples=15, deadline=None)
+def test_cooccurrence_lift_matches_set_model(spark, baskets):
+    from tabsdata_spark.extensions import cooccurrence_lift
+
+    df = spark.createDataFrame(baskets, "b long, i string")
+    got = {(r.item_a, r.item_b): (r.n_ab, r.support, r.confidence, r.lift)
+           for r in cooccurrence_lift(df, "b", "i").collect()}
+
+    sets: dict = {}
+    for b, i in baskets:
+        sets.setdefault(b, set()).add(i)
+    n_total = len(sets)
+    items = sorted({i for s in sets.values() for i in s})
+    marg = {i: sum(1 for s in sets.values() if i in s) for i in items}
+    expect = {}
+    for x in items:
+        for y in items:
+            if x < y:
+                n_ab = sum(1 for s in sets.values() if x in s and y in s)
+                if n_ab:
+                    expect[(x, y)] = n_ab
+    assert set(got) == set(expect)
+    for (x, y), (n_ab, sup, conf, lift) in got.items():
+        assert n_ab == expect[(x, y)]
+        assert sup == round(n_ab / n_total, 6)
+        assert conf == round(n_ab / marg[x], 6)
+        assert abs(lift - n_ab * n_total / (marg[x] * marg[y])) < 1e-6
+
+
+@given(seq=st.lists(st.sampled_from("abc"), min_size=2, max_size=20))
+@settings(max_examples=15, deadline=None)
+def test_markov_transitions_rows_sum_to_one(spark, seq):
+    import datetime as dt
+
+    from tabsdata_spark.extensions import markov_transitions
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(1, i, t0 + dt.timedelta(minutes=i), s)
+            for i, s in enumerate(seq)]
+    df = spark.createDataFrame(rows, "u long, eid long, ts timestamp, s string")
+    out = markov_transitions(df, "u", "ts", "s", tie_cols=["eid"]).collect()
+    assert sum(r.n_ab for r in out) == len(seq) - 1
+    by_state: dict = {}
+    for r in out:
+        by_state.setdefault(r.state, []).append(r.p)
+    for ps in by_state.values():
+        assert abs(sum(ps) - 1.0) < 1e-5   # rounded to 6 per row
