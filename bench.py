@@ -136,6 +136,7 @@ MINING = [
     "semantic_decontam_emb",
     "padding_waste_docs",
     "mmr_rerank_emb",
+    "vocab_coverage_docs",
 ]
 
 ANALYTICS = [
@@ -155,6 +156,7 @@ ANALYTICS = [
     "winsorize_events",
     "benford_prices",
     "markov_events",
+    "session_paths_events",
 ]
 
 

@@ -421,3 +421,45 @@ def markov_transitions(df: DataFrame, key_cols: list[str] | str,
             .select("state", "next_state", "n_ab",
                     F.round(F.col("n_ab").cast("double")
                             / F.col("n_a").cast("double"), 6).alias("p")))
+
+
+def session_paths(df: DataFrame, key_cols: list[str] | str, ts_col: str,
+                  type_col: str, gap_seconds: int = 1800,
+                  tie_cols: list[str] | None = None,
+                  top: int = 20) -> DataFrame:
+    """Clickstream path mining: gap-based sessionization (new session when
+    the inter-event gap exceeds `gap_seconds`), then the ordered event-type
+    sequence of each session becomes a '>'-joined path string, counted and
+    ranked — (path, n_sessions) for the `top` most frequent paths, ties to
+    the lexicographically smaller path.
+
+    Scale shape: ONE shuffle on the keys serves both session windows
+    (lag-gap flag + running sum); per-session sequences come from a
+    partial-agg collect_list of (ts, tie, type) structs SORTED AFTER
+    aggregation (array_sort gives a total order, so the path is
+    deterministic under any partitioning); the path count is a second
+    partial-agg shuffle bounded by distinct-path cardinality; the final
+    top-k is TakeOrderedAndProject, never a global window."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    ties = tie_cols or []
+    order = [F.col(ts_col)] + [F.col(c) for c in ties]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    gap = (F.unix_micros(F.col(ts_col))
+           - F.unix_micros(F.lag(ts_col).over(w)))
+    is_new = F.when(F.lag(ts_col).over(w).isNull()
+                    | (gap > gap_seconds * 1_000_000), 1).otherwise(0)
+    cum = (Window.partitionBy(*keys).orderBy(*order)
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    sess = (df.withColumn("__new", is_new)
+            .withColumn("__sess", F.sum("__new").over(cum)))
+    step = F.struct(F.col(ts_col).alias("t"),
+                    *[F.col(c).alias(f"k{i}") for i, c in enumerate(ties)],
+                    F.col(type_col).alias("e"))
+    paths = (sess.groupBy(*keys, "__sess")
+             .agg(F.array_sort(F.collect_list(step)).alias("__steps"))
+             .select(F.concat_ws(
+                 ">", F.transform(F.col("__steps"), lambda s: s["e"]))
+                 .alias("path")))
+    counted = paths.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_sessions"))
+    return counted.orderBy(F.col("n_sessions").desc(), "path").limit(top)

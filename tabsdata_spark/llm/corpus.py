@@ -727,3 +727,32 @@ def padding_waste(docs: DataFrame, id_col: str = "doc_id",
         F.round((padded - F.col("real_tokens")) / padded.cast("double"), 6)
         .alias("waste_frac"),
     )
+
+
+def vocab_coverage(docs: DataFrame, ks: list[int] | None = None,
+                   text_col: str = "text") -> DataFrame:
+    """Cumulative corpus coverage of the top-k vocabulary for a few fixed
+    k values — the curve that sizes a tokenizer/vocab: (k, covered_tokens,
+    total_tokens, coverage).  Ties at the frequency boundary break to the
+    lexicographically smaller term, so the cut is total-ordered.
+
+    Scale shape: ONE term-count shuffle (map-side combined) feeds every k;
+    each k is a TakeOrderedAndProject top-k plus a scalar sum — no global
+    window over the vocabulary, no second corpus scan (AQE reuses the
+    count exchange across the per-k branches)."""
+    ks = sorted(ks or [100, 1000, 5000])
+    counts = (docs.select(F.explode(clean_tokens(F.col(text_col)))
+                          .alias("term"))
+              .groupBy("term").agg(F.count(F.lit(1)).alias("c")))
+    total = counts.agg(F.sum("c").alias("total_tokens"))
+    out = None
+    for k in ks:
+        topk = (counts.orderBy(F.col("c").desc(), "term").limit(k)
+                .agg(F.sum("c").alias("covered_tokens")))
+        row = (topk.crossJoin(F.broadcast(total))
+               .select(F.lit(k).alias("k"), "covered_tokens", "total_tokens",
+                       F.round(F.col("covered_tokens").cast("double")
+                               / F.col("total_tokens").cast("double"), 6)
+                       .alias("coverage")))
+        out = row if out is None else out.unionByName(row)
+    return out

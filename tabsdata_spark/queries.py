@@ -6407,3 +6407,70 @@ def markov_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir).df
     return markov_transitions(ev, "user_id", "ts", "event_type",
                               tie_cols=["event_id"])
+
+
+@q(
+    "session_paths_events",
+    """
+    WITH marked AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                  WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                       > 1800000000 THEN 1
+                  ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, event_id, ts, event_type,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS s
+      FROM marked),
+    paths AS (
+      SELECT string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM sess GROUP BY user_id, s),
+    counted AS (SELECT path, COUNT(*) AS n_sessions
+                FROM paths GROUP BY path)
+    SELECT path, n_sessions FROM counted
+    ORDER BY n_sessions DESC, path LIMIT 20
+    """,
+)
+def session_paths_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 clickstream session paths (extensions.session_paths, 30-min
+    gap): one user shuffle serves both session windows, per-session
+    sequences from post-agg array_sort (total order), final top-k is
+    TakeOrderedAndProject."""
+    from tabsdata_spark.extensions import session_paths
+
+    ev = load_events(spark, sf_dir).df
+    return session_paths(ev, "user_id", "ts", "event_type",
+                         gap_seconds=1800, tie_cols=["event_id"], top=20)
+
+
+@q(
+    "vocab_coverage_docs",
+    f"""
+    WITH {_TOKS_CTE},
+    counts AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY term),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total_tokens FROM counts),
+    ranked AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, term) AS rn
+               FROM counts),
+    ks(k) AS (VALUES (100), (1000), (5000))
+    SELECT ks.k AS k,
+           CAST((SELECT SUM(c) FROM ranked WHERE rn <= ks.k) AS BIGINT)
+             AS covered_tokens,
+           tot.total_tokens,
+           ROUND(CAST((SELECT SUM(c) FROM ranked WHERE rn <= ks.k)
+                      AS DOUBLE)
+                 / CAST(tot.total_tokens AS DOUBLE), 6) AS coverage
+    FROM ks, tot
+    """,
+)
+def vocab_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve at k in {100, 1000, 5000}
+    (corpus.vocab_coverage): one term-count shuffle feeds every k, each
+    cut a TakeOrderedAndProject + scalar sum — no global window over the
+    vocabulary."""
+    from tabsdata_spark.llm import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus.vocab_coverage(docs, ks=[100, 1000, 5000])

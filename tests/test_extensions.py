@@ -262,3 +262,45 @@ def test_markov_transitions_probabilities(spark):
     assert out[("b", "a")].p == 1.0 and out[("c", "a")].p == 1.0
     # last event has no successor: 5 transitions total
     assert sum(r.n_ab for r in out.values()) == 5
+
+
+def test_session_paths_orders_and_counts(spark):
+    import datetime as dt
+
+    from tabsdata_spark.extensions import session_paths
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # user 1: two sessions split by a 2-hour gap, both path a>b
+    for start in (t0, t0 + dt.timedelta(hours=3)):
+        for i, e in enumerate(["a", "b"]):
+            rows.append((eid, 1, start + dt.timedelta(minutes=i), e))
+            eid += 1
+    # user 2: one session with path a>b>c
+    for i, e in enumerate(["a", "b", "c"]):
+        rows.append((eid, 2, t0 + dt.timedelta(minutes=i), e))
+        eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, e string")
+    out = {r.path: r.n_sessions for r in session_paths(
+        df, "user_id", "ts", "e", gap_seconds=1800,
+        tie_cols=["event_id"]).collect()}
+    assert out == {"a>b": 2, "a>b>c": 1}
+
+
+def test_session_paths_gap_boundary_is_exclusive(spark):
+    import datetime as dt
+
+    from tabsdata_spark.extensions import session_paths
+
+    t0 = dt.datetime(2024, 1, 1)
+    # gap of exactly 1800s does NOT split; 1800.000001s does
+    rows = [(0, 1, t0, "a"),
+            (1, 1, t0 + dt.timedelta(seconds=1800), "b"),
+            (2, 1, t0 + dt.timedelta(seconds=3600, microseconds=1), "c")]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, e string")
+    out = sorted(r.path for r in session_paths(
+        df, "user_id", "ts", "e", tie_cols=["event_id"]).collect())
+    assert out == ["a>b", "c"]

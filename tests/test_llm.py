@@ -1386,3 +1386,17 @@ def test_mmr_rerank_tie_breaks_to_smallest_id_and_caps_at_k(spark):
     # to 10) beats 20 (exact duplicate of 10); k=2 stops there
     assert [r.vec_id for r in out] == [10, 30]
     assert len(out) == 2
+
+
+def test_vocab_coverage_monotone_and_exact(spark):
+    from tabsdata_spark.llm import corpus
+
+    # corpus: 'x' *6, 'y' *3, 'z' *1  -> top-1 covers 0.6, top-2 covers 0.9
+    docs = spark.createDataFrame(
+        [(1, "x x x y"), (2, "x x x y y z")], "doc_id long, text string")
+    out = {r.k: r for r in corpus.vocab_coverage(
+        docs, ks=[1, 2, 3]).collect()}
+    assert out[1].covered_tokens == 6 and out[1].coverage == 0.6
+    assert out[2].covered_tokens == 9 and out[2].coverage == 0.9
+    assert out[3].covered_tokens == 10 and out[3].coverage == 1.0
+    assert all(out[k].total_tokens == 10 for k in (1, 2, 3))
