@@ -100,6 +100,7 @@ EXTENDED = [
 CURATION = [
     "normalize_text_docs",
     "bigram_lm_docs",
+    "heldout_lm_docs",
     "bloom_decontaminate_docs",
     "heavy_hitters_tokens",
     "sparse_cosine_docs",
@@ -157,6 +158,7 @@ ANALYTICS = [
     "benford_prices",
     "markov_events",
     "session_paths_events",
+    "key_skew_orders",
 ]
 
 

@@ -425,13 +425,22 @@ def zipf_slope(docs: DataFrame, strata_col: str = "source",
 
 
 def bigram_lm_score(docs: DataFrame, id_col: str = "doc_id",
-                    text_col: str = "text", k: float = 0.5) -> DataFrame:
+                    text_col: str = "text", k: float = 0.5,
+                    train_docs: DataFrame | None = None) -> DataFrame:
     """Bigram-LM cross-entropy per document (the CCNet/WebText perplexity
     filter, one order up from `unigram_surprisal`): train add-k-smoothed
     conditional probabilities p(w2|w1) = (c(w1 w2) + k) / (c(w1 .) + k*V)
-    on the corpus itself, then score every document by the token-weighted
-    mean of -log2 p over its bigrams.  Both tails are filter candidates:
-    high cross-entropy flags gibberish, low flags templated boilerplate.
+    on the corpus itself — or on `train_docs` for HELD-OUT scoring — then
+    score every document by the token-weighted mean of -log2 p over its
+    bigrams.  Both tails are filter candidates: high cross-entropy flags
+    gibberish, low flags templated boilerplate.
+
+    With a separate training corpus, bigrams unseen in training back off
+    through the same add-k formula (c2 -> 0; c1 -> 0 when the prefix
+    itself is unseen, giving p = 1/V), so every scored bigram has a
+    defined probability and the held-out plan adds one left join on the
+    prefix — the self-trained path keeps its single pre-joined probs
+    table.
 
     Returns (doc_id, n_bigrams, cross_entropy, perplexity); documents with
     fewer than two tokens produce no bigrams and are absent (callers
@@ -454,20 +463,40 @@ def bigram_lm_score(docs: DataFrame, id_col: str = "doc_id",
     # tokenize+explode is compute-bound: widen narrow scans (single parquet
     # split at small sf) so the regex/n-gram work runs cluster-wide;
     # fan_out is a no-op when the scan already has enough splits
-    doc_bi = (fan_out(docs).select(F.col(id_col), F.explode(grams).alias("bigram"))
-              .groupBy(id_col, "bigram")
-              .agg(F.count(F.lit(1)).alias("tf")))
-    c2 = (doc_bi.groupBy("bigram").agg(F.sum("tf").alias("c2"))
+    def _doc_bi(d: DataFrame) -> DataFrame:
+        return (fan_out(d)
+                .select(F.col(id_col), F.explode(grams).alias("bigram"))
+                .groupBy(id_col, "bigram")
+                .agg(F.count(F.lit(1)).alias("tf")))
+
+    doc_bi = _doc_bi(docs)
+    train_bi = doc_bi if train_docs is None else _doc_bi(train_docs)
+    c2 = (train_bi.groupBy("bigram").agg(F.sum("tf").alias("c2"))
           .withColumn("w1", F.substring_index(F.col("bigram"), " ", 1)))
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     vsize = c1.agg(F.count(F.lit(1)).alias("v"))
-    probs = (c2.join(c1, "w1")
-             .crossJoin(F.broadcast(vsize))
-             .select("bigram",
-                     F.log2((F.col("c2") + F.lit(float(k)))
-                            / (F.col("c1") + F.lit(float(k)) * F.col("v")))
-                      .alias("logp")))
-    scored = (doc_bi.join(probs, "bigram")
+    if train_docs is None:
+        probs = (c2.join(c1, "w1")
+                 .crossJoin(F.broadcast(vsize))
+                 .select("bigram",
+                         F.log2((F.col("c2") + F.lit(float(k)))
+                                / (F.col("c1") + F.lit(float(k)) * F.col("v")))
+                          .alias("logp")))
+        joined = doc_bi.join(probs, "bigram")
+    else:
+        # held-out: unseen bigrams/prefixes back off via coalesce-to-zero
+        # counts inside the SAME smoothing formula
+        joined = (doc_bi
+                  .withColumn("w1", F.substring_index(F.col("bigram"), " ", 1))
+                  .join(c2.select("bigram", "c2"), "bigram", "left")
+                  .join(c1, "w1", "left")
+                  .crossJoin(F.broadcast(vsize))
+                  .withColumn(
+                      "logp",
+                      F.log2((F.coalesce(F.col("c2"), F.lit(0)) + F.lit(float(k)))
+                             / (F.coalesce(F.col("c1"), F.lit(0))
+                                + F.lit(float(k)) * F.col("v")))))
+    scored = (joined
               .groupBy(id_col)
               .agg(F.sum("tf").alias("n_bigrams"),
                    F.round(-F.sum(F.col("tf") * F.col("logp"))

@@ -6474,3 +6474,89 @@ def vocab_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return corpus.vocab_coverage(docs, ks=[100, 1000, 5000])
+
+
+@q(
+    "key_skew_orders",
+    """
+    WITH counts AS (
+      SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey)
+    SELECT COUNT(*) AS n_keys,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(MAX(n) AS BIGINT) AS max_per_key,
+           ROUND(quantile_cont(n, 0.5), 6) AS p50_per_key,
+           ROUND(quantile_cont(n, 0.99), 6) AS p99_per_key,
+           ROUND(CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6)
+             AS top_key_share,
+           ROUND(CAST(MAX(n) AS DOUBLE)
+                 / (CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)), 6)
+             AS skew_ratio
+    FROM counts
+    """,
+)
+def key_skew_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic on orders.o_custkey
+    (scale.key_skew_report): per-key counts in one partial-agg shuffle,
+    scalar stats over the key table — the decision input for plain vs
+    AQE-skew vs salted joins."""
+    from tabsdata_spark.scale import key_skew_report
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return key_skew_report(orders, "o_custkey")
+
+
+@q(
+    "heldout_lm_docs",
+    r"""
+    WITH tr AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+    te AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+    tr_bi AS (
+      SELECT bigram, COUNT(*) AS c2_raw FROM (
+        SELECT t.toks[i] || ' ' || t.toks[i + 1] AS bigram
+        FROM (SELECT list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g')), '\s+'),
+                     x -> x <> '') AS toks
+              FROM tr) t,
+             LATERAL unnest(range(1, greatest(len(t.toks), 1))) AS u(i)
+        WHERE len(t.toks) >= 2)
+      GROUP BY bigram),
+    c2 AS (SELECT bigram, c2_raw AS c2,
+                  split_part(bigram, ' ', 1) AS w1
+           FROM tr_bi),
+    c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY w1),
+    v AS (SELECT COUNT(*) AS v FROM c1),
+    te_bi AS (
+      SELECT doc_id, bigram, COUNT(*) AS tf FROM (
+        SELECT d.doc_id, t.toks[i] || ' ' || t.toks[i + 1] AS bigram
+        FROM (SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g')), '\s+'),
+                     x -> x <> '') AS toks
+              FROM te) t
+        JOIN te d ON d.doc_id = t.doc_id,
+             LATERAL unnest(range(1, greatest(len(t.toks), 1))) AS u(i)
+        WHERE len(t.toks) >= 2)
+      GROUP BY doc_id, bigram),
+    sc AS (
+      SELECT te_bi.doc_id, te_bi.tf,
+             log2((COALESCE(c2.c2, 0) + 0.5)
+                  / (COALESCE(c1.c1, 0) + 0.5 * v.v)) AS logp
+      FROM te_bi
+      LEFT JOIN c2 ON c2.bigram = te_bi.bigram
+      LEFT JOIN c1 ON c1.w1 = split_part(te_bi.bigram, ' ', 1), v)
+    SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+           ROUND(-SUM(tf * logp) / SUM(tf), 6) AS cross_entropy,
+           ROUND(POWER(2.0, ROUND(-SUM(tf * logp) / SUM(tf), 6)), 4)
+             AS perplexity
+    FROM sc GROUP BY doc_id
+    """,
+)
+def heldout_lm_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out bigram-LM scoring (corpus.bigram_lm_score with a separate
+    training corpus): model trained on even doc_ids scores the odd ones;
+    unseen bigrams/prefixes back off through the same add-k formula
+    (coalesce-to-zero counts), one extra left join on the prefix."""
+    from tabsdata_spark.llm import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    test = docs.filter(F.col("doc_id") % 2 == 1)
+    return corpus.bigram_lm_score(test, train_docs=train)

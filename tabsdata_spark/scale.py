@@ -266,3 +266,33 @@ def compact_to_target_size(df: DataFrame, path: str,
     n = max(1, _math.ceil(int(est) / target_bytes))
     df.repartition(n).write.mode(mode).format(format).save(path)
     return n
+
+
+def key_skew_report(df: DataFrame, key_cols: list[str] | str) -> DataFrame:
+    """One-row skew diagnostic for a prospective join/groupBy key: row and
+    key counts, the heaviest key's share, max/mean ratio, and exact
+    p50/p99 of the per-key row counts — the numbers that decide between a
+    plain shuffle join, AQE skew splitting, or salting (`salted_join`).
+
+    Scale shape: one partial-agg shuffle to the per-key count table, then
+    a scalar aggregate over |keys| rows.  All ratios are IEEE divisions of
+    exact integer counts; percentiles are exact interpolated (matches
+    quantile_cont)."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
+    agg = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("__n").alias("n_rows"),
+        F.max("__n").alias("max_per_key"),
+        F.expr("percentile(__n, 0.5d)").alias("p50_per_key"),
+        F.expr("percentile(__n, 0.99d)").alias("p99_per_key"),
+    )
+    nr, nk = F.col("n_rows").cast("double"), F.col("n_keys").cast("double")
+    mx = F.col("max_per_key").cast("double")
+    return agg.select(
+        "n_keys", "n_rows", "max_per_key",
+        F.round(F.col("p50_per_key"), 6).alias("p50_per_key"),
+        F.round(F.col("p99_per_key"), 6).alias("p99_per_key"),
+        F.round(mx / nr, 6).alias("top_key_share"),
+        F.round(mx / (nr / nk), 6).alias("skew_ratio"),
+    )

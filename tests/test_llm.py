@@ -1400,3 +1400,27 @@ def test_vocab_coverage_monotone_and_exact(spark):
     assert out[2].covered_tokens == 9 and out[2].coverage == 0.9
     assert out[3].covered_tokens == 10 and out[3].coverage == 1.0
     assert all(out[k].total_tokens == 10 for k in (1, 2, 3))
+
+
+def test_bigram_lm_heldout_backoff_math(spark):
+    from tabsdata_spark.llm import corpus
+
+    train = spark.createDataFrame([(1, "a b a c")], "doc_id long, text string")
+    test = spark.createDataFrame([(2, "a b x")], "doc_id long, text string")
+    r = corpus.bigram_lm_score(test, train_docs=train).collect()[0]
+    # model: c2={ab:1, ba:1, ac:1}, c1={a:2, b:1}, V=2, k=0.5
+    # "a b": (1+.5)/(2+1) = .5 -> -log2 = 1;  "b x": (0+.5)/(1+1) -> 2
+    assert r.n_bigrams == 2
+    assert r.cross_entropy == 1.5
+    assert abs(r.perplexity - 2 ** 1.5) < 1e-3
+
+
+def test_bigram_lm_self_train_unchanged_by_refactor(spark, sf_dir):
+    from tabsdata_spark.llm import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    a = corpus.bigram_lm_score(docs).collect()
+    b = corpus.bigram_lm_score(docs, train_docs=docs).collect()
+    am = {r.doc_id: (r.n_bigrams, r.cross_entropy) for r in a}
+    bm = {r.doc_id: (r.n_bigrams, r.cross_entropy) for r in b}
+    assert am == bm   # backoff path with full-coverage model == self path

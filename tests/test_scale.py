@@ -128,3 +128,16 @@ def test_bloom_prefilter_join_equals_plain_join(spark, sf_dir):
     import pytest
     with pytest.raises(ValueError):
         bloom_prefilter_join(orders, cust, "c_custkey", how="left")
+
+
+def test_key_skew_report_values(spark):
+    from tabsdata_spark.scale import key_skew_report
+
+    # keys: a x6, b x2, c x1, d x1  -> 10 rows, 4 keys, max 6
+    rows = [("a",)] * 6 + [("b",)] * 2 + [("c",)] + [("d",)]
+    df = spark.createDataFrame(rows, "k string")
+    r = key_skew_report(df, "k").collect()[0]
+    assert (r.n_keys, r.n_rows, r.max_per_key) == (4, 10, 6)
+    assert r.top_key_share == 0.6
+    assert r.skew_ratio == 2.4            # 6 / (10/4)
+    assert r.p50_per_key == 1.5           # interpolated over [1,1,2,6]
