@@ -4,10 +4,11 @@ entry(spark)  -> flagship query (TPC-H Q1 shape) on /root/testdata/sf0.001.
 queries()     -> one callable per implemented operator from SURVEY.md §2
                  plus the LLM-pipeline operator suite (dedup, similarity,
                  text analysis).
-oracle_sql()  -> DuckDB-equivalent ANSI SQL for every query except the
-                 multimodal codec stub (rows-only by design).  Hash-seeded
-                 sketches are oracled via portable md5-derived hashes
-                 (value-exact) or exact-jaccard/top-k recall checks.
+oracle_sql()  -> DuckDB-equivalent ANSI SQL for EVERY registered query
+                 (196/196; 0 rows-only).  Hash-seeded sketches are oracled
+                 via portable md5-derived hashes (value-exact) or
+                 exact-jaccard/top-k recall checks; multimodal decode via
+                 closed-form BMP/PCM payload oracles.
 """
 
 from __future__ import annotations
