@@ -101,6 +101,7 @@ CURATION = [
     "normalize_text_docs",
     "bigram_lm_docs",
     "heldout_lm_docs",
+    "ngram_novelty_docs",
     "bloom_decontaminate_docs",
     "heavy_hitters_tokens",
     "sparse_cosine_docs",

@@ -207,3 +207,37 @@ def semantic_decontaminate(corpus_emb: DataFrame, bench_emb: DataFrame,
                     (-F.col("__best.nb")).alias("bench_id"),
                     F.round(F.col("__best.c"), 6).alias("cosine")))
     return best
+
+
+def ngram_novelty(docs: DataFrame, reference: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  n: int = 3) -> DataFrame:
+    """Per-document novelty against a reference corpus: the fraction of
+    the document's DISTINCT word n-grams absent from the reference's
+    distinct gram set — the dedup-aware sampling signal (novel documents
+    add information; low-novelty ones mostly restate the reference).
+
+    Returns (doc_id, n_grams, n_novel, novelty = n_novel / n_grams).
+
+    Scale shape: unlike `contamination` (whose benchmark side is small by
+    nature and broadcast), the reference here is CORPUS-sized, so its
+    distinct gram set joins on the gram key with NO broadcast hint — AQE
+    picks the strategy; both sides partial-agg before the exchange, the
+    per-doc ratio is one more keyed agg."""
+    from .dedup import shingles
+
+    ref_g = (reference.select(F.explode(
+        shingles(F.col(text_col), n)).alias("gram"))
+        .dropDuplicates()
+        .withColumn("__seen", F.lit(1)))
+    doc_g = docs.select(F.col(id_col),
+                        F.explode(shingles(F.col(text_col), n)).alias("gram"))
+    j = doc_g.join(ref_g, "gram", "left")
+    return (j.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_grams"),
+                 F.count(F.when(F.col("__seen").isNull(), 1))
+                 .alias("n_novel"))
+            .select(id_col, "n_grams", "n_novel",
+                    F.round(F.col("n_novel").cast("double")
+                            / F.col("n_grams").cast("double"), 6)
+                    .alias("novelty")))

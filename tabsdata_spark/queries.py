@@ -6560,3 +6560,32 @@ def heldout_lm_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.filter(F.col("doc_id") % 2 == 0)
     test = docs.filter(F.col("doc_id") % 2 == 1)
     return corpus.bigram_lm_score(test, train_docs=train)
+
+
+@q(
+    "ngram_novelty_docs",
+    f"""
+    WITH {_shingle_cte(3, "sh3")},
+    g AS (SELECT doc_id, unnest(grams) AS gram FROM sh3),
+    rg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 2 = 0)
+    SELECT g.doc_id AS doc_id,
+           COUNT(*) AS n_grams,
+           COUNT(CASE WHEN rg.gram IS NULL THEN 1 END) AS n_novel,
+           ROUND(CAST(COUNT(CASE WHEN rg.gram IS NULL THEN 1 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+    FROM g LEFT JOIN rg USING (gram)
+    WHERE g.doc_id % 2 = 1
+    GROUP BY g.doc_id
+    """,
+)
+def ngram_novelty_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram novelty of odd docs against the even-doc reference corpus
+    (decontam.ngram_novelty): gram-keyed join with NO broadcast hint —
+    the reference is corpus-sized, unlike decontamination's eval set."""
+    from tabsdata_spark.llm import decontam
+    from tabsdata_spark.scale import fan_out
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    score = fan_out(docs.filter(F.col("doc_id") % 2 == 1))
+    return decontam.ngram_novelty(score, ref, n=3)

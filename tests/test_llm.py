@@ -1424,3 +1424,18 @@ def test_bigram_lm_self_train_unchanged_by_refactor(spark, sf_dir):
     am = {r.doc_id: (r.n_bigrams, r.cross_entropy) for r in a}
     bm = {r.doc_id: (r.n_bigrams, r.cross_entropy) for r in b}
     assert am == bm   # backoff path with full-coverage model == self path
+
+
+def test_ngram_novelty_fraction(spark):
+    from tabsdata_spark.llm import decontam
+
+    ref = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    # doc 2: 3-grams {a b c, b c d, c d x} -> 2 seen, 1 novel
+    # doc 3: fully novel
+    docs = spark.createDataFrame(
+        [(2, "a b c d x"), (3, "p q r s")], "doc_id long, text string")
+    out = {r.doc_id: r for r in decontam.ngram_novelty(
+        docs, ref, n=3).collect()}
+    assert out[2].n_grams == 3 and out[2].n_novel == 1
+    assert out[2].novelty == pytest.approx(1 / 3, abs=1e-6)
+    assert out[3].novelty == 1.0
