@@ -401,3 +401,53 @@ def test_markov_transitions_rows_sum_to_one(spark, seq):
         by_state.setdefault(r.state, []).append(r.p)
     for ps in by_state.values():
         assert abs(sum(ps) - 1.0) < 1e-5   # rounded to 6 per row
+
+
+@given(cand=st.lists(
+    st.tuples(st.integers(1, 40),
+              st.floats(0, 1, allow_nan=False, width=16),
+              st.lists(st.floats(-4, 4, allow_nan=False, width=16),
+                       min_size=3, max_size=3)),
+    min_size=1, max_size=12, unique_by=lambda t: t[0]))
+@settings(max_examples=15, deadline=None)
+def test_mmr_rerank_matches_python_greedy(spark, cand):
+    """The Arrow MMR selection equals a direct python greedy replay
+    (same sequential-fold cosine, same tie rule)."""
+    import math
+
+    from tabsdata_spark.llm import similarity
+
+    # vectors must be non-zero for a defined cosine
+    cand = [(i, r, v) for i, r, v in cand if any(x != 0 for x in v)]
+    if not cand:
+        return
+    df = spark.createDataFrame(
+        [(0, i, r, v) for i, r, v in cand],
+        "query_id long, vec_id long, rel double, embedding array<double>")
+    got = sorted(((r.sel_rank, r.vec_id) for r in
+                  similarity.mmr_rerank(df, lam=0.75, k=4).collect()))
+
+    def cos(a, b):
+        d = sa = sb = 0.0
+        for x, y in zip(a, b):
+            d += x * y
+            sa += x * x
+            sb += y * y
+        return d / (math.sqrt(sa) * math.sqrt(sb))
+
+    rels = {i: r for i, r, _ in cand}
+    vecs = {i: v for i, _, v in cand}
+    avail, sel, expect = set(vecs), [], []
+    for step in range(1, 5):
+        if not avail:
+            break
+        best, best_s = None, None
+        for i in sorted(avail):
+            ms = max((cos(vecs[i], vecs[s]) for s in sel), default=0.0)
+            s = 0.75 * rels[i] - 0.25 * ms
+            if best is None or s > best_s:
+                best, best_s = i, s
+        expect.append((step, best))
+        avail.discard(best)
+        sel.append(best)
+    assert got == sorted(expect)
