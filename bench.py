@@ -139,6 +139,7 @@ MINING = [
     "padding_waste_docs",
     "mmr_rerank_emb",
     "vocab_coverage_docs",
+    "cluster_quality_emb",
 ]
 
 ANALYTICS = [

@@ -102,3 +102,68 @@ def kmeans(
         cents = [(cid, moved.get(cid, vec)) for cid, vec in cents]
 
     return assign(emb, cents).select(id_col, "cluster", "dist")
+
+
+def cluster_quality(emb: DataFrame, label_col: str = "label",
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Per-cluster separation diagnostic (silhouette-lite): for each label,
+    the mean euclidean distance of members to their own centroid (intra)
+    and the distance to the nearest OTHER centroid (inter), plus
+    separation = inter / intra — the cheap Davies-Bouldin-style readout
+    that says whether label groups are actually separated in embedding
+    space (all public textbook formulas).
+
+    Exactness contract: centroid coordinates are decimal-summed per
+    (label, dim) then divided once in double (order-free); per-point
+    distances are the same sequential zip_with/aggregate fold as the
+    kmeans assignment (matches DuckDB list_sum); intra means decimal-sum
+    the point distances.  Everything replays bit-identically in SQL.
+
+    Scale shape: one posexplode shuffle of dim*N partials (map-side
+    combined to |labels|*dim rows), centroids broadcast back (|labels|
+    rows), one narrow distance pass + one partial-agg per label; the
+    centroid-pair grid is |labels|^2, driver-free."""
+    dec = "decimal(28,14)"
+    pts = emb.select(F.col(label_col).alias("lbl"),
+                     F.transform(F.col(vec_col),
+                                 lambda x: x.cast("double")).alias("v"))
+    dims = pts.select("lbl", F.posexplode(F.col("v")).alias("dim", "val"))
+    cstats = (dims.groupBy("lbl", "dim")
+              .agg(F.sum(F.col("val").cast(dec)).alias("_s"),
+                   F.count(F.lit(1)).alias("_n")))
+    coords = cstats.select(
+        "lbl", "dim",
+        (F.col("_s").cast("double") / F.col("_n").cast("double"))
+        .alias("coord"))
+    cents = (coords.groupBy("lbl")
+             .agg(F.array_sort(F.collect_list(F.struct("dim", "coord")))
+                  .alias("_sc"))
+             .select("lbl",
+                     F.transform(F.col("_sc"), lambda s: s["coord"])
+                     .alias("c")))
+    dist = F.sqrt(F.aggregate(
+        F.zip_with(F.col("v"), F.col("c"), lambda x, c: x - c),
+        F.lit(0.0), lambda acc, d: acc + d * d))
+    intra = (pts.join(F.broadcast(cents), "lbl")
+             .select("lbl", dist.alias("d"))
+             .groupBy("lbl")
+             .agg(F.count(F.lit(1)).alias("n_points"),
+                  (F.sum(F.col("d").cast(dec)).cast("double")
+                   / F.count(F.lit(1)).cast("double")).alias("intra_mean")))
+    a = cents.select(F.col("lbl").alias("lbl"), F.col("c").alias("ca"))
+    b = cents.select(F.col("lbl").alias("lbl_b"), F.col("c").alias("cb"))
+    cdist = F.sqrt(F.aggregate(
+        F.zip_with(F.col("ca"), F.col("cb"), lambda x, y: x - y),
+        F.lit(0.0), lambda acc, d: acc + d * d))
+    inter = (a.crossJoin(F.broadcast(b))
+             .filter(F.col("lbl") != F.col("lbl_b"))
+             .select("lbl", cdist.alias("cd"))
+             .groupBy("lbl")
+             .agg(F.min("cd").alias("nearest_other")))
+    return (intra.join(inter, "lbl")
+            .select(F.col("lbl").alias(label_col), "n_points",
+                    F.round("intra_mean", 6).alias("intra_mean"),
+                    F.round("nearest_other", 6).alias("nearest_other"),
+                    F.round(F.col("nearest_other") / F.col("intra_mean"), 6)
+                    .alias("separation")))

@@ -6589,3 +6589,49 @@ def ngram_novelty_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = docs.filter(F.col("doc_id") % 2 == 0)
     score = fan_out(docs.filter(F.col("doc_id") % 2 == 1))
     return decontam.ngram_novelty(score, ref, n=3)
+
+
+@q(
+    "cluster_quality_emb",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+               FROM embeddings),
+    d AS (SELECT label, i AS dim, v[i + 1] AS val
+          FROM e, LATERAL unnest(range(0, len(v))) AS u(i)),
+    coords AS (
+      SELECT label, dim,
+             CAST(SUM(CAST(val AS DECIMAL(28,14))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS coord
+      FROM d GROUP BY label, dim),
+    cents AS (SELECT label, list(coord ORDER BY dim) AS c
+              FROM coords GROUP BY label),
+    intra AS (
+      SELECT e.label, COUNT(*) AS n_points,
+             CAST(SUM(CAST(sqrt(list_sum(list_transform(
+                    list_zip(e.v, cents.c),
+                    p -> (p[1] - p[2]) * (p[1] - p[2]))))
+                  AS DECIMAL(28,14))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS intra_mean
+      FROM e JOIN cents USING (label)
+      GROUP BY e.label),
+    inter AS (
+      SELECT a.label,
+             MIN(sqrt(list_sum(list_transform(list_zip(a.c, b.c),
+                  p -> (p[1] - p[2]) * (p[1] - p[2]))))) AS nearest_other
+      FROM cents a JOIN cents b ON a.label <> b.label
+      GROUP BY a.label)
+    SELECT intra.label, n_points,
+           ROUND(intra_mean, 6) AS intra_mean,
+           ROUND(nearest_other, 6) AS nearest_other,
+           ROUND(nearest_other / intra_mean, 6) AS separation
+    FROM intra JOIN inter USING (label)
+    """,
+)
+def cluster_quality_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label separation diagnostic (cluster.cluster_quality,
+    silhouette-lite): decimal-summed centroids and intra means, the same
+    sequential distance fold as kmeans, centroid-pair grid |labels|^2."""
+    from tabsdata_spark.llm import cluster
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cluster.cluster_quality(emb, "label")

@@ -1439,3 +1439,19 @@ def test_ngram_novelty_fraction(spark):
     assert out[2].n_grams == 3 and out[2].n_novel == 1
     assert out[2].novelty == pytest.approx(1 / 3, abs=1e-6)
     assert out[3].novelty == 1.0
+
+
+def test_cluster_quality_separated_vs_overlapping(spark):
+    from tabsdata_spark.llm import cluster
+
+    # two tight, far-apart clusters -> separation >> 1
+    rows = [(i, 0, [0.0 + 0.01 * i, 0.0]) for i in range(4)]
+    rows += [(10 + i, 1, [10.0 + 0.01 * i, 0.0]) for i in range(4)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>")
+    out = {r.label: r for r in cluster.cluster_quality(emb).collect()}
+    assert out[0].n_points == 4 and out[1].n_points == 4
+    assert out[0].separation > 100          # ~10 apart vs ~0.005 intra
+    assert abs(out[0].nearest_other - 10.0) < 0.1
+    # centroid of cluster 0 is x=0.015: intra distances symmetric
+    assert out[0].intra_mean == out[1].intra_mean
