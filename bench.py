@@ -161,6 +161,8 @@ ANALYTICS = [
     "markov_events",
     "session_paths_events",
     "key_skew_orders",
+    "attribution_events",
+    "ship_latency_orders",
 ]
 
 

@@ -6635,3 +6635,83 @@ def cluster_quality_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return cluster.cluster_quality(emb, "label")
+
+
+@q(
+    "attribution_events",
+    """
+    WITH j AS (
+      SELECT l.event_id, l.user_id, l.ts, l.value,
+             r.event_id AS view_event, r.ts AS view_ts
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+        ON l.user_id = r.user_id AND l.ts >= r.ts)
+    SELECT view_event,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             AS attributed_revenue
+    FROM j
+    WHERE view_ts IS NOT NULL
+      AND epoch_us(ts) - epoch_us(view_ts) <= 604800000000
+    GROUP BY view_event
+    """,
+)
+def attribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution report: each purchase credits the user's
+    most recent prior view within 7 days (asof_join backward + exact
+    integer-micros window filter), revenue decimal-summed per view —
+    the composition pattern the as-of extension exists for."""
+    from tabsdata_spark.extensions import asof_join
+
+    ev = load_events(spark, sf_dir).df
+    purchases = ev.filter(F.col("event_type") == "purchase") \
+        .select("event_id", "user_id", "ts", "value")
+    views = ev.filter(F.col("event_type") == "view") \
+        .select(F.col("event_id").alias("view_event"), "user_id", "ts")
+    j = asof_join(purchases, views, on="ts", by="user_id")
+    within = (F.unix_micros(F.col("ts"))
+              - F.unix_micros(F.col("ts_right"))) <= 604800000000
+    return (j.filter(F.col("ts_right").isNotNull() & within)
+            .groupBy("view_event")
+            .agg(F.count(F.lit(1)).alias("n_purchases"),
+                 F.sum(F.col("value").cast("decimal(18,2)"))
+                 .cast("double").alias("attributed_revenue")))
+
+
+@q(
+    "ship_latency_orders",
+    """
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_lines,
+           CAST(MIN(date_diff('day', o.o_orderdate, l.l_shipdate))
+                AS BIGINT) AS min_days,
+           ROUND(quantile_cont(date_diff('day', o.o_orderdate, l.l_shipdate),
+                               0.5), 6) AS p50_days,
+           ROUND(quantile_cont(date_diff('day', o.o_orderdate, l.l_shipdate),
+                               0.99), 6) AS p99_days,
+           CAST(MAX(date_diff('day', o.o_orderdate, l.l_shipdate))
+                AS BIGINT) AS max_days
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def ship_latency_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution per priority: integer day gaps
+    (DATE difference — exact, no timestamp ambiguity), exact interpolated
+    percentiles; one fact-dim join shuffled on orderkey + one partial agg
+    on the 5 priorities."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .select("o_orderkey", "o_orderpriority", "o_orderdate")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
+        .select("l_orderkey", "l_shipdate")
+    gap = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .select("o_orderpriority", gap.alias("__gap"))
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 F.min("__gap").cast("bigint").alias("min_days"),
+                 F.round(F.expr("percentile(__gap, 0.5d)"), 6)
+                 .alias("p50_days"),
+                 F.round(F.expr("percentile(__gap, 0.99d)"), 6)
+                 .alias("p99_days"),
+                 F.max("__gap").cast("bigint").alias("max_days")))
