@@ -504,3 +504,56 @@ def test_bloom_prefilter_probes_before_join(spark, sf_dir):
     plan = _plan(bloom_prefilter_join(orders, cust, "c_custkey"))
     assert "bit_get" in plan          # scan-speed bitset probe on the big side
     _no_product(plan)
+
+
+def test_rolling_zscore_window_is_partitioned(spark, sf_dir):
+    from tabsdata_spark.extensions import rolling_zscore
+    from tabsdata_spark.queries import load_events
+
+    ev = load_events(spark, sf_dir).df
+    plan = _plan(rolling_zscore(ev, "user_id", "ts", "value",
+                                tie_cols=["event_id"]))
+    # the rolling frame must partition on the key — never a global window
+    assert "windowspecdefinition(user_id#" in plan
+    _no_product(plan)
+    assert plan.count("Exchange hashpartitioning") == 1   # ONE key shuffle
+
+
+def test_cooccurrence_lift_joins_on_basket_and_broadcasts_marginals(
+        spark, sf_dir):
+    from tabsdata_spark.extensions import cooccurrence_lift
+    from tabsdata_spark.queries import load_events
+
+    ev = load_events(spark, sf_dir).df
+    plan = _plan(cooccurrence_lift(ev, "user_id", "event_type"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan        # marginals broadcast back
+
+
+def test_vocab_coverage_has_no_global_window(spark, sf_dir):
+    from tabsdata_spark.llm import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(corpus.vocab_coverage(docs, ks=[10, 100]))
+    assert "TakeOrderedAndProject" in plan     # top-k heap, not a sort
+    assert "windowspecdefinition" not in plan
+
+
+def test_session_paths_topk_is_take_ordered(spark, sf_dir):
+    from tabsdata_spark.extensions import session_paths
+    from tabsdata_spark.queries import load_events
+
+    ev = load_events(spark, sf_dir).df
+    plan = _plan(session_paths(ev, "user_id", "ts", "event_type",
+                               tie_cols=["event_id"]))
+    assert "TakeOrderedAndProject" in plan
+    _no_product(plan)
+
+
+def test_cluster_quality_broadcasts_centroids(spark, sf_dir):
+    from tabsdata_spark.llm import cluster
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = _plan(cluster.cluster_quality(emb, "label"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan         # points x centroids
