@@ -163,6 +163,7 @@ ANALYTICS = [
     "key_skew_orders",
     "attribution_events",
     "ship_latency_orders",
+    "growth_curve_events",
 ]
 
 

@@ -463,3 +463,24 @@ def session_paths(df: DataFrame, key_cols: list[str] | str, ts_col: str,
     counted = paths.groupBy("path").agg(
         F.count(F.lit(1)).alias("n_sessions"))
     return counted.orderBy(F.col("n_sessions").desc(), "path").limit(top)
+
+
+def growth_curve(df: DataFrame, key_col: str, ts_col: str) -> DataFrame:
+    """Daily acquisition curve: per calendar day, how many keys appeared
+    for the FIRST time, plus the running cumulative total — the growth
+    metric behind every "users over time" chart.
+
+    Scale shape: first-seen is one partial-agg shuffle on the key; daily
+    counts re-aggregate that (≤ one row per day); the cumulative sum is an
+    unpartitioned window over the DAY-level aggregate — bounded by the
+    calendar span, never data-sized, the same bounded-aggregate exception
+    as token_budget_select's histogram."""
+    first = df.groupBy(F.col(key_col).alias("__k")).agg(
+        F.min(F.to_date(F.col(ts_col))).alias("first_day"))
+    daily = first.groupBy("first_day").agg(
+        F.count(F.lit(1)).alias("new_keys"))
+    w = (Window.orderBy("first_day")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return daily.select(
+        "first_day", "new_keys",
+        F.sum("new_keys").over(w).alias("cum_keys")).orderBy("first_day")

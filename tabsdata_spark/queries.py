@@ -6715,3 +6715,27 @@ def ship_latency_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.expr("percentile(__gap, 0.99d)"), 6)
                  .alias("p99_days"),
                  F.max("__gap").cast("bigint").alias("max_days")))
+
+
+@q(
+    "growth_curve_events",
+    """
+    WITH first AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY user_id),
+    daily AS (
+      SELECT first_day, COUNT(*) AS new_keys FROM first GROUP BY first_day)
+    SELECT first_day, new_keys,
+           SUM(new_keys) OVER (ORDER BY first_day
+                               ROWS UNBOUNDED PRECEDING) AS cum_keys
+    FROM daily ORDER BY first_day
+    """,
+)
+def growth_curve_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-user acquisition + cumulative total
+    (extensions.growth_curve): key-shuffle first-seen, day-level
+    re-aggregate, cumulative window over the bounded day table."""
+    from tabsdata_spark.extensions import growth_curve
+
+    ev = load_events(spark, sf_dir).df
+    return growth_curve(ev, "user_id", "ts")

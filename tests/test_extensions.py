@@ -304,3 +304,19 @@ def test_session_paths_gap_boundary_is_exclusive(spark):
     out = sorted(r.path for r in session_paths(
         df, "user_id", "ts", "e", tie_cols=["event_id"]).collect())
     assert out == ["a>b", "c"]
+
+
+def test_growth_curve_new_and_cumulative(spark):
+    import datetime as dt
+
+    from tabsdata_spark.extensions import growth_curve
+
+    d = lambda day, h=0: dt.datetime(2024, 1, day, h)
+    rows = [(1, d(1)), (1, d(3)),        # user 1 first seen day 1
+            (2, d(1, 5)),                # day 1
+            (3, d(2)),                   # day 2
+            (4, d(4)), (4, d(1, 23))]    # user 4 first seen day 1 (23:00)
+    df = spark.createDataFrame(rows, "u long, ts timestamp")
+    out = [(str(r.first_day), r.new_keys, r.cum_keys)
+           for r in growth_curve(df, "u", "ts").collect()]
+    assert out == [("2024-01-01", 3, 3), ("2024-01-02", 1, 4)]

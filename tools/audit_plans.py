@@ -30,8 +30,11 @@ GLOBAL_ORDER_OK = {
     # bounded-by-construction global windows: the single partition receives
     # an AGGREGATE of fixed cardinality, not data-sized rows —
     # token_budget_select's cumulative sum runs over the <=bins-row quality
-    # histogram (llm/corpus.py token_budget_select)
+    # histogram (llm/corpus.py token_budget_select); growth_curve's
+    # cumulative sum runs over the <=calendar-days daily table
+    # (extensions.py growth_curve)
     "token_budget_select_docs",
+    "growth_curve_events",
 }
 
 
