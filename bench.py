@@ -164,6 +164,8 @@ ANALYTICS = [
     "attribution_events",
     "ship_latency_orders",
     "growth_curve_events",
+    "wau_events",
+    "gini_customers",
 ]
 
 

@@ -484,3 +484,66 @@ def growth_curve(df: DataFrame, key_col: str, ts_col: str) -> DataFrame:
     return daily.select(
         "first_day", "new_keys",
         F.sum("new_keys").over(w).alias("cum_keys")).orderBy("first_day")
+
+
+def rolling_active(df: DataFrame, key_col: str, ts_col: str,
+                   window_days: int = 7) -> DataFrame:
+    """Trailing-N-day active-key counts per day (the DAU/WAU/MAU metric):
+    for each calendar day in the data, how many distinct keys were active
+    at least once in the `window_days` ending that day (inclusive).
+
+    Scale shape: the classic explode-forward formulation — (day, key)
+    distinct pairs (map-side combined), each pair emitted into the N
+    window-end days it supports (bounded fan-out = window_days), then one
+    dedup + count per day.  No self-join, no range join, no per-day
+    distinct-state; shuffle volume is N * |active-pairs|.  Days with no
+    active window are absent (they'd count 0)."""
+    pairs = (df.select(F.to_date(F.col(ts_col)).alias("__d"),
+                       F.col(key_col).alias("__k"))
+             .dropDuplicates())
+    ends = pairs.select(
+        F.explode(F.sequence(
+            F.col("__d"),
+            F.date_add(F.col("__d"), window_days - 1))).alias("day"),
+        "__k")
+    last_day = df.agg(F.max(F.to_date(F.col(ts_col))).alias("__max"))
+    return (ends.crossJoin(F.broadcast(last_day))
+            .filter(F.col("day") <= F.col("__max"))
+            .dropDuplicates(["day", "__k"])
+            .groupBy("day")
+            .agg(F.count(F.lit(1)).alias("active_keys")))
+
+
+def gini_by_group(df: DataFrame, group_col: str, key_col: str,
+                  value_col: str) -> DataFrame:
+    """Within-group Gini coefficient of per-key value totals (revenue
+    concentration — textbook formula over sorted totals):
+
+        G = (2 * sum_i i*x_(i) / (n * sum x)) - (n + 1) / n
+
+    with x_(i) ascending and ties broken by key for a total order.  Totals
+    are decimal sums (exact); the rank-weighted sum is decimal-summed too
+    (i*x in micros-free decimal), so G is identical IEEE arithmetic in any
+    engine.
+
+    Scale shape: per-key totals are one partial-agg shuffle; the rank
+    window partitions BY GROUP (never global); the weighted-sum agg is a
+    second keyed shuffle of |keys| rows."""
+    dec = "decimal(28,6)"
+    totals = (df.groupBy(F.col(group_col).alias("g"),
+                         F.col(key_col).alias("k"))
+              .agg(F.sum(F.col(value_col).cast(dec)).alias("x")))
+    w = Window.partitionBy("g").orderBy(F.col("x"), F.col("k"))
+    ranked = totals.withColumn("i", F.row_number().over(w))
+    agg = (ranked.groupBy("g")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("x").alias("_sx"),
+                F.sum((F.col("i").cast(dec) * F.col("x"))
+                      .cast("decimal(38,6)")).alias("_six")))
+    n = F.col("n").cast("double")
+    gini = (2.0 * F.col("_six").cast("double")
+            / (n * F.col("_sx").cast("double"))) - (n + 1.0) / n
+    return agg.select(F.col("g").alias(group_col), "n",
+                      F.round(F.col("_sx").cast("double"), 2)
+                      .alias("total_value"),
+                      F.round(gini, 6).alias("gini"))

@@ -6739,3 +6739,66 @@ def growth_curve_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_events(spark, sf_dir).df
     return growth_curve(ev, "user_id", "ts")
+
+
+@q(
+    "wau_events",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+    mx AS (SELECT MAX(CAST(ts AS DATE)) AS max_d FROM events),
+    ends AS (
+      SELECT unnest(generate_series(d, d + INTERVAL 6 DAY,
+                                    INTERVAL 1 DAY))::DATE AS day, user_id
+      FROM pairs)
+    SELECT day, COUNT(DISTINCT user_id) AS active_keys
+    FROM ends, mx WHERE day <= max_d
+    GROUP BY day
+    """,
+)
+def wau_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day active users per day (extensions.rolling_active):
+    explode-forward of distinct (day, user) pairs — bounded fan-out of 7,
+    no self/range join, no per-day distinct state."""
+    from tabsdata_spark.extensions import rolling_active
+
+    ev = load_events(spark, sf_dir).df
+    return rolling_active(ev, "user_id", "ts", window_days=7)
+
+
+@q(
+    "gini_customers",
+    """
+    WITH totals AS (
+      SELECT c.c_nationkey AS g, o.o_custkey AS k,
+             SUM(CAST(o.o_totalprice AS DECIMAL(28,6))) AS x
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT g, x, ROW_NUMBER() OVER (PARTITION BY g ORDER BY x, k) AS i
+      FROM totals),
+    a AS (
+      SELECT g, COUNT(*) AS n,
+             SUM(x) AS sx,
+             SUM(CAST(CAST(i AS DECIMAL(28,6)) * x AS DECIMAL(38,6))) AS six
+      FROM ranked GROUP BY g)
+    SELECT g AS c_nationkey, n,
+           ROUND(CAST(sx AS DOUBLE), 2) AS total_value,
+           ROUND(2.0 * CAST(six AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+                 - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6)
+             AS gini
+    FROM a
+    """,
+)
+def gini_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-nation revenue concentration (extensions.gini_by_group):
+    decimal customer totals, group-partitioned rank window (never
+    global), decimal rank-weighted sums — identical IEEE Gini."""
+    from tabsdata_spark.extensions import gini_by_group
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet") \
+        .select("c_custkey", "c_nationkey")
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    return gini_by_group(j, "c_nationkey", "o_custkey", "o_totalprice")

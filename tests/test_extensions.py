@@ -320,3 +320,36 @@ def test_growth_curve_new_and_cumulative(spark):
     out = [(str(r.first_day), r.new_keys, r.cum_keys)
            for r in growth_curve(df, "u", "ts").collect()]
     assert out == [("2024-01-01", 3, 3), ("2024-01-02", 1, 4)]
+
+
+def test_rolling_active_window_semantics(spark):
+    import datetime as dt
+
+    from tabsdata_spark.extensions import rolling_active
+
+    d = lambda day: dt.datetime(2024, 1, day, 12)
+    # user 1 active day 1; user 2 active days 1 and 9; user 3 day 3
+    rows = [(1, d(1)), (2, d(1)), (2, d(9)), (3, d(3))]
+    df = spark.createDataFrame(rows, "u long, ts timestamp")
+    out = {str(r.day): r.active_keys
+           for r in rolling_active(df, "u", "ts", window_days=7).collect()}
+    assert out["2024-01-01"] == 2          # users 1, 2
+    assert out["2024-01-03"] == 3          # 1, 2 (from day1) + 3
+    assert out["2024-01-07"] == 3          # day-1 activity still in window
+    assert out["2024-01-08"] == 1          # only day-3 activity remains
+    assert out["2024-01-09"] == 2          # user 3 (day 3) + user 2 (day 9)
+    assert "2024-01-10" not in out         # beyond max observed day
+
+
+def test_gini_by_group_extremes(spark):
+    from tabsdata_spark.extensions import gini_by_group
+
+    # group e: perfectly equal -> gini 0; group u: one key owns all value
+    rows = [("e", k, 10.0) for k in range(1, 5)]
+    rows += [("u", 1, 0.0), ("u", 2, 0.0), ("u", 3, 0.0), ("u", 4, 40.0)]
+    df = spark.createDataFrame(rows, "g string, k long, v double")
+    out = {r.g: r for r in gini_by_group(df, "g", "k", "v").collect()}
+    assert out["e"].gini == 0.0
+    # n=4, all mass at top rank: G = 2*4/(4*1) - 5/4 = 0.75
+    assert out["u"].gini == 0.75
+    assert out["e"].total_value == 40.0 and out["u"].total_value == 40.0
