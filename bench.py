@@ -166,6 +166,7 @@ ANALYTICS = [
     "growth_curve_events",
     "wau_events",
     "gini_customers",
+    "rfm_customers",
 ]
 
 

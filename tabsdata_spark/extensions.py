@@ -547,3 +547,52 @@ def gini_by_group(df: DataFrame, group_col: str, key_col: str,
                       F.round(F.col("_sx").cast("double"), 2)
                       .alias("total_value"),
                       F.round(gini, 6).alias("gini"))
+
+
+def rfm_segments(orders: DataFrame, key_col: str, ts_col: str,
+                 value_col: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation: per key
+    compute days-since-last-order (vs the dataset's max date), order
+    count, and decimal-summed spend; split each metric at its exact
+    quartile thresholds; label keys with a 3-digit segment (1 = bottom
+    quartile ... 4 = top).  Returns per-segment (segment, n_keys,
+    total_value).
+
+    Scale note: buckets come from comparing each key's metrics to three
+    BROADCAST scalar thresholds — not from a partitionless ntile window
+    (which would funnel every key through one task).  Ties sit on the
+    threshold side given by the <= comparison, deterministically.
+
+    Scale shape: one key shuffle for the per-key profile, one scalar
+    quantile aggregate, one broadcast, one |segments|-group agg."""
+    dec = "decimal(28,2)"
+    prof = (orders.groupBy(F.col(key_col).alias("k"))
+            .agg(F.max(F.to_date(F.col(ts_col))).alias("_last"),
+                 F.count(F.lit(1)).alias("frequency"),
+                 F.sum(F.col(value_col).cast(dec)).alias("_m")))
+    maxd = orders.agg(F.max(F.to_date(F.col(ts_col))).alias("_maxd"))
+    prof = (prof.crossJoin(F.broadcast(maxd))
+            .withColumn("recency_days",
+                        F.datediff(F.col("_maxd"), F.col("_last")))
+            .withColumn("monetary", F.col("_m").cast("double")))
+    qs = prof.agg(*[
+        F.expr(f"percentile({c}, array(0.25d, 0.5d, 0.75d))").alias(f"q_{c}")
+        for c in ("recency_days", "frequency", "monetary")])
+
+    def bucket(c, q, invert=False):
+        b = (F.when(F.col(c) <= q[0], 1)
+             .when(F.col(c) <= q[1], 2)
+             .when(F.col(c) <= q[2], 3).otherwise(4))
+        return (5 - b) if invert else b
+
+    scored = prof.crossJoin(F.broadcast(qs))
+    # low recency is GOOD: invert so 4 always means "best quartile"
+    r = bucket("recency_days", [F.col("q_recency_days")[i] for i in range(3)],
+               invert=True)
+    f = bucket("frequency", [F.col("q_frequency")[i] for i in range(3)])
+    m = bucket("monetary", [F.col("q_monetary")[i] for i in range(3)])
+    seg = F.concat(r.cast("string"), f.cast("string"), m.cast("string"))
+    return (scored.select(seg.alias("segment"), "_m")
+            .groupBy("segment")
+            .agg(F.count(F.lit(1)).alias("n_keys"),
+                 F.sum("_m").cast("double").alias("total_value")))

@@ -6802,3 +6802,51 @@ def gini_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_nationkey")
     j = orders.join(cust, orders.o_custkey == cust.c_custkey)
     return gini_by_group(j, "c_nationkey", "o_custkey", "o_totalprice")
+
+
+@q(
+    "rfm_customers",
+    """
+    WITH prof AS (
+      SELECT o_custkey AS k,
+             MAX(CAST(o_orderdate AS DATE)) AS last_d,
+             COUNT(*) AS frequency,
+             SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS m
+      FROM orders GROUP BY o_custkey),
+    mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS maxd FROM orders),
+    p AS (SELECT k, date_diff('day', last_d, maxd) AS recency_days,
+                 frequency, CAST(m AS DOUBLE) AS monetary, m
+          FROM prof, mx),
+    qs AS (SELECT quantile_cont(recency_days, [0.25, 0.5, 0.75]) AS qr,
+                  quantile_cont(frequency, [0.25, 0.5, 0.75]) AS qf,
+                  quantile_cont(monetary, [0.25, 0.5, 0.75]) AS qm
+           FROM p),
+    s AS (
+      SELECT CAST(5 - (CASE WHEN recency_days <= qr[1] THEN 1
+                            WHEN recency_days <= qr[2] THEN 2
+                            WHEN recency_days <= qr[3] THEN 3
+                            ELSE 4 END) AS VARCHAR)
+             || CAST(CASE WHEN frequency <= qf[1] THEN 1
+                          WHEN frequency <= qf[2] THEN 2
+                          WHEN frequency <= qf[3] THEN 3
+                          ELSE 4 END AS VARCHAR)
+             || CAST(CASE WHEN monetary <= qm[1] THEN 1
+                          WHEN monetary <= qm[2] THEN 2
+                          WHEN monetary <= qm[3] THEN 3
+                          ELSE 4 END AS VARCHAR) AS segment,
+             m
+      FROM p, qs)
+    SELECT segment, COUNT(*) AS n_keys,
+           CAST(SUM(m) AS DOUBLE) AS total_value
+    FROM s GROUP BY segment
+    """,
+)
+def rfm_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation of customers by order history
+    (extensions.rfm_segments): per-key profile in one shuffle, exact
+    quartile thresholds BROADCAST (no partitionless ntile window),
+    per-segment rollup."""
+    from tabsdata_spark.extensions import rfm_segments
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return rfm_segments(orders, "o_custkey", "o_orderdate", "o_totalprice")

@@ -353,3 +353,26 @@ def test_gini_by_group_extremes(spark):
     # n=4, all mass at top rank: G = 2*4/(4*1) - 5/4 = 0.75
     assert out["u"].gini == 0.75
     assert out["e"].total_value == 40.0 and out["u"].total_value == 40.0
+
+
+def test_rfm_segments_extreme_profiles(spark):
+    import datetime as dt
+
+    from tabsdata_spark.extensions import rfm_segments
+
+    d = lambda day: dt.datetime(2024, 1, day)
+    rows = []
+    # key 1: recent, frequent, big spender -> best segment 444
+    for i in range(8):
+        rows.append((1, d(20 + i), 1000.0))
+    # key 2: stale, single small order -> worst segment 111
+    rows.append((2, d(1), 1.0))
+    # two middling keys so quartiles spread
+    rows += [(3, d(10), 50.0), (3, d(12), 50.0),
+             (4, d(14), 200.0), (4, d(15), 200.0), (4, d(16), 200.0)]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+    out = {r.segment: r for r in rfm_segments(
+        df, "k", "ts", "v").collect()}
+    assert out["444"].n_keys == 1 and out["444"].total_value == 8000.0
+    assert out["111"].n_keys == 1 and out["111"].total_value == 1.0
+    assert sum(r.n_keys for r in out.values()) == 4
