@@ -167,6 +167,7 @@ ANALYTICS = [
     "wau_events",
     "gini_customers",
     "rfm_customers",
+    "seasonality_events",
 ]
 
 

@@ -596,3 +596,31 @@ def rfm_segments(orders: DataFrame, key_col: str, ts_col: str,
             .groupBy("segment")
             .agg(F.count(F.lit(1)).alias("n_keys"),
                  F.sum("_m").cast("double").alias("total_value")))
+
+
+def weekly_seasonality(df: DataFrame, group_col: str, ts_col: str,
+                       value_col: str) -> DataFrame:
+    """Day-of-week seasonality profile per group: event count, exact mean
+    value (micros-integer sums), and each weekday's share of the group's
+    weekly volume — the load-shaping / staffing curve.
+
+    Weekday is ISO (0 = Monday) to stay engine-portable (Spark weekday()
+    == DuckDB isodow()-1; the default dayofweek anchors differ).  One
+    partial-agg shuffle over |groups|*7 cells plus a broadcast of the
+    per-group totals."""
+    m = F.floor(F.col(value_col) * 1e6 + F.lit(0.5)).cast("bigint")
+    cells = (df.select(F.col(group_col).alias("g"),
+                       F.weekday(F.col(ts_col)).alias("weekday"),
+                       m.alias("__m"))
+             .groupBy("g", "weekday")
+             .agg(F.count("__m").alias("n"),
+                  F.sum(F.col("__m").cast("decimal(38,0)")).alias("_s")))
+    tot = cells.groupBy("g").agg(F.sum("n").alias("_tn"))
+    return (cells.join(F.broadcast(tot), "g")
+            .select(F.col("g").alias(group_col), "weekday", "n",
+                    F.round((F.col("_s").cast("double") / 1e6)
+                            / F.col("n").cast("double"), 6)
+                    .alias("mean_value"),
+                    F.round(F.col("n").cast("double")
+                            / F.col("_tn").cast("double"), 6)
+                    .alias("share")))

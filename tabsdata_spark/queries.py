@@ -6850,3 +6850,33 @@ def rfm_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     return rfm_segments(orders, "o_custkey", "o_orderdate", "o_totalprice")
+
+
+@q(
+    "seasonality_events",
+    """
+    WITH b AS (
+      SELECT event_type, isodow(ts) - 1 AS weekday,
+             CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) AS m
+      FROM events),
+    cells AS (
+      SELECT event_type, weekday,
+             COUNT(m) AS n, SUM(m) AS s
+      FROM b GROUP BY event_type, weekday),
+    tot AS (SELECT event_type, SUM(n) AS tn FROM cells GROUP BY event_type)
+    SELECT cells.event_type, weekday, n,
+           ROUND((CAST(s AS DOUBLE) / 1e6) / CAST(n AS DOUBLE), 6)
+             AS mean_value,
+           ROUND(CAST(n AS DOUBLE) / CAST(tn AS DOUBLE), 6) AS share
+    FROM cells JOIN tot USING (event_type)
+    """,
+)
+def seasonality_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week load profile per event type
+    (extensions.weekly_seasonality): ISO weekday (engine-portable),
+    micros-integer mean, share of weekly volume; one |groups|*7-cell
+    partial agg."""
+    from tabsdata_spark.extensions import weekly_seasonality
+
+    ev = load_events(spark, sf_dir).df
+    return weekly_seasonality(ev, "event_type", "ts", "value")

@@ -5,6 +5,7 @@ from __future__ import annotations
 import datetime as dt
 
 import pyspark.sql.functions as F
+import pytest
 
 from tabsdata_spark.extensions import asof_join
 
@@ -203,7 +204,6 @@ def test_rolling_zscore_frame_excludes_current_row(spark):
 
 
 def test_cooccurrence_lift_counts_and_ratios(spark):
-    import pytest
     from tabsdata_spark.extensions import cooccurrence_lift
 
     rows = [(1, "a"), (1, "b"), (1, "a"),      # repeat collapses
@@ -376,3 +376,20 @@ def test_rfm_segments_extreme_profiles(spark):
     assert out["444"].n_keys == 1 and out["444"].total_value == 8000.0
     assert out["111"].n_keys == 1 and out["111"].total_value == 1.0
     assert sum(r.n_keys for r in out.values()) == 4
+
+
+def test_weekly_seasonality_iso_weekday_and_share(spark):
+    import datetime as dt
+
+    from tabsdata_spark.extensions import weekly_seasonality
+
+    # 2024-01-01 is a Monday (ISO weekday 0)
+    rows = [("a", dt.datetime(2024, 1, 1), 10.0),   # Mon
+            ("a", dt.datetime(2024, 1, 8), 30.0),   # Mon
+            ("a", dt.datetime(2024, 1, 3), 7.0)]    # Wed
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    out = {r.weekday: r for r in weekly_seasonality(
+        df, "g", "ts", "v").collect()}
+    assert out[0].n == 2 and out[0].mean_value == 20.0
+    assert out[2].n == 1 and out[2].mean_value == 7.0
+    assert out[0].share == pytest.approx(2 / 3, abs=1e-6)
