@@ -110,6 +110,7 @@ CURATION = [
     "token_budget_select_docs",
     "dedup_keep_best_docs",
     "incremental_near_dup_docs",
+    "dup_size_histogram_docs",
 ]
 
 # Remaining TPC-H shapes not in the frozen headline list — completes the

@@ -1095,3 +1095,27 @@ def edit_distance_pairs(df: DataFrame, pairs: DataFrame,
     sim = F.when(mx > 0, 1.0 - dist / mx).otherwise(F.lit(1.0))
     return out.select("id_a", "id_b", dist.alias("edit_distance"),
                       F.round(sim, 6).alias("edit_similarity"))
+
+
+def duplicate_size_histogram(df: DataFrame, key: Column,
+                             id_col: str = "doc_id") -> DataFrame:
+    """Distribution of duplicate-cluster sizes under `key` — the dedup
+    audit report (how much of the corpus is singleton vs 2x vs heavy
+    template families): (cluster_size, n_clusters, n_docs, doc_share).
+
+    Two partial-agg shuffles: one to the per-key sizes, one over the
+    (at most max-cluster-size) distinct sizes; the total is a 1-row
+    broadcast."""
+    sizes = (df.select(key.alias("__k"), F.col(id_col))
+             .groupBy("__k")
+             .agg(F.count(F.lit(1)).alias("cluster_size")))
+    hist = (sizes.groupBy("cluster_size")
+            .agg(F.count(F.lit(1)).alias("n_clusters")))
+    total = df.agg(F.count(F.lit(1)).alias("__t"))
+    docs_in = F.col("cluster_size") * F.col("n_clusters")
+    return (hist.crossJoin(F.broadcast(total))
+            .select("cluster_size", "n_clusters",
+                    docs_in.alias("n_docs"),
+                    F.round(docs_in.cast("double")
+                            / F.col("__t").cast("double"), 6)
+                    .alias("doc_share")))

@@ -6880,3 +6880,32 @@ def seasonality_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_events(spark, sf_dir).df
     return weekly_seasonality(ev, "event_type", "ts", "value")
+
+
+@q(
+    "dup_size_histogram_docs",
+    """
+    WITH fp AS (
+      SELECT doc_id,
+             array_to_string(list_sort(list_distinct(
+               list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g')), '\\s+'),
+                           x -> x <> ''))), ' ') AS k
+      FROM documents),
+    sizes AS (SELECT k, COUNT(*) AS cluster_size FROM fp GROUP BY k),
+    hist AS (SELECT cluster_size, COUNT(*) AS n_clusters
+             FROM sizes GROUP BY cluster_size),
+    t AS (SELECT COUNT(*) AS total FROM documents)
+    SELECT cluster_size, n_clusters,
+           CAST(cluster_size * n_clusters AS BIGINT) AS n_docs,
+           ROUND(CAST(cluster_size * n_clusters AS DOUBLE)
+                 / CAST(total AS DOUBLE), 6) AS doc_share
+    FROM hist, t
+    """,
+)
+def dup_size_histogram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution under the normalized-token
+    fingerprint (dedup.duplicate_size_histogram): the dedup audit report
+    — two partial aggs, broadcast total."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.duplicate_size_histogram(
+        docs, textual.fingerprint(F.col("text")))

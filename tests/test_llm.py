@@ -1455,3 +1455,16 @@ def test_cluster_quality_separated_vs_overlapping(spark):
     assert abs(out[0].nearest_other - 10.0) < 0.1
     # centroid of cluster 0 is x=0.015: intra distances symmetric
     assert out[0].intra_mean == out[1].intra_mean
+
+
+def test_duplicate_size_histogram_shares(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "b a"),          # same normalized fingerprint
+         (3, "c"), (4, "c"),
+         (5, "unique text")],
+        "doc_id long, text string")
+    out = {r.cluster_size: r for r in dedup.duplicate_size_histogram(
+        docs, textual.fingerprint(F.col("text"))).collect()}
+    assert out[2].n_clusters == 2 and out[2].n_docs == 4
+    assert out[2].doc_share == 0.8
+    assert out[1].n_clusters == 1 and out[1].doc_share == 0.2
