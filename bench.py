@@ -169,6 +169,7 @@ ANALYTICS = [
     "gini_customers",
     "rfm_customers",
     "seasonality_events",
+    "hourly_load_events",
 ]
 
 

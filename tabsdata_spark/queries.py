@@ -6909,3 +6909,30 @@ def dup_size_histogram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return dedup.duplicate_size_histogram(
         docs, textual.fingerprint(F.col("text")))
+
+
+@q(
+    "hourly_load_events",
+    """
+    SELECT EXTRACT(hour FROM ts) AS hour_of_day,
+           COUNT(*) AS n,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50_value,
+           ROUND(quantile_cont(value, 0.95), 6) AS p95_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def hourly_load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day load bands: exact interpolated p50/p95 of value plus
+    decimal-summed totals per hour — the capacity-planning curve; one
+    24-group partial agg, engine-portable hour extraction."""
+    ev = load_events(spark, sf_dir).df.filter(F.col("value").isNotNull())
+    return (ev.groupBy(F.hour("ts").cast("bigint").alias("hour_of_day"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.expr("percentile(value, 0.5d)"), 6)
+                 .alias("p50_value"),
+                 F.round(F.expr("percentile(value, 0.95d)"), 6)
+                 .alias("p95_value"),
+                 F.sum(F.col("value").cast("decimal(18,2)"))
+                 .cast("double").alias("total_value")))
