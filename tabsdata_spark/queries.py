@@ -1452,9 +1452,9 @@ def group_shortcuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sess AS (
       SELECT user_id, event_id, mts,
-             SUM(is_new) OVER (PARTITION BY user_id
+             CAST(SUM(is_new) OVER (PARTITION BY user_id
                   ORDER BY mts, event_id
-                  ROWS UNBOUNDED PRECEDING) AS session_no
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
       FROM marked)
     SELECT user_id, session_no, COUNT(*) AS n_events,
            CAST(MIN(mts) AS TIMESTAMP) AS session_start
@@ -1539,7 +1539,7 @@ def eq_missing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND((doc_id % 256) / 255.0, 6) AS mean_r,
            ROUND(((doc_id * 7) % 256) / 255.0, 6) AS mean_g,
            ROUND(((doc_id * 13) % 256) / 255.0, 6) AS mean_b,
-           0.0 AS luma_std
+           CAST(0.0 AS DOUBLE) AS luma_std
     FROM documents WHERE doc_id < 100
     """,
 )
@@ -1649,8 +1649,8 @@ def rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY doc_id, b.b
     )
     SELECT doc_id,
-           SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
-               AS simhash
+           CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+                AS BIGINT) AS simhash
     FROM votes GROUP BY doc_id
     """,
 )
@@ -1869,10 +1869,10 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_priority_counts",
     """
     SELECT l_returnflag,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
       AND l.l_shipdate < TIMESTAMP '1997-01-01'
@@ -2608,11 +2608,12 @@ def rolling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM h GROUP BY 1),
     m AS (SELECT date_trunc('month', bucket) AS bucket, SUM(n) AS n, SUM(s) AS s
           FROM d GROUP BY 1)
-    SELECT 'hour' AS resolution, bucket, n, CAST(s AS DOUBLE) AS total FROM h
+    SELECT 'hour' AS resolution, bucket, CAST(n AS BIGINT) AS n,
+           CAST(s AS DOUBLE) AS total FROM h
     UNION ALL
-    SELECT 'day', bucket, n, CAST(s AS DOUBLE) FROM d
+    SELECT 'day', bucket, CAST(n AS BIGINT), CAST(s AS DOUBLE) FROM d
     UNION ALL
-    SELECT 'month', bucket, n, CAST(s AS DOUBLE) FROM m
+    SELECT 'month', bucket, CAST(n AS BIGINT), CAST(s AS DOUBLE) FROM m
     """,
 )
 def hierarchical_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3560,7 +3561,7 @@ def lead_gap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_extract_events",
     """
     SELECT event_type, COUNT(*) AS n,
-           SUM(CAST(props->>'k' AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
            ROUND(SUM(CAST(props->>'k' AS BIGINT)) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_k
     FROM events GROUP BY event_type
     """,
@@ -3896,7 +3897,7 @@ def source_vocab_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM toks GROUP BY doc_id, lang_ok, tok
     ),
     stats AS (
-      SELECT doc_id, lang_ok, SUM(c) AS n_tokens, MAX(c) AS top_c
+      SELECT doc_id, lang_ok, CAST(SUM(c) AS BIGINT) AS n_tokens, MAX(c) AS top_c
       FROM per_tok GROUP BY doc_id, lang_ok
     )
     SELECT doc_id, n_tokens,
@@ -3971,7 +3972,7 @@ _CLEAN_TOKS_SQL = ("list_filter(regexp_split_to_array(trim(regexp_replace("
     ),
     freq AS (SELECT term, SUM(tf) AS cf FROM tdf GROUP BY term),
     tot AS (SELECT SUM(cf) AS total FROM freq)
-    SELECT doc_id, SUM(tf) AS n_tokens,
+    SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
            ROUND(SUM(tf * (-log2(CAST(cf AS DOUBLE) / total))) / SUM(tf), 6)
                AS avg_surprisal
     FROM tdf JOIN freq USING (term), tot
@@ -4669,7 +4670,7 @@ def segment_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(6 + doc_id % 5 AS INTEGER) AS width,
            CAST(3 + doc_id % 4 AS INTEGER) AS height,
            ROUND(((doc_id * 31 + frame_idx * 17) % 256) / 255.0, 6) AS mean_luma,
-           0.0 AS luma_std
+           CAST(0.0 AS DOUBLE) AS luma_std
     FROM f
     """,
 )
@@ -4751,7 +4752,7 @@ def video_frames_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     v AS (SELECT COUNT(*) AS v FROM c1),
     p AS (SELECT bigram, log2((c2 + 0.5) / (c1 + 0.5 * v)) AS logp
           FROM c2 JOIN c1 USING (w1) CROSS JOIN v)
-    SELECT doc_id, SUM(tf) AS n_bigrams,
+    SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
            ROUND(-SUM(tf * logp) / SUM(tf), 6) AS cross_entropy,
            ROUND(POW(2.0, ROUND(-SUM(tf * logp) / SUM(tf), 6)), 4) AS perplexity
     FROM db JOIN p USING (bigram)
@@ -5149,9 +5150,9 @@ def hll_union_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT g.doc_id, g.bucket, COALESCE(s.val, 0) AS val
       FROM grid g LEFT JOIN sums s
         ON s.doc_id = g.doc_id AND s.bucket = g.bucket)
-    SELECT doc_id,
-           list(CAST(val AS DOUBLE) ORDER BY bucket) AS embedding
-    FROM vals GROUP BY doc_id
+    SELECT doc_id, CAST(bucket AS INTEGER) AS bucket,
+           CAST(val AS DOUBLE) AS val
+    FROM vals
     """,
 )
 def feature_hash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5159,12 +5160,16 @@ def feature_hash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     feature_hash_embedding — Weinberger et al. hashing trick): signed tf
     sums over hash buckets, assembled by map lookup (no pivot).  Run in
     portable-hash mode so the oracle recomputes every coordinate
-    bit-for-bit; production keeps xxhash64."""
+    bit-for-bit; production keeps xxhash64.  Surfaced as exploded
+    (doc_id, bucket, val) rows: array columns are normalizer-fragile
+    under driver hashing (numpy vs list repr), scalar cells are not."""
     from tabsdata_spark.llm import corpus
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return corpus.feature_hash_embedding(
+    emb = corpus.feature_hash_embedding(
         docs, dim=16, hash_fn=textual.portable_hash60)
+    return emb.select(
+        "doc_id", F.posexplode("embedding").alias("bucket", "val"))
 
 
 @q(
@@ -5465,7 +5470,7 @@ def edit_distance_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(10 + doc_id % 5 AS INTEGER) AS duration_ms,
            ROUND(((1 + (doc_id * 7) % 1000) - 1) / 32768.0, 6) AS rms,
            ROUND(((1 + (doc_id * 7) % 1000) - 1) / 32768.0, 6) AS peak,
-           0.0 AS zcr
+           CAST(0.0 AS DOUBLE) AS zcr
     FROM documents WHERE doc_id < 80
     """,
 )
@@ -6726,8 +6731,9 @@ def ship_latency_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily AS (
       SELECT first_day, COUNT(*) AS new_keys FROM first GROUP BY first_day)
     SELECT first_day, new_keys,
-           SUM(new_keys) OVER (ORDER BY first_day
-                               ROWS UNBOUNDED PRECEDING) AS cum_keys
+           CAST(SUM(new_keys) OVER (ORDER BY first_day
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_keys
     FROM daily ORDER BY first_day
     """,
 )

@@ -151,6 +151,18 @@ def main():
         try:
             rel = con.sql(oracles[name])
             dcols = rel.columns
+            # Surface-type guard (r3 verdict): DuckDB HUGEINT (e.g.
+            # SUM(int) promotes) materializes as float64 under a
+            # fetchdf-style driver normalizer ("57.0" vs Spark's "57"),
+            # silently failing hash compare even when values agree.
+            # Oracle SQL must CAST such outputs to BIGINT.
+            hug = [f"{c}:{t}" for c, t in zip(rel.columns, rel.types)
+                   if str(t) in ("HUGEINT", "UHUGEINT")]
+            if hug:
+                print(f"FAIL  {name}: oracle output surfaces HUGEINT "
+                      f"({', '.join(hug)}) — wrap in CAST(... AS BIGINT)")
+                failed += 1
+                continue
             drows = rel.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {str(e)[:200]}")
