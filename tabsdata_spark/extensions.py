@@ -280,16 +280,26 @@ def rolling_zscore(df: DataFrame, key_cols: list[str] | str, ts_col: str,
     m = F.floor(F.col(value_col) * 1e6 + F.lit(0.5)).cast("bigint")
     frame = (Window.partitionBy(*keys).orderBy(*order)
              .rowsBetween(-window, -1))
-    base = df.withColumn("__m", m)
+    # moments summed in decimal(38,0) (Spark's exact 128-bit path): a
+    # bigint m*m wraps silently (non-ANSI) or throws (ANSI) once
+    # |value| > ~3037, and the window sum itself can cross 2^63
+    base = (df.withColumn("__m", m)
+            .withColumn("__md", F.col("__m").cast("decimal(38,0)")))
     n = F.count("__m").over(frame)
-    s1 = F.sum("__m").over(frame)
-    s2 = F.sum((F.col("__m") * F.col("__m"))).over(frame)
+    s1 = F.sum("__md").over(frame)
+    s2 = F.sum(F.col("__md") * F.col("__md")).over(frame)
     nd = n.cast("double")
-    mean = (s1.cast("double") / 1e6) / nd
-    # sample variance over the micros integers, de-scaled once at the end
-    var = ((s2.cast("double") - s1.cast("double") * s1.cast("double") / nd)
-           / (nd - 1)) / 1e12
-    std = F.sqrt(var)
+    mean = F.when(nd > 0.0, (s1.cast("double") / 1e6) / nd)
+    # sample variance over the micros integers, de-scaled once at the end.
+    # Degenerate windows are guarded with lazy CASE branches (ANSI double
+    # division by zero RAISES, killing the whole job on one bad key):
+    # n <= 1 -> var NULL; var <= 0 (constant window, or float rounding
+    # pushing it a hair negative) -> std NULL -> z NULL -> row dropped by
+    # the threshold filter, same as the non-ANSI NULL-propagation path.
+    var = F.when(nd > 1.0,
+                 ((s2.cast("double") - s1.cast("double") * s1.cast("double")
+                   / nd) / (nd - 1)) / 1e12)
+    std = F.when(var > 0.0, F.sqrt(var))
     # materialize the window expressions before filtering on them (window
     # functions are not allowed inside WHERE); the unrounded z drives the
     # threshold, round is display-only

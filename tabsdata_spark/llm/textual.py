@@ -100,7 +100,13 @@ def char_entropy(text: Column) -> Column:
     re-run it once per distinct char (the documented lambda-inlining
     trap).  Entropy is computed as log2(n) - sum(c*log2(c))/n over integer
     counts c: fewer float ops than the p*log2(p) form and identical
-    rounding behavior across engines."""
+    rounding behavior across engines.
+
+    Unicode contract: F.split(text, "") is CODE-POINT safe on Spark 4
+    (Java regex zero-width matches never land inside a surrogate pair,
+    so non-BMP chars — emoji, rare CJK — stay whole), matching DuckDB's
+    string_split('') code-point semantics; verified by the non-BMP
+    parity test in tests/test_llm.py."""
     chars = F.filter(F.split(F.coalesce(text, F.lit("")), ""),
                      lambda c: c != "")
 

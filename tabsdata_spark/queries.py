@@ -5823,16 +5823,19 @@ def bloom_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_id, user_id, ts, value,
              COUNT(m) OVER w AS n,
              CAST(SUM(m) OVER w AS DOUBLE) AS s1,
-             CAST(SUM(m * m) OVER w AS DOUBLE) AS s2
+             CAST(SUM(CAST(m AS HUGEINT) * m) OVER w AS DOUBLE) AS s2
       FROM base
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
-    z AS (
+    v AS (
       SELECT event_id, user_id, ts, value,
              (s1 / 1e6) / CAST(n AS DOUBLE) AS mean,
-             SQRT(((s2 - s1 * s1 / CAST(n AS DOUBLE))
-                   / (CAST(n AS DOUBLE) - 1)) / 1e12) AS std
-      FROM wnd WHERE n >= 8)
+             ((s2 - s1 * s1 / CAST(n AS DOUBLE))
+              / (CAST(n AS DOUBLE) - 1)) / 1e12 AS var
+      FROM wnd WHERE n >= 8),
+    z AS (
+      SELECT event_id, user_id, ts, value, mean, SQRT(var) AS std
+      FROM v WHERE var > 0)
     SELECT event_id, user_id, ts, value,
            ROUND(mean, 6) AS roll_mean,
            ROUND(std, 6) AS roll_std,
@@ -6022,28 +6025,39 @@ def padding_waste_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type,
              COUNT(CASE WHEN cohort THEN m END) AS n_a,
              CAST(SUM(CASE WHEN cohort THEN m END) AS DOUBLE) AS s1a,
-             CAST(SUM(CASE WHEN cohort THEN m * m END) AS DOUBLE) AS s2a,
+             CAST(SUM(CASE WHEN cohort
+                       THEN CAST(m AS HUGEINT) * m END) AS DOUBLE) AS s2a,
              COUNT(CASE WHEN NOT cohort THEN m END) AS n_b,
              CAST(SUM(CASE WHEN NOT cohort THEN m END) AS DOUBLE) AS s1b,
-             CAST(SUM(CASE WHEN NOT cohort THEN m * m END) AS DOUBLE) AS s2b
+             CAST(SUM(CASE WHEN NOT cohort
+                       THEN CAST(m AS HUGEINT) * m END) AS DOUBLE) AS s2b
       FROM b GROUP BY event_type),
     d AS (
       SELECT event_type, n_a, n_b,
              CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
-             (s1a / 1e6) / CAST(n_a AS DOUBLE) AS ma,
-             (s1b / 1e6) / CAST(n_b AS DOUBLE) AS mb,
-             ((s2a - s1a * s1a / CAST(n_a AS DOUBLE))
-              / (CAST(n_a AS DOUBLE) - 1)) / 1e12 AS va,
-             ((s2b - s1b * s1b / CAST(n_b AS DOUBLE))
-              / (CAST(n_b AS DOUBLE) - 1)) / 1e12 AS vb
+             CASE WHEN n_a > 0
+                  THEN (s1a / 1e6) / CAST(n_a AS DOUBLE) END AS ma,
+             CASE WHEN n_b > 0
+                  THEN (s1b / 1e6) / CAST(n_b AS DOUBLE) END AS mb,
+             CASE WHEN n_a > 1
+                  THEN ((s2a - s1a * s1a / CAST(n_a AS DOUBLE))
+                        / (CAST(n_a AS DOUBLE) - 1)) / 1e12 END AS va,
+             CASE WHEN n_b > 1
+                  THEN ((s2b - s1b * s1b / CAST(n_b AS DOUBLE))
+                        / (CAST(n_b AS DOUBLE) - 1)) / 1e12 END AS vb
       FROM a),
-    e AS (SELECT *, va / na + vb / nb AS se2 FROM d)
+    e AS (SELECT *, CASE WHEN n_a > 1 AND n_b > 1
+                         THEN va / na + vb / nb END AS se2 FROM d)
     SELECT event_type, n_a, n_b,
            ROUND(ma, 6) AS mean_a,
            ROUND(mb, 6) AS mean_b,
-           ROUND((ma - mb) / SQRT(se2), 6) AS t_stat,
-           ROUND((se2 * se2) / ((va / na) * (va / na) / (na - 1)
-                                + (vb / nb) * (vb / nb) / (nb - 1)), 6) AS dof
+           CASE WHEN se2 > 0
+                THEN ROUND((ma - mb) / SQRT(se2), 6) END AS t_stat,
+           CASE WHEN se2 > 0
+                THEN ROUND((se2 * se2)
+                           / ((va / na) * (va / na) / (na - 1)
+                              + (vb / nb) * (vb / nb) / (nb - 1)), 6)
+                END AS dof
     FROM e
     """,
 )

@@ -318,24 +318,35 @@ def welch_ttest(df: DataFrame, value_col: str, cohort_col: str,
     m = F.floor(F.col(value_col) * 1e6 + F.lit(0.5)).cast("bigint")
     cond = F.col(cohort_col)
     a, b = F.when(cond, m), F.when(~cond, m)
+    # cast to decimal BEFORE squaring: (a * a) evaluates in 64-bit long
+    # first, silently wrapping (non-ANSI) or throwing (ANSI) once
+    # |value| > ~3037 (m^2 > 2^63) — the cast after the fact cannot
+    # recover the wrapped product
+    am, bm = a.cast(big), b.cast(big)
     agg = df.groupBy(*group_cols).agg(
         F.count(a).alias("n_a"),
-        F.sum(a.cast(big)).alias("_s1a"),
-        F.sum((a * a).cast(big)).alias("_s2a"),
+        F.sum(am).alias("_s1a"),
+        F.sum(am * am).alias("_s2a"),
         F.count(b).alias("n_b"),
-        F.sum(b.cast(big)).alias("_s1b"),
-        F.sum((b * b).cast(big)).alias("_s2b"),
+        F.sum(bm).alias("_s1b"),
+        F.sum(bm * bm).alias("_s2b"),
     )
     na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
     s1a, s2a = F.col("_s1a").cast("double"), F.col("_s2a").cast("double")
     s1b, s2b = F.col("_s1b").cast("double"), F.col("_s2b").cast("double")
-    ma, mb = (s1a / 1e6) / na, (s1b / 1e6) / nb
-    va = ((s2a - s1a * s1a / na) / (na - 1)) / 1e12
-    vb = ((s2b - s1b * s1b / nb) / (nb - 1)) / 1e12
-    se2 = va / na + vb / nb
-    t = (ma - mb) / F.sqrt(se2)
-    dof = (se2 * se2) / ((va / na) * (va / na) / (na - 1)
-                         + (vb / nb) * (vb / nb) / (nb - 1))
+    # degenerate cohorts (empty, or a single observation) are guarded
+    # with lazy CASE branches: ANSI double division by zero RAISES, so an
+    # unguarded group with n<=1 on either side would kill the whole job.
+    # Guarded cells surface as NULL, matching non-ANSI NULL propagation.
+    ma = F.when(na > 0.0, (s1a / 1e6) / na)
+    mb = F.when(nb > 0.0, (s1b / 1e6) / nb)
+    va = F.when(na > 1.0, ((s2a - s1a * s1a / na) / (na - 1)) / 1e12)
+    vb = F.when(nb > 1.0, ((s2b - s1b * s1b / nb) / (nb - 1)) / 1e12)
+    se2 = F.when((na > 1.0) & (nb > 1.0), va / na + vb / nb)
+    t = F.when(se2 > 0.0, (ma - mb) / F.sqrt(se2))
+    dof = F.when(se2 > 0.0,
+                 (se2 * se2) / ((va / na) * (va / na) / (na - 1)
+                                + (vb / nb) * (vb / nb) / (nb - 1)))
     return agg.select(
         *group_cols, "n_a", "n_b",
         F.round(ma, 6).alias("mean_a"),

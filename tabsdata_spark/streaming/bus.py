@@ -365,7 +365,14 @@ def stream_anomaly_flag(stream: DataFrame, key: str, ts_col: str,
         (w,) = state.get if state.exists else ([],)
         w = list(w)
         flagged_ids, flagged_vs, flagged_zs = [], [], []
-        for pdf in pdf_iter:
+        # concatenate ALL Arrow chunks before sorting: a key whose rows
+        # span multiple chunks (default ~10k rows each) would otherwise
+        # only be ordered within a chunk, silently breaking the
+        # (ts, id)-order parity contract with batch rolling_zscore
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            pdf = (chunks[0] if len(chunks) == 1 else
+                   pd.concat(chunks, ignore_index=True))
             pdf = pdf.sort_values([ts_col, id_col])
             for v, rid in zip(pdf[value_col], pdf[id_col]):
                 v = float(v)
@@ -377,12 +384,19 @@ def stream_anomaly_flag(stream: DataFrame, key: str, ts_col: str,
                     nd = float(n)
                     mean = (s1 / 1e6) / nd
                     var = ((s2 - s1 * s1 / nd) / (nd - 1)) / 1e12
-                    std = math.sqrt(var)
-                    z = (v - mean) / std
-                    if abs(z) > threshold:
-                        flagged_ids.append(int(rid))
-                        flagged_vs.append(v)
-                        flagged_zs.append(z)
+                    # degenerate window guard (parity with batch
+                    # rolling_zscore): a constant window makes var 0 —
+                    # or a hair negative under float rounding — and the
+                    # batch operator drops such rows (std is NULL under
+                    # its CASE guard), so emit no flag instead of
+                    # dividing by zero / sqrt'ing a negative
+                    if var > 0.0:
+                        std = math.sqrt(var)
+                        z = (v - mean) / std
+                        if abs(z) > threshold:
+                            flagged_ids.append(int(rid))
+                            flagged_vs.append(v)
+                            flagged_zs.append(z)
                 w.append(m)
                 if len(w) > window:
                     w = w[-window:]

@@ -393,3 +393,52 @@ def test_weekly_seasonality_iso_weekday_and_share(spark):
     assert out[0].n == 2 and out[0].mean_value == 20.0
     assert out[2].n == 1 and out[2].mean_value == 7.0
     assert out[0].share == pytest.approx(2 / 3, abs=1e-6)
+
+
+def test_rolling_zscore_constant_window_drops_not_crashes(spark):
+    # ADVICE r3: a window of >= min_periods IDENTICAL values makes var 0
+    # (heartbeat metrics); the degenerate rows must be dropped, not raise
+    # DIVIDE_BY_ZERO (ANSI) or flag NaN/Inf z-scores (non-ANSI)
+    from tabsdata_spark.extensions import rolling_zscore
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, 1, t0 + dt.timedelta(seconds=i), 7.0) for i in range(12)]
+    rows.append((12, 1, t0 + dt.timedelta(seconds=12), 99.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double")
+    out = rolling_zscore(df, "user_id", "ts", "value", window=20,
+                         min_periods=8, threshold=2.5,
+                         tie_cols=["event_id"]).collect()
+    # the spike scores against a zero-variance trailing window -> dropped;
+    # nothing else deviates, so the result is empty (and nothing crashed)
+    assert out == []
+
+
+def test_rolling_zscore_large_values_exact_no_overflow(spark):
+    # ADVICE r3: micros-quantized m*m crosses 2^63 once |value| > ~3037;
+    # the squared term must go through decimal(38,0), not 64-bit long
+    from tabsdata_spark.extensions import rolling_zscore
+    import datetime as dt
+    import math
+
+    t0 = dt.datetime(2024, 1, 1)
+    base = [1.0e7 + (i % 3) * 25_000.0 for i in range(10)]   # m ~ 1e13
+    rows = [(i, 1, t0 + dt.timedelta(seconds=i), v)
+            for i, v in enumerate(base)]
+    rows.append((10, 1, t0 + dt.timedelta(seconds=10), 2.0e7))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double")
+    out = rolling_zscore(df, "user_id", "ts", "value", window=20,
+                         min_periods=8, threshold=2.5,
+                         tie_cols=["event_id"]).collect()
+    assert [r.event_id for r in out] == [10]
+    # exact replay of the integer-moment arithmetic in Python (arbitrary
+    # precision): identical IEEE derivation => identical rounded z
+    w = [int(math.floor(v * 1e6 + 0.5)) for v in base]
+    n = float(len(w))
+    s1, s2 = float(sum(w)), float(sum(x * x for x in w))
+    mean = (s1 / 1e6) / n
+    var = ((s2 - s1 * s1 / n) / (n - 1)) / 1e12
+    z = (2.0e7 - mean) / math.sqrt(var)
+    assert out[0].zscore == round(z, 6)

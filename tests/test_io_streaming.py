@@ -536,3 +536,39 @@ def test_stream_anomaly_flag_matches_batch_rolling_zscore(spark, tmp_path):
     assert set(flagged) == set(batch)
     for eid, z in flagged.items():
         assert abs(z - batch[eid]) < 5e-7   # batch col is rounded to 6
+
+
+def test_stream_anomaly_flag_constant_series_no_crash(spark, tmp_path):
+    """ADVICE r3: a zero-variance trailing window (heartbeat metric) must
+    not kill the streaming query with ZeroDivisionError; parity with the
+    batch operator means the degenerate rows are silently dropped."""
+    import datetime as dt
+
+    from tabsdata_spark.extensions import rolling_zscore
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, 1, t0 + dt.timedelta(minutes=i), 5.0) for i in range(15)]
+    rows.append((15, 1, t0 + dt.timedelta(minutes=15), 500.0))
+    schema = "event_id long, user long, ts timestamp, v double"
+    df = spark.createDataFrame(rows, schema)
+
+    batch = {r.event_id for r in
+             rolling_zscore(df, "user", "ts", "v", window=20,
+                            min_periods=8, threshold=2.5,
+                            tie_cols=["event_id"]).collect()}
+    assert batch == set()   # constant window -> var 0 -> dropped, not Inf
+
+    src = tmp_path / "const_anom"
+    src.mkdir()
+    df.coalesce(1).write.parquet(str(src / "b1"))
+    flagged = {}
+    stream = bus.stream_file_source(spark, str(src / "*"), schema)
+    out = bus.stream_anomaly_flag(stream, "user", "ts", "v", "event_id",
+                                  window=20, min_periods=8, threshold=2.5)
+    qy = (out.writeStream.outputMode("update")
+          .foreachBatch(lambda b, i: flagged.update(
+              {r.event_id: r.zscore for r in b.collect()}))
+          .option("checkpointLocation", str(tmp_path / "const_anom_ckpt"))
+          .trigger(availableNow=True).start())
+    qy.awaitTermination(120)
+    assert set(flagged) == batch == set()

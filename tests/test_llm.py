@@ -1468,3 +1468,34 @@ def test_duplicate_size_histogram_shares(spark):
     assert out[2].n_clusters == 2 and out[2].n_docs == 4
     assert out[2].doc_share == 0.8
     assert out[1].n_clusters == 1 and out[1].doc_share == 0.2
+
+
+def test_char_entropy_non_bmp_codepoints(spark):
+    # ADVICE r3 follow-up: verify F.split(text, "") is code-point safe on
+    # Spark 4 (surrogate pairs stay whole), so entropy of non-BMP text
+    # matches DuckDB's string_split('') code-point semantics.  If the
+    # split ever regressed to UTF-16 code units, the emoji would count as
+    # TWO distinct surrogate chars and the entropy would shift.
+    from tabsdata_spark.llm import textual as tx
+
+    df = spark.createDataFrame(
+        [(0, "\U0001F600\U0001F600aa"),          # 2 symbols x2 -> 1 bit
+         (1, "\U0001F600\U0001F601ab")],         # 4 distinct -> 2 bits
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["e"] for r in df.select(
+        "doc_id",
+        F.round(tx.char_entropy(F.col("text")), 6).alias("e")).collect()}
+    assert abs(out[0] - 1.0) < 1e-9
+    assert abs(out[1] - 2.0) < 1e-9
+    # cross-engine: DuckDB computes the same distribution
+    import duckdb
+    d = duckdb.sql("""
+        WITH c AS (SELECT unnest(string_split('\U0001F600\U0001F600aa', ''))
+                   AS ch),
+        k AS (SELECT ch, COUNT(*) AS c FROM c GROUP BY ch),
+        t AS (SELECT SUM(c) AS n FROM k)
+        SELECT log2(CAST(n AS DOUBLE))
+               - SUM(c * log2(CAST(c AS DOUBLE))) / n AS e
+        FROM k, t GROUP BY n
+    """).fetchone()[0]
+    assert abs(out[0] - round(d, 6)) < 1e-9

@@ -292,3 +292,51 @@ def test_benford_first_digit_from_micros_integer(spark):
         "g string, v double")
     r = stats.benford_deviation(df, "v", ["g"]).collect()[0]
     assert r.n == 3
+
+
+def test_welch_ttest_large_values_no_overflow(spark):
+    # ADVICE r3: (m * m) evaluated in 64-bit long wraps once |value| >
+    # ~3037; the decimal(38,0) cast must happen BEFORE the multiply
+    from tabsdata_spark import stats
+    import math
+
+    a_vals = [1.0e6, 1.2e6, 0.9e6, 1.1e6]
+    b_vals = [2.0e6, 2.3e6, 1.8e6]
+    rows = [("g", True, v) for v in a_vals]
+    rows += [("g", False, v) for v in b_vals]
+    df = spark.createDataFrame(rows, "g string, cohort boolean, v double")
+    r = stats.welch_ttest(df, "v", "cohort", ["g"]).collect()[0]
+
+    def moments(vs):
+        ms = [int(math.floor(v * 1e6 + 0.5)) for v in vs]
+        n = float(len(ms))
+        s1, s2 = float(sum(ms)), float(sum(m * m for m in ms))
+        mean = (s1 / 1e6) / n
+        var = ((s2 - s1 * s1 / n) / (n - 1)) / 1e12
+        return n, mean, var
+
+    na, ma, va = moments(a_vals)
+    nb, mb, vb = moments(b_vals)
+    se2 = va / na + vb / nb
+    t = (ma - mb) / math.sqrt(se2)
+    dof = se2 * se2 / ((va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1))
+    assert r.t_stat == round(t, 6)
+    assert r.dof == round(dof, 6)
+
+
+def test_welch_ttest_degenerate_cohorts_null_not_crash(spark):
+    # empty or single-observation cohorts must yield NULL stats, not a
+    # DIVIDE_BY_ZERO under the driver's vanilla ANSI session
+    from tabsdata_spark import stats
+
+    rows = [("empty_b", True, 1.0), ("empty_b", True, 2.0),
+            ("single_a", True, 5.0),
+            ("single_a", False, 1.0), ("single_a", False, 2.0),
+            ("const", True, 3.0), ("const", True, 3.0),
+            ("const", False, 3.0), ("const", False, 3.0)]
+    df = spark.createDataFrame(rows, "g string, cohort boolean, v double")
+    got = {r.g: r for r in
+           stats.welch_ttest(df, "v", "cohort", ["g"]).collect()}
+    assert got["empty_b"].t_stat is None and got["empty_b"].mean_b is None
+    assert got["single_a"].t_stat is None    # n_a == 1 -> no variance
+    assert got["const"].t_stat is None       # se2 == 0 -> undefined t
