@@ -1246,36 +1246,44 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and tools/check_queries.py.  This window re-runs cast_ops (hash fix) plus
 # 49 queries that have never had a driver row.  Round 4 rotates the final
 # ~49 in.  Rotation map recorded in NOTES.md.
-_PRIORITY_R3 = [
-    "cast_ops",
-    # TPC-H shapes never driver-verified
-    "q2_min_cost_supplier", "q4_order_priority", "q7_volume_shipping",
-    "q8_market_share", "q9_product_profit", "q11_important_parts",
-    "q12_priority_counts", "q13_customer_distribution", "q14_promo_revenue",
-    "q15_top_supplier", "q16_supplier_cnt", "q17_small_quantity",
-    "q18_large_volume", "q19_disjunctive", "q20_excess_shippers",
-    "q21_waiting_suppliers", "q22_idle_customers",
-    # streaming batch twins (§2.9)
-    "session_window_native", "sliding_window_events",
-    "asof_join_events", "range_join_events",
-    # graph / dedup / clustering
-    "connected_components_docs", "connected_components_star_docs",
-    "semantic_dedup_keep", "decontaminate_docs", "dsir_select_docs",
-    "kmeans_clusters_emb", "triangle_count_emb", "repeated_spans_docs",
-    # analytics / window / pivot
-    "pivot_lang_counts", "unpivot_part_metrics", "pagerank_event_transitions",
-    "percentiles_events", "median_by_group", "cube_rollup",
-    "grouping_sets_revenue", "ntile_customers",
+#: Round-4 driver window (the driver snapshots the FIRST 50 entries of
+#: queries() in dict order).  Rotation plan across rounds: r1+r2 verified
+#: registration-order[0:50] (CORRECTNESS_r02 keys); r3 verified cast_ops +
+#: 49 never-checked (_PRIORITY_R3, see git history); r4 = the two r3 reds
+#: re-checked after their HUGEINT-oracle fix + 48 more never-checked; the
+#: remaining pool rotates in at r5/r6.  All window changes are pure
+#: reorders — every registered query stays green under
+#: tools/check_queries.py --vanilla at all three scales.
+_PRIORITY_R4 = [
+    # r3 reds, re-checked after the CAST(... AS BIGINT) oracle fix
+    "q12_priority_counts", "quality_gate_docs",
+    # row-op / expression coverage
+    "nan_handling", "drop_nans_q", "unique_keep_first", "string_funcs2",
+    "dt_funcs2", "group_shortcuts", "sessionize", "topk_per_group",
+    "eq_missing_q", "multimodal_decode", "rolling_fingerprint",
+    "simhash_values", "join_nulls_q", "join_suffix_q", "concat_relaxed",
+    "concat_diag_relaxed", "math_extra", "str_advanced", "business_days",
+    "rank_methods", "udf_element_tier",
+    # window / agg events suite
+    "rolling_window_events", "hierarchical_rollup_events", "filtered_agg",
+    "vector_normalize", "parse_dates", "arg_extremum",
+    "content_fingerprint_md5", "dedup_stats", "quality_bins",
+    "ngram_repetition", "percentrank_cumedist_events", "lead_gap_events",
+    "json_extract_events", "stats_variance_events", "corr_value_k_events",
+    "mode_event_type_per_user", "listagg_user_event_types",
+    "histogram_event_values",
     # corpus / hygiene
-    "tfidf_top_terms", "bm25_docs", "vocab_top_terms", "quality_gate_docs",
-    "gopher_rules_docs", "pii_redact", "hash_split_docs", "pack_sequences",
-    "doc_chunks", "stratified_sample_docs", "mixture_sample_docs",
-    "incremental_dedup_docs",
+    "boilerplate_ngrams_docs", "source_vocab_overlap_q",
+    "unigram_surprisal_docs", "zipf_slope_sources", "version_diff_docs",
+    "source_caps_docs",
+    # scale toolkit / sketches
+    "salted_user_revenue", "distinct_users_by_type",
+    "approx_distinct_invariant",
 ]
 
 
 def _rotated(d: dict) -> dict:
-    out = {n: d[n] for n in _PRIORITY_R3 if n in d}
+    out = {n: d[n] for n in _PRIORITY_R4 if n in d}
     out.update((n, v) for n, v in d.items() if n not in out)
     return out
 
@@ -6956,3 +6964,146 @@ def hourly_load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("p95_value"),
                  F.sum(F.col("value").cast("decimal(18,2)"))
                  .cast("double").alias("total_value")))
+
+
+# ===========================================================================
+# round-4 additions: LIVE streaming operators, driver-verifiable
+# (VERDICT r3 item #5 — streaming deserves the same hard signal as its
+# batch twins; each runs the REAL Structured Streaming operator with an
+# availableNow trigger and returns the collected sink as a DataFrame)
+# ===========================================================================
+@q(
+    "stream_anomaly_events",
+    """
+    WITH base AS (
+      SELECT event_id, user_id, ts, value,
+             CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) AS m
+      FROM events WHERE user_id < 40),
+    wnd AS (
+      SELECT event_id, user_id, value,
+             COUNT(m) OVER w AS n,
+             CAST(SUM(m) OVER w AS DOUBLE) AS s1,
+             CAST(SUM(CAST(m AS HUGEINT) * m) OVER w AS DOUBLE) AS s2
+      FROM base
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+    v AS (
+      SELECT event_id, user_id, value,
+             (s1 / 1e6) / CAST(n AS DOUBLE) AS mean,
+             ((s2 - s1 * s1 / CAST(n AS DOUBLE))
+              / (CAST(n AS DOUBLE) - 1)) / 1e12 AS var
+      FROM wnd WHERE n >= 8),
+    z AS (
+      SELECT event_id, user_id, value, mean, SQRT(var) AS std
+      FROM v WHERE var > 0)
+    SELECT event_id, user_id, value,
+           ROUND((value - mean) / std, 6) AS zscore
+    FROM z
+    WHERE ABS((value - mean) / std) > 2.5
+    """,
+)
+def stream_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE stateful streaming anomaly detection
+    (streaming/bus.py stream_anomaly_flag, applyInPandasWithState): the
+    events slice is written time-ordered to a temp dir, streamed back
+    with an availableNow trigger, and the per-key trailing-window state
+    machine scores every row.  The oracle is the BATCH integer-moment
+    z-score SQL — the operator's documented bit-for-bit parity contract
+    with extensions.rolling_zscore, now held to a driver-grade value
+    hash instead of only a pytest parity assertion.  Collected sink is
+    bounded by the anomaly count."""
+    import tempfile
+
+    from tabsdata_spark.streaming import bus
+
+    ev = (load_events(spark, sf_dir).df
+          .filter(F.col("user_id") < 40)
+          .select("event_id", "user_id", "ts", "value")
+          .orderBy("ts", "event_id"))
+    tmp = tempfile.mkdtemp(prefix="td_stream_anom_")
+    ev.coalesce(1).write.parquet(f"{tmp}/src/b1")
+    schema = "event_id long, user_id long, ts timestamp, value double"
+    stream = bus.stream_file_source(spark, f"{tmp}/src/*", schema)
+    out = bus.stream_anomaly_flag(stream, "user_id", "ts", "value",
+                                  "event_id", window=20, min_periods=8,
+                                  threshold=2.5)
+    rows: list = []
+    qy = (out.writeStream.outputMode("update")
+          .foreachBatch(lambda b, i: rows.extend(b.collect()))
+          .option("checkpointLocation", f"{tmp}/ckpt")
+          .trigger(availableNow=True).start())
+    qy.awaitTermination(300)
+    res = spark.createDataFrame(
+        [(r["event_id"], r["k"], r["value"], r["zscore"]) for r in rows],
+        "event_id long, user_id long, value double, zscore double")
+    return res.select("event_id", "user_id", "value",
+                      F.round("zscore", 6).alias("zscore"))
+
+
+@q(
+    "stream_near_dup_events",
+    r"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) >= 3
+                  THEN list_transform(range(1, len(toks) - 1),
+                       i -> array_to_string(toks[i:i+2], ' '))
+                  ELSE [array_to_string(toks, ' ')] END) AS shingles
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS toks
+            FROM documents)),
+    sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    ex AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+    inter AS (
+      SELECT n.doc_id AS doc_id, c.doc_id AS match_id, COUNT(*) AS shared
+      FROM ex n JOIN ex c ON n.g = c.g
+      WHERE n.doc_id >= 250 AND c.doc_id < 250
+      GROUP BY 1, 2),
+    j AS (
+      SELECT inter.doc_id, match_id,
+             ROUND(shared / CAST(sa.n + sb.n - shared AS DOUBLE), 6) AS jaccard
+      FROM inter
+      JOIN sz sa ON sa.doc_id = inter.doc_id
+      JOIN sz sb ON sb.doc_id = inter.match_id
+      WHERE shared / CAST(sa.n + sb.n - shared AS DOUBLE) >= 0.5)
+    SELECT doc_id, match_id, jaccard
+    FROM j
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+            ORDER BY jaccard DESC, match_id ASC) = 1
+    """,
+)
+def stream_near_dup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE streaming near-dup flagging (streaming/bus.py
+    stream_near_dup_flag) + the documented batch follow-up: the new batch
+    (doc_id >= 250) streams through the banded-LSH flagger against the
+    static corpus (< 250), then ONLY the flagged trickle goes through the
+    exact n-gram Jaccard verify (llm/dedup.py incremental_near_dup).  The
+    oracle is the exact inverted-index jaccard join — green iff the
+    streaming flagger's candidate recall is total on this corpus (the
+    same recall pin the batch twin incremental_near_dup_docs carries) and
+    the verify removes every LSH false positive."""
+    import tempfile
+
+    from tabsdata_spark.streaming import bus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") < 250)
+    batch = docs.filter(F.col("doc_id") >= 250).select(
+        "doc_id", "text",
+        F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")).alias("ts"))
+    tmp = tempfile.mkdtemp(prefix="td_stream_ndup_")
+    batch.coalesce(1).write.parquet(f"{tmp}/src/b1")
+    stream = bus.stream_file_source(
+        spark, f"{tmp}/src/*", "doc_id long, text string, ts timestamp")
+    out = bus.stream_near_dup_flag(stream, corpus, id_col="doc_id",
+                                   text_col="text", ts_col="ts")
+    flagged: list = []
+    qy = (out.writeStream.outputMode("append")
+          .foreachBatch(lambda b, i: flagged.extend(
+              r["doc_id"] for r in b.select("doc_id").collect()))
+          .option("checkpointLocation", f"{tmp}/ckpt")
+          .trigger(availableNow=True).start())
+    qy.awaitTermination(300)
+    trickle = batch.filter(F.col("doc_id").isin(flagged or [-1]))
+    return dedup.incremental_near_dup(trickle.drop("ts"), corpus,
+                                      threshold=0.5)

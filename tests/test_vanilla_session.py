@@ -108,19 +108,22 @@ def test_events_load_on_vanilla_session(vanilla, sf_dir):
 
 
 def test_driver_window_covers_never_verified_queries():
-    """The driver snapshots queries()[0:50].  Guard the r3 rotation: the
-    window must be exactly _PRIORITY_R3, every entry must exist with an
-    oracle, and (except cast_ops, kept for its hash fix) none may be a
-    query the driver already verified in rounds 1-2."""
+    """The driver snapshots queries()[0:50].  Guard the r4 rotation: the
+    window must be exactly _PRIORITY_R4, every entry must exist with an
+    oracle, and none may be a query the driver already green-verified —
+    except the two r3 hash-reds (q12_priority_counts, quality_gate_docs),
+    kept in to confirm their HUGEINT-oracle fix."""
     import json
 
     from tabsdata_spark import queries as registry
 
     names = list(registry.queries())
     window = names[:50]
-    assert window == registry._PRIORITY_R3
+    assert window == registry._PRIORITY_R4
+    assert len(window) == 50
     oracles = registry.oracle_sql()
     assert all(n in oracles for n in window)
     r2 = set(json.load(open("CORRECTNESS_r02.json")))
-    already = set(window) & r2
-    assert already == {"cast_ops"}, already
+    r3 = set(json.load(open("CORRECTNESS_r03.json")))
+    already = set(window) & (r2 | r3)
+    assert already == {"q12_priority_counts", "quality_gate_docs"}, already
