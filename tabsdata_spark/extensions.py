@@ -634,3 +634,93 @@ def weekly_seasonality(df: DataFrame, group_col: str, ts_col: str,
                     F.round(F.col("n").cast("double")
                             / F.col("_tn").cast("double"), 6)
                     .alias("share")))
+
+
+def changepoint_detect(df: DataFrame, key_cols: list[str] | str,
+                       ts_col: str, value_col: str) -> DataFrame:
+    """Single change-point detection per key (binary segmentation, depth
+    1) on the DAILY mean of `value_col`: for every candidate split day t,
+    score the two-sample contrast
+
+        stat(t) = |mean(days <= t) - mean(days > t)| * sqrt(nl*nr/n)
+
+    (the CUSUM-at-maximum statistic for a level shift) and return the
+    argmax split with a deterministic tie-break (earliest day).  The
+    level-shift monitor behind "did this metric move when we shipped X".
+
+    Exactness contract: daily sums are micros-quantized decimal(38,0)
+    integers; prefix sums over ordered days are exact; means and the stat
+    are identical IEEE derivations in any engine (NOTES oracle rule 1).
+
+    Scale shape: one partial agg onto (key, day) — the only row-count
+    shuffle — then windows over the DAYS of each key (state bounded by
+    the calendar, not rows) and one row_number to pick the argmax.  Keys
+    with < 2 days yield no row."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    big = "decimal(38,0)"
+    m = F.floor(F.col(value_col) * 1e6 + F.lit(0.5)).cast(big)
+    daily = (df.filter(F.col(value_col).isNotNull())
+             .groupBy(*keys, F.to_date(F.col(ts_col)).alias("__day"))
+             .agg(F.count(F.lit(1)).alias("__c"), F.sum(m).alias("__s")))
+    wcum = (Window.partitionBy(*keys).orderBy("__day")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wall = (Window.partitionBy(*keys)
+            .rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing))
+    scored = (daily
+              .withColumn("__cl", F.sum("__c").over(wcum))
+              .withColumn("__sl", F.sum("__s").over(wcum))
+              .withColumn("__cn", F.sum("__c").over(wall))
+              .withColumn("__sn", F.sum("__s").over(wall)))
+    nl = F.col("__cl").cast("double")
+    nn = F.col("__cn").cast("double")
+    nr = nn - nl
+    sl = F.col("__sl").cast("double")
+    sr = (F.col("__sn") - F.col("__sl")).cast("double")
+    ml = F.when(nl > 0.0, (sl / 1e6) / nl)
+    mr = F.when(nr > 0.0, (sr / 1e6) / nr)
+    stat = F.when((nl > 0.0) & (nr > 0.0),
+                  F.abs(ml - mr) * F.sqrt(nl * nr / nn))
+    cand = (scored.withColumn("__stat", stat)
+            .filter(F.col("__stat").isNotNull()))
+    pick = Window.partitionBy(*keys).orderBy(
+        F.col("__stat").desc(), F.col("__day").asc())
+    return (cand.withColumn("__rn", F.row_number().over(pick))
+            .filter(F.col("__rn") == 1)
+            .select(*keys,
+                    F.col("__day").alias("change_day"),
+                    F.col("__cl").alias("n_before"),
+                    (F.col("__cn") - F.col("__cl")).alias("n_after"),
+                    F.round(ml, 6).alias("mean_before"),
+                    F.round(mr, 6).alias("mean_after"),
+                    F.round(F.col("__stat"), 6).alias("stat")))
+
+
+def disorder_report(df: DataFrame, key_cols: list[str] | str,
+                    seq_col: str, ts_col: str) -> DataFrame:
+    """Per-key event-time disorder audit: in arrival order (`seq_col` —
+    an ingest sequence / offset), how many events carry a timestamp
+    EARLIER than one already seen, and by how much?  This is the
+    measurement that sizes a streaming watermark: max_lateness bounds the
+    delay needed for completeness, disorder_frac says how much state a
+    too-short watermark would drop.
+
+    Scale shape: one shuffle on the key columns, one per-partition sort,
+    one running-max window (prefix max EXCLUDES the current row so a
+    row never compares to itself), one partial agg.  All JVM window
+    codegen over bigint micros — no floats until the final ratio."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    us = F.unix_micros(F.col(ts_col))
+    w = (Window.partitionBy(*keys).orderBy(seq_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    prev_max = F.max(us).over(w)
+    late_us = F.when(prev_max > us, prev_max - us)
+    base = df.withColumn("__late", late_us)
+    return (base.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.count("__late").alias("n_out_of_order"),
+                 F.round(F.count("__late")
+                         / F.count(F.lit(1)).cast("double"), 6)
+                 .alias("disorder_frac"),
+                 F.coalesce(F.max("__late"), F.lit(0)).cast("bigint")
+                 .alias("max_lateness_us")))

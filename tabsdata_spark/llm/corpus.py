@@ -785,3 +785,47 @@ def vocab_coverage(docs: DataFrame, ks: list[int] | None = None,
                        .alias("coverage")))
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def temperature_sample(docs: DataFrame, strata_col: str = "source",
+                       id_col: str = "doc_id", alpha: float = 0.5,
+                       hash_fn=None, salt: str = "t|") -> DataFrame:
+    """Temperature-scaled source resampling (the multilingual/source
+    rebalancing recipe of XLM-R / mT5: sample stratum s with probability
+    proportional to share_s^alpha, alpha<1 upweighting the tail): keep
+    each row independently with a per-stratum probability chosen so the
+    KEPT corpus approaches the alpha-tempered mixture without upsampling
+    (keep_p proportional to share^(alpha-1), scaled so the largest ratio
+    is exactly 1 — no stratum needs duplication).
+
+    Determinism contract: the keep decision is `hash(salt||id) < floor(
+    keep_p * 2^60)` — a pure function of the row, reproducible across
+    engines, runs, and partitionings.  keep_p derives from integer
+    stratum counts; with alpha=0.5 the tempering uses SQRT (IEEE-exact in
+    every engine), so the kept row SET is bit-stable cross-engine.  Other
+    alphas go through pow(), which is not correctly-rounded in general —
+    fine in production, not for a bit-exact oracle.
+
+    Scale shape: one dimension-sized count agg, a broadcast join of the
+    per-stratum threshold onto the corpus, and a hash filter — the corpus
+    is scanned once and never shuffled."""
+    hf = hash_fn or F.xxhash64
+    if alpha == 0.5:
+        tempered = F.sqrt(F.col("__c").cast("double"))
+    else:
+        tempered = F.pow(F.col("__c").cast("double"), F.lit(float(alpha)))
+    counts = (docs.groupBy(strata_col)
+              .agg(F.count(F.lit(1)).alias("__c"))
+              .withColumn("__q", tempered / F.col("__c").cast("double")))
+    maxq = counts.agg(F.max("__q").alias("__maxq"))
+    thr = (counts.crossJoin(F.broadcast(maxq))
+           .withColumn("__thr",
+                       F.floor((F.col("__q") / F.col("__maxq"))
+                               * F.lit(float(1 << 60)) + F.lit(0.5))
+                       .cast("long"))
+           .select(strata_col, "__thr"))
+    h = hf(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    kept = (docs.join(F.broadcast(thr), strata_col)
+            .filter(((h % F.lit(1 << 60)) + F.lit(1 << 60)) % F.lit(1 << 60)
+                    < F.col("__thr")))
+    return kept.select(id_col, strata_col)

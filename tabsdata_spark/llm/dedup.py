@@ -1119,3 +1119,39 @@ def duplicate_size_histogram(df: DataFrame, key: Column,
                     F.round(docs_in.cast("double")
                             / F.col("__t").cast("double"), 6)
                     .alias("doc_share")))
+
+
+def clustering_coefficient(edges: DataFrame, src: str = "id_a",
+                           dst: str = "id_b") -> DataFrame:
+    """Per-node local clustering coefficient of an undirected graph:
+    coeff = 2 * triangles(v) / (deg(v) * (deg(v) - 1)) — how close each
+    node's neighborhood is to a clique.  On a similarity graph this
+    separates tight duplicate clusters (coeff ~ 1) from hub nodes that
+    merely bridge many loose neighbors (coeff ~ 0) — the diagnostic for
+    whether a connected component is one dup cluster or a chain of
+    borderline pairs.
+
+    Scale shape: reuses triangle_count's degree-ordered orientation (the
+    curse-of-the-last-reducer fix bounds wedge fan-out by the oriented
+    out-degree), plus one degree agg and one left join — nodes without
+    triangles keep coeff 0.  Nodes with deg < 2 are excluded (the
+    coefficient is undefined there)."""
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+         .filter(F.col("u") != F.col("v"))
+         .select(F.least("u", "v").alias("u"),
+                 F.greatest("u", "v").alias("v"))
+         .distinct())
+    e = e.localCheckpoint(eager=True)
+    deg = (e.select(F.col("u").alias("node"))
+           .union(e.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("degree")))
+    tri = triangle_count(e, "u", "v")
+    d = F.col("degree").cast("double")
+    coeff = (F.lit(2.0) * F.coalesce(F.col("triangles"), F.lit(0))
+             .cast("double")) / (d * (d - 1.0))
+    return (deg.filter(F.col("degree") >= 2)
+            .join(tri, "node", "left")
+            .select("node", "degree",
+                    F.coalesce(F.col("triangles"), F.lit(0))
+                    .alias("triangles"),
+                    F.round(coeff, 6).alias("clustering_coeff")))

@@ -7107,3 +7107,300 @@ def stream_near_dup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     trickle = batch.filter(F.col("doc_id").isin(flagged or [-1]))
     return dedup.incremental_near_dup(trickle.drop("ts"), corpus,
                                       threshold=0.5)
+
+
+@q(
+    "mann_whitney_events",
+    """
+    WITH b AS (
+      SELECT event_type, user_id % 2 = 0 AS cohort,
+             CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) AS m
+      FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+    per AS (
+      SELECT event_type, m, COUNT(*) AS c,
+             COUNT(CASE WHEN cohort THEN 1 END) AS ca
+      FROM b GROUP BY 1, 2),
+    r AS (
+      SELECT event_type, c, ca,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY m
+                          ROWS UNBOUNDED PRECEDING) - c AS less
+      FROM per),
+    a AS (
+      SELECT event_type,
+             CAST(SUM(CAST(ca AS HUGEINT) * (2 * less + c + 1)) AS DOUBLE)
+                 AS r2a,
+             CAST(SUM(ca) AS BIGINT) AS n_a,
+             CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(CAST(c AS HUGEINT) * c * c - c) AS DOUBLE) AS tie
+      FROM r GROUP BY 1),
+    d AS (
+      SELECT event_type, n_a, n - n_a AS n_b,
+             CAST(n_a AS DOUBLE) AS na, CAST(n AS DOUBLE) AS nn,
+             CAST(n - n_a AS DOUBLE) AS nb, r2a, tie
+      FROM a),
+    s AS (
+      SELECT event_type, n_a, n_b, na, nn, nb,
+             r2a / 2.0 - (na * (na + 1.0)) / 2.0 AS u_a,
+             CASE WHEN nn > 1.0
+                  THEN (na * nb / 12.0)
+                       * ((nn + 1.0) - tie / (nn * (nn - 1.0))) END AS sig2
+      FROM d)
+    SELECT event_type, n_a, n_b,
+           ROUND(u_a, 6) AS u_stat,
+           CASE WHEN sig2 > 0.0
+                THEN ROUND((u_a - 0.5 * na * nb) / SQRT(sig2), 6)
+                END AS z_score
+    FROM s
+    """,
+)
+def mann_whitney_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Mann-Whitney U per event_type between even/odd user
+    cohorts (stats.mann_whitney_u): the nonparametric A/B primitive —
+    integer tie cells, doubled average ranks, decimal(38,0) moment sums,
+    identical IEEE U/z derivation in any engine or partitioning."""
+    from tabsdata_spark import stats
+
+    ev = (load_events(spark, sf_dir).df
+          .filter(F.col("value").isNotNull() & F.col("user_id").isNotNull()))
+    b = ev.withColumn("cohort", (F.col("user_id") % 2) == 0)
+    return stats.mann_whitney_u(b, "value", "cohort", ["event_type"])
+
+
+@q(
+    "chi_squared_events",
+    """
+    WITH b AS (
+      SELECT event_type AS a, EXTRACT(hour FROM ts) AS h
+      FROM events WHERE event_type IS NOT NULL),
+    cells AS (SELECT a, h, COUNT(*) AS o FROM b GROUP BY 1, 2),
+    rows_ AS (SELECT a, SUM(o) AS ri FROM cells GROUP BY 1),
+    cols_ AS (SELECT h, SUM(o) AS cj FROM cells GROUP BY 1),
+    tot AS (SELECT SUM(o) AS n, COUNT(DISTINCT a) AS r,
+                   COUNT(DISTINCT h) AS c FROM cells),
+    grid AS (
+      SELECT rows_.a, cols_.h, ri, cj, COALESCE(o, 0) AS o
+      FROM rows_ CROSS JOIN cols_
+      LEFT JOIN cells ON cells.a = rows_.a AND cells.h = cols_.h),
+    contrib AS (
+      SELECT CAST(FLOOR((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e)
+                        / e * 1e9 + 0.5) AS HUGEINT) AS cm
+      FROM (SELECT o, CAST(ri AS DOUBLE) * CAST(cj AS DOUBLE)
+                      / CAST(n AS DOUBLE) AS e
+            FROM grid, tot)),
+    agg AS (SELECT CAST(SUM(cm) AS DOUBLE) / 1e9 AS chi2 FROM contrib)
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+           ROUND(chi2, 6) AS chi2,
+           CASE WHEN LEAST(r - 1, c - 1) > 0
+                THEN ROUND(SQRT(chi2 / (CAST(n AS DOUBLE)
+                     * CAST(LEAST(r - 1, c - 1) AS DOUBLE))), 6)
+                END AS cramers_v
+    FROM agg, tot
+    """,
+)
+def chi_squared_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared independence of event_type x hour-of-day
+    (stats.chi_squared_independence) with Cramer's V: full r x c grid
+    (absent cells enter with o=0), nanos-quantized decimal-summed cell
+    contributions — chi2 independent of partial-agg order."""
+    from tabsdata_spark import stats
+
+    ev = load_events(spark, sf_dir).df
+    b = ev.select("event_type", F.hour("ts").alias("hod"))
+    return stats.chi_squared_independence(b, "event_type", "hod")
+
+
+@q(
+    "changepoint_events",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c,
+             SUM(CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT)) AS s
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    w AS (
+      SELECT event_type, day,
+             SUM(c) OVER cum AS cl, SUM(s) OVER cum AS slh,
+             SUM(c) OVER tot AS cn, SUM(s) OVER tot AS snh
+      FROM daily
+      WINDOW cum AS (PARTITION BY event_type ORDER BY day
+                     ROWS UNBOUNDED PRECEDING),
+             tot AS (PARTITION BY event_type
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND UNBOUNDED FOLLOWING)),
+    sc AS (
+      SELECT event_type, day, cl, cn,
+             CAST(cl AS DOUBLE) AS nl, CAST(cn AS DOUBLE) AS nn,
+             CAST(cn - cl AS DOUBLE) AS nr,
+             CAST(slh AS DOUBLE) AS sl, CAST(snh - slh AS DOUBLE) AS sr
+      FROM w),
+    st AS (
+      SELECT event_type, day, cl, cn - cl AS cr,
+             (sl / 1e6) / nl AS ml, (sr / 1e6) / nr AS mr,
+             ABS((sl / 1e6) / nl - (sr / 1e6) / nr)
+                 * SQRT(nl * nr / nn) AS stat
+      FROM sc WHERE nl > 0 AND nr > 0)
+    SELECT event_type, day AS change_day,
+           CAST(cl AS BIGINT) AS n_before, CAST(cr AS BIGINT) AS n_after,
+           ROUND(ml, 6) AS mean_before, ROUND(mr, 6) AS mean_after,
+           ROUND(stat, 6) AS stat
+    FROM st
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
+            ORDER BY stat DESC, day ASC) = 1
+    """,
+)
+def changepoint_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-shift change-point per event_type on the daily value mean
+    (extensions.changepoint_detect): CUSUM-at-maximum two-sample
+    contrast over exact integer prefix moments, argmax split with an
+    earliest-day tie-break."""
+    from tabsdata_spark.extensions import changepoint_detect
+
+    ev = load_events(spark, sf_dir).df
+    return changepoint_detect(ev, "event_type", "ts", "value")
+
+
+@q(
+    "disorder_events",
+    """
+    WITH b AS (
+      SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events),
+    w AS (
+      SELECT user_id, us,
+             MAX(us) OVER (PARTITION BY user_id ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS pm
+      FROM b),
+    l AS (SELECT user_id,
+                 CASE WHEN pm > us THEN pm - us END AS late FROM w)
+    SELECT user_id, COUNT(*) AS n_events, COUNT(late) AS n_out_of_order,
+           ROUND(COUNT(late) / CAST(COUNT(*) AS DOUBLE), 6)
+               AS disorder_frac,
+           CAST(COALESCE(MAX(late), 0) AS BIGINT) AS max_lateness_us
+    FROM l GROUP BY user_id
+    """,
+)
+def disorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-time disorder audit (extensions.disorder_report):
+    arrival order = event_id; counts timestamps earlier than an already
+    seen one plus the max lateness — the measurement that sizes a
+    streaming watermark for the §2.9 operators."""
+    from tabsdata_spark.extensions import disorder_report
+
+    ev = load_events(spark, sf_dir).df
+    return disorder_report(ev, "user_id", "event_id", "ts")
+
+
+@q(
+    "temperature_sample_docs",
+    """
+    WITH counts AS (SELECT lang, COUNT(*) AS c FROM documents
+                    GROUP BY lang),
+    q AS (SELECT lang,
+                 SQRT(CAST(c AS DOUBLE)) / CAST(c AS DOUBLE) AS q
+          FROM counts),
+    mq AS (SELECT MAX(q) AS maxq FROM q),
+    thr AS (SELECT lang,
+                   CAST(FLOOR((q / maxq) * 1152921504606846976.0 + 0.5)
+                        AS BIGINT) AS thr
+            FROM q, mq)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN thr ON d.lang = thr.lang
+    WHERE list_reduce(
+      list_transform(regexp_extract_all(substr(md5('t|' || CAST(d.doc_id AS VARCHAR)), 1, 15), '.'),
+                     c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)),
+      (a, b) -> a * 16 + b) < thr
+    """,
+)
+def temperature_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source resampling at alpha=0.5
+    (llm/corpus.py temperature_sample — the XLM-R/mT5 rebalancing
+    recipe): keep probability proportional to share^(alpha-1), scaled so
+    the largest stratum ratio is exactly 1; sqrt tempering is
+    IEEE-correctly-rounded in every engine, so the kept row SET is
+    bit-stable.  Stratified by lang (skewed 44%/13% shares — source is
+    uniform in the test data and would make the sampler a no-op).
+    Portable-hash mode for the oracle; production keeps xxhash64."""
+    from tabsdata_spark.llm import corpus, textual
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus.temperature_sample(docs, "lang", "doc_id", alpha=0.5,
+                                     hash_fn=textual.portable_hash60)
+
+
+@q(
+    "shard_assign_docs",
+    """
+    WITH s AS (
+      SELECT (((list_reduce(
+      list_transform(regexp_extract_all(substr(md5('sh|' || CAST(doc_id AS VARCHAR)), 1, 15), '.'),
+                     c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)),
+      (a, b) -> a * 16 + b) % 16) + 16) % 16) AS shard, n_chars
+      FROM documents),
+    per AS (SELECT shard, COUNT(*) AS n_rows, SUM(n_chars) AS w
+            FROM s GROUP BY shard),
+    tot AS (SELECT SUM(w) AS wt FROM per)
+    SELECT CAST(shard AS INTEGER) AS shard, n_rows,
+           CAST(w AS DOUBLE) AS total_weight,
+           ROUND(CAST(w AS DOUBLE) / (CAST(wt AS DOUBLE) / 16.0), 6)
+               AS balance_ratio
+    FROM per, tot
+    """,
+)
+def shard_assign_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 16-way training-shard assignment over documents with
+    n_chars as the balance weight (scale.py shard_assign): pure-function
+    membership (recomputable, never stored), per-shard rows/weight/skew
+    ratio — the pre-materialization balance check."""
+    from tabsdata_spark import scale
+    from tabsdata_spark.llm import textual
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return scale.shard_assign(docs, "doc_id", n_shards=16,
+                              weight_col="n_chars",
+                              hash_fn=textual.portable_hash60)
+
+
+@q(
+    "clustering_coeff_emb",
+    """
+    WITH e AS (
+      SELECT LEAST(a.vec_id, b.vec_id) AS u,
+             GREATEST(a.vec_id, b.vec_id) AS v
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                   b.embedding::DOUBLE[]) >= 0.2),
+    deg AS (
+      SELECT node, COUNT(*) AS degree FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+      GROUP BY node),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1 JOIN e e2 ON e2.u = e1.v
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+    nodes AS (SELECT a AS node FROM tri UNION ALL
+              SELECT b FROM tri UNION ALL
+              SELECT c FROM tri),
+    tcnt AS (SELECT node, COUNT(*) AS triangles FROM nodes GROUP BY node)
+    SELECT d.node, CAST(d.degree AS BIGINT) AS degree,
+           CAST(COALESCE(t.triangles, 0) AS BIGINT) AS triangles,
+           ROUND(2.0 * CAST(COALESCE(t.triangles, 0) AS DOUBLE)
+                 / (CAST(d.degree AS DOUBLE)
+                    * (CAST(d.degree AS DOUBLE) - 1.0)), 6)
+               AS clustering_coeff
+    FROM deg d LEFT JOIN tcnt t USING (node)
+    WHERE d.degree >= 2
+    """,
+)
+def clustering_coeff_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient of the cosine>=0.2
+    label-blocked similarity graph (llm/dedup.py clustering_coefficient):
+    2*triangles/(d*(d-1)) separates tight duplicate cliques from loose
+    bridge hubs; degree-ordered triangle orientation bounds hub fan-out."""
+    from tabsdata_spark.llm import dedup as dd
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = dd.embedding_near_dup_pairs(
+        emb, id_col="vec_id", block_col="label", threshold=0.2)
+    return dd.clustering_coefficient(pairs)

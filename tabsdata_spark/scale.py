@@ -296,3 +296,40 @@ def key_skew_report(df: DataFrame, key_cols: list[str] | str) -> DataFrame:
         F.round(mx / nr, 6).alias("top_key_share"),
         F.round(mx / (nr / nk), 6).alias("skew_ratio"),
     )
+
+
+def shard_assign(df: DataFrame, id_col: str, n_shards: int = 16,
+                 weight_col: str | None = None,
+                 hash_fn=None, salt: str = "sh|") -> DataFrame:
+    """Deterministic training-shard assignment + balance report: shard =
+    hash(salt||id) mod n_shards, then per-shard row counts, total weight
+    (e.g. chars/tokens — the quantity that actually bounds a trainer's
+    step time), and the skew ratio vs the perfectly-balanced mean.  The
+    write-side twin of key_skew_report: run BEFORE materializing shards
+    to know whether hash sharding suffices or a bin-packing pass is
+    needed.
+
+    Determinism: assignment is a pure row function — stable across runs,
+    engines, and cluster sizes, so shard membership can be recomputed
+    instead of stored.  Scale shape: one projection + one n_shards-group
+    partial agg; the corpus is never shuffled (the agg exchanges
+    n_shards * partitions partial rows)."""
+    hf = hash_fn or F.xxhash64
+    h = hf(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    nmod = F.lit(int(n_shards))
+    shard = ((h % nmod) + nmod) % nmod
+    w = (F.col(weight_col).cast("decimal(38,0)") if weight_col
+         else F.lit(1).cast("decimal(38,0)"))
+    per = (df.withColumn("__shard", shard.cast("int"))
+           .groupBy("__shard")
+           .agg(F.count(F.lit(1)).alias("n_rows"),
+                F.sum(w).alias("__w")))
+    tot = per.agg(F.sum("__w").alias("__wt"))
+    return (per.crossJoin(F.broadcast(tot))
+            .select(F.col("__shard").alias("shard"),
+                    "n_rows",
+                    F.col("__w").cast("double").alias("total_weight"),
+                    F.round(F.col("__w").cast("double")
+                            / (F.col("__wt").cast("double")
+                               / F.lit(float(n_shards))), 6)
+                    .alias("balance_ratio")))

@@ -465,3 +465,117 @@ def benford_deviation(df: DataFrame, value_col: str,
     return out.select(*group_cols, "n",
                       F.round(F.col("_chi2").cast("double"), 6)
                       .alias("chi2"))
+
+
+def mann_whitney_u(df: DataFrame, value_col: str, cohort_col: str,
+                   group_cols: list[str]) -> DataFrame:
+    """Per-group Mann-Whitney U (Wilcoxon rank-sum) test between the rows
+    where `cohort_col` is true (A) and false (B) — the nonparametric
+    sibling of welch_ttest for skewed metrics:
+
+        U_A = R_A - n_A(n_A+1)/2          (R_A = rank sum of cohort A)
+        z   = (U_A - n_A n_B / 2) / sigma
+        sigma^2 = (n_A n_B / 12) * ((N+1) - T / (N(N-1)))   (tie-corrected,
+                  T = sum over tie groups of t^3 - t)
+
+    Exactness contract: values are micros-quantized (m = floor(v*1e6+0.5))
+    so tie groups are integer-exact; average ranks are carried DOUBLED
+    (2*avg_rank = 2*|less| + t + 1, an integer) and every moment is summed
+    in decimal(38,0), so U/z are identical IEEE derivations over identical
+    integers in any engine and partitioning.
+
+    Scale shape: one partial-agg shuffle onto (group, value) tie cells,
+    one cumulative window over DISTINCT values per group (state bounded by
+    value cardinality, not row count), one final partial agg.  No joins.
+    Degenerate groups (empty cohort, all-tied values) surface NULL z via
+    lazy CASE guards — never a divide-by-zero under ANSI."""
+    big = "decimal(38,0)"
+    base = df.filter(F.col(value_col).isNotNull()
+                     & F.col(cohort_col).isNotNull())
+    m = F.floor(F.col(value_col) * 1e6 + F.lit(0.5)).cast("bigint")
+    per = (base.withColumn("__m", m)
+           .groupBy(*group_cols, "__m")
+           .agg(F.count(F.lit(1)).alias("__c"),
+                F.count(F.when(F.col(cohort_col), 1)).alias("__ca")))
+    w = (Window.partitionBy(*group_cols).orderBy("__m")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    less = F.sum("__c").over(w) - F.col("__c")
+    rank2 = (F.lit(2) * less + F.col("__c") + F.lit(1)).cast(big)
+    cd = F.col("__c").cast(big)
+    agg = (per.withColumn("__rank2", rank2)
+           .groupBy(*group_cols)
+           .agg(F.sum(F.col("__ca").cast(big) * F.col("__rank2"))
+                .alias("_r2a"),
+                F.sum("__ca").alias("_na"),
+                F.sum("__c").alias("_n"),
+                F.sum(cd * cd * cd - cd).alias("_tie")))
+    na = F.col("_na").cast("double")
+    nn = F.col("_n").cast("double")
+    nb = nn - na
+    r_a = F.col("_r2a").cast("double") / 2.0
+    u_a = r_a - (na * (na + 1.0)) / 2.0
+    tie = F.col("_tie").cast("double")
+    sig2 = F.when(nn > 1.0,
+                  (na * nb / 12.0) * ((nn + 1.0) - tie / (nn * (nn - 1.0))))
+    z = F.when(sig2 > 0.0, (u_a - F.lit(0.5) * na * nb) / F.sqrt(sig2))
+    return agg.select(
+        *group_cols,
+        F.col("_na").alias("n_a"),
+        (F.col("_n") - F.col("_na")).alias("n_b"),
+        F.round(u_a, 6).alias("u_stat"),
+        F.round(z, 6).alias("z_score"),
+    )
+
+
+def chi_squared_independence(df: DataFrame, a_col: str,
+                             b_col: str) -> DataFrame:
+    """Chi-squared test of independence between two categorical columns,
+    with Cramer's V effect size — the category-drift / feature-association
+    primitive (is event mix independent of hour?  does source predict
+    language?).
+
+        chi2 = sum over the full r x c grid of (o - e)^2 / e,
+        e    = row_total * col_total / N
+        V    = sqrt(chi2 / (N * min(r-1, c-1)))
+
+    Exactness contract: observed/row/col totals are exact integer counts;
+    each cell's contribution is quantized to nanos (floor(x*1e9 + 0.5))
+    and summed in decimal(38,0), so chi2 is independent of partial-agg
+    ordering — the float-sum-order trap on a wide grid.
+
+    Scale shape: one partial agg onto the observed cells, two
+    dimension-sized aggs for the margins, and a margins-cross-margins
+    grid join (r x c rows — category cardinality squared, never row
+    count).  Absent combinations enter the grid with o = 0, as the test
+    requires."""
+    big = "decimal(38,0)"
+    base = df.filter(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+    cells = base.groupBy(a_col, b_col).agg(F.count(F.lit(1)).alias("__o"))
+    rows_ = cells.groupBy(a_col).agg(F.sum("__o").alias("__ri"))
+    cols_ = cells.groupBy(b_col).agg(F.sum("__o").alias("__cj"))
+    tot = cells.agg(F.sum("__o").alias("__n"),
+                    F.count_distinct(F.col(a_col)).alias("__r"),
+                    F.count_distinct(F.col(b_col)).alias("__c"))
+    grid = (rows_.crossJoin(cols_)
+            .join(cells, [a_col, b_col], "left")
+            .withColumn("__o", F.coalesce(F.col("__o"), F.lit(0)))
+            .crossJoin(F.broadcast(tot)))
+    e = (F.col("__ri").cast("double") * F.col("__cj").cast("double")
+         / F.col("__n").cast("double"))
+    o = F.col("__o").cast("double")
+    contrib = (o - e) * (o - e) / e
+    cm = F.floor(contrib * 1e9 + F.lit(0.5)).cast(big)
+    out = (grid.withColumn("__cm", cm)
+           .groupBy("__n", "__r", "__c")
+           .agg(F.sum("__cm").alias("_chi2m")))
+    chi2 = out["_chi2m"].cast("double") / 1e9
+    mindim = F.least(F.col("__r") - 1, F.col("__c") - 1)
+    v = F.when(mindim > 0,
+               F.sqrt(chi2 / (F.col("__n").cast("double")
+                              * mindim.cast("double"))))
+    return out.select(
+        F.col("__n").alias("n"),
+        ((F.col("__r") - 1) * (F.col("__c") - 1)).alias("dof"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(v, 6).alias("cramers_v"),
+    )

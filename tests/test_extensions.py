@@ -442,3 +442,43 @@ def test_rolling_zscore_large_values_exact_no_overflow(spark):
     var = ((s2 - s1 * s1 / n) / (n - 1)) / 1e12
     z = (2.0e7 - mean) / math.sqrt(var)
     assert out[0].zscore == round(z, 6)
+
+
+def test_changepoint_detect_finds_level_shift(spark):
+    from tabsdata_spark.extensions import changepoint_detect
+    import datetime as dt
+
+    rows = []
+    for d in range(10):
+        v = 10.0 if d < 6 else 50.0   # shift after day 5
+        for i in range(3):
+            rows.append((d * 3 + i, "k",
+                         dt.datetime(2024, 1, 1 + d, 12, 0, i), v))
+    df = spark.createDataFrame(
+        rows, "event_id long, k string, ts timestamp, value double")
+    r = changepoint_detect(df, "k", "ts", "value").collect()[0]
+    assert r.change_day == dt.date(2024, 1, 6)   # last day of the left mean
+    assert r.mean_before == 10.0 and r.mean_after == 50.0
+    assert (r.n_before, r.n_after) == (18, 12)
+
+
+def test_disorder_report_counts_late_rows(spark):
+    from tabsdata_spark.extensions import disorder_report
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, t0 + dt.timedelta(seconds=10)),
+        (2, 1, t0 + dt.timedelta(seconds=20)),
+        (3, 1, t0 + dt.timedelta(seconds=5)),    # 15s late vs max-so-far
+        (4, 1, t0 + dt.timedelta(seconds=30)),
+        (5, 2, t0),                               # ordered key: no lates
+        (6, 2, t0 + dt.timedelta(seconds=1)),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, u long, ts timestamp")
+    got = {r.u: r for r in
+           disorder_report(df, "u", "event_id", "ts").collect()}
+    assert got[1].n_out_of_order == 1
+    assert got[1].max_lateness_us == 15_000_000
+    assert got[1].disorder_frac == 0.25
+    assert got[2].n_out_of_order == 0 and got[2].max_lateness_us == 0

@@ -1499,3 +1499,52 @@ def test_char_entropy_non_bmp_codepoints(spark):
         FROM k, t GROUP BY n
     """).fetchone()[0]
     assert abs(out[0] - round(d, 6)) < 1e-9
+
+
+def test_temperature_sample_keeps_smallest_stratum_whole(spark):
+    from tabsdata_spark.llm import corpus, textual
+
+    # 80/20 skew: the small stratum's keep threshold is exactly 1.0 so
+    # EVERY small row survives; the big stratum thins toward sqrt parity
+    rows = [(i, "big" if i < 160 else "small") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    kept = corpus.temperature_sample(
+        df, "src", "doc_id", alpha=0.5,
+        hash_fn=textual.portable_hash60).collect()
+    small = [r for r in kept if r.src == "small"]
+    big = [r for r in kept if r.src == "big"]
+    assert len(small) == 40                      # keep_p == 1 exactly
+    assert 0 < len(big) < 160                    # thinned, not emptied
+    # determinism: second run returns the identical set
+    kept2 = corpus.temperature_sample(
+        df, "src", "doc_id", alpha=0.5,
+        hash_fn=textual.portable_hash60).collect()
+    assert sorted(r.doc_id for r in kept) == sorted(r.doc_id for r in kept2)
+
+
+def test_shard_assign_partitions_everything_once(spark):
+    from tabsdata_spark import scale
+    from tabsdata_spark.llm import textual
+
+    df = spark.createDataFrame(
+        [(i, 10 + i % 7) for i in range(500)], "doc_id long, w long")
+    out = scale.shard_assign(df, "doc_id", n_shards=8, weight_col="w",
+                             hash_fn=textual.portable_hash60).collect()
+    assert len(out) == 8
+    assert sum(r.n_rows for r in out) == 500
+    total_w = sum(r.total_weight for r in out)
+    for r in out:
+        assert abs(r.balance_ratio - r.total_weight / (total_w / 8)) < 1e-6
+
+
+def test_clustering_coefficient_triangle_plus_tail(spark):
+    from tabsdata_spark.llm import dedup as dd
+
+    # triangle 1-2-3 plus a pendant 3-4: coeffs 1,1,1/3; node 4 excluded
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "id_a long, id_b long")
+    got = {r.node: r for r in dd.clustering_coefficient(edges).collect()}
+    assert got[1].clustering_coeff == 1.0
+    assert got[2].clustering_coeff == 1.0
+    assert got[3].degree == 3 and got[3].clustering_coeff == round(1/3, 6)
+    assert 4 not in got

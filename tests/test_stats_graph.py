@@ -340,3 +340,46 @@ def test_welch_ttest_degenerate_cohorts_null_not_crash(spark):
     assert got["empty_b"].t_stat is None and got["empty_b"].mean_b is None
     assert got["single_a"].t_stat is None    # n_a == 1 -> no variance
     assert got["const"].t_stat is None       # se2 == 0 -> undefined t
+
+
+def test_mann_whitney_hand_computed(spark):
+    from tabsdata_spark import stats
+
+    # A = {1,2,3}, B = {4,5,6,7}: no overlap -> U_A = 0, ranks exact
+    rows = [("g", True, v) for v in (1.0, 2.0, 3.0)]
+    rows += [("g", False, v) for v in (4.0, 5.0, 6.0, 7.0)]
+    df = spark.createDataFrame(rows, "g string, cohort boolean, v double")
+    r = stats.mann_whitney_u(df, "v", "cohort", ["g"]).collect()[0]
+    assert (r.n_a, r.n_b) == (3, 4)
+    assert r.u_stat == 0.0
+    import math
+    sig2 = (3 * 4 / 12.0) * ((7 + 1.0) - 0.0)   # no ties -> T = 0
+    z = (0.0 - 0.5 * 3 * 4) / math.sqrt(sig2)
+    assert r.z_score == round(z, 6)
+
+
+def test_mann_whitney_ties_average_ranks(spark):
+    from tabsdata_spark import stats
+
+    # all values tied -> U_A = n_a*n_b/2, sig2 collapses to 0 -> z NULL
+    rows = [("g", i % 2 == 0, 5.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, cohort boolean, v double")
+    r = stats.mann_whitney_u(df, "v", "cohort", ["g"]).collect()[0]
+    assert r.u_stat == r.n_a * r.n_b / 2.0
+    assert r.z_score is None
+
+
+def test_chi_squared_independent_and_dependent(spark):
+    from tabsdata_spark import stats
+
+    # perfectly independent 2x2 grid with equal margins -> chi2 == 0
+    rows = [(a, b) for a in "xy" for b in "uv" for _ in range(5)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = stats.chi_squared_independence(df, "a", "b").collect()[0]
+    assert (r.n, r.dof, r.chi2) == (20, 1, 0.0) and r.cramers_v == 0.0
+
+    # perfectly dependent (b == a) -> chi2 == n, V == 1
+    dep = spark.createDataFrame(
+        [(c, c) for c in "xxyyyy"], "a string, b string")
+    r2 = stats.chi_squared_independence(dep, "a", "b").collect()[0]
+    assert r2.chi2 == float(r2.n) and r2.cramers_v == 1.0
