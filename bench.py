@@ -172,6 +172,24 @@ ANALYTICS = [
     "hourly_load_events",
 ]
 
+# Diagnostics group (added r4): rank/independence tests, change-point,
+# disorder audit, mixture sampling, sharding, graph coefficient.
+# Additive: all earlier ledgers keep their keys.  The two live-streaming
+# registry queries (stream_*_events) are deliberately NOT benched — they
+# time Structured Streaming machinery (checkpoint dirs, state store,
+# trigger latency), not engine throughput.
+DIAGNOSTICS = [
+    "mann_whitney_events",
+    "chi_squared_events",
+    "changepoint_events",
+    "disorder_events",
+    "temperature_sample_docs",
+    "shard_assign_docs",
+    "clustering_coeff_emb",
+    "ols_multi_events",
+    "pca_power_emb",
+]
+
 
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -190,7 +208,7 @@ def main():
     # spawn for pandas_udf stages (workers are reused afterwards).  The timed
     # pass below measures steady-state engine throughput.
     for name in (HEADLINE + CORPUS + HYGIENE + EXTENDED + CURATION
-                 + ANALYTICS + TPCH_REST + MINING):
+                 + ANALYTICS + TPCH_REST + MINING + DIAGNOSTICS):
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     # Queries whose distributed work happens at CONSTRUCTION time (iterative
@@ -206,7 +224,9 @@ def main():
              "bloom_decontaminate_docs", "token_budget_select_docs",
              "dedup_keep_best_docs", "incremental_near_dup_docs",
              # bloom bitset built driver-side at construction
-             "bloom_join_orders"}
+             "bloom_join_orders",
+             # power-iteration rounds run eagerly while building the frame
+             "pca_power_emb"}
 
     def timed(names: list[str]) -> dict[str, float]:
         out: dict[str, float] = {}
@@ -229,6 +249,7 @@ def main():
     analytics_timings = timed(ANALYTICS)
     tpch_rest_timings = timed(TPCH_REST)
     mining_timings = timed(MINING)
+    diagnostics_timings = timed(DIAGNOSTICS)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -251,6 +272,8 @@ def main():
         "tpch_rest_queries": tpch_rest_timings,
         "mining_total": round(sum(mining_timings.values()), 3),
         "mining_queries": mining_timings,
+        "diagnostics_total": round(sum(diagnostics_timings.values()), 3),
+        "diagnostics_queries": diagnostics_timings,
     }))
 
 

@@ -167,3 +167,63 @@ def cluster_quality(emb: DataFrame, label_col: str = "label",
                     F.round("nearest_other", 6).alias("nearest_other"),
                     F.round(F.col("nearest_other") / F.col("intra_mean"), 6)
                     .alias("separation")))
+
+
+def power_iteration_pc(
+    emb: DataFrame,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top principal direction of an (uncentered) embedding matrix by
+    power iteration, plus each vector's projection onto it — the
+    one-number embedding diagnostic (dominant axis of variation; the
+    "is everything collapsed onto one direction" check that precedes
+    SemDeDup-style curation, cf. anisotropy analyses of contextual
+    embeddings).
+
+    Each iteration computes  v <- normalize(sum_rows x * (x . v))
+    WITHOUT materializing the dim x dim covariance: one broadcast of the
+    current 64-float direction out, one narrow dot-product pass, one
+    (dim x partitions)-bounded partial-agg shuffle back, one driver
+    collect of exactly dim sums — the kmeans model-roundtrip contract;
+    corpus size never touches the driver.
+
+    Determinism contract (drives the DuckDB oracle):
+    - init v = uniform 1/sqrt(dim) (no RNG);
+    - the dot product folds left over idx order (F.aggregate), float64;
+    - each row's per-coordinate contribution x_i * dot is quantized to
+      micros and summed as decimal(38,0) — the accumulation across rows
+      is exact integers, immune to partition order;
+    - normalization (sqrt of a left-fold sum of squares) happens
+      driver-side in python floats = the same IEEE ops the oracle's
+      list_reduce performs.
+    Projections are emitted unquantized (round 6, display only).
+    """
+    n_dim = len(emb.select(vec_col).first()[0])
+    v = [1.0 / (n_dim ** 0.5)] * n_dim
+
+    xd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    for _ in range(iters):
+        lit_v = F.array(*[F.lit(float(c)) for c in v])
+        dot = F.aggregate(F.zip_with(xd, lit_v, lambda a, b: a * b),
+                          F.lit(0.0), lambda acc, x: acc + x)
+        contrib = F.posexplode(
+            F.transform(xd, lambda x: F.floor(x * dot * 1e6 + F.lit(0.5))
+                        .cast("bigint").cast("decimal(38,0)")))
+        sums = (emb.select(contrib.alias("idx", "m"))
+                .groupBy("idx").agg(F.sum("m").alias("s"))
+                .collect())
+        raw = [0.0] * n_dim
+        for r in sums:
+            raw[r["idx"]] = float(r["s"]) / 1e6
+        norm = 0.0
+        for c in raw:                      # left fold in idx order ==
+            norm += c * c                  # the oracle's list_reduce
+        norm = norm ** 0.5
+        v = [c / norm for c in raw] if norm > 0.0 else v
+
+    lit_v = F.array(*[F.lit(float(c)) for c in v])
+    proj = F.aggregate(F.zip_with(xd, lit_v, lambda a, b: a * b),
+                       F.lit(0.0), lambda acc, x: acc + x)
+    return emb.select(F.col(id_col), F.round(proj, 6).alias("projection"))

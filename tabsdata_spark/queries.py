@@ -7404,3 +7404,207 @@ def clustering_coeff_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dd.embedding_near_dup_pairs(
         emb, id_col="vec_id", block_col="label", threshold=0.2)
     return dd.clustering_coefficient(pairs)
+
+
+@q(
+    "ols_multi_events",
+    """
+    WITH b AS (
+      SELECT event_type,
+             CAST(EXTRACT(hour FROM ts) AS BIGINT) AS x1,
+             CAST(EXTRACT(dow FROM ts) AS BIGINT) AS x2,
+             CAST(FLOOR(value * 1e6 + 0.5) AS HUGEINT) AS my
+      FROM events WHERE value IS NOT NULL),
+    a AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(x1) AS DOUBLE) AS s1,
+             CAST(SUM(x2) AS DOUBLE) AS s2,
+             CAST(SUM(my) AS DOUBLE) / 1e6 AS sy,
+             CAST(SUM(CAST(x1 AS HUGEINT) * x1) AS DOUBLE) AS s11,
+             CAST(SUM(CAST(x2 AS HUGEINT) * x2) AS DOUBLE) AS s22,
+             CAST(SUM(CAST(x1 AS HUGEINT) * x2) AS DOUBLE) AS s12,
+             CAST(SUM(x1 * my) AS DOUBLE) / 1e6 AS s1y,
+             CAST(SUM(x2 * my) AS DOUBLE) / 1e6 AS s2y,
+             CAST(SUM(my * my) AS DOUBLE) / 1e12 AS syy
+      FROM b GROUP BY 1),
+    c AS (
+      SELECT event_type, n, s1, s2, sy, CAST(n AS DOUBLE) AS nd,
+             s11 - s1 * s1 / CAST(n AS DOUBLE) AS a11,
+             s22 - s2 * s2 / CAST(n AS DOUBLE) AS a22,
+             s12 - s1 * s2 / CAST(n AS DOUBLE) AS a12,
+             s1y - s1 * sy / CAST(n AS DOUBLE) AS c1,
+             s2y - s2 * sy / CAST(n AS DOUBLE) AS c2,
+             syy - sy * sy / CAST(n AS DOUBLE) AS syy_c
+      FROM a),
+    d AS (
+      SELECT event_type, n, s1, s2, sy, nd, c1, c2, a11, a12, a22, syy_c,
+             a11 * a22 - a12 * a12 AS det
+      FROM c),
+    e AS (
+      SELECT event_type, n, nd, s1, s2, sy, c1, c2, syy_c,
+             CASE WHEN det <> 0.0
+                  THEN (c1 * a22 - c2 * a12) / det END AS b1,
+             CASE WHEN det <> 0.0
+                  THEN (c2 * a11 - c1 * a12) / det END AS b2
+      FROM d)
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           ROUND((sy - b1 * s1 - b2 * s2) / nd, 6) AS beta0,
+           ROUND(b1, 6) AS beta1,
+           ROUND(b2, 6) AS beta2,
+           CASE WHEN syy_c > 0.0
+                THEN ROUND((b1 * c1 + b2 * c2) / syy_c, 6) END AS r_squared
+    FROM e
+    """,
+)
+def ols_multi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-regressor OLS per event_type: value ~ hour-of-day +
+    day-of-week (stats.ols_two_features) — 3x3 normal equations from
+    exact decimal(38,0) integer moments in ONE partial-agg shuffle,
+    Cramer's-rule betas + R^2 as identical IEEE derivations."""
+    from tabsdata_spark import stats
+
+    ev = load_events(spark, sf_dir).df
+    b = ev.select("event_type", "value",
+                  F.hour("ts").alias("x1"),
+                  (F.dayofweek("ts") - 1).alias("x2"))
+    return stats.ols_two_features(b, "value", "x1", "x2", ["event_type"])
+
+
+@q(
+    "stream_hourly_events",
+    """
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def stream_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE watermarked tumbling-window aggregation (streaming/bus.py
+    windowed_aggregate): the events slice streams through a 1-hour
+    event-time window with a 30-minute watermark under an availableNow
+    trigger; update-mode micro-batch outputs are merged last-wins per
+    (window, event_type), so the collected sink equals the batch GROUP
+    BY — held to the hourly count + decimal-sum oracle.  The third live
+    streaming operator with a driver-grade value hash."""
+    import tempfile
+
+    from tabsdata_spark.streaming import bus
+
+    ev = (load_events(spark, sf_dir).df
+          .filter(F.col("value").isNotNull())
+          .select("event_id", "ts", "event_type", "value"))
+    tmp = tempfile.mkdtemp(prefix="td_stream_hourly_")
+    ev.coalesce(1).write.parquet(f"{tmp}/src/b1")
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    stream = bus.stream_file_source(spark, f"{tmp}/src/*", schema)
+    out = bus.windowed_aggregate(
+        stream, "ts", "1 hour", "30 minutes",
+        {"n": F.count(F.lit(1)),
+         "total_value": F.sum(F.col("value").cast("decimal(18,2)"))
+         .cast("double")},
+        group_extra=["event_type"])
+    acc: dict = {}
+    qy = (out.writeStream.outputMode("update")
+          .foreachBatch(lambda b, i: acc.update(
+              {(r["window"]["start"], r["event_type"]):
+               (r["n"], r["total_value"]) for r in b.collect()}))
+          .option("checkpointLocation", f"{tmp}/ckpt")
+          .trigger(availableNow=True).start())
+    qy.awaitTermination(300)
+    rows = [(k[0], k[1], v[0], v[1]) for k, v in acc.items()]
+    return spark.createDataFrame(
+        rows, "window_start timestamp, event_type string, n long, "
+              "total_value double")
+
+
+@q(
+    "pca_power_emb",
+    """
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    v1 AS (SELECT list_transform(range(1, 65), i -> 0.125) AS vl),
+    d1 AS (
+      SELECT vec_id, emb,
+             list_reduce(list_transform(range(1, 65),
+                                        i -> emb[i] * vl[i]),
+                         (a, b) -> a + b) AS dot
+      FROM base, v1),
+    c1 AS (
+      SELECT u.i AS idx,
+             CAST(FLOOR(emb[u.i] * dot * 1e6 + 0.5) AS HUGEINT) AS m
+      FROM d1, (SELECT unnest(range(1, 65)) AS i) u),
+    s1 AS (
+      SELECT idx, CAST(SUM(m) AS DOUBLE) / 1e6 AS s
+      FROM c1 GROUP BY idx),
+    n1 AS (
+      SELECT SQRT(list_reduce(list_transform(list(s ORDER BY idx),
+                                             x -> x * x),
+                              (a, b) -> a + b)) AS nrm,
+             list(s ORDER BY idx) AS sl
+      FROM s1),
+    v2 AS (SELECT list_transform(sl, x -> x / nrm) AS vl FROM n1),
+    d2 AS (
+      SELECT vec_id, emb,
+             list_reduce(list_transform(range(1, 65),
+                                        i -> emb[i] * vl[i]),
+                         (a, b) -> a + b) AS dot
+      FROM base, v2),
+    c2 AS (
+      SELECT u.i AS idx,
+             CAST(FLOOR(emb[u.i] * dot * 1e6 + 0.5) AS HUGEINT) AS m
+      FROM d2, (SELECT unnest(range(1, 65)) AS i) u),
+    s2 AS (
+      SELECT idx, CAST(SUM(m) AS DOUBLE) / 1e6 AS s
+      FROM c2 GROUP BY idx),
+    n2 AS (
+      SELECT SQRT(list_reduce(list_transform(list(s ORDER BY idx),
+                                             x -> x * x),
+                              (a, b) -> a + b)) AS nrm,
+             list(s ORDER BY idx) AS sl
+      FROM s2),
+    v3 AS (SELECT list_transform(sl, x -> x / nrm) AS vl FROM n2),
+    d3 AS (
+      SELECT vec_id, emb,
+             list_reduce(list_transform(range(1, 65),
+                                        i -> emb[i] * vl[i]),
+                         (a, b) -> a + b) AS dot
+      FROM base, v3),
+    c3 AS (
+      SELECT u.i AS idx,
+             CAST(FLOOR(emb[u.i] * dot * 1e6 + 0.5) AS HUGEINT) AS m
+      FROM d3, (SELECT unnest(range(1, 65)) AS i) u),
+    s3 AS (
+      SELECT idx, CAST(SUM(m) AS DOUBLE) / 1e6 AS s
+      FROM c3 GROUP BY idx),
+    n3 AS (
+      SELECT SQRT(list_reduce(list_transform(list(s ORDER BY idx),
+                                             x -> x * x),
+                              (a, b) -> a + b)) AS nrm,
+             list(s ORDER BY idx) AS sl
+      FROM s3),
+    v4 AS (SELECT list_transform(sl, x -> x / nrm) AS vl FROM n3),
+    p AS (
+      SELECT vec_id,
+             list_reduce(list_transform(range(1, 65),
+                                        i -> emb[i] * vl[i]),
+                         (a, b) -> a + b) AS proj
+      FROM base, v4)
+    SELECT vec_id, ROUND(proj, 6) AS projection FROM p
+    """,
+)
+def pca_power_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction by 3-round power iteration + per-vector
+    projections (llm/cluster.py power_iteration_pc): broadcast-direction
+    dot pass, micros-quantized decimal per-coordinate accumulation, and
+    a dim-bounded driver collect per round (the kmeans model-roundtrip
+    contract).  The oracle unrolls the identical three iterations in
+    SQL — init 1/sqrt(64) = 0.125 exactly, left-fold dots, exact integer
+    sums, same IEEE normalization — so every projection reproduces
+    bit-for-bit."""
+    from tabsdata_spark.llm import cluster
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cluster.power_iteration_pc(emb, iters=3)

@@ -579,3 +579,65 @@ def chi_squared_independence(df: DataFrame, a_col: str,
         F.round(chi2, 6).alias("chi2"),
         F.round(v, 6).alias("cramers_v"),
     )
+
+
+def ols_two_features(df: DataFrame, y_col: str, x1_col: str, x2_col: str,
+                     group_cols: list[str]) -> DataFrame:
+    """Per-group two-regressor OLS  y ~ b0 + b1*x1 + b2*x2  via the 3x3
+    normal equations solved in closed form (Cramer's rule) — the
+    multi-factor sibling of exact_regression for integer-ish regressors
+    (hour-of-day, day-of-week, tier, ...).
+
+    Exactness contract: x1/x2 must be integer-valued columns; y is
+    micros-quantized.  Every moment (sums of x1, x2, y, x1^2, x2^2,
+    x1*x2, x1*y, x2*y) is an exact decimal(38,0) integer sum, and the
+    determinant / betas / R^2 are identical IEEE derivations over those
+    integers in any engine or partitioning.
+
+    Scale shape: ONE partial-agg shuffle on the group keys — nine
+    associative sums, no joins, no second scan.  Groups with a singular
+    design (constant regressor, n < 3) surface NULL betas via lazy CASE
+    guards instead of an ANSI divide-by-zero."""
+    big = "decimal(38,0)"
+    base = df.filter(F.col(y_col).isNotNull()
+                     & F.col(x1_col).isNotNull() & F.col(x2_col).isNotNull())
+    my = F.floor(F.col(y_col) * 1e6 + F.lit(0.5)).cast("bigint").cast(big)
+    x1 = F.col(x1_col).cast("bigint").cast(big)
+    x2 = F.col(x2_col).cast("bigint").cast(big)
+    agg = base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x1).alias("_s1"), F.sum(x2).alias("_s2"),
+        F.sum(my).alias("_sy"),
+        F.sum(x1 * x1).alias("_s11"), F.sum(x2 * x2).alias("_s22"),
+        F.sum(x1 * x2).alias("_s12"),
+        F.sum(x1 * my).alias("_s1y"), F.sum(x2 * my).alias("_s2y"),
+        F.sum(my * my).alias("_syy"),
+    )
+    n = F.col("n").cast("double")
+    s1, s2 = F.col("_s1").cast("double"), F.col("_s2").cast("double")
+    sy = F.col("_sy").cast("double") / 1e6
+    s11, s22 = F.col("_s11").cast("double"), F.col("_s22").cast("double")
+    s12 = F.col("_s12").cast("double")
+    s1y = F.col("_s1y").cast("double") / 1e6
+    s2y = F.col("_s2y").cast("double") / 1e6
+    syy = F.col("_syy").cast("double") / 1e12
+    # centered moments (still exact-derived doubles)
+    a11 = s11 - s1 * s1 / n
+    a22 = s22 - s2 * s2 / n
+    a12 = s12 - s1 * s2 / n
+    c1 = s1y - s1 * sy / n
+    c2 = s2y - s2 * sy / n
+    syy_c = syy - sy * sy / n
+    det = a11 * a22 - a12 * a12
+    b1 = F.when(det != 0.0, (c1 * a22 - c2 * a12) / det)
+    b2 = F.when(det != 0.0, (c2 * a11 - c1 * a12) / det)
+    b0 = (sy - b1 * s1 - b2 * s2) / n
+    ssr = b1 * c1 + b2 * c2
+    r2 = F.when(syy_c > 0.0, ssr / syy_c)
+    return agg.select(
+        *group_cols, "n",
+        F.round(b0, 6).alias("beta0"),
+        F.round(b1, 6).alias("beta1"),
+        F.round(b2, 6).alias("beta2"),
+        F.round(r2, 6).alias("r_squared"),
+    )

@@ -1548,3 +1548,25 @@ def test_clustering_coefficient_triangle_plus_tail(spark):
     assert got[2].clustering_coeff == 1.0
     assert got[3].degree == 3 and got[3].clustering_coeff == round(1/3, 6)
     assert 4 not in got
+
+
+def test_power_iteration_pc_recovers_dominant_axis(spark):
+    from tabsdata_spark.llm import cluster
+
+    # vectors lie (mostly) along e0: projections ~ +-scale, tiny e1 noise
+    rows = [(i, [float(10 * (1 if i % 2 else -1)), float(i % 3 - 1), 0.0])
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r.projection
+           for r in cluster.power_iteration_pc(df, iters=3).collect()}
+    # dominant direction is +-e0; projections match the e0 coordinate
+    # up to global sign
+    import math
+    sign = math.copysign(1.0, out[1])
+    for i, v in out.items():
+        expect = 10 * (1 if i % 2 else -1) * sign
+        assert abs(v - expect) < 0.5, (i, v, expect)
+    # determinism across runs
+    out2 = {r.vec_id: r.projection
+            for r in cluster.power_iteration_pc(df, iters=3).collect()}
+    assert out == out2

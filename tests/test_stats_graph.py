@@ -383,3 +383,25 @@ def test_chi_squared_independent_and_dependent(spark):
         [(c, c) for c in "xxyyyy"], "a string, b string")
     r2 = stats.chi_squared_independence(dep, "a", "b").collect()[0]
     assert r2.chi2 == float(r2.n) and r2.cramers_v == 1.0
+
+
+def test_ols_two_features_exact_plane(spark):
+    from tabsdata_spark import stats
+
+    # y = 2 + 3*x1 - 0.5*x2 exactly -> betas recovered, R^2 == 1
+    rows = [("g", float(2 + 3 * x1 - 0.5 * x2), x1, x2)
+            for x1 in range(5) for x2 in range(4)]
+    df = spark.createDataFrame(rows, "g string, y double, x1 long, x2 long")
+    r = stats.ols_two_features(df, "y", "x1", "x2", ["g"]).collect()[0]
+    assert (r.beta0, r.beta1, r.beta2) == (2.0, 3.0, -0.5)
+    assert r.r_squared == 1.0
+
+
+def test_ols_two_features_singular_design_null(spark):
+    from tabsdata_spark import stats
+
+    # x2 constant -> singular normal equations -> NULL betas, no crash
+    rows = [("g", float(i), i, 7) for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, y double, x1 long, x2 long")
+    r = stats.ols_two_features(df, "y", "x1", "x2", ["g"]).collect()[0]
+    assert r.beta1 is None and r.beta2 is None and r.beta0 is None
