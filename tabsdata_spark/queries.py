@@ -7608,3 +7608,200 @@ def pca_power_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return cluster.power_iteration_pc(emb, iters=3)
+
+
+@q(
+    "logistic_quality_docs",
+    """
+    WITH base AS (
+      SELECT doc_id, lang,
+             CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+             n_chars / 1000.0 AS x1,
+             len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                             t -> t <> '')) / 100.0 AS x2
+      FROM documents),
+    b1 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2),
+    s1 AS (
+      SELECT y, x1, x2,
+             w, w * eta + (y - p) AS wz
+      FROM (
+        SELECT y, x1, x2, eta, p, p * (1.0 - p) AS w
+        FROM (
+          SELECT y, x1, x2, eta, 1.0 / (1.0 + EXP(-eta)) AS p
+          FROM (SELECT y, x1, x2, b0 + b1 * x1 + b2 * x2 AS eta
+                FROM base, b1)))),
+    m1 AS (
+      SELECT CAST(SUM(CAST(FLOOR(w * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+                 / 1e6 AS a11,
+             CAST(SUM(CAST(FLOOR(w * x1 * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+                 / 1e6 AS a12,
+             CAST(SUM(CAST(FLOOR(w * x2 * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+                 / 1e6 AS a13,
+             CAST(SUM(CAST(FLOOR(w * x1 * x1 * 1e6 + 0.5) AS HUGEINT))
+                  AS DOUBLE) / 1e6 AS a22,
+             CAST(SUM(CAST(FLOOR(w * x1 * x2 * 1e6 + 0.5) AS HUGEINT))
+                  AS DOUBLE) / 1e6 AS a23,
+             CAST(SUM(CAST(FLOOR(w * x2 * x2 * 1e6 + 0.5) AS HUGEINT))
+                  AS DOUBLE) / 1e6 AS a33,
+             CAST(SUM(CAST(FLOOR(wz * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+                 / 1e6 AS r1,
+             CAST(SUM(CAST(FLOOR(wz * x1 * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+                 / 1e6 AS r2,
+             CAST(SUM(CAST(FLOOR(wz * x2 * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+                 / 1e6 AS r3
+      FROM s1),
+    j1 AS (
+      SELECT a11, a12, a13, a22, a23, a33, r1, r2, r3,
+             a22 * a33 - a23 * a23 AS j11,
+             a13 * a23 - a12 * a33 AS j12,
+             a12 * a23 - a13 * a22 AS j13,
+             a11 * a33 - a13 * a13 AS j22,
+             a12 * a13 - a11 * a23 AS j23,
+             a11 * a22 - a12 * a12 AS j33
+      FROM m1),
+    d1 AS (
+      SELECT *, a11 * j11 + a12 * j12 + a13 * j13 AS det FROM j1),
+    b2 AS (
+      SELECT (j11 * r1 + j12 * r2 + j13 * r3) / det AS b0,
+             (j12 * r1 + j22 * r2 + j23 * r3) / det AS b1,
+             (j13 * r1 + j23 * r2 + j33 * r3) / det AS b2
+      FROM d1),
+    s2 AS (
+      SELECT y, x1, x2,
+             w, w * eta + (y - p) AS wz
+      FROM (
+        SELECT y, x1, x2, eta, p, p * (1.0 - p) AS w
+        FROM (
+          SELECT y, x1, x2, eta, 1.0 / (1.0 + EXP(-eta)) AS p
+          FROM (SELECT y, x1, x2, b0 + b1 * x1 + b2 * x2 AS eta
+                FROM base, b2)))),
+    m2 AS (
+      SELECT CAST(SUM(CAST(FLOOR(w * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+                 / 1e6 AS a11,
+             CAST(SUM(CAST(FLOOR(w * x1 * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+                 / 1e6 AS a12,
+             CAST(SUM(CAST(FLOOR(w * x2 * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+                 / 1e6 AS a13,
+             CAST(SUM(CAST(FLOOR(w * x1 * x1 * 1e6 + 0.5) AS HUGEINT))
+                  AS DOUBLE) / 1e6 AS a22,
+             CAST(SUM(CAST(FLOOR(w * x1 * x2 * 1e6 + 0.5) AS HUGEINT))
+                  AS DOUBLE) / 1e6 AS a23,
+             CAST(SUM(CAST(FLOOR(w * x2 * x2 * 1e6 + 0.5) AS HUGEINT))
+                  AS DOUBLE) / 1e6 AS a33,
+             CAST(SUM(CAST(FLOOR(wz * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+                 / 1e6 AS r1,
+             CAST(SUM(CAST(FLOOR(wz * x1 * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+                 / 1e6 AS r2,
+             CAST(SUM(CAST(FLOOR(wz * x2 * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+                 / 1e6 AS r3
+      FROM s2),
+    j2 AS (
+      SELECT a11, a12, a13, a22, a23, a33, r1, r2, r3,
+             a22 * a33 - a23 * a23 AS j11,
+             a13 * a23 - a12 * a33 AS j12,
+             a12 * a23 - a13 * a22 AS j13,
+             a11 * a33 - a13 * a13 AS j22,
+             a12 * a13 - a11 * a23 AS j23,
+             a11 * a22 - a12 * a12 AS j33
+      FROM m2),
+    d2 AS (
+      SELECT *, a11 * j11 + a12 * j12 + a13 * j13 AS det FROM j2),
+    b3 AS (
+      SELECT (j11 * r1 + j12 * r2 + j13 * r3) / det AS b0,
+             (j12 * r1 + j22 * r2 + j23 * r3) / det AS b1,
+             (j13 * r1 + j23 * r2 + j33 * r3) / det AS b2
+      FROM d2),
+    p AS (
+      SELECT doc_id, lang,
+             1.0 / (1.0 + EXP(-(b0 + b1 * x1 + b2 * x2))) AS p
+      FROM base, b3)
+    SELECT doc_id, lang, ROUND(p, 6) AS score FROM p
+    """,
+)
+def logistic_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-pipeline quality classifier (stats.logistic_two_features):
+    2-round IRLS logistic regression of the weak label lang=='en' on
+    (n_chars/1000, token_count/100), then score every document — the
+    fasttext-style train-cheap-score-everything filter.  Beta model
+    round-trips the driver (nine micros-quantized decimal moment sums
+    per round, 3x3 adjugate solve); the oracle unrolls the identical two
+    rounds in SQL, so every fitted probability reproduces bit-for-bit."""
+    from tabsdata_spark import stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.size(F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+        lambda t: t != ""))
+    feat = docs.select(
+        "doc_id", "lang",
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        (F.col("n_chars") / F.lit(1000.0)).alias("x1"),
+        (toks / F.lit(100.0)).alias("x2"))
+    scored = stats.logistic_two_features(feat, "y", "x1", "x2", iters=2)
+    return scored.select("doc_id", "lang", "score")
+
+
+@q(
+    "stream_session_events",
+    """
+    WITH marked AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS mts,
+             CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL THEN 1
+                  WHEN epoch(CAST(ts AS TIMESTAMP))
+                       - epoch(lag(CAST(ts AS TIMESTAMP)) OVER w)
+                       >= 1800.0 THEN 1
+                  ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    ),
+    sess AS (
+      SELECT user_id, mts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY mts
+                  ROWS UNBOUNDED PRECEDING) AS sno
+      FROM marked)
+    SELECT user_id,
+           CAST(MIN(mts) AS TIMESTAMP) AS session_start,
+           CAST(MAX(mts) AS TIMESTAMP) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sno
+    """,
+)
+def stream_session_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE gap-based session windows (streaming/bus.py session_windows,
+    Spark's streaming session_window state merge): events stream through
+    a 30-minute-gap session aggregation with a 30-minute watermark under
+    availableNow; complete-mode output (the only mode Spark supports for
+    streaming session aggregations) delivers the full merged session
+    state each batch — the last batch's snapshot matches the batch
+    lag/cumsum sessionization oracle exactly.  The fourth live streaming
+    operator under a driver-grade value hash."""
+    import tempfile
+
+    from tabsdata_spark.streaming import bus
+
+    ev = (load_events(spark, sf_dir).df
+          .select("event_id", "ts", "user_id"))
+    tmp = tempfile.mkdtemp(prefix="td_stream_sess_")
+    ev.coalesce(1).write.parquet(f"{tmp}/src/b1")
+    schema = "event_id long, ts timestamp, user_id long"
+    stream = bus.stream_file_source(spark, f"{tmp}/src/*", schema)
+    out = bus.session_windows(stream, "ts", "30 minutes", "30 minutes",
+                              ["user_id"], {"n_events": F.count(F.lit(1))})
+    acc: list = []
+
+    def take_snapshot(b, _):
+        rows = [(r["user_id"], r["session_window"]["start"],
+                 r["session_window"]["end"], r["n_events"])
+                for r in b.collect()]
+        acc.clear()            # complete mode: each batch is the FULL state
+        acc.extend(rows)
+
+    qy = (out.writeStream.outputMode("complete")
+          .foreachBatch(take_snapshot)
+          .option("checkpointLocation", f"{tmp}/ckpt")
+          .trigger(availableNow=True).start())
+    qy.awaitTermination(300)
+    return spark.createDataFrame(
+        acc, "user_id long, session_start timestamp, "
+             "session_end timestamp, n_events long")

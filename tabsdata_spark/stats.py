@@ -641,3 +641,83 @@ def ols_two_features(df: DataFrame, y_col: str, x1_col: str, x2_col: str,
         F.round(b2, 6).alias("beta2"),
         F.round(r2, 6).alias("r_squared"),
     )
+
+
+def _adj3(a11, a12, a13, a22, a23, a33):
+    """Adjugate entries + determinant of a symmetric 3x3, as a dict of
+    identically-structured expressions (shared by the Spark driver-side
+    solve and the DuckDB oracle so the IEEE op order is the same)."""
+    adj11 = a22 * a33 - a23 * a23
+    adj12 = a13 * a23 - a12 * a33
+    adj13 = a12 * a23 - a13 * a22
+    adj22 = a11 * a33 - a13 * a13
+    adj23 = a12 * a13 - a11 * a23
+    adj33 = a11 * a22 - a12 * a12
+    det = a11 * adj11 + a12 * adj12 + a13 * adj13
+    return adj11, adj12, adj13, adj22, adj23, adj33, det
+
+
+def logistic_two_features(df: DataFrame, label_col: str, x1_col: str,
+                          x2_col: str, iters: int = 2) -> DataFrame:
+    """Logistic regression  P(label) ~ sigmoid(b0 + b1*x1 + b2*x2)  by
+    IRLS (iteratively reweighted least squares), returning each row's
+    fitted probability — the in-pipeline quality-classifier primitive
+    (fasttext-style weak-label filters: train on a cheap label, score
+    everything, keep by threshold).
+
+    Each IRLS round is one broadcast of the 3-float beta out, one narrow
+    scoring pass, and a driver collect of exactly NINE weighted moment
+    sums (X'WX upper triangle + X'Wz) — the kmeans model-roundtrip
+    contract; corpus size never reaches the driver.  The 3x3 solve runs
+    driver-side through the same adjugate expressions the oracle uses.
+
+    Determinism contract: beta starts at 0 (p=0.5 exactly); per-row
+    weighted contributions are micros-quantized and summed as
+    decimal(38,0), so the moments are exact integers in any partitioning;
+    beta then derives through fixed-structure IEEE ops.  Cross-engine
+    caveat: sigmoid needs exp(), which is not guaranteed correctly
+    rounded — empirically Java and C libm agree on these inputs (same
+    standing as the log2/pow oracles), and the micros quantization makes
+    a final-ulp disagreement flip a cell only when p*1e6 sits within
+    ~1e-10 of an integer."""
+    big = "decimal(38,0)"
+    beta = [0.0, 0.0, 0.0]
+    x1, x2 = F.col(x1_col).cast("double"), F.col(x2_col).cast("double")
+    y = F.col(label_col).cast("double")
+
+    def quant(c):
+        return F.floor(c * 1e6 + F.lit(0.5)).cast("bigint").cast(big)
+
+    for _ in range(iters):
+        eta = F.lit(beta[0]) + F.lit(beta[1]) * x1 + F.lit(beta[2]) * x2
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+        w = p * (F.lit(1.0) - p)
+        wz = w * eta + (y - p)          # w*z with z = eta + (y-p)/w
+        sums = df.agg(
+            F.sum(quant(w)).alias("s11"),
+            F.sum(quant(w * x1)).alias("s12"),
+            F.sum(quant(w * x2)).alias("s13"),
+            F.sum(quant(w * x1 * x1)).alias("s22"),
+            F.sum(quant(w * x1 * x2)).alias("s23"),
+            F.sum(quant(w * x2 * x2)).alias("s33"),
+            F.sum(quant(wz)).alias("r1"),
+            F.sum(quant(wz * x1)).alias("r2"),
+            F.sum(quant(wz * x2)).alias("r3"),
+        ).collect()[0]
+        a11, a12, a13 = (float(sums["s11"]) / 1e6, float(sums["s12"]) / 1e6,
+                         float(sums["s13"]) / 1e6)
+        a22, a23, a33 = (float(sums["s22"]) / 1e6, float(sums["s23"]) / 1e6,
+                         float(sums["s33"]) / 1e6)
+        r1, r2, r3 = (float(sums["r1"]) / 1e6, float(sums["r2"]) / 1e6,
+                      float(sums["r3"]) / 1e6)
+        j11, j12, j13, j22, j23, j33, det = _adj3(a11, a12, a13,
+                                                  a22, a23, a33)
+        if det == 0.0:
+            break
+        beta = [(j11 * r1 + j12 * r2 + j13 * r3) / det,
+                (j12 * r1 + j22 * r2 + j23 * r3) / det,
+                (j13 * r1 + j23 * r2 + j33 * r3) / det]
+
+    eta = F.lit(beta[0]) + F.lit(beta[1]) * x1 + F.lit(beta[2]) * x2
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+    return df.select("*", F.round(p, 6).alias("score"))

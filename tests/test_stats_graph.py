@@ -405,3 +405,21 @@ def test_ols_two_features_singular_design_null(spark):
     df = spark.createDataFrame(rows, "g string, y double, x1 long, x2 long")
     r = stats.ols_two_features(df, "y", "x1", "x2", ["g"]).collect()[0]
     assert r.beta1 is None and r.beta2 is None and r.beta0 is None
+
+
+def test_logistic_two_features_separates_classes(spark):
+    from tabsdata_spark import stats
+
+    # y correlates with x1: high x1 -> label 1.  After 2 IRLS rounds the
+    # fitted probabilities must rank the classes correctly.
+    rows = [("a", 1.0 if i >= 50 else 0.0, float(i) / 10.0,
+             float(i % 4)) for i in range(100)]
+    df = spark.createDataFrame(rows, "g string, y double, x1 double, x2 double")
+    out = stats.logistic_two_features(df, "y", "x1", "x2", iters=2)
+    got = {r.x1: r.score for r in out.collect()}
+    assert got[9.9] > 0.8 and got[0.0] < 0.2
+    # determinism across runs (driver-side solve + exact moment sums)
+    out2 = {r.x1: r.score
+            for r in stats.logistic_two_features(
+                df, "y", "x1", "x2", iters=2).collect()}
+    assert got == out2
