@@ -188,6 +188,7 @@ DIAGNOSTICS = [
     "clustering_coeff_emb",
     "ols_multi_events",
     "pca_power_emb",
+    "logistic_quality_docs",
 ]
 
 
@@ -226,7 +227,9 @@ def main():
              # bloom bitset built driver-side at construction
              "bloom_join_orders",
              # power-iteration rounds run eagerly while building the frame
-             "pca_power_emb"}
+             "pca_power_emb",
+             # IRLS rounds run eagerly while building the frame
+             "logistic_quality_docs"}
 
     def timed(names: list[str]) -> dict[str, float]:
         out: dict[str, float] = {}
