@@ -409,3 +409,27 @@ def normalize_text(text: Column) -> Column:
     t = F.regexp_replace(t, " ?\\n ?", "\n")
     t = F.regexp_replace(t, "\\n{3,}", "\n\n")
     return F.trim(t)
+
+
+def k_anonymity_report(df, quasi_cols: list[str], k: int = 5):
+    """k-anonymity audit over a set of quasi-identifier columns: every
+    row whose quasi-identifier combination is shared by fewer than k rows
+    is re-identifiable at that k — the privacy gate a training-data
+    release runs next to PII redaction.  Returns one row per equivalence
+    class SIZE (the anonymity histogram): class size, number of classes,
+    rows covered, and whether that size violates k.
+
+    Scale shape: one partial-agg shuffle onto the quasi-identifier
+    combinations, then a re-aggregation of the (tiny) class-size
+    distribution — row count never reaches the second shuffle.  The
+    histogram form keeps the output bounded (class sizes, not classes),
+    so the report itself cannot leak a small class's identifiers."""
+    import pyspark.sql.functions as F
+
+    classes = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("__n"))
+    return (classes.groupBy("__n")
+            .agg(F.count(F.lit(1)).alias("n_classes"))
+            .select(F.col("__n").alias("class_size"),
+                    "n_classes",
+                    (F.col("__n") * F.col("n_classes")).alias("rows_covered"),
+                    (F.col("__n") < k).alias("violates_k")))

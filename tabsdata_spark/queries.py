@@ -7805,3 +7805,33 @@ def stream_session_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         acc, "user_id long, session_start timestamp, "
              "session_end timestamp, n_events long")
+
+
+@q(
+    "k_anonymity_events",
+    """
+    WITH classes AS (
+      SELECT user_id % 100 AS age_band, event_type,
+             EXTRACT(hour FROM ts) AS hour_band, COUNT(*) AS n
+      FROM events GROUP BY 1, 2, 3)
+    SELECT n AS class_size,
+           COUNT(*) AS n_classes,
+           n * COUNT(*) AS rows_covered,
+           n < 5 AS violates_k
+    FROM classes GROUP BY n
+    """,
+)
+def k_anonymity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (llm/textual.py k_anonymity_report) over the
+    quasi-identifiers (user-id band, event_type, hour): the anonymity
+    histogram — class sizes, class counts, rows covered, k=5 violations —
+    the privacy gate next to pii_redact.  Bounded output (sizes, not
+    classes) so the report cannot leak a small class's identifiers."""
+    from tabsdata_spark.llm import textual
+
+    ev = load_events(spark, sf_dir).df.select(
+        (F.col("user_id") % 100).alias("age_band"),
+        "event_type",
+        F.hour("ts").cast("bigint").alias("hour_band"))
+    return textual.k_anonymity_report(ev, ["age_band", "event_type",
+                                           "hour_band"], k=5)

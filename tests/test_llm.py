@@ -1570,3 +1570,17 @@ def test_power_iteration_pc_recovers_dominant_axis(spark):
     out2 = {r.vec_id: r.projection
             for r in cluster.power_iteration_pc(df, iters=3).collect()}
     assert out == out2
+
+
+def test_k_anonymity_report_histogram(spark):
+    from tabsdata_spark.llm import textual
+
+    # classes: (a,1) x3, (a,2) x3, (b,1) x1 -> sizes {3: 2 classes, 1: 1}
+    rows = [("a", 1), ("a", 1), ("a", 1),
+            ("a", 2), ("a", 2), ("a", 2), ("b", 1)]
+    df = spark.createDataFrame(rows, "q1 string, q2 long")
+    got = {r.class_size: r for r in
+           textual.k_anonymity_report(df, ["q1", "q2"], k=3).collect()}
+    assert got[3].n_classes == 2 and got[3].rows_covered == 6
+    assert not got[3].violates_k
+    assert got[1].n_classes == 1 and got[1].violates_k
