@@ -7835,3 +7835,62 @@ def k_anonymity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hour("ts").cast("bigint").alias("hour_band"))
     return textual.k_anonymity_report(ev, ["age_band", "event_type",
                                            "hour_band"], k=5)
+
+
+@q(
+    "lang_confusion_docs",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         t -> t <> '') AS t
+      FROM documents),
+    scored AS (
+      SELECT lang,
+             len(list_filter(t, x -> x IN ('der','die','und','das','nicht')))
+                 AS s_de,
+             len(list_filter(t, x -> x IN ('the','and','of','is','that')))
+                 AS s_en,
+             len(list_filter(t, x -> x IN ('el','la','los','que','de')))
+                 AS s_es,
+             len(list_filter(t, x -> x IN ('le','les','des','est','une')))
+                 AS s_fr,
+             len(list_filter(t, x -> x IN ('de','shi','le','bu','wo')))
+                 AS s_zh
+      FROM toks),
+    f1 AS (SELECT lang, s_en, s_es, s_fr, s_zh,
+                  s_de AS bs, 'de' AS bl FROM scored),
+    f2 AS (SELECT lang, s_es, s_fr, s_zh,
+                  CASE WHEN s_en > bs THEN s_en ELSE bs END AS bs,
+                  CASE WHEN s_en > bs THEN 'en' ELSE bl END AS bl FROM f1),
+    f3 AS (SELECT lang, s_fr, s_zh,
+                  CASE WHEN s_es > bs THEN s_es ELSE bs END AS bs,
+                  CASE WHEN s_es > bs THEN 'es' ELSE bl END AS bl FROM f2),
+    f4 AS (SELECT lang, s_zh,
+                  CASE WHEN s_fr > bs THEN s_fr ELSE bs END AS bs,
+                  CASE WHEN s_fr > bs THEN 'fr' ELSE bl END AS bl FROM f3),
+    f5 AS (SELECT lang,
+                  CASE WHEN s_zh > bs THEN s_zh ELSE bs END AS bs,
+                  CASE WHEN s_zh > bs THEN 'zh' ELSE bl END AS bl FROM f4)
+    SELECT lang AS truth_lang,
+           CASE WHEN bs > 0 THEN bl ELSE 'und' END AS pred_lang,
+           COUNT(*) AS n
+    FROM f5 GROUP BY 1, 2
+    """,
+)
+def lang_confusion_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: the marker-argmax language_id
+    (llm/textual.py) evaluated against the lang label — the
+    classifier-evaluation primitive for any in-pipeline filter model.
+    The oracle unrolls language_id's exact fold (lex-sorted languages,
+    strict-greater argmax so the FIRST language wins ties, score 0 ->
+    'und'), so prediction parity is held cell-by-cell, not just in
+    aggregate.  One narrow scoring pass + one cells-sized agg."""
+    from tabsdata_spark.llm import textual
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pred = docs.select(F.col("lang").alias("truth_lang"),
+                       textual.language_id(F.col("text"))
+                       .alias("pred_lang"))
+    return pred.groupBy("truth_lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n"))
