@@ -26,6 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import pyspark.sql.functions as F
 
 import tabsdata_spark as td
+from tabsdata_spark import scale
 from tabsdata_spark.llm import bpe, corpus, decontam, dedup, textual
 from tabsdata_spark.store.table_store import TableStore
 
@@ -109,6 +110,18 @@ def main() -> None:
     encoded = bpe.bpe_encode(kept, merges)
     print("bpe tokens:",
           encoded.agg(F.sum(F.size("bpe_tokens")).alias("t")).first().t)
+
+    # 6. rebalance the language mix (share^0.5 temperature sampling — the
+    #    XLM-R recipe, a pure row-hash filter) and assign training shards
+    #    deterministically, checking the balance BEFORE materializing
+    mix = corpus.temperature_sample(kept, "lang", "doc_id", alpha=0.5)
+    final = kept.join(mix.select("doc_id"), "doc_id", "left_semi")
+    shards = scale.shard_assign(final, "doc_id", n_shards=8,
+                                weight_col="n_tokens")
+    report = shards.orderBy("shard").collect()
+    print(f"tempered mix: {final.count()} docs -> 8 shards, "
+          f"balance {min(r.balance_ratio for r in report):.3f}"
+          f"-{max(r.balance_ratio for r in report):.3f}")
 
 
 if __name__ == "__main__":
