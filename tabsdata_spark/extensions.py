@@ -724,3 +724,64 @@ def disorder_report(df: DataFrame, key_cols: list[str] | str,
                  .alias("disorder_frac"),
                  F.coalesce(F.max("__late"), F.lit(0)).cast("bigint")
                  .alias("max_lateness_us")))
+
+
+def autocorrelation(df: DataFrame, key_cols: list[str] | str, ts_col: str,
+                    value_col: str, max_lag: int = 7) -> DataFrame:
+    """Lag-1..max_lag autocorrelation of the DAILY mean of `value_col`
+    per key — the seasonality/memory diagnostic (a weekly cycle shows as
+    a lag-7 peak; a level shift shows slow decay; white noise hugs 0):
+
+        acf(k) = sum_t (x_t - mean)(x_{t+k} - mean) / sum_t (x_t - mean)^2
+
+    with the standard full-series mean and variance denominator.
+
+    Exactness contract: daily means derive from micros-quantized integer
+    sums; deviation products are nanos-quantized and summed as
+    decimal(38,0), so acf is independent of partial-agg order (the
+    float-sum-order trap); identical IEEE derivation in any engine.
+
+    Scale shape: one partial agg onto (key, day), then ONE window sort
+    per key producing all max_lag shifted columns (state bounded by the
+    calendar), an unpivot, and a (key x lag)-sized final agg."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    big = "decimal(38,0)"
+    m = F.floor(F.col(value_col) * 1e6 + F.lit(0.5)).cast(big)
+    daily = (df.filter(F.col(value_col).isNotNull())
+             .groupBy(*keys, F.to_date(F.col(ts_col)).alias("__day"))
+             .agg(F.count(F.lit(1)).alias("__c"), F.sum(m).alias("__s")))
+    x = (F.col("__s").cast("double") / 1e6) / F.col("__c").cast("double")
+    wall = (Window.partitionBy(*keys)
+            .rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing))
+    worder = Window.partitionBy(*keys).orderBy("__day")
+    base = (daily.withColumn("__x", x)
+            .withColumn("__sn", F.sum("__s").over(wall))
+            .withColumn("__cn", F.sum("__c").over(wall))
+            .withColumn("__nd", F.count(F.lit(1)).over(wall)))
+    mean = (F.col("__sn").cast("double") / 1e6) / F.col("__cn").cast("double")
+    lags = base.withColumn("__mean", mean).select(
+        *keys, "__day", "__x", "__mean", "__nd",
+        *[F.lag("__x", k).over(worder).alias(f"__l{k}")
+          for k in range(1, max_lag + 1)])
+    dev = F.col("__x") - F.col("__mean")
+    den_m = F.floor(dev * dev * 1e9 + F.lit(0.5)).cast("bigint").cast(big)
+    pairs = lags.select(
+        *keys, "__nd", den_m.alias("__d2"),
+        F.explode(F.array(*[
+            F.struct(F.lit(k).alias("lag"),
+                     F.floor((F.col(f"__l{k}") - F.col("__mean")) * dev
+                             * 1e9 + F.lit(0.5))
+                     .cast("bigint").cast(big).alias("num_m"))
+            for k in range(1, max_lag + 1)])).alias("__p"))
+    agg = (pairs.groupBy(*keys, F.col("__p.lag").alias("lag"))
+           .agg(F.sum("__d2").alias("_den"),
+                F.sum("__p.num_m").alias("_num"),
+                F.count(F.col("__p.num_m")).alias("n_pairs"),
+                F.max("__nd").alias("_nd")))
+    acf = F.when(F.col("_den").cast("double") > 0.0,
+                 F.col("_num").cast("double")
+                 / F.col("_den").cast("double"))
+    return (agg.filter(F.col("lag") < F.col("_nd"))
+            .select(*keys, "lag", "n_pairs",
+                    F.round(acf, 6).alias("acf")))

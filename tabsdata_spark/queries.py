@@ -7894,3 +7894,114 @@ def lang_confusion_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .alias("pred_lang"))
     return pred.groupBy("truth_lang", "pred_lang").agg(
         F.count(F.lit(1)).alias("n"))
+
+
+@q(
+    "acf_events",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c,
+             SUM(CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT)) AS s
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    b AS (
+      SELECT event_type, day,
+             (CAST(s AS DOUBLE) / 1e6) / CAST(c AS DOUBLE) AS x,
+             (CAST(SUM(s) OVER w AS DOUBLE) / 1e6)
+                 / CAST(SUM(c) OVER w AS DOUBLE) AS mean,
+             COUNT(*) OVER w AS nd
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND UNBOUNDED FOLLOWING)),
+    l AS (
+      SELECT event_type, x, mean, nd,
+             lag(x, 1) OVER wo AS l1, lag(x, 2) OVER wo AS l2,
+             lag(x, 3) OVER wo AS l3, lag(x, 4) OVER wo AS l4,
+             lag(x, 5) OVER wo AS l5, lag(x, 6) OVER wo AS l6,
+             lag(x, 7) OVER wo AS l7
+      FROM b WINDOW wo AS (PARTITION BY event_type ORDER BY day)),
+    p AS (
+      SELECT event_type, nd, x, mean, kk.k AS lag,
+             CAST(FLOOR((x - mean) * (x - mean) * 1e9 + 0.5) AS HUGEINT)
+                 AS d2,
+             CASE kk.k WHEN 1 THEN l1 WHEN 2 THEN l2 WHEN 3 THEN l3
+                  WHEN 4 THEN l4 WHEN 5 THEN l5 WHEN 6 THEN l6
+                  ELSE l7 END AS lx
+      FROM l, (SELECT unnest(range(1, 8)) AS k) kk),
+    q2 AS (
+      SELECT event_type, lag, nd, d2,
+             CASE WHEN lx IS NULL THEN NULL
+                  ELSE CAST(FLOOR((lx - mean) * (x - mean) * 1e9 + 0.5)
+                            AS HUGEINT) END AS num
+      FROM p),
+    a AS (
+      SELECT event_type, lag,
+             CAST(SUM(d2) AS DOUBLE) AS den,
+             CAST(SUM(num) AS DOUBLE) AS num,
+             COUNT(num) AS n_pairs, MAX(nd) AS nd
+      FROM q2 GROUP BY 1, 2)
+    SELECT event_type, CAST(lag AS INTEGER) AS lag,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CASE WHEN den > 0.0 THEN ROUND(num / den, 6) END AS acf
+    FROM a WHERE lag < nd
+    """,
+)
+def acf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..7 autocorrelation of the daily value mean per event_type
+    (extensions.autocorrelation): the seasonality/memory diagnostic —
+    weekly cycles peak at lag 7, level shifts decay slowly, noise hugs
+    zero.  Deviation products nanos-quantized and decimal-summed, so
+    acf is partial-agg-order independent."""
+    from tabsdata_spark.extensions import autocorrelation
+
+    ev = load_events(spark, sf_dir).df
+    return autocorrelation(ev, "event_type", "ts", "value", max_lag=7)
+
+
+@q(
+    "profile_orders",
+    """
+    SELECT 'o_orderkey' AS column, 'bigint' AS dtype,
+           COUNT(*) - COUNT(o_orderkey) AS n_nulls,
+           COUNT(DISTINCT o_orderkey) AS n_distinct,
+           CAST(MIN(o_orderkey) AS DOUBLE) AS min_num,
+           CAST(MAX(o_orderkey) AS DOUBLE) AS max_num
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', 'bigint',
+           COUNT(*) - COUNT(o_custkey), COUNT(DISTINCT o_custkey),
+           CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', 'string',
+           COUNT(*) - COUNT(o_orderstatus), COUNT(DISTINCT o_orderstatus),
+           NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', 'double',
+           COUNT(*) - COUNT(o_totalprice), COUNT(DISTINCT o_totalprice),
+           MIN(o_totalprice), MAX(o_totalprice)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', 'timestamp',
+           COUNT(*) - COUNT(o_orderdate), COUNT(DISTINCT o_orderdate),
+           NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', 'string',
+           COUNT(*) - COUNT(o_orderpriority),
+           COUNT(DISTINCT o_orderpriority), NULL, NULL
+    FROM orders
+    """,
+)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profiling report (scale.profile_table): per column —
+    null count, exact distinct count, numeric min/max — the
+    data-quality/reconnaissance staple a user runs before wiring a new
+    source.  ONE aggregation job (all columns' aggregates in a single
+    partial-agg pass, count_distinct expanded by Spark's aggregate
+    planner), then a dim-sized unpivot; the table is scanned once."""
+    from tabsdata_spark import scale
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return scale.profile_table(orders)

@@ -333,3 +333,40 @@ def shard_assign(df: DataFrame, id_col: str, n_shards: int = 16,
                             / (F.col("__wt").cast("double")
                                / F.lit(float(n_shards))), 6)
                     .alias("balance_ratio")))
+
+
+def profile_table(df: DataFrame) -> DataFrame:
+    """Per-column profiling report: (column, dtype, n_nulls, n_distinct,
+    min_num, max_num) — numeric columns carry min/max, others NULL.  All
+    statistics for all columns compute in ONE aggregation over a single
+    scan (Spark expands the count_distincts via expand/partial-agg
+    planning); the result unpivots driver-side from one collected row,
+    so output size is the column count."""
+    num_types = ("int", "bigint", "double", "float", "smallint", "tinyint",
+                 "decimal")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    # report the LOGICAL dtype: timestamp_ntz vs timestamp is a session
+    # config artifact (spark.sql.timestampType), not a table property
+    dts = {c: t.replace("timestamp_ntz", "timestamp")
+           for c, t in df.dtypes}
+    for c in df.columns:
+        aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"__nd_{c}"))
+        if any(dts[c].startswith(t) for t in num_types):
+            aggs.append(F.min(F.col(c)).cast("double").alias(f"__mn_{c}"))
+            aggs.append(F.max(F.col(c)).cast("double").alias(f"__mx_{c}"))
+    row = df.agg(*aggs).collect()[0]
+    out = []
+    for c in df.columns:
+        numeric = any(dts[c].startswith(t) for t in num_types)
+        out.append((c, dts[c],
+                    int(row["__n"]) - int(row[f"__nn_{c}"]),
+                    int(row[f"__nd_{c}"]),
+                    float(row[f"__mn_{c}"]) if numeric
+                    and row[f"__mn_{c}"] is not None else None,
+                    float(row[f"__mx_{c}"]) if numeric
+                    and row[f"__mx_{c}"] is not None else None))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        out, "column string, dtype string, n_nulls long, n_distinct long, "
+             "min_num double, max_num double")

@@ -482,3 +482,21 @@ def test_disorder_report_counts_late_rows(spark):
     assert got[1].max_lateness_us == 15_000_000
     assert got[1].disorder_frac == 0.25
     assert got[2].n_out_of_order == 0 and got[2].max_lateness_us == 0
+
+
+def test_autocorrelation_detects_period_two(spark):
+    from tabsdata_spark.extensions import autocorrelation
+    import datetime as dt
+
+    # alternating daily means 0,10,0,10,... -> acf(1) strongly negative,
+    # acf(2) strongly positive
+    rows = []
+    for d in range(14):
+        v = 0.0 if d % 2 == 0 else 10.0
+        rows.append((d, "k", dt.datetime(2024, 1, 1 + d, 8), v))
+    df = spark.createDataFrame(
+        rows, "event_id long, k string, ts timestamp, value double")
+    got = {r.lag: r for r in
+           autocorrelation(df, "k", "ts", "value", max_lag=3).collect()}
+    assert got[1].acf < -0.8 and got[2].acf > 0.7
+    assert got[1].n_pairs == 13 and got[2].n_pairs == 12

@@ -141,3 +141,16 @@ def test_key_skew_report_values(spark):
     assert r.top_key_share == 0.6
     assert r.skew_ratio == 2.4            # 6 / (10/4)
     assert r.p50_per_key == 1.5           # interpolated over [1,1,2,6]
+
+
+def test_profile_table_counts_and_ranges(spark):
+    from tabsdata_spark import scale
+
+    rows = [(1, "a", 1.5), (2, "a", None), (3, None, 2.5), (4, "b", 0.5)]
+    df = spark.createDataFrame(rows, "id long, s string, v double")
+    got = {r.column: r for r in scale.profile_table(df).collect()}
+    assert got["id"].n_nulls == 0 and got["id"].n_distinct == 4
+    assert (got["id"].min_num, got["id"].max_num) == (1.0, 4.0)
+    assert got["s"].n_nulls == 1 and got["s"].n_distinct == 2
+    assert got["s"].min_num is None
+    assert got["v"].n_nulls == 1 and got["v"].min_num == 0.5
