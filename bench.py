@@ -189,6 +189,11 @@ DIAGNOSTICS = [
     "ols_multi_events",
     "pca_power_emb",
     "logistic_quality_docs",
+    "k_anonymity_events",
+    "lang_confusion_docs",
+    "acf_events",
+    "profile_orders",
+    "record_linkage_customers",
 ]
 
 
@@ -229,7 +234,9 @@ def main():
              # power-iteration rounds run eagerly while building the frame
              "pca_power_emb",
              # IRLS rounds run eagerly while building the frame
-             "logistic_quality_docs"}
+             "logistic_quality_docs",
+             # single-agg collect + driver unpivot at construction
+             "profile_orders"}
 
     def timed(names: list[str]) -> dict[str, float]:
         out: dict[str, float] = {}

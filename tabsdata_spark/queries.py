@@ -8005,3 +8005,53 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     return scale.profile_table(orders)
+
+
+@q(
+    "record_linkage_customers",
+    """
+    WITH b AS (
+      SELECT c_custkey AS idb, c_nationkey, c_mktsegment,
+             CASE WHEN c_custkey % 5 = 0 THEN c_name || '_x'
+                  ELSE c_name END AS name_b,
+             ROUND(c_acctbal + (CAST(c_custkey % 7 AS DOUBLE) - 3.0), 2)
+                 AS bal_b
+      FROM customer),
+    j AS (
+      SELECT a.c_custkey AS a_id, b.idb AS b_id,
+             0.0 + CASE WHEN a.c_name = b.name_b
+                        THEN 6.5 ELSE -3.0 END
+                 + CASE WHEN ABS(a.c_acctbal - b.bal_b) <= 5.0
+                        THEN 2.5 ELSE -1.5 END AS score
+      FROM customer a JOIN b
+        ON a.c_nationkey = b.c_nationkey
+       AND a.c_mktsegment = b.c_mktsegment)
+    SELECT a_id, b_id, ROUND(score, 6) AS score
+    FROM j
+    WHERE score >= 4.0
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY a_id
+            ORDER BY score DESC, b_id ASC) = 1
+    """,
+)
+def record_linkage_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution (scale.record_linkage): customers linked against
+    a deterministic dirty twin (20%% perturbed names, shifted balances)
+    blocked on (nation, segment) — Fellegi-Sunter-style weighted field
+    agreement, score-thresholded, best candidate per left row.  Pair
+    count is the sum of block-size products, never all-pairs."""
+    from tabsdata_spark import scale
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    dirty = cust.select(
+        F.col("c_custkey").alias("id_b"), "c_nationkey", "c_mktsegment",
+        F.when(F.col("c_custkey") % 5 == 0,
+               F.concat(F.col("c_name"), F.lit("_x")))
+        .otherwise(F.col("c_name")).alias("c_name"),
+        F.round(F.col("c_acctbal")
+                + ((F.col("c_custkey") % 7).cast("double") - 3.0), 2)
+        .alias("c_acctbal"))
+    return scale.record_linkage(
+        cust, dirty, "c_custkey", "id_b",
+        ["c_nationkey", "c_mktsegment"],
+        [("c_name", 6.5, -3.0), ("c_acctbal", 2.5, -1.5, 5.0)],
+        threshold=4.0)

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+from pyspark.sql.window import Window
 
 
 def fan_out(df: DataFrame, parallelism: int | None = None) -> DataFrame:
@@ -370,3 +371,51 @@ def profile_table(df: DataFrame) -> DataFrame:
     return spark.createDataFrame(
         out, "column string, dtype string, n_nulls long, n_distinct long, "
              "min_num double, max_num double")
+
+
+def record_linkage(a: DataFrame, b: DataFrame, id_a: str, id_b: str,
+                   block_cols: list[str], fields: list[tuple],
+                   threshold: float = 0.0,
+                   best_per_left: bool = True) -> DataFrame:
+    """Entity resolution by blocked pairwise scoring (the Fellegi-Sunter
+    shape): candidate pairs come ONLY from equality on `block_cols`
+    (never all-pairs), each field contributes its agreement weight or
+    disagreement penalty, and pairs below `threshold` drop.
+
+    `fields` entries are (col, agree_w, disagree_w) for exact equality
+    or (col, agree_w, disagree_w, tol) for numeric agreement within
+    |a-b| <= tol.  Weights are caller-supplied log-odds (the m/u
+    probabilities of the classic model are estimated offline); keeping
+    them as plain literals also keeps the score an exact IEEE sum,
+    reproducible across engines.
+
+    Scale shape: ONE equi-join shuffle on the blocking keys (pair count
+    = sum of block-size products — the caller controls it via blocking),
+    a projection for the score, and, with best_per_left, one window over
+    each left id's candidates.  NULL fields score the disagreement
+    weight (conservative)."""
+    bb = b.select(F.col(id_b).alias("__idb"),
+                  *[F.col(c).alias(f"__b_{c}") for c in block_cols],
+                  *[F.col(f[0]).alias(f"__bf_{f[0]}") for f in fields])
+    cond = [a[c] == bb[f"__b_{c}"] for c in block_cols]
+    j = a.join(bb, cond)
+    score = F.lit(0.0)
+    for f in fields:
+        col, agree_w, disagree_w = f[0], float(f[1]), float(f[2])
+        av, bv = F.col(col), F.col(f"__bf_{col}")
+        if len(f) > 3:
+            hit = F.abs(av.cast("double") - bv.cast("double")) <= float(f[3])
+        else:
+            hit = av == bv
+        score = score + F.when(hit.isNotNull() & hit,
+                               F.lit(agree_w)).otherwise(F.lit(disagree_w))
+    scored = (j.select(F.col(id_a).alias("a_id"),
+                       F.col("__idb").alias("b_id"),
+                       F.round(score, 6).alias("score"))
+              .filter(F.col("score") >= threshold))
+    if not best_per_left:
+        return scored
+    w = Window.partitionBy("a_id").orderBy(F.col("score").desc(),
+                                           F.col("b_id").asc())
+    return (scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn"))

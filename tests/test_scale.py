@@ -154,3 +154,25 @@ def test_profile_table_counts_and_ranges(spark):
     assert got["s"].n_nulls == 1 and got["s"].n_distinct == 2
     assert got["s"].min_num is None
     assert got["v"].n_nulls == 1 and got["v"].min_num == 0.5
+
+
+def test_record_linkage_blocked_scoring(spark):
+    from tabsdata_spark import scale
+
+    a = spark.createDataFrame(
+        [(1, "blk", "alice", 100.0), (2, "blk", "bob", 50.0),
+         (3, "other", "carol", 10.0)],
+        "id long, blk string, name string, bal double")
+    b = spark.createDataFrame(
+        [(11, "blk", "alice", 101.0),     # name + bal agree with a:1
+         (12, "blk", "bobby", 50.0),      # only bal agrees with a:2
+         (13, "zzz", "carol", 10.0)],     # wrong block: never paired
+        "idb long, blk string, name string, bal double")
+    out = scale.record_linkage(
+        a, b, "id", "idb", ["blk"],
+        [("name", 5.0, -2.0), ("bal", 3.0, -1.0, 2.0)],
+        threshold=0.0).collect()
+    got = {r.a_id: r for r in out}
+    assert got[1].b_id == 11 and got[1].score == 8.0
+    assert got[2].b_id == 12 and got[2].score == 1.0   # -2 + 3
+    assert 3 not in got                                 # blocking pruned
