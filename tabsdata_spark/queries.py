@@ -8055,3 +8055,68 @@ def record_linkage_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["c_nationkey", "c_mktsegment"],
         [("c_name", 6.5, -3.0), ("c_acctbal", 2.5, -1.5, 5.0)],
         threshold=4.0)
+
+
+@q(
+    "scd2_customers",
+    """
+    WITH hist AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+             TIMESTAMP '2024-01-01' AS valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to
+      FROM customer),
+    upd AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 3 = 0 THEN 'AUTOMOBILE'
+                  ELSE c_mktsegment END AS c_mktsegment,
+             ROUND(c_acctbal + CAST(c_custkey % 2 AS DOUBLE), 2)
+                 AS c_acctbal,
+             TIMESTAMP '2024-06-01' AS ts
+      FROM customer WHERE c_custkey % 2 = 0),
+    j AS (
+      SELECT h.c_custkey, h.c_mktsegment, h.c_acctbal, h.valid_from,
+             u.c_mktsegment AS um, u.c_acctbal AS ub, u.ts
+      FROM hist h LEFT JOIN upd u ON h.c_custkey = u.c_custkey),
+    kept AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal, valid_from,
+             CASE WHEN ts IS NOT NULL
+                       AND (c_mktsegment IS DISTINCT FROM um
+                            OR c_acctbal IS DISTINCT FROM ub)
+                  THEN ts END AS valid_to
+      FROM j),
+    reopened AS (
+      SELECT c_custkey, um AS c_mktsegment, ub AS c_acctbal,
+             ts AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to
+      FROM j
+      WHERE ts IS NOT NULL AND (c_mktsegment IS DISTINCT FROM um
+                                OR c_acctbal IS DISTINCT FROM ub))
+    SELECT * FROM kept
+    UNION ALL
+    SELECT * FROM reopened
+    """,
+)
+def scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension merge (store/diff.py scd2_apply): a customer
+    update batch (half the keys; a third of those change segment, half
+    shift balance) closes out changed current rows at the update
+    timestamp and opens new versions — the warehouse-history sibling of
+    the store's version diff.  One key-equi-join shuffle; closed history
+    and unchanged rows pass through without windows."""
+    from tabsdata_spark.store.diff import scd2_apply
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    hist = cust.select(
+        "c_custkey", "c_mktsegment", "c_acctbal",
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"))
+    upd = (cust.filter(F.col("c_custkey") % 2 == 0)
+           .select("c_custkey",
+                   F.when(F.col("c_custkey") % 3 == 0, "AUTOMOBILE")
+                   .otherwise(F.col("c_mktsegment")).alias("c_mktsegment"),
+                   F.round(F.col("c_acctbal")
+                           + (F.col("c_custkey") % 2).cast("double"), 2)
+                   .alias("c_acctbal"),
+                   F.lit("2024-06-01 00:00:00").cast("timestamp")
+                   .alias("ts")))
+    return scd2_apply(hist, upd, ["c_custkey"],
+                      ["c_mktsegment", "c_acctbal"], "ts")

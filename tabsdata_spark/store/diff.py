@@ -104,3 +104,64 @@ def version_drift(spark, store, collection: str, table: str,
     a = store.read(spark, collection, table, versions=old).to_spark()
     b = store.read(spark, collection, table, versions=new).to_spark()
     return drift_psi(a, b, value_col, lo, hi, buckets)
+
+
+def scd2_apply(history: DataFrame, updates: DataFrame, key_cols: list[str],
+               tracked_cols: list[str], ts_col: str,
+               valid_from: str = "valid_from",
+               valid_to: str = "valid_to") -> DataFrame:
+    """Slowly-changing-dimension Type 2 merge: apply an update batch to a
+    versioned dimension history, closing out rows whose tracked
+    attributes changed (their `valid_to` becomes the update timestamp)
+    and opening new current rows — the warehouse-history sibling of the
+    store's version diff.
+
+    Input contract: `history` carries key_cols + tracked_cols +
+    valid_from/valid_to (valid_to NULL = current row); `updates` carries
+    key_cols + tracked_cols + ts_col (one row per key — pre-aggregate
+    upstream if a batch can contain several).  Unchanged keys pass
+    through untouched; brand-new keys open their first row.
+
+    Scale shape: already-closed history never joins (it unions straight
+    through); ONE equi-join shuffle on the keys between the open slice
+    and the update batch, then projections — no windows, no second
+    scan."""
+    closed = history.filter(F.col(valid_to).isNotNull())
+    open_rows = history.filter(F.col(valid_to).isNull())
+    u = updates.select(
+        *[F.col(k).alias(f"__uk_{k}") for k in key_cols],
+        *[F.col(c).alias(f"__u_{c}") for c in tracked_cols],
+        F.col(ts_col).alias("__uts"))
+    cond = [open_rows[k] == u[f"__uk_{k}"] for k in key_cols]
+    j = open_rows.join(u, cond, "left")
+    changed = F.lit(False)
+    for c in tracked_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.col(f"__u_{c}"))
+    has_upd = F.col("__uts").isNotNull()
+    # current rows: close if a differing update arrived, else pass through
+    kept = (j.select(*key_cols, *tracked_cols, F.col(valid_from),
+                     F.when(has_upd & changed, F.col("__uts"))
+                     .otherwise(F.lit(None).cast(j.schema[valid_to].dataType))
+                     .alias(valid_to)))
+    # new versions for changed keys
+    reopened = (j.filter(has_upd & changed)
+                .select(*key_cols,
+                        *[F.col(f"__u_{c}").alias(c) for c in tracked_cols],
+                        F.col("__uts").alias(valid_from),
+                        F.lit(None).cast(j.schema[valid_to].dataType)
+                        .alias(valid_to)))
+    # first versions for brand-new keys
+    uk = [f"__uk_{k}" for k in key_cols]
+    new_keys = u.join(open_rows.select(*key_cols),
+                      [u[f"__uk_{k}"] == open_rows[k] for k in key_cols],
+                      "left_anti")
+    opened = new_keys.select(
+        *[F.col(f"__uk_{k}").alias(k) for k in key_cols],
+        *[F.col(f"__u_{c}").alias(c) for c in tracked_cols],
+        F.col("__uts").alias(valid_from),
+        F.lit(None).cast(history.schema[valid_to].dataType).alias(valid_to))
+    cols = key_cols + tracked_cols + [valid_from, valid_to]
+    return (closed.select(*cols)
+            .unionByName(kept.select(*cols))
+            .unionByName(reopened.select(*cols))
+            .unionByName(opened.select(*cols)))

@@ -691,3 +691,30 @@ def test_store_optimize_and_version_drift(spark, tmp_path):
     out = {r["bucket"]: r["psi"] for r in version_drift(
         spark, store, "col", "t", "v", 0.0, 100.0).collect()}
     assert out[-1] > 0.25   # clearly drifted
+
+
+def test_scd2_apply_closes_and_opens_versions(spark):
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+    from tabsdata_spark.store.diff import scd2_apply
+
+    t0 = dt.datetime(2024, 1, 1)
+    t1 = dt.datetime(2024, 6, 1)
+    hist = spark.createDataFrame(
+        [(1, "a", t0, None), (2, "b", t0, None),
+         (3, "old", dt.datetime(2023, 1, 1), t0)],   # already closed
+        "k long, attr string, valid_from timestamp, valid_to timestamp")
+    upd = spark.createDataFrame(
+        [(1, "a2", t1),     # changed -> close + reopen
+         (2, "b", t1),      # unchanged -> untouched
+         (9, "new", t1)],   # new key -> first version
+        "k long, attr string, ts timestamp")
+    out = scd2_apply(hist, upd, ["k"], ["attr"], "ts").collect()
+    rows = {(r.k, r.attr): (r.valid_from, r.valid_to) for r in out}
+    assert len(out) == 5
+    assert rows[(1, "a")] == (t0, t1)          # closed at update ts
+    assert rows[(1, "a2")] == (t1, None)       # reopened
+    assert rows[(2, "b")] == (t0, None)        # untouched current
+    assert rows[(3, "old")][1] == t0           # closed history passthrough
+    assert rows[(9, "new")] == (t1, None)      # brand-new key
