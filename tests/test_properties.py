@@ -451,3 +451,93 @@ def test_mmr_rerank_matches_python_greedy(spark, cand):
         avail.discard(best)
         sel.append(best)
     assert got == sorted(expect)
+
+
+# ---------------------------------------------------------------------------
+# r4 statistical operators vs brute-force python models
+# ---------------------------------------------------------------------------
+
+@given(vals=st.lists(st.tuples(st.booleans(),
+                               st.integers(-30, 30)),
+                     min_size=4, max_size=24))
+@SET
+def test_mann_whitney_matches_python_model(spark, vals):
+    from tabsdata_spark import stats
+
+    # need both cohorts non-empty for a defined U
+    if not any(c for c, _ in vals) or all(c for c, _ in vals):
+        return
+    rows = [("g", c, float(v)) for c, v in vals]
+    df = spark.createDataFrame(rows, "g string, cohort boolean, v double")
+    r = stats.mann_whitney_u(df, "v", "cohort", ["g"]).collect()[0]
+
+    # brute-force U_A: pairs won + half the ties
+    a = sorted(v for c, v in vals if c)
+    b = sorted(v for c, v in vals if not c)
+    u = sum((1.0 if x > y else 0.5 if x == y else 0.0)
+            for x in a for y in b)
+    assert r.u_stat == round(u, 6)
+    assert (r.n_a, r.n_b) == (len(a), len(b))
+
+
+@given(vals=st.lists(st.tuples(st.sampled_from("xyz"),
+                               st.sampled_from("uvw")),
+                     min_size=2, max_size=30))
+@SET
+def test_chi_squared_matches_python_model(spark, vals):
+    from tabsdata_spark import stats
+    from collections import Counter
+    import math
+
+    df = spark.createDataFrame(list(vals), "a string, b string")
+    r = stats.chi_squared_independence(df, "a", "b").collect()[0]
+
+    cells = Counter(vals)
+    ra = Counter(a for a, _ in vals)
+    cb = Counter(b for _, b in vals)
+    n = len(vals)
+    chi2 = 0
+    for a in ra:
+        for b in cb:
+            e = ra[a] * cb[b] / n
+            o = cells.get((a, b), 0)
+            chi2 += math.floor((o - e) * (o - e) / e * 1e9 + 0.5)
+    assert r.chi2 == round(chi2 / 1e9, 6)
+    assert r.n == n and r.dof == (len(ra) - 1) * (len(cb) - 1)
+
+
+@given(upd_keys=st.sets(st.integers(0, 9), max_size=8),
+       changed=st.sets(st.integers(0, 9), max_size=8))
+@SET
+def test_scd2_history_invariants(spark, upd_keys, changed):
+    import datetime as dt
+
+    from tabsdata_spark.store.diff import scd2_apply
+
+    t0, t1 = dt.datetime(2024, 1, 1), dt.datetime(2024, 6, 1)
+    hist = spark.createDataFrame(
+        [(k, f"v{k}", t0, None) for k in range(5)],
+        "k long, attr string, valid_from timestamp, valid_to timestamp")
+    upd = spark.createDataFrame(
+        [(k, f"v{k}_new" if k in changed else f"v{k}", t1)
+         for k in sorted(upd_keys)] or [(99, "x", t1)],
+        "k long, attr string, ts timestamp")
+    out = scd2_apply(hist, upd, ["k"], ["attr"], "ts").collect()
+    # invariant 1: exactly one OPEN row per key ever seen
+    open_per_key = {}
+    for r in out:
+        if r.valid_to is None:
+            open_per_key[r.k] = open_per_key.get(r.k, 0) + 1
+    assert all(v == 1 for v in open_per_key.values())
+    # invariant 2: every original key still has an open row; every update
+    # key has one too
+    keys = {r.k for r in out if r.valid_to is None}
+    expect = set(range(5)) | (upd_keys or {99})
+    if not upd_keys:
+        expect = set(range(5)) | {99}
+    assert keys == expect
+    # invariant 3: closed rows close exactly at the update ts
+    for r in out:
+        if r.valid_to is not None:
+            assert r.valid_to == t1 and r.k in (changed & upd_keys
+                                                & set(range(5)))
