@@ -194,6 +194,7 @@ DIAGNOSTICS = [
     "acf_events",
     "profile_orders",
     "record_linkage_customers",
+    "scd2_customers",
 ]
 
 
