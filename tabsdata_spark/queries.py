@@ -8120,3 +8120,75 @@ def scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .alias("ts")))
     return scd2_apply(hist, upd, ["c_custkey"],
                       ["c_mktsegment", "c_acctbal"], "ts")
+
+
+@q(
+    "stream_drift_events",
+    """
+    WITH e AS (
+      SELECT CAST(ts AS TIMESTAMP) AS mts, value
+      FROM events WHERE value IS NOT NULL),
+    w AS (
+      SELECT to_timestamp(CAST(FLOOR(epoch(mts) / 86400) AS BIGINT)
+                          * 86400) AS window_start,
+             LEAST(GREATEST(CAST(FLOOR((value - 0.0) / ((500.0 - 0.0) / 6))
+                                 AS INTEGER), 0), 5) AS bucket
+      FROM e),
+    c AS (SELECT window_start, bucket, COUNT(*) AS n FROM w GROUP BY 1, 2),
+    p AS (
+      SELECT window_start, SUM(n) AS total,
+             SUM(CASE WHEN bucket = 0 THEN n ELSE 0 END) AS n0,
+             SUM(CASE WHEN bucket = 1 THEN n ELSE 0 END) AS n1,
+             SUM(CASE WHEN bucket = 2 THEN n ELSE 0 END) AS n2,
+             SUM(CASE WHEN bucket = 3 THEN n ELSE 0 END) AS n3,
+             SUM(CASE WHEN bucket = 4 THEN n ELSE 0 END) AS n4,
+             SUM(CASE WHEN bucket = 5 THEN n ELSE 0 END) AS n5
+      FROM c GROUP BY 1)
+    SELECT window_start,
+           window_start + INTERVAL 1 DAY AS window_end,
+           CAST(total AS BIGINT) AS n_events,
+           ROUND(((((((0.0 + (((CAST(n0 AS DOUBLE) + 0.5) / (CAST(total AS DOUBLE) + 3.0)) - (1.0/6.0)) * ln(((CAST(n0 AS DOUBLE) + 0.5) / (CAST(total AS DOUBLE) + 3.0)) / (1.0/6.0))) + (((CAST(n1 AS DOUBLE) + 0.5) / (CAST(total AS DOUBLE) + 3.0)) - (1.0/6.0)) * ln(((CAST(n1 AS DOUBLE) + 0.5) / (CAST(total AS DOUBLE) + 3.0)) / (1.0/6.0))) + (((CAST(n2 AS DOUBLE) + 0.5) / (CAST(total AS DOUBLE) + 3.0)) - (1.0/6.0)) * ln(((CAST(n2 AS DOUBLE) + 0.5) / (CAST(total AS DOUBLE) + 3.0)) / (1.0/6.0))) + (((CAST(n3 AS DOUBLE) + 0.5) / (CAST(total AS DOUBLE) + 3.0)) - (1.0/6.0)) * ln(((CAST(n3 AS DOUBLE) + 0.5) / (CAST(total AS DOUBLE) + 3.0)) / (1.0/6.0))) + (((CAST(n4 AS DOUBLE) + 0.5) / (CAST(total AS DOUBLE) + 3.0)) - (1.0/6.0)) * ln(((CAST(n4 AS DOUBLE) + 0.5) / (CAST(total AS DOUBLE) + 3.0)) / (1.0/6.0))) + (((CAST(n5 AS DOUBLE) + 0.5) / (CAST(total AS DOUBLE) + 3.0)) - (1.0/6.0)) * ln(((CAST(n5 AS DOUBLE) + 0.5) / (CAST(total AS DOUBLE) + 3.0)) / (1.0/6.0))), 6) AS psi
+    FROM p
+    """,
+)
+def stream_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE chained-stateful-operator drift monitoring (streaming/bus.py
+    stream_drift_monitor): per-day PSI of the value histogram against a
+    uniform baseline, computed as TWO chained event-time aggregations
+    (bucket counts per window, then per-window assembly) — Spark's
+    multiple-stateful-operator support exercised live.  Append mode
+    emits each window exactly once when the watermark closes it; a
+    far-future sentinel row in a second micro-batch (maxFilesPerTrigger
+    =1 orders the files) flushes every real window.  Fifth live
+    streaming operator under a driver-grade value hash."""
+    import datetime as dt
+    import tempfile
+
+    from tabsdata_spark.streaming import bus
+
+    ev = (load_events(spark, sf_dir).df
+          .filter(F.col("value").isNotNull())
+          .select("ts", "value").orderBy("ts"))
+    tmp = tempfile.mkdtemp(prefix="td_stream_drift_")
+    ev.coalesce(1).write.parquet(f"{tmp}/src/b1")
+    mx = ev.agg(F.max("ts")).first()[0]
+    sentinel = spark.createDataFrame(
+        [(mx + dt.timedelta(days=2), 1.0)], "ts timestamp, value double")
+    sentinel.coalesce(1).write.parquet(f"{tmp}/src/b2")
+    stream = bus.stream_file_source(spark, f"{tmp}/src/*",
+                                    "ts timestamp, value double",
+                                    max_files_per_trigger=1)
+    out = bus.stream_drift_monitor(stream, "ts", "value",
+                                   [1.0 / 6.0] * 6, 0.0, 500.0,
+                                   window="1 day", watermark="1 hour")
+    rows: list = []
+    qy = (out.writeStream.outputMode("append")
+          .foreachBatch(lambda b, i: rows.extend(b.collect()))
+          .option("checkpointLocation", f"{tmp}/ckpt")
+          .trigger(availableNow=True).start())
+    qy.awaitTermination(300)
+    real = [(r["window_start"], r["window_end"], r["n_events"], r["psi"])
+            for r in rows if r["window_start"] <= mx]
+    return spark.createDataFrame(
+        real, "window_start timestamp, window_end timestamp, "
+              "n_events long, psi double")
