@@ -8192,3 +8192,36 @@ def stream_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         real, "window_start timestamp, window_end timestamp, "
               "n_events long, psi double")
+
+
+@q(
+    "incremental_rollup_orders",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total
+    FROM orders WHERE o_orderkey % 7 <> 3
+    GROUP BY o_orderpriority
+    """,
+)
+def incremental_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (store/diff.py incremental_rollup):
+    the v1 revenue rollup (orders with key%10 != 0) is maintained to v2
+    (orders with key%7 != 3) by applying ONLY the delta — added rows
+    (key%10 == 0 and surviving) with weight +1, removed rows (key%7 == 3)
+    with weight -1 — in one signed-union partial-agg shuffle, never
+    rescanning the base.  DECIMAL sums make the maintained aggregate
+    BIT-IDENTICAL to a full recompute, which is exactly what the oracle
+    is: the full v2 rollup."""
+    from tabsdata_spark.store.diff import base_rollup, incremental_rollup
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    v1 = orders.filter(F.col("o_orderkey") % 10 != 0)
+    old_agg = base_rollup(v1, ["o_orderpriority"], "o_totalprice")
+    added = orders.filter((F.col("o_orderkey") % 10 == 0)
+                          & (F.col("o_orderkey") % 7 != 3))
+    removed = v1.filter(F.col("o_orderkey") % 7 == 3)
+    out = incremental_rollup(old_agg, added, removed,
+                             ["o_orderpriority"], "o_totalprice")
+    return out.select("o_orderpriority", "n",
+                      F.col("total_dec").cast("double").alias("total"))

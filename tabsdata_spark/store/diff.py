@@ -165,3 +165,49 @@ def scd2_apply(history: DataFrame, updates: DataFrame, key_cols: list[str],
             .unionByName(kept.select(*cols))
             .unionByName(reopened.select(*cols))
             .unionByName(opened.select(*cols)))
+
+
+def incremental_rollup(old_agg: DataFrame, added: DataFrame,
+                       removed: DataFrame, key_cols: list[str],
+                       value_col: str) -> DataFrame:
+    """Incremental view maintenance for a count/sum rollup: update an
+    existing aggregate with a version delta (rows added, rows removed)
+    WITHOUT rescanning the base table — at 100 TB the difference between
+    re-aggregating everything and touching only the changed rows.
+
+    Classic signed-union IVM: the old aggregate enters with weight +1,
+    added rows with +1, removed rows with -1; one partial-agg shuffle
+    merges them, groups whose count reaches zero drop out.  Sums run in
+    DECIMAL(18,2) (exact, associative), so the maintained aggregate is
+    BIT-IDENTICAL to a full recompute — the invariant the registry query
+    pins with its full-recompute oracle.
+
+    `old_agg` carries key_cols + n + total_dec (as produced by this
+    function or the matching base rollup); pass empty frames for
+    no-op sides."""
+    dec = "decimal(18,2)"
+
+    def rollup(rows, sign):
+        return rows.groupBy(*key_cols).agg(
+            (F.count(F.lit(1)) * sign).alias("n"),
+            (F.sum(F.col(value_col).cast(dec)) * sign).cast(dec)
+            .alias("total_dec"))
+
+    parts = old_agg.select(*key_cols, "n", "total_dec")
+    merged = (parts
+              .unionByName(rollup(added, F.lit(1)))
+              .unionByName(rollup(removed, F.lit(-1)))
+              .groupBy(*key_cols)
+              .agg(F.sum("n").alias("n"),
+                   F.sum("total_dec").cast(dec).alias("total_dec"))
+              .filter(F.col("n") > 0))
+    return merged
+
+
+def base_rollup(rows: DataFrame, key_cols: list[str],
+                value_col: str) -> DataFrame:
+    """The count/sum rollup shape incremental_rollup maintains."""
+    dec = "decimal(18,2)"
+    return rows.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(value_col).cast(dec)).cast(dec).alias("total_dec"))

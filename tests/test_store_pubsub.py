@@ -718,3 +718,21 @@ def test_scd2_apply_closes_and_opens_versions(spark):
     assert rows[(2, "b")] == (t0, None)        # untouched current
     assert rows[(3, "old")][1] == t0           # closed history passthrough
     assert rows[(9, "new")] == (t1, None)      # brand-new key
+
+
+def test_incremental_rollup_equals_full_recompute(spark):
+    import pyspark.sql.functions as F
+    from tabsdata_spark.store.diff import base_rollup, incremental_rollup
+
+    rows = [(i, "k" + str(i % 3), float(i) + 0.25) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, k string, v double")
+    v1 = df.filter(F.col("id") % 5 != 0)
+    v2 = df.filter(F.col("id") % 4 != 1)
+    old = base_rollup(v1, ["k"], "v")
+    added = v2.join(v1.select("id"), "id", "left_anti")
+    removed = v1.join(v2.select("id"), "id", "left_anti")
+    maint = incremental_rollup(old, added, removed, ["k"], "v")
+    full = base_rollup(v2, ["k"], "v")
+    m = {r.k: (r.n, r.total_dec) for r in maint.collect()}
+    f = {r.k: (r.n, r.total_dec) for r in full.collect()}
+    assert m == f       # bit-identical decimals, group-for-group
