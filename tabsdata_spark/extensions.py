@@ -785,3 +785,60 @@ def autocorrelation(df: DataFrame, key_cols: list[str] | str, ts_col: str,
     return (agg.filter(F.col("lag") < F.col("_nd"))
             .select(*keys, "lag", "n_pairs",
                     F.round(acf, 6).alias("acf")))
+
+
+def seasonal_adjusted_anomalies(df: DataFrame, key_cols: list[str] | str,
+                                ts_col: str, value_col: str,
+                                threshold: float = 1.5) -> DataFrame:
+    """Seasonality-adjusted daily anomalies (STL-lite): remove each key's
+    day-of-week profile from the daily mean, then z-score the residuals —
+    a Monday dip stops masking a real incident and a weekend spike stops
+    crying wolf.  The decomposition ladder between plain rolling_zscore
+    (no seasonality) and a full STL fit.
+
+    Exactness contract: daily and day-of-week means come from exact
+    micros-integer sums; residuals are re-quantized to micros before the
+    z-moments, so mean/std/z are identical IEEE derivations in any
+    engine or partitioning, immune to float-sum order.
+
+    Scale shape: one (key, day) partial agg over the rows — the only
+    row-count shuffle — then a (key, dow) agg and per-key moment windows
+    over the (tiny) daily series.  Degenerate cases (single day, zero
+    residual variance) drop via lazy CASE guards, never divide-by-zero
+    under ANSI."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    big = "decimal(38,0)"
+    m = F.floor(F.col(value_col) * 1e6 + F.lit(0.5)).cast(big)
+    daily = (df.filter(F.col(value_col).isNotNull())
+             .groupBy(*keys, F.to_date(F.col(ts_col)).alias("day"))
+             .agg(F.count(F.lit(1)).alias("__c"), F.sum(m).alias("__s")))
+    daily = daily.withColumn("__dow", F.dayofweek(F.col("day")))
+    x = (F.col("__s").cast("double") / 1e6) / F.col("__c").cast("double")
+    wd = Window.partitionBy(*keys, "__dow")
+    dow_mean = ((F.sum("__s").over(wd).cast("double") / 1e6)
+                / F.sum("__c").over(wd).cast("double"))
+    resid = x - dow_mean
+    rm = F.floor(resid * 1e6 + F.lit(0.5)).cast("bigint").cast(big)
+    base = (daily.withColumn("__x", x)
+            .withColumn("__resid", resid)
+            .withColumn("__rm", rm))
+    wk = Window.partitionBy(*keys)
+    n = F.count(F.lit(1)).over(wk)
+    s1 = F.sum("__rm").over(wk)
+    s2 = F.sum(F.col("__rm") * F.col("__rm")).over(wk)
+    nd = n.cast("double")
+    mean_r = F.when(nd > 0.0, (s1.cast("double") / 1e6) / nd)
+    var_r = F.when(nd > 1.0,
+                   ((s2.cast("double") - s1.cast("double")
+                     * s1.cast("double") / nd) / (nd - 1)) / 1e12)
+    std_r = F.when(var_r > 0.0, F.sqrt(var_r))
+    z = (F.col("__resid") - mean_r) / std_r
+    scored = (base.withColumn("__z", z)
+              .filter(F.col("__z").isNotNull())
+              .filter(F.abs(F.col("__z")) > threshold))
+    return scored.select(
+        *keys, "day",
+        F.col("__c").alias("n_events"),
+        F.round(F.col("__x"), 6).alias("day_mean"),
+        F.round(F.col("__resid"), 6).alias("residual"),
+        F.round(F.col("__z"), 6).alias("zscore"))

@@ -8225,3 +8225,60 @@ def incremental_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                              ["o_orderpriority"], "o_totalprice")
     return out.select("o_orderpriority", "n",
                       F.col("total_dec").cast("double").alias("total"))
+
+
+@q(
+    "seasonal_anomalies_events",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c,
+             SUM(CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT)) AS s
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    d2 AS (
+      SELECT event_type, day, c, s, EXTRACT(dow FROM day) AS dw,
+             (CAST(s AS DOUBLE) / 1e6) / CAST(c AS DOUBLE) AS x
+      FROM daily),
+    d3 AS (
+      SELECT event_type, day, c, x,
+             x - (CAST(SUM(s) OVER wd AS DOUBLE) / 1e6)
+                 / CAST(SUM(c) OVER wd AS DOUBLE) AS resid
+      FROM d2 WINDOW wd AS (PARTITION BY event_type, dw)),
+    d4 AS (
+      SELECT event_type, day, c, x, resid,
+             CAST(FLOOR(resid * 1e6 + 0.5) AS HUGEINT) AS rm
+      FROM d3),
+    d5 AS (
+      SELECT event_type, day, c, x, resid,
+             CAST(COUNT(*) OVER wk AS DOUBLE) AS n,
+             CAST(SUM(rm) OVER wk AS DOUBLE) AS s1,
+             CAST(SUM(rm * rm) OVER wk AS DOUBLE) AS s2
+      FROM d4 WINDOW wk AS (PARTITION BY event_type)),
+    d6 AS (
+      SELECT event_type, day, c, x, resid, n, s1,
+             CASE WHEN n > 1.0
+                  THEN ((s2 - s1 * s1 / n) / (n - 1)) / 1e12 END AS var
+      FROM d5),
+    d7 AS (
+      SELECT event_type, day, c, x, resid,
+             (resid - (s1 / 1e6) / n)
+                 / (CASE WHEN var > 0.0 THEN SQRT(var) END) AS z
+      FROM d6)
+    SELECT event_type, day,
+           c AS n_events,
+           ROUND(x, 6) AS day_mean,
+           ROUND(resid, 6) AS residual,
+           ROUND(z, 6) AS zscore
+    FROM d7
+    WHERE z IS NOT NULL AND ABS(z) > 1.5
+    """,
+)
+def seasonal_anomalies_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week-adjusted daily anomalies per event_type
+    (extensions.seasonal_adjusted_anomalies, STL-lite): residuals vs the
+    key's DOW profile, z-scored over exact re-quantized integer moments —
+    the decomposition ladder between rolling_zscore and a full STL fit."""
+    from tabsdata_spark.extensions import seasonal_adjusted_anomalies
+
+    ev = load_events(spark, sf_dir).df
+    return seasonal_adjusted_anomalies(ev, "event_type", "ts", "value",
+                                       threshold=1.5)

@@ -500,3 +500,30 @@ def test_autocorrelation_detects_period_two(spark):
            autocorrelation(df, "k", "ts", "value", max_lag=3).collect()}
     assert got[1].acf < -0.8 and got[2].acf > 0.7
     assert got[1].n_pairs == 13 and got[2].n_pairs == 12
+
+
+def test_seasonal_adjusted_anomalies_ignores_weekly_cycle(spark):
+    from tabsdata_spark.extensions import seasonal_adjusted_anomalies
+    import datetime as dt
+
+    # 4 weeks of a strong weekly cycle (weekend=100, weekday=10): pure
+    # seasonality -> no anomalies.  Then one corrupted Wednesday.
+    rows, rid = [], 0
+    for d in range(28):
+        day = dt.datetime(2024, 1, 1 + d, 9)
+        v = 100.0 if day.weekday() >= 5 else 10.0
+        if d == 16:               # a Wednesday spike
+            v = 300.0
+        rows.append((rid, "k", day, v)); rid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, k string, ts timestamp, value double")
+    out = seasonal_adjusted_anomalies(df, "k", "ts", "value",
+                                      threshold=1.5).collect()
+    # the spike is flagged with the largest |z|; a plain weekly cycle
+    # never flags a weekend.  (Sibling Wednesdays may co-flag — the
+    # spike contaminates its own DOW mean, a documented property of the
+    # non-robust profile.)
+    assert dt.date(2024, 1, 17) in {r.day for r in out}
+    top = max(out, key=lambda r: abs(r.zscore))
+    assert top.day == dt.date(2024, 1, 17) and top.zscore > 1.5
+    assert all(r.day.weekday() == 2 for r in out)   # only Wednesdays
