@@ -195,6 +195,8 @@ DIAGNOSTICS = [
     "profile_orders",
     "record_linkage_customers",
     "scd2_customers",
+    "incremental_rollup_orders",
+    "seasonal_anomalies_events",
 ]
 
 
