@@ -278,16 +278,33 @@ def rolling_zscore(df: DataFrame, key_cols: list[str] | str, ts_col: str,
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     order = [F.col(ts_col)] + [F.col(c) for c in (tie_cols or [])]
     m = F.floor(F.col(value_col) * 1e6 + F.lit(0.5)).cast("bigint")
-    frame = (Window.partitionBy(*keys).orderBy(*order)
-             .rowsBetween(-window, -1))
     # moments summed in decimal(38,0) (Spark's exact 128-bit path): a
     # bigint m*m wraps silently (non-ANSI) or throws (ANSI) once
     # |value| > ~3037, and the window sum itself can cross 2^63
     base = (df.withColumn("__m", m)
             .withColumn("__md", F.col("__m").cast("decimal(38,0)")))
-    n = F.count("__m").over(frame)
-    s1 = F.sum("__md").over(frame)
-    s2 = F.sum(F.col("__md") * F.col("__md")).over(frame)
+    # The trailing frame's moments come from CUMULATIVE sums differenced
+    # at row offsets (frame [-w,-1] = cum[-1] - cum[-w-1]) instead of a
+    # sliding-frame aggregate: Spark evaluates a sliding decimal SUM by
+    # re-adding the whole frame per row (O(window) each, ~2x wall on
+    # window=20), while a cumulative sum is O(1)/row and lag() is free on
+    # the already-sorted partition.  Decimal sums are EXACT, so the
+    # difference equals the frame sum bit-for-bit — this is a plan
+    # change, not a semantics change.
+    wsort = Window.partitionBy(*keys).orderBy(*order)
+    wcum = wsort.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    zero = F.lit(0).cast("decimal(38,0)")
+    base = (base
+            .withColumn("__ccnt", F.count("__m").over(wcum))
+            .withColumn("__cs1", F.sum("__md").over(wcum))
+            .withColumn("__cs2",
+                        F.sum(F.col("__md") * F.col("__md")).over(wcum)))
+    n = (F.lag("__ccnt", 1).over(wsort)
+         - F.coalesce(F.lag("__ccnt", window + 1).over(wsort), F.lit(0)))
+    s1 = (F.coalesce(F.lag("__cs1", 1).over(wsort), zero)
+          - F.coalesce(F.lag("__cs1", window + 1).over(wsort), zero))
+    s2 = (F.coalesce(F.lag("__cs2", 1).over(wsort), zero)
+          - F.coalesce(F.lag("__cs2", window + 1).over(wsort), zero))
     nd = n.cast("double")
     mean = F.when(nd > 0.0, (s1.cast("double") / 1e6) / nd)
     # sample variance over the micros integers, de-scaled once at the end.
@@ -314,7 +331,8 @@ def rolling_zscore(df: DataFrame, key_cols: list[str] | str, ts_col: str,
             .withColumn("roll_mean", F.round(F.col("__mean"), 6))
             .withColumn("roll_std", F.round(F.col("__std"), 6))
             .withColumn("zscore", F.round(F.col("__z"), 6))
-            .drop("__m", "__n", "__mean", "__std", "__z"))
+            .drop("__m", "__md", "__ccnt", "__cs1", "__cs2",
+                  "__n", "__mean", "__std", "__z"))
 
 
 def cooccurrence_lift(df: DataFrame, basket_col: str, item_col: str) -> DataFrame:
