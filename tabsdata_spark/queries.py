@@ -8282,3 +8282,61 @@ def seasonal_anomalies_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir).df
     return seasonal_adjusted_anomalies(ev, "event_type", "ts", "value",
                                        threshold=1.5)
+
+
+@q(
+    "stream_interval_join_events",
+    """
+    SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
+    FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = 'view') v
+    JOIN (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = 'click') c
+      ON v.user_id = c.user_id
+     AND c.ts >= v.ts
+     AND c.ts <= v.ts + INTERVAL 30 MINUTE
+    """,
+)
+def stream_interval_join_events(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """LIVE stream-stream interval join (streaming/bus.py
+    stream_interval_join): the view stream joins the click stream on
+    user within [view_ts, view_ts + 30min] — the ad-tech attribution
+    shape, with watermark-bounded state on BOTH sides.  Inner joins emit
+    matches immediately (no watermark wait), so an availableNow pass
+    over both sources collects the complete pair set; the oracle is the
+    plain batch interval join.  Sixth live streaming operator under a
+    driver-grade value hash."""
+    import tempfile
+
+    from tabsdata_spark.streaming import bus
+
+    ev = load_events(spark, sf_dir).df
+    views = (ev.filter(F.col("event_type") == "view")
+             .select("user_id", F.col("event_id").alias("view_id"),
+                     F.col("ts").alias("view_ts")))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("user_id", F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("click_ts")))
+    tmp = tempfile.mkdtemp(prefix="td_stream_ij_")
+    views.coalesce(1).write.parquet(f"{tmp}/v/b1")
+    clicks.coalesce(1).write.parquet(f"{tmp}/c/b1")
+    vs = bus.stream_file_source(
+        spark, f"{tmp}/v/*", "user_id long, view_id long, view_ts timestamp")
+    cs = bus.stream_file_source(
+        spark, f"{tmp}/c/*", "user_id long, click_id long, click_ts timestamp")
+    out = bus.stream_interval_join(
+        vs, cs, on="user_id", left_ts="view_ts", right_ts="click_ts",
+        left_watermark="1 hour", right_watermark="1 hour",
+        within="30 MINUTES")
+    rows: list = []
+    qy = (out.writeStream.outputMode("append")
+          .foreachBatch(lambda b, i: rows.extend(
+              (r["user_id"], r["view_id"], r["click_id"])
+              for r in b.select("user_id", "view_id", "click_id")
+              .collect()))
+          .option("checkpointLocation", f"{tmp}/ckpt")
+          .trigger(availableNow=True).start())
+    qy.awaitTermination(300)
+    return spark.createDataFrame(
+        rows, "user_id long, view_id long, click_id long")
