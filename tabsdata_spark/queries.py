@@ -8340,3 +8340,56 @@ def stream_interval_join_events(spark: SparkSession,
     qy.awaitTermination(300)
     return spark.createDataFrame(
         rows, "user_id long, view_id long, click_id long")
+
+
+@q(
+    "stream_ingest_dedup_docs",
+    r"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+                 AS fingerprint
+      FROM documents),
+    corpus AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id < 250),
+    batch AS (SELECT fingerprint FROM fp WHERE doc_id >= 250)
+    SELECT DISTINCT fingerprint
+    FROM batch
+    WHERE fingerprint NOT IN (SELECT fingerprint FROM corpus)
+    """,
+)
+def stream_ingest_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE continuous-ingestion exact dedup (streaming/bus.py
+    stream_ingest_dedup): the new batch streams through the
+    stream-static digest anti-join (static side re-read per micro-batch,
+    stream side never buffers) plus watermark-bounded
+    dropDuplicatesWithinWatermark.  Output surfaces the DISTINCT
+    fingerprint set of surviving documents — within-batch duplicate
+    digests keep an arbitrary survivor row (stream arrival order), so
+    the digest set is the deterministic contract, and it equals the
+    batch distinct-anti-join oracle exactly.  Seventh live streaming
+    operator."""
+    import tempfile
+
+    from tabsdata_spark.streaming import bus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") < 250)
+    batch = docs.filter(F.col("doc_id") >= 250).select(
+        "doc_id", "text",
+        F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")).alias("ts"))
+    tmp = tempfile.mkdtemp(prefix="td_stream_ingest_")
+    batch.coalesce(1).write.parquet(f"{tmp}/src/b1")
+    stream = bus.stream_file_source(
+        spark, f"{tmp}/src/*", "doc_id long, text string, ts timestamp")
+    out = bus.stream_ingest_dedup(stream, corpus, "text", "ts")
+    rows: list = []
+    qy = (out.writeStream.outputMode("append")
+          .foreachBatch(lambda b, i: rows.extend(
+              r["t"] for r in b.select(
+                  F.md5(F.lower(F.trim(F.regexp_replace(
+                      F.col("text"), r"\s+", " ")))).alias("t")).collect()))
+          .option("checkpointLocation", f"{tmp}/ckpt")
+          .trigger(availableNow=True).start())
+    qy.awaitTermination(300)
+    return spark.createDataFrame(
+        [(t,) for t in sorted(set(rows))], "fingerprint string")

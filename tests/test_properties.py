@@ -541,3 +541,32 @@ def test_scd2_history_invariants(spark, upd_keys, changed):
         if r.valid_to is not None:
             assert r.valid_to == t1 and r.k in (changed & upd_keys
                                                 & set(range(5)))
+
+
+@given(lts=st.lists(st.integers(0, 40), min_size=1, max_size=12),
+       rts=st.sets(st.integers(0, 40), min_size=1, max_size=10),
+       direction=st.sampled_from(["backward", "forward", "nearest"]))
+@SET
+def test_asof_join_matches_pandas_merge_asof(spark, lts, rts, direction):
+    """extensions.asof_join (union + forward-fill windows) must agree
+    with pandas merge_asof — the de-facto reference semantics — on
+    arbitrary frames, all three strategies, with `by` groups.  Right
+    `on` values are unique per group so tie rules cannot differ."""
+    import pandas as pd
+
+    from tabsdata_spark.extensions import asof_join
+
+    left = [(i, i % 2, t) for i, t in enumerate(lts)]
+    right = [(t % 2, t, float(t) * 10 + t % 2) for t in sorted(rts)]
+    ldf = spark.createDataFrame(left, "idx long, g long, t long")
+    rdf = spark.createDataFrame(right, "g long, t long, rv double")
+
+    out = asof_join(ldf, rdf, on="t", by="g", strategy=direction)
+    got = {r.idx: r.rv for r in out.collect()}
+
+    lp = pd.DataFrame(left, columns=["idx", "g", "t"]).sort_values("t")
+    rp = pd.DataFrame(right, columns=["g", "t", "rv"]).sort_values("t")
+    exp_df = pd.merge_asof(lp, rp, on="t", by="g", direction=direction)
+    exp = {int(r.idx): (None if pd.isna(r.rv) else float(r.rv))
+           for r in exp_df.itertuples()}
+    assert got == exp
