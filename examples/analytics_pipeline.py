@@ -82,13 +82,23 @@ def main() -> None:
         .select("user_id", "ts", "value"),
         "user_id", "ts", "value")
 
+    # 9. time-series diagnostics: where did the metric level shift, is
+    #    there weekly memory, and which days break their DOW profile?
+    from tabsdata_spark.extensions import (autocorrelation,
+                                           changepoint_detect,
+                                           seasonal_adjusted_anomalies)
+    shift = changepoint_detect(ev, "event_type", "ts", "value")
+    acf = autocorrelation(ev, "event_type", "ts", "value", max_lag=7)
+    season = seasonal_adjusted_anomalies(ev, "event_type", "ts", "value")
+
     # publish the derived tables to a versioned store
     work = tempfile.mkdtemp(prefix="tdspark_analytics_")
     store = TableStore(os.path.join(work, "warehouse"))
     for name, df in [("funnel", fun), ("retention", ret),
                      ("transitions", trans), ("anomalies", anom),
                      ("ab_test", ab), ("lift", lift),
-                     ("value_series", filled)]:
+                     ("value_series", filled), ("level_shifts", shift),
+                     ("acf", acf), ("seasonal_anomalies", season)]:
         store.write(df, "analytics", name)
 
     print(f"events:            {n0}")
@@ -100,6 +110,9 @@ def main() -> None:
     print(f"ab rows:           {ab.count()}")
     print(f"lift pairs:        {lift.count()}")
     print(f"series points:     {filled.count()}")
+    print(f"level shifts:      {shift.count()} (one per event_type)")
+    print(f"acf rows:          {acf.count()}")
+    print(f"seasonal flags:    {season.count()}")
     print(f"store:             {store.root}")
     back = store.read(spark, "analytics", "transitions")
     print(f"replayed:          {back.df.count()} transition rows from the store")
