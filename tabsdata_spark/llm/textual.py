@@ -433,3 +433,37 @@ def k_anonymity_report(df, quasi_cols: list[str], k: int = 5):
                     "n_classes",
                     (F.col("__n") * F.col("n_classes")).alias("rows_covered"),
                     (F.col("__n") < k).alias("violates_k")))
+
+
+def k_anonymize(df, ladder: list[list], names: list[str], k: int = 5):
+    """Generalization-ladder k-anonymization: walk an ordered list of
+    generalization LEVELS (each a list of quasi-identifier expressions,
+    most specific first) and publish the FIRST level whose smallest
+    equivalence class reaches k — the active sibling of
+    k_anonymity_report (audit says where you stand; this picks the
+    minimal coarsening that passes, the Samarati ladder).
+
+    Returns the anonymized equivalence classes (generalized identifiers
+    cast to string + class size) tagged with the chosen level; if no
+    level satisfies k, the most general level publishes (callers add a
+    suppression level — e.g. a '*' literal — as the last rung).
+
+    Scale shape: one partial-agg pass per CANDIDATE level (ladders are
+    3-5 rungs; each pass is a count shuffle), with a 1-number driver
+    collect per rung to decide escalation — the kmeans model-roundtrip
+    contract.  Class-size output only, so the report itself cannot leak
+    a rare combination's raw identifiers."""
+    import pyspark.sql.functions as F
+
+    def classes(exprs):
+        cols = [e.cast("string").alias(n) for e, n in zip(exprs, names)]
+        return df.groupBy(*cols).agg(F.count(F.lit(1)).alias("n"))
+
+    chosen = len(ladder) - 1
+    for lvl, exprs in enumerate(ladder):
+        m = classes(exprs).agg(F.min("n")).first()[0]
+        if m is not None and m >= k:
+            chosen = lvl
+            break
+    return classes(ladder[chosen]).select(
+        F.lit(chosen).alias("level"), *names, "n")

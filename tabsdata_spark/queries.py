@@ -8393,3 +8393,109 @@ def stream_ingest_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     qy.awaitTermination(300)
     return spark.createDataFrame(
         [(t,) for t in sorted(set(rows))], "fingerprint string")
+
+
+@q(
+    "stream_sliding_events",
+    """
+    WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS mts, value FROM events),
+    slid AS (
+      SELECT date_trunc('hour', mts) AS window_start, value FROM e
+      UNION ALL
+      SELECT date_trunc('hour', mts) - INTERVAL 1 HOUR AS window_start,
+             value
+      FROM e)
+    SELECT window_start,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM slid GROUP BY window_start
+    """,
+)
+def stream_sliding_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE sliding-window aggregation (streaming/bus.py
+    windowed_aggregate with slide): 2-hour windows sliding every hour —
+    each event expands into TWO open windows, state = open windows x
+    keys.  availableNow + update mode with last-wins merge per window
+    start; equals the batch expand-then-aggregate oracle.  Eighth live
+    streaming operator."""
+    import tempfile
+
+    from tabsdata_spark.streaming import bus
+
+    ev = (load_events(spark, sf_dir).df
+          .select("event_id", "ts", "value"))
+    tmp = tempfile.mkdtemp(prefix="td_stream_slide_")
+    ev.coalesce(1).write.parquet(f"{tmp}/src/b1")
+    stream = bus.stream_file_source(
+        spark, f"{tmp}/src/*", "event_id long, ts timestamp, value double")
+    out = bus.windowed_aggregate(
+        stream, "ts", "2 hours", "30 minutes",
+        {"n": F.count(F.lit(1)),
+         "total": F.sum(F.col("value").cast("decimal(18,4)"))
+         .cast("double")},
+        slide="1 hour")
+    acc: dict = {}
+    qy = (out.writeStream.outputMode("update")
+          .foreachBatch(lambda b, i: acc.update(
+              {r["window"]["start"]: (r["n"], r["total"])
+               for r in b.collect()}))
+          .option("checkpointLocation", f"{tmp}/ckpt")
+          .trigger(availableNow=True).start())
+    qy.awaitTermination(300)
+    rows = [(k, v[0], v[1]) for k, v in acc.items()]
+    return spark.createDataFrame(
+        rows, "window_start timestamp, n long, total double")
+
+
+@q(
+    "k_anonymize_events",
+    """
+    WITH b AS (
+      SELECT user_id, event_type, EXTRACT(hour FROM ts) AS h FROM events),
+    l0 AS (SELECT 0 AS level, CAST(user_id % 100 AS VARCHAR) AS q1,
+                  CAST(event_type AS VARCHAR) AS q2,
+                  CAST(h AS VARCHAR) AS q3, COUNT(*) AS n
+           FROM b GROUP BY 2, 3, 4),
+    l1 AS (SELECT 1 AS level, CAST(user_id % 100 AS VARCHAR) AS q1,
+                  CAST(event_type AS VARCHAR) AS q2,
+                  CAST(CAST(FLOOR(h / 6) AS BIGINT) * 6 AS VARCHAR) AS q3,
+                  COUNT(*) AS n
+           FROM b GROUP BY 2, 3, 4),
+    l2 AS (SELECT 2 AS level, CAST(user_id % 20 AS VARCHAR) AS q1,
+                  CAST(event_type AS VARCHAR) AS q2,
+                  CAST(CAST(FLOOR(h / 6) AS BIGINT) * 6 AS VARCHAR) AS q3,
+                  COUNT(*) AS n
+           FROM b GROUP BY 2, 3, 4),
+    l3 AS (SELECT 3 AS level, '*' AS q1,
+                  CAST(event_type AS VARCHAR) AS q2,
+                  CAST(CAST(FLOOR(h / 6) AS BIGINT) * 6 AS VARCHAR) AS q3,
+                  COUNT(*) AS n
+           FROM b GROUP BY 2, 3, 4),
+    allv AS (SELECT * FROM l0 UNION ALL SELECT * FROM l1
+             UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3),
+    mins AS (SELECT level, MIN(n) AS minn FROM allv GROUP BY level),
+    pick AS (SELECT COALESCE(MIN(CASE WHEN minn >= 5 THEN level END), 3)
+                    AS lvl FROM mins)
+    SELECT CAST(level AS INTEGER) AS level, q1, q2, q3,
+           CAST(n AS BIGINT) AS n
+    FROM allv, pick WHERE level = lvl
+    """,
+)
+def k_anonymize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalization-ladder k-anonymization (llm/textual.py
+    k_anonymize): publish the first rung of (user band x type x hour) ->
+    coarser bands -> suppression where every equivalence class reaches
+    k=5 — the Samarati minimal-generalization walk, driver-decided one
+    rung at a time (1-number collect per rung)."""
+    from tabsdata_spark.llm import textual
+
+    ev = load_events(spark, sf_dir).df
+    h = F.hour("ts")
+    h6 = (F.floor(h / 6).cast("bigint") * 6)
+    ladder = [
+        [F.col("user_id") % 100, F.col("event_type"), h],
+        [F.col("user_id") % 100, F.col("event_type"), h6],
+        [F.col("user_id") % 20, F.col("event_type"), h6],
+        [F.lit("*"), F.col("event_type"), h6],
+    ]
+    return textual.k_anonymize(ev, ladder, ["q1", "q2", "q3"], k=5)

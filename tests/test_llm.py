@@ -1584,3 +1584,31 @@ def test_k_anonymity_report_histogram(spark):
     assert got[3].n_classes == 2 and got[3].rows_covered == 6
     assert not got[3].violates_k
     assert got[1].n_classes == 1 and got[1].violates_k
+
+
+def test_k_anonymize_escalates_to_first_passing_rung(spark):
+    from tabsdata_spark.llm import textual
+
+    # rung 0 (exact id) has singletons; rung 1 (id % 2) satisfies k=3
+    rows = [(i, "t") for i in range(12)]
+    df = spark.createDataFrame(rows, "uid long, typ string")
+    out = textual.k_anonymize(
+        df,
+        [[F.col("uid"), F.col("typ")],
+         [F.col("uid") % 2, F.col("typ")],
+         [F.lit("*"), F.col("typ")]],
+        ["q1", "q2"], k=3).collect()
+    assert all(r.level == 1 for r in out)
+    assert sorted((r.q1, r.n) for r in out) == [("0", 6), ("1", 6)]
+
+
+def test_k_anonymize_falls_back_to_last_rung(spark):
+    from tabsdata_spark.llm import textual
+
+    rows = [(i, "t") for i in range(4)]
+    df = spark.createDataFrame(rows, "uid long, typ string")
+    out = textual.k_anonymize(
+        df,
+        [[F.col("uid")], [F.col("uid") % 3]],   # neither reaches k=5
+        ["q1"], k=5).collect()
+    assert all(r.level == 1 for r in out)       # most general publishes
