@@ -197,6 +197,7 @@ DIAGNOSTICS = [
     "scd2_customers",
     "incremental_rollup_orders",
     "seasonal_anomalies_events",
+    "k_anonymize_events",
 ]
 
 
@@ -239,7 +240,9 @@ def main():
              # IRLS rounds run eagerly while building the frame
              "logistic_quality_docs",
              # single-agg collect + driver unpivot at construction
-             "profile_orders"}
+             "profile_orders",
+             # per-rung escalation decided at construction
+             "k_anonymize_events"}
 
     def timed(names: list[str]) -> dict[str, float]:
         out: dict[str, float] = {}
