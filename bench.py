@@ -268,12 +268,10 @@ def main():
     diagnostics_timings = timed(DIAGNOSTICS)
 
     total = round(sum(timings.values()), 3)
+    # The driver keeps only the LAST ~2000 chars of bench output, so the
+    # headline metric/value/queries go LAST in the dict — key order is
+    # preserved by json.dumps, so the hard numbers survive tail truncation.
     print(json.dumps({
-        "metric": "headline_queries_total",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
         "corpus_total": round(sum(corpus_timings.values()), 3),
         "corpus_queries": corpus_timings,
         "hygiene_total": round(sum(hygiene_timings.values()), 3),
@@ -290,6 +288,11 @@ def main():
         "mining_queries": mining_timings,
         "diagnostics_total": round(sum(diagnostics_timings.values()), 3),
         "diagnostics_queries": diagnostics_timings,
+        "sf": sf,
+        "queries": timings,
+        "metric": "headline_queries_total",
+        "unit": "sec",
+        "value": total,
     }))
 
 

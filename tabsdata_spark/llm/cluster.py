@@ -200,7 +200,13 @@ def power_iteration_pc(
       list_reduce performs.
     Projections are emitted unquantized (round 6, display only).
     """
-    n_dim = len(emb.select(vec_col).first()[0])
+    head = emb.select(vec_col).first()
+    if head is None or head[0] is None:
+        # empty frame (or all-NULL vector head): nothing to fit — return
+        # the empty (id, projection) frame with the contract schema
+        return emb.select(F.col(id_col),
+                          F.lit(None).cast("double").alias("projection"))
+    n_dim = len(head[0])
     v = [1.0 / (n_dim ** 0.5)] * n_dim
 
     xd = F.transform(F.col(vec_col), lambda x: x.cast("double"))

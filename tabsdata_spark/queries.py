@@ -1254,36 +1254,36 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: remaining pool rotates in at r5/r6.  All window changes are pure
 #: reorders — every registered query stays green under
 #: tools/check_queries.py --vanilla at all three scales.
-_PRIORITY_R4 = [
-    # r3 reds, re-checked after the CAST(... AS BIGINT) oracle fix
-    "q12_priority_counts", "quality_gate_docs",
-    # row-op / expression coverage
-    "nan_handling", "drop_nans_q", "unique_keep_first", "string_funcs2",
-    "dt_funcs2", "group_shortcuts", "sessionize", "topk_per_group",
-    "eq_missing_q", "multimodal_decode", "rolling_fingerprint",
-    "simhash_values", "join_nulls_q", "join_suffix_q", "concat_relaxed",
-    "concat_diag_relaxed", "math_extra", "str_advanced", "business_days",
-    "rank_methods", "udf_element_tier",
-    # window / agg events suite
-    "rolling_window_events", "hierarchical_rollup_events", "filtered_agg",
-    "vector_normalize", "parse_dates", "arg_extremum",
-    "content_fingerprint_md5", "dedup_stats", "quality_bins",
-    "ngram_repetition", "percentrank_cumedist_events", "lead_gap_events",
-    "json_extract_events", "stats_variance_events", "corr_value_k_events",
-    "mode_event_type_per_user", "listagg_user_event_types",
-    "histogram_event_values",
-    # corpus / hygiene
-    "boilerplate_ngrams_docs", "source_vocab_overlap_q",
-    "unigram_surprisal_docs", "zipf_slope_sources", "version_diff_docs",
-    "source_caps_docs",
-    # scale toolkit / sketches
-    "salted_user_revenue", "distinct_users_by_type",
-    "approx_distinct_invariant",
+#: Round-5 driver window — exactly the 50-name list pre-staged in NOTES.md
+#: at the end of round 4.  All 50 are never-driver-verified but three-scale
+#: vanilla --exact green; bigram_lm_docs + growth_curve_events confirm the
+#: last two HUGEINT oracle fixes, and stream_anomaly_events +
+#: stream_near_dup_events give the LIVE streaming path its first hard
+#: driver signal.  Round 6 rotates in the final 37 (+ any new
+#: registrations) and finishes the registry.
+_PRIORITY_R5 = [
+    "approx_quantile_invariant", "asof_nearest_events", "segment_dedup_docs",
+    "video_frames_decode", "bigram_lm_docs", "bloom_decontaminate_docs",
+    "normalize_text_docs", "dedup_keep_best_docs", "token_budget_select_docs",
+    "embed_pq_topk", "zorder_events", "incremental_near_dup_docs",
+    "heavy_hitters_tokens", "hll_union_invariant", "feature_hash_docs",
+    "sparse_cosine_docs", "funnel_events", "drift_psi_events",
+    "retention_cohorts_events", "collocations_docs", "mad_outliers_events",
+    "dedup_window_events", "edit_distance_pairs_docs", "audio_features_decode",
+    "containment_pairs_docs", "hard_negatives_emb", "char_entropy_docs",
+    "weighted_sample_docs", "bpe_encode_docs", "readability_docs",
+    "js_divergence_sources", "bloom_join_orders", "rolling_zscore_events",
+    "regr_trend_events", "rrf_fuse_docs", "semantic_decontam_emb",
+    "padding_waste_docs", "ab_test_events", "mi_lang_source_docs",
+    "mmr_rerank_emb", "cooccurrence_events", "resample_ffill_events",
+    "winsorize_events", "benford_prices", "markov_events",
+    "session_paths_events", "growth_curve_events", "stream_anomaly_events",
+    "stream_near_dup_events", "vocab_coverage_docs",
 ]
 
 
 def _rotated(d: dict) -> dict:
-    out = {n: d[n] for n in _PRIORITY_R4 if n in d}
+    out = {n: d[n] for n in _PRIORITY_R5 if n in d}
     out.update((n, v) for n, v in d.items() if n not in out)
     return out
 
@@ -2326,7 +2326,7 @@ def udf_element_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "session_window_native",
     """
     WITH marked AS (
-      SELECT user_id, CAST(ts AS TIMESTAMP) AS mts,
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS mts,
              CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL THEN 1
                   WHEN epoch(CAST(ts AS TIMESTAMP))
                        - epoch(lag(CAST(ts AS TIMESTAMP)) OVER w)
@@ -2337,7 +2337,7 @@ def udf_element_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sess AS (
       SELECT user_id, mts,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY mts
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY mts, event_id
                   ROWS UNBOUNDED PRECEDING) AS sno
       FROM marked)
     SELECT user_id,
@@ -7612,7 +7612,7 @@ def pca_power_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "logistic_quality_docs",
-    """
+    r"""
     WITH base AS (
       SELECT doc_id, lang,
              CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
@@ -7745,7 +7745,7 @@ def logistic_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_session_events",
     """
     WITH marked AS (
-      SELECT user_id, CAST(ts AS TIMESTAMP) AS mts,
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS mts,
              CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL THEN 1
                   WHEN epoch(CAST(ts AS TIMESTAMP))
                        - epoch(lag(CAST(ts AS TIMESTAMP)) OVER w)
@@ -7757,7 +7757,7 @@ def logistic_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sess AS (
       SELECT user_id, mts,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY mts
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY mts, event_id
                   ROWS UNBOUNDED PRECEDING) AS sno
       FROM marked)
     SELECT user_id,

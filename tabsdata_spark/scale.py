@@ -343,8 +343,15 @@ def profile_table(df: DataFrame) -> DataFrame:
     scan (Spark expands the count_distincts via expand/partial-agg
     planning); the result unpivots driver-side from one collected row,
     so output size is the column count."""
-    num_types = ("int", "bigint", "double", "float", "smallint", "tinyint",
-                 "decimal")
+    # exact dtype names except decimal, which carries (p,s) in the name.
+    # A prefix match on "int" would also catch "interval day to second"
+    # etc., building a MIN(interval) CAST AS DOUBLE that kills the whole
+    # single-pass aggregation with AnalysisException.
+    exact_num = {"int", "bigint", "double", "float", "smallint", "tinyint"}
+
+    def _is_numeric(t: str) -> bool:
+        return t in exact_num or t.startswith("decimal")
+
     aggs = [F.count(F.lit(1)).alias("__n")]
     # report the LOGICAL dtype: timestamp_ntz vs timestamp is a session
     # config artifact (spark.sql.timestampType), not a table property
@@ -353,13 +360,13 @@ def profile_table(df: DataFrame) -> DataFrame:
     for c in df.columns:
         aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
         aggs.append(F.count_distinct(F.col(c)).alias(f"__nd_{c}"))
-        if any(dts[c].startswith(t) for t in num_types):
+        if _is_numeric(dts[c]):
             aggs.append(F.min(F.col(c)).cast("double").alias(f"__mn_{c}"))
             aggs.append(F.max(F.col(c)).cast("double").alias(f"__mx_{c}"))
     row = df.agg(*aggs).collect()[0]
     out = []
     for c in df.columns:
-        numeric = any(dts[c].startswith(t) for t in num_types)
+        numeric = _is_numeric(dts[c])
         out.append((c, dts[c],
                     int(row["__n"]) - int(row[f"__nn_{c}"]),
                     int(row[f"__nd_{c}"]),
@@ -409,13 +416,19 @@ def record_linkage(a: DataFrame, b: DataFrame, id_a: str, id_b: str,
             hit = av == bv
         score = score + F.when(hit.isNotNull() & hit,
                                F.lit(agree_w)).otherwise(F.lit(disagree_w))
+    # threshold (and rank) on the UNROUNDED score — rounding first could
+    # flip inclusion for pairs within rounding distance of the threshold
+    # vs an exact-sum oracle; round() is display-only in the projection
     scored = (j.select(F.col(id_a).alias("a_id"),
                        F.col("__idb").alias("b_id"),
-                       F.round(score, 6).alias("score"))
-              .filter(F.col("score") >= threshold))
+                       score.alias("__score"))
+              .filter(F.col("__score") >= threshold))
     if not best_per_left:
-        return scored
-    w = Window.partitionBy("a_id").orderBy(F.col("score").desc(),
+        return scored.select("a_id", "b_id",
+                             F.round(F.col("__score"), 6).alias("score"))
+    w = Window.partitionBy("a_id").orderBy(F.col("__score").desc(),
                                            F.col("b_id").asc())
     return (scored.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1).drop("__rn"))
+            .filter(F.col("__rn") == 1)
+            .select("a_id", "b_id",
+                    F.round(F.col("__score"), 6).alias("score")))

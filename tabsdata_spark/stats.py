@@ -684,6 +684,13 @@ def logistic_two_features(df: DataFrame, label_col: str, x1_col: str,
     beta = [0.0, 0.0, 0.0]
     x1, x2 = F.col(x1_col).cast("double"), F.col(x2_col).cast("double")
     y = F.col(label_col).cast("double")
+    # A NULL label would contribute to the X'WX moments (w depends only on
+    # x1/x2) while dropping out of X'Wz (wz is NULL) — silently biasing
+    # beta.  Fit on fully-observed rows only, like ols_two_features and
+    # welch_ttest; scoring below still covers every row with features.
+    fit = df.filter(F.col(label_col).isNotNull()
+                    & F.col(x1_col).isNotNull()
+                    & F.col(x2_col).isNotNull())
 
     def quant(c):
         return F.floor(c * 1e6 + F.lit(0.5)).cast("bigint").cast(big)
@@ -693,7 +700,7 @@ def logistic_two_features(df: DataFrame, label_col: str, x1_col: str,
         p = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
         w = p * (F.lit(1.0) - p)
         wz = w * eta + (y - p)          # w*z with z = eta + (y-p)/w
-        sums = df.agg(
+        sums = fit.agg(
             F.sum(quant(w)).alias("s11"),
             F.sum(quant(w * x1)).alias("s12"),
             F.sum(quant(w * x2)).alias("s13"),
@@ -704,6 +711,8 @@ def logistic_two_features(df: DataFrame, label_col: str, x1_col: str,
             F.sum(quant(wz * x1)).alias("r2"),
             F.sum(quant(wz * x2)).alias("r3"),
         ).collect()[0]
+        if sums["s11"] is None:         # no fully-observed rows: keep beta=0
+            break
         a11, a12, a13 = (float(sums["s11"]) / 1e6, float(sums["s12"]) / 1e6,
                          float(sums["s13"]) / 1e6)
         a22, a23, a33 = (float(sums["s22"]) / 1e6, float(sums["s23"]) / 1e6,

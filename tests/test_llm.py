@@ -1612,3 +1612,12 @@ def test_k_anonymize_falls_back_to_last_rung(spark):
         [[F.col("uid")], [F.col("uid") % 3]],   # neither reaches k=5
         ["q1"], k=5).collect()
     assert all(r.level == 1 for r in out)       # most general publishes
+
+
+def test_power_iteration_pc_empty_input(spark):
+    from tabsdata_spark.llm import cluster
+
+    df = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out = cluster.power_iteration_pc(df, iters=2)
+    assert out.columns == ["vec_id", "projection"]
+    assert out.count() == 0

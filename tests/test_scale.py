@@ -176,3 +176,44 @@ def test_record_linkage_blocked_scoring(spark):
     assert got[1].b_id == 11 and got[1].score == 8.0
     assert got[2].b_id == 12 and got[2].score == 1.0   # -2 + 3
     assert 3 not in got                                 # blocking pruned
+
+
+def test_profile_table_skips_interval_min_max(spark):
+    from tabsdata_spark import scale
+
+    # an interval column must not build MIN/MAX CAST AS DOUBLE (which
+    # raises AnalysisException and kills the whole single-pass profile)
+    df = spark.sql(
+        "SELECT * FROM VALUES (1, INTERVAL '2' DAY), (2, INTERVAL '3' DAY)"
+        " AS t(id, gap)")
+    got = {r.column: r for r in scale.profile_table(df).collect()}
+    assert got["id"].min_num == 1.0 and got["id"].max_num == 2.0
+    assert got["gap"].min_num is None and got["gap"].max_num is None
+    assert got["gap"].n_distinct == 2
+
+
+def test_record_linkage_thresholds_unrounded_score(spark):
+    from tabsdata_spark import scale
+
+    # score = 0.1+0.2 = 0.30000000000000004 (IEEE); threshold 0.3000000001
+    # must EXCLUDE after comparing the unrounded sum... actually the raw
+    # sum 0.30000000000000004 >= 0.3 passes, while round-to-6 (0.3) would
+    # also pass; use the opposite side: raw 0.29999999999999998-style sums.
+    # Simplest falsifier: weights summing to 2.9999999999999996 (0.1*30 via
+    # three adds) vs threshold 3.0 — rounded(6)=3.0 would ADMIT, raw must
+    # EXCLUDE.
+    a = spark.createDataFrame([(1, "blk", "x", "y", "z")],
+                              "id long, blk string, f1 string, f2 string,"
+                              " f3 string")
+    b = spark.createDataFrame([(11, "blk", "x", "y", "z")],
+                              "idb long, blk string, f1 string, f2 string,"
+                              " f3 string")
+    fields = [("f1", 1.1, -1.0), ("f2", 1.1, -1.0), ("f3", 0.7999999999, -1.0)]
+    raw = 1.1 + 1.1 + 0.7999999999
+    assert raw < 3.0 and round(raw, 6) == 3.0
+    out = scale.record_linkage(a, b, "id", "idb", ["blk"], fields,
+                               threshold=3.0).collect()
+    assert out == []          # unrounded comparison excludes the pair
+    out2 = scale.record_linkage(a, b, "id", "idb", ["blk"], fields,
+                                threshold=2.9).collect()
+    assert len(out2) == 1 and out2[0].score == 3.0   # display-only round

@@ -423,3 +423,29 @@ def test_logistic_two_features_separates_classes(spark):
             for r in stats.logistic_two_features(
                 df, "y", "x1", "x2", iters=2).collect()}
     assert got == out2
+
+
+def test_logistic_two_features_ignores_null_labels(spark):
+    from tabsdata_spark import stats
+
+    rows = [("a", 1.0 if i >= 50 else 0.0, float(i) / 10.0,
+             float(i % 4)) for i in range(100)]
+    df = spark.createDataFrame(rows, "g string, y double, x1 double, x2 double")
+    base = {r.x1: r.score
+            for r in stats.logistic_two_features(df, "y", "x1", "x2",
+                                                 iters=2).collect()}
+    # adding NULL-label rows (which previously leaked into X'WX but not
+    # X'Wz, biasing beta) must leave the fitted model unchanged
+    noise = spark.createDataFrame(
+        [("z", None, 5.0, 1.0), ("z", None, 0.1, 3.0)],
+        "g string, y double, x1 double, x2 double")
+    out = {r.x1: r.score
+           for r in stats.logistic_two_features(df.unionByName(noise),
+                                                "y", "x1", "x2",
+                                                iters=2).collect()
+           if r.g != "z"}
+    assert base == out
+    # and null rows still come back scored (features present)
+    scored = stats.logistic_two_features(
+        df.unionByName(noise), "y", "x1", "x2", iters=2)
+    assert scored.filter("g = 'z' AND score IS NOT NULL").count() == 2
