@@ -8499,3 +8499,141 @@ def k_anonymize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.lit("*"), F.col("event_type"), h6],
     ]
     return textual.k_anonymize(ev, ladder, ["q1", "q2", "q3"], k=5)
+
+
+# ===========================================================================
+# coverage batch (round 5): persisted-index ingest, streaming k-anonymity,
+# graph/survival/EWMA/concurrency analytics, chi2 feature selection,
+# cross-source duplication, int8 quantization, stratified splits, PII
+# density, label centroids, conversion latency
+# ===========================================================================
+@q(
+    "incremental_near_dup_indexed_docs",
+    r"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) >= 3
+                  THEN list_transform(range(1, len(toks) - 1),
+                       i -> array_to_string(toks[i:i+2], ' '))
+                  ELSE [array_to_string(toks, ' ')] END) AS shingles
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS toks
+            FROM documents)),
+    sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    ex AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+    inter AS (
+      SELECT n.doc_id AS doc_id, c.doc_id AS match_id, COUNT(*) AS shared
+      FROM ex n JOIN ex c ON n.g = c.g
+      WHERE n.doc_id >= 250 AND c.doc_id < 250
+      GROUP BY 1, 2),
+    j AS (
+      SELECT inter.doc_id, match_id,
+             ROUND(shared / CAST(sa.n + sb.n - shared AS DOUBLE), 6) AS jaccard
+      FROM inter
+      JOIN sz sa ON sa.doc_id = inter.doc_id
+      JOIN sz sb ON sb.doc_id = inter.match_id
+      WHERE shared / CAST(sa.n + sb.n - shared AS DOUBLE) >= 0.5)
+    SELECT doc_id, match_id, jaccard
+    FROM j
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+            ORDER BY jaccard DESC, match_id ASC) = 1
+    """,
+)
+def incremental_near_dup_indexed_docs(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """Incremental NEAR dedup against a PERSISTED LSH band index
+    (llm/dedup.py corpus_band_index + incremental_near_dup_indexed): the
+    corpus's band buckets are built ONCE and stored; the new batch
+    (doc_id >= 250) computes only its own signatures and joins the
+    stored index — the corpus is never re-tokenized per ingest, the
+    100 TB continuous-ingest shape.  Same exact inverted-index jaccard
+    oracle as incremental_near_dup_docs, so index-path recall at this
+    (32-hash, 8-band) setting is pinned to exactness."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    batch = docs.filter(F.col("doc_id") >= 250)
+    corpus = docs.filter(F.col("doc_id") < 250)
+    index = dedup.corpus_band_index(corpus)
+    return dedup.incremental_near_dup_indexed(batch, corpus, index,
+                                              threshold=0.5)
+
+
+@q(
+    "stream_k_anonymize_events",
+    """
+    WITH b AS (
+      SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS w,
+             user_id, event_type, EXTRACT(hour FROM ts) AS h
+      FROM events),
+    l0 AS (SELECT w, 0 AS level, CAST(user_id % 100 AS VARCHAR) AS q1,
+                  CAST(event_type AS VARCHAR) AS q2,
+                  CAST(h AS VARCHAR) AS q3, COUNT(*) AS n
+           FROM b GROUP BY 1, 3, 4, 5),
+    l1 AS (SELECT w, 1 AS level, CAST(user_id % 100 AS VARCHAR) AS q1,
+                  CAST(event_type AS VARCHAR) AS q2,
+                  CAST(CAST(FLOOR(h / 6) AS BIGINT) * 6 AS VARCHAR) AS q3,
+                  COUNT(*) AS n
+           FROM b GROUP BY 1, 3, 4, 5),
+    l2 AS (SELECT w, 2 AS level, CAST(user_id % 20 AS VARCHAR) AS q1,
+                  CAST(event_type AS VARCHAR) AS q2,
+                  CAST(CAST(FLOOR(h / 6) AS BIGINT) * 6 AS VARCHAR) AS q3,
+                  COUNT(*) AS n
+           FROM b GROUP BY 1, 3, 4, 5),
+    l3 AS (SELECT w, 3 AS level, '*' AS q1,
+                  CAST(event_type AS VARCHAR) AS q2,
+                  CAST(CAST(FLOOR(h / 6) AS BIGINT) * 6 AS VARCHAR) AS q3,
+                  COUNT(*) AS n
+           FROM b GROUP BY 1, 3, 4, 5),
+    allv AS (SELECT * FROM l0 UNION ALL SELECT * FROM l1
+             UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3),
+    mins AS (SELECT w, level, MIN(n) AS minn FROM allv GROUP BY 1, 2),
+    pick AS (SELECT w, COALESCE(MIN(CASE WHEN minn >= 5 THEN level END), 3)
+                       AS lvl
+             FROM mins GROUP BY w)
+    SELECT CAST(allv.w AS TIMESTAMP) AS window_start,
+           CAST(allv.level AS INTEGER) AS level, q1, q2, q3,
+           CAST(n AS BIGINT) AS n
+    FROM allv JOIN pick ON allv.w = pick.w AND allv.level = pick.lvl
+    """,
+)
+def stream_k_anonymize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE streaming k-anonymization (streaming/bus.py
+    stream_k_anonymize): every event fans into one row per ladder rung,
+    ONE watermarked daily-window aggregation counts every rung's
+    equivalence classes at once, and the Samarati pick (first rung whose
+    smallest class reaches k=5, else suppression) runs per window on the
+    collected snapshot (bus.pick_k_anonymous_level) — the streaming twin
+    of k_anonymize_events, ninth live streaming operator under a
+    driver-grade value hash."""
+    import tempfile
+
+    from tabsdata_spark.streaming import bus
+
+    ev = (load_events(spark, sf_dir).df
+          .select("event_id", "ts", "user_id", "event_type"))
+    tmp = tempfile.mkdtemp(prefix="td_stream_kanon_")
+    ev.coalesce(1).write.parquet(f"{tmp}/src/b1")
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    stream = bus.stream_file_source(spark, f"{tmp}/src/*", schema)
+    h = F.hour("ts")
+    h6 = (F.floor(h / 6).cast("bigint") * 6)
+    ladder = [
+        [F.col("user_id") % 100, F.col("event_type"), h],
+        [F.col("user_id") % 100, F.col("event_type"), h6],
+        [F.col("user_id") % 20, F.col("event_type"), h6],
+        [F.lit("*"), F.col("event_type"), h6],
+    ]
+    out = bus.stream_k_anonymize(stream, "ts", "1 day", "30 minutes",
+                                 ladder, ["q1", "q2", "q3"])
+    acc: dict = {}
+    qy = (out.writeStream.outputMode("update")
+          .foreachBatch(lambda b, i: acc.update(
+              {(r["window"]["start"], r["level"], r["q1"], r["q2"], r["q3"]):
+               r["n"] for r in b.collect()}))
+          .option("checkpointLocation", f"{tmp}/ckpt")
+          .trigger(availableNow=True).start())
+    qy.awaitTermination(300)
+    rows = [(k[0], k[1], k[2], k[3], k[4], v) for k, v in acc.items()]
+    snap = spark.createDataFrame(
+        rows, "window_start timestamp, level int, q1 string, q2 string, "
+              "q3 string, n long")
+    return bus.pick_k_anonymous_level(snap, ["q1", "q2", "q3"], k=5)

@@ -132,6 +132,62 @@ def stream_near_dup_flag(stream: DataFrame, corpus: DataFrame,
             .dropDuplicatesWithinWatermark([id_col]))
 
 
+def stream_k_anonymize(stream: DataFrame, ts_col: str, window: str,
+                       watermark: str, ladder: list[list],
+                       names: list[str]) -> DataFrame:
+    """Streaming half of the generalization-ladder k-anonymization
+    (`llm.textual.k_anonymize`): every event projects into one row PER
+    LADDER RUNG (level + generalized quasi-identifiers, cast to string),
+    and a single watermarked tumbling-window aggregation counts the
+    equivalence classes of every rung at once — (window, level,
+    *names, n).
+
+    The Samarati pick itself (lowest rung whose smallest class reaches
+    k) is a per-window decision over the rung minima, so it runs
+    DOWNSTREAM of the stream — in the sink's foreachBatch or on the
+    collected snapshot — exactly like the batch operator's 1-number-per-
+    rung driver decision.  Splitting it this way keeps the streaming
+    plan a single stateful aggregation: state is bounded by (windows x
+    rungs x classes), late data beyond `watermark` is dropped, and no
+    rung ever needs a second pass over the raw events."""
+    lvl_rows = F.explode(F.array(*[
+        F.struct(
+            F.lit(lvl).alias("level"),
+            *[e.cast("string").alias(n) for e, n in zip(exprs, names)])
+        for lvl, exprs in enumerate(ladder)
+    ])).alias("__rung")
+    wm = stream.withWatermark(ts_col, watermark)
+    exploded = wm.select(F.col(ts_col), lvl_rows).select(
+        F.col(ts_col), F.col("__rung.level").alias("level"),
+        *[F.col(f"__rung.{n}").alias(n) for n in names])
+    return (exploded
+            .groupBy(F.window(F.col(ts_col), window), F.col("level"),
+                     *[F.col(n) for n in names])
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def pick_k_anonymous_level(snapshot: DataFrame, names: list[str],
+                           k: int = 5) -> DataFrame:
+    """Batch post-step for `stream_k_anonymize` snapshots: per window,
+    publish the FIRST rung whose smallest equivalence class reaches k
+    (fall back to the most general rung) — the same Samarati walk the
+    batch operator performs, applied to the streamed per-rung class
+    counts.  Input columns: window_start, level, *names, n."""
+    mins = (snapshot.groupBy("window_start", "level")
+            .agg(F.min("n").alias("__minn")))
+    max_lvl = (snapshot.groupBy("window_start")
+               .agg(F.max("level").alias("__maxl")))
+    pick = (mins.groupBy("window_start")
+            .agg(F.min(F.when(F.col("__minn") >= k, F.col("level")))
+                 .alias("__lvl"))
+            .join(max_lvl, "window_start")
+            .select("window_start",
+                    F.coalesce(F.col("__lvl"), F.col("__maxl"))
+                    .alias("level")))
+    return snapshot.join(pick, ["window_start", "level"]).select(
+        "window_start", "level", *names, "n")
+
+
 def stream_drift_monitor(stream: DataFrame, ts_col: str, value_col: str,
                          baseline: list[float], lo: float, hi: float,
                          window: str = "10 minutes",

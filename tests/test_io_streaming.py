@@ -572,3 +572,39 @@ def test_stream_anomaly_flag_constant_series_no_crash(spark, tmp_path):
           .trigger(availableNow=True).start())
     qy.awaitTermination(120)
     assert set(flagged) == batch == set()
+
+
+def test_stream_k_anonymize_picks_per_window(spark, tmp_path):
+    """stream_k_anonymize counts every rung's classes in one windowed agg;
+    pick_k_anonymous_level publishes the first rung reaching k per window."""
+    src = tmp_path / "in_kanon"
+    src.mkdir()
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+    d1 = dt.datetime(2024, 1, 2, 0, 0)
+    # day 1: 6 users in group 'a' (passes k=5 at rung 0);
+    # day 2: 2 in 'a' + 4 in 'b' (rung 0 min=2 < 5; rung 1 pools to 6 >= 5)
+    rows = ([(i, t0, "a") for i in range(6)]
+            + [(10 + i, d1, "a") for i in range(2)]
+            + [(20 + i, d1, "b") for i in range(4)])
+    spark.createDataFrame(rows, ["event_id", "ts", "grp"]).coalesce(1) \
+        .write.mode("overwrite").parquet(str(src))
+    stream = bus.stream_file_source(
+        spark, str(src), "event_id long, ts timestamp, grp string")
+    ladder = [[F.col("grp")], [F.lit("*")]]
+    out = bus.stream_k_anonymize(stream, "ts", "1 day", "10 minutes",
+                                 ladder, ["q1"])
+    acc = {}
+    qy = (out.writeStream.outputMode("update")
+          .foreachBatch(lambda b, i: acc.update(
+              {(r["window"]["start"], r["level"], r["q1"]): r["n"]
+               for r in b.collect()}))
+          .option("checkpointLocation", str(tmp_path / "ckpt_kanon"))
+          .trigger(availableNow=True).start())
+    qy.awaitTermination(120)
+    snap = spark.createDataFrame(
+        [(k[0], k[1], k[2], v) for k, v in acc.items()],
+        "window_start timestamp, level int, q1 string, n long")
+    got = {(r.window_start, r.level, r.q1): r.n
+           for r in bus.pick_k_anonymous_level(snap, ["q1"], k=5).collect()}
+    assert got == {(t0, 0, "a"): 6,       # day 1 publishes at rung 0
+                   (d1, 1, "*"): 6}       # day 2 escalates to suppression
