@@ -860,3 +860,124 @@ def seasonal_adjusted_anomalies(df: DataFrame, key_cols: list[str] | str,
         F.round(F.col("__x"), 6).alias("day_mean"),
         F.round(F.col("__resid"), 6).alias("residual"),
         F.round(F.col("__z"), 6).alias("zscore"))
+
+
+def ewma(df: DataFrame, part_cols: list[str] | str, order_cols: list[str],
+         value_col: str, alpha: float = 0.5, terms: int = 8) -> DataFrame:
+    """Exponentially weighted moving average per key (pandas
+    `ewm(adjust=True)` semantics, truncated to the trailing `terms`
+    observations): ewma_t = sum_j w^j * x_{t-j} / sum_j w^j with
+    w = 1 - alpha, the smoothing primitive for metric dashboards and
+    drift monitors.
+
+    Exactness contract: the default alpha=0.5 makes every weight an
+    exact power of two, each weighted term is one IEEE multiply, and
+    BOTH the numerator and denominator fold left in fixed j order — the
+    whole statistic is a fixed-structure IEEE expression over the
+    trailing lags, bit-identical in any engine and any partitioning.
+    Missing lags (series head) drop out of both sums (adjust=True
+    renormalization); NULL values contribute nothing.
+
+    Scale shape: ONE shuffle on the key columns, one sort per
+    partition, then `terms` lag expressions inside a single projection
+    (whole-stage codegen; no per-row loop, no state)."""
+    parts = [part_cols] if isinstance(part_cols, str) else list(part_cols)
+    w = Window.partitionBy(*parts).orderBy(*order_cols)
+    decay = 1.0 - alpha
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for j in range(terms):
+        lag_j = F.col(value_col) if j == 0 else F.lag(value_col, j).over(w)
+        coef = F.lit(decay ** j)
+        num = num + F.coalesce(lag_j * coef, F.lit(0.0))
+        den = den + F.when(lag_j.isNotNull(), coef).otherwise(F.lit(0.0))
+    out = F.when(den > 0, F.round(num / den, 6))
+    return df.select("*", out.alias("ewma"))
+
+
+def max_concurrency(df: DataFrame, ts_col: str, duration: str = "30 minutes",
+                    id_col: str | None = None) -> DataFrame:
+    """Peak concurrency per day by sweep line: each row opens a
+    half-open interval [ts, ts + duration); the answer is, per day, the
+    maximum number of simultaneously open intervals — the capacity-
+    planning statistic (peak concurrent sessions/connections/streams).
+
+    Sweep construction: every interval emits a +1 point at its start
+    and a -1 point at its end; points sort by (time, delta, id) so an
+    interval ending exactly when another starts never overlaps it
+    (half-open semantics: -1 processes first), and a running sum +
+    per-day max finishes the job.
+
+    Scale shape: the global sweep is PARTITIONED BY DAY — legal because
+    `duration` is bounded (< 1 day), so an interval crosses at most one
+    midnight.  Each day's baseline (intervals opened the previous day
+    and still open at midnight) is a per-day COUNT of boundary-crossing
+    intervals, computed in the same shuffle; nothing ever needs a
+    single-partition global sort.  End points landing exactly on
+    midnight attach to the previous day (the interval is open for zero
+    time in the new day)."""
+    iv = F.expr(f"INTERVAL {duration}")
+    idc = F.col(id_col) if id_col else F.monotonically_increasing_id()
+    base = df.select(F.col(ts_col).alias("__s"),
+                     (F.col(ts_col) + iv).alias("__e"),
+                     idc.alias("__id"))
+    starts = base.select(F.date_trunc("day", "__s").alias("day"),
+                         F.col("__s").alias("__t"), F.lit(1).alias("__d"),
+                         "__id")
+    # end exactly at midnight -> previous day (zero open time in new day)
+    endday = F.date_trunc("day", F.col("__e") - F.expr("INTERVAL 1 microsecond"))
+    ends = base.select(endday.alias("day"), F.col("__e").alias("__t"),
+                       F.lit(-1).alias("__d"), "__id")
+    points = starts.unionByName(ends)
+    # baseline: intervals opened before this day's midnight, still open
+    crossing = base.filter(
+        (F.date_trunc("day", "__s") < F.date_trunc("day", "__e"))
+        & (F.col("__e") > F.date_trunc("day", "__e")))
+    baseline = (crossing.groupBy(F.date_trunc("day", "__e").alias("day"))
+                .agg(F.count(F.lit(1)).alias("__base")))
+    wsweep = (Window.partitionBy("day")
+              .orderBy(F.col("__t"), F.col("__d"), F.col("__id"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    running = points.withColumn("__run", F.sum("__d").over(wsweep))
+    per_day = (running.groupBy("day")
+               .agg(F.max("__run").alias("__peak"),
+                    F.sum(F.when(F.col("__d") == 1, 1).otherwise(0))
+                    .alias("n_started")))
+    # the day's true peak is max(baseline, baseline + running peak): the
+    # concurrency AT midnight (carried intervals, before any point) counts
+    return (per_day.join(baseline, "day", "left")
+            .select("day",
+                    (F.greatest(F.col("__peak"), F.lit(0))
+                     + F.coalesce(F.col("__base"), F.lit(0)))
+                    .cast("bigint").alias("max_concurrent"),
+                    F.col("n_started").cast("bigint").alias("n_started")))
+
+
+def time_to_convert(df: DataFrame, user_col: str, ts_col: str,
+                    type_col: str, from_type: str, to_type: str,
+                    tie_col: str | None = None) -> DataFrame:
+    """Per-user conversion latency: for each user's FIRST `from_type`
+    event, the time to the NEXT `to_type` event at or after it — the
+    funnel-latency statistic (signup->purchase, view->click).  Returns
+    one row per converting user: (user, first_from_ts, convert_ts,
+    latency_seconds); users who never convert are absent (callers
+    left-join back for conversion-rate denominators).
+
+    Scale shape: ONE shuffle on the user key; both the first-from and
+    next-to steps are min-aggregations inside the same partitioning —
+    no window over the full event stream, no self-join on time
+    ranges."""
+    frm = (df.filter(F.col(type_col) == from_type)
+           .groupBy(user_col)
+           .agg(F.min(ts_col).alias("first_from_ts")))
+    to = df.filter(F.col(type_col) == to_type).select(
+        F.col(user_col), F.col(ts_col).alias("__to_ts"))
+    conv = (to.join(frm, user_col)
+            .filter(F.col("__to_ts") >= F.col("first_from_ts"))
+            .groupBy(user_col, "first_from_ts")
+            .agg(F.min("__to_ts").alias("convert_ts")))
+    lat = (F.unix_micros(F.col("convert_ts"))
+           - F.unix_micros(F.col("first_from_ts")))
+    return conv.select(
+        F.col(user_col), "first_from_ts", "convert_ts",
+        F.round(lat / F.lit(1_000_000.0), 6).alias("latency_seconds"))

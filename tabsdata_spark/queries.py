@@ -8637,3 +8637,236 @@ def stream_k_anonymize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "window_start timestamp, level int, q1 string, q2 string, "
               "q3 string, n long")
     return bus.pick_k_anonymous_level(snap, ["q1", "q2", "q3"], k=5)
+
+
+@q(
+    "pagerank_orders",
+    """
+    WITH e0 AS (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS u,
+                      's' || CAST(l_suppkey AS VARCHAR) AS v
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    und AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+    deg AS (SELECT u, COUNT(*) AS deg FROM und GROUP BY u),
+    nn AS (SELECT COUNT(*) AS n FROM deg),
+    p0 AS (SELECT u AS node, deg,
+                  CAST(1.0 AS DOUBLE) / n AS pr FROM deg, nn),
+    s1 AS (SELECT und.v AS node,
+                  SUM(CAST(FLOOR(p.pr / p.deg * 1e12 + 0.5) AS HUGEINT)) AS s
+           FROM und JOIN p0 p ON und.u = p.node GROUP BY 1),
+    p1 AS (SELECT d.u AS node, d.deg,
+                  (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+                  + CAST(0.85 AS DOUBLE) * (CAST(s.s AS DOUBLE) / 1e12) AS pr
+           FROM deg d JOIN s1 s ON d.u = s.node, nn),
+    s2 AS (SELECT und.v AS node,
+                  SUM(CAST(FLOOR(p.pr / p.deg * 1e12 + 0.5) AS HUGEINT)) AS s
+           FROM und JOIN p1 p ON und.u = p.node GROUP BY 1),
+    p2 AS (SELECT d.u AS node, d.deg,
+                  (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+                  + CAST(0.85 AS DOUBLE) * (CAST(s.s AS DOUBLE) / 1e12) AS pr
+           FROM deg d JOIN s2 s ON d.u = s.node, nn),
+    s3 AS (SELECT und.v AS node,
+                  SUM(CAST(FLOOR(p.pr / p.deg * 1e12 + 0.5) AS HUGEINT)) AS s
+           FROM und JOIN p2 p ON und.u = p.node GROUP BY 1),
+    p3 AS (SELECT d.u AS node, d.deg,
+                  (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+                  + CAST(0.85 AS DOUBLE) * (CAST(s.s AS DOUBLE) / 1e12) AS pr
+           FROM deg d JOIN s3 s ON d.u = s.node, nn)
+    SELECT node, ROUND(pr, 6) AS pagerank FROM p3
+    """,
+)
+def pagerank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality (stats.pagerank) over the customer-supplier
+    trade graph (distinct (o_custkey, l_suppkey) pairs from
+    orders x lineitem, node ids prefixed 'c'/'s'): 3 unrolled damped
+    power iterations with picos-quantized decimal contribution sums —
+    one edge join + one partial-agg shuffle per iteration, N the only
+    driver collect.  The oracle unrolls the identical 3 iterations in
+    SQL, so every rank reproduces bit-for-bit."""
+    from tabsdata_spark import stats
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = (o.join(li, o["o_orderkey"] == li["l_orderkey"])
+             .select(F.concat(F.lit("c"),
+                              F.col("o_custkey").cast("string")).alias("src"),
+                     F.concat(F.lit("s"),
+                              F.col("l_suppkey").cast("string")).alias("dst"))
+             .distinct())
+    return stats.pagerank(edges, "src", "dst", iters=3, damping=0.85)
+
+
+@q(
+    "ewma_events",
+    """
+    WITH b AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS mts, value
+      FROM events WHERE value IS NOT NULL),
+    l AS (
+      SELECT event_id, user_id, value,
+             lag(value, 1) OVER w AS v1, lag(value, 2) OVER w AS v2,
+             lag(value, 3) OVER w AS v3, lag(value, 4) OVER w AS v4,
+             lag(value, 5) OVER w AS v5, lag(value, 6) OVER w AS v6,
+             lag(value, 7) OVER w AS v7
+      FROM b
+      WINDOW w AS (PARTITION BY user_id ORDER BY mts, event_id))
+    SELECT event_id, user_id,
+           ROUND((CAST(0.0 AS DOUBLE)
+                  + COALESCE(value * CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE))
+                  + COALESCE(v1 * CAST(0.5 AS DOUBLE), CAST(0.0 AS DOUBLE))
+                  + COALESCE(v2 * CAST(0.25 AS DOUBLE), CAST(0.0 AS DOUBLE))
+                  + COALESCE(v3 * CAST(0.125 AS DOUBLE), CAST(0.0 AS DOUBLE))
+                  + COALESCE(v4 * CAST(0.0625 AS DOUBLE), CAST(0.0 AS DOUBLE))
+                  + COALESCE(v5 * CAST(0.03125 AS DOUBLE), CAST(0.0 AS DOUBLE))
+                  + COALESCE(v6 * CAST(0.015625 AS DOUBLE), CAST(0.0 AS DOUBLE))
+                  + COALESCE(v7 * CAST(0.0078125 AS DOUBLE), CAST(0.0 AS DOUBLE)))
+                 /
+                 (CAST(0.0 AS DOUBLE)
+                  + CASE WHEN value IS NOT NULL THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+                  + CASE WHEN v1 IS NOT NULL THEN CAST(0.5 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+                  + CASE WHEN v2 IS NOT NULL THEN CAST(0.25 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+                  + CASE WHEN v3 IS NOT NULL THEN CAST(0.125 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+                  + CASE WHEN v4 IS NOT NULL THEN CAST(0.0625 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+                  + CASE WHEN v5 IS NOT NULL THEN CAST(0.03125 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+                  + CASE WHEN v6 IS NOT NULL THEN CAST(0.015625 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+                  + CASE WHEN v7 IS NOT NULL THEN CAST(0.0078125 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END),
+                 6) AS ewma
+    FROM l
+    """,
+)
+def ewma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA (extensions.ewma, pandas ewm(adjust=True) semantics
+    truncated to 8 trailing observations, alpha=0.5): every weight is an
+    exact power of two and both fold sums run in fixed lag order, so the
+    statistic is a fixed-structure IEEE expression — bit-identical to
+    the unrolled-lag oracle.  One shuffle on user_id, all lags in one
+    whole-stage-codegen projection."""
+    from tabsdata_spark import extensions
+
+    ev = (load_events(spark, sf_dir).df
+          .filter(F.col("value").isNotNull())
+          .select("event_id", "ts", "user_id", "value"))
+    out = extensions.ewma(ev, "user_id", ["ts", "event_id"], "value",
+                          alpha=0.5, terms=8)
+    return out.select("event_id", "user_id", "ewma")
+
+
+@q(
+    "kaplan_meier_orders",
+    """
+    WITH fs AS (
+      SELECT l_orderkey, MIN(l_shipdate) AS ship
+      FROM lineitem GROUP BY 1),
+    base AS (
+      SELECT o_orderpriority AS grp,
+             (epoch_us(CAST(ship AS TIMESTAMP))
+              - epoch_us(CAST(o_orderdate AS TIMESTAMP))) // 86400000000
+             AS days
+      FROM orders JOIN fs ON o_orderkey = l_orderkey),
+    obs AS (
+      SELECT grp, LEAST(days, 60) AS t,
+             CASE WHEN days <= 60 THEN 1 ELSE 0 END AS ev
+      FROM base WHERE days >= 0),
+    pts AS (
+      SELECT grp, t, SUM(ev) AS d, SUM(1 - ev) AS c
+      FROM obs GROUP BY 1, 2),
+    wn AS (
+      SELECT grp, t, d, c,
+             SUM(d + c) OVER (PARTITION BY grp)
+             - SUM(d + c) OVER (PARTITION BY grp ORDER BY t
+                                ROWS UNBOUNDED PRECEDING)
+             + d + c AS n_risk
+      FROM pts),
+    sv AS (
+      SELECT grp, t, n_risk, d,
+             SUM(CASE WHEN d > 0 AND d < n_risk
+                      THEN CAST(FLOOR(LN((n_risk - d)
+                                         / CAST(n_risk AS DOUBLE))
+                                      * 1e9 + 0.5) AS BIGINT)
+                      ELSE 0 END)
+               OVER (PARTITION BY grp ORDER BY t
+                     ROWS UNBOUNDED PRECEDING) AS s,
+             MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+               OVER (PARTITION BY grp ORDER BY t
+                     ROWS UNBOUNDED PRECEDING) AS extinct
+      FROM wn)
+    SELECT grp AS o_orderpriority, CAST(t AS BIGINT) AS t,
+           CAST(n_risk AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS n_events,
+           CASE WHEN extinct = 1 THEN CAST(0.0 AS DOUBLE)
+                ELSE ROUND(EXP(CAST(s AS DOUBLE) / 1e9), 6) END AS survival
+    FROM sv WHERE d > 0
+    """,
+)
+def kaplan_meier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier fulfillment-time survival per order priority
+    (stats.kaplan_meier): duration = whole days from order date to first
+    shipment, administratively right-censored at 60 days.  n_at_risk /
+    n_events are exact integer window sums and the product-limit runs as
+    exp of an exactly-summed 1e9-quantized log series, so every survival
+    value reproduces bit-for-bit against the SQL unroll."""
+    from tabsdata_spark import stats
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    fs = li.groupBy("l_orderkey").agg(F.min("l_shipdate").alias("ship"))
+    # orders/lineitem timestamps read as TIMESTAMP_NTZ on vanilla Spark 4
+    # sessions; session TZ is UTC in both harnesses, so the cast is identity
+    days = F.expr("(unix_micros(cast(ship as timestamp))"
+                  " - unix_micros(cast(o_orderdate as timestamp)))"
+                  " div 86400000000")
+    base = (o.join(fs, o["o_orderkey"] == fs["l_orderkey"])
+            .filter(days >= 0)          # synthetic data has negative gaps
+            .select(F.col("o_orderpriority"),
+                    F.least(days, F.lit(60)).alias("t"),
+                    (days <= 60).alias("ev")))
+    return stats.kaplan_meier(base, ["o_orderpriority"], "t", "ev")
+
+
+@q(
+    "concurrency_events",
+    """
+    WITH iv AS (
+      SELECT event_id, CAST(ts AS TIMESTAMP) AS s,
+             CAST(ts AS TIMESTAMP) + INTERVAL 30 MINUTE AS e
+      FROM events),
+    pts AS (
+      SELECT date_trunc('day', s) AS day, s AS t, 1 AS delta, event_id
+      FROM iv
+      UNION ALL
+      SELECT date_trunc('day', e - INTERVAL 1 MICROSECOND) AS day,
+             e AS t, -1 AS delta, event_id
+      FROM iv),
+    run AS (
+      SELECT day, delta,
+             SUM(delta) OVER (PARTITION BY day
+                              ORDER BY t, delta, event_id
+                              ROWS UNBOUNDED PRECEDING) AS r
+      FROM pts),
+    peak AS (
+      SELECT day, MAX(r) AS p,
+             SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS n_started
+      FROM run GROUP BY day),
+    xb AS (
+      SELECT date_trunc('day', e) AS day, COUNT(*) AS b
+      FROM iv
+      WHERE date_trunc('day', s) < date_trunc('day', e)
+        AND e > date_trunc('day', e)
+      GROUP BY 1)
+    SELECT CAST(peak.day AS TIMESTAMP) AS day,
+           CAST(GREATEST(p, 0) + COALESCE(b, 0) AS BIGINT) AS max_concurrent,
+           CAST(n_started AS BIGINT) AS n_started
+    FROM peak LEFT JOIN xb ON peak.day = xb.day
+    """,
+)
+def concurrency_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent 30-minute sessions per day
+    (extensions.max_concurrency): sweep-line +1/-1 points, partitioned
+    BY DAY (legal because the interval length is bounded, so each
+    interval crosses at most one midnight; carried-over intervals enter
+    as an exactly-counted per-day baseline) — no global sort at any
+    scale.  Integer output, hash-compared."""
+    from tabsdata_spark import extensions
+
+    ev = load_events(spark, sf_dir).df.select("event_id", "ts")
+    return extensions.max_concurrency(ev, "ts", "30 minutes",
+                                      id_col="event_id")

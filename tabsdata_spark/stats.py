@@ -730,3 +730,97 @@ def logistic_two_features(df: DataFrame, label_col: str, x1_col: str,
     eta = F.lit(beta[0]) + F.lit(beta[1]) * x1 + F.lit(beta[2]) * x2
     p = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
     return df.select("*", F.round(p, 6).alias("score"))
+
+
+def pagerank(edges: DataFrame, src_col: str, dst_col: str,
+             iters: int = 3, damping: float = 0.85) -> DataFrame:
+    """PageRank over an UNDIRECTED graph by unrolled power iterations:
+    pr(v) <- (1-d)/N + d * sum_{u~v} pr(u)/deg(u), the random-surfer
+    centrality (here: which customers/suppliers sit at the center of
+    the trade graph; in an LLM pipeline: which documents sit at the
+    center of a near-dup/link graph).
+
+    Exactness contract (drives the DuckDB oracle): pr starts at the
+    exact double 1/N; each neighbor contribution pr(u)/deg(u) is
+    quantized to picos (1e12) and summed as decimal(38,0) — exact
+    integers in any partitioning — and the damping update is a
+    fixed-structure IEEE expression, so every iteration reproduces
+    bit-for-bit.  Output pr is round(·, 6) display-only.
+
+    Scale shape: per iteration, ONE join of the edge list with the
+    (node, deg, pr) table on the source endpoint and ONE partial-agg
+    shuffle onto the destination — the standard distributed PageRank;
+    N is the only driver collect (1 number).  The degree table is
+    persisted: it re-enters every iteration, and recomputing it would
+    rescan the edge list `iters` times."""
+    und = (edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+           .unionByName(
+               edges.select(F.col(dst_col).alias("u"),
+                            F.col(src_col).alias("v")))
+           .distinct())
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg")).persist()
+    n = deg.count()
+    base = (1.0 - damping) / float(n)
+    pr = deg.select(F.col("u").alias("node"), "deg",
+                    (F.lit(1.0) / F.lit(float(n))).alias("pr"))
+    quant = lambda c: (F.floor(c * 1e12 + F.lit(0.5))
+                       .cast("bigint").cast("decimal(38,0)"))
+    for _ in range(iters):
+        contrib = (und.join(pr, und["u"] == pr["node"])
+                   .select(F.col("v"),
+                           quant(F.col("pr") / F.col("deg")).alias("m")))
+        sums = contrib.groupBy("v").agg(F.sum("m").alias("s"))
+        pr = (deg.join(sums, deg["u"] == sums["v"])
+              .select(F.col("u").alias("node"), "deg",
+                      (F.lit(base) + F.lit(damping)
+                       * (F.col("s").cast("double") / F.lit(1e12)))
+                      .alias("pr")))
+    return pr.select("node", F.round("pr", 6).alias("pagerank"))
+
+
+def kaplan_meier(df: DataFrame, group_cols: list[str], duration_col: str,
+                 event_col: str) -> DataFrame:
+    """Kaplan-Meier product-limit survival estimator per group: for each
+    time with at least one event, the number at risk, the number of
+    events, and the estimated survival S(t) = prod_{t'<=t} (1 - d/n) —
+    time-to-outcome analysis under right censoring (churn, order
+    fulfillment, job completion; `event_col` false = censored).
+
+    Exactness contract: n_at_risk and d are exact integer window sums;
+    the product runs as exp(sum(ln(1 - d/n))) with each ln term
+    quantized to 1e9 and summed exactly, so S(t) is one IEEE exp over
+    an identical integer in any engine/partitioning (round 6 display).
+    Once a time exhausts the risk set (d = n), survival pins to 0
+    without evaluating ln(0).
+
+    Scale shape: one partial-agg shuffle onto (group, time), then
+    windows inside each group partition — group count never constrains
+    the risk-set math."""
+    g = [F.col(c) for c in group_cols]
+    ev = F.col(event_col).cast("int")
+    pts = (df.groupBy(*g, F.col(duration_col).alias("t"))
+           .agg(F.sum(ev).alias("d"),
+                F.sum(F.lit(1) - ev).alias("c")))
+    wo = Window.partitionBy(*group_cols).orderBy("t")
+    cum_all = (F.sum(F.col("d") + F.col("c"))
+               .over(wo.rowsBetween(Window.unboundedPreceding,
+                                    Window.currentRow)))
+    total = F.sum(F.col("d") + F.col("c")).over(
+        Window.partitionBy(*group_cols))
+    pts = pts.withColumn(
+        "n_risk", (total - cum_all + F.col("d") + F.col("c")).cast("bigint"))
+    lnq = F.when(
+        (F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
+        F.floor(F.log((F.col("n_risk") - F.col("d"))
+                      / F.col("n_risk").cast("double")) * 1e9 + F.lit(0.5))
+        .cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+    extinct = F.max((F.col("d") >= F.col("n_risk")).cast("int")).over(
+        wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum_ln = F.sum(lnq).over(
+        wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    out = pts.select(
+        *g, "t", "n_risk", F.col("d").alias("n_events"),
+        F.when(extinct == 1, F.lit(0.0))
+         .otherwise(F.round(F.exp(cum_ln.cast("double") / F.lit(1e9)), 6))
+         .alias("survival"))
+    return out.filter(F.col("n_events") > 0)

@@ -527,3 +527,63 @@ def test_seasonal_adjusted_anomalies_ignores_weekly_cycle(spark):
     top = max(out, key=lambda r: abs(r.zscore))
     assert top.day == dt.date(2024, 1, 17) and top.zscore > 1.5
     assert all(r.day.weekday() == 2 for r in out)   # only Wednesdays
+
+
+def test_ewma_exact_weights_and_renormalization(spark):
+    from tabsdata_spark import extensions
+
+    rows = [(1, 1, 4.0), (2, 1, 2.0), (3, 1, 1.0)]
+    df = spark.createDataFrame(rows, "i long, u long, v double")
+    got = {r.i: r.ewma for r in
+           extensions.ewma(df, "u", ["i"], "v", alpha=0.5, terms=8).collect()}
+    assert got[1] == 4.0                          # head: only itself
+    assert got[2] == round((2.0 + 0.5 * 4.0) / 1.5, 6)
+    assert got[3] == round((1.0 + 0.5 * 2.0 + 0.25 * 4.0) / 1.75, 6)
+
+
+def test_max_concurrency_sweep_line(spark):
+    import datetime as dt
+
+    from tabsdata_spark import extensions
+
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)
+    # 3 overlapping 30-min sessions around 10:00; 1 isolated at 12:00;
+    # one 23:50 session carries into Jan 2 (baseline for day 2)
+    rows = [(1, t(10, 0)), (2, t(10, 10)), (3, t(10, 20)),
+            (4, t(12, 0)), (5, dt.datetime(2024, 1, 1, 23, 50))]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    got = {r.day: (r.max_concurrent, r.n_started) for r in
+           extensions.max_concurrency(df, "ts", "30 minutes",
+                                      id_col="event_id").collect()}
+    assert got[dt.datetime(2024, 1, 1)] == (3, 5)
+    assert got[dt.datetime(2024, 1, 2)] == (1, 0)   # carried-in baseline only
+
+
+def test_max_concurrency_half_open_boundary(spark):
+    import datetime as dt
+
+    from tabsdata_spark import extensions
+
+    # second session starts exactly when the first ends: never concurrent
+    rows = [(1, dt.datetime(2024, 1, 1, 9, 0)),
+            (2, dt.datetime(2024, 1, 1, 9, 30))]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    out = extensions.max_concurrency(df, "ts", "30 minutes",
+                                     id_col="event_id").collect()
+    assert len(out) == 1 and out[0].max_concurrent == 1
+
+
+def test_time_to_convert_first_from_next_to(spark):
+    import datetime as dt
+
+    from tabsdata_spark import extensions
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [(1, t(0), "view"), (1, t(5), "view"), (1, t(7), "buy"),
+            (2, t(3), "buy"), (2, t(4), "view"),   # buy BEFORE first view
+            (3, t(0), "view")]                      # never converts
+    df = spark.createDataFrame(rows, "u long, ts timestamp, et string")
+    got = {r.u: r.latency_seconds for r in
+           extensions.time_to_convert(df, "u", "ts", "et",
+                                      "view", "buy").collect()}
+    assert got == {1: 420.0}   # user 2's buy precedes the view; 3 absent

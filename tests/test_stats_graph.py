@@ -449,3 +449,46 @@ def test_logistic_two_features_ignores_null_labels(spark):
     scored = stats.logistic_two_features(
         df.unionByName(noise), "y", "x1", "x2", iters=2)
     assert scored.filter("g = 'z' AND score IS NOT NULL").count() == 2
+
+
+def test_pagerank_star_center_dominates(spark):
+    from tabsdata_spark import stats
+
+    # star graph: hub 'h' connected to 4 leaves -> hub has highest rank
+    edges = spark.createDataFrame(
+        [("h", "a"), ("h", "b"), ("h", "c"), ("h", "d")], ["s", "d"])
+    got = {r.node: r.pagerank
+           for r in stats.pagerank(edges, "s", "d", iters=3).collect()}
+    assert len(got) == 5
+    assert got["h"] > max(v for k, v in got.items() if k != "h")
+    assert got["a"] == got["b"] == got["c"] == got["d"]
+    # determinism across runs
+    got2 = {r.node: r.pagerank
+            for r in stats.pagerank(edges, "s", "d", iters=3).collect()}
+    assert got == got2
+
+
+def test_kaplan_meier_product_limit(spark):
+    from tabsdata_spark import stats
+
+    # classic textbook set: events at t=1 (1 of 5), t=3 (1 of 3);
+    # censored at t=2 (1) and t=4 (2, never in an event row)
+    rows = [("g", 1, True), ("g", 2, False), ("g", 3, True),
+            ("g", 4, False), ("g", 4, False)]
+    df = spark.createDataFrame(rows, "g string, t int, ev boolean")
+    got = {r.t: r for r in
+           stats.kaplan_meier(df, ["g"], "t", "ev").collect()}
+    assert set(got) == {1, 3}          # only event times emitted
+    assert got[1].n_risk == 5 and got[1].n_events == 1
+    assert abs(got[1].survival - 0.8) < 1e-6
+    assert got[3].n_risk == 3 and got[3].n_events == 1
+    assert abs(got[3].survival - 0.8 * (2 / 3)) < 1e-6
+
+
+def test_kaplan_meier_extinct_risk_set_pins_zero(spark):
+    from tabsdata_spark import stats
+
+    rows = [("g", 1, True), ("g", 1, True)]   # both die at t=1: d == n
+    df = spark.createDataFrame(rows, "g string, t int, ev boolean")
+    out = stats.kaplan_meier(df, ["g"], "t", "ev").collect()
+    assert len(out) == 1 and out[0].survival == 0.0
