@@ -200,6 +200,26 @@ DIAGNOSTICS = [
     "k_anonymize_events",
 ]
 
+# round-5 additions: persisted-index ingest, graph/survival/EWMA/
+# concurrency analytics, chi2 selection, cross-source dup, int8
+# quantization, stratified splits, PII density, centroid cosine,
+# conversion latency (streaming twins are excluded: their cost is the
+# micro-batch harness, not engine throughput)
+ROUND5 = [
+    "incremental_near_dup_indexed_docs",
+    "pagerank_orders",
+    "ewma_events",
+    "kaplan_meier_orders",
+    "concurrency_events",
+    "chi2_token_lang_docs",
+    "cross_source_dup_matrix_docs",
+    "int8_quantize_emb",
+    "label_centroid_cosine_emb",
+    "pii_density_docs",
+    "stratified_split_docs",
+    "time_to_convert_events",
+]
+
 
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -218,7 +238,7 @@ def main():
     # spawn for pandas_udf stages (workers are reused afterwards).  The timed
     # pass below measures steady-state engine throughput.
     for name in (HEADLINE + CORPUS + HYGIENE + EXTENDED + CURATION
-                 + ANALYTICS + TPCH_REST + MINING + DIAGNOSTICS):
+                 + ANALYTICS + TPCH_REST + MINING + DIAGNOSTICS + ROUND5):
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     # Queries whose distributed work happens at CONSTRUCTION time (iterative
@@ -242,7 +262,9 @@ def main():
              # single-agg collect + driver unpivot at construction
              "profile_orders",
              # per-rung escalation decided at construction
-             "k_anonymize_events"}
+             "k_anonymize_events",
+             # N-collect + persisted degree table at construction
+             "pagerank_orders"}
 
     def timed(names: list[str]) -> dict[str, float]:
         out: dict[str, float] = {}
@@ -266,6 +288,7 @@ def main():
     tpch_rest_timings = timed(TPCH_REST)
     mining_timings = timed(MINING)
     diagnostics_timings = timed(DIAGNOSTICS)
+    round5_timings = timed(ROUND5)
 
     total = round(sum(timings.values()), 3)
     # The driver keeps only the LAST ~2000 chars of bench output, so the
@@ -288,6 +311,8 @@ def main():
         "mining_queries": mining_timings,
         "diagnostics_total": round(sum(diagnostics_timings.values()), 3),
         "diagnostics_queries": diagnostics_timings,
+        "round5_total": round(sum(round5_timings.values()), 3),
+        "round5_queries": round5_timings,
         "sf": sf,
         "queries": timings,
         "metric": "headline_queries_total",

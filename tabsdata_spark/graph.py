@@ -62,3 +62,52 @@ def pagerank(edges: DataFrame, iterations: int = 3, damping: float = 0.85,
             ranks = ranks.localCheckpoint(eager=True)
 
     return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def pagerank_exact(edges: DataFrame, src_col: str, dst_col: str,
+                   iters: int = 3, damping: float = 0.85) -> DataFrame:
+    """PageRank over an UNDIRECTED graph with a bit-exact cross-engine
+    contract — the oracle-checkable sibling of `pagerank` (which is
+    directed/weighted but float-sums its mass, so partial-agg order can
+    wiggle the last ulp at scale).
+
+    Exactness contract (drives the DuckDB oracle): pr starts at the
+    exact double 1/N; each neighbor contribution pr(u)/deg(u) is
+    quantized to picos (1e12) and summed as decimal(38,0) — exact
+    integers in any partitioning — and the damping update is a
+    fixed-structure IEEE expression, so every iteration reproduces
+    bit-for-bit.  Output pr is round(·, 6) display-only.
+
+    Scale shape: per iteration, ONE join of the edge list with the
+    (node, deg, pr) table on the source endpoint and ONE partial-agg
+    shuffle onto the destination; N is the only driver collect (1
+    number).  The degree table is persisted: it re-enters every
+    iteration, and recomputing it would rescan the edge list `iters`
+    times.  Undirected-with-an-edge means every node has degree >= 1,
+    so there is no dangling mass."""
+    und = (edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+           .unionByName(
+               edges.select(F.col(dst_col).alias("u"),
+                            F.col(src_col).alias("v")))
+           .distinct())
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg")).persist()
+    n = deg.count()
+    base = (1.0 - damping) / float(n)
+    pr = deg.select(F.col("u").alias("node"), "deg",
+                    (F.lit(1.0) / F.lit(float(n))).alias("pr"))
+
+    def quant(c):
+        return (F.floor(c * 1e12 + F.lit(0.5))
+                .cast("bigint").cast("decimal(38,0)"))
+
+    for _ in range(iters):
+        contrib = (und.join(pr, und["u"] == pr["node"])
+                   .select(F.col("v"),
+                           quant(F.col("pr") / F.col("deg")).alias("m")))
+        sums = contrib.groupBy("v").agg(F.sum("m").alias("s"))
+        pr = (deg.join(sums, deg["u"] == sums["v"])
+              .select(F.col("u").alias("node"), "deg",
+                      (F.lit(base) + F.lit(damping)
+                       * (F.col("s").cast("double") / F.lit(1e12)))
+                      .alias("pr")))
+    return pr.select("node", F.round("pr", 6).alias("pagerank"))

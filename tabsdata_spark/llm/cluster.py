@@ -233,3 +233,52 @@ def power_iteration_pc(
     proj = F.aggregate(F.zip_with(xd, lit_v, lambda a, b: a * b),
                        F.lit(0.0), lambda acc, x: acc + x)
     return emb.select(F.col(id_col), F.round(proj, 6).alias("projection"))
+
+
+def label_centroid_cosine(emb: DataFrame, label_col: str = "label",
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """Pairwise cosine similarity between per-label embedding centroids —
+    the embedding-space diagnostic that shows which classes/clusters/
+    domains a representation separates and which it conflates (low
+    inter-centroid cosine = separable; near 1 = the labels are
+    indistinguishable to this embedding).
+
+    Exactness contract: centroid coordinates are micros-quantized
+    decimal sums divided by exact counts (identical integers in any
+    partitioning); the |labels|^2 pair grid then computes dot and norms
+    as fixed-order index folds — every cosine reproduces bit-for-bit.
+
+    Scale shape: one posexplode partial-agg shuffle onto
+    (label, coordinate) — corpus-sized, but fixed-width per group —
+    then everything else runs on the |labels|-row centroid table
+    (bounded grid, broadcast join)."""
+    xd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    contrib = F.posexplode(
+        F.transform(xd, lambda x: F.floor(x * 1e6 + F.lit(0.5))
+                    .cast("bigint").cast("decimal(38,0)")))
+    sums = (emb.select(F.col(label_col).alias("lbl"),
+                       contrib.alias("idx", "m"))
+            .groupBy("lbl", "idx")
+            .agg(F.sum("m").alias("s"), F.count(F.lit(1)).alias("n")))
+    cent = (sums.select(
+        "lbl", "idx",
+        ((F.col("s").cast("double") / F.lit(1e6)) / F.col("n"))
+        .alias("c"))
+        .groupBy("lbl")
+        .agg(F.array_sort(F.collect_list(F.struct("idx", "c")))
+             .alias("__sc")))
+    cent = cent.select(
+        "lbl", F.transform(F.col("__sc"), lambda s: s["c"]).alias("cv"))
+    a = cent.select(F.col("lbl").alias("label_a"), F.col("cv").alias("va"))
+    b = cent.select(F.col("lbl").alias("label_b"), F.col("cv").alias("vb"))
+    grid = a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+    dot = F.aggregate(F.zip_with(F.col("va"), F.col("vb"),
+                                 lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform(F.col("va"), lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform(F.col("vb"), lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    return grid.select("label_a", "label_b",
+                       F.round(dot / (na * nb), 6).alias("cosine"))

@@ -829,3 +829,50 @@ def temperature_sample(docs: DataFrame, strata_col: str = "source",
             .filter(((h % F.lit(1 << 60)) + F.lit(1 << 60)) % F.lit(1 << 60)
                     < F.col("__thr")))
     return kept.select(id_col, strata_col)
+
+
+def chi2_feature_selection(docs: DataFrame, label: Column,
+                           id_col: str = "doc_id", text_col: str = "text",
+                           min_df: int = 5, k: int = 30) -> DataFrame:
+    """Per-token chi-squared feature selection against a binary document
+    label (the classic text-classification feature ranker): for each
+    token, the 2x2 presence/label contingency (a = positive docs
+    containing it, b = negative docs containing it, c/d = the
+    complements) scores chi2 = N*(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d));
+    the top-k most label-discriminative tokens come back.
+
+    Exactness contract: every input to the statistic is an exact
+    integer count (distinct doc-term presence), (ad-bc) is exact 64-bit
+    integer arithmetic (|ad| <= (N/2)^2 stays far under 2^63 up to
+    ~3e9 docs), and the final division is one fixed-structure IEEE op —
+    bit-identical across engines.  Degenerate margins (token in every
+    doc, single-class corpus) score 0 instead of dividing by zero.
+
+    Scale shape: one explode + distinct-presence shuffle on (doc,
+    term), one count shuffle on term, a two-number broadcast of the
+    class totals, TakeOrderedAndProject for the top-k — the vocabulary
+    never collects."""
+    lab = docs.select(F.col(id_col), label.cast("int").alias("__y"))
+    presence = (docs.select(F.col(id_col),
+                            F.explode(clean_tokens(F.col(text_col)))
+                            .alias("term"))
+                .distinct()
+                .join(lab, id_col))
+    per_term = presence.groupBy("term").agg(
+        F.sum("__y").alias("a"),
+        F.sum(F.lit(1) - F.col("__y")).alias("b"))
+    totals = lab.agg(F.sum("__y").alias("__pos"),
+                     F.sum(F.lit(1) - F.col("__y")).alias("__neg"))
+    j = per_term.crossJoin(F.broadcast(totals))   # 1-row scalar combine
+    a, b = F.col("a"), F.col("b")
+    c, d = F.col("__pos") - a, F.col("__neg") - b
+    n = F.col("__pos") + F.col("__neg")
+    det = a * d - b * c
+    den = (a + b) * (c + d) * (a + c) * (b + d)
+    chi2 = F.when(den > 0,
+                  F.round((n * det * det).cast("double")
+                          / den.cast("double"), 6)).otherwise(F.lit(0.0))
+    return (j.filter((a + b) >= min_df)
+            .select("term", (a + b).alias("n_docs"), chi2.alias("chi2"))
+            .orderBy(F.col("chi2").desc(), F.col("term").asc())
+            .limit(k))

@@ -1155,3 +1155,49 @@ def clustering_coefficient(edges: DataFrame, src: str = "id_a",
                     F.coalesce(F.col("triangles"), F.lit(0))
                     .alias("triangles"),
                     F.round(coeff, 6).alias("clustering_coeff")))
+
+
+def cross_source_dup_matrix(df: DataFrame, source_col: str = "source",
+                            text_col: str = "text") -> DataFrame:
+    """Cross-source duplication matrix: for every pair of sources, how
+    many distinct normalized-content fingerprints they SHARE, and the
+    Jaccard of their fingerprint sets — the curation diagnostic that
+    locates mirror sites / syndicated feeds before near-dedup spends
+    compute on them (per-source dup rates live in dedup_report; this is
+    the between-source picture).
+
+    Scale shape: one distinct shuffle on (source, fingerprint), an
+    equi-join ON THE FINGERPRINT (co-located; matching-pair count is
+    bounded by the duplicated slice, never |A|x|B|), one count shuffle
+    onto the bounded |sources|^2 pair grid — which is also the output:
+    the FULL matrix, zero-shared pairs included (a clean corpus reports
+    a grid of zeros, not an empty frame).  The digest is the same
+    whitespace-normalized md5 the exact-dedup operators key on —
+    engine-portable."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    fp = (df.select(F.col(source_col).alias("src"),
+                    F.md5(norm).alias("fp"))
+          .distinct())
+    sizes = fp.groupBy("src").agg(F.count(F.lit(1)).alias("n_fp"))
+    hits = (fp.alias("x")
+            .join(fp.alias("y"), (F.col("x.fp") == F.col("y.fp"))
+                  & (F.col("x.src") < F.col("y.src")))
+            .groupBy(F.col("x.src").alias("source_a"),
+                     F.col("y.src").alias("source_b"))
+            .agg(F.count(F.lit(1)).alias("__shared")))
+    grid = (sizes.select(F.col("src").alias("source_a"),
+                         F.col("n_fp").alias("__na"))
+            .join(F.broadcast(
+                sizes.select(F.col("src").alias("source_b"),
+                             F.col("n_fp").alias("__nb"))),
+                F.col("source_a") < F.col("source_b")))
+    return (grid.join(hits, ["source_a", "source_b"], "left")
+            .select("source_a", "source_b",
+                    F.coalesce(F.col("__shared"), F.lit(0))
+                    .cast("bigint").alias("shared"),
+                    F.round(F.coalesce(F.col("__shared"), F.lit(0))
+                            .cast("double")
+                            / (F.col("__na") + F.col("__nb")
+                               - F.coalesce(F.col("__shared"), F.lit(0)))
+                            .cast("double"), 6)
+                    .alias("jaccard")))

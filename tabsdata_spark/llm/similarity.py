@@ -588,3 +588,43 @@ def mmr_rerank(candidates: DataFrame, lam: float = 0.75, k: int = 5,
         _select,
         schema=f"{query_col} long, sel_rank int, {id_col} long, "
                f"mmr_score double")
+
+
+def int8_quantize_stats(emb: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Symmetric per-vector int8 quantization report: each embedding
+    scales by max|x|/127, rounds to int8, and the report carries the
+    scale plus the reconstruction error (MSE and max absolute error) —
+    the go/no-go measurement before shrinking a vector index 4x (the
+    standard faiss/SQ8 memory trade).
+
+    Exactness contract: amax is an order-independent array max; the
+    quantize-reconstruct-error chain is a fixed-structure per-element
+    IEEE expression folded in index order (F.aggregate), so every
+    statistic reproduces bit-for-bit cross-engine.  All-zero vectors
+    report scale 0 with zero error instead of dividing by zero.
+
+    Scale shape: pure per-row expressions — no shuffle, no UDF, no
+    state; streams at scan speed over any corpus size."""
+    xd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(xd, F.abs))
+    scale = amax / F.lit(127.0)
+    # ANSI double division by zero RAISES even in rows the final CASE
+    # discards, so the quantizer divides by a guarded scale (all-zero
+    # vectors quantize by 1.0 and report 0 everywhere)
+    sdiv = F.when(amax > 0, scale).otherwise(F.lit(1.0))
+    q = F.transform(
+        xd, lambda x: F.least(F.greatest(F.floor(x / sdiv + F.lit(0.5)),
+                                         F.lit(-127.0)), F.lit(127.0)))
+    err = F.zip_with(xd, q, lambda x, b: (x - b * scale) * (x - b * scale))
+    sse = F.aggregate(err, F.lit(0.0), lambda acc, e: acc + e)
+    mae = F.array_max(F.zip_with(xd, q,
+                                 lambda x, b: F.abs(x - b * scale)))
+    dim = F.size(xd)
+    zero = F.lit(0.0)
+    return emb.select(
+        F.col(id_col),
+        F.round(F.when(amax > 0, scale).otherwise(zero), 6).alias("scale"),
+        F.round(F.when(amax > 0, sse / dim).otherwise(zero), 6).alias("mse"),
+        F.round(F.when(amax > 0, mae).otherwise(zero), 6)
+        .alias("max_abs_err"))

@@ -467,3 +467,54 @@ def k_anonymize(df, ladder: list[list], names: list[str], k: int = 5):
             break
     return classes(ladder[chosen]).select(
         F.lit(chosen).alias("level"), *names, "n")
+
+
+def pii_density(df, source_col: str = "source", text_col: str = "text"):
+    """Per-source PII density report: share of documents containing any
+    PII pattern and the average characters removed by redaction — the
+    release-gate metric that ranks sources by privacy risk (redact_pii
+    scrubs; this measures how much scrubbing each source needs).
+
+    Pure chained-regex expressions (the same PII_PATTERNS table
+    redact_pii applies) + one count shuffle on source — scan-speed, no
+    UDF."""
+    import pyspark.sql.functions as F
+
+    red = redact_pii(F.col(text_col))
+    delta = F.length(F.col(text_col)) - F.length(red)
+    hit = (F.col(text_col) != red).cast("int")
+    return (df.groupBy(F.col(source_col))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(hit).alias("n_with_pii"),
+                 F.sum(delta.cast("bigint")).alias("chars_delta"))
+            .select(source_col, "n_docs", "n_with_pii",
+                    F.round(F.col("n_with_pii").cast("double")
+                            / F.col("n_docs"), 6).alias("pii_rate"),
+                    "chars_delta"))
+
+
+def stratified_split_report(df, stratum_col: str, key_col: str,
+                            val_pct: int = 5, test_pct: int = 5):
+    """Per-stratum deterministic split assignment + balance report:
+    bucket on md5(stratum || ':' || key) so each stratum is hashed
+    independently (a pathological key distribution in one stratum
+    cannot skew another), then report (stratum, split, n, share within
+    stratum) — the check that train/val/test stay representative per
+    language/domain/source.
+
+    One projection + one count shuffle on (stratum, split); the window
+    for within-stratum shares runs over the bounded report rows."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window as W
+
+    key = F.concat(F.col(stratum_col).cast("string"), F.lit(":"),
+                   F.col(key_col).cast("string"))
+    split = train_val_test(key, val_pct=val_pct, test_pct=test_pct)
+    counts = (df.select(F.col(stratum_col).alias("stratum"),
+                        split.alias("split"))
+              .groupBy("stratum", "split")
+              .agg(F.count(F.lit(1)).alias("n")))
+    tot = F.sum("n").over(W.partitionBy("stratum"))
+    return counts.select("stratum", "split", "n",
+                         F.round(F.col("n").cast("double") / tot, 6)
+                         .alias("share"))

@@ -8676,14 +8676,14 @@ def stream_k_anonymize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def pagerank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank centrality (stats.pagerank) over the customer-supplier
-    trade graph (distinct (o_custkey, l_suppkey) pairs from
-    orders x lineitem, node ids prefixed 'c'/'s'): 3 unrolled damped
-    power iterations with picos-quantized decimal contribution sums —
-    one edge join + one partial-agg shuffle per iteration, N the only
-    driver collect.  The oracle unrolls the identical 3 iterations in
-    SQL, so every rank reproduces bit-for-bit."""
-    from tabsdata_spark import stats
+    """PageRank centrality (graph.pagerank_exact) over the
+    customer-supplier trade graph (distinct (o_custkey, l_suppkey) pairs
+    from orders x lineitem, node ids prefixed 'c'/'s'): 3 unrolled
+    damped power iterations with picos-quantized decimal contribution
+    sums — one edge join + one partial-agg shuffle per iteration, N the
+    only driver collect.  The oracle unrolls the identical 3 iterations
+    in SQL, so every rank reproduces bit-for-bit."""
+    from tabsdata_spark import graph
 
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -8693,7 +8693,7 @@ def pagerank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.concat(F.lit("s"),
                               F.col("l_suppkey").cast("string")).alias("dst"))
              .distinct())
-    return stats.pagerank(edges, "src", "dst", iters=3, damping=0.85)
+    return graph.pagerank_exact(edges, "src", "dst", iters=3, damping=0.85)
 
 
 @q(
@@ -8870,3 +8870,259 @@ def concurrency_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir).df.select("event_id", "ts")
     return extensions.max_concurrency(ev, "ts", "30 minutes",
                                       id_col="event_id")
+
+
+@q(
+    "chi2_token_lang_docs",
+    f"""
+    WITH {_TOKS_CTE},
+    pres AS (SELECT DISTINCT doc_id, term FROM toks),
+    lab AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+            FROM documents),
+    pt AS (SELECT term, SUM(y) AS a, SUM(1 - y) AS b
+           FROM pres JOIN lab USING (doc_id) GROUP BY term),
+    tot AS (SELECT SUM(y) AS pos, SUM(1 - y) AS neg FROM lab),
+    sc AS (
+      SELECT term, a + b AS n_docs,
+             CASE WHEN (a + b) * (pos - a + neg - b) * pos * neg > 0
+                  THEN ROUND(CAST((pos + neg)
+                                  * (a * (neg - b) - b * (pos - a))
+                                  * (a * (neg - b) - b * (pos - a))
+                                  AS DOUBLE)
+                             / CAST((a + b) * (pos - a + neg - b)
+                                    * pos * neg AS DOUBLE), 6)
+                  ELSE CAST(0.0 AS DOUBLE) END AS chi2
+      FROM pt, tot
+      WHERE a + b >= 5)
+    SELECT term, CAST(n_docs AS BIGINT) AS n_docs, chi2
+    FROM sc ORDER BY chi2 DESC, term ASC LIMIT 30
+    """,
+)
+def chi2_token_lang_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared token/label feature selection (llm/corpus.py
+    chi2_feature_selection): the 30 tokens whose document presence most
+    discriminates lang='en' — the classic feature ranker for training a
+    cheap quality/language classifier.  Every statistic input is an
+    exact integer presence count and the score is one fixed-structure
+    IEEE division, so the ranking reproduces bit-for-bit."""
+    from tabsdata_spark.llm import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus.chi2_feature_selection(
+        docs, F.col("lang") == "en", min_df=5, k=30)
+
+
+@q(
+    "cross_source_dup_matrix_docs",
+    r"""
+    WITH fp AS (
+      SELECT DISTINCT source AS src,
+             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+      FROM documents),
+    sizes AS (SELECT src, COUNT(*) AS n_fp FROM fp GROUP BY src),
+    hits AS (
+      SELECT x.src AS source_a, y.src AS source_b, COUNT(*) AS shared
+      FROM fp x JOIN fp y ON x.fp = y.fp AND x.src < y.src
+      GROUP BY 1, 2)
+    SELECT na.src AS source_a, nb.src AS source_b,
+           CAST(COALESCE(shared, 0) AS BIGINT) AS shared,
+           ROUND(CAST(COALESCE(shared, 0) AS DOUBLE)
+                 / CAST(na.n_fp + nb.n_fp - COALESCE(shared, 0)
+                        AS DOUBLE), 6) AS jaccard
+    FROM sizes na
+    JOIN sizes nb ON na.src < nb.src
+    LEFT JOIN hits ON hits.source_a = na.src AND hits.source_b = nb.src
+    """,
+)
+def cross_source_dup_matrix_docs(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix (llm/dedup.py
+    cross_source_dup_matrix): shared normalized-content fingerprints and
+    fingerprint-set Jaccard for every source pair — the mirror-site /
+    syndicated-feed detector.  Fingerprint-keyed equi-join (pair count
+    bounded by the duplicated slice), |sources|^2 output."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.cross_source_dup_matrix(docs)
+
+
+@q(
+    "int8_quantize_emb",
+    """
+    WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+    m AS (SELECT vec_id, x,
+                 list_max(list_transform(x, v -> abs(v))) AS amax
+          FROM b),
+    s AS (SELECT vec_id, x, amax,
+                 amax / CAST(127.0 AS DOUBLE) AS scale,
+                 CASE WHEN amax > 0 THEN amax / CAST(127.0 AS DOUBLE)
+                      ELSE CAST(1.0 AS DOUBLE) END AS sdiv
+          FROM m),
+    qq AS (SELECT vec_id, x, amax, scale,
+                  list_transform(x, v ->
+                    LEAST(GREATEST(FLOOR(v / sdiv + 0.5),
+                                   CAST(-127.0 AS DOUBLE)),
+                          CAST(127.0 AS DOUBLE))) AS q
+           FROM s),
+    e AS (SELECT vec_id, amax, scale,
+                 list_reduce(list_transform(range(1, len(x) + 1),
+                     i -> (x[i] - q[i] * scale) * (x[i] - q[i] * scale)),
+                   (p, r) -> p + r) AS sse,
+                 list_max(list_transform(range(1, len(x) + 1),
+                     i -> abs(x[i] - q[i] * scale))) AS mae,
+                 len(x) AS dim
+          FROM qq)
+    SELECT vec_id,
+           ROUND(CASE WHEN amax > 0 THEN scale
+                      ELSE CAST(0.0 AS DOUBLE) END, 6) AS scale,
+           ROUND(CASE WHEN amax > 0 THEN sse / dim
+                      ELSE CAST(0.0 AS DOUBLE) END, 6) AS mse,
+           ROUND(CASE WHEN amax > 0 THEN mae
+                      ELSE CAST(0.0 AS DOUBLE) END, 6) AS max_abs_err
+    FROM e
+    """,
+)
+def int8_quantize_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization report (llm/similarity.py
+    int8_quantize_stats): per-vector scale + reconstruction MSE / max
+    abs error — the measurement before shrinking a vector index 4x.
+    Pure per-row expressions (no shuffle); the quantize-reconstruct
+    chain folds in index order, so every statistic is bit-exact against
+    the list_transform oracle."""
+    from tabsdata_spark.llm import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.int8_quantize_stats(emb)
+
+
+@q(
+    "label_centroid_cosine_emb",
+    """
+    WITH b AS (SELECT label, embedding::DOUBLE[] AS x FROM embeddings),
+    c1 AS (SELECT label, u.i AS idx,
+                  CAST(FLOOR(x[u.i] * 1e6 + 0.5) AS HUGEINT) AS m
+           FROM b, (SELECT unnest(range(1, 65)) AS i) u),
+    s1 AS (SELECT label, idx,
+                  CAST(SUM(m) AS DOUBLE) / 1e6 AS sv,
+                  COUNT(*) AS n
+           FROM c1 GROUP BY 1, 2),
+    cent AS (SELECT label, list(sv / n ORDER BY idx) AS cv
+             FROM s1 GROUP BY label),
+    p AS (SELECT a.label AS label_a, b2.label AS label_b,
+                 a.cv AS va, b2.cv AS vb
+          FROM cent a JOIN cent b2 ON a.label < b2.label)
+    SELECT label_a, label_b,
+           ROUND(list_reduce(list_transform(range(1, 65),
+                                            i -> va[i] * vb[i]),
+                             (p, q) -> p + q)
+                 / (SQRT(list_reduce(list_transform(range(1, 65),
+                                                    i -> va[i] * va[i]),
+                                     (p, q) -> p + q))
+                    * SQRT(list_reduce(list_transform(range(1, 65),
+                                                      i -> vb[i] * vb[i]),
+                                       (p, q) -> p + q))), 6) AS cosine
+    FROM p
+    """,
+)
+def label_centroid_cosine_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-label centroid cosine matrix (llm/cluster.py
+    label_centroid_cosine): which classes this embedding separates and
+    which it conflates.  Centroids from micros-quantized decimal sums
+    (one fixed-width posexplode shuffle), then the bounded |labels|^2
+    grid with fixed-order cosine folds — bit-exact vs the SQL unroll."""
+    from tabsdata_spark.llm import cluster
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cluster.label_centroid_cosine(emb)
+
+
+@q(
+    "pii_density_docs",
+    r"""
+    WITH r AS (
+      SELECT source, text,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '[PII]', 'g'),
+                 '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[PII]', 'g'),
+               '\+?\d[\d\s().-]{7,}\d', '[PII]', 'g') AS red
+      FROM documents)
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN text <> red THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_with_pii,
+           ROUND(CAST(SUM(CASE WHEN text <> red THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS pii_rate,
+           CAST(SUM(len(text) - len(red)) AS BIGINT) AS chars_delta
+    FROM r GROUP BY source
+    """,
+)
+def pii_density_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII density (llm/textual.py pii_density): share of
+    documents containing any PII pattern and total characters removed by
+    redaction — ranks sources by privacy risk before release.  Same
+    chained-regex table as pii_redact; one count shuffle."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textual.pii_density(docs)
+
+
+@q(
+    "stratified_split_docs",
+    """
+    WITH s AS (
+      SELECT lang,
+             CASE
+               WHEN CAST(('0x' || substring(md5(lang || ':'
+                          || CAST(doc_id AS VARCHAR)), 1, 6))
+                    AS BIGINT) % 100 < 5 THEN 'test'
+               WHEN CAST(('0x' || substring(md5(lang || ':'
+                          || CAST(doc_id AS VARCHAR)), 1, 6))
+                    AS BIGINT) % 100 < 10 THEN 'val'
+               ELSE 'train'
+             END AS split
+      FROM documents),
+    c AS (SELECT lang AS stratum, split, COUNT(*) AS n FROM s GROUP BY 1, 2)
+    SELECT stratum, split, CAST(n AS BIGINT) AS n,
+           ROUND(CAST(n AS DOUBLE)
+                 / SUM(n) OVER (PARTITION BY stratum), 6) AS share
+    FROM c
+    """,
+)
+def stratified_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic split balance report (llm/textual.py
+    stratified_split_report): per-language train/val/test assignment
+    hashed INDEPENDENTLY per stratum (md5 of stratum:key), with
+    within-stratum shares — the representativeness check next to
+    hash_split_docs' global split."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textual.stratified_split_report(docs, "lang", "doc_id")
+
+
+@q(
+    "time_to_convert_events",
+    """
+    WITH b AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS mts, event_type
+      FROM events),
+    f AS (SELECT user_id, MIN(mts) AS first_from_ts
+          FROM b WHERE event_type = 'signup' GROUP BY 1),
+    t AS (SELECT b.user_id, f.first_from_ts, MIN(b.mts) AS convert_ts
+          FROM b JOIN f ON b.user_id = f.user_id
+          WHERE b.event_type = 'purchase' AND b.mts >= f.first_from_ts
+          GROUP BY 1, 2)
+    SELECT user_id, first_from_ts, convert_ts,
+           ROUND((epoch_us(convert_ts) - epoch_us(first_from_ts))
+                 / CAST(1000000.0 AS DOUBLE), 6) AS latency_seconds
+    FROM t
+    """,
+)
+def time_to_convert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user signup->purchase conversion latency
+    (extensions.time_to_convert): first signup, next purchase at or
+    after it, exact-microsecond latency — min-aggregations inside one
+    user-keyed shuffle, no window over the event stream."""
+    from tabsdata_spark import extensions
+
+    ev = load_events(spark, sf_dir).df.select("user_id", "ts", "event_type")
+    return extensions.time_to_convert(ev, "user_id", "ts", "event_type",
+                                      "signup", "purchase")

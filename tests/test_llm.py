@@ -1621,3 +1621,93 @@ def test_power_iteration_pc_empty_input(spark):
     out = cluster.power_iteration_pc(df, iters=2)
     assert out.columns == ["vec_id", "projection"]
     assert out.count() == 0
+
+
+def test_chi2_feature_selection_ranks_discriminative_tokens(spark):
+    from tabsdata_spark.llm import corpus
+
+    # 'alpha' appears only in en docs, 'beta' only in fr, 'common' in all
+    rows = ([(i, "alpha common filler", "en") for i in range(6)]
+            + [(10 + i, "beta common filler", "fr") for i in range(6)])
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = corpus.chi2_feature_selection(df, F.col("lang") == "en",
+                                        min_df=2, k=10).collect()
+    got = {r.term: r for r in out}
+    assert got["alpha"].chi2 == got["beta"].chi2 > 0
+    assert got["common"].chi2 == 0.0        # in every doc: no signal
+    assert got["alpha"].n_docs == 6
+
+
+def test_cross_source_dup_matrix_full_grid(spark):
+    from tabsdata_spark.llm import dedup
+
+    rows = [(1, "shared text", "a"), (2, "shared  text", "b"),  # ws-normal dup
+            (3, "only a", "a"), (4, "only b", "b"), (5, "only c", "c")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {(r.source_a, r.source_b): (r.shared, r.jaccard)
+           for r in dedup.cross_source_dup_matrix(df).collect()}
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}  # full grid
+    assert got[("a", "b")] == (1, round(1 / 3, 6))   # 2+2-1 distinct fps
+    assert got[("a", "c")] == (0, 0.0)
+
+
+def test_int8_quantize_stats_bounds_and_zero_vector(spark):
+    from tabsdata_spark.llm import similarity
+
+    rows = [(1, [127.0, -127.0, 0.0]),       # scale 1.0, exact lattice
+            (2, [0.0, 0.0, 0.0])]            # all-zero: no div-by-zero
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.vec_id: r for r in
+           similarity.int8_quantize_stats(df).collect()}
+    assert got[1].scale == 1.0 and got[1].mse == 0.0
+    assert got[2].scale == 0.0 and got[2].mse == 0.0
+    # max error of int8 quantization is bounded by scale/2
+    df2 = spark.createDataFrame([(3, [1.0, 0.3, -0.7, 0.05])],
+                                "vec_id long, embedding array<float>")
+    r3 = similarity.int8_quantize_stats(df2).collect()[0]
+    assert r3.max_abs_err <= r3.scale / 2 + 1e-9
+
+
+def test_label_centroid_cosine_orthogonal_and_identical(spark):
+    from tabsdata_spark.llm import cluster
+
+    rows = [(1, 0, [1.0, 0.0]), (2, 0, [1.0, 0.0]),
+            (3, 1, [0.0, 1.0]),                      # orthogonal to 0
+            (4, 2, [2.0, 0.0])]                      # parallel to 0
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>")
+    got = {(r.label_a, r.label_b): r.cosine
+           for r in cluster.label_centroid_cosine(df).collect()}
+    assert got[(0, 1)] == 0.0
+    assert got[(0, 2)] == 1.0
+    assert got[(1, 2)] == 0.0
+
+
+def test_pii_density_counts_and_chars(spark):
+    from tabsdata_spark.llm import textual
+
+    rows = [("a", "mail me at bob@example.com ok"),
+            ("a", "clean text"),
+            ("b", "no pii here either")]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {r.source: r for r in textual.pii_density(df).collect()}
+    assert got["a"].n_with_pii == 1 and got["a"].pii_rate == 0.5
+    assert got["a"].chars_delta == len("bob@example.com") - len("[PII]")
+    assert got["b"].n_with_pii == 0 and got["b"].chars_delta == 0
+
+
+def test_stratified_split_report_shares_sum_to_one(spark):
+    from tabsdata_spark.llm import textual
+
+    rows = [(i, "en" if i % 2 else "fr") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = textual.stratified_split_report(df, "lang", "doc_id").collect()
+    by_stratum: dict = {}
+    for r in out:
+        by_stratum.setdefault(r.stratum, []).append(r)
+    for stratum, recs in by_stratum.items():
+        assert abs(sum(r.share for r in recs) - 1.0) < 1e-5
+        assert sum(r.n for r in recs) == 100
+    # deterministic: same assignment on rerun
+    out2 = textual.stratified_split_report(df, "lang", "doc_id").collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))

@@ -452,19 +452,19 @@ def test_logistic_two_features_ignores_null_labels(spark):
 
 
 def test_pagerank_star_center_dominates(spark):
-    from tabsdata_spark import stats
+    from tabsdata_spark import graph
 
     # star graph: hub 'h' connected to 4 leaves -> hub has highest rank
     edges = spark.createDataFrame(
         [("h", "a"), ("h", "b"), ("h", "c"), ("h", "d")], ["s", "d"])
     got = {r.node: r.pagerank
-           for r in stats.pagerank(edges, "s", "d", iters=3).collect()}
+           for r in graph.pagerank_exact(edges, "s", "d", iters=3).collect()}
     assert len(got) == 5
     assert got["h"] > max(v for k, v in got.items() if k != "h")
     assert got["a"] == got["b"] == got["c"] == got["d"]
     # determinism across runs
     got2 = {r.node: r.pagerank
-            for r in stats.pagerank(edges, "s", "d", iters=3).collect()}
+            for r in graph.pagerank_exact(edges, "s", "d", iters=3).collect()}
     assert got == got2
 
 
