@@ -218,6 +218,10 @@ ROUND5 = [
     "pii_density_docs",
     "stratified_split_docs",
     "time_to_convert_events",
+    "quantile_normalize_events",
+    "pii_pattern_counts_docs",
+    "embedding_norm_stats_emb",
+    "distinctive_terms_sources",
 ]
 
 

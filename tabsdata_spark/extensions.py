@@ -981,3 +981,53 @@ def time_to_convert(df: DataFrame, user_col: str, ts_col: str,
     return conv.select(
         F.col(user_col), "first_from_ts", "convert_ts",
         F.round(lat / F.lit(1_000_000.0), 6).alias("latency_seconds"))
+
+
+def quantile_normalize(df: DataFrame, group_col: str, value_col: str,
+                       id_col: str, knots: int = 100) -> DataFrame:
+    """Quantile normalization across groups: each row's value maps to
+    the GLOBAL distribution's value at the row's within-group quantile —
+    the feature-prep transform that removes per-source calibration
+    differences (microarray-style quantile normalization, batched).
+
+    Approximation contract: the global reference is a `knots`+1-point
+    exact interpolated quantile grid (micros-quantized integers, so the
+    grid is engine-exact), broadcast to every row; within-group ranks
+    interpolate linearly between grid knots.  Exact order statistics of
+    the global distribution would need a full sort — the fixed grid is
+    the 100 TB shape and the knot count bounds the error.
+
+    Determinism: ranks order by (value, id) — total order; every
+    arithmetic step is a fixed-structure IEEE expression over exact
+    integers, identical in any engine/partitioning.  Single-member
+    groups map to the grid's low end (p = 0).
+
+    Scale shape: one shuffle on the group column for ranks, ONE global
+    aggregation for the grid (partial-agg percentile over quantized
+    integers), a broadcast of the knots+1 array — no global sort, no
+    per-row join against the reference."""
+    vq = F.floor(F.col(value_col) * 1e6 + F.lit(0.5)).cast("bigint")
+    base = (df.filter(F.col(value_col).isNotNull())
+            .select(F.col(id_col), F.col(group_col), F.col(value_col),
+                    vq.alias("__vq")))
+    fracs = ", ".join(f"{i}D / {knots}D" for i in range(knots + 1))
+    grid = base.agg(F.expr(f"percentile(__vq, array({fracs}))")
+                    .alias("__grid"))
+    wg = Window.partitionBy(group_col)
+    wr = Window.partitionBy(group_col).orderBy(F.col(value_col),
+                                               F.col(id_col))
+    ranked = (base
+              .withColumn("__n", F.count(F.lit(1)).over(wg))
+              .withColumn("__r", F.row_number().over(wr)))
+    p = F.when(F.col("__n") > 1,
+               (F.col("__r") - 1).cast("double")
+               / (F.col("__n") - 1).cast("double")).otherwise(F.lit(0.0))
+    pos = p * F.lit(float(knots))
+    k = F.least(F.floor(pos).cast("int"), F.lit(knots - 1))
+    frac = pos - k.cast("double")
+    lo = F.element_at(F.col("__grid"), k + 1)
+    hi = F.element_at(F.col("__grid"), k + 2)
+    norm = (lo * (F.lit(1.0) - frac) + hi * frac) / F.lit(1e6)
+    return (ranked.crossJoin(F.broadcast(grid))   # 1-row scalar combine
+            .select(F.col(id_col), F.col(group_col), F.col(value_col),
+                    F.round(norm, 6).alias("value_norm")))

@@ -85,11 +85,15 @@ def pagerank_exact(edges: DataFrame, src_col: str, dst_col: str,
     iteration, and recomputing it would rescan the edge list `iters`
     times.  Undirected-with-an-edge means every node has degree >= 1,
     so there is no dangling mass."""
+    # persist the adjacency: it re-enters EVERY iteration (plus the degree
+    # build), and recomputing the upstream edge derivation per round is
+    # the dominant cost on join-derived edge lists.  At cluster scale this
+    # would be a checkpoint to parquet instead.
     und = (edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
            .unionByName(
                edges.select(F.col(dst_col).alias("u"),
                             F.col(src_col).alias("v")))
-           .distinct())
+           .distinct().persist())
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg")).persist()
     n = deg.count()
     base = (1.0 - damping) / float(n)

@@ -613,18 +613,67 @@ def int8_quantize_stats(emb: DataFrame, id_col: str = "vec_id",
     # discards, so the quantizer divides by a guarded scale (all-zero
     # vectors quantize by 1.0 and report 0 everywhere)
     sdiv = F.when(amax > 0, scale).otherwise(F.lit(1.0))
-    q = F.transform(
-        xd, lambda x: F.least(F.greatest(F.floor(x / sdiv + F.lit(0.5)),
-                                         F.lit(-127.0)), F.lit(127.0)))
-    err = F.zip_with(xd, q, lambda x, b: (x - b * scale) * (x - b * scale))
+    # materialize __x/__q as real columns FIRST: a computed array
+    # referenced inside later higher-order lambdas is INLINED and
+    # re-evaluated per element (the PQ/word_ngrams lesson — this was a
+    # measured 20x slowdown as a single projection)
+    staged = emb.select(
+        F.col(id_col), xd.alias("__x"), amax.alias("__amax"),
+        scale.alias("__scale"),
+        F.transform(xd, lambda x: F.least(
+            F.greatest(F.floor(x / sdiv + F.lit(0.5)), F.lit(-127.0)),
+            F.lit(127.0))).alias("__q"))
+    xc, qc = F.col("__x"), F.col("__q")
+    sc, am = F.col("__scale"), F.col("__amax")
+    err = F.zip_with(xc, qc, lambda x, b: (x - b * sc) * (x - b * sc))
     sse = F.aggregate(err, F.lit(0.0), lambda acc, e: acc + e)
-    mae = F.array_max(F.zip_with(xd, q,
-                                 lambda x, b: F.abs(x - b * scale)))
-    dim = F.size(xd)
+    mae = F.array_max(F.zip_with(xc, qc, lambda x, b: F.abs(x - b * sc)))
+    dim = F.size(xc)
     zero = F.lit(0.0)
-    return emb.select(
+    return staged.select(
         F.col(id_col),
-        F.round(F.when(amax > 0, scale).otherwise(zero), 6).alias("scale"),
-        F.round(F.when(amax > 0, sse / dim).otherwise(zero), 6).alias("mse"),
-        F.round(F.when(amax > 0, mae).otherwise(zero), 6)
+        F.round(F.when(am > 0, sc).otherwise(zero), 6).alias("scale"),
+        F.round(F.when(am > 0, sse / dim).otherwise(zero), 6).alias("mse"),
+        F.round(F.when(am > 0, mae).otherwise(zero), 6)
         .alias("max_abs_err"))
+
+
+def embedding_norm_stats(emb: DataFrame, label_col: str = "label",
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         outlier_factor: float = 1.5) -> DataFrame:
+    """Per-label embedding L2-norm distribution report: n, mean, exact
+    p50/p99, and the count of norm outliers (> factor * p50) — the
+    index-health check that catches unnormalized batches, collapsed
+    clusters, and mis-scaled encoders before vectors enter an index.
+
+    Exactness contract: the norm is a fixed-order index fold; per-label
+    statistics run over micros-quantized integer norms (mean via exact
+    decimal sums, percentiles via exact interpolation over integers), so
+    every cell reproduces bit-for-bit cross-engine.
+
+    Scale shape: one narrow per-row pass for the norm, one partial-agg
+    shuffle per label for mean/percentiles, one broadcast join back for
+    the outlier count — label count bounds every post-scan structure."""
+    xd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(F.transform(xd, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+    nq = F.floor(norm * 1e6 + F.lit(0.5)).cast("bigint")
+    pts = emb.select(F.col(label_col).alias("lbl"), nq.alias("__nq"))
+    stats = (pts.groupBy("lbl")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(F.col("__nq").cast("decimal(38,0)")).alias("__s"),
+                  F.expr("percentile(__nq, 0.5d)").alias("__p50"),
+                  F.expr("percentile(__nq, 0.99d)").alias("__p99")))
+    out = (pts.join(F.broadcast(stats.select("lbl", "__p50")), "lbl")
+           .filter(F.col("__nq").cast("double")
+                   > F.lit(float(outlier_factor)) * F.col("__p50"))
+           .groupBy("lbl").agg(F.count(F.lit(1)).alias("__out")))
+    return (stats.join(out, "lbl", "left")
+            .select(F.col("lbl").alias(label_col), "n",
+                    F.round(F.col("__s").cast("double") / 1e6
+                            / F.col("n"), 6).alias("mean_norm"),
+                    F.round(F.col("__p50") / 1e6, 6).alias("p50_norm"),
+                    F.round(F.col("__p99") / 1e6, 6).alias("p99_norm"),
+                    F.coalesce(F.col("__out"), F.lit(0)).cast("bigint")
+                    .alias("n_outliers")))

@@ -518,3 +518,28 @@ def stratified_split_report(df, stratum_col: str, key_col: str,
     return counts.select("stratum", "split", "n",
                          F.round(F.col("n").cast("double") / tot, 6)
                          .alias("share"))
+
+
+def pii_pattern_counts(df, source_col: str = "source",
+                       text_col: str = "text"):
+    """Per-source, per-pattern PII breakdown: how many documents match
+    each PII pattern class (email / ipv4 / phone) — the itemized
+    companion to pii_density's aggregate rate, answering WHICH kind of
+    identifier a source leaks.  One scan, one count shuffle; the long
+    (source, pattern) form keeps the output schema stable as the
+    pattern table grows."""
+    import pyspark.sql.functions as F
+
+    per = [F.sum((F.col(text_col).rlike(pat)).cast("int")).alias(name)
+           for name, pat in PII_PATTERNS.items()]
+    wide = (df.groupBy(F.col(source_col).alias("source"))
+            .agg(F.count(F.lit(1)).alias("__n"), *per))
+    stacked = F.explode(F.array(*[
+        F.struct(F.lit(name).alias("pattern"),
+                 F.col(name).cast("bigint").alias("n_docs"))
+        for name in PII_PATTERNS]))
+    return (wide.select("source", "__n", stacked.alias("__s"))
+            .select("source", F.col("__s.pattern").alias("pattern"),
+                    F.col("__s.n_docs").alias("n_docs"),
+                    F.round(F.col("__s.n_docs").cast("double")
+                            / F.col("__n"), 6).alias("rate")))

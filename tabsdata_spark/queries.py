@@ -9126,3 +9126,225 @@ def time_to_convert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir).df.select("user_id", "ts", "event_type")
     return extensions.time_to_convert(ev, "user_id", "ts", "event_type",
                                       "signup", "purchase")
+
+
+@q(
+    "stream_topk_events",
+    """
+    WITH h AS (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+             event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT window_start, event_type, n,
+           CAST(row_number() OVER (PARTITION BY window_start
+                ORDER BY n DESC, event_type ASC) AS INTEGER) AS rank
+    FROM h
+    QUALIFY rank <= 3
+    """,
+)
+def stream_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE streaming trending-items pattern (streaming/bus.py): the
+    stream maintains only a watermarked hourly count per event_type; the
+    per-window top-3 ranking runs on the collected snapshot
+    (bus.pick_topk_per_window) — ranks belong in the sink, not the
+    stateful plan.  Tenth live streaming operator, held to the batch
+    hourly-top-3 oracle."""
+    import tempfile
+
+    from tabsdata_spark.streaming import bus
+
+    ev = (load_events(spark, sf_dir).df
+          .select("event_id", "ts", "event_type"))
+    tmp = tempfile.mkdtemp(prefix="td_stream_topk_")
+    ev.coalesce(1).write.parquet(f"{tmp}/src/b1")
+    schema = "event_id long, ts timestamp, event_type string"
+    stream = bus.stream_file_source(spark, f"{tmp}/src/*", schema)
+    out = bus.windowed_aggregate(
+        stream, "ts", "1 hour", "30 minutes",
+        {"n": F.count(F.lit(1))}, group_extra=["event_type"])
+    acc: dict = {}
+    qy = (out.writeStream.outputMode("update")
+          .foreachBatch(lambda b, i: acc.update(
+              {(r["window"]["start"], r["event_type"]): r["n"]
+               for r in b.collect()}))
+          .option("checkpointLocation", f"{tmp}/ckpt")
+          .trigger(availableNow=True).start())
+    qy.awaitTermination(300)
+    snap = spark.createDataFrame(
+        [(k[0], k[1], v) for k, v in acc.items()],
+        "window_start timestamp, event_type string, n long")
+    return bus.pick_topk_per_window(snap, ["event_type"], "n", k=3)
+
+
+@q(
+    "quantile_normalize_events",
+    """
+    WITH b AS (
+      SELECT event_id, event_type, value,
+             CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) AS vq
+      FROM events WHERE value IS NOT NULL),
+    grid AS (
+      SELECT quantile_cont(vq, list_transform(range(0, 101),
+                                              i -> i / 100.0)) AS g
+      FROM b),
+    ranked AS (
+      SELECT event_id, event_type, value,
+             COUNT(*) OVER (PARTITION BY event_type) AS n,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS r
+      FROM b),
+    pk AS (
+      SELECT event_id, event_type, value,
+             CASE WHEN n > 1
+                  THEN CAST(r - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+                  ELSE CAST(0.0 AS DOUBLE) END * 100.0 AS pos
+      FROM ranked),
+    kk AS (
+      SELECT event_id, event_type, value, pos,
+             LEAST(CAST(FLOOR(pos) AS INTEGER), 99) AS k
+      FROM pk)
+    SELECT event_id, event_type, value,
+           ROUND((g[k + 1] * (CAST(1.0 AS DOUBLE) - (pos - CAST(k AS DOUBLE)))
+                  + g[k + 2] * (pos - CAST(k AS DOUBLE))) / 1e6, 6)
+               AS value_norm
+    FROM kk, grid
+    """,
+)
+def quantile_normalize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of event values across event types
+    (extensions.quantile_normalize): each value maps to the GLOBAL
+    distribution at its within-type quantile, removing per-source
+    calibration differences.  The global reference is a 101-knot exact
+    quantile grid over micros-quantized integers (one aggregation +
+    broadcast — no global sort, no per-row reference join), making the
+    whole transform a fixed-structure IEEE expression — bit-exact vs the
+    SQL replay."""
+    from tabsdata_spark import extensions
+
+    ev = load_events(spark, sf_dir).df
+    out = extensions.quantile_normalize(ev, "event_type", "value",
+                                        "event_id", knots=100)
+    return out.select("event_id", "event_type", "value", "value_norm")
+
+
+@q(
+    "pii_pattern_counts_docs",
+    r"""
+    WITH m AS (
+      SELECT source,
+             CASE WHEN regexp_matches(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
+               THEN 1 ELSE 0 END AS email,
+             CASE WHEN regexp_matches(text,
+               '\b(?:\d{1,3}\.){3}\d{1,3}\b') THEN 1 ELSE 0 END AS ipv4,
+             CASE WHEN regexp_matches(text,
+               '\+?\d[\d\s().-]{7,}\d') THEN 1 ELSE 0 END AS phone
+      FROM documents),
+    w AS (
+      SELECT source, COUNT(*) AS n,
+             SUM(email) AS email, SUM(ipv4) AS ipv4, SUM(phone) AS phone
+      FROM m GROUP BY source)
+    SELECT source, p.pattern,
+           CAST(CASE p.pattern WHEN 'email' THEN email
+                               WHEN 'ipv4' THEN ipv4
+                               ELSE phone END AS BIGINT) AS n_docs,
+           ROUND(CAST(CASE p.pattern WHEN 'email' THEN email
+                                     WHEN 'ipv4' THEN ipv4
+                                     ELSE phone END AS DOUBLE) / n, 6)
+               AS rate
+    FROM w, (SELECT unnest(['email', 'ipv4', 'phone']) AS pattern) p
+    """,
+)
+def pii_pattern_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source, per-pattern PII breakdown (llm/textual.py
+    pii_pattern_counts): which identifier class each source leaks —
+    the itemized companion to pii_density_docs.  One scan, one count
+    shuffle, long-form output."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textual.pii_pattern_counts(docs)
+
+
+@q(
+    "embedding_norm_stats_emb",
+    """
+    WITH b AS (
+      SELECT label,
+             CAST(FLOOR(SQRT(list_reduce(
+                    list_transform(embedding::DOUBLE[], v -> v * v),
+                    (p, q) -> p + q)) * 1e6 + 0.5) AS BIGINT) AS nq
+      FROM embeddings),
+    s AS (
+      SELECT label, COUNT(*) AS n,
+             CAST(SUM(CAST(nq AS HUGEINT)) AS DOUBLE) AS sq,
+             quantile_cont(nq, 0.5) AS p50q,
+             quantile_cont(nq, 0.99) AS p99q
+      FROM b GROUP BY label),
+    o AS (
+      SELECT b.label, COUNT(*) AS n_out
+      FROM b JOIN s ON b.label = s.label
+      WHERE CAST(b.nq AS DOUBLE) > 1.5 * s.p50q
+      GROUP BY b.label)
+    SELECT s.label, CAST(s.n AS BIGINT) AS n,
+           ROUND(sq / 1e6 / n, 6) AS mean_norm,
+           ROUND(p50q / 1e6, 6) AS p50_norm,
+           ROUND(p99q / 1e6, 6) AS p99_norm,
+           CAST(COALESCE(n_out, 0) AS BIGINT) AS n_outliers
+    FROM s LEFT JOIN o ON s.label = o.label
+    """,
+)
+def embedding_norm_stats_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding-norm health report (llm/similarity.py
+    embedding_norm_stats): n, exact mean/p50/p99 of the L2 norm over
+    micros-quantized integers, and outliers above 1.5x the median —
+    catches unnormalized batches and mis-scaled encoders before
+    indexing.  Bit-exact vs the SQL replay."""
+    from tabsdata_spark.llm import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.embedding_norm_stats(emb)
+
+
+@q(
+    "distinctive_terms_sources",
+    f"""
+    WITH {_TOKS_CTE},
+    src AS (SELECT doc_id, source FROM documents),
+    tt AS (SELECT src.source AS grp, term FROM toks JOIN src USING (doc_id)),
+    ygw AS (SELECT grp, term, COUNT(*) AS ygw FROM tt GROUP BY 1, 2),
+    yw AS (SELECT term, SUM(ygw) AS yw FROM ygw GROUP BY term),
+    ng AS (SELECT grp, SUM(ygw) AS ng FROM ygw GROUP BY grp),
+    scal AS (SELECT COUNT(DISTINCT term) AS v, SUM(ygw) AS nn FROM ygw),
+    sc AS (
+      SELECT ygw.grp, ygw.term, ygw.ygw,
+             (LN((CAST(ygw AS DOUBLE) + 0.01)
+                 / (CAST(ng AS DOUBLE) + 0.01 * CAST(v AS DOUBLE)
+                    - CAST(ygw AS DOUBLE) - 0.01))
+              - LN(((CAST(yw AS DOUBLE) - CAST(ygw AS DOUBLE)) + 0.01)
+                   / (CAST(nn AS DOUBLE) - CAST(ng AS DOUBLE)
+                      + 0.01 * CAST(v AS DOUBLE)
+                      - (CAST(yw AS DOUBLE) - CAST(ygw AS DOUBLE)) - 0.01)))
+             / SQRT(CAST(1.0 AS DOUBLE) / (CAST(ygw AS DOUBLE) + 0.01)
+                    + CAST(1.0 AS DOUBLE)
+                      / ((CAST(yw AS DOUBLE) - CAST(ygw AS DOUBLE)) + 0.01))
+                 AS z
+      FROM ygw JOIN yw USING (term) JOIN ng USING (grp), scal
+      WHERE ygw >= 5)
+    SELECT grp AS source, term, CAST(ygw AS BIGINT) AS n_in_group,
+           ROUND(z, 6) AS z_logodds,
+           CAST(row_number() OVER (PARTITION BY grp
+                ORDER BY ROUND(z, 6) DESC, term ASC) AS INTEGER) AS rank
+    FROM sc
+    QUALIFY rank <= 3
+    """,
+)
+def distinctive_terms_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive vocabulary per source by Dirichlet-prior log-odds
+    z-score (llm/corpus.py distinctive_terms, Monroe et al. "Fightin'
+    Words") — surfaces per-source boilerplate/topical skew.  Exact
+    integer token counts through a fixed-structure IEEE statistic; one
+    (group, term) shuffle + one term shuffle, broadcast margins,
+    windows over count-filtered candidates only."""
+    from tabsdata_spark.llm import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus.distinctive_terms(docs, min_count=5, k=3)

@@ -469,3 +469,21 @@ def stream_anomaly_flag(stream: DataFrame, key: str, ts_col: str,
             .applyInPandasWithState(update, out_schema, state_schema,
                                     output_mode,
                                     GroupStateTimeout.NoTimeout))
+
+
+def pick_topk_per_window(snapshot: DataFrame, key_cols: list[str],
+                         n_col: str = "n", k: int = 3) -> DataFrame:
+    """Batch post-step for windowed streaming counts: per window, keep
+    the top-k keys by count (ties to the lexicographically smaller key)
+    — the trending-items pattern: the STREAM maintains only the cheap
+    windowed aggregation; the ranking runs on the collected snapshot /
+    foreachBatch sink where a per-window sort is tiny.  Input columns:
+    window_start, *key_cols, n."""
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("window_start").orderBy(
+        F.col(n_col).desc(), *[F.col(c).asc() for c in key_cols])
+    return (snapshot.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= k)
+            .select("window_start", *key_cols, n_col,
+                    F.col("__rk").cast("int").alias("rank")))

@@ -587,3 +587,33 @@ def test_time_to_convert_first_from_next_to(spark):
            extensions.time_to_convert(df, "u", "ts", "et",
                                       "view", "buy").collect()}
     assert got == {1: 420.0}   # user 2's buy precedes the view; 3 absent
+
+
+def test_quantile_normalize_maps_groups_onto_global(spark):
+    from tabsdata_spark import extensions
+
+    # group 'a' values 0..9, group 'b' values 100..109: after quantile
+    # normalization both map onto the same global reference curve
+    rows = ([(i, "a", float(i)) for i in range(10)]
+            + [(100 + i, "b", 100.0 + i) for i in range(10)])
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    out = extensions.quantile_normalize(df, "g", "v", "id").collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.g, []).append((r.v, r.value_norm))
+    a = [n for _, n in sorted(by["a"])]
+    b = [n for _, n in sorted(by["b"])]
+    assert a == b                       # identical normalized curves
+    assert a == sorted(a)               # monotone in the original order
+    assert a[0] == 0.0 and a[-1] == 109.0   # endpoints hit global min/max
+
+
+def test_quantile_normalize_single_member_group(spark):
+    from tabsdata_spark import extensions
+
+    rows = [(1, "a", 5.0), (2, "a", 7.0), (3, "solo", 100.0)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    got = {r.id: r.value_norm
+           for r in extensions.quantile_normalize(df, "g", "v",
+                                                  "id").collect()}
+    assert got[3] == 5.0                # p=0 -> global minimum

@@ -608,3 +608,16 @@ def test_stream_k_anonymize_picks_per_window(spark, tmp_path):
            for r in bus.pick_k_anonymous_level(snap, ["q1"], k=5).collect()}
     assert got == {(t0, 0, "a"): 6,       # day 1 publishes at rung 0
                    (d1, 1, "*"): 6}       # day 2 escalates to suppression
+
+
+def test_pick_topk_per_window_ranks_and_ties(spark):
+    snap = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1), "a", 5), (dt.datetime(2024, 1, 1), "b", 5),
+         (dt.datetime(2024, 1, 1), "c", 1), (dt.datetime(2024, 1, 2), "z", 9)],
+        "window_start timestamp, event_type string, n long")
+    got = [(r.window_start, r.event_type, r.rank) for r in
+           bus.pick_topk_per_window(snap, ["event_type"], "n", k=2)
+           .orderBy("window_start", "rank").collect()]
+    assert got == [(dt.datetime(2024, 1, 1), "a", 1),   # tie -> lexicographic
+                   (dt.datetime(2024, 1, 1), "b", 2),
+                   (dt.datetime(2024, 1, 2), "z", 1)]

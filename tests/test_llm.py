@@ -1711,3 +1711,46 @@ def test_stratified_split_report_shares_sum_to_one(spark):
     # deterministic: same assignment on rerun
     out2 = textual.stratified_split_report(df, "lang", "doc_id").collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_pii_pattern_counts_long_form(spark):
+    from tabsdata_spark.llm import textual
+
+    rows = [("a", "bob@x.com and 10.0.0.1"), ("a", "clean"),
+            ("b", "call +1 (555) 123-4567 now")]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {(r.source, r.pattern): (r.n_docs, r.rate)
+           for r in textual.pii_pattern_counts(df).collect()}
+    assert got[("a", "email")] == (1, 0.5)
+    assert got[("a", "ipv4")] == (1, 0.5)
+    assert got[("a", "phone")][0] == 0
+    assert got[("b", "phone")] == (1, 1.0)
+    assert len(got) == 6                      # 2 sources x 3 patterns
+
+
+def test_embedding_norm_stats_detects_outlier(spark):
+    from tabsdata_spark.llm import similarity
+
+    rows = ([(i, 0, [3.0, 4.0]) for i in range(9)]     # norm 5
+            + [(99, 0, [30.0, 40.0])])                  # norm 50: outlier
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>")
+    r = similarity.embedding_norm_stats(df).collect()[0]
+    assert r.n == 10 and r.p50_norm == 5.0
+    assert r.n_outliers == 1
+    assert r.mean_norm == round((9 * 5.0 + 50.0) / 10, 6)
+
+
+def test_distinctive_terms_surfaces_group_vocabulary(spark):
+    from tabsdata_spark.llm import corpus
+
+    rows = ([(i, "alpha alpha alpha shared", "a") for i in range(5)]
+            + [(10 + i, "beta beta beta shared", "b") for i in range(5)])
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = corpus.distinctive_terms(df, min_count=5, k=2).collect()
+    top = {r.source: r.term for r in out if r.rank == 1}
+    assert top == {"a": "alpha", "b": "beta"}
+    # the shared term never outranks the distinctive one
+    for r in out:
+        if r.term == "shared":
+            assert r.rank > 1
