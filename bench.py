@@ -222,6 +222,9 @@ ROUND5 = [
     "pii_pattern_counts_docs",
     "embedding_norm_stats_emb",
     "distinctive_terms_sources",
+    "image_ahash_pairs",
+    "calibration_logistic_docs",
+    "strip_markup_docs",
 ]
 
 
@@ -268,7 +271,9 @@ def main():
              # per-rung escalation decided at construction
              "k_anonymize_events",
              # N-collect + persisted degree table at construction
-             "pagerank_orders"}
+             "pagerank_orders",
+             # IRLS rounds run eagerly while building the frame
+             "calibration_logistic_docs"}
 
     def timed(names: list[str]) -> dict[str, float]:
         out: dict[str, float] = {}

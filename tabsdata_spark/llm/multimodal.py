@@ -180,3 +180,104 @@ def sample_frames(df: DataFrame, id_col: str = "doc_id",
             yield pd.DataFrame(rows, columns=[id_col, "frame_idx", "frame"])
 
     return df.select(id_col, binary_col).mapInPandas(run, out_schema)
+
+
+def ahash_images(df: DataFrame, id_col: str = "doc_id",
+                 binary_col: str = "payload",
+                 grid: int = 8) -> DataFrame:
+    """Perceptual average-hash (aHash) of image payloads: decode, block-
+    average the luma-free mean channel down to a grid x grid thumbnail,
+    threshold each cell against the global pixel mean, and pack the bit
+    matrix row-major — the classic 64-bit perceptual fingerprint that
+    survives re-encoding and small edits, the image-side analog of
+    MinHash for near-duplicate detection.
+
+    Returns (id, h1, h2, ahash_hex): the hash as two UNSIGNED 32-bit
+    halves in bigints (bits 0-31 / 32-63 — engine-portable: a packed
+    signed int64 flips sign across engines) plus the hex rendering.
+    Decode runs through the registered codec (real spec-level BMP; other
+    formats per the declared gates) one Arrow batch per crossing.
+
+    Cell semantics: the image divides into a grid x grid array of
+    EQUAL integer blocks (width/height must be divisible by `grid` —
+    the resize step upstream guarantees it in a real pipeline); cell
+    mean >= global mean (strict float64 sums / exact pixel counts) sets
+    the bit."""
+    import pandas as pd
+
+    from . import codecs
+
+    out_schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("h1", T.LongType()),
+        T.StructField("h2", T.LongType()),
+        T.StructField("ahash_hex", T.StringType()),
+    ])
+
+    def run(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for _id, payload in zip(pdf[id_col], pdf[binary_col]):
+                if payload is None:
+                    rows.append((_id, None, None, None))
+                    continue
+                raw = bytes(payload)
+                if codecs.sniff_format(raw) != "bmp":
+                    raise ValueError(
+                        "ahash_images decodes images only (spec-level BMP "
+                        "here; jpeg/png need a real image library — "
+                        "multimodal.set_decoder)")
+                d = codecs.decode_bmp(raw)
+                px = d["pixels"].astype(np.float64).mean(axis=2)  # (H, W)
+                h, w = px.shape
+                bh, bw = h // grid, w // grid
+                cells = px[:bh * grid, :bw * grid] \
+                    .reshape(grid, bh, grid, bw).mean(axis=(1, 3))
+                bits = (cells >= px.mean()).astype(np.uint64).ravel()
+                val = 0
+                for i, b in enumerate(bits):
+                    val |= int(b) << i
+                rows.append((_id, val & 0xFFFFFFFF, val >> 32,
+                             f"{val:016x}"))
+            yield pd.DataFrame(rows, columns=[id_col, "h1", "h2",
+                                              "ahash_hex"])
+
+    return df.select(id_col, binary_col).mapInPandas(run, out_schema)
+
+
+def image_near_dup_pairs(hashes: DataFrame, id_col: str = "doc_id",
+                         max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate image pairs from aHash fingerprints by banded
+    blocking + exact Hamming verification: the 64-bit hash splits into
+    four 16-bit bands; candidate pairs come ONLY from an equi-join on
+    (band index, band value) — by pigeonhole, any pair within Hamming
+    distance 3 shares at least one untouched band, so recall at
+    max_hamming <= 3 is EXACT while the join never goes all-pairs.
+
+    Exact verification: hamming = bit_count(h1a XOR h1b) +
+    bit_count(h2a XOR h2b), pure JVM expressions.  Returns
+    (id_a, id_b, hamming) with id_a < id_b."""
+    b0 = F.col("h1").bitwiseAND(F.lit(0xFFFF))
+    b1 = F.shiftrightunsigned(F.col("h1"), 16).bitwiseAND(F.lit(0xFFFF))
+    b2 = F.col("h2").bitwiseAND(F.lit(0xFFFF))
+    b3 = F.shiftrightunsigned(F.col("h2"), 16).bitwiseAND(F.lit(0xFFFF))
+    banded = hashes.select(
+        F.col(id_col), "h1", "h2",
+        F.posexplode(F.array(b0, b1, b2, b3)).alias("band", "bval"))
+    a = banded.select(F.col(id_col).alias("id_a"),
+                      F.col("h1").alias("__h1a"),
+                      F.col("h2").alias("__h2a"), "band", "bval")
+    b = banded.select(F.col(id_col).alias("id_b"),
+                      F.col("h1").alias("__h1b"),
+                      F.col("h2").alias("__h2b"), "band", "bval")
+    cand = (a.join(b, ["band", "bval"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "__h1a", "__h2a", "__h1b", "__h2b")
+            .distinct())
+    ham = (F.bit_count(F.col("__h1a").bitwiseXOR(F.col("__h1b")))
+           + F.bit_count(F.col("__h2a").bitwiseXOR(F.col("__h2b"))))
+    return (cand.select("id_a", "id_b",
+                        ham.cast("int").alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming))

@@ -543,3 +543,33 @@ def pii_pattern_counts(df, source_col: str = "source",
                     F.col("__s.n_docs").alias("n_docs"),
                     F.round(F.col("__s.n_docs").cast("double")
                             / F.col("__n"), 6).alias("rate")))
+
+
+#: engine-portable markup-stripping rules, applied in order: script/style
+#: blocks (content AND tags), remaining tags, the common entities, then
+#: whitespace collapapse happens via normalize_text downstream if wanted
+MARKUP_RULES: list[tuple[str, str]] = [
+    (r"(?s)<script\b[^>]*>.*?</script>", " "),
+    (r"(?s)<style\b[^>]*>.*?</style>", " "),
+    (r"<[^>]+>", " "),
+    (r"&nbsp;", " "),
+    (r"&amp;", "&"),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", "\""),
+    (r"&#39;", "'"),
+]
+
+
+def strip_markup(text):
+    """HTML/markup removal for web-crawl text: drop script/style blocks
+    with their content, strip remaining tags, decode the common
+    entities — chained JVM regexp_replace (RE2/Java-portable patterns),
+    scan-speed, no UDF.  Pair with normalize_text to collapse the
+    whitespace the tags leave behind."""
+    import pyspark.sql.functions as F
+
+    out = text
+    for pat, rep in MARKUP_RULES:
+        out = F.regexp_replace(out, pat, rep)
+    return out

@@ -9348,3 +9348,177 @@ def distinctive_terms_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return corpus.distinctive_terms(docs, min_count=5, k=3)
+
+
+@q(
+    "image_ahash_pairs",
+    """
+    WITH ids AS (
+      SELECT doc_id, doc_id % 25 AS cls, doc_id % 3 AS nz
+      FROM documents WHERE doc_id < 100),
+    px AS (
+      SELECT doc_id,
+             r.r, c.c,
+             CASE WHEN r.r = 0 AND c.c < nz THEN 255
+                  ELSE (cls * 31 + r.r * 7 + c.c * 13) % 256 END AS v
+      FROM ids,
+           (SELECT unnest(range(0, 16)) AS r) r,
+           (SELECT unnest(range(0, 16)) AS c) c),
+    tot AS (SELECT doc_id, SUM(v) AS ts FROM px GROUP BY doc_id),
+    cells AS (
+      SELECT doc_id, (r // 2) * 8 + (c // 2) AS i, SUM(v) AS cs
+      FROM px GROUP BY doc_id, (r // 2) * 8 + (c // 2)),
+    bits AS (
+      SELECT cells.doc_id, i,
+             CASE WHEN cs * 64 >= ts THEN 1 ELSE 0 END AS b
+      FROM cells JOIN tot ON cells.doc_id = tot.doc_id),
+    h AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN i < 32 THEN b * (CAST(1 AS BIGINT) << i)
+                           ELSE 0 END) AS BIGINT) AS h1,
+             CAST(SUM(CASE WHEN i >= 32
+                           THEN b * (CAST(1 AS BIGINT) << (i - 32))
+                           ELSE 0 END) AS BIGINT) AS h2
+      FROM bits GROUP BY doc_id)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.h1, b.h1))
+                + bit_count(xor(a.h2, b.h2)) AS INTEGER) AS hamming
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2)) <= 3
+    """,
+)
+def image_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs via perceptual average hash
+    (llm/multimodal.py ahash_images + image_near_dup_pairs): each doc
+    gets a REAL 16x16 BMP whose pixel pattern is closed-form in doc_id
+    (25 image classes + up to 2 noise pixels), encoded and DECODED
+    through the spec-level BMP codec, aHashed (8x8 block means vs
+    global mean), then paired by 16-bit band blocking + exact Hamming
+    <= 3 — recall provably exact at this threshold by pigeonhole.  The
+    oracle recomputes the hash arithmetic from the pixel formula with
+    exact integer sums (cell*64 >= total), so a codec, hashing, or
+    banding regression flips hard-compared rows."""
+    import pandas as pd
+
+    from tabsdata_spark.llm import multimodal
+
+    def make_bmps(batches):
+        import numpy as np
+
+        from tabsdata_spark.llm import codecs
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                cls, nz = i % 25, i % 3
+                r = np.arange(16).reshape(16, 1)
+                c = np.arange(16).reshape(1, 16)
+                v = ((cls * 31 + r * 7 + c * 13) % 256).astype(np.uint8)
+                v[0, :nz] = 255
+                px = np.repeat(v[:, :, None], 3, axis=2)
+                payloads.append(codecs.encode_bmp(px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .filter(F.col("doc_id") < 100)
+    bins = docs.select("doc_id").mapInPandas(
+        make_bmps, "doc_id long, payload binary")
+    hashes = multimodal.ahash_images(bins)
+    return multimodal.image_near_dup_pairs(hashes, max_hamming=3)
+
+
+@q(
+    "calibration_logistic_docs",
+    None,  # oracle assembled below from the logistic oracle CTE
+)
+def calibration_logistic_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of the IRLS quality classifier
+    (stats.calibration_bins over logistic_quality_docs' scores): per
+    score decile, n, exact mean prediction, observed positive rate —
+    the check that the filter's scores are thresholdable as
+    probabilities.  The oracle wraps the full unrolled-IRLS logistic
+    oracle as a CTE and re-bins it, so classifier AND binning verify
+    together bit-for-bit."""
+    from tabsdata_spark import stats
+
+    scored = logistic_quality_docs(spark, sf_dir)
+    lab = scored.withColumn("__y", (F.col("lang") == "en").cast("int"))
+    return stats.calibration_bins(lab, "score", "__y", bins=10)
+
+
+_ORACLES["calibration_logistic_docs"] = f"""
+    WITH scored AS ({_ORACLES["logistic_quality_docs"]}),
+    b AS (
+      SELECT LEAST(CAST(FLOOR(score * 10) AS INTEGER), 9) AS bin,
+             CAST(FLOOR(score * 1e6 + 0.5) AS BIGINT) AS sq,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM scored)
+    SELECT bin, COUNT(*) AS n,
+           ROUND(CAST(SUM(sq) AS DOUBLE) / 1e6 / COUNT(*), 6) AS mean_score,
+           ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS frac_pos
+    FROM b GROUP BY bin
+"""
+
+
+@q(
+    "strip_markup_docs",
+    r"""
+    WITH wrapped AS (
+      SELECT doc_id, text,
+             '<html><head><style>p.title: red;</style>'
+             || '<script>var hidden = 1 < 2;</script></head>'
+             || '<body><p class="t">' || text
+             || '</p><br/>&amp; &lt;tail&gt;</body></html>' AS html
+      FROM documents),
+    stripped AS (
+      SELECT doc_id, text,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(html,
+               '(?s)<script\b[^>]*>.*?</script>', ' ', 'g'),
+               '(?s)<style\b[^>]*>.*?</style>', ' ', 'g'),
+               '<[^>]+>', ' ', 'g'),
+               '&nbsp;', ' ', 'g'),
+               '&amp;', '&', 'g'),
+               '&lt;', '<', 'g'),
+               '&gt;', '>', 'g'),
+               '&quot;', '"', 'g'),
+               '&#39;', CHR(39), 'g') AS clean
+      FROM wrapped)
+    SELECT doc_id,
+           len(clean) AS n_chars_clean,
+           contains(clean, trim(text)) AS body_survives,
+           NOT contains(clean, 'hidden') AS script_gone,
+           NOT contains(clean, 'title') AS style_gone,
+           contains(clean, '& <tail>') AS entities_decoded,
+           md5(clean) AS clean_md5
+    FROM stripped
+    """,
+)
+def strip_markup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup stripping for web-crawl text (llm/textual.py strip_markup):
+    each document is wrapped in a deterministic HTML shell
+    (style + script blocks, attributes, entities), then stripped through
+    the chained-regex rule table — script/style content must vanish, the
+    body text must survive, entities must decode.  The oracle applies
+    the identical rule chain in SQL and md5-compares the full cleaned
+    string, so any pattern-semantics divergence (Java regex vs RE2)
+    flips hard-compared rows."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    html = F.concat(
+        F.lit('<html><head><style>p.title: red;</style>'
+              '<script>var hidden = 1 < 2;</script></head>'
+              '<body><p class="t">'),
+        F.col("text"),
+        F.lit('</p><br/>&amp; &lt;tail&gt;</body></html>'))
+    clean = textual.strip_markup(html)
+    return docs.select(
+        "doc_id",
+        F.length(clean).alias("n_chars_clean"),
+        clean.contains(F.trim(F.col("text"))).alias("body_survives"),
+        (~clean.contains("hidden")).alias("script_gone"),
+        (~clean.contains("title")).alias("style_gone"),
+        clean.contains("& <tail>").alias("entities_decoded"),
+        F.md5(clean).alias("clean_md5"))

@@ -778,3 +778,33 @@ def kaplan_meier(df: DataFrame, group_cols: list[str], duration_col: str,
          .otherwise(F.round(F.exp(cum_ln.cast("double") / F.lit(1e9)), 6))
          .alias("survival"))
     return out.filter(F.col("n_events") > 0)
+
+
+def calibration_bins(df: DataFrame, score_col: str, label_col: str,
+                     bins: int = 10) -> DataFrame:
+    """Reliability diagram for a probabilistic classifier: bucket rows by
+    predicted score, report each bucket's size, mean prediction, and
+    observed positive rate — the calibration check that decides whether
+    a quality/filter model's scores can be thresholded as probabilities.
+
+    Exactness contract: bin assignment is floor(score*bins) clamped to
+    the top bin; mean prediction sums micros-quantized scores exactly;
+    the positive rate is an integer ratio — every cell is a fixed IEEE
+    expression over exact integers.
+
+    Scale shape: one projection + one partial-agg shuffle of at most
+    `bins` groups."""
+    s = F.col(score_col)
+    bin_ = F.least(F.floor(s * bins).cast("int"), F.lit(bins - 1))
+    sq = F.floor(s * 1e6 + F.lit(0.5)).cast("bigint")
+    y = F.col(label_col).cast("int")
+    return (df.select(bin_.alias("bin"), sq.alias("__sq"), y.alias("__y"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("__sq").alias("__ss"),
+                 F.sum("__y").alias("__pos"))
+            .select("bin", "n",
+                    F.round(F.col("__ss").cast("double") / 1e6
+                            / F.col("n"), 6).alias("mean_score"),
+                    F.round(F.col("__pos").cast("double") / F.col("n"), 6)
+                    .alias("frac_pos")))

@@ -1754,3 +1754,52 @@ def test_distinctive_terms_surfaces_group_vocabulary(spark):
     for r in out:
         if r.term == "shared":
             assert r.rank > 1
+
+
+def test_ahash_images_identical_and_modified(spark):
+    import numpy as np
+
+    from tabsdata_spark.llm import codecs, multimodal
+
+    base = ((np.arange(16).reshape(16, 1) * 7
+             + np.arange(16).reshape(1, 16) * 13) % 256).astype(np.uint8)
+    mod = base.copy()
+    mod[:8, :8] = 255 - mod[:8, :8]      # invert a quadrant: many bits flip
+    rows = [(1, codecs.encode_bmp(np.repeat(base[:, :, None], 3, axis=2))),
+            (2, codecs.encode_bmp(np.repeat(base[:, :, None], 3, axis=2))),
+            (3, codecs.encode_bmp(np.repeat(mod[:, :, None], 3, axis=2)))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: (r.h1, r.h2, r.ahash_hex)
+           for r in multimodal.ahash_images(df).collect()}
+    assert got[1] == got[2]                       # identical -> same hash
+    assert got[1] != got[3]                       # quadrant edit -> differs
+    assert all(0 <= v[0] < 2**32 and 0 <= v[1] < 2**32
+               for v in got.values())             # unsigned halves
+
+
+def test_image_near_dup_pairs_pigeonhole_recall(spark):
+    from tabsdata_spark.llm import multimodal
+
+    # hand-built hashes: b differs from a by 2 bits (<=3: must pair);
+    # c differs from a in every band by 4+ bits (no shared band, no pair)
+    rows = [(1, 0x0000FFFF, 0x12345678),
+            (2, 0x0003FFFF, 0x12345678),          # 2 bits off in band 1
+            (3, 0xF0F0F00F, 0xEDCBA987)]
+    df = spark.createDataFrame(rows, "doc_id long, h1 long, h2 long")
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in multimodal.image_near_dup_pairs(df, max_hamming=3)
+           .collect()}
+    assert got == {(1, 2): 2}
+
+
+def test_strip_markup_rules(spark):
+    from tabsdata_spark.llm import textual
+
+    df = spark.createDataFrame(
+        [(1, '<p a="1">Hi</p><script>var x = "<b>"</script>'
+             '<style>b: c</style>&amp;&lt;x&gt;&#39;q&#39;&nbsp;!')],
+        "id long, t string")
+    out = df.select(textual.strip_markup(F.col("t")).alias("c")).first()[0]
+    assert "Hi" in out and "var x" not in out and "b: c" not in out
+    assert "&<x>'q'" in out and "&amp;" not in out
+    assert out.endswith(" !")                      # &nbsp; -> space

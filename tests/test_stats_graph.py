@@ -492,3 +492,18 @@ def test_kaplan_meier_extinct_risk_set_pins_zero(spark):
     df = spark.createDataFrame(rows, "g string, t int, ev boolean")
     out = stats.kaplan_meier(df, ["g"], "t", "ev").collect()
     assert len(out) == 1 and out[0].survival == 0.0
+
+
+def test_calibration_bins_exact_cells(spark):
+    from tabsdata_spark import stats
+
+    rows = [(0.05, 0), (0.05, 0), (0.05, 1),       # bin 0: 1/3 positive
+            (0.95, 1), (0.95, 1),                  # bin 9: all positive
+            (1.0, 1)]                              # score 1.0 clamps to 9
+    df = spark.createDataFrame(rows, "score double, y int")
+    got = {r.bin: r for r in
+           stats.calibration_bins(df, "score", "y", bins=10).collect()}
+    assert set(got) == {0, 9}
+    assert got[0].n == 3 and got[0].frac_pos == round(1 / 3, 6)
+    assert got[0].mean_score == 0.05
+    assert got[9].n == 3 and got[9].frac_pos == 1.0
