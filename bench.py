@@ -225,6 +225,8 @@ ROUND5 = [
     "image_ahash_pairs",
     "calibration_logistic_docs",
     "strip_markup_docs",
+    "audio_fingerprint_wav",
+    "activity_islands_events",
 ]
 
 

@@ -1031,3 +1031,29 @@ def quantile_normalize(df: DataFrame, group_col: str, value_col: str,
     return (ranked.crossJoin(F.broadcast(grid))   # 1-row scalar combine
             .select(F.col(id_col), F.col(group_col), F.col(value_col),
                     F.round(norm, 6).alias("value_norm")))
+
+
+def activity_islands(df: DataFrame, key_col: str, ts_col: str) -> DataFrame:
+    """Gaps-and-islands streak analysis per key: collapse activity to
+    distinct active DAYS, find maximal runs of consecutive days (the
+    islands), and report per key the island count, the longest streak,
+    and total active days — the engagement statistic behind "7-day
+    streak" features and churn-risk rules.
+
+    The island identifier is the classic date - row_number trick:
+    consecutive days share (day - rank) exactly, any gap shifts it —
+    one expression, no self-join, no recursive CTE.
+
+    Scale shape: one distinct shuffle on (key, day), one window sort
+    per key partition, two partial aggs — nothing global."""
+    days = (df.select(F.col(key_col), F.to_date(F.col(ts_col)).alias("__d"))
+            .distinct())
+    w = Window.partitionBy(key_col).orderBy("__d")
+    isl = days.withColumn(
+        "__isl", F.date_sub(F.col("__d"), F.row_number().over(w)))
+    runs = (isl.groupBy(key_col, "__isl")
+            .agg(F.count(F.lit(1)).alias("__len")))
+    return (runs.groupBy(key_col)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+                 F.max("__len").cast("bigint").alias("longest_streak"),
+                 F.sum("__len").cast("bigint").alias("total_active_days")))

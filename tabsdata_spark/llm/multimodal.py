@@ -281,3 +281,54 @@ def image_near_dup_pairs(hashes: DataFrame, id_col: str = "doc_id",
     return (cand.select("id_a", "id_b",
                         ham.cast("int").alias("hamming"))
             .filter(F.col("hamming") <= max_hamming))
+
+
+def audio_fingerprint(df: DataFrame, id_col: str = "doc_id",
+                      binary_col: str = "payload",
+                      blocks: int = 32) -> DataFrame:
+    """Robust audio fingerprint from PCM payloads (Haitsma-Kalker shape,
+    time-domain variant): decode, split the signal into `blocks` equal
+    windows, take each window's ENERGY (exact integer sum of squared
+    int16 samples — scale-free under the codec's /32768 normalization),
+    and emit one bit per adjacent-window energy INCREASE — a
+    blocks-1-bit fingerprint that survives level changes and container
+    re-encoding, the audio-side analog of the image aHash.
+
+    Returns (id, fp, n_blocks, duration_ms); fp packs bit b =
+    [energy(b+1) > energy(b)] at position b (fits a signed 64-bit long
+    for blocks <= 64).  Exact-match on fp is the dedup key; banded
+    Hamming (image_near_dup_pairs on split halves) generalizes to
+    near-match."""
+    import pandas as pd
+
+    from . import codecs
+
+    out_schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("fp", T.LongType()),
+        T.StructField("n_blocks", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+    ])
+
+    def run(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for _id, payload in zip(pdf[id_col], pdf[binary_col]):
+                if payload is None:
+                    rows.append((_id, None, None, None))
+                    continue
+                d = codecs.decode_wav(bytes(payload))
+                s = np.rint(d["samples"] * 32768.0).astype(np.int64)
+                n = (len(s) // blocks) * blocks
+                e = (s[:n] ** 2).reshape(blocks, -1).sum(axis=1)
+                fp = 0
+                for b in range(blocks - 1):
+                    if e[b + 1] > e[b]:
+                        fp |= 1 << b
+                rows.append((_id, fp, blocks, d["duration_ms"]))
+            yield pd.DataFrame(rows, columns=[id_col, "fp", "n_blocks",
+                                              "duration_ms"])
+
+    return df.select(id_col, binary_col).mapInPandas(run, out_schema)

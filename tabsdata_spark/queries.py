@@ -9522,3 +9522,111 @@ def strip_markup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (~clean.contains("title")).alias("style_gone"),
         clean.contains("& <tail>").alias("entities_decoded"),
         F.md5(clean).alias("clean_md5"))
+
+
+@q(
+    "audio_fingerprint_wav",
+    """
+    WITH ids AS (
+      SELECT doc_id, doc_id % 20 AS cls
+      FROM documents WHERE doc_id < 100),
+    e AS (
+      SELECT doc_id, i.i // 32 AS b,
+             SUM(((cls * 7 + (i.i // 32) * (i.i // 32)) % 13)
+                 * ((i.i % 32) - 16)
+                 * ((cls * 7 + (i.i // 32) * (i.i // 32)) % 13)
+                 * ((i.i % 32) - 16)) AS en
+      FROM ids, (SELECT unnest(range(0, 1024)) AS i) i
+      GROUP BY doc_id, i.i // 32),
+    bits AS (
+      SELECT a.doc_id, a.b AS pos,
+             CASE WHEN n.en > a.en THEN 1 ELSE 0 END AS bit
+      FROM e a JOIN e n ON n.doc_id = a.doc_id AND n.b = a.b + 1),
+    fp AS (
+      SELECT doc_id,
+             CAST(SUM(bit * (CAST(1 AS BIGINT) << pos)) AS BIGINT) AS fp
+      FROM bits GROUP BY doc_id)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.fp
+    FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    """,
+)
+def audio_fingerprint_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio duplicate detection via energy-delta fingerprints
+    (llm/multimodal.py audio_fingerprint): each doc gets a REAL 16-bit
+    PCM WAV whose samples are closed-form in doc_id (20 signal classes),
+    decoded through the spec-level WAV codec, fingerprinted (32-block
+    energies, one bit per adjacent increase), then exact-fp-matched into
+    duplicate pairs.  The oracle recomputes the block energies from the
+    sample formula with exact integer sums, so a codec or fingerprint
+    regression flips hard-compared rows."""
+    import pandas as pd
+
+    from tabsdata_spark.llm import multimodal
+
+    def make_wavs(batches):
+        import io
+        import wave
+
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                cls = i % 20
+                idx = np.arange(1024, dtype=np.int64)
+                amp = (cls * 7 + (idx // 32) ** 2) % 13
+                v = (amp * ((idx % 32) - 16)).astype("<i2")
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(16000)
+                    wf.writeframes(v.tobytes())
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .filter(F.col("doc_id") < 100)
+    bins = docs.select("doc_id").mapInPandas(
+        make_wavs, "doc_id long, payload binary")
+    fps = multimodal.audio_fingerprint(bins, blocks=32)
+    a = fps.select(F.col("doc_id").alias("id_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("id_b"),
+                   F.col("fp").alias("__fpb"))
+    return (a.join(b, (F.col("fp") == F.col("__fpb"))
+                   & (F.col("id_a") < F.col("id_b")))
+            .select("id_a", "id_b", "fp"))
+
+
+@q(
+    "activity_islands_events",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+      FROM events),
+    r AS (
+      SELECT user_id, d,
+             d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INTEGER) AS isl
+      FROM days),
+    runs AS (SELECT user_id, isl, COUNT(*) AS len FROM r GROUP BY 1, 2)
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(MAX(len) AS BIGINT) AS longest_streak,
+           CAST(SUM(len) AS BIGINT) AS total_active_days
+    FROM runs GROUP BY user_id
+    """,
+)
+def activity_islands_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity streaks by gaps-and-islands
+    (extensions.activity_islands): distinct active days, maximal
+    consecutive-day runs via the date-minus-rank trick (no self-join, no
+    recursive CTE), per-user island count / longest streak / total
+    active days.  One distinct shuffle + one window sort per user
+    partition; integer output, hash-compared."""
+    from tabsdata_spark import extensions
+
+    ev = load_events(spark, sf_dir).df
+    return extensions.activity_islands(ev, "user_id", "ts")

@@ -617,3 +617,19 @@ def test_quantile_normalize_single_member_group(spark):
            for r in extensions.quantile_normalize(df, "g", "v",
                                                   "id").collect()}
     assert got[3] == 5.0                # p=0 -> global minimum
+
+
+def test_activity_islands_streaks(spark):
+    import datetime as dt
+
+    from tabsdata_spark import extensions
+
+    d = lambda day, h=0: dt.datetime(2024, 1, day, h)
+    rows = [(1, d(1)), (1, d(1, 5)), (1, d(2)), (1, d(3)),   # island 1-3
+            (1, d(7)),                                        # island 7
+            (2, d(10))]
+    df = spark.createDataFrame(rows, "u long, ts timestamp")
+    got = {r.u: (r.n_islands, r.longest_streak, r.total_active_days)
+           for r in extensions.activity_islands(df, "u", "ts").collect()}
+    assert got[1] == (2, 3, 4)
+    assert got[2] == (1, 1, 1)

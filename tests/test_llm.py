@@ -1803,3 +1803,33 @@ def test_strip_markup_rules(spark):
     assert "Hi" in out and "var x" not in out and "b: c" not in out
     assert "&<x>'q'" in out and "&amp;" not in out
     assert out.endswith(" !")                      # &nbsp; -> space
+
+
+def test_audio_fingerprint_identical_and_different(spark):
+    import io
+    import wave
+
+    import numpy as np
+
+    from tabsdata_spark.llm import multimodal
+
+    def wav(pattern):
+        v = np.asarray(pattern, dtype="<i2")
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(16000)
+            wf.writeframes(v.tobytes())
+        return buf.getvalue()
+
+    # 4 blocks of 4 samples: energies strictly rising vs strictly falling
+    rising = [1] * 4 + [2] * 4 + [3] * 4 + [4] * 4
+    falling = rising[::-1]
+    df = spark.createDataFrame(
+        [(1, wav(rising)), (2, wav(rising)), (3, wav(falling))],
+        "doc_id long, payload binary")
+    got = {r.doc_id: r.fp for r in
+           multimodal.audio_fingerprint(df, blocks=4).collect()}
+    assert got[1] == got[2] == 0b111          # every delta rises
+    assert got[3] == 0                        # every delta falls
