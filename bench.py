@@ -227,6 +227,7 @@ ROUND5 = [
     "strip_markup_docs",
     "audio_fingerprint_wav",
     "activity_islands_events",
+    "cohort_ltv_events",
 ]
 
 

@@ -1057,3 +1057,45 @@ def activity_islands(df: DataFrame, key_col: str, ts_col: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_islands"),
                  F.max("__len").cast("bigint").alias("longest_streak"),
                  F.sum("__len").cast("bigint").alias("total_active_days")))
+
+
+def cohort_ltv(df: DataFrame, key_col: str, ts_col: str, value_col: str,
+               value_filter=None) -> DataFrame:
+    """Cohort lifetime-value curves: users cohort by first-seen week;
+    each cohort's revenue accumulates by week-age, normalized per cohort
+    member — the (cohort_week, age_weeks) LTV matrix behind payback-
+    period and retention-revenue analysis.
+
+    Exactness contract: revenue sums in DECIMAL(18,2) (exact in any
+    partitioning), week-age is integer arithmetic on week-truncated
+    timestamps, and the cumulative window runs over the bounded
+    (cohort x age) grid — so every cell reproduces bit-for-bit.
+
+    Scale shape: one first-seen shuffle on the key, one join carrying
+    the cohort week back (key-partitioned), one partial agg onto the
+    bounded (cohort_week, age) grid; the cumulative window and the
+    per-user division run on grid rows only."""
+    first = (df.groupBy(key_col)
+             .agg(F.date_trunc("week", F.min(ts_col)).alias("__cw")))
+    sizes = first.groupBy("__cw").agg(
+        F.count(F.lit(1)).alias("__n_users"))
+    rev = df if value_filter is None else df.filter(value_filter)
+    aged = (rev.filter(F.col(value_col).isNotNull())
+            .join(first, key_col)
+            .select("__cw",
+                    ((F.unix_micros(F.date_trunc("week", F.col(ts_col)))
+                      - F.unix_micros(F.col("__cw")))
+                     / F.lit(604800000000).cast("bigint"))
+                    .cast("bigint").alias("age_weeks"),
+                    F.col(value_col).cast("decimal(18,2)").alias("__v")))
+    grid = (aged.groupBy("__cw", "age_weeks")
+            .agg(F.sum("__v").alias("__rev")))
+    w = (Window.partitionBy("__cw").orderBy("age_weeks")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (grid.join(F.broadcast(sizes), "__cw")
+            .select(F.col("__cw").alias("cohort_week"), "age_weeks",
+                    F.col("__n_users").cast("bigint").alias("n_users"),
+                    F.col("__rev").cast("double").alias("revenue"),
+                    F.round(F.sum("__rev").over(w).cast("double")
+                            / F.col("__n_users"), 6)
+                    .alias("cum_ltv_per_user")))

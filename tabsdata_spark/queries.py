@@ -9630,3 +9630,45 @@ def activity_islands_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_events(spark, sf_dir).df
     return extensions.activity_islands(ev, "user_id", "ts")
+
+
+@q(
+    "cohort_ltv_events",
+    """
+    WITH first AS (
+      SELECT user_id,
+             date_trunc('week', MIN(CAST(ts AS TIMESTAMP))) AS cw
+      FROM events GROUP BY user_id),
+    sizes AS (SELECT cw, COUNT(*) AS n_users FROM first GROUP BY cw),
+    aged AS (
+      SELECT f.cw,
+             (epoch_us(date_trunc('week', CAST(e.ts AS TIMESTAMP)))
+              - epoch_us(f.cw)) // 604800000000 AS age_weeks,
+             CAST(e.value AS DECIMAL(18,2)) AS v
+      FROM events e JOIN first f ON e.user_id = f.user_id
+      WHERE e.event_type = 'purchase' AND e.value IS NOT NULL),
+    grid AS (
+      SELECT cw, age_weeks, SUM(v) AS rev
+      FROM aged GROUP BY cw, age_weeks)
+    SELECT CAST(grid.cw AS TIMESTAMP) AS cohort_week,
+           CAST(age_weeks AS BIGINT) AS age_weeks,
+           CAST(n_users AS BIGINT) AS n_users,
+           CAST(rev AS DOUBLE) AS revenue,
+           ROUND(CAST(SUM(rev) OVER (PARTITION BY grid.cw ORDER BY age_weeks
+                                     ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                 / n_users, 6) AS cum_ltv_per_user
+    FROM grid JOIN sizes ON grid.cw = sizes.cw
+    """,
+)
+def cohort_ltv_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-cohort lifetime-value curves (extensions.cohort_ltv):
+    users cohort by first-seen week, purchase revenue accumulates per
+    cohort by week-age, normalized per member.  Decimal revenue sums +
+    integer week arithmetic + a cumulative window over the bounded
+    (cohort, age) grid — bit-exact vs the SQL replay."""
+    from tabsdata_spark import extensions
+
+    ev = load_events(spark, sf_dir).df
+    return extensions.cohort_ltv(ev, "user_id", "ts", "value",
+                                 value_filter=F.col("event_type")
+                                 == "purchase")

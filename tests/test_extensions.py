@@ -633,3 +633,24 @@ def test_activity_islands_streaks(spark):
            for r in extensions.activity_islands(df, "u", "ts").collect()}
     assert got[1] == (2, 3, 4)
     assert got[2] == (1, 1, 1)
+
+
+def test_cohort_ltv_accumulates_per_member(spark):
+    import datetime as dt
+
+    from tabsdata_spark import extensions
+
+    w1 = dt.datetime(2024, 1, 1)          # Monday
+    w2 = dt.datetime(2024, 1, 8)
+    rows = [  # two users first seen week 1; one in week 2
+        (1, w1, "purchase", 10.0), (2, w1 + dt.timedelta(days=2), "view", None),
+        (1, w2, "purchase", 5.0),          # age 1 for cohort w1
+        (3, w2, "purchase", 7.0)]          # cohort w2 age 0
+    df = spark.createDataFrame(rows, "u long, ts timestamp, et string, v double")
+    out = extensions.cohort_ltv(
+        df, "u", "ts", "v", value_filter=F.col("et") == "purchase").collect()
+    got = {(r.cohort_week, r.age_weeks):
+           (r.n_users, r.revenue, r.cum_ltv_per_user) for r in out}
+    assert got[(w1, 0)] == (2, 10.0, 5.0)
+    assert got[(w1, 1)] == (2, 5.0, 7.5)       # cumulative 15 over 2 users
+    assert got[(w2, 0)] == (1, 7.0, 7.0)

@@ -570,3 +570,76 @@ def test_asof_join_matches_pandas_merge_asof(spark, lts, rts, direction):
     exp = {int(r.idx): (None if pd.isna(r.rv) else float(r.rv))
            for r in exp_df.itertuples()}
     assert got == exp
+
+
+def test_ewma_matches_pandas_reference(spark):
+    """extensions.ewma == pandas ewm(alpha, adjust=True) wherever the
+    series is shorter than the truncation depth."""
+    import pandas as pd
+
+    from tabsdata_spark import extensions
+
+    vals = [3.0, 1.5, 4.0, -2.0, 0.25, 10.0]
+    expected = pd.Series(vals).ewm(alpha=0.5, adjust=True).mean()
+    df = spark.createDataFrame(
+        [(i, 1, v) for i, v in enumerate(vals)], "i long, u long, v double")
+    got = {r.i: r.ewma for r in
+           extensions.ewma(df, "u", ["i"], "v", alpha=0.5, terms=8).collect()}
+    for i, e in enumerate(expected):
+        assert abs(got[i] - round(e, 6)) <= 1e-6, (i, got[i], e)
+
+
+def test_pagerank_exact_mass_conserved(spark):
+    """Sum of PageRank over an undirected graph stays ~1 (no dangling
+    nodes by construction)."""
+    from tabsdata_spark import graph
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c")],
+        ["s", "d"])
+    out = graph.pagerank_exact(edges, "s", "d", iters=4).collect()
+    total = sum(r.pagerank for r in out)
+    assert abs(total - 1.0) < 1e-4
+
+
+def test_quantile_normalize_is_permutation_invariant(spark):
+    """Shuffling input rows (different partitioning) must not change any
+    normalized value — the determinism contract."""
+    from tabsdata_spark import extensions
+
+    rows = [(i, "g" + str(i % 3), float((i * 37) % 101)) for i in range(60)]
+    df1 = spark.createDataFrame(rows, "id long, g string, v double")
+    df2 = spark.createDataFrame(rows[::-1], "id long, g string, v double") \
+        .repartition(7)
+    a = {r.id: r.value_norm
+         for r in extensions.quantile_normalize(df1, "g", "v", "id").collect()}
+    b = {r.id: r.value_norm
+         for r in extensions.quantile_normalize(df2, "g", "v", "id").collect()}
+    assert a == b
+
+
+def test_kaplan_meier_matches_ecdf_without_censoring(spark):
+    """With zero censoring, KM survival equals 1 - empirical CDF."""
+    from tabsdata_spark import stats
+
+    durations = [1, 2, 2, 3, 5, 5, 5, 8]
+    df = spark.createDataFrame([("g", t, True) for t in durations],
+                               "g string, t int, ev boolean")
+    got = {r.t: r.survival
+           for r in stats.kaplan_meier(df, ["g"], "t", "ev").collect()}
+    n = len(durations)
+    for t in sorted(set(durations)):
+        ecdf = sum(1 for d in durations if d <= t) / n
+        assert abs(got[t] - (1 - ecdf)) < 1e-6, (t, got[t], 1 - ecdf)
+
+
+def test_calibration_bins_totals_partition_input(spark):
+    from tabsdata_spark import stats
+
+    rows = [((i % 97) / 97.0, i % 2) for i in range(200)]
+    df = spark.createDataFrame(rows, "score double, y int")
+    out = stats.calibration_bins(df, "score", "y", bins=10).collect()
+    assert sum(r.n for r in out) == 200
+    # weighted mean of frac_pos recovers the global positive rate
+    pos = sum(r.n * r.frac_pos for r in out)
+    assert abs(pos - 100) < 0.01

@@ -108,22 +108,21 @@ def test_events_load_on_vanilla_session(vanilla, sf_dir):
 
 
 def test_driver_window_covers_never_verified_queries():
-    """The driver snapshots queries()[0:50].  Guard the r4 rotation: the
-    window must be exactly _PRIORITY_R4, every entry must exist with an
-    oracle, and none may be a query the driver already green-verified —
-    except the two r3 hash-reds (q12_priority_counts, quality_gate_docs),
-    kept in to confirm their HUGEINT-oracle fix."""
+    """The driver snapshots queries()[0:50].  Guard the r5 rotation: the
+    window must be exactly _PRIORITY_R5, every entry must exist with an
+    oracle, and none may be a query the driver already green-verified in
+    rounds 1-4 (the r5 window is all never-verified names)."""
     import json
 
     from tabsdata_spark import queries as registry
 
     names = list(registry.queries())
     window = names[:50]
-    assert window == registry._PRIORITY_R4
+    assert window == registry._PRIORITY_R5
     assert len(window) == 50
     oracles = registry.oracle_sql()
     assert all(n in oracles for n in window)
-    r2 = set(json.load(open("CORRECTNESS_r02.json")))
-    r3 = set(json.load(open("CORRECTNESS_r03.json")))
-    already = set(window) & (r2 | r3)
-    assert already == {"q12_priority_counts", "quality_gate_docs"}, already
+    seen = set()
+    for r in ("01", "02", "03", "04"):
+        seen |= set(json.load(open(f"CORRECTNESS_r{r}.json")))
+    assert set(window) & seen == set(), set(window) & seen
