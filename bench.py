@@ -228,6 +228,8 @@ ROUND5 = [
     "audio_fingerprint_wav",
     "activity_islands_events",
     "cohort_ltv_events",
+    "funnel_stepwise_events",
+    "auto_salted_revenue_events",
 ]
 
 
@@ -276,7 +278,9 @@ def main():
              # N-collect + persisted degree table at construction
              "pagerank_orders",
              # IRLS rounds run eagerly while building the frame
-             "calibration_logistic_docs"}
+             "calibration_logistic_docs",
+             # skew probe (count pass + 1-row collect) at construction
+             "auto_salted_revenue_events"}
 
     def timed(names: list[str]) -> dict[str, float]:
         out: dict[str, float] = {}

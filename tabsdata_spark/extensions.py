@@ -174,28 +174,43 @@ def hierarchical_rollup(df: DataFrame, ts_col: str, value_col: str,
 
 
 def funnel(events: DataFrame, user_col: str, ts_col: str, type_col: str,
-           steps: list[str], within: str | None = None) -> DataFrame:
+           steps: list[str], within: str | None = None,
+           step_within: str | None = None) -> DataFrame:
     """Ordered event-funnel analysis: for each user, the earliest strictly
     increasing timestamp chain through `steps` (classic product-analytics
     A→B→C), optionally requiring the whole chain inside `within` (an
-    INTERVAL string) of step 1.  Returns one row per user who completed
-    step 1, with t_1..t_k (null once the chain breaks) and reached_steps.
+    INTERVAL string) of step 1, and/or each step inside `step_within` of
+    the PREVIOUS step (the engagement-decay form: a purchase a month
+    after the click is not a conversion).  Returns one row per user who
+    completed step 1, with t_1..t_k (null once the chain breaks) and
+    reached_steps.
 
     Plan shape: k-1 self-joins, each keyed on the user — after the first
     shuffle every join reuses the same hash partitioning (exchange reuse),
     and each stage's input is only the users still alive in the funnel.
     min-aggregates keep one row per user per stage, so no stage is ever
     bigger than the user count; k is small by nature.  No windows over the
-    full event table, no driver state."""
+    full event table, no driver state.  Semantics note: the chain is the
+    GREEDY-EARLIEST one (first admissible event per step — the standard
+    product-analytics definition, e.g. first-occurrence funnels).  With
+    step_within this is not reach-MAXIMIZING: a later step-2 choice
+    could keep a window open for a step 3 the earliest choice misses;
+    callers needing maximal reach should widen step_within or use the
+    chain-of-asof composition."""
     def stage(i: int) -> DataFrame:
         return (events.filter(F.col(type_col) == steps[i])
                 .select(F.col(user_col).alias("__u"),
                         F.col(ts_col).alias("__ts")))
 
+    step_iv = (F.expr(f"INTERVAL {step_within}")
+               if step_within is not None else None)
     cur = stage(0).groupBy("__u").agg(F.min("__ts").alias("t_1"))
     for i in range(1, len(steps)):
+        cond = F.col("__ts") > F.col(f"t_{i}")
+        if step_iv is not None:
+            cond = cond & (F.col("__ts") <= F.col(f"t_{i}") + step_iv)
         nxt = (stage(i).join(cur, "__u")
-               .filter(F.col("__ts") > F.col(f"t_{i}"))
+               .filter(cond)
                .groupBy("__u").agg(F.min("__ts").alias(f"t_{i + 1}")))
         cur = cur.join(nxt.select("__u", f"t_{i + 1}"), "__u", "left")
     if within is not None:

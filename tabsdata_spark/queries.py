@@ -9672,3 +9672,73 @@ def cohort_ltv_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extensions.cohort_ltv(ev, "user_id", "ts", "value",
                                  value_filter=F.col("event_type")
                                  == "purchase")
+
+
+@q(
+    "funnel_stepwise_events",
+    """
+    WITH b AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS mts, event_type
+      FROM events),
+    s1 AS (SELECT user_id, MIN(mts) AS t_1
+           FROM b WHERE event_type = 'signup' GROUP BY 1),
+    s2 AS (SELECT b.user_id, MIN(b.mts) AS t_2
+           FROM b JOIN s1 USING (user_id)
+           WHERE b.event_type = 'click'
+             AND b.mts > t_1 AND b.mts <= t_1 + INTERVAL 24 HOUR
+           GROUP BY 1),
+    s3 AS (SELECT b.user_id, MIN(b.mts) AS t_3
+           FROM b JOIN s2 USING (user_id)
+           WHERE b.event_type = 'purchase'
+             AND b.mts > t_2 AND b.mts <= t_2 + INTERVAL 24 HOUR
+           GROUP BY 1)
+    SELECT s1.user_id, t_1, t_2, t_3,
+           CAST(CASE WHEN t_2 IS NULL THEN 1
+                     WHEN t_3 IS NULL THEN 2
+                     ELSE 3 END AS BIGINT) AS reached_steps
+    FROM s1
+    LEFT JOIN s2 ON s1.user_id = s2.user_id
+    LEFT JOIN s3 ON s1.user_id = s3.user_id
+    """,
+)
+def funnel_stepwise_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-step-windowed conversion funnel (extensions.funnel with
+    step_within): signup -> click -> purchase where every step must land
+    within 24 hours OF THE PREVIOUS step (engagement-decay semantics,
+    greedy-earliest chain).  Same k-1 user-keyed min-join plan as the
+    plain funnel; exact timestamps, hash-compared."""
+    from tabsdata_spark import extensions
+
+    ev = load_events(spark, sf_dir).df
+    out = extensions.funnel(ev, "user_id", "ts", "event_type",
+                            ["signup", "click", "purchase"],
+                            step_within="24 hours")
+    return out.select("user_id", "t_1", "t_2", "t_3",
+                      F.col("reached_steps").cast("bigint")
+                      .alias("reached_steps"))
+
+
+@q(
+    "auto_salted_revenue_events",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM events GROUP BY event_type
+    """,
+)
+def auto_salted_revenue_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-adaptive aggregation (scale.auto_salted_agg): probe the key
+    distribution (one count pass + a 1-row collect), then aggregate
+    plain or two-phase salted depending on the heaviest key's share —
+    the "measure, don't guess" loop as an operator.  Either path is
+    value-identical to the plain GROUP BY oracle: salting only changes
+    row routing, and decimal partial sums re-aggregate losslessly."""
+    from tabsdata_spark import scale
+
+    ev = load_events(spark, sf_dir).df
+    return scale.auto_salted_agg(
+        ev, "event_type",
+        {"n_events": ("count", None),
+         "revenue": ("sum_decimal", "value")},
+        skew_threshold=0.15)

@@ -432,3 +432,62 @@ def record_linkage(a: DataFrame, b: DataFrame, id_a: str, id_b: str,
             .filter(F.col("__rn") == 1)
             .select("a_id", "b_id",
                     F.round(F.col("__score"), 6).alias("score")))
+
+
+def auto_salted_agg(df: DataFrame, key_cols: list[str] | str, aggs: dict,
+                    skew_threshold: float = 0.2,
+                    salt: int = 16) -> DataFrame:
+    """Skew-adaptive aggregation — the "measure, don't guess" loop as an
+    operator: probe the key distribution first (one partial-agg pass +
+    a 1-row collect of the heaviest key's share), then aggregate PLAIN
+    when the keys are balanced or TWO-PHASE SALTED (partial agg on
+    (key, salt), final combine on key) when one key exceeds
+    `skew_threshold` of all rows — the groupBy sibling of salted_join.
+
+    `aggs` maps output name -> (kind, column) with kind in
+    'count' | 'sum_decimal' (exact decimal(18,2) money sums; both kinds
+    re-aggregate losslessly, which is what makes the two-phase plan
+    exactly equal to the plain one).  Result values are identical on
+    either path — the probe only changes row routing, never content.
+
+    Scale shape: the probe shares the aggregation's shuffle key, costs
+    one count pass; the salted path bounds any reducer at
+    ~|hot key| / salt rows.  At 100 TB this is the difference between a
+    straggling final reducer and an even fan-in."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    per = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
+    probe = per.agg(F.max("__n").alias("__mx"),
+                    F.sum("__n").alias("__tot")).first()
+    share = (probe["__mx"] / probe["__tot"]) if probe["__tot"] else 0.0
+
+    def partial_exprs():
+        out = []
+        for name, (kind, col) in aggs.items():
+            if kind == "count":
+                out.append(F.count(F.lit(1)).alias(f"__p_{name}"))
+            elif kind == "sum_decimal":
+                out.append(F.sum(F.col(col).cast("decimal(18,2)"))
+                           .alias(f"__p_{name}"))
+            else:
+                raise ValueError(f"unknown agg kind: {kind}")
+        return out
+
+    def final_exprs():
+        out = []
+        for name, (kind, _col) in aggs.items():
+            src = F.sum(F.col(f"__p_{name}"))
+            if kind == "count":
+                out.append(src.cast("bigint").alias(name))
+            else:
+                out.append(src.cast("double").alias(name))
+        return out
+
+    if share < skew_threshold:
+        plain = df.groupBy(*keys).agg(*partial_exprs())
+        return plain.groupBy(*keys).agg(*final_exprs())
+    salted = (df.withColumn("__salt",
+                            F.pmod(F.xxhash64(*[F.col(k) for k in keys],
+                                              F.monotonically_increasing_id()),
+                                   F.lit(salt)))
+              .groupBy(*keys, "__salt").agg(*partial_exprs()))
+    return salted.groupBy(*keys).agg(*final_exprs())

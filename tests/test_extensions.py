@@ -654,3 +654,24 @@ def test_cohort_ltv_accumulates_per_member(spark):
     assert got[(w1, 0)] == (2, 10.0, 5.0)
     assert got[(w1, 1)] == (2, 5.0, 7.5)       # cumulative 15 over 2 users
     assert got[(w2, 0)] == (1, 7.0, 7.0)
+
+
+def test_funnel_step_within_caps_each_gap(spark):
+    import datetime as dt
+
+    from tabsdata_spark import extensions
+
+    t = lambda h: dt.datetime(2024, 1, 1, h)
+    rows = [(1, t(0), "a"), (1, t(1), "b"), (1, t(2), "c"),   # all inside
+            (2, t(0), "a"), (2, t(1), "b"), (2, t(9), "c"),   # c too late
+            (3, t(0), "a"), (3, t(10), "b")]                   # b too late
+    df = spark.createDataFrame(rows, "u long, ts timestamp, et string")
+    got = {r.u: r.reached_steps for r in
+           extensions.funnel(df, "u", "ts", "et", ["a", "b", "c"],
+                             step_within="5 hours").collect()}
+    assert got == {1: 3, 2: 2, 3: 1}
+    # without the per-step cap all three convert as far as their events go
+    base = {r.u: r.reached_steps for r in
+            extensions.funnel(df, "u", "ts", "et",
+                              ["a", "b", "c"]).collect()}
+    assert base == {1: 3, 2: 3, 3: 2}

@@ -217,3 +217,20 @@ def test_record_linkage_thresholds_unrounded_score(spark):
     out2 = scale.record_linkage(a, b, "id", "idb", ["blk"], fields,
                                 threshold=2.9).collect()
     assert len(out2) == 1 and out2[0].score == 3.0   # display-only round
+
+
+def test_auto_salted_agg_paths_agree(spark):
+    from tabsdata_spark import scale
+
+    rows = [(("hot" if i % 10 else "cold"), float(i % 7)) for i in range(500)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    aggs = {"n": ("count", None), "total": ("sum_decimal", "v")}
+    # forced-salted (hot key ~90% share) and forced-plain must agree
+    salted = {r.k: (r.n, r.total) for r in
+              scale.auto_salted_agg(df, "k", aggs,
+                                    skew_threshold=0.0).collect()}
+    plain = {r.k: (r.n, r.total) for r in
+             scale.auto_salted_agg(df, "k", aggs,
+                                   skew_threshold=1.1).collect()}
+    assert salted == plain
+    assert salted["hot"][0] == 450 and salted["cold"][0] == 50
