@@ -1114,3 +1114,125 @@ def cohort_ltv(df: DataFrame, key_col: str, ts_col: str, value_col: str,
                     F.round(F.sum("__rev").over(w).cast("double")
                             / F.col("__n_users"), 6)
                     .alias("cum_ltv_per_user")))
+
+
+def linear_attribution(events: DataFrame, user_col: str, ts_col: str,
+                       type_col: str, value_col: str, conversion_type: str,
+                       touch_types: list[str],
+                       lookback: str = "7 days") -> DataFrame:
+    """Multi-touch linear attribution: each conversion's value splits
+    equally across every touch event (types in `touch_types`) by the same
+    user inside the lookback window before it; conversions with no touch
+    in window credit a synthetic 'direct' channel.  The marketing-mix
+    complement to last-touch attribution (attribution_events).
+
+    Exactness contract: the equal split runs in micros integers —
+    base = value_micros div n per touch, with the division remainder
+    assigned to the EARLIEST touch (ties broken by event id), so credits
+    sum to the conversion value exactly and every engine reproduces the
+    same integers.  'direct' revenue is total minus credited — also
+    exact.
+
+    Scale shape: one user-keyed range join (touch cardinality per user is
+    bounded by the lookback window), one window over per-conversion
+    partitions, one partial agg onto |touch_types| rows, and a 1-row
+    broadcast combine for the direct row.  No driver loop, no UDF."""
+    lb = _interval_micros(lookback)
+    u, ts = F.col(user_col), F.col(ts_col)
+    conv = (events.filter((F.col(type_col) == conversion_type)
+                          & F.col(value_col).isNotNull())
+            .select(u.alias("__u"), F.unix_micros(ts).alias("__pts"),
+                    F.col("event_id").alias("__pid"),
+                    F.floor(F.col(value_col) * 1e6 + F.lit(0.5))
+                    .cast("bigint").alias("__vm")))
+    touch = (events.filter(F.col(type_col).isin(touch_types))
+             .select(u.alias("__u"), F.unix_micros(ts).alias("__tts"),
+                     F.col("event_id").alias("__tid"),
+                     F.col(type_col).alias("touch_type")))
+    pairs = touch.join(
+        conv, (touch["__u"] == conv["__u"])
+        & (F.col("__tts") <= F.col("__pts"))
+        & (F.col("__tts") > F.col("__pts") - F.lit(lb))).drop(conv["__u"])
+    wp = Window.partitionBy("__pid")
+    wo = wp.orderBy("__tts", "__tid")
+    pairs = pairs.select(
+        "touch_type", "__vm",
+        F.count(F.lit(1)).over(wp).alias("__n"),
+        F.row_number().over(wo).alias("__rn"))
+    base = F.expr("__vm div __n")
+    credit = base + F.when(F.col("__rn") == 1,
+                           F.col("__vm") - base * F.col("__n")).otherwise(0)
+    per_type = pairs.groupBy("touch_type").agg(
+        F.count(F.lit(1)).alias("n_credits"),
+        F.sum(credit.cast("decimal(38,0)")).alias("__cm"),
+        F.sum(F.when(F.col("__rn") == 1, 1).otherwise(0)).alias("__nf"))
+    totals = conv.agg(
+        F.count(F.lit(1)).alias("__np"),
+        F.sum(F.col("__vm").cast("decimal(38,0)")).alias("__tm"))
+    credited = per_type.agg(
+        F.sum("__cm").alias("__csum"), F.sum("__nf").alias("__fsum"))
+    direct = (totals.crossJoin(F.broadcast(credited)).select(
+        F.lit("direct").alias("touch_type"),
+        (F.col("__np") - F.coalesce(F.col("__fsum"), F.lit(0)))
+        .cast("bigint").alias("n_credits"),
+        ((F.col("__tm") - F.coalesce(F.col("__csum"), F.lit(0)))
+         .cast("double") / 1e6).alias("revenue")))
+    out = per_type.select(
+        "touch_type", F.col("n_credits").cast("bigint").alias("n_credits"),
+        (F.col("__cm").cast("double") / 1e6).alias("revenue"))
+    return out.unionByName(direct)
+
+
+def holt_linear(df: DataFrame, key_cols: list[str] | str, order_col: str,
+                value_col: str) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing per series
+    (alpha = beta = 1/2): level l_t = (y_t + l_{t-1} + b_{t-1}) / 2,
+    trend b_t = ((l_t - l_{t-1}) + b_{t-1}) / 2, forecast l + b — the
+    classic short-horizon forecaster for capacity planning and load
+    prediction.
+
+    Exactness contract: state runs in micros INTEGERS with explicit
+    floor((..)/2.0) halving — every step is exact integer arithmetic
+    (the /2.0 is an IEEE-exact division for |state| < 2^53), so the
+    sequential recursion replays bit-identically in a SQL recursive CTE.
+    Smoothing is inherently sequential IN TIME; the Spark shape is
+    applyInPandas per series — series are the parallelism unit, and
+    state is O(1) per series regardless of length.
+
+    Input must be one row per (key, order) — pre-aggregate first."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    import pandas as pd
+
+    in_fields = df.select(*keys, order_col, value_col).schema
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in in_fields]
+        + ["level double", "trend double", "forecast_next double"])
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        pdf = pdf.sort_values(order_col).reset_index(drop=True)
+        levels, trends = [], []
+        l = b = 0
+        for i, y in enumerate(pdf[value_col]):
+            ym = int(y) * 1_000_000
+            if i == 0:
+                l, b = ym, 0
+            else:
+                # floor(x / 2.0) — NOT // — to mirror the oracle's
+                # FLOOR(x / 2.0): exact for |x| < 2^53 and floors
+                # negative trends identically in both engines
+                l_new = math.floor((ym + l + b) / 2.0)
+                b = math.floor(((l_new - l) + b) / 2.0)
+                l = l_new
+            levels.append(l)
+            trends.append(b)
+        pdf = pdf.copy()
+        pdf["level"] = [x / 1e6 for x in levels]
+        pdf["trend"] = [x / 1e6 for x in trends]
+        pdf["forecast_next"] = [(x + y) / 1e6
+                                for x, y in zip(levels, trends)]
+        return pdf
+
+    return (df.select(*keys, order_col, value_col)
+            .groupBy(*keys).applyInPandas(smooth, out_schema))

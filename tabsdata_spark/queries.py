@@ -1594,10 +1594,26 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # DuckDB twin of textual.portable_hash60: int(md5(s)[:15], 16)
-_HASH60_SQL = """list_reduce(
-      list_transform(regexp_extract_all(substr(md5({v}), 1, 15), '.'),
-                     c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT)),
-      (a, b) -> a * 16 + b)"""
+# Digit-by-digit positional parse: 15 substr/instr probes of the md5 hex.
+# 4x faster in DuckDB than the regexp_extract_all + list_reduce fold it
+# replaced (md5 of a SHORT string is cheap; the char-list machinery was
+# the bottleneck).  Only ever applied to short inputs — a long-text {v}
+# would pay 15 md5 evaluations and should stage the hex first.
+_HASH60_SQL = """((instr('0123456789abcdef', substr(md5({v}), 1, 1)) - 1) * 72057594037927936
+      + (instr('0123456789abcdef', substr(md5({v}), 2, 1)) - 1) * 4503599627370496
+      + (instr('0123456789abcdef', substr(md5({v}), 3, 1)) - 1) * 281474976710656
+      + (instr('0123456789abcdef', substr(md5({v}), 4, 1)) - 1) * 17592186044416
+      + (instr('0123456789abcdef', substr(md5({v}), 5, 1)) - 1) * 1099511627776
+      + (instr('0123456789abcdef', substr(md5({v}), 6, 1)) - 1) * 68719476736
+      + (instr('0123456789abcdef', substr(md5({v}), 7, 1)) - 1) * 4294967296
+      + (instr('0123456789abcdef', substr(md5({v}), 8, 1)) - 1) * 268435456
+      + (instr('0123456789abcdef', substr(md5({v}), 9, 1)) - 1) * 16777216
+      + (instr('0123456789abcdef', substr(md5({v}), 10, 1)) - 1) * 1048576
+      + (instr('0123456789abcdef', substr(md5({v}), 11, 1)) - 1) * 65536
+      + (instr('0123456789abcdef', substr(md5({v}), 12, 1)) - 1) * 4096
+      + (instr('0123456789abcdef', substr(md5({v}), 13, 1)) - 1) * 256
+      + (instr('0123456789abcdef', substr(md5({v}), 14, 1)) - 1) * 16
+      + (instr('0123456789abcdef', substr(md5({v}), 15, 1)) - 1) * 1)"""
 
 
 @q(
@@ -9742,3 +9758,329 @@ def auto_salted_revenue_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"n_events": ("count", None),
          "revenue": ("sum_decimal", "value")},
         skew_threshold=0.15)
+
+
+# ---------------------------------------------------------------------------
+# round-5 continuation: experimentation + sketch + forecasting operators
+# ---------------------------------------------------------------------------
+
+def _ladder_sql(u_expr: str, thresholds: list[int], values: list[int]) -> str:
+    """CASE-ladder SQL mirroring stats._ladder over the same literals."""
+    arms = " ".join(
+        f"WHEN {u_expr} < {t} THEN {v}"
+        for t, v in zip(thresholds, values[:-1]))
+    return f"CASE {arms} ELSE {values[-1]} END"
+
+
+from tabsdata_spark.stats import GEOM_HALF_T, POISSON1_T  # noqa: E402
+
+
+@q(
+    "cuped_adjusted_events",
+    """
+    WITH b AS (
+      SELECT user_id, user_id % 2 = 0 AS variant,
+             CAST(ts AS TIMESTAMP) AS mts,
+             CAST(value AS DECIMAL(18,2)) AS v
+      FROM events WHERE value IS NOT NULL),
+    u AS (
+      SELECT user_id, variant,
+             COALESCE(SUM(CASE WHEN mts < TIMESTAMP '2024-01-16'
+                               THEN v END), 0) AS x,
+             COALESCE(SUM(CASE WHEN mts >= TIMESTAMP '2024-01-16'
+                               THEN v END), 0) AS y
+      FROM b GROUP BY 1, 2),
+    m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(CAST(x AS DECIMAL(28,6)) * CAST(x AS DECIMAL(28,6))
+                      AS DECIMAL(38,12))) AS DOUBLE) AS sx2,
+             CAST(SUM(CAST(CAST(x AS DECIMAL(28,6)) * CAST(y AS DECIMAL(28,6))
+                      AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+      FROM u),
+    g AS (SELECT (n * sxy - sx * sy) / (n * sx2 - sx * sx) AS theta,
+                 sx / n AS xbar FROM m),
+    pv AS (
+      SELECT variant, COUNT(*) AS n_units,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(CAST(x AS DECIMAL(28,6)) * CAST(x AS DECIMAL(28,6))
+                      AS DECIMAL(38,12))) AS DOUBLE) AS sx2,
+             CAST(SUM(CAST(CAST(y AS DECIMAL(28,6)) * CAST(y AS DECIMAL(28,6))
+                      AS DECIMAL(38,12))) AS DOUBLE) AS sy2,
+             CAST(SUM(CAST(CAST(x AS DECIMAL(28,6)) * CAST(y AS DECIMAL(28,6))
+                      AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+      FROM u GROUP BY variant),
+    d AS (
+      SELECT variant, n_units, n, sx, sy, theta, xbar,
+             (sy2 - sy * sy / n) / (n - 1) AS var_y,
+             (sx2 - sx * sx / n) / (n - 1) AS var_x,
+             (sxy - sx * sy / n) / (n - 1) AS cov
+      FROM pv, g)
+    SELECT variant, CAST(n_units AS BIGINT) AS n_units,
+           ROUND(sy / n, 6) AS mean_y,
+           ROUND(sy / n - theta * (sx / n - xbar), 6) AS mean_y_adj,
+           ROUND(var_y, 6) AS var_y,
+           ROUND(var_y - 2 * theta * cov + theta * theta * var_x, 6)
+             AS var_y_adj,
+           ROUND((var_y - (var_y - 2 * theta * cov + theta * theta * var_x))
+                 / var_y * 100, 6) AS var_reduction_pct,
+           ROUND(theta, 6) AS theta
+    FROM d
+    """,
+)
+def cuped_adjusted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (stats.cuped): per-user
+    pre-period (Jan 1-15) value sum as covariate, post-period sum as
+    metric, even/odd user-id variants; pooled theta, adjusted means, and
+    the realized variance reduction.  Exact decimal cross-moments ->
+    fixed IEEE closed forms on both engines."""
+    from tabsdata_spark import stats
+
+    ev = load_events(spark, sf_dir).df.filter(F.col("value").isNotNull())
+    split = F.lit("2024-01-16").cast("timestamp")
+    v = F.col("value").cast("decimal(18,2)")
+    zero = F.lit(0).cast("decimal(18,2)")
+    units = ev.groupBy("user_id").agg(
+        F.coalesce(F.sum(F.when(F.col("ts") < split, v)), zero).alias("x"),
+        F.coalesce(F.sum(F.when(F.col("ts") >= split, v)), zero).alias("y"),
+    ).withColumn("variant", F.col("user_id") % 2 == 0)
+    return stats.cuped(units, "x", "y", "variant")
+
+
+@q(
+    "linear_attribution_events",
+    """
+    WITH conv AS (
+      SELECT user_id AS u, epoch_us(CAST(ts AS TIMESTAMP)) AS pts,
+             event_id AS pid,
+             CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) AS vm
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+    tch AS (
+      SELECT user_id AS u, epoch_us(CAST(ts AS TIMESTAMP)) AS tts,
+             event_id AS tid, event_type AS touch_type
+      FROM events WHERE event_type IN ('click', 'view')),
+    pairs AS (
+      SELECT touch_type, vm, pid, tts, tid
+      FROM tch JOIN conv ON tch.u = conv.u
+       AND tts <= pts AND tts > pts - 604800000000),
+    wp AS (
+      SELECT touch_type, vm,
+             COUNT(*) OVER (PARTITION BY pid) AS n,
+             ROW_NUMBER() OVER (PARTITION BY pid ORDER BY tts, tid) AS rn
+      FROM pairs),
+    cr AS (
+      SELECT touch_type, rn,
+             vm // n + CASE WHEN rn = 1 THEN vm - (vm // n) * n
+                            ELSE 0 END AS credit
+      FROM wp),
+    pt AS (
+      SELECT touch_type, COUNT(*) AS n_credits,
+             SUM(CAST(credit AS DECIMAL(38,0))) AS cm,
+             SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS nf
+      FROM cr GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS np,
+                   SUM(CAST(vm AS DECIMAL(38,0))) AS tm FROM conv),
+    cs AS (SELECT SUM(cm) AS csum, SUM(nf) AS fsum FROM pt)
+    SELECT touch_type, CAST(n_credits AS BIGINT) AS n_credits,
+           CAST(cm AS DOUBLE) / 1e6 AS revenue
+    FROM pt
+    UNION ALL
+    SELECT 'direct' AS touch_type,
+           CAST(np - COALESCE(fsum, 0) AS BIGINT) AS n_credits,
+           CAST(tm - COALESCE(csum, 0) AS DOUBLE) / 1e6 AS revenue
+    FROM tot, cs
+    """,
+)
+def linear_attribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch linear attribution (extensions.linear_attribution):
+    each purchase splits its value equally across the user's click/view
+    touches in the prior 7 days — micros-integer division with the
+    remainder pinned to the earliest touch, so credits sum exactly and
+    the 'direct' residual row balances to the total."""
+    from tabsdata_spark import extensions
+
+    ev = load_events(spark, sf_dir).df
+    return extensions.linear_attribution(
+        ev, "user_id", "ts", "event_type", "value",
+        conversion_type="purchase", touch_types=["click", "view"],
+        lookback="7 days")
+
+
+_BOOT_HASH = _HASH60_SQL.format(
+    v="CAST(event_id AS VARCHAR) || ':' || CAST(rep AS VARCHAR)")
+
+
+@q(
+    "poisson_bootstrap_events",
+    f"""
+    WITH b AS (
+      SELECT event_type, event_id,
+             CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) AS vm
+      FROM events WHERE value IS NOT NULL),
+    hv AS (
+      SELECT event_type, rep, vm, {_BOOT_HASH} AS u
+      FROM b CROSS JOIN range(32) t(rep)),
+    h AS (
+      SELECT event_type, rep, vm,
+             {_ladder_sql("u", POISSON1_T, list(range(8)))} AS w
+      FROM hv),
+    ra AS (
+      SELECT event_type, rep, SUM(w) AS sw,
+             SUM(CAST(w AS DECIMAL(38,0)) * vm) AS swv
+      FROM h GROUP BY 1, 2),
+    mq AS (
+      SELECT event_type,
+             CASE WHEN sw > 0
+                  THEN CAST(FLOOR(CAST(swv AS DOUBLE) / sw + 0.5) AS BIGINT)
+             END AS mq
+      FROM ra),
+    o AS (
+      SELECT event_type, COUNT(mq) AS n_reps,
+             SUM(CAST(mq AS DECIMAL(18,0))) AS s1,
+             SUM(CAST(CAST(mq AS DECIMAL(18,0)) * CAST(mq AS DECIMAL(18,0))
+                  AS DECIMAL(38,0))) AS s2
+      FROM mq GROUP BY 1)
+    SELECT event_type, CAST(n_reps AS BIGINT) AS n_reps,
+           ROUND(CAST(s1 AS DOUBLE) / n_reps / 1e6, 6) AS boot_mean,
+           ROUND(SQRT((CAST(s2 AS DOUBLE)
+                       - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_reps)
+                      / (n_reps - 1)) / 1e6, 6) AS boot_se
+    FROM o
+    """,
+)
+def poisson_bootstrap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap standard error of mean event value per type
+    (stats.poisson_bootstrap_mean): 32 one-pass resamples whose Poisson(1)
+    weights replay from md5-keyed uniforms through the exact POISSON1_T
+    inverse-CDF ladder — the cluster-scale bootstrap (no global n, no
+    per-replicate passes), bit-identical in the SQL oracle."""
+    from tabsdata_spark import stats
+
+    ev = load_events(spark, sf_dir).df
+    return stats.poisson_bootstrap_mean(
+        ev, "event_id", "value", ["event_type"], b=32)
+
+
+_DP_HASH = _HASH60_SQL.format(
+    v="event_type || '|' || CAST(day AS VARCHAR)")
+
+
+@q(
+    "dp_noisy_counts_events",
+    f"""
+    WITH c AS (
+      SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    h AS (
+      SELECT event_type, day, n,
+             {_ladder_sql(_DP_HASH, GEOM_HALF_T, list(range(-4, 5)))} AS noise
+      FROM c WHERE n >= 10)
+    SELECT event_type, day, CAST(n AS BIGINT) AS n,
+           CAST(GREATEST(n + noise, 0) AS BIGINT) AS noisy_n
+    FROM h
+    """,
+)
+def dp_noisy_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private daily event counts
+    (stats.dp_noisy_counts): two-sided-geometric integer noise
+    (epsilon = ln 2) via the exact GEOM_HALF_T ladder over a keyed
+    60-bit uniform, plus k>=10 small-cohort suppression — deterministic
+    replay, so the oracle rebuilds the identical release."""
+    from tabsdata_spark import stats
+
+    ev = load_events(spark, sf_dir).df
+    d = ev.select("event_type", F.to_date("ts").alias("day"))
+    return stats.dp_noisy_counts(d, ["event_type", "day"], k_min=10)
+
+
+_CMS_HASH = _HASH60_SQL.format(v="term")
+
+
+@q(
+    "cms_tokens_docs",
+    f"""
+    WITH {_TOKS_CTE},
+    c AS (SELECT term, COUNT(*) AS n FROM toks GROUP BY term),
+    top AS (SELECT term, n FROM c ORDER BY n DESC, term LIMIT 30),
+    th AS (SELECT term, {_CMS_HASH} AS h FROM (SELECT DISTINCT term FROM toks)),
+    tb AS (
+      SELECT term, d,
+             (h % 1073741824 + d * ((h >> 30) * 2 + 1)) % 1024 AS bucket
+      FROM th CROSS JOIN range(4) t(d)),
+    cells AS (
+      SELECT d, bucket, SUM(n) AS cnt
+      FROM c JOIN tb USING (term) GROUP BY 1, 2),
+    pr AS (
+      SELECT top.term, top.n, tb.d, tb.bucket
+      FROM top JOIN tb ON top.term = tb.term)
+    SELECT term, CAST(n AS BIGINT) AS exact_n,
+           CAST(MIN(COALESCE(cnt, 0)) AS BIGINT) AS cms_n,
+           CAST(MIN(COALESCE(cnt, 0)) - n AS BIGINT) AS overcount
+    FROM pr LEFT JOIN cells USING (d, bucket)
+    GROUP BY term, n
+    """,
+)
+def cms_tokens_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over document tokens (stats.count_min_sketch,
+    depth 4 x width 1024, Kirsch-Mitzenmacher double hashing): build the
+    counter grid in one explode+agg pass, probe it with the exact top-30
+    tokens, and surface estimate vs truth — overcount >= 0 always, by
+    construction.  The oracle rebuilds the identical grid in SQL."""
+    from tabsdata_spark import stats
+    from tabsdata_spark.llm.corpus import clean_tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(F.explode(clean_tokens(F.col("text"))).alias("term"))
+    exact = (toks.groupBy("term").agg(F.count(F.lit(1)).alias("exact_n"))
+             .orderBy(F.col("exact_n").desc(), "term").limit(30))
+    est = stats.count_min_sketch(toks, "term", probe=exact,
+                                 depth=4, width=1024)
+    return (exact.join(est, "term")
+            .select("term", "exact_n", "cms_n",
+                    (F.col("cms_n") - F.col("exact_n")).alias("overcount")))
+
+
+@q(
+    "holt_linear_events",
+    """
+    WITH RECURSIVE base AS (
+      SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             COUNT(*) AS y,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY CAST(CAST(ts AS TIMESTAMP) AS DATE))
+               AS rn
+      FROM events GROUP BY 1, 2),
+    s AS (
+      SELECT event_type, rn, day, y,
+             y * 1000000 AS l, CAST(0 AS BIGINT) AS b
+      FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b2.event_type, b2.rn, b2.day, b2.y,
+             CAST(FLOOR((b2.y * 1000000 + s.l + s.b) / 2.0) AS BIGINT),
+             CAST(FLOOR((CAST(FLOOR((b2.y * 1000000 + s.l + s.b) / 2.0)
+                              AS BIGINT) - s.l + s.b) / 2.0) AS BIGINT)
+      FROM base b2 JOIN s ON b2.event_type = s.event_type
+                         AND b2.rn = s.rn + 1)
+    SELECT event_type, day, CAST(y AS BIGINT) AS n,
+           CAST(l AS DOUBLE) / 1e6 AS level,
+           CAST(b AS DOUBLE) / 1e6 AS trend,
+           CAST(l + b AS DOUBLE) / 1e6 AS forecast_next
+    FROM s
+    """,
+)
+def holt_linear_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing of daily event counts per type
+    (extensions.holt_linear, alpha = beta = 1/2): micros-integer state
+    with explicit floor-halving makes the sequential recursion replay
+    bit-identically in the oracle's RECURSIVE CTE.  Series are the
+    parallelism unit (applyInPandas per event_type); state is O(1)."""
+    from tabsdata_spark import extensions
+
+    ev = load_events(spark, sf_dir).df
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    return extensions.holt_linear(daily, "event_type", "day", "n")

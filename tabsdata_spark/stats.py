@@ -780,6 +780,229 @@ def kaplan_meier(df: DataFrame, group_cols: list[str], duration_col: str,
     return out.filter(F.col("n_events") > 0)
 
 
+#: Poisson(1) CDF thresholds at k = 0..6, scaled to 2^60 and floored —
+#: derived from the exact rational series for e^-1 (60 alternating terms,
+#: error < 1/60! << 2^-60, so every floor is the true one).  A 60-bit
+#: uniform u maps to weight w = min k with u < T[k], else 7.  Shared
+#: verbatim by the Spark expression and the DuckDB oracle, so bootstrap
+#: weights are engine-identical by construction.
+POISSON1_T = [424136118829305329, 848272237658610659, 1060340297073263324,
+              1131029650211480879, 1148701988496035267, 1152236456152946145,
+              1152825534095764625]
+
+#: Two-sided geometric (alpha = 1/2) CDF thresholds at noise = -4..3,
+#: tails collapsed into the +-4 extremes: exact fractions n/24 for
+#: n in [1,2,4,8,16,20,22,23], scaled to 2^60 and floored.  This is the
+#: discrete (geometric) DP mechanism of Ghosh-Roughgarden-Sundararajan
+#: (epsilon = ln 2) — integer noise, no floating-point sampling, and a
+#: deterministic replay from a keyed hash so two engines agree bit-for-bit.
+GEOM_HALF_T = [48038396025285290, 96076792050570581, 192153584101141162,
+               384307168202282325, 768614336404564650, 960767920505705813,
+               1056844712556276394, 1104883108581561685]
+
+
+def _ladder(u: Column, thresholds: list[int], values: list[int]) -> Column:
+    """values[i] where u < thresholds[i], else values[-1] (one extra
+    value).  Built as a single CASE chain — stays in codegen."""
+    expr = F.lit(values[-1])
+    for t, v in zip(reversed(thresholds), reversed(values[:-1])):
+        expr = F.when(u < F.lit(t), F.lit(v)).otherwise(expr)
+    return expr
+
+
+def cuped(units: DataFrame, x_col: str, y_col: str,
+          variant_col: str) -> DataFrame:
+    """CUPED variance reduction (Deng, Xu, Kohavi, Walker, WSDM'13): given
+    one row per experiment unit with a pre-period covariate x, a
+    post-period metric y, and a variant assignment, compute
+    theta = cov(x, y) / var(x) POOLED across variants, then report each
+    variant's raw and covariate-adjusted metric mean and variance —
+    y_adj = y - theta * (x - mean(x)) — plus the realized variance
+    reduction.  The workhorse of large-scale A/B analysis: weeks less
+    exposure time for the same power.
+
+    Exactness contract: all first/second cross-moments accumulate as
+    exact decimals (order/partitioning-free); theta, means, and the
+    closed-form var(y_adj) = var_y - 2*theta*cov + theta^2*var_x are then
+    fixed IEEE expressions over those sums, identical in any engine.
+
+    Scale shape: two partial-agg shuffles over the unit frame (one global
+    1-row moment pass for theta/xbar, one per-variant pass) joined by a
+    1-row broadcast combine — no per-unit window, no driver collect."""
+    x, y = F.col(x_col), F.col(y_col)
+    moments = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_d(x)).alias("_sx"),
+        F.sum(_d(y)).alias("_sy"),
+        F.sum((_d(x) * _d(x)).cast(_DEC_SQ)).alias("_sx2"),
+        F.sum((_d(y) * _d(y)).cast(_DEC_SQ)).alias("_sy2"),
+        F.sum((_d(x) * _d(y)).cast(_DEC_SQ)).alias("_sxy"),
+    ]
+    g = units.agg(*moments)
+    ng = F.col("n").cast("double")
+    sxg, syg = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sx2g, sxyg = F.col("_sx2").cast("double"), F.col("_sxy").cast("double")
+    glob = g.select(
+        ((ng * sxyg - sxg * syg) / (ng * sx2g - sxg * sxg)).alias("_theta"),
+        (sxg / ng).alias("_xbar"))
+    v = units.groupBy(variant_col).agg(*moments)
+    n = F.col("n").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sx2 = F.col("_sx2").cast("double")
+    sy2, sxy = F.col("_sy2").cast("double"), F.col("_sxy").cast("double")
+    th, xb = F.col("_theta"), F.col("_xbar")
+    var_y = (sy2 - sy * sy / n) / (n - 1)
+    var_x = (sx2 - sx * sx / n) / (n - 1)
+    cov = (sxy - sx * sy / n) / (n - 1)
+    var_adj = var_y - 2 * th * cov + th * th * var_x
+    return (v.crossJoin(F.broadcast(glob)).select(
+        variant_col,
+        F.col("n").alias("n_units"),
+        F.round(sy / n, 6).alias("mean_y"),
+        F.round(sy / n - th * (sx / n - xb), 6).alias("mean_y_adj"),
+        F.round(var_y, 6).alias("var_y"),
+        F.round(var_adj, 6).alias("var_y_adj"),
+        F.round((var_y - var_adj) / var_y * 100, 6)
+        .alias("var_reduction_pct"),
+        F.round(th, 6).alias("theta")))
+
+
+def poisson_bootstrap_mean(df: DataFrame, id_col: str, value_col: str,
+                           group_cols: list[str], b: int = 32) -> DataFrame:
+    """Per-group bootstrap standard error of the mean via the Poisson
+    bootstrap (the only bootstrap that works on a cluster: classical
+    resampling needs global n and per-replicate sampling passes; Poisson
+    gives each row an independent Poisson(1) multiplicity per replicate,
+    so all B resamples stream in ONE pass with map-side partial aggs).
+
+    Determinism contract: the replicate weight is the Poisson(1) inverse
+    CDF applied to a 60-bit md5-derived uniform keyed on (row id,
+    replicate) — POISSON1_T thresholds, identical literals in the DuckDB
+    oracle.  Replicate means are micros-quantized and their spread is an
+    exact-decimal moment sum, so the SE is bit-stable under any
+    partitioning.
+
+    Scale shape: one projection exploding B (replicate, weight) pairs per
+    row — partial aggregation collapses them map-side, so the shuffle
+    carries |groups| * B rows, never |rows| * B."""
+    from tabsdata_spark.llm.textual import portable_hash60
+
+    vm = F.floor(F.col(value_col) * 1e6 + F.lit(0.5)).cast("bigint")
+    # stage the hash as a REAL column before the ladder: the CASE chain
+    # references its scrutinee once per arm, so an inlined md5 would be
+    # evaluated 8x per pair (and interpreted, if built inside a
+    # higher-order lambda) — the PQ/word_ngrams bind-once lesson
+    pairs = (df.filter(F.col(value_col).isNotNull())
+             .select(*group_cols, vm.alias("_vm"),
+                     F.col(id_col).cast("string").alias("_id"),
+                     F.explode(F.sequence(F.lit(0), F.lit(b - 1)))
+                     .alias("rep"))
+             .select(*group_cols, "_vm", "rep",
+                     portable_hash60(
+                         F.concat(F.col("_id"), F.lit(":"),
+                                  F.col("rep").cast("string")))
+                     .alias("_h"))
+             .select(*group_cols, "_vm", "rep",
+                     _ladder(F.col("_h"), POISSON1_T,
+                             list(range(8))).alias("w")))
+    rep_agg = pairs.groupBy(*group_cols, "rep").agg(
+        F.sum("w").alias("_sw"),
+        F.sum((F.col("w") * F.col("_vm")).cast("decimal(38,0)"))
+        .alias("_swv"))
+    rep_mean_q = F.when(
+        F.col("_sw") > 0,
+        F.floor(F.col("_swv").cast("double") / F.col("_sw") + F.lit(0.5))
+        .cast("bigint"))
+    reps_q = rep_agg.select(*group_cols, rep_mean_q.alias("_mq"))
+    out = reps_q.groupBy(*group_cols).agg(
+        F.count("_mq").alias("n_reps"),
+        F.sum(F.col("_mq").cast("decimal(18,0)")).alias("_s1"),
+        F.sum((F.col("_mq").cast("decimal(18,0)")
+               * F.col("_mq").cast("decimal(18,0)")).cast("decimal(38,0)"))
+        .alias("_s2"))
+    nr = F.col("n_reps").cast("double")
+    s1, s2 = F.col("_s1").cast("double"), F.col("_s2").cast("double")
+    return out.select(
+        *group_cols, "n_reps",
+        F.round(s1 / nr / 1e6, 6).alias("boot_mean"),
+        F.round(F.sqrt((s2 - s1 * s1 / nr) / (nr - 1)) / 1e6, 6)
+        .alias("boot_se"))
+
+
+def dp_noisy_counts(df: DataFrame, group_cols: list[str],
+                    k_min: int = 10) -> DataFrame:
+    """Differentially-private release of group counts: the two-sided
+    geometric mechanism (integer Laplace, epsilon = ln 2) plus a k-min
+    suppression gate — the standard pattern for publishing usage
+    aggregates without exposing small cohorts.
+
+    The noise draw is a deterministic replay: a 60-bit uniform keyed on
+    the group values runs through the exact GEOM_HALF_T inverse-CDF
+    ladder (noise in [-4, 4], tail mass collapsed into the extremes).
+    Deterministic noise keeps the release idempotent across reruns and
+    lets a SQL oracle reproduce it bit-for-bit; a production deployment
+    would key the hash with a private per-release salt instead of the
+    public group key.
+
+    Scale shape: one partial-agg count shuffle; noise and suppression are
+    per-group projections."""
+    from tabsdata_spark.llm.textual import portable_hash60
+
+    counts = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n"))
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in group_cols])
+    noise = _ladder(portable_hash60(key), GEOM_HALF_T,
+                    list(range(-4, 5)))
+    return (counts.filter(F.col("n") >= k_min)
+            .select(*group_cols, "n",
+                    F.greatest(F.col("n") + noise, F.lit(0).cast("bigint"))
+                    .alias("noisy_n")))
+
+
+def count_min_sketch(items: DataFrame, item_col: str, probe: DataFrame,
+                     depth: int = 4, width: int = 1024) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan '05): a depth x width
+    counter grid where every item increments one counter per depth row
+    (bucket = hash_d(item) mod width); a point estimate is the MIN over
+    the depth counters — never an underestimate, over by at most
+    eps * N with probability 1 - delta (eps = e/width, delta = e^-depth).
+    The mergeable sketch behind count monitoring where the exact
+    vocabulary is too large to keep.
+
+    `probe` is a frame with `item_col` naming the items to estimate;
+    returns (item, cms_n).  Deterministic by construction: ONE md5-derived
+    60-bit hash per occurrence splits into (h1, h2) and the depth buckets
+    are (h1 + d * h2) mod width — Kirsch-Mitzenmacher double hashing,
+    which preserves the CMS guarantee while paying a single hash per
+    item.  A SQL oracle rebuilds the identical grid.
+
+    Scale shape: one explode(depth) + partial-agg shuffle onto at most
+    depth * width counter cells (map-side combine collapses the stream);
+    estimates are a broadcast-sized join of probes against the tiny
+    grid."""
+    from tabsdata_spark.llm.textual import portable_hash60
+
+    def buckets(term: Column) -> Column:
+        h = portable_hash60(term)
+        h1 = F.pmod(h, F.lit(1 << 30))
+        # integer shift, NOT h / 2^30: the double quotient of a 60-bit
+        # hash is not exactly representable and would round the bucket
+        h2 = F.shiftright(h, 30) * 2 + 1
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(depth - 1)),
+            lambda d: F.pmod(h1 + d.cast("bigint") * h2, F.lit(width)))
+
+    cells = (items.select(
+        F.posexplode(buckets(F.col(item_col))).alias("d", "bucket"))
+        .groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("c")))
+    probes = probe.select(
+        F.col(item_col).alias("_p"),
+        F.posexplode(buckets(F.col(item_col))).alias("d", "bucket"))
+    est = (probes.join(F.broadcast(cells), ["d", "bucket"], "left")
+           .groupBy("_p")
+           .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_n")))
+    return est.select(F.col("_p").alias(item_col), "cms_n")
+
+
 def calibration_bins(df: DataFrame, score_col: str, label_col: str,
                      bins: int = 10) -> DataFrame:
     """Reliability diagram for a probabilistic classifier: bucket rows by
