@@ -675,3 +675,68 @@ def test_funnel_step_within_caps_each_gap(spark):
             extensions.funnel(df, "u", "ts", "et",
                               ["a", "b", "c"]).collect()}
     assert base == {1: 3, 2: 3, 3: 2}
+
+
+def test_linear_attribution_exact_split_and_remainder(spark):
+    from tabsdata_spark import extensions
+
+    # one purchase of 10.00 with 3 touches: 3.333334 to the earliest
+    # (remainder), 3.333333 to the others; credits sum exactly
+    rows = [
+        (1, "2024-01-10 00:00:00", 7, "click", None),
+        (2, "2024-01-10 01:00:00", 7, "view", None),
+        (3, "2024-01-10 02:00:00", 7, "click", None),
+        (4, "2024-01-10 03:00:00", 7, "purchase", 10.0),
+        (5, "2024-01-01 00:00:00", 9, "purchase", 4.0),  # no touches
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string,"
+              " value double").withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r.touch_type: r for r in extensions.linear_attribution(
+        df, "user_id", "ts", "event_type", "value",
+        "purchase", ["click", "view"], "7 days").collect()}
+    assert out["click"].n_credits == 2
+    assert out["view"].n_credits == 1
+    total_credited = out["click"].revenue + out["view"].revenue
+    assert abs(total_credited - 10.0) < 1e-9
+    # earliest touch (event 1, a click) carries the remainder micro
+    assert out["click"].revenue > out["view"].revenue * 2
+    assert out["direct"].n_credits == 1
+    assert abs(out["direct"].revenue - 4.0) < 1e-9
+
+
+def test_holt_linear_constant_and_trend_series(spark):
+    from tabsdata_spark import extensions
+
+    const = spark.createDataFrame(
+        [("a", i, 10) for i in range(6)], "k string, t int, y long")
+    out = extensions.holt_linear(const, "k", "t", "y").orderBy("t").collect()
+    assert all(r.level == 10.0 and r.trend == 0.0 for r in out)
+
+    # exact linear ramp y = 5 + 3t converges toward trend 3
+    ramp = spark.createDataFrame(
+        [("a", i, 5 + 3 * i) for i in range(30)], "k string, t int, y long")
+    last = extensions.holt_linear(ramp, "k", "t", "y").orderBy("t").collect()[-1]
+    assert abs(last.trend - 3.0) < 0.1
+    assert abs(last.forecast_next - (5 + 3 * 30)) < 0.5
+
+
+def test_holt_linear_matches_python_reference(spark):
+    import math
+
+    from tabsdata_spark import extensions
+
+    ys = [4, 9, 2, 15, 7, 7, 11, 0, 3, 20]
+    df = spark.createDataFrame(
+        [("s", i, y) for i, y in enumerate(ys)], "k string, t int, y long")
+    got = [(r.level, r.trend) for r in
+           extensions.holt_linear(df, "k", "t", "y").orderBy("t").collect()]
+    l = ys[0] * 1_000_000
+    b = 0
+    want = [(l / 1e6, 0.0)]
+    for y in ys[1:]:
+        ln = math.floor((y * 1_000_000 + l + b) / 2.0)
+        b = math.floor(((ln - l) + b) / 2.0)
+        l = ln
+        want.append((l / 1e6, b / 1e6))
+    assert got == want

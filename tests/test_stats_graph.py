@@ -507,3 +507,80 @@ def test_calibration_bins_exact_cells(spark):
     assert got[0].n == 3 and got[0].frac_pos == round(1 / 3, 6)
     assert got[0].mean_score == 0.05
     assert got[9].n == 3 and got[9].frac_pos == 1.0
+
+
+def test_cuped_linear_covariate_kills_variance(spark):
+    from tabsdata_spark import stats
+
+    # y = 2x exactly: after adjustment var_y_adj ~ 0, theta ~ 2
+    rows = [(i, float(i % 50), 2.0 * (i % 50), i % 2 == 0)
+            for i in range(400)]
+    df = spark.createDataFrame(
+        rows, "uid long, x double, y double, variant boolean")
+    out = {r.variant: r for r in stats.cuped(df, "x", "y", "variant").collect()}
+    assert abs(out[True].theta - 2.0) < 1e-6
+    assert out[True].var_y_adj < 1e-6
+    assert out[True].var_reduction_pct > 99.9
+
+
+def test_cuped_stable_under_repartition(spark):
+    from tabsdata_spark import stats
+
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("uid"),
+        (F.col("id") % 97).cast("double").alias("x"),
+        ((F.col("id") % 97) * 1.5 + (F.col("id") % 13)).cast("double")
+        .alias("y"),
+        (F.col("id") % 2 == 0).alias("variant"))
+    a = sorted(tuple(r) for r in stats.cuped(df, "x", "y", "variant").collect())
+    b = sorted(tuple(r) for r in
+               stats.cuped(df.repartition(23), "x", "y", "variant").collect())
+    assert a == b
+
+
+def test_poisson_bootstrap_mean_recovers_mean_and_is_stable(spark):
+    from tabsdata_spark import stats
+
+    df = spark.range(0, 2000).select(
+        F.col("id"), F.lit("g").alias("g"),
+        (F.col("id") % 100).cast("double").alias("v"))
+    out = stats.poisson_bootstrap_mean(df, "id", "v", ["g"], b=32).collect()
+    assert len(out) == 1
+    r = out[0]
+    true_mean = sum(i % 100 for i in range(2000)) / 2000
+    # bootstrap mean should sit within a few SE of the truth
+    assert abs(r.boot_mean - true_mean) < 5 * max(r.boot_se, 0.1)
+    assert r.boot_se > 0
+    again = stats.poisson_bootstrap_mean(
+        df.repartition(17), "id", "v", ["g"], b=32).collect()[0]
+    assert (r.boot_mean, r.boot_se) == (again.boot_mean, again.boot_se)
+
+
+def test_dp_noisy_counts_bounded_noise_and_suppression(spark):
+    from tabsdata_spark import stats
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 3).cast("string").alias("g"))
+    small = spark.range(0, 5).select(F.lit("rare").alias("g"))
+    out = stats.dp_noisy_counts(df.union(small), ["g"], k_min=10).collect()
+    gs = {r.g for r in out}
+    assert "rare" not in gs                      # suppressed below k_min
+    for r in out:
+        assert abs(r.noisy_n - r.n) <= 4         # geometric noise is capped
+    again = stats.dp_noisy_counts(df.union(small), ["g"], k_min=10).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))  # replayable
+
+
+def test_count_min_sketch_never_underestimates(spark):
+    from tabsdata_spark import stats
+
+    items = spark.range(0, 5000).select(
+        F.concat(F.lit("t"), (F.col("id") % 200).cast("string"))
+        .alias("term"))
+    exact = items.groupBy("term").count()
+    est = stats.count_min_sketch(items, "term", probe=exact.select("term"),
+                                 depth=4, width=256)
+    joined = exact.join(est, "term").collect()
+    assert len(joined) == 200
+    for r in joined:
+        assert r.cms_n >= r["count"]             # CMS one-sided guarantee
