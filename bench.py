@@ -230,6 +230,20 @@ ROUND5 = [
     "cohort_ltv_events",
     "funnel_stepwise_events",
     "auto_salted_revenue_events",
+    "cuped_adjusted_events",
+    "linear_attribution_events",
+    "poisson_bootstrap_events",
+    "dp_noisy_counts_events",
+    "cms_tokens_docs",
+    "holt_linear_events",
+    "nelson_aalen_orders",
+    "theil_sen_events",
+    "skew_kurtosis_events",
+    "did_revenue_events",
+    "ipw_value_events",
+    "position_attribution_events",
+    "hits_customer_supplier",
+    "random_projection_emb",
 ]
 
 

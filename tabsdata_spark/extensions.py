@@ -1236,3 +1236,85 @@ def holt_linear(df: DataFrame, key_cols: list[str] | str, order_col: str,
 
     return (df.select(*keys, order_col, value_col)
             .groupBy(*keys).applyInPandas(smooth, out_schema))
+
+
+def position_attribution(events: DataFrame, user_col: str, ts_col: str,
+                         type_col: str, value_col: str,
+                         conversion_type: str, touch_types: list[str],
+                         lookback: str = "7 days") -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution: 40% of each
+    conversion's value to the FIRST touch in the lookback window, 40%
+    to the LAST, and the remaining 20% split equally across the middle
+    touches — the standard position-based model between linear_
+    attribution (equal split) and attribution_events (last touch).
+
+    Exactness contract (all integer micros; credits sum to the
+    conversion value EXACTLY):
+      n = 1: the single touch takes everything;
+      n = 2: each endpoint takes vm div 2, remainder to the first;
+      n >= 3: endpoints take end = (vm*2) div 5 each; the middle pool
+              vm - 2*end splits as pool div (n-2) per middle touch with
+              the division remainder assigned to the EARLIEST middle
+              touch (position 2).  Ties in touch order break by event
+              id.  'direct' (no touch in window) = total minus credited.
+
+    Scale shape: identical to linear_attribution — one user-keyed range
+    join bounded by the lookback window, two windows over
+    per-conversion partitions, one partial agg onto |touch_types| rows,
+    one 1-row broadcast combine."""
+    lb = _interval_micros(lookback)
+    u, ts = F.col(user_col), F.col(ts_col)
+    conv = (events.filter((F.col(type_col) == conversion_type)
+                          & F.col(value_col).isNotNull())
+            .select(u.alias("__u"), F.unix_micros(ts).alias("__pts"),
+                    F.col("event_id").alias("__pid"),
+                    F.floor(F.col(value_col) * 1e6 + F.lit(0.5))
+                    .cast("bigint").alias("__vm")))
+    touch = (events.filter(F.col(type_col).isin(touch_types))
+             .select(u.alias("__u"), F.unix_micros(ts).alias("__tts"),
+                     F.col("event_id").alias("__tid"),
+                     F.col(type_col).alias("touch_type")))
+    pairs = touch.join(
+        conv, (touch["__u"] == conv["__u"])
+        & (F.col("__tts") <= F.col("__pts"))
+        & (F.col("__tts") > F.col("__pts") - F.lit(lb))).drop(conv["__u"])
+    wp = Window.partitionBy("__pid")
+    wo = wp.orderBy("__tts", "__tid")
+    pairs = pairs.select(
+        "touch_type", "__vm",
+        F.count(F.lit(1)).over(wp).alias("__n"),
+        F.row_number().over(wo).alias("__rn"))
+    vm, n, rn = F.col("__vm"), F.col("__n"), F.col("__rn")
+    half = F.expr("__vm div 2")
+    end = F.expr("(__vm * 2) div 5")
+    pool = vm - F.lit(2) * end
+    mid_each = F.expr("((__vm - 2 * ((__vm * 2) div 5))) div (__n - 2)")
+    credit = (
+        F.when(n == 1, vm)
+        .when(n == 2, half + F.when(rn == 1, vm - F.lit(2) * half)
+              .otherwise(0))
+        .otherwise(
+            F.when((rn == 1) | (rn == n), end)
+            .otherwise(mid_each
+                       + F.when(rn == 2,
+                                pool - mid_each * (n - F.lit(2)))
+                       .otherwise(0))))
+    per_type = pairs.groupBy("touch_type").agg(
+        F.count(F.lit(1)).alias("n_credits"),
+        F.sum(credit.cast("decimal(38,0)")).alias("__cm"),
+        F.sum(F.when(F.col("__rn") == 1, 1).otherwise(0)).alias("__nf"))
+    totals = conv.agg(
+        F.count(F.lit(1)).alias("__np"),
+        F.sum(F.col("__vm").cast("decimal(38,0)")).alias("__tm"))
+    credited = per_type.agg(
+        F.sum("__cm").alias("__csum"), F.sum("__nf").alias("__fsum"))
+    direct = (totals.crossJoin(F.broadcast(credited)).select(
+        F.lit("direct").alias("touch_type"),
+        (F.col("__np") - F.coalesce(F.col("__fsum"), F.lit(0)))
+        .cast("bigint").alias("n_credits"),
+        ((F.col("__tm") - F.coalesce(F.col("__csum"), F.lit(0)))
+         .cast("double") / 1e6).alias("revenue")))
+    out = per_type.select(
+        "touch_type", F.col("n_credits").cast("bigint").alias("n_credits"),
+        (F.col("__cm").cast("double") / 1e6).alias("revenue"))
+    return out.unionByName(direct)

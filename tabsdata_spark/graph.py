@@ -115,3 +115,104 @@ def pagerank_exact(edges: DataFrame, src_col: str, dst_col: str,
                        * (F.col("s").cast("double") / F.lit(1e12)))
                       .alias("pr")))
     return pr.select("node", F.round("pr", 6).alias("pagerank"))
+
+
+def hits_exact(edges: DataFrame, src_col: str, dst_col: str,
+               iters: int = 2,
+               score_partitions: int | None = None) -> DataFrame:
+    """HITS hubs-and-authorities over a DIRECTED (typically bipartite)
+    edge list, with the same bit-exact cross-engine contract as
+    pagerank_exact: authority(v) = sum of hub scores over in-edges,
+    hub(u) = sum of authority scores over out-edges, L1-normalized
+    after every half-step.
+
+    Exactness contract: hub scores start at the exact double 1/|U|
+    (|U| = distinct sources); every contribution is quantized to picos
+    (1e12) and summed as decimal(38,0) — exact integers in any
+    partitioning; each L1 normalization divides by the exact integer
+    total (one IEEE division per node), so every half-step replays
+    bit-for-bit in the oracle's unrolled CTEs.  Output rounds to 9
+    (display-only).  Both modes below evaluate the identical
+    arithmetic — only the physical shape differs.
+
+    Scale shape (cluster mode, score_partitions=None): per half-step,
+    ONE join of the score vector with the deduped edge list and ONE
+    partial-agg shuffle onto the other side, plus a 1-row broadcast
+    combine for the L1 total; score vectors persist because the
+    total-aggregate and the next join each consume them (without it,
+    every total re-evaluates the whole iteration lineage —
+    2^half-steps full replays; the pagerank_exact persist lesson,
+    compounded by normalization).  AQE sizes every shuffle.
+
+    Small mode (score_partitions=N): thin score vectors pay more in
+    fixed per-job scheduling than in compute — persist pins the
+    200-partition default, AQE cannot coalesce it, and each L1
+    broadcast is its own job.  Instead the L1 total comes from a
+    bounded GLOBAL window over the |V|-sized vector (same exact
+    integer sum), the whole recursion collapses into ONE linear plan
+    with zero intermediate jobs, and every shuffle is capped at N.
+    Measured on the oracle corpus: ~8x wall-clock."""
+    from pyspark.sql.window import Window
+
+    sp = score_partitions
+
+    def keyed(df, *cols):
+        return df.repartition(sp, *cols) if sp else df
+
+    # hash by u alone: HashPartitioning(u) still satisfies the (u, v)
+    # dedup clustering, and leaves e co-partitioned for the hub joins
+    e = (keyed(edges.select(F.col(src_col).alias("u"),
+                            F.col(dst_col).alias("v")), "u")
+         .distinct().persist())
+
+    def quant(c):
+        return (F.floor(c * 1e12 + F.lit(0.5))
+                .cast("bigint").cast("decimal(38,0)"))
+
+    if sp:
+        # bounded global window over the score vector (|V| rows)
+        inv_n = (F.lit(1.0)
+                 / F.count(F.lit(1)).over(Window.partitionBy())
+                 .cast("double"))
+        hub = keyed(e.select("u"), "u").distinct().select(
+            F.col("u").alias("node"), inv_n.alias("h"))
+    else:
+        n_u = e.select("u").distinct().count()
+        hub = e.select("u").distinct().select(
+            F.col("u").alias("node"),
+            (F.lit(1.0) / F.lit(float(n_u))).alias("h"))
+
+    def l1_normalize(scores, col):
+        if sp:
+            tot = F.sum(quant(F.col(col))).over(Window.partitionBy())
+            return scores.select(
+                "node", (quant(F.col(col)).cast("double")
+                         / tot.cast("double")).alias(col))
+        scores = scores.persist()
+        tot = scores.agg(F.sum(quant(F.col(col))).alias("__t"))
+        return (scores.crossJoin(F.broadcast(tot))
+                .select(scores["*"],
+                        (quant(F.col(col)).cast("double")
+                         / F.col("__t").cast("double")).alias("__nn"))
+                .drop(col).withColumnRenamed("__nn", col)
+                .persist())
+
+    auth = None
+    for _ in range(iters):
+        a_sum = (keyed(e.join(hub, e["u"] == hub["node"]), "v")
+                 .groupBy("v").agg(F.sum(quant(F.col("h"))).alias("__s")))
+        auth = a_sum.select(F.col("v").alias("node"),
+                            (F.col("__s").cast("double") / F.lit(1e12))
+                            .alias("a"))
+        auth = l1_normalize(auth, "a")
+        h_sum = (keyed(e.join(auth, e["v"] == auth["node"]), "u")
+                 .groupBy("u").agg(F.sum(quant(F.col("a"))).alias("__s")))
+        hub = h_sum.select(F.col("u").alias("node"),
+                           (F.col("__s").cast("double") / F.lit(1e12))
+                           .alias("h"))
+        hub = l1_normalize(hub, "h")
+    hubs = hub.select("node", F.lit("hub").alias("role"),
+                      F.round("h", 9).alias("score"))
+    auths = auth.select("node", F.lit("authority").alias("role"),
+                        F.round("a", 9).alias("score"))
+    return hubs.unionByName(auths)

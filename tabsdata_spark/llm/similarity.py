@@ -677,3 +677,51 @@ def embedding_norm_stats(emb: DataFrame, label_col: str = "label",
                     F.round(F.col("__p99") / 1e6, 6).alias("p99_norm"),
                     F.coalesce(F.col("__out"), F.lit(0)).cast("bigint")
                     .alias("n_outliers")))
+
+
+def random_projection(emb: DataFrame, out_dim: int = 8,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Johnson-Lindenstrauss random projection with a DETERMINISTIC
+    Rademacher (+-1) sign matrix: proj_j = sum_i x_i * s(i, j), the
+    dimensionality-reduction front end for cheap distance sketches and
+    LSH preconditioning.  The sign matrix is derived from a keyed
+    integer mix — no RNG state, so any engine (and any rerun) builds
+    the identical matrix:
+
+        h(i, j) = ((i+1)*2654435761 + (j+1)*1779033703
+                   + (i+1)*(j+1)*97) % 65521
+        s(i, j) = +1 if h is even else -1
+
+    (products stay < 2^63 for any realistic dim, so the mix is exact
+    BIGINT arithmetic everywhere; 2654435761 is the Knuth multiplier,
+    65521 the largest 16-bit prime.)
+
+    Exactness contract: the fold over i runs in index order with
+    double-cast elements on both engines, so each projected component
+    is a fixed-order IEEE sum (round 6 display).
+
+    Scale shape: ONE narrow per-row pass — no shuffle, no UDF, no
+    broadcast; the sign matrix is an expression, never materialized.
+    Output is long-form (id, dim, proj) so downstream ops can
+    re-assemble or index without array surgery."""
+    xd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    dims = F.sequence(F.lit(0), F.lit(out_dim - 1))
+
+    def sign(i, j):
+        h = ((i + F.lit(1)) * F.lit(2654435761)
+             + (j + F.lit(1)) * F.lit(1779033703)
+             + (i + F.lit(1)) * (j + F.lit(1)) * F.lit(97)) % F.lit(65521)
+        return F.when(h % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+    def project(j):
+        sx = F.zip_with(
+            xd,
+            F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1),
+            lambda x, i: x * sign(i.cast("bigint"), j.cast("bigint")))
+        return F.aggregate(sx, F.lit(0.0), lambda acc, x: acc + x)
+
+    proj = F.transform(dims, project)
+    return (emb.select(F.col(id_col), F.posexplode(proj)
+                       .alias("dim", "__p"))
+            .select(id_col, "dim", F.round("__p", 6).alias("proj")))

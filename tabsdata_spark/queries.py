@@ -10084,3 +10084,453 @@ def holt_linear_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
              .agg(F.count(F.lit(1)).alias("n")))
     return extensions.holt_linear(daily, "event_type", "day", "n")
+
+
+@q(
+    "nelson_aalen_orders",
+    """
+    WITH fs AS (
+      SELECT l_orderkey, MIN(l_shipdate) AS ship
+      FROM lineitem GROUP BY 1),
+    base AS (
+      SELECT o_orderpriority AS grp,
+             (epoch_us(CAST(ship AS TIMESTAMP))
+              - epoch_us(CAST(o_orderdate AS TIMESTAMP))) // 86400000000
+             AS days
+      FROM orders JOIN fs ON o_orderkey = l_orderkey),
+    obs AS (
+      SELECT grp, LEAST(days, 60) AS t,
+             CASE WHEN days <= 60 THEN 1 ELSE 0 END AS ev
+      FROM base WHERE days >= 0),
+    pts AS (
+      SELECT grp, t, SUM(ev) AS d, SUM(1 - ev) AS c
+      FROM obs GROUP BY 1, 2),
+    wn AS (
+      SELECT grp, t, d, c,
+             SUM(d + c) OVER (PARTITION BY grp)
+             - SUM(d + c) OVER (PARTITION BY grp ORDER BY t
+                                ROWS UNBOUNDED PRECEDING)
+             + d + c AS n_risk
+      FROM pts),
+    hz AS (
+      SELECT grp, t, n_risk, d,
+             SUM(CAST(FLOOR(d * 1e6 / CAST(n_risk AS DOUBLE) + 0.5)
+                      AS BIGINT))
+               OVER (PARTITION BY grp ORDER BY t
+                     ROWS UNBOUNDED PRECEDING) AS h
+      FROM wn)
+    SELECT grp AS o_orderpriority, CAST(t AS BIGINT) AS t,
+           CAST(n_risk AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS n_events,
+           ROUND(CAST(h AS DOUBLE) / 1e6, 6) AS cum_hazard,
+           ROUND(EXP(-(CAST(h AS DOUBLE) / 1e6)), 6) AS na_survival
+    FROM hz WHERE d > 0
+    """,
+)
+def nelson_aalen_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative fulfillment hazard per order priority
+    (stats.nelson_aalen) on the same right-censored duration table as
+    kaplan_meier_orders: hazard increments d/n quantized to micros and
+    cumulative-summed as exact integers, Breslow survival exp(-H)."""
+    from tabsdata_spark import stats
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    fs = li.groupBy("l_orderkey").agg(F.min("l_shipdate").alias("ship"))
+    days = F.expr("(unix_micros(cast(ship as timestamp))"
+                  " - unix_micros(cast(o_orderdate as timestamp)))"
+                  " div 86400000000")
+    base = (o.join(fs, o["o_orderkey"] == fs["l_orderkey"])
+            .filter(days >= 0)
+            .select(F.col("o_orderpriority"),
+                    F.least(days, F.lit(60)).alias("t"),
+                    (days <= 60).alias("ev")))
+    return stats.nelson_aalen(base, ["o_orderpriority"], "t", "ev")
+
+
+@q(
+    "theil_sen_events",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             epoch_us(CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE)
+                           AS TIMESTAMP)) // 86400000000 AS x,
+             COUNT(*) AS y
+      FROM events GROUP BY 1, 2),
+    capped AS (
+      SELECT event_type, x, y,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x) AS rn
+      FROM daily),
+    pts AS (SELECT event_type, x, y FROM capped WHERE rn <= 60),
+    prs AS (
+      SELECT a.event_type,
+             CAST(FLOOR((b.y - a.y) * 1e6 / CAST(b.x - a.x AS DOUBLE)
+                        + 0.5) AS BIGINT) AS sm
+      FROM pts a JOIN pts b ON a.event_type = b.event_type
+                            AND b.x > a.x),
+    rk AS (
+      SELECT event_type, sm,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY sm) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS np
+      FROM prs)
+    SELECT event_type, CAST(np AS BIGINT) AS n_pairs,
+           ROUND(CAST(sm AS DOUBLE) / 1e6, 6) AS slope
+    FROM rk WHERE rn = FLOOR((np + 1) / 2.0)
+    """,
+)
+def theil_sen_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust daily-volume trend per event type
+    (stats.theil_sen): median of pairwise slopes over the first 60 days
+    of counts — micros-quantized slopes, lower median, bounded
+    per-group pairwise enumeration (the 100 TB cap)."""
+    from tabsdata_spark import stats
+
+    ev = load_events(spark, sf_dir).df
+    daily = (ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(cast(to_date(ts) as timestamp))"
+               " div 86400000000").alias("x"))
+        .agg(F.count(F.lit(1)).alias("y")))
+    return stats.theil_sen(daily, "x", "y", ["event_type"], max_points=60)
+
+
+@q(
+    "skew_kurtosis_events",
+    """
+    WITH m AS (
+      SELECT event_type,
+             CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS mm
+      FROM events WHERE value IS NOT NULL),
+    s AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(mm AS HUGEINT)) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(mm AS HUGEINT) * mm) AS DOUBLE) AS s2,
+             CAST(SUM(CAST(mm AS HUGEINT) * mm * mm) AS DOUBLE) AS s3,
+             CAST(SUM(CAST(mm AS HUGEINT) * mm * mm * mm) AS DOUBLE) AS s4
+      FROM m GROUP BY 1),
+    c AS (
+      SELECT event_type, n, s1, s2, s3, s4,
+             s1 / n AS mu
+      FROM s),
+    k AS (
+      SELECT event_type, n, mu,
+             s2 / n - mu * mu AS m2,
+             s3 / n - 3.0 * mu * (s2 / n) + 2.0 * mu * mu * mu AS m3,
+             s4 / n - 4.0 * mu * (s3 / n) + 6.0 * mu * mu * (s2 / n)
+               - 3.0 * mu * mu * mu * mu AS m4
+      FROM c)
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           CASE WHEN m2 > 0.0
+                THEN ROUND(m3 / SQRT(m2 * m2 * m2), 6) END AS skewness,
+           CASE WHEN m2 > 0.0
+                THEN ROUND(m4 / (m2 * m2) - 3.0, 6) END AS excess_kurtosis
+    FROM k
+    """,
+)
+def skew_kurtosis_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact skewness / excess kurtosis of event values per type
+    (stats.exact_skew_kurtosis): MILLIS-quantized integers keep the 4th
+    raw moment inside decimal(38,0) out to ~1e14 rows; the central-
+    moment closed forms are one fixed IEEE expression on both engines."""
+    from tabsdata_spark import stats
+
+    ev = load_events(spark, sf_dir).df
+    base = (ev.filter(F.col("value").isNotNull())
+            .select("event_type",
+                    F.floor(F.col("value") * 1000 + F.lit(0.5))
+                    .cast("bigint").alias("mm")))
+    return stats.exact_skew_kurtosis(base, "mm", ["event_type"])
+
+
+@q(
+    "did_revenue_events",
+    """
+    WITH base AS (
+      SELECT (user_id % 2 = 0) AS t,
+             (CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16') AS p,
+             CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) AS vm
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+    agg AS (
+      SELECT
+        SUM(CASE WHEN t AND NOT p THEN 1 ELSE 0 END) AS n_t0,
+        SUM(CASE WHEN t AND p THEN 1 ELSE 0 END) AS n_t1,
+        SUM(CASE WHEN NOT t AND NOT p THEN 1 ELSE 0 END) AS n_c0,
+        SUM(CASE WHEN NOT t AND p THEN 1 ELSE 0 END) AS n_c1,
+        SUM(CASE WHEN t AND NOT p THEN CAST(vm AS DECIMAL(38,0))
+                 ELSE CAST(0 AS DECIMAL(38,0)) END) AS s_t0,
+        SUM(CASE WHEN t AND p THEN CAST(vm AS DECIMAL(38,0))
+                 ELSE CAST(0 AS DECIMAL(38,0)) END) AS s_t1,
+        SUM(CASE WHEN NOT t AND NOT p THEN CAST(vm AS DECIMAL(38,0))
+                 ELSE CAST(0 AS DECIMAL(38,0)) END) AS s_c0,
+        SUM(CASE WHEN NOT t AND p THEN CAST(vm AS DECIMAL(38,0))
+                 ELSE CAST(0 AS DECIMAL(38,0)) END) AS s_c1
+      FROM base)
+    SELECT CAST(n_t0 AS BIGINT) AS n_treated_pre,
+           CAST(n_t1 AS BIGINT) AS n_treated_post,
+           CAST(n_c0 AS BIGINT) AS n_control_pre,
+           CAST(n_c1 AS BIGINT) AS n_control_post,
+           ROUND(CAST(s_t0 AS DOUBLE) / 1e6 / CAST(n_t0 AS DOUBLE), 6)
+             AS mean_treated_pre,
+           ROUND(CAST(s_t1 AS DOUBLE) / 1e6 / CAST(n_t1 AS DOUBLE), 6)
+             AS mean_treated_post,
+           ROUND(CAST(s_c0 AS DOUBLE) / 1e6 / CAST(n_c0 AS DOUBLE), 6)
+             AS mean_control_pre,
+           ROUND(CAST(s_c1 AS DOUBLE) / 1e6 / CAST(n_c1 AS DOUBLE), 6)
+             AS mean_control_post,
+           ROUND((CAST(s_t1 AS DOUBLE) / 1e6 / CAST(n_t1 AS DOUBLE)
+                  - CAST(s_t0 AS DOUBLE) / 1e6 / CAST(n_t0 AS DOUBLE))
+                 - (CAST(s_c1 AS DOUBLE) / 1e6 / CAST(n_c1 AS DOUBLE)
+                    - CAST(s_c0 AS DOUBLE) / 1e6 / CAST(n_c0 AS DOUBLE)),
+                 6) AS did
+    FROM agg
+    """,
+)
+def did_revenue_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences on purchase values (stats.did_means):
+    even user ids as the treated arm, Jan 16 as the rollout date —
+    four exact decimal cell sums in ONE pass, DiD as a fixed IEEE
+    expression over them."""
+    from tabsdata_spark import stats
+
+    ev = load_events(spark, sf_dir).df
+    base = (ev.filter((F.col("event_type") == "purchase")
+                      & F.col("value").isNotNull())
+            .select((F.col("user_id") % 2 == 0).alias("t"),
+                    (F.col("ts") >= F.lit("2024-01-16").cast("timestamp"))
+                    .alias("p"),
+                    F.col("value")))
+    return stats.did_means(base, "t", "p", "value")
+
+
+@q(
+    "ipw_value_events",
+    """
+    WITH base AS (
+      SELECT event_type AS s, (user_id % 3 = 0) AS tr,
+             CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) AS vm
+      FROM events WHERE value IS NOT NULL),
+    per AS (
+      SELECT s, COUNT(*) AS n_s,
+             SUM(CASE WHEN tr THEN 1 ELSE 0 END) AS n_t,
+             SUM(CASE WHEN tr THEN CAST(vm AS DECIMAL(38,0))
+                      ELSE CAST(0 AS DECIMAL(38,0)) END) AS st,
+             SUM(CASE WHEN NOT tr THEN CAST(vm AS DECIMAL(38,0))
+                      ELSE CAST(0 AS DECIMAL(38,0)) END) AS sc
+      FROM base GROUP BY 1),
+    ok AS (SELECT *, (n_t > 0 AND n_t < n_s) AS o FROM per),
+    tot AS (
+      SELECT COUNT(*) AS n_strata,
+             SUM(CASE WHEN o THEN 0 ELSE 1 END) AS n_excluded,
+             SUM(CASE WHEN o THEN n_s ELSE 0 END) AS n,
+             SUM(CASE WHEN o THEN n_t ELSE 0 END) AS nt,
+             SUM(CASE WHEN o THEN st ELSE CAST(0 AS DECIMAL(38,0)) END)
+               AS rt,
+             SUM(CASE WHEN o THEN sc ELSE CAST(0 AS DECIMAL(38,0)) END)
+               AS rc,
+             SUM(CASE WHEN o THEN CAST(FLOOR(
+                   CAST(st AS DOUBLE) * CAST(n_s AS DOUBLE)
+                   / CAST(n_t AS DOUBLE) + 0.5) AS BIGINT)
+                 ELSE 0 END) AS wt,
+             SUM(CASE WHEN o THEN CAST(FLOOR(
+                   CAST(sc AS DOUBLE) * CAST(n_s AS DOUBLE)
+                   / CAST(n_s - n_t AS DOUBLE) + 0.5) AS BIGINT)
+                 ELSE 0 END) AS wc
+      FROM ok)
+    SELECT CAST(n_strata AS BIGINT) AS n_strata,
+           CAST(n_excluded AS BIGINT) AS n_excluded,
+           CAST(n AS BIGINT) AS n,
+           ROUND(CAST(rt AS DOUBLE) / 1e6 / CAST(nt AS DOUBLE)
+                 - CAST(rc AS DOUBLE) / 1e6 / CAST(n - nt AS DOUBLE), 6)
+             AS naive_diff,
+           ROUND(CAST(wt AS DOUBLE) / 1e6 / CAST(n AS DOUBLE), 6)
+             AS ipw_treated_mean,
+           ROUND(CAST(wc AS DOUBLE) / 1e6 / CAST(n AS DOUBLE), 6)
+             AS ipw_control_mean,
+           ROUND(CAST(wt AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)
+                 - CAST(wc AS DOUBLE) / 1e6 / CAST(n AS DOUBLE), 6)
+             AS ipw_diff
+    FROM tot
+    """,
+)
+def ipw_value_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-propensity-weighted value contrast (stats.ipw_means):
+    event_type strata, user_id % 3 == 0 as treatment — per-stratum
+    reweighted contributions quantized back to micros BEFORE the
+    cross-strata sum, so the estimate is exact integers everywhere."""
+    from tabsdata_spark import stats
+
+    ev = load_events(spark, sf_dir).df
+    base = (ev.filter(F.col("value").isNotNull())
+            .select(F.col("event_type").alias("s"),
+                    (F.col("user_id") % 3 == 0).alias("tr"),
+                    F.col("value")))
+    return stats.ipw_means(base, ["s"], "tr", "value")
+
+
+@q(
+    "position_attribution_events",
+    """
+    WITH conv AS (
+      SELECT user_id AS u, epoch_us(CAST(ts AS TIMESTAMP)) AS pts,
+             event_id AS pid,
+             CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) AS vm
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+    tch AS (
+      SELECT user_id AS u, epoch_us(CAST(ts AS TIMESTAMP)) AS tts,
+             event_id AS tid, event_type AS touch_type
+      FROM events WHERE event_type IN ('click', 'view')),
+    pairs AS (
+      SELECT touch_type, vm, pid, tts, tid
+      FROM tch JOIN conv ON tch.u = conv.u
+       AND tts <= pts AND tts > pts - 604800000000),
+    wp AS (
+      SELECT touch_type, vm,
+             COUNT(*) OVER (PARTITION BY pid) AS n,
+             ROW_NUMBER() OVER (PARTITION BY pid ORDER BY tts, tid) AS rn
+      FROM pairs),
+    cr AS (
+      SELECT touch_type, rn,
+             CASE WHEN n = 1 THEN vm
+                  WHEN n = 2 THEN vm // 2
+                       + CASE WHEN rn = 1 THEN vm - 2 * (vm // 2)
+                              ELSE 0 END
+                  ELSE CASE WHEN rn = 1 OR rn = n THEN (vm * 2) // 5
+                       ELSE (vm - 2 * ((vm * 2) // 5)) // (n - 2)
+                            + CASE WHEN rn = 2
+                                   THEN (vm - 2 * ((vm * 2) // 5))
+                                        - ((vm - 2 * ((vm * 2) // 5))
+                                           // (n - 2)) * (n - 2)
+                                   ELSE 0 END
+                       END
+             END AS credit
+      FROM wp),
+    pt AS (
+      SELECT touch_type, COUNT(*) AS n_credits,
+             SUM(CAST(credit AS DECIMAL(38,0))) AS cm,
+             SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS nf
+      FROM cr GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS np,
+                   SUM(CAST(vm AS DECIMAL(38,0))) AS tm FROM conv),
+    cs AS (SELECT SUM(cm) AS csum, SUM(nf) AS fsum FROM pt)
+    SELECT touch_type, CAST(n_credits AS BIGINT) AS n_credits,
+           CAST(cm AS DOUBLE) / 1e6 AS revenue
+    FROM pt
+    UNION ALL
+    SELECT 'direct' AS touch_type,
+           CAST(np - COALESCE(fsum, 0) AS BIGINT) AS n_credits,
+           CAST(tm - COALESCE(csum, 0) AS DOUBLE) / 1e6 AS revenue
+    FROM tot, cs
+    """,
+)
+def position_attribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped position-based attribution
+    (extensions.position_attribution): 40% of each purchase to the
+    first and last click/view touch in the prior 7 days, 20% split
+    across the middles — all integer micros with the remainders pinned
+    deterministically, so credits balance to the total exactly."""
+    from tabsdata_spark import extensions
+
+    ev = load_events(spark, sf_dir).df
+    return extensions.position_attribution(
+        ev, "user_id", "ts", "event_type", "value",
+        conversion_type="purchase", touch_types=["click", "view"],
+        lookback="7 days")
+
+
+@q(
+    "hits_customer_supplier",
+    """
+    WITH e AS (
+      SELECT DISTINCT o_custkey AS u, l_suppkey AS v
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    nu AS (SELECT COUNT(DISTINCT u) AS n FROM e),
+    h0 AS (SELECT DISTINCT u AS node, 1.0 / (SELECT n FROM nu) AS h
+           FROM e),
+    a1r AS (
+      SELECT v AS node,
+             CAST(SUM(CAST(FLOOR(h * 1e12 + 0.5) AS HUGEINT)) AS DOUBLE)
+             / 1e12 AS a
+      FROM e JOIN h0 ON e.u = h0.node GROUP BY v),
+    a1t AS (SELECT SUM(CAST(FLOOR(a * 1e12 + 0.5) AS HUGEINT)) AS t
+            FROM a1r),
+    a1 AS (SELECT node,
+                  CAST(CAST(FLOOR(a * 1e12 + 0.5) AS HUGEINT) AS DOUBLE)
+                  / CAST(t AS DOUBLE) AS a
+           FROM a1r, a1t),
+    h1r AS (
+      SELECT u AS node,
+             CAST(SUM(CAST(FLOOR(a * 1e12 + 0.5) AS HUGEINT)) AS DOUBLE)
+             / 1e12 AS h
+      FROM e JOIN a1 ON e.v = a1.node GROUP BY u),
+    h1t AS (SELECT SUM(CAST(FLOOR(h * 1e12 + 0.5) AS HUGEINT)) AS t
+            FROM h1r),
+    h1 AS (SELECT node,
+                  CAST(CAST(FLOOR(h * 1e12 + 0.5) AS HUGEINT) AS DOUBLE)
+                  / CAST(t AS DOUBLE) AS h
+           FROM h1r, h1t),
+    a2r AS (
+      SELECT v AS node,
+             CAST(SUM(CAST(FLOOR(h * 1e12 + 0.5) AS HUGEINT)) AS DOUBLE)
+             / 1e12 AS a
+      FROM e JOIN h1 ON e.u = h1.node GROUP BY v),
+    a2t AS (SELECT SUM(CAST(FLOOR(a * 1e12 + 0.5) AS HUGEINT)) AS t
+            FROM a2r),
+    a2 AS (SELECT node,
+                  CAST(CAST(FLOOR(a * 1e12 + 0.5) AS HUGEINT) AS DOUBLE)
+                  / CAST(t AS DOUBLE) AS a
+           FROM a2r, a2t),
+    h2r AS (
+      SELECT u AS node,
+             CAST(SUM(CAST(FLOOR(a * 1e12 + 0.5) AS HUGEINT)) AS DOUBLE)
+             / 1e12 AS h
+      FROM e JOIN a2 ON e.v = a2.node GROUP BY u),
+    h2t AS (SELECT SUM(CAST(FLOOR(h * 1e12 + 0.5) AS HUGEINT)) AS t
+            FROM h2r),
+    h2 AS (SELECT node,
+                  CAST(CAST(FLOOR(h * 1e12 + 0.5) AS HUGEINT) AS DOUBLE)
+                  / CAST(t AS DOUBLE) AS h
+           FROM h2r, h2t)
+    SELECT node, 'hub' AS role, ROUND(h, 9) AS score FROM h2
+    UNION ALL
+    SELECT node, 'authority' AS role, ROUND(a, 9) AS score FROM a2
+    """,
+)
+def hits_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs and authorities (graph.hits_exact, 2 iterations) over
+    the customer -> supplier bipartite order graph: picos-quantized
+    contributions summed as exact decimals, L1 normalization after
+    every half-step — bit-exact vs the oracle's unrolled CTE ladder."""
+    from tabsdata_spark import graph
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = (o.join(li, o["o_orderkey"] == li["l_orderkey"])
+             .select("o_custkey", "l_suppkey"))
+    # thin score vectors: cap the iteration shuffles (persist pins
+    # partitioning, so AQE can't coalesce the 200-task default away)
+    return graph.hits_exact(edges, "o_custkey", "l_suppkey", iters=2,
+                            score_partitions=16)
+
+
+@q(
+    "random_projection_emb",
+    """
+    SELECT vec_id, CAST(j AS INTEGER) AS dim,
+           ROUND(list_reduce(
+             list_transform(range(1, len(embedding) + 1),
+               i -> embedding[i]::DOUBLE *
+                    (CASE WHEN (i * 2654435761 + (j + 1) * 1779033703
+                                + i * (j + 1) * 97) % 65521 % 2 = 0
+                          THEN 1.0 ELSE -1.0 END)),
+             (p, q) -> p + q), 6) AS proj
+    FROM embeddings, range(0, 8) t(j)
+    """,
+)
+def random_projection_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss projection to 8 dims with a deterministic
+    Rademacher sign matrix (similarity.random_projection): keyed
+    integer mix -> +-1 signs, fixed-order double fold per component —
+    one narrow per-row pass, no shuffle, bit-exact vs the SQL replay."""
+    from tabsdata_spark.llm import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.random_projection(emb, out_dim=8)

@@ -1031,3 +1031,254 @@ def calibration_bins(df: DataFrame, score_col: str, label_col: str,
                             / F.col("n"), 6).alias("mean_score"),
                     F.round(F.col("__pos").cast("double") / F.col("n"), 6)
                     .alias("frac_pos")))
+
+
+def nelson_aalen(df: DataFrame, group_cols: list[str], duration_col: str,
+                 event_col: str) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator per group: at each time
+    with events, H(t) = sum_{t'<=t} d/n — the nonparametric hazard
+    twin of kaplan_meier (reference parity: time-to-event analytics,
+    e.g. tabsdata/expansions feature set), preferred over KM when the
+    quantity of interest is the hazard itself or when d/n is small.
+
+    Exactness contract: each increment d/n is quantized to micros via
+    FLOOR(d*1e6/n + 0.5) — d*1e6 is an exact double below 2^53 and the
+    division is one IEEE op — then cumulative-summed as BIGINT, so H(t)
+    is identical integers in any engine/partitioning.  The Breslow
+    survival exp(-H) is one IEEE exp per row (round 6 display).
+
+    Scale shape: identical to kaplan_meier — one partial-agg shuffle
+    onto (group, time), then windows inside group partitions."""
+    g = [F.col(c) for c in group_cols]
+    ev = F.col(event_col).cast("int")
+    pts = (df.groupBy(*g, F.col(duration_col).alias("t"))
+           .agg(F.sum(ev).alias("d"),
+                F.sum(F.lit(1) - ev).alias("c")))
+    wo = Window.partitionBy(*group_cols).orderBy("t")
+    cum_all = (F.sum(F.col("d") + F.col("c"))
+               .over(wo.rowsBetween(Window.unboundedPreceding,
+                                    Window.currentRow)))
+    total = F.sum(F.col("d") + F.col("c")).over(
+        Window.partitionBy(*group_cols))
+    pts = pts.withColumn(
+        "n_risk", (total - cum_all + F.col("d") + F.col("c")).cast("bigint"))
+    hm = (F.floor(F.col("d") * F.lit(1e6) / F.col("n_risk").cast("double")
+                  + F.lit(0.5)).cast("bigint"))
+    cum_h = F.sum(hm).over(
+        wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    out = pts.select(
+        *g, "t", "n_risk", F.col("d").alias("n_events"),
+        F.round(cum_h.cast("double") / F.lit(1e6), 6).alias("cum_hazard"),
+        F.round(F.exp(-(cum_h.cast("double") / F.lit(1e6))), 6)
+        .alias("na_survival"))
+    return out.filter(F.col("n_events") > 0)
+
+
+def theil_sen(df: DataFrame, x_col: str, y_col: str,
+              group_cols: list[str], max_points: int = 60) -> DataFrame:
+    """Per-group Theil-Sen robust trend: the median of all pairwise
+    slopes (y_j - y_i) / (x_j - x_i), i < j — breakdown point ~29%, the
+    outlier-resistant complement to exact_regression's OLS slope.
+
+    Inputs must be BIGINT-quantized by the caller (same contract as
+    exact_regression).  Exactness: each pairwise slope is quantized to
+    micros via FLOOR(dy*1e6/dx + 0.5) (dy*1e6 exact below 2^53, one
+    IEEE division), and the median is the LOWER median — the value at
+    sorted position (n_pairs+1) div 2 — so no float averaging of the
+    two middle elements; ties need no tie-break because equal micros
+    are interchangeable at the picked position.
+
+    Scale shape: pairwise enumeration is O(k^2) per group, so the
+    series is CAPPED at the first `max_points` points by x (window
+    row_number) — the cap is the 100 TB guard; per-group work is then
+    bounded at max_points^2/2 regardless of input size.  One window
+    pass + one within-group self-join + one agg."""
+    w = Window.partitionBy(*group_cols).orderBy("__x")
+    pts = (df.select(*group_cols, F.col(x_col).alias("__x"),
+                     F.col(y_col).alias("__y"))
+           .withColumn("__rn", F.row_number().over(w))
+           .filter(F.col("__rn") <= max_points))
+    a = pts.select(*group_cols, F.col("__x").alias("__x1"),
+                   F.col("__y").alias("__y1"))
+    b = pts.select(*group_cols, F.col("__x").alias("__x2"),
+                   F.col("__y").alias("__y2"))
+    pairs = (a.join(b, group_cols)
+             .filter(F.col("__x2") > F.col("__x1"))
+             .select(*group_cols,
+                     F.floor((F.col("__y2") - F.col("__y1")).cast("double")
+                             * F.lit(1e6)
+                             / (F.col("__x2") - F.col("__x1")).cast("double")
+                             + F.lit(0.5)).cast("bigint").alias("__sm")))
+    ws = Window.partitionBy(*group_cols).orderBy("__sm")
+    ranked = (pairs.withColumn("__rn", F.row_number().over(ws))
+              .withColumn("__np", F.count(F.lit(1)).over(
+                  Window.partitionBy(*group_cols))))
+    # lower median = position floor((np+1)/2); the float floor form is
+    # exact (np < 2^52) and unambiguous in both engines
+    med = ranked.filter(
+        F.col("__rn") == F.floor((F.col("__np") + 1) / F.lit(2.0)))
+    return med.select(
+        *group_cols, F.col("__np").alias("n_pairs"),
+        F.round(F.col("__sm").cast("double") / 1e6, 6).alias("slope"))
+
+
+def exact_skew_kurtosis(df: DataFrame, value_col: str,
+                        group_cols: list[str]) -> DataFrame:
+    """Per-group skewness and excess kurtosis from exact integer raw
+    moments.  `value_col` must be BIGINT-quantized by the caller at a
+    scale where |m| stays below ~1e6 (e.g. MILLIS for values under
+    ~1000): m^4 then caps near 1e24 per row, leaving 14 digits of
+    decimal(38,0) headroom for the row count — enough for ~1e14 rows,
+    the 100 TB regime.  (Micros would overflow the 4th moment at
+    ~1e5 rows — the same class of wrap the rolling-zscore fix killed.)
+
+    All four raw-moment sums are exact decimals; the central-moment
+    closed forms are evaluated in double with ONE fixed expression
+    tree, so both engines produce identical IEEE results:
+
+        m2 = S2/n - mu^2
+        m3 = S3/n - 3*mu*S2/n + 2*mu^3
+        m4 = S4/n - 4*mu*S3/n + 6*mu^2*S2/n - 3*mu^4
+        skew = m3 / m2^1.5 ; excess kurtosis = m4/m2^2 - 3
+
+    Degenerate groups (m2 <= 0) surface NULL rather than raising under
+    ANSI or emitting engine-dependent NaN orderings.
+
+    Scale shape: one partial-agg shuffle; moments combine associatively
+    so map-side combine does the heavy lifting."""
+    big = "decimal(38,0)"
+    m = F.col(value_col).cast(big)
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(m).alias("_s1"),
+        F.sum((m * m).cast(big)).alias("_s2"),
+        F.sum((m * m * m).cast(big)).alias("_s3"),
+        F.sum((m * m * m * m).cast(big)).alias("_s4"))
+    n = F.col("n").cast("double")
+    s1 = F.col("_s1").cast("double")
+    s2 = F.col("_s2").cast("double")
+    s3 = F.col("_s3").cast("double")
+    s4 = F.col("_s4").cast("double")
+    mu = s1 / n
+    m2 = s2 / n - mu * mu
+    m3 = s3 / n - F.lit(3.0) * mu * (s2 / n) + F.lit(2.0) * mu * mu * mu
+    m4 = (s4 / n - F.lit(4.0) * mu * (s3 / n)
+          + F.lit(6.0) * mu * mu * (s2 / n)
+          - F.lit(3.0) * mu * mu * mu * mu)
+    ok = m2 > F.lit(0.0)
+    return agg.select(
+        *group_cols, "n",
+        F.when(ok, F.round(m3 / F.sqrt(m2 * m2 * m2), 6)).alias("skewness"),
+        F.when(ok, F.round(m4 / (m2 * m2) - F.lit(3.0), 6))
+        .alias("excess_kurtosis"))
+
+
+def did_means(df: DataFrame, treated_col: str, post_col: str,
+              value_col: str) -> DataFrame:
+    """Difference-in-differences estimator: mean outcome per
+    (treated, post) cell and DiD = (treated_post - treated_pre)
+    - (control_post - control_pre) — the workhorse causal contrast for
+    before/after rollouts with a concurrent control group (completes
+    the causal trio with cuped and poisson_bootstrap_mean).
+
+    Exactness contract: outcomes are micros-quantized and summed as
+    decimal(38,0) per cell via conditional aggregation (ONE pass, no
+    joins); the four means and the DiD are a single fixed IEEE
+    expression over those exact integers (round 6 display).
+
+    Scale shape: one partial aggregate onto a single row — the
+    map-side combine does all the work; no shuffle wider than the
+    4-cell moment set."""
+    big = "decimal(38,0)"
+    t = F.col(treated_col).cast("boolean")
+    p = F.col(post_col).cast("boolean")
+    vm = (F.floor(F.col(value_col) * 1e6 + F.lit(0.5))
+          .cast("bigint").cast(big))
+
+    def cell(tt, pp, tag):
+        cond = (t == tt) & (p == pp)
+        return [F.sum(F.when(cond, 1).otherwise(0)).alias(f"n_{tag}"),
+                F.sum(F.when(cond, vm).otherwise(F.lit(0).cast(big)))
+                .alias(f"_s_{tag}")]
+
+    agg = df.agg(*cell(True, False, "t0"), *cell(True, True, "t1"),
+                 *cell(False, False, "c0"), *cell(False, True, "c1"))
+
+    def mean(tag):
+        return (F.col(f"_s_{tag}").cast("double") / 1e6
+                / F.col(f"n_{tag}").cast("double"))
+
+    return agg.select(
+        F.col("n_t0").cast("bigint").alias("n_treated_pre"),
+        F.col("n_t1").cast("bigint").alias("n_treated_post"),
+        F.col("n_c0").cast("bigint").alias("n_control_pre"),
+        F.col("n_c1").cast("bigint").alias("n_control_post"),
+        F.round(mean("t0"), 6).alias("mean_treated_pre"),
+        F.round(mean("t1"), 6).alias("mean_treated_post"),
+        F.round(mean("c0"), 6).alias("mean_control_pre"),
+        F.round(mean("c1"), 6).alias("mean_control_post"),
+        F.round((mean("t1") - mean("t0")) - (mean("c1") - mean("c0")), 6)
+        .alias("did"))
+
+
+def ipw_means(df: DataFrame, strata_cols: list[str], treat_col: str,
+              value_col: str) -> DataFrame:
+    """Inverse-propensity-weighted outcome means under stratified
+    propensities: within each stratum the propensity is the observed
+    treatment rate e_s = n_t/n_s, and the IPW estimate reweights each
+    arm to the full population — the standardization / G-computation
+    estimate for confounded treatment assignment.
+
+    Exactness contract: per-stratum micros outcome sums are exact
+    decimals; each stratum's reweighted contribution
+    S_arm * n_s / n_arm is evaluated in double and quantized back to
+    micros (FLOOR(x + 0.5)) BEFORE the cross-strata sum, which then
+    runs as exact BIGINT — no float accumulation-order drift no matter
+    how many strata or partitions.  Strata with an empty arm are
+    excluded from BOTH arms (the common-support filter) and counted.
+
+    Scale shape: one partial-agg shuffle onto strata, one bounded agg
+    onto a single row."""
+    big = "decimal(38,0)"
+    tr = F.col(treat_col).cast("boolean")
+    vm = (F.floor(F.col(value_col) * 1e6 + F.lit(0.5))
+          .cast("bigint").cast(big))
+    per = df.groupBy(*strata_cols).agg(
+        F.count(F.lit(1)).alias("n_s"),
+        F.sum(tr.cast("int")).alias("n_t"),
+        F.sum(F.when(tr, vm).otherwise(F.lit(0).cast(big))).alias("_st"),
+        F.sum(F.when(~tr, vm).otherwise(F.lit(0).cast(big))).alias("_sc"))
+    per = per.withColumn("__ok", (F.col("n_t") > 0)
+                         & (F.col("n_t") < F.col("n_s")))
+    n_s = F.col("n_s").cast("double")
+
+    def contrib(sum_col, arm_n):
+        x = (F.col(sum_col).cast("double") * n_s / arm_n.cast("double"))
+        return F.when(F.col("__ok"),
+                      F.floor(x + F.lit(0.5)).cast("bigint")).otherwise(0)
+
+    tot = per.agg(
+        F.count(F.lit(1)).alias("n_strata"),
+        F.sum(F.when(F.col("__ok"), 0).otherwise(1)).alias("n_excluded"),
+        F.sum(F.when(F.col("__ok"), F.col("n_s")).otherwise(0)).alias("_n"),
+        F.sum(F.when(F.col("__ok"), F.col("n_t")).otherwise(0)).alias("_nt"),
+        F.sum(F.when(F.col("__ok"), F.col("_st"))
+              .otherwise(F.lit(0).cast(big))).alias("_rt"),
+        F.sum(F.when(F.col("__ok"), F.col("_sc"))
+              .otherwise(F.lit(0).cast(big))).alias("_rc"),
+        F.sum(contrib("_st", F.col("n_t"))).alias("_wt"),
+        F.sum(contrib("_sc", F.col("n_s") - F.col("n_t"))).alias("_wc"))
+    n = F.col("_n").cast("double")
+    naive_t = F.col("_rt").cast("double") / 1e6 / F.col("_nt").cast("double")
+    naive_c = (F.col("_rc").cast("double") / 1e6
+               / (F.col("_n") - F.col("_nt")).cast("double"))
+    ipw_t = F.col("_wt").cast("double") / 1e6 / n
+    ipw_c = F.col("_wc").cast("double") / 1e6 / n
+    return tot.select(
+        F.col("n_strata").cast("bigint").alias("n_strata"),
+        F.col("n_excluded").cast("bigint").alias("n_excluded"),
+        F.col("_n").cast("bigint").alias("n"),
+        F.round(naive_t - naive_c, 6).alias("naive_diff"),
+        F.round(ipw_t, 6).alias("ipw_treated_mean"),
+        F.round(ipw_c, 6).alias("ipw_control_mean"),
+        F.round(ipw_t - ipw_c, 6).alias("ipw_diff"))

@@ -740,3 +740,54 @@ def test_holt_linear_matches_python_reference(spark):
         l = ln
         want.append((l / 1e6, b / 1e6))
     assert got == want
+
+
+def test_position_attribution_exact_u_shape(spark):
+    from tabsdata_spark import extensions
+
+    # 4 touches then a 10.00 purchase: ends get (vm*2) div 5 = 4.0 each,
+    # middles split 2.0 -> 1.0 each; credits balance exactly
+    rows = [
+        (1, "2024-01-10 00:00:00", 7, "click", None),
+        (2, "2024-01-10 01:00:00", 7, "view", None),
+        (3, "2024-01-10 02:00:00", 7, "view", None),
+        (4, "2024-01-10 03:00:00", 7, "click", None),
+        (5, "2024-01-10 04:00:00", 7, "purchase", 10.0),
+        (6, "2024-01-01 00:00:00", 9, "purchase", 4.0),  # direct
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string,"
+              " value double").withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r.touch_type: r for r in extensions.position_attribution(
+        df, "user_id", "ts", "event_type", "value",
+        "purchase", ["click", "view"], "7 days").collect()}
+    # clicks are positions 1 and 4 (ends): 4.0 + 4.0; views middles: 1+1
+    assert abs(out["click"].revenue - 8.0) < 1e-9
+    assert abs(out["view"].revenue - 2.0) < 1e-9
+    assert out["direct"].n_credits == 1
+    assert abs(out["direct"].revenue - 4.0) < 1e-9
+
+
+def test_position_attribution_small_n_and_remainder(spark):
+    from tabsdata_spark import extensions
+
+    # n=1: everything to the single touch. n=3 with vm=10000001 micros:
+    # ends 4000000 each, middle pool 2000001 entirely to position 2
+    rows = [
+        (1, "2024-01-10 00:00:00", 1, "click", None),
+        (2, "2024-01-10 01:00:00", 1, "purchase", 5.0),
+        (3, "2024-01-11 00:00:00", 2, "click", None),
+        (4, "2024-01-11 01:00:00", 2, "view", None),
+        (5, "2024-01-11 02:00:00", 2, "click", None),
+        (6, "2024-01-11 03:00:00", 2, "purchase", 10.000001),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string,"
+              " value double").withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r.touch_type: r for r in extensions.position_attribution(
+        df, "user_id", "ts", "event_type", "value",
+        "purchase", ["click", "view"], "7 days").collect()}
+    total = out["click"].revenue + out["view"].revenue
+    assert abs(total - (5.0 + 10.000001)) < 1e-9
+    # user 2: clicks are both ends (8.0), view carries pool 2.000001
+    assert abs(out["view"].revenue - 2.000001) < 1e-9

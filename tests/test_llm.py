@@ -1833,3 +1833,23 @@ def test_audio_fingerprint_identical_and_different(spark):
            multimodal.audio_fingerprint(df, blocks=4).collect()}
     assert got[1] == got[2] == 0b111          # every delta rises
     assert got[3] == 0                        # every delta falls
+
+
+def test_random_projection_deterministic_and_linear(spark):
+    from tabsdata_spark.llm import similarity
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0, 2.0]), (2, [2.0, 0.0, 4.0]), (3, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>")
+    out = similarity.random_projection(emb, out_dim=4)
+    rows = {(r.vec_id, r.dim): r.proj for r in out.collect()}
+    assert len(rows) == 12
+    # zero vector projects to exactly zero in every dim
+    assert all(rows[(3, j)] == 0.0 for j in range(4))
+    # vec 2 = 2 * vec 1: projection is linear (exact doubling pre-round)
+    for j in range(4):
+        assert abs(rows[(2, j)] - 2 * rows[(1, j)]) < 2e-6
+    # deterministic across invocations
+    again = {(r.vec_id, r.dim): r.proj
+             for r in similarity.random_projection(emb, out_dim=4).collect()}
+    assert rows == again

@@ -584,3 +584,136 @@ def test_count_min_sketch_never_underestimates(spark):
     assert len(joined) == 200
     for r in joined:
         assert r.cms_n >= r["count"]             # CMS one-sided guarantee
+
+
+def test_nelson_aalen_hand_computed(spark):
+    from tabsdata_spark import stats
+
+    # durations: 1,1,2,3 (events) + 3 (censored): H(1)=2/5, H(2)=2/5+1/3,
+    # H(3)=...+1/2 — micros-floored increments, exact cumulative integers
+    rows = [("g", 1, True), ("g", 1, True), ("g", 2, True),
+            ("g", 3, True), ("g", 3, False)]
+    df = spark.createDataFrame(rows, "g string, t int, ev boolean")
+    got = {r.t: r for r in
+           stats.nelson_aalen(df, ["g"], "t", "ev").collect()}
+    assert got[1].n_risk == 5 and got[1].n_events == 2
+    h1 = math.floor(2 * 1e6 / 5 + 0.5)
+    h2 = h1 + math.floor(1 * 1e6 / 3 + 0.5)
+    h3 = h2 + math.floor(1 * 1e6 / 2 + 0.5)
+    assert got[1].cum_hazard == round(h1 / 1e6, 6)
+    assert got[2].cum_hazard == round(h2 / 1e6, 6)
+    assert got[3].cum_hazard == round(h3 / 1e6, 6)
+    assert got[3].na_survival == round(math.exp(-h3 / 1e6), 6)
+
+
+def test_theil_sen_ignores_outlier(spark):
+    from tabsdata_spark import stats
+
+    # perfect slope 2 line with one wild outlier: OLS is dragged,
+    # Theil-Sen median slope stays exactly 2
+    pts = [(i, 2 * i) for i in range(10)] + [(10, 1000)]
+    df = spark.createDataFrame([("g", x, y) for x, y in pts],
+                               "g string, x long, y long")
+    row = stats.theil_sen(df, "x", "y", ["g"]).collect()[0]
+    assert row.n_pairs == 11 * 10 // 2
+    assert row.slope == 2.0
+
+
+def test_theil_sen_caps_points(spark):
+    from tabsdata_spark import stats
+
+    df = spark.createDataFrame([("g", i, i) for i in range(100)],
+                               "g string, x long, y long")
+    row = stats.theil_sen(df, "x", "y", ["g"], max_points=10).collect()[0]
+    assert row.n_pairs == 10 * 9 // 2
+    assert row.slope == 1.0
+
+
+def test_skew_kurtosis_symmetric_and_known(spark):
+    from tabsdata_spark import stats
+
+    # symmetric data: skew exactly 0; uniform-ish kurtosis negative
+    df = spark.createDataFrame([("g", v) for v in [-2, -1, 0, 1, 2]],
+                               "g string, mm long")
+    row = stats.exact_skew_kurtosis(df, "mm", ["g"]).collect()[0]
+    assert row.skewness == 0.0
+    # population excess kurtosis of {-2..2} = m4/m2^2 - 3 = 6.8/4 - 3
+    assert abs(row.excess_kurtosis - (6.8 / 4 - 3)) < 1e-9
+
+
+def test_skew_kurtosis_degenerate_null(spark):
+    from tabsdata_spark import stats
+
+    df = spark.createDataFrame([("g", 5), ("g", 5)], "g string, mm long")
+    row = stats.exact_skew_kurtosis(df, "mm", ["g"]).collect()[0]
+    assert row.skewness is None and row.excess_kurtosis is None
+
+
+def test_did_means_textbook_cells(spark):
+    from tabsdata_spark import stats
+
+    rows = [(True, False, 10.0), (True, True, 20.0),
+            (False, False, 5.0), (False, True, 7.0)]
+    df = spark.createDataFrame(rows, "t boolean, p boolean, v double")
+    r = stats.did_means(df, "t", "p", "v").collect()[0]
+    assert (r.mean_treated_pre, r.mean_treated_post) == (10.0, 20.0)
+    assert (r.mean_control_pre, r.mean_control_post) == (5.0, 7.0)
+    assert r.did == round((20.0 - 10.0) - (7.0 - 5.0), 6)
+
+
+def test_ipw_recovers_stratified_truth(spark):
+    from tabsdata_spark import stats
+
+    # stratum A: 75% treated, treated mean 10, control mean 1
+    # stratum B: 25% treated, treated mean 20, control mean 2
+    rows = ([("A", True, 10.0)] * 3 + [("A", False, 1.0)]
+            + [("B", True, 20.0)] + [("B", False, 2.0)] * 3)
+    df = spark.createDataFrame(rows, "s string, tr boolean, v double")
+    r = stats.ipw_means(df, ["s"], "tr", "v").collect()[0]
+    # IPW treated mean = (10*4 + 20*4) / 8 = 15; control = (1*4 + 2*4)/8
+    assert r.ipw_treated_mean == 15.0
+    assert r.ipw_control_mean == 1.5
+    assert r.n_strata == 2 and r.n_excluded == 0
+
+
+def test_ipw_excludes_single_arm_strata(spark):
+    from tabsdata_spark import stats
+
+    rows = [("A", True, 10.0), ("A", False, 1.0),
+            ("C", True, 99.0), ("C", True, 98.0)]  # C has no control
+    df = spark.createDataFrame(rows, "s string, tr boolean, v double")
+    r = stats.ipw_means(df, ["s"], "tr", "v").collect()[0]
+    assert r.n_excluded == 1 and r.n == 2
+    assert r.ipw_treated_mean == 10.0
+
+
+def test_hits_star_graph_both_modes(spark):
+    from tabsdata_spark import graph
+
+    # star: hub h points at a1..a3; extra hub h2 points at a1 only.
+    # a1 must out-rank a2/a3; h must out-rank h2.
+    edges = spark.createDataFrame(
+        [(100, 1), (100, 2), (100, 3), (200, 1)], "s long, d long")
+    for sp in (None, 4):
+        out = {(r.role, r.node): r.score for r in
+               graph.hits_exact(edges, "s", "d", iters=2,
+                                score_partitions=sp).collect()}
+        assert out[("authority", 1)] > out[("authority", 2)]
+        assert out[("authority", 2)] == out[("authority", 3)]
+        assert out[("hub", 100)] > out[("hub", 200)]
+        # L1 normalization: each role sums to ~1
+        for role in ("hub", "authority"):
+            s = sum(v for (r, _), v in out.items() if r == role)
+            assert abs(s - 1.0) < 1e-6
+
+
+def test_hits_modes_bit_identical(spark):
+    from tabsdata_spark import graph
+
+    edges = spark.createDataFrame(
+        [(i % 7 + 100, i % 5) for i in range(60)], "s long, d long")
+    a = sorted(map(tuple, graph.hits_exact(
+        edges, "s", "d", iters=2, score_partitions=None).collect()))
+    b = sorted(map(tuple, graph.hits_exact(
+        edges, "s", "d", iters=2, score_partitions=8).collect()))
+    assert a == b

@@ -35,6 +35,12 @@ GLOBAL_ORDER_OK = {
     # (extensions.py growth_curve)
     "token_budget_select_docs",
     "growth_curve_events",
+    # hits_exact small mode: the L1-normalization total is a global
+    # window over the |V|-sized SCORE VECTOR (node, score) — an
+    # aggregate of the edge list, never edge-sized rows; cluster mode
+    # (score_partitions=None) uses agg + 1-row broadcast instead
+    # (graph.py hits_exact)
+    "hits_customer_supplier",
 }
 
 
