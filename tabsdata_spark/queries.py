@@ -10534,3 +10534,56 @@ def random_projection_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return similarity.random_projection(emb, out_dim=8)
+
+
+@q(
+    "stream_ewma_events",
+    """
+    WITH RECURSIVE base AS (
+      SELECT event_id, user_id, value,
+             CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) AS ym,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events WHERE user_id < 40),
+    s AS (
+      SELECT event_id, user_id, value, rn, ym AS l
+      FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b.event_id, b.user_id, b.value, b.rn,
+             CAST(FLOOR((b.ym + s.l) / 2.0) AS BIGINT)
+      FROM base b JOIN s ON b.user_id = s.user_id AND b.rn = s.rn + 1)
+    SELECT event_id, user_id, value,
+           CAST(l AS DOUBLE) / 1e6 AS level
+    FROM s
+    """,
+)
+def stream_ewma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE streaming per-key EWMA (streaming/bus.py stream_ewma,
+    applyInPandasWithState, 11th live streaming operator): the events
+    slice streams back under an availableNow trigger and the O(1)
+    integer-state smoother emits every row's level.  The oracle is the
+    batch RECURSIVE-CTE replay of the identical floor-halving micros
+    recursion — the same exactness contract as holt_linear_events, now
+    held live through the state store."""
+    import tempfile
+
+    from tabsdata_spark.streaming import bus
+
+    ev = (load_events(spark, sf_dir).df
+          .filter(F.col("user_id") < 40)
+          .select("event_id", "user_id", "ts", "value")
+          .orderBy("ts", "event_id"))
+    tmp = tempfile.mkdtemp(prefix="td_stream_ewma_")
+    ev.coalesce(1).write.parquet(f"{tmp}/src/b1")
+    schema = "event_id long, user_id long, ts timestamp, value double"
+    stream = bus.stream_file_source(spark, f"{tmp}/src/*", schema)
+    out = bus.stream_ewma(stream, "user_id", "ts", "value", "event_id")
+    rows: list = []
+    qy = (out.writeStream.outputMode("update")
+          .foreachBatch(lambda b, i: rows.extend(b.collect()))
+          .option("checkpointLocation", f"{tmp}/ckpt")
+          .trigger(availableNow=True).start())
+    qy.awaitTermination(300)
+    return spark.createDataFrame(
+        [(r["event_id"], r["k"], r["value"], r["level"]) for r in rows],
+        "event_id long, user_id long, value double, level double")

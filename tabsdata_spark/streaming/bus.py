@@ -471,6 +471,67 @@ def stream_anomaly_flag(stream: DataFrame, key: str, ts_col: str,
                                     GroupStateTimeout.NoTimeout))
 
 
+def stream_ewma(stream: DataFrame, key: str, ts_col: str,
+                value_col: str, id_col: str,
+                output_mode: str = "update") -> DataFrame:
+    """Streaming per-key EWMA (alpha = 1/2) with O(1) state: the
+    smoothed level for every arriving row — the live twin of
+    extensions.holt_linear's level recursion (trend-free), for load
+    smoothing and online baselining.
+
+    Exactness contract (shared with the batch oracle): levels run in
+    micros INTEGERS with explicit floor((y_m + l)/2.0) halving — each
+    step is exact integer arithmetic (the /2.0 division is IEEE-exact
+    below 2^53), so the sequential recursion replays bit-identically
+    in a SQL recursive CTE.  Rows are processed in (ts, id) order
+    within each micro-batch (all Arrow chunks concatenated first — the
+    stream_anomaly_flag ordering lesson); state is ONE long per key.
+
+    Scale shape: keys partition across executors; state store holds 8
+    bytes per key; every micro-batch is one applyInPandasWithState
+    pass, no joins, no window."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (f"{id_col} long, k long, {value_col} double, "
+                  f"level double")
+    state_schema = "l long, started boolean"
+
+    def update(key_tuple, pdf_iter, state: GroupState):
+        l, started = state.get if state.exists else (0, False)
+        ids, vals, levels = [], [], []
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            pdf = (chunks[0] if len(chunks) == 1 else
+                   pd.concat(chunks, ignore_index=True))
+            pdf = pdf.sort_values([ts_col, id_col])
+            for v, rid in zip(pdf[value_col], pdf[id_col]):
+                v = float(v)
+                ym = int(math.floor(v * 1e6 + 0.5))
+                if not started:
+                    l, started = ym, True
+                else:
+                    l = int(math.floor((ym + l) / 2.0))
+                ids.append(int(rid))
+                vals.append(v)
+                levels.append(l / 1e6)
+        state.update((l, started))
+        if ids:
+            yield pd.DataFrame({
+                id_col: ids,
+                "k": [key_tuple[0]] * len(ids),
+                value_col: vals,
+                "level": levels,
+            })
+
+    return (stream.groupBy(F.col(key))
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    output_mode,
+                                    GroupStateTimeout.NoTimeout))
+
+
 def pick_topk_per_window(snapshot: DataFrame, key_cols: list[str],
                          n_col: str = "n", k: int = 3) -> DataFrame:
     """Batch post-step for windowed streaming counts: per window, keep

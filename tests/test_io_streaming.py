@@ -621,3 +621,41 @@ def test_pick_topk_per_window_ranks_and_ties(spark):
     assert got == [(dt.datetime(2024, 1, 1), "a", 1),   # tie -> lexicographic
                    (dt.datetime(2024, 1, 1), "b", 2),
                    (dt.datetime(2024, 1, 2), "z", 1)]
+
+
+def test_stream_ewma_matches_integer_recursion_across_batches(spark,
+                                                              tmp_path):
+    """Streaming EWMA level == the exact floor-halving micros recursion,
+    with the level carried across micro-batch boundaries."""
+    import datetime as dt
+    import math
+
+    t0 = dt.datetime(2024, 1, 1)
+    vals = [4.0, 9.0, 2.25, 15.5, 7.0, 7.0, 11.0, 0.5, 3.0, 20.0]
+    rows = [(i, 1, t0 + dt.timedelta(minutes=i), v)
+            for i, v in enumerate(vals)]
+    schema = "event_id long, user long, ts timestamp, v double"
+    df = spark.createDataFrame(rows, schema)
+
+    src = tmp_path / "ewma"
+    src.mkdir()
+    df.filter(F.col("event_id") < 5).coalesce(1).write.parquet(
+        str(src / "b1"))
+    df.filter(F.col("event_id") >= 5).coalesce(1).write.parquet(
+        str(src / "b2"))
+
+    got = {}
+    stream = bus.stream_file_source(spark, str(src / "*"), schema)
+    out = bus.stream_ewma(stream, "user", "ts", "v", "event_id")
+    qy = (out.writeStream.outputMode("update")
+          .foreachBatch(lambda b, i: got.update(
+              {r.event_id: r.level for r in b.collect()}))
+          .option("checkpointLocation", str(tmp_path / "ewma_ckpt"))
+          .trigger(availableNow=True).start())
+    qy.awaitTermination(120)
+
+    l = None
+    for i, v in enumerate(vals):
+        ym = math.floor(v * 1e6 + 0.5)
+        l = ym if l is None else math.floor((ym + l) / 2.0)
+        assert got[i] == l / 1e6
