@@ -244,6 +244,10 @@ ROUND5 = [
     "position_attribution_events",
     "hits_customer_supplier",
     "random_projection_emb",
+    "fd_violations_orders",
+    "ndcg_label_emb",
+    "minhash_calibration_docs",
+    "holt_winters_events",
 ]
 
 

@@ -1318,3 +1318,67 @@ def position_attribution(events: DataFrame, user_col: str, ts_col: str,
         "touch_type", F.col("n_credits").cast("bigint").alias("n_credits"),
         (F.col("__cm").cast("double") / 1e6).alias("revenue"))
     return out.unionByName(direct)
+
+
+def holt_winters(df: DataFrame, key_cols: list[str] | str, order_col: str,
+                 value_col: str, period: int = 7) -> DataFrame:
+    """Holt-Winters ADDITIVE seasonal smoothing per series
+    (alpha = beta = gamma = 1/2, season length `period`):
+
+        l_t = (y_t - s_{t-m} + l_{t-1} + b_{t-1}) / 2
+        b_t = ((l_t - l_{t-1}) + b_{t-1}) / 2
+        s_t = ((y_t - l_t) + s_{t-m}) / 2
+
+    the seasonal extension of holt_linear for daily/weekly-cycled
+    series.  Seasonals initialize to 0 (the first cycle learns them);
+    forecast_next = l + b + the seasonal that applies next step.
+
+    Exactness contract: identical to holt_linear — all state runs in
+    micros INTEGERS with explicit floor((..)/2.0) halving, so the
+    recursion replays bit-identically in a SQL recursive CTE that
+    carries the m-slot seasonal ring as a LIST column.
+
+    Scale shape: applyInPandas per series; state is O(period) per
+    series regardless of length.  Input must be one row per
+    (key, order) — pre-aggregate first."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    import pandas as pd
+
+    in_fields = df.select(*keys, order_col, value_col).schema
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in in_fields]
+        + ["level double", "trend double", "seasonal double",
+           "forecast_next double"])
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        pdf = pdf.sort_values(order_col).reset_index(drop=True)
+        sl = [0] * period
+        levels, trends, seas, fc = [], [], [], []
+        l = b = 0
+        for i, y in enumerate(pdf[value_col]):
+            ym = int(y) * 1_000_000
+            s_used = sl[0]
+            if i == 0:
+                l, b = ym, 0
+                s_new = 0
+            else:
+                l_new = math.floor((ym - s_used + l + b) / 2.0)
+                b = math.floor(((l_new - l) + b) / 2.0)
+                s_new = math.floor(((ym - l_new) + s_used) / 2.0)
+                l = l_new
+            sl = sl[1:] + [s_new]
+            levels.append(l)
+            trends.append(b)
+            seas.append(s_new)
+            fc.append(l + b + sl[0])
+        pdf = pdf.copy()
+        pdf["level"] = [x / 1e6 for x in levels]
+        pdf["trend"] = [x / 1e6 for x in trends]
+        pdf["seasonal"] = [x / 1e6 for x in seas]
+        pdf["forecast_next"] = [x / 1e6 for x in fc]
+        return pdf
+
+    return (df.select(*keys, order_col, value_col)
+            .groupBy(*keys).applyInPandas(smooth, out_schema))

@@ -1201,3 +1201,73 @@ def cross_source_dup_matrix(df: DataFrame, source_col: str = "source",
                                - F.coalesce(F.col("__shared"), F.lit(0)))
                             .cast("double"), 6)
                     .alias("jaccard")))
+
+
+def minhash_jaccard_calibration(docs: DataFrame, id_col: str = "doc_id",
+                                text_col: str = "text",
+                                num_hashes: int = 16,
+                                shingle_size: int = 3,
+                                hash_fn=None,
+                                xor_consts: list[int] | None = None
+                                ) -> DataFrame:
+    """Sketch-accuracy measurement: for every document pair in the
+    input, the MinHash Jaccard ESTIMATE (matching-signature-position
+    fraction) next to the EXACT shingle Jaccard — the calibration
+    report that tells you whether `num_hashes` is enough before you
+    trust LSH at corpus scale.
+
+    Permutations are XOR bijections of one base hash per shingle
+    (h ^ c_i, a true permutation of the hash space — one hash per
+    gram, k cheap XORs, no affine-mod overflow).  `xor_consts` pins
+    the permutation constants for engine-portable replays (pass
+    md5-derived ints + hash_fn=portable_hash60 for oracle checks);
+    default is xxhash64-derived constants, Spark-internal.
+
+    Exactness contract: signatures are exact integer mins; the
+    estimate is (#equal positions)/k and the exact Jaccard is integer
+    set sizes — both one IEEE division (round 6).
+
+    Scale shape: calibration runs on the BOUNDED sample the caller
+    passes (pairs grow quadratically — sample first, e.g. LSH
+    candidates or an id slice); per-doc signatures are one narrow
+    pass, the pair grid is a broadcast self-join on the sample."""
+    hf = hash_fn or (lambda c: F.xxhash64(c))
+    if xor_consts is not None:
+        consts = F.array(*[F.lit(int(c))
+                           for c in xor_consts[:num_hashes]])
+    else:
+        consts = F.array(*[F.xxhash64(F.lit(i))
+                           for i in range(num_hashes)])
+    # staged selects: __sh then __hv materialize as real columns so the
+    # nested signature lambda never inlines the tokenizer / hash per
+    # element (the word_ngrams / int8_quantize lesson)
+    base = (docs.select(F.col(id_col).alias("__id"),
+                        shingles(F.col(text_col), shingle_size)
+                        .alias("__sh"))
+            .select("__id", "__sh",
+                    F.transform(F.col("__sh"), hf).alias("__hv")))
+    sig = base.select(
+        "__id", "__sh",
+        F.transform(consts,
+                    lambda c: F.array_min(
+                        F.transform(F.col("__hv"),
+                                    lambda h: h.bitwiseXOR(c))))
+        .alias("__sig"))
+    a = sig.select(F.col("__id").alias("a_id"),
+                   F.col("__sh").alias("__sha"),
+                   F.col("__sig").alias("__siga"))
+    b = sig.select(F.col("__id").alias("b_id"),
+                   F.col("__sh").alias("__shb"),
+                   F.col("__sig").alias("__sigb"))
+    pairs = a.join(F.broadcast(b), F.col("a_id") < F.col("b_id"))
+    eq = F.size(F.filter(
+        F.zip_with(F.col("__siga"), F.col("__sigb"),
+                   lambda x, y: x == y), lambda m: m))
+    inter = F.size(F.array_intersect(F.col("__sha"), F.col("__shb")))
+    uni = (F.size(F.col("__sha")) + F.size(F.col("__shb")) - inter)
+    est = F.round(eq.cast("double") / F.lit(float(num_hashes)), 6)
+    exact = F.round(inter.cast("double") / uni.cast("double"), 6)
+    return pairs.select(
+        "a_id", "b_id", est.alias("est_jaccard"),
+        exact.alias("exact_jaccard"),
+        F.round(F.abs(est - exact), 6).alias("abs_err"))

@@ -725,3 +725,69 @@ def random_projection(emb: DataFrame, out_dim: int = 8,
     return (emb.select(F.col(id_col), F.posexplode(proj)
                        .alias("dim", "__p"))
             .select(id_col, "dim", F.round("__p", 6).alias("proj")))
+
+
+def ndcg_at_k(corpus: DataFrame, queries: DataFrame, k: int = 10,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              label_col: str = "label",
+              query_id_col: str = "query_id") -> DataFrame:
+    """Retrieval-quality evaluation: NDCG@k per query over exact
+    brute-force cosine ranking, with same-label candidates as the
+    binary relevance signal — the eval harness that grades an ANN
+    index, an embedding model, or a hard-negative miner against ground
+    truth.
+
+    Exactness contract: ranking is the unrounded cosine with an id
+    tie-break (the embed_topk contract); each rank's discount
+    1/log2(r+1) is quantized to 1e12 integers, so DCG and ideal DCG
+    are exact integer sums in any partitioning and NDCG is one IEEE
+    division (round 6 display).  Queries with no same-label candidate
+    surface NULL (no 0/0).
+
+    Scale shape: broadcast(queries) x corpus -> per-query window top-k
+    (the brute_force_topk plan), one label-count broadcast join, one
+    bounded sequence explode for the ideal prefix.  |queries| bounds
+    every post-scan structure."""
+    from ..scale import fan_out
+
+    q = queries.select(F.col(query_id_col).alias("__qid"),
+                       F.col(vec_col).alias("__qvec"),
+                       F.col(label_col).alias("__qlab"))
+    cand = (fan_out(corpus.select(F.col(id_col), F.col(vec_col),
+                                  F.col(label_col)))
+            .crossJoin(F.broadcast(q))
+            .filter(F.col(id_col) != F.col("__qid")))
+    scored = cand.select(
+        "__qid", "__qlab", F.col(id_col), F.col(label_col).alias("__clab"),
+        cosine(F.col(vec_col), F.col("__qvec")).alias("__sim"))
+    w = Window.partitionBy("__qid").orderBy(
+        F.col("__sim").desc(), F.col(id_col).asc())
+    top = (scored.withColumn("__r", F.row_number().over(w))
+           .filter(F.col("__r") <= k))
+
+    def wq(r):
+        return (F.floor(F.lit(1e12) / (F.log(r + F.lit(1)) / F.log(F.lit(2.0)))
+                        + F.lit(0.5)).cast("bigint"))
+
+    dcg = top.groupBy("__qid", "__qlab").agg(
+        F.sum(F.when(F.col("__clab") == F.col("__qlab"),
+                     wq(F.col("__r"))).otherwise(0)).alias("__dcg"))
+    labn = corpus.groupBy(F.col(label_col).alias("__lab")).agg(
+        F.count(F.lit(1)).alias("__ln"))
+    per = (dcg.join(F.broadcast(labn), dcg["__qlab"] == labn["__lab"])
+           .select("__qid", "__qlab", "__dcg",
+                   (F.col("__ln") - 1).cast("bigint").alias("n_rel")))
+    ideal = (per.filter(F.col("n_rel") > 0)
+             .select("__qid", F.explode(
+                 F.sequence(F.lit(1),
+                            F.least(F.lit(k), F.col("n_rel"))
+                            .cast("int"))).alias("__i"))
+             .groupBy("__qid")
+             .agg(F.sum(wq(F.col("__i"))).alias("__idcg")))
+    return (per.join(ideal, "__qid", "left")
+            .select(F.col("__qid").alias(query_id_col),
+                    F.col("__qlab").alias(label_col), "n_rel",
+                    F.when(F.col("n_rel") > 0,
+                           F.round(F.col("__dcg").cast("double")
+                                   / F.col("__idcg").cast("double"), 6))
+                    .alias("ndcg")))

@@ -10587,3 +10587,237 @@ def stream_ewma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(r["event_id"], r["k"], r["value"], r["level"]) for r in rows],
         "event_id long, user_id long, value double, level double")
+
+
+@q(
+    "fd_violations_orders",
+    """
+    WITH p1 AS (
+      SELECT o_custkey AS a, o_orderpriority AS b FROM orders),
+    c1 AS (SELECT a, b, COUNT(*) AS c FROM p1 GROUP BY 1, 2),
+    g1 AS (SELECT a, MAX(c) AS keep, SUM(c) AS tot FROM c1 GROUP BY a),
+    r1 AS (
+      SELECT 'o_custkey' AS determinant, 'o_orderpriority' AS dependent,
+             CAST(SUM(tot) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_det_groups,
+             CAST(SUM(tot) - SUM(keep) AS BIGINT) AS n_violations,
+             ROUND(CAST(SUM(tot) - SUM(keep) AS DOUBLE)
+                   / CAST(SUM(tot) AS DOUBLE), 6) AS violation_rate
+      FROM g1),
+    p2 AS (
+      SELECT l_orderkey AS a, l_returnflag AS b FROM lineitem),
+    c2 AS (SELECT a, b, COUNT(*) AS c FROM p2 GROUP BY 1, 2),
+    g2 AS (SELECT a, MAX(c) AS keep, SUM(c) AS tot FROM c2 GROUP BY a),
+    r2 AS (
+      SELECT 'l_orderkey' AS determinant, 'l_returnflag' AS dependent,
+             CAST(SUM(tot) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_det_groups,
+             CAST(SUM(tot) - SUM(keep) AS BIGINT) AS n_violations,
+             ROUND(CAST(SUM(tot) - SUM(keep) AS DOUBLE)
+                   / CAST(SUM(tot) AS DOUBLE), 6) AS violation_rate
+      FROM g2)
+    SELECT * FROM r1 UNION ALL SELECT * FROM r2
+    """,
+)
+def fd_violations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-FD profiling (scale.fd_violation_report, g3 error):
+    does o_custkey determine o_orderpriority, and l_orderkey
+    l_returnflag?  Exact integer violation counts per candidate pair;
+    one (A,B) shuffle each."""
+    from tabsdata_spark import scale
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    r1 = scale.fd_violation_report(o, [("o_custkey", "o_orderpriority")])
+    r2 = scale.fd_violation_report(li, [("l_orderkey", "l_returnflag")])
+    return r1.unionByName(r2)
+
+
+@q(
+    "ndcg_label_emb",
+    """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS qlab
+               FROM embeddings WHERE vec_id < 20),
+    sc AS (
+      SELECT qid, qlab, e.vec_id AS cid, e.label AS clab,
+             list_cosine_similarity(e.embedding::DOUBLE[], qv::DOUBLE[])
+               AS sim
+      FROM embeddings e, q WHERE e.vec_id <> qid),
+    rk AS (
+      SELECT qid, qlab, clab,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY sim DESC, cid) AS r
+      FROM sc),
+    top AS (SELECT * FROM rk WHERE r <= 10),
+    d AS (
+      SELECT qid, qlab,
+             SUM(CASE WHEN clab = qlab
+                      THEN CAST(FLOOR(1e12 / (LN(r + 1) / LN(2)) + 0.5)
+                                AS BIGINT)
+                      ELSE 0 END) AS dcgq
+      FROM top GROUP BY 1, 2),
+    lc AS (SELECT label, COUNT(*) AS ln FROM embeddings GROUP BY 1),
+    pr AS (SELECT qid, qlab, dcgq, CAST(ln - 1 AS BIGINT) AS n_rel
+           FROM d JOIN lc ON qlab = label),
+    iw AS (SELECT qid, unnest(range(1, LEAST(10, n_rel) + 1)) AS i
+           FROM pr WHERE n_rel > 0),
+    ic AS (SELECT qid,
+                  SUM(CAST(FLOOR(1e12 / (LN(i + 1) / LN(2)) + 0.5)
+                           AS BIGINT)) AS idcgq
+           FROM iw GROUP BY qid)
+    SELECT pr.qid AS query_id, qlab AS label, n_rel,
+           CASE WHEN n_rel > 0
+                THEN ROUND(CAST(dcgq AS DOUBLE) / CAST(idcgq AS DOUBLE), 6)
+           END AS ndcg
+    FROM pr LEFT JOIN ic ON pr.qid = ic.qid
+    """,
+)
+def ndcg_label_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval eval: NDCG@10 for the first 20 vectors as queries,
+    same-label candidates as relevance (similarity.ndcg_at_k) —
+    1e12-quantized log2 discounts make DCG/IDCG exact integer sums, so
+    the score is bit-stable across engines and partitionings."""
+    from tabsdata_spark.llm import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label")
+    return similarity.ndcg_at_k(emb, qs, k=10)
+
+
+import hashlib as _hashlib
+
+#: engine-portable XOR permutation constants for the minhash
+#: calibration query: int(md5('perm:i')[:15], 16) — the same integers
+#: are inlined into the oracle SQL below and passed to the Spark
+#: operator, so both engines build identical signatures.
+_MH_CAL_CONSTS = [
+    int(_hashlib.md5(f"perm:{i}".encode()).hexdigest()[:15], 16)
+    for i in range(16)
+]
+
+_MH_CAL_VALUES = ", ".join(
+    f"({i}, {c})" for i, c in enumerate(_MH_CAL_CONSTS))
+
+
+@q(
+    "minhash_calibration_docs",
+    rf"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents WHERE doc_id < 60),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) >= 3
+                  THEN list_transform(range(1, len(toks) - 1),
+                       i -> array_to_string(toks[i:i+2], ' '))
+                  ELSE [array_to_string(toks, ' ')] END) AS g
+      FROM t),
+    ex AS (SELECT doc_id, unnest(g) AS gram FROM sh),
+    hv AS (SELECT doc_id, {_HASH60_SQL.format(v='gram')} AS h FROM ex),
+    consts(i, c) AS (VALUES {_MH_CAL_VALUES}),
+    sigs AS (
+      SELECT doc_id, i, MIN(xor(h, c)) AS s
+      FROM hv, consts GROUP BY doc_id, i),
+    est AS (
+      SELECT sa.doc_id AS a_id, sb.doc_id AS b_id,
+             SUM(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) AS eq
+      FROM sigs sa JOIN sigs sb ON sa.i = sb.i AND sa.doc_id < sb.doc_id
+      GROUP BY 1, 2),
+    sz AS (SELECT doc_id, len(g) AS n FROM sh),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared
+      FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    grid AS (
+      SELECT sa.doc_id AS a_id, sb.doc_id AS b_id, sa.n AS na, sb.n AS nb
+      FROM sz sa JOIN sz sb ON sa.doc_id < sb.doc_id),
+    j AS (
+      SELECT grid.a_id, grid.b_id,
+             ROUND(eq / 16.0, 6) AS est_jaccard,
+             ROUND(COALESCE(shared, 0)
+                   / CAST(na + nb - COALESCE(shared, 0) AS DOUBLE), 6)
+               AS exact_jaccard
+      FROM grid
+      JOIN est ON grid.a_id = est.a_id AND grid.b_id = est.b_id
+      LEFT JOIN inter ON grid.a_id = inter.a_id AND grid.b_id = inter.b_id)
+    SELECT a_id, b_id, est_jaccard, exact_jaccard,
+           ROUND(ABS(est_jaccard - exact_jaccard), 6) AS abs_err
+    FROM j
+    """,
+)
+def minhash_calibration_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash sketch-accuracy calibration
+    (llm/dedup.minhash_jaccard_calibration) on a bounded 60-doc slice:
+    estimated vs exact shingle Jaccard per pair under 16 XOR-bijection
+    permutations of an engine-portable md5 base hash — the report that
+    sizes num_hashes before trusting LSH at corpus scale."""
+    from tabsdata_spark.llm import dedup, textual
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter(F.col("doc_id") < 60))
+    return dedup.minhash_jaccard_calibration(
+        docs, num_hashes=16, shingle_size=3,
+        hash_fn=textual.portable_hash60, xor_consts=_MH_CAL_CONSTS)
+
+
+@q(
+    "holt_winters_events",
+    """
+    WITH RECURSIVE base AS (
+      SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             COUNT(*) AS y,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY CAST(CAST(ts AS TIMESTAMP) AS DATE))
+               AS rn
+      FROM events GROUP BY 1, 2),
+    s AS (
+      SELECT event_type, rn, day, y,
+             y * 1000000 AS l, CAST(0 AS BIGINT) AS b,
+             CAST(0 AS BIGINT) AS sn,
+             [CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+              CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+              CAST(0 AS BIGINT)] AS sl
+      FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b2.event_type, b2.rn, b2.day, b2.y,
+             CAST(FLOOR((b2.y * 1000000 - s.sl[1] + s.l + s.b) / 2.0)
+                  AS BIGINT),
+             CAST(FLOOR((CAST(FLOOR((b2.y * 1000000 - s.sl[1] + s.l + s.b)
+                                    / 2.0) AS BIGINT) - s.l + s.b) / 2.0)
+                  AS BIGINT),
+             CAST(FLOOR((b2.y * 1000000
+                         - CAST(FLOOR((b2.y * 1000000 - s.sl[1] + s.l + s.b)
+                                      / 2.0) AS BIGINT)
+                         + s.sl[1]) / 2.0) AS BIGINT),
+             list_append(s.sl[2:7],
+               CAST(FLOOR((b2.y * 1000000
+                           - CAST(FLOOR((b2.y * 1000000 - s.sl[1] + s.l
+                                         + s.b) / 2.0) AS BIGINT)
+                           + s.sl[1]) / 2.0) AS BIGINT))
+      FROM base b2 JOIN s ON b2.event_type = s.event_type
+                         AND b2.rn = s.rn + 1)
+    SELECT event_type, day, CAST(y AS BIGINT) AS n,
+           CAST(l AS DOUBLE) / 1e6 AS level,
+           CAST(b AS DOUBLE) / 1e6 AS trend,
+           CAST(sn AS DOUBLE) / 1e6 AS seasonal,
+           CAST(l + b + sl[1] AS DOUBLE) / 1e6 AS forecast_next
+    FROM s
+    """,
+)
+def holt_winters_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive weekly-seasonal smoothing of daily event
+    counts per type (extensions.holt_winters, period 7): micros-integer
+    level/trend/seasonal state with explicit floor-halving; the oracle
+    RECURSIVE CTE carries the 7-slot seasonal ring as a LIST column and
+    replays the recursion bit-for-bit.  NOTE the anchor row keeps the
+    all-zero ring (its seasonal update is exactly 0 by construction)."""
+    from tabsdata_spark import extensions
+
+    ev = load_events(spark, sf_dir).df
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    return extensions.holt_winters(daily, "event_type", "day", "n",
+                                   period=7)

@@ -491,3 +491,45 @@ def auto_salted_agg(df: DataFrame, key_cols: list[str] | str, aggs: dict,
                                    F.lit(salt)))
               .groupBy(*keys, "__salt").agg(*partial_exprs()))
     return salted.groupBy(*keys).agg(*final_exprs())
+
+
+def fd_violation_report(df: DataFrame,
+                        pairs: list[tuple[str, str]]) -> DataFrame:
+    """Approximate-functional-dependency profiler: for each candidate
+    dependency A -> B, the minimum number of rows that would have to
+    change for the FD to hold exactly (the g3 error of Kivinen &
+    Mannila) — n minus the sum over A-groups of the largest B-count.
+    The data-quality probe that finds 'almost keys' and denormalization
+    drift before they poison joins or dedup keys.
+
+    Exactness: everything is integer counts; violation_rate is one
+    double division (round 6 display).
+
+    Scale shape per pair: one (A, B) partial-agg shuffle, one A-keyed
+    agg, one 1-row combine — candidate pairs are enumerated by the
+    caller and bounded, and each pair's plan is independent (the union
+    is of single-row frames)."""
+    outs = []
+    for det, dep in pairs:
+        cells = (df.groupBy(F.col(det).alias("__a"),
+                            F.col(dep).alias("__b"))
+                 .agg(F.count(F.lit(1)).alias("__c")))
+        per_a = cells.groupBy("__a").agg(
+            F.max("__c").alias("__keep"), F.sum("__c").alias("__tot"))
+        tot = per_a.agg(
+            F.count(F.lit(1)).alias("n_det_groups"),
+            F.sum("__tot").alias("n"),
+            (F.sum("__tot") - F.sum("__keep")).alias("n_violations"))
+        outs.append(tot.select(
+            F.lit(det).alias("determinant"),
+            F.lit(dep).alias("dependent"),
+            F.col("n").cast("bigint").alias("n"),
+            F.col("n_det_groups").cast("bigint").alias("n_det_groups"),
+            F.col("n_violations").cast("bigint").alias("n_violations"),
+            F.round(F.col("n_violations").cast("double")
+                    / F.col("n").cast("double"), 6)
+            .alias("violation_rate")))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

@@ -791,3 +791,47 @@ def test_position_attribution_small_n_and_remainder(spark):
     assert abs(total - (5.0 + 10.000001)) < 1e-9
     # user 2: clicks are both ends (8.0), view carries pool 2.000001
     assert abs(out["view"].revenue - 2.000001) < 1e-9
+
+
+def test_holt_winters_matches_python_reference(spark):
+    import math
+
+    from tabsdata_spark import extensions
+
+    ys = [10, 14, 6, 11, 15, 7, 12, 16, 8, 13, 17, 9]
+    df = spark.createDataFrame(
+        [("s", i, y) for i, y in enumerate(ys)], "k string, t int, y long")
+    got = [(r.level, r.trend, r.seasonal, r.forecast_next) for r in
+           extensions.holt_winters(df, "k", "t", "y", period=3)
+           .orderBy("t").collect()]
+    sl = [0, 0, 0]
+    l = b = 0
+    want = []
+    for i, y in enumerate(ys):
+        ym = y * 1_000_000
+        su = sl[0]
+        if i == 0:
+            l, b, sn = ym, 0, 0
+        else:
+            ln = math.floor((ym - su + l + b) / 2.0)
+            b = math.floor(((ln - l) + b) / 2.0)
+            sn = math.floor(((ym - ln) + su) / 2.0)
+            l = ln
+        sl = sl[1:] + [sn]
+        want.append((l / 1e6, b / 1e6, sn / 1e6, (l + b + sl[0]) / 1e6))
+    assert got == want
+
+
+def test_holt_winters_learns_pure_seasonality(spark):
+    from tabsdata_spark import extensions
+
+    # exact period-2 alternation 10,20,10,20...: after convergence the
+    # forecast tracks the alternation direction
+    ys = [10, 20] * 12
+    df = spark.createDataFrame(
+        [("s", i, y) for i, y in enumerate(ys)], "k string, t int, y long")
+    rows = (extensions.holt_winters(df, "k", "t", "y", period=2)
+            .orderBy("t").collect())
+    last = rows[-1]       # last observed value is 20; next is 10
+    prev = rows[-2]
+    assert last.forecast_next < prev.forecast_next

@@ -1853,3 +1853,42 @@ def test_random_projection_deterministic_and_linear(spark):
     again = {(r.vec_id, r.dim): r.proj
              for r in similarity.random_projection(emb, out_dim=4).collect()}
     assert rows == again
+
+
+def test_ndcg_perfect_and_empty_relevance(spark):
+    from tabsdata_spark.llm import similarity
+
+    # two tight same-label clusters: every query's same-label mates
+    # rank ahead of the other cluster -> NDCG exactly 1.0
+    rows = ([(i, [1.0 + 0.001 * i, 0.0], 0) for i in range(4)]
+            + [(10 + i, [0.0, 1.0 + 0.001 * i], 1) for i in range(4)]
+            + [(99, [0.5, 0.5], 7)])          # label 7: no mates
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    qs = emb.filter(F.col("vec_id").isin(0, 10, 99)).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label")
+    out = {r.query_id: r for r in
+           similarity.ndcg_at_k(emb, qs, k=3).collect()}
+    assert out[0].ndcg == 1.0 and out[0].n_rel == 3
+    assert out[10].ndcg == 1.0
+    assert out[99].n_rel == 0 and out[99].ndcg is None
+
+
+def test_minhash_calibration_identical_and_disjoint(spark):
+    from tabsdata_spark.llm import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "completely different words entirely unrelated text here")],
+        "doc_id long, text string")
+    out = {(r.a_id, r.b_id): r for r in
+           dedup.minhash_jaccard_calibration(docs, num_hashes=8).collect()}
+    # identical docs: every signature slot matches, exact jaccard 1
+    assert out[(1, 2)].est_jaccard == 1.0
+    assert out[(1, 2)].exact_jaccard == 1.0
+    assert out[(1, 2)].abs_err == 0.0
+    # disjoint shingles: exact 0 (estimate may collide but not here
+    # with 60-bit hashes over disjoint grams)
+    assert out[(1, 3)].exact_jaccard == 0.0
+    assert out[(1, 3)].est_jaccard == 0.0

@@ -234,3 +234,21 @@ def test_auto_salted_agg_paths_agree(spark):
                                    skew_threshold=1.1).collect()}
     assert salted == plain
     assert salted["hot"][0] == 450 and salted["cold"][0] == 50
+
+
+def test_fd_violation_report_exact_and_holding(spark):
+    from tabsdata_spark import scale
+
+    # A=1 -> B mostly 'x' (1 violating 'y' row); A=2 holds exactly
+    rows = [(1, "x"), (1, "x"), (1, "y"), (2, "z"), (2, "z")]
+    df = spark.createDataFrame(rows, "a int, b string")
+    out = {r.determinant: r for r in scale.fd_violation_report(
+        df, [("a", "b")]).collect()}
+    r = out["a"]
+    assert r.n == 5 and r.n_det_groups == 2
+    assert r.n_violations == 1
+    assert r.violation_rate == 0.2
+
+    held = spark.createDataFrame([(1, "x"), (2, "y")], "a int, b string")
+    r2 = scale.fd_violation_report(held, [("a", "b")]).collect()[0]
+    assert r2.n_violations == 0 and r2.violation_rate == 0.0
