@@ -248,6 +248,10 @@ ROUND5 = [
     "ndcg_label_emb",
     "minhash_calibration_docs",
     "holt_winters_events",
+    "image_patches_bmp",
+    "xcorr_events",
+    "l_diversity_events",
+    "prefix_dim_quality_emb",
 ]
 
 

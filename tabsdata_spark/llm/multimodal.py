@@ -247,6 +247,79 @@ def ahash_images(df: DataFrame, id_col: str = "doc_id",
     return df.select(id_col, binary_col).mapInPandas(run, out_schema)
 
 
+def image_patches(df: DataFrame, id_col: str = "doc_id",
+                  binary_col: str = "payload",
+                  grid: int = 4) -> DataFrame:
+    """ViT-style patch featurization: decode, gray-average the
+    channels, split into a grid x grid array of EQUAL integer blocks,
+    and emit one row per patch with the EXACT integer pixel sum and
+    its mean — the patch-embedding front end of an image tower
+    (downstream projection is a matmul over these block statistics).
+
+    Exactness contract: gray values of equal-channel images are exact
+    integers in float64; each patch sum accumulates < 2^53 so it is
+    exact, surfaced as BIGINT; the mean is half-up micros --
+    floor(sum*1e6/count + 0.5)/1e6 -- because python round() is
+    banker's and engine ROUND() is half-away (the udf_element_tier
+    lesson), and integer/48 hits 6-decimal half boundaries.
+
+    Scale shape: one mapInPandas pass, one row per (image, patch) —
+    output is grid^2 x images, no shuffle."""
+    import pandas as pd
+
+    from . import codecs
+
+    out_schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("patch_row", T.IntegerType()),
+        T.StructField("patch_col", T.IntegerType()),
+        T.StructField("pixel_sum", T.LongType()),
+        T.StructField("pixel_mean", T.DoubleType()),
+    ])
+
+    def run(batches):
+        import numpy as np
+
+        for pdf in batches:
+            ids, prs, pcs, sums, means = [], [], [], [], []
+            for _id, payload in zip(pdf[id_col], pdf[binary_col]):
+                if payload is None:
+                    continue
+                raw = bytes(payload)
+                if codecs.sniff_format(raw) != "bmp":
+                    raise ValueError(
+                        "image_patches decodes images only (spec-level "
+                        "BMP here; jpeg/png need a real image library — "
+                        "multimodal.set_decoder)")
+                d = codecs.decode_bmp(raw)
+                # channel mean of an equal-channel image is the exact
+                # integer channel value; sum in int64 (never float)
+                px = d["pixels"].astype(np.int64)
+                gray3 = px.sum(axis=2)          # 3 * gray, exact ints
+                h, w = gray3.shape
+                bh, bw = h // grid, w // grid
+                blocks = (gray3[:bh * grid, :bw * grid]
+                          .reshape(grid, bh, grid, bw)
+                          .sum(axis=(1, 3)))    # int64 patch sums of 3*v
+                cnt = 3 * bh * bw
+                import math
+
+                for r in range(grid):
+                    for c in range(grid):
+                        s = int(blocks[r, c])
+                        ids.append(int(_id))
+                        prs.append(r)
+                        pcs.append(c)
+                        sums.append(s)
+                        means.append(
+                            math.floor(s * 1e6 / cnt + 0.5) / 1e6)
+            yield pd.DataFrame({id_col: ids, "patch_row": prs,
+                                "patch_col": pcs, "pixel_sum": sums,
+                                "pixel_mean": means})
+
+    return df.select(id_col, binary_col).mapInPandas(run, out_schema)
+
+
 def image_near_dup_pairs(hashes: DataFrame, id_col: str = "doc_id",
                          max_hamming: int = 3) -> DataFrame:
     """Near-duplicate image pairs from aHash fingerprints by banded

@@ -791,3 +791,57 @@ def ndcg_at_k(corpus: DataFrame, queries: DataFrame, k: int = 10,
                            F.round(F.col("__dcg").cast("double")
                                    / F.col("__idcg").cast("double"), 6))
                     .alias("ndcg")))
+
+
+def prefix_dim_quality(corpus: DataFrame, queries: DataFrame,
+                       prefix_dim: int = 16,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       query_id_col: str = "query_id") -> DataFrame:
+    """Matryoshka-style prefix-truncation quality report: for each
+    query, how well cosine over the FIRST `prefix_dim` dimensions
+    agrees with full-dimension cosine — the measurement that decides
+    whether a cheap prefix index can front a full-dim reranker.
+
+    Per query: the full-dim and prefix-dim top-1 neighbor ids, whether
+    they agree, and the mean absolute cosine delta across all
+    candidates (each pair's delta quantized to micros BEFORE the mean,
+    so the sum is exact integers in any partitioning; the mean is one
+    IEEE division, round 6).
+
+    Scale shape: broadcast(queries) x corpus (the brute_force_topk
+    plan), one per-query window for the two top-1 picks, one
+    partial agg for the delta mean."""
+    from ..scale import fan_out
+
+    q = queries.select(F.col(query_id_col).alias("__qid"),
+                       F.col(vec_col).alias("__qvec"))
+    cand = (fan_out(corpus.select(F.col(id_col), F.col(vec_col)))
+            .crossJoin(F.broadcast(q))
+            .filter(F.col(id_col) != F.col("__qid")))
+    full = cosine(F.col(vec_col), F.col("__qvec"))
+    pref = cosine(F.slice(F.col(vec_col), 1, prefix_dim),
+                  F.slice(F.col("__qvec"), 1, prefix_dim))
+    scored = cand.select("__qid", F.col(id_col),
+                         full.alias("__cf"), pref.alias("__cp"))
+    wf = Window.partitionBy("__qid").orderBy(
+        F.col("__cf").desc(), F.col(id_col).asc())
+    wp = Window.partitionBy("__qid").orderBy(
+        F.col("__cp").desc(), F.col(id_col).asc())
+    ranked = (scored
+              .withColumn("__rf", F.row_number().over(wf))
+              .withColumn("__rp", F.row_number().over(wp)))
+    dq = F.floor(F.abs(F.col("__cf") - F.col("__cp")) * 1e6
+                 + F.lit(0.5)).cast("bigint")
+    agg = ranked.groupBy("__qid").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.min(F.when(F.col("__rf") == 1, F.col(id_col))).alias("top1_full"),
+        F.min(F.when(F.col("__rp") == 1, F.col(id_col))).alias("top1_prefix"),
+        F.sum(dq).alias("__sd"))
+    return agg.select(
+        F.col("__qid").alias(query_id_col),
+        F.col("n_candidates").cast("bigint").alias("n_candidates"),
+        "top1_full", "top1_prefix",
+        (F.col("top1_full") == F.col("top1_prefix")).alias("top1_agree"),
+        F.round(F.col("__sd").cast("double") / 1e6
+                / F.col("n_candidates").cast("double"), 6)
+        .alias("mean_abs_cos_delta"))

@@ -10821,3 +10821,189 @@ def holt_winters_events(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.count(F.lit(1)).alias("n")))
     return extensions.holt_winters(daily, "event_type", "day", "n",
                                    period=7)
+
+
+@q(
+    "image_patches_bmp",
+    """
+    WITH ids AS (
+      SELECT doc_id, doc_id % 25 AS cls, doc_id % 3 AS nz
+      FROM documents WHERE doc_id < 100),
+    px AS (
+      SELECT doc_id, r.r, c.c,
+             CASE WHEN r.r = 0 AND c.c < nz THEN 255
+                  ELSE (cls * 31 + r.r * 7 + c.c * 13) % 256 END AS v
+      FROM ids,
+           (SELECT unnest(range(0, 16)) AS r) r,
+           (SELECT unnest(range(0, 16)) AS c) c),
+    p AS (
+      SELECT doc_id, CAST(r // 4 AS INTEGER) AS patch_row,
+             CAST(c // 4 AS INTEGER) AS patch_col,
+             CAST(SUM(3 * v) AS BIGINT) AS pixel_sum
+      FROM px GROUP BY 1, 2, 3)
+    SELECT doc_id, patch_row, patch_col, pixel_sum,
+           FLOOR(pixel_sum * 1e6 / 48.0 + 0.5) / 1e6 AS pixel_mean
+    FROM p
+    """,
+)
+def image_patches_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style patch featurization (llm/multimodal.image_patches):
+    the same closed-form 16x16 BMPs as image_ahash_pairs, decoded
+    through the spec-level codec and split into 4x4 patches with EXACT
+    integer pixel sums; the oracle recomputes each patch from the
+    pixel formula.  Means are half-up micros on both sides."""
+    import pandas as pd
+
+    from tabsdata_spark.llm import multimodal
+
+    def make_bmps(batches):
+        import numpy as np
+
+        from tabsdata_spark.llm import codecs
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                cls, nz = i % 25, i % 3
+                r = np.arange(16).reshape(16, 1)
+                c = np.arange(16).reshape(1, 16)
+                v = ((cls * 31 + r * 7 + c * 13) % 256).astype(np.uint8)
+                v[0, :nz] = 255
+                px = np.repeat(v[:, :, None], 3, axis=2)
+                payloads.append(codecs.encode_bmp(px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter(F.col("doc_id") < 100).select("doc_id"))
+    import pyspark.sql.types as T
+    bmps = docs.mapInPandas(make_bmps, T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType())]))
+    return multimodal.image_patches(bmps, grid=4)
+
+
+@q(
+    "xcorr_events",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             epoch_us(CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE)
+                           AS TIMESTAMP)) // 86400000000 AS t,
+             COUNT(*) AS y
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1, 2),
+    xs AS (SELECT t, y AS x FROM daily WHERE event_type = 'click'),
+    ys AS (SELECT t AS ty, y FROM daily WHERE event_type = 'purchase'),
+    lg AS (SELECT unnest(range(-7, 8)) AS lag),
+    j AS (
+      SELECT lag, x, y
+      FROM xs, lg JOIN ys ON xs.t + lg.lag = ys.ty),
+    m AS (
+      SELECT lag, COUNT(*) AS n,
+             CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sx2,
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS sy2
+      FROM j GROUP BY lag)
+    SELECT CAST(lag AS INTEGER) AS lag, CAST(n AS BIGINT) AS n,
+           CASE WHEN n >= 3 AND n * sx2 - sx * sx > 0.0
+                     AND n * sy2 - sy * sy > 0.0
+                THEN ROUND((n * sxy - sx * sy)
+                           / SQRT((n * sx2 - sx * sx)
+                                  * (n * sy2 - sy * sy)), 6)
+           END AS r
+    FROM m
+    """,
+)
+def xcorr_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation (stats.cross_correlation) between
+    daily click and purchase counts at lags -7..7: exact decimal
+    moments per lag, one shifted-key join, NULL on degenerate lags."""
+    from tabsdata_spark import stats
+
+    ev = load_events(spark, sf_dir).df
+    day = F.expr("unix_micros(cast(to_date(ts) as timestamp))"
+                 " div 86400000000")
+    daily = (ev.filter(F.col("event_type").isin("click", "purchase"))
+             .groupBy("event_type", day.alias("t"))
+             .agg(F.count(F.lit(1)).alias("y")))
+    xs = daily.filter(F.col("event_type") == "click").select("t", F.col("y").alias("x"))
+    ys = daily.filter(F.col("event_type") == "purchase").select("t", "y")
+    return stats.cross_correlation(xs, ys, "t", "x", "y", max_lag=7)
+
+
+@q(
+    "l_diversity_events",
+    """
+    WITH base AS (
+      SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             user_id % 20 AS sens
+      FROM events),
+    cells AS (
+      SELECT event_type, day, sens, COUNT(*) AS c
+      FROM base GROUP BY 1, 2, 3)
+    SELECT event_type, day, CAST(SUM(c) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS l_distinct
+    FROM cells GROUP BY 1, 2
+    """,
+)
+def l_diversity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity disclosure report (stats.l_diversity): equivalence
+    classes are (event_type, day), the synthetic sensitive attribute is
+    user_id % 20 — class size and distinct-sensitive count, the
+    companion check to k_anonymity_events."""
+    from tabsdata_spark import stats
+
+    ev = load_events(spark, sf_dir).df
+    base = ev.select("event_type", F.to_date("ts").alias("day"),
+                     (F.col("user_id") % 20).alias("sens"))
+    return stats.l_diversity(base, ["event_type", "day"], "sens")
+
+
+@q(
+    "prefix_dim_quality_emb",
+    """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv
+               FROM embeddings WHERE vec_id < 20),
+    sc AS (
+      SELECT qid, e.vec_id AS cid,
+             list_cosine_similarity(e.embedding::DOUBLE[], qv::DOUBLE[])
+               AS cf,
+             list_cosine_similarity(e.embedding[1:16]::DOUBLE[],
+                                    qv[1:16]::DOUBLE[]) AS cp
+      FROM embeddings e, q WHERE e.vec_id <> qid),
+    rk AS (
+      SELECT qid, cid, cf, cp,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cf DESC, cid)
+               AS rf,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cp DESC, cid)
+               AS rp
+      FROM sc),
+    ag AS (
+      SELECT qid, COUNT(*) AS n_candidates,
+             MIN(CASE WHEN rf = 1 THEN cid END) AS top1_full,
+             MIN(CASE WHEN rp = 1 THEN cid END) AS top1_prefix,
+             SUM(CAST(FLOOR(ABS(cf - cp) * 1e6 + 0.5) AS BIGINT)) AS sd
+      FROM rk GROUP BY qid)
+    SELECT qid AS query_id, CAST(n_candidates AS BIGINT) AS n_candidates,
+           top1_full, top1_prefix,
+           top1_full = top1_prefix AS top1_agree,
+           ROUND(CAST(sd AS DOUBLE) / 1e6 / CAST(n_candidates AS DOUBLE),
+                 6) AS mean_abs_cos_delta
+    FROM ag
+    """,
+)
+def prefix_dim_quality_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka prefix-truncation quality
+    (similarity.prefix_dim_quality): full-dim vs first-16-dim cosine
+    for the first 20 queries — top-1 agreement and micros-exact mean
+    absolute cosine delta."""
+    from tabsdata_spark.llm import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return similarity.prefix_dim_quality(emb, qs, prefix_dim=16)

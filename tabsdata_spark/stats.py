@@ -1282,3 +1282,63 @@ def ipw_means(df: DataFrame, strata_cols: list[str], treat_col: str,
         F.round(ipw_t, 6).alias("ipw_treated_mean"),
         F.round(ipw_c, 6).alias("ipw_control_mean"),
         F.round(ipw_t - ipw_c, 6).alias("ipw_diff"))
+
+
+def cross_correlation(a: DataFrame, b: DataFrame, t_col: str,
+                      x_col: str, y_col: str,
+                      max_lag: int = 7) -> DataFrame:
+    """Lead-lag cross-correlation between two integer-valued series:
+    Pearson r between x_t and y_{t+lag} for every lag in
+    [-max_lag, max_lag] — which series LEADS (marketing spend vs
+    conversions, errors vs churn) and by how much.
+
+    Inputs are (t, value) frames with BIGINT t (e.g. epoch days) and
+    BIGINT values (counts, micros) — the exact_regression quantization
+    contract.  Exactness: per-lag moments are exact decimal(38,0)
+    sums; r is one fixed IEEE expression; degenerate lags (either
+    variance 0, or fewer than 3 aligned points) surface NULL.
+
+    Scale shape: the lag grid ((2*max_lag+1) rows) broadcast-expands
+    the x series once; ONE join onto y (on the shifted key) and ONE
+    partial-agg shuffle onto the bounded lag column."""
+    big = "decimal(38,0)"
+    lags = F.explode(F.sequence(F.lit(-max_lag), F.lit(max_lag)))
+    ax = (a.select(F.col(t_col).alias("__t"), F.col(x_col).alias("__x"))
+          .select("__t", "__x", lags.alias("lag")))
+    by = b.select(F.col(t_col).alias("__ty"), F.col(y_col).alias("__y"))
+    j = ax.join(by, ax["__t"] + ax["lag"] == by["__ty"])
+    x, y = F.col("__x").cast(big), F.col("__y").cast(big)
+    agg = j.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("_sx"), F.sum(y).alias("_sy"),
+        F.sum((x * y).cast(big)).alias("_sxy"),
+        F.sum((x * x).cast(big)).alias("_sx2"),
+        F.sum((y * y).cast(big)).alias("_sy2"))
+    n = F.col("n").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sx2, sy2 = F.col("_sx2").cast("double"), F.col("_sy2").cast("double")
+    cov = n * sxy - sx * sy
+    vx = n * sx2 - sx * sx
+    vy = n * sy2 - sy * sy
+    ok = (F.col("n") >= 3) & (vx > F.lit(0.0)) & (vy > F.lit(0.0))
+    return agg.select(
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n").cast("bigint").alias("n"),
+        F.when(ok, F.round(cov / F.sqrt(vx * vy), 6)).alias("r"))
+
+
+def l_diversity(df: DataFrame, qi_cols: list[str],
+                sensitive_col: str) -> DataFrame:
+    """l-diversity report per quasi-identifier equivalence class: class
+    size and the number of DISTINCT sensitive values — the companion
+    disclosure check to k-anonymity (a k-anonymous class with one
+    sensitive value still leaks; publishable classes need l >= L).
+
+    Exact integer counts only.  Scale shape: one partial-agg shuffle
+    onto (qi..., sensitive), one onto qi — both map-side combined."""
+    cells = (df.groupBy(*qi_cols, F.col(sensitive_col).alias("__s"))
+             .agg(F.count(F.lit(1)).alias("__c")))
+    return (cells.groupBy(*qi_cols)
+            .agg(F.sum("__c").cast("bigint").alias("n"),
+                 F.count(F.lit(1)).cast("bigint").alias("l_distinct")))

@@ -1892,3 +1892,42 @@ def test_minhash_calibration_identical_and_disjoint(spark):
     # with 60-bit hashes over disjoint grams)
     assert out[(1, 3)].exact_jaccard == 0.0
     assert out[(1, 3)].est_jaccard == 0.0
+
+
+def test_image_patches_exact_sums(spark):
+    import numpy as np
+
+    from tabsdata_spark.llm import codecs, multimodal
+
+    # 8x8 constant-64 image, grid 2 -> 4 patches of 16 px * 3 ch * 64
+    px = np.full((8, 8, 3), 64, dtype=np.uint8)
+    payload = codecs.encode_bmp(px)
+    df = spark.createDataFrame([(1, bytearray(payload))],
+                               "doc_id long, payload binary")
+    rows = multimodal.image_patches(df, grid=2).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r.pixel_sum == 16 * 3 * 64
+        assert r.pixel_mean == 64.0
+
+
+def test_prefix_dim_quality_flags_disagreement(spark):
+    from tabsdata_spark.llm import similarity
+
+    # query [1,0,...]: full-dim top1 is vec 2 (identical), but in the
+    # 2-dim prefix vec 3 ties it exactly and loses on the id tie-break
+    # -> construct so prefix top1 differs: vec 3 matches prefix exactly
+    # but diverges later; vec 2 is globally closest.
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]),
+         (2, [1.0, 0.0, 0.1, 0.0]),     # near-identical overall
+         (3, [1.0, 0.0, 9.0, 0.0])],    # perfect prefix, bad tail
+        "vec_id long, embedding array<float>")
+    qs = emb.filter(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    r = similarity.prefix_dim_quality(emb, qs, prefix_dim=2).collect()[0]
+    assert r.n_candidates == 2
+    assert r.top1_full == 2
+    # prefix cosine is 1.0 for BOTH candidates -> id tie-break picks 2
+    assert r.top1_prefix == 2 and r.top1_agree
+    assert r.mean_abs_cos_delta > 0

@@ -717,3 +717,40 @@ def test_hits_modes_bit_identical(spark):
     b = sorted(map(tuple, graph.hits_exact(
         edges, "s", "d", iters=2, score_partitions=8).collect()))
     assert a == b
+
+
+def test_cross_correlation_detects_shift(spark):
+    from tabsdata_spark import stats
+
+    # y_t = x_{t-1}: perfect correlation at lag +1 (x leads y by 1)
+    xs = spark.createDataFrame([(t, (t * 7) % 13 + 1) for t in range(30)],
+                               "t long, x long")
+    ys = spark.createDataFrame([(t + 1, (t * 7) % 13 + 1)
+                                for t in range(30)], "t long, y long")
+    out = {r.lag: r for r in
+           stats.cross_correlation(xs, ys, "t", "x", "y",
+                                   max_lag=3).collect()}
+    assert out[1].r == 1.0
+    assert out[0].r is None or out[0].r < 1.0
+    assert set(out) == set(range(-3, 4))
+
+
+def test_cross_correlation_degenerate_null(spark):
+    from tabsdata_spark import stats
+
+    xs = spark.createDataFrame([(t, 5) for t in range(10)], "t long, x long")
+    ys = spark.createDataFrame([(t, t) for t in range(10)], "t long, y long")
+    out = stats.cross_correlation(xs, ys, "t", "x", "y", max_lag=1).collect()
+    assert all(r.r is None for r in out)   # x variance is 0 at every lag
+
+
+def test_l_diversity_exact_counts(spark):
+    from tabsdata_spark import stats
+
+    rows = [("a", 1, "s1"), ("a", 1, "s1"), ("a", 1, "s2"),
+            ("b", 2, "s1")]
+    df = spark.createDataFrame(rows, "q1 string, q2 int, s string")
+    out = {(r.q1, r.q2): r for r in
+           stats.l_diversity(df, ["q1", "q2"], "s").collect()}
+    assert out[("a", 1)].n == 3 and out[("a", 1)].l_distinct == 2
+    assert out[("b", 2)].n == 1 and out[("b", 2)].l_distinct == 1
