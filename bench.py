@@ -252,6 +252,10 @@ ROUND5 = [
     "xcorr_events",
     "l_diversity_events",
     "prefix_dim_quality_emb",
+    "auc_doclen_en",
+    "pr_curve_docs",
+    "kappa_langid_docs",
+    "deterministic_shuffle_docs",
 ]
 
 

@@ -931,3 +931,29 @@ def distinctive_terms(docs: DataFrame, group_col: str = "source",
             .select(F.col("grp").alias(group_col), "term", "n_in_group",
                     F.col("__z").alias("z_logodds"),
                     F.col("__rk").cast("int").alias("rank")))
+
+
+def deterministic_shuffle(df: DataFrame, key_col: str, seed: int = 0,
+                          n_shards: int = 16,
+                          hash_fn=None) -> DataFrame:
+    """Reproducible corpus shuffle for training-data ordering: every
+    row gets (shard, rank_in_shard) from a keyed hash — rerunnable,
+    engine-portable (with a portable hash_fn), and free of the global
+    sort a naive ORDER BY rand() would need.
+
+    Scale shape: shard = hash % n_shards spreads rows uniformly;
+    ranking happens INSIDE each shard partition (a partitioned window,
+    never a single-partition global sort).  Readers consume shards in
+    index order for a deterministic epoch; n_shards should be >= the
+    cluster's write parallelism.
+
+    Exactness: the hash and both outputs are exact integers."""
+    hf = hash_fn or (lambda c: F.xxhash64(c))
+    h = hf(F.concat_ws(":", F.col(key_col).cast("string"),
+                       F.lit(str(seed))))
+    shard = F.pmod(h, F.lit(n_shards)).cast("int")
+    out = df.withColumn("__h", h).withColumn("shard", shard)
+    w = Window.partitionBy("shard").orderBy("__h", key_col)
+    return (out.withColumn("rank_in_shard",
+                           F.row_number().over(w).cast("bigint"))
+            .drop("__h"))

@@ -11007,3 +11007,208 @@ def prefix_dim_quality_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), "embedding")
     return similarity.prefix_dim_quality(emb, qs, prefix_dim=16)
+
+
+@q(
+    "auc_doclen_en",
+    r"""
+    WITH base AS (
+      SELECT len(list_filter(regexp_split_to_array(trim(lower(text)),
+                                                   '\s+'), x -> x <> ''))
+               AS s,
+             (lang = 'en') AS lab
+      FROM documents),
+    pts AS (
+      SELECT s, SUM(CASE WHEN lab THEN 1 ELSE 0 END) AS p,
+             SUM(CASE WHEN lab THEN 0 ELSE 1 END) AS ng
+      FROM base GROUP BY s),
+    cum AS (
+      SELECT s, p, ng,
+             COALESCE(SUM(ng) OVER (ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING), 0) AS cumneg
+      FROM pts),
+    tot AS (
+      SELECT SUM(p) AS n_pos, SUM(ng) AS n_neg,
+             SUM(CAST(2 * p * cumneg + p * ng AS DECIMAL(38,0))) AS num
+      FROM cum)
+    SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+           CASE WHEN n_pos > 0 AND n_neg > 0
+                THEN ROUND(CAST(num AS DOUBLE)
+                           / (2.0 * CAST(n_pos AS DOUBLE)
+                              * CAST(n_neg AS DOUBLE)), 6)
+           END AS auc
+    FROM tot
+    """,
+)
+def auc_doclen_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-aware ROC AUC (stats.roc_auc, the Mann-Whitney
+    identity): does token count separate English docs from the rest?
+    Score-level aggregation first, so the cumulative window sees score
+    CARDINALITY, never row count — no global per-row rank."""
+    from tabsdata_spark import stats
+    from tabsdata_spark.llm import textual
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select(
+        F.size(textual.tokens(F.lower(F.col("text")))).alias("s"),
+        (F.col("lang") == "en").alias("lab"))
+    return stats.roc_auc(base, "s", "lab")
+
+
+@q(
+    "pr_curve_docs",
+    """
+    WITH base AS (
+      SELECT LEAST(1.0, len(trim(text)) / 500.0) AS s,
+             (lang = 'en') AS lab
+      FROM documents),
+    cells AS (
+      SELECT CAST(LEAST(GREATEST(FLOOR(s * 10), 0), 9) AS INTEGER) AS bin,
+             SUM(CASE WHEN lab THEN 1 ELSE 0 END) AS p,
+             SUM(CASE WHEN lab THEN 0 ELSE 1 END) AS ng
+      FROM base GROUP BY 1),
+    cum AS (
+      SELECT bin,
+             SUM(p) OVER (ORDER BY bin DESC
+                          ROWS UNBOUNDED PRECEDING) AS tp,
+             SUM(ng) OVER (ORDER BY bin DESC
+                           ROWS UNBOUNDED PRECEDING) AS fp,
+             SUM(p) OVER () AS pos
+      FROM cells)
+    SELECT bin AS threshold_bin,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CASE WHEN tp + fp > 0
+                THEN ROUND(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6)
+           END AS precision,
+           CASE WHEN pos > 0
+                THEN ROUND(CAST(tp AS DOUBLE) / CAST(pos AS DOUBLE), 6)
+           END AS recall,
+           CASE WHEN tp + fp > 0 AND tp > 0
+                THEN ROUND(2.0 * (CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE))
+                           * (CAST(tp AS DOUBLE) / CAST(pos AS DOUBLE))
+                           / (CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
+                              + CAST(tp AS DOUBLE) / CAST(pos AS DOUBLE)),
+                           6)
+           END AS f1
+    FROM cum
+    """,
+)
+def pr_curve_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1 operating-point table (stats.pr_curve) for
+    the length-based quality proxy against the English label: exact
+    integer counts per threshold bin, bounded 10-row windows."""
+    from tabsdata_spark import stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select(
+        F.least(F.lit(1.0),
+                F.length(F.trim(F.col("text"))) / 500.0).alias("s"),
+        (F.col("lang") == "en").alias("lab"))
+    return stats.pr_curve(base, "s", "lab", bins=10)
+
+
+@q(
+    "kappa_langid_docs",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         t -> t <> '') AS t
+      FROM documents),
+    scored AS (
+      SELECT lang,
+             len(list_filter(t, x -> x IN ('der','die','und','das','nicht')))
+                 AS s_de,
+             len(list_filter(t, x -> x IN ('the','and','of','is','that')))
+                 AS s_en,
+             len(list_filter(t, x -> x IN ('el','la','los','que','de')))
+                 AS s_es,
+             len(list_filter(t, x -> x IN ('le','les','des','est','une')))
+                 AS s_fr,
+             len(list_filter(t, x -> x IN ('de','shi','le','bu','wo')))
+                 AS s_zh
+      FROM toks),
+    f1 AS (SELECT lang, s_en, s_es, s_fr, s_zh,
+                  s_de AS bs, 'de' AS bl FROM scored),
+    f2 AS (SELECT lang, s_es, s_fr, s_zh,
+                  CASE WHEN s_en > bs THEN s_en ELSE bs END AS bs,
+                  CASE WHEN s_en > bs THEN 'en' ELSE bl END AS bl FROM f1),
+    f3 AS (SELECT lang, s_fr, s_zh,
+                  CASE WHEN s_es > bs THEN s_es ELSE bs END AS bs,
+                  CASE WHEN s_es > bs THEN 'es' ELSE bl END AS bl FROM f2),
+    f4 AS (SELECT lang, s_zh,
+                  CASE WHEN s_fr > bs THEN s_fr ELSE bs END AS bs,
+                  CASE WHEN s_fr > bs THEN 'fr' ELSE bl END AS bl FROM f3),
+    f5 AS (SELECT lang,
+                  CASE WHEN s_zh > bs THEN s_zh ELSE bs END AS bs,
+                  CASE WHEN s_zh > bs THEN 'zh' ELSE bl END AS bl FROM f4),
+    pred AS (SELECT lang AS a,
+                    CASE WHEN bs > 0 THEN bl ELSE 'und' END AS b
+             FROM f5),
+    cells AS (SELECT a, b, COUNT(*) AS c FROM pred GROUP BY 1, 2),
+    rws AS (SELECT a, SUM(c) AS ra FROM cells GROUP BY a),
+    cls AS (SELECT b, SUM(c) AS cb FROM cells GROUP BY b),
+    pe_ AS (SELECT COALESCE(SUM(CAST(ra AS DECIMAL(38,0))
+                                * CAST(cb AS DECIMAL(38,0))),
+                            CAST(0 AS DECIMAL(38,0))) AS pen
+            FROM rws JOIN cls ON rws.a = cls.b),
+    bse AS (SELECT SUM(c) AS n,
+                   SUM(CASE WHEN a = b THEN c ELSE 0 END) AS d
+            FROM cells)
+    SELECT CAST(n AS BIGINT) AS n, CAST(d AS BIGINT) AS n_agree,
+           ROUND(CAST(d AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+           ROUND(CAST(pen AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS pe,
+           CASE WHEN CAST(pen AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) < 1.0
+                THEN ROUND((CAST(d AS DOUBLE) / CAST(n AS DOUBLE)
+                            - CAST(pen AS DOUBLE)
+                              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                           / (1.0 - CAST(pen AS DOUBLE)
+                              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))),
+                           6)
+           END AS kappa
+    FROM bse, pe_
+    """,
+)
+def kappa_langid_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa (stats.cohens_kappa) between the marker-argmax
+    language_id prediction and the true lang label — the
+    beyond-chance scalar summary of lang_confusion_docs' matrix."""
+    from tabsdata_spark import stats
+    from tabsdata_spark.llm import textual
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select(F.col("lang").alias("a"),
+                       textual.language_id(F.col("text")).alias("b"))
+    return stats.cohens_kappa(base, "a", "b")
+
+
+@q(
+    "deterministic_shuffle_docs",
+    f"""
+    WITH h AS (
+      SELECT doc_id,
+             {_HASH60_SQL.format(v="CAST(doc_id AS VARCHAR) || ':7'")} AS hv
+      FROM documents)
+    SELECT doc_id, CAST(hv % 16 AS INTEGER) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY hv % 16
+                                   ORDER BY hv, doc_id) AS BIGINT)
+             AS rank_in_shard
+    FROM h
+    """,
+)
+def deterministic_shuffle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible sharded corpus shuffle
+    (llm/corpus.deterministic_shuffle, seed 7, 16 shards): keyed-hash
+    shard + within-shard rank — per-shard windows, never a global
+    sort; portable md5 hash for the oracle replay."""
+    from tabsdata_spark.llm import corpus, textual
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id")
+    return corpus.deterministic_shuffle(
+        docs, "doc_id", seed=7, n_shards=16,
+        hash_fn=textual.portable_hash60).select(
+        "doc_id", "shard", "rank_in_shard")

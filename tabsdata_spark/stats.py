@@ -1342,3 +1342,130 @@ def l_diversity(df: DataFrame, qi_cols: list[str],
     return (cells.groupBy(*qi_cols)
             .agg(F.sum("__c").cast("bigint").alias("n"),
                  F.count(F.lit(1)).cast("bigint").alias("l_distinct")))
+
+
+def roc_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """Exact ROC AUC with tie handling (the Mann-Whitney identity):
+    AUC = P(score_pos > score_neg) + P(tie)/2 — the
+    threshold-independent classifier metric, computed WITHOUT a global
+    per-row rank.
+
+    Exactness contract: rows first aggregate to the DISTINCT-SCORE
+    level (n_pos, n_neg per score); the pair count
+    2*sum_s(pos_s * cumneg_<s) + sum_s(pos_s * neg_s) is exact
+    integers, and AUC = that / (2 * n_pos * n_neg) is one IEEE
+    division (round 6).  Empty classes surface NULL.
+
+    Scale shape: one partial-agg shuffle onto distinct scores, then a
+    cumulative window over the SCORE-LEVEL table — bounded by score
+    cardinality, not rows (quantize/bucket heavy-cardinality scores
+    upstream); one 1-row final aggregate."""
+    big = "decimal(38,0)"
+    lab = F.col(label_col).cast("boolean")
+    pts = (df.groupBy(F.col(score_col).alias("__s"))
+           .agg(F.sum(F.when(lab, 1).otherwise(0)).alias("__p"),
+                F.sum(F.when(lab, 0).otherwise(1)).alias("__n")))
+    w = (Window.orderBy("__s")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    pts = pts.withColumn(
+        "__cumneg", F.coalesce(F.sum("__n").over(w), F.lit(0)))
+    tot = pts.agg(
+        F.sum("__p").alias("n_pos"), F.sum("__n").alias("n_neg"),
+        F.sum((F.lit(2) * F.col("__p") * F.col("__cumneg")
+               + F.col("__p") * F.col("__n")).cast(big)).alias("__num"))
+    ok = (F.col("n_pos") > 0) & (F.col("n_neg") > 0)
+    return tot.select(
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        F.col("n_neg").cast("bigint").alias("n_neg"),
+        F.when(ok, F.round(
+            F.col("__num").cast("double")
+            / (F.lit(2.0) * F.col("n_pos").cast("double")
+               * F.col("n_neg").cast("double")), 6)).alias("auc"))
+
+
+def pr_curve(df: DataFrame, score_col: str, label_col: str,
+             bins: int = 10) -> DataFrame:
+    """Precision / recall / F1 at `bins` score thresholds: rows bucket
+    by floor(score * bins) clamped to [0, bins-1] (the calibration_bins
+    contract — scores in [0, 1]); threshold t predicts positive when
+    bucket >= t.  The operating-point table that turns a scored filter
+    model into a deployable cutoff.
+
+    Exactness: per-bucket class counts are exact integers; the
+    reverse-cumulative window runs over the <= bins-row bucket table;
+    precision/recall/F1 are fixed IEEE expressions (round 6); empty
+    prediction sets surface NULL rather than 0/0.
+
+    Scale shape: one partial-agg shuffle onto <= bins cells, then
+    bounded windows — row count never reaches the curve math."""
+    lab = F.col(label_col).cast("boolean")
+    b = F.least(F.greatest(F.floor(F.col(score_col) * bins), F.lit(0)),
+                F.lit(bins - 1)).cast("int")
+    cells = (df.groupBy(b.alias("bin"))
+             .agg(F.sum(F.when(lab, 1).otherwise(0)).alias("__p"),
+                  F.sum(F.when(lab, 0).otherwise(1)).alias("__n")))
+    w = (Window.orderBy(F.col("bin").desc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    tot_p = F.sum("__p").over(
+        Window.rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing))
+    cum = cells.select(
+        "bin",
+        F.sum("__p").over(w).alias("__tp"),
+        F.sum("__n").over(w).alias("__fp"),
+        tot_p.alias("__pos"))
+    prec = F.col("__tp").cast("double") / (F.col("__tp")
+                                           + F.col("__fp")).cast("double")
+    rec = F.col("__tp").cast("double") / F.col("__pos").cast("double")
+    ok = (F.col("__tp") + F.col("__fp")) > 0
+    f1 = F.lit(2.0) * prec * rec / (prec + rec)
+    return cum.select(
+        F.col("bin").alias("threshold_bin"),
+        F.col("__tp").cast("bigint").alias("tp"),
+        F.col("__fp").cast("bigint").alias("fp"),
+        F.when(ok, F.round(prec, 6)).alias("precision"),
+        F.when(F.col("__pos") > 0, F.round(rec, 6)).alias("recall"),
+        F.when(ok & (F.col("__tp") > 0), F.round(f1, 6)).alias("f1"))
+
+
+def cohens_kappa(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Cohen's kappa between two categorical raters/classifiers:
+    agreement beyond chance, kappa = (po - pe) / (1 - pe) with
+    po = observed agreement rate and pe = sum_k row_k * col_k / n^2 —
+    the scalar summary of a confusion matrix (language-ID vs truth,
+    two annotators, model vs heuristic).
+
+    Exactness: all counts are exact integers summed as decimal(38,0)
+    (n * diag and the row*col cross products stay inside 38 digits to
+    ~1e12 rows per category); kappa is one fixed IEEE expression
+    (round 6).  Perfect-chance degenerate (pe = 1) surfaces NULL.
+
+    Scale shape: one partial-agg shuffle onto the |A| x |B| cell grid,
+    then bounded-cardinality joins of the margin tables."""
+    big = "decimal(38,0)"
+    cells = (df.groupBy(F.col(a_col).alias("__a"),
+                        F.col(b_col).alias("__b"))
+             .agg(F.count(F.lit(1)).alias("__c")))
+    rows_ = cells.groupBy("__a").agg(F.sum("__c").alias("__ra"))
+    cols_ = cells.groupBy("__b").agg(F.sum("__c").alias("__cb"))
+    marg = (rows_.join(cols_, rows_["__a"] == cols_["__b"])
+            .select((F.col("__ra").cast(big) * F.col("__cb").cast(big))
+                    .cast(big).alias("__rc")))
+    pe_num = marg.agg(F.sum("__rc").alias("__pe")) \
+        .select(F.coalesce(F.col("__pe"), F.lit(0).cast(big))
+                .alias("__pe"))
+    base = cells.agg(
+        F.sum("__c").alias("__n"),
+        F.sum(F.when(F.col("__a") == F.col("__b"), F.col("__c"))
+              .otherwise(0)).alias("__d"))
+    j = base.crossJoin(F.broadcast(pe_num))
+    n = F.col("__n").cast("double")
+    po = F.col("__d").cast("double") / n
+    pe = F.col("__pe").cast("double") / (n * n)
+    return j.select(
+        F.col("__n").cast("bigint").alias("n"),
+        F.col("__d").cast("bigint").alias("n_agree"),
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.when(pe < F.lit(1.0),
+               F.round((po - pe) / (F.lit(1.0) - pe), 6)).alias("kappa"))

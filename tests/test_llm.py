@@ -1931,3 +1931,25 @@ def test_prefix_dim_quality_flags_disagreement(spark):
     # prefix cosine is 1.0 for BOTH candidates -> id tie-break picks 2
     assert r.top1_prefix == 2 and r.top1_agree
     assert r.mean_abs_cos_delta > 0
+
+
+def test_deterministic_shuffle_stable_and_sharded(spark):
+    from tabsdata_spark.llm import corpus
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    a = corpus.deterministic_shuffle(df, "doc_id", seed=3, n_shards=8)
+    b = corpus.deterministic_shuffle(df, "doc_id", seed=3, n_shards=8)
+    ra = sorted(map(tuple, a.collect()))
+    assert ra == sorted(map(tuple, b.collect()))       # reproducible
+    shards = {r.shard for r in a.collect()}
+    assert shards <= set(range(8)) and len(shards) > 1
+    # ranks within each shard are 1..n_shard dense
+    from collections import defaultdict
+    per = defaultdict(list)
+    for r in a.collect():
+        per[r.shard].append(r.rank_in_shard)
+    for s, ranks in per.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    # a different seed reorders
+    c = corpus.deterministic_shuffle(df, "doc_id", seed=4, n_shards=8)
+    assert sorted(map(tuple, c.collect())) != ra

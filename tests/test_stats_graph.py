@@ -754,3 +754,67 @@ def test_l_diversity_exact_counts(spark):
            stats.l_diversity(df, ["q1", "q2"], "s").collect()}
     assert out[("a", 1)].n == 3 and out[("a", 1)].l_distinct == 2
     assert out[("b", 2)].n == 1 and out[("b", 2)].l_distinct == 1
+
+
+def test_roc_auc_perfect_random_and_ties(spark):
+    from tabsdata_spark import stats
+
+    # perfect separation
+    rows = [(s, s >= 5) for s in range(10)]
+    df = spark.createDataFrame(rows, "s long, lab boolean")
+    assert stats.roc_auc(df, "s", "lab").collect()[0].auc == 1.0
+    # all scores tied: AUC exactly 0.5
+    tied = spark.createDataFrame([(3, i % 2 == 0) for i in range(10)],
+                                 "s long, lab boolean")
+    assert stats.roc_auc(tied, "s", "lab").collect()[0].auc == 0.5
+    # one empty class: NULL
+    onec = spark.createDataFrame([(1, True), (2, True)],
+                                 "s long, lab boolean")
+    assert stats.roc_auc(onec, "s", "lab").collect()[0].auc is None
+
+
+def test_roc_auc_matches_sklearn_formula(spark):
+    from tabsdata_spark import stats
+
+    scores = [1, 3, 3, 2, 5, 4, 3, 1]
+    labels = [False, True, False, False, True, True, True, False]
+    df = spark.createDataFrame(list(zip(scores, labels)),
+                               "s long, lab boolean")
+    got = stats.roc_auc(df, "s", "lab").collect()[0].auc
+    # brute-force pair count with half-credit ties
+    pos = [s for s, l in zip(scores, labels) if l]
+    neg = [s for s, l in zip(scores, labels) if not l]
+    num = sum(1.0 if p > n else 0.5 if p == n else 0.0
+              for p in pos for n in neg)
+    assert got == round(num / (len(pos) * len(neg)), 6)
+
+
+def test_pr_curve_monotone_recall_and_exact_cells(spark):
+    from tabsdata_spark import stats
+
+    rows = [(0.95, True), (0.85, True), (0.75, False), (0.65, True),
+            (0.05, False), (0.15, False), (0.55, True), (0.45, False)]
+    df = spark.createDataFrame(rows, "s double, lab boolean")
+    out = sorted(stats.pr_curve(df, "s", "lab", bins=10).collect(),
+                 key=lambda r: r.threshold_bin)
+    # recall is non-increasing as the threshold bin rises
+    recalls = [r.recall for r in out]
+    assert recalls == sorted(recalls, reverse=True)
+    top = [r for r in out if r.threshold_bin == 9][0]
+    assert top.tp == 1 and top.fp == 0 and top.precision == 1.0
+    assert top.recall == 0.25
+
+
+def test_cohens_kappa_perfect_and_independent(spark):
+    from tabsdata_spark import stats
+
+    perfect = spark.createDataFrame(
+        [(c, c) for c in "aabbcc"], "a string, b string")
+    r = stats.cohens_kappa(perfect, "a", "b").collect()[0]
+    assert r.kappa == 1.0 and r.po == 1.0
+    # one rater constant: pe == po -> kappa 0
+    const = spark.createDataFrame(
+        [("a", "x"), ("b", "x"), ("a", "x"), ("b", "x")],
+        "a string, b string")
+    r2 = stats.cohens_kappa(const, "a", "b").collect()[0]
+    assert r2.kappa == 0.0

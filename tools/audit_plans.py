@@ -41,6 +41,13 @@ GLOBAL_ORDER_OK = {
     # (score_partitions=None) uses agg + 1-row broadcast instead
     # (graph.py hits_exact)
     "hits_customer_supplier",
+    # classifier-eval cumulative windows run over AGGREGATED tables
+    # bounded by construction, never rows: roc_auc's window sees the
+    # distinct-SCORE table (token-count cardinality; quantize heavy
+    # scores upstream — documented in stats.roc_auc), pr_curve's sees
+    # the <= 10-row threshold-bin table
+    "auc_doclen_en",
+    "pr_curve_docs",
 }
 
 
