@@ -256,6 +256,10 @@ ROUND5 = [
     "pr_curve_docs",
     "kappa_langid_docs",
     "deterministic_shuffle_docs",
+    "time_decay_attribution_events",
+    "abc_customers",
+    "burstiness_events",
+    "bloom_fpr_docs",
 ]
 
 

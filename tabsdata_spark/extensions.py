@@ -1382,3 +1382,135 @@ def holt_winters(df: DataFrame, key_cols: list[str] | str, order_col: str,
 
     return (df.select(*keys, order_col, value_col)
             .groupBy(*keys).applyInPandas(smooth, out_schema))
+
+
+def time_decay_attribution(events: DataFrame, user_col: str, ts_col: str,
+                           type_col: str, value_col: str,
+                           conversion_type: str, touch_types: list[str],
+                           lookback: str = "7 days",
+                           half_life: str = "1 day") -> DataFrame:
+    """Time-decay multi-touch attribution: each conversion's value
+    splits across the user's touches in the lookback window with
+    weight 2^(-age/half_life) — recency-weighted credit, the third
+    member of the attribution family (linear, U-shaped, decay).
+
+    Exactness contract (all integer): ages quantize to WHOLE half-life
+    units k = age div half_life, so weights are the exact integers
+    2^(K_max - k); credit_i = vm * w_i div W with the division
+    remainder pinned to the MOST RECENT touch (ties by event id) —
+    credits sum to the conversion value exactly.  'direct' = total
+    minus credited, also exact.
+
+    Scale shape: identical to linear_attribution — one user-keyed
+    range join bounded by the lookback, windows per conversion, one
+    partial agg onto |touch_types| rows, a 1-row broadcast combine."""
+    lb = _interval_micros(lookback)
+    hl = _interval_micros(half_life)
+    k_max = (lb - 1) // hl
+    u, ts = F.col(user_col), F.col(ts_col)
+    conv = (events.filter((F.col(type_col) == conversion_type)
+                          & F.col(value_col).isNotNull())
+            .select(u.alias("__u"), F.unix_micros(ts).alias("__pts"),
+                    F.col("event_id").alias("__pid"),
+                    F.floor(F.col(value_col) * 1e6 + F.lit(0.5))
+                    .cast("bigint").alias("__vm")))
+    touch = (events.filter(F.col(type_col).isin(touch_types))
+             .select(u.alias("__u"), F.unix_micros(ts).alias("__tts"),
+                     F.col("event_id").alias("__tid"),
+                     F.col(type_col).alias("touch_type")))
+    pairs = touch.join(
+        conv, (touch["__u"] == conv["__u"])
+        & (F.col("__tts") <= F.col("__pts"))
+        & (F.col("__tts") > F.col("__pts") - F.lit(lb))).drop(conv["__u"])
+    # exact integer division + power-of-two weight (shiftleft needs a
+    # literal bit count in the python API -> spell it as one SQL expr)
+    wgt = F.expr(
+        f"cast(shiftleft(1L, cast({k_max} - ((__pts - __tts) div {hl})"
+        f" as int)) as bigint)")
+    wp = Window.partitionBy("__pid")
+    # remainder goes to the MOST RECENT touch: order ts desc, id desc
+    wo = wp.orderBy(F.col("__tts").desc(), F.col("__tid").desc())
+    pairs = pairs.select(
+        "touch_type", "__pid", "__vm", wgt.alias("__w"),
+        F.row_number().over(wo).alias("__rn"))
+    # NOT "__W": Spark column names are case-insensitive by default, so
+    # withColumn("__W", ...) would silently REPLACE "__w"
+    pairs = pairs.withColumn("__wsum", F.sum("__w").over(wp))
+    base = F.expr("(__vm * __w) div __wsum")
+    # total base-credit per conversion is sum over touches; remainder
+    # = vm - sum(base) assigned to rn 1.  sum(base) is a second window
+    # pass over the same partition (no extra shuffle).
+    pairs = pairs.withColumn("__bsum", F.sum(base).over(wp))
+    credit = base + F.when(F.col("__rn") == 1,
+                           F.col("__vm") - F.col("__bsum")).otherwise(0)
+    per_type = pairs.groupBy("touch_type").agg(
+        F.count(F.lit(1)).alias("n_credits"),
+        F.sum(credit.cast("decimal(38,0)")).alias("__cm"),
+        F.sum(F.when(F.col("__rn") == 1, 1).otherwise(0)).alias("__nf"))
+    totals = conv.agg(
+        F.count(F.lit(1)).alias("__np"),
+        F.sum(F.col("__vm").cast("decimal(38,0)")).alias("__tm"))
+    credited = per_type.agg(
+        F.sum("__cm").alias("__csum"), F.sum("__nf").alias("__fsum"))
+    direct = (totals.crossJoin(F.broadcast(credited)).select(
+        F.lit("direct").alias("touch_type"),
+        (F.col("__np") - F.coalesce(F.col("__fsum"), F.lit(0)))
+        .cast("bigint").alias("n_credits"),
+        ((F.col("__tm") - F.coalesce(F.col("__csum"), F.lit(0)))
+         .cast("double") / 1e6).alias("revenue")))
+    out = per_type.select(
+        "touch_type", F.col("n_credits").cast("bigint").alias("n_credits"),
+        (F.col("__cm").cast("double") / 1e6).alias("revenue"))
+    return out.unionByName(direct)
+
+
+def abc_analysis(df: DataFrame, group_col: str, key_col: str,
+                 value_col: str, a_share: float = 0.5,
+                 b_share: float = 0.8) -> DataFrame:
+    """Pareto / ABC classification within each group: rank keys by
+    total value, classify A while the cumulative share is <= a_share,
+    B while <= b_share, C after — the inventory/revenue-concentration
+    workhorse (which customers are the head, which parts are the long
+    tail).
+
+    Exactness contract: values sum as DECIMAL(18,2) per key; the class
+    boundaries compare cumulative and total decimals via INTEGER cross
+    products (cum * 10 <= tot * a_share*10 — no decimal division), so
+    assignment is exact; rank ties break on the key.  Shares in the
+    output are one IEEE division (round 6).
+
+    Scale shape: one partial-agg shuffle onto (group, key), then
+    group-partitioned windows (sort is within group partitions) and a
+    final bounded agg onto (group, class)."""
+    a10 = int(round(a_share * 10))
+    b10 = int(round(b_share * 10))
+    dec = "decimal(18,2)"
+    per = (df.groupBy(F.col(group_col).alias("__g"),
+                      F.col(key_col).alias("__k"))
+           .agg(F.sum(F.col(value_col).cast(dec)).alias("__v")))
+    w = (Window.partitionBy("__g")
+         .orderBy(F.col("__v").desc(), F.col("__k"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    tot = Window.partitionBy("__g")
+    per = per.select(
+        "__g", "__k", "__v",
+        F.sum("__v").over(w).alias("__cum"),
+        F.sum("__v").over(tot).alias("__tot"))
+    big = "decimal(38,2)"
+    cum10 = (F.col("__cum").cast(big) * 10).cast(big)
+    cls = (F.when(cum10 <= (F.col("__tot").cast(big) * a10).cast(big),
+                  "A")
+           .when(cum10 <= (F.col("__tot").cast(big) * b10).cast(big),
+                 "B")
+           .otherwise("C"))
+    out = (per.withColumn("__cls", cls)
+           .groupBy(F.col("__g").alias(group_col),
+                    F.col("__cls").alias("abc_class"))
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+                F.sum("__v").alias("__rev"),
+                F.max(F.col("__tot")).alias("__t")))
+    return out.select(
+        group_col, "abc_class", "n_keys",
+        F.col("__rev").cast("double").alias("revenue"),
+        F.round(F.col("__rev").cast("double")
+                / F.col("__t").cast("double"), 6).alias("revenue_share"))

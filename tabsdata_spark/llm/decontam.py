@@ -241,3 +241,51 @@ def ngram_novelty(docs: DataFrame, reference: DataFrame,
                     F.round(F.col("n_novel").cast("double")
                             / F.col("n_grams").cast("double"), 6)
                     .alias("novelty")))
+
+
+def bloom_fpr_report(corpus: DataFrame, benchmark: DataFrame,
+                     text_col: str = "text", n: int = 5,
+                     m_bits: int = 1 << 16, k_hashes: int = 3,
+                     hash_fn=None) -> DataFrame:
+    """Bloom-filter false-positive-rate calibration: build the bitset
+    over the benchmark's n-grams, probe it with the corpus grams that
+    are PROVABLY absent (anti-joined against the benchmark's exact
+    gram set), and report the measured FPR next to the load-based
+    expectation (bits_set/m)^k — the sketch-measurement twin of
+    minhash_jaccard_calibration, sizing m/k before trusting the
+    zero-join decontamination path at corpus scale.
+
+    Exactness: false-positive counts are exact integers; measured and
+    expected rates are fixed IEEE expressions (round 6; the power is
+    spelled as an explicit product, not POW).
+
+    Scale shape: the bitset build collects benchmark-bounded rows (the
+    bloom_bitset contract); negatives come from ONE distinct + ONE
+    anti-join on grams; probing is pure expressions — no joins on the
+    probe side."""
+    words = bloom_bitset(benchmark, text_col=text_col, n=n,
+                         m_bits=m_bits, k_hashes=k_hashes,
+                         hash_fn=hash_fn)
+    bits_set = sum(bin(w & ((1 << 64) - 1)).count("1") for w in words)
+    bench_g = benchmark.select(
+        F.explode(shingles(F.col(text_col), n)).alias("gram")).distinct()
+    corp_g = corpus.select(
+        F.explode(shingles(F.col(text_col), n)).alias("gram")).distinct()
+    negatives = corp_g.join(bench_g, "gram", "left_anti")
+    hit = bloom_contains(F.col("gram"), words, m_bits=m_bits,
+                         k_hashes=k_hashes, hash_fn=hash_fn)
+    agg = negatives.agg(
+        F.count(F.lit(1)).alias("n_neg_probes"),
+        F.sum(F.when(hit, 1).otherwise(0)).alias("n_false_pos"))
+    load = float(bits_set) / float(m_bits)
+    expected = load
+    for _ in range(k_hashes - 1):
+        expected = expected * load
+    return agg.select(
+        F.lit(int(bits_set)).cast("bigint").alias("n_bits_set"),
+        F.col("n_neg_probes").cast("bigint").alias("n_neg_probes"),
+        F.col("n_false_pos").cast("bigint").alias("n_false_pos"),
+        F.round(F.col("n_false_pos").cast("double")
+                / F.col("n_neg_probes").cast("double"), 6)
+        .alias("measured_fpr"),
+        F.round(F.lit(expected), 6).alias("expected_fpr"))

@@ -11212,3 +11212,211 @@ def deterministic_shuffle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", seed=7, n_shards=16,
         hash_fn=textual.portable_hash60).select(
         "doc_id", "shard", "rank_in_shard")
+
+
+@q(
+    "time_decay_attribution_events",
+    """
+    WITH conv AS (
+      SELECT user_id AS u, epoch_us(CAST(ts AS TIMESTAMP)) AS pts,
+             event_id AS pid,
+             CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) AS vm
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+    tch AS (
+      SELECT user_id AS u, epoch_us(CAST(ts AS TIMESTAMP)) AS tts,
+             event_id AS tid, event_type AS touch_type
+      FROM events WHERE event_type IN ('click', 'view')),
+    pairs AS (
+      SELECT touch_type, vm, pid, tts, tid,
+             (1::BIGINT << (6 - ((pts - tts) // 86400000000))) AS w
+      FROM tch JOIN conv ON tch.u = conv.u
+       AND tts <= pts AND tts > pts - 604800000000),
+    w1 AS (
+      SELECT touch_type, pid, vm, w,
+             SUM(w) OVER (PARTITION BY pid) AS tw,
+             ROW_NUMBER() OVER (PARTITION BY pid
+                                ORDER BY tts DESC, tid DESC) AS rn
+      FROM pairs),
+    wp AS (
+      SELECT touch_type, vm, w, tw, rn,
+             SUM((vm * w) // tw) OVER (PARTITION BY pid) AS bsum
+      FROM w1),
+    cr AS (
+      SELECT touch_type, rn,
+             (vm * w) // tw
+             + CASE WHEN rn = 1 THEN vm - bsum ELSE 0 END AS credit
+      FROM wp),
+    pt AS (
+      SELECT touch_type, COUNT(*) AS n_credits,
+             SUM(CAST(credit AS DECIMAL(38,0))) AS cm,
+             SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS nf
+      FROM cr GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS np,
+                   SUM(CAST(vm AS DECIMAL(38,0))) AS tm FROM conv),
+    cs AS (SELECT SUM(cm) AS csum, SUM(nf) AS fsum FROM pt)
+    SELECT touch_type, CAST(n_credits AS BIGINT) AS n_credits,
+           CAST(cm AS DOUBLE) / 1e6 AS revenue
+    FROM pt
+    UNION ALL
+    SELECT 'direct' AS touch_type,
+           CAST(np - COALESCE(fsum, 0) AS BIGINT) AS n_credits,
+           CAST(tm - COALESCE(csum, 0) AS DOUBLE) / 1e6 AS revenue
+    FROM tot, cs
+    """,
+)
+def time_decay_attribution_events(spark: SparkSession, sf_dir: str
+                                  ) -> DataFrame:
+    """Time-decay attribution (extensions.time_decay_attribution,
+    1-day half-life over a 7-day lookback): weights are the exact
+    integers 2^(6-k), credits are integer micros with the remainder
+    pinned to the most recent touch — exact balance to the total."""
+    from tabsdata_spark import extensions
+
+    ev = load_events(spark, sf_dir).df
+    return extensions.time_decay_attribution(
+        ev, "user_id", "ts", "event_type", "value",
+        conversion_type="purchase", touch_types=["click", "view"],
+        lookback="7 days", half_life="1 day")
+
+
+@q(
+    "abc_customers",
+    """
+    WITH per AS (
+      SELECT c_mktsegment AS seg, o_custkey AS k,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS v
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2),
+    wn AS (
+      SELECT seg, k, v,
+             SUM(v) OVER (PARTITION BY seg ORDER BY v DESC, k
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(v) OVER (PARTITION BY seg) AS tot
+      FROM per),
+    cl AS (
+      SELECT seg, v, tot,
+             CASE WHEN cum * 10 <= tot * 5 THEN 'A'
+                  WHEN cum * 10 <= tot * 8 THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM wn)
+    SELECT seg AS c_mktsegment, abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(v) AS DOUBLE) AS revenue,
+           ROUND(CAST(SUM(v) AS DOUBLE) / CAST(MAX(tot) AS DOUBLE), 6)
+             AS revenue_share
+    FROM cl GROUP BY 1, 2
+    """,
+)
+def abc_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/ABC revenue concentration per market segment
+    (extensions.abc_analysis): exact decimal cumulative shares with
+    INTEGER cross-product class boundaries (no decimal division),
+    rank tie-broken on the customer key."""
+    from tabsdata_spark import extensions
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    base = (o.join(c, o["o_custkey"] == c["c_custkey"])
+            .select("c_mktsegment", "o_custkey", "o_totalprice"))
+    return extensions.abc_analysis(base, "c_mktsegment", "o_custkey",
+                                   "o_totalprice")
+
+
+@q(
+    "burstiness_events",
+    """
+    WITH counts AS (
+      SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS b,
+             COUNT(*) AS c
+      FROM events GROUP BY 1, 2),
+    m AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(c AS HUGEINT)) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(c AS HUGEINT) * c) AS DOUBLE) AS s2
+      FROM counts GROUP BY 1)
+    SELECT event_type, CAST(n AS BIGINT) AS n_buckets,
+           ROUND(s1 / n, 6) AS mean_per_bucket,
+           CASE WHEN n >= 2 AND s1 / n > 0.0
+                     AND (s2 - s1 * s1 / n) / (n - 1.0) >= 0.0
+                THEN ROUND(((s2 - s1 * s1 / n) / (n - 1.0)) / (s1 / n), 6)
+           END AS fano,
+           CASE WHEN n >= 2 AND s1 / n > 0.0
+                     AND (s2 - s1 * s1 / n) / (n - 1.0) >= 0.0
+                     AND SQRT((s2 - s1 * s1 / n) / (n - 1.0)) + s1 / n > 0.0
+                THEN ROUND((SQRT((s2 - s1 * s1 / n) / (n - 1.0)) - s1 / n)
+                           / (SQRT((s2 - s1 * s1 / n) / (n - 1.0))
+                              + s1 / n), 6)
+           END AS burstiness
+    FROM m
+    """,
+)
+def burstiness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrival burstiness per event type (stats.fano_factor over daily
+    buckets): Fano factor var/mean and the bounded (sigma-mu)/(sigma+mu)
+    score from exact integer bucket counts."""
+    from tabsdata_spark import stats
+
+    ev = load_events(spark, sf_dir).df
+    base = ev.select("event_type", F.to_date("ts").alias("b"))
+    return stats.fano_factor(base, ["event_type"], "b")
+
+
+@q(
+    "bloom_fpr_docs",
+    rf"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) >= 5
+                  THEN list_transform(range(1, len(toks) - 3),
+                       i -> array_to_string(toks[i:i+4], ' '))
+                  ELSE [array_to_string(toks, ' ')] END) AS grams
+      FROM tok),
+    bg AS (SELECT DISTINCT unnest(grams) AS gram FROM sh
+           WHERE doc_id % 97 = 0),
+    bench_pos AS (
+      SELECT DISTINCT {_BLOOM_POS_SQL} AS pos
+      FROM bg CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)),
+    nbits AS (SELECT COUNT(*) AS bits FROM bench_pos),
+    cg AS (SELECT DISTINCT unnest(grams) AS gram FROM sh
+           WHERE doc_id % 97 <> 0),
+    neg AS (SELECT gram FROM cg ANTI JOIN bg USING (gram)),
+    neg_pos AS (
+      SELECT gram, {_BLOOM_POS_SQL} AS pos
+      FROM neg CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)),
+    fp AS (
+      SELECT gram
+      FROM neg_pos JOIN bench_pos USING (pos)
+      GROUP BY gram HAVING COUNT(*) = 3),
+    agg AS (
+      SELECT (SELECT bits FROM nbits) AS n_bits_set,
+             (SELECT COUNT(*) FROM neg) AS n_neg_probes,
+             (SELECT COUNT(*) FROM fp) AS n_false_pos)
+    SELECT CAST(n_bits_set AS BIGINT) AS n_bits_set,
+           CAST(n_neg_probes AS BIGINT) AS n_neg_probes,
+           CAST(n_false_pos AS BIGINT) AS n_false_pos,
+           ROUND(CAST(n_false_pos AS DOUBLE)
+                 / CAST(n_neg_probes AS DOUBLE), 6) AS measured_fpr,
+           ROUND(((CAST(n_bits_set AS DOUBLE) / 65536.0)
+                  * (CAST(n_bits_set AS DOUBLE) / 65536.0))
+                 * (CAST(n_bits_set AS DOUBLE) / 65536.0), 6)
+             AS expected_fpr
+    FROM agg
+    """,
+)
+def bloom_fpr_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom false-positive-rate calibration
+    (llm/decontam.bloom_fpr_report): the benchmark slice's 5-gram
+    bitset probed with provably-absent corpus grams — measured FPR vs
+    the (bits/m)^k load expectation, both exact/fixed-IEEE."""
+    from tabsdata_spark.llm import decontam, textual
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corp = docs.filter(F.col("doc_id") % 97 != 0)
+    return decontam.bloom_fpr_report(corp, bench,
+                                     hash_fn=textual.portable_hash60)

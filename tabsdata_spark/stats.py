@@ -1469,3 +1469,42 @@ def cohens_kappa(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
         F.round(pe, 6).alias("pe"),
         F.when(pe < F.lit(1.0),
                F.round((po - pe) / (F.lit(1.0) - pe), 6)).alias("kappa"))
+
+
+def fano_factor(df: DataFrame, key_cols: list[str], bucket_col: str
+                ) -> DataFrame:
+    """Burstiness of event arrivals per key: bucket counts (e.g. per
+    day/hour), then Fano factor F = var/mean and the bounded
+    burstiness score B = (sigma - mu) / (sigma + mu) — F ~ 1 / B < 0
+    for Poisson-like traffic, larger for bursty keys (bot storms,
+    batch jobs, thundering herds).
+
+    Exactness: bucket counts are exact integers; the variance uses
+    decimal(38,0) raw moments (sample variance, n-1); F and B are
+    fixed IEEE expressions (round 6); degenerate keys (n < 2 buckets
+    or mean 0) surface NULL.
+
+    Scale shape: one partial-agg shuffle onto (key, bucket), one onto
+    key — both map-side combined."""
+    big = "decimal(38,0)"
+    counts = (df.groupBy(*key_cols, F.col(bucket_col).alias("__b"))
+              .agg(F.count(F.lit(1)).alias("__c")))
+    c = F.col("__c").cast(big)
+    agg = counts.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(c).alias("_s1"),
+        F.sum((c * c).cast(big)).alias("_s2"))
+    n = F.col("n_buckets").cast("double")
+    s1 = F.col("_s1").cast("double")
+    s2 = F.col("_s2").cast("double")
+    mean = s1 / n
+    var = (s2 - s1 * s1 / n) / (n - F.lit(1.0))
+    ok = (F.col("n_buckets") >= 2) & (mean > F.lit(0.0)) \
+        & (var >= F.lit(0.0))
+    sd = F.sqrt(var)
+    return agg.select(
+        *key_cols, F.col("n_buckets").cast("bigint").alias("n_buckets"),
+        F.round(mean, 6).alias("mean_per_bucket"),
+        F.when(ok, F.round(var / mean, 6)).alias("fano"),
+        F.when(ok & (sd + mean > F.lit(0.0)),
+               F.round((sd - mean) / (sd + mean), 6)).alias("burstiness"))

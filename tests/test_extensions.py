@@ -835,3 +835,38 @@ def test_holt_winters_learns_pure_seasonality(spark):
     last = rows[-1]       # last observed value is 20; next is 10
     prev = rows[-2]
     assert last.forecast_next < prev.forecast_next
+
+
+def test_time_decay_attribution_exact_weights(spark):
+    from tabsdata_spark import extensions
+
+    # touches 0 and 2 days before a 9.00 purchase: weights 64 and 16,
+    # credits 9e6*64//80=7200000 and 9e6*16//80=1800000 micros (exact)
+    rows = [
+        (1, "2024-01-08 00:00:00", 7, "click", None),
+        (2, "2024-01-10 00:00:00", 7, "view", None),
+        (3, "2024-01-10 00:30:00", 7, "purchase", 9.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string,"
+              " value double").withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r.touch_type: r for r in extensions.time_decay_attribution(
+        df, "user_id", "ts", "event_type", "value",
+        "purchase", ["click", "view"], "7 days", "1 day").collect()}
+    assert abs(out["view"].revenue - 7.2) < 1e-9
+    assert abs(out["click"].revenue - 1.8) < 1e-9
+    assert out["direct"].n_credits == 0
+
+
+def test_abc_analysis_classes_and_shares(spark):
+    from tabsdata_spark import extensions
+
+    # one group: revenues 50, 30, 15, 5 -> cum shares .5 / .8 / .95 / 1.0
+    rows = [("g", 1, 50.0), ("g", 2, 30.0), ("g", 3, 15.0), ("g", 4, 5.0)]
+    df = spark.createDataFrame(rows, "grp string, k int, v double")
+    out = {r.abc_class: r for r in extensions.abc_analysis(
+        df, "grp", "k", "v").collect()}
+    assert out["A"].n_keys == 1 and out["A"].revenue == 50.0
+    assert out["B"].n_keys == 1 and out["B"].revenue == 30.0
+    assert out["C"].n_keys == 2 and out["C"].revenue == 20.0
+    assert out["A"].revenue_share == 0.5

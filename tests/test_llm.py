@@ -1953,3 +1953,19 @@ def test_deterministic_shuffle_stable_and_sharded(spark):
     # a different seed reorders
     c = corpus.deterministic_shuffle(df, "doc_id", seed=4, n_shards=8)
     assert sorted(map(tuple, c.collect())) != ra
+
+
+def test_bloom_fpr_report_counts(spark):
+    from tabsdata_spark.llm import decontam
+
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string")
+    corp = spark.createDataFrame(
+        [(2, "one two three four five six seven eight")],
+        "doc_id long, text string")
+    r = decontam.bloom_fpr_report(corp, bench, n=5).collect()[0]
+    assert r.n_bits_set > 0
+    assert r.n_neg_probes == 4        # 8 tokens -> 4 distinct 5-grams
+    assert 0 <= r.n_false_pos <= r.n_neg_probes
+    assert r.expected_fpr < 0.001     # 2 grams * 3 bits in 65536

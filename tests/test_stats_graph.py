@@ -818,3 +818,18 @@ def test_cohens_kappa_perfect_and_independent(spark):
         "a string, b string")
     r2 = stats.cohens_kappa(const, "a", "b").collect()[0]
     assert r2.kappa == 0.0
+
+
+def test_fano_factor_poisson_like_and_constant(spark):
+    from tabsdata_spark import stats
+
+    # constant bucket counts: variance 0 -> fano 0, burstiness -1
+    rows = [("k", b) for b in range(5) for _ in range(4)]
+    df = spark.createDataFrame(rows, "k string, b int")
+    r = stats.fano_factor(df, ["k"], "b").collect()[0]
+    assert r.fano == 0.0 and r.burstiness == -1.0
+    assert r.mean_per_bucket == 4.0
+    # single bucket: degenerate -> NULL
+    one = spark.createDataFrame([("k", 1), ("k", 1)], "k string, b int")
+    r2 = stats.fano_factor(one, ["k"], "b").collect()[0]
+    assert r2.fano is None
