@@ -260,6 +260,10 @@ ROUND5 = [
     "abc_customers",
     "burstiness_events",
     "bloom_fpr_docs",
+    "logrank_orders",
+    "script_ratio_docs",
+    "bytes_per_token_docs",
+    "reciprocal_nn_emb",
 ]
 
 

@@ -845,3 +845,51 @@ def prefix_dim_quality(corpus: DataFrame, queries: DataFrame,
         F.round(F.col("__sd").cast("double") / 1e6
                 / F.col("n_candidates").cast("double"), 6)
         .alias("mean_abs_cos_delta"))
+
+
+def reciprocal_nn(vectors: DataFrame, k: int = 5,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Reciprocal nearest-neighbor pairs WITHIN the given vector set:
+    (a, b) such that b is in a's cosine top-k AND a is in b's — the
+    high-precision seed pairs for semantic dedup and cluster
+    bootstrapping (RNN pairs are far cleaner than one-directional
+    neighbors).
+
+    Contract: mutuality is evaluated within `vectors` — pass a bounded
+    slice or an LSH/IVF candidate pool; the all-pairs scoring is the
+    brute_force_topk plan (broadcast one side), so the input set must
+    fit the broadcast budget.  At corpus scale, feed this the ANN
+    candidate output, not the raw corpus.
+
+    Exactness: ranking is unrounded cosine with id tie-break (the
+    embed_topk contract); output pairs are a < b with both ranks and
+    the rounded cosine."""
+    from ..scale import fan_out
+
+    q = vectors.select(F.col(id_col).alias("__qid"),
+                       F.col(vec_col).alias("__qvec"))
+    cand = (fan_out(vectors.select(F.col(id_col), F.col(vec_col)))
+            .crossJoin(F.broadcast(q))
+            .filter(F.col(id_col) != F.col("__qid")))
+    scored = cand.select(
+        F.col("__qid"), F.col(id_col).alias("__cid"),
+        cosine(F.col(vec_col), F.col("__qvec")).alias("__sim"))
+    w = Window.partitionBy("__qid").orderBy(
+        F.col("__sim").desc(), F.col("__cid").asc())
+    top = (scored.withColumn("__r", F.row_number().over(w))
+           .filter(F.col("__r") <= k))
+    a = top.select(F.col("__qid").alias("a_id"),
+                   F.col("__cid").alias("b_id"),
+                   F.col("__r").alias("rank_ab"),
+                   F.col("__sim").alias("__s"))
+    b = top.select(F.col("__qid").alias("b_id2"),
+                   F.col("__cid").alias("a_id2"),
+                   F.col("__r").alias("rank_ba"))
+    mutual = a.join(b, (a["a_id"] == b["a_id2"])
+                    & (a["b_id"] == b["b_id2"]))
+    return (mutual.filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id",
+                    F.col("rank_ab").cast("int").alias("rank_ab"),
+                    F.col("rank_ba").cast("int").alias("rank_ba"),
+                    F.round("__s", 6).alias("cosine")))

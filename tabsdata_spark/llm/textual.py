@@ -573,3 +573,72 @@ def strip_markup(text):
     for pat, rep in MARKUP_RULES:
         out = F.regexp_replace(out, pat, rep)
     return out
+
+
+def script_ratio_report(docs: DataFrame, lang_col: str = "lang",
+                        text_col: str = "text") -> DataFrame:
+    """Unicode-script composition per language: mean Latin / CJK /
+    digit character ratios over non-space characters — the cheap
+    script sanity check that catches mislabeled languages and
+    mojibake batches before language-specific processing.
+
+    Exactness: per-doc ratios quantize to micros, per-lang means are
+    exact integer sums over those (one IEEE division, round 6); docs
+    with no non-space characters are excluded from the means.
+
+    Scale shape: one narrow regexp pass per row, one partial-agg
+    shuffle onto languages."""
+    nonspace = F.regexp_count(F.col(text_col), F.lit(r"\S"))
+    latin = F.regexp_count(F.col(text_col), F.lit("[A-Za-z]"))
+    cjk = F.regexp_count(F.col(text_col), F.lit(r"[\x{4e00}-\x{9fff}]"))
+    digit = F.regexp_count(F.col(text_col), F.lit("[0-9]"))
+
+    def ratio_q(c):
+        return (F.floor(c.cast("double") * 1e6
+                        / nonspace.cast("double") + F.lit(0.5))
+                .cast("bigint"))
+
+    base = (docs.filter(nonspace > 0)
+            .select(F.col(lang_col).alias("lang"),
+                    ratio_q(latin).alias("__l"),
+                    ratio_q(cjk).alias("__c"),
+                    ratio_q(digit).alias("__d")))
+    agg = base.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__l").alias("__sl"), F.sum("__c").alias("__sc"),
+        F.sum("__d").alias("__sd"))
+    n = F.col("n_docs").cast("double")
+    return agg.select(
+        "lang", F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.round(F.col("__sl").cast("double") / 1e6 / n, 6)
+        .alias("latin_ratio"),
+        F.round(F.col("__sc").cast("double") / 1e6 / n, 6)
+        .alias("cjk_ratio"),
+        F.round(F.col("__sd").cast("double") / 1e6 / n, 6)
+        .alias("digit_ratio"))
+
+
+def bytes_per_token_report(docs: DataFrame, lang_col: str = "lang",
+                           text_col: str = "text") -> DataFrame:
+    """Bytes-per-token by language: total UTF-8 bytes over total
+    whitespace tokens — the tokenizer-cost planning number (CJK and
+    morphologically rich languages pay more bytes and more subwords
+    per word; this catches both before budget math goes wrong).
+
+    Exactness: byte and token counts are exact integers; the ratio is
+    one IEEE division (round 6).  Scale: one narrow pass + one
+    partial-agg shuffle onto languages."""
+    toks = F.size(tokens(F.lower(F.col(text_col))))
+    agg = (docs.groupBy(F.col(lang_col).alias("lang"))
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.octet_length(F.col(text_col)).cast("bigint"))
+                .alias("__b"),
+                F.sum(toks.cast("bigint")).alias("__t")))
+    return agg.select(
+        "lang", F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("__b").alias("total_bytes"),
+        F.col("__t").alias("total_tokens"),
+        F.when(F.col("__t") > 0,
+               F.round(F.col("__b").cast("double")
+                       / F.col("__t").cast("double"), 6))
+        .alias("bytes_per_token"))

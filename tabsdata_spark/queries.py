@@ -11420,3 +11420,184 @@ def bloom_fpr_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corp = docs.filter(F.col("doc_id") % 97 != 0)
     return decontam.bloom_fpr_report(corp, bench,
                                      hash_fn=textual.portable_hash60)
+
+
+@q(
+    "logrank_orders",
+    """
+    WITH fs AS (
+      SELECT l_orderkey, MIN(l_shipdate) AS ship
+      FROM lineitem GROUP BY 1),
+    base AS (
+      SELECT (o_orderpriority = '1-URGENT') AS grp,
+             (epoch_us(CAST(ship AS TIMESTAMP))
+              - epoch_us(CAST(o_orderdate AS TIMESTAMP))) // 86400000000
+             AS days
+      FROM orders JOIN fs ON o_orderkey = l_orderkey),
+    obs AS (
+      SELECT grp, LEAST(days, 60) AS t,
+             CASE WHEN days <= 60 THEN 1 ELSE 0 END AS ev
+      FROM base WHERE days >= 0),
+    pts AS (
+      SELECT t, SUM(ev) AS d,
+             SUM(CASE WHEN grp THEN ev ELSE 0 END) AS d1,
+             COUNT(*) AS m,
+             SUM(CASE WHEN grp THEN 1 ELSE 0 END) AS m1
+      FROM obs GROUP BY t),
+    wn AS (
+      SELECT t, d, d1,
+             SUM(m) OVER () - SUM(m) OVER (ORDER BY t
+               ROWS UNBOUNDED PRECEDING) + m AS n,
+             SUM(m1) OVER () - SUM(m1) OVER (ORDER BY t
+               ROWS UNBOUNDED PRECEDING) + m1 AS n1
+      FROM pts),
+    q AS (
+      SELECT CAST(FLOOR((CAST(d1 AS DOUBLE)
+                         - CAST(d AS DOUBLE) * CAST(n1 AS DOUBLE)
+                           / CAST(n AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)
+               AS oe,
+             CAST(FLOOR(CASE WHEN n > 1
+                  THEN CAST(d AS DOUBLE) * (CAST(n1 AS DOUBLE)
+                       / CAST(n AS DOUBLE))
+                       * (1.0 - CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(n AS DOUBLE) - CAST(d AS DOUBLE))
+                       / (CAST(n AS DOUBLE) - 1.0)
+                  ELSE 0.0 END * 1e9 + 0.5) AS BIGINT) AS v
+      FROM wn WHERE d > 0),
+    agg AS (
+      SELECT COUNT(*) AS n_times, SUM(oe) AS soe, SUM(v) AS sv FROM q)
+    SELECT CAST(n_times AS BIGINT) AS n_times,
+           ROUND(CAST(soe AS DOUBLE) / 1e9, 6) AS o_minus_e,
+           ROUND(CAST(sv AS DOUBLE) / 1e9, 6) AS variance,
+           CASE WHEN CAST(sv AS DOUBLE) / 1e9 > 0.0
+                THEN ROUND((CAST(soe AS DOUBLE) / 1e9)
+                           * (CAST(soe AS DOUBLE) / 1e9)
+                           / (CAST(sv AS DOUBLE) / 1e9), 6)
+           END AS chi2
+    FROM agg
+    """,
+)
+def logrank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel-Cox log-rank test (stats.logrank_test): do URGENT orders
+    ship on a different survival curve?  O-E and hypergeometric
+    variance terms quantized to 1e9 and summed exactly; the window
+    runs over the TIME table (<= 61 rows), never raw rows."""
+    from tabsdata_spark import stats
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    fs = li.groupBy("l_orderkey").agg(F.min("l_shipdate").alias("ship"))
+    days = F.expr("(unix_micros(cast(ship as timestamp))"
+                  " - unix_micros(cast(o_orderdate as timestamp)))"
+                  " div 86400000000")
+    base = (o.join(fs, o["o_orderkey"] == fs["l_orderkey"])
+            .filter(days >= 0)
+            .select((F.col("o_orderpriority") == "1-URGENT").alias("grp"),
+                    F.least(days, F.lit(60)).alias("t"),
+                    (days <= 60).alias("ev")))
+    return stats.logrank_test(base, "t", "ev", "grp")
+
+
+@q(
+    "script_ratio_docs",
+    r"""
+    WITH base AS (
+      SELECT lang,
+             len(regexp_extract_all(text, '\S')) AS ns,
+             len(regexp_extract_all(text, '[A-Za-z]')) AS lat,
+             len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS cjk,
+             len(regexp_extract_all(text, '[0-9]')) AS dig
+      FROM documents),
+    quant AS (
+      SELECT lang,
+             CAST(FLOOR(lat * 1e6 / CAST(ns AS DOUBLE) + 0.5) AS BIGINT)
+               AS l,
+             CAST(FLOOR(cjk * 1e6 / CAST(ns AS DOUBLE) + 0.5) AS BIGINT)
+               AS c,
+             CAST(FLOOR(dig * 1e6 / CAST(ns AS DOUBLE) + 0.5) AS BIGINT)
+               AS d
+      FROM base WHERE ns > 0)
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(SUM(l) AS DOUBLE) / 1e6 / COUNT(*), 6)
+             AS latin_ratio,
+           ROUND(CAST(SUM(c) AS DOUBLE) / 1e6 / COUNT(*), 6)
+             AS cjk_ratio,
+           ROUND(CAST(SUM(d) AS DOUBLE) / 1e6 / COUNT(*), 6)
+             AS digit_ratio
+    FROM quant GROUP BY lang
+    """,
+)
+def script_ratio_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script composition per language
+    (textual.script_ratio_report): mean Latin/CJK/digit ratios over
+    non-space chars, micros-quantized per doc — the mislabel/mojibake
+    sanity check."""
+    from tabsdata_spark.llm import textual
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textual.script_ratio_report(docs)
+
+
+@q(
+    "bytes_per_token_docs",
+    r"""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+           CAST(SUM(len(list_filter(
+                regexp_split_to_array(trim(lower(text)), '\s+'),
+                x -> x <> ''))) AS BIGINT) AS total_tokens,
+           CASE WHEN SUM(len(list_filter(
+                     regexp_split_to_array(trim(lower(text)), '\s+'),
+                     x -> x <> ''))) > 0
+                THEN ROUND(CAST(SUM(strlen(text)) AS DOUBLE)
+                           / CAST(SUM(len(list_filter(
+                               regexp_split_to_array(trim(lower(text)),
+                                                     '\s+'),
+                               x -> x <> ''))) AS DOUBLE), 6)
+           END AS bytes_per_token
+    FROM documents GROUP BY lang
+    """,
+)
+def bytes_per_token_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bytes-per-token by language (textual.bytes_per_token_report):
+    UTF-8 bytes over whitespace tokens — the tokenizer-cost planning
+    ratio, exact integer sums."""
+    from tabsdata_spark.llm import textual
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textual.bytes_per_token_report(docs)
+
+
+@q(
+    "reciprocal_nn_emb",
+    """
+    WITH vs AS (SELECT vec_id, embedding FROM embeddings
+                WHERE vec_id < 200),
+    sc AS (
+      SELECT a.vec_id AS qid, b.vec_id AS cid,
+             list_cosine_similarity(b.embedding::DOUBLE[],
+                                    a.embedding::DOUBLE[]) AS sim
+      FROM vs a JOIN vs b ON a.vec_id <> b.vec_id),
+    rk AS (
+      SELECT qid, cid, sim,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY sim DESC, cid) AS r
+      FROM sc),
+    top AS (SELECT * FROM rk WHERE r <= 5)
+    SELECT a.qid AS a_id, a.cid AS b_id,
+           CAST(a.r AS INTEGER) AS rank_ab,
+           CAST(b.r AS INTEGER) AS rank_ba,
+           ROUND(a.sim, 6) AS cosine
+    FROM top a JOIN top b ON a.qid = b.cid AND a.cid = b.qid
+    WHERE a.qid < a.cid
+    """,
+)
+def reciprocal_nn_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal nearest-neighbor pairs (similarity.reciprocal_nn,
+    k=5) within the first 200 vectors — mutual-top-k seed pairs for
+    semantic dedup; ranking is the embed_topk contract."""
+    from tabsdata_spark.llm import similarity
+
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .filter(F.col("vec_id") < 200))
+    return similarity.reciprocal_nn(emb, k=5)

@@ -1508,3 +1508,65 @@ def fano_factor(df: DataFrame, key_cols: list[str], bucket_col: str
         F.when(ok, F.round(var / mean, 6)).alias("fano"),
         F.when(ok & (sd + mean > F.lit(0.0)),
                F.round((sd - mean) / (sd + mean), 6)).alias("burstiness"))
+
+
+def logrank_test(df: DataFrame, duration_col: str, event_col: str,
+                 group_col) -> DataFrame:
+    """Two-sample log-rank test statistic comparing survival between
+    group TRUE and group FALSE (Mantel-Cox): at each event time the
+    observed-minus-expected events in the treatment arm accumulate,
+    with the hypergeometric variance — the standard A/B readout on
+    time-to-event outcomes (churn, fulfillment), completing the
+    survival family with kaplan_meier and nelson_aalen.
+
+        O-E   = sum_t (d1_t - d_t * n1_t / n_t)
+        V     = sum_t d_t * (n1_t/n_t) * (1 - n1_t/n_t)
+                      * (n_t - d_t) / (n_t - 1)
+        chi^2 = (O-E)^2 / V
+
+    Exactness contract: risk sets and event counts are exact integer
+    window sums; each time's O-E and V terms are quantized to 1e9 and
+    summed as exact BIGINT, so the statistic is identical integers in
+    any engine/partitioning (one IEEE division + square at the end,
+    round 6).  Times with n_t <= 1 contribute zero variance.
+
+    Scale shape: one partial-agg shuffle onto times, one ordered
+    window INSIDE the single survival table (time cardinality), one
+    1-row final agg."""
+    g = F.col(group_col).cast("boolean")
+    ev = F.col(event_col).cast("int")
+    pts = (df.groupBy(F.col(duration_col).alias("t"))
+           .agg(F.sum(ev).alias("d"),
+                F.sum(F.when(g, ev).otherwise(0)).alias("d1"),
+                F.count(F.lit(1)).alias("m"),
+                F.sum(F.when(g, 1).otherwise(0)).alias("m1")))
+    wo = Window.orderBy("t")
+    cum_m = (F.sum("m").over(wo.rowsBetween(Window.unboundedPreceding,
+                                            Window.currentRow)))
+    cum_m1 = (F.sum("m1").over(wo.rowsBetween(Window.unboundedPreceding,
+                                              Window.currentRow)))
+    tot = Window.rowsBetween(Window.unboundedPreceding,
+                             Window.unboundedFollowing)
+    pts = pts.select(
+        "t", "d", "d1",
+        (F.sum("m").over(tot) - cum_m + F.col("m")).alias("n"),
+        (F.sum("m1").over(tot) - cum_m1 + F.col("m1")).alias("n1"))
+    n, n1 = F.col("n").cast("double"), F.col("n1").cast("double")
+    d = F.col("d").cast("double")
+    oe = F.col("d1").cast("double") - d * n1 / n
+    v = F.when(F.col("n") > 1,
+               d * (n1 / n) * (F.lit(1.0) - n1 / n)
+               * (n - d) / (n - F.lit(1.0))).otherwise(F.lit(0.0))
+    q = pts.filter(F.col("d") > 0).select(
+        F.floor(oe * 1e9 + F.lit(0.5)).cast("bigint").alias("__oe"),
+        F.floor(v * 1e9 + F.lit(0.5)).cast("bigint").alias("__v"))
+    agg = q.agg(F.count(F.lit(1)).alias("n_times"),
+                F.sum("__oe").alias("__soe"), F.sum("__v").alias("__sv"))
+    soe = F.col("__soe").cast("double") / 1e9
+    sv = F.col("__sv").cast("double") / 1e9
+    return agg.select(
+        F.col("n_times").cast("bigint").alias("n_times"),
+        F.round(soe, 6).alias("o_minus_e"),
+        F.round(sv, 6).alias("variance"),
+        F.when(sv > F.lit(0.0), F.round(soe * soe / sv, 6))
+        .alias("chi2"))

@@ -1969,3 +1969,47 @@ def test_bloom_fpr_report_counts(spark):
     assert r.n_neg_probes == 4        # 8 tokens -> 4 distinct 5-grams
     assert 0 <= r.n_false_pos <= r.n_neg_probes
     assert r.expected_fpr < 0.001     # 2 grams * 3 bits in 65536
+
+
+def test_script_ratio_pure_scripts(spark):
+    from tabsdata_spark.llm import textual
+
+    docs = spark.createDataFrame(
+        [(1, "en", "hello world"), (2, "zh", "你好世界"),
+         (3, "num", "123 456")],
+        "doc_id long, lang string, text string")
+    out = {r.lang: r for r in
+           textual.script_ratio_report(docs).collect()}
+    assert out["en"].latin_ratio == 1.0 and out["en"].cjk_ratio == 0.0
+    assert out["zh"].cjk_ratio == 1.0 and out["zh"].latin_ratio == 0.0
+    assert out["num"].digit_ratio == 1.0
+
+
+def test_bytes_per_token_multibyte(spark):
+    from tabsdata_spark.llm import textual
+
+    docs = spark.createDataFrame(
+        [(1, "en", "ab cd"), (2, "zh", "你好 世界")],
+        "doc_id long, lang string, text string")
+    out = {r.lang: r for r in
+           textual.bytes_per_token_report(docs).collect()}
+    assert out["en"].total_bytes == 5 and out["en"].total_tokens == 2
+    assert out["en"].bytes_per_token == 2.5
+    # 4 CJK chars at 3 bytes + 1 space = 13 bytes over 2 tokens
+    assert out["zh"].total_bytes == 13
+    assert out["zh"].bytes_per_token == 6.5
+
+
+def test_reciprocal_nn_mutual_only(spark):
+    from tabsdata_spark.llm import similarity
+
+    # 1 and 2 are mutual top-1; 3 points at 1 but nobody's top-k
+    # includes 3 first... with k=1: (1,2) mutual, (3,?) not mutual
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.999, 0.01]), (3, [0.7, 0.7])],
+        "vec_id long, embedding array<float>")
+    out = similarity.reciprocal_nn(emb, k=1).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.a_id, r.b_id) == (1, 2)
+    assert r.rank_ab == 1 and r.rank_ba == 1

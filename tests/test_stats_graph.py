@@ -833,3 +833,25 @@ def test_fano_factor_poisson_like_and_constant(spark):
     one = spark.createDataFrame([("k", 1), ("k", 1)], "k string, b int")
     r2 = stats.fano_factor(one, ["k"], "b").collect()[0]
     assert r2.fano is None
+
+
+def test_logrank_identical_groups_zero_chi2(spark):
+    from tabsdata_spark import stats
+
+    # identical survival in both arms: O-E ~ 0
+    rows = [(t, True, g) for t in (1, 2, 3) for g in (True, False)]
+    df = spark.createDataFrame(rows, "t int, ev boolean, grp boolean")
+    r = stats.logrank_test(df, "t", "ev", "grp").collect()[0]
+    assert abs(r.o_minus_e) < 1e-6
+    assert r.chi2 is None or r.chi2 < 1e-9
+
+
+def test_logrank_separated_groups_large_chi2(spark):
+    from tabsdata_spark import stats
+
+    # treatment events all early, control all late -> strong signal
+    rows = ([(1, True, True)] * 10 + [(10, True, False)] * 10)
+    df = spark.createDataFrame(rows, "t int, ev boolean, grp boolean")
+    r = stats.logrank_test(df, "t", "ev", "grp").collect()[0]
+    assert r.chi2 > 5.0
+    assert r.o_minus_e > 0     # treated observed MORE early events

@@ -48,6 +48,9 @@ GLOBAL_ORDER_OK = {
     # the <= 10-row threshold-bin table
     "auc_doclen_en",
     "pr_curve_docs",
+    # logrank_test's risk-set window runs over the aggregated TIME
+    # table (censored-at-60 day grid, <= 61 rows), never raw rows
+    "logrank_orders",
 }
 
 
