@@ -264,6 +264,8 @@ ROUND5 = [
     "script_ratio_docs",
     "bytes_per_token_docs",
     "reciprocal_nn_emb",
+    "dp_noisy_revenue_events",
+    "ppr_suppliers",
 ]
 
 

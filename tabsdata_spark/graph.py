@@ -216,3 +216,56 @@ def hits_exact(edges: DataFrame, src_col: str, dst_col: str,
     auths = auth.select("node", F.lit("authority").alias("role"),
                         F.round("a", 9).alias("score"))
     return hubs.unionByName(auths)
+
+
+def ppr_exact(edges: DataFrame, src_col: str, dst_col: str,
+              seeds: DataFrame, seed_col: str,
+              iters: int = 2, damping: float = 0.85) -> DataFrame:
+    """Personalized PageRank over the UNDIRECTED graph with the
+    pagerank_exact bit-exact contract: teleport mass restarts at the
+    SEED set instead of uniformly — 'influence relative to these
+    nodes', the standard recommendation / related-entity primitive.
+
+    Exactness contract: pr starts at the exact double 1/|S| on seeds
+    (0 elsewhere); neighbor contributions pr/deg quantize to picos and
+    sum as decimal(38,0); the update
+    (1-d)*tele + d*sum is a fixed IEEE expression per node.  Output
+    pr rounds to 9 (display-only).
+
+    Scale shape: identical to pagerank_exact — per iteration ONE edge
+    join + ONE partial-agg shuffle; the degree/seed node table is
+    persisted (it re-enters every iteration); |S| is the only driver
+    collect."""
+    und = (edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+           .unionByName(
+               edges.select(F.col(dst_col).alias("u"),
+                            F.col(src_col).alias("v")))
+           .distinct().persist())
+    sd = seeds.select(F.col(seed_col).alias("u")).distinct()
+    deg = (und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+           .join(sd.withColumn("__seed", F.lit(True)), "u", "left")
+           .withColumn("__seed", F.coalesce("__seed", F.lit(False)))
+           .persist())
+    n_s = deg.filter(F.col("__seed")).count()
+    base = (1.0 - damping) / float(n_s)
+    tele = F.when(F.col("__seed"), F.lit(base)).otherwise(F.lit(0.0))
+    pr = deg.select(
+        F.col("u").alias("node"), "deg", "__seed",
+        F.when(F.col("__seed"), F.lit(1.0) / F.lit(float(n_s)))
+        .otherwise(F.lit(0.0)).alias("pr"))
+
+    def quant(c):
+        return (F.floor(c * 1e12 + F.lit(0.5))
+                .cast("bigint").cast("decimal(38,0)"))
+
+    for _ in range(iters):
+        contrib = (und.join(pr, und["u"] == pr["node"])
+                   .select(F.col("v"),
+                           quant(F.col("pr") / F.col("deg")).alias("m")))
+        sums = contrib.groupBy("v").agg(F.sum("m").alias("s"))
+        pr = (deg.join(sums, deg["u"] == sums["v"], "left")
+              .select(F.col("u").alias("node"), "deg", "__seed",
+                      (tele + F.lit(damping)
+                       * (F.coalesce(F.col("s"), F.lit(0).cast("decimal(38,0)"))
+                          .cast("double") / F.lit(1e12))).alias("pr")))
+    return pr.select("node", F.round("pr", 9).alias("ppr"))

@@ -11601,3 +11601,102 @@ def reciprocal_nn_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
            .filter(F.col("vec_id") < 200))
     return similarity.reciprocal_nn(emb, k=5)
+
+
+_DPS_HASH = _HASH60_SQL.format(v="event_type")
+
+
+@q(
+    "dp_noisy_revenue_events",
+    f"""
+    WITH base AS (
+      SELECT event_type,
+             LEAST(GREATEST(CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT), 0),
+                   100000000) AS vm
+      FROM events WHERE value IS NOT NULL),
+    agg AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(CAST(vm AS DECIMAL(38,0))) AS s
+      FROM base GROUP BY 1),
+    h AS (
+      SELECT event_type, n, s,
+             {_ladder_sql(_DPS_HASH, GEOM_HALF_T, list(range(-4, 5)))} AS noise
+      FROM agg WHERE n >= 10)
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           ROUND(CAST(s AS DOUBLE) / 1e6, 6) AS clipped_sum,
+           ROUND(GREATEST(CAST(s AS DOUBLE) / 1e6
+                          + noise * 100000000.0 / 1e6, 0.0), 6)
+             AS noisy_sum
+    FROM h
+    """,
+)
+def dp_noisy_revenue_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private per-type revenue release
+    (stats.dp_noisy_sum, clip 100.0): values clip to the sensitivity
+    bound, sums are exact decimal micros, and the deterministic
+    geometric ladder scales by the clip — the DP-sum companion to
+    dp_noisy_counts_events."""
+    from tabsdata_spark import stats
+
+    ev = load_events(spark, sf_dir).df
+    base = (ev.filter(F.col("value").isNotNull())
+            .select("event_type", "value"))
+    return stats.dp_noisy_sum(base, ["event_type"], "value",
+                              clip=100.0, k_min=10)
+
+
+@q(
+    "ppr_suppliers",
+    """
+    WITH e0 AS (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS u,
+                      's' || CAST(l_suppkey AS VARCHAR) AS v
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    und AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+    deg AS (SELECT u, COUNT(*) AS deg,
+                   (u LIKE 's%') AS seed
+            FROM und GROUP BY u),
+    ns AS (SELECT COUNT(*) AS n FROM deg WHERE seed),
+    p0 AS (SELECT u AS node, deg, seed,
+                  CASE WHEN seed THEN CAST(1.0 AS DOUBLE) / (SELECT n FROM ns)
+                       ELSE CAST(0.0 AS DOUBLE) END AS pr
+           FROM deg),
+    s1 AS (SELECT und.v AS node,
+                  SUM(CAST(FLOOR(p.pr / p.deg * 1e12 + 0.5) AS HUGEINT)) AS s
+           FROM und JOIN p0 p ON und.u = p.node GROUP BY 1),
+    p1 AS (SELECT d.u AS node, d.deg, d.seed,
+                  CASE WHEN d.seed
+                       THEN (1.0 - 0.85) / (SELECT n FROM ns)
+                       ELSE 0.0 END
+                  + 0.85 * (CAST(COALESCE(s.s, 0) AS DOUBLE) / 1e12) AS pr
+           FROM deg d LEFT JOIN s1 s ON d.u = s.node),
+    s2 AS (SELECT und.v AS node,
+                  SUM(CAST(FLOOR(p.pr / p.deg * 1e12 + 0.5) AS HUGEINT)) AS s
+           FROM und JOIN p1 p ON und.u = p.node GROUP BY 1),
+    p2 AS (SELECT d.u AS node, d.deg, d.seed,
+                  CASE WHEN d.seed
+                       THEN (1.0 - 0.85) / (SELECT n FROM ns)
+                       ELSE 0.0 END
+                  + 0.85 * (CAST(COALESCE(s.s, 0) AS DOUBLE) / 1e12) AS pr
+           FROM deg d LEFT JOIN s2 s ON d.u = s.node)
+    SELECT node, ROUND(pr, 9) AS ppr FROM p2
+    """,
+)
+def ppr_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (graph.ppr_exact, 2 iterations) with the
+    supplier nodes as the teleport set — supplier-centric influence
+    over the customer-supplier trade graph; picos-quantized decimal
+    mass sums replay bit-for-bit in the oracle's unrolled CTEs."""
+    from tabsdata_spark import graph
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = (o.join(li, o["o_orderkey"] == li["l_orderkey"])
+             .select(F.concat(F.lit("c"),
+                              F.col("o_custkey").cast("string")).alias("src"),
+                     F.concat(F.lit("s"),
+                              F.col("l_suppkey").cast("string")).alias("dst"))
+             .distinct())
+    seeds = edges.select(F.col("dst").alias("node")).distinct()
+    return graph.ppr_exact(edges, "src", "dst", seeds, "node",
+                           iters=2, damping=0.85)

@@ -1570,3 +1570,40 @@ def logrank_test(df: DataFrame, duration_col: str, event_col: str,
         F.round(sv, 6).alias("variance"),
         F.when(sv > F.lit(0.0), F.round(soe * soe / sv, 6))
         .alias("chi2"))
+
+
+def dp_noisy_sum(df: DataFrame, group_cols: list[str], value_col: str,
+                 clip: float, k_min: int = 10) -> DataFrame:
+    """Differentially-private release of group SUMS: each row's value
+    clips to [0, clip] (the sensitivity bound), sums run as exact
+    decimal micros, and the two-sided geometric mechanism from
+    dp_noisy_counts adds noise SCALED BY THE CLIP (integer noise units
+    x clip micros — the discrete analog of Laplace(clip/eps)).  Small
+    cohorts are suppressed below k_min, releases floor at 0.
+
+    Deterministic replay contract: same keyed-hash uniform and exact
+    GEOM_HALF_T ladder as dp_noisy_counts (a production deployment
+    keys the hash with a private salt).
+
+    Scale shape: one partial-agg shuffle; clip, noise, and suppression
+    are per-row/per-group projections."""
+    from tabsdata_spark.llm.textual import portable_hash60
+
+    big = "decimal(38,0)"
+    cm = int(round(clip * 1e6))
+    vm = F.least(F.greatest(
+        F.floor(F.col(value_col) * 1e6 + F.lit(0.5)).cast("bigint"),
+        F.lit(0)), F.lit(cm))
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(vm.cast(big)).alias("__s"))
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in group_cols])
+    noise = _ladder(portable_hash60(key), GEOM_HALF_T, list(range(-4, 5)))
+    noisy = (F.col("__s").cast("double") / 1e6
+             + noise.cast("double") * F.lit(float(cm)) / 1e6)
+    return (agg.filter(F.col("n") >= k_min)
+            .select(*group_cols, F.col("n").cast("bigint").alias("n"),
+                    F.round(F.col("__s").cast("double") / 1e6, 6)
+                    .alias("clipped_sum"),
+                    F.round(F.greatest(noisy, F.lit(0.0)), 6)
+                    .alias("noisy_sum")))

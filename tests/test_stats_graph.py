@@ -855,3 +855,33 @@ def test_logrank_separated_groups_large_chi2(spark):
     r = stats.logrank_test(df, "t", "ev", "grp").collect()[0]
     assert r.chi2 > 5.0
     assert r.o_minus_e > 0     # treated observed MORE early events
+
+
+def test_ppr_concentrates_on_seeds(spark):
+    from tabsdata_spark import graph
+
+    # star: seed node 1 at the center of 2..5, plus a far pair (8, 9)
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (1, 5), (8, 9)], "s long, d long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    out = {r.node: r.ppr for r in graph.ppr_exact(
+        edges, "s", "d", seeds, "node", iters=2).collect()}
+    assert out[1] > out[2]                 # seed dominates
+    assert out[2] == out[3] == out[4] == out[5]
+    assert out[8] == 0.0 and out[9] == 0.0  # disconnected from seed
+
+
+def test_dp_noisy_sum_clip_and_suppression(spark):
+    from tabsdata_spark import stats
+
+    rows = ([("a", 5.0)] * 12          # clipped at 2.0 -> sum 24
+            + [("b", 1.0)] * 3)        # suppressed (n < 10)
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r.g: r for r in stats.dp_noisy_sum(
+        df, ["g"], "v", clip=2.0, k_min=10).collect()}
+    assert set(out) == {"a"}
+    assert out["a"].clipped_sum == 24.0
+    # noise is an integer multiple of the clip, in [-4, 4]
+    delta = out["a"].noisy_sum - out["a"].clipped_sum
+    assert abs(delta / 2.0 - round(delta / 2.0)) < 1e-9
+    assert -4 * 2.0 <= delta <= 4 * 2.0
