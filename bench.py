@@ -266,6 +266,9 @@ ROUND5 = [
     "reciprocal_nn_emb",
     "dp_noisy_revenue_events",
     "ppr_suppliers",
+    "ks_test_events",
+    "two_proportion_events",
+    "mahalanobis_events",
 ]
 
 

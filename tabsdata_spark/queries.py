@@ -11700,3 +11700,161 @@ def ppr_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = edges.select(F.col("dst").alias("node")).distinct()
     return graph.ppr_exact(edges, "src", "dst", seeds, "node",
                            iters=2, damping=0.85)
+
+
+@q(
+    "ks_test_events",
+    """
+    WITH base AS (
+      SELECT CAST(FLOOR(value) AS BIGINT) AS b,
+             (user_id % 2 = 0) AS c
+      FROM events WHERE value IS NOT NULL),
+    pts AS (
+      SELECT b, SUM(CASE WHEN c THEN 1 ELSE 0 END) AS c1,
+             SUM(CASE WHEN c THEN 0 ELSE 1 END) AS c2
+      FROM base GROUP BY b),
+    cum AS (
+      SELECT SUM(c1) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS k1,
+             SUM(c2) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS k2,
+             SUM(c1) OVER () AS n1, SUM(c2) OVER () AS n2
+      FROM pts),
+    agg AS (
+      SELECT MAX(ABS(CAST(k1 AS DECIMAL(38,0)) * n2
+                     - CAST(k2 AS DECIMAL(38,0)) * n1)) AS d,
+             MAX(n1) AS n_1, MAX(n2) AS n_2
+      FROM cum)
+    SELECT CAST(n_1 AS BIGINT) AS n_1, CAST(n_2 AS BIGINT) AS n_2,
+           CASE WHEN n_1 > 0 AND n_2 > 0
+                THEN ROUND(CAST(d AS DOUBLE)
+                           / (CAST(n_1 AS DOUBLE) * CAST(n_2 AS DOUBLE)),
+                           6)
+           END AS ks_d
+    FROM agg
+    """,
+)
+def ks_test_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance (stats.ks_test) between
+    even and odd users' value distributions, bucketed to whole units
+    so the ECDF scan is bucket-bounded; |cum1*n2 - cum2*n1| keeps the
+    max in exact integers."""
+    from tabsdata_spark import stats
+
+    ev = load_events(spark, sf_dir).df
+    base = (ev.filter(F.col("value").isNotNull())
+            .select(F.floor(F.col("value")).cast("bigint").alias("b"),
+                    (F.col("user_id") % 2 == 0).alias("c")))
+    return stats.ks_test(base, "b", "c")
+
+
+@q(
+    "two_proportion_events",
+    """
+    WITH base AS (
+      SELECT event_type, (user_id % 2 = 0) AS c,
+             CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS s
+      FROM events WHERE value IS NOT NULL),
+    agg AS (
+      SELECT event_type,
+             SUM(CASE WHEN c THEN 1 ELSE 0 END) AS n_1,
+             SUM(CASE WHEN c THEN s ELSE 0 END) AS s_1,
+             SUM(CASE WHEN NOT c THEN 1 ELSE 0 END) AS n_2,
+             SUM(CASE WHEN NOT c THEN s ELSE 0 END) AS s_2
+      FROM base GROUP BY 1)
+    SELECT event_type,
+           CAST(n_1 AS BIGINT) AS n_1, CAST(n_2 AS BIGINT) AS n_2,
+           ROUND(CAST(s_1 AS DOUBLE) / CAST(n_1 AS DOUBLE), 6) AS rate_1,
+           ROUND(CAST(s_2 AS DOUBLE) / CAST(n_2 AS DOUBLE), 6) AS rate_2,
+           CASE WHEN n_1 > 0 AND n_2 > 0
+                     AND (CAST(s_1 AS DOUBLE) + CAST(s_2 AS DOUBLE))
+                         / (CAST(n_1 AS DOUBLE) + CAST(n_2 AS DOUBLE))
+                         * (1.0 - (CAST(s_1 AS DOUBLE)
+                                   + CAST(s_2 AS DOUBLE))
+                            / (CAST(n_1 AS DOUBLE) + CAST(n_2 AS DOUBLE)))
+                         * (1.0 / CAST(n_1 AS DOUBLE)
+                            + 1.0 / CAST(n_2 AS DOUBLE)) > 0.0
+                THEN ROUND((CAST(s_1 AS DOUBLE) / CAST(n_1 AS DOUBLE)
+                            - CAST(s_2 AS DOUBLE) / CAST(n_2 AS DOUBLE))
+                           / SQRT((CAST(s_1 AS DOUBLE)
+                                   + CAST(s_2 AS DOUBLE))
+                                  / (CAST(n_1 AS DOUBLE)
+                                     + CAST(n_2 AS DOUBLE))
+                                  * (1.0 - (CAST(s_1 AS DOUBLE)
+                                            + CAST(s_2 AS DOUBLE))
+                                     / (CAST(n_1 AS DOUBLE)
+                                        + CAST(n_2 AS DOUBLE)))
+                                  * (1.0 / CAST(n_1 AS DOUBLE)
+                                     + 1.0 / CAST(n_2 AS DOUBLE))), 6)
+           END AS z
+    FROM agg
+    """,
+)
+def two_proportion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test per event type (stats.two_proportion_ztest):
+    does the high-value rate (value > 50) differ between even and odd
+    users?  Exact integer counts, one fixed IEEE expression."""
+    from tabsdata_spark import stats
+
+    ev = load_events(spark, sf_dir).df
+    base = (ev.filter(F.col("value").isNotNull())
+            .select("event_type", (F.col("user_id") % 2 == 0).alias("c"),
+                    (F.col("value") > 50.0).alias("s")))
+    return stats.two_proportion_ztest(base, "s", "c", ["event_type"])
+
+
+@q(
+    "mahalanobis_events",
+    """
+    WITH base AS (
+      SELECT event_type,
+             CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS x1,
+             CAST(EXTRACT(HOUR FROM CAST(ts AS TIMESTAMP)) AS BIGINT)
+               AS x2
+      FROM events WHERE value IS NOT NULL),
+    mom AS (
+      SELECT event_type, COUNT(*) AS mn,
+             CAST(SUM(CAST(x1 AS HUGEINT)) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(x2 AS HUGEINT)) AS DOUBLE) AS s2,
+             CAST(SUM(CAST(x1 AS HUGEINT) * x1) AS DOUBLE) AS s11,
+             CAST(SUM(CAST(x2 AS HUGEINT) * x2) AS DOUBLE) AS s22,
+             CAST(SUM(CAST(x1 AS HUGEINT) * x2) AS DOUBLE) AS s12
+      FROM base GROUP BY 1),
+    model AS (
+      SELECT event_type, mn,
+             s1 / mn AS mu1, s2 / mn AS mu2,
+             (s11 - s1 * s1 / mn) / (mn - 1.0) AS v11,
+             (s22 - s2 * s2 / mn) / (mn - 1.0) AS v22,
+             (s12 - s1 * s2 / mn) / (mn - 1.0) AS v12,
+             (s11 - s1 * s1 / mn) / (mn - 1.0)
+               * ((s22 - s2 * s2 / mn) / (mn - 1.0))
+               - ((s12 - s1 * s2 / mn) / (mn - 1.0))
+                 * ((s12 - s1 * s2 / mn) / (mn - 1.0)) AS det
+      FROM mom),
+    scored AS (
+      SELECT b.event_type,
+             (m.mn >= 3 AND m.det > 0.0) AS ok,
+             (m.v22 * (b.x1 - m.mu1) * (b.x1 - m.mu1)
+              - 2.0 * m.v12 * (b.x1 - m.mu1) * (b.x2 - m.mu2)
+              + m.v11 * (b.x2 - m.mu2) * (b.x2 - m.mu2)) / m.det AS d2
+      FROM base b JOIN model m ON b.event_type = m.event_type)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN ok AND d2 > 9.0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           MAX(CASE WHEN ok THEN ROUND(d2, 6) END) AS max_d2
+    FROM scored GROUP BY event_type
+    """,
+)
+def mahalanobis_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate Mahalanobis outlier report per event type
+    (stats.mahalanobis_outliers) over (value millis, hour of day):
+    exact decimal moment matrix, fixed-IEEE 2x2 inverse, outliers at
+    d2 > 9 — the correlation-aware complement to rolling z-scores."""
+    from tabsdata_spark import stats
+
+    ev = load_events(spark, sf_dir).df
+    base = (ev.filter(F.col("value").isNotNull())
+            .select("event_type",
+                    F.floor(F.col("value") * 1000 + F.lit(0.5))
+                    .cast("bigint").alias("x1"),
+                    F.hour("ts").cast("bigint").alias("x2")))
+    return stats.mahalanobis_outliers(base, "x1", "x2", ["event_type"],
+                                      threshold=9.0)

@@ -1607,3 +1607,138 @@ def dp_noisy_sum(df: DataFrame, group_cols: list[str], value_col: str,
                     .alias("clipped_sum"),
                     F.round(F.greatest(noisy, F.lit(0.0)), 6)
                     .alias("noisy_sum")))
+
+
+def ks_test(df: DataFrame, bucket_col: str, cohort_col: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between cohort TRUE and
+    cohort FALSE over a PRE-BUCKETED statistic column: D = max over
+    buckets of |ECDF_1 - ECDF_2| — the distribution-shift test that
+    catches what a mean-based monitor misses.
+
+    The caller buckets the raw statistic (e.g. floor(value)) so the
+    cumulative scan runs over BUCKET CARDINALITY, never rows — the
+    same bounded-window contract as roc_auc; D is then the exact KS
+    distance of the bucketed distributions.
+
+    Exactness contract: per-bucket cohort counts are exact integers;
+    |cum1 * n2 - cum2 * n1| is an exact integer cross product (no
+    rational arithmetic), and D = max_diff / (n1 * n2) is ONE IEEE
+    division (round 6).  Empty cohorts surface NULL."""
+    big = "decimal(38,0)"
+    c = F.col(cohort_col).cast("boolean")
+    pts = (df.groupBy(F.col(bucket_col).alias("__b"))
+           .agg(F.sum(F.when(c, 1).otherwise(0)).alias("__c1"),
+                F.sum(F.when(c, 0).otherwise(1)).alias("__c2")))
+    w = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding,
+                                          Window.currentRow)
+    tot = Window.rowsBetween(Window.unboundedPreceding,
+                             Window.unboundedFollowing)
+    cum = pts.select(
+        F.sum("__c1").over(w).alias("__k1"),
+        F.sum("__c2").over(w).alias("__k2"),
+        F.sum("__c1").over(tot).alias("__n1"),
+        F.sum("__c2").over(tot).alias("__n2"))
+    diff = F.abs(F.col("__k1").cast(big) * F.col("__n2").cast(big)
+                 - F.col("__k2").cast(big) * F.col("__n1").cast(big))
+    agg = cum.agg(F.max(diff.cast(big)).alias("__d"),
+                  F.max("__n1").alias("n_1"), F.max("__n2").alias("n_2"))
+    ok = (F.col("n_1") > 0) & (F.col("n_2") > 0)
+    return agg.select(
+        F.col("n_1").cast("bigint").alias("n_1"),
+        F.col("n_2").cast("bigint").alias("n_2"),
+        F.when(ok, F.round(
+            F.col("__d").cast("double")
+            / (F.col("n_1").cast("double") * F.col("n_2").cast("double")),
+            6)).alias("ks_d"))
+
+
+def two_proportion_ztest(df: DataFrame, success_col: str, cohort_col: str,
+                         group_cols: list[str]) -> DataFrame:
+    """Per-group two-proportion z-test between cohort TRUE and FALSE:
+    z = (p1 - p2) / sqrt(p(1-p)(1/n1 + 1/n2)) with the pooled rate p —
+    the conversion-rate significance readout for funnels and A/B
+    gates.
+
+    Exactness: all counts exact integers; z is one fixed IEEE
+    expression (round 6); degenerate groups (either cohort empty, or
+    pooled rate 0/1) surface NULL.
+
+    Scale shape: one partial-agg shuffle onto the group keys."""
+    c = F.col(cohort_col).cast("boolean")
+    s = F.col(success_col).cast("int")
+    agg = df.groupBy(*group_cols).agg(
+        F.sum(F.when(c, 1).otherwise(0)).alias("n_1"),
+        F.sum(F.when(c, s).otherwise(0)).alias("s_1"),
+        F.sum(F.when(~c, 1).otherwise(0)).alias("n_2"),
+        F.sum(F.when(~c, s).otherwise(0)).alias("s_2"))
+    n1, n2 = F.col("n_1").cast("double"), F.col("n_2").cast("double")
+    s1, s2 = F.col("s_1").cast("double"), F.col("s_2").cast("double")
+    p1, p2 = s1 / n1, s2 / n2
+    p = (s1 + s2) / (n1 + n2)
+    se2 = p * (F.lit(1.0) - p) * (F.lit(1.0) / n1 + F.lit(1.0) / n2)
+    ok = (F.col("n_1") > 0) & (F.col("n_2") > 0) & (se2 > F.lit(0.0))
+    return agg.select(
+        *group_cols,
+        F.col("n_1").cast("bigint").alias("n_1"),
+        F.col("n_2").cast("bigint").alias("n_2"),
+        F.round(p1, 6).alias("rate_1"),
+        F.round(p2, 6).alias("rate_2"),
+        F.when(ok, F.round((p1 - p2) / F.sqrt(se2), 6)).alias("z"))
+
+
+def mahalanobis_outliers(df: DataFrame, x1_col: str, x2_col: str,
+                         group_cols: list[str],
+                         threshold: float = 9.0) -> DataFrame:
+    """Per-group bivariate Mahalanobis outlier report: squared distance
+    d2 = (x - mu)' S^-1 (x - mu) under the group's own 2x2 sample
+    covariance — the correlation-aware outlier test that univariate
+    z-scores miss (a point can be 2 sigma on each axis yet wildly
+    off the joint distribution).
+
+    Inputs must be BIGINT-quantized (the exact_regression contract).
+    Exactness: the five moment sums are exact decimal(38,0); mu, the
+    covariance cells, the inverse, and each row's d2 are fixed IEEE
+    expressions; the report counts rows with d2 > threshold and the
+    max d2 (round 6).  Degenerate groups (singular covariance, n < 3)
+    surface NULL and count no outliers.
+
+    Scale shape: one moment shuffle onto groups, one broadcast join of
+    the 7-scalar model back onto rows, one final partial agg."""
+    big = "decimal(38,0)"
+    x1, x2 = F.col(x1_col).cast(big), F.col(x2_col).cast(big)
+    mom = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(x1).alias("__s1"), F.sum(x2).alias("__s2"),
+        F.sum((x1 * x1).cast(big)).alias("__s11"),
+        F.sum((x2 * x2).cast(big)).alias("__s22"),
+        F.sum((x1 * x2).cast(big)).alias("__s12"))
+    n = F.col("__n").cast("double")
+    s1, s2 = F.col("__s1").cast("double"), F.col("__s2").cast("double")
+    s11 = F.col("__s11").cast("double")
+    s22 = F.col("__s22").cast("double")
+    s12 = F.col("__s12").cast("double")
+    mu1, mu2 = s1 / n, s2 / n
+    v11 = (s11 - s1 * s1 / n) / (n - F.lit(1.0))
+    v22 = (s22 - s2 * s2 / n) / (n - F.lit(1.0))
+    v12 = (s12 - s1 * s2 / n) / (n - F.lit(1.0))
+    det = v11 * v22 - v12 * v12
+    model = mom.select(
+        *group_cols, F.col("__n").alias("__mn"),
+        mu1.alias("__mu1"), mu2.alias("__mu2"),
+        v11.alias("__v11"), v22.alias("__v22"), v12.alias("__v12"),
+        det.alias("__det"))
+    j = df.join(F.broadcast(model), group_cols)
+    d1 = F.col(x1_col).cast("double") - F.col("__mu1")
+    d2c = F.col(x2_col).cast("double") - F.col("__mu2")
+    ok = (F.col("__mn") >= 3) & (F.col("__det") > F.lit(0.0))
+    d2 = ((F.col("__v22") * d1 * d1
+           - F.lit(2.0) * F.col("__v12") * d1 * d2c
+           + F.col("__v11") * d2c * d2c) / F.col("__det"))
+    return (j.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(ok & (d2 > F.lit(float(threshold))), 1)
+              .otherwise(0)).alias("n_outliers"),
+        F.max(F.when(ok, F.round(d2, 6))).alias("max_d2"))
+        .select(*group_cols, F.col("n").cast("bigint").alias("n"),
+                F.col("n_outliers").cast("bigint").alias("n_outliers"),
+                "max_d2"))

@@ -885,3 +885,45 @@ def test_dp_noisy_sum_clip_and_suppression(spark):
     delta = out["a"].noisy_sum - out["a"].clipped_sum
     assert abs(delta / 2.0 - round(delta / 2.0)) < 1e-9
     assert -4 * 2.0 <= delta <= 4 * 2.0
+
+
+def test_ks_test_identical_and_disjoint(spark):
+    from tabsdata_spark import stats
+
+    same = spark.createDataFrame(
+        [(b, c) for b in range(10) for c in (True, False)],
+        "b long, c boolean")
+    assert stats.ks_test(same, "b", "c").collect()[0].ks_d == 0.0
+    disjoint = spark.createDataFrame(
+        [(b, True) for b in range(5)] + [(b + 100, False) for b in range(5)],
+        "b long, c boolean")
+    assert stats.ks_test(disjoint, "b", "c").collect()[0].ks_d == 1.0
+
+
+def test_two_proportion_ztest_known_value(spark):
+    import math
+
+    from tabsdata_spark import stats
+
+    # cohort 1: 30/100 success; cohort 2: 20/100
+    rows = ([("g", True, True)] * 30 + [("g", True, False)] * 70
+            + [("g", False, True)] * 20 + [("g", False, False)] * 80)
+    df = spark.createDataFrame(rows, "g string, c boolean, s boolean")
+    r = stats.two_proportion_ztest(df, "s", "c", ["g"]).collect()[0]
+    p = 50 / 200
+    se = math.sqrt(p * (1 - p) * (1 / 100 + 1 / 100))
+    assert r.rate_1 == 0.3 and r.rate_2 == 0.2
+    assert abs(r.z - (0.3 - 0.2) / se) < 1e-6
+
+
+def test_mahalanobis_flags_joint_outlier(spark):
+    from tabsdata_spark import stats
+
+    # tight cloud along x1=x2 with one point far OFF the diagonal
+    rows = [("g", i, i) for i in range(1, 21)] + [("g", 20, 1)]
+    df = spark.createDataFrame(rows, "g string, x1 long, x2 long")
+    r = stats.mahalanobis_outliers(df, "x1", "x2", ["g"],
+                                   threshold=9.0).collect()[0]
+    assert r.n == 21
+    assert r.n_outliers >= 1
+    assert r.max_d2 > 9.0

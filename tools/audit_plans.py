@@ -51,6 +51,10 @@ GLOBAL_ORDER_OK = {
     # logrank_test's risk-set window runs over the aggregated TIME
     # table (censored-at-60 day grid, <= 61 rows), never raw rows
     "logrank_orders",
+    # ks_test's ECDF scan runs over the caller-BUCKETED statistic
+    # table (whole-unit value buckets, <= value-range rows), the same
+    # bounded contract as roc_auc (stats.ks_test docstring)
+    "ks_test_events",
 }
 
 
