@@ -269,6 +269,9 @@ ROUND5 = [
     "ks_test_events",
     "two_proportion_events",
     "mahalanobis_events",
+    "corpus_summary_docs",
+    "revenue_waterfall_orders",
+    "resample_interpolate_events",
 ]
 
 

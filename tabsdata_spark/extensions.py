@@ -1514,3 +1514,47 @@ def abc_analysis(df: DataFrame, group_col: str, key_col: str,
         F.col("__rev").cast("double").alias("revenue"),
         F.round(F.col("__rev").cast("double")
                 / F.col("__t").cast("double"), 6).alias("revenue_share"))
+
+
+def resample_interpolate(df: DataFrame, key_cols: list[str] | str,
+                         bucket_col: str, value_col: str) -> DataFrame:
+    """Gap-filling with LINEAR interpolation on an integer bucket grid
+    (daily/hourly indexes): between consecutive observed buckets, the
+    value interpolates linearly; the fill companion to resample_ffill
+    when held-flat is the wrong prior (sensor readings, rates).
+
+    Exactness contract: observed values quantize to micros; each
+    interpolated bucket is
+    floor(v_prev + (v_next - v_prev) * step / gap + 0.5) evaluated
+    with exact integer inputs and one IEEE multiply/divide —
+    deterministic in any engine.  Leading/trailing gaps (no bracket on
+    one side) stay absent, matching SQL semantics exactly.
+
+    Scale shape: one lead() window per key, one bounded sequence
+    explode per gap (fan-out = gap length), no joins."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    w = Window.partitionBy(*keys).orderBy(bucket_col)
+    vm = F.floor(F.col(value_col) * 1e6 + F.lit(0.5)).cast("bigint")
+    base = (df.select(*keys, F.col(bucket_col).alias("__b"),
+                      vm.alias("__vm"))
+            .withColumn("__nb", F.lead("__b").over(
+                Window.partitionBy(*keys).orderBy("__b")))
+            .withColumn("__nv", F.lead("__vm").over(
+                Window.partitionBy(*keys).orderBy("__b"))))
+    steps = F.when(
+        F.col("__nb").isNotNull(),
+        F.sequence(F.lit(0), (F.col("__nb") - F.col("__b") - 1)
+                   .cast("int"))).otherwise(F.array(F.lit(0)))
+    exploded = base.select(*keys, "__b", "__vm", "__nb", "__nv",
+                           F.explode(steps).alias("__s"))
+    gap = (F.col("__nb") - F.col("__b")).cast("double")
+    interp = F.when(
+        F.col("__s") == 0, F.col("__vm")).otherwise(
+        F.floor(F.col("__vm")
+                + (F.col("__nv") - F.col("__vm")).cast("double")
+                * F.col("__s").cast("double") / gap + F.lit(0.5))
+        .cast("bigint"))
+    return exploded.select(
+        *keys, (F.col("__b") + F.col("__s")).alias(bucket_col),
+        (F.col("__s") > 0).alias("interpolated"),
+        (interp.cast("double") / 1e6).alias(value_col))

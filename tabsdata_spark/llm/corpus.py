@@ -957,3 +957,45 @@ def deterministic_shuffle(df: DataFrame, key_col: str, seed: int = 0,
     return (out.withColumn("rank_in_shard",
                            F.row_number().over(w).cast("bigint"))
             .drop("__h"))
+
+
+def corpus_summary(docs: DataFrame, text_col: str = "text",
+                   lang_col: str = "lang",
+                   source_col: str = "source") -> DataFrame:
+    """One-row corpus datasheet: document/token/byte totals, language
+    and source cardinalities, exact-duplicate rate, and mean quality
+    proxies — the single-call summary a dataset card starts from.
+
+    Exactness: counts/bytes/tokens are exact integers; the duplicate
+    rate counts rows minus distinct md5(text); ratio columns are one
+    IEEE division each (round 6).
+
+    Scale shape: ONE pass computes every per-row statistic, one
+    partial aggregate collapses to a single row (count_distincts
+    expand map-side); no joins."""
+    from .textual import tokens
+
+    toks = F.size(tokens(F.lower(F.col(text_col))))
+    agg = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5(F.col(text_col))).alias("__uniq"),
+        F.countDistinct(F.col(lang_col)).alias("n_langs"),
+        F.countDistinct(F.col(source_col)).alias("n_sources"),
+        F.sum(F.octet_length(F.col(text_col)).cast("bigint"))
+        .alias("total_bytes"),
+        F.sum(toks.cast("bigint")).alias("total_tokens"),
+        F.sum(F.when(toks == 0, 1).otherwise(0)).alias("n_empty"))
+    n = F.col("n_docs").cast("double")
+    return agg.select(
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_langs").cast("bigint").alias("n_langs"),
+        F.col("n_sources").cast("bigint").alias("n_sources"),
+        "total_bytes", "total_tokens",
+        F.col("n_empty").cast("bigint").alias("n_empty"),
+        F.round((F.col("n_docs") - F.col("__uniq")).cast("double") / n, 6)
+        .alias("dup_rate"),
+        F.round(F.col("total_tokens").cast("double") / n, 6)
+        .alias("mean_tokens"),
+        F.round(F.col("total_bytes").cast("double")
+                / F.col("total_tokens").cast("double"), 6)
+        .alias("bytes_per_token"))

@@ -11858,3 +11858,154 @@ def mahalanobis_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.hour("ts").cast("bigint").alias("x2")))
     return stats.mahalanobis_outliers(base, "x1", "x2", ["event_type"],
                                       threshold=9.0)
+
+
+@q(
+    "corpus_summary_docs",
+    r"""
+    WITH base AS (
+      SELECT text, lang, source,
+             len(list_filter(regexp_split_to_array(trim(lower(text)),
+                                                   '\s+'), x -> x <> ''))
+               AS tk,
+             strlen(text) AS by
+      FROM documents),
+    agg AS (
+      SELECT COUNT(*) AS n_docs,
+             COUNT(DISTINCT md5(text)) AS uniq,
+             COUNT(DISTINCT lang) AS n_langs,
+             COUNT(DISTINCT source) AS n_sources,
+             SUM(by) AS total_bytes,
+             SUM(tk) AS total_tokens,
+             SUM(CASE WHEN tk = 0 THEN 1 ELSE 0 END) AS n_empty
+      FROM base)
+    SELECT CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_langs AS BIGINT) AS n_langs,
+           CAST(n_sources AS BIGINT) AS n_sources,
+           CAST(total_bytes AS BIGINT) AS total_bytes,
+           CAST(total_tokens AS BIGINT) AS total_tokens,
+           CAST(n_empty AS BIGINT) AS n_empty,
+           ROUND(CAST(n_docs - uniq AS DOUBLE) / CAST(n_docs AS DOUBLE),
+                 6) AS dup_rate,
+           ROUND(CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE),
+                 6) AS mean_tokens,
+           ROUND(CAST(total_bytes AS DOUBLE)
+                 / CAST(total_tokens AS DOUBLE), 6) AS bytes_per_token
+    FROM agg
+    """,
+)
+def corpus_summary_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus datasheet (llm/corpus.corpus_summary): totals,
+    cardinalities, exact-dup rate, token/byte means — ONE scan, one
+    single-row aggregate."""
+    from tabsdata_spark.llm import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus.corpus_summary(docs)
+
+
+@q(
+    "revenue_waterfall_orders",
+    """
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS gross,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             AS discount_amt,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS net,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                    * CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS tax_amt,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE)
+             AS charged
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def revenue_waterfall_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue waterfall per market segment: gross -> discount -> net
+    -> tax -> charged, every stage an exact DECIMAL(18,2) sum (the
+    money contract) over one 3-way join — the classic finance
+    decomposition readout."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    dec = "decimal(18,2)"
+    j = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+         .join(c, o["o_custkey"] == c["c_custkey"]))
+    return (j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast(dec)).cast("double")
+        .alias("gross"),
+        F.sum(F.col("l_extendedprice").cast(dec)
+              * F.col("l_discount").cast(dec))
+        .cast("double").alias("discount_amt"),
+        F.sum(F.col("l_extendedprice").cast(dec)
+              * (1 - F.col("l_discount").cast(dec)))
+        .cast("double").alias("net"),
+        F.sum(F.col("l_extendedprice").cast(dec)
+              * (1 - F.col("l_discount").cast(dec))
+              * F.col("l_tax").cast(dec)).cast("double").alias("tax_amt"),
+        F.sum(F.col("l_extendedprice").cast(dec)
+              * (1 - F.col("l_discount").cast(dec))
+              * (1 + F.col("l_tax").cast(dec))).cast("double")
+        .alias("charged")))
+
+
+@q(
+    "resample_interpolate_events",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             epoch_us(CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE)
+                           AS TIMESTAMP)) // 86400000000 AS b,
+             COUNT(*) AS y
+      FROM events WHERE event_type IN ('purchase', 'error')
+        AND (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) % 3 = 0
+      GROUP BY 1, 2),
+    base AS (
+      SELECT event_type, b, y * 1000000 AS vm,
+             LEAD(b) OVER (PARTITION BY event_type ORDER BY b) AS nb,
+             LEAD(y * 1000000) OVER (PARTITION BY event_type ORDER BY b)
+               AS nv
+      FROM daily),
+    ex AS (
+      SELECT event_type, b, vm, nb, nv,
+             unnest(CASE WHEN nb IS NOT NULL
+                         THEN range(0, CAST(nb - b AS INTEGER))
+                         ELSE [CAST(0 AS BIGINT)] END) AS s
+      FROM base)
+    SELECT event_type, CAST(b + s AS BIGINT) AS b,
+           (s > 0) AS interpolated,
+           CAST(CASE WHEN s = 0 THEN vm
+                ELSE CAST(FLOOR(vm + CAST(nv - vm AS DOUBLE) * s
+                                / CAST(nb - b AS DOUBLE) + 0.5) AS BIGINT)
+           END AS DOUBLE) / 1e6 AS y
+    FROM ex
+    """,
+)
+def resample_interpolate_events(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    """Linear gap interpolation (extensions.resample_interpolate) over
+    a deliberately sparsified daily count series (epoch-second % 3
+    keeps ~1/3 of events, leaving day gaps): micros-exact interpolants
+    between observed buckets, leading/trailing gaps stay absent —
+    the linear companion to resample_ffill."""
+    from tabsdata_spark import extensions
+
+    ev = load_events(spark, sf_dir).df
+    day = F.expr("unix_micros(cast(to_date(ts) as timestamp))"
+                 " div 86400000000")
+    daily = (ev.filter(F.col("event_type").isin("purchase", "error")
+                       & (F.expr("unix_micros(ts) div 1000000") % 3 == 0))
+             .groupBy("event_type", day.alias("b"))
+             .agg(F.count(F.lit(1)).alias("y")))
+    return extensions.resample_interpolate(daily, "event_type", "b", "y")

@@ -870,3 +870,22 @@ def test_abc_analysis_classes_and_shares(spark):
     assert out["B"].n_keys == 1 and out["B"].revenue == 30.0
     assert out["C"].n_keys == 2 and out["C"].revenue == 20.0
     assert out["A"].revenue_share == 0.5
+
+
+def test_resample_interpolate_exact_midpoints(spark):
+    from tabsdata_spark import extensions
+
+    # observed at buckets 0 (v=10) and 3 (v=16): gaps 1, 2 interpolate
+    # to exactly 12 and 14; trailing point 5 has no bracket -> absent 4
+    rows = [("k", 0, 10.0), ("k", 3, 16.0), ("k", 5, 99.0)]
+    df = spark.createDataFrame(rows, "k string, b long, v double")
+    out = {r.b: r for r in extensions.resample_interpolate(
+        df, "k", "b", "v").collect()}
+    assert set(out) == {0, 1, 2, 3, 4, 5}
+    assert out[0].v == 10.0 and not out[0].interpolated
+    assert out[1].v == 12.0 and out[1].interpolated
+    assert out[2].v == 14.0
+    assert out[3].v == 16.0 and not out[3].interpolated
+    # gap 4 between 3 and 5 interpolates (16 + 99)/... linearly
+    assert out[4].v == (16.0 + 99.0) / 2
+    assert out[5].v == 99.0

@@ -2013,3 +2013,18 @@ def test_reciprocal_nn_mutual_only(spark):
     r = out[0]
     assert (r.a_id, r.b_id) == (1, 2)
     assert r.rank_ab == 1 and r.rank_ba == 1
+
+
+def test_corpus_summary_exact_cells(spark):
+    from tabsdata_spark.llm import corpus
+
+    docs = spark.createDataFrame(
+        [(1, "a b", "en", "s1"), (2, "a b", "en", "s1"),
+         (3, "xyz", "fr", "s2"), (4, "", "fr", "s2")],
+        "doc_id long, text string, lang string, source string")
+    r = corpus.corpus_summary(docs).collect()[0]
+    assert r.n_docs == 4 and r.n_langs == 2 and r.n_sources == 2
+    assert r.dup_rate == 0.25          # one exact dup pair
+    assert r.n_empty == 1
+    assert r.total_tokens == 5
+    assert r.total_bytes == 3 + 3 + 3 + 0
