@@ -272,6 +272,8 @@ ROUND5 = [
     "corpus_summary_docs",
     "revenue_waterfall_orders",
     "resample_interpolate_events",
+    "gini_mean_diff_events",
+    "rolling_corr_events",
 ]
 
 

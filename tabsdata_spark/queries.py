@@ -12009,3 +12009,124 @@ def resample_interpolate_events(spark: SparkSession, sf_dir: str
              .groupBy("event_type", day.alias("b"))
              .agg(F.count(F.lit(1)).alias("y")))
     return extensions.resample_interpolate(daily, "event_type", "b", "y")
+
+
+@q(
+    "gini_mean_diff_events",
+    """
+    WITH base AS (
+      SELECT event_type,
+             CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) AS x
+      FROM events WHERE value IS NOT NULL),
+    rk AS (
+      SELECT event_type, x,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x) AS i,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM base),
+    agg AS (
+      SELECT event_type, MAX(n) AS n,
+             SUM(CAST(2 * i - n - 1 AS DECIMAL(38,0))
+                 * CAST(x AS DECIMAL(38,0))) AS s,
+             SUM(CAST(x AS DECIMAL(38,0))) AS sx
+      FROM rk GROUP BY event_type)
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           CASE WHEN n >= 2
+                THEN ROUND(2.0 * CAST(s AS DOUBLE)
+                           / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+                           / 1e6, 6)
+           END AS gmd,
+           CASE WHEN n >= 2 AND CAST(sx AS DOUBLE) / n > 0.0
+                THEN ROUND(2.0 * CAST(s AS DOUBLE)
+                           / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+                           / (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+           END AS relative_gmd
+    FROM agg
+    """,
+)
+def gini_mean_diff_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini mean difference per event type (stats.gini_mean_difference):
+    mean absolute pairwise value gap via the sorted-rank identity —
+    one rank window per group partition, never O(n^2) pairs; weighted
+    sums exact in decimal(38,0)."""
+    from tabsdata_spark import stats
+
+    ev = load_events(spark, sf_dir).df
+    base = (ev.filter(F.col("value").isNotNull())
+            .select("event_type",
+                    F.floor(F.col("value") * 1e6 + F.lit(0.5))
+                    .cast("bigint").alias("x")))
+    return stats.gini_mean_difference(base, "x", ["event_type"])
+
+
+@q(
+    "rolling_corr_events",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             epoch_us(CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE)
+                           AS TIMESTAMP)) // 86400000000 AS t,
+             COUNT(*) AS y
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1, 2),
+    xy AS (
+      SELECT a.t, a.y AS x, b.y AS y
+      FROM (SELECT t, y FROM daily WHERE event_type = 'click') a
+      JOIN (SELECT t, y FROM daily WHERE event_type = 'purchase') b
+        ON a.t = b.t),
+    cums AS (
+      SELECT t,
+             SUM(CAST(x AS DECIMAL(38,0))) OVER w AS cx,
+             SUM(CAST(y AS DECIMAL(38,0))) OVER w AS cy,
+             SUM(CAST(x AS DECIMAL(38,0)) * y) OVER w AS cxy,
+             SUM(CAST(x AS DECIMAL(38,0)) * x) OVER w AS cxx,
+             SUM(CAST(y AS DECIMAL(38,0)) * y) OVER w AS cyy,
+             ROW_NUMBER() OVER (ORDER BY t) AS rn
+      FROM xy
+      WINDOW w AS (ORDER BY t ROWS UNBOUNDED PRECEDING)),
+    wins AS (
+      SELECT c.t,
+             c.cx - COALESCE(l.cx, 0) AS wx,
+             c.cy - COALESCE(l.cy, 0) AS wy,
+             c.cxy - COALESCE(l.cxy, 0) AS wxy,
+             c.cxx - COALESCE(l.cxx, 0) AS wxx,
+             c.cyy - COALESCE(l.cyy, 0) AS wyy,
+             LEAST(c.rn, 7) AS n
+      FROM cums c LEFT JOIN cums l ON l.rn = c.rn - 7)
+    SELECT CAST(t AS BIGINT) AS t, CAST(n AS BIGINT) AS n_window,
+           CASE WHEN n >= 3
+                     AND CAST(n AS DOUBLE) * CAST(wxx AS DOUBLE)
+                         - CAST(wx AS DOUBLE) * CAST(wx AS DOUBLE) > 0.0
+                     AND CAST(n AS DOUBLE) * CAST(wyy AS DOUBLE)
+                         - CAST(wy AS DOUBLE) * CAST(wy AS DOUBLE) > 0.0
+                THEN ROUND((CAST(n AS DOUBLE) * CAST(wxy AS DOUBLE)
+                            - CAST(wx AS DOUBLE) * CAST(wy AS DOUBLE))
+                           / SQRT((CAST(n AS DOUBLE) * CAST(wxx AS DOUBLE)
+                                   - CAST(wx AS DOUBLE)
+                                     * CAST(wx AS DOUBLE))
+                                  * (CAST(n AS DOUBLE)
+                                     * CAST(wyy AS DOUBLE)
+                                     - CAST(wy AS DOUBLE)
+                                       * CAST(wy AS DOUBLE))), 6)
+           END AS r
+    FROM wins
+    """,
+)
+def rolling_corr_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day correlation between daily click and purchase
+    counts (stats.rolling_correlation): cumulative-difference decimal
+    cross-moments (the rolling_zscore O(1)/row lesson), window over
+    the bounded daily grid only."""
+    from tabsdata_spark import stats
+
+    ev = load_events(spark, sf_dir).df
+    day = F.expr("unix_micros(cast(to_date(ts) as timestamp))"
+                 " div 86400000000")
+    daily = (ev.filter(F.col("event_type").isin("click", "purchase"))
+             .groupBy("event_type", day.alias("t"))
+             .agg(F.count(F.lit(1)).alias("y")))
+    xs = daily.filter(F.col("event_type") == "click") \
+        .select("t", F.col("y").alias("x"))
+    ys = daily.filter(F.col("event_type") == "purchase").select(
+        F.col("t").alias("t2"), "y")
+    xy = xs.join(ys, xs["t"] == ys["t2"]).select("t", "x", "y")
+    return stats.rolling_correlation(xy, "t", "x", "y", window=7)

@@ -1742,3 +1742,99 @@ def mahalanobis_outliers(df: DataFrame, x1_col: str, x2_col: str,
         .select(*group_cols, F.col("n").cast("bigint").alias("n"),
                 F.col("n_outliers").cast("bigint").alias("n_outliers"),
                 "max_d2"))
+
+
+def gini_mean_difference(df: DataFrame, value_col: str,
+                         group_cols: list[str]) -> DataFrame:
+    """Per-group Gini mean difference (mean absolute pairwise gap) and
+    relative GMD — the robust dispersion measure that, unlike
+    variance, is directly interpretable in the value's units and less
+    tail-dominated.
+
+    Identity used (no pairwise enumeration):
+        GMD = 2 / (n(n-1)) * sum_i (2i - n - 1) * x_(i)
+    over the ASCENDING-sorted values x_(i), i = 1..n — so the cost is
+    one rank window inside each group partition, not O(n^2) pairs.
+
+    Inputs must be BIGINT-quantized (micros/millis — the
+    exact_regression contract).  Exactness: the weighted sum runs as
+    exact decimal(38,0) ((2i-n-1) < 2^40, x fits the caller's scale);
+    GMD is one IEEE division (round 6).  Rank ties are harmless: tied
+    values are interchangeable under any tie order because the weights
+    applied to equal x sum to the same total."""
+    big = "decimal(38,0)"
+    ranked = (df.select(*group_cols, F.col(value_col).alias("__x"))
+              .withColumn("__i", F.row_number().over(
+                  Window.partitionBy(*group_cols).orderBy("__x")))
+              .withColumn("__n", F.count(F.lit(1)).over(
+                  Window.partitionBy(*group_cols))))
+    term = ((F.lit(2) * F.col("__i") - F.col("__n") - 1).cast(big)
+            * F.col("__x").cast(big)).cast(big)
+    agg = ranked.groupBy(*group_cols).agg(
+        F.max("__n").alias("n"),
+        F.sum(term).alias("__s"),
+        F.sum(F.col("__x").cast(big)).alias("__sx"))
+    n = F.col("n").cast("double")
+    gmd = (F.lit(2.0) * F.col("__s").cast("double")
+           / (n * (n - F.lit(1.0))))
+    mean = F.col("__sx").cast("double") / n
+    ok = F.col("n") >= 2
+    return agg.select(
+        *group_cols, F.col("n").cast("bigint").alias("n"),
+        F.when(ok, F.round(gmd / 1e6, 6)).alias("gmd"),
+        F.when(ok & (mean > F.lit(0.0)),
+               F.round(gmd / mean, 6)).alias("relative_gmd"))
+
+
+def rolling_correlation(df: DataFrame, t_col: str, x_col: str, y_col: str,
+                        window: int = 7) -> DataFrame:
+    """Trailing-window Pearson correlation between two aligned
+    integer-valued series (x_t, y_t): the co-movement monitor for
+    metric pairs (spend vs conversions, errors vs latency) whose
+    relationship drifts over time.
+
+    Inputs are BIGINT-quantized aligned series (one row per t).
+    Exactness contract: the five cross-moments accumulate as exact
+    decimal(38,0) CUMULATIVE sums and each trailing frame is the
+    difference of two cumulative rows (the rolling_zscore lesson:
+    O(1)/row instead of re-adding the frame, and exact decimals make
+    the differences order-free); r is one fixed IEEE expression
+    (round 6), degenerate windows NULL.
+
+    Scale shape: the series is an AGGREGATED table (daily/hourly
+    grid), so the ordered window runs over bucket cardinality — the
+    roc_auc bounded-window contract."""
+    big = "decimal(38,0)"
+    x, y = F.col(x_col).cast(big), F.col(y_col).cast(big)
+    base = df.select(F.col(t_col).alias("t"), x.alias("__x"),
+                     y.alias("__y"),
+                     (x * y).cast(big).alias("__xy"),
+                     (x * x).cast(big).alias("__xx"),
+                     (y * y).cast(big).alias("__yy"))
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding,
+                                           Window.currentRow)
+    wlag = Window.orderBy("t")
+    cums = base.select(
+        "t", "__x", "__y",
+        *[F.sum(c).over(wcum).alias(f"__c{c[2:]}")
+          for c in ("__x", "__y", "__xy", "__xx", "__yy")])
+    lagged = cums.select(
+        "t",
+        *[(F.col(f"__c{k}")
+           - F.coalesce(F.lag(f"__c{k}", window).over(wlag),
+                        F.lit(0).cast(big))).alias(f"__w{k}")
+          for k in ("x", "y", "xy", "xx", "yy")],
+        F.least(F.row_number().over(wlag), F.lit(window)).alias("__n"))
+    n = F.col("__n").cast("double")
+    sx = F.col("__wx").cast("double")
+    sy = F.col("__wy").cast("double")
+    sxy = F.col("__wxy").cast("double")
+    sxx = F.col("__wxx").cast("double")
+    syy = F.col("__wyy").cast("double")
+    cov = n * sxy - sx * sy
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    ok = (F.col("__n") >= 3) & (vx > F.lit(0.0)) & (vy > F.lit(0.0))
+    return lagged.select(
+        "t", F.col("__n").cast("bigint").alias("n_window"),
+        F.when(ok, F.round(cov / F.sqrt(vx * vy), 6)).alias("r"))

@@ -927,3 +927,30 @@ def test_mahalanobis_flags_joint_outlier(spark):
     assert r.n == 21
     assert r.n_outliers >= 1
     assert r.max_d2 > 9.0
+
+
+def test_gini_mean_difference_hand_computed(spark):
+    from tabsdata_spark import stats
+
+    # values 1, 2, 4 (micros-scaled): pairwise gaps 1, 3, 2 -> GMD = 2
+    df = spark.createDataFrame(
+        [("g", 1_000_000), ("g", 2_000_000), ("g", 4_000_000)],
+        "g string, x long")
+    r = stats.gini_mean_difference(df, "x", ["g"]).collect()[0]
+    assert r.gmd == 2.0
+    # relative = gmd / mean(values in micros) -- mean 7/3 * 1e6
+    assert abs(r.relative_gmd - 2_000_000 / (7_000_000 / 3)) < 1e-6
+
+
+def test_rolling_correlation_sign_flip(spark):
+    from tabsdata_spark import stats
+
+    # first 10 points co-move, last 10 anti-move
+    rows = ([(t, t, t) for t in range(10)]
+            + [(10 + t, t, 9 - t) for t in range(10)])
+    df = spark.createDataFrame(rows, "t long, x long, y long")
+    out = {r.t: r for r in stats.rolling_correlation(
+        df, "t", "x", "y", window=5).collect()}
+    assert out[9].r == 1.0
+    assert out[19].r == -1.0
+    assert out[0].r is None and out[1].r is None    # n < 3

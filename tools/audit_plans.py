@@ -55,6 +55,9 @@ GLOBAL_ORDER_OK = {
     # table (whole-unit value buckets, <= value-range rows), the same
     # bounded contract as roc_auc (stats.ks_test docstring)
     "ks_test_events",
+    # rolling_correlation's cumulative windows run over the aggregated
+    # DAILY grid (<= calendar-days rows), the growth_curve contract
+    "rolling_corr_events",
 }
 
 
