@@ -12130,3 +12130,205 @@ def rolling_corr_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t").alias("t2"), "y")
     xy = xs.join(ys, xs["t"] == ys["t2"]).select("t", "x", "y")
     return stats.rolling_correlation(xy, "t", "x", "y", window=7)
+
+
+_DAILY_XY_SQL = """
+    WITH daily AS (
+      SELECT event_type,
+             epoch_us(CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE)
+                           AS TIMESTAMP)) // 86400000000 AS t,
+             COUNT(*) AS y
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1, 2),
+    xy AS (
+      SELECT a.t, a.y AS x, b.y AS y
+      FROM (SELECT t, y FROM daily WHERE event_type = 'click') a
+      JOIN (SELECT t, y FROM daily WHERE event_type = 'purchase') b
+        ON a.t = b.t)
+"""
+
+
+def _daily_xy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily click-vs-purchase count grid shared by the correlation
+    family (rolling_corr / spearman / kendall): bounded by calendar
+    days at any scale."""
+    ev = load_events(spark, sf_dir).df
+    day = F.expr("unix_micros(cast(to_date(ts) as timestamp))"
+                 " div 86400000000")
+    daily = (ev.filter(F.col("event_type").isin("click", "purchase"))
+             .groupBy("event_type", day.alias("t"))
+             .agg(F.count(F.lit(1)).alias("y")))
+    xs = daily.filter(F.col("event_type") == "click") \
+        .select("t", F.col("y").alias("x"))
+    ys = daily.filter(F.col("event_type") == "purchase").select(
+        F.col("t").alias("t2"), "y")
+    return xs.join(ys, xs["t"] == ys["t2"]).select("t", "x", "y")
+
+
+@q(
+    "spearman_daily_events",
+    _DAILY_XY_SQL + """,
+    rx AS (SELECT x AS v, COUNT(*) AS c FROM xy GROUP BY 1),
+    rx2 AS (SELECT v, CAST(2 * (SUM(c) OVER (ORDER BY v
+                                             ROWS UNBOUNDED PRECEDING) - c)
+                           + c + 1 AS BIGINT) AS dr
+            FROM rx),
+    ry AS (SELECT y AS v, COUNT(*) AS c FROM xy GROUP BY 1),
+    ry2 AS (SELECT v, CAST(2 * (SUM(c) OVER (ORDER BY v
+                                             ROWS UNBOUNDED PRECEDING) - c)
+                           + c + 1 AS BIGINT) AS dr
+            FROM ry),
+    j AS (SELECT a.dr AS drx, b.dr AS dry
+          FROM xy JOIN rx2 a ON xy.x = a.v JOIN ry2 b ON xy.y = b.v),
+    m AS (SELECT COUNT(*) AS n,
+                 SUM(CAST(drx AS DECIMAL(38,0))) AS sx,
+                 SUM(CAST(dry AS DECIMAL(38,0))) AS sy,
+                 SUM(CAST(drx AS DECIMAL(38,0)) * dry) AS sxy,
+                 SUM(CAST(drx AS DECIMAL(38,0)) * drx) AS sxx,
+                 SUM(CAST(dry AS DECIMAL(38,0)) * dry) AS syy
+          FROM j)
+    SELECT CAST(n AS BIGINT) AS n,
+           CASE WHEN n >= 3
+                     AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+                     AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0.0
+                THEN ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                           / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                   - CAST(sx AS DOUBLE)
+                                     * CAST(sx AS DOUBLE))
+                                  * (CAST(n AS DOUBLE)
+                                     * CAST(syy AS DOUBLE)
+                                     - CAST(sy AS DOUBLE)
+                                       * CAST(sy AS DOUBLE))), 6)
+           END AS rho
+    FROM m
+    """,
+)
+def spearman_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (stats.spearman_correlation) between
+    daily click and purchase volumes: average ranks from
+    distinct-value tables (no row sort), exact integer double-ranks,
+    decimal moment sums."""
+    from tabsdata_spark import stats
+
+    return stats.spearman_correlation(_daily_xy(spark, sf_dir), "x", "y")
+
+
+@q(
+    "kendall_daily_events",
+    _DAILY_XY_SQL + """,
+    p AS (SELECT SUM(CASE WHEN (a.x - b.x) * (a.y - b.y) > 0
+                          THEN 1 ELSE 0 END) AS c,
+                 SUM(CASE WHEN (a.x - b.x) * (a.y - b.y) < 0
+                          THEN 1 ELSE 0 END) AS d
+          FROM xy a JOIN xy b ON a.t < b.t),
+    tx AS (SELECT SUM(c * (c - 1) // 2) AS t, SUM(c) AS n
+           FROM (SELECT COUNT(*) AS c FROM xy GROUP BY x)),
+    ty AS (SELECT SUM(c * (c - 1) // 2) AS t
+           FROM (SELECT COUNT(*) AS c FROM xy GROUP BY y))
+    SELECT CAST(tx.n AS BIGINT) AS n,
+           CAST(p.c AS BIGINT) AS n_conc,
+           CAST(p.d AS BIGINT) AS n_disc,
+           CASE WHEN CAST(tx.n * (tx.n - 1) // 2 - tx.t AS DOUBLE) > 0.0
+                     AND CAST(tx.n * (tx.n - 1) // 2 - ty.t AS DOUBLE) > 0.0
+                THEN ROUND((CAST(p.c AS DOUBLE) - CAST(p.d AS DOUBLE))
+                           / SQRT(CAST(tx.n * (tx.n - 1) // 2 - tx.t
+                                       AS DOUBLE)
+                                  * CAST(tx.n * (tx.n - 1) // 2 - ty.t
+                                         AS DOUBLE)), 6)
+           END AS tau_b
+    FROM p, tx, ty
+    """,
+)
+def kendall_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b (stats.kendall_tau) between daily click and
+    purchase volumes — the pairwise enumeration runs over the
+    calendar-day grid only (bounded-grid contract), broadcast
+    nested-loop, never a shuffled cartesian."""
+    from tabsdata_spark import stats
+
+    return stats.kendall_tau(_daily_xy(spark, sf_dir), "t", "x", "y")
+
+
+@q(
+    "weighted_median_lineitem",
+    """
+    WITH g AS (
+      SELECT l_returnflag, CAST(TRUNC(l_quantity) AS BIGINT) AS v,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS w
+      FROM lineitem GROUP BY 1, 2),
+    c AS (
+      SELECT l_returnflag, v,
+             SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                          ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+      FROM g)
+    SELECT l_returnflag, CAST(MIN(v) AS BIGINT) AS w_median,
+           ROUND(CAST(MAX(tw) AS DOUBLE), 2) AS total_weight
+    FROM c WHERE cw * 2 >= tw GROUP BY l_returnflag
+    """,
+)
+def weighted_median_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-weighted median order quantity per return flag
+    (stats.weighted_median): lower weighted median over the bounded
+    (flag, quantity) grid with exact decimal cumulative weights."""
+    from tabsdata_spark import stats
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("bigint").alias("v"),
+        "l_extendedprice")
+    return stats.weighted_median(li, "v", "l_extendedprice",
+                                 ["l_returnflag"])
+
+
+@q(
+    "wilson_ci_events",
+    """
+    WITH base AS (
+      SELECT event_type, CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS sc
+      FROM events WHERE value IS NOT NULL),
+    agg AS (SELECT event_type, COUNT(*) AS n, SUM(sc) AS s
+            FROM base GROUP BY 1)
+    SELECT event_type, CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS s,
+           ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate,
+           ROUND(GREATEST(
+             (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+              + 3.8415999999999997 / (2.0 * CAST(n AS DOUBLE)))
+             / (1.0 + 3.8415999999999997 / CAST(n AS DOUBLE))
+             - (1.96 * SQRT((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                             * (1.0 - CAST(s AS DOUBLE)
+                                      / CAST(n AS DOUBLE))
+                             + 3.8415999999999997
+                               / (4.0 * CAST(n AS DOUBLE)))
+                            / CAST(n AS DOUBLE)))
+               / (1.0 + 3.8415999999999997 / CAST(n AS DOUBLE)),
+             0.0), 6) AS wilson_lo,
+           ROUND(LEAST(
+             (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+              + 3.8415999999999997 / (2.0 * CAST(n AS DOUBLE)))
+             / (1.0 + 3.8415999999999997 / CAST(n AS DOUBLE))
+             + (1.96 * SQRT((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                             * (1.0 - CAST(s AS DOUBLE)
+                                      / CAST(n AS DOUBLE))
+                             + 3.8415999999999997
+                               / (4.0 * CAST(n AS DOUBLE)))
+                            / CAST(n AS DOUBLE)))
+               / (1.0 + 3.8415999999999997 / CAST(n AS DOUBLE)),
+             1.0), 6) AS wilson_hi
+    FROM agg
+    """,
+)
+def wilson_ci_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Wilson 95% score interval for the value>50
+    conversion rate (stats.wilson_interval) — z*z folded to one
+    double literal shared verbatim with the oracle."""
+    from tabsdata_spark import stats
+
+    ev = load_events(spark, sf_dir).df
+    base = (ev.filter(F.col("value").isNotNull())
+            .select("event_type",
+                    (F.col("value") > 50.0).cast("int").alias("sc")))
+    return stats.wilson_interval(base, "sc", ["event_type"])

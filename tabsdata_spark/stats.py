@@ -1838,3 +1838,174 @@ def rolling_correlation(df: DataFrame, t_col: str, x_col: str, y_col: str,
     return lagged.select(
         "t", F.col("__n").cast("bigint").alias("n_window"),
         F.when(ok, F.round(cov / F.sqrt(vx * vy), 6)).alias("r"))
+
+
+def spearman_correlation(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Spearman rank correlation between two columns: Pearson over
+    AVERAGE ranks, the monotonic-association test that is robust to
+    outliers and nonlinearity (the corr() a drift monitor should use
+    on heavy-tailed metrics).
+
+    Rank computation never sorts rows: each column's average ranks
+    come from its DISTINCT-VALUE table (group -> count -> cumulative
+    count), so the only unpartitioned window runs over VALUE
+    CARDINALITY, the roc_auc contract — quantize a heavy continuous
+    column upstream.  Double-ranks 2*rank_avg = 2*(cum-c) + c + 1 stay
+    exact integers (no .5 halves), the five moments accumulate as
+    exact decimal(38,0), and rho is one fixed IEEE expression over the
+    exact sums (round 6) — bit-stable across engines/partitionings.
+
+    Scale shape: two distinct-value aggregations + two equi-joins back
+    (AQE broadcasts the value tables), one final partial agg."""
+    big = "decimal(38,0)"
+
+    def _ranks(col: str, alias: str) -> DataFrame:
+        grp = df.groupBy(F.col(col).alias("__v")).agg(
+            F.count(F.lit(1)).alias("__c"))
+        w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding,
+                                              Window.currentRow)
+        return grp.select(
+            "__v",
+            (F.lit(2) * (F.sum("__c").over(w) - F.col("__c"))
+             + F.col("__c") + F.lit(1)).cast("bigint").alias(alias))
+
+    rx = _ranks(x_col, "__drx")
+    ry = _ranks(y_col, "__dry")
+    j = (df.select(F.col(x_col).alias("__xv"), F.col(y_col).alias("__yv"))
+         .join(rx, F.col("__xv") == rx["__v"]).drop("__v")
+         .join(ry, F.col("__yv") == ry["__v"]).drop("__v"))
+    drx, dry = F.col("__drx").cast(big), F.col("__dry").cast(big)
+    agg = j.agg(F.count(F.lit(1)).alias("n"),
+                F.sum(drx).alias("__sx"), F.sum(dry).alias("__sy"),
+                F.sum((drx * dry).cast(big)).alias("__sxy"),
+                F.sum((drx * drx).cast(big)).alias("__sxx"),
+                F.sum((dry * dry).cast(big)).alias("__syy"))
+    n = F.col("n").cast("double")
+    sx, sy = F.col("__sx").cast("double"), F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+    ok = (F.col("n") >= 3) & (vx > F.lit(0.0)) & (vy > F.lit(0.0))
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.when(ok, F.round((n * sxy - sx * sy) / F.sqrt(vx * vy), 6))
+        .alias("rho"))
+
+
+def kendall_tau(df: DataFrame, key_col: str, x_col: str,
+                y_col: str) -> DataFrame:
+    """Kendall tau-b over a BOUNDED, pre-aggregated grid (e.g. the
+    daily metric table): concordant/discordant pair counts with the
+    tie-corrected denominator sqrt((n0-n1)(n0-n2)).
+
+    The pairwise enumeration is O(n^2) BY CONTRACT — the caller must
+    pass an aggregate whose cardinality is bounded by construction
+    (calendar days, category grid), never raw rows; the small side is
+    broadcast so the non-equi join plans as a nested-loop broadcast,
+    not a shuffled cartesian.  All pair/tie counts are exact integers;
+    tau_b is one IEEE expression (round 6)."""
+    big = "decimal(38,0)"
+    a = df.select(F.col(key_col).alias("__k1"), F.col(x_col).alias("__x1"),
+                  F.col(y_col).alias("__y1"))
+    b = df.select(F.col(key_col).alias("__k2"), F.col(x_col).alias("__x2"),
+                  F.col(y_col).alias("__y2"))
+    prod = ((F.col("__x1") - F.col("__x2")).cast(big)
+            * (F.col("__y1") - F.col("__y2")).cast(big))
+    pairs = a.join(F.broadcast(b), F.col("__k1") < F.col("__k2"))
+    cd = pairs.agg(
+        F.sum(F.when(prod > 0, 1).otherwise(0)).alias("__c"),
+        F.sum(F.when(prod < 0, 1).otherwise(0)).alias("__d"))
+
+    def _ties(col: str) -> DataFrame:
+        g = df.groupBy(F.col(col).alias("__v")).agg(
+            F.count(F.lit(1)).alias("__c"))
+        t = (F.col("__c").cast(big) * (F.col("__c") - 1).cast(big)) / 2
+        return g.agg(F.sum(t.cast(big)).alias("__t"),
+                     F.sum("__c").alias("__n"))
+
+    tx = _ties(x_col).select(F.col("__t").alias("__tx"),
+                             F.col("__n").alias("__nn"))
+    ty = _ties(y_col).select(F.col("__t").alias("__ty"))
+    one = cd.crossJoin(F.broadcast(tx)).crossJoin(F.broadcast(ty))
+    n = F.col("__nn").cast(big)
+    n0 = ((n * (F.col("__nn") - 1).cast(big)) / 2).cast(big)
+    d1 = (n0 - F.col("__tx")).cast("double")
+    d2 = (n0 - F.col("__ty")).cast("double")
+    ok = (d1 > F.lit(0.0)) & (d2 > F.lit(0.0))
+    return one.select(
+        F.col("__nn").cast("bigint").alias("n"),
+        F.col("__c").cast("bigint").alias("n_conc"),
+        F.col("__d").cast("bigint").alias("n_disc"),
+        F.when(ok, F.round(
+            (F.col("__c").cast("double") - F.col("__d").cast("double"))
+            / F.sqrt(d1 * d2), 6)).alias("tau_b"))
+
+
+def weighted_median(df: DataFrame, value_col: str, weight_col: str,
+                    group_cols: list[str]) -> DataFrame:
+    """Per-group lower weighted median: the smallest value v whose
+    cumulative weight reaches half the group total (2*cum >= total) —
+    the robust center for weight-skewed measures (revenue-weighted
+    quantity, token-weighted quality).
+
+    The value column must be LOW-CARDINALITY by contract (integer
+    grades, bucketed scores): the cumulative scan runs per group over
+    the (group, value) AGGREGATE, never rows.  Weights accumulate as
+    exact DECIMAL(18,2) so the half-total comparison is exact — no
+    float cumsum ties.
+
+    Scale shape: one partial-agg shuffle onto (group, value), then a
+    value-cardinality-bounded window per group."""
+    wdec = F.col(weight_col).cast("decimal(18,2)")
+    g = df.groupBy(*group_cols, F.col(value_col).alias("__v")).agg(
+        F.sum(wdec).alias("__w"))
+    wc = Window.partitionBy(*group_cols).orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    wt = Window.partitionBy(*group_cols).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = g.select(*group_cols, "__v",
+                   F.sum("__w").over(wc).alias("__cw"),
+                   F.sum("__w").over(wt).alias("__tw"))
+    hit = cum.filter(F.col("__cw") * 2 >= F.col("__tw"))
+    return (hit.groupBy(*group_cols)
+            .agg(F.min("__v").alias("w_median"),
+                 F.max(F.col("__tw")).alias("__t"))
+            .select(*group_cols,
+                    F.col("w_median").cast("bigint").alias("w_median"),
+                    F.round(F.col("__t").cast("double"), 2)
+                    .alias("total_weight")))
+
+
+def wilson_interval(df: DataFrame, success_col: str,
+                    group_cols: list[str], z: float = 1.96) -> DataFrame:
+    """Per-group Wilson score interval for a binary rate: the CI that
+    stays inside [0,1] and behaves at small n where the normal
+    interval collapses — the right error bar for per-segment
+    conversion dashboards.
+
+    Exactness: n/s are exact integers; z*z is folded to a double
+    literal once in Python so both engines parse the same decimal
+    literal; lo/hi are fixed IEEE expressions (round 6).
+
+    Scale shape: one partial-agg shuffle onto the group keys."""
+    z2 = z * z
+    s = F.col(success_col).cast("int")
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(s).alias("s"))
+    nd = F.col("n").cast("double")
+    p = F.col("s").cast("double") / nd
+    denom = F.lit(1.0) + F.lit(z2) / nd
+    center = (p + F.lit(z2) / (F.lit(2.0) * nd)) / denom
+    half = (F.lit(z) * F.sqrt(
+        (p * (F.lit(1.0) - p) + F.lit(z2) / (F.lit(4.0) * nd)) / nd)) / denom
+    ok = F.col("n") > 0
+    return agg.select(
+        *group_cols,
+        F.col("n").cast("bigint").alias("n"),
+        F.col("s").cast("bigint").alias("s"),
+        F.when(ok, F.round(p, 6)).alias("rate"),
+        F.when(ok, F.round(F.greatest(center - half, F.lit(0.0)), 6))
+        .alias("wilson_lo"),
+        F.when(ok, F.round(F.least(center + half, F.lit(1.0)), 6))
+        .alias("wilson_hi"))

@@ -954,3 +954,95 @@ def test_rolling_correlation_sign_flip(spark):
     assert out[9].r == 1.0
     assert out[19].r == -1.0
     assert out[0].r is None and out[1].r is None    # n < 3
+
+
+def test_spearman_monotone_nonlinear_is_one(spark):
+    from tabsdata_spark import stats
+
+    # y = x^3 is a nonlinear but perfectly monotone map -> rho == 1
+    df = spark.createDataFrame(
+        [(i, i * i * i) for i in range(1, 12)], "x long, y long")
+    row = stats.spearman_correlation(df, "x", "y").collect()[0]
+    assert row.n == 11
+    assert row.rho == 1.0
+    rev = stats.spearman_correlation(
+        df.select("x", (-F.col("y")).alias("y")), "x", "y").collect()[0]
+    assert rev.rho == -1.0
+
+
+def test_spearman_ties_average_rank(spark):
+    from tabsdata_spark import stats
+
+    # hand-computed: x = 1,2,2,4 (avg ranks 1, 2.5, 2.5, 4),
+    # y = 10,20,20,40 -> identical rank vectors -> rho == 1
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20), (2, 20), (4, 40)], "x long, y long")
+    assert stats.spearman_correlation(df, "x", "y").collect()[0].rho == 1.0
+
+
+def test_spearman_stable_under_repartition(spark):
+    from tabsdata_spark import stats
+
+    df = spark.range(0, 2000).select(
+        (F.col("id") % 97).alias("x"),
+        ((F.col("id") * 31) % 89).alias("y"))
+    a = stats.spearman_correlation(df, "x", "y").collect()[0]
+    b = stats.spearman_correlation(df.repartition(13), "x", "y").collect()[0]
+    assert (a.n, a.rho) == (b.n, b.rho)
+
+
+def test_kendall_known_small_case(spark):
+    from tabsdata_spark import stats
+
+    # x = 1..4, y = (1,3,2,4): pairs = 6, discordant = {(2,3)} only
+    # -> tau = (5-1)/6
+    df = spark.createDataFrame(
+        [(1, 1, 1), (2, 2, 3), (3, 3, 2), (4, 4, 4)],
+        "k long, x long, y long")
+    row = stats.kendall_tau(df, "k", "x", "y").collect()[0]
+    assert (row.n, row.n_conc, row.n_disc) == (4, 5, 1)
+    assert row.tau_b == round(4 / 6, 6)
+
+
+def test_kendall_tie_correction(spark):
+    from tabsdata_spark import stats
+
+    # x has a tie: n0 = 6, n1 = 1; perfect agreement otherwise
+    df = spark.createDataFrame(
+        [(1, 1, 1), (2, 2, 2), (3, 2, 3), (4, 5, 4)],
+        "k long, x long, y long")
+    row = stats.kendall_tau(df, "k", "x", "y").collect()[0]
+    # C = 5 (the tied-x pair contributes nothing), D = 0
+    assert (row.n_conc, row.n_disc) == (5, 0)
+    import math
+    assert row.tau_b == round(5 / math.sqrt(5 * 6), 6)
+
+
+def test_weighted_median_hand_case_and_empty_groups(spark):
+    from tabsdata_spark import stats
+
+    # group a: values 1,2,3 weights 1,1,10 -> cum at v=2 is 2 < 6 -> 3
+    # group b: equal weights -> lower median = 1
+    rows = [("a", 1, 1.0), ("a", 2, 1.0), ("a", 3, 10.0),
+            ("b", 1, 5.0), ("b", 2, 5.0)]
+    df = spark.createDataFrame(rows, "g string, v long, w double")
+    got = {r.g: (r.w_median, r.total_weight)
+           for r in stats.weighted_median(df, "v", "w", ["g"]).collect()}
+    assert got["a"] == (3, 12.0)
+    assert got["b"] == (1, 10.0)
+
+
+def test_wilson_interval_contains_rate_and_clamps(spark):
+    from tabsdata_spark import stats
+
+    rows = [("g", 1)] * 8 + [("g", 0)] * 2 + [("z", 1)] * 5
+    df = spark.createDataFrame(rows, "g string, s int")
+    got = {r.g: r for r in
+           stats.wilson_interval(df, "s", ["g"]).collect()}
+    g = got["g"]
+    assert g.n == 10 and g.s == 8 and g.rate == 0.8
+    assert g.wilson_lo < 0.8 < g.wilson_hi
+    assert 0.0 <= g.wilson_lo and g.wilson_hi <= 1.0
+    # all-success group: upper bound clamps to exactly 1.0
+    z = got["z"]
+    assert z.rate == 1.0 and z.wilson_hi == 1.0 and z.wilson_lo < 1.0

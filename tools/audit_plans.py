@@ -58,6 +58,10 @@ GLOBAL_ORDER_OK = {
     # rolling_correlation's cumulative windows run over the aggregated
     # DAILY grid (<= calendar-days rows), the growth_curve contract
     "rolling_corr_events",
+    # spearman's rank windows run over each column's DISTINCT-VALUE
+    # table (value cardinality, the roc_auc contract — quantize heavy
+    # continuous columns upstream; stats.spearman_correlation docstring)
+    "spearman_daily_events",
 }
 
 
