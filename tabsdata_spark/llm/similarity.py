@@ -893,3 +893,53 @@ def reciprocal_nn(vectors: DataFrame, k: int = 5,
                     F.col("rank_ab").cast("int").alias("rank_ab"),
                     F.col("rank_ba").cast("int").alias("rank_ba"),
                     F.round("__s", 6).alias("cosine")))
+
+
+def retrieval_eval(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   label_col: str = "label",
+                   query_id_col: str = "query_id") -> DataFrame:
+    """Retrieval eval companions to ndcg_at_k: per-query FIRST relevant
+    rank within the exact top-k, its reciprocal (the MRR numerator),
+    and the hit@k bit — the coarse metrics a retriever dashboard
+    tracks next to NDCG.
+
+    Ranking contract matches ndcg_at_k exactly (unrounded cosine, id
+    tie-break), so the two evals are comparable row-for-row.  The
+    reciprocal rank is ROUND(1/r, 6) of an exact integer rank; queries
+    with no same-label candidate in the top-k surface NULL rank and
+    hit=false.
+
+    Scale shape: broadcast(queries) x corpus -> per-query window
+    top-k, one broadcast label-count join; |queries| bounds every
+    post-scan structure."""
+    from ..scale import fan_out
+
+    q = queries.select(F.col(query_id_col).alias("__qid"),
+                       F.col(vec_col).alias("__qvec"),
+                       F.col(label_col).alias("__qlab"))
+    cand = (fan_out(corpus.select(F.col(id_col), F.col(vec_col),
+                                  F.col(label_col)))
+            .crossJoin(F.broadcast(q))
+            .filter(F.col(id_col) != F.col("__qid")))
+    scored = cand.select(
+        "__qid", "__qlab", F.col(id_col), F.col(label_col).alias("__clab"),
+        cosine(F.col(vec_col), F.col("__qvec")).alias("__sim"))
+    w = Window.partitionBy("__qid").orderBy(
+        F.col("__sim").desc(), F.col(id_col).asc())
+    top = (scored.withColumn("__r", F.row_number().over(w))
+           .filter(F.col("__r") <= k))
+    per = top.groupBy("__qid", "__qlab").agg(
+        F.min(F.when(F.col("__clab") == F.col("__qlab"), F.col("__r")))
+        .alias("first_rel_rank"))
+    labn = corpus.groupBy(F.col(label_col).alias("__lab")).agg(
+        F.count(F.lit(1)).alias("__ln"))
+    out = per.join(F.broadcast(labn), per["__qlab"] == labn["__lab"])
+    rr = F.round(F.lit(1.0) / F.col("first_rel_rank").cast("double"), 6)
+    return out.select(
+        F.col("__qid").alias(query_id_col),
+        F.col("__qlab").alias(label_col),
+        (F.col("__ln") - 1).cast("bigint").alias("n_rel"),
+        F.col("first_rel_rank").cast("bigint").alias("first_rel_rank"),
+        F.when(F.col("first_rel_rank").isNotNull(), rr).alias("rr"),
+        F.col("first_rel_rank").isNotNull().alias("hit"))

@@ -12332,3 +12332,273 @@ def wilson_ci_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_type",
                     (F.col("value") > 50.0).cast("int").alias("sc")))
     return stats.wilson_interval(base, "sc", ["event_type"])
+
+
+@q(
+    "mcnemar_gates_docs",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang = 'en' AS lang_ok, unnest(
+        list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                    x -> x <> '')) AS tok
+      FROM documents),
+    per_tok AS (
+      SELECT doc_id, lang_ok, tok, COUNT(*) AS c
+      FROM toks GROUP BY doc_id, lang_ok, tok),
+    c4s AS (
+      SELECT doc_id, lang_ok, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             MAX(c) AS top_c
+      FROM per_tok GROUP BY doc_id, lang_ok),
+    c4 AS (
+      SELECT doc_id,
+             lang_ok AND (n_tokens BETWEEN 30 AND 400)
+               AND (ROUND(top_c / CAST(n_tokens AS DOUBLE), 6) <= 0.15)
+               AS a
+      FROM c4s),
+    gt AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents),
+    gop AS (
+      SELECT doc_id,
+             (len(toks) BETWEEN 50 AND 100000)
+             AND (CASE WHEN len(toks) > 0 THEN ROUND(
+                    CAST(list_sum(list_transform(toks, t -> len(t)))
+                         AS DOUBLE) / len(toks), 6)
+                  ELSE 0.0 END BETWEEN 3.0 AND 10.0)
+             AND (CASE WHEN len(toks) > 0 THEN ROUND(
+                    CAST(len(list_filter(toks,
+                             t -> regexp_matches(t, '[a-z]')))
+                         AS DOUBLE) / len(toks), 6)
+                  ELSE 0.0 END >= 0.8)
+             AND (len(list_filter(toks, t -> list_contains(
+                    ['the','be','to','of','and','that','have','with'], t)))
+                  >= 2) AS b
+      FROM gt),
+    j AS (SELECT a, b FROM c4 JOIN gop USING (doc_id))
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_both,
+           CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_a_only,
+           CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_b_only,
+           CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_neither,
+           CASE WHEN SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)
+                     + SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) > 0
+                THEN ROUND(
+                  (CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)
+                        AS DOUBLE)
+                   - CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)
+                          AS DOUBLE))
+                  * (CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)
+                          AS DOUBLE)
+                     - CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)
+                            AS DOUBLE))
+                  / (CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)
+                          AS DOUBLE)
+                     + CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)
+                            AS DOUBLE)), 6)
+           END AS chi2
+    FROM j
+    """,
+)
+def mcnemar_gates_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test (stats.mcnemar_test) between the C4
+    composite gate and the Gopher rules gate over the same corpus —
+    do the two filters disagree systematically, and in which
+    direction?"""
+    from tabsdata_spark import stats
+    from tabsdata_spark.llm import textual as tx
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    c4 = tx.composite_quality_filter(docs).select(
+        "doc_id", F.col("keep").alias("a"))
+    gop = tx.gopher_quality_rules(docs).select(
+        "doc_id", F.col("keep").alias("b"))
+    return stats.mcnemar_test(c4.join(gop, "doc_id"), "a", "b")
+
+
+@q(
+    "t_closeness_events",
+    """
+    WITH base AS (
+      SELECT event_type,
+             LEAST(CAST(TRUNC(value / 50.0) AS BIGINT), 7) AS b
+      FROM events WHERE value IS NOT NULL),
+    g AS (SELECT b, COUNT(*) AS gc FROM base GROUP BY 1),
+    cls AS (SELECT event_type, COUNT(*) AS n FROM base GROUP BY 1),
+    cells AS (SELECT event_type, b, COUNT(*) AS c FROM base GROUP BY 1, 2),
+    grid AS (SELECT event_type, n, g.b, g.gc FROM cls CROSS JOIN g),
+    dense AS (
+      SELECT grid.event_type, grid.b, grid.n, grid.gc,
+             COALESCE(cells.c, 0) AS c
+      FROM grid LEFT JOIN cells ON grid.event_type = cells.event_type
+                                AND grid.b = cells.b),
+    cum AS (
+      SELECT event_type, n,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY b
+                          ROWS UNBOUNDED PRECEDING) AS cc,
+             SUM(gc) OVER (PARTITION BY event_type ORDER BY b
+                           ROWS UNBOUNDED PRECEDING) AS cg,
+             SUM(gc) OVER (PARTITION BY event_type) AS nt,
+             COUNT(*) OVER (PARTITION BY event_type) AS m
+      FROM dense),
+    agg AS (
+      SELECT event_type, MAX(n) AS n, MAX(nt) AS nt, MAX(m) AS mt,
+             SUM(CAST(ABS(CAST(cc AS DECIMAL(38,0)) * nt
+                          - CAST(cg AS DECIMAL(38,0)) * n)
+                      AS DECIMAL(38,0))) AS sd
+      FROM cum GROUP BY 1)
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           CASE WHEN mt > 1
+                THEN ROUND(CAST(sd AS DOUBLE)
+                           / (CAST(n AS DOUBLE) * CAST(nt AS DOUBLE)
+                              * (CAST(mt AS DOUBLE) - 1.0)), 6)
+           END AS t_emd
+    FROM agg
+    """,
+)
+def t_closeness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness (stats.t_closeness) of each event_type class's
+    value distribution vs the global one, over 8 ordered 50-unit
+    buckets — completes the k-anonymity / l-diversity disclosure
+    family with the skew-aware metric."""
+    from tabsdata_spark import stats
+
+    ev = load_events(spark, sf_dir).df
+    base = (ev.filter(F.col("value").isNotNull())
+            .select("event_type",
+                    F.least(F.floor(F.col("value") / F.lit(50.0))
+                            .cast("bigint"), F.lit(7)).alias("b")))
+    return stats.t_closeness(base, ["event_type"], "b")
+
+
+@q(
+    "mrr_label_emb",
+    """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS qlab
+               FROM embeddings WHERE vec_id < 20),
+    sc AS (
+      SELECT qid, qlab, e.vec_id AS cid, e.label AS clab,
+             list_cosine_similarity(e.embedding::DOUBLE[], qv::DOUBLE[])
+               AS sim
+      FROM embeddings e, q WHERE e.vec_id <> qid),
+    rk AS (
+      SELECT qid, qlab, clab,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY sim DESC, cid) AS r
+      FROM sc),
+    top AS (SELECT * FROM rk WHERE r <= 10),
+    per AS (SELECT qid, qlab,
+                   MIN(CASE WHEN clab = qlab THEN r END) AS fr
+            FROM top GROUP BY 1, 2),
+    lc AS (SELECT label, COUNT(*) AS ln FROM embeddings GROUP BY 1)
+    SELECT qid AS query_id, qlab AS label,
+           CAST(ln - 1 AS BIGINT) AS n_rel,
+           CAST(fr AS BIGINT) AS first_rel_rank,
+           CASE WHEN fr IS NOT NULL
+                THEN ROUND(1.0 / CAST(fr AS DOUBLE), 6) END AS rr,
+           fr IS NOT NULL AS hit
+    FROM per JOIN lc ON qlab = label
+    """,
+)
+def mrr_label_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR / hit@10 retrieval eval (similarity.retrieval_eval) with the
+    same ranking contract as ndcg_label_emb — first same-label rank,
+    reciprocal rank, hit bit per query."""
+    from tabsdata_spark.llm import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label")
+    return similarity.retrieval_eval(emb, qs, k=10)
+
+
+@q(
+    "eb_shrunk_rate_sources",
+    """
+    WITH agg AS (
+      SELECT source, COUNT(*) AS n,
+             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS s
+      FROM documents GROUP BY 1),
+    r AS (SELECT source, n, s,
+                 CAST((s * 1000000) // n AS BIGINT) AS rm
+          FROM agg),
+    pri AS (SELECT COUNT(*) AS g,
+                   SUM(CAST(rm AS DECIMAL(38,0))) AS sr,
+                   SUM(CAST(rm AS DECIMAL(38,0)) * rm) AS s2
+            FROM r),
+    pp AS (
+      SELECT CASE WHEN g >= 2
+                   AND (CAST(g AS DOUBLE) * CAST(s2 AS DOUBLE)
+                        - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE))
+                       / (CAST(g AS DOUBLE) * (CAST(g AS DOUBLE) - 1.0))
+                       / 1e12 > 0.0
+                   AND (CAST(sr AS DOUBLE) / CAST(g AS DOUBLE) / 1e6)
+                       * (1.0 - CAST(sr AS DOUBLE) / CAST(g AS DOUBLE)
+                                / 1e6)
+                       / ((CAST(g AS DOUBLE) * CAST(s2 AS DOUBLE)
+                           - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE))
+                          / (CAST(g AS DOUBLE)
+                             * (CAST(g AS DOUBLE) - 1.0)) / 1e12)
+                       - 1.0 > 0.0
+                   AND CAST(sr AS DOUBLE) / CAST(g AS DOUBLE) / 1e6 > 0.0
+                   AND CAST(sr AS DOUBLE) / CAST(g AS DOUBLE) / 1e6 < 1.0
+                  THEN (CAST(sr AS DOUBLE) / CAST(g AS DOUBLE) / 1e6)
+                       * ((CAST(sr AS DOUBLE) / CAST(g AS DOUBLE) / 1e6)
+                          * (1.0 - CAST(sr AS DOUBLE) / CAST(g AS DOUBLE)
+                                   / 1e6)
+                          / ((CAST(g AS DOUBLE) * CAST(s2 AS DOUBLE)
+                              - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE))
+                             / (CAST(g AS DOUBLE)
+                                * (CAST(g AS DOUBLE) - 1.0)) / 1e12)
+                          - 1.0)
+                  ELSE 1.0 END AS alpha,
+             CASE WHEN g >= 2
+                   AND (CAST(g AS DOUBLE) * CAST(s2 AS DOUBLE)
+                        - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE))
+                       / (CAST(g AS DOUBLE) * (CAST(g AS DOUBLE) - 1.0))
+                       / 1e12 > 0.0
+                   AND (CAST(sr AS DOUBLE) / CAST(g AS DOUBLE) / 1e6)
+                       * (1.0 - CAST(sr AS DOUBLE) / CAST(g AS DOUBLE)
+                                / 1e6)
+                       / ((CAST(g AS DOUBLE) * CAST(s2 AS DOUBLE)
+                           - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE))
+                          / (CAST(g AS DOUBLE)
+                             * (CAST(g AS DOUBLE) - 1.0)) / 1e12)
+                       - 1.0 > 0.0
+                   AND CAST(sr AS DOUBLE) / CAST(g AS DOUBLE) / 1e6 > 0.0
+                   AND CAST(sr AS DOUBLE) / CAST(g AS DOUBLE) / 1e6 < 1.0
+                  THEN (1.0 - CAST(sr AS DOUBLE) / CAST(g AS DOUBLE)
+                              / 1e6)
+                       * ((CAST(sr AS DOUBLE) / CAST(g AS DOUBLE) / 1e6)
+                          * (1.0 - CAST(sr AS DOUBLE) / CAST(g AS DOUBLE)
+                                   / 1e6)
+                          / ((CAST(g AS DOUBLE) * CAST(s2 AS DOUBLE)
+                              - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE))
+                             / (CAST(g AS DOUBLE)
+                                * (CAST(g AS DOUBLE) - 1.0)) / 1e12)
+                          - 1.0)
+                  ELSE 1.0 END AS beta
+      FROM pri)
+    SELECT source, CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS s,
+           ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate,
+           ROUND(alpha, 6) AS alpha, ROUND(beta, 6) AS beta,
+           ROUND((CAST(s AS DOUBLE) + alpha)
+                 / (CAST(n AS DOUBLE) + alpha + beta), 6) AS shrunk_rate
+    FROM r, pp
+    """,
+)
+def eb_shrunk_rate_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrunk per-source English rate
+    (stats.eb_beta_binomial): beta-binomial prior fitted by method of
+    moments over exact ppm-quantized source rates, so tiny sources
+    stop out-ranking large ones."""
+    from tabsdata_spark import stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "source", (F.col("lang") == "en").cast("int").alias("sc"))
+    return stats.eb_beta_binomial(docs, "sc", ["source"])

@@ -2009,3 +2009,145 @@ def wilson_interval(df: DataFrame, success_col: str,
         .alias("wilson_lo"),
         F.when(ok, F.round(F.least(center + half, F.lit(1.0)), 6))
         .alias("wilson_hi"))
+
+
+def mcnemar_test(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """McNemar's test for two PAIRED binary classifiers/gates on the
+    same rows (e.g. two quality filters over one corpus): the
+    discordant-pair chi-square (b-c)^2/(b+c) that asks whether the
+    gates disagree systematically — the right test when both gates
+    see the SAME documents, where a two-proportion z-test would
+    double-count the shared variance.
+
+    Exact integer cell counts; chi2 is one IEEE expression (round 6);
+    no discordant pairs -> NULL.
+
+    Scale shape: one scalar aggregate, no shuffle beyond the partial
+    merge."""
+    a = F.col(a_col).cast("boolean")
+    b = F.col(b_col).cast("boolean")
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(a & b, 1).otherwise(0)).alias("n_both"),
+        F.sum(F.when(a & ~b, 1).otherwise(0)).alias("n_a_only"),
+        F.sum(F.when(~a & b, 1).otherwise(0)).alias("n_b_only"),
+        F.sum(F.when(~a & ~b, 1).otherwise(0)).alias("n_neither"))
+    d = (F.col("n_a_only").cast("double")
+         - F.col("n_b_only").cast("double"))
+    tot = (F.col("n_a_only").cast("double")
+           + F.col("n_b_only").cast("double"))
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n_both").cast("bigint").alias("n_both"),
+        F.col("n_a_only").cast("bigint").alias("n_a_only"),
+        F.col("n_b_only").cast("bigint").alias("n_b_only"),
+        F.col("n_neither").cast("bigint").alias("n_neither"),
+        F.when(tot > F.lit(0.0), F.round(d * d / tot, 6)).alias("chi2"))
+
+
+def t_closeness(df: DataFrame, qi_cols: list[str],
+                bucket_col: str) -> DataFrame:
+    """t-closeness report per quasi-identifier class over an ORDERED
+    sensitive attribute (pre-bucketed by the caller): t = the 1-D
+    earth-mover distance between the class's bucket distribution and
+    the global one, normalized by (m-1) — the disclosure metric that
+    catches what k-anonymity and l-diversity miss (a class can be
+    large and diverse yet skewed toward 'high salary').
+
+    Every class is densified against the GLOBAL bucket grid (missing
+    buckets count 0), so cumulative differences are comparable.
+    Exactness: |cum_class*N - cum_global*n| accumulates as exact
+    decimal(38,0) cross products; t is one IEEE division (round 6).
+    Classes see only their own <= m-row partition in the window —
+    bucket cardinality is bounded by contract (quantize upstream).
+
+    Scale shape: two partial-agg shuffles (global buckets, class x
+    bucket cells), one broadcast of the bounded bucket grid, one
+    per-class window over <= m rows."""
+    big = "decimal(38,0)"
+    g = df.groupBy(F.col(bucket_col).alias("__b")).agg(
+        F.count(F.lit(1)).alias("__g"))
+    classes = df.groupBy(*qi_cols).agg(F.count(F.lit(1)).alias("__n"))
+    cells = df.groupBy(*qi_cols, F.col(bucket_col).alias("__b")).agg(
+        F.count(F.lit(1)).alias("__c"))
+    grid = classes.crossJoin(F.broadcast(g))
+    dense = grid.join(cells, [*qi_cols, "__b"], "left") \
+        .select(*qi_cols, "__b", "__n", "__g",
+                F.coalesce(F.col("__c"), F.lit(0)).alias("__c"))
+    wc = Window.partitionBy(*qi_cols).orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    wt = Window.partitionBy(*qi_cols).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = dense.select(
+        *qi_cols, "__n",
+        F.sum("__c").over(wc).alias("__cc"),
+        F.sum("__g").over(wc).alias("__cg"),
+        F.sum("__g").over(wt).alias("__tot"),
+        F.count(F.lit(1)).over(wt).alias("__m"))
+    diff = F.abs(F.col("__cc").cast(big) * F.col("__tot").cast(big)
+                 - F.col("__cg").cast(big) * F.col("__n").cast(big))
+    agg = cum.groupBy(*qi_cols).agg(
+        F.max("__n").alias("n"), F.max("__tot").alias("__gt"),
+        F.max("__m").alias("__mt"),
+        F.sum(diff.cast(big)).alias("__sd"))
+    t = (F.col("__sd").cast("double")
+         / (F.col("n").cast("double") * F.col("__gt").cast("double")
+            * (F.col("__mt").cast("double") - F.lit(1.0))))
+    return agg.select(
+        *qi_cols, F.col("n").cast("bigint").alias("n"),
+        F.when(F.col("__mt") > 1, F.round(t, 6)).alias("t_emd"))
+
+
+def eb_beta_binomial(df: DataFrame, success_col: str,
+                     group_cols: list[str]) -> DataFrame:
+    """Empirical-Bayes shrunk per-group rates under a beta-binomial
+    prior fitted by method of moments across groups: small groups pull
+    hard toward the grand mean, large groups keep their own rate —
+    the ranking-safe estimator for per-source/per-segment quality
+    rates (raw rates over-rank tiny sources).
+
+    Determinism: per-group rates quantize to exact ppm integers
+    ((s*1e6) div n) before the cross-group moment sums, so the fitted
+    prior is identical in any partitioning; alpha/beta and the shrunk
+    rate are fixed IEEE expressions over those exact sums.  A
+    degenerate prior (fewer than 2 groups, zero variance, or
+    out-of-range mean) falls back to the uniform Beta(1,1).
+
+    Scale shape: one partial-agg shuffle onto the group keys, a
+    1-row prior broadcast, and a final projection.  The ppm quantizer
+    is exact while s < ~9e12 rows per group."""
+    big = "decimal(38,0)"
+    s = F.col(success_col).cast("int")
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(s).alias("s"))
+    agg = agg.select(*group_cols, "n", "s",
+                     F.expr("(s * 1000000) div n").alias("__rm"))
+    pri = agg.agg(
+        F.count(F.lit(1)).alias("__g"),
+        F.sum(F.col("__rm").cast(big)).alias("__sr"),
+        F.sum((F.col("__rm").cast(big) * F.col("__rm").cast(big))
+              .cast(big)).alias("__s2"))
+    gd = F.col("__g").cast("double")
+    srd = F.col("__sr").cast("double")
+    s2d = F.col("__s2").cast("double")
+    m = srd / gd / F.lit(1e6)
+    v = (gd * s2d - srd * srd) / (gd * (gd - F.lit(1.0))) / F.lit(1e12)
+    c = m * (F.lit(1.0) - m) / v - F.lit(1.0)
+    ok = ((F.col("__g") >= 2) & (v > F.lit(0.0)) & (c > F.lit(0.0))
+          & (m > F.lit(0.0)) & (m < F.lit(1.0)))
+    prior = pri.select(
+        F.when(ok, m * c).otherwise(F.lit(1.0)).alias("__alpha"),
+        F.when(ok, (F.lit(1.0) - m) * c).otherwise(F.lit(1.0))
+        .alias("__beta"))
+    one = agg.crossJoin(F.broadcast(prior))
+    nd, sd = F.col("n").cast("double"), F.col("s").cast("double")
+    shrunk = (sd + F.col("__alpha")) / (nd + F.col("__alpha")
+                                        + F.col("__beta"))
+    return one.select(
+        *group_cols,
+        F.col("n").cast("bigint").alias("n"),
+        F.col("s").cast("bigint").alias("s"),
+        F.round(sd / nd, 6).alias("rate"),
+        F.round(F.col("__alpha"), 6).alias("alpha"),
+        F.round(F.col("__beta"), 6).alias("beta"),
+        F.round(shrunk, 6).alias("shrunk_rate"))

@@ -1046,3 +1046,119 @@ def test_wilson_interval_contains_rate_and_clamps(spark):
     # all-success group: upper bound clamps to exactly 1.0
     z = got["z"]
     assert z.rate == 1.0 and z.wilson_hi == 1.0 and z.wilson_lo < 1.0
+
+
+def test_mcnemar_cells_and_chi2(spark):
+    from tabsdata_spark import stats
+
+    rows = ([(True, True)] * 4 + [(True, False)] * 6
+            + [(False, True)] * 2 + [(False, False)] * 3)
+    df = spark.createDataFrame(rows, "a boolean, b boolean")
+    r = stats.mcnemar_test(df, "a", "b").collect()[0]
+    assert (r.n, r.n_both, r.n_a_only, r.n_b_only, r.n_neither) \
+        == (15, 4, 6, 2, 3)
+    assert r.chi2 == round((6 - 2) ** 2 / 8, 6)
+
+
+def test_mcnemar_no_discordant_is_null(spark):
+    from tabsdata_spark import stats
+
+    df = spark.createDataFrame([(True, True), (False, False)],
+                               "a boolean, b boolean")
+    assert stats.mcnemar_test(df, "a", "b").collect()[0].chi2 is None
+
+
+def test_t_closeness_global_class_is_zero(spark):
+    from tabsdata_spark import stats
+
+    # one class IS the global distribution -> t == 0; a degenerate
+    # single-bucket class concentrated at one end has maximal skew
+    rows = [("all", b) for b in (0, 0, 1, 1, 2, 2)]
+    df = spark.createDataFrame(rows, "g string, b long")
+    r = stats.t_closeness(df, ["g"], "b").collect()[0]
+    assert r.t_emd == 0.0
+
+
+def test_t_closeness_skewed_class_hand_value(spark):
+    from tabsdata_spark import stats
+
+    # global: bucket0 x3 (all from class lo), bucket2 x3 (class hi)
+    # class lo: p = (1,0,0); global q = (.5,0,.5)
+    # cum diffs: |1-.5| + |1-.5| + 0 = 1.0 -> t = 1.0/(m-1) = 0.5
+    rows = [("lo", 0)] * 3 + [("hi", 2)] * 3
+    df = spark.createDataFrame(rows, "g string, b long")
+    got = {r.g: r.t_emd
+           for r in stats.t_closeness(df, ["g"], "b").collect()}
+    assert got["lo"] == 0.5 and got["hi"] == 0.5
+
+
+def test_eb_shrinkage_pulls_small_groups_harder(spark):
+    from tabsdata_spark import stats
+
+    # many medium groups around 0.5, one tiny group at 1.0 and one
+    # large group at 1.0: the tiny one must shrink much closer to the
+    # grand mean than the large one
+    rows = []
+    for g in range(10):
+        n = 40
+        s = 14 + g  # rates 0.35 .. 0.575
+        rows += [(f"m{g}", 1)] * s + [(f"m{g}", 0)] * (n - s)
+    rows += [("tiny", 1)] * 2
+    rows += [("large", 1)] * 200
+    df = spark.createDataFrame(rows, "g string, s int")
+    got = {r.g: r for r in
+           stats.eb_beta_binomial(df, "s", ["g"]).collect()}
+    assert got["tiny"].rate == 1.0 and got["large"].rate == 1.0
+    assert got["tiny"].shrunk_rate < got["large"].shrunk_rate
+    assert got["large"].shrunk_rate < 1.0
+    # alpha/beta identical on every row (one fitted prior)
+    assert len({(r.alpha, r.beta) for r in got.values()}) == 1
+
+
+def test_eb_degenerate_prior_falls_back_uniform(spark):
+    from tabsdata_spark import stats
+
+    # identical groups -> zero variance -> Beta(1,1) fallback
+    rows = [("a", 1), ("a", 0), ("b", 1), ("b", 0)]
+    df = spark.createDataFrame(rows, "g string, s int")
+    r = stats.eb_beta_binomial(df, "s", ["g"]).collect()[0]
+    assert (r.alpha, r.beta) == (1.0, 1.0)
+    assert r.shrunk_rate == round((1 + 1) / (2 + 2), 6)
+
+
+def test_retrieval_eval_first_rank_and_hit(spark):
+    from tabsdata_spark.llm import similarity
+
+    # 4 unit vectors on axes: q is near axis-0; same-label candidate
+    # (id 1, also near axis-0) must be rank 1 -> rr = 1.0
+    rows = [
+        (0, [1.0, 0.0, 0.0], 7),
+        (1, [0.9, 0.1, 0.0], 7),
+        (2, [0.0, 1.0, 0.0], 8),
+        (3, [0.0, 0.0, 1.0], 8),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    qs = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label")
+    r = similarity.retrieval_eval(emb, qs, k=3).collect()[0]
+    assert (r.query_id, r.n_rel, r.first_rel_rank, r.rr, r.hit) \
+        == (0, 1, 1, 1.0, True)
+
+
+def test_retrieval_eval_miss_is_null_rank(spark):
+    from tabsdata_spark.llm import similarity
+
+    # query's only same-label candidate is orthogonal; with k=1 the
+    # top slot goes to a wrong-label near-duplicate -> miss
+    rows = [
+        (0, [1.0, 0.0], 5),
+        (1, [0.99, 0.01], 6),
+        (2, [0.0, 1.0], 5),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    qs = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label")
+    r = similarity.retrieval_eval(emb, qs, k=1).collect()[0]
+    assert r.first_rel_rank is None and r.rr is None and r.hit is False
