@@ -1558,3 +1558,51 @@ def resample_interpolate(df: DataFrame, key_cols: list[str] | str,
         *keys, (F.col("__b") + F.col("__s")).alias(bucket_col),
         (F.col("__s") > 0).alias("interpolated"),
         (interp.cast("double") / 1e6).alias(value_col))
+
+
+def markov_entropy(df: DataFrame, key_cols: list[str] | str, ts_col: str,
+                   state_col: str,
+                   tie_cols: list[str] | None = None) -> DataFrame:
+    """Per-state entropy report of the first-order Markov chain over
+    per-key event sequences: for each state a, the Shannon entropy of
+    its outgoing transition distribution, its empirical occupancy
+    pi_a = n_a/N, and the contribution pi_a * H_a to the chain's
+    entropy rate — the sequence-predictability readout (a near-zero
+    rate means journeys are deterministic; log2|states| means noise).
+
+    Exactness: transition counts are exact integers
+    (markov_transitions shapes); each entropy term
+    (n_ab/n_a) * log2(n_a/n_ab) is quantized to 1e12 integers BEFORE
+    the per-state sum, so H_a is bit-stable in any partitioning; pi
+    and the contribution are fixed IEEE expressions (round 6).
+
+    Scale shape: markov_transitions' one key shuffle + lead window,
+    then partial aggs over at most |states|^2 rows."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    order = [F.col(ts_col)] + [F.col(c) for c in (tie_cols or [])]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    nxt = F.lead(state_col).over(w)
+    pairs = (df.select(F.col(state_col).alias("state"),
+                       nxt.alias("next_state"))
+             .filter(F.col("next_state").isNotNull())
+             .groupBy("state", "next_state")
+             .agg(F.count(F.lit(1)).alias("n_ab")))
+    deg = pairs.groupBy("state").agg(F.sum("n_ab").alias("n_a"))
+    j = pairs.join(F.broadcast(deg), "state")
+    term = (F.col("n_ab").cast("double") / F.col("n_a").cast("double")
+            * (F.log(F.col("n_a").cast("double")
+                     / F.col("n_ab").cast("double"))
+               / F.log(F.lit(2.0))))
+    per_state = j.groupBy("state").agg(
+        F.max("n_a").alias("n_a"),
+        F.sum(F.floor(term * F.lit(1e12) + F.lit(0.5)).cast("bigint"))
+        .alias("__hq"))
+    tot = per_state.agg(F.sum("n_a").alias("__nt"))
+    one = per_state.crossJoin(F.broadcast(tot))
+    h = F.col("__hq").cast("double") / F.lit(1e12)
+    pi = F.col("n_a").cast("double") / F.col("__nt").cast("double")
+    return one.select(
+        "state", F.col("n_a").cast("bigint").alias("n_a"),
+        F.round(pi, 6).alias("pi"),
+        F.round(h, 6).alias("h_bits"),
+        F.round(pi * h, 6).alias("rate_contrib"))

@@ -269,3 +269,43 @@ def ppr_exact(edges: DataFrame, src_col: str, dst_col: str,
                        * (F.coalesce(F.col("s"), F.lit(0).cast("decimal(38,0)"))
                           .cast("double") / F.lit(1e12))).alias("pr")))
     return pr.select("node", F.round("pr", 9).alias("ppr"))
+
+
+def degree_assortativity(edges: DataFrame, src_col: str,
+                         dst_col: str) -> DataFrame:
+    """Degree assortativity of a (directed/bipartite) edge list: the
+    Pearson correlation, over edges, between the source endpoint's
+    out-degree and the destination endpoint's in-degree — positive
+    means hubs connect to hubs (a skew-amplifying topology for joins
+    and graph iterations), negative means hub-to-leaf.
+
+    Exactness: degrees are exact integer counts; the five cross
+    moments accumulate as exact decimal(38,0); r is one fixed IEEE
+    expression over the exact sums (round 6).
+
+    Scale shape: two partial-agg shuffles for the degree tables, two
+    equi-joins back onto the edge list (AQE broadcasts the smaller
+    degree side), one final scalar aggregate."""
+    big = "decimal(38,0)"
+    e = edges.select(F.col(src_col).alias("__s"),
+                     F.col(dst_col).alias("__d"))
+    ds = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__ks"))
+    dd = e.groupBy("__d").agg(F.count(F.lit(1)).alias("__kd"))
+    j = e.join(ds, "__s").join(dd, "__d")
+    x, y = F.col("__ks").cast(big), F.col("__kd").cast(big)
+    agg = j.agg(F.count(F.lit(1)).alias("n_edges"),
+                F.sum(x).alias("__sx"), F.sum(y).alias("__sy"),
+                F.sum((x * y).cast(big)).alias("__sxy"),
+                F.sum((x * x).cast(big)).alias("__sxx"),
+                F.sum((y * y).cast(big)).alias("__syy"))
+    n = F.col("n_edges").cast("double")
+    sx, sy = F.col("__sx").cast("double"), F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+    ok = (F.col("n_edges") >= 3) & (vx > F.lit(0.0)) & (vy > F.lit(0.0))
+    return agg.select(
+        F.col("n_edges").cast("bigint").alias("n_edges"),
+        F.when(ok, F.round((n * sxy - sx * sy) / F.sqrt(vx * vy), 6))
+        .alias("assortativity"))

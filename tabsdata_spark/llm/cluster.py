@@ -282,3 +282,30 @@ def label_centroid_cosine(emb: DataFrame, label_col: str = "label",
                             F.lit(0.0), lambda acc, x: acc + x))
     return grid.select("label_a", "label_b",
                        F.round(dot / (na * nb), 6).alias("cosine"))
+
+
+def density_grid(vectors: DataFrame, vec_col: str = "embedding",
+                 dim_x: int = 0, dim_y: int = 1, cell: float = 0.2,
+                 min_pts: int = 5) -> DataFrame:
+    """DBSCAN-lite density report over a 2-D slice of the embedding
+    space: quantize two chosen dimensions onto a `cell`-sized grid,
+    count points per cell, and flag cells at or above `min_pts` — the
+    cheap density map that finds over-represented embedding regions
+    (template clusters, mode collapse) without any pairwise work.
+
+    Exact by construction: the cell coordinates are floor(v/cell) on
+    IEEE doubles (identical in any engine) and everything else is
+    integer counts — no float surfaces at all.
+
+    Scale shape: one projection + one partial-agg shuffle onto the
+    bounded cell grid; nothing pairwise, nothing collected."""
+    vx = F.element_at(F.col(vec_col), dim_x + 1).cast("double")
+    vy = F.element_at(F.col(vec_col), dim_y + 1).cast("double")
+    g = vectors.select(
+        F.floor(vx / F.lit(cell)).cast("bigint").alias("cell_x"),
+        F.floor(vy / F.lit(cell)).cast("bigint").alias("cell_y"))
+    agg = g.groupBy("cell_x", "cell_y").agg(
+        F.count(F.lit(1)).alias("n"))
+    return agg.select("cell_x", "cell_y",
+                      F.col("n").cast("bigint").alias("n"),
+                      (F.col("n") >= min_pts).alias("dense"))

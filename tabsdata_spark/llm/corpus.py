@@ -999,3 +999,51 @@ def corpus_summary(docs: DataFrame, text_col: str = "text",
         F.round(F.col("total_bytes").cast("double")
                 / F.col("total_tokens").cast("double"), 6)
         .alias("bytes_per_token"))
+
+
+def heaps_law(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text", buckets: int = 32) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve: documents are split into
+    `buckets` equal-width id ranges (a deterministic corpus ordering),
+    and for each bucket the report gives new tokens seen, cumulative
+    tokens, and cumulative distinct vocabulary — the curve whose
+    log-log slope (~0.4-0.6 for natural text) drops when a corpus is
+    template-heavy or duplicated, and the sizing input for tokenizer
+    vocab budgets.
+
+    Exact integers end-to-end: a token's first bucket is
+    min(bucket(doc)) over its occurrences; cumulative vocabulary at
+    bucket b counts tokens whose first bucket <= b.  The cumulative
+    window runs over the <= `buckets`-row grid (the growth_curve
+    bounded-window contract).
+
+    Scale shape: one explode + (token -> min bucket, count) partial
+    aggs, a 1-row min/max id broadcast, and a bounded-grid window."""
+    bounds = docs.agg(F.min(F.col(id_col)).alias("__lo"),
+                      F.max(F.col(id_col)).alias("__hi"))
+    d = docs.crossJoin(F.broadcast(bounds))
+    # integer `div`, never double-divide-then-cast: Spark truncates a
+    # double->bigint cast while DuckDB rounds it
+    bucket = F.least(
+        F.expr(f"(({id_col} - __lo) * {int(buckets)})"
+               f" div (__hi - __lo + 1)"),
+        F.lit(buckets - 1))
+    toks = d.select(bucket.alias("__b"),
+                    F.explode(clean_tokens(F.col(text_col))).alias("__t"))
+    per_tok = toks.groupBy("__t").agg(F.min("__b").alias("__fb"),
+                                      F.count(F.lit(1)).alias("__c"))
+    new_vocab = per_tok.groupBy(F.col("__fb").alias("__b")).agg(
+        F.count(F.lit(1)).alias("__nv"))
+    tok_counts = toks.groupBy("__b").agg(F.count(F.lit(1)).alias("__nt"))
+    grid = tok_counts.join(new_vocab, "__b", "full").select(
+        "__b",
+        F.coalesce(F.col("__nt"), F.lit(0)).alias("__nt"),
+        F.coalesce(F.col("__nv"), F.lit(0)).alias("__nv"))
+    w = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding,
+                                          Window.currentRow)
+    return grid.select(
+        F.col("__b").cast("bigint").alias("bucket"),
+        F.col("__nt").cast("bigint").alias("n_tokens"),
+        F.col("__nv").cast("bigint").alias("new_vocab"),
+        F.sum("__nt").over(w).cast("bigint").alias("cum_tokens"),
+        F.sum("__nv").over(w).cast("bigint").alias("cum_vocab"))

@@ -12602,3 +12602,153 @@ def eb_shrunk_rate_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "source", (F.col("lang") == "en").cast("int").alias("sc"))
     return stats.eb_beta_binomial(docs, "sc", ["source"])
+
+
+@q(
+    "markov_entropy_events",
+    """
+    WITH seq AS (
+      SELECT event_type AS state,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_state
+      FROM events),
+    pairs AS (
+      SELECT state, next_state, COUNT(*) AS n_ab
+      FROM seq WHERE next_state IS NOT NULL
+      GROUP BY state, next_state),
+    deg AS (SELECT state, SUM(n_ab) AS n_a FROM pairs GROUP BY state),
+    per AS (
+      SELECT p.state, MAX(d.n_a) AS n_a,
+             SUM(CAST(FLOOR(CAST(p.n_ab AS DOUBLE) / CAST(d.n_a AS DOUBLE)
+                            * (LN(CAST(d.n_a AS DOUBLE)
+                                  / CAST(p.n_ab AS DOUBLE)) / LN(2.0))
+                            * 1e12 + 0.5) AS BIGINT)) AS hq
+      FROM pairs p JOIN deg d USING (state) GROUP BY p.state),
+    tot AS (SELECT SUM(n_a) AS nt FROM per)
+    SELECT state, CAST(n_a AS BIGINT) AS n_a,
+           ROUND(CAST(n_a AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS pi,
+           ROUND(CAST(hq AS DOUBLE) / 1e12, 6) AS h_bits,
+           ROUND(CAST(n_a AS DOUBLE) / CAST(nt AS DOUBLE)
+                 * (CAST(hq AS DOUBLE) / 1e12), 6) AS rate_contrib
+    FROM per, tot
+    """,
+)
+def markov_entropy_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-state entropy of the user-journey Markov chain
+    (extensions.markov_entropy): 1e12-quantized entropy terms summed
+    as exact integers, occupancy-weighted rate contributions."""
+    from tabsdata_spark.extensions import markov_entropy
+
+    ev = load_events(spark, sf_dir).df
+    return markov_entropy(ev, "user_id", "ts", "event_type",
+                          tie_cols=["event_id"])
+
+
+@q(
+    "degree_assortativity_orders",
+    """
+    WITH e AS (SELECT DISTINCT o_custkey AS s, l_suppkey AS d
+               FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    ds AS (SELECT s, COUNT(*) AS ks FROM e GROUP BY 1),
+    dd AS (SELECT d, COUNT(*) AS kd FROM e GROUP BY 1),
+    j AS (SELECT ks, kd FROM e JOIN ds USING (s) JOIN dd USING (d)),
+    m AS (SELECT COUNT(*) AS n,
+                 SUM(CAST(ks AS DECIMAL(38,0))) AS sx,
+                 SUM(CAST(kd AS DECIMAL(38,0))) AS sy,
+                 SUM(CAST(ks AS DECIMAL(38,0)) * kd) AS sxy,
+                 SUM(CAST(ks AS DECIMAL(38,0)) * ks) AS sxx,
+                 SUM(CAST(kd AS DECIMAL(38,0)) * kd) AS syy
+          FROM j)
+    SELECT CAST(n AS BIGINT) AS n_edges,
+           CASE WHEN n >= 3
+                     AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+                     AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0.0
+                THEN ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                           / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                   - CAST(sx AS DOUBLE)
+                                     * CAST(sx AS DOUBLE))
+                                  * (CAST(n AS DOUBLE)
+                                     * CAST(syy AS DOUBLE)
+                                     - CAST(sy AS DOUBLE)
+                                       * CAST(sy AS DOUBLE))), 6)
+           END AS assortativity
+    FROM m
+    """,
+)
+def degree_assortativity_orders(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Degree assortativity (graph.degree_assortativity) of the
+    customer->supplier purchase graph — do high-degree customers buy
+    from high-degree suppliers?"""
+    from tabsdata_spark import graph
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = (o.join(li, o["o_orderkey"] == li["l_orderkey"])
+             .select(F.col("o_custkey").alias("s"),
+                     F.col("l_suppkey").alias("d"))
+             .distinct())
+    return graph.degree_assortativity(edges, "s", "d")
+
+
+@q(
+    "heaps_law_docs",
+    """
+    WITH bounds AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi
+                    FROM documents),
+    toks AS (
+      SELECT LEAST((doc_id - lo) * 32 // (hi - lo + 1), 31) AS b,
+             unnest(list_filter(regexp_split_to_array(
+                 trim(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g')),
+                 '\\s+'), x -> x <> '')) AS t
+      FROM documents, bounds),
+    per_tok AS (SELECT t, MIN(b) AS fb, COUNT(*) AS c
+                FROM toks GROUP BY t),
+    nv AS (SELECT fb AS b, COUNT(*) AS nv FROM per_tok GROUP BY fb),
+    nt AS (SELECT b, COUNT(*) AS nt FROM toks GROUP BY b),
+    grid AS (
+      SELECT COALESCE(nt.b, nv.b) AS b,
+             COALESCE(nt.nt, 0) AS nt, COALESCE(nv.nv, 0) AS nv
+      FROM nt FULL JOIN nv ON nt.b = nv.b)
+    SELECT CAST(b AS BIGINT) AS bucket,
+           CAST(nt AS BIGINT) AS n_tokens,
+           CAST(nv AS BIGINT) AS new_vocab,
+           CAST(SUM(nt) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cum_tokens,
+           CAST(SUM(nv) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cum_vocab
+    FROM grid
+    """,
+)
+def heaps_law_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve over 32 doc-id buckets
+    (corpus.heaps_law) — all-integer curve, cumulative window over
+    the bounded bucket grid only."""
+    from tabsdata_spark.llm import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus.heaps_law(docs, buckets=32)
+
+
+@q(
+    "density_grid_emb",
+    """
+    SELECT CAST(FLOOR(embedding[1]::DOUBLE / 0.2) AS BIGINT) AS cell_x,
+           CAST(FLOOR(embedding[2]::DOUBLE / 0.2) AS BIGINT) AS cell_y,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           COUNT(*) >= 5 AS dense
+    FROM embeddings
+    GROUP BY 1, 2
+    """,
+)
+def density_grid_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN-lite density map (cluster.density_grid) over the first
+    two embedding dimensions: 0.2-sized cells, dense flag at >= 5
+    points — integer-only output, no pairwise work."""
+    from tabsdata_spark.llm import cluster
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cluster.density_grid(emb, min_pts=5)

@@ -889,3 +889,32 @@ def test_resample_interpolate_exact_midpoints(spark):
     # gap 4 between 3 and 5 interpolates (16 + 99)/... linearly
     assert out[4].v == (16.0 + 99.0) / 2
     assert out[5].v == 99.0
+
+
+def test_markov_entropy_deterministic_chain_is_zero(spark):
+    from tabsdata_spark.extensions import markov_entropy
+    from datetime import datetime
+
+    # a -> b -> a -> b: every state has exactly one successor -> H = 0
+    rows = [(1, datetime(2024, 1, 1, 0, 0, i), "a" if i % 2 == 0 else "b")
+            for i in range(8)]
+    df = spark.createDataFrame(rows, "u long, ts timestamp, s string")
+    got = {r.state: r for r in
+           markov_entropy(df, "u", "ts", "s").collect()}
+    assert got["a"].h_bits == 0.0 and got["b"].h_bits == 0.0
+    assert got["a"].rate_contrib == 0.0
+
+
+def test_markov_entropy_uniform_two_way_is_one_bit(spark):
+    from tabsdata_spark.extensions import markov_entropy
+    from datetime import datetime
+
+    # from 'a' go to b,c equally often -> H(a) = 1 bit
+    seq = ["a", "b", "a", "c", "a", "b", "a", "c", "a"]
+    rows = [(1, datetime(2024, 1, 1, 0, 0, i), s)
+            for i, s in enumerate(seq)]
+    df = spark.createDataFrame(rows, "u long, ts timestamp, s string")
+    got = {r.state: r for r in
+           markov_entropy(df, "u", "ts", "s").collect()}
+    assert got["a"].h_bits == 1.0
+    assert got["a"].n_a == 4

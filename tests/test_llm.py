@@ -2028,3 +2028,35 @@ def test_corpus_summary_exact_cells(spark):
     assert r.n_empty == 1
     assert r.total_tokens == 5
     assert r.total_bytes == 3 + 3 + 3 + 0
+
+
+def test_heaps_law_curve_invariants(spark):
+    from tabsdata_spark.llm import corpus
+
+    rows = [(i, f"tok{i % 7} common word{'x' * (i % 3)}")
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = corpus.heaps_law(docs, buckets=4).collect()
+    out.sort(key=lambda r: r.bucket)
+    assert [r.bucket for r in out] == sorted({r.bucket for r in out})
+    # cum columns are running sums of the per-bucket columns
+    ct = cv = 0
+    for r in out:
+        ct += r.n_tokens
+        cv += r.new_vocab
+        assert (r.cum_tokens, r.cum_vocab) == (ct, cv)
+    # total vocab == distinct tokens; total tokens == all occurrences
+    assert out[-1].cum_vocab == 7 + 1 + 3  # tok0..6, 'common', word/x/xx
+    assert out[-1].cum_tokens == 40 * 3
+
+
+def test_density_grid_counts_and_flags(spark):
+    from tabsdata_spark.llm import cluster
+
+    rows = ([(i, [0.05, 0.05, 0.0]) for i in range(6)]
+            + [(10, [-0.3, 0.5, 0.0])])
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r.cell_x, r.cell_y): (r.n, r.dense)
+           for r in cluster.density_grid(df, min_pts=5).collect()}
+    assert got[(0, 0)] == (6, True)
+    assert got[(-2, 2)] == (1, False)

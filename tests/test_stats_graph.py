@@ -1162,3 +1162,24 @@ def test_retrieval_eval_miss_is_null_rank(spark):
         F.col("vec_id").alias("query_id"), "embedding", "label")
     r = similarity.retrieval_eval(emb, qs, k=1).collect()[0]
     assert r.first_rel_rank is None and r.rr is None and r.hit is False
+
+
+def test_degree_assortativity_star_is_negative(spark):
+    from tabsdata_spark import graph
+
+    # star: hub 0 -> leaves 1..5 plus one leaf-to-leaf edge; hub has
+    # high out-degree hitting degree-1 leaves -> disassortative
+    edges = [(0, i) for i in range(1, 6)] + [(1, 2)]
+    df = spark.createDataFrame(edges, "s long, d long")
+    r = graph.degree_assortativity(df, "s", "d").collect()[0]
+    assert r.n_edges == 6
+    assert r.assortativity is not None and r.assortativity < 0
+
+
+def test_degree_assortativity_regular_graph_is_null(spark):
+    from tabsdata_spark import graph
+
+    # 1-regular matching: zero degree variance -> NULL (not NaN/crash)
+    df = spark.createDataFrame([(1, 2), (3, 4), (5, 6)], "s long, d long")
+    r = graph.degree_assortativity(df, "s", "d").collect()[0]
+    assert r.assortativity is None

@@ -62,6 +62,9 @@ GLOBAL_ORDER_OK = {
     # table (value cardinality, the roc_auc contract — quantize heavy
     # continuous columns upstream; stats.spearman_correlation docstring)
     "spearman_daily_events",
+    # heaps_law's cumulative window runs over the <= `buckets`-row
+    # (32) bucket grid, the growth_curve contract (corpus.heaps_law)
+    "heaps_law_docs",
 }
 
 
