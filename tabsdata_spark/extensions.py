@@ -1606,3 +1606,52 @@ def markov_entropy(df: DataFrame, key_cols: list[str] | str, ts_col: str,
         F.round(pi, 6).alias("pi"),
         F.round(h, 6).alias("h_bits"),
         F.round(pi * h, 6).alias("rate_contrib"))
+
+
+def growth_accounting(df: DataFrame, key_col: str,
+                      ts_col: str) -> DataFrame:
+    """Weekly growth accounting: per week, the count of active users
+    split into NEW (first week ever), RETAINED (also active the
+    previous week), and RESURRECTED (active before, but not last
+    week), plus CHURNED (active last week, gone this week) — the
+    decomposition behind every 'is growth real or churn-masked'
+    readout.
+
+    All flags derive from the per-user distinct-week grid with
+    per-user lag/lead windows (exact integers; week = epoch days div
+    7); churn at week w counts users whose last activity week is
+    w-1.  Weeks outside the observed activity range are not emitted.
+
+    Scale shape: one distinct partial-agg onto (user, week), one
+    per-user window over that user's weeks, two bounded per-week
+    aggregates joined on the week grid."""
+    wk = F.expr(f"(unix_micros(cast({ts_col} as timestamp))"
+                f" div 86400000000) div 7")
+    grid = (df.select(F.col(key_col).alias("__u"), wk.alias("__w"))
+            .distinct())
+    uw = Window.partitionBy("__u").orderBy("__w")
+    flags = grid.select(
+        "__u", "__w",
+        F.lag("__w").over(uw).alias("__pw"),
+        F.lead("__w").over(uw).alias("__nw"))
+    per_week = flags.groupBy(F.col("__w").alias("week")).agg(
+        F.count(F.lit(1)).alias("active"),
+        F.sum(F.when(F.col("__pw").isNull(), 1).otherwise(0))
+        .alias("new_users"),
+        F.sum(F.when(F.col("__pw") == F.col("__w") - 1, 1).otherwise(0))
+        .alias("retained"),
+        F.sum(F.when(F.col("__pw") < F.col("__w") - 1, 1).otherwise(0))
+        .alias("resurrected"))
+    churn = (flags.filter(F.col("__nw").isNull()
+                          | (F.col("__nw") > F.col("__w") + 1))
+             .groupBy((F.col("__w") + 1).alias("week"))
+             .agg(F.count(F.lit(1)).alias("churned")))
+    out = per_week.join(churn, "week", "left")
+    return out.select(
+        F.col("week").cast("bigint").alias("week"),
+        F.col("active").cast("bigint").alias("active"),
+        F.col("new_users").cast("bigint").alias("new_users"),
+        F.col("retained").cast("bigint").alias("retained"),
+        F.col("resurrected").cast("bigint").alias("resurrected"),
+        F.coalesce(F.col("churned"), F.lit(0)).cast("bigint")
+        .alias("churned"))

@@ -943,3 +943,51 @@ def retrieval_eval(corpus: DataFrame, queries: DataFrame, k: int = 10,
         F.col("first_rel_rank").cast("bigint").alias("first_rel_rank"),
         F.when(F.col("first_rel_rank").isNotNull(), rr).alias("rr"),
         F.col("first_rel_rank").isNotNull().alias("hit"))
+
+
+def embedding_drift(a: DataFrame, b: DataFrame,
+                    vec_col: str = "embedding") -> DataFrame:
+    """Embedding-distribution drift between two corpus slices (two
+    days, two model versions, two sources): the cosine between the
+    slice centroids plus the centroid-norm ratio — the two cheapest
+    signals that an embedding space moved (centroid rotation) or
+    rescaled (norm inflation), each computable in one pass per side.
+
+    Exactness: per-dimension components quantize to 1e6 micros
+    BEFORE the sums, so each side's sum vector is exact integers in
+    any partitioning; cosine is scale-invariant, so it is evaluated
+    directly on the integer sum vectors (no centroid division), and
+    both outputs are fixed IEEE expressions (round 6).
+
+    Scale shape: one posexplode + per-dim partial agg per side
+    (dim-bounded results), a dim-aligned join, one scalar aggregate —
+    no pairwise work, nothing collected."""
+    big = "decimal(38,0)"
+
+    def _sums(df: DataFrame, tag: str) -> DataFrame:
+        ex = df.select(F.posexplode(F.col(vec_col)).alias("__d", "__v"))
+        qv = F.floor(F.col("__v").cast("double") * 1e6
+                     + F.lit(0.5)).cast("bigint")
+        return ex.groupBy("__d").agg(
+            F.sum(qv.cast(big)).alias(f"__s{tag}"))
+
+    na = a.count()
+    nb = b.count()
+    j = _sums(a, "a").join(_sums(b, "b"), "__d")
+    sa, sb = F.col("__sa"), F.col("__sb")
+    agg = j.agg(
+        F.sum((sa * sb).cast(big)).alias("__dot"),
+        F.sum((sa * sa).cast(big)).alias("__na"),
+        F.sum((sb * sb).cast(big)).alias("__nb"))
+    dot = F.col("__dot").cast("double")
+    qa, qb = F.col("__na").cast("double"), F.col("__nb").cast("double")
+    ok = (qa > F.lit(0.0)) & (qb > F.lit(0.0))
+    return agg.select(
+        F.lit(na).cast("bigint").alias("n_a"),
+        F.lit(nb).cast("bigint").alias("n_b"),
+        F.when(ok, F.round(dot / F.sqrt(qa * qb), 6))
+        .alias("centroid_cosine"),
+        F.when(ok & (na > 0) & (nb > 0), F.round(
+            (F.sqrt(qa) * F.lit(float(nb)))
+            / (F.sqrt(qb) * F.lit(float(na))), 6))
+        .alias("centroid_norm_ratio"))

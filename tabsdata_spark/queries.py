@@ -12752,3 +12752,211 @@ def density_grid_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return cluster.density_grid(emb, min_pts=5)
+
+
+@q(
+    "trend_test_events",
+    """
+    WITH base AS (
+      SELECT LEAST(CAST(TRUNC(value / 50.0) AS BIGINT), 7) AS w,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS sc
+      FROM events WHERE value IS NOT NULL),
+    g AS (SELECT w, COUNT(*) AS n, SUM(sc) AS s FROM base GROUP BY 1),
+    m AS (SELECT COUNT(*) AS n_groups,
+                 SUM(n) AS nt, SUM(s) AS st,
+                 SUM(CAST(w AS DECIMAL(38,0)) * n) AS wn,
+                 SUM(CAST(w AS DECIMAL(38,0)) * s) AS ws,
+                 SUM(CAST(CAST(w AS DECIMAL(38,0)) * w AS DECIMAL(38,0))
+                     * n) AS wwn
+          FROM g)
+    SELECT CAST(n_groups AS BIGINT) AS n_groups,
+           CAST(nt AS BIGINT) AS n, CAST(st AS BIGINT) AS s,
+           CASE WHEN CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)
+                     * (1.0 - CAST(st AS DOUBLE) / CAST(nt AS DOUBLE))
+                     * (CAST(wwn AS DOUBLE)
+                        - CAST(wn AS DOUBLE) * CAST(wn AS DOUBLE)
+                          / CAST(nt AS DOUBLE)) > 0.0
+                THEN ROUND((CAST(ws AS DOUBLE)
+                            - CAST(wn AS DOUBLE)
+                              * (CAST(st AS DOUBLE)
+                                 / CAST(nt AS DOUBLE)))
+                           / SQRT(CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)
+                                  * (1.0 - CAST(st AS DOUBLE)
+                                           / CAST(nt AS DOUBLE))
+                                  * (CAST(wwn AS DOUBLE)
+                                     - CAST(wn AS DOUBLE)
+                                       * CAST(wn AS DOUBLE)
+                                       / CAST(nt AS DOUBLE))), 6)
+           END AS z
+    FROM m
+    """,
+)
+def trend_test_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test (stats.trend_test): does the
+    purchase share trend monotonically across ordered 50-unit value
+    buckets?  Exact decimal moment sums, one IEEE z."""
+    from tabsdata_spark import stats
+
+    ev = load_events(spark, sf_dir).df
+    base = (ev.filter(F.col("value").isNotNull())
+            .select(F.least(F.floor(F.col("value") / F.lit(50.0))
+                            .cast("bigint"), F.lit(7)).alias("w"),
+                    (F.col("event_type") == "purchase").cast("int")
+                    .alias("sc")))
+    return stats.trend_test(base, "w", "sc")
+
+
+@q(
+    "growth_accounting_events",
+    """
+    WITH grid AS (
+      SELECT DISTINCT user_id AS u,
+             (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) // 7 AS w
+      FROM events),
+    flags AS (
+      SELECT u, w,
+             LAG(w) OVER (PARTITION BY u ORDER BY w) AS pw,
+             LEAD(w) OVER (PARTITION BY u ORDER BY w) AS nw
+      FROM grid),
+    per_week AS (
+      SELECT w AS week, COUNT(*) AS active,
+             SUM(CASE WHEN pw IS NULL THEN 1 ELSE 0 END) AS new_users,
+             SUM(CASE WHEN pw = w - 1 THEN 1 ELSE 0 END) AS retained,
+             SUM(CASE WHEN pw < w - 1 THEN 1 ELSE 0 END) AS resurrected
+      FROM flags GROUP BY 1),
+    churn AS (
+      SELECT w + 1 AS week, COUNT(*) AS churned
+      FROM flags WHERE nw IS NULL OR nw > w + 1
+      GROUP BY 1)
+    SELECT CAST(p.week AS BIGINT) AS week,
+           CAST(active AS BIGINT) AS active,
+           CAST(new_users AS BIGINT) AS new_users,
+           CAST(retained AS BIGINT) AS retained,
+           CAST(resurrected AS BIGINT) AS resurrected,
+           CAST(COALESCE(c.churned, 0) AS BIGINT) AS churned
+    FROM per_week p LEFT JOIN churn c ON p.week = c.week
+    """,
+)
+def growth_accounting_events(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Weekly growth accounting (extensions.growth_accounting):
+    active = new + retained + resurrected, churn attributed to the
+    week after last activity — the growth-quality decomposition."""
+    from tabsdata_spark.extensions import growth_accounting
+
+    ev = load_events(spark, sf_dir).df
+    return growth_accounting(ev, "user_id", "ts")
+
+
+@q(
+    "embedding_drift_emb",
+    """
+    WITH qa AS (
+      SELECT u.i AS d,
+             SUM(CAST(CAST(FLOOR(x[u.i] * 1e6 + 0.5) AS BIGINT)
+                      AS DECIMAL(38,0))) AS sa
+      FROM (SELECT embedding::DOUBLE[] AS x FROM embeddings
+            WHERE vec_id % 2 = 0),
+           (SELECT unnest(range(1, 65)) AS i) u
+      GROUP BY 1),
+    qb AS (
+      SELECT u.i AS d,
+             SUM(CAST(CAST(FLOOR(x[u.i] * 1e6 + 0.5) AS BIGINT)
+                      AS DECIMAL(38,0))) AS sb
+      FROM (SELECT embedding::DOUBLE[] AS x FROM embeddings
+            WHERE vec_id % 2 <> 0),
+           (SELECT unnest(range(1, 65)) AS i) u
+      GROUP BY 1),
+    na AS (SELECT COUNT(*) AS n FROM embeddings WHERE vec_id % 2 = 0),
+    nb AS (SELECT COUNT(*) AS n FROM embeddings WHERE vec_id % 2 <> 0),
+    m AS (
+      SELECT SUM(CAST(sa * sb AS DECIMAL(38,0))) AS dot,
+             SUM(CAST(sa * sa AS DECIMAL(38,0))) AS qna,
+             SUM(CAST(sb * sb AS DECIMAL(38,0))) AS qnb
+      FROM qa JOIN qb USING (d))
+    SELECT CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
+           CASE WHEN CAST(qna AS DOUBLE) > 0.0
+                     AND CAST(qnb AS DOUBLE) > 0.0
+                THEN ROUND(CAST(dot AS DOUBLE)
+                           / SQRT(CAST(qna AS DOUBLE)
+                                  * CAST(qnb AS DOUBLE)), 6)
+           END AS centroid_cosine,
+           CASE WHEN CAST(qna AS DOUBLE) > 0.0
+                     AND CAST(qnb AS DOUBLE) > 0.0
+                     AND na.n > 0 AND nb.n > 0
+                THEN ROUND((SQRT(CAST(qna AS DOUBLE))
+                            * CAST(nb.n AS DOUBLE))
+                           / (SQRT(CAST(qnb AS DOUBLE))
+                              * CAST(na.n AS DOUBLE)), 6)
+           END AS centroid_norm_ratio
+    FROM m, na, nb
+    """,
+)
+def embedding_drift_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid drift between even- and odd-id embedding slices
+    (similarity.embedding_drift): micros-quantized per-dim integer
+    sums, cosine evaluated scale-free on the sum vectors."""
+    from tabsdata_spark.llm import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 != 0)
+    return similarity.embedding_drift(a, b)
+
+
+@q(
+    "referential_orphans_q",
+    """
+    WITH li AS (
+      SELECT 'lineitem->orders' AS relation,
+             COUNT(*) AS n_child,
+             SUM(CASE WHEN NOT EXISTS (
+                   SELECT 1 FROM orders o
+                   WHERE o.o_orderkey = l.l_orderkey)
+                 THEN 1 ELSE 0 END) AS n_orphans
+      FROM lineitem l),
+    oc AS (
+      SELECT 'orders->customer' AS relation,
+             COUNT(*) AS n_child,
+             SUM(CASE WHEN NOT EXISTS (
+                   SELECT 1 FROM customer c
+                   WHERE c.c_custkey = o.o_custkey)
+                 THEN 1 ELSE 0 END) AS n_orphans
+      FROM orders o),
+    sn AS (
+      SELECT 'supplier->nation' AS relation,
+             COUNT(*) AS n_child,
+             SUM(CASE WHEN NOT EXISTS (
+                   SELECT 1 FROM nation n
+                   WHERE n.n_nationkey = s.s_nationkey)
+                 THEN 1 ELSE 0 END) AS n_orphans
+      FROM supplier s),
+    u AS (SELECT * FROM li UNION ALL SELECT * FROM oc
+          UNION ALL SELECT * FROM sn)
+    SELECT relation, CAST(n_child AS BIGINT) AS n_child,
+           CAST(n_orphans AS BIGINT) AS n_orphans,
+           CASE WHEN n_child > 0
+                THEN ROUND(CAST(n_orphans AS DOUBLE)
+                           / CAST(n_child AS DOUBLE), 6)
+           END AS orphan_rate
+    FROM u
+    """,
+)
+def referential_orphans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity gate (scale.referential_orphans) over
+    three FK relationships — orphan counts/rates from left-anti
+    joins, the pre-join ingest check."""
+    from tabsdata_spark import scale
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r1 = scale.referential_orphans(li, "l_orderkey", o, "o_orderkey",
+                                   "lineitem->orders")
+    r2 = scale.referential_orphans(o, "o_custkey", c, "c_custkey",
+                                   "orders->customer")
+    r3 = scale.referential_orphans(n.sparkSession.read.parquet(
+        f"{sf_dir}/supplier.parquet"), "s_nationkey", n, "n_nationkey",
+        "supplier->nation")
+    return r1.unionAll(r2).unionAll(r3)

@@ -533,3 +533,33 @@ def fd_violation_report(df: DataFrame,
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+def referential_orphans(child: DataFrame, child_key: str,
+                        parent: DataFrame, parent_key: str,
+                        relation: str) -> DataFrame:
+    """Referential-integrity report for one FK relationship: total
+    child rows, child rows whose key has no parent (orphans), and the
+    orphan rate — the ingest-gate check that catches a broken join
+    key BEFORE a silent inner join drops the rows downstream.
+
+    NULL child keys count as orphans (they can never join).  Exact
+    integer counts; the rate is one IEEE division (round 6).
+
+    Scale shape: one left-anti join (AQE broadcasts a small parent,
+    shuffles otherwise) + two scalar counts folded into one pass via
+    a tagged union-free aggregate."""
+    keys = child.select(F.col(child_key).alias("__k"))
+    par = parent.select(F.col(parent_key).alias("__k")).distinct()
+    orphan = keys.join(par, "__k", "left_anti").agg(
+        F.count(F.lit(1)).alias("n_orphans"))
+    total = keys.agg(F.count(F.lit(1)).alias("n_child"))
+    one = total.crossJoin(F.broadcast(orphan))
+    return one.select(
+        F.lit(relation).alias("relation"),
+        F.col("n_child").cast("bigint").alias("n_child"),
+        F.col("n_orphans").cast("bigint").alias("n_orphans"),
+        F.when(F.col("n_child") > 0,
+               F.round(F.col("n_orphans").cast("double")
+                       / F.col("n_child").cast("double"), 6))
+        .alias("orphan_rate"))

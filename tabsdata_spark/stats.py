@@ -2151,3 +2151,46 @@ def eb_beta_binomial(df: DataFrame, success_col: str,
         F.round(F.col("__alpha"), 6).alias("alpha"),
         F.round(F.col("__beta"), 6).alias("beta"),
         F.round(shrunk, 6).alias("shrunk_rate"))
+
+
+def trend_test(df: DataFrame, score_col: str,
+               success_col: str) -> DataFrame:
+    """Cochran-Armitage trend test: is a binary success rate
+    monotonically associated with an ORDERED integer score (dose,
+    bucket, tier)?  z = T / sqrt(Var) with T = sum w*s - (sum w*n)*S/N
+    and Var = pbar*(1-pbar)*(sum w^2*n - (sum w*n)^2/N) — the test a
+    two-group z-test can't express when the exposure is graded.
+
+    Exactness: all five moment sums accumulate as exact
+    decimal(38,0) integers (scores must be integers by contract); z
+    is one fixed IEEE expression over the exact sums (round 6).
+    Degenerate inputs (all-success, all-failure, or zero score
+    variance) surface NULL.
+
+    Scale shape: one partial-agg shuffle onto the score, then a
+    score-cardinality-bounded final aggregate."""
+    big = "decimal(38,0)"
+    s = F.col(success_col).cast("int")
+    g = df.groupBy(F.col(score_col).alias("__w")).agg(
+        F.count(F.lit(1)).alias("__n"), F.sum(s).alias("__s"))
+    w = F.col("__w").cast(big)
+    agg = g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("__n").alias("__nt"), F.sum("__s").alias("__st"),
+        F.sum((w * F.col("__n").cast(big)).cast(big)).alias("__wn"),
+        F.sum((w * F.col("__s").cast(big)).cast(big)).alias("__ws"),
+        F.sum((w * w * F.col("__n").cast(big)).cast(big)).alias("__wwn"))
+    nd = F.col("__nt").cast("double")
+    sd = F.col("__st").cast("double")
+    wn = F.col("__wn").cast("double")
+    ws = F.col("__ws").cast("double")
+    wwn = F.col("__wwn").cast("double")
+    pbar = sd / nd
+    t = ws - wn * pbar
+    var = pbar * (F.lit(1.0) - pbar) * (wwn - wn * wn / nd)
+    ok = (var > F.lit(0.0))
+    return agg.select(
+        F.col("n_groups").cast("bigint").alias("n_groups"),
+        F.col("__nt").cast("bigint").alias("n"),
+        F.col("__st").cast("bigint").alias("s"),
+        F.when(ok, F.round(t / F.sqrt(var), 6)).alias("z"))

@@ -918,3 +918,31 @@ def test_markov_entropy_uniform_two_way_is_one_bit(spark):
            markov_entropy(df, "u", "ts", "s").collect()}
     assert got["a"].h_bits == 1.0
     assert got["a"].n_a == 4
+
+
+def test_growth_accounting_decomposition(spark):
+    from tabsdata_spark.extensions import growth_accounting
+    from datetime import datetime
+
+    # weeks are epoch-day div 7; pick aligned dates
+    def at(day):
+        return datetime(1970, 1, 1 + day)
+
+    rows = [
+        (1, at(0)), (1, at(7)),            # u1: w0, w1 (retained)
+        (2, at(0)),                        # u2: w0 only (churns at w1)
+        (3, at(0)), (3, at(14)),           # u3: w0, gone w1, back w2
+    ]
+    df = spark.createDataFrame(rows, "u long, ts timestamp")
+    got = {r.week: r for r in
+           growth_accounting(df, "u", "ts").collect()}
+    w0, w1, w2 = got[0], got[1], got[2]
+    assert (w0.active, w0.new_users, w0.retained, w0.resurrected,
+            w0.churned) == (3, 3, 0, 0, 0)
+    # churned at w1 = u2 (gone for good) + u3 (gap-churn, resurrects at w2)
+    assert (w1.active, w1.new_users, w1.retained, w1.churned) \
+        == (1, 0, 1, 2)
+    assert (w2.active, w2.resurrected) == (1, 1)
+    # active always equals new + retained + resurrected
+    for r in got.values():
+        assert r.active == r.new_users + r.retained + r.resurrected

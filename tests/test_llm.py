@@ -2060,3 +2060,19 @@ def test_density_grid_counts_and_flags(spark):
            for r in cluster.density_grid(df, min_pts=5).collect()}
     assert got[(0, 0)] == (6, True)
     assert got[(-2, 2)] == (1, False)
+
+
+def test_embedding_drift_identical_and_orthogonal(spark):
+    from tabsdata_spark.llm import similarity
+
+    a = spark.createDataFrame([(1, [1.0, 0.0]), (2, [1.0, 0.0])],
+                              "vec_id long, embedding array<float>")
+    same = similarity.embedding_drift(a, a).collect()[0]
+    assert (same.n_a, same.n_b) == (2, 2)
+    assert same.centroid_cosine == 1.0
+    assert same.centroid_norm_ratio == 1.0
+    b = spark.createDataFrame([(3, [0.0, 2.0])],
+                              "vec_id long, embedding array<float>")
+    rot = similarity.embedding_drift(a, b).collect()[0]
+    assert rot.centroid_cosine == 0.0
+    assert rot.centroid_norm_ratio == 0.5  # |1|/ |2|

@@ -252,3 +252,15 @@ def test_fd_violation_report_exact_and_holding(spark):
     held = spark.createDataFrame([(1, "x"), (2, "y")], "a int, b string")
     r2 = scale.fd_violation_report(held, [("a", "b")]).collect()[0]
     assert r2.n_violations == 0 and r2.violation_rate == 0.0
+
+
+def test_referential_orphans_counts_nulls_and_misses(spark):
+    from tabsdata_spark import scale
+
+    child = spark.createDataFrame(
+        [(1,), (2,), (99,), (None,)], "k long")
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    r = scale.referential_orphans(child, "k", parent, "k",
+                                  "c->p").collect()[0]
+    assert (r.relation, r.n_child, r.n_orphans) == ("c->p", 4, 2)
+    assert r.orphan_rate == 0.5

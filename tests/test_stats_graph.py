@@ -1183,3 +1183,28 @@ def test_degree_assortativity_regular_graph_is_null(spark):
     df = spark.createDataFrame([(1, 2), (3, 4), (5, 6)], "s long, d long")
     r = graph.degree_assortativity(df, "s", "d").collect()[0]
     assert r.assortativity is None
+
+
+def test_trend_test_monotone_positive(spark):
+    from tabsdata_spark import stats
+
+    # rate climbs with score: 10%, 50%, 90% -> strongly positive z
+    rows = []
+    for w, s in [(0, 1), (1, 5), (2, 9)]:
+        rows += [(w, 1)] * s + [(w, 0)] * (10 - s)
+    df = spark.createDataFrame(rows, "w long, s int")
+    r = stats.trend_test(df, "w", "s").collect()[0]
+    assert (r.n_groups, r.n, r.s) == (3, 30, 15)
+    assert r.z is not None and r.z > 3.0
+    flipped = stats.trend_test(
+        df.select((F.lit(2) - F.col("w")).alias("w"), "s"),
+        "w", "s").collect()[0]
+    assert flipped.z == -r.z
+
+
+def test_trend_test_degenerate_null(spark):
+    from tabsdata_spark import stats
+
+    # all-success -> pbar = 1 -> Var = 0 -> NULL
+    df = spark.createDataFrame([(0, 1), (1, 1), (2, 1)], "w long, s int")
+    assert stats.trend_test(df, "w", "s").collect()[0].z is None
