@@ -1655,3 +1655,85 @@ def growth_accounting(df: DataFrame, key_col: str,
         F.col("resurrected").cast("bigint").alias("resurrected"),
         F.coalesce(F.col("churned"), F.lit(0)).cast("bigint")
         .alias("churned"))
+
+
+def cusum(df: DataFrame, t_col: str, xq_col: str, k_micros: int,
+          h_micros: int) -> DataFrame:
+    """One-sided upper CUSUM drift detector over a BOUNDED,
+    pre-aggregated time grid: S_t = max(0, S_{t-1} + x_t - k),
+    flagged when S_t >= h — the sequential monitor that catches a
+    small persistent shift long before a per-point z-score fires.
+
+    The recursion is evaluated in closed form as
+    S_t = C_t - min(0, min_{j<=t} C_j) with C the prefix sum of
+    (x - k): pure cumulative windows, no iterative loop.  Inputs are
+    caller-quantized integer micros (the rolling_zscore contract), so
+    C, the running minimum, and S are exact integers; only the
+    display value divides.
+
+    Scale shape: the window runs over the aggregate grid (calendar
+    days), never raw rows — the growth_curve bounded-window
+    contract."""
+    wc = Window.orderBy(t_col).rowsBetween(Window.unboundedPreceding,
+                                           Window.currentRow)
+    c = F.sum(F.col(xq_col) - F.lit(k_micros)).over(wc)
+    base = df.select(F.col(t_col).alias("t"), F.col(xq_col).alias("__x"),
+                     c.alias("__c"))
+    wm = Window.orderBy("t").rowsBetween(Window.unboundedPreceding,
+                                         Window.currentRow)
+    s = F.col("__c") - F.least(F.min("__c").over(wm),
+                               F.lit(0).cast("bigint"))
+    return base.select(
+        F.col("t").cast("bigint").alias("t"),
+        F.round(F.col("__x").cast("double") / 1e6, 6).alias("x"),
+        F.round(s.cast("double") / 1e6, 6).alias("cusum"),
+        (s >= F.lit(h_micros)).alias("breach"))
+
+
+def bounce_rate(df: DataFrame, key_cols: list[str] | str, ts_col: str,
+                gap_seconds: int = 1800,
+                tie_cols: list[str] | None = None) -> DataFrame:
+    """Daily bounce rate: gap-based sessionization (epoch-micros
+    subtraction, never calendar date_diff), then per session-start
+    day the share of single-event sessions — the engagement-quality
+    readout on top of raw session counts.
+
+    Exact integer session/bounce counts; the rate is one IEEE
+    division (round 6).
+
+    Scale shape: ONE shuffle on the keys serves the lag flag and the
+    cumulative session number; session collapse and the daily rollup
+    are partial aggs."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    order = [F.col(ts_col)] + [F.col(c) for c in (tie_cols or [])]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    mic = F.expr(f"unix_micros(cast({ts_col} as timestamp))")
+    gap = mic - F.lag(mic).over(w)
+    is_new = F.when(gap.isNull()
+                    | (gap > F.lit(gap_seconds) * F.lit(1000000)),
+                    1).otherwise(0)
+    marked = df.select(*keys, F.col(ts_col).alias("__ts"),
+                       *[F.col(c) for c in (tie_cols or [])],
+                       is_new.alias("__new"))
+    w2 = Window.partitionBy(*keys).orderBy(
+        F.col("__ts"), *[F.col(c) for c in (tie_cols or [])])
+    sess = marked.select(
+        *keys, "__ts",
+        F.sum("__new").over(
+            w2.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("__sno"))
+    per_sess = sess.groupBy(*keys, "__sno").agg(
+        F.count(F.lit(1)).alias("__n"), F.min("__ts").alias("__start"))
+    day = F.expr("unix_micros(cast(__start as timestamp))"
+                 " div 86400000000")
+    out = per_sess.groupBy(day.alias("day")).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.when(F.col("__n") == 1, 1).otherwise(0))
+        .alias("n_bounces"))
+    return out.select(
+        F.col("day").cast("bigint").alias("day"),
+        F.col("n_sessions").cast("bigint").alias("n_sessions"),
+        F.col("n_bounces").cast("bigint").alias("n_bounces"),
+        F.round(F.col("n_bounces").cast("double")
+                / F.col("n_sessions").cast("double"), 6)
+        .alias("bounce_rate"))

@@ -1047,3 +1047,40 @@ def heaps_law(docs: DataFrame, id_col: str = "doc_id",
         F.col("__nv").cast("bigint").alias("new_vocab"),
         F.sum("__nt").over(w).cast("bigint").alias("cum_tokens"),
         F.sum("__nv").over(w).cast("bigint").alias("cum_vocab"))
+
+
+def doc_keywords(docs: DataFrame, k: int = 3, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Per-document keyword extraction: the top-k terms by TF-IDF
+    (tf * ln(N/df)) with corpus-wide document frequencies — the cheap
+    labeler for clustering summaries and dedup-cluster naming.
+
+    Determinism contract: the idf factor quantizes to 1e12 integers,
+    so the ranking score tf * idf_q is an exact integer and the
+    per-doc ordering (score desc, term asc) can never flip on a float
+    ulp between engines or partitionings.
+
+    Scale shape: one explode + (doc, term) partial agg, one term-df
+    partial agg joined back (AQE decides the join side — a web-scale
+    vocab must not be force-broadcast), a 1-row N broadcast, and a
+    per-doc window."""
+    tf = term_doc_freq(docs, id_col=id_col, text_col=text_col)
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    n = docs.agg(F.count(F.lit(1)).alias("__nd"))
+    j = tf.join(dfreq, "term").crossJoin(F.broadcast(n))
+    idfq = F.floor(F.log(F.col("__nd").cast("double")
+                         / F.col("__df").cast("double"))
+                   * F.lit(1e12) + F.lit(0.5)).cast("bigint")
+    scored = j.select(F.col(id_col), "term", "tf",
+                      (F.col("tf").cast("decimal(38,0)")
+                       * idfq.cast("decimal(38,0)")).cast("decimal(38,0)")
+                      .alias("__q"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__q").desc(), F.col("term").asc())
+    top = scored.withColumn("__r", F.row_number().over(w)) \
+        .filter(F.col("__r") <= k)
+    return top.select(
+        F.col(id_col), F.col("__r").cast("bigint").alias("rank"),
+        "term", F.col("tf").cast("bigint").alias("tf"),
+        F.round(F.col("__q").cast("double") / F.lit(1e12), 6)
+        .alias("tfidf"))

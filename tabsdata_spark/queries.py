@@ -12960,3 +12960,218 @@ def referential_orphans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{sf_dir}/supplier.parquet"), "s_nationkey", n, "n_nationkey",
         "supplier->nation")
     return r1.unionAll(r2).unionAll(r3)
+
+
+@q(
+    "rmst_orders",
+    """
+    WITH fs AS (
+      SELECT l_orderkey, MIN(l_shipdate) AS ship
+      FROM lineitem GROUP BY 1),
+    base AS (
+      SELECT o_orderpriority AS grp,
+             (epoch_us(CAST(ship AS TIMESTAMP))
+              - epoch_us(CAST(o_orderdate AS TIMESTAMP))) // 86400000000
+             AS days
+      FROM orders JOIN fs ON o_orderkey = l_orderkey),
+    obs AS (
+      SELECT grp, LEAST(days, 60) AS t,
+             CASE WHEN days <= 60 THEN 1 ELSE 0 END AS ev
+      FROM base WHERE days >= 0),
+    pts AS (
+      SELECT grp, t, SUM(ev) AS d, SUM(1 - ev) AS c
+      FROM obs GROUP BY 1, 2),
+    wn AS (
+      SELECT grp, t, d, c,
+             SUM(d + c) OVER (PARTITION BY grp)
+             - SUM(d + c) OVER (PARTITION BY grp ORDER BY t
+                                ROWS UNBOUNDED PRECEDING)
+             + d + c AS n_risk
+      FROM pts),
+    sv AS (
+      SELECT grp, t, n_risk, d,
+             SUM(CASE WHEN d > 0 AND d < n_risk
+                      THEN CAST(FLOOR(LN((n_risk - d)
+                                         / CAST(n_risk AS DOUBLE))
+                                      * 1e9 + 0.5) AS BIGINT)
+                      ELSE 0 END)
+               OVER (PARTITION BY grp ORDER BY t
+                     ROWS UNBOUNDED PRECEDING) AS s,
+             MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+               OVER (PARTITION BY grp ORDER BY t
+                     ROWS UNBOUNDED PRECEDING) AS extinct
+      FROM wn),
+    km AS (
+      SELECT grp, t,
+             CASE WHEN extinct = 1 THEN CAST(0.0 AS DOUBLE)
+                  ELSE ROUND(EXP(CAST(s AS DOUBLE) / 1e9), 6)
+             END AS survival
+      FROM sv WHERE d > 0),
+    seg AS (
+      SELECT grp, t, survival,
+             LEAD(t) OVER (PARTITION BY grp ORDER BY t) AS tn,
+             ROW_NUMBER() OVER (PARTITION BY grp ORDER BY t) AS rn
+      FROM km),
+    qq AS (
+      SELECT grp, COUNT(*) AS n_times,
+             SUM(CAST(FLOOR(survival
+                            * CAST(LEAST(COALESCE(tn, 60), 60)
+                                   - LEAST(t, 60) AS DOUBLE)
+                            * 1e6 + 0.5) AS BIGINT)
+                 + CASE WHEN rn = 1
+                        THEN CAST(LEAST(t, 60) AS BIGINT) * 1000000
+                        ELSE 0 END) AS q
+      FROM seg GROUP BY 1)
+    SELECT grp AS o_orderpriority, CAST(n_times AS BIGINT) AS n_times,
+           ROUND(CAST(q AS DOUBLE) / 1e6, 6) AS rmst
+    FROM qq
+    """,
+)
+def rmst_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time to first shipment per order
+    priority, horizon 60 days (stats.rmst) — the area under the
+    kaplan_meier_orders curve, micros-quantized segment areas."""
+    from tabsdata_spark import stats
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    fs = li.groupBy("l_orderkey").agg(F.min("l_shipdate").alias("ship"))
+    days = F.expr("(unix_micros(cast(ship as timestamp))"
+                  " - unix_micros(cast(o_orderdate as timestamp)))"
+                  " div 86400000000")
+    base = (o.join(fs, o["o_orderkey"] == fs["l_orderkey"])
+            .select(F.col("o_orderpriority").alias("grp"),
+                    days.alias("days"))
+            .filter(F.col("days") >= 0)
+            .select("grp", F.least(F.col("days"), F.lit(60)).alias("t"),
+                    (F.col("days") <= 60).alias("ev")))
+    return stats.rmst(base, ["grp"], "t", "ev", tau=60) \
+        .withColumnRenamed("grp", "o_orderpriority")
+
+
+@q(
+    "cusum_daily_events",
+    """
+    WITH daily AS (
+      SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS t,
+             COUNT(*) AS n,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS p
+      FROM events GROUP BY 1),
+    base AS (SELECT t, CAST((p * 1000000) // n AS BIGINT) AS xq
+             FROM daily),
+    c AS (SELECT t, xq,
+                 SUM(xq - 200000) OVER (ORDER BY t
+                                        ROWS UNBOUNDED PRECEDING) AS cc
+          FROM base),
+    s AS (SELECT t, xq,
+                 cc - LEAST(MIN(cc) OVER (ORDER BY t
+                                          ROWS UNBOUNDED PRECEDING),
+                            0) AS sv
+          FROM c)
+    SELECT CAST(t AS BIGINT) AS t,
+           ROUND(CAST(xq AS DOUBLE) / 1e6, 6) AS x,
+           ROUND(CAST(sv AS DOUBLE) / 1e6, 6) AS cusum,
+           sv >= 500000 AS breach
+    FROM s
+    """,
+)
+def cusum_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift monitor (extensions.cusum) on the daily purchase
+    share (ppm-quantized), reference k=0.2, threshold h=0.5 — the
+    closed-form prefix-sum evaluation, no sequential loop."""
+    from tabsdata_spark.extensions import cusum
+
+    ev = load_events(spark, sf_dir).df
+    day = F.expr("unix_micros(cast(ts as timestamp))"
+                 " div 86400000000")
+    daily = ev.groupBy(day.alias("t")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .alias("p"))
+    base = daily.select("t", F.expr("(p * 1000000) div n").alias("xq"))
+    return cusum(base, "t", "xq", k_micros=200000, h_micros=500000)
+
+
+@q(
+    "doc_keywords_docs",
+    f"""
+    WITH tf AS (
+      SELECT doc_id, t AS term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest({_CLEAN_TOKS_SQL}) AS t
+            FROM documents)
+      GROUP BY 1, 2),
+    dfq AS (SELECT term, COUNT(*) AS dfc FROM tf GROUP BY 1),
+    nd AS (SELECT COUNT(*) AS ndv FROM documents),
+    sc AS (
+      SELECT doc_id, term, tf,
+             CAST(CAST(tf AS DECIMAL(38,0))
+                  * CAST(FLOOR(LN(CAST(ndv AS DOUBLE)
+                                  / CAST(dfc AS DOUBLE))
+                               * 1e12 + 0.5) AS BIGINT)
+                  AS DECIMAL(38,0)) AS q
+      FROM tf JOIN dfq USING (term), nd),
+    rk AS (
+      SELECT doc_id, term, tf, q,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY q DESC, term) AS r
+      FROM sc WHERE doc_id < 40)
+    SELECT doc_id, CAST(r AS BIGINT) AS rank, term,
+           CAST(tf AS BIGINT) AS tf,
+           ROUND(CAST(q AS DOUBLE) / 1e12, 6) AS tfidf
+    FROM rk WHERE r <= 3
+    """,
+)
+def doc_keywords_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document (corpus.doc_keywords) for
+    doc_id < 40, with corpus-wide document frequencies and an
+    integer-quantized ranking score that can't flip on a float ulp."""
+    from tabsdata_spark.llm import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus.doc_keywords(docs, k=3).filter(F.col("doc_id") < 40)
+
+
+@q(
+    "bounce_rate_events",
+    """
+    WITH marked AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS mts,
+             CASE WHEN lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
+                       IS NULL THEN 1
+                  WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                       - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
+                       > 1800000000 THEN 1
+                  ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+    sess AS (
+      SELECT user_id, mts,
+             SUM(is_new) OVER (PARTITION BY user_id
+                               ORDER BY mts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sno
+      FROM marked),
+    per AS (SELECT user_id, sno, COUNT(*) AS n, MIN(mts) AS st
+            FROM sess GROUP BY 1, 2),
+    d AS (
+      SELECT epoch_us(st) // 86400000000 AS day,
+             COUNT(*) AS ns,
+             SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS nb
+      FROM per GROUP BY 1)
+    SELECT CAST(day AS BIGINT) AS day, CAST(ns AS BIGINT) AS n_sessions,
+           CAST(nb AS BIGINT) AS n_bounces,
+           ROUND(CAST(nb AS DOUBLE) / CAST(ns AS DOUBLE), 6)
+             AS bounce_rate
+    FROM d
+    """,
+)
+def bounce_rate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate (extensions.bounce_rate): 30-min gap
+    sessions, share of single-event sessions per session-start day —
+    epoch-micros gaps, (ts, event_id) tie order."""
+    from tabsdata_spark.extensions import bounce_rate
+
+    ev = load_events(spark, sf_dir).df
+    return bounce_rate(ev, "user_id", "ts", gap_seconds=1800,
+                       tie_cols=["event_id"])

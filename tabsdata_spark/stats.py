@@ -2194,3 +2194,43 @@ def trend_test(df: DataFrame, score_col: str,
         F.col("__nt").cast("bigint").alias("n"),
         F.col("__st").cast("bigint").alias("s"),
         F.when(ok, F.round(t / F.sqrt(var), 6)).alias("z"))
+
+
+def rmst(df: DataFrame, group_cols: list[str], duration_col: str,
+         event_col: str, tau: int) -> DataFrame:
+    """Restricted mean survival time per group: the area under the
+    Kaplan-Meier curve up to horizon `tau` — 'average event-free days
+    in the first tau days', the single-number survival summary that
+    stays meaningful under censoring where a plain mean of durations
+    is biased.
+
+    Composes kaplan_meier (same exactness contract: integer risk
+    sets, 1e9-quantized log-products).  Each curve segment's area
+    S(t_i) * (min(t_{i+1}, tau) - t_i) quantizes to exact 1e6 micros
+    BEFORE the per-group sum (S is the already-round-6 curve value,
+    so both engines integrate the identical step function); the head
+    segment [0, t_1) integrates survival 1 exactly.
+
+    Scale shape: kaplan_meier's one partial-agg shuffle + per-group
+    windows; the integration is one more per-group window + agg over
+    the bounded event-time grid."""
+    km = kaplan_meier(df, group_cols, duration_col, event_col)
+    w = Window.partitionBy(*group_cols).orderBy("t")
+    seg = km.select(
+        *group_cols, "t", "survival",
+        F.lead("t").over(w).alias("__tn"),
+        F.row_number().over(w).alias("__rn"))
+    t0 = F.least(F.col("t"), F.lit(tau))
+    t1 = F.least(F.coalesce(F.col("__tn"), F.lit(tau)), F.lit(tau))
+    contrib = F.floor(F.col("survival") * (t1 - t0).cast("double")
+                      * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+    head = F.when(F.col("__rn") == 1,
+                  F.least(F.col("t"), F.lit(tau)).cast("bigint")
+                  * F.lit(1000000)).otherwise(F.lit(0))
+    agg = seg.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_times"),
+        F.sum(contrib + head).alias("__q"))
+    return agg.select(
+        *group_cols, F.col("n_times").cast("bigint").alias("n_times"),
+        F.round(F.col("__q").cast("double") / F.lit(1e6), 6)
+        .alias("rmst"))

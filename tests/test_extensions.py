@@ -946,3 +946,33 @@ def test_growth_accounting_decomposition(spark):
     # active always equals new + retained + resurrected
     for r in got.values():
         assert r.active == r.new_users + r.retained + r.resurrected
+
+
+def test_cusum_closed_form_matches_recursion(spark):
+    from tabsdata_spark.extensions import cusum
+
+    xs = [100, 300, 250, 50, 400, 120]  # micros
+    k, h = 200, 300
+    df = spark.createDataFrame(list(enumerate(xs)), "t long, xq long")
+    got = {r.t: (r.cusum, r.breach)
+           for r in cusum(df, "t", "xq", k, h).collect()}
+    s = 0
+    for t, x in enumerate(xs):
+        s = max(0, s + x - k)
+        assert got[t] == (round(s / 1e6, 6), s >= h)
+
+
+def test_bounce_rate_hand_case(spark):
+    from tabsdata_spark.extensions import bounce_rate
+    from datetime import datetime
+
+    rows = [
+        (1, 1, datetime(2024, 1, 1, 10, 0, 0)),   # session A (2 events)
+        (1, 2, datetime(2024, 1, 1, 10, 10, 0)),
+        (1, 3, datetime(2024, 1, 1, 12, 0, 0)),   # session B (bounce)
+        (2, 4, datetime(2024, 1, 1, 9, 0, 0)),    # session C (bounce)
+    ]
+    df = spark.createDataFrame(rows, "u long, eid long, ts timestamp")
+    r = bounce_rate(df, "u", "ts", tie_cols=["eid"]).collect()[0]
+    assert (r.n_sessions, r.n_bounces) == (3, 2)
+    assert r.bounce_rate == round(2 / 3, 6)

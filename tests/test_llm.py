@@ -2076,3 +2076,20 @@ def test_embedding_drift_identical_and_orthogonal(spark):
     rot = similarity.embedding_drift(a, b).collect()[0]
     assert rot.centroid_cosine == 0.0
     assert rot.centroid_norm_ratio == 0.5  # |1|/ |2|
+
+
+def test_doc_keywords_ranks_rare_terms_first(spark):
+    from tabsdata_spark.llm import corpus
+
+    docs = spark.createDataFrame(
+        [(0, "common common zebra"), (1, "common common yak yak"),
+         (2, "common plain")],
+        "doc_id long, text string")
+    out = corpus.doc_keywords(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.rank, r.term))
+    # 'common' appears in all docs -> idf 0 -> never outranks rare terms
+    assert sorted(by_doc[0])[0] == (1, "zebra")
+    assert sorted(by_doc[1])[0] == (1, "yak")
+    assert all(len(v) <= 2 for v in by_doc.values())

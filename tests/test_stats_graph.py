@@ -1208,3 +1208,27 @@ def test_trend_test_degenerate_null(spark):
     # all-success -> pbar = 1 -> Var = 0 -> NULL
     df = spark.createDataFrame([(0, 1), (1, 1), (2, 1)], "w long, s int")
     assert stats.trend_test(df, "w", "s").collect()[0].z is None
+
+
+def test_rmst_no_events_equals_tau(spark):
+    from tabsdata_spark import stats
+
+    # all censored at 10 within tau=10: curve stays at 1 -> rmst = tau
+    # (no event rows -> km emits nothing; head covers [0, tau])
+    df = spark.createDataFrame(
+        [("g", 10, True)] * 4, "g string, t long, ev boolean")
+    r = stats.rmst(df, ["g"], "t", "ev", tau=20).collect()[0]
+    # single event time at t=10, all die: S=0 after 10
+    assert r.rmst == 10.0
+
+
+def test_rmst_half_survive(spark):
+    from tabsdata_spark import stats
+
+    # 2 of 4 die at t=5, rest censored at 20 (>= tau): S=0.5 after 5
+    # rmst(10) = 5*1 + 5*0.5 = 7.5
+    rows = [("g", 5, True), ("g", 5, True),
+            ("g", 20, False), ("g", 20, False)]
+    df = spark.createDataFrame(rows, "g string, t long, ev boolean")
+    r = stats.rmst(df, ["g"], "t", "ev", tau=10).collect()[0]
+    assert r.rmst == 7.5

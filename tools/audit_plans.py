@@ -65,6 +65,10 @@ GLOBAL_ORDER_OK = {
     # heaps_law's cumulative window runs over the <= `buckets`-row
     # (32) bucket grid, the growth_curve contract (corpus.heaps_law)
     "heaps_law_docs",
+    # cusum's prefix-sum/running-min windows run over the aggregated
+    # DAILY grid (<= calendar-days rows), the growth_curve contract
+    # (extensions.cusum docstring)
+    "cusum_daily_events",
 }
 
 
