@@ -13175,3 +13175,64 @@ def bounce_rate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir).df
     return bounce_rate(ev, "user_id", "ts", gap_seconds=1800,
                        tie_cols=["event_id"])
+
+
+@q(
+    "stream_cusum_events",
+    """
+    WITH base AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS mts, value,
+             CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) AS xq
+      FROM events WHERE user_id < 40 AND value IS NOT NULL),
+    c AS (
+      SELECT event_id, user_id, mts, value, xq,
+             SUM(xq - 250000000) OVER (PARTITION BY user_id
+                                       ORDER BY mts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS cc
+      FROM base),
+    s AS (
+      SELECT event_id, user_id, value,
+             cc - LEAST(MIN(cc) OVER (PARTITION BY user_id
+                                      ORDER BY mts, event_id
+                                      ROWS UNBOUNDED PRECEDING),
+                        0) AS sv
+      FROM c)
+    SELECT event_id, user_id, value,
+           ROUND(CAST(sv AS DOUBLE) / 1e6, 6) AS cusum,
+           sv >= 1000000000 AS breach
+    FROM s
+    """,
+)
+def stream_cusum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE streaming per-user CUSUM (streaming/bus.py stream_cusum,
+    applyInPandasWithState, 12th live streaming operator): the events
+    slice streams back under an availableNow trigger and the O(1)
+    integer-state detector emits every row's S and breach flag.  The
+    oracle is the exact batch CLOSED FORM (prefix sum minus running
+    minimum) of the same integer recursion, per user in (ts, event_id)
+    order."""
+    import tempfile
+
+    from tabsdata_spark.streaming import bus
+
+    ev = (load_events(spark, sf_dir).df
+          .filter((F.col("user_id") < 40) & F.col("value").isNotNull())
+          .select("event_id", "user_id", "ts", "value")
+          .orderBy("ts", "event_id"))
+    tmp = tempfile.mkdtemp(prefix="td_stream_cusum_")
+    ev.coalesce(1).write.parquet(f"{tmp}/src/b1")
+    schema = "event_id long, user_id long, ts timestamp, value double"
+    stream = bus.stream_file_source(spark, f"{tmp}/src/*", schema)
+    out = bus.stream_cusum(stream, "user_id", "ts", "value", "event_id",
+                           k_micros=250000000, h_micros=1000000000)
+    rows: list = []
+    qy = (out.writeStream.outputMode("update")
+          .foreachBatch(lambda b, i: rows.extend(b.collect()))
+          .option("checkpointLocation", f"{tmp}/ckpt")
+          .trigger(availableNow=True).start())
+    qy.awaitTermination(300)
+    return spark.createDataFrame(
+        [(r["event_id"], r["k"], r["value"], r["cusum"], r["breach"])
+         for r in rows],
+        "event_id long, user_id long, value double, cusum double,"
+        " breach boolean")

@@ -548,3 +548,64 @@ def pick_topk_per_window(snapshot: DataFrame, key_cols: list[str],
             .filter(F.col("__rk") <= k)
             .select("window_start", *key_cols, n_col,
                     F.col("__rk").cast("int").alias("rank")))
+
+
+def stream_cusum(stream: DataFrame, key: str, ts_col: str,
+                 value_col: str, id_col: str, k_micros: int,
+                 h_micros: int, output_mode: str = "update") -> DataFrame:
+    """Streaming per-key one-sided CUSUM drift detector with O(1)
+    integer state: S = max(0, S + x - k) per arriving row, breach
+    flagged at S >= h — the live twin of extensions.cusum, catching a
+    small persistent per-key shift (a user gone hot, a sensor gone
+    biased) long before any single row looks anomalous.
+
+    Exactness contract (shared with the batch oracle): values
+    quantize to 1e6 micros and the recursion is pure integer
+    arithmetic, so the batch CLOSED FORM S_t = C_t - min(0, min C_j)
+    over prefix sums replays it bit-identically.  Rows are processed
+    in (ts, id) order within each micro-batch (all Arrow chunks
+    concatenated first — the stream_anomaly_flag ordering lesson);
+    state is ONE long per key.
+
+    Scale shape: keys partition across executors; state store holds 8
+    bytes per key; one applyInPandasWithState pass per micro-batch,
+    no joins, no window."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (f"{id_col} long, k long, {value_col} double, "
+                  f"cusum double, breach boolean")
+    state_schema = "s long"
+
+    def update(key_tuple, pdf_iter, state: GroupState):
+        (s,) = state.get if state.exists else (0,)
+        ids, vals, sums, flags = [], [], [], []
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            pdf = (chunks[0] if len(chunks) == 1 else
+                   pd.concat(chunks, ignore_index=True))
+            pdf = pdf.sort_values([ts_col, id_col])
+            for v, rid in zip(pdf[value_col], pdf[id_col]):
+                v = float(v)
+                ym = int(math.floor(v * 1e6 + 0.5))
+                s = max(0, s + ym - k_micros)
+                ids.append(int(rid))
+                vals.append(v)
+                sums.append(s / 1e6)
+                flags.append(s >= h_micros)
+        state.update((s,))
+        if ids:
+            yield pd.DataFrame({
+                id_col: ids,
+                "k": [key_tuple[0]] * len(ids),
+                value_col: vals,
+                "cusum": sums,
+                "breach": flags,
+            })
+
+    return (stream.groupBy(F.col(key))
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    output_mode,
+                                    GroupStateTimeout.NoTimeout))

@@ -659,3 +659,43 @@ def test_stream_ewma_matches_integer_recursion_across_batches(spark,
         ym = math.floor(v * 1e6 + 0.5)
         l = ym if l is None else math.floor((ym + l) / 2.0)
         assert got[i] == l / 1e6
+
+
+def test_stream_cusum_carries_state_across_batches(spark, tmp_path):
+    """Streaming CUSUM == max(0, S + x - k) recursion with S carried
+    across micro-batch boundaries; breach latches where S >= h."""
+    import datetime as dt
+    import math
+
+    t0 = dt.datetime(2024, 1, 1)
+    vals = [5.0, 9.0, 2.0, 9.0, 9.0, 9.0, 1.0, 9.0]
+    rows = [(i, 1, t0 + dt.timedelta(minutes=i), v)
+            for i, v in enumerate(vals)]
+    schema = "event_id long, user long, ts timestamp, v double"
+    df = spark.createDataFrame(rows, schema)
+
+    src = tmp_path / "cusum"
+    src.mkdir()
+    df.filter(F.col("event_id") < 4).coalesce(1).write.parquet(
+        str(src / "b1"))
+    df.filter(F.col("event_id") >= 4).coalesce(1).write.parquet(
+        str(src / "b2"))
+
+    k, h = 6_000_000, 5_000_000  # k = 6.0, h = 5.0 in micros
+    got = {}
+    stream = bus.stream_file_source(spark, str(src / "*"), schema)
+    out = bus.stream_cusum(stream, "user", "ts", "v", "event_id",
+                           k_micros=k, h_micros=h)
+    qy = (out.writeStream.outputMode("update")
+          .foreachBatch(lambda b, i: got.update(
+              {r.event_id: (r.cusum, r.breach) for r in b.collect()}))
+          .option("checkpointLocation", str(tmp_path / "cusum_ckpt"))
+          .trigger(availableNow=True).start())
+    qy.awaitTermination(120)
+
+    s = 0
+    for i, v in enumerate(vals):
+        ym = math.floor(v * 1e6 + 0.5)
+        s = max(0, s + ym - k)
+        assert got[i] == (s / 1e6, s >= h)
+    assert any(flag for _, flag in got.values())
