@@ -1737,3 +1737,39 @@ def bounce_rate(df: DataFrame, key_cols: list[str] | str, ts_col: str,
         F.round(F.col("n_bounces").cast("double")
                 / F.col("n_sessions").cast("double"), 6)
         .alias("bounce_rate"))
+
+
+def numeric_near_dup(df: DataFrame, key_col: str, id_col: str,
+                     cents_col: str, tolerance: int) -> DataFrame:
+    """Banded numeric near-duplicate pairs: within each blocking key,
+    all row pairs whose integer-quantized values differ by at most
+    `tolerance` — duplicate-payment / double-entry detection done as
+    an EQUI join on value bands, never an all-pairs product.
+
+    Each right row probes bands {b-1, b, b+1} (b = value div
+    tolerance); a left row's own band equals exactly one probe, so
+    every qualifying pair surfaces exactly once (no distinct needed).
+    All values are exact integers by contract (cents, micros).
+
+    Scale shape: one 3x explode + one shuffle equi-join on
+    (key, band) + the |diff| filter — candidate volume is bounded by
+    true near-dup density, not corpus size squared."""
+    base = df.select(F.col(key_col).alias("__k"),
+                     F.col(id_col).alias("__id"),
+                     F.col(cents_col).alias("__c"))
+    band = F.expr(f"__c div {int(tolerance)}")
+    left = base.select("__k", F.col("__id").alias("id_a"),
+                       F.col("__c").alias("__ca"), band.alias("__band"))
+    right = base.select(
+        "__k", F.col("__id").alias("id_b"), F.col("__c").alias("__cb"),
+        F.explode(F.array(band - 1, band, band + 1)).alias("__band"))
+    pairs = (left.join(right, ["__k", "__band"])
+             .filter((F.col("id_a") < F.col("id_b"))
+                     & (F.abs(F.col("__ca") - F.col("__cb"))
+                        <= F.lit(tolerance))))
+    return pairs.select(
+        F.col("__k").alias(key_col),
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        F.abs(F.col("__ca") - F.col("__cb")).cast("bigint")
+        .alias("diff_cents"))

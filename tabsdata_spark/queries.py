@@ -13236,3 +13236,243 @@ def stream_cusum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
          for r in rows],
         "event_id long, user_id long, value double, cusum double,"
         " breach boolean")
+
+
+@q(
+    "partial_corr_events",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             epoch_us(CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE)
+                           AS TIMESTAMP)) // 86400000000 AS t,
+             COUNT(*) AS y
+      FROM events WHERE event_type IN ('click', 'purchase', 'view')
+      GROUP BY 1, 2),
+    xyz AS (
+      SELECT a.t, a.y AS x, b.y AS y, c.y AS z
+      FROM (SELECT t, y FROM daily WHERE event_type = 'click') a
+      JOIN (SELECT t, y FROM daily WHERE event_type = 'purchase') b
+        ON a.t = b.t
+      JOIN (SELECT t, y FROM daily WHERE event_type = 'view') c
+        ON a.t = c.t),
+    m AS (SELECT COUNT(*) AS n,
+                 SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+                 SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+                 SUM(CAST(z AS DECIMAL(38,0))) AS sz,
+                 SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+                 SUM(CAST(x AS DECIMAL(38,0)) * z) AS sxz,
+                 SUM(CAST(y AS DECIMAL(38,0)) * z) AS syz,
+                 SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+                 SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy,
+                 SUM(CAST(z AS DECIMAL(38,0)) * z) AS szz
+          FROM xyz),
+    r AS (
+      SELECT CAST(n AS BIGINT) AS n,
+             CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+             CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy,
+             CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+               - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) AS vz,
+             CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cxy,
+             CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE) AS cxz,
+             CAST(n AS DOUBLE) * CAST(syz AS DOUBLE)
+               - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE) AS cyz
+      FROM m),
+    rr AS (
+      SELECT n, vx, vy, vz,
+             cxy / SQRT(vx * vy) AS rxy,
+             cxz / SQRT(vx * vz) AS rxz,
+             cyz / SQRT(vy * vz) AS ryz
+      FROM r)
+    SELECT n,
+           CASE WHEN n >= 3 AND vx > 0.0 AND vy > 0.0 AND vz > 0.0
+                THEN ROUND(rxy, 6) END AS r_xy,
+           CASE WHEN n >= 3 AND vx > 0.0 AND vy > 0.0 AND vz > 0.0
+                THEN ROUND(rxz, 6) END AS r_xz,
+           CASE WHEN n >= 3 AND vx > 0.0 AND vy > 0.0 AND vz > 0.0
+                THEN ROUND(ryz, 6) END AS r_yz,
+           CASE WHEN n >= 3 AND vx > 0.0 AND vy > 0.0 AND vz > 0.0
+                     AND (1.0 - rxz * rxz) * (1.0 - ryz * ryz) > 0.0
+                THEN ROUND((rxy - rxz * ryz)
+                           / SQRT((1.0 - rxz * rxz)
+                                  * (1.0 - ryz * ryz)), 6)
+           END AS partial_r
+    FROM rr
+    """,
+)
+def partial_corr_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial correlation (stats.partial_correlation) between daily
+    click and purchase volumes controlling for daily view volume —
+    does the click-purchase correlation survive the traffic
+    confounder?"""
+    from tabsdata_spark import stats
+
+    ev = load_events(spark, sf_dir).df
+    day = F.expr("unix_micros(cast(to_date(ts) as timestamp))"
+                 " div 86400000000")
+    daily = (ev.filter(F.col("event_type").isin("click", "purchase",
+                                                "view"))
+             .groupBy("event_type", day.alias("t"))
+             .agg(F.count(F.lit(1)).alias("y")))
+
+    def leg(et, name):
+        return daily.filter(F.col("event_type") == et).select(
+            F.col("t").alias(f"__t{name}"), F.col("y").alias(name))
+
+    xyz = (leg("click", "x")
+           .join(leg("purchase", "y"),
+                 F.col("__tx") == F.col("__ty"))
+           .join(leg("view", "z"), F.col("__tx") == F.col("__tz"))
+           .select("x", "y", "z"))
+    return stats.partial_correlation(xyz, "x", "y", "z")
+
+
+@q(
+    "pairwise_means_events",
+    """
+    WITH base AS (
+      SELECT event_type AS g,
+             CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) AS xq
+      FROM events WHERE value IS NOT NULL),
+    g AS (SELECT g, COUNT(*) AS n,
+                 SUM(CAST(xq AS DECIMAL(38,0))) AS s,
+                 SUM(CAST(xq AS DECIMAL(38,0)) * xq) AS s2
+          FROM base GROUP BY 1),
+    p AS (SELECT a.g AS g_a, b.g AS g_b,
+                 a.n AS na, a.s AS sa, a.s2 AS s2a,
+                 b.n AS nb, b.s AS sb, b.s2 AS s2b
+          FROM g a JOIN g b ON a.g < b.g)
+    SELECT g_a, g_b, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           ROUND(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) / 1e6
+                 - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) / 1e6, 6)
+             AS mean_diff,
+           CASE WHEN na >= 2 AND nb >= 2
+                     AND (CAST(na AS DOUBLE) * CAST(s2a AS DOUBLE)
+                          - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                         / (CAST(na AS DOUBLE)
+                            * (CAST(na AS DOUBLE) - 1.0)) / 1e12
+                         / CAST(na AS DOUBLE)
+                         + (CAST(nb AS DOUBLE) * CAST(s2b AS DOUBLE)
+                            - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))
+                           / (CAST(nb AS DOUBLE)
+                              * (CAST(nb AS DOUBLE) - 1.0)) / 1e12
+                           / CAST(nb AS DOUBLE) > 0.0
+                THEN ROUND((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) / 1e6
+                            - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)
+                              / 1e6)
+                           / SQRT((CAST(na AS DOUBLE)
+                                   * CAST(s2a AS DOUBLE)
+                                   - CAST(sa AS DOUBLE)
+                                     * CAST(sa AS DOUBLE))
+                                  / (CAST(na AS DOUBLE)
+                                     * (CAST(na AS DOUBLE) - 1.0)) / 1e12
+                                  / CAST(na AS DOUBLE)
+                                  + (CAST(nb AS DOUBLE)
+                                     * CAST(s2b AS DOUBLE)
+                                     - CAST(sb AS DOUBLE)
+                                       * CAST(sb AS DOUBLE))
+                                    / (CAST(nb AS DOUBLE)
+                                       * (CAST(nb AS DOUBLE) - 1.0))
+                                    / 1e12 / CAST(nb AS DOUBLE)), 6)
+           END AS z
+    FROM p
+    """,
+)
+def pairwise_means_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairwise event-type mean-value comparisons with Welch
+    z-scores (stats.pairwise_mean_diffs) — the post-hoc grid over the
+    bounded category set."""
+    from tabsdata_spark import stats
+
+    ev = load_events(spark, sf_dir).df
+    base = (ev.filter(F.col("value").isNotNull())
+            .select(F.col("event_type").alias("g"),
+                    F.floor(F.col("value") * 1e6 + F.lit(0.5))
+                    .cast("bigint").alias("xq")))
+    return stats.pairwise_mean_diffs(base, "g", "xq")
+
+
+@q(
+    "near_dup_orders",
+    """
+    WITH base AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+      FROM orders)
+    SELECT a.o_custkey, CAST(a.o_orderkey AS BIGINT) AS id_a,
+           CAST(b.o_orderkey AS BIGINT) AS id_b,
+           CAST(ABS(a.c - b.c) AS BIGINT) AS diff_cents
+    FROM base a JOIN base b
+      ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+     AND ABS(a.c - b.c) <= 20000
+    """,
+)
+def near_dup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric near-duplicate order pairs per customer within 200.00 of
+    total price (extensions.numeric_near_dup): band-blocked equi
+    join, each pair surfaced exactly once — double-entry detection
+    without an all-pairs product."""
+    from tabsdata_spark.extensions import numeric_near_dup
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey", "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        .alias("cents"))
+    return numeric_near_dup(o, "o_custkey", "o_orderkey", "cents",
+                            tolerance=20000)
+
+
+@q(
+    "pk_violations_q",
+    """
+    WITH o AS (
+      SELECT 'orders(o_orderkey)' AS relation, COUNT(*) AS n_rows,
+             COUNT(DISTINCT o_orderkey) AS n_keys
+      FROM orders),
+    c AS (
+      SELECT 'customer(c_custkey)' AS relation, COUNT(*) AS n_rows,
+             COUNT(DISTINCT c_custkey) AS n_keys
+      FROM customer),
+    li AS (
+      SELECT 'lineitem(l_orderkey,l_linenumber)' AS relation,
+             COUNT(*) AS n_rows,
+             COUNT(DISTINCT l_orderkey || '#' || l_linenumber) AS n_keys
+      FROM lineitem),
+    e AS (
+      SELECT 'events(event_id)' AS relation, COUNT(*) AS n_rows,
+             COUNT(DISTINCT event_id) AS n_keys
+      FROM events),
+    u AS (SELECT * FROM o UNION ALL SELECT * FROM c
+          UNION ALL SELECT * FROM li UNION ALL SELECT * FROM e)
+    SELECT relation, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_keys AS BIGINT) AS n_keys,
+           CAST(n_rows - n_keys AS BIGINT) AS dup_rows,
+           CASE WHEN n_rows > 0
+                THEN ROUND(CAST(n_rows - n_keys AS DOUBLE)
+                           / CAST(n_rows AS DOUBLE), 6)
+           END AS dup_rate
+    FROM u
+    """,
+)
+def pk_violations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key integrity gate (scale.primary_key_report) over four
+    tables — duplicate-key row counts before any join fans out."""
+    from tabsdata_spark import scale
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ev = load_events(spark, sf_dir).df
+    li_k = li.select(F.concat_ws("#", F.col("l_orderkey"),
+                                 F.col("l_linenumber")).alias("pk"))
+    r = scale.primary_key_report(o, "o_orderkey", "orders(o_orderkey)")
+    r = r.unionAll(scale.primary_key_report(
+        c, "c_custkey", "customer(c_custkey)"))
+    r = r.unionAll(scale.primary_key_report(
+        li_k, "pk", "lineitem(l_orderkey,l_linenumber)"))
+    r = r.unionAll(scale.primary_key_report(
+        ev, "event_id", "events(event_id)"))
+    return r

@@ -563,3 +563,35 @@ def referential_orphans(child: DataFrame, child_key: str,
                F.round(F.col("n_orphans").cast("double")
                        / F.col("n_child").cast("double"), 6))
         .alias("orphan_rate"))
+
+
+def primary_key_report(df: DataFrame, key_cols: list[str] | str,
+                       relation: str) -> DataFrame:
+    """Primary-key integrity report: row count, distinct key count,
+    and the number of EXCESS rows carrying an already-seen key — the
+    companion gate to referential_orphans (a duplicated key silently
+    fans out every downstream join).
+
+    NULL keys group like any value (a repeated NULL key is still a
+    violation).  Exact integer counts; the dup rate is one IEEE
+    division (round 6).
+
+    Scale shape: one partial-agg shuffle onto the key, then a scalar
+    merge — the same cost as the count-distinct it replaces, but with
+    the violation count for free."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    per_key = df.groupBy(*[F.col(k) for k in keys]).agg(
+        F.count(F.lit(1)).alias("__c"))
+    agg = per_key.agg(
+        F.sum("__c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.col("__c") - 1).alias("dup_rows"))
+    return agg.select(
+        F.lit(relation).alias("relation"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("n_keys").cast("bigint").alias("n_keys"),
+        F.col("dup_rows").cast("bigint").alias("dup_rows"),
+        F.when(F.col("n_rows") > 0,
+               F.round(F.col("dup_rows").cast("double")
+                       / F.col("n_rows").cast("double"), 6))
+        .alias("dup_rate"))

@@ -2234,3 +2234,107 @@ def rmst(df: DataFrame, group_cols: list[str], duration_col: str,
         *group_cols, F.col("n_times").cast("bigint").alias("n_times"),
         F.round(F.col("__q").cast("double") / F.lit(1e6), 6)
         .alias("rmst"))
+
+
+def partial_correlation(df: DataFrame, x_col: str, y_col: str,
+                        z_col: str) -> DataFrame:
+    """Partial correlation r_xy.z: the correlation between x and y
+    with the confounder z regressed out of both —
+    (r_xy - r_xz*r_yz) / sqrt((1-r_xz^2)(1-r_yz^2)).  The
+    first-order causal sanity check before reading anything into a
+    raw correlation (daily clicks and purchases both track traffic).
+
+    Inputs must be integer-valued by contract (counts, micros): the
+    nine moment sums accumulate as exact decimal(38,0); every r and
+    the partial are fixed IEEE expressions over the exact sums
+    (round 6).  Degenerate variance or |r|=1 in a confounder leg
+    surfaces NULL.
+
+    Scale shape: ONE scalar aggregate pass — no joins, no windows."""
+    big = "decimal(38,0)"
+    x = F.col(x_col).cast(big)
+    y = F.col(y_col).cast(big)
+    z = F.col(z_col).cast(big)
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("__sx"), F.sum(y).alias("__sy"),
+        F.sum(z).alias("__sz"),
+        F.sum((x * y).cast(big)).alias("__sxy"),
+        F.sum((x * z).cast(big)).alias("__sxz"),
+        F.sum((y * z).cast(big)).alias("__syz"),
+        F.sum((x * x).cast(big)).alias("__sxx"),
+        F.sum((y * y).cast(big)).alias("__syy"),
+        F.sum((z * z).cast(big)).alias("__szz"))
+    n = F.col("n").cast("double")
+
+    def s(c):
+        return F.col(c).cast("double")
+
+    vx = n * s("__sxx") - s("__sx") * s("__sx")
+    vy = n * s("__syy") - s("__sy") * s("__sy")
+    vz = n * s("__szz") - s("__sz") * s("__sz")
+    cxy = n * s("__sxy") - s("__sx") * s("__sy")
+    cxz = n * s("__sxz") - s("__sx") * s("__sz")
+    cyz = n * s("__syz") - s("__sy") * s("__sz")
+    rxy = cxy / F.sqrt(vx * vy)
+    rxz = cxz / F.sqrt(vx * vz)
+    ryz = cyz / F.sqrt(vy * vz)
+    den = (F.lit(1.0) - rxz * rxz) * (F.lit(1.0) - ryz * ryz)
+    ok = ((F.col("n") >= 3) & (vx > F.lit(0.0)) & (vy > F.lit(0.0))
+          & (vz > F.lit(0.0)))
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.when(ok, F.round(rxy, 6)).alias("r_xy"),
+        F.when(ok, F.round(rxz, 6)).alias("r_xz"),
+        F.when(ok, F.round(ryz, 6)).alias("r_yz"),
+        F.when(ok & (den > F.lit(0.0)),
+               F.round((rxy - rxz * ryz) / F.sqrt(den), 6))
+        .alias("partial_r"))
+
+
+def pairwise_mean_diffs(df: DataFrame, group_col: str,
+                        xq_col: str) -> DataFrame:
+    """All pairwise group-mean comparisons with Welch standard
+    errors: for every group pair (a < b), the mean difference and
+    z = diff / sqrt(va/na + vb/nb) — the post-hoc readout after an
+    omnibus test says 'something differs', over a BOUNDED group
+    grid.
+
+    Inputs are caller-quantized integer micros (the exact_variance
+    contract): per-group moment sums are exact decimal(38,0); means,
+    variances, and z are fixed IEEE expressions (round 6).  The
+    group-pair join is |groups|^2 BY CONTRACT (bounded categories),
+    broadcast nested-loop, never a shuffled cartesian.
+
+    Scale shape: one partial-agg shuffle onto the group key, then the
+    bounded pair grid."""
+    big = "decimal(38,0)"
+    xq = F.col(xq_col).cast(big)
+    g = df.groupBy(F.col(group_col).alias("__g")).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(xq).alias("__s"),
+        F.sum((xq * xq).cast(big)).alias("__s2"))
+    a = g.select(F.col("__g").alias("g_a"), F.col("__n").alias("__na"),
+                 F.col("__s").alias("__sa"), F.col("__s2").alias("__s2a"))
+    b = g.select(F.col("__g").alias("g_b"), F.col("__n").alias("__nb"),
+                 F.col("__s").alias("__sb"), F.col("__s2").alias("__s2b"))
+    p = a.join(F.broadcast(b), F.col("g_a") < F.col("g_b"))
+
+    def moments(n, s, s2):
+        nd = F.col(n).cast("double")
+        mean = F.col(s).cast("double") / nd / F.lit(1e6)
+        var = ((nd * F.col(s2).cast("double")
+                - F.col(s).cast("double") * F.col(s).cast("double"))
+               / (nd * (nd - F.lit(1.0))) / F.lit(1e12))
+        return nd, mean, var
+
+    na, ma, va = moments("__na", "__sa", "__s2a")
+    nb, mb, vb = moments("__nb", "__sb", "__s2b")
+    se2 = va / na + vb / nb
+    ok = (F.col("__na") >= 2) & (F.col("__nb") >= 2) & (se2 > F.lit(0.0))
+    return p.select(
+        "g_a", "g_b",
+        F.col("__na").cast("bigint").alias("n_a"),
+        F.col("__nb").cast("bigint").alias("n_b"),
+        F.round(ma - mb, 6).alias("mean_diff"),
+        F.when(ok, F.round((ma - mb) / F.sqrt(se2), 6)).alias("z"))

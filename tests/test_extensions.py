@@ -976,3 +976,15 @@ def test_bounce_rate_hand_case(spark):
     r = bounce_rate(df, "u", "ts", tie_cols=["eid"]).collect()[0]
     assert (r.n_sessions, r.n_bounces) == (3, 2)
     assert r.bounce_rate == round(2 / 3, 6)
+
+
+def test_numeric_near_dup_bands_find_all_pairs_once(spark):
+    from tabsdata_spark.extensions import numeric_near_dup
+
+    # values straddle band boundaries: (100,199) diff 99 crosses bands
+    rows = [("k", 1, 100), ("k", 2, 199), ("k", 3, 301), ("k", 4, 150),
+            ("z", 5, 100), ("z", 6, 500)]
+    df = spark.createDataFrame(rows, "g string, id long, c long")
+    out = numeric_near_dup(df, "g", "id", "c", tolerance=100)
+    got = sorted((r.id_a, r.id_b, r.diff_cents) for r in out.collect())
+    assert got == [(1, 2, 99), (1, 4, 50), (2, 4, 49)]

@@ -264,3 +264,14 @@ def test_referential_orphans_counts_nulls_and_misses(spark):
                                   "c->p").collect()[0]
     assert (r.relation, r.n_child, r.n_orphans) == ("c->p", 4, 2)
     assert r.orphan_rate == 0.5
+
+
+def test_primary_key_report_counts_dups_and_nulls(spark):
+    from tabsdata_spark import scale
+
+    df = spark.createDataFrame([(1,), (1,), (2,), (None,), (None,)],
+                               "k long")
+    r = scale.primary_key_report(df, "k", "t(k)").collect()[0]
+    assert (r.relation, r.n_rows, r.n_keys, r.dup_rows) \
+        == ("t(k)", 5, 3, 2)
+    assert r.dup_rate == 0.4

@@ -1232,3 +1232,43 @@ def test_rmst_half_survive(spark):
     df = spark.createDataFrame(rows, "g string, t long, ev boolean")
     r = stats.rmst(df, ["g"], "t", "ev", tau=10).collect()[0]
     assert r.rmst == 7.5
+
+
+def test_partial_correlation_removes_confounder(spark):
+    from tabsdata_spark import stats
+
+    # x and y share only the confounder z; their noise patterns are
+    # orthogonal (period-2 vs period-4 sign cycles sum to zero dot
+    # product over 48 points) -> partial_r collapses toward 0
+    nx = [1, -1]
+    ny = [1, 1, -1, -1]
+    rows = [(2 * i + nx[i % 2], 2 * i + ny[i % 4], 2 * i)
+            for i in range(48)]
+    df = spark.createDataFrame(rows, "x long, y long, z long")
+    r = stats.partial_correlation(df, "x", "y", "z").collect()[0]
+    assert r.r_xy > 0.99
+    assert abs(r.partial_r) < 0.1
+
+
+def test_partial_correlation_constant_z_null(spark):
+    from tabsdata_spark import stats
+
+    df = spark.createDataFrame([(1, 2, 5), (2, 4, 5), (3, 6, 5)],
+                               "x long, y long, z long")
+    r = stats.partial_correlation(df, "x", "y", "z").collect()[0]
+    assert r.partial_r is None and r.r_xy is None
+
+
+def test_pairwise_mean_diffs_grid_and_sign(spark):
+    from tabsdata_spark import stats
+
+    rows = ([("a", 1_000_000)] * 10 + [("b", 2_000_000)] * 10
+            + [("c", 2_000_000), ("c", 2_000_002)])
+    df = spark.createDataFrame(rows, "g string, xq long")
+    got = {(r.g_a, r.g_b): r for r in
+           stats.pairwise_mean_diffs(df, "g", "xq").collect()}
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+    assert got[("a", "b")].mean_diff == -1.0
+    # zero-variance pair -> se = 0 -> NULL z
+    assert got[("a", "b")].z is None
+    assert got[("b", "c")].z is not None
