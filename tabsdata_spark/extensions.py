@@ -1773,3 +1773,38 @@ def numeric_near_dup(df: DataFrame, key_col: str, id_col: str,
         F.col("id_b").cast("bigint").alias("id_b"),
         F.abs(F.col("__ca") - F.col("__cb")).cast("bigint")
         .alias("diff_cents"))
+
+
+def mase_backtest(df: DataFrame, t_col: str, y_col: str,
+                  season: int = 7) -> DataFrame:
+    """Seasonal-naive forecast backtest over a BOUNDED time grid:
+    MASE = sum|y_t - y_{t-season}| / sum|y_t - y_{t-1}|, both sums
+    restricted to rows where the seasonal lag exists — below 1 the
+    seasonal-naive model beats the random-walk baseline, i.e. the
+    series is genuinely seasonal and worth a real forecaster.
+
+    Exact integer absolute-error sums (y must be integer-valued by
+    contract — counts, micros); the ratio is one IEEE division
+    (round 6).  A flat series (zero naive error) surfaces NULL.
+
+    Scale shape: lag windows over the aggregate grid (calendar
+    days), never raw rows — the growth_curve bounded-window
+    contract."""
+    w = Window.orderBy(t_col)
+    base = df.select(
+        F.col(t_col).alias("t"), F.col(y_col).alias("__y"),
+        F.lag(y_col, 1).over(w).alias("__l1"),
+        F.lag(y_col, season).over(w).alias("__ls"))
+    scored = base.filter(F.col("__ls").isNotNull())
+    agg = scored.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(F.abs(F.col("__y") - F.col("__ls"))).alias("__es"),
+        F.sum(F.abs(F.col("__y") - F.col("__l1"))).alias("__e1"))
+    ok = F.col("__e1") > 0
+    return agg.select(
+        F.col("n_points").cast("bigint").alias("n_points"),
+        F.col("__es").cast("bigint").alias("seasonal_abs_err"),
+        F.col("__e1").cast("bigint").alias("naive_abs_err"),
+        F.when(ok, F.round(F.col("__es").cast("double")
+                           / F.col("__e1").cast("double"), 6))
+        .alias("mase"))

@@ -309,3 +309,75 @@ def degree_assortativity(edges: DataFrame, src_col: str,
         F.col("n_edges").cast("bigint").alias("n_edges"),
         F.when(ok, F.round((n * sxy - sx * sy) / F.sqrt(vx * vy), 6))
         .alias("assortativity"))
+
+
+def kcore_peel(edges: DataFrame, src_col: str, dst_col: str,
+               k: int = 3, rounds: int = 4,
+               driver_threshold: int = 200_000) -> DataFrame:
+    """Bounded-round k-core peeling on the undirected graph: each
+    round drops every node with degree < k and every edge touching a
+    dropped node — the density filter behind spam-ring and
+    collusion-cluster mining.  `rounds` is an explicit upper bound BY
+    CONTRACT (the oracle unrolls the same rounds); survivors of round
+    R are a superset of the true k-core, converging as R grows.
+
+    Exact integer degrees; output is each surviving node with its
+    degree inside the surviving subgraph.
+
+    Scale shape: per round, one degree partial-agg + two semi joins
+    (AQE broadcasts the shrinking node set); the edge frame is
+    persisted once up front so iterations don't replay the
+    distinct-union lineage (the pagerank_exact lesson).  Below
+    `driver_threshold` directed edges the peel runs in the driver
+    (the connected-components small-graph precedent) — iterative
+    rounds cost JOBS, not data, on small graphs, and the Python peel
+    is the identical exact integer recursion."""
+    und = (edges.select(F.col(src_col).alias("a"),
+                        F.col(dst_col).alias("b"))
+           .unionAll(edges.select(F.col(dst_col).alias("a"),
+                                  F.col(src_col).alias("b")))
+           .distinct())
+    und = und.persist()
+    n_edges = und.count()
+    if n_edges <= driver_threshold:
+        pairs = [(r[0], r[1]) for r in und.collect()]
+        und.unpersist()
+        cur_edges = pairs
+        for _ in range(rounds):
+            deg: dict = {}
+            for a, _b in cur_edges:
+                deg[a] = deg.get(a, 0) + 1
+            keep = {n for n, d in deg.items() if d >= k}
+            cur_edges = [(a, b) for a, b in cur_edges
+                         if a in keep and b in keep]
+        final: dict = {}
+        for a, _b in cur_edges:
+            final[a] = final.get(a, 0) + 1
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        schema = StructType([
+            StructField("node", und.schema["a"].dataType),
+            StructField("degree", LongType()),
+        ])
+        return edges.sparkSession.createDataFrame(
+            sorted(final.items()), schema)
+    cur = und
+    prev = None
+    for _ in range(rounds):
+        deg = cur.groupBy("a").agg(F.count(F.lit(1)).alias("__d"))
+        keep = deg.filter(F.col("__d") >= k).select("a")
+        cur = (cur.join(keep, "a", "semi")
+               .join(keep.select(F.col("a").alias("b")), "b", "semi"))
+        # each round's keep derives from cur, so the next round would
+        # otherwise REPLAY this round's joins twice per reference —
+        # 2^rounds lineage blowup (the pagerank_exact/hits lesson);
+        # persist truncates the replay, count() materializes now
+        cur = cur.persist()
+        cur.count()
+        if prev is not None:
+            prev.unpersist()
+        prev = cur
+    out = (cur.groupBy("a").agg(F.count(F.lit(1)).alias("degree"))
+           .select(F.col("a").alias("node"),
+                   F.col("degree").cast("bigint").alias("degree")))
+    return out

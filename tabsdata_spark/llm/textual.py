@@ -642,3 +642,48 @@ def bytes_per_token_report(docs: DataFrame, lang_col: str = "lang",
                F.round(F.col("__b").cast("double")
                        / F.col("__t").cast("double"), 6))
         .alias("bytes_per_token"))
+
+
+def code_switch_report(docs, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       min_second: int = 2):
+    """Code-switch detection: per document, the top-2 languages by
+    marker-token hits and a flag when the SECOND language still has at
+    least `min_second` hits — mixed-language documents poison both
+    language-ID routing and monolingual tokenizer training, so they
+    need their own bucket.
+
+    Tie rule (shared with language_id and the SQL oracle): equal
+    scores resolve to the lexicographically first language; a zero
+    score surfaces 'und'.  Exact integer scores; no floats at all.
+
+    Scale shape: N-language array-filter passes in ONE projection —
+    no explode, no shuffle, no UDF."""
+    marks = LANG_MARKERS
+    toks = tokens(F.lower(F.col(text_col)))
+    scored = []
+    for lang in sorted(marks):
+        score = F.size(F.filter(toks, lambda t: t.isin(marks[lang])))
+        scored.append(F.struct(score.alias("score"),
+                               F.lit(lang).alias("lang")))
+    arr = F.array(*scored)
+    zero = F.struct(F.lit(-1).alias("score"), F.lit("und").alias("lang"))
+    best = F.aggregate(
+        arr, zero,
+        lambda acc, x: F.when(x["score"] > acc["score"], x).otherwise(acc))
+    second = F.aggregate(
+        arr, zero,
+        lambda acc, x: F.when((x["lang"] != best["lang"])
+                              & (x["score"] > acc["score"]), x)
+        .otherwise(acc))
+    l1 = F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+    l2 = F.when((best["score"] > 0) & (second["score"] > 0),
+                second["lang"]).otherwise(F.lit("und"))
+    return docs.select(
+        F.col(id_col),
+        l1.alias("lang_1"),
+        F.greatest(best["score"], F.lit(0)).cast("bigint").alias("s_1"),
+        l2.alias("lang_2"),
+        F.greatest(second["score"], F.lit(0)).cast("bigint").alias("s_2"),
+        ((best["score"] > 0) & (second["score"] >= min_second))
+        .alias("code_switch"))

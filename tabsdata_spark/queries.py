@@ -13476,3 +13476,161 @@ def pk_violations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = r.unionAll(scale.primary_key_report(
         ev, "event_id", "events(event_id)"))
     return r
+
+
+@q(
+    "code_switch_docs",
+    """
+    WITH scored AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents),
+    s2 AS (
+      SELECT doc_id,
+             len(list_filter(toks, x -> list_contains(
+                 ['der','die','und','das','nicht'], x))) AS s_de,
+             len(list_filter(toks, x -> list_contains(
+                 ['the','and','of','is','that'], x))) AS s_en,
+             len(list_filter(toks, x -> list_contains(
+                 ['el','la','los','que','de'], x))) AS s_es,
+             len(list_filter(toks, x -> list_contains(
+                 ['le','les','des','est','une'], x))) AS s_fr,
+             len(list_filter(toks, x -> list_contains(
+                 ['de','shi','le','bu','wo'], x))) AS s_zh
+      FROM scored),
+    t1 AS (
+      SELECT doc_id, s_de, s_en, s_es, s_fr, s_zh,
+             greatest(s_de, s_en, s_es, s_fr, s_zh) AS m1,
+             CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) <= 0
+                    THEN 'und'
+                  WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh)
+                    THEN 'de'
+                  WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh)
+                    THEN 'en'
+                  WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh)
+                    THEN 'es'
+                  WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh)
+                    THEN 'fr'
+                  ELSE 'zh' END AS l1
+      FROM s2),
+    t2 AS (
+      SELECT doc_id, l1, m1, s_de, s_en, s_es, s_fr, s_zh,
+             CASE l1 WHEN 'de' THEN greatest(s_en, s_es, s_fr, s_zh)
+                     WHEN 'en' THEN greatest(s_de, s_es, s_fr, s_zh)
+                     WHEN 'es' THEN greatest(s_de, s_en, s_fr, s_zh)
+                     WHEN 'fr' THEN greatest(s_de, s_en, s_es, s_zh)
+                     WHEN 'zh' THEN greatest(s_de, s_en, s_es, s_fr)
+                     ELSE greatest(s_en, s_es, s_fr, s_zh) END AS m2
+      FROM t1),
+    fin AS (
+      SELECT doc_id, l1, m1, m2,
+             CASE WHEN m1 <= 0 OR m2 <= 0 THEN 'und'
+                  WHEN l1 <> 'de' AND s_de = m2 THEN 'de'
+                  WHEN l1 <> 'en' AND s_en = m2 THEN 'en'
+                  WHEN l1 <> 'es' AND s_es = m2 THEN 'es'
+                  WHEN l1 <> 'fr' AND s_fr = m2 THEN 'fr'
+                  ELSE 'zh' END AS l2
+      FROM t2)
+    SELECT doc_id, l1 AS lang_1,
+           CAST(GREATEST(m1, 0) AS BIGINT) AS s_1,
+           l2 AS lang_2, CAST(GREATEST(m2, 0) AS BIGINT) AS s_2,
+           m1 > 0 AND m2 >= 2 AS code_switch
+    FROM fin
+    """,
+)
+def code_switch_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-switch detection (textual.code_switch_report): top-2
+    marker-language scores per doc, flagged when the second language
+    keeps >= 2 hits — the mixed-language bucket for routing."""
+    from tabsdata_spark.llm import textual as tx
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tx.code_switch_report(docs)
+
+
+@q(
+    "kcore_orders",
+    """
+    WITH ed AS (
+      SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_custkey % 8 = 0),
+    e0 AS (SELECT a, b FROM ed UNION SELECT b, a FROM ed),
+    k0 AS (SELECT a FROM (SELECT a, COUNT(*) AS c FROM e0 GROUP BY a)
+           WHERE c >= 12),
+    e1 AS (SELECT e0.a, e0.b FROM e0
+           JOIN k0 ka ON e0.a = ka.a JOIN k0 kb ON e0.b = kb.a),
+    k1 AS (SELECT a FROM (SELECT a, COUNT(*) AS c FROM e1 GROUP BY a)
+           WHERE c >= 12),
+    e2 AS (SELECT e1.a, e1.b FROM e1
+           JOIN k1 ka ON e1.a = ka.a JOIN k1 kb ON e1.b = kb.a),
+    k2 AS (SELECT a FROM (SELECT a, COUNT(*) AS c FROM e2 GROUP BY a)
+           WHERE c >= 12),
+    e3 AS (SELECT e2.a, e2.b FROM e2
+           JOIN k2 ka ON e2.a = ka.a JOIN k2 kb ON e2.b = kb.a),
+    k3 AS (SELECT a FROM (SELECT a, COUNT(*) AS c FROM e3 GROUP BY a)
+           WHERE c >= 12),
+    e4 AS (SELECT e3.a, e3.b FROM e3
+           JOIN k3 ka ON e3.a = ka.a JOIN k3 kb ON e3.b = kb.a)
+    SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS degree
+    FROM e4 GROUP BY a
+    """,
+)
+def kcore_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-round 12-core peeling of the customer-supplier graph over a
+    1/8 customer slice (graph.kcore_peel): density filter, exact
+    integer degrees, bounded-round contract unrolled identically in
+    the oracle.  Below 200k directed edges the peel runs in the
+    driver (the CC small-graph precedent); the distributed semi-join
+    path covers real scale."""
+    from tabsdata_spark import graph
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .filter(F.col("o_custkey") % 8 == 0)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = (o.join(li, o["o_orderkey"] == li["l_orderkey"])
+             .select(F.concat(F.lit("c"),
+                              F.col("o_custkey").cast("string")).alias("s"),
+                     F.concat(F.lit("s"),
+                              F.col("l_suppkey").cast("string")).alias("d"))
+             .distinct())
+    return graph.kcore_peel(edges, "s", "d", k=12, rounds=4)
+
+
+@q(
+    "mase_backtest_events",
+    """
+    WITH daily AS (
+      SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS t,
+             COUNT(*) AS y
+      FROM events GROUP BY 1),
+    lagged AS (
+      SELECT t, y,
+             LAG(y, 1) OVER (ORDER BY t) AS l1,
+             LAG(y, 7) OVER (ORDER BY t) AS ls
+      FROM daily),
+    s AS (SELECT * FROM lagged WHERE ls IS NOT NULL),
+    m AS (SELECT COUNT(*) AS n_points,
+                 SUM(ABS(y - ls)) AS es, SUM(ABS(y - l1)) AS e1
+          FROM s)
+    SELECT CAST(n_points AS BIGINT) AS n_points,
+           CAST(es AS BIGINT) AS seasonal_abs_err,
+           CAST(e1 AS BIGINT) AS naive_abs_err,
+           CASE WHEN e1 > 0
+                THEN ROUND(CAST(es AS DOUBLE) / CAST(e1 AS DOUBLE), 6)
+           END AS mase
+    FROM m
+    """,
+)
+def mase_backtest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive MASE backtest (extensions.mase_backtest) on the
+    daily event-count series: is week-over-week structure real?  All
+    integer error sums over the bounded daily grid."""
+    from tabsdata_spark.extensions import mase_backtest
+
+    ev = load_events(spark, sf_dir).df
+    day = F.expr("unix_micros(cast(ts as timestamp))"
+                 " div 86400000000")
+    daily = ev.groupBy(day.alias("t")).agg(F.count(F.lit(1)).alias("y"))
+    return mase_backtest(daily, "t", "y", season=7)

@@ -988,3 +988,18 @@ def test_numeric_near_dup_bands_find_all_pairs_once(spark):
     out = numeric_near_dup(df, "g", "id", "c", tolerance=100)
     got = sorted((r.id_a, r.id_b, r.diff_cents) for r in out.collect())
     assert got == [(1, 2, 99), (1, 4, 50), (2, 4, 49)]
+
+
+def test_mase_backtest_perfect_seasonality(spark):
+    from tabsdata_spark.extensions import mase_backtest
+
+    # exact period-7 series: seasonal error 0 -> mase = 0
+    ys = [10, 20, 30, 40, 50, 60, 70] * 3
+    df = spark.createDataFrame(list(enumerate(ys)), "t long, y long")
+    r = mase_backtest(df, "t", "y", season=7).collect()[0]
+    assert (r.n_points, r.seasonal_abs_err) == (14, 0)
+    assert r.mase == 0.0
+    # flat series: naive error 0 -> NULL
+    flat = spark.createDataFrame([(i, 5) for i in range(15)],
+                                 "t long, y long")
+    assert mase_backtest(flat, "t", "y").collect()[0].mase is None

@@ -2093,3 +2093,19 @@ def test_doc_keywords_ranks_rare_terms_first(spark):
     assert sorted(by_doc[0])[0] == (1, "zebra")
     assert sorted(by_doc[1])[0] == (1, "yak")
     assert all(len(v) <= 2 for v in by_doc.values())
+
+
+def test_code_switch_flags_mixed_language(spark):
+    from tabsdata_spark.llm import textual as tx
+
+    docs = spark.createDataFrame(
+        [(0, "the cat and the dog is that"),          # pure en
+         (1, "the cat el perro la casa and is"),      # en + es markers
+         (2, "xyzzy qwerty")],                        # no markers
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           tx.code_switch_report(docs).collect()}
+    assert got[0].lang_1 == "en" and got[0].code_switch is False
+    assert got[1].lang_1 == "en" and got[1].lang_2 == "es"
+    assert got[1].code_switch is True and got[1].s_2 >= 2
+    assert got[2].lang_1 == "und" and got[2].code_switch is False

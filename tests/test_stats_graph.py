@@ -1272,3 +1272,33 @@ def test_pairwise_mean_diffs_grid_and_sign(spark):
     # zero-variance pair -> se = 0 -> NULL z
     assert got[("a", "b")].z is None
     assert got[("b", "c")].z is not None
+
+
+def test_kcore_peels_cascade(spark):
+    from tabsdata_spark import graph
+
+    # triangle (1,2,3 all deg 2) + pendant chain 3-4-5: k=2 peel
+    # removes 5 (deg 1), then 4 -> triangle survives with degree 2
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "s long, d long")
+    got = {r.node: r.degree
+           for r in graph.kcore_peel(df, "s", "d", k=2,
+                                     rounds=3).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_driver_and_distributed_modes_agree(spark):
+    from tabsdata_spark import graph
+
+    edges = [(i, (i * 7) % 23) for i in range(60)] + [(2, 9), (9, 15)]
+    # embed a K4 so a 3-core actually survives
+    edges += [(100, 101), (100, 102), (100, 103),
+              (101, 102), (101, 103), (102, 103)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "s long, d long")
+    small = {(r.node, r.degree) for r in
+             graph.kcore_peel(df, "s", "d", k=3, rounds=3).collect()}
+    big = {(r.node, r.degree) for r in
+           graph.kcore_peel(df, "s", "d", k=3, rounds=3,
+                            driver_threshold=0).collect()}
+    assert small == big and small

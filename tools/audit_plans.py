@@ -69,6 +69,9 @@ GLOBAL_ORDER_OK = {
     # DAILY grid (<= calendar-days rows), the growth_curve contract
     # (extensions.cusum docstring)
     "cusum_daily_events",
+    # mase_backtest's lag windows run over the aggregated DAILY grid
+    # (extensions.mase_backtest docstring)
+    "mase_backtest_events",
 }
 
 
