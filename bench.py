@@ -277,6 +277,28 @@ ROUND5 = [
 ]
 
 
+ROUND5B = [
+    # second r5 session: correlation/CI family
+    "spearman_daily_events", "kendall_daily_events",
+    "weighted_median_lineitem", "wilson_ci_events",
+    "partial_corr_events", "pairwise_means_events", "trend_test_events",
+    # privacy / eval
+    "t_closeness_events", "mcnemar_gates_docs", "mrr_label_emb",
+    "eb_shrunk_rate_sources",
+    # graph / structure
+    "degree_assortativity_orders", "kcore_orders",
+    "markov_entropy_events", "heaps_law_docs", "density_grid_emb",
+    # growth / monitoring
+    "growth_accounting_events", "bounce_rate_events",
+    "mase_backtest_events", "cusum_daily_events",
+    # quality gates
+    "referential_orphans_q", "pk_violations_q", "near_dup_orders",
+    "code_switch_docs",
+    # llm / embedding / survival
+    "embedding_drift_emb", "doc_keywords_docs", "rmst_orders",
+]
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -294,7 +316,8 @@ def main():
     # spawn for pandas_udf stages (workers are reused afterwards).  The timed
     # pass below measures steady-state engine throughput.
     for name in (HEADLINE + CORPUS + HYGIENE + EXTENDED + CURATION
-                 + ANALYTICS + TPCH_REST + MINING + DIAGNOSTICS + ROUND5):
+                 + ANALYTICS + TPCH_REST + MINING + DIAGNOSTICS + ROUND5
+                 + ROUND5B):
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     # Queries whose distributed work happens at CONSTRUCTION time (iterative
@@ -324,7 +347,11 @@ def main():
              # IRLS rounds run eagerly while building the frame
              "calibration_logistic_docs",
              # skew probe (count pass + 1-row collect) at construction
-             "auto_salted_revenue_events"}
+             "auto_salted_revenue_events",
+             # peel rounds (or driver fast path) run at construction
+             "kcore_orders",
+             # two side counts at construction
+             "embedding_drift_emb"}
 
     def timed(names: list[str]) -> dict[str, float]:
         out: dict[str, float] = {}
@@ -349,6 +376,7 @@ def main():
     mining_timings = timed(MINING)
     diagnostics_timings = timed(DIAGNOSTICS)
     round5_timings = timed(ROUND5)
+    round5b_timings = timed(ROUND5B)
 
     total = round(sum(timings.values()), 3)
     # The driver keeps only the LAST ~2000 chars of bench output, so the
@@ -373,6 +401,8 @@ def main():
         "diagnostics_queries": diagnostics_timings,
         "round5_total": round(sum(round5_timings.values()), 3),
         "round5_queries": round5_timings,
+        "round5b_total": round(sum(round5b_timings.values()), 3),
+        "round5b_queries": round5b_timings,
         "sf": sf,
         "queries": timings,
         "metric": "headline_queries_total",
