@@ -1808,3 +1808,36 @@ def mase_backtest(df: DataFrame, t_col: str, y_col: str,
         F.when(ok, F.round(F.col("__es").cast("double")
                            / F.col("__e1").cast("double"), 6))
         .alias("mase"))
+
+
+def dwell_time(df: DataFrame, key_cols: list[str] | str, ts_col: str,
+               state_col: str, gap_seconds: int = 1800,
+               tie_cols: list[str] | None = None) -> DataFrame:
+    """Per-state dwell time: for each event, the seconds until the
+    SAME user's next event, attributed to the current event's state
+    and kept only when the gap stays inside one session — 'how long
+    do users sit on each step', the timing companion to
+    markov_transitions.
+
+    Exact integer micros sums; the mean is one IEEE division
+    (round 6).  Session-final events (gap > gap_seconds or none)
+    contribute nothing.
+
+    Scale shape: ONE shuffle on the keys + a lead window, then a
+    partial agg over |states| groups."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    order = [F.col(ts_col)] + [F.col(c) for c in (tie_cols or [])]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    mic = F.expr(f"unix_micros(cast({ts_col} as timestamp))")
+    gap = F.lead(mic).over(w) - mic
+    base = df.select(F.col(state_col).alias("state"), gap.alias("__g")) \
+        .filter(F.col("__g").isNotNull()
+                & (F.col("__g") <= F.lit(gap_seconds) * F.lit(1000000)))
+    agg = base.groupBy("state").agg(
+        F.count(F.lit(1)).alias("n_dwells"),
+        F.sum("__g").alias("__sg"))
+    return agg.select(
+        "state", F.col("n_dwells").cast("bigint").alias("n_dwells"),
+        F.round(F.col("__sg").cast("double") / 1e6
+                / F.col("n_dwells").cast("double"), 6)
+        .alias("mean_dwell_sec"))

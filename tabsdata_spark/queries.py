@@ -13634,3 +13634,132 @@ def mase_backtest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                  " div 86400000000")
     daily = ev.groupBy(day.alias("t")).agg(F.count(F.lit(1)).alias("y"))
     return mase_backtest(daily, "t", "y", season=7)
+
+
+@q(
+    "shard_rebalance_docs",
+    """
+    WITH keys AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS k
+                  FROM documents),
+    base AS (
+      SELECT k,
+             CAST(('0x' || substring(md5(k), 1, 6)) AS BIGINT) % 16 AS mf,
+             CAST(('0x' || substring(md5(k), 1, 6)) AS BIGINT) % 17 AS mt
+      FROM keys),
+    scored AS (
+      SELECT k, mf, mt, n.n AS node,
+             CAST(('0x' || substring(md5(k || '#' || n.n), 1, 6))
+                  AS BIGINT) AS s
+      FROM base, (SELECT unnest(range(0, 17)) AS n) n),
+    ranked AS (
+      SELECT k, mf, mt, node, s,
+             ROW_NUMBER() OVER (PARTITION BY k
+                                ORDER BY s DESC, node) AS rt,
+             ROW_NUMBER() OVER (PARTITION BY k
+                                ORDER BY CASE WHEN node < 16 THEN 0
+                                              ELSE 1 END,
+                                         s DESC, node) AS rf
+      FROM scored),
+    per_key AS (
+      SELECT k, MAX(mf) AS amf, MAX(mt) AS amt,
+             MIN(CASE WHEN rf = 1 THEN node END) AS af,
+             MIN(CASE WHEN rt = 1 THEN node END) AS at
+      FROM ranked GROUP BY k),
+    agg AS (
+      SELECT COUNT(*) AS n_keys,
+             SUM(CASE WHEN amf <> amt THEN 1 ELSE 0 END) AS mod_moved,
+             SUM(CASE WHEN af <> at THEN 1 ELSE 0 END) AS rdv_moved
+      FROM per_key)
+    SELECT CAST(n_keys AS BIGINT) AS n_keys,
+           CAST(mod_moved AS BIGINT) AS mod_moved,
+           ROUND(CAST(mod_moved AS DOUBLE) / CAST(n_keys AS DOUBLE), 6)
+             AS mod_moved_rate,
+           CAST(rdv_moved AS BIGINT) AS rdv_moved,
+           ROUND(CAST(rdv_moved AS DOUBLE) / CAST(n_keys AS DOUBLE), 6)
+             AS rdv_moved_rate
+    FROM agg
+    """,
+)
+def shard_rebalance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resharding-cost report 16 -> 17 shards over doc ids
+    (scale.shard_rebalance_report): modulo hashing moves ~16/17 of
+    keys, rendezvous hashing ~1/17 — engine-portable md5 scores, ties
+    to the lower node on both engines."""
+    from tabsdata_spark import scale
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return scale.shard_rebalance_report(docs, "doc_id", n_from=16,
+                                        n_to=17)
+
+
+@q(
+    "incremental_join_orders",
+    """
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def incremental_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-IVM refresh (scale.delta_merge_agg): orders split into a
+    snapshot (< 1998-01-01) and a delta, each joined to its dimensions
+    and aggregated INDEPENDENTLY, then merged by re-summing exact
+    decimal partials — the refresh path that never rescans the
+    snapshot; the oracle is the monolithic join, certifying the merge
+    is lossless."""
+    from tabsdata_spark import scale
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    dims = c.join(F.broadcast(n),
+                  c["c_nationkey"] == n["n_nationkey"]) \
+        .select("c_custkey", "n_name")
+    cut = F.lit("1998-01-01").cast("timestamp")
+    joined_base = o.filter(F.col("o_orderdate") < cut) \
+        .join(dims, o["o_custkey"] == dims["c_custkey"])
+    joined_delta = o.filter(F.col("o_orderdate") >= cut) \
+        .join(dims, o["o_custkey"] == dims["c_custkey"])
+    out = scale.delta_merge_agg(
+        joined_base, joined_delta, ["n_name"],
+        {"n_orders": F.lit(1).cast("bigint"),
+         "revenue": F.col("o_totalprice").cast("decimal(18,2)")})
+    return out.select("n_name",
+                      F.col("n_orders").cast("bigint").alias("n_orders"),
+                      F.col("revenue").cast("double").alias("revenue"))
+
+
+@q(
+    "dwell_time_events",
+    """
+    WITH g AS (
+      SELECT event_type AS state,
+             LEAD(epoch_us(CAST(ts AS TIMESTAMP)))
+               OVER (PARTITION BY user_id
+                     ORDER BY CAST(ts AS TIMESTAMP), event_id)
+             - epoch_us(CAST(ts AS TIMESTAMP)) AS gap
+      FROM events),
+    base AS (SELECT state, gap FROM g
+             WHERE gap IS NOT NULL AND gap <= 1800000000),
+    agg AS (SELECT state, COUNT(*) AS n, SUM(gap) AS sg
+            FROM base GROUP BY 1)
+    SELECT state, CAST(n AS BIGINT) AS n_dwells,
+           ROUND(CAST(sg AS DOUBLE) / 1e6 / CAST(n AS DOUBLE), 6)
+             AS mean_dwell_sec
+    FROM agg
+    """,
+)
+def dwell_time_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type mean dwell seconds within sessions
+    (extensions.dwell_time) — the timing companion to the Markov
+    transition matrix."""
+    from tabsdata_spark.extensions import dwell_time
+
+    ev = load_events(spark, sf_dir).df
+    return dwell_time(ev, "user_id", "ts", "event_type",
+                      gap_seconds=1800, tie_cols=["event_id"])

@@ -595,3 +595,84 @@ def primary_key_report(df: DataFrame, key_cols: list[str] | str,
                F.round(F.col("dup_rows").cast("double")
                        / F.col("n_rows").cast("double"), 6))
         .alias("dup_rate"))
+
+
+def shard_rebalance_report(df: DataFrame, key_col: str,
+                           n_from: int = 16, n_to: int = 17) -> DataFrame:
+    """How many keys MOVE when the shard count changes from `n_from`
+    to `n_to`, under (a) modulo hashing and (b) rendezvous (highest-
+    random-weight) hashing — the report that justifies consistent
+    hashing before a resharding: modulo moves ~(1 - 1/n_to) of all
+    keys, rendezvous moves ~1/n_to.
+
+    Hashes are the engine-portable md5 path (textual.hash_split
+    idiom), so the assignment — and therefore this report — is
+    identical in any engine.  Rendezvous ties (24-bit scores) break
+    to the LOWER node id on both sides.
+
+    Scale shape: one distinct on the key, a bounded x-node explode
+    (n_to rows per key), one per-key window over <= n_to rows, one
+    scalar aggregate."""
+    keys = df.select(F.col(key_col).cast("string").alias("__k")).distinct()
+    h = F.conv(F.substring(F.md5(F.col("__k")), 1, 6), 16, 10) \
+        .cast("long")
+    base = keys.select("__k", (h % n_from).alias("__mf"),
+                       (h % n_to).alias("__mt"))
+    nodes = F.explode(F.sequence(F.lit(0), F.lit(n_to - 1))).alias("__n")
+    scored = base.select("__k", "__mf", "__mt", nodes).select(
+        "__k", "__mf", "__mt", "__n",
+        F.conv(F.substring(F.md5(F.concat_ws("#", F.col("__k"),
+                                             F.col("__n"))), 1, 6),
+               16, 10).cast("long").alias("__s"))
+    wf = Window.partitionBy("__k").orderBy(
+        F.col("__s").desc(), F.col("__n").asc())
+    ranked = scored.select(
+        "__k", "__mf", "__mt", "__n",
+        F.row_number().over(wf).alias("__rt"),
+        F.row_number().over(
+            Window.partitionBy("__k").orderBy(
+                F.when(F.col("__n") < n_from, 0).otherwise(1),
+                F.col("__s").desc(), F.col("__n").asc())).alias("__rf"))
+    per_key = ranked.groupBy("__k").agg(
+        F.max("__mf").alias("__amf"), F.max("__mt").alias("__amt"),
+        F.min(F.when(F.col("__rf") == 1, F.col("__n"))).alias("__af"),
+        F.min(F.when(F.col("__rt") == 1, F.col("__n"))).alias("__at"))
+    agg = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.when(F.col("__amf") != F.col("__amt"), 1).otherwise(0))
+        .alias("mod_moved"),
+        F.sum(F.when(F.col("__af") != F.col("__at"), 1).otherwise(0))
+        .alias("rdv_moved"))
+    nk = F.col("n_keys").cast("double")
+    return agg.select(
+        F.col("n_keys").cast("bigint").alias("n_keys"),
+        F.col("mod_moved").cast("bigint").alias("mod_moved"),
+        F.round(F.col("mod_moved").cast("double") / nk, 6)
+        .alias("mod_moved_rate"),
+        F.col("rdv_moved").cast("bigint").alias("rdv_moved"),
+        F.round(F.col("rdv_moved").cast("double") / nk, 6)
+        .alias("rdv_moved_rate"))
+
+
+def delta_merge_agg(base: DataFrame, delta: DataFrame,
+                    keys: list[str], sum_cols: dict) -> DataFrame:
+    """Incremental-view-maintenance merge for SUM/COUNT aggregates:
+    aggregate the base snapshot and the delta INDEPENDENTLY, union the
+    partial results, and re-sum — the refresh never rescans the
+    snapshot's raw rows (the batch form of a streaming incremental
+    rollup, and the join-IVM building block: join each side with its
+    dimensions before passing it in).
+
+    `sum_cols` maps output name -> column expression to sum; sums
+    should be exact types (decimal, bigint) so base+delta merge is
+    associative and engine-stable.
+
+    Scale shape: two independent partial-agg shuffles + one
+    re-aggregation over 2x|keys| rows."""
+    def part(df):
+        return df.groupBy(*keys).agg(
+            *[F.sum(expr).alias(name) for name, expr in sum_cols.items()])
+
+    u = part(base).unionAll(part(delta))
+    return u.groupBy(*keys).agg(
+        *[F.sum(name).alias(name) for name in sum_cols])

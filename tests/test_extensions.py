@@ -1003,3 +1003,30 @@ def test_mase_backtest_perfect_seasonality(spark):
     flat = spark.createDataFrame([(i, 5) for i in range(15)],
                                  "t long, y long")
     assert mase_backtest(flat, "t", "y").collect()[0].mase is None
+
+
+def test_dwell_time_attributes_to_current_state(spark):
+    from tabsdata_spark.extensions import dwell_time
+    from datetime import datetime
+
+    t0 = datetime(2024, 1, 1, 10, 0, 0)
+
+    def at(sec):
+        return datetime(2024, 1, 1, 10, 0, 0).replace(second=0) \
+            if sec is None else t0.replace(minute=sec // 60,
+                                           second=sec % 60)
+
+    rows = [
+        (1, 1, at(0), "view"),     # dwell 60s on view
+        (1, 2, at(60), "click"),   # dwell 30s on click
+        (1, 3, at(90), "buy"),     # session end: no dwell
+        (2, 4, at(0), "view"),     # next event 1h later: gap > session
+        (2, 5, at(0).replace(hour=12), "buy"),
+    ]
+    df = spark.createDataFrame(rows, "u long, eid long, ts timestamp,"
+                                     " et string")
+    got = {r.state: (r.n_dwells, r.mean_dwell_sec) for r in
+           dwell_time(df, "u", "ts", "et", tie_cols=["eid"]).collect()}
+    assert got["view"] == (1, 60.0)
+    assert got["click"] == (1, 30.0)
+    assert "buy" not in got

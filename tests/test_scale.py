@@ -275,3 +275,34 @@ def test_primary_key_report_counts_dups_and_nulls(spark):
     assert (r.relation, r.n_rows, r.n_keys, r.dup_rows) \
         == ("t(k)", 5, 3, 2)
     assert r.dup_rate == 0.4
+
+
+def test_shard_rebalance_rendezvous_beats_modulo(spark):
+    from tabsdata_spark import scale
+
+    df = spark.range(2000).select(F.col("id").alias("k"))
+    r = scale.shard_rebalance_report(df, "k", n_from=16,
+                                     n_to=17).collect()[0]
+    assert r.n_keys == 2000
+    # modulo reshuffles nearly everything; rendezvous ~1/17
+    assert r.mod_moved_rate > 0.8
+    assert r.rdv_moved_rate < 0.15
+    assert r.rdv_moved_rate > 0.0
+
+
+def test_delta_merge_agg_lossless(spark):
+    from tabsdata_spark import scale
+
+    rows = [("a", i, float(i)) for i in range(10)] \
+        + [("b", i, float(2 * i)) for i in range(5)]
+    df = spark.createDataFrame(rows, "g string, i long, v double")
+    base = df.filter(F.col("i") < 7)
+    delta = df.filter(F.col("i") >= 7)
+    merged = {r.g: (r.n, float(r.s)) for r in scale.delta_merge_agg(
+        base, delta, ["g"],
+        {"n": F.lit(1).cast("bigint"),
+         "s": F.col("v").cast("decimal(18,2)")}).collect()}
+    direct = {r.g: (r.n, float(r.s)) for r in df.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v").cast("decimal(18,2)")).alias("s")).collect()}
+    assert merged == direct
