@@ -13763,3 +13763,191 @@ def dwell_time_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir).df
     return dwell_time(ev, "user_id", "ts", "event_type",
                       gap_seconds=1800, tie_cols=["event_id"])
+
+
+@q(
+    "brier_decomp_docs",
+    """
+    WITH base AS (
+      SELECT LEAST(CAST(FLOOR(LEAST(n_chars / 2000.0, 1.0) * 10)
+                        AS INTEGER), 9) AS b,
+             CAST(FLOOR(LEAST(n_chars / 2000.0, 1.0) * 1e6 + 0.5)
+                  AS BIGINT) AS sq,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             CAST(FLOOR((LEAST(n_chars / 2000.0, 1.0)
+                         - CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END)
+                        * (LEAST(n_chars / 2000.0, 1.0)
+                           - CASE WHEN lang = 'en' THEN 1.0
+                                  ELSE 0.0 END)
+                        * 1e12 + 0.5) AS BIGINT) AS bq
+      FROM documents),
+    per_bin AS (
+      SELECT b, COUNT(*) AS n, SUM(sq) AS ss, SUM(y) AS pos,
+             SUM(CAST(bq AS DECIMAL(38,0))) AS bsum
+      FROM base GROUP BY 1),
+    tot AS (SELECT SUM(n) AS nt, SUM(pos) AS pt FROM per_bin),
+    j AS (
+      SELECT per_bin.*, tot.nt, tot.pt,
+             CAST(FLOOR(CAST(n AS DOUBLE)
+                        * (CAST(ss AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)
+                           - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(ss AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)
+                           - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))
+                        * 1e12 + 0.5) AS BIGINT) AS relq,
+             CAST(FLOOR(CAST(n AS DOUBLE)
+                        * (CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)
+                           - CAST(pt AS DOUBLE) / CAST(nt AS DOUBLE))
+                        * (CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)
+                           - CAST(pt AS DOUBLE) / CAST(nt AS DOUBLE))
+                        * 1e12 + 0.5) AS BIGINT) AS resq
+      FROM per_bin, tot),
+    agg AS (
+      SELECT MAX(nt) AS n, MAX(pt) AS p, SUM(bsum) AS bs,
+             SUM(relq) AS rel, SUM(resq) AS res
+      FROM j)
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND(CAST(bs AS DOUBLE) / 1e12 / CAST(n AS DOUBLE), 6)
+             AS brier,
+           ROUND(CAST(rel AS DOUBLE) / 1e12 / CAST(n AS DOUBLE), 6)
+             AS reliability,
+           ROUND(CAST(res AS DOUBLE) / 1e12 / CAST(n AS DOUBLE), 6)
+             AS resolution,
+           ROUND(CAST(p AS DOUBLE) / CAST(n AS DOUBLE)
+                 * (1.0 - CAST(p AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+             AS uncertainty
+    FROM agg
+    """,
+)
+def brier_decomp_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy Brier decomposition (stats.brier_decomposition) of a
+    length-based pseudo-probability (n_chars/2000 capped at 1)
+    predicting lang='en' — raw Brier, reliability, resolution,
+    uncertainty, every term integer-quantized before its sum."""
+    from tabsdata_spark import stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.least(F.col("n_chars") / F.lit(2000.0), F.lit(1.0))
+        .alias("score"),
+        (F.col("lang") == "en").cast("int").alias("y"))
+    return stats.brier_decomposition(docs, "score", "y", bins=10)
+
+
+@q(
+    "neyman_allocation_events",
+    """
+    WITH base AS (
+      SELECT event_type AS stratum,
+             CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) AS xq
+      FROM events WHERE value IS NOT NULL),
+    g AS (SELECT stratum, COUNT(*) AS n,
+                 SUM(CAST(xq AS DECIMAL(38,0))) AS s,
+                 SUM(CAST(xq AS DECIMAL(38,0)) * xq) AS s2
+          FROM base GROUP BY 1),
+    g2 AS (
+      SELECT stratum, n,
+             ROUND(SQRT(GREATEST(
+               (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+               / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+               / 1e12, 0.0)), 6) AS stddev,
+             CASE WHEN n >= 2
+                  THEN CAST(FLOOR(CAST(n AS DOUBLE)
+                         * SQRT(GREATEST(
+                             (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                             / (CAST(n AS DOUBLE)
+                                * (CAST(n AS DOUBLE) - 1.0))
+                             / 1e12, 0.0))
+                         * 1e6 + 0.5) AS BIGINT)
+                  ELSE 0 END AS wq
+      FROM g),
+    tot AS (SELECT SUM(wq) AS wt FROM g2)
+    SELECT stratum, CAST(n AS BIGINT) AS n, stddev,
+           ROUND(CAST(wq AS DOUBLE) / CAST(wt AS DOUBLE), 6) AS weight,
+           CASE WHEN wt > 0
+                THEN CAST(FLOOR(10000.0 * (CAST(wq AS DOUBLE)
+                                           / CAST(wt AS DOUBLE)))
+                          AS BIGINT)
+                ELSE 0 END AS alloc
+    FROM g2, tot
+    """,
+)
+def neyman_allocation_events(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Neyman allocation (stats.neyman_allocation) of a 10k-row
+    sampling budget across event types, proportional to n_h * s_h of
+    the value column — the variance-minimizing stratified design."""
+    from tabsdata_spark import stats
+
+    ev = load_events(spark, sf_dir).df
+    base = (ev.filter(F.col("value").isNotNull())
+            .select("event_type",
+                    F.floor(F.col("value") * 1e6 + F.lit(0.5))
+                    .cast("bigint").alias("xq")))
+    return stats.neyman_allocation(base, "event_type", "xq",
+                                   budget=10000)
+
+
+@q(
+    "stream_gopher_gate_docs",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents WHERE doc_id < 400
+    ),
+    m AS (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             CASE WHEN len(toks) > 0 THEN ROUND(
+                  CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE)
+                  / len(toks), 6) ELSE 0.0 END AS mean_word_len,
+             CASE WHEN len(toks) > 0 THEN ROUND(
+                  CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+                       AS DOUBLE) / len(toks), 6) ELSE 0.0 END AS alpha_frac,
+             len(list_filter(toks, t -> list_contains(
+                  ['the','be','to','of','and','that','have','with'], t)))
+                 AS stop_hits
+      FROM t
+    )
+    SELECT doc_id, n_words, mean_word_len, alpha_frac, stop_hits,
+           (n_words BETWEEN 50 AND 100000)
+             AND (mean_word_len BETWEEN 3.0 AND 10.0)
+             AND alpha_frac >= 0.8 AND stop_hits >= 2 AS keep
+    FROM m
+    """,
+)
+def stream_gopher_gate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE streaming quality gate (13th live streaming operator): the
+    documents slice streams back under an availableNow trigger and the
+    Gopher rules gate (textual.gopher_quality_rules — a pure
+    projection, so the stream stays stateless/append) flags every
+    arriving document.  The streaming-ETL form of corpus ingestion
+    gating; oracle is the batch gate SQL."""
+    import tempfile
+
+    from tabsdata_spark.llm import textual as tx
+    from tabsdata_spark.streaming import bus
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter(F.col("doc_id") < 400)
+            .select("doc_id", "text"))
+    tmp = tempfile.mkdtemp(prefix="td_stream_gate_")
+    docs.coalesce(1).write.parquet(f"{tmp}/src/b1")
+    stream = bus.stream_file_source(spark, f"{tmp}/src/*",
+                                    "doc_id long, text string")
+    gated = tx.gopher_quality_rules(stream).select(
+        "doc_id", "n_words", "mean_word_len", "alpha_frac",
+        "stop_hits", "keep")
+    rows: list = []
+    qy = (gated.writeStream.outputMode("append")
+          .foreachBatch(lambda b, i: rows.extend(b.collect()))
+          .option("checkpointLocation", f"{tmp}/ckpt")
+          .trigger(availableNow=True).start())
+    qy.awaitTermination(300)
+    return spark.createDataFrame(
+        [(r["doc_id"], r["n_words"], r["mean_word_len"],
+          r["alpha_frac"], r["stop_hits"], r["keep"]) for r in rows],
+        "doc_id long, n_words int, mean_word_len double,"
+        " alpha_frac double, stop_hits int, keep boolean")

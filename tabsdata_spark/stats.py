@@ -2338,3 +2338,104 @@ def pairwise_mean_diffs(df: DataFrame, group_col: str,
         F.col("__nb").cast("bigint").alias("n_b"),
         F.round(ma - mb, 6).alias("mean_diff"),
         F.when(ok, F.round((ma - mb) / F.sqrt(se2), 6)).alias("z"))
+
+
+def brier_decomposition(df: DataFrame, score_col: str, label_col: str,
+                        bins: int = 10) -> DataFrame:
+    """Murphy decomposition of the Brier score: raw Brier plus the
+    binned RELIABILITY (calibration error), RESOLUTION (how much the
+    forecast separates outcomes), and UNCERTAINTY (base-rate
+    variance) — the one-row verdict on whether a filter model's
+    scores are trustworthy probabilities, mis-calibrated, or just
+    uninformative.
+
+    Exactness: the per-row squared error and each bin's REL/RES
+    contribution quantize to 1e12 integers BEFORE their sums, so
+    every term is partition-order-free; bin assignment and the bin
+    means follow calibration_bins exactly.
+
+    Scale shape: one projection + one <=bins partial agg + a 1-row
+    totals broadcast."""
+    big = "decimal(38,0)"
+    s = F.col(score_col)
+    y = F.col(label_col).cast("int")
+    bin_ = F.least(F.floor(s * bins).cast("int"), F.lit(bins - 1))
+    sq = F.floor(s * 1e6 + F.lit(0.5)).cast("bigint")
+    bq = F.floor((s - y.cast("double")) * (s - y.cast("double"))
+                 * F.lit(1e12) + F.lit(0.5)).cast("bigint")
+    base = df.select(bin_.alias("__b"), sq.alias("__sq"),
+                     y.alias("__y"), bq.alias("__bq"))
+    per_bin = base.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("__sq").alias("__ss"),
+        F.sum("__y").alias("__pos"),
+        F.sum(F.col("__bq").cast(big)).alias("__bsum"))
+    tot = per_bin.agg(F.sum("__n").alias("__nt"),
+                      F.sum("__pos").alias("__pt"))
+    j = per_bin.crossJoin(F.broadcast(tot))
+    nd = F.col("__n").cast("double")
+    f = F.col("__ss").cast("double") / 1e6 / nd
+    o = F.col("__pos").cast("double") / nd
+    obar = F.col("__pt").cast("double") / F.col("__nt").cast("double")
+    relq = F.floor(nd * (f - o) * (f - o) * F.lit(1e12)
+                   + F.lit(0.5)).cast("bigint")
+    resq = F.floor(nd * (o - obar) * (o - obar) * F.lit(1e12)
+                   + F.lit(0.5)).cast("bigint")
+    agg = j.agg(F.max("__nt").alias("n"), F.max("__pt").alias("__p"),
+                F.sum(F.col("__bsum")).alias("__bs"),
+                F.sum(relq).alias("__rel"), F.sum(resq).alias("__res"))
+    ntd = F.col("n").cast("double")
+    ob = F.col("__p").cast("double") / ntd
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("__bs").cast("double") / 1e12 / ntd, 6)
+        .alias("brier"),
+        F.round(F.col("__rel").cast("double") / 1e12 / ntd, 6)
+        .alias("reliability"),
+        F.round(F.col("__res").cast("double") / 1e12 / ntd, 6)
+        .alias("resolution"),
+        F.round(ob * (F.lit(1.0) - ob), 6).alias("uncertainty"))
+
+
+def neyman_allocation(df: DataFrame, stratum_col: str, xq_col: str,
+                      budget: int = 10000) -> DataFrame:
+    """Neyman sample allocation: split a sampling `budget` across
+    strata proportionally to n_h * s_h (size times standard
+    deviation) — the variance-minimizing design for a stratified
+    estimate, vs proportional allocation that oversamples flat
+    strata.
+
+    Inputs are caller-quantized integer micros (the exact_variance
+    contract).  Each stratum's n*s weight quantizes to 1e6 integers
+    before the cross-strata total, so weights are order-free; the
+    final allocation floor(budget * w/W) is a fixed IEEE expression
+    (the floor may leave a few units unassigned — by design, no
+    largest-remainder pass).
+
+    Scale shape: one partial-agg shuffle onto the stratum key + a
+    1-row total broadcast."""
+    big = "decimal(38,0)"
+    xq = F.col(xq_col).cast(big)
+    g = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("__n"), F.sum(xq).alias("__s"),
+        F.sum((xq * xq).cast(big)).alias("__s2"))
+    nd = F.col("__n").cast("double")
+    var = ((nd * F.col("__s2").cast("double")
+            - F.col("__s").cast("double") * F.col("__s").cast("double"))
+           / (nd * (nd - F.lit(1.0))) / F.lit(1e12))
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    wq = F.when(F.col("__n") >= 2,
+                F.floor(nd * sd * F.lit(1e6) + F.lit(0.5))
+                .cast("bigint")).otherwise(F.lit(0))
+    g2 = g.select("stratum", "__n", wq.alias("__wq"),
+                  F.round(sd, 6).alias("stddev"))
+    tot = g2.agg(F.sum("__wq").alias("__wt"))
+    j = g2.crossJoin(F.broadcast(tot))
+    alloc = F.floor(F.lit(float(budget))
+                    * (F.col("__wq").cast("double")
+                       / F.col("__wt").cast("double"))).cast("bigint")
+    return j.select(
+        "stratum", F.col("__n").cast("bigint").alias("n"), "stddev",
+        F.round(F.col("__wq").cast("double")
+                / F.col("__wt").cast("double"), 6).alias("weight"),
+        F.when(F.col("__wt") > 0, alloc).otherwise(F.lit(0))
+        .alias("alloc"))

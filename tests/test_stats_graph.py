@@ -1302,3 +1302,35 @@ def test_kcore_driver_and_distributed_modes_agree(spark):
            graph.kcore_peel(df, "s", "d", k=3, rounds=3,
                             driver_threshold=0).collect()}
     assert small == big and small
+
+
+def test_brier_decomposition_identity_and_perfect(spark):
+    from tabsdata_spark import stats
+
+    # perfectly calibrated per-bin forecasts: rel ~ 0
+    rows = []
+    for f, n, pos in [(0.25, 8, 2), (0.75, 8, 6)]:
+        rows += [(f, 1)] * pos + [(f, 0)] * (n - pos)
+    df = spark.createDataFrame(rows, "score double, y int")
+    r = stats.brier_decomposition(df, "score", "y", bins=10).collect()[0]
+    assert r.n == 16
+    assert r.reliability == 0.0
+    assert r.resolution > 0.0
+    assert r.uncertainty == 0.25  # base rate 0.5
+    # decomposition identity holds to rounding for binned forecasts
+    assert abs(r.brier - (r.reliability - r.resolution
+                          + r.uncertainty)) < 1e-4
+
+
+def test_neyman_allocation_favors_volatile_strata(spark):
+    from tabsdata_spark import stats
+
+    rows = ([("flat", 1_000_000)] * 50
+            + [("wild", 0), ("wild", 10_000_000)] * 25)
+    df = spark.createDataFrame(rows, "g string, xq long")
+    got = {r.stratum: r for r in
+           stats.neyman_allocation(df, "g", "xq",
+                                   budget=1000).collect()}
+    assert got["flat"].stddev == 0.0 and got["flat"].alloc == 0
+    assert got["wild"].alloc == 1000
+    assert got["wild"].weight == 1.0
