@@ -1841,3 +1841,38 @@ def dwell_time(df: DataFrame, key_cols: list[str] | str, ts_col: str,
         F.round(F.col("__sg").cast("double") / 1e6
                 / F.col("n_dwells").cast("double"), 6)
         .alias("mean_dwell_sec"))
+
+
+def rolling_distinct(df: DataFrame, key_col: str, ts_col: str,
+                     window_days: int = 7) -> DataFrame:
+    """Exact trailing-N-day distinct actives per day (rolling WAU):
+    the (key, day) grid fans out to its next `window_days` target
+    days, a second distinct collapses (key, target), and a count per
+    target gives the EXACT sliding distinct — the scalable form of a
+    metric a naive COUNT(DISTINCT) OVER a row window cannot express
+    (distinct doesn't decompose over sliding frames).
+
+    Exact integers only.  Days with no activity of their own are not
+    emitted (trailing windows are reported for observed days).
+
+    Scale shape: one (key, day) distinct, a bounded x`window_days`
+    explode, one more distinct partial agg, one count — no windows,
+    no global sort."""
+    day = F.expr(f"unix_micros(cast({ts_col} as timestamp))"
+                 f" div 86400000000")
+    grid = df.select(F.col(key_col).alias("__u"), day.alias("__d")) \
+        .distinct()
+    tgt = (grid.select("__u", F.explode(
+        F.sequence(F.col("__d"), F.col("__d") + (window_days - 1)))
+        .alias("__t"))
+        .distinct())
+    wau = tgt.groupBy(F.col("__t").alias("day")).agg(
+        F.count(F.lit(1)).alias("trailing_actives"))
+    dau = grid.groupBy(F.col("__d").alias("day")).agg(
+        F.count(F.lit(1)).alias("dau"))
+    out = dau.join(wau, "day")
+    return out.select(
+        F.col("day").cast("bigint").alias("day"),
+        F.col("dau").cast("bigint").alias("dau"),
+        F.col("trailing_actives").cast("bigint")
+        .alias("trailing_actives"))

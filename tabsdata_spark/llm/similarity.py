@@ -991,3 +991,58 @@ def embedding_drift(a: DataFrame, b: DataFrame,
             (F.sqrt(qa) * F.lit(float(nb)))
             / (F.sqrt(qb) * F.lit(float(na))), 6))
         .alias("centroid_norm_ratio"))
+
+
+def intrinsic_dimension(corpus: DataFrame, queries: DataFrame,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        query_id_col: str = "query_id") -> DataFrame:
+    """TwoNN intrinsic-dimension estimate (Facco et al. 2017) of the
+    embedding manifold: for each sampled point, the ratio of its 2nd
+    to 1st nearest-neighbor distance; ID_hat = n / sum(ln mu) — low
+    intrinsic dimension means the space compresses (PQ, prefix
+    truncation, aggressive ANN) far below its ambient width.
+
+    Exactness: neighbors rank on the UNROUNDED squared Euclidean
+    distance with an id tie-break (the embed_topk contract);
+    ln(mu) = 0.5 * ln(d2/d1) quantizes to 1e12 integers before the
+    sum.  Points whose nearest neighbor is an exact duplicate
+    (d1 = 0) are excluded from the estimate and counted separately.
+
+    Scale shape: broadcast(queries) x corpus -> per-query window
+    top-2; |queries| bounds everything after the scan."""
+    from ..scale import fan_out
+
+    q = queries.select(F.col(query_id_col).alias("__qid"),
+                       F.col(vec_col).alias("__qvec"))
+    cand = (fan_out(corpus.select(F.col(id_col), F.col(vec_col)))
+            .crossJoin(F.broadcast(q))
+            .filter(F.col(id_col) != F.col("__qid")))
+    d2 = F.aggregate(
+        F.zip_with(F.col(vec_col), F.col("__qvec"),
+                   lambda a, b: (a.cast("double") - b.cast("double"))
+                   * (a.cast("double") - b.cast("double"))),
+        F.lit(0.0), lambda acc, x: acc + x)
+    w = Window.partitionBy("__qid").orderBy(
+        F.col("__d2").asc(), F.col(id_col).asc())
+    top2 = (cand.select("__qid", F.col(id_col), d2.alias("__d2"))
+            .withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= 2))
+    per = top2.groupBy("__qid").agg(
+        F.min(F.when(F.col("__r") == 1, F.col("__d2"))).alias("__d1"),
+        F.min(F.when(F.col("__r") == 2, F.col("__d2"))).alias("__dd2"))
+    lnq = F.floor(F.lit(0.5) * F.log(F.col("__dd2") / F.col("__d1"))
+                  * F.lit(1e12) + F.lit(0.5)).cast("bigint")
+    usable = (F.col("__d1") > F.lit(0.0)) & F.col("__dd2").isNotNull()
+    agg = per.agg(
+        F.sum(F.when(usable, 1).otherwise(0)).alias("n_used"),
+        F.sum(F.when(~usable, 1).otherwise(0)).alias("n_degenerate"),
+        F.sum(F.when(usable, lnq).otherwise(0)).alias("__ls"))
+    ok = (F.col("n_used") > 0) & (F.col("__ls") > 0)
+    return agg.select(
+        F.col("n_used").cast("bigint").alias("n_used"),
+        F.col("n_degenerate").cast("bigint").alias("n_degenerate"),
+        F.when(ok, F.round(
+            F.col("n_used").cast("double")
+            / (F.col("__ls").cast("double") / 1e12), 6))
+        .alias("intrinsic_dim"))

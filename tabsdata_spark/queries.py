@@ -13951,3 +13951,135 @@ def stream_gopher_gate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
           r["alpha_frac"], r["stop_hits"], r["keep"]) for r in rows],
         "doc_id long, n_words int, mean_word_len double,"
         " alpha_frac double, stop_hits int, keep boolean")
+
+
+@q(
+    "rolling_wau_events",
+    """
+    WITH grid AS (
+      SELECT DISTINCT user_id AS u,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d
+      FROM events),
+    tgt AS (
+      SELECT DISTINCT u, d + o.o AS day
+      FROM grid, (SELECT unnest(range(0, 7)) AS o) o),
+    wau AS (SELECT day, COUNT(*) AS trailing_actives
+            FROM tgt GROUP BY 1),
+    dau AS (SELECT d AS day, COUNT(*) AS dau FROM grid GROUP BY 1)
+    SELECT CAST(dau.day AS BIGINT) AS day,
+           CAST(dau AS BIGINT) AS dau,
+           CAST(trailing_actives AS BIGINT) AS trailing_actives
+    FROM dau JOIN wau ON dau.day = wau.day
+    """,
+)
+def rolling_wau_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing-7-day distinct actives per observed day
+    (extensions.rolling_distinct): the fan-out-and-recollapse form of
+    sliding distinct — a COUNT(DISTINCT) no row window can express."""
+    from tabsdata_spark.extensions import rolling_distinct
+
+    ev = load_events(spark, sf_dir).df
+    return rolling_distinct(ev, "user_id", "ts", window_days=7)
+
+
+@q(
+    "intrinsic_dim_emb",
+    """
+    WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 50),
+    sc AS (
+      SELECT qid, e.vec_id AS cid,
+             list_reduce(list_transform(range(1, 65),
+                 i -> (e.embedding[i]::DOUBLE - qv[i])
+                      * (e.embedding[i]::DOUBLE - qv[i])),
+                 (p, x) -> p + x) AS d2
+      FROM embeddings e, q WHERE e.vec_id <> qid),
+    rk AS (
+      SELECT qid, d2,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY d2 ASC, cid ASC) AS r
+      FROM sc),
+    per AS (
+      SELECT qid,
+             MIN(CASE WHEN r = 1 THEN d2 END) AS d1,
+             MIN(CASE WHEN r = 2 THEN d2 END) AS dd2
+      FROM rk WHERE r <= 2 GROUP BY qid),
+    m AS (
+      SELECT SUM(CASE WHEN d1 > 0.0 AND dd2 IS NOT NULL
+                      THEN 1 ELSE 0 END) AS n_used,
+             SUM(CASE WHEN d1 > 0.0 AND dd2 IS NOT NULL
+                      THEN 0 ELSE 1 END) AS n_degenerate,
+             SUM(CASE WHEN d1 > 0.0 AND dd2 IS NOT NULL
+                      THEN CAST(FLOOR(0.5 * LN(dd2 / d1) * 1e12 + 0.5)
+                                AS BIGINT)
+                      ELSE 0 END) AS ls
+      FROM per)
+    SELECT CAST(n_used AS BIGINT) AS n_used,
+           CAST(n_degenerate AS BIGINT) AS n_degenerate,
+           CASE WHEN n_used > 0 AND ls > 0
+                THEN ROUND(CAST(n_used AS DOUBLE)
+                           / (CAST(ls AS DOUBLE) / 1e12), 6)
+           END AS intrinsic_dim
+    FROM m
+    """,
+)
+def intrinsic_dim_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TwoNN intrinsic-dimension estimate
+    (similarity.intrinsic_dimension) over the first 50 vectors as
+    probes — squared-distance ranking with id tie-break, 1e12-
+    quantized log ratios."""
+    from tabsdata_spark.llm import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return similarity.intrinsic_dimension(emb, qs)
+
+
+@q(
+    "pruning_sim_orders",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS k,
+             epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000
+               AS v
+      FROM orders),
+    bounds AS (SELECT MIN(k) AS alo, MAX(k) AS ahi,
+                      MIN(v) AS vlo, MAX(v) AS vhi FROM base),
+    arr AS (
+      SELECT LEAST((k - alo) * 32 // (ahi - alo + 1), 31) AS b,
+             MIN(v) AS mn, MAX(v) AS mx
+      FROM base, bounds GROUP BY 1),
+    srt AS (
+      SELECT LEAST((v - vlo) * 32 // (vhi - vlo + 1), 31) AS b,
+             MIN(v) AS mn, MAX(v) AS mx
+      FROM base, bounds GROUP BY 1),
+    u AS (
+      SELECT 'arrival' AS layout, COUNT(*) AS n_buckets,
+             SUM(CASE WHEN mx < 9496 OR mn > 9861 THEN 1 ELSE 0 END)
+               AS n_skipped
+      FROM arr
+      UNION ALL
+      SELECT 'sorted', COUNT(*),
+             SUM(CASE WHEN mx < 9496 OR mn > 9861 THEN 1 ELSE 0 END)
+      FROM srt)
+    SELECT layout, CAST(n_buckets AS BIGINT) AS n_buckets,
+           CAST(n_skipped AS BIGINT) AS n_skipped,
+           ROUND(CAST(n_skipped AS DOUBLE) / CAST(n_buckets AS DOUBLE),
+                 6) AS skip_rate
+    FROM u
+    """,
+)
+def pruning_sim_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-max data-skipping simulation (scale.pruning_report):
+    arrival-order buckets vs date-sorted buckets of orders, skip
+    counts for a 1996 calendar-year predicate — the quantified case
+    for a sort/Z-order re-layout."""
+    from tabsdata_spark import scale
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("k"),
+        F.expr("unix_micros(cast(o_orderdate as timestamp))"
+               " div 86400000000").alias("v"))
+    return scale.pruning_report(o, "k", "v", lo=9496, hi=9861,
+                                buckets=32)

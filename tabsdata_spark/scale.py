@@ -676,3 +676,48 @@ def delta_merge_agg(base: DataFrame, delta: DataFrame,
     u = part(base).unionAll(part(delta))
     return u.groupBy(*keys).agg(
         *[F.sum(name).alias(name) for name in sum_cols])
+
+
+def pruning_report(df: DataFrame, arrival_col: str, value_col: str,
+                   lo, hi, buckets: int = 32) -> DataFrame:
+    """Min-max data-skipping simulation: bucket the table two ways —
+    by ARRIVAL order (equal-width ranges of `arrival_col`, e.g. an
+    ingest key) and by the QUERY column's own value ranges (what a
+    sort/Z-order layout achieves) — record each bucket's min/max of
+    the query column, and count how many buckets a range predicate
+    [lo, hi] could skip.  The report that quantifies, before any
+    rewrite, how much a re-layout would cut a 100 TB scan.
+
+    `value_col` must be integer-valued (epoch days, keys).  Exact
+    integer bucket stats; the skip decision is pure comparison.
+
+    Scale shape: two 1-row min/max broadcasts + two bounded
+    partial aggs (<= `buckets` rows each); nothing sorts."""
+    bounds = df.agg(
+        F.min(F.col(arrival_col)).alias("__alo"),
+        F.max(F.col(arrival_col)).alias("__ahi"),
+        F.min(F.col(value_col)).alias("__vlo"),
+        F.max(F.col(value_col)).alias("__vhi"))
+    d = df.crossJoin(F.broadcast(bounds))
+    b_arr = F.least(
+        F.expr(f"(({arrival_col} - __alo) * {int(buckets)})"
+               f" div (__ahi - __alo + 1)"), F.lit(buckets - 1))
+    b_val = F.least(
+        F.expr(f"(({value_col} - __vlo) * {int(buckets)})"
+               f" div (__vhi - __vlo + 1)"), F.lit(buckets - 1))
+
+    def layout(bucket, name):
+        per = d.groupBy(bucket.alias("__b")).agg(
+            F.min(F.col(value_col)).alias("__mn"),
+            F.max(F.col(value_col)).alias("__mx"))
+        skipped = F.when((F.col("__mx") < F.lit(lo))
+                         | (F.col("__mn") > F.lit(hi)), 1).otherwise(0)
+        return per.agg(
+            F.lit(name).alias("layout"),
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.sum(skipped).cast("bigint").alias("n_skipped"),
+            F.round(F.sum(skipped).cast("double")
+                    / F.count(F.lit(1)).cast("double"), 6)
+            .alias("skip_rate"))
+
+    return layout(b_arr, "arrival").unionAll(layout(b_val, "sorted"))

@@ -1030,3 +1030,20 @@ def test_dwell_time_attributes_to_current_state(spark):
     assert got["view"] == (1, 60.0)
     assert got["click"] == (1, 30.0)
     assert "buy" not in got
+
+
+def test_rolling_distinct_trailing_window(spark):
+    from tabsdata_spark.extensions import rolling_distinct
+    from datetime import datetime
+
+    def at(day):
+        return datetime(1970, 1, 1 + day)
+
+    rows = [(1, at(0)), (2, at(0)), (1, at(3)), (3, at(8))]
+    df = spark.createDataFrame(rows, "u long, ts timestamp")
+    got = {r.day: (r.dau, r.trailing_actives) for r in
+           rolling_distinct(df, "u", "ts", window_days=7).collect()}
+    assert got[0] == (2, 2)           # day0: users 1,2
+    assert got[3] == (1, 2)           # trailing7 at day3 = {1,2}
+    # day8: user 3 today; user 1 (day3) still inside [2..8]
+    assert got[8] == (1, 2)

@@ -2109,3 +2109,45 @@ def test_code_switch_flags_mixed_language(spark):
     assert got[1].lang_1 == "en" and got[1].lang_2 == "es"
     assert got[1].code_switch is True and got[1].s_2 >= 2
     assert got[2].lang_1 == "und" and got[2].code_switch is False
+
+
+def test_intrinsic_dimension_line_vs_plane(spark):
+    import hashlib
+
+    from tabsdata_spark.llm import similarity
+
+    # deterministic pseudo-random coordinates (NOT an equally spaced
+    # grid — uniform grids make interior mu = 1 and bias TwoNN)
+    def u(seed):
+        return int(hashlib.md5(str(seed).encode()).hexdigest()[:8],
+                   16) / 0xFFFFFFFF
+
+    line = [(i, [u(i) * 100, 0.0]) for i in range(60)]
+    plane = [(i, [u(i) * 100, u(i + 1000) * 100]) for i in range(60)]
+
+    def est(rows):
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>")
+        qs = emb.filter(F.col("vec_id") < 30).select(
+            F.col("vec_id").alias("query_id"), "embedding")
+        return similarity.intrinsic_dimension(emb, qs).collect()[0]
+
+    rl, rp = est(line), est(plane)
+    assert rl.n_used == 30 and rl.n_degenerate == 0
+    assert rl.intrinsic_dim is not None and rp.intrinsic_dim is not None
+    # the 2-D cloud must estimate clearly above the 1-D cloud
+    assert rp.intrinsic_dim > rl.intrinsic_dim
+
+
+def test_intrinsic_dimension_excludes_exact_dups(spark):
+    from tabsdata_spark.llm import similarity
+
+    rows = [(0, [1.0, 1.0]), (1, [1.0, 1.0]), (2, [5.0, 0.0]),
+            (3, [9.0, 3.0])]
+    emb = spark.createDataFrame(rows,
+                                "vec_id long, embedding array<float>")
+    qs = emb.filter(F.col("vec_id") <= 1).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    r = similarity.intrinsic_dimension(emb, qs).collect()[0]
+    assert r.n_degenerate == 2 and r.n_used == 0
+    assert r.intrinsic_dim is None

@@ -306,3 +306,18 @@ def test_delta_merge_agg_lossless(spark):
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("v").cast("decimal(18,2)")).alias("s")).collect()}
     assert merged == direct
+
+
+def test_pruning_report_sorted_layout_skips_more(spark):
+    from tabsdata_spark import scale
+
+    # arrival key uncorrelated with value -> arrival buckets all span
+    # the value range; value buckets outside [100, 120] skip
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 256) for i in range(512)], "k long, v long")
+    got = {r.layout: r for r in
+           scale.pruning_report(df, "k", "v", lo=100, hi=120,
+                                buckets=16).collect()}
+    assert got["arrival"].n_skipped == 0
+    assert got["sorted"].n_skipped >= 12
+    assert got["sorted"].skip_rate > got["arrival"].skip_rate
