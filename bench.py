@@ -296,6 +296,11 @@ ROUND5B = [
     "code_switch_docs",
     # llm / embedding / survival
     "embedding_drift_emb", "doc_keywords_docs", "rmst_orders",
+    # second wave
+    "brier_decomp_docs", "neyman_allocation_events",
+    "rolling_wau_events", "intrinsic_dim_emb", "pruning_sim_orders",
+    "shard_rebalance_docs", "incremental_join_orders",
+    "dwell_time_events",
 ]
 
 
