@@ -1876,3 +1876,31 @@ def rolling_distinct(df: DataFrame, key_col: str, ts_col: str,
         F.col("dau").cast("bigint").alias("dau"),
         F.col("trailing_actives").cast("bigint")
         .alias("trailing_actives"))
+
+
+def skyline2d(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """2-D Pareto skyline (minimize both axes): the set of points no
+    other point beats on both dimensions — the cost/latency frontier,
+    price/quality efficient set.
+
+    The caller pre-buckets continuous axes to BOUNDED integer grids
+    (the roc_auc/ks_test quantize-upstream contract): per distinct x
+    the minimal y survives, then a strict running minimum over x
+    ascending keeps exactly the frontier (ties on both axes keep the
+    shared point once, with its member count).
+
+    Exact integers only.  Scale shape: one (x) partial agg onto the
+    bucket grid, one x-cardinality-bounded cumulative window."""
+    cells = df.groupBy(F.col(x_col).alias("x"),
+                       F.col(y_col).alias("y")).agg(
+        F.count(F.lit(1)).alias("__n"))
+    per_x = cells.groupBy("x").agg(F.min("y").alias("y"))
+    g = per_x.join(cells, ["x", "y"])
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    flagged = g.select(
+        "x", "y", "__n", F.min("y").over(w).alias("__prior"))
+    sky = flagged.filter(F.col("__prior").isNull()
+                         | (F.col("y") < F.col("__prior")))
+    return sky.select(F.col("x").cast("bigint").alias("x"),
+                      F.col("y").cast("bigint").alias("y"),
+                      F.col("__n").cast("bigint").alias("n_points"))

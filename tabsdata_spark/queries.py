@@ -14083,3 +14083,175 @@ def pruning_sim_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                " div 86400000000").alias("v"))
     return scale.pruning_report(o, "k", "v", lo=9496, hi=9861,
                                 buckets=32)
+
+
+@q(
+    "skyline_orders",
+    """
+    WITH fs AS (SELECT l_orderkey, MIN(l_shipdate) AS ship
+                FROM lineitem GROUP BY 1),
+    pts AS (
+      SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) // 10000
+               AS x,
+             (epoch_us(CAST(ship AS TIMESTAMP))
+              - epoch_us(CAST(o_orderdate AS TIMESTAMP)))
+             // 86400000000 AS y
+      FROM orders JOIN fs ON o_orderkey = l_orderkey
+      WHERE (epoch_us(CAST(ship AS TIMESTAMP))
+             - epoch_us(CAST(o_orderdate AS TIMESTAMP)))
+            // 86400000000 >= 0),
+    cells AS (SELECT x, y, COUNT(*) AS n FROM pts GROUP BY 1, 2),
+    per_x AS (SELECT x, MIN(y) AS y FROM cells GROUP BY 1),
+    g AS (SELECT per_x.x, per_x.y, cells.n
+          FROM per_x JOIN cells ON per_x.x = cells.x
+                                AND per_x.y = cells.y),
+    flagged AS (
+      SELECT x, y, n,
+             MIN(y) OVER (ORDER BY x
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prior
+      FROM g)
+    SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+           CAST(n AS BIGINT) AS n_points
+    FROM flagged WHERE prior IS NULL OR y < prior
+    """,
+)
+def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price/latency Pareto frontier (extensions.skyline2d): cheapest
+    orders per fulfillment speed, price bucketed to whole hundreds
+    (the bounded-grid contract), latency in whole days — no order on
+    the frontier is beaten on both axes."""
+    from tabsdata_spark.extensions import skyline2d
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    fs = li.groupBy("l_orderkey").agg(F.min("l_shipdate").alias("ship"))
+    lat = F.expr("(unix_micros(cast(ship as timestamp))"
+                 " - unix_micros(cast(o_orderdate as timestamp)))"
+                 " div 86400000000")
+    pts = (o.join(fs, o["o_orderkey"] == fs["l_orderkey"])
+           .select(F.expr("cast(floor(o_totalprice * 100 + 0.5) as"
+                          " bigint) div 10000").alias("px"),
+                   lat.alias("py"))
+           .filter(F.col("py") >= 0))
+    return skyline2d(pts, "px", "py")
+
+
+@q(
+    "runs_test_events",
+    """
+    WITH daily AS (
+      SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS t,
+             COUNT(*) AS y
+      FROM events GROUP BY 1),
+    lagged AS (SELECT t, y, LAG(y) OVER (ORDER BY t) AS p FROM daily),
+    signs AS (
+      SELECT t, CASE WHEN y > p THEN 1 ELSE 0 END AS s
+      FROM lagged WHERE p IS NOT NULL AND y <> p),
+    runs AS (
+      SELECT s, CASE WHEN LAG(s) OVER (ORDER BY t) IS NULL
+                       OR LAG(s) OVER (ORDER BY t) <> s
+                     THEN 1 ELSE 0 END AS nw
+      FROM signs),
+    agg AS (SELECT SUM(s) AS n_up, SUM(1 - s) AS n_down,
+                   SUM(nw) AS n_runs
+            FROM runs)
+    SELECT CAST(n_up AS BIGINT) AS n_up,
+           CAST(n_down AS BIGINT) AS n_down,
+           CAST(n_runs AS BIGINT) AS n_runs,
+           CASE WHEN n_up > 0 AND n_down > 0
+                     AND 2.0 * CAST(n_up AS DOUBLE)
+                         * CAST(n_down AS DOUBLE)
+                         * (2.0 * CAST(n_up AS DOUBLE)
+                            * CAST(n_down AS DOUBLE)
+                            - CAST(n_up AS DOUBLE)
+                            - CAST(n_down AS DOUBLE))
+                         / ((CAST(n_up AS DOUBLE)
+                             + CAST(n_down AS DOUBLE))
+                            * (CAST(n_up AS DOUBLE)
+                               + CAST(n_down AS DOUBLE))
+                            * (CAST(n_up AS DOUBLE)
+                               + CAST(n_down AS DOUBLE) - 1.0)) > 0.0
+                THEN ROUND((CAST(n_runs AS DOUBLE)
+                            - (2.0 * CAST(n_up AS DOUBLE)
+                               * CAST(n_down AS DOUBLE)
+                               / (CAST(n_up AS DOUBLE)
+                                  + CAST(n_down AS DOUBLE)) + 1.0))
+                           / SQRT(2.0 * CAST(n_up AS DOUBLE)
+                                  * CAST(n_down AS DOUBLE)
+                                  * (2.0 * CAST(n_up AS DOUBLE)
+                                     * CAST(n_down AS DOUBLE)
+                                     - CAST(n_up AS DOUBLE)
+                                     - CAST(n_down AS DOUBLE))
+                                  / ((CAST(n_up AS DOUBLE)
+                                      + CAST(n_down AS DOUBLE))
+                                     * (CAST(n_up AS DOUBLE)
+                                        + CAST(n_down AS DOUBLE))
+                                     * (CAST(n_up AS DOUBLE)
+                                        + CAST(n_down AS DOUBLE)
+                                        - 1.0))), 6)
+           END AS z
+    FROM agg
+    """,
+)
+def runs_test_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test (stats.runs_test) on daily event-count
+    up/down moves — momentum vs mean reversion vs randomness, exact
+    run counts over the bounded daily grid."""
+    from tabsdata_spark import stats
+
+    ev = load_events(spark, sf_dir).df
+    day = F.expr("unix_micros(cast(ts as timestamp))"
+                 " div 86400000000")
+    daily = ev.groupBy(day.alias("t")).agg(F.count(F.lit(1)).alias("y"))
+    return stats.runs_test(daily, "t", "y")
+
+
+@q(
+    "theil_u_docs",
+    """
+    WITH cells AS (
+      SELECT lang AS x, source AS y, COUNT(*) AS c
+      FROM documents GROUP BY 1, 2),
+    mx AS (SELECT x, SUM(c) AS cx FROM cells GROUP BY 1),
+    my AS (SELECT y, SUM(c) AS cy FROM cells GROUP BY 1),
+    tot AS (SELECT SUM(c) AS n FROM cells),
+    j AS (SELECT cells.c, mx.cx, my.cy, tot.n
+          FROM cells JOIN mx USING (x) JOIN my USING (y), tot),
+    q1 AS (
+      SELECT n,
+             CAST(FLOOR(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+                        * (LN(CAST(c AS DOUBLE) * CAST(n AS DOUBLE)
+                              / (CAST(cx AS DOUBLE)
+                                 * CAST(cy AS DOUBLE)))
+                           / LN(2.0))
+                        * 1e12 + 0.5) AS BIGINT) AS miq1
+      FROM j),
+    mi AS (
+      SELECT MAX(n) AS n,
+             SUM(CAST(miq1 AS DECIMAL(38,0))) AS miq
+      FROM q1),
+    hx AS (
+      SELECT SUM(CAST(FLOOR(CAST(cx AS DOUBLE) / CAST(n AS DOUBLE)
+                            * (LN(CAST(n AS DOUBLE)
+                                  / CAST(cx AS DOUBLE)) / LN(2.0))
+                            * 1e12 + 0.5) AS BIGINT)) AS hxq
+      FROM mx, tot)
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND(CAST(hxq AS DOUBLE) / 1e12, 6) AS h_x,
+           ROUND(CAST(miq AS DOUBLE) / 1e12, 6) AS mi_bits,
+           CASE WHEN hxq > 0
+                THEN ROUND((CAST(miq AS DOUBLE) / 1e12)
+                           / (CAST(hxq AS DOUBLE) / 1e12), 6)
+           END AS theil_u
+    FROM mi, hx
+    """,
+)
+def theil_u_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's uncertainty coefficient U(lang|source)
+    (stats.theil_u): how much of the language mix does knowing the
+    source explain — the normalized, asymmetric association score."""
+    from tabsdata_spark import stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stats.theil_u(docs, "lang", "source")

@@ -2439,3 +2439,96 @@ def neyman_allocation(df: DataFrame, stratum_col: str, xq_col: str,
                 / F.col("__wt").cast("double"), 6).alias("weight"),
         F.when(F.col("__wt") > 0, alloc).otherwise(F.lit(0))
         .alias("alloc"))
+
+
+def runs_test(df: DataFrame, t_col: str, y_col: str) -> DataFrame:
+    """Wald-Wolfowitz runs test over a BOUNDED time grid: are the
+    up/down moves of a series random, or do they streak (momentum) /
+    alternate (mean reversion)?  z = (R - E[R]) / sqrt(Var[R]) with
+    R the observed run count over the sign sequence of consecutive
+    differences (ties dropped).
+
+    Exact integer run/sign counts from lag windows over the
+    aggregate grid (the growth_curve contract); z is one fixed IEEE
+    expression (round 6); degenerate sequences (all one sign, < 2
+    moves) surface NULL."""
+    w = Window.orderBy(t_col)
+    base = df.select(F.col(t_col).alias("t"), F.col(y_col).alias("__y"),
+                     F.lag(y_col).over(w).alias("__p"))
+    signs = (base.filter(F.col("__p").isNotNull()
+                         & (F.col("__y") != F.col("__p")))
+             .select("t", (F.col("__y") > F.col("__p")).cast("int")
+                     .alias("__s")))
+    w2 = Window.orderBy("t")
+    runs = signs.select(
+        "__s",
+        F.when(F.lag("__s").over(w2).isNull()
+               | (F.lag("__s").over(w2) != F.col("__s")), 1)
+        .otherwise(0).alias("__new"))
+    agg = runs.agg(
+        F.sum("__s").alias("n_up"),
+        F.sum(F.lit(1) - F.col("__s")).alias("n_down"),
+        F.sum("__new").alias("n_runs"))
+    n1 = F.col("n_up").cast("double")
+    n2 = F.col("n_down").cast("double")
+    r = F.col("n_runs").cast("double")
+    n = n1 + n2
+    e = F.lit(2.0) * n1 * n2 / n + F.lit(1.0)
+    v = (F.lit(2.0) * n1 * n2 * (F.lit(2.0) * n1 * n2 - n1 - n2)
+         / (n * n * (n - F.lit(1.0))))
+    ok = (F.col("n_up") > 0) & (F.col("n_down") > 0) & (v > F.lit(0.0))
+    return agg.select(
+        F.col("n_up").cast("bigint").alias("n_up"),
+        F.col("n_down").cast("bigint").alias("n_down"),
+        F.col("n_runs").cast("bigint").alias("n_runs"),
+        F.when(ok, F.round((r - e) / F.sqrt(v), 6)).alias("z"))
+
+
+def theil_u(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Theil's uncertainty coefficient U(x|y) = MI(x,y) / H(x): the
+    share of x's entropy explained by knowing y — the normalized,
+    asymmetric association readout that chi-square and raw MI leave
+    unscaled (1 = y determines x, 0 = independent).
+
+    Exact integer cell counts; every entropy/MI term quantizes to
+    1e12 integers before its sum (the markov_entropy contract); the
+    final ratio is one IEEE division (round 6).
+
+    Scale shape: one (x, y) partial agg (cells bounded by category
+    cardinality), two marginal re-aggregations, a 1-row total
+    broadcast."""
+    big = "decimal(38,0)"
+    cells = df.groupBy(F.col(x_col).alias("__x"),
+                       F.col(y_col).alias("__y")).agg(
+        F.count(F.lit(1)).alias("__c"))
+    mx = cells.groupBy("__x").agg(F.sum("__c").alias("__cx"))
+    my = cells.groupBy("__y").agg(F.sum("__c").alias("__cy"))
+    tot = cells.agg(F.sum("__c").alias("__n"))
+    j = (cells.join(F.broadcast(mx), "__x")
+         .join(F.broadcast(my), "__y")
+         .crossJoin(F.broadcast(tot)))
+    nd = F.col("__n").cast("double")
+    c = F.col("__c").cast("double")
+    cx = F.col("__cx").cast("double")
+    cy = F.col("__cy").cast("double")
+    miq = F.floor(c / nd * (F.log(c * nd / (cx * cy))
+                            / F.log(F.lit(2.0)))
+                  * F.lit(1e12) + F.lit(0.5)).cast("bigint")
+    hx = (mx.crossJoin(F.broadcast(tot))
+          .agg(F.sum(F.floor(
+              F.col("__cx").cast("double") / F.col("__n").cast("double")
+              * (F.log(F.col("__n").cast("double")
+                       / F.col("__cx").cast("double"))
+                 / F.log(F.lit(2.0))) * F.lit(1e12) + F.lit(0.5))
+              .cast("bigint")).alias("__hx")))
+    mi = j.agg(F.max("__n").alias("n"),
+               F.sum(miq.cast(big)).alias("__mi"))
+    one = mi.crossJoin(F.broadcast(hx))
+    hxd = F.col("__hx").cast("double") / 1e12
+    mid = F.col("__mi").cast("double") / 1e12
+    return one.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(hxd, 6).alias("h_x"),
+        F.round(mid, 6).alias("mi_bits"),
+        F.when(F.col("__hx") > 0, F.round(mid / hxd, 6))
+        .alias("theil_u"))

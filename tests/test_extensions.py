@@ -1047,3 +1047,14 @@ def test_rolling_distinct_trailing_window(spark):
     assert got[3] == (1, 2)           # trailing7 at day3 = {1,2}
     # day8: user 3 today; user 1 (day3) still inside [2..8]
     assert got[8] == (1, 2)
+
+
+def test_skyline2d_frontier_and_tie_counts(spark):
+    from tabsdata_spark.extensions import skyline2d
+
+    # (1,5) frontier; (2,3) frontier; (2,9) dominated by (2,3);
+    # (3,3) dominated by (2,3); (4,1) frontier; duplicate (4,1)
+    pts = [(1, 5), (2, 3), (2, 9), (3, 3), (4, 1), (4, 1)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {(r.x, r.y): r.n_points for r in skyline2d(df, "x", "y").collect()}
+    assert got == {(1, 5): 1, (2, 3): 1, (4, 1): 2}

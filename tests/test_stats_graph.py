@@ -1334,3 +1334,34 @@ def test_neyman_allocation_favors_volatile_strata(spark):
     assert got["flat"].stddev == 0.0 and got["flat"].alloc == 0
     assert got["wild"].alloc == 1000
     assert got["wild"].weight == 1.0
+
+
+def test_runs_test_alternating_vs_streaky(spark):
+    from tabsdata_spark import stats
+
+    # perfectly alternating up/down -> many runs -> strongly positive z
+    alt = [10 + (i % 2) for i in range(40)]
+    df = spark.createDataFrame(list(enumerate(alt)), "t long, y long")
+    r = stats.runs_test(df, "t", "y").collect()[0]
+    assert r.n_runs == r.n_up + r.n_down  # every move flips sign
+    assert r.z > 3.0
+    # one long ramp up then down -> 2 runs -> strongly negative z
+    ramp = list(range(20)) + list(range(20, 0, -1))
+    df2 = spark.createDataFrame(list(enumerate(ramp)), "t long, y long")
+    r2 = stats.runs_test(df2, "t", "y").collect()[0]
+    assert r2.n_runs == 2 and r2.z < -3.0
+
+
+def test_theil_u_determined_and_independent(spark):
+    from tabsdata_spark import stats
+
+    # x fully determined by y -> U = 1
+    det = [("a", "s1"), ("b", "s2")] * 10
+    df = spark.createDataFrame(det, "x string, y string")
+    r = stats.theil_u(df, "x", "y").collect()[0]
+    assert r.theil_u == 1.0 and r.h_x == 1.0
+    # independent -> U ~ 0
+    ind = [(x, y) for x in ("a", "b") for y in ("s1", "s2")] * 5
+    r2 = stats.theil_u(spark.createDataFrame(ind, "x string, y string"),
+                       "x", "y").collect()[0]
+    assert abs(r2.theil_u) < 1e-6

@@ -72,6 +72,12 @@ GLOBAL_ORDER_OK = {
     # mase_backtest's lag windows run over the aggregated DAILY grid
     # (extensions.mase_backtest docstring)
     "mase_backtest_events",
+    # runs_test's lag windows run over the aggregated DAILY grid
+    "runs_test_events",
+    # skyline2d's running-min window runs over the caller-BUCKETED
+    # (x) grid (whole-hundreds price buckets, <= value-range rows) —
+    # the roc_auc quantize-upstream contract (extensions.skyline2d)
+    "skyline_orders",
 }
 
 
