@@ -1904,3 +1904,43 @@ def skyline2d(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     return sky.select(F.col("x").cast("bigint").alias("x"),
                       F.col("y").cast("bigint").alias("y"),
                       F.col("__n").cast("bigint").alias("n_points"))
+
+
+def tenure_hazard(df: DataFrame, key_col: str, ts_col: str) -> DataFrame:
+    """Discrete-time churn hazard by tenure: for each tenure week t,
+    the share of still-active users who churn exactly then —
+    hazard(t) = churned(t) / at_risk(t) — the curve that tells you
+    WHEN users leave (week-1 cliff vs slow decay), where a single
+    churn rate can't.
+
+    A user's final tenure is last_week - first_week; users whose last
+    activity falls in the dataset's final observed week are CENSORED
+    (still alive), contributing to at_risk but never to churn.
+    at_risk(t) derives from a reverse cumulative count over the
+    bounded tenure grid.  Exact integers; hazard is one IEEE division
+    (round 6).
+
+    Scale shape: one per-user partial agg, one 1-row max-week
+    broadcast, a bounded-grid window."""
+    wk = F.expr(f"(unix_micros(cast({ts_col} as timestamp))"
+                f" div 86400000000) div 7")
+    per_user = df.groupBy(F.col(key_col).alias("__u")).agg(
+        F.min(wk).alias("__fw"), F.max(wk).alias("__lw"))
+    maxw = per_user.agg(F.max("__lw").alias("__W"))
+    u = per_user.crossJoin(F.broadcast(maxw)).select(
+        (F.col("__lw") - F.col("__fw")).alias("__t"),
+        (F.col("__lw") == F.col("__W")).alias("__cens"))
+    per_t = u.groupBy(F.col("__t").alias("tenure_weeks")).agg(
+        F.count(F.lit(1)).alias("__ended"),
+        F.sum(F.when(~F.col("__cens"), 1).otherwise(0)).alias("churned"))
+    wrev = Window.orderBy(F.col("tenure_weeks").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    out = per_t.select(
+        "tenure_weeks", "churned",
+        F.sum("__ended").over(wrev).alias("at_risk"))
+    return out.select(
+        F.col("tenure_weeks").cast("bigint").alias("tenure_weeks"),
+        F.col("at_risk").cast("bigint").alias("at_risk"),
+        F.col("churned").cast("bigint").alias("churned"),
+        F.round(F.col("churned").cast("double")
+                / F.col("at_risk").cast("double"), 6).alias("hazard"))

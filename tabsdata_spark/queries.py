@@ -14255,3 +14255,170 @@ def theil_u_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return stats.theil_u(docs, "lang", "source")
+
+
+@q(
+    "sequential_obf_events",
+    """
+    WITH base AS (
+      SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) // 7
+               AS look,
+             (user_id % 2 = 0) AS c,
+             CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS sc
+      FROM events WHERE value IS NOT NULL),
+    per AS (
+      SELECT look,
+             SUM(CASE WHEN c THEN 1 ELSE 0 END) AS pn1,
+             SUM(CASE WHEN c THEN sc ELSE 0 END) AS ps1,
+             SUM(CASE WHEN NOT c THEN 1 ELSE 0 END) AS pn2,
+             SUM(CASE WHEN NOT c THEN sc ELSE 0 END) AS ps2
+      FROM base GROUP BY 1),
+    cum AS (
+      SELECT look, ROW_NUMBER() OVER (ORDER BY look) AS k,
+             SUM(pn1) OVER w AS n_1, SUM(ps1) OVER w AS s_1,
+             SUM(pn2) OVER w AS n_2, SUM(ps2) OVER w AS s_2
+      FROM per
+      WINDOW w AS (ORDER BY look ROWS UNBOUNDED PRECEDING)),
+    z AS (
+      SELECT look, k, n_1, n_2,
+             CASE WHEN n_1 > 0 AND n_2 > 0
+                       AND (CAST(s_1 AS DOUBLE) + CAST(s_2 AS DOUBLE))
+                           / (CAST(n_1 AS DOUBLE) + CAST(n_2 AS DOUBLE))
+                           * (1.0 - (CAST(s_1 AS DOUBLE)
+                                     + CAST(s_2 AS DOUBLE))
+                              / (CAST(n_1 AS DOUBLE)
+                                 + CAST(n_2 AS DOUBLE)))
+                           * (1.0 / CAST(n_1 AS DOUBLE)
+                              + 1.0 / CAST(n_2 AS DOUBLE)) > 0.0
+                  THEN ROUND((CAST(s_1 AS DOUBLE) / CAST(n_1 AS DOUBLE)
+                              - CAST(s_2 AS DOUBLE)
+                                / CAST(n_2 AS DOUBLE))
+                             / SQRT((CAST(s_1 AS DOUBLE)
+                                     + CAST(s_2 AS DOUBLE))
+                                    / (CAST(n_1 AS DOUBLE)
+                                       + CAST(n_2 AS DOUBLE))
+                                    * (1.0 - (CAST(s_1 AS DOUBLE)
+                                              + CAST(s_2 AS DOUBLE))
+                                       / (CAST(n_1 AS DOUBLE)
+                                          + CAST(n_2 AS DOUBLE)))
+                                    * (1.0 / CAST(n_1 AS DOUBLE)
+                                       + 1.0 / CAST(n_2 AS DOUBLE))), 6)
+             END AS z
+      FROM cum)
+    SELECT CAST(look AS BIGINT) AS look, CAST(k AS BIGINT) AS look_no,
+           CAST(n_1 AS BIGINT) AS n_1, CAST(n_2 AS BIGINT) AS n_2, z,
+           ROUND(([4.877, 3.357, 2.680, 2.290, 2.031])
+                 [LEAST(k, 5)], 6) AS bound,
+           CASE WHEN z IS NOT NULL
+                THEN ABS(z) > ([4.877, 3.357, 2.680, 2.290, 2.031])
+                              [LEAST(k, 5)]
+                ELSE FALSE END AS crossed
+    FROM z
+    """,
+)
+def sequential_obf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-sequential A/B monitor (stats.sequential_ztest): weekly
+    cumulative two-proportion z between even/odd users vs
+    O'Brien-Fleming bounds — legitimate peeking."""
+    from tabsdata_spark import stats
+
+    ev = load_events(spark, sf_dir).df
+    wk = F.expr("(unix_micros(cast(ts as timestamp))"
+                " div 86400000000) div 7")
+    base = (ev.filter(F.col("value").isNotNull())
+            .select(wk.alias("w"),
+                    (F.col("user_id") % 2 == 0).alias("c"),
+                    (F.col("value") > 50.0).cast("int").alias("sc")))
+    return stats.sequential_ztest(base, "w", "c", "sc")
+
+
+@q(
+    "rdd_events",
+    """
+    WITH base AS (
+      SELECT CAST(TRUNC(value) AS BIGINT) AS x,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+      WHERE value IS NOT NULL AND TRUNC(value) BETWEEN 100 AND 400),
+    g AS (
+      SELECT x >= 250 AS r, COUNT(*) AS n,
+             SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+             SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+             SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+             SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx
+      FROM base GROUP BY 1),
+    side AS (
+      SELECT r, n,
+             CASE WHEN n >= 3
+                       AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                           > 0.0
+                  THEN CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+                       - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                       + (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * 250.0
+             END AS yhat
+      FROM g)
+    SELECT CAST(l.n AS BIGINT) AS n_left,
+           CAST(r.n AS BIGINT) AS n_right,
+           ROUND(l.yhat, 6) AS yhat_left,
+           ROUND(r.yhat, 6) AS yhat_right,
+           ROUND(r.yhat - l.yhat, 6) AS jump
+    FROM (SELECT * FROM side WHERE NOT r) l,
+         (SELECT * FROM side WHERE r) r
+    """,
+)
+def rdd_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharp regression discontinuity (stats.rdd_estimate): purchase
+    share vs the value running variable, cutoff 250, bandwidth 150 —
+    per-side exact OLS lines, jump at the cutoff."""
+    from tabsdata_spark import stats
+
+    ev = load_events(spark, sf_dir).df
+    base = (ev.filter(F.col("value").isNotNull())
+            .select(F.col("value").cast("bigint").alias("x"),
+                    (F.col("event_type") == "purchase").cast("int")
+                    .alias("y")))
+    return stats.rdd_estimate(base, "x", "y", cutoff=250, bandwidth=150)
+
+
+@q(
+    "tenure_hazard_events",
+    """
+    WITH wk AS (
+      SELECT user_id AS u,
+             (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) // 7 AS w
+      FROM events),
+    pu AS (SELECT u, MIN(w) AS fw, MAX(w) AS lw FROM wk GROUP BY 1),
+    mx AS (SELECT MAX(lw) AS mw FROM pu),
+    uu AS (SELECT lw - fw AS t, lw = mw AS cens FROM pu, mx),
+    pt AS (SELECT t AS tenure_weeks, COUNT(*) AS ended,
+                  SUM(CASE WHEN NOT cens THEN 1 ELSE 0 END) AS churned
+           FROM uu GROUP BY 1),
+    o AS (SELECT tenure_weeks, churned,
+                 SUM(ended) OVER (ORDER BY tenure_weeks DESC
+                                  ROWS UNBOUNDED PRECEDING) AS at_risk
+          FROM pt)
+    SELECT CAST(tenure_weeks AS BIGINT) AS tenure_weeks,
+           CAST(at_risk AS BIGINT) AS at_risk,
+           CAST(churned AS BIGINT) AS churned,
+           ROUND(CAST(churned AS DOUBLE) / CAST(at_risk AS DOUBLE), 6)
+             AS hazard
+    FROM o
+    """,
+)
+def tenure_hazard_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time churn hazard by tenure week
+    (extensions.tenure_hazard): when do users leave — final-week
+    actives censored, reverse-cumulative at-risk counts."""
+    from tabsdata_spark.extensions import tenure_hazard
+
+    ev = load_events(spark, sf_dir).df
+    return tenure_hazard(ev, "user_id", "ts")

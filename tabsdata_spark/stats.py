@@ -2532,3 +2532,109 @@ def theil_u(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
         F.round(mid, 6).alias("mi_bits"),
         F.when(F.col("__hx") > 0, F.round(mid / hxd, 6))
         .alias("theil_u"))
+
+
+#: O'Brien-Fleming-style group-sequential z bounds for up to 5 interim
+#: looks (two-sided alpha ~ 0.05; standard published table, e.g.
+#: Jennison & Turnbull ch. 2).  Looks beyond the 5th fall back to 2.0.
+OBF_BOUNDS = [4.877, 3.357, 2.680, 2.290, 2.031]
+
+
+def sequential_ztest(df: DataFrame, look_col: str, cohort_col: str,
+                     success_col: str,
+                     bounds: list[float] | None = None) -> DataFrame:
+    """Group-sequential A/B monitoring: per interim look (e.g. week),
+    the CUMULATIVE two-proportion z between cohorts, compared to an
+    O'Brien-Fleming-style spending bound — peeking made legitimate:
+    early looks need overwhelming evidence, the final look nearly the
+    fixed-sample threshold.
+
+    Exact cumulative integer counts from windows over the bounded
+    look grid (the growth_curve contract); z is the pooled
+    two-proportion expression (round 6); `crossed` compares |z| to
+    the look's bound.
+
+    Scale shape: one partial agg onto (look), then a bounded-grid
+    cumulative window."""
+    bs = bounds or OBF_BOUNDS
+    c = F.col(cohort_col).cast("boolean")
+    s = F.col(success_col).cast("int")
+    per = df.groupBy(F.col(look_col).alias("look")).agg(
+        F.sum(F.when(c, 1).otherwise(0)).alias("__n1"),
+        F.sum(F.when(c, s).otherwise(0)).alias("__s1"),
+        F.sum(F.when(~c, 1).otherwise(0)).alias("__n2"),
+        F.sum(F.when(~c, s).otherwise(0)).alias("__s2"))
+    w = Window.orderBy("look").rowsBetween(Window.unboundedPreceding,
+                                           Window.currentRow)
+    cum = per.select(
+        "look", F.row_number().over(Window.orderBy("look")).alias("__k"),
+        F.sum("__n1").over(w).alias("n_1"),
+        F.sum("__s1").over(w).alias("s_1"),
+        F.sum("__n2").over(w).alias("n_2"),
+        F.sum("__s2").over(w).alias("s_2"))
+    n1, n2 = F.col("n_1").cast("double"), F.col("n_2").cast("double")
+    s1, s2 = F.col("s_1").cast("double"), F.col("s_2").cast("double")
+    p1, p2 = s1 / n1, s2 / n2
+    p = (s1 + s2) / (n1 + n2)
+    se2 = p * (F.lit(1.0) - p) * (F.lit(1.0) / n1 + F.lit(1.0) / n2)
+    z = F.when((F.col("n_1") > 0) & (F.col("n_2") > 0)
+               & (se2 > F.lit(0.0)),
+               F.round((p1 - p2) / F.sqrt(se2), 6))
+    bound = F.element_at(
+        F.array(*[F.lit(b) for b in bs]),
+        F.least(F.col("__k"), F.lit(len(bs))).cast("int"))
+    return cum.select(
+        F.col("look").cast("bigint").alias("look"),
+        F.col("__k").cast("bigint").alias("look_no"),
+        F.col("n_1").cast("bigint").alias("n_1"),
+        F.col("n_2").cast("bigint").alias("n_2"),
+        z.alias("z"), F.round(bound, 6).alias("bound"),
+        F.when(z.isNotNull(), F.abs(z) > bound).otherwise(F.lit(False))
+        .alias("crossed"))
+
+
+def rdd_estimate(df: DataFrame, x_col: str, y_col: str, cutoff: int,
+                 bandwidth: int) -> DataFrame:
+    """Sharp regression-discontinuity estimate: fit one exact OLS line
+    per side of `cutoff` within +-`bandwidth` of the (integer-valued)
+    running variable, and report the jump between the two side
+    predictions AT the cutoff — the causal-effect readout when
+    treatment switches deterministically at a threshold.
+
+    Exactness: per-side moment sums are exact decimal(38,0)
+    (exact_regression contract); slopes, intercepts, the two cutoff
+    predictions, and the jump are fixed IEEE expressions (round 6).
+    Degenerate sides (n < 3 or zero x variance) surface NULL.
+
+    Scale shape: one filtered scan + a 2-group partial agg."""
+    big = "decimal(38,0)"
+    x = F.col(x_col).cast(big)
+    y = F.col(y_col).cast(big)
+    side = (F.col(x_col) >= cutoff).alias("__right")
+    base = df.filter((F.col(x_col) >= cutoff - bandwidth)
+                     & (F.col(x_col) <= cutoff + bandwidth))
+    g = base.groupBy(side).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(x).alias("__sx"), F.sum(y).alias("__sy"),
+        F.sum((x * y).cast(big)).alias("__sxy"),
+        F.sum((x * x).cast(big)).alias("__sxx"))
+    nd = F.col("__n").cast("double")
+    sx, sy = F.col("__sx").cast("double"), F.col("__sy").cast("double")
+    sxy, sxx = F.col("__sxy").cast("double"), F.col("__sxx").cast("double")
+    vx = nd * sxx - sx * sx
+    slope = F.when((F.col("__n") >= 3) & (vx > F.lit(0.0)),
+                   (nd * sxy - sx * sy) / vx)
+    intercept = sy / nd - slope * (sx / nd)
+    yhat = intercept + slope * F.lit(float(cutoff))
+    per_side = g.select("__right", "__n", yhat.alias("__yhat"))
+    l = per_side.filter(~F.col("__right")).select(
+        F.col("__n").alias("n_left"), F.col("__yhat").alias("__yl"))
+    r = per_side.filter(F.col("__right")).select(
+        F.col("__n").alias("n_right"), F.col("__yhat").alias("__yr"))
+    one = l.crossJoin(F.broadcast(r))
+    return one.select(
+        F.col("n_left").cast("bigint").alias("n_left"),
+        F.col("n_right").cast("bigint").alias("n_right"),
+        F.round(F.col("__yl"), 6).alias("yhat_left"),
+        F.round(F.col("__yr"), 6).alias("yhat_right"),
+        F.round(F.col("__yr") - F.col("__yl"), 6).alias("jump"))

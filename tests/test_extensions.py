@@ -1058,3 +1058,24 @@ def test_skyline2d_frontier_and_tie_counts(spark):
     df = spark.createDataFrame(pts, "x long, y long")
     got = {(r.x, r.y): r.n_points for r in skyline2d(df, "x", "y").collect()}
     assert got == {(1, 5): 1, (2, 3): 1, (4, 1): 2}
+
+
+def test_tenure_hazard_censoring_and_at_risk(spark):
+    from tabsdata_spark.extensions import tenure_hazard
+    from datetime import datetime
+
+    def at(week):
+        return datetime(1970, 1, 1 + 7 * week)
+
+    rows = [
+        (1, at(0)), (1, at(1)),          # tenure 1, churns (lw=1 < mw)
+        (2, at(0)),                      # tenure 0, churns
+        (3, at(0)), (3, at(3)),          # tenure 3, lw = max -> censored
+    ]
+    df = spark.createDataFrame(rows, "u long, ts timestamp")
+    got = {r.tenure_weeks: r for r in
+           tenure_hazard(df, "u", "ts").collect()}
+    assert (got[0].at_risk, got[0].churned) == (3, 1)
+    assert (got[1].at_risk, got[1].churned) == (2, 1)
+    assert (got[3].at_risk, got[3].churned) == (1, 0)  # censored
+    assert got[3].hazard == 0.0

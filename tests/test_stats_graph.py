@@ -1365,3 +1365,36 @@ def test_theil_u_determined_and_independent(spark):
     r2 = stats.theil_u(spark.createDataFrame(ind, "x string, y string"),
                        "x", "y").collect()[0]
     assert abs(r2.theil_u) < 1e-6
+
+
+def test_sequential_ztest_bounds_descend_and_cross(spark):
+    from tabsdata_spark import stats
+
+    # cohort True converts at 95%, False at 5%: a huge effect that
+    # must cross even the harsh early OBF bound by look 2
+    rows = []
+    for wk in range(3):
+        rows += [(wk, True, 1)] * 19 + [(wk, True, 0)] * 1
+        rows += [(wk, False, 1)] * 1 + [(wk, False, 0)] * 19
+    df = spark.createDataFrame(rows, "w long, c boolean, s int")
+    out = sorted(stats.sequential_ztest(df, "w", "c", "s").collect(),
+                 key=lambda r: r.look_no)
+    assert [r.bound for r in out] == [4.877, 3.357, 2.680]
+    assert out[-1].crossed
+    # cumulative counts grow monotonically
+    assert out[0].n_1 < out[1].n_1 < out[2].n_1
+
+
+def test_rdd_estimate_recovers_known_jump(spark):
+    from tabsdata_spark import stats
+
+    # y = 1 exactly iff x >= 50 (within noise-free lines of slope 0):
+    # jump at cutoff = 1.0
+    rows = [(x, 0) for x in range(30, 50)] + \
+           [(x, 1) for x in range(50, 70)]
+    df = spark.createDataFrame(rows, "x long, y int")
+    r = stats.rdd_estimate(df, "x", "y", cutoff=50,
+                           bandwidth=20).collect()[0]
+    assert (r.n_left, r.n_right) == (20, 20)
+    assert r.yhat_left == 0.0 and r.yhat_right == 1.0
+    assert r.jump == 1.0

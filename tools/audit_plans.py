@@ -74,6 +74,11 @@ GLOBAL_ORDER_OK = {
     "mase_backtest_events",
     # runs_test's lag windows run over the aggregated DAILY grid
     "runs_test_events",
+    # sequential_ztest's cumulative windows run over the WEEK grid
+    "sequential_obf_events",
+    # tenure_hazard's reverse-cumulative window runs over the bounded
+    # TENURE-WEEK grid
+    "tenure_hazard_events",
     # skyline2d's running-min window runs over the caller-BUCKETED
     # (x) grid (whole-hundreds price buckets, <= value-range rows) —
     # the roc_auc quantize-upstream contract (extensions.skyline2d)
