@@ -1944,3 +1944,35 @@ def tenure_hazard(df: DataFrame, key_col: str, ts_col: str) -> DataFrame:
         F.col("churned").cast("bigint").alias("churned"),
         F.round(F.col("churned").cast("double")
                 / F.col("at_risk").cast("double"), 6).alias("hazard"))
+
+
+def contribution_tree(df: DataFrame, parent_col: str, child_col: str,
+                      value_col) -> DataFrame:
+    """Two-level contribution report: per (parent, child), the exact
+    decimal value total plus the child's share of its parent and of
+    the grand total — the percent-of-parent readout a plain rollup
+    doesn't give directly.
+
+    Exact decimal(18,2) sums at every level (child totals re-sum to
+    parent/grand totals exactly); shares are IEEE divisions
+    (round 6).
+
+    Scale shape: one partial agg onto (parent, child), one bounded
+    parent re-agg joined back (broadcast), one 1-row grand total."""
+    vdec = value_col if not isinstance(value_col, str) \
+        else F.col(value_col).cast("decimal(18,2)")
+    child = df.groupBy(F.col(parent_col).alias("parent"),
+                       F.col(child_col).alias("child")).agg(
+        F.sum(vdec).alias("__v"))
+    par = child.groupBy("parent").agg(F.sum("__v").alias("__pv"))
+    tot = child.agg(F.sum("__v").alias("__gv"))
+    j = child.join(F.broadcast(par), "parent").crossJoin(F.broadcast(tot))
+    return j.select(
+        "parent", "child",
+        F.col("__v").cast("double").alias("value"),
+        F.round(F.col("__v").cast("double")
+                / F.col("__pv").cast("double"), 6)
+        .alias("share_of_parent"),
+        F.round(F.col("__v").cast("double")
+                / F.col("__gv").cast("double"), 6)
+        .alias("share_of_total"))

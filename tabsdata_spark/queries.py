@@ -14422,3 +14422,163 @@ def tenure_hazard_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_events(spark, sf_dir).df
     return tenure_hazard(ev, "user_id", "ts")
+
+
+@q(
+    "revenue_share_tree",
+    """
+    WITH child AS (
+      SELECT r_name AS parent, n_name AS child,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS v
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY 1, 2),
+    par AS (SELECT parent, SUM(v) AS pv FROM child GROUP BY 1),
+    tot AS (SELECT SUM(v) AS gv FROM child)
+    SELECT parent, child, CAST(v AS DOUBLE) AS value,
+           ROUND(CAST(v AS DOUBLE) / CAST(pv AS DOUBLE), 6)
+             AS share_of_parent,
+           ROUND(CAST(v AS DOUBLE) / CAST(gv AS DOUBLE), 6)
+             AS share_of_total
+    FROM child JOIN par USING (parent), tot
+    """,
+)
+def revenue_share_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Region -> nation revenue contribution tree
+    (extensions.contribution_tree): exact decimal totals, percent of
+    parent and of grand total."""
+    from tabsdata_spark.extensions import contribution_tree
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    base = (o.join(c, o["o_custkey"] == c["c_custkey"])
+            .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+            .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+            .select("r_name", "n_name", "o_totalprice"))
+    return contribution_tree(base, "r_name", "n_name", "o_totalprice")
+
+
+@q(
+    "chi2_residuals_docs",
+    """
+    WITH cells AS (
+      SELECT lang AS a, source AS b, COUNT(*) AS n_obs
+      FROM documents GROUP BY 1, 2),
+    ma AS (SELECT a, SUM(n_obs) AS ca FROM cells GROUP BY 1),
+    mb AS (SELECT b, SUM(n_obs) AS cb FROM cells GROUP BY 1),
+    tot AS (SELECT SUM(n_obs) AS n FROM cells)
+    SELECT a, b, CAST(n_obs AS BIGINT) AS n_obs,
+           ROUND(CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE)
+                 / CAST(n AS DOUBLE), 6) AS expected,
+           CASE WHEN CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE)
+                     / CAST(n AS DOUBLE) > 0.0
+                THEN ROUND((CAST(n_obs AS DOUBLE)
+                            - CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE)
+                              / CAST(n AS DOUBLE))
+                           / SQRT(CAST(ca AS DOUBLE)
+                                  * CAST(cb AS DOUBLE)
+                                  / CAST(n AS DOUBLE)), 6)
+           END AS std_residual,
+           CASE WHEN CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE)
+                     / CAST(n AS DOUBLE) > 0.0
+                THEN ROUND((CAST(n_obs AS DOUBLE)
+                            - CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE)
+                              / CAST(n AS DOUBLE))
+                           * (CAST(n_obs AS DOUBLE)
+                              - CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE)
+                                / CAST(n AS DOUBLE))
+                           / (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE)
+                              / CAST(n AS DOUBLE)), 6)
+           END AS chi2_cell
+    FROM cells JOIN ma USING (a) JOIN mb USING (b), tot
+    """,
+)
+def chi2_residuals_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell chi-square residuals for lang x source
+    (stats.chi2_residuals) — which cells drive the association the
+    omnibus chi2 detects."""
+    from tabsdata_spark import stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stats.chi2_residuals(docs, "lang", "source")
+
+
+@q(
+    "power_analysis_events",
+    """
+    WITH agg AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS s
+      FROM events WHERE value IS NOT NULL GROUP BY 1)
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate,
+           CASE WHEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) > 0.0
+                     AND LEAST(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                               * 1.2, 1.0)
+                         > CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                THEN ROUND(LEAST(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                                 * 1.2, 1.0), 6)
+           END AS target_rate,
+           CASE WHEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) > 0.0
+                     AND LEAST(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                               * 1.2, 1.0)
+                         > CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                THEN CAST(CEIL(
+                  (1.959964 * SQRT(2.0
+                     * ((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                         + LEAST(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                                 * 1.2, 1.0)) / 2.0)
+                     * (1.0 - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                               + LEAST(CAST(s AS DOUBLE)
+                                       / CAST(n AS DOUBLE) * 1.2,
+                                       1.0)) / 2.0))
+                   + 0.841621 * SQRT(
+                       CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                       * (1.0 - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                       + LEAST(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                               * 1.2, 1.0)
+                         * (1.0 - LEAST(CAST(s AS DOUBLE)
+                                        / CAST(n AS DOUBLE) * 1.2,
+                                        1.0))))
+                  * (1.959964 * SQRT(2.0
+                     * ((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                         + LEAST(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                                 * 1.2, 1.0)) / 2.0)
+                     * (1.0 - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                               + LEAST(CAST(s AS DOUBLE)
+                                       / CAST(n AS DOUBLE) * 1.2,
+                                       1.0)) / 2.0))
+                   + 0.841621 * SQRT(
+                       CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                       * (1.0 - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                       + LEAST(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                               * 1.2, 1.0)
+                         * (1.0 - LEAST(CAST(s AS DOUBLE)
+                                        / CAST(n AS DOUBLE) * 1.2,
+                                        1.0))))
+                  / ((LEAST(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                            * 1.2, 1.0)
+                      - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (LEAST(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                              * 1.2, 1.0)
+                        - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))))
+                  AS BIGINT)
+           END AS n_per_arm
+    FROM agg
+    """,
+)
+def power_analysis_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion power analysis (stats.power_two_proportion):
+    n-per-arm to detect a 20% relative lift over each event type's
+    observed value>50 rate at alpha 0.05 / power 0.8."""
+    from tabsdata_spark import stats
+
+    ev = load_events(spark, sf_dir).df
+    base = (ev.filter(F.col("value").isNotNull())
+            .select("event_type",
+                    (F.col("value") > 50.0).cast("int").alias("sc")))
+    return stats.power_two_proportion(base, ["event_type"], "sc")

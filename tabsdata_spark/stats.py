@@ -2638,3 +2638,71 @@ def rdd_estimate(df: DataFrame, x_col: str, y_col: str, cutoff: int,
         F.round(F.col("__yl"), 6).alias("yhat_left"),
         F.round(F.col("__yr"), 6).alias("yhat_right"),
         F.round(F.col("__yr") - F.col("__yl"), 6).alias("jump"))
+
+
+def chi2_residuals(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Per-cell chi-square diagnostics for a contingency table: the
+    observed count, expected count under independence, the
+    standardized residual (o - e)/sqrt(e), and the cell's chi2
+    contribution — WHICH cells drive a significant omnibus chi2, not
+    just that one exists.
+
+    Exact integer margins; expected/residual are fixed IEEE
+    expressions over the exact counts (round 6).
+
+    Scale shape: one (a, b) partial agg + two broadcast marginal
+    joins + a 1-row total."""
+    cells = df.groupBy(F.col(a_col).alias("a"),
+                       F.col(b_col).alias("b")).agg(
+        F.count(F.lit(1)).alias("n_obs"))
+    ma = cells.groupBy("a").agg(F.sum("n_obs").alias("__ca"))
+    mb = cells.groupBy("b").agg(F.sum("n_obs").alias("__cb"))
+    tot = cells.agg(F.sum("n_obs").alias("__n"))
+    j = (cells.join(F.broadcast(ma), "a").join(F.broadcast(mb), "b")
+         .crossJoin(F.broadcast(tot)))
+    e = (F.col("__ca").cast("double") * F.col("__cb").cast("double")
+         / F.col("__n").cast("double"))
+    o = F.col("n_obs").cast("double")
+    return j.select(
+        "a", "b", F.col("n_obs").cast("bigint").alias("n_obs"),
+        F.round(e, 6).alias("expected"),
+        F.when(e > F.lit(0.0), F.round((o - e) / F.sqrt(e), 6))
+        .alias("std_residual"),
+        F.when(e > F.lit(0.0), F.round((o - e) * (o - e) / e, 6))
+        .alias("chi2_cell"))
+
+
+def power_two_proportion(df: DataFrame, group_cols: list[str],
+                         success_col: str, rel_lift: float = 0.2,
+                         z_alpha: float = 1.959964,
+                         z_beta: float = 0.841621) -> DataFrame:
+    """Sample-size calculator seeded by OBSERVED baselines: per group,
+    the n-per-arm needed to detect a `rel_lift` relative improvement
+    over the group's observed rate at the given alpha/power z values
+    — the pre-experiment readout that stops underpowered A/B launches.
+
+    n = (za*sqrt(2*pbar*qbar) + zb*sqrt(p1*q1 + p2*q2))^2 / (p2-p1)^2
+    with p2 = min(p1*(1+lift), 1).  Exact integer counts; the formula
+    is one fixed IEEE expression; ceil is identical on both engines
+    for positive doubles.  Degenerate baselines (p1 = 0 or p2 = p1)
+    surface NULL.
+
+    Scale shape: one partial-agg shuffle onto the group keys."""
+    s = F.col(success_col).cast("int")
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(s).alias("s"))
+    p1 = F.col("s").cast("double") / F.col("n").cast("double")
+    p2 = F.least(p1 * F.lit(1.0 + rel_lift), F.lit(1.0))
+    pbar = (p1 + p2) / F.lit(2.0)
+    num = (F.lit(z_alpha)
+           * F.sqrt(F.lit(2.0) * pbar * (F.lit(1.0) - pbar))
+           + F.lit(z_beta)
+           * F.sqrt(p1 * (F.lit(1.0) - p1) + p2 * (F.lit(1.0) - p2)))
+    ok = (p1 > F.lit(0.0)) & (p2 > p1)
+    n_req = F.ceil(num * num / ((p2 - p1) * (p2 - p1))).cast("bigint")
+    return agg.select(
+        *group_cols,
+        F.col("n").cast("bigint").alias("n"),
+        F.round(p1, 6).alias("rate"),
+        F.when(ok, F.round(p2, 6)).alias("target_rate"),
+        F.when(ok, n_req).alias("n_per_arm"))

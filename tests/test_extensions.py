@@ -1079,3 +1079,16 @@ def test_tenure_hazard_censoring_and_at_risk(spark):
     assert (got[1].at_risk, got[1].churned) == (2, 1)
     assert (got[3].at_risk, got[3].churned) == (1, 0)  # censored
     assert got[3].hazard == 0.0
+
+
+def test_contribution_tree_shares_sum_to_one(spark):
+    from tabsdata_spark.extensions import contribution_tree
+
+    rows = [("r1", "n1", 10.0), ("r1", "n2", 30.0), ("r2", "n3", 60.0)]
+    df = spark.createDataFrame(rows, "p string, c string, v double")
+    got = {(r.parent, r.child): r for r in
+           contribution_tree(df, "p", "c", "v").collect()}
+    assert got[("r1", "n1")].share_of_parent == 0.25
+    assert got[("r1", "n2")].share_of_parent == 0.75
+    assert got[("r2", "n3")].share_of_parent == 1.0
+    assert sum(r.share_of_total for r in got.values()) == 1.0

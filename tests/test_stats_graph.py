@@ -1398,3 +1398,32 @@ def test_rdd_estimate_recovers_known_jump(spark):
     assert (r.n_left, r.n_right) == (20, 20)
     assert r.yhat_left == 0.0 and r.yhat_right == 1.0
     assert r.jump == 1.0
+
+
+def test_chi2_residuals_independent_table_near_zero(spark):
+    from tabsdata_spark import stats
+
+    # perfectly independent 2x2 -> every residual exactly 0
+    rows = [(a, b) for a in ("x", "y") for b in ("u", "v")
+            for _ in range(10)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    out = stats.chi2_residuals(df, "a", "b").collect()
+    assert all(r.std_residual == 0.0 and r.chi2_cell == 0.0
+               for r in out)
+    assert all(r.expected == 10.0 for r in out)
+
+
+def test_power_two_proportion_small_base_needs_more(spark):
+    from tabsdata_spark import stats
+
+    # rarer baseline -> larger required n for the same relative lift
+    rows = [("rare", 1)] * 5 + [("rare", 0)] * 95 \
+        + [("common", 1)] * 50 + [("common", 0)] * 50
+    df = spark.createDataFrame(rows, "g string, s int")
+    got = {r.g: r for r in
+           stats.power_two_proportion(df, ["g"], "s").collect()}
+    assert got["rare"].n_per_arm > got["common"].n_per_arm > 0
+    # all-success baseline can't lift -> NULL
+    full = spark.createDataFrame([("f", 1)] * 10, "g string, s int")
+    r = stats.power_two_proportion(full, ["g"], "s").collect()[0]
+    assert r.n_per_arm is None and r.target_rate is None
