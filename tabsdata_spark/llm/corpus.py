@@ -1084,3 +1084,47 @@ def doc_keywords(docs: DataFrame, k: int = 3, id_col: str = "doc_id",
         "term", F.col("tf").cast("bigint").alias("tf"),
         F.round(F.col("__q").cast("double") / F.lit(1e12), 6)
         .alias("tfidf"))
+
+
+def negative_sampling_table(docs: DataFrame, top: int = 1000,
+                            power: float = 0.75,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """word2vec-style negative-sampling table: the `top` most frequent
+    tokens with sampling weight proportional to count^power (0.75
+    flattens the Zipf head so 'the' doesn't dominate every draw), as
+    normalized probabilities plus cumulative ranges for inverse-CDF
+    sampling.
+
+    Determinism: count^power evaluates as exp(power * ln(count)) and
+    quantizes to 1e6 integers BEFORE normalization, so weights, the
+    normalizing total, and the cumulative ranges are exact integers;
+    displayed probabilities are IEEE divisions (round 6).
+
+    Scale shape: one token count shuffle, a TakeOrderedAndProject
+    top-N cut, then a <= `top`-row cumulative window."""
+    toks = docs.select(F.explode(clean_tokens(F.col(text_col)))
+                       .alias("__t"))
+    counts = toks.groupBy("__t").agg(F.count(F.lit(1)).alias("__c"))
+    head = counts.orderBy(F.col("__c").desc(), F.col("__t")).limit(top)
+    wq = F.floor(F.exp(F.lit(power)
+                       * F.log(F.col("__c").cast("double")))
+                 * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+    scored = head.select(F.col("__t").alias("token"),
+                         F.col("__c").cast("bigint").alias("n"),
+                         wq.alias("__wq"))
+    w = Window.orderBy(F.col("n").desc(), F.col("token")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    wt = Window.rowsBetween(Window.unboundedPreceding,
+                            Window.unboundedFollowing)
+    cum = scored.select(
+        "token", "n", "__wq",
+        F.sum("__wq").over(w).alias("__cw"),
+        F.sum("__wq").over(wt).alias("__tw"))
+    return cum.select(
+        "token", "n",
+        F.round(F.col("__wq").cast("double")
+                / F.col("__tw").cast("double"), 6).alias("p_sample"),
+        (F.col("__cw") - F.col("__wq")).cast("bigint")
+        .alias("range_start"),
+        F.col("__cw").cast("bigint").alias("range_end"))

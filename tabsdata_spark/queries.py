@@ -14582,3 +14582,85 @@ def power_analysis_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_type",
                     (F.col("value") > 50.0).cast("int").alias("sc")))
     return stats.power_two_proportion(base, ["event_type"], "sc")
+
+
+@q(
+    "lorenz_curve_customers",
+    """
+    WITH base AS (
+      SELECT LEAST(GREATEST((CAST(FLOOR(c_acctbal * 100 + 0.5)
+                                  AS BIGINT) - 0) * 20
+                            // (1000000 - 0 + 1), 0), 19) AS b,
+             CAST(GREATEST(LEAST(CAST(FLOOR(c_acctbal * 100 + 0.5)
+                                      AS BIGINT), 1000000), 0)
+                  AS DECIMAL(38,0)) AS x
+      FROM customer),
+    g AS (SELECT b, COUNT(*) AS n, SUM(x) AS s FROM base GROUP BY 1),
+    cum AS (
+      SELECT b,
+             SUM(n) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS cn,
+             SUM(s) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS cs,
+             SUM(n) OVER () AS tn, SUM(s) OVER () AS ts
+      FROM g)
+    SELECT CAST(b AS BIGINT) AS bucket, CAST(cn AS BIGINT) AS cum_count,
+           ROUND(CAST(cn AS DOUBLE) / CAST(tn AS DOUBLE), 6)
+             AS pop_share,
+           CASE WHEN CAST(ts AS DOUBLE) > 0.0
+                THEN ROUND(CAST(cs AS DOUBLE) / CAST(ts AS DOUBLE), 6)
+           END AS value_share
+    FROM cum
+    """,
+)
+def lorenz_curve_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of customer account balances (stats.lorenz_curve):
+    cumulative population vs balance share over 20 equal-width cents
+    buckets (clamped to [0, 10k]) — where the Gini concentration
+    lives."""
+    from tabsdata_spark import stats
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint")
+        .alias("xq"))
+    return stats.lorenz_curve(c, "xq", buckets=20, lo=0, hi=1000000)
+
+
+@q(
+    "negative_sampling_tokens",
+    """
+    WITH counts AS (
+      SELECT t AS token, COUNT(*) AS n
+      FROM (SELECT unnest(list_filter(regexp_split_to_array(
+                trim(regexp_replace(lower(text), '[^a-z0-9\\s]', '',
+                                    'g')), '\\s+'), x -> x <> '')) AS t
+            FROM documents)
+      GROUP BY 1),
+    head AS (SELECT token, n FROM counts
+             ORDER BY n DESC, token LIMIT 500),
+    scored AS (
+      SELECT token, n,
+             CAST(FLOOR(EXP(0.75 * LN(CAST(n AS DOUBLE))) * 1e6 + 0.5)
+                  AS BIGINT) AS wq
+      FROM head),
+    cum AS (
+      SELECT token, n, wq,
+             SUM(wq) OVER (ORDER BY n DESC, token
+                           ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(wq) OVER () AS tw
+      FROM scored)
+    SELECT token, CAST(n AS BIGINT) AS n,
+           ROUND(CAST(wq AS DOUBLE) / CAST(tw AS DOUBLE), 6)
+             AS p_sample,
+           CAST(cw - wq AS BIGINT) AS range_start,
+           CAST(cw AS BIGINT) AS range_end
+    FROM cum
+    """,
+)
+def negative_sampling_tokens(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """word2vec negative-sampling table (corpus.
+    negative_sampling_table): top-500 tokens, count^0.75 weights
+    quantized to exact integers, inverse-CDF ranges."""
+    from tabsdata_spark.llm import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus.negative_sampling_table(docs, top=500)

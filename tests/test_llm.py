@@ -2151,3 +2151,20 @@ def test_intrinsic_dimension_excludes_exact_dups(spark):
     r = similarity.intrinsic_dimension(emb, qs).collect()[0]
     assert r.n_degenerate == 2 and r.n_used == 0
     assert r.intrinsic_dim is None
+
+
+def test_negative_sampling_table_ranges_partition(spark):
+    from tabsdata_spark.llm import corpus
+
+    docs = spark.createDataFrame(
+        [(0, "aa aa aa aa bb bb cc")], "doc_id long, text string")
+    out = sorted(corpus.negative_sampling_table(docs, top=3).collect(),
+                 key=lambda r: r.range_start)
+    # ranges tile [0, total) with no gaps
+    assert out[0].range_start == 0
+    for prev, cur in zip(out, out[1:]):
+        assert prev.range_end == cur.range_start
+    # 0.75 power: 4 occurrences weigh less than 2x of 2 occurrences
+    w = {r.token: r.range_end - r.range_start for r in out}
+    assert w["aa"] < 2 * w["bb"]
+    assert abs(sum(r.p_sample for r in out) - 1.0) < 1e-5

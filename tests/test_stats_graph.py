@@ -1427,3 +1427,27 @@ def test_power_two_proportion_small_base_needs_more(spark):
     full = spark.createDataFrame([("f", 1)] * 10, "g string, s int")
     r = stats.power_two_proportion(full, ["g"], "s").collect()[0]
     assert r.n_per_arm is None and r.target_rate is None
+
+
+def test_lorenz_curve_equal_vs_concentrated(spark):
+    from tabsdata_spark import stats
+
+    # uniform distribution: curve sits below the diagonal, is
+    # monotone, and ends at (1, 1)
+    eq = spark.createDataFrame([(i % 10 * 10 + 5,) for i in range(100)],
+                               "xq long")
+    out = sorted(stats.lorenz_curve(eq, "xq", buckets=10, lo=0,
+                                    hi=99).collect(),
+                 key=lambda r: r.bucket)
+    for r in out:
+        assert r.value_share <= r.pop_share
+    assert [r.value_share for r in out] == \
+        sorted(r.value_share for r in out)
+    assert out[-1].pop_share == 1.0 and out[-1].value_share == 1.0
+    # all value in the top bucket -> value_share 0 until the end
+    conc = spark.createDataFrame([(0,)] * 90 + [(99,)] * 10, "xq long")
+    out2 = sorted(stats.lorenz_curve(conc, "xq", buckets=10, lo=0,
+                                     hi=99).collect(),
+                  key=lambda r: r.bucket)
+    assert out2[0].value_share == 0.0 and out2[0].pop_share == 0.9
+    assert out2[-1].value_share == 1.0

@@ -79,6 +79,11 @@ GLOBAL_ORDER_OK = {
     # tenure_hazard's reverse-cumulative window runs over the bounded
     # TENURE-WEEK grid
     "tenure_hazard_events",
+    # lorenz_curve's cumulative window runs over the <= 20-bucket grid
+    "lorenz_curve_customers",
+    # negative_sampling's cumulative window runs AFTER the top-500
+    # TakeOrderedAndProject cut (<= 500 rows)
+    "negative_sampling_tokens",
     # skyline2d's running-min window runs over the caller-BUCKETED
     # (x) grid (whole-hundreds price buckets, <= value-range rows) —
     # the roc_auc quantize-upstream contract (extensions.skyline2d)
