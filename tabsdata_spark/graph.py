@@ -381,3 +381,103 @@ def kcore_peel(edges: DataFrame, src_col: str, dst_col: str,
            .select(F.col("a").alias("node"),
                    F.col("degree").cast("bigint").alias("degree")))
     return out
+
+
+def markov_attribution(df: DataFrame, key_col: str, ts_col: str,
+                       state_col: str, conv_value: str,
+                       tie_cols: list[str] | None = None,
+                       steps: int = 12) -> DataFrame:
+    """Markov removal-effect attribution: build the first-order journey
+    chain (start -> touchpoints -> conv on the converting event, ->
+    null at journey end), estimate the chain's conversion probability,
+    re-estimate it with each channel REMOVED (its inbound mass
+    diverted to null), and credit each channel by its normalized
+    removal effect — the data-driven multi-touch model that last-touch
+    / position heuristics approximate.
+
+    Journeys truncate at the FIRST conversion.  The absorption
+    probability is evaluated over a fixed `steps`-step horizon BY
+    CONTRACT (the oracle unrolls the same horizon) as a PURE-INTEGER
+    recursion: start mass 1e12; each step moves floor(m * n_ij / n_i)
+    along every edge (64-bit-safe via exact big-int arithmetic), so
+    base and removal masses are bit-identical in any engine.  Removal
+    merges redirected edges BEFORE dividing (one canonical form).
+
+    Scale shape: one key shuffle + lead windows build the transition
+    counts; the |states|^2 table (bounded category grid) is collected
+    and the recursion runs driver-side — the CC/BPE bounded-collect
+    precedent.  Output: one row per non-converting channel."""
+    from pyspark.sql.window import Window
+
+    keys = [key_col]
+    order = [F.col(ts_col)] + [F.col(c) for c in (tie_cols or [])]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    st = F.when(F.col(state_col) == conv_value, F.lit("conv")) \
+        .otherwise(F.col(state_col))
+    base = df.select(F.col(key_col).alias("__u"), st.alias("__st"),
+                     F.row_number().over(w).alias("__rn"))
+    fp = base.filter(F.col("__st") == "conv").groupBy("__u").agg(
+        F.min("__rn").alias("__rp"))
+    kept = (base.join(fp, "__u", "left")
+            .filter(F.col("__rp").isNull()
+                    | (F.col("__rn") <= F.col("__rp"))))
+    w2 = Window.partitionBy("__u").orderBy("__rn")
+    seq = kept.select("__u", "__st", "__rn",
+                      F.lead("__st").over(w2).alias("__nxt"))
+    start_e = seq.filter(F.col("__rn") == 1).select(
+        F.lit("start").alias("src"), F.col("__st").alias("dst"))
+    mid_e = seq.filter(F.col("__nxt").isNotNull()).select(
+        F.col("__st").alias("src"), F.col("__nxt").alias("dst"))
+    end_e = seq.filter(F.col("__nxt").isNull()
+                       & (F.col("__st") != "conv")).select(
+        F.col("__st").alias("src"), F.lit("null").alias("dst"))
+    trans = (start_e.unionAll(mid_e).unionAll(end_e)
+             .groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n")))
+    rows = [(r["src"], r["dst"], int(r["n"])) for r in trans.collect()]
+
+    ni: dict = {}
+    for s, _d, n in rows:
+        ni[s] = ni.get(s, 0) + n
+    channels = sorted({s for s, _d, _n in rows
+                       if s not in ("start", "conv", "null")}
+                      | {d for _s, d, _n in rows
+                         if d not in ("start", "conv", "null")})
+
+    def conv_mass(removed: str | None) -> int:
+        edges: dict = {}
+        for s, d, n in rows:
+            if removed is not None and s == removed:
+                continue
+            dd = "null" if (removed is not None and d == removed) else d
+            edges[(s, dd)] = edges.get((s, dd), 0) + n
+        mass = {"start": 10 ** 12}
+        for _ in range(steps):
+            nxt: dict = {}
+            for s, m in mass.items():
+                if s in ("conv", "null"):
+                    nxt[s] = nxt.get(s, 0) + m  # absorbing self-loop
+                    continue
+                for (es, ed), n in edges.items():
+                    if es != s:
+                        continue
+                    nxt[ed] = nxt.get(ed, 0) + (m * n) // ni[s]
+            mass = nxt
+        return mass.get("conv", 0)
+
+    bq = conv_mass(None)
+    out = []
+    res = []
+    for c in channels:
+        rq = conv_mass(c)
+        re_u = (bq - rq) / bq if bq > 0 else None
+        res.append((c, rq, re_u))
+    denom = sum(max(r, 0.0) for _c, _q, r in res if r is not None)
+    for c, rq, re_u in res:
+        att = (round(max(re_u, 0.0) / denom, 6)
+               if re_u is not None and denom > 0 else None)
+        out.append((c, bq, rq,
+                    round(re_u, 6) if re_u is not None else None, att))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        out, "channel string, base_conv_q long, removal_conv_q long,"
+             " removal_effect double, attribution double")

@@ -14664,3 +14664,115 @@ def negative_sampling_tokens(spark: SparkSession,
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return corpus.negative_sampling_table(docs, top=500)
+
+
+def _markov_attr_oracle(steps: int = 12,
+                        channels=("click", "error", "signup",
+                                  "view")) -> str:
+    """Generated oracle for markov_attribution_events: the transition
+    build mirrors graph.markov_attribution's windows, then the SAME
+    pure-integer `steps`-step absorption recursion unrolls as chained
+    CTEs per variant (base + one per removed channel).  Integer ops go
+    through HUGEINT intermediates (never output columns)."""
+    head = """
+    WITH ev AS (
+      SELECT user_id AS u, CAST(ts AS TIMESTAMP) AS mts, event_id,
+             CASE WHEN event_type = 'purchase' THEN 'conv'
+                  ELSE event_type END AS st
+      FROM events),
+    r AS MATERIALIZED (
+          SELECT u, st, ROW_NUMBER() OVER (PARTITION BY u
+                                           ORDER BY mts, event_id)
+                 AS rn
+          FROM ev),
+    fp AS (SELECT u, MIN(rn) AS rp FROM r WHERE st = 'conv'
+           GROUP BY u),
+    kept AS (SELECT r.u, r.st, r.rn FROM r LEFT JOIN fp ON r.u = fp.u
+             WHERE fp.rp IS NULL OR r.rn <= fp.rp),
+    seq AS (SELECT u, st, rn,
+                   LEAD(st) OVER (PARTITION BY u ORDER BY rn) AS nxt
+            FROM kept),
+    trans_raw AS (
+      SELECT 'start' AS src, st AS dst FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT st, nxt FROM seq WHERE nxt IS NOT NULL
+      UNION ALL
+      SELECT st, 'null' FROM seq WHERE nxt IS NULL AND st <> 'conv'),
+    trans AS (SELECT src, dst, COUNT(*) AS n FROM trans_raw
+              GROUP BY 1, 2),
+    nisrc AS (SELECT src, SUM(n) AS ni FROM trans GROUP BY 1),
+    tbase AS MATERIALIZED (
+      SELECT t.src, t.dst, t.n, nisrc.ni
+      FROM trans t JOIN nisrc USING (src)
+      UNION ALL SELECT 'conv', 'conv', 1, 1
+      UNION ALL SELECT 'null', 'null', 1, 1)"""
+    parts = [head]
+    tags = {"base": None}
+    for c in channels:
+        tags[f"rm_{c}"] = c
+    for tag, removed in tags.items():
+        if removed is None:
+            tcte = "tbase"
+        else:
+            tcte = f"t_{tag}"
+            parts.append(f""",
+    {tcte} AS MATERIALIZED (
+      SELECT src,
+             CASE WHEN dst = '{removed}' THEN 'null' ELSE dst END
+               AS dst,
+             SUM(n) AS n, ni
+      FROM tbase WHERE src <> '{removed}'
+      GROUP BY 1, 2, 4)""")
+        parts.append(f""",
+    m_{tag}_0 AS (SELECT 'start' AS state,
+                         CAST(1000000000000 AS BIGINT) AS mq)""")
+        for k in range(steps):
+            parts.append(f""",
+    m_{tag}_{k + 1} AS (
+      SELECT t.dst AS state,
+             CAST(SUM((CAST(m.mq AS HUGEINT) * t.n) // t.ni)
+                  AS BIGINT) AS mq
+      FROM m_{tag}_{k} m JOIN {tcte} t ON t.src = m.state
+      GROUP BY t.dst)""")
+        parts.append(f""",
+    p_{tag} AS (SELECT COALESCE(MAX(CASE WHEN state = 'conv' THEN mq
+                                         END), 0) AS cq
+                FROM m_{tag}_{steps})""")
+    rows = " UNION ALL ".join(
+        f"SELECT '{c}' AS channel, (SELECT cq FROM p_rm_{c}) AS rq"
+        for c in channels)
+    parts.append(f""",
+    variants AS ({rows}),
+    scored AS (
+      SELECT channel, (SELECT cq FROM p_base) AS bq, rq,
+             CASE WHEN (SELECT cq FROM p_base) > 0
+                  THEN (CAST((SELECT cq FROM p_base) AS DOUBLE)
+                        - CAST(rq AS DOUBLE))
+                       / CAST((SELECT cq FROM p_base) AS DOUBLE)
+             END AS re_u
+      FROM variants),
+    denom AS (SELECT SUM(GREATEST(re_u, 0.0)) AS dn FROM scored)
+    SELECT channel, CAST(bq AS BIGINT) AS base_conv_q,
+           CAST(rq AS BIGINT) AS removal_conv_q,
+           ROUND(re_u, 6) AS removal_effect,
+           CASE WHEN re_u IS NOT NULL AND dn > 0.0
+                THEN ROUND(GREATEST(re_u, 0.0) / dn, 6)
+           END AS attribution
+    FROM scored, denom
+    """)
+    return "".join(parts)
+
+
+@q("markov_attribution_events", _markov_attr_oracle())
+def markov_attribution_events(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution (graph.markov_attribution):
+    journeys truncate at first purchase, absorption evaluated over a
+    12-step pure-integer horizon, each channel credited by normalized
+    removal effect.  The oracle unrolls the identical integer
+    recursion per variant."""
+    from tabsdata_spark import graph
+
+    ev = load_events(spark, sf_dir).df
+    return graph.markov_attribution(ev, "user_id", "ts", "event_type",
+                                    "purchase", tie_cols=["event_id"])

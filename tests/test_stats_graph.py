@@ -1451,3 +1451,44 @@ def test_lorenz_curve_equal_vs_concentrated(spark):
                   key=lambda r: r.bucket)
     assert out2[0].value_share == 0.0 and out2[0].pop_share == 0.9
     assert out2[-1].value_share == 1.0
+
+
+def test_markov_attribution_indispensable_channel(spark):
+    from tabsdata_spark import graph
+    from datetime import datetime
+
+    def at(m):
+        return datetime(2024, 1, 1, 10, m)
+
+    # every conversion goes through 'b'; 'a' journeys die without b
+    rows = [
+        (1, 1, at(0), "a"), (1, 2, at(1), "b"), (1, 3, at(2), "purchase"),
+        (2, 4, at(0), "b"), (2, 5, at(1), "purchase"),
+        (3, 6, at(0), "a"),                      # a -> null
+        (4, 7, at(0), "a"), (4, 8, at(1), "b"),
+        (4, 9, at(2), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "u long, eid long, ts timestamp,"
+                                     " et string")
+    got = {r.channel: r for r in graph.markov_attribution(
+        df, "u", "ts", "et", "purchase", tie_cols=["eid"]).collect()}
+    # removing b kills all conversions -> removal effect 1
+    assert got["b"].removal_effect == 1.0
+    # removing a still leaves the pure-b journey -> effect < 1
+    assert got["a"].removal_effect < 1.0
+    assert got["b"].attribution > got["a"].attribution
+    assert abs(got["a"].attribution + got["b"].attribution - 1.0) < 1e-5
+
+
+def test_markov_attribution_base_probability_sane(spark):
+    from tabsdata_spark import graph
+    from datetime import datetime
+
+    # 1 of 2 users converts immediately: base conv ~ 0.5 of 1e12
+    rows = [(1, 1, datetime(2024, 1, 1), "purchase"),
+            (2, 2, datetime(2024, 1, 1), "click")]
+    df = spark.createDataFrame(rows, "u long, eid long, ts timestamp,"
+                                     " et string")
+    out = graph.markov_attribution(df, "u", "ts", "et", "purchase",
+                                   tie_cols=["eid"]).collect()
+    assert all(r.base_conv_q == 500000000000 for r in out)
