@@ -301,6 +301,12 @@ ROUND5B = [
     "rolling_wau_events", "intrinsic_dim_emb", "pruning_sim_orders",
     "shard_rebalance_docs", "incremental_join_orders",
     "dwell_time_events",
+    # third wave
+    "skyline_orders", "runs_test_events", "theil_u_docs",
+    "sequential_obf_events", "rdd_events", "tenure_hazard_events",
+    "revenue_share_tree", "chi2_residuals_docs",
+    "power_analysis_events", "lorenz_curve_customers",
+    "negative_sampling_tokens", "markov_attribution_events",
 ]
 
 
@@ -356,7 +362,9 @@ def main():
              # peel rounds (or driver fast path) run at construction
              "kcore_orders",
              # two side counts at construction
-             "embedding_drift_emb"}
+             "embedding_drift_emb",
+             # transition collect + driver recursion at construction
+             "markov_attribution_events"}
 
     def timed(names: list[str]) -> dict[str, float]:
         out: dict[str, float] = {}
