@@ -307,6 +307,8 @@ ROUND5B = [
     "revenue_share_tree", "chi2_residuals_docs",
     "power_analysis_events", "lorenz_curve_customers",
     "negative_sampling_tokens", "markov_attribution_events",
+    "cosine_histogram_emb", "daily_value_bands_events",
+    "freshness_events",
 ]
 
 

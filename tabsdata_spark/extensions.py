@@ -1976,3 +1976,70 @@ def contribution_tree(df: DataFrame, parent_col: str, child_col: str,
         F.round(F.col("__v").cast("double")
                 / F.col("__gv").cast("double"), 6)
         .alias("share_of_total"))
+
+
+def daily_percentile_bands(df: DataFrame, ts_col: str, xq_col: str,
+                           qs: tuple = (10, 50, 90)) -> DataFrame:
+    """Exact daily percentile bands (p10/p50/p90 by default) of an
+    integer-valued measure: per (day, value) counts, a per-day
+    cumulative scan over the bounded value grid, and the smallest
+    value reaching ceil(q% * n) — the monitoring band chart computed
+    EXACTLY (no sketch) at one shuffle.
+
+    The value column must be low-cardinality by contract (whole
+    units, buckets).  All integers; no float surfaces.
+
+    Scale shape: one partial agg onto (day, value), per-day windows
+    over <= value-cardinality rows, one pivot-style final agg."""
+    day = F.expr(f"unix_micros(cast({ts_col} as timestamp))"
+                 f" div 86400000000")
+    cells = df.groupBy(day.alias("day"),
+                       F.col(xq_col).alias("__v")).agg(
+        F.count(F.lit(1)).alias("__c"))
+    wc = Window.partitionBy("day").orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    wt = Window.partitionBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = cells.select("day", "__v",
+                       F.sum("__c").over(wc).alias("__cum"),
+                       F.sum("__c").over(wt).alias("__n"))
+    aggs = [F.max("__n").cast("bigint").alias("n")]
+    for q in qs:
+        # smallest v with cum*100 >= q*n (ceil semantics in integers)
+        hit = F.when(F.col("__cum") * 100 >= F.lit(q) * F.col("__n"),
+                     F.col("__v"))
+        aggs.append(F.min(hit).cast("bigint").alias(f"p{q}"))
+    return (cum.groupBy("day").agg(*aggs)
+            .select(F.col("day").cast("bigint").alias("day"), "n",
+                    *[f"p{q}" for q in qs]))
+
+
+def freshness_report(df: DataFrame, group_col: str,
+                     ts_col: str) -> DataFrame:
+    """Per-group data-freshness report: each group's last event time,
+    its lag in seconds behind the table's global watermark, and the
+    row count inside the final global hour — the ingest-health gate
+    that catches one stalled source while the table as a whole looks
+    current.
+
+    Exact epoch-micros integers; lag is an integer difference.
+
+    Scale shape: one partial agg per group + a 1-row global max
+    broadcast + one filtered re-count folded into the same agg."""
+    mic = F.expr(f"unix_micros(cast({ts_col} as timestamp))")
+    per = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.max(mic).alias("__last"))
+    glob = per.agg(F.max("__last").alias("__gmax"))
+    wide = df.select(F.col(group_col).alias("grp"), mic.alias("__m")) \
+        .crossJoin(F.broadcast(glob))
+    counts = wide.groupBy("grp").agg(
+        F.max("__gmax").alias("__gmax"),
+        F.sum(F.when(F.col("__m") >= F.col("__gmax")
+                     - F.lit(3600000000), 1).otherwise(0))
+        .alias("n_last_hour"))
+    out = per.join(counts, "grp")
+    return out.select(
+        F.col("grp").alias(group_col),
+        F.expr("timestamp_micros(__last)").alias("last_ts"),
+        F.expr("(__gmax - __last) div 1000000").alias("lag_seconds"),
+        F.col("n_last_hour").cast("bigint").alias("n_last_hour"))

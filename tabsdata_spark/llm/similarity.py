@@ -1046,3 +1046,41 @@ def intrinsic_dimension(corpus: DataFrame, queries: DataFrame,
             F.col("n_used").cast("double")
             / (F.col("__ls").cast("double") / 1e12), 6))
         .alias("intrinsic_dim"))
+
+
+def cosine_histogram(corpus: DataFrame, queries: DataFrame,
+                     buckets: int = 20, id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     query_id_col: str = "query_id") -> DataFrame:
+    """Pairwise-cosine distribution report: histogram of cosine
+    similarities between a probe sample and the corpus — the
+    embedding-space health check (anisotropy shows up as a mass
+    spike near +1; a healthy space spreads) and the calibration input
+    for choosing near-dup / ANN thresholds.
+
+    Bucket = floor((cos+1)/2 * buckets) clamped to the top bucket —
+    pure comparisons on the unrounded cosine, so counts are exact
+    integers in any engine.
+
+    Scale shape: broadcast(queries) x corpus -> one bounded partial
+    agg onto <= `buckets` groups; |queries| bounds the pair stream."""
+    from ..scale import fan_out
+
+    q = queries.select(F.col(query_id_col).alias("__qid"),
+                       F.col(vec_col).alias("__qvec"))
+    cand = (fan_out(corpus.select(F.col(id_col), F.col(vec_col)))
+            .crossJoin(F.broadcast(q))
+            .filter(F.col(id_col) != F.col("__qid")))
+    cos = cosine(F.col(vec_col), F.col("__qvec"))
+    b = F.least(F.floor((cos + F.lit(1.0)) / F.lit(2.0)
+                        * buckets).cast("int"),
+                F.lit(buckets - 1))
+    g = cand.select(F.greatest(b, F.lit(0)).alias("bucket")).groupBy(
+        "bucket").agg(F.count(F.lit(1)).alias("n_pairs"))
+    tot = g.agg(F.sum("n_pairs").alias("__t"))
+    j = g.crossJoin(F.broadcast(tot))
+    return j.select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        F.round(F.col("n_pairs").cast("double")
+                / F.col("__t").cast("double"), 6).alias("share"))

@@ -14776,3 +14776,101 @@ def markov_attribution_events(spark: SparkSession,
     ev = load_events(spark, sf_dir).df
     return graph.markov_attribution(ev, "user_id", "ts", "event_type",
                                     "purchase", tie_cols=["event_id"])
+
+
+@q(
+    "cosine_histogram_emb",
+    """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv
+               FROM embeddings WHERE vec_id < 80),
+    pairs AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR(
+               (list_cosine_similarity(e.embedding::DOUBLE[],
+                                       qv::DOUBLE[]) + 1.0)
+               / 2.0 * 20) AS INTEGER), 0), 19) AS bucket
+      FROM embeddings e, q WHERE e.vec_id <> qid),
+    g AS (SELECT bucket, COUNT(*) AS n_pairs FROM pairs GROUP BY 1),
+    tot AS (SELECT SUM(n_pairs) AS t FROM g)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           ROUND(CAST(n_pairs AS DOUBLE) / CAST(t AS DOUBLE), 6)
+             AS share
+    FROM g, tot
+    """,
+)
+def cosine_histogram_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise-cosine distribution (similarity.cosine_histogram):
+    80 probes x corpus, 20 similarity buckets — the anisotropy /
+    threshold-calibration readout for the embedding space."""
+    from tabsdata_spark.llm import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 80).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return similarity.cosine_histogram(emb, qs, buckets=20)
+
+
+@q(
+    "daily_value_bands_events",
+    """
+    WITH cells AS (
+      SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+             CAST(TRUNC(value) AS BIGINT) AS v, COUNT(*) AS c
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    cum AS (
+      SELECT day, v,
+             SUM(c) OVER (PARTITION BY day ORDER BY v
+                          ROWS UNBOUNDED PRECEDING) AS cumc,
+             SUM(c) OVER (PARTITION BY day) AS n
+      FROM cells)
+    SELECT CAST(day AS BIGINT) AS day, CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MIN(CASE WHEN cumc * 100 >= 10 * n THEN v END)
+                AS BIGINT) AS p10,
+           CAST(MIN(CASE WHEN cumc * 100 >= 50 * n THEN v END)
+                AS BIGINT) AS p50,
+           CAST(MIN(CASE WHEN cumc * 100 >= 90 * n THEN v END)
+                AS BIGINT) AS p90
+    FROM cum GROUP BY day
+    """,
+)
+def daily_value_bands_events(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Exact daily p10/p50/p90 bands of whole-unit event values
+    (extensions.daily_percentile_bands) — the sketch-free band chart,
+    per-day windows over the bounded value grid."""
+    from tabsdata_spark.extensions import daily_percentile_bands
+
+    ev = load_events(spark, sf_dir).df
+    base = (ev.filter(F.col("value").isNotNull())
+            .select("ts", F.col("value").cast("bigint").alias("v")))
+    return daily_percentile_bands(base, "ts", "v")
+
+
+@q(
+    "freshness_events",
+    """
+    WITH per AS (
+      SELECT event_type AS grp,
+             MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS lastm
+      FROM events GROUP BY 1),
+    gm AS (SELECT MAX(lastm) AS gmax FROM per),
+    cnt AS (
+      SELECT event_type AS grp, COUNT(*) AS n_last_hour
+      FROM events, gm
+      WHERE epoch_us(CAST(ts AS TIMESTAMP)) >= gmax - 3600000000
+      GROUP BY 1)
+    SELECT per.grp AS event_type,
+           make_timestamp(lastm) AS last_ts,
+           CAST((gmax - lastm) // 1000000 AS BIGINT) AS lag_seconds,
+           CAST(COALESCE(n_last_hour, 0) AS BIGINT) AS n_last_hour
+    FROM per LEFT JOIN cnt ON per.grp = cnt.grp CROSS JOIN gm
+    """,
+)
+def freshness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type freshness gate (extensions.freshness_report):
+    last event time, lag behind the global watermark, activity in the
+    final hour — the stalled-source detector."""
+    from tabsdata_spark.extensions import freshness_report
+
+    ev = load_events(spark, sf_dir).df
+    return freshness_report(ev, "event_type", "ts")

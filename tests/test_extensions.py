@@ -1092,3 +1092,31 @@ def test_contribution_tree_shares_sum_to_one(spark):
     assert got[("r1", "n2")].share_of_parent == 0.75
     assert got[("r2", "n3")].share_of_parent == 1.0
     assert sum(r.share_of_total for r in got.values()) == 1.0
+
+
+def test_daily_percentile_bands_exact(spark):
+    from tabsdata_spark.extensions import daily_percentile_bands
+    from datetime import datetime
+
+    rows = [(datetime(2024, 1, 1, 0, 0, i), v)
+            for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9, 10])]
+    df = spark.createDataFrame(rows, "ts timestamp, v long")
+    r = daily_percentile_bands(df, "ts", "v").collect()[0]
+    assert (r.n, r.p10, r.p50, r.p90) == (10, 1, 5, 9)
+
+
+def test_freshness_report_lag_and_last_hour(spark):
+    from tabsdata_spark.extensions import freshness_report
+    from datetime import datetime
+
+    rows = [
+        ("live", datetime(2024, 1, 1, 12, 0, 0)),
+        ("live", datetime(2024, 1, 1, 11, 30, 0)),
+        ("stale", datetime(2024, 1, 1, 9, 0, 0)),
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp")
+    got = {r.g: r for r in freshness_report(df, "g", "ts").collect()}
+    assert got["live"].lag_seconds == 0
+    assert got["live"].n_last_hour == 2
+    assert got["stale"].lag_seconds == 3 * 3600
+    assert got["stale"].n_last_hour == 0

@@ -2168,3 +2168,18 @@ def test_negative_sampling_table_ranges_partition(spark):
     w = {r.token: r.range_end - r.range_start for r in out}
     assert w["aa"] < 2 * w["bb"]
     assert abs(sum(r.p_sample for r in out) - 1.0) < 1e-5
+
+
+def test_cosine_histogram_buckets_and_shares(spark):
+    from tabsdata_spark.llm import similarity
+
+    rows = [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [-1.0, 0.0]),
+            (3, [0.0, 1.0])]
+    emb = spark.createDataFrame(rows,
+                                "vec_id long, embedding array<float>")
+    qs = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    got = {r.bucket: r.n_pairs for r in
+           similarity.cosine_histogram(emb, qs, buckets=4).collect()}
+    # cos=1 -> top bucket (3); cos=-1 -> bucket 0; cos=0 -> bucket 2
+    assert got == {3: 1, 0: 1, 2: 1}
