@@ -1620,11 +1620,15 @@ def growth_accounting(df: DataFrame, key_col: str,
     All flags derive from the per-user distinct-week grid with
     per-user lag/lead windows (exact integers; week = epoch days div
     7); churn at week w counts users whose last activity week is
-    w-1.  Weeks outside the observed activity range are not emitted.
+    w-1.  An interior week with ZERO actives still surfaces its churn
+    row (active/new/retained/resurrected coalesced to 0) via a full
+    outer join; only weeks past the last observed activity week are
+    dropped.
 
     Scale shape: one distinct partial-agg onto (user, week), one
     per-user window over that user's weeks, two bounded per-week
-    aggregates joined on the week grid."""
+    aggregates full-outer-joined on the week grid plus a 1-row
+    max-week broadcast."""
     wk = F.expr(f"(unix_micros(cast({ts_col} as timestamp))"
                 f" div 86400000000) div 7")
     grid = (df.select(F.col(key_col).alias("__u"), wk.alias("__w"))
@@ -1646,13 +1650,20 @@ def growth_accounting(df: DataFrame, key_col: str,
                           | (F.col("__nw") > F.col("__w") + 1))
              .groupBy((F.col("__w") + 1).alias("week"))
              .agg(F.count(F.lit(1)).alias("churned")))
-    out = per_week.join(churn, "week", "left")
+    maxw = per_week.agg(F.max("week").alias("__mw"))
+    out = (per_week.join(churn, "week", "full")
+           .crossJoin(F.broadcast(maxw))
+           .filter(F.col("week") <= F.col("__mw")))
     return out.select(
         F.col("week").cast("bigint").alias("week"),
-        F.col("active").cast("bigint").alias("active"),
-        F.col("new_users").cast("bigint").alias("new_users"),
-        F.col("retained").cast("bigint").alias("retained"),
-        F.col("resurrected").cast("bigint").alias("resurrected"),
+        F.coalesce(F.col("active"), F.lit(0)).cast("bigint")
+        .alias("active"),
+        F.coalesce(F.col("new_users"), F.lit(0)).cast("bigint")
+        .alias("new_users"),
+        F.coalesce(F.col("retained"), F.lit(0)).cast("bigint")
+        .alias("retained"),
+        F.coalesce(F.col("resurrected"), F.lit(0)).cast("bigint")
+        .alias("resurrected"),
         F.coalesce(F.col("churned"), F.lit(0)).cast("bigint")
         .alias("churned"))
 

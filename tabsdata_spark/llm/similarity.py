@@ -910,26 +910,44 @@ def retrieval_eval(corpus: DataFrame, queries: DataFrame, k: int = 10,
     with no same-label candidate in the top-k surface NULL rank and
     hit=false.
 
+    Queries need NOT be corpus members: self-exclusion (dropping the
+    corpus candidate whose id equals the query id) and the n_rel
+    discount of 1 apply only to queries whose id actually appears in
+    the corpus — an id is an identity, so a shared id IS the same row.
+    External queries rank against the full corpus and n_rel is the
+    undiscounted label count.
+
     Scale shape: broadcast(queries) x corpus -> per-query window
-    top-k, one broadcast label-count join; |queries| bounds every
-    post-scan structure."""
+    top-k, one broadcast label-count join, one broadcast-probe
+    membership semi join; |queries| bounds every post-scan
+    structure."""
     from ..scale import fan_out
 
-    q = queries.select(F.col(query_id_col).alias("__qid"),
-                       F.col(vec_col).alias("__qvec"),
-                       F.col(label_col).alias("__qlab"))
+    q0 = queries.select(F.col(query_id_col).alias("__qid"),
+                        F.col(vec_col).alias("__qvec"),
+                        F.col(label_col).alias("__qlab"))
+    members = (q0.select("__qid")
+               .join(corpus.select(F.col(id_col).alias("__qid")),
+                     "__qid", "left_semi")
+               .withColumn("__qmem", F.lit(True)))
+    q = (q0.join(F.broadcast(members), "__qid", "left")
+         .select("__qid", "__qvec", "__qlab",
+                 F.coalesce(F.col("__qmem"), F.lit(False))
+                 .alias("__qmem")))
     cand = (fan_out(corpus.select(F.col(id_col), F.col(vec_col),
                                   F.col(label_col)))
             .crossJoin(F.broadcast(q))
-            .filter(F.col(id_col) != F.col("__qid")))
+            .filter((F.col(id_col) != F.col("__qid"))
+                    | ~F.col("__qmem")))
     scored = cand.select(
-        "__qid", "__qlab", F.col(id_col), F.col(label_col).alias("__clab"),
+        "__qid", "__qlab", "__qmem", F.col(id_col),
+        F.col(label_col).alias("__clab"),
         cosine(F.col(vec_col), F.col("__qvec")).alias("__sim"))
     w = Window.partitionBy("__qid").orderBy(
         F.col("__sim").desc(), F.col(id_col).asc())
     top = (scored.withColumn("__r", F.row_number().over(w))
            .filter(F.col("__r") <= k))
-    per = top.groupBy("__qid", "__qlab").agg(
+    per = top.groupBy("__qid", "__qlab", "__qmem").agg(
         F.min(F.when(F.col("__clab") == F.col("__qlab"), F.col("__r")))
         .alias("first_rel_rank"))
     labn = corpus.groupBy(F.col(label_col).alias("__lab")).agg(
@@ -939,7 +957,8 @@ def retrieval_eval(corpus: DataFrame, queries: DataFrame, k: int = 10,
     return out.select(
         F.col("__qid").alias(query_id_col),
         F.col("__qlab").alias(label_col),
-        (F.col("__ln") - 1).cast("bigint").alias("n_rel"),
+        (F.col("__ln") - F.when(F.col("__qmem"), 1).otherwise(0))
+        .cast("bigint").alias("n_rel"),
         F.col("first_rel_rank").cast("bigint").alias("first_rel_rank"),
         F.when(F.col("first_rel_rank").isNotNull(), rr).alias("rr"),
         F.col("first_rel_rank").isNotNull().alias("hit"))

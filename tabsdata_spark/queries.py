@@ -1281,9 +1281,39 @@ _PRIORITY_R5 = [
     "stream_near_dup_events", "vocab_coverage_docs",
 ]
 
+#: Round-6 driver window — exactly the 50-name list pre-staged in NOTES.md
+#: at the end of round 5 (the 37 r4-era leftovers + the 13 r5 additions).
+#: All 50 are never-driver-verified but three-scale vanilla --exact green.
+#: Includes 7 live streaming operators, the persisted-LSH incremental path
+#: (incremental_near_dup_indexed_docs), and the heavy pca_power_emb /
+#: pagerank_orders.  Round 7 rotates in the staged 50-name r7 window
+#: (NOTES.md), round 8 the residual pool — finishing driver coverage of
+#: the frozen 357-query registry.
+_PRIORITY_R6 = [
+    "acf_events", "attribution_events", "changepoint_events",
+    "chi2_token_lang_docs", "chi_squared_events", "cluster_quality_emb",
+    "clustering_coeff_emb", "concurrency_events",
+    "cross_source_dup_matrix_docs", "disorder_events",
+    "dup_size_histogram_docs", "ewma_events", "gini_customers",
+    "heldout_lm_docs", "hourly_load_events",
+    "incremental_near_dup_indexed_docs", "incremental_rollup_orders",
+    "int8_quantize_emb", "k_anonymity_events", "k_anonymize_events",
+    "kaplan_meier_orders", "key_skew_orders", "label_centroid_cosine_emb",
+    "lang_confusion_docs", "logistic_quality_docs", "mann_whitney_events",
+    "ngram_novelty_docs", "ols_multi_events", "pagerank_orders",
+    "pca_power_emb", "pii_density_docs", "profile_orders",
+    "record_linkage_customers", "rfm_customers", "scd2_customers",
+    "seasonal_anomalies_events", "seasonality_events", "shard_assign_docs",
+    "ship_latency_orders", "stratified_split_docs", "stream_drift_events",
+    "stream_hourly_events", "stream_ingest_dedup_docs",
+    "stream_interval_join_events", "stream_k_anonymize_events",
+    "stream_session_events", "stream_sliding_events",
+    "temperature_sample_docs", "time_to_convert_events", "wau_events",
+]
+
 
 def _rotated(d: dict) -> dict:
-    out = {n: d[n] for n in _PRIORITY_R5 if n in d}
+    out = {n: d[n] for n in _PRIORITY_R6 if n in d}
     out.update((n, v) for n, v in d.items() if n not in out)
     return out
 
@@ -12168,18 +12198,20 @@ def _daily_xy(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "spearman_daily_events",
     _DAILY_XY_SQL + """,
-    rx AS (SELECT x AS v, COUNT(*) AS c FROM xy GROUP BY 1),
+    xyc AS (SELECT x, y FROM xy
+            WHERE x IS NOT NULL AND y IS NOT NULL),
+    rx AS (SELECT x AS v, COUNT(*) AS c FROM xyc GROUP BY 1),
     rx2 AS (SELECT v, CAST(2 * (SUM(c) OVER (ORDER BY v
                                              ROWS UNBOUNDED PRECEDING) - c)
                            + c + 1 AS BIGINT) AS dr
             FROM rx),
-    ry AS (SELECT y AS v, COUNT(*) AS c FROM xy GROUP BY 1),
+    ry AS (SELECT y AS v, COUNT(*) AS c FROM xyc GROUP BY 1),
     ry2 AS (SELECT v, CAST(2 * (SUM(c) OVER (ORDER BY v
                                              ROWS UNBOUNDED PRECEDING) - c)
                            + c + 1 AS BIGINT) AS dr
             FROM ry),
     j AS (SELECT a.dr AS drx, b.dr AS dry
-          FROM xy JOIN rx2 a ON xy.x = a.v JOIN ry2 b ON xy.y = b.v),
+          FROM xyc JOIN rx2 a ON xyc.x = a.v JOIN ry2 b ON xyc.y = b.v),
     m AS (SELECT COUNT(*) AS n,
                  SUM(CAST(drx AS DECIMAL(38,0))) AS sx,
                  SUM(CAST(dry AS DECIMAL(38,0))) AS sy,
@@ -12828,13 +12860,14 @@ def trend_test_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT w + 1 AS week, COUNT(*) AS churned
       FROM flags WHERE nw IS NULL OR nw > w + 1
       GROUP BY 1)
-    SELECT CAST(p.week AS BIGINT) AS week,
-           CAST(active AS BIGINT) AS active,
-           CAST(new_users AS BIGINT) AS new_users,
-           CAST(retained AS BIGINT) AS retained,
-           CAST(resurrected AS BIGINT) AS resurrected,
+    SELECT CAST(COALESCE(p.week, c.week) AS BIGINT) AS week,
+           CAST(COALESCE(active, 0) AS BIGINT) AS active,
+           CAST(COALESCE(new_users, 0) AS BIGINT) AS new_users,
+           CAST(COALESCE(retained, 0) AS BIGINT) AS retained,
+           CAST(COALESCE(resurrected, 0) AS BIGINT) AS resurrected,
            CAST(COALESCE(c.churned, 0) AS BIGINT) AS churned
-    FROM per_week p LEFT JOIN churn c ON p.week = c.week
+    FROM per_week p FULL OUTER JOIN churn c ON p.week = c.week
+    WHERE COALESCE(p.week, c.week) <= (SELECT MAX(week) FROM per_week)
     """,
 )
 def growth_accounting_events(spark: SparkSession,
@@ -14366,13 +14399,15 @@ def sequential_obf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                          * 250.0
              END AS yhat
       FROM g)
-    SELECT CAST(l.n AS BIGINT) AS n_left,
-           CAST(r.n AS BIGINT) AS n_right,
-           ROUND(l.yhat, 6) AS yhat_left,
-           ROUND(r.yhat, 6) AS yhat_right,
-           ROUND(r.yhat - l.yhat, 6) AS jump
-    FROM (SELECT * FROM side WHERE NOT r) l,
-         (SELECT * FROM side WHERE r) r
+    SELECT CAST(COALESCE(SUM(CASE WHEN NOT r THEN n END), 0) AS BIGINT)
+             AS n_left,
+           CAST(COALESCE(SUM(CASE WHEN r THEN n END), 0) AS BIGINT)
+             AS n_right,
+           ROUND(MIN(CASE WHEN NOT r THEN yhat END), 6) AS yhat_left,
+           ROUND(MIN(CASE WHEN r THEN yhat END), 6) AS yhat_right,
+           ROUND(MIN(CASE WHEN r THEN yhat END)
+                 - MIN(CASE WHEN NOT r THEN yhat END), 6) AS jump
+    FROM side
     """,
 )
 def rdd_events(spark: SparkSession, sf_dir: str) -> DataFrame:

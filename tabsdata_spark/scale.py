@@ -611,24 +611,29 @@ def shard_rebalance_report(df: DataFrame, key_col: str,
     to the LOWER node id on both sides.
 
     Scale shape: one distinct on the key, a bounded x-node explode
-    (n_to rows per key), one per-key window over <= n_to rows, one
-    scalar aggregate."""
+    (max(n_from, n_to) rows per key), one per-key window over
+    <= max(n_from, n_to) rows, one scalar aggregate."""
+    n_all = max(n_from, n_to)
     keys = df.select(F.col(key_col).cast("string").alias("__k")).distinct()
     h = F.conv(F.substring(F.md5(F.col("__k")), 1, 6), 16, 10) \
         .cast("long")
     base = keys.select("__k", (h % n_from).alias("__mf"),
                        (h % n_to).alias("__mt"))
-    nodes = F.explode(F.sequence(F.lit(0), F.lit(n_to - 1))).alias("__n")
+    nodes = F.explode(F.sequence(F.lit(0), F.lit(n_all - 1))).alias("__n")
     scored = base.select("__k", "__mf", "__mt", nodes).select(
         "__k", "__mf", "__mt", "__n",
         F.conv(F.substring(F.md5(F.concat_ws("#", F.col("__k"),
                                              F.col("__n"))), 1, 6),
                16, 10).cast("long").alias("__s"))
-    wf = Window.partitionBy("__k").orderBy(
-        F.col("__s").desc(), F.col("__n").asc())
+    # Both ranks restrict to their own node range (covers scale-down,
+    # n_from > n_to, as well as scale-up): rank 1 = highest score among
+    # the nodes that actually exist on that side.
     ranked = scored.select(
         "__k", "__mf", "__mt", "__n",
-        F.row_number().over(wf).alias("__rt"),
+        F.row_number().over(
+            Window.partitionBy("__k").orderBy(
+                F.when(F.col("__n") < n_to, 0).otherwise(1),
+                F.col("__s").desc(), F.col("__n").asc())).alias("__rt"),
         F.row_number().over(
             Window.partitionBy("__k").orderBy(
                 F.when(F.col("__n") < n_from, 0).otherwise(1),

@@ -1855,9 +1855,14 @@ def spearman_correlation(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     exact decimal(38,0), and rho is one fixed IEEE expression over the
     exact sums (round 6) — bit-stable across engines/partitionings.
 
+    NULL handling is pairwise-complete: rows with NULL x OR NULL y are
+    dropped BEFORE the rank tables are built, so ranks are computed
+    over exactly the analyzed subset (not the full column).
+
     Scale shape: two distinct-value aggregations + two equi-joins back
     (AQE broadcasts the value tables), one final partial agg."""
     big = "decimal(38,0)"
+    df = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
 
     def _ranks(col: str, alias: str) -> DataFrame:
         grp = df.groupBy(F.col(col).alias("__v")).agg(
@@ -2627,11 +2632,16 @@ def rdd_estimate(df: DataFrame, x_col: str, y_col: str, cutoff: int,
     intercept = sy / nd - slope * (sx / nd)
     yhat = intercept + slope * F.lit(float(cutoff))
     per_side = g.select("__right", "__n", yhat.alias("__yhat"))
-    l = per_side.filter(~F.col("__right")).select(
-        F.col("__n").alias("n_left"), F.col("__yhat").alias("__yl"))
-    r = per_side.filter(F.col("__right")).select(
-        F.col("__n").alias("n_right"), F.col("__yhat").alias("__yr"))
-    one = l.crossJoin(F.broadcast(r))
+    # Single conditional aggregate (not two filtered frames crossJoined)
+    # so a side with NO rows inside the bandwidth still yields the one
+    # report row with NULL yhat/jump instead of an empty result.
+    one = per_side.agg(
+        F.coalesce(F.sum(F.when(~F.col("__right"), F.col("__n"))),
+                   F.lit(0)).alias("n_left"),
+        F.min(F.when(~F.col("__right"), F.col("__yhat"))).alias("__yl"),
+        F.coalesce(F.sum(F.when(F.col("__right"), F.col("__n"))),
+                   F.lit(0)).alias("n_right"),
+        F.min(F.when(F.col("__right"), F.col("__yhat"))).alias("__yr"))
     return one.select(
         F.col("n_left").cast("bigint").alias("n_left"),
         F.col("n_right").cast("bigint").alias("n_right"),

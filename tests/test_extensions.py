@@ -1120,3 +1120,29 @@ def test_freshness_report_lag_and_last_hour(spark):
     assert got["live"].n_last_hour == 2
     assert got["stale"].lag_seconds == 3 * 3600
     assert got["stale"].n_last_hour == 0
+
+
+def test_growth_accounting_zero_active_interior_week(spark):
+    """An interior week with ZERO actives still surfaces its churn row
+    (r5 advice finding: the old left join dropped it); the week past
+    the last observed activity week stays unemitted."""
+    from datetime import datetime
+
+    from tabsdata_spark.extensions import growth_accounting
+
+    def at(day):
+        return datetime(1970, 1, 1 + day)
+
+    # u1,u2 active w0; nobody active w1; u1 back w2
+    rows = [(1, at(0)), (2, at(0)), (1, at(14))]
+    df = spark.createDataFrame(rows, "u long, ts timestamp")
+    got = {r.week: r for r in growth_accounting(df, "u", "ts").collect()}
+    assert set(got) == {0, 1, 2}
+    w1 = got[1]
+    assert (w1.active, w1.new_users, w1.retained, w1.resurrected,
+            w1.churned) == (0, 0, 0, 0, 2)
+    w2 = got[2]
+    assert (w2.active, w2.resurrected, w2.churned) == (1, 1, 0)
+    # week 3 (past the last observed activity week) is not emitted,
+    # even though u2's final churn would land there
+    assert 3 not in got

@@ -2183,3 +2183,25 @@ def test_cosine_histogram_buckets_and_shares(spark):
            similarity.cosine_histogram(emb, qs, buckets=4).collect()}
     # cos=1 -> top bucket (3); cos=-1 -> bucket 0; cos=0 -> bucket 2
     assert got == {3: 1, 0: 1, 2: 1}
+
+
+def test_retrieval_eval_external_queries(spark):
+    """Queries NOT in the corpus rank against the full corpus with an
+    undiscounted n_rel; corpus-member queries keep self-exclusion and
+    the n_rel-1 discount (r5 advice finding)."""
+    from tabsdata_spark.llm import similarity
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0], "a"), (2, [0.9, 0.1], "a"),
+         (3, [0.0, 1.0], "b"), (4, [0.1, 0.9], "b")],
+        "vec_id long, embedding array<double>, label string")
+    queries = spark.createDataFrame(
+        [(1, [1.0, 0.0], "a"),      # member: excludes itself, n_rel=1
+         (99, [0.0, 1.0], "b")],    # external: full corpus, n_rel=2
+        "query_id long, embedding array<double>, label string")
+    got = {r.query_id: r for r in
+           similarity.retrieval_eval(corpus, queries, k=3).collect()}
+    m, x = got[1], got[99]
+    assert (m.n_rel, m.first_rel_rank, m.hit) == (1, 1, True)
+    assert (x.n_rel, x.first_rel_rank, x.hit) == (2, 1, True)
+    assert x.rr == 1.0

@@ -321,3 +321,34 @@ def test_pruning_report_sorted_layout_skips_more(spark):
     assert got["arrival"].n_skipped == 0
     assert got["sorted"].n_skipped >= 12
     assert got["sorted"].skip_rate > got["arrival"].skip_rate
+
+
+def test_shard_rebalance_scale_down(spark):
+    """n_from > n_to (scale-DOWN): the 'from' rendezvous assignment must
+    consider ALL n_from nodes, including ids >= n_to (the r5 advice
+    finding).  Cross-check against a driver-side md5 recomputation."""
+    import hashlib
+
+    from tabsdata_spark import scale
+
+    n_from, n_to = 8, 5
+    keys = [str(i) for i in range(300)]
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:6], 16)
+
+    def rdv(k, n):
+        return max(range(n), key=lambda nd: (h(f"{k}#{nd}"), -nd))
+
+    exp_rdv = sum(rdv(k, n_from) != rdv(k, n_to) for k in keys)
+    exp_mod = sum(h(k) % n_from != h(k) % n_to for k in keys)
+
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    r = scale.shard_rebalance_report(df, "k", n_from=n_from,
+                                     n_to=n_to).collect()[0]
+    assert r.n_keys == 300
+    assert r.rdv_moved == exp_rdv
+    assert r.mod_moved == exp_mod
+    # keys homed on a removed node MUST move; without exploding nodes
+    # n_to..n_from-1 the old code undercounted these
+    assert r.rdv_moved >= sum(rdv(k, n_from) >= n_to for k in keys)

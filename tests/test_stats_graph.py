@@ -1492,3 +1492,36 @@ def test_markov_attribution_base_probability_sane(spark):
     out = graph.markov_attribution(df, "u", "ts", "et", "purchase",
                                    tie_cols=["eid"]).collect()
     assert all(r.base_conv_q == 500000000000 for r in out)
+
+
+def test_spearman_nulls_pairwise_complete(spark):
+    """Rows with NULL x or y are dropped BEFORE rank construction (r5
+    advice finding): ranks come from the analyzed subset, so a NULL
+    row cannot shift the surviving ranks."""
+    from tabsdata_spark import stats
+
+    clean = [(1, 10), (2, 30), (3, 20), (4, 40)]
+    dirty = clean + [(None, 99), (5, None), (None, None)]
+    a = spark.createDataFrame(clean, "x long, y long")
+    b = spark.createDataFrame(dirty, "x long, y long")
+    ra = stats.spearman_correlation(a, "x", "y").collect()[0]
+    rb = stats.spearman_correlation(b, "x", "y").collect()[0]
+    assert (rb.n, rb.rho) == (ra.n, ra.rho)
+    assert rb.n == 4
+
+
+def test_rdd_estimate_one_sided_emits_null_row(spark):
+    """A side with no rows inside the bandwidth surfaces the single
+    report row with NULL yhat/jump — not an empty frame (r5 advice
+    finding)."""
+    from tabsdata_spark import stats
+
+    rows = [(i, i * 2) for i in range(10)]  # all x < cutoff
+    df = spark.createDataFrame(rows, "x long, y long")
+    out = stats.rdd_estimate(df, "x", "y", cutoff=100,
+                             bandwidth=200).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_left == 10 and r.n_right == 0
+    assert r.yhat_left is not None
+    assert r.yhat_right is None and r.jump is None
