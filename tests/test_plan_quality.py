@@ -557,3 +557,69 @@ def test_cluster_quality_broadcasts_centroids(spark, sf_dir):
     plan = _plan(cluster.cluster_quality(emb, "label"))
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan         # points x centroids
+
+
+def _walk_executed(jnode):
+    """Yield (node, simpleClassName) over the EXECUTED physical plan,
+    descending through AQE wrappers and materialized query stages."""
+    cls = jnode.getClass().getSimpleName()
+    yield jnode, cls
+    if cls == "AdaptiveSparkPlanExec":
+        yield from _walk_executed(jnode.executedPlan())
+        return
+    if cls.endswith("QueryStageExec"):
+        yield from _walk_executed(jnode.plan())
+        return
+    it = jnode.children().iterator()
+    while it.hasNext():
+        yield from _walk_executed(it.next())
+
+
+def _rows_into(jnode):
+    """Rows flowing OUT of this subtree = first descendant (inclusive)
+    carrying a numOutputRows metric.  Safe because every node between a
+    window and its nearest counted descendant (Sort, Project, Exchange
+    read) is row-preserving."""
+    for n, _cls in _walk_executed(jnode):
+        m = n.metrics()
+        if m.contains("numOutputRows"):
+            return m.apply("numOutputRows").value()
+    return None
+
+
+def test_allowlisted_global_windows_are_bounded(spark):
+    """Machine-check of tools/audit_plans.py's BOUNDED_WINDOW_ROWS
+    allowlist: each allowlisted query claims its unpartitioned windows
+    run over an aggregate of bounded cardinality, never data-sized
+    rows.  Execute each query at sf0.01 and assert the ACTUAL row count
+    entering every unpartitioned WindowExec (read from executed-plan
+    metrics) is within the claimed bound — 'bounded by construction'
+    enforced, not narrated."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from tabsdata_spark.queries import queries
+    from tools.audit_plans import BOUNDED_WINDOW_ROWS
+
+    qs = queries()
+    sf01 = "/root/testdata/sf0.01"
+    missing = [n for n in BOUNDED_WINDOW_ROWS if n not in qs]
+    assert not missing, f"allowlisted but unregistered: {missing}"
+
+    violations = []
+    checked_windows = 0
+    for name, bound in BOUNDED_WINDOW_ROWS.items():
+        df = qs[name](spark, sf01)
+        df.collect()
+        top = df._jdf.queryExecution().executedPlan()
+        for n, cls in _walk_executed(top):
+            if cls == "WindowExec" and n.partitionSpec().isEmpty():
+                rows = _rows_into(n.children().head())
+                checked_windows += 1
+                if rows is None or rows > bound:
+                    violations.append((name, rows, bound))
+    assert not violations, f"unbounded global windows: {violations}"
+    # the allowlist exists because these queries DO have global windows;
+    # if none were found the walker (or the allowlist) is stale
+    assert checked_windows >= len(BOUNDED_WINDOW_ROWS) - 2, checked_windows
