@@ -101,6 +101,28 @@ def ulp_report(sc, dc):
     return n_cells, n_diff, max_d, example
 
 
+def compare_job(srows, scols, drows, dcols, exact):
+    """Full value comparison for one query — runs in a worker process so
+    the (pure-Python, GIL-bound) canonicalization of wide 600k-row results
+    overlaps with the next query's Spark/DuckDB execution.  The compare
+    logic is byte-identical to the former inline path."""
+    problems = []
+    sc, dc = canon(srows, scols), canon(drows, dcols)
+    if sc != dc:
+        diffs = [(a, b) for a, b in zip(sc, dc) if a != b][:3]
+        problems.append(f"values differ; first diffs: {diffs}")
+    note = ""
+    if not problems and exact:
+        rc_s, rc_d = canon_raw(srows, scols), canon_raw(drows, dcols)
+        n_cells, n_diff, max_d, ex = ulp_report(rc_s, rc_d)
+        if n_diff:
+            note = (f"  [NOT bit-exact: {n_diff}/{n_cells} float"
+                    f" cells differ, max {max_d:.3e} e.g. {ex}]")
+        elif n_cells:
+            note = f"  [bit-exact: {n_cells} float cells]"
+    return problems, note
+
+
 def main():
     args = [a for a in sys.argv[1:] if a not in ("--vanilla", "--exact")]
     vanilla = "--vanilla" in sys.argv[1:]
@@ -114,10 +136,13 @@ def main():
     if vanilla:
         # Driver-parity mode: a plain Spark 4 session (ANSI on, no legacy
         # confs).  Every registered query must pass here, not just under
-        # the tuned get_spark() session.
+        # the tuned get_spark() session.  Core count is NOT a SQL conf —
+        # local[16] keeps the default 200-partition shuffles/state stores
+        # (the parity-relevant part) while halving sweep wall-clock on
+        # the 32-CPU box.
         from pyspark.sql import SparkSession
 
-        spark = (SparkSession.builder.master("local[8]")
+        spark = (SparkSession.builder.master("local[16]")
                  .appName("check-queries-vanilla").getOrCreate())
     else:
         spark = td.get_spark()
@@ -131,7 +156,29 @@ def main():
     oracles = entrymod.oracle_sql()
     passed = failed = rows_only = 0
     import time as _time
+    from concurrent.futures import ProcessPoolExecutor
+
     t_all = _time.monotonic()
+    pool = ProcessPoolExecutor(max_workers=8)
+    pending = []  # (name, nrows, t_spark, t_fetch, future) in query order
+
+    def drain(block: bool) -> tuple[int, int]:
+        """Print finished comparisons in query order.  Non-blocking drain
+        keeps mid-run output flowing (stall visibility); the final
+        blocking drain flushes the tail."""
+        p = f = 0
+        while pending and (block or pending[0][4].done()):
+            name, nrows, t_spark, t_fetch, fut = pending.pop(0)
+            problems, note = fut.result()
+            if problems:
+                print(f"FAIL  {name}: {'; '.join(problems)}")
+                f += 1
+            else:
+                print(f"OK    {name}: {nrows} rows"
+                      f"  [spark {t_spark:.2f}s + fetch {t_fetch:.2f}s]{note}")
+                p += 1
+        return p, f
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -144,6 +191,7 @@ def main():
             print(f"FAIL  {name}: spark error: {type(e).__name__} {str(e)[:200]}")
             failed += 1
             continue
+        t_spark = _time.monotonic() - t0
         if name not in oracles:
             print(f"ROWS  {name}: {len(srows)} rows (no oracle)")
             rows_only += 1
@@ -168,32 +216,26 @@ def main():
             print(f"FAIL  {name}: duckdb error: {str(e)[:200]}")
             failed += 1
             continue
-        problems = []
+        pre = []
         if len(srows) != len(drows):
-            problems.append(f"rowcount spark={len(srows)} duckdb={len(drows)}")
+            pre.append(f"rowcount spark={len(srows)} duckdb={len(drows)}")
         if sorted(scols) != sorted(dcols):
-            problems.append(f"cols spark={sorted(scols)} duckdb={sorted(dcols)}")
-        if not problems:
-            sc, dc = canon(srows, scols), canon(drows, dcols)
-            if sc != dc:
-                diffs = [(a, b) for a, b in zip(sc, dc) if a != b][:3]
-                problems.append(f"values differ; first diffs: {diffs}")
-        if problems:
-            print(f"FAIL  {name}: {'; '.join(problems)}")
+            pre.append(f"cols spark={sorted(scols)} duckdb={sorted(dcols)}")
+        if pre:
+            print(f"FAIL  {name}: {'; '.join(pre)}")
             failed += 1
-        else:
-            note = ""
-            if exact:
-                rc_s, rc_d = canon_raw(srows, scols), canon_raw(drows, dcols)
-                n_cells, n_diff, max_d, ex = ulp_report(rc_s, rc_d)
-                if n_diff:
-                    note = (f"  [NOT bit-exact: {n_diff}/{n_cells} float"
-                            f" cells differ, max {max_d:.3e} e.g. {ex}]")
-                elif n_cells:
-                    note = f"  [bit-exact: {n_cells} float cells]"
-            print(f"OK    {name}: {len(srows)} rows"
-                  f"  [{_time.monotonic() - t0:.2f}s]{note}")
-            passed += 1
+            continue
+        t_fetch = _time.monotonic() - t0 - t_spark
+        fut = pool.submit(compare_job, srows, scols, drows, dcols, exact)
+        pending.append((name, len(srows), t_spark, t_fetch, fut))
+        dp, df = drain(block=False)
+        passed += dp
+        failed += df
+
+    dp, df = drain(block=True)
+    passed += dp
+    failed += df
+    pool.shutdown()
     print(f"\n{passed} ok, {rows_only} rows-only, {failed} failed"
           f"  [total {_time.monotonic() - t_all:.1f}s]")
     sys.exit(1 if failed else 0)
