@@ -1909,8 +1909,13 @@ def kendall_tau(df: DataFrame, key_col: str, x_col: str,
     (calendar days, category grid), never raw rows; the small side is
     broadcast so the non-equi join plans as a nested-loop broadcast,
     not a shuffled cartesian.  All pair/tie counts are exact integers;
-    tau_b is one IEEE expression (round 6)."""
+    tau_b is one IEEE expression (round 6).
+
+    NULL handling is pairwise-complete (the spearman contract): rows
+    with NULL x or y are dropped up front, so they inflate neither the
+    n0 pair total nor the tie counts."""
     big = "decimal(38,0)"
+    df = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
     a = df.select(F.col(key_col).alias("__k1"), F.col(x_col).alias("__x1"),
                   F.col(y_col).alias("__y1"))
     b = df.select(F.col(key_col).alias("__k2"), F.col(x_col).alias("__x2"),
@@ -2255,8 +2260,15 @@ def partial_correlation(df: DataFrame, x_col: str, y_col: str,
     (round 6).  Degenerate variance or |r|=1 in a confounder leg
     surfaces NULL.
 
+    NULL handling is listwise-complete: rows with NULL in any of
+    x/y/z are dropped up front, so n and every moment sum cover the
+    same analyzed subset (a NULL row must not inflate n while being
+    skipped by the sums).
+
     Scale shape: ONE scalar aggregate pass — no joins, no windows."""
     big = "decimal(38,0)"
+    df = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+                   & F.col(z_col).isNotNull())
     x = F.col(x_col).cast(big)
     y = F.col(y_col).cast(big)
     z = F.col(z_col).cast(big)

@@ -1525,3 +1525,32 @@ def test_rdd_estimate_one_sided_emits_null_row(spark):
     assert r.n_left == 10 and r.n_right == 0
     assert r.yhat_left is not None
     assert r.yhat_right is None and r.jump is None
+
+
+def test_kendall_nulls_pairwise_complete(spark):
+    """NULL x/y rows are dropped before pair/tie enumeration, so they
+    inflate neither n0 nor tie counts (spearman contract)."""
+    from tabsdata_spark import stats
+
+    clean = [(1, 1, 10), (2, 2, 30), (3, 3, 20), (4, 4, 40)]
+    dirty = clean + [(5, None, 99), (6, 7, None)]
+    a = spark.createDataFrame(clean, "k long, x long, y long")
+    b = spark.createDataFrame(dirty, "k long, x long, y long")
+    ra = stats.kendall_tau(a, "k", "x", "y").collect()[0]
+    rb = stats.kendall_tau(b, "k", "x", "y").collect()[0]
+    assert ra == rb
+
+
+def test_partial_correlation_nulls_listwise_complete(spark):
+    """A row with NULL in any of x/y/z is dropped up front: n and the
+    moment sums must cover the same analyzed subset."""
+    from tabsdata_spark import stats
+
+    clean = [(1, 2, 3), (2, 4, 5), (3, 5, 9), (4, 9, 11), (5, 11, 13)]
+    dirty = clean + [(None, 1, 1), (1, None, 1), (1, 1, None)]
+    a = spark.createDataFrame(clean, "x long, y long, z long")
+    b = spark.createDataFrame(dirty, "x long, y long, z long")
+    ra = stats.partial_correlation(a, "x", "y", "z").collect()[0]
+    rb = stats.partial_correlation(b, "x", "y", "z").collect()[0]
+    assert ra == rb
+    assert rb.n == 5
