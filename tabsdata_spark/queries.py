@@ -3664,7 +3664,8 @@ def stats_variance_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corr_value_k_events",
     """
     WITH b AS (
-      SELECT event_type, value, CAST(props->>'k' AS BIGINT) AS k FROM events),
+      SELECT event_type, value, CAST(props->>'k' AS BIGINT) AS k FROM events
+      WHERE value IS NOT NULL AND (props->>'k') IS NOT NULL),
     a AS (
       SELECT event_type, COUNT(*) AS n,
              SUM(CAST(value AS DECIMAL(18,6))) AS sx,

@@ -51,8 +51,14 @@ def exact_variance(df: DataFrame, value_col: str, group_cols: list[str]) -> Data
 def exact_corr(df: DataFrame, x_col: str, y_col: str,
                group_cols: list[str]) -> DataFrame:
     """Per-group Pearson correlation from exact decimal cross-moments:
-    corr = (n*Sxy - Sx*Sy) / sqrt((n*Sx2 - Sx^2) * (n*Sy2 - Sy^2))."""
+    corr = (n*Sxy - Sx*Sy) / sqrt((n*Sx2 - Sx^2) * (n*Sy2 - Sy^2)).
+
+    NULL handling is pairwise-complete: rows with NULL x or y are
+    dropped up front so n and every moment cover the same analyzed
+    subset (count(*) over a NULL-bearing column would otherwise count
+    rows the sums skip — an incoherent mixed-base correlation)."""
     x, y = F.col(x_col), F.col(y_col)
+    df = df.filter(x.isNotNull() & y.isNotNull())
     agg = df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(_d(x)).alias("_sx"),

@@ -1554,3 +1554,19 @@ def test_partial_correlation_nulls_listwise_complete(spark):
     rb = stats.partial_correlation(b, "x", "y", "z").collect()[0]
     assert ra == rb
     assert rb.n == 5
+
+
+def test_exact_corr_nulls_pairwise_complete(spark):
+    """n and every moment must cover the same subset: NULL x/y rows
+    are dropped up front (count(*) previously counted rows the sums
+    skipped — an incoherent mixed-base correlation)."""
+    from tabsdata_spark import stats
+
+    clean = [("g", 1, 2), ("g", 2, 4), ("g", 3, 5), ("g", 4, 9)]
+    dirty = clean + [("g", None, 7), ("g", 6, None)]
+    a = spark.createDataFrame(clean, "g string, x long, y long")
+    b = spark.createDataFrame(dirty, "g string, x long, y long")
+    ra = stats.exact_corr(a, "x", "y", ["g"]).collect()[0]
+    rb = stats.exact_corr(b, "x", "y", ["g"]).collect()[0]
+    assert ra == rb
+    assert rb.n == 4
