@@ -108,21 +108,21 @@ def test_events_load_on_vanilla_session(vanilla, sf_dir):
 
 
 def test_driver_window_covers_never_verified_queries():
-    """The driver snapshots queries()[0:50].  Guard the r5 rotation: the
-    window must be exactly _PRIORITY_R5, every entry must exist with an
+    """The driver snapshots queries()[0:50].  Guard the r6 rotation: the
+    window must be exactly _PRIORITY_R6, every entry must exist with an
     oracle, and none may be a query the driver already green-verified in
-    rounds 1-4 (the r5 window is all never-verified names)."""
+    rounds 1-5 (the r6 window is all never-verified names)."""
     import json
 
     from tabsdata_spark import queries as registry
 
     names = list(registry.queries())
     window = names[:50]
-    assert window == registry._PRIORITY_R5
+    assert window == registry._PRIORITY_R6
     assert len(window) == 50
     oracles = registry.oracle_sql()
     assert all(n in oracles for n in window)
     seen = set()
-    for r in ("01", "02", "03", "04"):
+    for r in ("01", "02", "03", "04", "05"):
         seen |= set(json.load(open(f"CORRECTNESS_r{r}.json")))
     assert set(window) & seen == set(), set(window) & seen
