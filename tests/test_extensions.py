@@ -1146,3 +1146,25 @@ def test_growth_accounting_zero_active_interior_week(spark):
     # week 3 (past the last observed activity week) is not emitted,
     # even though u2's final churn would land there
     assert 3 not in got
+
+
+def test_growth_accounting_conservation(spark):
+    """Decomposition invariants on synthetic data: active = new +
+    retained + resurrected each week, and total new across weeks =
+    number of distinct users."""
+    from datetime import datetime, timedelta
+
+    from tabsdata_spark.extensions import growth_accounting
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    for u in range(30):
+        for w in range(5):
+            if (u * 7 + w * 3) % 4 != 0:
+                rows.append((u, base + timedelta(days=7 * w + u % 7)))
+    df = spark.createDataFrame(rows, "u long, ts timestamp")
+    out = growth_accounting(df, "u", "ts").collect()
+    for r in out:
+        assert r.active == r.new_users + r.retained + r.resurrected
+    n_users = len({u for u, _ in rows})
+    assert sum(r.new_users for r in out) == n_users

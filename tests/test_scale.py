@@ -352,3 +352,12 @@ def test_shard_rebalance_scale_down(spark):
     # keys homed on a removed node MUST move; without exploding nodes
     # n_to..n_from-1 the old code undercounted these
     assert r.rdv_moved >= sum(rdv(k, n_from) >= n_to for k in keys)
+
+
+def test_shard_rebalance_identity_moves_nothing(spark):
+    from tabsdata_spark import scale
+
+    df = spark.range(500).select(F.col("id").alias("k"))
+    r = scale.shard_rebalance_report(df, "k", n_from=16,
+                                     n_to=16).collect()[0]
+    assert (r.mod_moved, r.rdv_moved) == (0, 0)

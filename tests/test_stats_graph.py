@@ -1570,3 +1570,47 @@ def test_exact_corr_nulls_pairwise_complete(spark):
     rb = stats.exact_corr(b, "x", "y", ["g"]).collect()[0]
     assert ra == rb
     assert rb.n == 4
+
+
+def test_spearman_monotone_transform_invariance(spark):
+    """Spearman is rank-based: any strictly increasing transform of x
+    leaves rho unchanged; negating x negates rho."""
+    from tabsdata_spark import stats
+
+    rows = [(i, (i * 7919) % 101) for i in range(1, 40)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    base = stats.spearman_correlation(df, "x", "y").collect()[0]
+    cubed = spark.createDataFrame([(x ** 3, y) for x, y in rows],
+                                  "x long, y long")
+    neg = spark.createDataFrame([(-x, y) for x, y in rows],
+                                "x long, y long")
+    assert stats.spearman_correlation(cubed, "x", "y").collect()[0].rho \
+        == base.rho
+    assert stats.spearman_correlation(neg, "x", "y").collect()[0].rho \
+        == -base.rho
+
+
+def test_exact_corr_affine_identity(spark):
+    """corr(x, a*x + b) is exactly +-1 depending on sign(a)."""
+    from tabsdata_spark import stats
+
+    rows = [("g", i, 3 * i + 7) for i in range(1, 30)] \
+        + [("h", i, -2 * i + 5) for i in range(1, 30)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    got = {r.g: r.corr for r in
+           stats.exact_corr(df, "x", "y", ["g"]).collect()}
+    assert got == {"g": 1.0, "h": -1.0}
+
+
+def test_kendall_reversal_negates_tau(spark):
+    """Reversing one variable's order negates tau_b (tie structure
+    unchanged)."""
+    from tabsdata_spark import stats
+
+    rows = [(i, (i * 13) % 17, (i * 5) % 11) for i in range(20)]
+    df = spark.createDataFrame(rows, "k long, x long, y long")
+    rev = spark.createDataFrame([(k, -x, y) for k, x, y in rows],
+                                "k long, x long, y long")
+    a = stats.kendall_tau(df, "k", "x", "y").collect()[0]
+    b = stats.kendall_tau(rev, "k", "x", "y").collect()[0]
+    assert a.tau_b == -b.tau_b
