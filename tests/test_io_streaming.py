@@ -699,3 +699,110 @@ def test_stream_cusum_carries_state_across_batches(spark, tmp_path):
         s = max(0, s + ym - k)
         assert got[i] == (s / 1e6, s >= h)
     assert any(flag for _, flag in got.values())
+
+
+def test_windowed_aggregate_batch_split_invariance(spark, tmp_path):
+    """The update-mode last-wins sink contract is independent of
+    micro-batch slicing as long as batches respect event-time order
+    within the watermark delay: the same rows processed as ONE
+    availableNow batch or as four time-ordered maxFilesPerTrigger=1
+    batches yield identical final (window, key) -> aggregates.  (A
+    window straddling a batch boundary emits twice; last-wins keeps
+    the complete second emission.)"""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, t0 + dt.timedelta(minutes=(i * 37) % 300),
+             "ab"[i % 2], float(i)) for i in range(40)]
+    schema = "event_id long, ts timestamp, k string, v double"
+    df = spark.createDataFrame(rows, schema)
+
+    def run(src_dir, ckpt, splits, max_files):
+        # `splits`: list of (lo, hi) minute ranges — written in order,
+        # consumed in lexicographic file order by maxFilesPerTrigger=1
+        for j, (lo, hi) in enumerate(splits):
+            mins = (F.unix_timestamp("ts")
+                    - F.unix_timestamp(F.lit(t0))) / 60
+            df.filter((mins >= lo) & (mins < hi)) \
+              .coalesce(1).write.parquet(f"{src_dir}/b{j}")
+        stream = bus.stream_file_source(
+            spark, f"{src_dir}/*", schema,
+            max_files_per_trigger=max_files)
+        out = bus.windowed_aggregate(
+            stream, "ts", "1 hour", "30 minutes",
+            {"n": F.count(F.lit(1)),
+             "s": F.sum(F.col("v").cast("decimal(18,2)"))
+             .cast("double")},
+            group_extra=["k"])
+        acc = {}
+        qy = (out.writeStream.outputMode("update")
+              .foreachBatch(lambda b, i: acc.update(
+                  {(r["window"]["start"], r["k"]): (r["n"], r["s"])
+                   for r in b.collect()}))
+              .option("checkpointLocation", ckpt)
+              .trigger(availableNow=True).start())
+        qy.awaitTermination(120)
+        return acc
+
+    one = run(str(tmp_path / "one"), str(tmp_path / "ck1"),
+              [(0, 300)], None)
+    four = run(str(tmp_path / "four"), str(tmp_path / "ck4"),
+               [(0, 75), (75, 150), (150, 225), (225, 300)], 1)
+    assert one == four
+    assert len(one) > 0
+
+
+def test_windowed_aggregate_out_of_order_batches_diverge(spark, tmp_path):
+    """Executable pin REFINING the round-5 watermark finding: rows
+    arriving behind the watermark ARE dropped from a windowed
+    aggregation — but only once eviction has propagated, which lags
+    the watermark advance by ONE micro-batch.  (The r5 two-batch
+    harness saw late rows aggregated because it only ever exercised
+    the lag batch; with an intermediate batch the [00:00,01:00)
+    window's final count stays at the on-time 5, the 3 late rows
+    silently vanishing.)  Spark semantics, not an engine bug; it is
+    why every registered windowed streaming query feeds a
+    single-batch (or time-ordered) source — an out-of-order source
+    under-counts relative to the batch oracle.  If this assertion
+    ever fails, Spark's late-row handling changed and the streaming
+    contracts must be re-audited."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = "event_id long, ts timestamp, k string, v double"
+    early = [(i, t0 + dt.timedelta(minutes=i), "a", 1.0)
+             for i in range(5)]                       # window [00:00,01:00)
+    advance = [(100, t0 + dt.timedelta(hours=6), "a", 1.0)]
+    advance2 = [(101, t0 + dt.timedelta(hours=7), "a", 1.0)]
+    late = [(200 + i, t0 + dt.timedelta(minutes=30 + i), "a", 1.0)
+            for i in range(3)]                        # same early window
+
+    # state eviction lags one batch behind the watermark update, so an
+    # intermediate batch (b1) is needed for the [00:00,01:00) state to
+    # actually be dropped before the late rows arrive in b2
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(early + advance, schema).coalesce(1) \
+        .write.parquet(str(src / "b0"))
+    spark.createDataFrame(advance2, schema).coalesce(1) \
+        .write.parquet(str(src / "b1"))
+    spark.createDataFrame(late, schema).coalesce(1) \
+        .write.parquet(str(src / "b2"))
+
+    stream = bus.stream_file_source(spark, str(src / "*"), schema,
+                                    max_files_per_trigger=1)
+    out = bus.windowed_aggregate(
+        stream, "ts", "1 hour", "30 minutes",
+        {"n": F.count(F.lit(1))}, group_extra=["k"])
+    acc = {}
+    qy = (out.writeStream.outputMode("update")
+          .foreachBatch(lambda b, i: acc.update(
+              {(r["window"]["start"], r["k"]): r["n"]
+               for r in b.collect()}))
+          .option("checkpointLocation", str(tmp_path / "ckpt"))
+          .trigger(availableNow=True).start())
+    qy.awaitTermination(120)
+
+    # the early window's final value is the ON-TIME count (5): the 3
+    # late rows were dropped, not re-aggregated (and not the complete 8)
+    assert acc[(t0, "a")] == 5
