@@ -3,6 +3,9 @@ scale-killer shapes the plan-quality canaries don't cover query-by-query.
 
 Flags raised:
 - cartesian           CartesianProduct anywhere (unblocked pairwise op)
+- python-udf          BatchEvalPython anywhere (row-at-a-time Python UDF;
+                      Arrow-vectorized crossings plan as ArrowEvalPython /
+                      MapInPandas / FlatMapGroupsInPandas and are fine)
 - big-single-part     Exchange SinglePartition whose child is NOT a
                       partial aggregate / limit — i.e. real data funneling
                       through one task (global sort/window), not a scalar
@@ -121,6 +124,11 @@ def audit(plan: str) -> list[str]:
     lines = plan.splitlines()
     if "CartesianProduct" in plan:
         hits.append("cartesian")
+    # Row-at-a-time Python UDF (BatchEvalPython) — the slow path; every
+    # Python crossing must be Arrow-vectorized (ArrowEvalPython /
+    # mapInPandas / applyInPandas plan nodes are fine)
+    if "BatchEvalPython" in plan:
+        hits.append("python-udf")
     for i, line in enumerate(lines):
         if "Exchange SinglePartition" in line \
                 and not _single_partition_is_scalar_merge(lines, i):
