@@ -744,21 +744,38 @@ def ndcg_at_k(corpus: DataFrame, queries: DataFrame, k: int = 10,
     division (round 6 display).  Queries with no same-label candidate
     surface NULL (no 0/0).
 
+    Queries need NOT be corpus members (the retrieval_eval contract):
+    self-exclusion and the n_rel discount of 1 apply only to queries
+    whose id actually appears in the corpus — an id is an identity, so
+    a shared id IS the same row.  External queries rank against the
+    full corpus and n_rel is the undiscounted label count.
+
     Scale shape: broadcast(queries) x corpus -> per-query window top-k
     (the brute_force_topk plan), one label-count broadcast join, one
-    bounded sequence explode for the ideal prefix.  |queries| bounds
-    every post-scan structure."""
+    broadcast-probe membership semi join, one bounded sequence explode
+    for the ideal prefix.  |queries| bounds every post-scan
+    structure."""
     from ..scale import fan_out
 
-    q = queries.select(F.col(query_id_col).alias("__qid"),
-                       F.col(vec_col).alias("__qvec"),
-                       F.col(label_col).alias("__qlab"))
+    q0 = queries.select(F.col(query_id_col).alias("__qid"),
+                        F.col(vec_col).alias("__qvec"),
+                        F.col(label_col).alias("__qlab"))
+    members = (q0.select("__qid")
+               .join(corpus.select(F.col(id_col).alias("__qid")),
+                     "__qid", "left_semi")
+               .withColumn("__qmem", F.lit(True)))
+    q = (q0.join(F.broadcast(members), "__qid", "left")
+         .select("__qid", "__qvec", "__qlab",
+                 F.coalesce(F.col("__qmem"), F.lit(False))
+                 .alias("__qmem")))
     cand = (fan_out(corpus.select(F.col(id_col), F.col(vec_col),
                                   F.col(label_col)))
             .crossJoin(F.broadcast(q))
-            .filter(F.col(id_col) != F.col("__qid")))
+            .filter((F.col(id_col) != F.col("__qid"))
+                    | ~F.col("__qmem")))
     scored = cand.select(
-        "__qid", "__qlab", F.col(id_col), F.col(label_col).alias("__clab"),
+        "__qid", "__qlab", "__qmem", F.col(id_col),
+        F.col(label_col).alias("__clab"),
         cosine(F.col(vec_col), F.col("__qvec")).alias("__sim"))
     w = Window.partitionBy("__qid").orderBy(
         F.col("__sim").desc(), F.col(id_col).asc())
@@ -769,14 +786,16 @@ def ndcg_at_k(corpus: DataFrame, queries: DataFrame, k: int = 10,
         return (F.floor(F.lit(1e12) / (F.log(r + F.lit(1)) / F.log(F.lit(2.0)))
                         + F.lit(0.5)).cast("bigint"))
 
-    dcg = top.groupBy("__qid", "__qlab").agg(
+    dcg = top.groupBy("__qid", "__qlab", "__qmem").agg(
         F.sum(F.when(F.col("__clab") == F.col("__qlab"),
                      wq(F.col("__r"))).otherwise(0)).alias("__dcg"))
     labn = corpus.groupBy(F.col(label_col).alias("__lab")).agg(
         F.count(F.lit(1)).alias("__ln"))
     per = (dcg.join(F.broadcast(labn), dcg["__qlab"] == labn["__lab"])
            .select("__qid", "__qlab", "__dcg",
-                   (F.col("__ln") - 1).cast("bigint").alias("n_rel")))
+                   (F.col("__ln")
+                    - F.when(F.col("__qmem"), 1).otherwise(0))
+                   .cast("bigint").alias("n_rel")))
     ideal = (per.filter(F.col("n_rel") > 0)
              .select("__qid", F.explode(
                  F.sequence(F.lit(1),
@@ -810,7 +829,13 @@ def prefix_dim_quality(corpus: DataFrame, queries: DataFrame,
 
     Scale shape: broadcast(queries) x corpus (the brute_force_topk
     plan), one per-query window for the two top-1 picks, one
-    partial agg for the delta mean."""
+    partial agg for the delta mean.
+
+    Identity contract: a corpus candidate sharing a query's id is
+    treated as the query row itself and excluded from that query's
+    candidates (ids are identities; for guaranteed-external query
+    sets use ids disjoint from the corpus).
+    """
     from ..scale import fan_out
 
     q = queries.select(F.col(query_id_col).alias("__qid"),
@@ -1029,7 +1054,13 @@ def intrinsic_dimension(corpus: DataFrame, queries: DataFrame,
     (d1 = 0) are excluded from the estimate and counted separately.
 
     Scale shape: broadcast(queries) x corpus -> per-query window
-    top-2; |queries| bounds everything after the scan."""
+    top-2; |queries| bounds everything after the scan.
+
+    Identity contract: a corpus candidate sharing a query's id is
+    treated as the query row itself and excluded from that query's
+    candidates (ids are identities; for guaranteed-external query
+    sets use ids disjoint from the corpus).
+    """
     from ..scale import fan_out
 
     q = queries.select(F.col(query_id_col).alias("__qid"),
@@ -1082,7 +1113,13 @@ def cosine_histogram(corpus: DataFrame, queries: DataFrame,
     integers in any engine.
 
     Scale shape: broadcast(queries) x corpus -> one bounded partial
-    agg onto <= `buckets` groups; |queries| bounds the pair stream."""
+    agg onto <= `buckets` groups; |queries| bounds the pair stream.
+
+    Identity contract: a corpus candidate sharing a query's id is
+    treated as the query row itself and excluded from that query's
+    candidates (ids are identities; for guaranteed-external query
+    sets use ids disjoint from the corpus).
+    """
     from ..scale import fan_out
 
     q = queries.select(F.col(query_id_col).alias("__qid"),

@@ -2205,3 +2205,25 @@ def test_retrieval_eval_external_queries(spark):
     assert (m.n_rel, m.first_rel_rank, m.hit) == (1, 1, True)
     assert (x.n_rel, x.first_rel_rank, x.hit) == (2, 1, True)
     assert x.rr == 1.0
+
+
+def test_ndcg_external_queries(spark):
+    """Same membership contract as retrieval_eval: corpus-member queries
+    keep self-exclusion and the n_rel-1 discount; external queries rank
+    against the full corpus with undiscounted n_rel."""
+    from tabsdata_spark.llm import similarity
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0], "a"), (2, [0.9, 0.1], "a"),
+         (3, [0.0, 1.0], "b"), (4, [0.1, 0.9], "b")],
+        "vec_id long, embedding array<double>, label string")
+    queries = spark.createDataFrame(
+        [(1, [1.0, 0.0], "a"),      # member: n_rel = 1
+         (99, [0.0, 1.0], "b")],    # external: n_rel = 2
+        "query_id long, embedding array<double>, label string")
+    got = {r.query_id: r for r in
+           similarity.ndcg_at_k(corpus, queries, k=3).collect()}
+    assert got[1].n_rel == 1
+    assert got[99].n_rel == 2
+    # external query's two same-label docs rank 1-2 of 3 -> perfect NDCG
+    assert got[99].ndcg == 1.0
