@@ -169,7 +169,12 @@ def main():
         p = f = 0
         while pending and (block or pending[0][4].done()):
             name, nrows, t_spark, t_fetch, fut = pending.pop(0)
-            problems, note = fut.result()
+            try:
+                problems, note = fut.result()
+            except Exception as e:  # worker died (OOM etc.) — one FAIL,
+                problems, note = (  # not a crashed sweep
+                    [f"compare worker error: {type(e).__name__} "
+                     f"{str(e)[:160]}"], "")
             if problems:
                 print(f"FAIL  {name}: {'; '.join(problems)}")
                 f += 1
