@@ -791,10 +791,17 @@ def ndcg_at_k(corpus: DataFrame, queries: DataFrame, k: int = 10,
                      wq(F.col("__r"))).otherwise(0)).alias("__dcg"))
     labn = corpus.groupBy(F.col(label_col).alias("__lab")).agg(
         F.count(F.lit(1)).alias("__ln"))
-    per = (dcg.join(F.broadcast(labn), dcg["__qlab"] == labn["__lab"])
+    # LEFT join (r6 ADVICE): a query whose label has ZERO corpus
+    # occurrences must surface n_rel=0 / NULL ndcg, not vanish.  The
+    # greatest(0) clamp covers a corpus-member query whose queries-frame
+    # label differs from every corpus label (discount would go negative).
+    per = (dcg.join(F.broadcast(labn), dcg["__qlab"] == labn["__lab"],
+                    "left")
            .select("__qid", "__qlab", "__dcg",
-                   (F.col("__ln")
-                    - F.when(F.col("__qmem"), 1).otherwise(0))
+                   F.greatest(
+                       F.lit(0),
+                       F.coalesce(F.col("__ln"), F.lit(0))
+                       - F.when(F.col("__qmem"), 1).otherwise(0))
                    .cast("bigint").alias("n_rel")))
     ideal = (per.filter(F.col("n_rel") > 0)
              .select("__qid", F.explode(
@@ -977,12 +984,19 @@ def retrieval_eval(corpus: DataFrame, queries: DataFrame, k: int = 10,
         .alias("first_rel_rank"))
     labn = corpus.groupBy(F.col(label_col).alias("__lab")).agg(
         F.count(F.lit(1)).alias("__ln"))
-    out = per.join(F.broadcast(labn), per["__qlab"] == labn["__lab"])
+    # LEFT join (r6 ADVICE): a query whose label has ZERO corpus
+    # occurrences must surface n_rel=0 / NULL rank / hit=false, not
+    # vanish.  greatest(0) clamps the member discount for a member query
+    # whose queries-frame label appears nowhere in the corpus.
+    out = per.join(F.broadcast(labn), per["__qlab"] == labn["__lab"],
+                   "left")
     rr = F.round(F.lit(1.0) / F.col("first_rel_rank").cast("double"), 6)
     return out.select(
         F.col("__qid").alias(query_id_col),
         F.col("__qlab").alias(label_col),
-        (F.col("__ln") - F.when(F.col("__qmem"), 1).otherwise(0))
+        F.greatest(F.lit(0),
+                   F.coalesce(F.col("__ln"), F.lit(0))
+                   - F.when(F.col("__qmem"), 1).otherwise(0))
         .cast("bigint").alias("n_rel"),
         F.col("first_rel_rank").cast("bigint").alias("first_rel_rank"),
         F.when(F.col("first_rel_rank").isNotNull(), rr).alias("rr"),

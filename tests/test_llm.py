@@ -2227,3 +2227,47 @@ def test_ndcg_external_queries(spark):
     assert got[99].n_rel == 2
     # external query's two same-label docs rank 1-2 of 3 -> perfect NDCG
     assert got[99].ndcg == 1.0
+
+
+def test_retrieval_eval_novel_label_query_surfaces(spark):
+    """A query whose label has ZERO corpus occurrences must surface
+    n_rel=0 / NULL rank / hit=false, not vanish from the output (r6
+    advice: the labn join was inner, silently dropping novel-label
+    queries).  A corpus-member query whose queries-frame label appears
+    nowhere in the corpus clamps n_rel at 0 (never -1)."""
+    from tabsdata_spark.llm import similarity
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0], "a"), (2, [0.9, 0.1], "a"),
+         (3, [0.0, 1.0], "b")],
+        "vec_id long, embedding array<double>, label string")
+    queries = spark.createDataFrame(
+        [(99, [0.5, 0.5], "zz"),    # external, novel label
+         (1, [1.0, 0.0], "zz")],    # member, label absent from corpus
+        "query_id long, embedding array<double>, label string")
+    got = {r.query_id: r for r in
+           similarity.retrieval_eval(corpus, queries, k=3).collect()}
+    assert set(got) == {99, 1}
+    for qid in (99, 1):
+        r = got[qid]
+        assert (r.n_rel, r.first_rel_rank, r.rr, r.hit) == (
+            0, None, None, False)
+
+
+def test_ndcg_novel_label_query_surfaces(spark):
+    """ndcg_at_k honors the same contract: novel-label queries surface
+    n_rel=0 and NULL ndcg instead of vanishing (r6 advice)."""
+    from tabsdata_spark.llm import similarity
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0], "a"), (2, [0.9, 0.1], "a"),
+         (3, [0.0, 1.0], "b")],
+        "vec_id long, embedding array<double>, label string")
+    queries = spark.createDataFrame(
+        [(99, [0.5, 0.5], "zz"), (1, [1.0, 0.0], "zz")],
+        "query_id long, embedding array<double>, label string")
+    got = {r.query_id: r for r in
+           similarity.ndcg_at_k(corpus, queries, k=3).collect()}
+    assert set(got) == {99, 1}
+    for qid in (99, 1):
+        assert (got[qid].n_rel, got[qid].ndcg) == (0, None)

@@ -587,7 +587,7 @@ def _rows_into(jnode):
     return None
 
 
-def test_allowlisted_global_windows_are_bounded(spark):
+def test_allowlisted_global_windows_are_bounded(spark, sf_dir):
     """Machine-check of tools/audit_plans.py's BOUNDED_WINDOW_ROWS
     allowlist: each allowlisted query claims its unpartitioned windows
     run over an aggregate of bounded cardinality, never data-sized
@@ -603,7 +603,9 @@ def test_allowlisted_global_windows_are_bounded(spark):
     from tools.audit_plans import BOUNDED_WINDOW_ROWS
 
     qs = queries()
-    sf01 = "/root/testdata/sf0.01"
+    # derive the sf0.01 sibling from the session fixture instead of
+    # hardcoding the machine layout (r6 advice)
+    sf01 = str(Path(sf_dir).parent / "sf0.01")
     missing = [n for n in BOUNDED_WINDOW_ROWS if n not in qs]
     assert not missing, f"allowlisted but unregistered: {missing}"
 

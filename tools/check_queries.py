@@ -159,8 +159,11 @@ def main():
     from concurrent.futures import ProcessPoolExecutor
 
     t_all = _time.monotonic()
+    from concurrent.futures.process import BrokenProcessPool
+
     pool = ProcessPoolExecutor(max_workers=8)
-    pending = []  # (name, nrows, t_spark, t_fetch, future) in query order
+    pending = []  # (name, nrows, t_spark, t_oracle, future) in query order
+    MAX_PENDING = 16  # bound the pickled-result backlog in the parent
 
     def drain(block: bool) -> tuple[int, int]:
         """Print finished comparisons in query order.  Non-blocking drain
@@ -168,7 +171,7 @@ def main():
         blocking drain flushes the tail."""
         p = f = 0
         while pending and (block or pending[0][4].done()):
-            name, nrows, t_spark, t_fetch, fut = pending.pop(0)
+            name, nrows, t_spark, t_oracle, fut = pending.pop(0)
             try:
                 problems, note = fut.result()
             except Exception as e:  # worker died (OOM etc.) — one FAIL,
@@ -180,9 +183,35 @@ def main():
                 f += 1
             else:
                 print(f"OK    {name}: {nrows} rows"
-                      f"  [spark {t_spark:.2f}s + fetch {t_fetch:.2f}s]{note}")
+                      f"  [spark {t_spark:.2f}s + oracle {t_oracle:.2f}s]{note}")
                 p += 1
         return p, f
+
+    def submit_compare(srows, scols, drows, dcols):
+        """Submit a compare job, surviving a dead worker pool: a worker
+        death (OOM) raises BrokenProcessPool on every pending future AND
+        on all later submits — recreate the pool so only the in-flight
+        queries FAIL, not the rest of the sweep.  Falls back to an inline
+        compare if the fresh pool is also broken."""
+        nonlocal pool
+        try:
+            return pool.submit(compare_job, srows, scols, drows, dcols, exact)
+        except BrokenProcessPool:
+            pool.shutdown(wait=False, cancel_futures=True)
+            pool = ProcessPoolExecutor(max_workers=8)
+            try:
+                return pool.submit(compare_job, srows, scols, drows, dcols,
+                                   exact)
+            except BrokenProcessPool:
+                from concurrent.futures import Future
+
+                fut = Future()
+                try:
+                    fut.set_result(
+                        compare_job(srows, scols, drows, dcols, exact))
+                except Exception as e:  # pragma: no cover - defensive
+                    fut.set_exception(e)
+                return fut
 
     for name, fn in qs.items():
         if only and name not in only:
@@ -201,19 +230,33 @@ def main():
             print(f"ROWS  {name}: {len(srows)} rows (no oracle)")
             rows_only += 1
             continue
+        t1 = _time.monotonic()  # oracle runtime measured from HERE, not t0
         try:
             rel = con.sql(oracles[name])
             dcols = rel.columns
+            dtypes = [str(t) for t in rel.types]
             # Surface-type guard (r3 verdict): DuckDB HUGEINT (e.g.
             # SUM(int) promotes) materializes as float64 under a
             # fetchdf-style driver normalizer ("57.0" vs Spark's "57"),
             # silently failing hash compare even when values agree.
             # Oracle SQL must CAST such outputs to BIGINT.
-            hug = [f"{c}:{t}" for c, t in zip(rel.columns, rel.types)
-                   if str(t) in ("HUGEINT", "UHUGEINT")]
+            hug = [f"{c}:{t}" for c, t in zip(dcols, dtypes)
+                   if t in ("HUGEINT", "UHUGEINT")]
             if hug:
                 print(f"FAIL  {name}: oracle output surfaces HUGEINT "
                       f"({', '.join(hug)}) — wrap in CAST(... AS BIGINT)")
+                failed += 1
+                continue
+            # Dtype guard (r6 verdict, stream_drift_events): DuckDB
+            # to_timestamp() returns TIMESTAMP WITH TIME ZONE; Spark
+            # timestamps are naive.  norm_val strips tzinfo, so ONLY a
+            # declared-type check catches the driver's tz-aware-vs-naive
+            # schema_match red.  Oracle SQL must CAST(... AS TIMESTAMP).
+            tz = [f"{c}:{t}" for c, t in zip(dcols, dtypes)
+                  if "WITH TIME ZONE" in t]
+            if tz:
+                print(f"FAIL  {name}: oracle output surfaces tz-aware type "
+                      f"({', '.join(tz)}) — wrap in CAST(... AS TIMESTAMP)")
                 failed += 1
                 continue
             drows = rel.fetchall()
@@ -221,6 +264,7 @@ def main():
             print(f"FAIL  {name}: duckdb error: {str(e)[:200]}")
             failed += 1
             continue
+        t_oracle = _time.monotonic() - t1
         pre = []
         if len(srows) != len(drows):
             pre.append(f"rowcount spark={len(srows)} duckdb={len(drows)}")
@@ -230,9 +274,12 @@ def main():
             print(f"FAIL  {name}: {'; '.join(pre)}")
             failed += 1
             continue
-        t_fetch = _time.monotonic() - t0 - t_spark
-        fut = pool.submit(compare_job, srows, scols, drows, dcols, exact)
-        pending.append((name, len(srows), t_spark, t_fetch, fut))
+        while len(pending) >= MAX_PENDING:  # cap pickled-result backlog
+            dp, df = drain(block=True)
+            passed += dp
+            failed += df
+        fut = submit_compare(srows, scols, drows, dcols)
+        pending.append((name, len(srows), t_spark, t_oracle, fut))
         dp, df = drain(block=False)
         passed += dp
         failed += df
