@@ -625,3 +625,81 @@ def test_allowlisted_global_windows_are_bounded(spark, sf_dir):
     # the allowlist exists because these queries DO have global windows;
     # if none were found the walker (or the allowlist) is stale
     assert checked_windows >= len(BOUNDED_WINDOW_ROWS) - 2, checked_windows
+
+
+def _unwrap_exchange(jnode):
+    """Descend through query-stage / reuse / codegen wrappers to the node
+    that actually is (or is not) a BroadcastExchange."""
+    cls = jnode.getClass().getSimpleName()
+    if cls.endswith("QueryStageExec"):
+        return _unwrap_exchange(jnode.plan())
+    if cls == "ReusedExchangeExec":  # leaf referencing the original exchange
+        return _unwrap_exchange(jnode.child())
+    if cls in ("InputAdapter", "WholeStageCodegenExec"):
+        return _unwrap_exchange(jnode.children().head())
+    return jnode
+
+
+# Default upper bound on rows a BroadcastNestedLoopJoin may broadcast.
+# Every registered scalar combine ships an aggregate (1-row total), a
+# fixed grid (days/bins/states, <= 366), or a query/centroid set
+# (<= 200) — measured max across all 66 BNLJ queries at sf0.01 is 200.
+# A query that legitimately needs a bigger bounded side gets a named
+# entry here (none currently) — broadcasting a data-sized frame through
+# a nested-loop join is never legitimate.
+BNLJ_BUILD_ROWS_DEFAULT = 500
+BNLJ_BUILD_ROWS = {}
+
+
+def test_broadcast_scalar_combine_sides_are_bounded(spark, sf_dir):
+    """Machine-check of the narrated crossJoin scalar-combine contract
+    (the last plan contract that was documented but not enforced): every
+    BroadcastNestedLoopJoin in every registered query must broadcast a
+    BOUNDED side — a scalar aggregate, a fixed grid, a query set — never
+    a data-sized frame.  Pass 1 compiles all registered plans (cheap, no
+    execution) to find the queries that plan a BNLJ; pass 2 executes
+    exactly those at sf0.01 and reads the ACTUAL build-side row count of
+    each BNLJ (the child that unwraps to a BroadcastExchange) from
+    executed-plan metrics.  At 100 TB an unbounded nested-loop broadcast
+    is quadratic work plus an executor-OOM — this pins it structurally."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from tabsdata_spark.queries import queries
+
+    qs = queries()
+    sf01 = str(Path(sf_dir).parent / "sf0.01")
+
+    with_bnlj = []
+    for name, fn in qs.items():
+        plan = fn(spark, sf01)._jdf.queryExecution().executedPlan().toString()
+        if "BroadcastNestedLoopJoin" in plan:
+            with_bnlj.append(name)
+    # the scalar-combine idiom is all over the repo; if the compile pass
+    # finds none, the walker (or the plan shape) changed under us
+    assert len(with_bnlj) >= 30, with_bnlj
+
+    violations = []
+    checked_sides = 0
+    for name in with_bnlj:
+        df = qs[name](spark, sf01)
+        df.collect()
+        bound = BNLJ_BUILD_ROWS.get(name, BNLJ_BUILD_ROWS_DEFAULT)
+        for n, cls in _walk_executed(df._jdf.queryExecution().executedPlan()):
+            if cls != "BroadcastNestedLoopJoinExec":
+                continue
+            it = n.children().iterator()
+            while it.hasNext():
+                c = _unwrap_exchange(it.next())
+                if not c.getClass().getSimpleName().startswith(
+                        "BroadcastExchange"):
+                    continue
+                m = c.metrics()
+                rows = (m.apply("numOutputRows").value()
+                        if m.contains("numOutputRows") else None)
+                checked_sides += 1
+                if rows is None or rows > bound:
+                    violations.append((name, rows, bound))
+    assert not violations, f"unbounded BNLJ broadcast sides: {violations}"
+    assert checked_sides >= len(with_bnlj), checked_sides
