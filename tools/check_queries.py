@@ -274,8 +274,14 @@ def main():
             print(f"FAIL  {name}: {'; '.join(pre)}")
             failed += 1
             continue
-        while len(pending) >= MAX_PENDING:  # cap pickled-result backlog
-            dp, df = drain(block=True)
+        while len(pending) >= MAX_PENDING:  # cap pickled-result backlog:
+            # block on the OLDEST future only (not a full drain — that
+            # would serialize the whole pipeline), then sweep finished ones
+            try:
+                pending[0][4].exception()
+            except Exception:
+                pass
+            dp, df = drain(block=False)
             passed += dp
             failed += df
         fut = submit_compare(srows, scols, drows, dcols)
