@@ -2227,9 +2227,16 @@ def rmst(df: DataFrame, group_cols: list[str], duration_col: str,
     so both engines integrate the identical step function); the head
     segment [0, t_1) integrates survival 1 exactly.
 
+    Every input group surfaces: a group with NO events (all subjects
+    censored) has a flat S(t) = 1 curve, so its area to tau IS tau —
+    it comes back with n_times = 0 and rmst = tau rather than
+    vanishing (kaplan_meier's table is event-times-only, so such a
+    group has no curve rows to integrate).
+
     Scale shape: kaplan_meier's one partial-agg shuffle + per-group
     windows; the integration is one more per-group window + agg over
-    the bounded event-time grid."""
+    the bounded event-time grid, plus one group-cardinality distinct
+    + broadcast-able left join to surface event-free groups."""
     km = kaplan_meier(df, group_cols, duration_col, event_col)
     w = Window.partitionBy(*group_cols).orderBy("t")
     seg = km.select(
@@ -2246,10 +2253,14 @@ def rmst(df: DataFrame, group_cols: list[str], duration_col: str,
     agg = seg.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_times"),
         F.sum(contrib + head).alias("__q"))
-    return agg.select(
-        *group_cols, F.col("n_times").cast("bigint").alias("n_times"),
-        F.round(F.col("__q").cast("double") / F.lit(1e6), 6)
-        .alias("rmst"))
+    groups = df.select(*group_cols).distinct()
+    return (groups.join(agg, group_cols, "left")
+            .select(*group_cols,
+                    F.coalesce(F.col("n_times"), F.lit(0))
+                    .cast("bigint").alias("n_times"),
+                    F.coalesce(
+                        F.round(F.col("__q").cast("double") / F.lit(1e6), 6),
+                        F.lit(float(tau))).alias("rmst")))
 
 
 def partial_correlation(df: DataFrame, x_col: str, y_col: str,

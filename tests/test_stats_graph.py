@@ -1234,6 +1234,24 @@ def test_rmst_half_survive(spark):
     assert r.rmst == 7.5
 
 
+def test_rmst_all_censored_group_surfaces(spark):
+    from tabsdata_spark import stats
+
+    # a group with ZERO events has a flat S(t)=1 curve, so its area to
+    # tau IS tau: it must surface (n_times=0, rmst=tau), not vanish —
+    # kaplan_meier's event-times-only table gives it no curve rows
+    rows = [("a", 5, True), ("a", 20, False),
+            ("b", 7, False), ("b", 9, False)]
+    df = spark.createDataFrame(rows, "g string, t long, ev boolean")
+    got = {r.g: r for r in
+           stats.rmst(df, ["g"], "t", "ev", tau=10).collect()}
+    assert set(got) == {"a", "b"}
+    assert (got["b"].n_times, got["b"].rmst) == (0, 10.0)
+    # the event-bearing group is unchanged by the surfacing join:
+    # S drops to 0.5 at t=5 -> rmst(10) = 5*1 + 5*0.5 = 7.5
+    assert (got["a"].n_times, got["a"].rmst) == (1, 7.5)
+
+
 def test_partial_correlation_removes_confounder(spark):
     from tabsdata_spark import stats
 
