@@ -1015,7 +1015,11 @@ def quantile_normalize(df: DataFrame, group_col: str, value_col: str,
     Determinism: ranks order by (value, id) — total order; every
     arithmetic step is a fixed-structure IEEE expression over exact
     integers, identical in any engine/partitioning.  Single-member
-    groups map to the grid's low end (p = 0).
+    groups map to the grid's low end (p = 0).  Rank-based BY CONTRACT:
+    value-tied rows in a group occupy consecutive ranks and so can map
+    to different grid points (classic sort-based quantile
+    normalization; tie-averaging would be a different estimator and a
+    second window).
 
     Scale shape: one shuffle on the group column for ranks, ONE global
     aggregation for the grid (partial-agg percentile over quantized

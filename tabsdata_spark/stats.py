@@ -1094,11 +1094,18 @@ def theil_sen(df: DataFrame, x_col: str, y_col: str,
     two middle elements; ties need no tie-break because equal micros
     are interchangeable at the picked position.
 
+    Every input group surfaces: a group with NO valid pair (a single
+    point, or every point sharing one x) has no slopes to take a
+    median of and comes back with n_pairs = 0 and slope NULL rather
+    than vanishing.
+
     Scale shape: pairwise enumeration is O(k^2) per group, so the
     series is CAPPED at the first `max_points` points by x (window
     row_number) — the cap is the 100 TB guard; per-group work is then
     bounded at max_points^2/2 regardless of input size.  One window
-    pass + one within-group self-join + one agg."""
+    pass + one within-group self-join + one agg, plus one
+    group-cardinality distinct + broadcast-able left join to surface
+    pairless groups."""
     w = Window.partitionBy(*group_cols).orderBy("__x")
     pts = (df.select(*group_cols, F.col(x_col).alias("__x"),
                      F.col(y_col).alias("__y"))
@@ -1123,9 +1130,15 @@ def theil_sen(df: DataFrame, x_col: str, y_col: str,
     # exact (np < 2^52) and unambiguous in both engines
     med = ranked.filter(
         F.col("__rn") == F.floor((F.col("__np") + 1) / F.lit(2.0)))
-    return med.select(
+    med = med.select(
         *group_cols, F.col("__np").alias("n_pairs"),
         F.round(F.col("__sm").cast("double") / 1e6, 6).alias("slope"))
+    groups = df.select(*group_cols).distinct()
+    return (groups.join(med, group_cols, "left")
+            .select(*group_cols,
+                    F.coalesce(F.col("n_pairs"), F.lit(0))
+                    .cast("bigint").alias("n_pairs"),
+                    F.col("slope")))
 
 
 def exact_skew_kurtosis(df: DataFrame, value_col: str,

@@ -629,6 +629,23 @@ def test_theil_sen_caps_points(spark):
     assert row.slope == 1.0
 
 
+def test_theil_sen_pairless_group_surfaces(spark):
+    from tabsdata_spark import stats
+
+    # a single-point group and an all-same-x group have no valid pairs:
+    # they must surface (n_pairs=0, slope NULL), not vanish
+    rows = [("line", 1, 10), ("line", 2, 20),
+            ("one", 5, 7),
+            ("stack", 3, 1), ("stack", 3, 9)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    got = {r.g: r for r in
+           stats.theil_sen(df, "x", "y", ["g"]).collect()}
+    assert set(got) == {"line", "one", "stack"}
+    assert (got["line"].n_pairs, got["line"].slope) == (1, 10.0)
+    for g in ("one", "stack"):
+        assert (got[g].n_pairs, got[g].slope) == (0, None)
+
+
 def test_skew_kurtosis_symmetric_and_known(spark):
     from tabsdata_spark import stats
 
