@@ -96,6 +96,10 @@ def pagerank_exact(edges: DataFrame, src_col: str, dst_col: str,
            .distinct().persist())
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg")).persist()
     n = deg.count()
+    if n == 0:  # empty graph: no nodes, no ranks (the hits_exact
+        # contract), preserving the caller's node dtype in the schema
+        return (edges.select(F.col(src_col).alias("node")).limit(0)
+                .withColumn("pagerank", F.lit(None).cast("double")))
     base = (1.0 - damping) / float(n)
     pr = deg.select(F.col("u").alias("node"), "deg",
                     (F.lit(1.0) / F.lit(float(n))).alias("pr"))
@@ -247,6 +251,11 @@ def ppr_exact(edges: DataFrame, src_col: str, dst_col: str,
            .withColumn("__seed", F.coalesce("__seed", F.lit(False)))
            .persist())
     n_s = deg.filter(F.col("__seed")).count()
+    if n_s == 0:  # no seed appears in the graph: teleport distribution
+        # is undefined, so no node carries mass — empty result with the
+        # caller's node dtype preserved (the pagerank_exact contract)
+        return (edges.select(F.col(src_col).alias("node")).limit(0)
+                .withColumn("ppr", F.lit(None).cast("double")))
     base = (1.0 - damping) / float(n_s)
     tele = F.when(F.col("__seed"), F.lit(base)).otherwise(F.lit(0.0))
     pr = deg.select(

@@ -888,6 +888,27 @@ def test_ppr_concentrates_on_seeds(spark):
     assert out[8] == 0.0 and out[9] == 0.0  # disconnected from seed
 
 
+def test_graph_empty_inputs_return_empty_not_crash(spark):
+    """Empty graph / seedless teleport: pagerank_exact and ppr_exact must
+    return an empty frame with the contract schema (caller's node dtype
+    preserved), not ZeroDivisionError on the driver-side 1/N."""
+    from tabsdata_spark import graph
+
+    e0 = spark.createDataFrame([], "s long, d long")
+    pr = graph.pagerank_exact(e0, "s", "d")
+    assert pr.collect() == [] and pr.columns == ["node", "pagerank"]
+
+    e1 = spark.createDataFrame([(1, 2)], "s long, d long")
+    seeds_out = spark.createDataFrame([(99,)], "node long")
+    for edges in (e0, e1):  # empty edges AND seeds absent from the graph
+        out = graph.ppr_exact(edges, "s", "d", seeds_out, "node")
+        assert out.collect() == [] and out.columns == ["node", "ppr"]
+
+    # string node ids keep their dtype in the empty schema
+    es = spark.createDataFrame([], "s string, d string")
+    assert dict(graph.pagerank_exact(es, "s", "d").dtypes)["node"] == "string"
+
+
 def test_dp_noisy_sum_clip_and_suppression(spark):
     from tabsdata_spark import stats
 
