@@ -29,6 +29,14 @@ class MissingColumnError(TabsdataSparkError):
     code = "TF20"
 
 
+class DuplicateColumnError(TabsdataSparkError):
+    """A projection/rename would produce two columns with the same name
+    (Polars raises DuplicateError; reference rename delegates to
+    pl.LazyFrame.rename, lazyframe/frame.py:1445)."""
+
+    code = "TF21"
+
+
 class SchemaMismatchError(TabsdataSparkError):
     code = "TF30"
 

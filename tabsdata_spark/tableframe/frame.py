@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql.window import Window
 
 from ..errors import (
+    DuplicateColumnError,
     MissingColumnError,
     ReservedColumnError,
     SchemaMismatchError,
@@ -283,9 +284,18 @@ class TableFrame:
         for v in mapping.values():
             if S.is_system_column(v):
                 raise ReservedColumnError(v)
-        out = self._df
-        for old, new in mapping.items():
-            out = out.withColumnRenamed(old, new)
+        # Atomic: all renames apply simultaneously (Polars semantics —
+        # reference rename delegates to pl.LazyFrame.rename,
+        # lazyframe/frame.py:1445), so swaps like {"a": "b", "b": "a"} work.
+        # Sequential withColumnRenamed would alias-collide mid-sequence and
+        # silently merge/drop columns.
+        new_names = [mapping.get(c, c) for c in self._df.columns]
+        dupes = sorted({n for n in new_names if new_names.count(n) > 1})
+        if dupes:
+            raise DuplicateColumnError(f"rename would duplicate: {dupes}")
+        out = self._df.select(
+            *[_q(c).alias(n) for c, n in zip(self._df.columns, new_names)]
+        )
         return self._rebuild(out, keep_sort=True)
 
     def cast(self, dtypes: Mapping[Any, Any] | Any, strict: bool = False) -> "TableFrame":
@@ -313,6 +323,15 @@ class TableFrame:
     def unnest(self, columns: str | Sequence[str]) -> "TableFrame":
         """Struct column -> one column per field, in place (frame.py:1579)."""
         targets = [columns] if isinstance(columns, str) else list(columns)
+        missing = [c for c in targets if c not in self._df.columns]
+        if missing:
+            raise MissingColumnError(f"unnest: {missing}")
+        for c in targets:
+            if not isinstance(self._df.schema[c].dataType, T.StructType):
+                raise SchemaMismatchError(
+                    f"unnest: column {c!r} is "
+                    f"{self._df.schema[c].dataType.simpleString()}, not struct"
+                )
         sel: list[Column] = []
         for c in self._df.columns:
             if c in targets:
@@ -364,6 +383,11 @@ class TableFrame:
         partial dedup, the scale-optimal path).  keep=first/last honor the
         frame's logical sort order via a window; keep=none keeps only
         singletons."""
+        if keep not in ("any", "first", "last", "none"):
+            raise ValueError(
+                f"unique: keep must be one of 'first', 'last', 'any', 'none';"
+                f" got {keep!r}"
+            )
         cols = [subset] if isinstance(subset, str) else (list(subset) if subset else self.columns)
         if keep == "any":
             out = self._df.dropDuplicates(cols)
@@ -392,6 +416,16 @@ class TableFrame:
         n = len(keys)
         desc = [descending] * n if isinstance(descending, bool) else list(descending)
         nl = [nulls_last] * n if isinstance(nulls_last, bool) else list(nulls_last)
+        if len(desc) != n:
+            raise ValueError(
+                f"sort: length of descending ({len(desc)}) does not match"
+                f" the number of sort keys ({n})"
+            )
+        if len(nl) != n:
+            raise ValueError(
+                f"sort: length of nulls_last ({len(nl)}) does not match"
+                f" the number of sort keys ({n})"
+            )
         sort_spec = list(zip(keys, desc, nl))
         out = TableFrame(_df=self._df, _props=self._props, _sort=sort_spec)
         out._df = self._df.orderBy(*out._order_exprs())
@@ -400,18 +434,51 @@ class TableFrame:
     def slice(self, offset: int, length: int | None = None) -> "TableFrame":
         """Positional slice (frame.py:2195).  offset=0 folds to limit()
         (distributed); general offsets need a global row_number — inherently
-        a global operation, same as any OFFSET pagination at scale."""
+        a global operation, same as any OFFSET pagination at scale.
+
+        Negative offsets count from the end with Python-slice clamping
+        (polars slice_offsets: start = N + offset, end = start + length,
+        both clamped to [0, N]); negative lengths raise, matching
+        pl.LazyFrame.slice."""
+        if length is not None and length < 0:
+            raise ValueError(
+                f"negative slice lengths ({length}) are invalid"
+            )
         if offset == 0 and length is not None:
             return self.limit(length)
+        if offset >= 0:
+            w = Window.orderBy(*self._order_exprs())
+            out = self._df.withColumn("__td_rn", F.row_number().over(w))
+            hi = None if length is None else offset + length
+            cond = F.col("__td_rn") > offset
+            if hi is not None:
+                cond = cond & (F.col("__td_rn") <= hi)
+            return self._rebuild(out.filter(cond).drop("__td_rn"),
+                                 keep_sort=True)
+        if length is None:
+            # last |offset| rows — TakeOrderedAndProject, no global window
+            return self.tail(-offset)
+        # negative offset with a length: start/end are N-relative, so the
+        # filter needs the 0-based index AND the total row count; both come
+        # from the same single global window (this is the documented
+        # whole-column positional hot spot, bounded like slice/tail).
         w = Window.orderBy(*self._order_exprs())
-        out = self._df.withColumn("__td_rn", F.row_number().over(w))
-        hi = None if length is None else offset + length
-        cond = F.col("__td_rn") > offset
-        if hi is not None:
-            cond = cond & (F.col("__td_rn") <= hi)
-        return self._rebuild(out.filter(cond).drop("__td_rn"), keep_sort=True)
+        wall = w.rowsBetween(Window.unboundedPreceding,
+                             Window.unboundedFollowing)
+        out = (self._df
+               .withColumn("__td_rn", F.row_number().over(w))
+               .withColumn("__td_n", F.count(F.lit(1)).over(wall)))
+        idx0 = F.col("__td_rn") - 1
+        start_raw = F.col("__td_n") + F.lit(offset)
+        end_raw = start_raw + F.lit(length)
+        cond = (idx0 >= F.greatest(start_raw, F.lit(0))) & \
+               (idx0 < F.least(end_raw, F.col("__td_n")))
+        return self._rebuild(out.filter(cond).drop("__td_rn", "__td_n"),
+                             keep_sort=True)
 
     def limit(self, n: int) -> "TableFrame":
+        if n < 0:
+            raise ValueError(f"negative slice lengths ({n}) are invalid")
         return self._rebuild(self._df.limit(n), keep_sort=True)
 
     def head(self, n: int = 5) -> "TableFrame":
@@ -421,6 +488,8 @@ class TableFrame:
         """Last n under the frame's logical order: reverse-sort, limit, and
         restore order — compiles to TakeOrderedAndProject twice, no global
         window."""
+        if n < 0:
+            raise ValueError(f"negative slice lengths ({n}) are invalid")
         out = self._df.orderBy(*self._order_exprs(reverse=True)).limit(n)
         if self._sort_cols:
             out = out.orderBy(*self._order_exprs())
@@ -451,6 +520,17 @@ class TableFrame:
         if df.schema.fields and len(df.schema.fields) != 1:
             raise ShapeError("item() requires exactly one column")
         if row is not None:
+            if row < 0:
+                # negative indexing from the end (Python/Polars item
+                # semantics): reverse-order limit gives rows N-1..N+row in
+                # that order, so the target (index N+row) is the last one
+                sel = df.columns[0] if column is None else column
+                vals = (self._user_df()
+                        .orderBy(*self._order_exprs(reverse=True))
+                        .limit(-row).select(_q(sel)).collect())
+                if len(vals) < -row:
+                    raise ShapeError(f"item(): row {row} out of range")
+                return vals[-1][0]
             vals = df.limit(row + 1).collect()
             if len(vals) <= row:
                 raise ShapeError(f"item(): row {row} out of range")
@@ -502,18 +582,40 @@ class TableFrame:
         rdf = other._user_df()  # right system columns dropped
 
         if how == "cross":
+            if on is not None or left_on is not None or right_on is not None:
+                raise ValueError("cross join should not pass join keys")
             rsel = [_q(c).alias(c + suffix if c in ldf.columns else c)
                     for c in rdf.columns]
             return self._rebuild(ldf.crossJoin(rdf.select(*rsel)))
 
         if on is not None:
+            if left_on is not None or right_on is not None:
+                raise ValueError(
+                    "join: cannot use 'on' together with 'left_on'/'right_on'"
+                )
             lkeys = [on] if isinstance(on, str) else list(on)
             rkeys = lkeys
             using = True
         else:
+            if left_on is None or right_on is None:
+                raise ValueError(
+                    f"join: how={how!r} requires 'on' or both"
+                    " 'left_on' and 'right_on'"
+                )
             lkeys = [left_on] if isinstance(left_on, str) else list(left_on)
             rkeys = [right_on] if isinstance(right_on, str) else list(right_on)
+            if len(lkeys) != len(rkeys):
+                raise ValueError(
+                    f"join: left_on has {len(lkeys)} keys but right_on has"
+                    f" {len(rkeys)}"
+                )
             using = False
+        missing_l = [k for k in lkeys if k not in ldf.columns]
+        missing_r = [k for k in rkeys if k not in rdf.columns]
+        if missing_l or missing_r:
+            raise MissingColumnError(
+                f"join: left={missing_l} right={missing_r}"
+            )
         if coalesce is None:
             coalesce = using and how != "full"
 

@@ -212,3 +212,92 @@ def test_cast_nonstrict_avoids_try_cast(spark):
     plan = out.df._jdf.queryExecution().analyzed().toString()
     assert "try_cast" not in plan.lower().replace("trycast", "try_cast")
     assert out.to_dict()["y"] == [None, None]
+
+
+# ---------------------------------------------------------------------------
+# edge-contract regressions (round 7): Polars-lazy parity for argument
+# validation and positional semantics (reference delegates these to
+# pl.LazyFrame — lazyframe/frame.py:820 sort, 1445 rename, 1764 unique,
+# 2289 head, 1017 join)
+# ---------------------------------------------------------------------------
+
+def test_rename_swap_is_atomic(spark):
+    """All renames apply simultaneously: {"a": "b", "b": "a"} swaps the
+    two columns.  Sequential withColumnRenamed silently merged them."""
+    tf = td.TableFrame.from_dict(spark, {"a": [1, 2], "b": ["x", "y"]})
+    d = tf.rename({"a": "b", "b": "a"}).to_dict()
+    assert d == {"b": [1, 2], "a": ["x", "y"]}
+
+
+def test_rename_collision_raises(spark):
+    from tabsdata_spark.errors import DuplicateColumnError
+
+    tf = td.TableFrame.from_dict(spark, {"a": [1], "b": [2]})
+    with pytest.raises(DuplicateColumnError):
+        tf.rename({"a": "b"})
+    with pytest.raises(DuplicateColumnError):
+        tf.rename({"a": "c", "b": "c"})
+
+
+def test_unique_invalid_keep_raises(tiny):
+    with pytest.raises(ValueError, match="keep must be one of"):
+        tiny.unique(keep="bogus")
+
+
+def test_sort_descending_length_mismatch_raises(tiny):
+    with pytest.raises(ValueError, match="descending"):
+        tiny.sort("a", "b", descending=[True])
+    with pytest.raises(ValueError, match="nulls_last"):
+        tiny.sort("a", "b", nulls_last=[True, False, True])
+
+
+def test_negative_head_tail_limit_raise(tiny):
+    for fn in (tiny.head, tiny.tail, tiny.limit):
+        with pytest.raises(ValueError, match="negative slice lengths"):
+            fn(-1)
+    with pytest.raises(ValueError, match="negative slice lengths"):
+        tiny.slice(0, -1)
+
+
+def test_slice_negative_offset(spark):
+    """Negative offsets count from the end with Python-slice clamping
+    (polars slice_offsets): slice(-2) = last 2; slice(-3, 2) = 2 rows
+    starting 3 from the end; slice(-9, 6) on 4 rows = rows [0, 1)."""
+    tf = td.TableFrame.from_dict(spark, {"a": [10, 20, 30, 40]}).sort("a")
+    assert [r.a for r in tf.slice(-2).df.collect()] == [30, 40]
+    assert [r.a for r in tf.slice(-3, 2).df.collect()] == [20, 30]
+    assert [r.a for r in tf.slice(-9, 6).df.collect()] == [10]
+    assert tf.slice(-9, 2).df.count() == 0
+
+
+def test_item_negative_row(spark):
+    tf = td.TableFrame.from_dict(spark, {"a": [10, 20, 30, 40]}).sort("a")
+    assert tf.item(-1, "a") == 40
+    assert tf.item(-4, "a") == 10
+    assert tf.select("a").item(-2) == 30
+    with pytest.raises(ShapeError):
+        tf.item(-5, "a")
+
+
+def test_unnest_validates_targets(tiny):
+    from tabsdata_spark.errors import SchemaMismatchError
+
+    with pytest.raises(MissingColumnError):
+        tiny.unnest("nope")
+    with pytest.raises(SchemaMismatchError):
+        tiny.unnest("a")
+
+
+def test_join_argument_validation(spark):
+    left = td.TableFrame.from_dict(spark, {"a": [1], "b": [2]})
+    right = td.TableFrame.from_dict(spark, {"a": [1], "c": [3]})
+    with pytest.raises(ValueError, match="requires 'on'"):
+        left.join(right)
+    with pytest.raises(MissingColumnError):
+        left.join(right, on="zz")
+    with pytest.raises(ValueError, match="left_on has 2"):
+        left.join(right, left_on=["a", "b"], right_on=["a"])
+    with pytest.raises(ValueError, match="together"):
+        left.join(right, on="a", left_on="a", right_on="a")
+    with pytest.raises(ValueError, match="cross join"):
+        left.join(right, on="a", how="cross")

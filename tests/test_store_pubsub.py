@@ -415,8 +415,7 @@ def test_concurrent_triggers_commit_atomically_and_serialize(spark, tmp_path):
     @td.transformer(input_tables=["a", "b"], output_tables=["paired"],
                     trigger_by=["a"])
     def pair(a, b):
-        return a.join(b, left_on="v", right_on="v", how="cross",
-                      suffix="_b").select(
+        return a.join(b, how="cross", suffix="_b").select(
             va=td.col("v"), vb=td.col("v_b"))
 
     engine = PubSubEngine(spark, store)
