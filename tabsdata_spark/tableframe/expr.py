@@ -643,20 +643,29 @@ class ExprStringNameSpace:
 
     # pad (string.py:459-547)
     def pad_start(self, length: int, fill_char: str = " "):
-        return self._new(F.lpad(self._c, length, fill_char))
+        # Polars pads to AT LEAST length and never truncates; Spark lpad
+        # truncates longer strings, so guard on the current length.
+        c = self._c
+        return self._new(
+            F.when(F.length(c) >= length, c).otherwise(F.lpad(c, length, fill_char))
+        )
 
     def pad_end(self, length: int, fill_char: str = " "):
-        return self._new(F.rpad(self._c, length, fill_char))
+        c = self._c
+        return self._new(
+            F.when(F.length(c) >= length, c).otherwise(F.rpad(c, length, fill_char))
+        )
 
     def zfill(self, length: int):
+        # Python/Polars zfill: never truncates; a leading '-' stays in
+        # front of the zeros (Polars handles only '-', not '+').
         c = self._c
         negative = c.startswith("-")
         body = F.lpad(F.substring(c, 2, 2**30), length - 1, "0")
-        return self._new(
-            F.when(negative, F.concat(F.lit("-"), body)).otherwise(
-                F.lpad(c, length, "0")
-            )
+        filled = F.when(negative, F.concat(F.lit("-"), body)).otherwise(
+            F.lpad(c, length, "0")
         )
+        return self._new(F.when(F.length(c) >= length, c).otherwise(filled))
 
     # search (string.py:548-778)
     def contains(self, pattern: str, literal: bool = False):
@@ -665,11 +674,17 @@ class ExprStringNameSpace:
         return self._new(self._c.rlike(pattern))
 
     def find(self, pattern: str, literal: bool = False):
+        """0-based BYTE offset of the first match, null if absent — Polars
+        returns the Rust byte index (str::find / regex Match::start), not a
+        character index; identical for ASCII, differs on multibyte text."""
         if literal:
             pos = F.locate(pattern, self._c)
         else:
             pos = F.regexp_instr(self._c, F.lit(pattern))
-        return self._new(F.when(pos > 0, pos - 1))  # 0-based, null if absent
+        # char position -> byte offset of the preceding prefix
+        return self._new(
+            F.when(pos > 0, F.octet_length(F.substring(self._c, 1, pos - 1)))
+        )
 
     def ends_with(self, suffix: str):
         return self._new(self._c.endswith(suffix))
@@ -721,9 +736,18 @@ class ExprStringNameSpace:
         return self._new(self._c.substr(start, ln))
 
     def head(self, n: int):
+        # Polars: negative n takes all but the last |n| characters
+        if n < 0:
+            return self._new(
+                F.substring(self._c, 1, F.greatest(F.length(self._c) + n,
+                                                   F.lit(0)))
+            )
         return self._new(F.left(self._c, F.lit(n)))
 
     def tail(self, n: int):
+        # Polars: negative n takes all but the first |n| characters
+        if n < 0:
+            return self._new(F.substring(self._c, 1 - n, 2**30))
         return self._new(F.right(self._c, F.lit(n)))
 
     def to_integer(self, base: int = 10, strict: bool = True):
@@ -747,7 +771,28 @@ class ExprStringNameSpace:
                 self._c.try_cast("long") if _ansi_enabled()
                 else self._c.cast("long")
             )
-        return self._new(F.conv(self._c, base, 10).cast("long"))
+        # non-decimal bases: F.conv never fails (invalid digits silently
+        # parse as 0), so gate on a digit-validity regex — Polars raises on
+        # strict and nulls otherwise
+        digits = "0123456789abcdefghijklmnopqrstuvwxyz"[:base]
+        cls = digits if base <= 10 else f"0-9a-{digits[-1]}A-{digits[-1].upper()}"
+        valid = self._c.rlike(f"^-?[{cls}]+$")
+        # F.conv reads a leading '-' as unsigned two's complement; strip the
+        # sign, convert the magnitude, and re-apply
+        neg = self._c.startswith("-")
+        mag = F.when(neg, F.substring(self._c, 2, 2**30)).otherwise(self._c)
+        unsigned = F.conv(mag, base, 10).cast("long")
+        conv = F.when(neg, -unsigned).otherwise(unsigned)
+        if strict:
+            return self._new(
+                F.when(
+                    self._c.isNotNull() & ~valid,
+                    F.raise_error(F.concat(
+                        F.lit(f"str.to_integer base {base} failed for value: "),
+                        self._c)),
+                ).otherwise(conv)
+            )
+        return self._new(F.when(valid, conv))
 
     def contains_any(self, patterns: Sequence[str], ascii_case_insensitive: bool = False):
         alt = "|".join(_regex_quote(p) for p in patterns)
@@ -828,6 +873,8 @@ class ExprDateTimeNameSpace:
         return self._new(F.date_trunc(unit, self._c))
 
     def replace(self, **kwargs):
+        ts = self._c.cast("timestamp")
+        us = F.pmod(F.unix_micros(ts), F.lit(1_000_000))
         parts = {
             "year": F.year(self._c),
             "month": F.month(self._c),
@@ -835,14 +882,19 @@ class ExprDateTimeNameSpace:
             "hour": F.hour(self._c),
             "minute": F.minute(self._c),
             "second": F.second(self._c),
+            "microsecond": us,
         }
         for k, v in kwargs.items():
             if k in parts:
                 parts[k] = F.lit(v)
+        # make_timestamp takes fractional seconds (micros precision) —
+        # Polars replace keeps the sub-second part unless overridden
+        sec = (parts["second"] + parts["microsecond"] / F.lit(1_000_000.0)) \
+            .cast("decimal(16,6)")
         return self._new(
             F.make_timestamp(
                 parts["year"], parts["month"], parts["day"],
-                parts["hour"], parts["minute"], parts["second"],
+                parts["hour"], parts["minute"], sec,
             )
         )
 
@@ -922,13 +974,21 @@ class ExprDateTimeNameSpace:
         return self._c.cast("timestamp")
 
     def millisecond(self):
-        return self._new((F.unix_micros(self._ts) % 1_000_000 / 1000).cast("int"))
+        # pmod, not %: the time-of-day fraction is non-negative even for
+        # pre-epoch instants (Polars extracts from the calendar time)
+        return self._new(
+            (F.pmod(F.unix_micros(self._ts), F.lit(1_000_000)) / 1000).cast("int")
+        )
 
     def microsecond(self):
-        return self._new((F.unix_micros(self._ts) % 1_000_000).cast("int"))
+        return self._new(
+            F.pmod(F.unix_micros(self._ts), F.lit(1_000_000)).cast("int")
+        )
 
     def nanosecond(self):
-        return self._new(((F.unix_micros(self._ts) % 1_000_000) * 1000).cast("long"))
+        return self._new(
+            (F.pmod(F.unix_micros(self._ts), F.lit(1_000_000)) * 1000).cast("long")
+        )
 
     def epoch(self, time_unit: str = "us"):
         if time_unit == "s":
@@ -956,21 +1016,21 @@ class ExprDateTimeNameSpace:
             return self._e
         return self._new(F.to_utc_timestamp(self._c, time_zone))
 
-    # durations: mapped to DayTimeIntervalType; totals via micros cast
+    # durations: mapped to DayTimeIntervalType; totals via exact micros
     def total_days(self):
-        return self._new((self._total_micros() / 86_400_000_000).cast("long"))
+        return self._new(self._total_div(86_400_000_000))
 
     def total_hours(self):
-        return self._new((self._total_micros() / 3_600_000_000).cast("long"))
+        return self._new(self._total_div(3_600_000_000))
 
     def total_minutes(self):
-        return self._new((self._total_micros() / 60_000_000).cast("long"))
+        return self._new(self._total_div(60_000_000))
 
     def total_seconds(self):
-        return self._new((self._total_micros() / 1_000_000).cast("long"))
+        return self._new(self._total_div(1_000_000))
 
     def total_milliseconds(self):
-        return self._new((self._total_micros() / 1000).cast("long"))
+        return self._new(self._total_div(1000))
 
     def total_microseconds(self):
         return self._new(self._total_micros())
@@ -979,9 +1039,18 @@ class ExprDateTimeNameSpace:
         return self._new(self._total_micros() * 1000)
 
     def _total_micros(self) -> Column:
-        # DayTimeIntervalType -> long gives total seconds in Spark SQL;
-        # use second-precision interval cast then scale (verified in tests)
-        return self._c.cast("interval day to second").cast("long") * 1_000_000
+        # exact micros of a DayTimeIntervalType: add it to the epoch and
+        # read unix_micros — casting the interval to long truncates to
+        # whole seconds and silently drops the sub-second part
+        return F.unix_micros(F.timestamp_micros(F.lit(0)) + self._c)
+
+    def _total_div(self, unit_us: int) -> Column:
+        # truncate-toward-zero division (Polars/Rust i64 semantics), exact
+        # over the full int64 range: strip the remainder first, then the
+        # decimal division is an exact integer
+        m = self._total_micros()
+        exact = m - m % unit_us
+        return (exact.cast("decimal(38,0)") / unit_us).cast("long")
 
     def offset_by(self, by: str):
         months, days, micros = _parse_offset(by)

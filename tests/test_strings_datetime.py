@@ -221,3 +221,95 @@ def test_quarter_unit(spark):
     assert d["tq"][0] == dt.datetime(2024, 7, 1)
     assert d["oq"][0] == dt.datetime(2024, 11, 15, 10, 30)
     assert d["oyq"][0] == dt.datetime(2025, 11, 15, 10, 30)
+
+
+# ---------------------------------------------------------------------------
+# edge-contract regressions (round 7): Polars string/datetime parity on
+# degenerate inputs (reference delegates to pl.Expr.str / pl.Expr.dt)
+# ---------------------------------------------------------------------------
+
+def test_pad_never_truncates(spark):
+    """Polars pad_start/pad_end/zfill pad to AT LEAST length; Spark
+    lpad/rpad truncate longer strings and must be guarded."""
+    tf = td.TableFrame.from_dict(spark, {"s": ["hello", "-1234", "ab"]})
+    d = sel(
+        tf,
+        ps=td.col("s").str.pad_start(3, "*"),
+        pe=td.col("s").str.pad_end(3, "*"),
+        zf=td.col("s").str.zfill(3),
+    )
+    assert d["ps"] == ["hello", "-1234", "*ab"]
+    assert d["pe"] == ["hello", "-1234", "ab*"]
+    assert d["zf"] == ["hello", "-1234", "0ab"]
+
+
+def test_str_head_tail_negative(spark):
+    """Polars: head(-n) strips the last n chars, tail(-n) the first n."""
+    tf = td.TableFrame.from_dict(spark, {"s": ["hello", "ab", ""]})
+    d = sel(tf, h=td.col("s").str.head(-2), t=td.col("s").str.tail(-2))
+    assert d["h"] == ["hel", "", ""]
+    assert d["t"] == ["llo", "", ""]
+
+
+def test_find_returns_byte_offset(spark):
+    """Polars find is the Rust BYTE index (str::find / Match::start):
+    'héllo'.find('l') == 3 because é is two bytes."""
+    tf = td.TableFrame.from_dict(spark, {"s": ["héllo", "naïve x", "no"]})
+    d = sel(tf, lit=td.col("s").str.find("l", literal=True),
+            rx=td.col("s").str.find("[lx]"))
+    assert d["lit"] == [3, None, None]
+    assert d["rx"] == [3, 7, None]
+
+
+def test_to_integer_nondecimal_bases(spark):
+    """F.conv silently parses invalid digits as 0 and reads '-' as unsigned
+    two's complement; both are guarded now."""
+    tf = td.TableFrame.from_dict(spark, {"h": ["ff", "-1A", "zz", ""]})
+    d = sel(tf, v=td.col("h").str.to_integer(base=16, strict=False))
+    assert d["v"] == [255, -26, None, None]
+    ok = tf.filter(td.col("h").str.contains("^-?[0-9a-fA-F]+$"))
+    assert sel(ok, v=td.col("h").str.to_integer(base=16, strict=True))["v"] \
+        == [255, -26]
+    import pytest
+    with pytest.raises(Exception, match="to_integer"):
+        sel(tf, v=td.col("h").str.to_integer(base=16, strict=True))
+
+
+def test_subsecond_fields_nonnegative_pre_epoch(spark):
+    """Time-of-day fractions are calendar values, never negative — pmod,
+    not %, for pre-1970 instants."""
+    ts = [dt.datetime(1969, 12, 31, 23, 59, 59, 500000),
+          dt.datetime(2024, 2, 29, 0, 0, 0, 1)]
+    tf = td.TableFrame.from_dict(spark, {"t": ts})
+    d = sel(tf, ms=td.col("t").dt.millisecond(),
+            us=td.col("t").dt.microsecond(),
+            ns=td.col("t").dt.nanosecond())
+    assert d["ms"] == [500, 0]
+    assert d["us"] == [500000, 1]
+    assert d["ns"] == [500000000, 1000]
+
+
+def test_dt_replace_keeps_microseconds(spark):
+    ts = dt.datetime(2023, 1, 31, 12, 30, 45, 123456)
+    tf = td.TableFrame.from_dict(spark, {"t": [ts]})
+    d = sel(tf, y=td.col("t").dt.replace(year=2000),
+            m=td.col("t").dt.replace(microsecond=9),
+            s=td.col("t").dt.replace(second=7))
+    assert d["y"] == [ts.replace(year=2000)]
+    assert d["m"] == [ts.replace(microsecond=9)]
+    assert d["s"] == [ts.replace(second=7)]
+
+
+def test_duration_totals_keep_subseconds(spark):
+    """total_ms/us must not truncate to whole seconds; negative durations
+    truncate toward zero (Rust i64 division semantics)."""
+    a = [dt.datetime(2023, 1, 1, 0, 0, 1, 500000), dt.datetime(2023, 1, 1)]
+    b = [dt.datetime(2023, 1, 1), dt.datetime(2023, 1, 1, 0, 0, 1, 500000)]
+    tf = td.TableFrame.from_dict(spark, {"a": a, "b": b})
+    diff = td.col("a") - td.col("b")
+    d = sel(tf, s=diff.dt.total_seconds(), ms=diff.dt.total_milliseconds(),
+            us=diff.dt.total_microseconds(), ns=diff.dt.total_nanoseconds())
+    assert d["s"] == [1, -1]
+    assert d["ms"] == [1500, -1500]
+    assert d["us"] == [1500000, -1500000]
+    assert d["ns"] == [1500000000, -1500000000]
