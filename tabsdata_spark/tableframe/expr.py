@@ -269,8 +269,13 @@ class Expr:
             c = (self._col >= lo) & (self._col < hi)
         elif closed == "right":
             c = (self._col > lo) & (self._col <= hi)
-        else:
+        elif closed == "none":
             c = (self._col > lo) & (self._col < hi)
+        else:
+            raise ValueError(
+                f"is_between: closed must be one of 'both', 'left',"
+                f" 'right', 'none'; got {closed!r}"
+            )
         return self._new(c)
 
     def is_in(self, values):
@@ -481,7 +486,16 @@ class Expr:
         """Whole-column rank (expr.py:1843).  NOTE: a global rank is a global
         sort — on a cluster this is a single-pass range-partitioned sort,
         inherently all-to-all.  Fine as the reference semantics demand it."""
-        ordered = self._col.desc() if descending else self._col.asc()
+        if method not in ("average", "min", "max", "dense", "ordinal",
+                          "random"):
+            raise ValueError(
+                f"rank: method must be one of 'average', 'min', 'max',"
+                f" 'dense', 'ordinal', 'random'; got {method!r}"
+            )
+        # nulls sort LAST so they never shift non-null ranks; their own
+        # rank is null (Polars: null values get a null rank)
+        ordered = (self._col.desc_nulls_last() if descending
+                   else self._col.asc_nulls_last())
         w = Window.orderBy(ordered)
         ties = Window.partitionBy(self._col)
         if method == "min":
@@ -497,7 +511,7 @@ class Expr:
         else:  # average
             mn = F.rank().over(w)
             c = (mn * 2 + F.count(F.lit(1)).over(ties) - 1) / 2.0
-        return self._new(c)
+        return self._new(F.when(self._col.isNotNull(), c))
 
     def diff(self, n: int = 1, order_by=None):
         """Lag difference (expr.py:1884).  Polars uses physical row order;
@@ -607,20 +621,45 @@ class ExprStringNameSpace:
         return self._new(F.lower(self._c))
 
     def to_titlecase(self):
-        return self._new(F.initcap(self._c))
+        # Polars capitalizes after ANY non-alphabetic char ("o'neil" ->
+        # "O'Neil", "foo2bar" -> "Foo2Bar"); Spark initcap only splits on
+        # whitespace.  Single-pass char transform, no UDF: uppercase a
+        # letter when the previous char is non-alphabetic.
+        low = F.split(F.lower(self._c), "")
+        return self._new(
+            F.array_join(
+                F.transform(
+                    low,
+                    lambda ch, i: F.when(
+                        (i == 0)
+                        # element_at is 1-based, so index i is the previous
+                        # char; clamp to 1 for i=0 (ANSI errors on index 0)
+                        | ~F.element_at(
+                            low, F.greatest(i, F.lit(1))
+                        ).rlike("[\\p{L}]"),
+                        F.upper(ch),
+                    ).otherwise(ch),
+                ),
+                "",
+            )
+        )
 
     # strip family (string.py:293-458)
     def strip_chars(self, characters: str | None = None):
         if characters is None:
-            return self._new(F.trim(self._c))
+            # Polars strips all (unicode) whitespace; Spark trim strips
+            # only ASCII spaces
+            return self._new(
+                F.regexp_replace(self._c, r"(?U)^\s+|\s+$", "")
+            )
         return self._new(F.btrim(self._c, F.lit(characters)))
 
     def strip_chars_start(self, characters: str | None = None):
-        cls = r"\s" if characters is None else _char_class(characters)
+        cls = r"(?U)\s" if characters is None else _char_class(characters)
         return self._new(F.regexp_replace(self._c, f"^(?:{cls})+", ""))
 
     def strip_chars_end(self, characters: str | None = None):
-        cls = r"\s" if characters is None else _char_class(characters)
+        cls = r"(?U)\s" if characters is None else _char_class(characters)
         return self._new(F.regexp_replace(self._c, f"(?:{cls})+$", ""))
 
     def strip_prefix(self, prefix: str):
@@ -705,19 +744,48 @@ class ExprStringNameSpace:
         return self._new(F.regexp_count(self._c, F.lit(pat)))
 
     # replace (string.py:779-872)
+    @staticmethod
+    def _replacement_to_java(value: str, literal: bool) -> str:
+        """Polars (rust-regex) replacement -> Java replacement: keep $N /
+        ${...} capture-group refs, turn $$ into a literal $, escape
+        everything else.  literal=True patterns have no groups, so the
+        value is fully escaped (Polars uses plain substring replace)."""
+        if literal:
+            return value.replace("\\", "\\\\").replace("$", "\\$")
+        out, i = [], 0
+        while i < len(value):
+            ch = value[i]
+            nxt = value[i + 1:i + 2]
+            if ch == "\\":
+                out.append("\\\\")
+            elif ch == "$" and nxt == "$":
+                out.append("\\$")
+                i += 1
+            elif ch == "$" and not (nxt.isdigit() or nxt == "{"):
+                out.append("\\$")
+            else:
+                out.append(ch)
+            i += 1
+        return "".join(out)
+
     def replace(self, pattern: str, value: str, literal: bool = False, n: int = 1):
         """Replace first n occurrences (Polars default n=1).  First-only via
         the lazy-prefix trick — stays a single JVM regexp_replace."""
         pat = _regex_quote(pattern) if literal else pattern
-        val = value.replace("\\", "\\\\").replace("$", "\\$")
+        val = self._replacement_to_java(value, literal)
         out = self._c
         for _ in range(n):
-            out = F.regexp_replace(out, f"^((?s).*?)(?:{pat})", f"$1{val}")
+            # the prefix group shifts user group refs by one: $1 -> $2 etc.
+            # ($0 / whole-match refs are not supported on this n-bounded
+            # path; use replace_all for those)
+            shifted = _re.sub(r"\$(\d+)",
+                              lambda m: f"${int(m.group(1)) + 1}", val)
+            out = F.regexp_replace(out, f"^((?s).*?)(?:{pat})", f"$1{shifted}")
         return self._new(out)
 
     def replace_all(self, pattern: str, value: str, literal: bool = False):
         pat = _regex_quote(pattern) if literal else pattern
-        val = value.replace("\\", "\\\\").replace("$", "\\$")
+        val = self._replacement_to_java(value, literal)
         return self._new(F.regexp_replace(self._c, pat, val))
 
     def reverse(self):

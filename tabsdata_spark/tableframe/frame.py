@@ -238,7 +238,12 @@ class TableFrame:
     # ------------------------------------------------------------------
     def select(self, *exprs: Any, **named: Any) -> "TableFrame":
         cols = self._resolve_many(exprs, named)
-        return self._rebuild(self._df.select(*self._with_system(cols)))
+        out = self._df.select(*self._with_system(cols))
+        user = S.user_columns(out)
+        dupes = sorted({n for n in user if user.count(n) > 1})
+        if dupes:
+            raise DuplicateColumnError(f"select would duplicate: {dupes}")
+        return self._rebuild(out)
 
     def with_columns(self, *exprs: Any, **named: Any) -> "TableFrame":
         cols = self._resolve_many(exprs, named)
@@ -307,6 +312,8 @@ class TableFrame:
         for key, target in dtypes.items():
             tgt = to_spark_type(target)
             if isinstance(key, str):
+                if key not in self.columns:
+                    raise MissingColumnError(f"cast: {key}")
                 plan[key] = tgt
             else:
                 src = to_spark_type(key)

@@ -71,6 +71,11 @@ def apply_udf(frame, on: Any, function: UDF):
     its declared output columns."""
     import pandas as pd
 
+    if not isinstance(function, UDF):
+        raise TypeError(
+            "TableFrame.udf expects a UDF instance (subclass UDF/UDFList/"
+            f"UDFUnpacked and declare output_columns); got {type(function).__name__}"
+        )
     outputs = function._normalized_outputs()
     ret_type = T.StructType([T.StructField(n, t) for n, t in outputs])
     in_cols = frame._resolve(on if isinstance(on, (list, tuple)) else [on])

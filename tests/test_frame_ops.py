@@ -301,3 +301,22 @@ def test_join_argument_validation(spark):
         left.join(right, on="a", left_on="a", right_on="a")
     with pytest.raises(ValueError, match="cross join"):
         left.join(right, on="a", how="cross")
+
+
+def test_cast_missing_column_raises(tiny):
+    with pytest.raises(MissingColumnError):
+        tiny.cast({"nope": "int"})
+
+
+def test_select_duplicate_output_raises(spark):
+    from tabsdata_spark.errors import DuplicateColumnError
+
+    tf = td.TableFrame.from_dict(spark, {"a": [1], "b": [2]})
+    with pytest.raises(DuplicateColumnError):
+        tf.select(td.col("a").alias("z"), td.col("b").alias("z"))
+
+
+def test_udf_rejects_raw_callable(spark):
+    tf = td.TableFrame.from_dict(spark, {"a": [1]})
+    with pytest.raises(TypeError, match="UDF instance"):
+        tf.udf("a", lambda x: x)

@@ -313,3 +313,55 @@ def test_duration_totals_keep_subseconds(spark):
     assert d["ms"] == [1500, -1500]
     assert d["us"] == [1500000, -1500000]
     assert d["ns"] == [1500000000, -1500000000]
+
+
+def test_replace_capture_group_refs(spark):
+    """Polars replacement values support rust-regex $N / ${N} group refs
+    and $$ for a literal dollar."""
+    tf = td.TableFrame.from_dict(spark, {"s": ["a-b-c"]})
+    d = sel(tf,
+            g=td.col("s").str.replace_all(r"(\w)", "<$1>"),
+            dd=td.col("s").str.replace_all("-", "$$"),
+            n1=td.col("s").str.replace(r"(\w)-", "[$1]"),
+            lit=td.col("s").str.replace_all("-", "$1", literal=True))
+    assert d["g"] == ["<a>-<b>-<c>"]
+    assert d["dd"] == ["a$b$c"]
+    assert d["n1"] == ["[a]b-c"]
+    assert d["lit"] == ["a$1b$1c"]
+
+
+def test_titlecase_nonalpha_boundaries(spark):
+    """Polars capitalizes after ANY non-alphabetic char, not just spaces."""
+    tf = td.TableFrame.from_dict(
+        spark, {"s": ["o'neil brown", "foo2bar", "A-B-C", ""]})
+    assert sel(tf, v=td.col("s").str.to_titlecase())["v"] == \
+        ["O'Neil Brown", "Foo2Bar", "A-B-C", ""]
+
+
+def test_strip_chars_strips_all_whitespace(spark):
+    """Default strip covers tabs/newlines (Python str.strip), not just
+    spaces (Spark trim)."""
+    tf = td.TableFrame.from_dict(spark, {"s": ["  x\ty\n", "\n\t", "a"]})
+    d = sel(tf, v=td.col("s").str.strip_chars(),
+            l=td.col("s").str.strip_chars_start(),
+            r=td.col("s").str.strip_chars_end())
+    assert d["v"] == ["x\ty", "", "a"]
+    assert d["l"] == ["x\ty\n", "", "a"]
+    assert d["r"] == ["  x\ty", "", "a"]
+
+
+def test_rank_nulls_and_validation(spark):
+    """Null values get a null rank and never shift non-null ranks;
+    invalid method/closed arguments raise."""
+    import pytest
+    tf = td.TableFrame.from_dict(spark, {"a": [1.0, 2.0, None, 1.0]})
+    got = sorted(sel(tf, v=td.col("a").rank("min"))["v"],
+                 key=lambda x: (x is None, x))
+    assert got == [1, 1, 3, None]
+    avg = sorted(sel(tf, v=td.col("a").rank())["v"],
+                 key=lambda x: (x is None, x))
+    assert avg == [1.5, 1.5, 3.0, None]
+    with pytest.raises(ValueError, match="rank"):
+        sel(tf, v=td.col("a").rank(method="bogus"))
+    with pytest.raises(ValueError, match="is_between"):
+        sel(tf, v=td.col("a").is_between(0, 1, closed="bogus"))
