@@ -82,10 +82,13 @@ def _ansi_enabled() -> bool:
 class Expr:
     """Lazy column expression (reference: tableframe/expr/expr.py:63-2758)."""
 
-    __slots__ = ("_col",)
+    __slots__ = ("_col", "_name")
 
-    def __init__(self, col: Column):
+    def __init__(self, col: Column, name: str | None = None):
         self._col = col
+        # best-effort output name (set by td.col / .alias), used for
+        # JVM-free duplicate-output detection in select()
+        self._name = name
 
     # ---- plumbing -------------------------------------------------------
     def __repr__(self) -> str:  # pragma: no cover
@@ -422,7 +425,7 @@ class Expr:
 
     # ---- misc -----------------------------------------------------------
     def alias(self, name: str):
-        return self._new(self._col.alias(name))
+        return Expr(self._col.alias(name), name=name)
 
     def cast(self, dtype, strict: bool = False):
         from .dtypes import to_spark_type

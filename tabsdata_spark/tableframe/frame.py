@@ -214,9 +214,43 @@ class TableFrame:
         return [F.lit(e)]
 
     def _resolve_many(self, exprs: Sequence[Any], named: Mapping[str, Any]) -> list[Column]:
+        return self._resolve_many_named(exprs, named)[0]
+
+    def _resolve_many_named(
+        self, exprs: Sequence[Any], named: Mapping[str, Any]
+    ) -> tuple[list[Column], list[str | None]]:
+        """Resolve expressions plus their best-effort OUTPUT names (None when
+        unknowable without analysis) — keeps duplicate-output detection
+        JVM-free: forcing .columns here would analyze the whole upstream
+        plan once per chained select."""
         cols: list[Column] = []
+        names: list[str | None] = []
+
+        def known_name(e: Any) -> str | None:
+            if isinstance(e, str):
+                return e
+            if isinstance(e, Expr):
+                return e._name
+            return None
+
+        from .selectors import SelectorProxy
+
         for e in exprs:
-            cols.extend(self._resolve(e))
+            if isinstance(e, str) and e == "*":
+                cols.extend(self._resolve(e))
+                names.extend(self.columns)
+            elif isinstance(e, SelectorProxy):
+                resolved_names = e._resolve(self.schema)
+                cols.extend(_q(c) for c in resolved_names)
+                names.extend(resolved_names)
+            elif isinstance(e, (list, tuple)):
+                sub_c, sub_n = self._resolve_many_named(e, {})
+                cols.extend(sub_c)
+                names.extend(sub_n)
+            else:
+                resolved = self._resolve(e)
+                cols.extend(resolved)
+                names.extend([known_name(e)] + [None] * (len(resolved) - 1))
         for name, e in named.items():
             if S.is_system_column(name):
                 raise ReservedColumnError(name)
@@ -224,7 +258,8 @@ class TableFrame:
             if len(resolved) != 1:
                 raise SchemaMismatchError(f"named expr {name} resolved to {len(resolved)} columns")
             cols.append(resolved[0].alias(name))
-        return cols
+            names.append(name)
+        return cols, names
 
     def _rebuild(self, df: DataFrame, keep_sort: bool = False) -> "TableFrame":
         return TableFrame(_df=df, _props=self._props,
@@ -237,13 +272,12 @@ class TableFrame:
     # projections / row ops (SURVEY §2.2)
     # ------------------------------------------------------------------
     def select(self, *exprs: Any, **named: Any) -> "TableFrame":
-        cols = self._resolve_many(exprs, named)
-        out = self._df.select(*self._with_system(cols))
-        user = S.user_columns(out)
-        dupes = sorted({n for n in user if user.count(n) > 1})
+        cols, names = self._resolve_many_named(exprs, named)
+        known = [n for n in names if n is not None]
+        dupes = sorted({n for n in known if known.count(n) > 1})
         if dupes:
             raise DuplicateColumnError(f"select would duplicate: {dupes}")
-        return self._rebuild(out)
+        return self._rebuild(self._df.select(*self._with_system(cols)))
 
     def with_columns(self, *exprs: Any, **named: Any) -> "TableFrame":
         cols = self._resolve_many(exprs, named)

@@ -24,7 +24,9 @@ class _ColFactory:
         resolved: list[Expr] = []
         for n in names:
             if isinstance(n, str):
-                resolved.append(Expr(F.col(f"`{n}`") if "." in n else F.col(n)))
+                resolved.append(
+                    Expr(F.col(f"`{n}`") if "." in n else F.col(n), name=n)
+                )
             elif isinstance(n, (list, tuple)):
                 resolved.extend(self(*n))  # type: ignore[arg-type]
             else:
