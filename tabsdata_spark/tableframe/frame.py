@@ -280,14 +280,22 @@ class TableFrame:
         return self._rebuild(self._df.select(*self._with_system(cols)))
 
     def with_columns(self, *exprs: Any, **named: Any) -> "TableFrame":
-        cols = self._resolve_many(exprs, named)
-        out = self._df
-        for c in cols:
-            name = _col_name(out, c)
+        """Add/replace columns.  ALL expressions evaluate against the input
+        frame (Polars with_columns semantics — one projection, not a
+        sequential withColumn chain), so one expression cannot reference a
+        column introduced by another in the same call."""
+        cols, names = self._resolve_many_named(exprs, named)
+        mapping: dict[str, Column] = {}
+        for c, n in zip(cols, names):
+            # known names (td.col / .alias / named kwargs) skip the
+            # analysis round-trip _col_name costs per expression
+            name = n if n is not None else _col_name(self._df, c)
             if S.is_system_column(name):
                 raise ReservedColumnError(name)
-            out = out.withColumn(name, c)
-        return self._rebuild(out, keep_sort=True)
+            if name in mapping:
+                raise DuplicateColumnError(f"with_columns: {name}")
+            mapping[name] = c
+        return self._rebuild(self._df.withColumns(mapping), keep_sort=True)
 
     def filter(self, *predicates: Any) -> "TableFrame":
         cond: Column | None = None

@@ -320,3 +320,17 @@ def test_udf_rejects_raw_callable(spark):
     tf = td.TableFrame.from_dict(spark, {"a": [1]})
     with pytest.raises(TypeError, match="UDF instance"):
         tf.udf("a", lambda x: x)
+
+
+def test_with_columns_parallel_semantics(spark):
+    """Polars with_columns: all expressions evaluate against the INPUT
+    frame in one projection; replacing a column and reading it in the
+    same call sees the OLD value, and duplicate targets raise."""
+    from tabsdata_spark.errors import DuplicateColumnError
+
+    tf = td.TableFrame.from_dict(spark, {"a": [1, 2]})
+    d = tf.with_columns(a=td.col("a") * 10, b=td.col("a") + 1).to_dict()
+    assert d["a"] == [10, 20]
+    assert d["b"] == [2, 3]  # old a, not the new one
+    with pytest.raises(DuplicateColumnError):
+        tf.with_columns(td.col("a").alias("z"), z=td.col("a"))
