@@ -22,7 +22,7 @@ from ..errors import VersionResolutionError
 
 FIXED_ID_RE = re.compile(r"^[0-9A-HJKMNP-TV-Z]{26}$")  # crockford-ish 26 chars
 HEAD_RE = re.compile(r"^HEAD(\^*)$|^HEAD~(\d+)$")
-INITIAL_RE = re.compile(r"^INITIAL$|^INITIAL~(\d+)$")
+INITIAL_RE = re.compile(r"^INITIAL(\^*)$|^INITIAL~(\d+)$")
 
 
 @dataclass(frozen=True)
@@ -43,7 +43,11 @@ class Version:
             return Version(head_offset=len(m.group(1) or ""))
         m = INITIAL_RE.match(text)
         if m:
-            return Version(initial_offset=int(m.group(1) or 0))
+            # INITIAL^^ mirrors HEAD^^: carets are an offset spelling
+            # (reference VERSION_PATTERN, _tableuri.py:HEAD\^*|INITIAL\^*)
+            if m.group(2) is not None:
+                return Version(initial_offset=int(m.group(2)))
+            return Version(initial_offset=len(m.group(1) or ""))
         if FIXED_ID_RE.match(text):
             return Version(fixed=text)
         raise VersionResolutionError(f"bad version ref: {text!r}")
@@ -95,15 +99,18 @@ class TableURI:
 
     @staticmethod
     def parse(text: str) -> "TableURI":
+        # strict reference grammar (_tableuri.py build_table_uri_object):
+        # ^([^/@]+/)?([^/@]+)(@versions)?$ — multi-slash collections and
+        # empty segments are rejected, not silently re-split
         vpart = None
         if "@" in text:
             text, vtext = text.split("@", 1)
             vpart = parse_versions(vtext)
         if "/" in text:
-            coll, table = text.rsplit("/", 1)
+            coll, table = text.split("/", 1)
         else:
             coll, table = None, text
-        if not table:
+        if not table or "/" in table or "@" in table or coll == "":
             raise VersionResolutionError(f"bad table uri: {text!r}")
         return TableURI(coll or None, table, vpart)
 

@@ -735,3 +735,19 @@ def test_incremental_rollup_equals_full_recompute(spark):
     m = {r.k: (r.n, r.total_dec) for r in maint.collect()}
     f = {r.k: (r.n, r.total_dec) for r in full.collect()}
     assert m == f       # bit-identical decimals, group-for-group
+
+
+def test_uri_grammar_strict():
+    """Reference grammar (_tableuri.py build_table_uri_object): single
+    collection segment, single table segment, INITIAL supports carets."""
+    import pytest
+
+    from tabsdata_spark.errors import VersionResolutionError
+    from tabsdata_spark.store.versions import TableURI, Version
+
+    assert TableURI.parse("c/t@HEAD").collection == "c"
+    for bad in ["td:///c/t", "a/b/c", "/t", "c/", ""]:
+        with pytest.raises(VersionResolutionError):
+            TableURI.parse(bad)
+    assert Version.parse("INITIAL^^").initial_offset == 2
+    assert Version.parse("INITIAL~3").initial_offset == 3
