@@ -31,14 +31,29 @@ class TableFrameGroupBy:
         return TableFrame._from_df(df, self._frame._props)
 
     def agg(self, *exprs: Any, **named: Any) -> "TableFrame":  # noqa: F821
+        from ..errors import DuplicateColumnError
+        from .expr import Expr
+
         cols: list[Column] = []
+        names: list[str | None] = []
+
+        def add(e: Any) -> None:
+            cols.append(to_column(e))
+            names.append(e._name if isinstance(e, Expr) else None)
+
         for e in exprs:
             if isinstance(e, (list, tuple)):
-                cols.extend(to_column(x) for x in e)
+                for x in e:
+                    add(x)
             else:
-                cols.append(to_column(e))
+                add(e)
         for name, e in named.items():
             cols.append(to_column(e).alias(name))
+            names.append(name)
+        known = [n for n in names if n is not None]
+        dupes = sorted({n for n in known if known.count(n) > 1})
+        if dupes:
+            raise DuplicateColumnError(f"agg would duplicate: {dupes}")
         if not cols:
             return self.len()
         return self._wrap(self._g().agg(*cols))

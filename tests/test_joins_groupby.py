@@ -129,3 +129,19 @@ def test_approx_count_distinct_tolerance(spark, sf_dir):
         F.approx_count_distinct("o_custkey", 0.02).alias("a"),
     ).first()
     assert abs(approx - exact) / exact < 0.1
+
+
+def test_agg_duplicate_output_names_raise(spark):
+    """Polars raises DuplicateError when two agg outputs share a name;
+    silently keeping the last corrupts downstream column resolution."""
+    import pytest
+
+    from tabsdata_spark.errors import DuplicateColumnError
+
+    tf = td.TableFrame.from_dict(spark, {"g": [1, 1], "v": [1.0, 2.0]})
+    with pytest.raises(DuplicateColumnError):
+        tf.group_by("g").agg(td.col("v").sum().alias("x"),
+                             x=td.col("v").mean())
+    with pytest.raises(DuplicateColumnError):
+        tf.group_by("g").agg(td.col("v").sum().alias("x"),
+                             td.col("v").mean().alias("x"))
