@@ -327,16 +327,31 @@ class Expr:
     def exp(self):
         return self._new(F.exp(self._col))
 
+    @staticmethod
+    def _log_domain(arg: Column, raw: Column, zero_point: float = 0.0) -> Column:
+        """Polars/IEEE log semantics: NaN below the domain, -inf at the
+        boundary — Spark's SQL logs return NULL for both."""
+        return (
+            F.when(F.isnan(arg.cast("double")), F.lit(float("nan")))
+            .when(arg < zero_point, F.lit(float("nan")))
+            .when(arg == zero_point, F.lit(float("-inf")))
+            .otherwise(raw)
+        )
+
     def log(self, base: float | None = None):
         if base is None:
-            return self._new(F.log(self._col))
-        return self._new(F.log(float(base), self._col))
+            return self._new(self._log_domain(self._col, F.log(self._col)))
+        return self._new(
+            self._log_domain(self._col, F.log(float(base), self._col))
+        )
 
     def log1p(self):
-        return self._new(F.log1p(self._col))
+        return self._new(
+            self._log_domain(self._col, F.log1p(self._col), zero_point=-1.0)
+        )
 
     def log10(self):
-        return self._new(F.log10(self._col))
+        return self._new(self._log_domain(self._col, F.log10(self._col)))
 
     def sin(self):
         return self._new(F.sin(self._col))

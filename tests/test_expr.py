@@ -197,3 +197,26 @@ def test_when_then_otherwise(spark):
         .when(td.col("x") < 8).then("mid").otherwise("hi")
     ).to_dict()
     assert d["lbl"] == ["lo", "mid", "hi"]
+
+
+def test_log_family_ieee_domain(spark):
+    """Polars/IEEE: log of a negative is NaN, log of the domain boundary
+    is -inf; Spark's SQL logs return NULL for both and must be mapped."""
+    import math
+
+    tf = td.TableFrame.from_spark(
+        spark.createDataFrame([(-4.0,), (0.0,), (math.e,), (None,)], "x double"))
+    d = tf.select(ln=td.col("x").log(),
+                  l10=td.col("x").log10(),
+                  l2=td.col("x").log(2),
+                  l1p=td.col("x").log1p()).to_dict()
+    assert math.isnan(d["ln"][0]) and d["ln"][1] == float("-inf")
+    assert abs(d["ln"][2] - 1.0) < 1e-12 and d["ln"][3] is None
+    assert math.isnan(d["l10"][0]) and d["l10"][1] == float("-inf")
+    assert math.isnan(d["l2"][0]) and d["l2"][1] == float("-inf")
+    # log1p domain shifts to -1
+    assert d["l1p"][1] == math.log1p(0.0)
+    tf2 = td.TableFrame.from_spark(
+        spark.createDataFrame([(-2.0,), (-1.0,)], "x double"))
+    d2 = tf2.select(v=td.col("x").log1p()).to_dict()["v"]
+    assert math.isnan(d2[0]) and d2[1] == float("-inf")
