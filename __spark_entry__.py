@@ -5,7 +5,7 @@ queries()     -> one callable per implemented operator from SURVEY.md §2
                  plus the LLM-pipeline operator suite (dedup, similarity,
                  text analysis).
 oracle_sql()  -> DuckDB-equivalent ANSI SQL for EVERY registered query
-                 (207/207; 0 rows-only).  Hash-seeded sketches are oracled
+                 (357/357; 0 rows-only).  Hash-seeded sketches are oracled
                  via portable md5-derived hashes (value-exact) or
                  exact-jaccard/top-k recall checks; multimodal decode via
                  closed-form BMP/PCM payload oracles.

@@ -323,6 +323,32 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = registry.queries()
+
+    # Box-calibration probe (r7 verdict): a fixed canonical parquet
+    # scan-agg, timed BEFORE the query warmup so rounds can normalize the
+    # headline number against box state (the r7 driver bench moved +15%
+    # on an idle-code tree purely from box degradation).  One untimed run
+    # absorbs the JVM/codegen cold start for this shape (cold-start is
+    # startup noise, not box speed); the median of three timed runs is
+    # the calibration value.
+    from pyspark.sql import functions as F
+
+    def _probe():
+        (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+         .groupBy("l_returnflag", "l_linestatus")
+         .agg(F.sum("l_quantity").alias("sq"),
+              F.avg("l_extendedprice").alias("ap"),
+              F.count("*").alias("n"))
+         .write.format("noop").mode("overwrite").save())
+
+    _probe()
+    probe_times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _probe()
+        probe_times.append(time.perf_counter() - t0)
+    calibration = round(sorted(probe_times)[1], 3)
+
     # Warm-up pass: run every headline query once untimed.  First execution
     # pays one-time costs that are not query work — JVM JIT + whole-stage
     # codegen compilation, parquet footer reads, and Python-worker process
@@ -394,30 +420,35 @@ def main():
     round5b_timings = timed(ROUND5B)
 
     total = round(sum(timings.values()), 3)
-    # The driver keeps only the LAST ~2000 chars of bench output, so the
-    # headline metric/value/queries go LAST in the dict — key order is
-    # preserved by json.dumps, so the hard numbers survive tail truncation.
+    group_queries = {
+        "corpus": corpus_timings,
+        "hygiene": hygiene_timings,
+        "extended": extended_timings,
+        "curation": curation_timings,
+        "analytics": analytics_timings,
+        "tpch_rest": tpch_rest_timings,
+        "mining": mining_timings,
+        "diagnostics": diagnostics_timings,
+        "round5": round5_timings,
+        "round5b": round5b_timings,
+    }
+    # Per-query group ledgers go to a side file: the driver keeps only the
+    # LAST ~2000 chars of bench stdout, and the full ledger JSON used to
+    # blow that budget (BENCH_r07 recorded "parsed": null).  The printed
+    # line carries the headline queries + group TOTALS and stays well
+    # under 2000 chars, so it parses end-to-end.
+    groups_file = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_groups_last.json")
+    try:
+        with open(groups_file, "w") as fh:
+            json.dump(group_queries, fh)
+    except OSError:
+        groups_file = None
     print(json.dumps({
-        "corpus_total": round(sum(corpus_timings.values()), 3),
-        "corpus_queries": corpus_timings,
-        "hygiene_total": round(sum(hygiene_timings.values()), 3),
-        "hygiene_queries": hygiene_timings,
-        "extended_total": round(sum(extended_timings.values()), 3),
-        "extended_queries": extended_timings,
-        "curation_total": round(sum(curation_timings.values()), 3),
-        "curation_queries": curation_timings,
-        "analytics_total": round(sum(analytics_timings.values()), 3),
-        "analytics_queries": analytics_timings,
-        "tpch_rest_total": round(sum(tpch_rest_timings.values()), 3),
-        "tpch_rest_queries": tpch_rest_timings,
-        "mining_total": round(sum(mining_timings.values()), 3),
-        "mining_queries": mining_timings,
-        "diagnostics_total": round(sum(diagnostics_timings.values()), 3),
-        "diagnostics_queries": diagnostics_timings,
-        "round5_total": round(sum(round5_timings.values()), 3),
-        "round5_queries": round5_timings,
-        "round5b_total": round(sum(round5b_timings.values()), 3),
-        "round5b_queries": round5b_timings,
+        "group_totals": {k: round(sum(v.values()), 3)
+                         for k, v in group_queries.items()},
+        "groups_file": groups_file,
+        "calibration": calibration,
         "sf": sf,
         "queries": timings,
         "metric": "headline_queries_total",

@@ -763,11 +763,16 @@ class ExprStringNameSpace:
 
     # replace (string.py:779-872)
     @staticmethod
-    def _replacement_to_java(value: str, literal: bool) -> str:
+    def _replacement_to_java(value: str, literal: bool, shift: int = 0) -> str:
         """Polars (rust-regex) replacement -> Java replacement: keep $N /
         ${...} capture-group refs, turn $$ into a literal $, escape
-        everything else.  literal=True patterns have no groups, so the
-        value is fully escaped (Polars uses plain substring replace)."""
+        everything else.  Java's ${...} form only allows LETTER-initial
+        group names, so the rust numeric brace form ${N} is rewritten to
+        $N.  Numeric refs are shifted by `shift` in this same pass (the
+        n-bounded replace() adds one prefix group) — escaped literals
+        like $$1 are parsed as literals first, so the shift can never
+        touch them.  literal=True patterns have no groups, so the value
+        is fully escaped (Polars uses plain substring replace)."""
         if literal:
             return value.replace("\\", "\\\\").replace("$", "\\$")
         out, i = [], 0
@@ -779,8 +784,39 @@ class ExprStringNameSpace:
             elif ch == "$" and nxt == "$":
                 out.append("\\$")
                 i += 1
-            elif ch == "$" and not (nxt.isdigit() or nxt == "{"):
-                out.append("\\$")
+            elif ch == "$" and nxt.isdigit():
+                j = i + 1
+                while j < len(value) and value[j].isdigit():
+                    j += 1
+                num = int(value[i + 1:j])
+                if shift and num == 0:
+                    raise ValueError(
+                        "replace(): $0 (whole-match) group refs are not"
+                        " supported with n-bounded replace; use"
+                        " replace_all()")
+                out.append(f"${num + shift}")
+                i = j - 1
+            elif ch == "$" and nxt == "{":
+                close = value.find("}", i + 2)
+                name = value[i + 2:close] if close != -1 else ""
+                if close != -1 and name.isdigit():
+                    # Java rejects digit-initial names inside ${...};
+                    # emit the unbraced $N form instead
+                    num = int(name)
+                    if shift and num == 0:
+                        raise ValueError(
+                            "replace(): $0 (whole-match) group refs are"
+                            " not supported with n-bounded replace; use"
+                            " replace_all()")
+                    out.append(f"${num + shift}")
+                    i = close
+                elif close != -1 and _re.fullmatch(
+                        r"[A-Za-z][A-Za-z0-9]*", name):
+                    out.append(f"${{{name}}}")
+                    i = close
+                else:
+                    # not a Java-expressible group ref: literal dollar
+                    out.append("\\$")
             else:
                 out.append(ch)
             i += 1
@@ -790,14 +826,12 @@ class ExprStringNameSpace:
         """Replace first n occurrences (Polars default n=1).  First-only via
         the lazy-prefix trick — stays a single JVM regexp_replace."""
         pat = _regex_quote(pattern) if literal else pattern
-        val = self._replacement_to_java(value, literal)
+        # the ^((?s).*?) prefix group shifts user group refs by one:
+        # $1 -> $2 etc.  Shifting happens inside the conversion pass so
+        # an escaped literal ($$1) is never rewritten.
+        shifted = self._replacement_to_java(value, literal, shift=1)
         out = self._c
         for _ in range(n):
-            # the prefix group shifts user group refs by one: $1 -> $2 etc.
-            # ($0 / whole-match refs are not supported on this n-bounded
-            # path; use replace_all for those)
-            shifted = _re.sub(r"\$(\d+)",
-                              lambda m: f"${int(m.group(1)) + 1}", val)
             out = F.regexp_replace(out, f"^((?s).*?)(?:{pat})", f"$1{shifted}")
         return self._new(out)
 
@@ -837,6 +871,11 @@ class ExprStringNameSpace:
         return self._new(F.right(self._c, F.lit(n)))
 
     def to_integer(self, base: int = 10, strict: bool = True):
+        if not 2 <= base <= 36:
+            # Polars contract; without this base=1 builds digits='0' and
+            # base>36 slices past the digit alphabet
+            raise ValueError(
+                f"str.to_integer: base must be in 2..36, got {base}")
         if base == 10:
             # Same ANSI routing as Expr.cast: ANSI-on sessions throw from
             # plain cast (strict) / need try_cast (non-strict); legacy
@@ -971,8 +1010,13 @@ class ExprDateTimeNameSpace:
             "microsecond": us,
         }
         for k, v in kwargs.items():
-            if k in parts:
-                parts[k] = F.lit(v)
+            if k not in parts:
+                # Polars raises on unsupported arguments — a typo like
+                # microseconds= must not silently no-op
+                raise TypeError(
+                    f"dt.replace() got an unexpected keyword argument"
+                    f" {k!r}; supported: {', '.join(parts)}")
+            parts[k] = F.lit(v)
         # make_timestamp takes fractional seconds (micros precision) —
         # Polars replace keeps the sub-second part unless overridden
         sec = (parts["second"] + parts["microsecond"] / F.lit(1_000_000.0)) \

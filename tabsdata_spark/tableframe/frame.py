@@ -608,8 +608,8 @@ class TableFrame:
     def group_by(self, *by: Any, **named_by: Any) -> "TableFrameGroupBy":
         from .group_by import TableFrameGroupBy
 
-        keys = self._resolve_many(by, named_by)
-        return TableFrameGroupBy(self, keys)
+        keys, key_names = self._resolve_many_named(by, named_by)
+        return TableFrameGroupBy(self, keys, key_names)
 
     def join(self, other: "TableFrame", on: Any = None, how: str = "inner", *,
              left_on: Any = None, right_on: Any = None, suffix: str = "_right",

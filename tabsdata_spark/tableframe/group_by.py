@@ -18,9 +18,13 @@ from .expr import Expr, to_column
 
 
 class TableFrameGroupBy:
-    def __init__(self, frame, keys: Sequence[Column]):
+    def __init__(self, frame, keys: Sequence[Column],
+                 key_names: Sequence[str | None] = ()):
         self._frame = frame
         self._keys = list(keys)
+        # best-effort JVM-free output names of the group keys (None where
+        # unknowable without analysis) — used by agg()'s duplicate check
+        self._key_names = [n for n in key_names if n is not None]
 
     def _g(self):
         return self._frame._user_df().groupBy(*self._keys)
@@ -52,8 +56,11 @@ class TableFrameGroupBy:
             names.append(name)
         known = [n for n in names if n is not None]
         dupes = sorted({n for n in known if known.count(n) > 1})
+        # an agg output aliased to a GROUP KEY name also duplicates —
+        # Polars raises DuplicateError for both classes
+        dupes += sorted(set(known) & set(self._key_names))
         if dupes:
-            raise DuplicateColumnError(f"agg would duplicate: {dupes}")
+            raise DuplicateColumnError(f"agg would duplicate: {sorted(set(dupes))}")
         if not cols:
             return self.len()
         return self._wrap(self._g().agg(*cols))

@@ -145,3 +145,20 @@ def test_agg_duplicate_output_names_raise(spark):
     with pytest.raises(DuplicateColumnError):
         tf.group_by("g").agg(td.col("v").sum().alias("x"),
                              td.col("v").mean().alias("x"))
+
+
+def test_agg_output_colliding_with_group_key_raises(spark):
+    """An agg output aliased to a GROUP KEY name would silently produce a
+    frame with two identical column names — Polars raises DuplicateError."""
+    import pytest
+
+    from tabsdata_spark.errors import DuplicateColumnError
+
+    tf = td.TableFrame.from_dict(spark, {"g": [1, 1, 2], "v": [1, 2, 3]})
+    with pytest.raises(DuplicateColumnError):
+        tf.group_by("g").agg(g=td.col("v").sum())
+    with pytest.raises(DuplicateColumnError):
+        tf.group_by(td.col("g")).agg(td.col("v").sum().alias("g"))
+    # non-colliding aliases still work
+    out = tf.group_by("g").agg(s=td.col("v").sum())
+    assert sorted(out.to_spark().collect()) == [(1, 3), (2, 3)]

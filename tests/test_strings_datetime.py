@@ -365,3 +365,61 @@ def test_rank_nulls_and_validation(spark):
         sel(tf, v=td.col("a").rank(method="bogus"))
     with pytest.raises(ValueError, match="is_between"):
         sel(tf, v=td.col("a").is_between(0, 1, closed="bogus"))
+
+
+def test_replace_brace_numeric_and_named_group_refs(spark):
+    """rust-regex ${N} numeric brace refs must be rewritten to $N for Java
+    (Java's ${...} form only allows letter-initial names and throws
+    INVALID_REGEXP_REPLACE otherwise); ${name} letter-initial named refs
+    pass through."""
+    tf = td.TableFrame.from_dict(spark, {"s": ["a-b-c"]})
+    d = sel(tf,
+            br=td.col("s").str.replace_all(r"(\w)", "<${1}>"),
+            brn=td.col("s").str.replace(r"(\w)-", "[${1}]"),
+            nm=td.col("s").str.replace_all(r"(?<x>\w)", "<${x}>"))
+    assert d["br"] == ["<a>-<b>-<c>"]
+    assert d["brn"] == ["[a]b-c"]
+    assert d["nm"] == ["<a>-<b>-<c>"]
+
+
+def test_replace_escaped_dollar_not_shifted(spark):
+    """An escaped literal $$1 must survive the n-bounded replace()'s
+    prefix-group shift untouched (the shift used to run on the already
+    escaped value and silently rewrote \\$1 -> \\$2)."""
+    import pytest
+    tf = td.TableFrame.from_dict(spark, {"s": ["a-b-c"]})
+    d = sel(tf,
+            one=td.col("s").str.replace("a", "$$1"),
+            all_=td.col("s").str.replace_all("a", "$$1"))
+    assert d["one"] == ["$1-b-c"]
+    assert d["all_"] == ["$1-b-c"]
+    # $0 (whole match) refs are unsupported on the n-bounded path only
+    with pytest.raises(ValueError, match=r"\$0"):
+        td.col("s").str.replace("a", "<$0>")
+    with pytest.raises(ValueError, match=r"\$0"):
+        td.col("s").str.replace("a", "<${0}>")
+    assert sel(tf, v=td.col("s").str.replace_all(r"\w", "<$0>"))["v"] == \
+        ["<a>-<b>-<c>"]
+
+
+def test_dt_replace_rejects_unknown_kwargs(spark):
+    """Polars raises for unsupported dt.replace arguments — a typo like
+    microseconds= must not silently no-op."""
+    import pytest
+    tf = td.TableFrame.from_dict(
+        spark, {"t": [dt.datetime(2023, 5, 6, 7, 8, 9)]})
+    with pytest.raises(TypeError, match="microseconds"):
+        sel(tf, v=td.col("t").dt.replace(microseconds=5))
+    with pytest.raises(TypeError, match="nanosecond"):
+        sel(tf, v=td.col("t").dt.replace(nanosecond=5))
+
+
+def test_to_integer_validates_base(spark):
+    """Polars requires base in 2..36; base=1/37 used to build a broken
+    digit alphabet instead of raising."""
+    import pytest
+    tf = td.TableFrame.from_dict(spark, {"s": ["10"]})
+    for bad in (0, 1, 37, -2):
+        with pytest.raises(ValueError, match="base"):
+            sel(tf, v=td.col("s").str.to_integer(base=bad))
+    assert sel(tf, v=td.col("s").str.to_integer(base=2))["v"] == [2]

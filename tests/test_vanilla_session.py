@@ -108,25 +108,22 @@ def test_events_load_on_vanilla_session(vanilla, sf_dir):
 
 
 def test_driver_window_covers_never_verified_queries():
-    """The driver snapshots queries()[0:50].  Guard the r7 rotation: the
-    window must be exactly _PRIORITY_R7, every entry must exist with an
+    """The driver snapshots queries()[0:50].  Guard the r8 rotation: the
+    window must be exactly _PRIORITY_R8, every entry must exist with an
     oracle, and none may be a query the driver already GREEN-verified in
-    rounds 1-6.  stream_drift_events has an r6 row but is the directed
-    re-check of the r6 red (oracle tz artifact) — a red row is not a
-    green verification, so it legitimately re-enters the window, exactly
-    as the two r3 reds did in r4."""
+    rounds 1-7."""
     import json
 
     from tabsdata_spark import queries as registry
 
     names = list(registry.queries())
     window = names[:50]
-    assert window == registry._PRIORITY_R7
+    assert window == registry._PRIORITY_R8
     assert len(window) == 50
     oracles = registry.oracle_sql()
     assert all(n in oracles for n in window)
     green = set()
-    for r in ("01", "02", "03", "04", "05", "06"):
+    for r in ("01", "02", "03", "04", "05", "06", "07"):
         for name, row in json.load(open(f"CORRECTNESS_r{r}.json")).items():
             if row.get("rows_match") and row.get("schema_match") is not False \
                     and row.get("hash_match") is not False:
