@@ -15,13 +15,26 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 class SourcePlugin(abc.ABC):
-    """Subclass and implement `chunk`.  Return one of:
-      - DataFrame, or list of DataFrames (multiple outputs)
-      - str path / list of parquet paths (the reference's contract)
-    Set `self.initial_values` before returning to persist offsets (the
-    reference supports both attribute-set and return-style offsets)."""
+    """Subclass and implement `chunk`.  Return one of (the reference's
+    chunk contract, _io/plugin.py:91-99 + execution_utils.load_sources):
+      - DataFrame, or str parquet path (single output)
+      - a list where each element maps to one function parameter in
+        positional order; an element that is itself a LIST of paths makes
+        that parameter receive a LIST of frames
+        (execution_utils.load_sources_from_list)
+      - None elements yield None parameters
+    Relative paths resolve against `working_dir` (the reference joins
+    working_dir in make_tableframe_context, execution_utils.py:158-165).
+    Set `self.initial_values` before returning to persist offsets — the
+    reference's ATTRIBUTE offset mode (_io/plugin.py OffsetReturn); the
+    engine restores persisted offsets into `initial_values` before each
+    run (plugin.py _run: `self.initial_values = current_initial_values`)."""
 
     initial_values: dict[str, Any]
+    #: reference OffsetReturn: 'attribute' (offsets read back from
+    #: initial_values after the run) or 'function' (the user function
+    #: returns a trailing dict of new offsets — the SQL-source mode)
+    offset_return: str = "attribute"
 
     def __init__(self):
         self.initial_values = {}
@@ -30,19 +43,34 @@ class SourcePlugin(abc.ABC):
     def chunk(self, spark: SparkSession, working_dir: str):  # pragma: no cover
         ...
 
-    def resolve(self, spark: SparkSession, working_dir: str) -> list[DataFrame]:
+    def resolve(self, spark: SparkSession, working_dir: str) -> list:
+        import os
+
         out = self.chunk(spark, working_dir)
         items = out if isinstance(out, (list, tuple)) else [out]
+
+        def read(path: str) -> DataFrame:
+            # os.path.join returns `path` unchanged when it is absolute —
+            # same resolution as the reference's make_tableframe_context
+            return spark.read.parquet(os.path.join(working_dir, path))
+
+        def one(item):
+            if isinstance(item, DataFrame):
+                return item
+            if isinstance(item, str):
+                return read(item)
+            if item is None:
+                return None
+            raise TypeError(f"SourcePlugin.chunk returned {type(item)}")
+
         dfs = []
         for item in items:
-            if isinstance(item, DataFrame):
-                dfs.append(item)
-            elif isinstance(item, str):
-                dfs.append(spark.read.parquet(item))
-            elif item is None:
-                dfs.append(None)
+            if isinstance(item, (list, tuple)):
+                # one parameter <- multiple files: that argument becomes a
+                # LIST of frames (reference load_sources_from_list)
+                dfs.append([one(x) for x in item])
             else:
-                raise TypeError(f"SourcePlugin.chunk returned {type(item)}")
+                dfs.append(one(item))
         return dfs
 
 

@@ -25,19 +25,28 @@ _PARAM_RE = re.compile(r":(\w+)")
 
 
 def substitute_params(query: str, values: dict[str, Any]) -> str:
-    """`:param` -> literal (reference sql_inputs.py:779-787).  Strings are
-    single-quoted with doubling; numbers inline."""
+    """`:param` -> inline literal, reference semantics
+    (sql_inputs.py:779-787, `query.replace(f":{key}", str(value))`):
+
+    - ONLY keys present in `values` are replaced; unknown `:tokens` pass
+      through verbatim — a Postgres `::int` cast or a `'12:30'` time
+      literal must never raise.
+    - values inline with plain str() — no quoting (the reference example
+      is `where id > :number` with `initial_values={"number": 2}`; users
+      quote string placeholders in the query themselves).
+    - token-boundary regex matching instead of raw str.replace, so a key
+      that is a prefix of another (`:id` / `:id2`) can never corrupt the
+      longer placeholder.
+    - deliberate deviation: None inlines as SQL NULL — the reference
+      would inline the Python repr 'None', which is never valid SQL.
+    """
 
     def repl(m: re.Match) -> str:
         key = m.group(1)
         if key not in values:
-            raise KeyError(f"missing value for :{key}")
+            return m.group(0)
         v = values[key]
-        if v is None:
-            return "NULL"
-        if isinstance(v, (int, float)):
-            return str(v)
-        return "'" + str(v).replace("'", "''") + "'"
+        return "NULL" if v is None else str(v)
 
     return _PARAM_RE.sub(repl, query)
 
@@ -55,6 +64,12 @@ class SQLSource:
     """Run query(s) against a database (reference sql_inputs.py:217 et al).
     `initial_values` fill `:param` placeholders — the incremental offset
     state the pub/sub runner persists between runs."""
+
+    #: reference OffsetReturn.FUNCTION (sql_inputs.py:193-199): when
+    #: initial_values is set, the registered function returns the NEW
+    #: offsets dict as its trailing element; the engine pops and persists
+    #: it, and restores it into initial_values on the next run.
+    offset_return = "function"
 
     uri: str
     query: str | list[str]

@@ -147,10 +147,24 @@ class PubSubEngine:
         # working_dir and returns paths, _io/plugin.py).
         workdir = tempfile.TemporaryDirectory(prefix="td-run-")
         try:
-            inputs, offset_update = self._load_inputs(
+            inputs, offset_update, pops_offsets = self._load_inputs(
                 collection, fn, workdir.name)
             result = fn(*inputs)
             outputs = _as_list(result)
+            if pops_offsets:
+                # reference FUNCTION offset mode (execution_utils.
+                # update_initial_values): the trailing element of the
+                # return is the new offsets dict; a bare-dict return
+                # publishes nothing (the reference yields `(None,)`)
+                if not outputs or not isinstance(outputs[-1], dict):
+                    raise TabsdataSparkError(
+                        f"{key}: the source uses initial_values offsets —"
+                        " the function must return the new offsets dict as"
+                        " its last element")
+                offset_update.update(outputs[-1])
+                outputs = outputs[:-1]
+                if not outputs and len(fn.output_tables) == 1:
+                    outputs = [None]
             published: dict[str, str] = {}
             with self.store.transaction() as txn:
                 if fn.kind == "subscriber":
@@ -249,27 +263,49 @@ class PubSubEngine:
         if fn.kind == "publisher":
             src = fn.source
             if isinstance(src, SourcePlugin):
+                stored = self.store.meta.get_offsets(collection, fn.name)
+                if stored:
+                    # persisted offsets from prior runs override the
+                    # decorator-provided values (reference plugin.py _run:
+                    # `self.initial_values = current_initial_values`)
+                    src.initial_values = stored
                 dfs = src.resolve(self.spark, workdir)
-                if src.initial_values:
+                pops = (src.offset_return == "function"
+                        and bool(src.initial_values))
+                if not pops and src.initial_values:
                     offset_update.update(src.initial_values)
-                frames = [TableFrame.from_spark(d) if d is not None else None
-                          for d in dfs]
-                return frames, offset_update
+
+                def wrap(d):
+                    return TableFrame.from_spark(d) if d is not None else None
+
+                frames = [[wrap(x) for x in d] if isinstance(d, list)
+                          else wrap(d) for d in dfs]
+                return frames, offset_update, pops
             # file / sql sources
             if hasattr(src, "load"):
-                stored = self.store.meta.get_offset(
+                if hasattr(src, "queries") and getattr(
+                        src, "initial_values", None) is not None:
+                    # SQL sources: persisted :param offsets replace the
+                    # decorator-provided initial_values on later runs
+                    stored = self.store.meta.get_offsets(collection, fn.name)
+                    if stored:
+                        src.initial_values = stored
+                stored_lm = self.store.meta.get_offset(
                     collection, fn.name, "last_modified")
-                if stored is not None and hasattr(src, "initial_last_modified"):
-                    src.initial_last_modified = stored
+                if stored_lm is not None and hasattr(src, "initial_last_modified"):
+                    src.initial_last_modified = stored_lm
                 loaded = src.load(self.spark)
+                pops = (getattr(src, "offset_return", "") == "function"
+                        and bool(getattr(src, "initial_values", {})))
                 if isinstance(loaded, tuple):
                     df, new_off = loaded
                     if new_off is not None:
                         offset_update["last_modified"] = new_off
-                    return [TableFrame.from_spark(df)], offset_update
+                    return [TableFrame.from_spark(df)], offset_update, pops
                 if isinstance(loaded, list):
-                    return [TableFrame.from_spark(d) for d in loaded], offset_update
-                return [TableFrame.from_spark(loaded)], offset_update
+                    return ([TableFrame.from_spark(d) for d in loaded],
+                            offset_update, pops)
+                return [TableFrame.from_spark(loaded)], offset_update, pops
             raise TabsdataSparkError(f"unsupported source {type(src)}")
         # transformer / subscriber: dependency tables from the store.
         # Refs resolve BEFORE this run writes (reference planner resolves
@@ -310,7 +346,7 @@ class PubSubEngine:
                     frames.append(None)
                 else:
                     raise
-        return frames, offset_update
+        return frames, offset_update, False
 
     def _deliver(self, fn: TabsdataFunction, outputs: list) -> None:
         dest = fn.destination

@@ -470,6 +470,16 @@ class MetadataStore:
                 "function_name=? AND key=?", (collection, fn, key)).fetchone()
         return row[0] if row else None
 
+    def get_offsets(self, collection: str, fn: str) -> dict[str, str]:
+        """All persisted offsets for one function — the engine restores
+        these into a source's initial_values before each run (reference
+        plugin.py _run: `self.initial_values = current_initial_values`)."""
+        with self._conn() as c:
+            rows = c.execute(
+                "SELECT key, value FROM offsets WHERE collection=? AND "
+                "function_name=?", (collection, fn)).fetchall()
+        return {k: v for k, v in rows}
+
     def set_offset(self, collection: str, fn: str, key: str, value) -> None:
         with self._conn() as c:
             c.execute(

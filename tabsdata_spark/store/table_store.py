@@ -151,12 +151,38 @@ class TableStore:
         rewrite-the-affected-partitions pattern; pass `partition_by` so
         readers prune, and keep update batches partition-aligned when
         possible."""
+        from ..errors import MissingColumnError, SchemaMismatchError
+
         up = updates.to_spark() if isinstance(updates, TableFrame) else updates
+        if not key_cols:
+            raise ValueError("merge: key_cols must be non-empty")
+        missing = [k for k in key_cols if k not in up.columns]
+        if missing:
+            raise MissingColumnError(
+                f"merge: key column(s) {missing} not in the update batch "
+                f"(columns: {up.columns})")
+        # a keyed upsert with duplicate keys INSIDE the batch would insert
+        # both rows (silent key-uniqueness violation); raise like a SQL
+        # MERGE on multi-row source matches.  One small job on the batch
+        # side only — the batch is the small side of a merge by design.
+        dup = (up.groupBy(*[up[k] for k in key_cols]).count()
+               .filter("count > 1").take(1))
+        if dup:
+            key = {k: dup[0][k] for k in key_cols}
+            raise ValueError(
+                f"merge: update batch has multiple rows for key {key}; "
+                "deduplicate the batch before merging")
         try:
             # user columns only on both sides: the stored system columns
             # (version/txn ids) must NOT survive into the new version —
             # write() stamps fresh ones
             head = self.read(up.sparkSession, collection, table).to_spark()
+            head_cols, up_cols = set(head.columns), set(up.columns)
+            if head_cols != up_cols:
+                raise SchemaMismatchError(
+                    "merge: update batch schema drifts from HEAD — "
+                    f"missing {sorted(head_cols - up_cols)}, "
+                    f"extra {sorted(up_cols - head_cols)}")
             if delete_missing:
                 merged = up  # full-snapshot semantics: the batch IS the table
             else:

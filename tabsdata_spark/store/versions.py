@@ -20,7 +20,10 @@ from dataclasses import dataclass
 
 from ..errors import VersionResolutionError
 
-FIXED_ID_RE = re.compile(r"^[0-9A-HJKMNP-TV-Z]{26}$")  # crockford-ish 26 chars
+# reference VERSION_PATTERN (_tableuri.py:26): any 26 uppercase
+# alphanumerics — the store generates crockford ids, but the PARSER must
+# accept every id the reference grammar accepts
+FIXED_ID_RE = re.compile(r"^[A-Z0-9]{26}$")
 HEAD_RE = re.compile(r"^HEAD(\^*)$|^HEAD~(\d+)$")
 INITIAL_RE = re.compile(r"^INITIAL(\^*)$|^INITIAL~(\d+)$")
 
@@ -154,6 +157,11 @@ def resolve_refs(history: list[str], ref) -> list[str]:
         a, b = one(ref.start), one(ref.end)
         ia, ib = history.index(a), history.index(b)
         if ia > ib:
-            ia, ib = ib, ia
+            # reference contract (version_resolver.rs InvalidRange): "in a
+            # range, the left version must be older than the right
+            # version" — a descending range is an error, never a silent
+            # swap returning data the user didn't ask for
+            raise VersionResolutionError(
+                f"range start {ref.start} is newer than end {ref.end}")
         return history[ia:ib + 1]
     raise VersionResolutionError(f"bad ref object {ref!r}")

@@ -15,14 +15,27 @@ from tabsdata_spark.io.sql_io import (
 
 
 def test_substitute_params_types():
-    q = "SELECT * FROM t WHERE id > :last_id AND name = :name AND x IS :nil"
-    out = substitute_params(q, {"last_id": 42, "name": "O'Brien", "nil": None})
-    assert out == "SELECT * FROM t WHERE id > 42 AND name = 'O''Brien' AND x IS NULL"
+    """Reference semantics (sql_inputs.py:779-787): raw str() inlining —
+    users quote string placeholders in the query themselves; None is the
+    one deviation (SQL NULL instead of the Python repr 'None')."""
+    q = "SELECT * FROM t WHERE id > :last_id AND ts > ':ts' AND x IS :nil"
+    out = substitute_params(q, {"last_id": 42, "ts": "2024-01-01", "nil": None})
+    assert out == "SELECT * FROM t WHERE id > 42 AND ts > '2024-01-01' AND x IS NULL"
 
 
-def test_substitute_params_missing_raises():
-    with pytest.raises(KeyError):
-        substitute_params("SELECT :a", {})
+def test_substitute_params_unknown_tokens_pass_through():
+    """Only provided keys are replaced (reference replaces key-by-key);
+    a Postgres cast or time literal must never raise."""
+    q = "SELECT x::int, ':not_a_param', t FROM s WHERE id > :off AND h = '12:30'"
+    out = substitute_params(q, {"off": 7})
+    assert out == "SELECT x::int, ':not_a_param', t FROM s WHERE id > 7 AND h = '12:30'"
+
+
+def test_substitute_params_prefix_keys_do_not_collide():
+    """Token-boundary matching: :id must never corrupt :id2 (the
+    reference's raw str.replace is order-sensitive here)."""
+    out = substitute_params("SELECT :id, :id2", {"id": 1, "id2": 2})
+    assert out == "SELECT 1, 2"
 
 
 def test_source_query_expansion():

@@ -751,3 +751,162 @@ def test_uri_grammar_strict():
             TableURI.parse(bad)
     assert Version.parse("INITIAL^^").initial_offset == 2
     assert Version.parse("INITIAL~3").initial_offset == 3
+
+
+def test_plugin_offsets_restored_before_next_run(spark, tmp_path):
+    """Reference plugin.py _run: before streaming, the engine overwrites
+    plugin.initial_values with the PERSISTED offsets of prior runs — the
+    incremental-ingest contract.  Our engine used to persist but never
+    restore."""
+    store = TableStore(str(tmp_path / "wor"))
+    engine = PubSubEngine(spark, store)
+    seen = []
+
+    class Incr(td.SourcePlugin):
+        def __init__(self):
+            super().__init__()
+            self.initial_values = {"cursor": "0"}
+
+        def chunk(self, spark_, working_dir):
+            seen.append(dict(self.initial_values))
+            nxt = str(int(self.initial_values["cursor"]) + 1)
+            self.initial_values = {"cursor": nxt}
+            return spark_.createDataFrame([(1,)], "n long")
+
+    @td.publisher(Incr(), tables="nums")
+    def pub(tf):
+        return tf
+
+    engine.register("c", pub)
+    assert engine.trigger("c", "pub")[0].status == "committed"
+    assert engine.trigger("c", "pub")[0].status == "committed"
+    assert engine.trigger("c", "pub")[0].status == "committed"
+    # run 1 sees the decorator values; runs 2-3 see the persisted offsets
+    assert seen == [{"cursor": "0"}, {"cursor": "1"}, {"cursor": "2"}]
+    assert store.meta.get_offset("c", "pub", "cursor") == "3"
+
+
+def test_function_offset_return_mode(spark, tmp_path):
+    """Reference OffsetReturn.FUNCTION (SQL sources, execution_utils.
+    update_initial_values): the registered function returns the NEW offsets
+    dict as its trailing element; the engine pops + persists it and
+    restores it into the source's initial_values on the next run."""
+    store = TableStore(str(tmp_path / "wfo"))
+    engine = PubSubEngine(spark, store)
+    seen = []
+
+    class SqlLike(td.SourcePlugin):
+        offset_return = "function"
+
+        def __init__(self):
+            super().__init__()
+            self.initial_values = {"number": "2"}
+
+        def chunk(self, spark_, working_dir):
+            seen.append(dict(self.initial_values))
+            return spark_.createDataFrame([(1,)], "n long")
+
+    @td.publisher(SqlLike(), tables="nums")
+    def pub(tf):
+        # reference example shape: `return headers, new_initial_values`
+        return tf, {"number": "3"}
+
+    engine.register("c", pub)
+    assert engine.trigger("c", "pub")[0].status == "committed", \
+        engine.trigger("c", "pub")[0].error
+    assert store.meta.get_offset("c", "pub", "number") == "3"
+    assert engine.trigger("c", "pub")[0].status == "committed"
+    assert seen[1] == {"number": "3"}
+    assert store.read(spark, "c", "nums").to_spark().count() == 1
+
+    # missing trailing dict is a clear error, not a silently-consumed frame
+    @td.publisher(SqlLike(), tables="nums2")
+    def bad(tf):
+        return tf
+
+    engine.register("c", bad)
+    rep = engine.trigger("c", "bad")[0]
+    assert rep.status == "failed" and "offsets dict" in rep.error
+
+
+def test_plugin_nested_paths_and_relative_paths(spark, tmp_path):
+    """Reference chunk contract (_io/plugin.py:91-99 + load_sources):
+    `return ["f1.parquet", ["f2.parquet", "f3.parquet"]]` maps to a first
+    parameter with ONE frame and a second parameter with a LIST of two
+    frames; paths are relative to working_dir."""
+    import os
+
+    store = TableStore(str(tmp_path / "wnp"))
+    engine = PubSubEngine(spark, store)
+
+    class Multi(td.SourcePlugin):
+        def chunk(self, spark_, working_dir):
+            for name, rows in (("f1", [(1,)]), ("f2", [(2,)]), ("f3", [(3,)])):
+                spark_.createDataFrame(rows, "n long").write.parquet(
+                    os.path.join(working_dir, f"{name}.parquet"))
+            return ["f1.parquet", ["f2.parquet", "f3.parquet"]]
+
+    @td.publisher(Multi(), tables=["one", "both"])
+    def pub(first, rest):
+        assert isinstance(rest, list) and len(rest) == 2
+        from tabsdata_spark.tableframe.functions import concat
+
+        return first, concat(rest)
+
+    engine.register("c", pub)
+    rep = engine.trigger("c", "pub")[0]
+    assert rep.status == "committed", rep.error
+    assert store.read(spark, "c", "one").to_spark().count() == 1
+    assert sorted(r["n"] for r in
+                  store.read(spark, "c", "both").to_spark().collect()) == [2, 3]
+
+
+def test_merge_argument_contracts(spark, tmp_path):
+    """Degenerate merge inputs get clear errors: empty key_cols, key
+    column missing from the batch, duplicate keys INSIDE the batch
+    (silent key-uniqueness violation before), and schema drift vs HEAD."""
+    import pytest
+
+    from tabsdata_spark.errors import MissingColumnError, SchemaMismatchError
+
+    store = TableStore(str(tmp_path / "wmc"))
+    store.write(td.TableFrame.from_dict(
+        spark, {"k": [1, 2], "v": ["a", "b"]}), "c", "t")
+    up = td.TableFrame.from_dict(spark, {"k": [2, 3], "v": ["B", "C"]})
+    with pytest.raises(ValueError, match="key_cols"):
+        store.merge(up, "c", "t", [])
+    with pytest.raises(MissingColumnError):
+        store.merge(td.TableFrame.from_dict(spark, {"z": [1]}), "c", "t", ["k"])
+    dup = td.TableFrame.from_dict(spark, {"k": [5, 5], "v": ["p", "q"]})
+    with pytest.raises(ValueError, match="multiple rows"):
+        store.merge(dup, "c", "t", ["k"])
+    drift = td.TableFrame.from_dict(spark, {"k": [9], "v": ["z"], "x": [1]})
+    with pytest.raises(SchemaMismatchError):
+        store.merge(drift, "c", "t", ["k"])
+    # the good path still works after all the failed attempts
+    store.merge(up, "c", "t", ["k"])
+    assert sorted(tuple(r) for r in
+                  store.read(spark, "c", "t").to_spark().collect()) == \
+        [(1, "a"), (2, "B"), (3, "C")]
+
+
+def test_descending_range_is_an_error():
+    """Reference version_resolver.rs InvalidRange: the left side of a
+    range must be OLDER — a descending range raised nothing before and
+    silently swapped the endpoints."""
+    import pytest
+
+    hist = ["V1", "V2", "V3"]
+    with pytest.raises(VersionResolutionError, match="newer"):
+        resolve_refs(hist, parse_versions("HEAD..INITIAL"))
+    with pytest.raises(VersionResolutionError, match="newer"):
+        resolve_refs(hist, parse_versions("HEAD..HEAD~2"))
+    # equal endpoints are a single-version range, not an error
+    assert resolve_refs(hist, parse_versions("HEAD..HEAD")) == ["V3"]
+
+
+def test_fixed_id_accepts_reference_grammar():
+    """Reference VERSION_PATTERN (_tableuri.py:26) is [A-Z0-9]{26} — ids
+    with I/L/O/U must parse even though our generator never emits them."""
+    v = Version.parse("ILOU56789ABCDEFGHIJKLMNOPQ")
+    assert v.fixed == "ILOU56789ABCDEFGHIJKLMNOPQ"
