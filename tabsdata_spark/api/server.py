@@ -119,6 +119,27 @@ class ApiError(Exception):
         self.message = message
 
 
+def _client_error_status(e: Exception) -> int | None:
+    """Map domain exceptions raised by a request to the HTTP status class
+    the client deserves: 404 when a table/version does not exist, 400 for
+    malformed refs/params/SQL.  None -> genuine server fault (500)."""
+    from ..errors import VersionResolutionError
+
+    if isinstance(e, VersionResolutionError):
+        msg = str(e)
+        if ("no committed versions" in msg or "unknown version id" in msg
+                or "out of range" in msg):
+            return 404
+        return 400  # bad ref / bad uri / descending range
+    if isinstance(e, (ValueError, TypeError, KeyError)):
+        return 400  # malformed query params / body fields
+    # Spark SQL analysis/parse errors from ?sql= are caller mistakes
+    cls = type(e).__name__
+    if cls in ("ParseException", "AnalysisException"):
+        return 400
+    return None
+
+
 class ApiServer:
     """Routes the reference's REST URL surface onto store/pubsub services.
 
@@ -198,8 +219,15 @@ class ApiServer:
                 except AuthError as e:
                     self._respond(401, {"error": str(e)})
                 except Exception as e:  # surface, don't kill the thread
-                    self._respond(500, {"error": str(e),
-                                        "trace": traceback.format_exc(limit=5)})
+                    # client errors map to 4xx without a server traceback
+                    # (the reference apiserver's status discipline); only
+                    # genuine server faults keep the 500 + trace
+                    status = _client_error_status(e)
+                    if status is not None:
+                        self._respond(status, {"error": str(e)})
+                    else:
+                        self._respond(500, {"error": str(e),
+                                            "trace": traceback.format_exc(limit=5)})
 
             def do_GET(self):
                 self._handle("GET")

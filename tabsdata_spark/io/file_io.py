@@ -90,6 +90,30 @@ class GCSServiceAccountCredentials:
         }
 
 
+def _parse_last_modified(value: str | dt.datetime | None) -> dt.datetime | None:
+    """Validate + normalize an initial_last_modified value (reference
+    file_inputs.py setter): falsy -> None, ISO-8601 strings parse, and
+    tz-naive inputs raise (SOCE41) instead of silently resolving in the
+    box's local timezone."""
+    if not value:
+        return None
+    if isinstance(value, str):
+        try:
+            value = dt.datetime.fromisoformat(value)
+        except ValueError:
+            raise ValueError(
+                f"initial_last_modified is not ISO 8601: {value!r}") from None
+    if not isinstance(value, dt.datetime):
+        raise TypeError(
+            f"initial_last_modified must be str or datetime, got {type(value)}")
+    if value.tzinfo is None:
+        raise ValueError(
+            "initial_last_modified must be timezone-aware (the reference "
+            "rejects naive datetimes; a naive cutoff would depend on the "
+            "machine's local timezone)")
+    return value
+
+
 def _apply_confs(spark: SparkSession, confs: dict[str, str]) -> None:
     try:
         hconf = spark.sparkContext._jsc.hadoopConfiguration()
@@ -118,6 +142,14 @@ class FileSource:
 
     scheme: str = ""
     credentials: Any = None
+
+    def __post_init__(self):
+        # config-time validation, reference parity (file_inputs.py:237-268
+        # + _raise_exception_if_no_tzinfo:1410): a bad ISO string raises
+        # SOCE5; a tz-NAIVE datetime raises SOCE41 — a naive cutoff would
+        # otherwise resolve in the box's local timezone, making the
+        # incremental filter machine-dependent.
+        _parse_last_modified(self.initial_last_modified)
 
     def _paths(self) -> list[str]:
         return self.path if isinstance(self.path, list) else [self.path]
@@ -169,12 +201,8 @@ class FileSource:
                     expanded.append((m, os.path.getmtime(m)))
         if not expanded:
             raise FileNotFoundError(f"no files match {paths}")
-        cutoff = None
-        if self.initial_last_modified is not None:
-            if isinstance(self.initial_last_modified, str):
-                cutoff = dt.datetime.fromisoformat(self.initial_last_modified).timestamp()
-            else:
-                cutoff = self.initial_last_modified.timestamp()
+        parsed = _parse_last_modified(self.initial_last_modified)
+        cutoff = parsed.timestamp() if parsed is not None else None
         # compare at microsecond granularity: the ISO offset string only
         # carries µs, so a raw float compare would re-ingest the newest file
         # forever (its ns-precision mtime is > the truncated cutoff)

@@ -131,9 +131,14 @@ class AvroFormat(FileFormat):
     name = "avro"
 
 
+def _tsv() -> CSVFormat:
+    # a .tsv read with the CSV default comma separator is silently wrong
+    return CSVFormat(separator="\t")
+
+
 _EXT_MAP = {
     ".parquet": ParquetFormat, ".pq": ParquetFormat,
-    ".csv": CSVFormat, ".tsv": CSVFormat,
+    ".csv": CSVFormat, ".tsv": _tsv,
     ".ndjson": NDJSONFormat, ".jsonl": NDJSONFormat, ".json": NDJSONFormat,
     ".log": LogFormat, ".txt": LogFormat,
     ".avro": AvroFormat,

@@ -796,3 +796,35 @@ def test_collection_rename_migrates_role_grants(served):
         {"permission_type": "cr", "entity": "sales-x"}]
     client.rename_collection("sales-x", "sales")   # restore
     client.delete_role("scoped")
+
+
+def test_client_errors_get_4xx_not_500(served):
+    """Caller mistakes map to the proper status class with no server
+    traceback (the reference apiserver's discipline): 400 for malformed
+    refs/params/SQL, 404 for missing tables/versions."""
+    import urllib.error
+    import urllib.request
+
+    server, client, _ = served
+
+    def status_of(path):
+        req = urllib.request.Request(
+            server.base_url + path,
+            headers={"Authorization": f"Bearer {client._token}"})
+        try:
+            with urllib.request.urlopen(req) as r:
+                return r.status, b""
+        except urllib.error.HTTPError as e:
+            return e.code, e.read()
+
+    for path, want in [
+        ("/collections/sales/tables/orders/sample?at=NOPE", 400),
+        ("/collections/sales/tables/orders/sample?at=HEAD..INITIAL", 400),
+        ("/collections/sales/tables/ghost/sample", 404),
+        ("/collections/sales/tables/orders/schema?at=HEAD~99", 404),
+        ("/collections/sales/tables/orders/sample?len=abc", 400),
+        ("/collections/sales/tables/orders/sample?sql=SELEKT+1", 400),
+    ]:
+        code, body = status_of(path)
+        assert code == want, (path, code, body)
+        assert b"trace" not in body, (path, body)

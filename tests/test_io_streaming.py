@@ -806,3 +806,28 @@ def test_windowed_aggregate_out_of_order_batches_diverge(spark, tmp_path):
     # the early window's final value is the ON-TIME count (5): the 3
     # late rows were dropped, not re-aggregated (and not the complete 8)
     assert acc[(t0, "a")] == 5
+
+
+def test_last_modified_rejects_naive_and_bad_iso(tmp_path):
+    """Reference parity (file_inputs.py:1410 _raise_exception_if_no_tzinfo
+    + the SOCE5 ISO guard): tz-naive cutoffs and non-ISO strings raise at
+    CONFIG time — a naive cutoff would otherwise resolve in the box's
+    local timezone and make incremental ingest machine-dependent."""
+    import datetime as dt
+
+    import pytest
+
+    from tabsdata_spark.io.file_io import LocalFileSource
+
+    with pytest.raises(ValueError, match="timezone-aware"):
+        LocalFileSource(str(tmp_path / "*.csv"),
+                        initial_last_modified=dt.datetime(2024, 1, 1))
+    with pytest.raises(ValueError, match="ISO 8601"):
+        LocalFileSource(str(tmp_path / "*.csv"),
+                        initial_last_modified="last tuesday")
+    # tz-aware forms (str and datetime) both construct
+    LocalFileSource(str(tmp_path / "*.csv"),
+                    initial_last_modified="2024-01-01T00:00:00+00:00")
+    LocalFileSource(str(tmp_path / "*.csv"),
+                    initial_last_modified=dt.datetime(
+                        2024, 1, 1, tzinfo=dt.timezone.utc))
