@@ -31,17 +31,30 @@ def _make_frame(spark, rng: random.Random, con):
     def opt(gen, p=0.25):
         return [None if rng.random() < p else gen() for _ in range(n)]
 
+    import datetime as dt
+
+    def ts():
+        # pre-epoch instants included: the sub-second extraction family
+        # uses pmod there, a past defect class
+        base = dt.datetime(1960, 1, 1) + dt.timedelta(
+            seconds=rng.randint(0, 70 * 365 * 86400),
+            microseconds=rng.randint(0, 999_999))
+        return base
+
     rows = list(zip(
         range(n),
         opt(lambda: rng.randint(-50, 50)),
         opt(lambda: round(rng.uniform(-20.0, 20.0), 6)),
         opt(lambda: "".join(rng.choice("abXY z_") for _ in
                             range(rng.randint(0, 8)))),
+        opt(ts),
     ))
-    df = spark.createDataFrame(rows, "idx long, a long, b double, s string")
+    df = spark.createDataFrame(
+        rows, "idx long, a long, b double, s string, t timestamp")
     con.execute("DROP TABLE IF EXISTS fuzz")
-    con.execute("CREATE TABLE fuzz (idx BIGINT, a BIGINT, b DOUBLE, s VARCHAR)")
-    con.executemany("INSERT INTO fuzz VALUES (?,?,?,?)", rows)
+    con.execute("CREATE TABLE fuzz (idx BIGINT, a BIGINT, b DOUBLE, "
+                "s VARCHAR, t TIMESTAMP)")
+    con.executemany("INSERT INTO fuzz VALUES (?,?,?,?,?)", rows)
     return td.TableFrame.from_spark(df)
 
 
@@ -82,7 +95,18 @@ def gen(rng: random.Random, kind: str, depth: int):
     d = depth - 1
     if kind == "i":
         choice = rng.choice(["add", "sub", "mul", "abs", "when", "coalesce",
-                             "lenchars"])
+                             "lenchars", "dtpart"])
+        if choice == "dtpart":
+            part = rng.choice(["year", "month", "day", "hour", "minute",
+                               "second", "millisecond", "microsecond"])
+            e = getattr(td.col("t").dt, part)()
+            # DuckDB's millisecond/microsecond parts INCLUDE the seconds;
+            # Polars returns the within-second fraction
+            if part == "millisecond":
+                return e, "(date_part('millisecond', t) % 1000)"
+            if part == "microsecond":
+                return e, "(date_part('microsecond', t) % 1000000)"
+            return e, f"date_part('{part}', t)"
         if choice in ("add", "sub", "mul"):
             x, qx = gen(rng, "i", d)
             y, qy = gen(rng, "i", d)
@@ -189,8 +213,17 @@ def gen(rng: random.Random, kind: str, depth: int):
         return (td.when(c).then(x).otherwise(y),
                 f"(CASE WHEN {qc} THEN {qx} ELSE {qy} END)")
     # bool
-    choice = rng.choice(["cmp_i", "cmp_f", "and", "or", "not", "isnull",
-                         "starts", "contains"])
+    choice = rng.choice(["cmp_i", "cmp_f", "cmp_t", "and", "or", "not",
+                         "isnull", "starts", "contains"])
+    if choice == "cmp_t":
+        import datetime as dtm
+
+        pivot = dtm.datetime(1960, 1, 1) + dtm.timedelta(
+            days=rng.randint(0, 70 * 365))
+        op = rng.choice(["<", ">="])
+        e = (td.col("t") < td.lit(pivot) if op == "<"
+             else td.col("t") >= td.lit(pivot))
+        return e, f"(t {op} TIMESTAMP '{pivot.isoformat(sep=' ')}')"
     if choice == "cmp_i":
         x, qx = gen(rng, "i", d)
         y, qy = gen(rng, "i", d)
