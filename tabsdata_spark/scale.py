@@ -315,6 +315,10 @@ def shard_assign(df: DataFrame, id_col: str, n_shards: int = 16,
     instead of stored.  Scale shape: one projection + one n_shards-group
     partial agg; the corpus is never shuffled (the agg exchanges
     n_shards * partitions partial rows)."""
+    if int(n_shards) < 1:
+        # pmod by 0 silently yields NULL shards; negative counts yield
+        # garbage balance ratios
+        raise ValueError(f"shard_assign: n_shards must be >= 1, got {n_shards}")
     hf = hash_fn or F.xxhash64
     h = hf(F.concat(F.lit(salt), F.col(id_col).cast("string")))
     nmod = F.lit(int(n_shards))
@@ -455,6 +459,11 @@ def auto_salted_agg(df: DataFrame, key_cols: list[str] | str, aggs: dict,
     ~|hot key| / salt rows.  At 100 TB this is the difference between a
     straggling final reducer and an even fan-in."""
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    for name, spec in aggs.items():
+        if not (isinstance(spec, (tuple, list)) and len(spec) == 2):
+            raise ValueError(
+                f"auto_salted_agg: aggs[{name!r}] must be a (kind, column)"
+                f" pair, got {spec!r}")
     per = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
     probe = per.agg(F.max("__n").alias("__mx"),
                     F.sum("__n").alias("__tot")).first()

@@ -361,3 +361,23 @@ def test_shard_rebalance_identity_moves_nothing(spark):
     r = scale.shard_rebalance_report(df, "k", n_from=16,
                                      n_to=16).collect()[0]
     assert (r.mod_moved, r.rdv_moved) == (0, 0)
+
+
+def test_shard_assign_and_auto_salted_arg_contracts(spark):
+    """Degenerate arguments get clear errors: n_shards<=0 used to emit
+    NULL/garbage shards via pmod-by-zero, and a malformed aggs spec leaked
+    'too many values to unpack'."""
+    import pytest
+
+    from tabsdata_spark import scale
+
+    one = spark.createDataFrame([(1, 2.0)], "k long, v double")
+    for bad in (0, -3):
+        with pytest.raises(ValueError, match="n_shards"):
+            scale.shard_assign(one, "k", n_shards=bad)
+    with pytest.raises(ValueError, match="pair"):
+        scale.auto_salted_agg(one, "k", {"v": "sum"})
+    # empty input flows through both paths as an empty result
+    empty = spark.createDataFrame([], "k long, v double")
+    assert scale.auto_salted_agg(
+        empty, "k", {"n": ("count", None)}).count() == 0
