@@ -1,0 +1,133 @@
+"""Seeded relational differential fuzz: random filter / group-agg /
+join / distinct pipelines run through the TableFrame API AND as SQL in
+DuckDB on identical rows, compared as row multisets.  The sibling of
+test_fuzz_differential.py (expression-level): this one exercises the
+frame operators — join null-key semantics, grouped nulls, 3-valued
+filter logic — where the expression fuzzer cannot reach.
+
+Anti/semi joins are oracled with NOT EXISTS / EXISTS (NOT IN is a null
+trap in SQL; Spark's left_anti keeps null-key rows exactly like
+NOT EXISTS does).  Sort order is never compared — results are multisets.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import duckdb
+import pytest
+
+import tabsdata_spark as td
+
+
+def _rows(rng: random.Random, n: int):
+    def opt(gen, p=0.25):
+        return None if rng.random() < p else gen()
+
+    return [(opt(lambda: rng.randint(0, 6)),
+             opt(lambda: rng.randint(-20, 20)),
+             opt(lambda: round(rng.uniform(-5.0, 5.0), 3)),
+             opt(lambda: rng.choice(["x", "y", "z", "w", ""])))
+            for _ in range(n)]
+
+
+def _mk(spark, con, name: str, rows):
+    df = spark.createDataFrame(rows, "k long, a long, b double, s string")
+    con.execute(f"DROP TABLE IF EXISTS {name}")
+    con.execute(f"CREATE TABLE {name} (k BIGINT, a BIGINT, b DOUBLE, s VARCHAR)")
+    con.executemany(f"INSERT INTO {name} VALUES (?,?,?,?)", rows)
+    return td.TableFrame.from_spark(df)
+
+
+def _pred(rng: random.Random):
+    """A simple predicate with Spark/DuckDB-identical 3-valued logic."""
+    choice = rng.choice(["ka", "af", "sn", "comb"])
+    if choice == "ka":
+        v = rng.randint(0, 6)
+        return td.col("k") <= v, f"(k <= {v})"
+    if choice == "af":
+        v = rng.randint(-10, 10)
+        return td.col("a") > v, f"(a > {v})"
+    if choice == "sn":
+        return td.col("s").is_null(), "(s IS NULL)"
+    e1, q1 = _pred(rng) if rng.random() < 0.3 else (td.col("k") < 3, "(k < 3)")
+    v = rng.randint(-10, 10)
+    return (e1 | (td.col("a") < v)), f"({q1} OR (a < {v}))"
+
+
+def _canon(rows):
+    out = []
+    for r in rows:
+        vals = []
+        for v in r:
+            if isinstance(v, float):
+                if math.isnan(v):
+                    vals.append("NaN")
+                else:
+                    vals.append(round(v, 9))
+            else:
+                vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=lambda t: tuple((x is None, str(type(x)), x)
+                                           for x in t))
+
+
+PROGRAMS = 60
+
+
+@pytest.mark.parametrize("seed", [20260817])
+def test_relational_differential_fuzz(spark, seed):
+    rng = random.Random(seed)
+    con = duckdb.connect()
+    for p in range(PROGRAMS):
+        t1 = _mk(spark, con, "t1", _rows(rng, rng.randint(3, 15)))
+        shape = rng.choice(["filter", "group", "join", "distinct",
+                            "filter_group"])
+        if shape == "filter":
+            e, q = _pred(rng)
+            got = t1.filter(e).to_spark().collect()
+            want = con.execute(f"SELECT * FROM t1 WHERE {q}").fetchall()
+        elif shape == "group":
+            got = (t1.group_by("k")
+                   .agg(n=td.col("a").count(),
+                        sa=td.col("a").sum(),
+                        mb=td.col("b").mean(),
+                        mx=td.col("a").max())
+                   .to_spark().collect())
+            want = con.execute(
+                "SELECT k, count(a) AS n, sum(a) AS sa, avg(b) AS mb, "
+                "max(a) AS mx FROM t1 GROUP BY k").fetchall()
+        elif shape == "join":
+            t2 = _mk(spark, con, "t2", _rows(rng, rng.randint(2, 10)))
+            how = rng.choice(["inner", "left", "semi", "anti"])
+            if how in ("inner", "left"):
+                got = (t1.join(t2.select(td.col("k"),
+                                         td.col("a").alias("a2")),
+                               on="k", how=how).to_spark().collect())
+                jk = "INNER" if how == "inner" else "LEFT"
+                want = con.execute(
+                    f"SELECT t1.k, t1.a, t1.b, t1.s, u.a2 FROM t1 {jk} JOIN "
+                    "(SELECT k, a AS a2 FROM t2) u USING (k)").fetchall()
+            else:
+                got = t1.join(t2, on="k", how=how).to_spark().collect()
+                ex = "EXISTS" if how == "semi" else "NOT EXISTS"
+                want = con.execute(
+                    f"SELECT * FROM t1 WHERE {ex} "
+                    "(SELECT 1 FROM t2 WHERE t2.k = t1.k)").fetchall()
+        elif shape == "distinct":
+            got = t1.select(td.col("k"), td.col("s")).unique() \
+                    .to_spark().collect()
+            want = con.execute("SELECT DISTINCT k, s FROM t1").fetchall()
+        else:
+            e, q = _pred(rng)
+            got = (t1.filter(e).group_by("s")
+                   .agg(n=td.col("k").count(), sa=td.col("a").sum())
+                   .to_spark().collect())
+            want = con.execute(
+                f"SELECT s, count(k) AS n, sum(a) AS sa FROM t1 "
+                f"WHERE {q} GROUP BY s").fetchall()
+        gc, wc = _canon([tuple(r) for r in got]), _canon(want)
+        assert gc == wc, (f"seed={seed} program={p} shape={shape}\n"
+                          f"spark ({len(gc)}): {gc[:6]}\n"
+                          f"duckdb({len(wc)}): {wc[:6]}")
