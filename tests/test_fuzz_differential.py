@@ -310,3 +310,48 @@ def test_expr_differential_fuzz(spark, seed):
                     f"duckdb={dv!r}\nexpr sql: {sqls[int(cname[1:])]}\n"
                     f"full sql: {qsql}")
         checked += BATCH
+
+
+@pytest.mark.parametrize("seed", [20260818])
+def test_rank_differential_fuzz(spark, seed):
+    """rank(min/max/dense/average, both directions) vs a DuckDB window
+    oracle over random ties+nulls data.  Pins the Polars contract the r7
+    fix established: null inputs get a NULL rank and never shift non-null
+    ranks (nulls sort last in the window; the output is nulled)."""
+    rng = random.Random(seed)
+    con = duckdb.connect()
+    for _ in range(20):
+        n = rng.randint(3, 14)
+        rows = [(i, None if rng.random() < 0.3 else rng.randint(0, 4))
+                for i in range(n)]
+        tf = td.TableFrame.from_spark(
+            spark.createDataFrame(rows, "idx long, v long"))
+        con.execute("DROP TABLE IF EXISTS rk")
+        con.execute("CREATE TABLE rk (idx BIGINT, v BIGINT)")
+        con.executemany("INSERT INTO rk VALUES (?,?)", rows)
+        desc = rng.random() < 0.5
+        direction = "DESC" if desc else "ASC"
+        base = f"ORDER BY v {direction} NULLS LAST"
+        oracles = {
+            "min": f"RANK() OVER ({base})",
+            "dense": f"DENSE_RANK() OVER ({base})",
+            "max": (f"(RANK() OVER ({base}) + COUNT(*) OVER "
+                    "(PARTITION BY v) - 1)"),
+            "average": (f"((RANK() OVER ({base})) * 2 + COUNT(*) OVER "
+                        "(PARTITION BY v) - 1) / 2.0"),
+        }
+        sel = tf.select(
+            td.col("idx"),
+            *[td.col("v").rank(m, descending=desc).alias(f"r_{m}")
+              for m in oracles])
+        srows = {r["idx"]: r for r in sel.to_spark().collect()}
+        qsql = ("SELECT idx, " + ", ".join(
+            f"(CASE WHEN v IS NULL THEN NULL ELSE {o} END) AS r_{m}"
+            for m, o in oracles.items()) + " FROM rk")
+        for drow in con.execute(qsql).fetchall():
+            idx = drow[0]
+            for m, dv in zip(oracles, drow[1:]):
+                sv = srows[idx][f"r_{m}"]
+                assert _cell_eq(sv, dv), (
+                    f"seed={seed} idx={idx} method={m} desc={desc} "
+                    f"spark={sv!r} duckdb={dv!r} rows={rows}")
