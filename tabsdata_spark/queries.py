@@ -1344,39 +1344,35 @@ _PRIORITY_R7 = [
 ]
 
 
-#: Round-8 driver window — exactly the 50-name list pre-staged in NOTES.md
-#: at the end of round 7 (the alphabetical first 48 of the 61-name
-#: never-driver-verified remainder plus the two staged streaming ops,
-#: stream_cusum_events and stream_gopher_gate_docs).  All 50 are
-#: three-scale vanilla --exact green under the tz-aware dtype guard.
-#: Round 9 closes the final 11 (sequential_obf_events ...
-#: wilson_ci_events, list in NOTES.md) plus 39 re-checks of the oldest
-#: driver greens, ending driver coverage of the frozen 357 registry.
-_PRIORITY_R8 = [
-    "bounce_rate_events", "brier_decomp_docs", "chi2_residuals_docs",
-    "code_switch_docs", "corpus_summary_docs", "cosine_histogram_emb",
-    "cusum_daily_events", "daily_value_bands_events",
-    "degree_assortativity_orders", "density_grid_emb", "doc_keywords_docs",
-    "dwell_time_events", "eb_shrunk_rate_sources", "embedding_drift_emb",
-    "freshness_events", "gini_mean_diff_events", "growth_accounting_events",
-    "heaps_law_docs", "incremental_join_orders", "intrinsic_dim_emb",
-    "kcore_orders", "kendall_daily_events", "ks_test_events",
-    "lorenz_curve_customers", "mahalanobis_events",
-    "markov_attribution_events", "markov_entropy_events",
-    "mase_backtest_events", "mcnemar_gates_docs", "mrr_label_emb",
-    "near_dup_orders", "negative_sampling_tokens",
-    "neyman_allocation_events", "pairwise_means_events",
-    "partial_corr_events", "pk_violations_q", "power_analysis_events",
-    "ppr_suppliers", "pruning_sim_orders", "rdd_events",
-    "referential_orphans_q", "resample_interpolate_events",
-    "revenue_share_tree", "revenue_waterfall_orders", "rmst_orders",
-    "rolling_corr_events", "rolling_wau_events", "runs_test_events",
-    "stream_cusum_events", "stream_gopher_gate_docs",
+#: Round-9 driver window — exactly the 50-name list pre-staged in NOTES.md
+#: at the end of round 8: the final 11 never-driver-verified queries
+#: (sequential_obf_events ... wilson_ci_events) PLUS 39 re-checks of the
+#: OLDEST driver greens (every CORRECTNESS_r01 green that predates the
+#: strict dtype-aware harness, except q1_pricing_summary — entry()-smoke-
+#: checked every round — and udf_charge — a judge-audited headline query).
+#: After this window the never-verified pool is ZERO and every r01-era
+#: green has a row under the current strict compare; the frozen 357
+#: registry is fully driver-covered.
+_PRIORITY_R9 = [
+    "sequential_obf_events", "shard_rebalance_docs", "skyline_orders",
+    "spearman_daily_events", "t_closeness_events", "tenure_hazard_events",
+    "theil_u_docs", "trend_test_events", "two_proportion_events",
+    "weighted_median_lineitem", "wilson_ci_events",
+    "agg_stats", "concat_diagonal", "concat_vertical", "datetime_funcs",
+    "dedup_exact_groups", "dq_checks", "drop_nulls_q", "embed_near_dup",
+    "embed_topk", "expr_math", "expr_predicates", "head_tail",
+    "is_unique_flag", "join_anti", "join_cross", "join_full", "join_inner",
+    "join_left", "join_right", "join_semi", "lang_id", "ngram_jaccard",
+    "null_handling", "q10_returned_items", "q3_shipping_priority",
+    "q5_local_supplier", "q6_forecast_revenue", "rank_window",
+    "segment_revenue", "selectors_numeric", "sort_slice", "string_funcs",
+    "string_regex", "text_fingerprint", "text_quality", "text_tokens",
+    "unique_rows", "unnest_struct", "when_then",
 ]
 
 
 def _rotated(d: dict) -> dict:
-    out = {n: d[n] for n in _PRIORITY_R8 if n in d}
+    out = {n: d[n] for n in _PRIORITY_R9 if n in d}
     out.update((n, v) for n, v in d.items() if n not in out)
     return out
 

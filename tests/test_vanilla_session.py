@@ -108,24 +108,39 @@ def test_events_load_on_vanilla_session(vanilla, sf_dir):
 
 
 def test_driver_window_covers_never_verified_queries():
-    """The driver snapshots queries()[0:50].  Guard the r8 rotation: the
-    window must be exactly _PRIORITY_R8, every entry must exist with an
-    oracle, and none may be a query the driver already GREEN-verified in
-    rounds 1-7."""
+    """The driver snapshots queries()[0:50].  Guard the r9 rotation: the
+    window must be exactly _PRIORITY_R9 — the final 11 queries never
+    GREEN-verified by the driver in rounds 1-8, plus 39 re-checks that
+    must each be r1-era greens (rows that predate the strict dtype-aware
+    harness)."""
     import json
 
     from tabsdata_spark import queries as registry
 
     names = list(registry.queries())
     window = names[:50]
-    assert window == registry._PRIORITY_R8
+    assert window == registry._PRIORITY_R9
     assert len(window) == 50
     oracles = registry.oracle_sql()
     assert all(n in oracles for n in window)
-    green = set()
-    for r in ("01", "02", "03", "04", "05", "06", "07"):
-        for name, row in json.load(open(f"CORRECTNESS_r{r}.json")).items():
-            if row.get("rows_match") and row.get("schema_match") is not False \
-                    and row.get("hash_match") is not False:
-                green.add(name)
-    assert set(window) & green == set(), set(window) & green
+
+    def greens(rounds):
+        out = set()
+        for r in rounds:
+            for name, row in json.load(open(f"CORRECTNESS_r{r}.json")).items():
+                if row.get("rows_match") and row.get("schema_match") is not False \
+                        and row.get("hash_match") is not False:
+                    out.add(name)
+        return out
+
+    all_green = greens(("01", "02", "03", "04", "05", "06", "07", "08"))
+    never = set(window[:11])
+    rechecks = set(window[11:])
+    # the 11 close the never-driver-verified pool
+    assert never & all_green == set(), never & all_green
+    # the 39 are re-checks of r1-era greens under the strict harness
+    r1_green = greens(("01",))
+    assert rechecks <= r1_green, rechecks - r1_green
+    # together the window + all prior greens cover the whole registry
+    assert set(names) <= all_green | set(window), \
+        set(names) - all_green - set(window)
