@@ -119,6 +119,31 @@ class ApiError(Exception):
         self.message = message
 
 
+class _Body(dict):
+    """Request body: a missing required field is the CALLER's mistake, so
+    `body["x"]` raises a 400 at the parsing boundary instead of leaking a
+    KeyError (which would otherwise be indistinguishable from a genuine
+    server bug and must not be blanket-mapped to 400)."""
+
+    def __getitem__(self, key):
+        try:
+            return super().__getitem__(key)
+        except KeyError:
+            raise ApiError(400, f"missing body field {key!r}") from None
+
+
+def _int_param(query: dict, name: str, default: int) -> int:
+    val = query.get(name)
+    if val is None:
+        return default
+    try:
+        return int(val)
+    except (TypeError, ValueError):
+        raise ApiError(
+            400, f"query param {name!r} must be an integer, got {val!r}"
+        ) from None
+
+
 def _client_error_status(e: Exception) -> int | None:
     """Map domain exceptions raised by a request to the HTTP status class
     the client deserves: 404 when a table/version does not exist, 400 for
@@ -131,8 +156,10 @@ def _client_error_status(e: Exception) -> int | None:
                 or "out of range" in msg):
             return 404
         return 400  # bad ref / bad uri / descending range
-    if isinstance(e, (ValueError, TypeError, KeyError)):
-        return 400  # malformed query params / body fields
+    # NOTE: builtin ValueError/TypeError/KeyError are deliberately NOT
+    # mapped here — an internal bug raising one must stay a 500 with a
+    # trace.  Caller-input parsing raises ApiError at explicit boundaries
+    # instead (_Body, _int_param, format allowlists in the routes).
     # Spark SQL analysis/parse errors from ?sql= are caller mistakes
     cls = type(e).__name__
     if cls in ("ParseException", "AnalysisException"):
@@ -180,11 +207,14 @@ class ApiServer:
             def _json_body(self) -> dict:
                 n = int(self.headers.get("Content-Length") or 0)
                 if not n:
-                    return {}
+                    return _Body()
                 try:
-                    return json.loads(self.rfile.read(n))
+                    parsed = json.loads(self.rfile.read(n))
                 except json.JSONDecodeError:
                     raise ApiError(400, "invalid JSON body") from None
+                if not isinstance(parsed, dict):
+                    raise ApiError(400, "JSON body must be an object")
+                return _Body(parsed)
 
             def _respond(self, status: int, payload: Any) -> None:
                 body = json.dumps(payload, default=str).encode()
@@ -212,7 +242,7 @@ class ApiServer:
                     result = outer._route(method, rel.split("/"), query,
                                           self._json_body() if method in
                                           ("POST", "PUT", "PATCH", "DELETE")
-                                          else {}, user)
+                                          else _Body(), user)
                     self._respond(200, result)
                 except ApiError as e:
                     self._respond(e.status, {"error": e.message})
@@ -590,10 +620,9 @@ class ApiServer:
         if method == "POST" and sub == "vacuum":
             # retention is destructive: security surface required
             self._require_security(user, collection)
-            keep = query.get("keep_last")
-            return self.store.vacuum(
-                collection, table,
-                keep_last=int(keep) if keep is not None else None)
+            keep = (None if query.get("keep_last") is None
+                    else _int_param(query, "keep_last", 0))
+            return self.store.vacuum(collection, table, keep_last=keep)
         if method == "DELETE" and not sub:
             # TABLE_DELETE (:237): metadata rows + every version's files
             self._require_security(user, collection)
@@ -605,21 +634,26 @@ class ApiServer:
         if sub == "schema":
             return services.table_schema(self.spark, self.store, uri)
         if sub == "sample":
+            fmt = query.get("format", "rows")
+            if fmt not in ("rows", "json", "csv"):
+                raise ApiError(400, f"unknown sample format {fmt!r}")
             return services.sample_table(
                 self.spark, self.store, uri,
-                offset=int(query.get("offset", 0)),
-                length=int(query.get("len", 100)),
-                sql=query.get("sql"),
-                fmt=query.get("format", "rows"))
+                offset=_int_param(query, "offset", 0),
+                length=_int_param(query, "len", 100),
+                sql=query.get("sql"), fmt=fmt)
         if sub == "data-versions":
             return meta.version_rows(collection, table)
         if sub == "download":
             dest = query.get("dest")
             if not dest:
                 raise ApiError(400, "download requires ?dest=<path>")
+            fmt = query.get("format", "parquet")
+            if fmt not in ("parquet", "csv", "json", "orc"):
+                raise ApiError(400, f"unknown download format {fmt!r}")
             path = services.download_table(
                 self.spark, self.store, uri, self._confine_dest(dest),
-                fmt=query.get("format", "parquet"), sql=query.get("sql"))
+                fmt=fmt, sql=query.get("sql"))
             return {"path": path}
         raise ApiError(404, f"unknown table route {sub}")
 

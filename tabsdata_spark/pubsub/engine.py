@@ -163,8 +163,11 @@ class PubSubEngine:
                         " its last element")
                 offset_update.update(outputs[-1])
                 outputs = outputs[:-1]
-                if not outputs and len(fn.output_tables) == 1:
-                    outputs = [None]
+                if not outputs:
+                    # "no new data" run: publish nothing for EVERY output
+                    # table, not just single-output functions (reference
+                    # yields (None,) per table)
+                    outputs = [None] * len(fn.output_tables)
             published: dict[str, str] = {}
             with self.store.transaction() as txn:
                 if fn.kind == "subscriber":

@@ -177,15 +177,18 @@ class TableStore:
             # (version/txn ids) must NOT survive into the new version —
             # write() stamps fresh ones
             head = self.read(up.sparkSession, collection, table).to_spark()
-            head_cols, up_cols = set(head.columns), set(up.columns)
-            if head_cols != up_cols:
-                raise SchemaMismatchError(
-                    "merge: update batch schema drifts from HEAD — "
-                    f"missing {sorted(head_cols - up_cols)}, "
-                    f"extra {sorted(up_cols - head_cols)}")
             if delete_missing:
-                merged = up  # full-snapshot semantics: the batch IS the table
+                # full-snapshot semantics: the batch IS the table, so it
+                # may evolve the schema exactly as a plain write() of the
+                # same batch would — no head-vs-batch column check
+                merged = up
             else:
+                head_cols, up_cols = set(head.columns), set(up.columns)
+                if head_cols != up_cols:
+                    raise SchemaMismatchError(
+                        "merge: update batch schema drifts from HEAD — "
+                        f"missing {sorted(head_cols - up_cols)}, "
+                        f"extra {sorted(up_cols - head_cols)}")
                 survivors = head.join(up.select(*key_cols).distinct(),
                                       on=key_cols, how="left_anti")
                 merged = survivors.unionByName(up)

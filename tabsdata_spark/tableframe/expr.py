@@ -817,6 +817,14 @@ class ExprStringNameSpace:
                 else:
                     # not a Java-expressible group ref: literal dollar
                     out.append("\\$")
+            elif ch == "$":
+                # '$' followed by anything that cannot start a group ref
+                # (letter, space, punctuation, or end-of-string): Java
+                # regexp_replace throws INVALID_REGEXP_REPLACE on a bare
+                # '$', so escape it to a literal dollar.  (Deviation from
+                # rust-regex, which reads an unbraced $name as a named
+                # group ref; the braced ${name} form is supported above.)
+                out.append("\\$")
             else:
                 out.append(ch)
             i += 1

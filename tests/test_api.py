@@ -828,3 +828,68 @@ def test_client_errors_get_4xx_not_500(served):
         code, body = status_of(path)
         assert code == want, (path, code, body)
         assert b"trace" not in body, (path, body)
+
+
+def test_builtin_exceptions_are_server_faults_not_400(served):
+    """r8 ADVICE regression: the 400 mapping is narrowed to explicit
+    request-parsing boundaries — an INTERNAL ValueError/TypeError/KeyError
+    from handler code must surface as a 500 with a trace, while a missing
+    required body field (a true caller mistake) is a 400 at the _Body
+    boundary."""
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    from tabsdata_spark.api.server import _client_error_status
+
+    # unit level: builtins no longer classify as client errors
+    assert _client_error_status(KeyError("x")) is None
+    assert _client_error_status(ValueError("x")) is None
+    assert _client_error_status(TypeError("x")) is None
+
+    server, client, _ = served
+
+    def post(path, body):
+        req = urllib.request.Request(
+            server.base_url + path, method="POST",
+            data=_json.dumps(body).encode(),
+            headers={"Authorization": f"Bearer {client._token}",
+                     "Content-Type": "application/json"})
+        try:
+            with urllib.request.urlopen(req) as r:
+                return r.status, b""
+        except urllib.error.HTTPError as e:
+            return e.code, e.read()
+
+    # missing required body field -> 400 with a named-field message
+    code, body = post("/users", {"password": "pw"})
+    assert code == 400, (code, body)
+    assert b"missing body field 'name'" in body and b"trace" not in body
+
+    # non-object JSON body -> 400 at the parsing boundary
+    code, body = post("/users", ["not", "an", "object"])
+    assert code == 400, (code, body)
+
+    # an internal builtin exception keeps the 500 + trace: inject a
+    # route that raises KeyError from handler code
+    orig = type(server)._route
+
+    def broken(self, method, parts, query, body, user):
+        if parts and parts[0] == "boom":
+            raise KeyError("internal-bug")
+        return orig(self, method, parts, query, body, user)
+
+    type(server)._route = broken
+    try:
+        req = urllib.request.Request(
+            server.base_url + "/boom",
+            headers={"Authorization": f"Bearer {client._token}"})
+        try:
+            with urllib.request.urlopen(req):
+                code, body = 200, b""
+        except urllib.error.HTTPError as e:
+            code, body = e.code, e.read()
+        assert code == 500, (code, body)
+        assert b"trace" in body
+    finally:
+        type(server)._route = orig

@@ -829,6 +829,38 @@ def test_function_offset_return_mode(spark, tmp_path):
     assert rep.status == "failed" and "offsets dict" in rep.error
 
 
+def test_function_offset_no_new_data_multi_output(spark, tmp_path):
+    """r8 ADVICE regression: a MULTI-output publisher in FUNCTION-offset
+    mode that returns only the offsets dict (no new data) must publish
+    nothing for EVERY output table, not fail with a frame-count
+    mismatch."""
+    store = TableStore(str(tmp_path / "wfm"))
+    engine = PubSubEngine(spark, store)
+
+    class SqlLike(td.SourcePlugin):
+        offset_return = "function"
+
+        def __init__(self):
+            super().__init__()
+            self.initial_values = {"number": "2"}
+
+        def chunk(self, spark_, working_dir):
+            return spark_.createDataFrame([(1,)], "n long")
+
+    @td.publisher(SqlLike(), tables=["t_a", "t_b"])
+    def pub(tf):
+        # no new rows upstream: reference publishes (None, None) but still
+        # persists the advanced offsets
+        return {"number": "7"}
+
+    engine.register("c", pub)
+    rep = engine.trigger("c", "pub")[0]
+    assert rep.status == "committed", rep.error
+    assert rep.published == {}
+    assert store.meta.get_offset("c", "pub", "number") == "7"
+    assert "t_a" not in store.meta.list_tables("c")
+
+
 def test_plugin_nested_paths_and_relative_paths(spark, tmp_path):
     """Reference chunk contract (_io/plugin.py:91-99 + load_sources):
     `return ["f1.parquet", ["f2.parquet", "f3.parquet"]]` maps to a first
@@ -888,6 +920,13 @@ def test_merge_argument_contracts(spark, tmp_path):
     assert sorted(tuple(r) for r in
                   store.read(spark, "c", "t").to_spark().collect()) == \
         [(1, "a"), (2, "B"), (3, "C")]
+    # r8 ADVICE regression: delete_missing=True is a full SNAPSHOT — the
+    # batch IS the table, so it may evolve the schema exactly like a
+    # plain write() of the same batch would
+    store.merge(drift, "c", "t", ["k"], delete_missing=True)
+    snap = store.read(spark, "c", "t").to_spark()
+    assert set(snap.columns) == {"k", "v", "x"}
+    assert [tuple(r) for r in snap.collect()] == [(9, "z", 1)]
 
 
 def test_descending_range_is_an_error():

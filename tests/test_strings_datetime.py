@@ -330,6 +330,23 @@ def test_replace_capture_group_refs(spark):
     assert d["lit"] == ["a$1b$1c"]
 
 
+def test_replace_lone_dollar_is_literal(spark):
+    """r8 ADVICE regression: a '$' NOT followed by a digit, '{', or '$'
+    (letter, space, punctuation, or end-of-string) must become a literal
+    dollar in the Java replacement — Java regexp_replace throws
+    INVALID_REGEXP_REPLACE on a bare '$'."""
+    tf = td.TableFrame.from_dict(spark, {"s": ["a-b-c"]})
+    d = sel(tf,
+            end=td.col("s").str.replace_all("-", "US$"),
+            mid=td.col("s").str.replace("a", "$ x"),
+            word=td.col("s").str.replace_all("-", "$x"),
+            mix=td.col("s").str.replace_all(r"(\w)", "$1$"))
+    assert d["end"] == ["aUS$bUS$c"]
+    assert d["mid"] == ["$ x-b-c"]
+    assert d["word"] == ["a$xb$xc"]
+    assert d["mix"] == ["a$-b$-c$"]
+
+
 def test_titlecase_nonalpha_boundaries(spark):
     """Polars capitalizes after ANY non-alphabetic char, not just spaces."""
     tf = td.TableFrame.from_dict(
