@@ -668,7 +668,7 @@ class ExprStringNameSpace:
             # Polars strips all (unicode) whitespace; Spark trim strips
             # only ASCII spaces
             return self._new(
-                F.regexp_replace(self._c, r"(?U)^\s+|\s+$", "")
+                F.regexp_replace(self._c, r"(?U)^\s+|\s+\z", "")
             )
         return self._new(F.btrim(self._c, F.lit(characters)))
 
@@ -678,7 +678,7 @@ class ExprStringNameSpace:
 
     def strip_chars_end(self, characters: str | None = None):
         cls = r"(?U)\s" if characters is None else _char_class(characters)
-        return self._new(F.regexp_replace(self._c, f"(?:{cls})+$", ""))
+        return self._new(F.regexp_replace(self._c, f"(?:{cls})+\\z", ""))
 
     def strip_prefix(self, prefix: str):
         p = F.lit(prefix)
@@ -909,7 +909,7 @@ class ExprStringNameSpace:
         # strict and nulls otherwise
         digits = "0123456789abcdefghijklmnopqrstuvwxyz"[:base]
         cls = digits if base <= 10 else f"0-9a-{digits[-1]}A-{digits[-1].upper()}"
-        valid = self._c.rlike(f"^-?[{cls}]+$")
+        valid = self._c.rlike(f"^-?[{cls}]+\\z")
         # F.conv reads a leading '-' as unsigned two's complement; strip the
         # sign, convert the magnitude, and re-apply
         neg = self._c.startswith("-")

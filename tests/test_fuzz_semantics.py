@@ -1,0 +1,386 @@
+"""Seeded differential fuzz of the remaining pinned-semantics surface
+(r8 verdict item 3) vs DuckDB on identical rows — five directed families
+the generic expression/relational fuzzers don't reach:
+
+  A. string strip/zfill/pad chains + find/contains/len terminals
+     (pad-never-truncates, zfill sign handling, byte-offset find)
+  B. unique(keep=first/last/none) under an explicit total sort order
+     (window order must honor the frame's logical sort, incl. reversal
+     of BOTH direction and null placement for keep=last)
+  C. concat relaxed-supertype casts across int/bigint/double frames
+     (vertical_relaxed + diagonal/diagonal_relaxed null-filling)
+  D. fill_null/fill_nan/drop_nulls/drop_nans on mixed null/NaN floats
+     (null is not NaN: fill_null must leave NaN, fill_nan must leave null)
+  E. group_by aggregates over all-null groups and null group keys
+     (SQL sum/mean/min/max null-group semantics; n_unique counts null)
+
+Every program is reproducible from the printed (seed, program, spec)
+triple; committed seeds are frozen.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import duckdb
+import pytest
+
+import tabsdata_spark as td
+
+# ----------------------------------------------------------------- common
+
+
+def _canon(rows):
+    """Multiset canonicalization with numeric coercion: int/float compare
+    as float (supertype casts legitimately change the Python type)."""
+    out = []
+    for r in rows:
+        vals = []
+        for v in r:
+            if isinstance(v, bool):
+                vals.append(v)
+            elif isinstance(v, float) and math.isnan(v):
+                vals.append("NaN")
+            elif isinstance(v, (int, float)):
+                vals.append(round(float(v), 9))
+            else:
+                vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=lambda t: tuple((x is None, str(type(x)), x)
+                                           for x in t))
+
+
+def _check(got, want, ctx):
+    gc, wc = _canon([tuple(r) for r in got]), _canon([tuple(r) for r in want])
+    assert gc == wc, (f"{ctx}\nspark ({len(gc)}): {gc[:8]}\n"
+                      f"duckdb({len(wc)}): {wc[:8]}")
+
+
+# ------------------------------------------------- family A: string chains
+
+_S_ALPHABET = " \t\n0+-abXY"
+
+
+def _gen_string_op(rng: random.Random, expr, sql: str):
+    """One strip/pad/zfill link: returns (expr', sql')."""
+    kind = rng.choice(["strip", "strip_start", "strip_end", "strip_ws",
+                       "zfill", "pad_start", "pad_end"])
+    if kind == "strip_ws":
+        return (expr.str.strip_chars(),
+                f"regexp_replace({sql}, '^\\s+|\\s+$', '', 'g')")
+    if kind in ("strip", "strip_start", "strip_end"):
+        chars = "".join(rng.sample(" -0a\t", rng.randint(1, 3)))
+        lit = "'" + chars.replace("'", "''") + "'"
+        if kind == "strip":
+            return expr.str.strip_chars(chars), f"trim({sql}, {lit})"
+        if kind == "strip_start":
+            return expr.str.strip_chars_start(chars), f"ltrim({sql}, {lit})"
+        return expr.str.strip_chars_end(chars), f"rtrim({sql}, {lit})"
+    n = rng.randint(0, 8)
+    if kind == "zfill":
+        # Polars/Python zfill: never truncates, '-' stays in front of the
+        # zeros ('+' is NOT special in Polars)
+        return (expr.str.zfill(n),
+                f"(CASE WHEN length({sql}) >= {n} THEN {sql} "
+                f"WHEN substr({sql}, 1, 1) = '-' THEN '-' || "
+                f"lpad(substr({sql}, 2, 1000000), {max(n - 1, 0)}, '0') "
+                f"ELSE lpad({sql}, {n}, '0') END)")
+    ch = rng.choice("_0#x")
+    fn = "lpad" if kind == "pad_start" else "rpad"
+    meth = expr.str.pad_start if kind == "pad_start" else expr.str.pad_end
+    # Polars pads to AT LEAST length — never truncates
+    return (meth(n, ch),
+            f"(CASE WHEN length({sql}) >= {n} THEN {sql} "
+            f"ELSE {fn}({sql}, {n}, '{ch}') END)")
+
+
+@pytest.mark.parametrize("seed", [20260901])
+def test_fuzz_string_strip_pad_find(spark, seed):
+    rng = random.Random(seed)
+    con = duckdb.connect()
+    PROGRAMS, BATCH = 300, 10
+    for base in range(0, PROGRAMS, BATCH):
+        n = rng.randint(4, 10)
+        rows = [(i, None if rng.random() < 0.2 else
+                 "".join(rng.choice(_S_ALPHABET)
+                         for _ in range(rng.randint(0, 9))))
+                for i in range(n)]
+        tf = td.TableFrame.from_spark(
+            spark.createDataFrame(rows, "idx long, s string"))
+        con.execute("DROP TABLE IF EXISTS fs")
+        con.execute("CREATE TABLE fs (idx BIGINT, s VARCHAR)")
+        con.executemany("INSERT INTO fs VALUES (?,?)", rows)
+        named, sqls = {}, []
+        for p in range(BATCH):
+            expr, sql = td.col("s"), "s"
+            for _ in range(rng.randint(1, 3)):
+                expr, sql = _gen_string_op(rng, expr, sql)
+            term = rng.choice(["id", "find", "len", "contains"])
+            if term == "find":
+                sub = "".join(rng.choice("0a-X ")
+                              for _ in range(rng.randint(1, 2)))
+                lit = "'" + sub + "'"
+                expr = expr.str.find(sub, literal=True)
+                sql = (f"(CASE WHEN strpos({sql}, {lit}) = 0 THEN NULL "
+                       f"ELSE strpos({sql}, {lit}) - 1 END)")
+            elif term == "len":
+                expr, sql = expr.str.len_chars(), f"length({sql})"
+            elif term == "contains":
+                sub = rng.choice(["a", "0", "-", "X", " "])
+                expr = expr.str.contains(sub, literal=True)
+                sql = f"contains({sql}, '{sub}')"
+            named[f"c{p}"] = expr
+            sqls.append(f"{sql} AS c{p}")
+        got = tf.select(td.col("idx"), **named).to_spark().collect()
+        want = con.execute(
+            f"SELECT idx, {', '.join(sqls)} FROM fs").fetchall()
+        _check(got, want, f"seed={seed} batch={base} sqls={sqls}")
+
+
+# ------------------------------------------- family B: unique keep + order
+
+
+@pytest.mark.parametrize("seed", [20260902])
+def test_fuzz_unique_keep_with_order(spark, seed):
+    rng = random.Random(seed)
+    con = duckdb.connect()
+    for p in range(100):
+        n = rng.randint(4, 16)
+        rows = [(i,
+                 None if rng.random() < 0.25 else rng.randint(0, 3),
+                 None if rng.random() < 0.25 else rng.choice("xyz"),
+                 round(rng.uniform(-5, 5), 3))
+                for i in range(n)]
+        tf = td.TableFrame.from_spark(spark.createDataFrame(
+            rows, "idx long, k long, s string, v double"))
+        con.execute("DROP TABLE IF EXISTS fu")
+        con.execute("CREATE TABLE fu (idx BIGINT, k BIGINT, s VARCHAR, "
+                    "v DOUBLE)")
+        con.executemany("INSERT INTO fu VALUES (?,?,?,?)", rows)
+        subset = rng.choice([["k"], ["s"], ["k", "s"]])
+        keep = rng.choice(["first", "last", "none"])
+        sc = rng.choice(["v", "s", "idx"])
+        d, nl = rng.random() < 0.5, rng.random() < 0.5
+        sorted_tf = tf.sort([sc, "idx"], descending=[d, False],
+                            nulls_last=[nl, False])
+        got = (sorted_tf.unique(subset=subset, keep=keep)
+               .select("idx").to_spark().collect())
+        part = ", ".join(subset)
+        if keep == "none":
+            want = con.execute(
+                f"SELECT idx FROM fu QUALIFY "
+                f"count(*) OVER (PARTITION BY {part}) = 1").fetchall()
+        else:
+            # keep=last reverses BOTH direction and null placement
+            rd, rnl = (not d, not nl) if keep == "last" else (d, nl)
+            o1 = (f"{sc} {'DESC' if rd else 'ASC'} "
+                  f"NULLS {'LAST' if rnl else 'FIRST'}")
+            o2 = "idx DESC" if keep == "last" else "idx ASC"
+            want = con.execute(
+                f"SELECT idx FROM fu QUALIFY row_number() OVER "
+                f"(PARTITION BY {part} ORDER BY {o1}, {o2}) = 1").fetchall()
+        _check(got, want,
+               f"seed={seed} p={p} subset={subset} keep={keep} "
+               f"sort=({sc}, desc={d}, nulls_last={nl})")
+
+
+# ------------------------------------------ family C: concat supertypes
+
+
+@pytest.mark.parametrize("seed", [20260903])
+def test_fuzz_concat_relaxed_supertypes(spark, seed):
+    rng = random.Random(seed)
+    con = duckdb.connect()
+    DUCK = {"int": "INTEGER", "long": "BIGINT", "double": "DOUBLE",
+            "string": "VARCHAR"}
+
+    def mk(name, cols):
+        n = rng.randint(2, 6)
+        rows = []
+        for i in range(n):
+            row = []
+            for _, t in cols:
+                if rng.random() < 0.2:
+                    row.append(None)
+                elif t == "string":
+                    row.append(rng.choice("pqr"))
+                elif t == "double":
+                    row.append(float(rng.randint(-9, 9)))
+                else:
+                    row.append(rng.randint(-9, 9))
+            rows.append(tuple(row))
+        schema = ", ".join(f"{c} {t}" for c, t in cols)
+        tf = td.TableFrame.from_spark(spark.createDataFrame(rows, schema))
+        con.execute(f"DROP TABLE IF EXISTS {name}")
+        con.execute(f"CREATE TABLE {name} (" + ", ".join(
+            f"{c} {DUCK[t]}" for c, t in cols) + ")")
+        con.executemany(
+            f"INSERT INTO {name} VALUES ({','.join('?' * len(cols))})", rows)
+        return tf
+
+    def supertype(types):
+        ts = set(types)
+        if "string" in ts:
+            return "string"
+        if "double" in ts:
+            return "double"
+        if "long" in ts:
+            return "long"
+        return "int"
+
+    for p in range(150):
+        how = rng.choice(["vertical_relaxed", "diagonal", "diagonal_relaxed"])
+        all_cols = ["a", "b", "c"]
+        nf = rng.randint(2, 3)
+        specs = []
+        if how == "vertical_relaxed":
+            names = all_cols[:rng.randint(1, 3)]
+            for _ in range(nf):
+                specs.append([(c, rng.choice(["int", "long", "double"]))
+                              for c in names])
+        elif how == "diagonal":
+            # non-relaxed diagonal: shared columns keep ONE dtype
+            fixed = {c: rng.choice(["long", "double", "string"])
+                     for c in all_cols}
+            for _ in range(nf):
+                sub = sorted(rng.sample(all_cols, rng.randint(1, 3)))
+                specs.append([(c, fixed[c]) for c in sub])
+        else:
+            for _ in range(nf):
+                sub = sorted(rng.sample(all_cols, rng.randint(1, 3)))
+                specs.append([(c, rng.choice(["int", "long", "double"]))
+                              for c in sub])
+        frames = [mk(f"cf{i}", cols) for i, cols in enumerate(specs)]
+        got = td.concat(frames, how=how).to_spark().collect()
+        # oracle: per-frame SELECT casting every output column to the
+        # supertype (NULL-filled when absent), chained by UNION ALL
+        if how == "vertical_relaxed":
+            out_names = [c for c, _ in specs[0]]
+        else:
+            out_names = []
+            for cols in specs:
+                for c, _ in cols:
+                    if c not in out_names:
+                        out_names.append(c)
+        types = {c: supertype([dict(cols).get(c)
+                               for cols in specs if c in dict(cols)])
+                 for c in out_names}
+        selects = []
+        for i, cols in enumerate(specs):
+            have = dict(cols)
+            sel = ", ".join(
+                (f"CAST({c} AS {DUCK[types[c]]}) AS {c}" if c in have
+                 else f"CAST(NULL AS {DUCK[types[c]]}) AS {c}")
+                for c in out_names)
+            selects.append(f"SELECT {sel} FROM cf{i}")
+        want = con.execute(" UNION ALL ".join(selects)).fetchall()
+        _check(got, want, f"seed={seed} p={p} how={how} specs={specs}")
+        # the result schema must BE the supertype, not just cast-compatible
+        got_schema = dict(td.concat(frames, how=how).schema.items())
+        SPARK = {"int": "IntegerType()", "long": "LongType()",
+                 "double": "DoubleType()", "string": "StringType()"}
+        for c in out_names:
+            if how == "diagonal":
+                continue  # unionByName keeps Spark's own coercion
+            assert repr(got_schema[c]) == SPARK[types[c]], \
+                (p, how, c, got_schema[c], types[c])
+
+
+# ------------------------------------- family D: null/NaN fill and drop
+
+
+@pytest.mark.parametrize("seed", [20260904])
+def test_fuzz_fill_null_nan_mixed(spark, seed):
+    rng = random.Random(seed)
+    con = duckdb.connect()
+    for p in range(150):
+        n = rng.randint(4, 12)
+        rows = []
+        for i in range(n):
+            a = None if rng.random() < 0.3 else rng.randint(-9, 9)
+            r = rng.random()
+            b = (None if r < 0.25 else float("nan") if r < 0.5
+                 else round(rng.uniform(-5, 5), 3))
+            rows.append((i, a, b))
+        tf = td.TableFrame.from_spark(
+            spark.createDataFrame(rows, "idx long, a long, b double"))
+        con.execute("DROP TABLE IF EXISTS ff")
+        con.execute("CREATE TABLE ff (idx BIGINT, a BIGINT, b DOUBLE)")
+        con.executemany("INSERT INTO ff VALUES (?,?,?)", rows)
+        cols = {"idx": "idx", "a": "a", "b": "b"}
+        where = []
+        for _ in range(rng.randint(1, 2)):
+            op = rng.choice(["fill_null", "fill_nan", "drop_nulls",
+                             "drop_nans"])
+            if op == "fill_null":
+                v = rng.randint(-9, 9)
+                tf = tf.fill_null(v)
+                # fills NULL in every column; NaN is NOT null and stays
+                cols = {c: f"coalesce({s}, {v})" for c, s in cols.items()}
+            elif op == "fill_nan":
+                v = float(rng.randint(-9, 9))
+                tf = tf.fill_nan(v)
+                # floats only; NULL is NOT NaN and stays
+                cols["b"] = (f"(CASE WHEN isnan({cols['b']}) THEN {v} "
+                             f"ELSE {cols['b']} END)")
+            elif op == "drop_nulls":
+                sub = rng.choice([["a"], ["b"], ["a", "b"]])
+                tf = tf.drop_nulls(sub)
+                where += [f"({cols[c]}) IS NOT NULL" for c in sub]
+            else:
+                tf = tf.drop_nans(["b"])
+                where.append(f"(NOT isnan({cols['b']}) "
+                             f"OR ({cols['b']}) IS NULL)")
+        got = tf.to_spark().collect()
+        sel = ", ".join(f"{s} AS {c}" for c, s in cols.items())
+        sql = f"SELECT {sel} FROM ff"
+        if where:
+            sql += " WHERE " + " AND ".join(where)
+        want = con.execute(sql).fetchall()
+        _check(got, want, f"seed={seed} p={p} sql={sql}")
+
+
+# --------------------------------- family E: all-null groups aggregates
+
+
+@pytest.mark.parametrize("seed", [20260905])
+def test_fuzz_group_agg_all_null_groups(spark, seed):
+    rng = random.Random(seed)
+    con = duckdb.connect()
+    AGGS = {
+        "cnt": (lambda: td.col("a").count(), "count(a)"),
+        "sm": (lambda: td.col("a").sum(), "sum(a)"),
+        "mn": (lambda: td.col("a").mean(), "avg(a)"),
+        "mi": (lambda: td.col("a").min(), "min(a)"),
+        "mx": (lambda: td.col("a").max(), "max(a)"),
+        "nu": (lambda: td.col("a").n_unique(),
+               "(count(DISTINCT a) + max(CASE WHEN a IS NULL THEN 1 "
+               "ELSE 0 END))"),
+        "ln": (lambda: td.col("a").len(), "count(*)"),
+        "md": (lambda: td.col("b").median(), "median(b)"),
+    }
+    for p in range(100):
+        n = rng.randint(5, 20)
+        # force some keys to be ALL-null in `a`: per-key null probability
+        # is drawn once, so a key with p_null=1.0 is an all-null group
+        key_null_p = {k: rng.choice([0.0, 0.4, 1.0]) for k in range(4)}
+        rows = []
+        for _ in range(n):
+            k = None if rng.random() < 0.2 else rng.randint(0, 3)
+            pn = 0.5 if k is None else key_null_p[k]
+            a = None if rng.random() < pn else rng.randint(-9, 9)
+            b = None if rng.random() < 0.3 else float(rng.randint(-20, 20))
+            rows.append((k, a, b))
+        tf = td.TableFrame.from_spark(
+            spark.createDataFrame(rows, "k long, a long, b double"))
+        con.execute("DROP TABLE IF EXISTS fg")
+        con.execute("CREATE TABLE fg (k BIGINT, a BIGINT, b DOUBLE)")
+        con.executemany("INSERT INTO fg VALUES (?,?,?)", rows)
+        picked = rng.sample(sorted(AGGS), rng.randint(1, 4))
+        named = {name: AGGS[name][0]() for name in picked}
+        got = tf.group_by("k").agg(**named).to_spark().collect()
+        sel = ", ".join(f"{AGGS[name][1]} AS {name}" for name in picked)
+        want = con.execute(
+            f"SELECT k, {sel} FROM fg GROUP BY k").fetchall()
+        _check(got, want, f"seed={seed} p={p} aggs={picked}")

@@ -347,6 +347,28 @@ def test_replace_lone_dollar_is_literal(spark):
     assert d["mix"] == ["a$-b$-c$"]
 
 
+def test_strip_end_before_final_newline(spark):
+    """Fuzzer-found (r9, seed 20260901): Java's '$' anchor matches BEFORE
+    a final line terminator, so strip_chars_end(' \\t-') on a string
+    ending in '\\n' wrongly stripped the spaces before that newline, and
+    to_integer's validity regex accepted '12\\n'.  Both anchors must be
+    \\z (absolute end of input) — Python rstrip / rust str parsing never
+    treat a trailing newline specially."""
+    tf = td.TableFrame.from_dict(
+        spark, {"s": [" \nYY  \n", "ab  ", "x \n\n"]})
+    d = sel(tf, e=td.col("s").str.strip_chars_end(" \t-"),
+            w=td.col("s").str.strip_chars())
+    assert d["e"] == [" \nYY  \n", "ab", "x \n\n"]
+    assert d["w"] == ["YY", "ab", "x"]
+    tf2 = td.TableFrame.from_dict(spark, {"h": ["ff\n", "ff"]})
+    got = sel(tf2, v=td.col("h").str.to_integer(base=16, strict=False))
+    assert got["v"] == [None, 255]
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="to_integer"):
+        sel(tf2, v=td.col("h").str.to_integer(base=16, strict=True))
+
+
 def test_titlecase_nonalpha_boundaries(spark):
     """Polars capitalizes after ANY non-alphabetic char, not just spaces."""
     tf = td.TableFrame.from_dict(
