@@ -76,6 +76,98 @@ def _canon(rows):
 PROGRAMS = 60
 
 
+@pytest.mark.parametrize("seed", [20260910])
+def test_relational_differential_fuzz_extended(spark, seed):
+    """r9 grammar growth: outer joins (right / full, both key-coalesce
+    modes), null-safe join keys (`join_nulls` -> IS NOT DISTINCT FROM),
+    and sort+slice pipelines under a total order (positive, zero, and
+    negative offsets with Python-slice clamping)."""
+    rng = random.Random(seed)
+    con = duckdb.connect()
+    for p in range(80):
+        n1, n2 = rng.randint(3, 15), rng.randint(2, 10)
+        t1 = _mk(spark, con, "t1", _rows(rng, n1))
+
+        shape = rng.choice(["right", "full", "full_coalesce",
+                            "join_nulls", "slice"])
+        if shape == "slice":
+            # total order: (sort col, idx-as-b is not unique) — order by
+            # (k,a,b,s) tuple is still not total, so re-key with a unique
+            # idx column first
+            rows = [(i, *r) for i, r in enumerate(_rows(rng, n1))]
+            con.execute("DROP TABLE IF EXISTS ts")
+            con.execute("CREATE TABLE ts (idx BIGINT, k BIGINT, a BIGINT,"
+                        " b DOUBLE, s VARCHAR)")
+            con.executemany("INSERT INTO ts VALUES (?,?,?,?,?)", rows)
+            tf = td.TableFrame.from_spark(spark.createDataFrame(
+                rows, "idx long, k long, a long, b double, s string"))
+            sc = rng.choice(["k", "a", "b", "s"])
+            d, nl = rng.random() < 0.5, rng.random() < 0.5
+            off = rng.choice([0, 1, 2, -2, -5, n1 + 2, -(n1 + 3)])
+            ln = rng.choice([0, 1, 3, n1, n1 + 4])
+            got = (tf.sort([sc, "idx"], descending=[d, False],
+                           nulls_last=[nl, False])
+                   .slice(off, ln).select("idx").to_spark().collect())
+            o1 = (f"{sc} {'DESC' if d else 'ASC'} "
+                  f"NULLS {'LAST' if nl else 'FIRST'}, idx ASC")
+            if off >= 0:
+                want = con.execute(
+                    f"SELECT idx FROM (SELECT idx FROM ts ORDER BY {o1} "
+                    f"LIMIT {ln} OFFSET {off})").fetchall()
+            else:
+                # Python-slice clamping: end = (N+off) + len computed from
+                # the UNCLAMPED start (l[-7:-3] on 4 rows is 1 row, not 4),
+                # then both clamped to [0, N]; rows [start, end)
+                want = con.execute(
+                    f"SELECT idx FROM (SELECT idx, row_number() OVER "
+                    f"(ORDER BY {o1}) AS rn, count(*) OVER () AS n "
+                    f"FROM ts) WHERE rn - 1 >= greatest(n + {off}, 0) "
+                    f"AND rn - 1 < least(n + {off} + {ln}, n)"
+                ).fetchall()
+            _check_eq(got, want, f"seed={seed} p={p} slice off={off} "
+                                 f"len={ln} sort=({sc},{d},{nl})")
+            continue
+
+        t2 = _mk(spark, con, "t2", _rows(rng, n2))
+        u = "(SELECT k, a AS a2 FROM t2) u"
+        t2sel = t2.select(td.col("k"), td.col("a").alias("a2"))
+        if shape == "right":
+            # default coalesce=True for a `using` right join: single key
+            # column = COALESCE(left, right)
+            got = t1.join(t2sel, on="k", how="right").to_spark().collect()
+            want = con.execute(
+                f"SELECT COALESCE(t1.k, u.k) AS k, t1.a, t1.b, t1.s, u.a2 "
+                f"FROM t1 RIGHT JOIN {u} ON t1.k = u.k").fetchall()
+        elif shape == "full_coalesce":
+            got = t1.join(t2sel, on="k", how="full",
+                          coalesce=True).to_spark().collect()
+            want = con.execute(
+                f"SELECT COALESCE(t1.k, u.k) AS k, t1.a, t1.b, t1.s, u.a2 "
+                f"FROM t1 FULL JOIN {u} ON t1.k = u.k").fetchall()
+        elif shape == "full":
+            # Polars default for full: keys NOT merged — both survive,
+            # right one suffixed
+            got = t1.join(t2sel, on="k", how="full").to_spark().collect()
+            want = con.execute(
+                f"SELECT t1.k, t1.a, t1.b, t1.s, u.k AS k_right, u.a2 "
+                f"FROM t1 FULL JOIN {u} ON t1.k = u.k").fetchall()
+        else:
+            how = rng.choice(["inner", "left"])
+            got = t1.join(t2sel, on="k", how=how,
+                          join_nulls=True).to_spark().collect()
+            jk = "INNER" if how == "inner" else "LEFT"
+            want = con.execute(
+                f"SELECT t1.k, t1.a, t1.b, t1.s, u.a2 FROM t1 {jk} JOIN "
+                f"{u} ON t1.k IS NOT DISTINCT FROM u.k").fetchall()
+        _check_eq(got, want, f"seed={seed} p={p} shape={shape}")
+
+
+def _check_eq(got, want, ctx):
+    gc, wc = _canon([tuple(r) for r in got]), _canon(want)
+    assert gc == wc, (f"{ctx}\nspark ({len(gc)}): {gc[:6]}\n"
+                      f"duckdb({len(wc)}): {wc[:6]}")
+
+
 @pytest.mark.parametrize("seed", [20260817])
 def test_relational_differential_fuzz(spark, seed):
     rng = random.Random(seed)
