@@ -341,6 +341,97 @@ def test_fuzz_fill_null_nan_mixed(spark, seed):
         _check(got, want, f"seed={seed} p={p} sql={sql}")
 
 
+# ------------------------------------ family F: datetime trunc/offset
+
+
+@pytest.mark.parametrize("seed", [20260906])
+def test_fuzz_datetime_trunc_offset_totals(spark, seed):
+    """dt.truncate / offset_by / epoch / month bounds / duration totals
+    vs DuckDB on identical instants (pre-epoch included).  Pinned
+    contracts in the oracle: Monday-based weeks, month-end clamping on
+    calendar offsets, truncate-toward-zero duration division."""
+    import datetime as dt
+
+    rng = random.Random(seed)
+    con = duckdb.connect()
+    TRUNC = {"1s": "second", "1m": "minute", "1h": "hour", "1d": "day",
+             "1w": "week", "1mo": "month", "1q": "quarter", "1y": "year"}
+    TOTALS = {
+        "total_seconds": 1_000_000, "total_minutes": 60_000_000,
+        "total_hours": 3_600_000_000, "total_days": 86_400_000_000,
+        "total_milliseconds": 1000,
+    }
+    PROGRAMS, BATCH = 200, 8
+    for base in range(0, PROGRAMS, BATCH):
+        n = rng.randint(4, 10)
+
+        def ts():
+            return dt.datetime(1960, 1, 1) + dt.timedelta(
+                seconds=rng.randint(0, 70 * 365 * 86400),
+                microseconds=rng.randint(0, 999_999))
+
+        rows = [(i,
+                 None if rng.random() < 0.2 else ts(),
+                 None if rng.random() < 0.2 else ts())
+                for i in range(n)]
+        tf = td.TableFrame.from_spark(spark.createDataFrame(
+            rows, "idx long, t timestamp, t2 timestamp"))
+        con.execute("DROP TABLE IF EXISTS fdt")
+        con.execute("CREATE TABLE fdt (idx BIGINT, t TIMESTAMP, "
+                    "t2 TIMESTAMP)")
+        con.executemany("INSERT INTO fdt VALUES (?,?,?)", rows)
+        named, sqls = {}, []
+        for p in range(BATCH):
+            kind = rng.choice(["trunc", "offset", "epoch", "bounds",
+                               "total"])
+            if kind == "trunc":
+                every = rng.choice(sorted(TRUNC))
+                named[f"c{p}"] = td.col("t").dt.truncate(every)
+                # DuckDB date_trunc returns DATE for calendar units;
+                # Polars truncate keeps the datetime dtype (so does Spark)
+                sqls.append(f"CAST(date_trunc('{TRUNC[every]}', t) "
+                            f"AS TIMESTAMP) AS c{p}")
+            elif kind == "offset":
+                nv = rng.choice([-5, -2, -1, 1, 2, 5, 13])
+                unit = rng.choice(["d", "h", "m", "s", "mo", "y", "w"])
+                named[f"c{p}"] = td.col("t").dt.offset_by(f"{nv}{unit}")
+                iv = {"d": "DAY", "h": "HOUR", "m": "MINUTE",
+                      "s": "SECOND", "mo": "MONTH", "y": "YEAR",
+                      "w": "WEEK"}[unit]
+                sqls.append(f"(t + INTERVAL ({nv}) {iv}) AS c{p}")
+            elif kind == "epoch":
+                u = rng.choice(["ms", "us", "ns"])
+                named[f"c{p}"] = td.col("t").dt.epoch(u)
+                # pre-epoch pin: epoch('ms') FLOORS (Spark unix_millis =
+                # rust chrono timestamp_millis); DuckDB's own epoch_ms
+                # truncates toward zero, so the oracle floors explicitly
+                e = {"ms": "CAST(floor(epoch_us(t) / 1000.0) AS BIGINT)",
+                     "us": "epoch_us(t)",
+                     "ns": "epoch_us(t) * 1000"}[u]
+                sqls.append(f"{e} AS c{p}")
+            elif kind == "bounds":
+                if rng.random() < 0.5:
+                    named[f"c{p}"] = td.col("t").dt.month_start()
+                    sqls.append(f"CAST(date_trunc('month', t) AS DATE)"
+                                f" AS c{p}")
+                else:
+                    named[f"c{p}"] = td.col("t").dt.month_end()
+                    sqls.append(f"last_day(t) AS c{p}")
+            else:
+                meth, unit_us = rng.choice(sorted(TOTALS.items()))
+                diff = td.col("t") - td.col("t2")
+                named[f"c{p}"] = getattr(diff.dt, meth)()
+                # truncate-toward-zero division; micros diff < 2^53 so
+                # the double arithmetic is exact
+                sqls.append(
+                    f"CAST(trunc((epoch_us(t) - epoch_us(t2)) / "
+                    f"{unit_us}.0) AS BIGINT) AS c{p}")
+        got = tf.select(td.col("idx"), **named).to_spark().collect()
+        want = con.execute(
+            f"SELECT idx, {', '.join(sqls)} FROM fdt").fetchall()
+        _check(got, want, f"seed={seed} batch={base} sqls={sqls}")
+
+
 # --------------------------------- family E: all-null groups aggregates
 
 
