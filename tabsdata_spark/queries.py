@@ -1344,15 +1344,10 @@ _PRIORITY_R7 = [
 ]
 
 
-#: Round-9 driver window — exactly the 50-name list pre-staged in NOTES.md
-#: at the end of round 8: the final 11 never-driver-verified queries
-#: (sequential_obf_events ... wilson_ci_events) PLUS 39 re-checks of the
-#: OLDEST driver greens (every CORRECTNESS_r01 green that predates the
-#: strict dtype-aware harness, except q1_pricing_summary — entry()-smoke-
-#: checked every round — and udf_charge — a judge-audited headline query).
-#: After this window the never-verified pool is ZERO and every r01-era
-#: green has a row under the current strict compare; the frozen 357
-#: registry is fully driver-covered.
+#: Round-9 driver window (kept for the r9 guard test and NOTES lineage):
+#: the final 11 never-driver-verified queries plus 39 re-checks of the
+#: oldest (r01-era) driver greens.  After r9 the never-verified pool is
+#: ZERO and the frozen 357 registry is fully driver-covered.
 _PRIORITY_R9 = [
     "sequential_obf_events", "shard_rebalance_docs", "skyline_orders",
     "spearman_daily_events", "t_closeness_events", "tenure_hazard_events",
@@ -1371,8 +1366,35 @@ _PRIORITY_R9 = [
 ]
 
 
+#: Round-10 driver window — exactly the 50-name list pre-staged in
+#: NOTES.md at the end of round 9: the rolling re-verification frontier
+#: advances to the 50 OLDEST r2–r5-era greens (ordered by first-green
+#: round, then name) that were not re-checked in the r9 window.  Every
+#: registry row is already driver-green; this window keeps the oldest
+#: evidence current under the strict dtype-aware harness.
+_PRIORITY_R10 = [
+    "dedup_minhash_pairs", "dedup_simhash_pairs", "diff_lag",
+    "embed_lsh_topk", "embed_topk_numpy", "events_hourly", "grok_extract",
+    "json_extract",
+    "asof_join_events", "bm25_docs", "cast_ops", "connected_components_docs",
+    "connected_components_star_docs", "cube_rollup", "decontaminate_docs",
+    "doc_chunks", "dsir_select_docs", "gopher_rules_docs",
+    "grouping_sets_revenue", "hash_split_docs", "incremental_dedup_docs",
+    "kmeans_clusters_emb", "median_by_group", "mixture_sample_docs",
+    "ntile_customers", "pack_sequences", "pagerank_event_transitions",
+    "percentiles_events", "pii_redact", "pivot_lang_counts",
+    "q11_important_parts", "q13_customer_distribution", "q14_promo_revenue",
+    "q15_top_supplier", "q16_supplier_cnt", "q17_small_quantity",
+    "q18_large_volume", "q19_disjunctive", "q20_excess_shippers",
+    "q21_waiting_suppliers", "q22_idle_customers", "q2_min_cost_supplier",
+    "q4_order_priority", "q7_volume_shipping", "q8_market_share",
+    "q9_product_profit", "range_join_events", "repeated_spans_docs",
+    "semantic_dedup_keep", "session_window_native",
+]
+
+
 def _rotated(d: dict) -> dict:
-    out = {n: d[n] for n in _PRIORITY_R9 if n in d}
+    out = {n: d[n] for n in _PRIORITY_R10 if n in d}
     out.update((n, v) for n, v in d.items() if n not in out)
     return out
 

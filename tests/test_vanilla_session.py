@@ -107,40 +107,62 @@ def test_events_load_on_vanilla_session(vanilla, sf_dir):
     assert schema.get("ts", "").startswith("timestamp")
 
 
-def test_driver_window_covers_never_verified_queries():
-    """The driver snapshots queries()[0:50].  Guard the r9 rotation: the
-    window must be exactly _PRIORITY_R9 — the final 11 queries never
-    GREEN-verified by the driver in rounds 1-8, plus 39 re-checks that
-    must each be r1-era greens (rows that predate the strict dtype-aware
-    harness)."""
+def _driver_greens(rounds):
     import json
 
+    out = set()
+    for r in rounds:
+        for name, row in json.load(open(f"CORRECTNESS_r{r}.json")).items():
+            if row.get("rows_match") and row.get("schema_match") is not False \
+                    and row.get("hash_match") is not False:
+                out.add(name)
+    return out
+
+
+def test_driver_window_covers_never_verified_queries():
+    """Guard the r9 rotation lineage: _PRIORITY_R9 must remain the 11
+    never-driver-verified queries (through r8) plus 39 r1-era greens;
+    CORRECTNESS_r09 must show all 50 green (the window that closed the
+    never-verified pool)."""
+    from tabsdata_spark import queries as registry
+
+    window = registry._PRIORITY_R9
+    assert len(window) == 50
+    all_green_r8 = _driver_greens(("01", "02", "03", "04", "05", "06",
+                                   "07", "08"))
+    never = set(window[:11])
+    rechecks = set(window[11:])
+    assert never & all_green_r8 == set(), never & all_green_r8
+    assert rechecks <= _driver_greens(("01",))
+    # r9 verified the whole window green
+    assert set(window) <= _driver_greens(("09",))
+
+
+def test_driver_window_r10_is_oldest_unrechecked_greens():
+    """The driver snapshots queries()[0:50].  Guard the r10 rotation: the
+    window must be exactly _PRIORITY_R10 — the 50 oldest r2–r5-era greens
+    (by first-green round, then name) not re-checked in the r9 window —
+    advancing the rolling re-verification frontier."""
     from tabsdata_spark import queries as registry
 
     names = list(registry.queries())
     window = names[:50]
-    assert window == registry._PRIORITY_R9
+    assert window == registry._PRIORITY_R10
     assert len(window) == 50
     oracles = registry.oracle_sql()
     assert all(n in oracles for n in window)
 
-    def greens(rounds):
-        out = set()
-        for r in rounds:
-            for name, row in json.load(open(f"CORRECTNESS_r{r}.json")).items():
-                if row.get("rows_match") and row.get("schema_match") is not False \
-                        and row.get("hash_match") is not False:
-                    out.add(name)
-        return out
+    # every window name first went green in rounds 2-5 and was NOT part
+    # of the r9 window (i.e. not already re-checked under the strict
+    # harness)
+    r1 = _driver_greens(("01",))
+    r2_5 = _driver_greens(("02", "03", "04", "05"))
+    for n in window:
+        assert n in r2_5 and n not in r1, n
+        assert n not in registry._PRIORITY_R9, n
 
-    all_green = greens(("01", "02", "03", "04", "05", "06", "07", "08"))
-    never = set(window[:11])
-    rechecks = set(window[11:])
-    # the 11 close the never-driver-verified pool
-    assert never & all_green == set(), never & all_green
-    # the 39 are re-checks of r1-era greens under the strict harness
-    r1_green = greens(("01",))
-    assert rechecks <= r1_green, rechecks - r1_green
-    # together the window + all prior greens cover the whole registry
-    assert set(names) <= all_green | set(window), \
-        set(names) - all_green - set(window)
+    # cumulative coverage: every registry query is green in some prior
+    # round (the never-verified pool stays zero)
+    all_green = _driver_greens(
+        ("01", "02", "03", "04", "05", "06", "07", "08", "09"))
+    assert set(names) <= all_green, set(names) - all_green
