@@ -205,7 +205,11 @@ class ApiServer:
                 pass
 
             def _json_body(self) -> dict:
-                n = int(self.headers.get("Content-Length") or 0)
+                try:
+                    n = int(self.headers.get("Content-Length") or 0)
+                except ValueError:
+                    # a malformed header is the caller's mistake
+                    raise ApiError(400, "invalid Content-Length") from None
                 if not n:
                     return _Body()
                 try:
@@ -485,8 +489,17 @@ class ApiServer:
                     return {"name": name, "permissions": r.permissions(name)}
                 if method == "PUT":
                     # replace the grant set atomically (UPDATE_ROLE, :87)
+                    # — validate the NESTED structure at the parsing
+                    # boundary too: a non-list, a non-object item, or an
+                    # item without a known permission_type is the
+                    # caller's mistake (400), not a server bug (500)
                     wanted = body.get("permissions", [])
+                    if not isinstance(wanted, list):
+                        raise ApiError(400, "permissions must be a list")
                     for p in wanted:            # validate before mutating
+                        if not isinstance(p, dict):
+                            raise ApiError(
+                                400, "each permission must be an object")
                         if p.get("permission_type") not in PERMISSION_TYPES:
                             raise ApiError(
                                 400, f"unknown permission type "

@@ -165,8 +165,10 @@ class PubSubEngine:
                 outputs = outputs[:-1]
                 if not outputs:
                     # "no new data" run: publish nothing for EVERY output
-                    # table, not just single-output functions (reference
-                    # yields (None,) per table)
+                    # table.  The reference's update_initial_values yields
+                    # a single (None,) regardless of output-table count;
+                    # this generalizes that to one None per output table
+                    # so multi-output publishers are handled uniformly.
                     outputs = [None] * len(fn.output_tables)
             published: dict[str, str] = {}
             with self.store.transaction() as txn:

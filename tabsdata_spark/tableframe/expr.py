@@ -763,16 +763,32 @@ class ExprStringNameSpace:
 
     # replace (string.py:779-872)
     @staticmethod
-    def _replacement_to_java(value: str, literal: bool, shift: int = 0) -> str:
+    def _pattern_group_names(pattern: str) -> frozenset:
+        """Named capture groups a pattern defines ((?<n>..) / (?P<n>..)).
+        Java only accepts letter-initial letters+digits names, so any
+        pattern that compiles JVM-side has Java-expressible names only.
+        The scan is syntactic (it would also see a group inside an
+        escaped literal '\\(?<x>'), which errs toward treating a ref as a
+        real group — the same side Java's own compiler lands on."""
+        return frozenset(
+            _re.findall(r"\(\?P?<([A-Za-z][A-Za-z0-9]*)>", pattern))
+
+    @staticmethod
+    def _replacement_to_java(value: str, literal: bool, shift: int = 0,
+                             group_names: frozenset = frozenset()) -> str:
         """Polars (rust-regex) replacement -> Java replacement: keep $N /
         ${...} capture-group refs, turn $$ into a literal $, escape
         everything else.  Java's ${...} form only allows LETTER-initial
         group names, so the rust numeric brace form ${N} is rewritten to
-        $N.  Numeric refs are shifted by `shift` in this same pass (the
-        n-bounded replace() adds one prefix group) — escaped literals
-        like $$1 are parsed as literals first, so the shift can never
-        touch them.  literal=True patterns have no groups, so the value
-        is fully escaped (Polars uses plain substring replace)."""
+        $N.  Named refs — unbraced $name (longest [0-9A-Za-z_] run, rust
+        rule) or braced ${name} — expand via Java's ${name} when the
+        pattern defines the group, and expand to EMPTY (rust-regex
+        unknown-group semantics) otherwise; Java would throw on the
+        unknown name.  Numeric refs are shifted by `shift` in this same
+        pass (the n-bounded replace() adds one prefix group) — escaped
+        literals like $$1 are parsed as literals first, so the shift can
+        never touch them.  literal=True patterns have no groups, so the
+        value is fully escaped (Polars uses plain substring replace)."""
         if literal:
             return value.replace("\\", "\\\\").replace("$", "\\$")
         out, i = [], 0
@@ -810,20 +826,37 @@ class ExprStringNameSpace:
                             " replace_all()")
                     out.append(f"${num + shift}")
                     i = close
-                elif close != -1 and _re.fullmatch(
-                        r"[A-Za-z][A-Za-z0-9]*", name):
-                    out.append(f"${{{name}}}")
+                elif close != -1:
+                    # braced named ref: defined groups expand via Java's
+                    # ${name}; unknown groups expand to empty (rust-regex
+                    # semantics — Java would throw on the unknown name)
+                    if name in group_names:
+                        out.append(f"${{{name}}}")
                     i = close
                 else:
-                    # not a Java-expressible group ref: literal dollar
+                    # unclosed '${': rust-regex treats it as a literal
                     out.append("\\$")
+            elif ch == "$" and nxt.isascii() and (nxt.isalpha()
+                                                  or nxt == "_"):
+                # unbraced named ref: rust-regex reads the longest run of
+                # [0-9A-Za-z_] as the group name.  Defined groups rewrite
+                # to Java's braced ${name} form (always Java-expressible:
+                # the pattern compiled JVM-side); unknown groups expand
+                # to empty like rust-regex.
+                j = i + 1
+                while j < len(value) and (value[j].isascii()
+                                          and (value[j].isalnum()
+                                               or value[j] == "_")):
+                    j += 1
+                name = value[i + 1:j]
+                if name in group_names:
+                    out.append(f"${{{name}}}")
+                i = j - 1
             elif ch == "$":
                 # '$' followed by anything that cannot start a group ref
-                # (letter, space, punctuation, or end-of-string): Java
-                # regexp_replace throws INVALID_REGEXP_REPLACE on a bare
-                # '$', so escape it to a literal dollar.  (Deviation from
-                # rust-regex, which reads an unbraced $name as a named
-                # group ref; the braced ${name} form is supported above.)
+                # (space, punctuation, or end-of-string): rust-regex
+                # keeps it literal, and Java regexp_replace throws
+                # INVALID_REGEXP_REPLACE on a bare '$', so escape it.
                 out.append("\\$")
             else:
                 out.append(ch)
@@ -837,7 +870,9 @@ class ExprStringNameSpace:
         # the ^((?s).*?) prefix group shifts user group refs by one:
         # $1 -> $2 etc.  Shifting happens inside the conversion pass so
         # an escaped literal ($$1) is never rewritten.
-        shifted = self._replacement_to_java(value, literal, shift=1)
+        shifted = self._replacement_to_java(
+            value, literal, shift=1,
+            group_names=self._pattern_group_names(pat))
         out = self._c
         for _ in range(n):
             out = F.regexp_replace(out, f"^((?s).*?)(?:{pat})", f"$1{shifted}")
@@ -845,7 +880,8 @@ class ExprStringNameSpace:
 
     def replace_all(self, pattern: str, value: str, literal: bool = False):
         pat = _regex_quote(pattern) if literal else pattern
-        val = self._replacement_to_java(value, literal)
+        val = self._replacement_to_java(
+            value, literal, group_names=self._pattern_group_names(pat))
         return self._new(F.regexp_replace(self._c, pat, val))
 
     def reverse(self):

@@ -893,3 +893,48 @@ def test_builtin_exceptions_are_server_faults_not_400(served):
         assert b"trace" in body
     finally:
         type(server)._route = orig
+
+
+def test_put_role_permissions_nested_validation(served):
+    """r9 ADVICE regression: nested caller mistakes in PUT /roles/{name}
+    must return 400 at the parsing boundary, not a 500+trace — a non-list
+    `permissions`, a non-object item, and an unknown permission_type are
+    all the caller's errors."""
+    _, client, _ = served
+    client.create_role("temp-perms")
+    for bad in ({"permissions": "cr"},
+                {"permissions": ["cr"]},
+                {"permissions": [{}]},
+                {"permissions": [{"permission_type": "nope"}]}):
+        with pytest.raises(ApiError) as ei:
+            client._put("roles/temp-perms", **bad)
+        assert ei.value.status == 400, (bad, ei.value.status)
+    # a valid replacement still works after the rejected attempts
+    client._put("roles/temp-perms",
+                permissions=[{"permission_type": "cr", "entity": "sales"}])
+    assert client.role_permissions("temp-perms") == [
+        {"permission_type": "cr", "entity": "sales"}]
+    client.delete_role("temp-perms")
+
+
+def test_malformed_content_length_is_400(served):
+    """r9 ADVICE regression: a malformed Content-Length header surfaces as
+    400 'invalid Content-Length', not a ValueError-driven 500+trace."""
+    import http.client
+    import json as _json
+
+    from urllib.parse import urlsplit
+
+    server, _, _ = served
+    parts = urlsplit(server.base_url)
+    conn = http.client.HTTPConnection(parts.netloc, timeout=10)
+    try:
+        conn.putrequest("POST", parts.path.rstrip("/") + "/auth/login")
+        conn.putheader("Content-Length", "notanumber")
+        conn.endheaders()
+        resp = conn.getresponse()
+        body = _json.loads(resp.read())
+        assert resp.status == 400, (resp.status, body)
+        assert "Content-Length" in body["error"]
+    finally:
+        conn.close()

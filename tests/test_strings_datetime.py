@@ -331,10 +331,11 @@ def test_replace_capture_group_refs(spark):
 
 
 def test_replace_lone_dollar_is_literal(spark):
-    """r8 ADVICE regression: a '$' NOT followed by a digit, '{', or '$'
-    (letter, space, punctuation, or end-of-string) must become a literal
-    dollar in the Java replacement — Java regexp_replace throws
-    INVALID_REGEXP_REPLACE on a bare '$'."""
+    """r8 ADVICE regression: a '$' NOT followed by a group ref (space,
+    punctuation, or end-of-string) must become a literal dollar in the
+    Java replacement — Java regexp_replace throws INVALID_REGEXP_REPLACE
+    on a bare '$'.  A '$name' whose name the pattern does NOT define
+    expands to EMPTY, rust-regex's unknown-group rule (r9 ADVICE)."""
     tf = td.TableFrame.from_dict(spark, {"s": ["a-b-c"]})
     d = sel(tf,
             end=td.col("s").str.replace_all("-", "US$"),
@@ -343,8 +344,30 @@ def test_replace_lone_dollar_is_literal(spark):
             mix=td.col("s").str.replace_all(r"(\w)", "$1$"))
     assert d["end"] == ["aUS$bUS$c"]
     assert d["mid"] == ["$ x-b-c"]
-    assert d["word"] == ["a$xb$xc"]
+    assert d["word"] == ["abc"]  # unknown group 'x' -> empty expansion
     assert d["mix"] == ["a$-b$-c$"]
+
+
+def test_replace_unbraced_named_group_ref(spark):
+    """r9 ADVICE regression: an unbraced $name ref to a group the pattern
+    DEFINES must expand the named capture (rust-regex reads the longest
+    [0-9A-Za-z_] run as the name; Java needs the braced ${name} form).
+    Unknown names — including ones Java could never express, like a
+    '_'-containing run that swallows trailing literal text — expand to
+    empty, matching rust-regex."""
+    tf = td.TableFrame.from_dict(spark, {"s": ["ab12cd", "x7y"]})
+    d = sel(tf,
+            nm=td.col("s").str.replace_all(r"(?<y>\d+)", "<$y>"),
+            one=td.col("s").str.replace(r"(?<y>\d+)", "[$y]"),
+            # '$y_z' parses as name 'y_z' (longest word run), which the
+            # pattern does not define -> empty, 'swallowing' the _z text
+            unk=td.col("s").str.replace_all(r"(?<y>\d+)", "$y_z!"),
+            # braced ref to an unknown name -> empty as well
+            bunk=td.col("s").str.replace_all(r"(?<y>\d+)", "${nope}!"))
+    assert d["nm"] == ["ab<12>cd", "x<7>y"]
+    assert d["one"] == ["ab[12]cd", "x[7]y"]
+    assert d["unk"] == ["ab!cd", "x!y"]
+    assert d["bunk"] == ["ab!cd", "x!y"]
 
 
 def test_strip_end_before_final_newline(spark):
