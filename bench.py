@@ -349,6 +349,28 @@ def main():
         probe_times.append(time.perf_counter() - t0)
     calibration = round(sorted(probe_times)[1], 3)
 
+    # Concurrent-stream calibration (r9 verdict): the single-stream probe
+    # misses multi-core contention — r9's driver bench read headline
+    # 14.4s at calibration 0.671 (LOW) because other tenants held cores
+    # the probe never asked for.  Running the SAME scan-agg 4-wide from
+    # four threads (one Spark session, concurrent jobs) measures how much
+    # parallel capacity the box actually has: on an idle box the 4-wide
+    # wall-clock is ~1-2x the single-stream time; on a contended box it
+    # degrades far more.  Median of three rounds, one untimed warm.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _probe_mt():
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            list(ex.map(lambda _i: _probe(), range(4)))
+
+    _probe_mt()
+    mt_times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _probe_mt()
+        mt_times.append(time.perf_counter() - t0)
+    calibration_mt = round(sorted(mt_times)[1], 3)
+
     # Warm-up pass: run every headline query once untimed.  First execution
     # pays one-time costs that are not query work — JVM JIT + whole-stage
     # codegen compilation, parquet footer reads, and Python-worker process
@@ -449,6 +471,7 @@ def main():
                          for k, v in group_queries.items()},
         "groups_file": groups_file,
         "calibration": calibration,
+        "calibration_mt": calibration_mt,
         "sf": sf,
         "queries": timings,
         "metric": "headline_queries_total",
