@@ -64,8 +64,11 @@ class CSVFormat(FileFormat):
         }
         # only force lineSep when the user set a non-default eol: Spark's
         # default line splitting tolerates \n, \r\n and \r, and an explicit
-        # lineSep="\n" would leave \r in the last column of CRLF files
-        if self.eol_char != "\n":
+        # lineSep="\n" would leave \r in the last column of CRLF files.
+        # "\r\n" is likewise covered by the default splitting (and Spark's
+        # CSV lineSep is limited to ONE character, so it cannot be set
+        # explicitly anyway).
+        if self.eol_char not in ("\n", "\r\n"):
             opts["lineSep"] = self.eol_char
         if self.null_values:
             opts["nullValue"] = self.null_values[0]
@@ -74,11 +77,30 @@ class CSVFormat(FileFormat):
         return opts
 
     def writer_options(self) -> dict[str, str]:
-        return {
+        opts = {
             "sep": self.separator,
             "quote": self.quote_char,
             "header": str(self.has_header).lower(),
+            # fuzzer-found (r10, seed 20260912): Spark's CSV WRITER trims
+            # leading/trailing whitespace by default (both ignore*WhiteSpace
+            # write options default true, unlike the read side), silently
+            # corrupting whitespace-padded fields on a write->read
+            # round-trip.  Polars write_csv preserves them — so do we.
+            "ignoreLeadingWhiteSpace": "false",
+            "ignoreTrailingWhiteSpace": "false",
         }
+        # a custom eol was previously IGNORED on write (files came out
+        # '\n'-separated while the paired reader expected the custom eol).
+        # Spark's CSV lineSep is one character on both sides; "\r\n" output
+        # is not expressible, so reject it rather than silently write '\n'.
+        if self.eol_char != "\n":
+            if len(self.eol_char) > 1:
+                raise ValueError(
+                    "Spark CSV writes 1-character line separators; "
+                    f"cannot write eol_char={self.eol_char!r} (reading "
+                    "CRLF files works via the default line splitting)")
+            opts["lineSep"] = self.eol_char
+        return opts
 
 
 @dataclass

@@ -831,3 +831,47 @@ def test_last_modified_rejects_naive_and_bad_iso(tmp_path):
     LocalFileSource(str(tmp_path / "*.csv"),
                     initial_last_modified=dt.datetime(
                         2024, 1, 1, tzinfo=dt.timezone.utc))
+
+
+def test_csv_write_preserves_whitespace(spark, tmp_path):
+    """Fuzzer-found (r10, seed 20260912): Spark's CSV WRITER trims
+    leading/trailing whitespace by default (the write-side
+    ignore*WhiteSpace options default true, unlike the read side), so
+    '  spaced  ' came back 'spaced' after a write->read round-trip.
+    Polars write_csv preserves padding — writer_options must disable the
+    trim."""
+    from tabsdata_spark.io.file_io import LocalFileDestination, LocalFileSource
+
+    tf = td.TableFrame.from_dict(spark, {"s": ["  spaced  ", "x", "\ttab"]})
+    dest = str(tmp_path / "ws.csv")
+    LocalFileDestination(dest, format="csv").save(tf.to_spark())
+    back, _ = LocalFileSource(dest, format="csv").load(spark)
+    assert sorted(r["s"] for r in back.collect()) == \
+        sorted(["  spaced  ", "x", "\ttab"])
+
+
+def test_csv_custom_eol_write_read_roundtrip(spark, tmp_path):
+    """Fuzzer-found (r10): a custom single-char eol_char was IGNORED on
+    write (files came out newline-separated while the paired reader
+    expected the custom eol).  '\\r' must round-trip; '\\r\\n' output is
+    not expressible in Spark's 1-char CSV lineSep and must raise instead
+    of silently writing '\\n'."""
+    import pytest
+
+    from tabsdata_spark.io.file_io import LocalFileDestination, LocalFileSource
+
+    fmt = td.CSVFormat(eol_char="\r")
+    tf = td.TableFrame.from_dict(spark, {"a": [1, 2, 3], "s": ["x", "y", "z"]})
+    dest = str(tmp_path / "cr.csv")
+    LocalFileDestination(dest, format=fmt).save(tf.to_spark())
+    back, _ = LocalFileSource(dest, format=fmt).load(spark)
+    assert sorted((r["a"], r["s"]) for r in back.collect()) == \
+        [(1, "x"), (2, "y"), (3, "z")]
+
+    with pytest.raises(ValueError, match="1-character"):
+        td.CSVFormat(eol_char="\r\n").writer_options()
+    # reading CRLF files keeps working via Spark's default line splitting
+    p = tmp_path / "crlf.csv"
+    p.write_bytes(b"a,s\r\n1,x\r\n2,y\r\n")
+    got, _ = LocalFileSource(str(p), format=td.CSVFormat(eol_char="\r\n")).load(spark)
+    assert sorted((r["a"], r["s"]) for r in got.collect()) == [(1, "x"), (2, "y")]
