@@ -23,7 +23,81 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
 
-from .formats import AvroFormat, FileFormat, LogFormat, format_for
+from .formats import (AvroFormat, FileFormat, LogFormat, NDJSONFormat,
+                      format_for)
+
+
+def _null_non_finite(col, dtype):
+    """JSON has no NaN/Infinity token: Spark's writer emits them as the
+    STRINGS "NaN"/"Infinity", which silently corrupts the column to
+    string on schema-inferred re-read.  The reference's Polars ndjson
+    writer serializes non-finite floats as null (serde JSON), keeping
+    the column numeric — match that.  Rewrites nested floats too
+    (arrays / structs / map values)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, (T.DoubleType, T.FloatType)):
+        return F.when(F.isnan(col) | col.isin(float("inf"), float("-inf")),
+                      F.lit(None)).otherwise(col)
+    if isinstance(dtype, T.ArrayType):
+        return F.transform(col, lambda x: _null_non_finite(x, dtype.elementType))
+    if isinstance(dtype, T.MapType):
+        return F.transform_values(
+            col, lambda _, v: _null_non_finite(v, dtype.valueType))
+    if isinstance(dtype, T.StructType):
+        rebuilt = F.struct(*[
+            _null_non_finite(col.getField(f.name), f.dataType).alias(f.name)
+            for f in dtype.fields])
+        # a null struct must stay null, not become a struct of nulls
+        return F.when(col.isNull(), F.lit(None)).otherwise(rebuilt)
+    return col
+
+
+def _has_float(dtype) -> bool:
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, (T.DoubleType, T.FloatType)):
+        return True
+    if isinstance(dtype, T.ArrayType):
+        return _has_float(dtype.elementType)
+    if isinstance(dtype, T.MapType):
+        return _has_float(dtype.valueType)
+    if isinstance(dtype, T.StructType):
+        return any(_has_float(f.dataType) for f in dtype.fields)
+    return False
+
+
+def _ndjson_key_order(paths: list[str]) -> list[str]:
+    """Top-level key order of the first non-empty line of the first
+    readable local file.  Spark's JSON schema inference SORTS field names
+    alphabetically, losing the column order the frame was written with;
+    Polars' read_ndjson preserves first-seen key order, and the loader
+    restores it from this peek.  Best-effort: unreadable / non-local /
+    non-object input returns [] and the Spark order stands."""
+    import json as _json
+
+    for p in sorted(paths):
+        candidates = sorted(_glob.glob(p)) if any(ch in p for ch in "*?[") \
+            else [p]
+        for c in candidates:
+            if os.path.isdir(c):
+                candidates.extend(
+                    sorted(_glob.glob(os.path.join(c, "part-*"))))
+                continue
+            try:
+                with open(c, encoding="utf-8") as fh:
+                    for line in fh:
+                        line = line.strip()
+                        if not line:
+                            continue
+                        pairs = _json.loads(
+                            line, object_pairs_hook=lambda kv: kv)
+                        if isinstance(pairs, list):
+                            return [k for k, _ in pairs]
+                        return []
+            except (OSError, ValueError):
+                continue
+    return []
 
 
 _AVRO_PROBE_CACHE: dict[int, bool] = {}
@@ -182,6 +256,11 @@ class FileSource:
             df = reader.load(paths)
         if isinstance(fmt, LogFormat):
             df = df.withColumnRenamed("value", "log")
+        if isinstance(fmt, NDJSONFormat) and self.scheme in ("", "file"):
+            order = _ndjson_key_order(paths or self._paths())
+            if order and set(order) <= set(df.columns):
+                df = df.select(
+                    *order, *[c for c in df.columns if c not in order])
         return df, new_offset
 
     def _filtered_paths(self) -> tuple[list[str], str | None]:
@@ -271,6 +350,13 @@ class FileDestination:
         if isinstance(fmt, LogFormat):
             cols = df.columns
             out = df.select(F.col(cols[0]).cast("string").alias("value"))
+        if isinstance(fmt, NDJSONFormat):
+            # see _null_non_finite: Polars-parity NaN/Inf -> null
+            floats = [f for f in out.schema.fields if _has_float(f.dataType)]
+            if floats:
+                out = out.withColumns({
+                    f.name: _null_non_finite(F.col(f.name), f.dataType)
+                    for f in floats})
         if self.single_file:
             out = out.coalesce(1)
         if isinstance(fmt, AvroFormat) and \

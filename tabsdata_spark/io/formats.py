@@ -105,9 +105,21 @@ class CSVFormat(FileFormat):
 
 @dataclass
 class NDJSONFormat(FileFormat):
-    """newline-delimited JSON -> Spark 'json' (lines mode is the default)."""
+    """newline-delimited JSON -> Spark 'json' (lines mode is the default).
+
+    Write-side contract follows the reference's Polars-backed ndjson
+    (file_outputs.py delegates to polars write_ndjson): null fields are
+    serialized explicitly (`{"a":null}`) rather than omitted, so
+    partially- and even fully-null columns survive a round-trip — with
+    Spark's default ignoreNullFields=true an all-null column vanishes
+    from the file and therefore from the re-read schema.  (Non-finite
+    doubles are nulled in FileDestination.save — JSON has no NaN/Inf
+    token; see the note there.)"""
 
     name = "json"
+
+    def writer_options(self) -> dict[str, str]:
+        return {"ignoreNullFields": "false"}
 
 
 @dataclass

@@ -333,3 +333,87 @@ def test_fuzz_csv_roundtrip(spark, seed, tmp_path):
             # no schema inference: everything reads back as strings
             want = [(str(a), b, str(c)) for a, b, c in rows]
         _check(got, want, ctx)
+
+
+# ------------------------------------- family D: NDJSON round-trips
+
+_NDJ_STR_POOL = [
+    "plain", "", "x\ny", 'q"uo', "tab\there", "back\\slash",
+    "üñíçødé ✓", "{\"looks\":\"json\"}", " padded ", "0", "-7.5",
+]
+
+
+def _ndj_clean(v):
+    """Expected read-back value: non-finite floats null out on write
+    (JSON has no NaN/Inf token; Polars serializes them as null)."""
+    if isinstance(v, float) and not math.isfinite(v):
+        return None
+    if isinstance(v, list):
+        return [_ndj_clean(x) for x in v]
+    if isinstance(v, tuple):
+        return tuple(_ndj_clean(x) for x in v)
+    return v
+
+
+@pytest.mark.parametrize("seed", [20260913])
+def test_fuzz_ndjson_roundtrip(spark, seed, tmp_path):
+    """Random schemas (ints, non-finite-bearing doubles, gnarly strings,
+    booleans, double arrays, structs, an always-null column) through
+    LocalFileDestination.save -> LocalFileSource.load.  Pinned contract
+    (Polars write_ndjson/read_ndjson parity): null fields serialize
+    explicitly so all-null columns SURVIVE (re-inferred as string);
+    NaN/Inf -> null keeping the column double; the written column order
+    is restored on read (Spark's JSON inference alone sorts names)."""
+    from tabsdata_spark.io.file_io import (LocalFileDestination,
+                                           LocalFileSource)
+
+    kinds = {
+        "int": ("bigint", lambda r: r.choice(_I_POOL)),
+        "dbl": ("double", lambda r: r.choice(_D_POOL)),
+        "str": ("string", lambda r: r.choice([None] + _NDJ_STR_POOL)),
+        "bool": ("boolean", lambda r: r.choice([None, True, False])),
+        "arr": ("array<double>",
+                lambda r: r.choice([None, []]) if r.random() < 0.3
+                else [r.choice(_D_POOL) for _ in range(r.randint(1, 4))]),
+        "st": ("struct<p:double,q:string>",
+               lambda r: None if r.random() < 0.25
+               else (r.choice(_D_POOL), r.choice([None, "s", "t\nv"]))),
+        "allnull": ("string", lambda r: None),
+    }
+    anchors = {
+        "int": 1, "dbl": 1.5, "str": "plain", "bool": True,
+        "arr": [1.0, 2.5], "st": (3.5, "anchor"), "allnull": None,
+    }
+    rng = random.Random(seed)
+    for prog in range(100):
+        k = rng.randint(1, 6)
+        cols = [rng.choice(sorted(kinds)) for _ in range(k)]
+        names = [f"c{j}_{cols[j]}" for j in range(k)]
+        ddl = ", ".join(f"{nm} {kinds[cd][0]}"
+                        for nm, cd in zip(names, cols))
+        n = rng.randint(1, 25)
+        rows = [tuple(kinds[cd][1](rng) for cd in cols) for _ in range(n)]
+        # anchor row 0 fully finite/non-null so every column's inferred
+        # dtype is deterministic (an all-null double column legitimately
+        # re-infers as string — that contract is pinned by 'allnull')
+        rows[0] = tuple(anchors[cd] for cd in cols)
+        df = spark.createDataFrame(rows, ddl)
+        dest = str(tmp_path / f"ndj_{prog}.ndjson")
+        LocalFileDestination(dest, format="ndjson").save(df)
+        back, _ = LocalFileSource(dest, format="ndjson").load(spark)
+        ctx = f"seed={seed} prog={prog} cols={list(zip(names, cols))}"
+        assert back.columns == names, \
+            f"{ctx}: column order {back.columns} != written {names}"
+        for j, cd in enumerate(cols):
+            want_t = "string" if cd == "allnull" else kinds[cd][0]
+            got_t = back.schema[j].dataType.simpleString()
+            assert got_t == want_t, \
+                f"{ctx}: col {names[j]} dtype {got_t} != {want_t}"
+        # containers -> repr strings: _canon's sort key cannot order
+        # lists that mix None and floats across rows
+        flat = lambda x: (repr([_ndj_clean(e) for e in x])
+                          if isinstance(x, (list, tuple)) else x)
+        got = [tuple(flat(tuple(x) if hasattr(x, "asDict") else x)
+                     for x in r) for r in back.collect()]
+        want = [tuple(flat(_ndj_clean(v)) for v in row) for row in rows]
+        _check(got, want, ctx)

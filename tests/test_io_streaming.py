@@ -875,3 +875,74 @@ def test_csv_custom_eol_write_read_roundtrip(spark, tmp_path):
     p.write_bytes(b"a,s\r\n1,x\r\n2,y\r\n")
     got, _ = LocalFileSource(str(p), format=td.CSVFormat(eol_char="\r\n")).load(spark)
     assert sorted((r["a"], r["s"]) for r in got.collect()) == [(1, "x"), (2, "y")]
+
+
+# --------------------------- NDJSON Polars-parity round-trip contract
+
+
+def test_ndjson_all_null_column_survives(spark, tmp_path):
+    """Polars write_ndjson serializes null fields explicitly, so an
+    all-null column must survive a round-trip (Spark's default
+    ignoreNullFields=true drops it from the file and the re-read
+    schema).  Re-inferred dtype for an all-null JSON field is string."""
+    df = spark.createDataFrame([(1, None), (2, None)],
+                               "k bigint, gone string")
+    out = str(tmp_path / "nulls.ndjson")
+    LocalFileDestination(out, format="ndjson").save(df)
+    back, _ = LocalFileSource(out, format="ndjson").load(spark)
+    assert back.columns == ["k", "gone"]
+    assert back.schema["gone"].dataType.simpleString() == "string"
+    assert [r.gone for r in back.collect()] == [None, None]
+
+
+def test_ndjson_non_finite_doubles_null_keep_dtype(spark, tmp_path):
+    """JSON has no NaN/Infinity token; Spark's writer would emit the
+    STRINGS "NaN"/"Infinity" and corrupt the column to string on
+    re-read.  Polars serializes non-finite floats as null — match it,
+    including inside arrays and structs; a null struct stays null."""
+    df = spark.createDataFrame(
+        [(1, float("nan"), [1.0, float("inf")], (float("-inf"), "a")),
+         (2, 2.5, None, None),
+         (3, 0.5, [2.0], (7.5, "b"))],
+        "k bigint, d double, arr array<double>, st struct<p:double,q:string>")
+    out = str(tmp_path / "nonfinite.ndjson")
+    LocalFileDestination(out, format="ndjson").save(df)
+    back, _ = LocalFileSource(out, format="ndjson").load(spark)
+    assert back.schema["d"].dataType.simpleString() == "double"
+    assert back.schema["arr"].dataType.simpleString() == "array<double>"
+    assert back.schema["st"].dataType.simpleString() == \
+        "struct<p:double,q:string>"
+    rows = {r.k: r for r in back.collect()}
+    assert rows[1].d is None and rows[2].d == 2.5
+    assert rows[1].arr == [1.0, None]
+    assert rows[1].st.p is None and rows[1].st.q == "a"
+    assert rows[2].arr is None and rows[2].st is None
+
+
+def test_ndjson_column_order_preserved(spark, tmp_path):
+    """Spark's JSON schema inference sorts field names alphabetically;
+    Polars read_ndjson keeps first-seen key order.  The loader restores
+    the written order from the first data line."""
+    df = spark.createDataFrame([(1, "x", 2.5)], "zz bigint, mm string, aa double")
+    out = str(tmp_path / "order.ndjson")
+    LocalFileDestination(out, format="ndjson").save(df)
+    back, _ = LocalFileSource(out, format="ndjson").load(spark)
+    assert back.columns == ["zz", "mm", "aa"]
+
+
+def test_ndjson_temporal_reads_back_as_string(spark, tmp_path):
+    """Dates/timestamps serialize as ISO strings and — like Polars
+    read_ndjson, which does no datetime inference — read back as
+    string columns whose values still parse to the original instants."""
+    df = spark.createDataFrame(
+        [(dt.date(2026, 3, 2), dt.datetime(2026, 3, 2, 4, 5, 6))],
+        "d date, ts timestamp")
+    out = str(tmp_path / "temporal.ndjson")
+    LocalFileDestination(out, format="ndjson").save(df)
+    back, _ = LocalFileSource(out, format="ndjson").load(spark)
+    assert [f.dataType.simpleString() for f in back.schema.fields] == \
+        ["string", "string"]
+    r = back.select(F.to_date("d").alias("d"),
+                    F.to_timestamp("ts").alias("ts")).first()
+    assert r.d == dt.date(2026, 3, 2)
+    assert r.ts == dt.datetime(2026, 3, 2, 4, 5, 6)
