@@ -131,6 +131,23 @@ class _Body(dict):
         except KeyError:
             raise ApiError(400, f"missing body field {key!r}") from None
 
+    _REQUIRED = object()
+
+    def str_field(self, key, default=_REQUIRED):
+        """String-typed field, validated at the parsing boundary: a
+        non-string value (a nested object for 'name', a numeric
+        'password', ...) is the caller's mistake and must 400 — fed
+        onward it turns into an unhashable-dict lookup or a failed
+        .encode() and surfaces as a 500+trace."""
+        if key not in self:
+            if default is _Body._REQUIRED:
+                raise ApiError(400, f"missing body field {key!r}")
+            return default
+        v = super().__getitem__(key)
+        if not isinstance(v, str):
+            raise ApiError(400, f"body field {key!r} must be a string")
+        return v
+
 
 def _int_param(query: dict, name: str, default: int) -> int:
     val = query.get(name)
@@ -275,6 +292,12 @@ class ApiServer:
             def do_PUT(self):
                 self._handle("PUT")
 
+            def do_PATCH(self):
+                # routed like the other mutating verbs (the body parser
+                # already covers PATCH): an unmatched route 404s instead
+                # of http.server's protocol-level 501
+                self._handle("PATCH")
+
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         # TLS (reference: the apiserver serves HTTPS with a provided cert,
         # rest_urls/mod.rs:56): wrap the listening socket; clients verify
@@ -394,8 +417,8 @@ class ApiServer:
         sub = parts[1] if len(parts) > 1 else ""
         if method == "POST" and sub == "login":
             try:
-                return self.auth.login(body.get("name", ""),
-                                       body.get("password", ""))
+                return self.auth.login(body.str_field("name", ""),
+                                       body.str_field("password", ""))
             except AuthError:
                 raise ApiError(401, "invalid credentials") from None
         if method == "POST" and sub == "refresh":
@@ -408,15 +431,15 @@ class ApiServer:
                     "exp": user["exp"]}
         if method == "POST" and sub == "password_change":
             if not self.auth.check_password(user["user"],
-                                            body.get("old_password", "")):
+                                            body.str_field("old_password", "")):
                 raise ApiError(403, "old password does not match")
-            self.auth.add_user(user["user"], body["new_password"],
+            self.auth.add_user(user["user"], body.str_field("new_password"),
                                role=user["role"])
             return {"ok": True}
         if method == "POST" and sub == "role_change":
             # assume another role (AUTH_ROLE_CHANGE, :51): only the base
             # role or a role the user is a member of
-            want = body.get("role", "")
+            want = body.str_field("role", "")
             name = user["user"]
             if want != self.auth._roles.get(name) and \
                     name not in self.roles._members.get(want, set()):
@@ -435,10 +458,11 @@ class ApiServer:
         if method != "GET":
             self._require_security(user)
         if method == "POST" and len(parts) == 1:
-            if body["name"] in self.auth._users:
-                raise ApiError(409, f"user {body['name']} exists")
-            self.auth.add_user(body["name"], body["password"],
-                               role=body.get("role", "user"))
+            name = body.str_field("name")
+            if name in self.auth._users:
+                raise ApiError(409, f"user {name} exists")
+            self.auth.add_user(name, body.str_field("password"),
+                               role=body.str_field("role", "user"))
             return {"ok": True}
         if method == "GET" and len(parts) == 2:
             name = parts[1]
@@ -452,9 +476,9 @@ class ApiServer:
                 raise ApiError(404, f"unknown user {name}")
             if method == "PUT":
                 # update password and/or role (reference USER_UPDATE)
-                role = body.get("role", self.auth._roles.get(name, "user"))
+                role = body.str_field("role", self.auth._roles.get(name, "user"))
                 if "password" in body:
-                    self.auth.add_user(name, body["password"], role=role)
+                    self.auth.add_user(name, body.str_field("password"), role=role)
                 else:
                     self.auth._roles[name] = role
                 return {"ok": True}
@@ -479,7 +503,7 @@ class ApiServer:
             if method == "GET":
                 return r.list_roles()
             if method == "POST":
-                r.create_role(body["name"])
+                r.create_role(body.str_field("name"))
                 return {"ok": True, "name": body["name"]}
         name = parts[1]
         sub = parts[2] if len(parts) > 2 else ""
@@ -517,19 +541,19 @@ class ApiServer:
                 if method == "GET":
                     return r.permissions(name)
                 if method == "POST":
-                    r.grant(name, body["permission_type"],
-                            body.get("entity", "*"))
+                    r.grant(name, body.str_field("permission_type"),
+                            body.str_field("entity", "*"))
                     return {"ok": True}
                 if method == "DELETE":
                     r.revoke(name, parts[3] if len(parts) > 3
-                             else body.get("permission_type", ""),
-                             body.get("entity", "*"))
+                             else body.str_field("permission_type", ""),
+                             body.str_field("entity", "*"))
                     return {"ok": True}
             if sub == "users":
                 if method == "GET":
                     return r.users(name)
                 if method == "POST":
-                    r.add_user(name, body["user"])
+                    r.add_user(name, body.str_field("user"))
                     return {"ok": True}
                 if method == "DELETE" and len(parts) > 3:
                     r.remove_user(name, parts[3])
@@ -549,7 +573,7 @@ class ApiServer:
                 # collection creation is an admin operation (reference
                 # authz: CollAdmin/SysAdmin create collections)
                 self._require_security(user)
-                meta.ensure_collection(body["name"])
+                meta.ensure_collection(body.str_field("name"))
                 return {"ok": True, "name": body["name"]}
         collection = parts[1]
         if len(parts) == 2:
@@ -565,7 +589,7 @@ class ApiServer:
                 # absolute so data keeps reading under the new name
                 self._require_security(user, collection)
                 try:
-                    meta.rename_collection(collection, body["name"])
+                    meta.rename_collection(collection, body.str_field("name"))
                 except VersionResolutionError as e:
                     raise ApiError(409, str(e)) from None
                 # role grants scoped to the old name follow the rename —
@@ -609,10 +633,10 @@ class ApiServer:
             return meta.list_inter(collection)
         self._require_security(user, collection)
         if method == "POST" and not rest:
-            meta.grant_inter(collection, body["to_collection"])
+            meta.grant_inter(collection, body.str_field("to_collection"))
             return {"ok": True}
         if method == "DELETE":
-            to = rest[0] if rest else body.get("to_collection", "")
+            to = rest[0] if rest else body.str_field("to_collection", "")
             if not to:
                 raise ApiError(400, "to_collection required")
             meta.revoke_inter(collection, to)

@@ -938,3 +938,90 @@ def test_malformed_content_length_is_400(served):
         assert "Content-Length" in body["error"]
     finally:
         conn.close()
+
+
+# ------------------------------------------------ malformed-body robustness
+
+
+def _raw_request(base_url, method, path, body: bytes, token=None,
+                 content_length=None):
+    """requests with arbitrary (possibly non-JSON) bodies and headers the
+    typed ApiClient cannot produce; returns the HTTP status."""
+    import http.client
+    from urllib.parse import urlparse
+
+    u = urlparse(base_url)
+    conn = http.client.HTTPConnection(u.hostname, u.port, timeout=30)
+    try:
+        headers = {"Content-Type": "application/json"}
+        if token:
+            headers["Authorization"] = f"Bearer {token}"
+        if content_length is not None:
+            headers["Content-Length"] = content_length
+            conn.putrequest(method, path, skip_host=False,
+                            skip_accept_encoding=True)
+            for k, v in headers.items():
+                conn.putheader(k, v)
+            conn.endheaders()
+            conn.send(body)
+        else:
+            conn.request(method, path, body=body, headers=headers)
+        return conn.getresponse().status
+    finally:
+        conn.close()
+
+
+def test_malformed_bodies_never_500(served):
+    """Caller mistakes — unparseable JSON, non-object bodies, nested
+    garbage where typed structures are expected, unknown routes — must
+    map to 4xx at the parsing boundary, never to 500+trace (reference
+    apiserver status discipline; r9 ADVICE findings 2-3)."""
+    server, client, _ = served
+    tok = client._token
+    paths = [
+        ("POST", "/api/v1/auth/login"),
+        ("POST", "/api/v1/auth/password_change"),
+        ("POST", "/api/v1/auth/role_change"),
+        ("POST", "/api/v1/users"),
+        ("PUT", "/api/v1/users/admin"),
+        ("POST", "/api/v1/roles"),
+        ("PUT", "/api/v1/roles/admin"),
+        ("DELETE", "/api/v1/roles/admin"),
+        ("POST", "/api/v1/collections"),
+        ("PUT", "/api/v1/collections/sales"),
+        ("POST", "/api/v1/collections/sales/functions"),
+        ("PUT", "/api/v1/collections/sales/functions/pub"),
+        ("POST", "/api/v1/collections/sales/functions/pub/execute"),
+        ("POST", "/api/v1/transactions"),
+        ("POST", "/api/v1/nosuch"),
+        ("PATCH", "/api/v1/users"),
+    ]
+    bodies = [
+        b"{not json",
+        b"[]",
+        b'"just a string"',
+        b"null",
+        b"123",
+        b"{}",
+        b'{"permissions": [{}]}',
+        b'{"permissions": "sys_admin"}',
+        b'{"permissions": [{"permission_type": "nope"}]}',
+        b'{"name": null}',
+        b'{"name": {"nested": ["garbage", {}]}}',
+        b'{"password": 12345, "name": []}',
+        '{"name": "üñí"}'.encode(),
+        b'{"roles": [[]], "enabled": "maybe"}',
+    ]
+    for method, path in paths:
+        for body in bodies:
+            status = _raw_request(server.base_url, method, path, body, tok)
+            assert 400 <= status < 500 or status == 200, \
+                f"{method} {path} body={body!r} -> {status}"
+
+
+def test_malformed_content_length_is_400(served):
+    server, client, _ = served
+    for cl in ("abc", "-", "12x", "ÿ"):
+        status = _raw_request(server.base_url, "POST", "/api/v1/collections",
+                              b"{}", client._token, content_length=cl)
+        assert status == 400, f"Content-Length {cl!r} -> {status}"
