@@ -417,3 +417,60 @@ def test_fuzz_ndjson_roundtrip(spark, seed, tmp_path):
                      for x in r) for r in back.collect()]
         want = [tuple(flat(_ndj_clean(v)) for v in row) for row in rows]
         _check(got, want, ctx)
+
+
+# -------------------- family E: incremental last-modified filter
+
+
+@pytest.mark.parametrize("seed", [20260915])
+def test_fuzz_incremental_lastmod_filter(spark, seed, tmp_path):
+    """Random file sets with crafted mtimes (including equal-µs pairs and
+    sub-µs jitter) against random cutoffs — kept files must be exactly
+    those with µs-truncated mtime strictly greater than the µs-truncated
+    cutoff (the stored ISO offset only carries µs, so a raw float compare
+    would re-ingest the newest file forever), and the returned offset is
+    the max mtime seen over ALL matched files, kept or not."""
+    import datetime as dtt
+    import os
+
+    from tabsdata_spark.io.file_io import LocalFileSource
+
+    rng = random.Random(seed)
+    base = 1_700_000_000
+    for prog in range(40):
+        d = tmp_path / f"inc_{prog}"
+        d.mkdir()
+        n = rng.randint(2, 7)
+        mtimes = []
+        for i in range(n):
+            p = d / f"f{i}.csv"
+            p.write_text(f"fid\n{i}\n")
+            # µs grid with occasional sub-µs jitter and duplicate stamps
+            t = base + rng.randint(0, 50) + rng.randint(0, 999_999) / 1e6
+            if rng.random() < 0.3 and mtimes:
+                t = mtimes[-1]
+            if rng.random() < 0.3:
+                t += rng.randint(1, 999) / 1e9
+            os.utime(p, (t, t))
+            mtimes.append(os.path.getmtime(p))
+        cutoff = rng.choice([
+            None,
+            rng.choice(mtimes),                      # exact boundary
+            min(mtimes) - 1, max(mtimes) + 1,
+            base + rng.randint(0, 51) + rng.randint(0, 999_999) / 1e6,
+        ])
+        iso = (None if cutoff is None else
+               dtt.datetime.fromtimestamp(
+                   cutoff, dtt.timezone.utc).isoformat())
+        us = lambda t: int(t * 1_000_000)
+        want = sorted(i for i, m in enumerate(mtimes)
+                      if cutoff is None or us(m) > us(cutoff))
+        src = LocalFileSource(str(d / "*.csv"), format="csv",
+                              initial_last_modified=iso)
+        df, offset = src.load(spark)
+        got = sorted(int(r.fid) for r in df.collect())
+        ctx = f"seed={seed} prog={prog} cutoff={iso} mtimes={mtimes}"
+        assert got == want, f"{ctx}: kept {got} != {want}"
+        want_off = dtt.datetime.fromtimestamp(
+            max(mtimes), dtt.timezone.utc).isoformat()
+        assert offset == want_off, f"{ctx}: offset {offset} != {want_off}"
