@@ -18,6 +18,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 import tabsdata_spark as td
+from tabsdata_spark.scale import fan_out
 from tabsdata_spark.tableframe import selectors as cs
 from tabsdata_spark.llm import dedup, similarity, textual
 
@@ -986,7 +987,7 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     t = F.col("text")
     return docs.select(
         "doc_id",
@@ -4162,7 +4163,7 @@ def unigram_surprisal_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def gopher_rules_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher rep-removal rules (public Rae et al. 2021 A1.1) with
     per-rule flags — one shuffle-free array-fold projection."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     return textual.gopher_quality_rules(docs)
 
 
@@ -5747,7 +5748,7 @@ def char_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate signal).  Shuffle-free array expressions; both engines
     compute log2(n) - sum(c*log2(c))/n over integer counts (identical
     IEEE arithmetic shape)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     return docs.select(
         "doc_id", F.round(textual.char_entropy(F.col("text")), 6).alias("entropy"))
 
@@ -6112,7 +6113,7 @@ def semantic_decontam_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     best-matching benchmark row per contaminated corpus vector."""
     from tabsdata_spark.llm import decontam
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = fan_out(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     bench = emb.filter(F.col("vec_id") % 10 == 0)
     corp = emb.filter(F.col("vec_id") % 10 != 0)
     return decontam.semantic_decontaminate(corp, bench, threshold=0.4)
@@ -9118,7 +9119,7 @@ def int8_quantize_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     the list_transform oracle."""
     from tabsdata_spark.llm import similarity
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = fan_out(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     return similarity.int8_quantize_stats(emb)
 
 
@@ -10071,7 +10072,7 @@ def poisson_bootstrap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-replicate passes), bit-identical in the SQL oracle."""
     from tabsdata_spark import stats
 
-    ev = load_events(spark, sf_dir).df
+    ev = fan_out(load_events(spark, sf_dir).df)
     return stats.poisson_bootstrap_mean(
         ev, "event_id", "value", ["event_type"], b=32)
 
@@ -10145,7 +10146,7 @@ def cms_tokens_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tabsdata_spark import stats
     from tabsdata_spark.llm.corpus import clean_tokens
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     toks = docs.select(F.explode(clean_tokens(F.col("text"))).alias("term"))
     exact = (toks.groupBy("term").agg(F.count(F.lit(1)).alias("exact_n"))
              .orderBy(F.col("exact_n").desc(), "term").limit(30))
@@ -11291,7 +11292,7 @@ def kappa_langid_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tabsdata_spark import stats
     from tabsdata_spark.llm import textual
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     base = docs.select(F.col("lang").alias("a"),
                        textual.language_id(F.col("text")).alias("b"))
     return stats.cohens_kappa(base, "a", "b")
@@ -11527,7 +11528,7 @@ def bloom_fpr_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the (bits/m)^k load expectation, both exact/fixed-IEEE."""
     from tabsdata_spark.llm import decontam, textual
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     corp = docs.filter(F.col("doc_id") % 97 != 0)
     return decontam.bloom_fpr_report(corp, bench,
@@ -12527,7 +12528,7 @@ def mcnemar_gates_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tabsdata_spark import stats
     from tabsdata_spark.llm import textual as tx
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     c4 = tx.composite_quality_filter(docs).select(
         "doc_id", F.col("keep").alias("a"))
     gop = tx.gopher_quality_rules(docs).select(
@@ -13660,7 +13661,7 @@ def code_switch_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps >= 2 hits — the mixed-language bucket for routing."""
     from tabsdata_spark.llm import textual as tx
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     return tx.code_switch_report(docs)
 
 
@@ -14921,7 +14922,7 @@ def cosine_histogram_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold-calibration readout for the embedding space."""
     from tabsdata_spark.llm import similarity
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = fan_out(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     qs = emb.filter(F.col("vec_id") < 80).select(
         F.col("vec_id").alias("query_id"), "embedding")
     return similarity.cosine_histogram(emb, qs, buckets=20)
