@@ -92,7 +92,12 @@ def load_events(spark: SparkSession, sf_dir: str) -> td.TableFrame:
     """,
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
+    # fan_out: the single-row-group test file serializes the 8-decimal-sum
+    # partial aggregation on one core (guide §2.5 unsplittable input); with
+    # >=cores input files (any real table) this is a no-op.  Decimal sums
+    # are partitioning-independent, so results are bit-identical.
+    li = td.TableFrame.from_spark(fan_out(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")))
     ep, disc, tax, qty = (td.col(c) for c in
                           ("l_extendedprice", "l_discount", "l_tax", "l_quantity"))
     out = (
@@ -4052,7 +4057,7 @@ def quality_gate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     token band, single-token dominance) so drops are attributable."""
     from tabsdata_spark.llm import textual as tx
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     return tx.composite_quality_filter(docs)
 
 
@@ -5090,7 +5095,7 @@ def token_budget_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast."""
     from tabsdata_spark.llm import corpus
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     total = docs.agg(
         F.sum(textual.token_count(F.col("text"))).alias("t")).first()["t"]
     return corpus.token_budget_select(docs, int(total * 0.3))
@@ -5831,7 +5836,7 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tabsdata_spark.llm.corpus import clean_tokens
 
     merges = [("t", "h"), ("e", "r"), ("th", "e"), ("a", "n"), ("i", "n")]
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     enc = bpe.bpe_encode(docs, merges)
     return enc.select(
         "doc_id",
@@ -7735,7 +7740,7 @@ def pca_power_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit."""
     from tabsdata_spark.llm import cluster
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = fan_out(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     return cluster.power_iteration_pc(emb, iters=3)
 
 
@@ -8017,7 +8022,7 @@ def lang_confusion_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate.  One narrow scoring pass + one cells-sized agg."""
     from tabsdata_spark.llm import textual
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     pred = docs.select(F.col("lang").alias("truth_lang"),
                        textual.language_id(F.col("text"))
                        .alias("pred_lang"))
@@ -10645,7 +10650,7 @@ def random_projection_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     one narrow per-row pass, no shuffle, bit-exact vs the SQL replay."""
     from tabsdata_spark.llm import similarity
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = fan_out(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     return similarity.random_projection(emb, out_dim=8)
 
 
@@ -11647,7 +11652,7 @@ def script_ratio_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sanity check."""
     from tabsdata_spark.llm import textual
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     return textual.script_ratio_report(docs)
 
 
