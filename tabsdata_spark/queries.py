@@ -4962,7 +4962,7 @@ def bloom_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     bench = docs.filter(F.col("doc_id") % 97 == 0)
-    corp = docs.filter(F.col("doc_id") % 97 != 0)
+    corp = fan_out(docs.filter(F.col("doc_id") % 97 != 0))
     return decontam.bloom_contamination(
         corp, bench, hash_fn=textual.portable_hash60)
 
