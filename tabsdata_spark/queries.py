@@ -8821,13 +8821,22 @@ def pagerank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # Numeric node ids through the iterations (custkey*2 even, suppkey*2+1
+    # odd — bijective), stringified back to 'c…'/'s…' only on the final
+    # |V|-sized result: every per-round join/agg then shuffles and compares
+    # 8-byte longs instead of strings (guide §2.3 narrower types).  Rank
+    # arithmetic depends only on graph structure, so values are identical.
     edges = (o.join(li, o["o_orderkey"] == li["l_orderkey"])
-             .select(F.concat(F.lit("c"),
-                              F.col("o_custkey").cast("string")).alias("src"),
-                     F.concat(F.lit("s"),
-                              F.col("l_suppkey").cast("string")).alias("dst"))
+             .select((F.col("o_custkey").cast("long") * 2).alias("src"),
+                     (F.col("l_suppkey").cast("long") * 2 + 1).alias("dst"))
              .distinct())
-    return graph.pagerank_exact(edges, "src", "dst", iters=3, damping=0.85)
+    pr = graph.pagerank_exact(edges, "src", "dst", iters=3, damping=0.85)
+    _unmap = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("c"), (F.col("node") / 2).cast("long").cast("string"))
+    ).otherwise(
+        F.concat(F.lit("s"), ((F.col("node") - 1) / 2).cast("long").cast("string")))
+    return pr.select(_unmap.alias("node"), "pagerank")
 
 
 @q(
@@ -11809,15 +11818,25 @@ def ppr_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # Numeric node ids through the iterations (custkey*2 even, suppkey*2+1
+    # odd — bijective), stringified back to 'c…'/'s…' only on the final
+    # |V|-sized result: every per-round join/agg then shuffles and compares
+    # 8-byte longs instead of strings (guide §2.3 narrower types).  Rank
+    # arithmetic depends only on graph structure, so values are identical.
     edges = (o.join(li, o["o_orderkey"] == li["l_orderkey"])
-             .select(F.concat(F.lit("c"),
-                              F.col("o_custkey").cast("string")).alias("src"),
-                     F.concat(F.lit("s"),
-                              F.col("l_suppkey").cast("string")).alias("dst"))
+             .select((F.col("o_custkey").cast("long") * 2).alias("src"),
+                     (F.col("l_suppkey").cast("long") * 2 + 1).alias("dst"))
              .distinct())
     seeds = edges.select(F.col("dst").alias("node")).distinct()
-    return graph.ppr_exact(edges, "src", "dst", seeds, "node",
-                           iters=2, damping=0.85)
+    out = graph.ppr_exact(edges, "src", "dst", seeds, "node",
+                          iters=2, damping=0.85)
+    _unmap = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("c"), (F.col("node") / 2).cast("long").cast("string"))
+    ).otherwise(
+        F.concat(F.lit("s"), ((F.col("node") - 1) / 2).cast("long").cast("string")))
+    return out.select(_unmap.alias("node"), *[c for c in out.columns
+                                              if c != "node"])
 
 
 @q(
@@ -13710,13 +13729,19 @@ def kcore_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = spark.read.parquet(f"{sf_dir}/orders.parquet") \
         .filter(F.col("o_custkey") % 8 == 0)
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # same numeric-node-id trick as pagerank_orders (guide §2.3)
     edges = (o.join(li, o["o_orderkey"] == li["l_orderkey"])
-             .select(F.concat(F.lit("c"),
-                              F.col("o_custkey").cast("string")).alias("s"),
-                     F.concat(F.lit("s"),
-                              F.col("l_suppkey").cast("string")).alias("d"))
+             .select((F.col("o_custkey").cast("long") * 2).alias("s"),
+                     (F.col("l_suppkey").cast("long") * 2 + 1).alias("d"))
              .distinct())
-    return graph.kcore_peel(edges, "s", "d", k=12, rounds=4)
+    out = graph.kcore_peel(edges, "s", "d", k=12, rounds=4)
+    _unmap = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("c"), (F.col("node") / 2).cast("long").cast("string"))
+    ).otherwise(
+        F.concat(F.lit("s"), ((F.col("node") - 1) / 2).cast("long").cast("string")))
+    return out.select(_unmap.alias("node"), *[c for c in out.columns
+                                              if c != "node"])
 
 
 @q(
