@@ -411,6 +411,14 @@ def main():
              "auto_salted_revenue_events",
              # peel rounds (or driver fast path) run at construction
              "kcore_orders",
+             # r11: the graph-iteration driver fast path moved the
+             # edge-count gate + recursion of these two INTO construction
+             # (they were lazy before), so execution-only timing would
+             # no longer measure the work — EAGER keeps the whole
+             # computation inside the timed region (additive; their r10
+             # numbers timed execution only and are kept in
+             # OPTIMIZATION_r11.md for comparison)
+             "ppr_suppliers", "hits_customer_supplier",
              # two side counts at construction
              "embedding_drift_emb",
              # transition collect + driver recursion at construction

@@ -17,11 +17,88 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+#: Below this many (directed) edge rows the exact iterative operators run
+#: their recursion in the driver on numpy arrays instead of scheduling
+#: per-iteration Spark jobs.  Iterative rounds on small graphs cost JOBS,
+#: not data (the kcore_peel/connected-components precedent): each round is
+#: a join + partial agg whose scheduling floor dominates below ~1M edges.
+#: The arithmetic is the identical exact contract — integer counts plus
+#: picos-quantized int64 sums and elementwise IEEE-double updates, all of
+#: which numpy reproduces bit-for-bit — so results are unchanged.  At
+#: cluster scale the edge count blows past the threshold and the
+#: distributed path runs; 4M rows is ~64 MB of driver arrays, and int64
+#: contribution sums stay below 2^63 (<= edges * 1e12 <= 4e18).
+DRIVER_EDGE_THRESHOLD = 4_000_000
+
+
+def _edges_to_numpy(df: DataFrame, c1: str, c2: str):
+    """Collect a two-column frame into a pair of numpy arrays via Arrow
+    (zero-copy for numeric ids).  Returns None when Arrow/numpy are
+    unavailable so callers fall back to the distributed path."""
+    try:
+        tbl = df.select(c1, c2).toArrow()
+        a = tbl.column(0).to_numpy(zero_copy_only=False)
+        b = tbl.column(1).to_numpy(zero_copy_only=False)
+        return a, b
+    except Exception:
+        return None
+
+
+def _index_nodes(np, nodes, *cols):
+    """Map id arrays onto positions in the sorted unique `nodes` array."""
+    return [np.searchsorted(nodes, c) for c in cols]
+
+
+def _pagerank_driver(e: DataFrame, iterations: int,
+                     damping: float) -> DataFrame | None:
+    """Driver-side replay of `pagerank`'s float recursion over a
+    collected (src, dst, w) edge table — for BOUNDED transition graphs
+    (label/event-type chains) where each iteration's joins cost
+    scheduled jobs, not data (the markov_attribution bounded-collect
+    precedent).  Same elementwise IEEE arithmetic; float contribution
+    sums accumulate in edge order (np.add.at), which — like the
+    distributed partial aggs — is one of the orderings `pagerank`'s
+    round-6 output contract already tolerates.  Returns None when
+    numpy/Arrow are unavailable."""
+    try:
+        import numpy as np
+    except ImportError:
+        return None
+    try:
+        tbl = e.select("src", "dst", "w").toArrow()
+        s = tbl.column(0).to_numpy(zero_copy_only=False)
+        d = tbl.column(1).to_numpy(zero_copy_only=False)
+        w = tbl.column(2).to_numpy(zero_copy_only=False).astype(np.float64)
+    except Exception:
+        return None
+    nodes = np.unique(np.concatenate([s, d]))
+    si, di = _index_nodes(np, nodes, s, d)
+    n = len(nodes)
+    out_w = np.zeros(n, dtype=np.float64)
+    np.add.at(out_w, si, w)
+    p = w / out_w[si]
+    rank = np.full(n, 1.0 / np.float64(n))
+    base = (1.0 - damping) / np.float64(n)
+    for _ in range(iterations):
+        mass = np.zeros(n, dtype=np.float64)
+        np.add.at(mass, di, rank[si] * p)
+        rank = base + damping * mass
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    schema = StructType([
+        StructField("node", e.schema["src"].dataType),
+        StructField("rank", DoubleType()),
+    ])
+    res = e.sparkSession.createDataFrame(
+        list(zip(nodes.tolist(), rank.tolist())), schema)
+    return res.select("node", F.round("rank", 6).alias("rank"))
+
 
 def pagerank(edges: DataFrame, iterations: int = 3, damping: float = 0.85,
              src: str = "src", dst: str = "dst",
              weight: str | None = None,
-             checkpoint_every: int = 8) -> DataFrame:
+             checkpoint_every: int = 8,
+             driver_threshold: int = 0) -> DataFrame:
     """Weighted PageRank over a directed edge list.
 
     rank_0(v)   = 1/N
@@ -30,10 +107,22 @@ def pagerank(edges: DataFrame, iterations: int = 3, damping: float = 0.85,
     Dangling nodes (no out-edges) leak their mass — acceptable for the
     transition-graph use cases here; add a dangling-mass term if exactness
     of the distribution sum matters.  Returns (node, rank) rounded to 6.
+
+    `driver_threshold` > 0 opts into a driver fast path when the edge
+    table has at most that many rows (one count; below it, the whole
+    recursion runs on collected arrays instead of per-iteration Spark
+    jobs).  Off by default because the float contribution sums are
+    order-sensitive in the last ulp and `pagerank` makes no bit-exact
+    cross-engine promise — callers with a bounded, rounding-robust graph
+    (event-type transitions) opt in explicitly.
     """
     w = F.col(weight).cast("double") if weight else F.lit(1.0)
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"),
                      w.alias("w"))
+    if driver_threshold and e.count() <= driver_threshold:
+        res = _pagerank_driver(e, iterations, damping)
+        if res is not None:
+            return res
     out = e.groupBy("src").agg(F.sum("w").alias("out_w"))
     # transition probability per edge; broadcast-sized for label graphs,
     # co-partitioned shuffle join for billion-edge graphs
@@ -64,8 +153,51 @@ def pagerank(edges: DataFrame, iterations: int = 3, damping: float = 0.85,
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
+def _pagerank_exact_driver(und: DataFrame, iters: int,
+                           damping: float) -> DataFrame | None:
+    """Driver-side replay of pagerank_exact's recursion over a collected
+    edge array.  Bit-exact vs the distributed path: degrees are exact
+    integer bincounts; per-edge contributions floor((pr/deg)*1e12+0.5)
+    are elementwise IEEE doubles quantized to int64 and summed as exact
+    integers (partitioning- and order-independent, same as the
+    decimal(38,0) sums); the damping update is the same fixed IEEE
+    expression.  Returns None when numpy/Arrow are unavailable."""
+    try:
+        import numpy as np
+    except ImportError:
+        return None
+    arrs = _edges_to_numpy(und, "u", "v")
+    if arrs is None:
+        return None
+    u, v = arrs
+    # und is symmetric, so every node appears on the u side
+    nodes = np.unique(u)
+    ui, vi = _index_nodes(np, nodes, u, v)
+    deg = np.bincount(ui, minlength=len(nodes)).astype(np.float64)
+    n = len(nodes)
+    base = (1.0 - damping) / float(n)
+    pr = np.full(n, 1.0 / float(n))
+    for _ in range(iters):
+        m = np.floor(pr / deg * 1e12 + 0.5).astype(np.int64)
+        s = np.zeros(n, dtype=np.int64)
+        np.add.at(s, vi, m[ui])
+        pr = base + damping * (s.astype(np.float64) / 1e12)
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    schema = StructType([
+        StructField("node", und.schema["u"].dataType),
+        StructField("pr", DoubleType()),
+    ])
+    out = und.sparkSession.createDataFrame(
+        list(zip(nodes.tolist(), pr.tolist())), schema)
+    # final rounding stays a Spark expression so display semantics are
+    # identical to the distributed path (Java HALF_UP on doubles)
+    return out.select("node", F.round("pr", 6).alias("pagerank"))
+
+
 def pagerank_exact(edges: DataFrame, src_col: str, dst_col: str,
-                   iters: int = 3, damping: float = 0.85) -> DataFrame:
+                   iters: int = 3, damping: float = 0.85,
+                   driver_threshold: int = DRIVER_EDGE_THRESHOLD) -> DataFrame:
     """PageRank over an UNDIRECTED graph with a bit-exact cross-engine
     contract — the oracle-checkable sibling of `pagerank` (which is
     directed/weighted but float-sums its mass, so partial-agg order can
@@ -94,12 +226,22 @@ def pagerank_exact(edges: DataFrame, src_col: str, dst_col: str,
                edges.select(F.col(dst_col).alias("u"),
                             F.col(src_col).alias("v")))
            .distinct().persist())
-    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg")).persist()
-    n = deg.count()
-    if n == 0:  # empty graph: no nodes, no ranks (the hits_exact
+    n_edges = und.count()
+    if n_edges == 0:  # empty graph: no nodes, no ranks (the hits_exact
         # contract), preserving the caller's node dtype in the schema
+        und.unpersist()
         return (edges.select(F.col(src_col).alias("node")).limit(0)
                 .withColumn("pagerank", F.lit(None).cast("double")))
+    if n_edges <= driver_threshold:
+        # small graph: iterative rounds cost scheduled jobs, not data —
+        # run the identical exact recursion in the driver (see
+        # DRIVER_EDGE_THRESHOLD)
+        out = _pagerank_exact_driver(und, iters, damping)
+        if out is not None:
+            und.unpersist()
+            return out
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg")).persist()
+    n = deg.count()
     base = (1.0 - damping) / float(n)
     pr = deg.select(F.col("u").alias("node"), "deg",
                     (F.lit(1.0) / F.lit(float(n))).alias("pr"))
@@ -121,9 +263,63 @@ def pagerank_exact(edges: DataFrame, src_col: str, dst_col: str,
     return pr.select("node", F.round("pr", 6).alias("pagerank"))
 
 
+def _hits_exact_driver(e: DataFrame, iters: int):
+    """Driver-side replay of hits_exact's half-step ladder over a
+    collected edge array.  Same exactness contract as the distributed
+    modes: picos quantization is elementwise IEEE, contribution and L1
+    totals are exact int64 sums (bounded by edges * 1e12 under
+    DRIVER_EDGE_THRESHOLD), and each normalization is one IEEE division
+    per node.  Returns None when numpy/Arrow are unavailable or the two
+    endpoint dtypes differ (the union output type would need coercion)."""
+    if e.schema["u"].dataType != e.schema["v"].dataType:
+        return None
+    try:
+        import numpy as np
+    except ImportError:
+        return None
+    arrs = _edges_to_numpy(e, "u", "v")
+    if arrs is None:
+        return None
+    u, v = arrs
+    u_nodes = np.unique(u)
+    v_nodes = np.unique(v)
+    ui = np.searchsorted(u_nodes, u)
+    vi = np.searchsorted(v_nodes, v)
+    n_u = len(u_nodes)
+    hub = np.full(n_u, 1.0 / float(n_u))
+    auth = None
+    for _ in range(iters):
+        qh = np.floor(hub * 1e12 + 0.5).astype(np.int64)
+        s = np.zeros(len(v_nodes), dtype=np.int64)
+        np.add.at(s, vi, qh[ui])
+        auth = s.astype(np.float64) / 1e12
+        qa = np.floor(auth * 1e12 + 0.5).astype(np.int64)
+        auth = qa.astype(np.float64) / np.float64(qa.sum())
+        qa2 = np.floor(auth * 1e12 + 0.5).astype(np.int64)
+        s2 = np.zeros(n_u, dtype=np.int64)
+        np.add.at(s2, ui, qa2[vi])
+        hub = s2.astype(np.float64) / 1e12
+        qh2 = np.floor(hub * 1e12 + 0.5).astype(np.int64)
+        hub = qh2.astype(np.float64) / np.float64(qh2.sum())
+    from pyspark.sql.types import (DoubleType, StringType, StructField,
+                                   StructType)
+
+    schema = StructType([
+        StructField("node", e.schema["u"].dataType),
+        StructField("role", StringType(), nullable=False),
+        StructField("score", DoubleType()),
+    ])
+    rows = (list(zip(u_nodes.tolist(), ["hub"] * n_u, hub.tolist()))
+            + list(zip(v_nodes.tolist(), ["authority"] * len(v_nodes),
+                       auth.tolist())))
+    out = e.sparkSession.createDataFrame(rows, schema)
+    return out.select("node", "role", F.round("score", 9).alias("score"))
+
+
 def hits_exact(edges: DataFrame, src_col: str, dst_col: str,
                iters: int = 2,
-               score_partitions: int | None = None) -> DataFrame:
+               score_partitions: int | None = None,
+               driver_threshold: int = DRIVER_EDGE_THRESHOLD) -> DataFrame:
     """HITS hubs-and-authorities over a DIRECTED (typically bipartite)
     edge list, with the same bit-exact cross-engine contract as
     pagerank_exact: authority(v) = sum of hub scores over in-edges,
@@ -168,6 +364,16 @@ def hits_exact(edges: DataFrame, src_col: str, dst_col: str,
     e = (keyed(edges.select(F.col(src_col).alias("u"),
                             F.col(dst_col).alias("v")), "u")
          .distinct().persist())
+    n_e = e.count()
+    if 0 < n_e <= driver_threshold:
+        # small graph: half-steps cost scheduled jobs/shuffles, not data
+        # — run the identical exact ladder in the driver (see
+        # DRIVER_EDGE_THRESHOLD); n_e == 0 keeps the empty-output shape
+        # of the distributed modes
+        out = _hits_exact_driver(e, iters)
+        if out is not None:
+            e.unpersist()
+            return out
 
     def quant(c):
         return (F.floor(c * 1e12 + F.lit(0.5))
@@ -222,9 +428,57 @@ def hits_exact(edges: DataFrame, src_col: str, dst_col: str,
     return hubs.unionByName(auths)
 
 
+def _ppr_exact_driver(und: DataFrame, seeds: DataFrame, seed_col: str,
+                      iters: int, damping: float):
+    """Driver-side replay of ppr_exact's recursion (see
+    _pagerank_exact_driver for the exactness argument; the only deltas
+    are the seed-restricted teleport vector and the left-join/COALESCE(0)
+    default, which the dense s-array reproduces).  Returns None to fall
+    back to the distributed path, or (n_seeds, DataFrame|None)."""
+    try:
+        import numpy as np
+    except ImportError:
+        return None
+    arrs = _edges_to_numpy(und, "u", "v")
+    if arrs is None:
+        return None
+    try:
+        seed_tbl = seeds.select(F.col(seed_col)).distinct().toArrow()
+        seed_arr = seed_tbl.column(0).to_numpy(zero_copy_only=False)
+    except Exception:
+        return None
+    u, v = arrs
+    nodes = np.unique(u)
+    ui, vi = _index_nodes(np, nodes, u, v)
+    is_seed = np.isin(nodes, seed_arr)
+    n_s = int(is_seed.sum())
+    if n_s == 0:
+        return (0, None)
+    deg = np.bincount(ui, minlength=len(nodes)).astype(np.float64)
+    n = len(nodes)
+    base = (1.0 - damping) / float(n_s)
+    pr = np.where(is_seed, 1.0 / float(n_s), 0.0)
+    tele = np.where(is_seed, base, 0.0)
+    for _ in range(iters):
+        m = np.floor(pr / deg * 1e12 + 0.5).astype(np.int64)
+        s = np.zeros(n, dtype=np.int64)
+        np.add.at(s, vi, m[ui])
+        pr = tele + damping * (s.astype(np.float64) / 1e12)
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    schema = StructType([
+        StructField("node", und.schema["u"].dataType),
+        StructField("pr", DoubleType()),
+    ])
+    out = und.sparkSession.createDataFrame(
+        list(zip(nodes.tolist(), pr.tolist())), schema)
+    return (n_s, out.select("node", F.round("pr", 9).alias("ppr")))
+
+
 def ppr_exact(edges: DataFrame, src_col: str, dst_col: str,
               seeds: DataFrame, seed_col: str,
-              iters: int = 2, damping: float = 0.85) -> DataFrame:
+              iters: int = 2, damping: float = 0.85,
+              driver_threshold: int = DRIVER_EDGE_THRESHOLD) -> DataFrame:
     """Personalized PageRank over the UNDIRECTED graph with the
     pagerank_exact bit-exact contract: teleport mass restarts at the
     SEED set instead of uniformly — 'influence relative to these
@@ -245,6 +499,20 @@ def ppr_exact(edges: DataFrame, src_col: str, dst_col: str,
                edges.select(F.col(dst_col).alias("u"),
                             F.col(src_col).alias("v")))
            .distinct().persist())
+    n_edges = und.count()
+    if n_edges <= driver_threshold:
+        # small graph: run the identical exact recursion in the driver
+        # (see DRIVER_EDGE_THRESHOLD); falls through when numpy/Arrow
+        # are unavailable
+        res = _ppr_exact_driver(und, seeds, seed_col, iters, damping)
+        if res is not None:
+            und.unpersist()
+            n_s, out = res
+            if n_s == 0:  # no seed in the graph: teleport undefined —
+                # empty result, caller's node dtype preserved
+                return (edges.select(F.col(src_col).alias("node")).limit(0)
+                        .withColumn("ppr", F.lit(None).cast("double")))
+            return out
     sd = seeds.select(F.col(seed_col).alias("u")).distinct()
     deg = (und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
            .join(sd.withColumn("__seed", F.lit(True)), "u", "left")
@@ -320,9 +588,37 @@ def degree_assortativity(edges: DataFrame, src_col: str,
         .alias("assortativity"))
 
 
+def _kcore_peel_driver(und: DataFrame, schema, k: int, rounds: int):
+    """Vectorized driver-side peel over a collected edge array — the same
+    exact integer recursion as the row-at-a-time fallback below (degrees
+    are bincounts; a round keeps edges whose BOTH endpoints had degree
+    >= k), just on numpy masks.  Returns None when numpy/Arrow are
+    unavailable."""
+    try:
+        import numpy as np
+    except ImportError:
+        return None
+    arrs = _edges_to_numpy(und, "a", "b")
+    if arrs is None:
+        return None
+    a, b = arrs
+    nodes = np.unique(a)  # symmetric: every node appears on the a side
+    ai, bi = _index_nodes(np, nodes, a, b)
+    alive = np.ones(len(ai), dtype=bool)
+    for _ in range(rounds):
+        deg = np.bincount(ai[alive], minlength=len(nodes))
+        keep = deg >= k
+        alive &= keep[ai] & keep[bi]
+    deg = np.bincount(ai[alive], minlength=len(nodes))
+    mask = deg > 0
+    rows = list(zip(nodes[mask].tolist(),
+                    [int(d) for d in deg[mask]]))
+    return und.sparkSession.createDataFrame(rows, schema)
+
+
 def kcore_peel(edges: DataFrame, src_col: str, dst_col: str,
                k: int = 3, rounds: int = 4,
-               driver_threshold: int = 200_000) -> DataFrame:
+               driver_threshold: int = DRIVER_EDGE_THRESHOLD) -> DataFrame:
     """Bounded-round k-core peeling on the undirected graph: each
     round drops every node with degree < k and every edge touching a
     dropped node — the density filter behind spam-ring and
@@ -349,6 +645,18 @@ def kcore_peel(edges: DataFrame, src_col: str, dst_col: str,
     und = und.persist()
     n_edges = und.count()
     if n_edges <= driver_threshold:
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        schema = StructType([
+            StructField("node", und.schema["a"].dataType),
+            StructField("degree", LongType()),
+        ])
+        out = _kcore_peel_driver(und, schema, k, rounds)
+        if out is not None:
+            und.unpersist()
+            return out
+        # numpy/Arrow unavailable: the original pure-python peel (same
+        # exact integer recursion, row-at-a-time)
         pairs = [(r[0], r[1]) for r in und.collect()]
         und.unpersist()
         cur_edges = pairs
@@ -362,12 +670,6 @@ def kcore_peel(edges: DataFrame, src_col: str, dst_col: str,
         final: dict = {}
         for a, _b in cur_edges:
             final[a] = final.get(a, 0) + 1
-        from pyspark.sql.types import LongType, StructField, StructType
-
-        schema = StructType([
-            StructField("node", und.schema["a"].dataType),
-            StructField("degree", LongType()),
-        ])
         return edges.sparkSession.createDataFrame(
             sorted(final.items()), schema)
     cur = und

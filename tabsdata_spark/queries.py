@@ -46,6 +46,39 @@ def _dec(e: td.Expr) -> td.Expr:
     return e.cast("decimal(18,2)")
 
 
+def _cust_supp_edges(o: DataFrame, li: DataFrame,
+                     src: str, dst: str) -> DataFrame:
+    """Distinct customer->supplier trade edges with NUMERIC node ids:
+    custkey*2 (even) / suppkey*2+1 (odd) — bijective longs, so every
+    per-round graph join/agg/distinct shuffles and compares 8-byte longs
+    instead of 'c…'/'s…' strings (guide §2.3 narrower types).  Rank /
+    degree arithmetic depends only on graph structure, so values are
+    identical; `_unmap_graph_nodes` restores the string form on the
+    final |V|-sized result only.
+
+    NOT pre-distincted: every graph operator dedups its own undirected
+    edge set (pagerank_exact/ppr_exact und, kcore_peel und, hits_exact
+    e), so an upstream distinct is a redundant full exchange of the
+    pair stream (guide §2.4 remove shuffles outright) — the operators'
+    results are identical with or without it."""
+    return (o.join(li, o["o_orderkey"] == li["l_orderkey"])
+            .select((F.col("o_custkey").cast("long") * 2).alias(src),
+                    (F.col("l_suppkey").cast("long") * 2 + 1).alias(dst)))
+
+
+def _unmap_graph_nodes(out: DataFrame) -> DataFrame:
+    """Decode `_cust_supp_edges` numeric node ids back to 'c…'/'s…' on a
+    result frame's `node` column.  Integer `div` keeps the unmap exact
+    for ALL long ids (float division is only exact below 2^53)."""
+    dec = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("c"), F.expr("node div 2").cast("string"))
+    ).otherwise(
+        F.concat(F.lit("s"), F.expr("(node - 1) div 2").cast("string")))
+    return out.select(dec.alias("node"),
+                      *[c for c in out.columns if c != "node"])
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> td.TableFrame:
     """events.parquet carries TIMESTAMP(NANOS); with nanosAsLong the ts
     column arrives as nanos-long -> convert to a micros timestamp.
@@ -3886,7 +3919,12 @@ def pagerank_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lead("event_type").over(w).alias("dst"))
     edges = (seq.filter(F.col("dst").isNotNull())
              .groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w")))
-    return graph.pagerank(edges, iterations=3, damping=0.85, weight="w")
+    # the transition table is |event_types|^2-bounded, so the iteration
+    # fast path (driver recursion over the collected bounded edge table —
+    # the markov_attribution precedent) applies at any corpus size; the
+    # threshold keeps the distributed path for unbounded callers
+    return graph.pagerank(edges, iterations=3, damping=0.85, weight="w",
+                          driver_threshold=10_000)
 
 
 # ===========================================================================
@@ -6118,9 +6156,12 @@ def semantic_decontam_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     best-matching benchmark row per contaminated corpus vector."""
     from tabsdata_spark.llm import decontam
 
-    emb = fan_out(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
-    bench = emb.filter(F.col("vec_id") % 10 == 0)
-    corp = emb.filter(F.col("vec_id") % 10 != 0)
+    raw = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # fan_out only the corpus side (and only its rows): the broadcast
+    # bench side derives from the un-fanned read so its lineage skips
+    # the repartition shuffle
+    bench = raw.filter(F.col("vec_id") % 10 == 0)
+    corp = fan_out(raw.filter(F.col("vec_id") % 10 != 0))
     return decontam.semantic_decontaminate(corp, bench, threshold=0.4)
 
 
@@ -8821,22 +8862,9 @@ def pagerank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    # Numeric node ids through the iterations (custkey*2 even, suppkey*2+1
-    # odd — bijective), stringified back to 'c…'/'s…' only on the final
-    # |V|-sized result: every per-round join/agg then shuffles and compares
-    # 8-byte longs instead of strings (guide §2.3 narrower types).  Rank
-    # arithmetic depends only on graph structure, so values are identical.
-    edges = (o.join(li, o["o_orderkey"] == li["l_orderkey"])
-             .select((F.col("o_custkey").cast("long") * 2).alias("src"),
-                     (F.col("l_suppkey").cast("long") * 2 + 1).alias("dst"))
-             .distinct())
+    edges = _cust_supp_edges(o, li, "src", "dst")
     pr = graph.pagerank_exact(edges, "src", "dst", iters=3, damping=0.85)
-    _unmap = F.when(
-        F.col("node") % 2 == 0,
-        F.concat(F.lit("c"), (F.col("node") / 2).cast("long").cast("string"))
-    ).otherwise(
-        F.concat(F.lit("s"), ((F.col("node") - 1) / 2).cast("long").cast("string")))
-    return pr.select(_unmap.alias("node"), "pagerank")
+    return _unmap_graph_nodes(pr)
 
 
 @q(
@@ -11542,9 +11570,12 @@ def bloom_fpr_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the (bits/m)^k load expectation, both exact/fixed-IEEE."""
     from tabsdata_spark.llm import decontam, textual
 
-    docs = fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"))
-    bench = docs.filter(F.col("doc_id") % 97 == 0)
-    corp = docs.filter(F.col("doc_id") % 97 != 0)
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # fan_out only the probe (corpus) side's rows; the bitset-building
+    # bench side derives from the un-fanned read so its lineage skips
+    # the repartition shuffle (the bloom_decontaminate_docs pattern)
+    bench = raw.filter(F.col("doc_id") % 97 == 0)
+    corp = fan_out(raw.filter(F.col("doc_id") % 97 != 0))
     return decontam.bloom_fpr_report(corp, bench,
                                      hash_fn=textual.portable_hash60)
 
@@ -11818,25 +11849,17 @@ def ppr_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    # Numeric node ids through the iterations (custkey*2 even, suppkey*2+1
-    # odd — bijective), stringified back to 'c…'/'s…' only on the final
-    # |V|-sized result: every per-round join/agg then shuffles and compares
-    # 8-byte longs instead of strings (guide §2.3 narrower types).  Rank
-    # arithmetic depends only on graph structure, so values are identical.
-    edges = (o.join(li, o["o_orderkey"] == li["l_orderkey"])
-             .select((F.col("o_custkey").cast("long") * 2).alias("src"),
-                     (F.col("l_suppkey").cast("long") * 2 + 1).alias("dst"))
-             .distinct())
-    seeds = edges.select(F.col("dst").alias("node")).distinct()
+    edges = _cust_supp_edges(o, li, "src", "dst")
+    # seed set = the graph's supplier nodes.  Derived from lineitem alone
+    # (no orders join): every lineitem row joins exactly one order
+    # (l_orderkey FK), so distinct l_suppkey over lineitem == distinct
+    # dst over the joined edge list; ppr_exact intersects seeds with the
+    # graph's node set anyway, so membership is all that matters.
+    seeds = li.select((F.col("l_suppkey").cast("long") * 2 + 1)
+                      .alias("node")).distinct()
     out = graph.ppr_exact(edges, "src", "dst", seeds, "node",
                           iters=2, damping=0.85)
-    _unmap = F.when(
-        F.col("node") % 2 == 0,
-        F.concat(F.lit("c"), (F.col("node") / 2).cast("long").cast("string"))
-    ).otherwise(
-        F.concat(F.lit("s"), ((F.col("node") - 1) / 2).cast("long").cast("string")))
-    return out.select(_unmap.alias("node"), *[c for c in out.columns
-                                              if c != "node"])
+    return _unmap_graph_nodes(out)
 
 
 @q(
@@ -13729,19 +13752,9 @@ def kcore_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = spark.read.parquet(f"{sf_dir}/orders.parquet") \
         .filter(F.col("o_custkey") % 8 == 0)
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    # same numeric-node-id trick as pagerank_orders (guide §2.3)
-    edges = (o.join(li, o["o_orderkey"] == li["l_orderkey"])
-             .select((F.col("o_custkey").cast("long") * 2).alias("s"),
-                     (F.col("l_suppkey").cast("long") * 2 + 1).alias("d"))
-             .distinct())
+    edges = _cust_supp_edges(o, li, "s", "d")
     out = graph.kcore_peel(edges, "s", "d", k=12, rounds=4)
-    _unmap = F.when(
-        F.col("node") % 2 == 0,
-        F.concat(F.lit("c"), (F.col("node") / 2).cast("long").cast("string"))
-    ).otherwise(
-        F.concat(F.lit("s"), ((F.col("node") - 1) / 2).cast("long").cast("string")))
-    return out.select(_unmap.alias("node"), *[c for c in out.columns
-                                              if c != "node"])
+    return _unmap_graph_nodes(out)
 
 
 @q(
@@ -14952,8 +14965,12 @@ def cosine_histogram_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold-calibration readout for the embedding space."""
     from tabsdata_spark.llm import similarity
 
-    emb = fan_out(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
-    qs = emb.filter(F.col("vec_id") < 80).select(
+    raw = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # fan_out only the corpus side; the 80-row query side derives from
+    # the un-fanned read so its (collected/broadcast) lineage skips the
+    # repartition shuffle
+    emb = fan_out(raw)
+    qs = raw.filter(F.col("vec_id") < 80).select(
         F.col("vec_id").alias("query_id"), "embedding")
     return similarity.cosine_histogram(emb, qs, buckets=20)
 

@@ -56,6 +56,18 @@ def get_spark(
         # readers re-derive timestamps via timestamp_micros(ns div 1000)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("TDSPARK_DRIVER_MEM", "8g"))
+        # ContextCleaner reclaims dropped DataFrames' cached / broadcast /
+        # localCheckpoint blocks only after a JVM GC processes their weak
+        # references, and its safety-net GC fires every 30min by default —
+        # longer than a whole multi-query batch.  In local mode (driver ==
+        # executor JVM) hundreds of sequential queries accumulate dead
+        # blocks that squeeze the unified memory pool into GC storms
+        # (measured: an isolated 1.0s query read 30.9s after 20 heavy
+        # queries on the default; 45s periodic GC removed the spike with
+        # the identical workload — see OPTIMIZATION_r11.md).  On a real
+        # cluster this costs one driver System.gc() per interval: noise.
+        .config("spark.cleaner.periodicGC.interval",
+                os.environ.get("TDSPARK_PERIODIC_GC", "45s"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -468,6 +468,56 @@ def test_pagerank_star_center_dominates(spark):
     assert got == got2
 
 
+def _nontrivial_graph(spark):
+    # multi-component graph with hubs, chains and asymmetric degrees so
+    # every iteration produces distinct quantized contributions
+    edges = [(i, (i * 7) % 23) for i in range(60)] + [(2, 9), (9, 15)]
+    edges += [(100, 101), (100, 102), (100, 103),
+              (101, 102), (101, 103), (102, 103)]
+    edges = [(a, b) for a, b in edges if a != b]
+    return spark.createDataFrame(edges, "s long, d long")
+
+
+def test_pagerank_exact_driver_and_distributed_agree(spark):
+    """The numpy driver fast path must be BIT-identical to the
+    distributed decimal-sum path (same quantized integer sums, same
+    IEEE updates) — forced via driver_threshold."""
+    from tabsdata_spark import graph
+
+    df = _nontrivial_graph(spark)
+    fast = sorted(map(tuple, graph.pagerank_exact(
+        df, "s", "d", iters=3).collect()))
+    dist = sorted(map(tuple, graph.pagerank_exact(
+        df, "s", "d", iters=3, driver_threshold=0).collect()))
+    assert fast == dist and fast
+
+
+def test_ppr_exact_driver_and_distributed_agree(spark):
+    from tabsdata_spark import graph
+
+    df = _nontrivial_graph(spark)
+    seeds = spark.createDataFrame([(2,), (100,), (999,)], "node long")
+    fast = sorted(map(tuple, graph.ppr_exact(
+        df, "s", "d", seeds, "node", iters=2).collect()))
+    dist = sorted(map(tuple, graph.ppr_exact(
+        df, "s", "d", seeds, "node", iters=2,
+        driver_threshold=0).collect()))
+    assert fast == dist and fast
+
+
+def test_hits_exact_driver_and_distributed_agree(spark):
+    from tabsdata_spark import graph
+
+    df = _nontrivial_graph(spark)
+    fast = sorted(map(tuple, graph.hits_exact(
+        df, "s", "d", iters=2).collect()))
+    for sp in (None, 8):  # both distributed modes
+        dist = sorted(map(tuple, graph.hits_exact(
+            df, "s", "d", iters=2, score_partitions=sp,
+            driver_threshold=0).collect()))
+        assert fast == dist and fast
+
+
 def test_kaplan_meier_product_limit(spark):
     from tabsdata_spark import stats
 

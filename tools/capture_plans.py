@@ -1,15 +1,19 @@
 """Capture .explain("formatted") output for named registry queries.
 
-Usage: python tools/capture_plans.py <suffix> [sf_dir] <query> [query ...]
+Usage: python tools/capture_plans.py [--out DIR] <suffix> [sf_dir] <query> [query ...]
 
-Writes plans/r10/<query>_<suffix>.txt for each query (suffix is usually
-"before" or "after").  Plans are captured on the tuned bench session —
-the same session bench.py times — so Exchange counts / join strategies
-match what the bench measures.
+Writes <DIR>/<query>_<suffix>.txt for each query (suffix is usually
+"before" or "after"; DIR defaults to plans/r11).  Plans are captured on
+the tuned bench session — the same session bench.py times — so Exchange
+counts / join strategies match what the bench measures.  Uses the public
+df.explain() (stdout capture), so it also works on Spark Connect
+sessions, which fan_out explicitly supports.
 """
 
 from __future__ import annotations
 
+import contextlib
+import io
 import os
 import sys
 
@@ -17,8 +21,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
-    suffix = sys.argv[1]
-    rest = sys.argv[2:]
+    args = sys.argv[1:]
+    out_dir = None
+    if args and args[0] == "--out":
+        out_dir = args[1]
+        args = args[2:]
+    suffix = args[0]
+    rest = args[1:]
     if rest and os.path.isdir(rest[0]):
         sf_dir, names = rest[0], rest[1:]
     else:
@@ -31,14 +40,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = registry.queries()
 
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r10")
+    if out_dir is None:
+        out_dir = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "plans", "r11")
     os.makedirs(out_dir, exist_ok=True)
 
     for name in names:
         df = qs[name](spark, sf_dir)
-        plan = df._sc._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "formatted")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
         path = os.path.join(out_dir, f"{name}_{suffix}.txt")
         with open(path, "w") as fh:
             fh.write(plan)
