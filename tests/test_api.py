@@ -586,7 +586,10 @@ def test_rest_bundle_upload_enables_isolated_execution(spark, tmp_path):
     server = ApiServer(spark, store, engine=engine,
                        auth=Authenticator({"admin": "pw"}))
     with server:
-        client = ApiClient(server.base_url)
+        # venv-subprocess worker startup can exceed the default 30s
+        # client socket timeout on a loaded box (observed flake) — the
+        # call is synchronous on the server side, so wait longer
+        client = ApiClient(server.base_url, timeout=180)
         client.login("admin", "pw")
         client.upload_bundle("c", "triple", b"""
 import tabsdata_spark as td

@@ -143,8 +143,10 @@ def test_fuzz_string_strip_pad_find(spark, seed):
 
 @pytest.mark.parametrize("seed", [20260902])
 def test_fuzz_unique_keep_with_order(spark, seed):
+    from _concurrency import run_concurrent
+
     rng = random.Random(seed)
-    con = duckdb.connect()
+    programs = []
     for p in range(100):
         n = rng.randint(4, 16)
         rows = [(i,
@@ -152,16 +154,20 @@ def test_fuzz_unique_keep_with_order(spark, seed):
                  None if rng.random() < 0.25 else rng.choice("xyz"),
                  round(rng.uniform(-5, 5), 3))
                 for i in range(n)]
-        tf = td.TableFrame.from_spark(spark.createDataFrame(
-            rows, "idx long, k long, s string, v double"))
-        con.execute("DROP TABLE IF EXISTS fu")
-        con.execute("CREATE TABLE fu (idx BIGINT, k BIGINT, s VARCHAR, "
-                    "v DOUBLE)")
-        con.executemany("INSERT INTO fu VALUES (?,?,?,?)", rows)
         subset = rng.choice([["k"], ["s"], ["k", "s"]])
         keep = rng.choice(["first", "last", "none"])
         sc = rng.choice(["v", "s", "idx"])
         d, nl = rng.random() < 0.5, rng.random() < 0.5
+        programs.append((p, rows, subset, keep, sc, d, nl))
+
+    def run_one(prog):
+        p, rows, subset, keep, sc, d, nl = prog
+        tf = td.TableFrame.from_spark(spark.createDataFrame(
+            rows, "idx long, k long, s string, v double"))
+        con = duckdb.connect()
+        con.execute("CREATE TABLE fu (idx BIGINT, k BIGINT, s VARCHAR, "
+                    "v DOUBLE)")
+        con.executemany("INSERT INTO fu VALUES (?,?,?,?)", rows)
         sorted_tf = tf.sort([sc, "idx"], descending=[d, False],
                             nulls_last=[nl, False])
         got = (sorted_tf.unique(subset=subset, keep=keep)
@@ -180,9 +186,12 @@ def test_fuzz_unique_keep_with_order(spark, seed):
             want = con.execute(
                 f"SELECT idx FROM fu QUALIFY row_number() OVER "
                 f"(PARTITION BY {part} ORDER BY {o1}, {o2}) = 1").fetchall()
+        con.close()
         _check(got, want,
                f"seed={seed} p={p} subset={subset} keep={keep} "
                f"sort=({sc}, desc={d}, nulls_last={nl})")
+
+    run_concurrent(programs, run_one)
 
 
 # ------------------------------------------ family C: concat supertypes
@@ -190,12 +199,15 @@ def test_fuzz_unique_keep_with_order(spark, seed):
 
 @pytest.mark.parametrize("seed", [20260903])
 def test_fuzz_concat_relaxed_supertypes(spark, seed):
+    from _concurrency import run_concurrent
+
     rng = random.Random(seed)
-    con = duckdb.connect()
     DUCK = {"int": "INTEGER", "long": "BIGINT", "double": "DOUBLE",
             "string": "VARCHAR"}
 
-    def mk(name, cols):
+    def gen_rows(cols):
+        # sequential-rng row generation (was inline in mk); the Spark /
+        # DuckDB materialization moved to the concurrent executor below
         n = rng.randint(2, 6)
         rows = []
         for i in range(n):
@@ -210,14 +222,7 @@ def test_fuzz_concat_relaxed_supertypes(spark, seed):
                 else:
                     row.append(rng.randint(-9, 9))
             rows.append(tuple(row))
-        schema = ", ".join(f"{c} {t}" for c, t in cols)
-        tf = td.TableFrame.from_spark(spark.createDataFrame(rows, schema))
-        con.execute(f"DROP TABLE IF EXISTS {name}")
-        con.execute(f"CREATE TABLE {name} (" + ", ".join(
-            f"{c} {DUCK[t]}" for c, t in cols) + ")")
-        con.executemany(
-            f"INSERT INTO {name} VALUES ({','.join('?' * len(cols))})", rows)
-        return tf
+        return rows
 
     def supertype(types):
         ts = set(types)
@@ -229,6 +234,7 @@ def test_fuzz_concat_relaxed_supertypes(spark, seed):
             return "long"
         return "int"
 
+    programs = []
     for p in range(150):
         how = rng.choice(["vertical_relaxed", "diagonal", "diagonal_relaxed"])
         all_cols = ["a", "b", "c"]
@@ -251,7 +257,22 @@ def test_fuzz_concat_relaxed_supertypes(spark, seed):
                 sub = sorted(rng.sample(all_cols, rng.randint(1, 3)))
                 specs.append([(c, rng.choice(["int", "long", "double"]))
                               for c in sub])
-        frames = [mk(f"cf{i}", cols) for i, cols in enumerate(specs)]
+        programs.append((p, how, specs,
+                         [gen_rows(cols) for cols in specs]))
+
+    def run_one(prog):
+        p, how, specs, all_rows = prog
+        con = duckdb.connect()
+        frames = []
+        for i, (cols, rows) in enumerate(zip(specs, all_rows)):
+            schema = ", ".join(f"{c} {t}" for c, t in cols)
+            frames.append(td.TableFrame.from_spark(
+                spark.createDataFrame(rows, schema)))
+            con.execute(f"CREATE TABLE cf{i} (" + ", ".join(
+                f"{c} {DUCK[t]}" for c, t in cols) + ")")
+            con.executemany(
+                f"INSERT INTO cf{i} VALUES ({','.join('?' * len(cols))})",
+                rows)
         got = td.concat(frames, how=how).to_spark().collect()
         # oracle: per-frame SELECT casting every output column to the
         # supertype (NULL-filled when absent), chained by UNION ALL
@@ -275,6 +296,7 @@ def test_fuzz_concat_relaxed_supertypes(spark, seed):
                 for c in out_names)
             selects.append(f"SELECT {sel} FROM cf{i}")
         want = con.execute(" UNION ALL ".join(selects)).fetchall()
+        con.close()
         _check(got, want, f"seed={seed} p={p} how={how} specs={specs}")
         # the result schema must BE the supertype, not just cast-compatible
         got_schema = dict(td.concat(frames, how=how).schema.items())
@@ -285,6 +307,8 @@ def test_fuzz_concat_relaxed_supertypes(spark, seed):
                 continue  # unionByName keeps Spark's own coercion
             assert repr(got_schema[c]) == SPARK[types[c]], \
                 (p, how, c, got_schema[c], types[c])
+
+    run_concurrent(programs, run_one)
 
 
 # ------------------------------------- family D: null/NaN fill and drop

@@ -236,17 +236,28 @@ def _gen_udf_outputs(rng: random.Random):
 def test_fuzz_udf_struct_roundtrip(spark, seed):
     import pandas as pd
 
+    from _concurrency import run_concurrent
+
+    # phase 1: generate every program SEQUENTIALLY on the seeded rng
+    # (bit-identical program stream to the former inline loop)
     rng = random.Random(seed)
+    programs = []
     for prog in range(100):
         n = 25
         rows = [(rng.randint(-40, 40),
                  round(rng.uniform(-5, 5), 3),
                  rng.choice(["a", "bc", "Z", "q9", " sp "]))
                 for _ in range(n)]
-        tf = td.TableFrame.from_spark(spark.createDataFrame(
-            rows, "a bigint, b double, s string"))
         outs = _gen_udf_outputs(rng)
         as_list = rng.random() < 0.5
+        programs.append((prog, rows, outs, as_list))
+
+    # phase 2: execute programs concurrently (independent Spark jobs +
+    # a per-program DuckDB connection)
+    def run_one(p):
+        prog, rows, outs, as_list = p
+        tf = td.TableFrame.from_spark(spark.createDataFrame(
+            rows, "a bigint, b double, s string"))
         base = td.UDFList if as_list else td.UDFUnpacked
 
         class Batch(base):
@@ -278,13 +289,19 @@ def test_fuzz_udf_struct_roundtrip(spark, seed):
         sel = ", ".join(f"{dsql} AS {nm}" for nm, _, _, dsql in outs)
         vals = ", ".join(
             f"({a}, CAST({b!r} AS DOUBLE), '{s}')" for a, b, s in rows)
-        want = duckdb.sql(
-            f"SELECT a, b, s, {sel} FROM (VALUES {vals}) t(a, b, s)"
-        ).fetchall()
+        con = duckdb.connect()
+        try:
+            want = con.execute(
+                f"SELECT a, b, s, {sel} FROM (VALUES {vals}) t(a, b, s)"
+            ).fetchall()
+        finally:
+            con.close()
         ctx = (f"seed={seed} prog={prog} as_list={as_list} "
                f"outs={[(nm, dt, dsql) for nm, dt, _, dsql in outs]}")
         _check(got_b, want, "on_batch " + ctx)
         _check(got_e, want, "on_element " + ctx)
+
+    run_concurrent(programs, run_one)
 
 
 # ------------------------------------ family C: CSV format round-trips
@@ -300,15 +317,18 @@ def test_fuzz_csv_roundtrip(spark, seed, tmp_path):
     from tabsdata_spark.io.file_io import (LocalFileDestination,
                                            LocalFileSource)
 
+    from _concurrency import run_concurrent
+
+    # sequential generation (bit-identical rng stream), concurrent
+    # execution — each program writes its own rt_{prog}.csv path
     rng = random.Random(seed)
+    programs = []
     for prog in range(120):
         sep = rng.choice([",", ";", "\t", "|"])
         quote = rng.choice(['"', "'"])
         eol = rng.choice(["\n", "\r"])
         header = rng.random() < 0.7
         infer = rng.random() < 0.7
-        fmt = td.CSVFormat(separator=sep, quote_char=quote, eol_char=eol,
-                           has_header=header, infer_schema=infer)
         n = rng.randint(1, 20)
         rows = [(k,
                  rng.choice(_CSV_FIELD_POOL),
@@ -318,6 +338,12 @@ def test_fuzz_csv_roundtrip(spark, seed, tmp_path):
         # numeric ('0', '-7') legitimately re-infers as a number column on
         # read-back — inherent CSV lossiness, not a round-trip defect
         rows[0] = (rows[0][0], "plain", rows[0][2])
+        programs.append((prog, sep, quote, eol, header, infer, n, rows))
+
+    def run_one(p):
+        prog, sep, quote, eol, header, infer, n, rows = p
+        fmt = td.CSVFormat(separator=sep, quote_char=quote, eol_char=eol,
+                           has_header=header, infer_schema=infer)
         tf = td.TableFrame.from_spark(spark.createDataFrame(
             rows, "id bigint, s string, v bigint"))
         dest = str(tmp_path / f"rt_{prog}.csv")
@@ -333,6 +359,8 @@ def test_fuzz_csv_roundtrip(spark, seed, tmp_path):
             # no schema inference: everything reads back as strings
             want = [(str(a), b, str(c)) for a, b, c in rows]
         _check(got, want, ctx)
+
+    run_concurrent(programs, run_one)
 
 
 # ------------------------------------- family D: NDJSON round-trips
@@ -384,7 +412,10 @@ def test_fuzz_ndjson_roundtrip(spark, seed, tmp_path):
         "int": 1, "dbl": 1.5, "str": "plain", "bool": True,
         "arr": [1.0, 2.5], "st": (3.5, "anchor"), "allnull": None,
     }
+    from _concurrency import run_concurrent
+
     rng = random.Random(seed)
+    programs = []
     for prog in range(100):
         k = rng.randint(1, 6)
         cols = [rng.choice(sorted(kinds)) for _ in range(k)]
@@ -397,6 +428,10 @@ def test_fuzz_ndjson_roundtrip(spark, seed, tmp_path):
         # dtype is deterministic (an all-null double column legitimately
         # re-infers as string — that contract is pinned by 'allnull')
         rows[0] = tuple(anchors[cd] for cd in cols)
+        programs.append((prog, cols, names, ddl, rows))
+
+    def run_one(p):
+        prog, cols, names, ddl, rows = p
         df = spark.createDataFrame(rows, ddl)
         dest = str(tmp_path / f"ndj_{prog}.ndjson")
         LocalFileDestination(dest, format="ndjson").save(df)
@@ -417,6 +452,8 @@ def test_fuzz_ndjson_roundtrip(spark, seed, tmp_path):
                      for x in r) for r in back.collect()]
         want = [tuple(flat(_ndj_clean(v)) for v in row) for row in rows]
         _check(got, want, ctx)
+
+    run_concurrent(programs, run_one)
 
 
 # -------------------- family E: incremental last-modified filter

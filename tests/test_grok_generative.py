@@ -80,7 +80,13 @@ SEPS = [" ", " - ", " [", "] ", " | "]
 
 @pytest.mark.parametrize("seed", [20260908])
 def test_grok_roundtrips_generated_lines(spark, seed):
+    from _concurrency import run_concurrent
+
+    # phase 1: generate all programs sequentially on the seeded rng
+    # (bit-identical stream); phase 2 executes them concurrently —
+    # independent tiny Spark jobs, guide §2.6
     rng = random.Random(seed)
+    programs = []
     for p in range(120):
         nt = rng.randint(1, 5)
         kinds = [rng.choice(sorted(TOKENS)) for _ in range(nt)]
@@ -111,6 +117,10 @@ def test_grok_roundtrips_generated_lines(spark, seed):
             expected["rest"] = val
         line = "".join(parts)
         pattern = "".join(pattern_parts)
+        programs.append((p, line, pattern, expected, greedy_tail))
+
+    def run_one(prog):
+        p, line, pattern, expected, greedy_tail = prog
         tf = td.TableFrame.from_spark(
             spark.createDataFrame([(line,)], "line string"))
         got = tf.grok("line", pattern).to_dict()
@@ -126,3 +136,5 @@ def test_grok_roundtrips_generated_lines(spark, seed):
                 .grok("line", pattern).to_dict()
             assert all(bad[name] == [None] for name in expected), \
                 (pattern, bad)
+
+    run_concurrent(programs, run_one)

@@ -671,21 +671,29 @@ def test_broadcast_scalar_combine_sides_are_bounded(spark, sf_dir):
     qs = queries()
     sf01 = str(Path(sf_dir).parent / "sf0.01")
 
-    with_bnlj = []
-    for name, fn in qs.items():
+    # Both passes are per-query independent — run them from a thread pool
+    # (Spark schedules concurrent jobs; plan compilation releases the GIL
+    # inside py4j).  Same queries, same assertions, overlapped waiting.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def compile_one(item):
+        name, fn = item
         plan = fn(spark, sf01)._jdf.queryExecution().executedPlan().toString()
-        if "BroadcastNestedLoopJoin" in plan:
-            with_bnlj.append(name)
+        return name if "BroadcastNestedLoopJoin" in plan else None
+
+    with ThreadPoolExecutor(max_workers=6) as ex:
+        with_bnlj = [n for n in ex.map(compile_one, qs.items())
+                     if n is not None]
     # the scalar-combine idiom is all over the repo; if the compile pass
     # finds none, the walker (or the plan shape) changed under us
     assert len(with_bnlj) >= 30, with_bnlj
 
-    violations = []
-    checked_sides = 0
-    for name in with_bnlj:
+    def check_one(name):
         df = qs[name](spark, sf01)
         df.collect()
         bound = BNLJ_BUILD_ROWS.get(name, BNLJ_BUILD_ROWS_DEFAULT)
+        sides = 0
+        bad = []
         for n, cls in _walk_executed(df._jdf.queryExecution().executedPlan()):
             if cls != "BroadcastNestedLoopJoinExec":
                 continue
@@ -698,8 +706,16 @@ def test_broadcast_scalar_combine_sides_are_bounded(spark, sf_dir):
                 m = c.metrics()
                 rows = (m.apply("numOutputRows").value()
                         if m.contains("numOutputRows") else None)
-                checked_sides += 1
+                sides += 1
                 if rows is None or rows > bound:
-                    violations.append((name, rows, bound))
+                    bad.append((name, rows, bound))
+        return sides, bad
+
+    violations = []
+    checked_sides = 0
+    with ThreadPoolExecutor(max_workers=6) as ex:
+        for sides, bad in ex.map(check_one, with_bnlj):
+            checked_sides += sides
+            violations.extend(bad)
     assert not violations, f"unbounded BNLJ broadcast sides: {violations}"
     assert checked_sides >= len(with_bnlj), checked_sides

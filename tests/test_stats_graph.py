@@ -93,6 +93,24 @@ def test_pagerank_star_and_cycle(spark):
     assert long_run[0] > long_run[1]
 
 
+def test_pagerank_weighted_driver_path_matches_distributed(spark):
+    """The opt-in bounded-graph driver fast path must reproduce the
+    distributed path's round-6 output (integer-valued weights keep the
+    out-degree sums exact; contribution sums agree to well below the
+    rounding grid on bounded transition graphs)."""
+    from tabsdata_spark import graph
+
+    edges = spark.createDataFrame(
+        [("a", "b", 3), ("a", "c", 1), ("b", "c", 2), ("c", "a", 5),
+         ("b", "a", 1), ("c", "b", 4), ("d", "a", 2), ("a", "d", 1)],
+        "src string, dst string, w long")
+    dist = sorted(map(tuple, graph.pagerank(
+        edges, iterations=3, weight="w").collect()))
+    fast = sorted(map(tuple, graph.pagerank(
+        edges, iterations=3, weight="w", driver_threshold=100).collect()))
+    assert fast == dist and fast
+
+
 def test_heavy_hitters_exact_and_guarantee(spark):
     from tabsdata_spark import stats
 

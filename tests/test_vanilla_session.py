@@ -64,16 +64,32 @@ def vanilla(spark):
 def test_full_registry_runs_on_vanilla_session(vanilla, sf_dir):
     """Sweep the whole queries() registry: each must build and execute.
     (Value-level oracle checks run in tools/check_queries.py --vanilla;
-    here we gate on 'no session-dependent crash', the r1 failure mode.)"""
+    here we gate on 'no session-dependent crash', the r1 failure mode.)
+
+    The 357 sweeps are independent, so they run from a small thread pool
+    (Spark schedules concurrent jobs; pinned-thread mode maps each Python
+    thread to one JVM thread, where the initializer re-activates the
+    vanilla session so per-thread ANSI detection sees the same session
+    the driver's single-threaded process would).  Same queries, same
+    assertion — this only overlaps the waiting."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from tabsdata_spark.queries import queries
 
-    failures = []
-    for name, fn in queries().items():
+    def _activate():
+        vanilla._jvm.SparkSession.setActiveSession(vanilla._jsparkSession)
+
+    def run_one(item):
+        name, fn = item
         try:
-            df = fn(vanilla, sf_dir)
-            df.count()
+            fn(vanilla, sf_dir).count()
+            return None
         except Exception as e:  # noqa: BLE001 - collect all, report once
-            failures.append(f"{name}: {type(e).__name__}: {str(e)[:160]}")
+            return f"{name}: {type(e).__name__}: {str(e)[:160]}"
+
+    with ThreadPoolExecutor(max_workers=6, initializer=_activate) as ex:
+        failures = [f for f in ex.map(run_one, queries().items())
+                    if f is not None]
     assert not failures, "vanilla-session failures:\n" + "\n".join(failures)
 
 
