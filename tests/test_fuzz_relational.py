@@ -82,29 +82,45 @@ def test_relational_differential_fuzz_extended(spark, seed):
     modes), null-safe join keys (`join_nulls` -> IS NOT DISTINCT FROM),
     and sort+slice pipelines under a total order (positive, zero, and
     negative offsets with Python-slice clamping)."""
+    from _concurrency import run_concurrent
+
+    # phase 1: all rng draws stay SEQUENTIAL (bit-identical program
+    # stream to the former inline loop)
     rng = random.Random(seed)
-    con = duckdb.connect()
+    programs = []
     for p in range(80):
         n1, n2 = rng.randint(3, 15), rng.randint(2, 10)
-        t1 = _mk(spark, con, "t1", _rows(rng, n1))
-
+        rows1 = _rows(rng, n1)
         shape = rng.choice(["right", "full", "full_coalesce",
                             "join_nulls", "slice"])
+        if shape == "slice":
+            rows = [(i, *r) for i, r in enumerate(_rows(rng, n1))]
+            sc = rng.choice(["k", "a", "b", "s"])
+            d, nl = rng.random() < 0.5, rng.random() < 0.5
+            off = rng.choice([0, 1, 2, -2, -5, n1 + 2, -(n1 + 3)])
+            ln = rng.choice([0, 1, 3, n1, n1 + 4])
+            programs.append((p, shape, rows1, (rows, sc, d, nl, off, ln)))
+        else:
+            rows2 = _rows(rng, n2)
+            how = (rng.choice(["inner", "left"])
+                   if shape == "join_nulls" else None)
+            programs.append((p, shape, rows1, (rows2, how)))
+
+    # phase 2: execute concurrently (per-program DuckDB connections)
+    def run_one(prog):
+        p, shape, rows1, extra = prog
+        con = duckdb.connect()
+        t1 = _mk(spark, con, "t1", rows1)
         if shape == "slice":
             # total order: (sort col, idx-as-b is not unique) — order by
             # (k,a,b,s) tuple is still not total, so re-key with a unique
             # idx column first
-            rows = [(i, *r) for i, r in enumerate(_rows(rng, n1))]
-            con.execute("DROP TABLE IF EXISTS ts")
+            rows, sc, d, nl, off, ln = extra
             con.execute("CREATE TABLE ts (idx BIGINT, k BIGINT, a BIGINT,"
                         " b DOUBLE, s VARCHAR)")
             con.executemany("INSERT INTO ts VALUES (?,?,?,?,?)", rows)
             tf = td.TableFrame.from_spark(spark.createDataFrame(
                 rows, "idx long, k long, a long, b double, s string"))
-            sc = rng.choice(["k", "a", "b", "s"])
-            d, nl = rng.random() < 0.5, rng.random() < 0.5
-            off = rng.choice([0, 1, 2, -2, -5, n1 + 2, -(n1 + 3)])
-            ln = rng.choice([0, 1, 3, n1, n1 + 4])
             got = (tf.sort([sc, "idx"], descending=[d, False],
                            nulls_last=[nl, False])
                    .slice(off, ln).select("idx").to_spark().collect())
@@ -124,11 +140,13 @@ def test_relational_differential_fuzz_extended(spark, seed):
                     f"FROM ts) WHERE rn - 1 >= greatest(n + {off}, 0) "
                     f"AND rn - 1 < least(n + {off} + {ln}, n)"
                 ).fetchall()
+            con.close()
             _check_eq(got, want, f"seed={seed} p={p} slice off={off} "
                                  f"len={ln} sort=({sc},{d},{nl})")
-            continue
+            return
 
-        t2 = _mk(spark, con, "t2", _rows(rng, n2))
+        rows2, how = extra
+        t2 = _mk(spark, con, "t2", rows2)
         u = "(SELECT k, a AS a2 FROM t2) u"
         t2sel = t2.select(td.col("k"), td.col("a").alias("a2"))
         if shape == "right":
@@ -152,14 +170,16 @@ def test_relational_differential_fuzz_extended(spark, seed):
                 f"SELECT t1.k, t1.a, t1.b, t1.s, u.k AS k_right, u.a2 "
                 f"FROM t1 FULL JOIN {u} ON t1.k = u.k").fetchall()
         else:
-            how = rng.choice(["inner", "left"])
             got = t1.join(t2sel, on="k", how=how,
                           join_nulls=True).to_spark().collect()
             jk = "INNER" if how == "inner" else "LEFT"
             want = con.execute(
                 f"SELECT t1.k, t1.a, t1.b, t1.s, u.a2 FROM t1 {jk} JOIN "
                 f"{u} ON t1.k IS NOT DISTINCT FROM u.k").fetchall()
+        con.close()
         _check_eq(got, want, f"seed={seed} p={p} shape={shape}")
+
+    run_concurrent(programs, run_one)
 
 
 def _check_eq(got, want, ctx):

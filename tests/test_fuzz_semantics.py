@@ -316,8 +316,12 @@ def test_fuzz_concat_relaxed_supertypes(spark, seed):
 
 @pytest.mark.parametrize("seed", [20260904])
 def test_fuzz_fill_null_nan_mixed(spark, seed):
+    from _concurrency import run_concurrent
+
+    # phase 1: all rng draws stay SEQUENTIAL (bit-identical program
+    # stream to the former inline loop); ops are recorded as (name, arg)
     rng = random.Random(seed)
-    con = duckdb.connect()
+    programs = []
     for p in range(150):
         n = rng.randint(4, 12)
         rows = []
@@ -327,31 +331,43 @@ def test_fuzz_fill_null_nan_mixed(spark, seed):
             b = (None if r < 0.25 else float("nan") if r < 0.5
                  else round(rng.uniform(-5, 5), 3))
             rows.append((i, a, b))
-        tf = td.TableFrame.from_spark(
-            spark.createDataFrame(rows, "idx long, a long, b double"))
-        con.execute("DROP TABLE IF EXISTS ff")
-        con.execute("CREATE TABLE ff (idx BIGINT, a BIGINT, b DOUBLE)")
-        con.executemany("INSERT INTO ff VALUES (?,?,?)", rows)
-        cols = {"idx": "idx", "a": "a", "b": "b"}
-        where = []
+        ops = []
         for _ in range(rng.randint(1, 2)):
             op = rng.choice(["fill_null", "fill_nan", "drop_nulls",
                              "drop_nans"])
             if op == "fill_null":
-                v = rng.randint(-9, 9)
-                tf = tf.fill_null(v)
-                # fills NULL in every column; NaN is NOT null and stays
-                cols = {c: f"coalesce({s}, {v})" for c, s in cols.items()}
+                ops.append((op, rng.randint(-9, 9)))
             elif op == "fill_nan":
-                v = float(rng.randint(-9, 9))
-                tf = tf.fill_nan(v)
+                ops.append((op, float(rng.randint(-9, 9))))
+            elif op == "drop_nulls":
+                ops.append((op, rng.choice([["a"], ["b"], ["a", "b"]])))
+            else:
+                ops.append((op, None))
+        programs.append((p, rows, ops))
+
+    # phase 2: execute concurrently (per-program DuckDB connections)
+    def run_one(prog):
+        p, rows, ops = prog
+        tf = td.TableFrame.from_spark(
+            spark.createDataFrame(rows, "idx long, a long, b double"))
+        con = duckdb.connect()
+        con.execute("CREATE TABLE ff (idx BIGINT, a BIGINT, b DOUBLE)")
+        con.executemany("INSERT INTO ff VALUES (?,?,?)", rows)
+        cols = {"idx": "idx", "a": "a", "b": "b"}
+        where = []
+        for op, arg in ops:
+            if op == "fill_null":
+                tf = tf.fill_null(arg)
+                # fills NULL in every column; NaN is NOT null and stays
+                cols = {c: f"coalesce({s}, {arg})" for c, s in cols.items()}
+            elif op == "fill_nan":
+                tf = tf.fill_nan(arg)
                 # floats only; NULL is NOT NaN and stays
-                cols["b"] = (f"(CASE WHEN isnan({cols['b']}) THEN {v} "
+                cols["b"] = (f"(CASE WHEN isnan({cols['b']}) THEN {arg} "
                              f"ELSE {cols['b']} END)")
             elif op == "drop_nulls":
-                sub = rng.choice([["a"], ["b"], ["a", "b"]])
-                tf = tf.drop_nulls(sub)
-                where += [f"({cols[c]}) IS NOT NULL" for c in sub]
+                tf = tf.drop_nulls(arg)
+                where += [f"({cols[c]}) IS NOT NULL" for c in arg]
             else:
                 tf = tf.drop_nans(["b"])
                 where.append(f"(NOT isnan({cols['b']}) "
@@ -362,7 +378,10 @@ def test_fuzz_fill_null_nan_mixed(spark, seed):
         if where:
             sql += " WHERE " + " AND ".join(where)
         want = con.execute(sql).fetchall()
+        con.close()
         _check(got, want, f"seed={seed} p={p} sql={sql}")
+
+    run_concurrent(programs, run_one)
 
 
 # ------------------------------------ family F: datetime trunc/offset
@@ -461,8 +480,9 @@ def test_fuzz_datetime_trunc_offset_totals(spark, seed):
 
 @pytest.mark.parametrize("seed", [20260905])
 def test_fuzz_group_agg_all_null_groups(spark, seed):
+    from _concurrency import run_concurrent
+
     rng = random.Random(seed)
-    con = duckdb.connect()
     AGGS = {
         "cnt": (lambda: td.col("a").count(), "count(a)"),
         "sm": (lambda: td.col("a").sum(), "sum(a)"),
@@ -475,6 +495,7 @@ def test_fuzz_group_agg_all_null_groups(spark, seed):
         "ln": (lambda: td.col("a").len(), "count(*)"),
         "md": (lambda: td.col("b").median(), "median(b)"),
     }
+    programs = []
     for p in range(100):
         n = rng.randint(5, 20)
         # force some keys to be ALL-null in `a`: per-key null probability
@@ -487,15 +508,22 @@ def test_fuzz_group_agg_all_null_groups(spark, seed):
             a = None if rng.random() < pn else rng.randint(-9, 9)
             b = None if rng.random() < 0.3 else float(rng.randint(-20, 20))
             rows.append((k, a, b))
+        picked = rng.sample(sorted(AGGS), rng.randint(1, 4))
+        programs.append((p, rows, picked))
+
+    def run_one(prog):
+        p, rows, picked = prog
         tf = td.TableFrame.from_spark(
             spark.createDataFrame(rows, "k long, a long, b double"))
-        con.execute("DROP TABLE IF EXISTS fg")
+        con = duckdb.connect()
         con.execute("CREATE TABLE fg (k BIGINT, a BIGINT, b DOUBLE)")
         con.executemany("INSERT INTO fg VALUES (?,?,?)", rows)
-        picked = rng.sample(sorted(AGGS), rng.randint(1, 4))
         named = {name: AGGS[name][0]() for name in picked}
         got = tf.group_by("k").agg(**named).to_spark().collect()
         sel = ", ".join(f"{AGGS[name][1]} AS {name}" for name in picked)
         want = con.execute(
             f"SELECT k, {sel} FROM fg GROUP BY k").fetchall()
+        con.close()
         _check(got, want, f"seed={seed} p={p} aggs={picked}")
+
+    run_concurrent(programs, run_one)

@@ -158,24 +158,38 @@ def _gen_dq_check(rng: random.Random, name: str):
 
 @pytest.mark.parametrize("seed", [20260910])
 def test_fuzz_dq_checks(spark, seed):
+    from _concurrency import run_concurrent
+
+    # phase 1: all rng draws stay SEQUENTIAL (bit-identical program
+    # stream to the former inline loop)
     rng = random.Random(seed)
+    programs = []
     for prog in range(150):
         rows = _dq_rows(rng)
+        n_checks = rng.randint(3, 6)
+        checks = [_gen_dq_check(rng, f"c{k}") for k in range(n_checks)]
+        programs.append((prog, rows, checks))
+
+    # phase 2: execute concurrently (per-program DuckDB connections)
+    def run_one(p):
+        prog, rows, checks = p
         tf = td.TableFrame.from_spark(spark.createDataFrame(
             rows, "id bigint, d double, i bigint, s string"))
-        n_checks = rng.randint(3, 6)
         sqls, specs = [], []
-        for k in range(n_checks):
-            apply_fn, sql, spec = _gen_dq_check(rng, f"c{k}")
+        for apply_fn, sql, spec in checks:
             tf = apply_fn(tf)
             sqls.append(sql)
             specs.append(spec)
-        names = [f"c{k}" for k in range(n_checks)]
+        names = [f"c{k}" for k in range(len(checks))]
         got = tf.select("id", *names).to_spark().collect()
-        want = duckdb.sql(
+        con = duckdb.connect()
+        want = con.sql(
             f"SELECT id, {', '.join(sqls)} FROM {_duck_values(rows)}"
         ).fetchall()
+        con.close()
         _check(got, want, f"seed={seed} prog={prog} specs={specs}")
+
+    run_concurrent(programs, run_one)
 
 
 def test_dq_fn_row_batch_parity(spark):
