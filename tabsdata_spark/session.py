@@ -68,6 +68,20 @@ def get_spark(
         # cluster this costs one driver System.gc() per interval: noise.
         .config("spark.cleaner.periodicGC.interval",
                 os.environ.get("TDSPARK_PERIODIC_GC", "45s"))
+        # The whole-stage-codegen class cache holds only 100 entries by
+        # default (static conf).  A multi-query application compiles ~5-10
+        # codegen units per query, so after ~20 distinct queries earlier
+        # entries are evicted and re-running a query re-pays Janino
+        # compilation AND fresh JIT warmup — exactly the one-time costs a
+        # warmup pass is supposed to absorb (measured: identical headline
+        # pass after a 230-query warmup read 15.44s at 100 entries vs
+        # 13.52s at 5000, same session shape back-to-back; iterative
+        # queries that re-derive identical plans benefit most — see
+        # OPTIMIZATION_r11.md).  Cost: cached GeneratedClass metadata in
+        # metaspace (~30KB/entry, ~150MB at 5000) — bounded and equally
+        # valid on a cluster, where executors keep their own cache.
+        .config("spark.sql.codegen.cache.maxEntries",
+                os.environ.get("TDSPARK_CODEGEN_CACHE", "5000"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
