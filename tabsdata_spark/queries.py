@@ -1432,8 +1432,43 @@ _PRIORITY_R10 = [
 ]
 
 
+#: Round-11 driver window — per the r10 verdict ("stage the r11 driver
+#: correctness window to lead with the 24 r10-optimized queries plus
+#: rotation filler"): the 24 r10-optimized paths (fan_out batch +
+#: numeric-id graph batch), the 2 additional r11-touched paths
+#: (hits_customer_supplier driver fast path, pagerank_event_transitions
+#: bounded-graph driver path; cosine_histogram_emb / semantic_decontam_emb
+#: / bloom_fpr_docs from the r11 fan_out-placement batch are already in
+#: the r10-optimized set), then the 24 oldest driver greens from the
+#: rotation list staged in NOTES.md at the end of round 10 (minus the two
+#: already present).  Every name is driver-green in a prior round; the
+#: rotation is a pure reorder of queries() — nothing added or removed.
+_PRIORITY_R11 = [
+    # r10-optimized (VERDICT r10, batches 1-3 + graph ids)
+    "poisson_bootstrap_events", "code_switch_docs", "semantic_decontam_emb",
+    "cms_tokens_docs", "kappa_langid_docs", "bloom_fpr_docs",
+    "char_entropy_docs", "int8_quantize_emb", "mcnemar_gates_docs",
+    "gopher_rules_docs", "cosine_histogram_emb", "text_quality",
+    "q1_pricing_summary", "pca_power_emb", "token_budget_select_docs",
+    "random_projection_emb", "lang_confusion_docs", "bpe_encode_docs",
+    "script_ratio_docs", "quality_gate_docs", "bloom_decontaminate_docs",
+    "pagerank_orders", "ppr_suppliers", "kcore_orders",
+    # r11-touched (driver fast paths)
+    "hits_customer_supplier", "pagerank_event_transitions",
+    # oldest-green rotation filler (NOTES.md staged list order)
+    "udf_charge", "sliding_window_events", "stratified_sample_docs",
+    "tfidf_top_terms", "triangle_count_emb", "unpivot_part_metrics",
+    "vocab_top_terms", "approx_distinct_invariant", "arg_extremum",
+    "boilerplate_ngrams_docs", "business_days", "concat_diag_relaxed",
+    "concat_relaxed", "content_fingerprint_md5", "corr_value_k_events",
+    "dedup_stats", "distinct_users_by_type", "drop_nans_q", "dt_funcs2",
+    "eq_missing_q", "filtered_agg", "group_shortcuts",
+    "hierarchical_rollup_events", "histogram_event_values",
+]
+
+
 def _rotated(d: dict) -> dict:
-    out = {n: d[n] for n in _PRIORITY_R10 if n in d}
+    out = {n: d[n] for n in _PRIORITY_R11 if n in d}
     out.update((n, v) for n, v in d.items() if n not in out)
     return out
 
