@@ -390,6 +390,10 @@ def unigram_surprisal(docs: DataFrame, id_col: str = "doc_id",
     frequency table derived from THOSE counts (second, |vocab|-sized
     shuffle), then a term-keyed join back.  The corpus total is a 1-row
     broadcast cross join, never a driver collect."""
+    # NOTE (r11): persisting tdf here was measured a LOSS (0.9 -> 1.5s
+    # interleaved) — unlike bigram_lm_score's deeper c2/c1/V chain, AQE
+    # stage reuse DOES fire for this two-consumer shape, so the cache
+    # materialization is pure overhead.  Keep the plain lineage.
     tdf = term_doc_freq(docs, id_col, text_col)
     freq = tdf.groupBy("term").agg(F.sum("tf").alias("cf"))
     total = freq.agg(F.sum("cf").alias("total"))
@@ -471,6 +475,19 @@ def bigram_lm_score(docs: DataFrame, id_col: str = "doc_id",
 
     doc_bi = _doc_bi(docs)
     train_bi = doc_bi if train_docs is None else _doc_bi(train_docs)
+    # The LM-count lineages (c2, c1, V) and the scoring join each re-derive
+    # train_bi, and Spark re-executes the expensive tokenize+explode+count
+    # subtree per consumer (AQE stage reuse does not fire across these
+    # branches — measured 3x the doc_bi cost at sf0.1, and persisting cut
+    # the query 2.57s -> 1.72-1.97s interleaved with identical values).
+    # Lazy within-invocation persist: materialized inside the caller's
+    # first action, reclaimed by the ContextCleaner once the returned
+    # frame is dropped (guide §5 — reuse beats recompute when the reused
+    # stage is the expensive one).  At scale this trades one spill-backed
+    # cache of the (doc, bigram) counts for two full re-tokenizations.
+    train_bi = train_bi.persist()
+    if train_docs is None:
+        doc_bi = train_bi
     c2 = (train_bi.groupBy("bigram").agg(F.sum("tf").alias("c2"))
           .withColumn("w1", F.substring_index(F.col("bigram"), " ", 1)))
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
