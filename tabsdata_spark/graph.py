@@ -31,6 +31,13 @@ from pyspark.sql import DataFrame
 DRIVER_EDGE_THRESHOLD = 4_000_000
 
 
+# NOTE (r11, measured and REJECTED): building the symmetric closure as
+# distinct(least,greatest) THEN union-both-orientations halves the dedup
+# exchange input, but the canonical subtree feeds BOTH union branches and
+# re-executes (no stage reuse) — within-session interleaved A/B read the
+# old shape FASTER (1.161 vs 1.246 med over 6 alternations, identical
+# 1,173,742-edge sets).  Keep distinct-after-union.
+
 def _edges_to_numpy(df: DataFrame, c1: str, c2: str):
     """Collect a two-column frame into a pair of numpy arrays via Arrow
     (zero-copy for numeric ids).  Returns None when Arrow/numpy are
@@ -564,8 +571,12 @@ def degree_assortativity(edges: DataFrame, src_col: str,
     equi-joins back onto the edge list (AQE broadcasts the smaller
     degree side), one final scalar aggregate."""
     big = "decimal(38,0)"
+    # e is consumed three times (both degree tables + the join probe) and
+    # AQE stage reuse does not fire across the branches when the edge list
+    # is join-derived — lazy within-invocation persist computes it once
+    # (the bigram_lm_score lesson; blocks reclaimed by the ContextCleaner)
     e = edges.select(F.col(src_col).alias("__s"),
-                     F.col(dst_col).alias("__d"))
+                     F.col(dst_col).alias("__d")).persist()
     ds = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__ks"))
     dd = e.groupBy("__d").agg(F.count(F.lit(1)).alias("__kd"))
     j = e.join(ds, "__s").join(dd, "__d")
