@@ -969,6 +969,10 @@ def incremental_near_dup(
                          F.lit(True).alias("__new"))
         .unionByName(corpus.select(F.col(id_col), F.col(text_col),
                                    F.lit(False).alias("__new")))
+        # consumed by the LSH pass, the flag projections, and the exact
+        # jaccard verify — lazy within-invocation persist reads the
+        # source once (the bigram_lm_score lesson)
+        .persist()
     )
     cand = minhash_lsh_candidates(tagged, id_col, text_col, **lsh_kwargs)
     flags = tagged.select(F.col(id_col), F.col("__new"))
@@ -979,14 +983,18 @@ def incremental_near_dup(
                            F.col("__new").alias("new_b")), "id_b")
         .filter(F.col("new_a") != F.col("new_b"))   # one new, one corpus
     )
-    # orient: doc_id = the new side, match_id = the corpus side
+    # orient: doc_id = the new side, match_id = the corpus side.  The
+    # candidate pair set is consumed twice (the verify's pairs lineage
+    # and the final hits join) and is tiny (capped LSH buckets), while
+    # its lineage — the full signature + band self-join — is the
+    # expensive part: persist so candidate generation runs once.
     oriented = sided.select(
         F.when(F.col("new_a"), F.col("id_a")).otherwise(F.col("id_b"))
          .alias("doc_id_n"),
         F.when(F.col("new_a"), F.col("id_b")).otherwise(F.col("id_a"))
          .alias("match_id_n"),
         "id_a", "id_b",
-    )
+    ).persist()
     # pairs lineage here IS the band join (unmaterialized): pruning
     # would re-run candidate generation to save a shingle pass — net loss
     verified = ngram_jaccard_pairs(
