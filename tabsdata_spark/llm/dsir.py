@@ -79,8 +79,18 @@ def importance_weights(raw: DataFrame, target: DataFrame,
     length-invariant, so selection doesn't systematically prefer short
     documents.  Returns (id_col, n_features, weight) — weight rounded for
     engine-portable comparison."""
-    t_counts = bucket_distribution(target, id_col, text_col, n, buckets)
-    r_counts = bucket_distribution(raw, id_col, text_col, n, buckets)
+    # the raw featurization (tokenize + n-grams + md5 bucket + explode) is
+    # consumed by the raw model AND the scoring pass, and each bucket-count
+    # table feeds both its total and the ratio join — without persists the
+    # expensive feature subtree re-executes per consumer (AQE stage reuse
+    # does not fire across these branches; the bigram_lm_score lesson).
+    # Lazy within-invocation persists: features once, and the two
+    # <= `buckets`-row models once each.
+    raw_feats = _bucketed_features(raw, id_col, text_col, n, buckets).persist()
+    t_counts = (bucket_distribution(target, id_col, text_col, n, buckets)
+                .persist())
+    r_counts = (raw_feats.groupBy("bucket")
+                .agg(F.count(F.lit(1)).alias("cnt")).persist())
     t_total = t_counts.agg(F.sum("cnt").alias("t_total"))
     r_total = r_counts.agg(F.sum("cnt").alias("r_total"))
     # log-ratio per bucket; buckets unseen in either model fall back to the
@@ -102,7 +112,7 @@ def importance_weights(raw: DataFrame, target: DataFrame,
              ).alias("unseen_log_ratio"),
         )
     )
-    feats = _bucketed_features(raw, id_col, text_col, n, buckets)
+    feats = raw_feats
     return (
         feats.join(F.broadcast(ratio.drop("unseen_log_ratio")), "bucket", "left")
         # a raw-corpus bucket always exists in r_counts, so log_ratio is
